@@ -1,0 +1,51 @@
+"""Pipeline configuration.
+
+All thresholds mirror the reference defaults (cited per field); they are the
+user-extension surface the reference exposes as constructor args / constants
+(reference: inference.py:120,139,159; utils/db_utils.py:33; utils/textblock.py:429-430).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    """Detection + postprocess thresholds (reference: inference.py:120-139)."""
+
+    input_size: int = 1024          # letterbox target (inference.py:24,120)
+    stride: int = 64                # letterbox stride (inference.py:75)
+    conf_thresh: float = 0.4        # YOLO conf (inference.py:120)
+    nms_thresh: float = 0.35        # NMS IoU (inference.py:120)
+    mask_thresh: float = 0.3        # mask binarize (inference.py:120; unused on the span path)
+    seg_thresh: float = 0.3         # DB shrink-map binarize (inference.py:139)
+    box_thresh: float = 0.6         # DB box score filter (inference.py:159)
+    unclip_ratio: float = 1.5       # DB unclip (utils/db_utils.py:33)
+    max_candidates: int = 1000      # DB contour cap (utils/db_utils.py:33)
+    max_det: int = 300              # NMS output cap (utils/yolov5_utils.py:145)
+    bbox_score_thresh: float = 0.4  # line→block assignment (utils/textblock.py:429)
+    mask_score_thresh: float = 0.1  # scattered-line mask density (utils/textblock.py:430)
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end extraction pipeline knobs (Ray-side sizing is ours, not the
+    reference's — the reference is a sequential batch=1 loop, inference.py:28,78)."""
+
+    detector: DetectorConfig = field(default_factory=DetectorConfig)
+
+    # Ray Data sizing.  A 1024² float32 lines_map is ~8 MB; keep detect batches
+    # small so batch×concurrency fits a worker heap at 100 TB scale.
+    detect_batch_size: int = 8
+    detect_concurrency: int | None = None   # None → stateless tasks sized by Ray
+    postprocess_batch_size: int = 16
+    # Fuse detect+postprocess into one stage so the big per-page maps never
+    # cross a stage boundary / enter the object store.  Set False to split the
+    # stages (the prod GPU-actor layout; maps then ship between stages).
+    fuse_postprocess: bool = True
+    # Optional pixel-consuming mask refinement stage (reference REFINEMASK_*,
+    # utils/textmask.py:13-14).  Off by default: it does not affect the span
+    # contract and forces decoded pixels to stay alive longer.
+    refine_masks: bool = False
+    keep_undetected_mask: bool = False      # inference.py:35,142
+    refine_mode: str = "annotation"         # 'annotation' | 'inpaint'

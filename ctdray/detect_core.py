@@ -1,0 +1,73 @@
+"""The per-page detection chain shared by the Ray pipeline and the oracle.
+
+This is the engine's re-expression of ``TextDetector.__call__``
+(inference.py:141-178) as a pure function: backend inference → NMS → DB line
+extraction → coordinate unmapping → TextBlock grouping.  Both the distributed
+pipeline (ctdray.stages.detect) and the single-process oracle (ctdray.oracle)
+call exactly this function, so span equality between them checks the Ray
+plumbing (explode / shuffle / splice / ordering under parallelism), while the
+unit tests in tests/ check this chain's semantics against the reference's
+documented behavior.
+"""
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from .config import DetectorConfig
+from .geom import letterbox_params, non_max_suppression, resize_bilinear
+from .represent import extract_lines
+from .schema import serialize_line_span
+from .textblock import TextBlock, group_output
+
+
+def detect_page(detector, media_ref: str, im_h: int, im_w: int,
+                cfg: DetectorConfig) -> tuple[List[TextBlock], np.ndarray]:
+    """Run the full per-page chain; returns (reading-ordered blocks,
+    uint8 text mask at original page size)."""
+    size = cfg.input_size
+    blks, mask, lines_map = detector.infer(media_ref, im_h, im_w)
+    _, new_w, new_h, dw, dh = letterbox_params(im_h, im_w, size)
+    # inference.py:147 — unmapping is a pure per-axis scale because the
+    # letterbox pads only bottom/right.
+    rr = (im_w / (size - dw), im_h / (size - dh))
+
+    det = non_max_suppression(blks, cfg.conf_thresh, cfg.nms_thresh, cfg.max_det)
+    det[:, [0, 2]] *= rr[0]
+    det[:, [1, 3]] *= rr[1]
+    boxes = det[:, 0:4].astype(np.int32)
+    confs = np.round(det[:, 4], 3)
+    classes = det[:, 5].astype(np.int32)
+
+    mask_u8 = (np.asarray(mask).squeeze() * 255).astype(np.uint8)  # inference.py:85-99
+    lines, _scores = extract_lines(lines_map, cfg)
+
+    # Un-letterbox: crop the pad, resize to original (inference.py:163-165).
+    mask_u8 = mask_u8[: size - dh, : size - dw]
+    mask_u8 = resize_bilinear(mask_u8, im_w, im_h)
+    if lines.size:
+        lines = lines.astype(np.float64)
+        lines[..., 0] *= rr[0]
+        lines[..., 1] *= rr[1]
+        lines = lines.astype(np.int32)
+    else:
+        lines = []
+
+    blk_list = group_output(boxes, classes, confs, lines, im_w, im_h, mask_u8)
+    return blk_list, mask_u8
+
+
+def page_line_spans(blk_list: List[TextBlock]) -> list[tuple[int, str]]:
+    """Flatten reading-ordered blocks into (order, canonical text) pairs —
+    one per detected line (FIXTURES.md §4; line serialization mirrors the
+    reference's line-*.txt rows, inference.py:61-65)."""
+    out = []
+    order = 0
+    for blk in blk_list:
+        for line in blk.lines:
+            quad8 = np.asarray(line, dtype=np.int64).reshape(8)
+            out.append((order, serialize_line_span(
+                quad8, blk.language, blk.vertical, blk.angle, blk.font_size)))
+            order += 1
+    return out

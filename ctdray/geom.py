@@ -1,0 +1,720 @@
+"""Pure-numpy geometry kernels.
+
+Every cv2 / shapely / pyclipper / torchvision call the reference makes on the
+inference path is re-expressed here in vectorized numpy (SURVEY.md §2.3, §7
+step 2).  Semantics-bearing citations point at the reference implementation
+each kernel must agree with; the code is written fresh.
+
+These kernels run inside ``map_batches`` UDFs — they must be allocation-light
+and loop only over entities (boxes, lines, hull points), never over pixels,
+except the run-based connected-component labeler which loops over image rows.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Axis-aligned box utilities (reference: utils/imgproc_utils.py, yolov5_utils.py)
+# ---------------------------------------------------------------------------
+
+
+def box_intersection_area(a, b) -> float:
+    """Intersection area of two xyxy boxes, -1.0 if disjoint.
+
+    Matches the reference's (misnamed) ``union_area``
+    (utils/imgproc_utils.py:13-20) including the -1 sentinel.
+    """
+    x1 = max(a[0], b[0])
+    y1 = max(a[1], b[1])
+    x2 = min(a[2], b[2])
+    y2 = min(a[3], b[3])
+    if y2 < y1 or x2 < x1:
+        return -1.0
+    return float((y2 - y1) * (x2 - x1))
+
+
+def boxes_intersection_area(boxes: np.ndarray, box) -> np.ndarray:
+    """Vectorized ``box_intersection_area`` of many boxes vs one box → (n,)
+    with -1.0 where disjoint (used by the line→block assignment loop,
+    utils/textblock.py:436-441)."""
+    if len(boxes) == 0:
+        return np.zeros((0,), dtype=np.float64)
+    boxes = np.asarray(boxes, dtype=np.float64)
+    x1 = np.maximum(boxes[:, 0], box[0])
+    y1 = np.maximum(boxes[:, 1], box[1])
+    x2 = np.minimum(boxes[:, 2], box[2])
+    y2 = np.minimum(boxes[:, 3], box[3])
+    area = (y2 - y1) * (x2 - x1)
+    area[(y2 < y1) | (x2 < x1)] = -1.0
+    return area
+
+
+def xywh2xyxy(x: np.ndarray) -> np.ndarray:
+    """Center-format (cx,cy,w,h) → corner-format (x1,y1,x2,y2)
+    (utils/yolov5_utils.py:220-227)."""
+    y = np.copy(x)
+    y[:, 0] = x[:, 0] - x[:, 2] / 2
+    y[:, 1] = x[:, 1] - x[:, 3] / 2
+    y[:, 2] = x[:, 0] + x[:, 2] / 2
+    y[:, 3] = x[:, 1] + x[:, 3] / 2
+    return y
+
+
+def xywh2xyxypoly(xywh: np.ndarray, to_int: bool = True) -> np.ndarray:
+    """n×4 (x,y,w,h) rects → n×8 corner polygons, corner order
+    tl,tr,br,bl (utils/imgproc_utils.py:31-37)."""
+    poly = np.tile(xywh[:, [0, 1]], 4).astype(np.float64)
+    poly[:, [2, 4]] += xywh[:, [2]]
+    poly[:, [5, 7]] += xywh[:, [3]]
+    if to_int:
+        poly = poly.astype(np.int64)
+    return poly
+
+
+def xyxy2yolo(xyxy, w: int, h: int):
+    """Absolute xyxy → normalized cxcywh (utils/imgproc_utils.py:39-51)."""
+    if xyxy is None or len(xyxy) == 0:
+        return None
+    arr = np.asarray(xyxy, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[None, :]
+    out = arr.copy()
+    out[:, [0, 2]] /= w
+    out[:, [1, 3]] /= h
+    out[:, [2, 3]] -= out[:, [0, 1]]
+    out[:, [0, 1]] += out[:, [2, 3]] / 2
+    return out
+
+
+def yolo_xywh2xyxy(xywh, w: int, h: int, to_int: bool = True):
+    """Normalized cxcywh → absolute xyxy (utils/imgproc_utils.py:53-66)."""
+    if xywh is None or len(xywh) == 0:
+        return None
+    arr = np.asarray(xywh, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[None, :]
+    out = arr.copy()
+    out[:, [0, 2]] *= w
+    out[:, [1, 3]] *= h
+    out[:, [0, 1]] -= out[:, [2, 3]] / 2
+    out[:, [2, 3]] += out[:, [0, 1]]
+    if to_int:
+        out = out.astype(np.int64)
+    return out
+
+
+def rotate_polygons(center, polygons: np.ndarray, rotation_deg, new_center=None,
+                    to_int: bool = True) -> np.ndarray:
+    """Rotate n×8 flat polygons about ``center``.
+
+    Keeps the reference's (unusual) sign convention — y' = y·c − x·s,
+    x' = y·s + x·c (utils/imgproc_utils.py:68-84) — which `min_rect` and the
+    alignment vote depend on.
+    """
+    if new_center is None:
+        new_center = center
+    rad = np.deg2rad(rotation_deg)
+    s, c = np.sin(rad), np.cos(rad)
+    p = np.asarray(polygons, dtype=np.float32).copy()
+    p[:, 1::2] -= center[1]
+    p[:, ::2] -= center[0]
+    out = p.copy()
+    out[:, 1::2] = p[:, 1::2] * c - p[:, ::2] * s
+    out[:, ::2] = p[:, 1::2] * s + p[:, ::2] * c
+    out[:, 1::2] += new_center[1]
+    out[:, ::2] += new_center[0]
+    if to_int:
+        return out.astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Letterbox (reference: utils/imgproc_utils.py:86-117, inference.py:72-83)
+# ---------------------------------------------------------------------------
+
+
+def letterbox_params(h: int, w: int, new_shape: int = 1024, scaleup: bool = True):
+    """Compute the letterbox geometry without touching pixels.
+
+    Returns ``(r, new_w, new_h, dw, dh)``: scale ratio, resized (unpadded)
+    size, and the bottom/right padding.  The reference pads only bottom/right
+    (utils/imgproc_utils.py:117 — border (0, dh, 0, dw)) so the origin is
+    preserved and unmapping is a pure per-axis scale
+    (inference.py:147 ``resize_ratio``).
+    """
+    if isinstance(new_shape, int):
+        new_shape = (new_shape, new_shape)
+    r = min(new_shape[0] / h, new_shape[1] / w)
+    if not scaleup:
+        r = min(r, 1.0)
+    new_w, new_h = int(round(w * r)), int(round(h * r))
+    dw, dh = new_shape[1] - new_w, new_shape[0] - new_h
+    return r, new_w, new_h, int(dw), int(dh)
+
+
+def resize_bilinear(im: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Vectorized separable bilinear resize (align_corners=False / half-pixel
+    centers, the cv2.INTER_LINEAR convention).  2-D (grayscale) or 3-D (HWC).
+    Separable float32 implementation — one row-gather pass then one
+    column-gather pass — keeps intermediates to 2×image size."""
+    h, w = im.shape[:2]
+    if (out_h, out_w) == (h, w):
+        return im.copy()
+    ys = (np.arange(out_h, dtype=np.float32) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w, dtype=np.float32) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0).astype(np.float32)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0).astype(np.float32)[None, :]
+    imf = im.astype(np.float32, copy=False)
+    if im.ndim == 3:
+        wy = wy[..., None]
+        wx = wx[..., None]
+    rows = imf[y0] * (1 - wy) + imf[y1] * wy          # (out_h, w[, c])
+    out = rows[:, x0] * (1 - wx) + rows[:, x1] * wx   # (out_h, out_w[, c])
+    if np.issubdtype(im.dtype, np.integer):
+        return np.clip(np.round(out), 0, 255).astype(im.dtype)
+    return out.astype(im.dtype)
+
+
+def letterbox_image(im: np.ndarray, new_shape: int = 1024, scaleup: bool = True):
+    """Aspect-preserving resize + bottom/right zero-pad
+    (utils/imgproc_utils.py:86-117 with auto=False, stride honored by caller
+    passing a stride-multiple ``new_shape``).  Returns (img, r, (dw, dh))."""
+    h, w = im.shape[:2]
+    r, new_w, new_h, dw, dh = letterbox_params(h, w, new_shape, scaleup)
+    out = resize_bilinear(im, new_w, new_h)
+    pad = [(0, dh), (0, dw)] + ([(0, 0)] if im.ndim == 3 else [])
+    out = np.pad(out, pad, mode="constant")
+    return out, r, (dw, dh)
+
+
+# ---------------------------------------------------------------------------
+# IoU + NMS (reference: utils/yolov5_utils.py:100-218)
+# ---------------------------------------------------------------------------
+
+
+def box_iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise IoU of two xyxy box sets → (n, m)
+    (utils/yolov5_utils.py:100-122)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    inter = np.clip(rb - lt, 0, None).prod(axis=2)
+    return inter / (area_a[:, None] + area_b[None, :] - inter)
+
+
+def nms_boxes(boxes: np.ndarray, scores: np.ndarray, iou_thres: float) -> np.ndarray:
+    """Greedy NMS → kept indices sorted by descending score (the
+    torchvision.ops.nms contract the reference relies on,
+    utils/yolov5_utils.py:203)."""
+    n = len(boxes)
+    if n == 0:
+        return np.zeros((0,), dtype=np.int64)
+    order = np.argsort(-scores, kind="stable")
+    boxes = np.asarray(boxes, dtype=np.float64)
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = (x2 - x1) * (y2 - y1)
+    keep = []
+    suppressed = np.zeros(n, dtype=bool)
+    for idx in order:
+        if suppressed[idx]:
+            continue
+        keep.append(idx)
+        xx1 = np.maximum(x1[idx], x1[order])
+        yy1 = np.maximum(y1[idx], y1[order])
+        xx2 = np.minimum(x2[idx], x2[order])
+        yy2 = np.minimum(y2[idx], y2[order])
+        inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
+        iou = inter / (areas[idx] + areas[order] - inter)
+        suppressed[order[iou > iou_thres]] = True
+    return np.array(keep, dtype=np.int64)
+
+
+def non_max_suppression(pred: np.ndarray, conf_thres: float = 0.4,
+                        iou_thres: float = 0.35, max_det: int = 300) -> np.ndarray:
+    """YOLO-style NMS on one image's raw predictions (N, 5+nc) → (n, 6)
+    ``[x1,y1,x2,y2,conf,cls]``.
+
+    Semantics match utils/yolov5_utils.py:124-218 (single image, best-class
+    path): objectness gate, conf = obj·cls, per-class box offset of 4096 px so
+    one class-agnostic NMS is per-class, ≤30000 in / ≤``max_det`` out.
+    """
+    if pred.ndim == 3:
+        pred = pred[0]
+    max_wh, max_nms = 4096, 30000
+    x = pred[pred[:, 4] > conf_thres]
+    if x.shape[0] == 0:
+        return np.zeros((0, 6), dtype=np.float64)
+    x = x.astype(np.float64, copy=True)
+    x[:, 5:] *= x[:, 4:5]
+    box = xywh2xyxy(x[:, :4])
+    cls = np.argmax(x[:, 5:], axis=1)
+    conf = x[np.arange(len(x)), 5 + cls]
+    m = conf > conf_thres
+    box, conf, cls = box[m], conf[m], cls[m]
+    if len(box) == 0:
+        return np.zeros((0, 6), dtype=np.float64)
+    if len(box) > max_nms:
+        top = np.argsort(-conf, kind="stable")[:max_nms]
+        box, conf, cls = box[top], conf[top], cls[top]
+    offset_boxes = box + (cls[:, None] * max_wh)
+    keep = nms_boxes(offset_boxes, conf, iou_thres)[:max_det]
+    out = np.concatenate(
+        [box[keep], conf[keep, None], cls[keep, None].astype(np.float64)], axis=1
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Convex hull + min-area rect (replaces cv2.minAreaRect/boxPoints,
+# utils/db_utils.py:176-195)
+# ---------------------------------------------------------------------------
+
+
+def convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain → hull vertices in CCW order (k, 2) float64."""
+    pts = np.unique(np.asarray(pts, dtype=np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+    # np.unique sorts lexicographically by (x, y) already.
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2:
+                o, a = out[-2], out[-1]
+                if (a[0] - o[0]) * (p[1] - o[1]) - (a[1] - o[1]) * (p[0] - o[0]) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1], dtype=np.float64)
+
+
+def min_area_rect(pts: np.ndarray):
+    """Minimum-area enclosing rectangle via rotating calipers over hull edges.
+
+    Returns ``(corners (4,2) float64, (w, h))``.  Equivalent to
+    cv2.minAreaRect + cv2.boxPoints (consumed by get_mini_boxes,
+    utils/db_utils.py:176-195); corner order is normalized afterwards by
+    :func:`order_rect_corners` so the raw order here is irrelevant.
+    """
+    hull = convex_hull(pts)
+    k = len(hull)
+    if k == 0:
+        return np.zeros((4, 2)), (0.0, 0.0)
+    if k == 1:
+        c = np.tile(hull[0], (4, 1))
+        return c, (0.0, 0.0)
+    if k == 2:
+        d = hull[1] - hull[0]
+        corners = np.array([hull[0], hull[1], hull[1], hull[0]], dtype=np.float64)
+        return corners, (float(np.hypot(*d)), 0.0)
+    edges = np.roll(hull, -1, axis=0) - hull
+    ang = np.arctan2(edges[:, 1], edges[:, 0])
+    best = None
+    for a in np.unique(np.mod(ang, np.pi / 2)):
+        c, s = np.cos(a), np.sin(a)
+        rot = np.array([[c, s], [-s, c]])
+        proj = hull @ rot.T
+        mn, mx = proj.min(axis=0), proj.max(axis=0)
+        wh = mx - mn
+        area = wh[0] * wh[1]
+        if best is None or area < best[0]:
+            best = (area, a, mn, mx)
+    _, a, mn, mx = best
+    c, s = np.cos(a), np.sin(a)
+    rot_inv = np.array([[c, -s], [s, c]])
+    rect = np.array(
+        [[mn[0], mn[1]], [mx[0], mn[1]], [mx[0], mx[1]], [mn[0], mx[1]]]
+    )
+    corners = rect @ rot_inv.T
+    return corners, (float(mx[0] - mn[0]), float(mx[1] - mn[1]))
+
+
+def order_rect_corners(corners: np.ndarray, wh) -> tuple[np.ndarray, float]:
+    """Normalize 4 rect corners to [tl, tr, br, bl] and return
+    ``(box (4,2), sside=min(w,h))`` — the get_mini_boxes contract
+    (utils/db_utils.py:176-195): sort by x; among the left pair the smaller-y
+    point leads, among the right pair the smaller-y point is 'tr'."""
+    pts = sorted(corners.tolist(), key=lambda p: p[0])
+    if pts[1][1] > pts[0][1]:
+        i1, i4 = 0, 1
+    else:
+        i1, i4 = 1, 0
+    if pts[3][1] > pts[2][1]:
+        i2, i3 = 2, 3
+    else:
+        i2, i3 = 3, 2
+    box = np.array([pts[i1], pts[i2], pts[i3], pts[i4]], dtype=np.float64)
+    return box, float(min(wh))
+
+
+def polygon_area(poly: np.ndarray) -> float:
+    """Shoelace area (absolute)."""
+    p = np.asarray(poly, dtype=np.float64)
+    x, y = p[:, 0], p[:, 1]
+    return abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))) / 2.0
+
+
+def polygon_perimeter(poly: np.ndarray) -> float:
+    p = np.asarray(poly, dtype=np.float64)
+    return float(np.linalg.norm(np.roll(p, -1, axis=0) - p, axis=1).sum())
+
+
+def unclip_rect(box: np.ndarray, unclip_ratio: float = 1.5) -> np.ndarray:
+    """DBNet 'unclip': offset the rect outward by d = area·ratio / perimeter.
+
+    The reference offsets with a round join and immediately takes the
+    min-area-rect of the result (utils/db_utils.py:151-174); for a rectangle
+    that is exactly the rectangle grown by d on every side, so we grow
+    analytically: each corner moves by d along both of its adjacent outward
+    edge normals.
+    """
+    box = np.asarray(box, dtype=np.float64)
+    area = polygon_area(box)
+    perim = polygon_perimeter(box)
+    if perim <= 0:
+        return box.copy()
+    d = area * unclip_ratio / perim
+    center = box.mean(axis=0)
+    out = np.empty_like(box)
+    for i in range(4):
+        prev_e = box[i] - box[(i - 1) % 4]
+        next_e = box[(i + 1) % 4] - box[i]
+        def _unit(v):
+            n = np.linalg.norm(v)
+            return v / n if n > 0 else v
+        # Outward normal of each adjacent edge = edge direction rotated away
+        # from the polygon interior.
+        n1 = _unit(np.array([prev_e[1], -prev_e[0]]))
+        n2 = _unit(np.array([next_e[1], -next_e[0]]))
+        shift = (n1 + n2) * d
+        cand1 = box[i] + shift
+        cand2 = box[i] - shift
+        # Pick the candidate farther from the center (outward).
+        out[i] = cand1 if np.linalg.norm(cand1 - center) >= np.linalg.norm(cand2 - center) else cand2
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Convex quad intersection (replaces shapely Polygon.intersects,
+# utils/textblock.py:355-356, 400-402)
+# ---------------------------------------------------------------------------
+
+
+def quads_intersect(q1, q2) -> bool:
+    """Separating-axis test for two convex quads; touching counts as
+    intersecting (the shapely ``intersects`` contract)."""
+    q1 = np.asarray(q1, dtype=np.float64).reshape(4, 2)
+    q2 = np.asarray(q2, dtype=np.float64).reshape(4, 2)
+    for quad in (q1, q2):
+        edges = np.roll(quad, -1, axis=0) - quad
+        for e in edges:
+            axis = np.array([-e[1], e[0]])
+            n = np.linalg.norm(axis)
+            if n == 0:
+                continue
+            p1 = q1 @ axis
+            p2 = q2 @ axis
+            if p1.max() < p2.min() or p2.max() < p1.min():
+                return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Convex polygon rasterization (replaces cv2.fillPoly on the score path,
+# utils/db_utils.py:197-211, and the surrogate's map synthesis)
+# ---------------------------------------------------------------------------
+
+
+def fill_convex_poly(canvas: np.ndarray, poly: np.ndarray, value) -> None:
+    """Fill a convex polygon into ``canvas`` in place (half-plane tests over
+    the polygon's clipped bbox only — no full-image work)."""
+    h, w = canvas.shape[:2]
+    p = np.asarray(poly, dtype=np.float64).reshape(-1, 2)
+    x0 = max(int(math.floor(p[:, 0].min())), 0)
+    x1 = min(int(math.ceil(p[:, 0].max())) + 1, w)
+    y0 = max(int(math.floor(p[:, 1].min())), 0)
+    y1 = min(int(math.ceil(p[:, 1].max())) + 1, h)
+    if x1 <= x0 or y1 <= y0:
+        return
+    inside = convex_poly_mask(p, y0, y1, x0, x1)
+    region = canvas[y0:y1, x0:x1]
+    region[inside] = value
+
+
+def convex_poly_mask(poly: np.ndarray, y0: int, y1: int, x0: int, x1: int) -> np.ndarray:
+    """Boolean inside-mask of a convex polygon over the pixel grid
+    [y0:y1, x0:x1] (pixel centers at integer coordinates, matching
+    cv2.fillPoly's integer-grid behavior closely enough for solid regions)."""
+    p = np.asarray(poly, dtype=np.float64).reshape(-1, 2)
+    # Ensure consistent winding via signed area.
+    x, y = p[:, 0], p[:, 1]
+    signed = float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0
+    if signed < 0:
+        p = p[::-1]
+    ys = np.arange(y0, y1, dtype=np.float64)[:, None]
+    xs = np.arange(x0, x1, dtype=np.float64)[None, :]
+    inside = np.ones((y1 - y0, x1 - x0), dtype=bool)
+    k = len(p)
+    for i in range(k):
+        a, b = p[i], p[(i + 1) % k]
+        # CCW winding: interior is on the left → cross((b-a),(pt-a)) >= 0.
+        cross = (b[0] - a[0]) * (ys - a[1]) - (b[1] - a[1]) * (xs - a[0])
+        inside &= cross >= 0
+        if not inside.any():
+            break
+    return inside
+
+
+def poly_mean_score(score_map: np.ndarray, poly: np.ndarray) -> float:
+    """Mean of ``score_map`` inside the polygon's filled region, clipped to the
+    map (the box_score_fast contract, utils/db_utils.py:197-211)."""
+    h, w = score_map.shape
+    p = np.asarray(poly, dtype=np.float64).reshape(-1, 2)
+    x0 = int(np.clip(np.floor(p[:, 0].min()), 0, w - 1))
+    x1 = int(np.clip(np.ceil(p[:, 0].max()), 0, w - 1)) + 1
+    y0 = int(np.clip(np.floor(p[:, 1].min()), 0, h - 1))
+    y1 = int(np.clip(np.ceil(p[:, 1].max()), 0, h - 1)) + 1
+    inside = convex_poly_mask(p, y0, y1, x0, x1)
+    if not inside.any():
+        return 0.0
+    return float(score_map[y0:y1, x0:x1][inside].mean())
+
+
+def shrink_poly(poly: np.ndarray, shrink_ratio: float = 0.4) -> np.ndarray:
+    """DBNet GT shrink: move every edge inward by
+    d = area·(1−r²)/perimeter (utils/db_utils.py:560-566 semantics).  Convex
+    polygons only (our quads); implemented as the inward analogue of
+    :func:`unclip_rect`."""
+    p = np.asarray(poly, dtype=np.float64).reshape(-1, 2)
+    area = polygon_area(p)
+    perim = polygon_perimeter(p)
+    if perim <= 0:
+        return p.copy()
+    d = area * (1 - shrink_ratio ** 2) / perim
+    center = p.mean(axis=0)
+    out = np.empty_like(p)
+    k = len(p)
+    for i in range(k):
+        prev_e = p[i] - p[(i - 1) % k]
+        next_e = p[(i + 1) % k] - p[i]
+        def _unit(v):
+            n = np.linalg.norm(v)
+            return v / n if n > 0 else v
+        n1 = _unit(np.array([prev_e[1], -prev_e[0]]))
+        n2 = _unit(np.array([next_e[1], -next_e[0]]))
+        shift = (n1 + n2) * d
+        cand1 = p[i] + shift
+        cand2 = p[i] - shift
+        out[i] = cand1 if np.linalg.norm(cand1 - center) <= np.linalg.norm(cand2 - center) else cand2
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Connected components (replaces cv2.findContours/connectedComponents on the
+# extraction path, utils/db_utils.py:138 and utils/textmask.py:84,97,141)
+# ---------------------------------------------------------------------------
+
+
+class _UnionFind:
+    __slots__ = ("parent",)
+
+    def __init__(self):
+        self.parent: list[int] = []
+
+    def make(self) -> int:
+        self.parent.append(len(self.parent))
+        return len(self.parent) - 1
+
+    def find(self, x: int) -> int:
+        p = self.parent
+        root = x
+        while p[root] != root:
+            root = p[root]
+        while p[x] != root:
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            if ra < rb:
+                self.parent[rb] = ra
+            else:
+                self.parent[ra] = rb
+
+
+def _image_runs(mask: np.ndarray):
+    """All horizontal foreground runs of a boolean image, extracted in one
+    vectorized pass.  Returns ``(rows, starts, ends)`` int64 arrays, runs in
+    row-major scan order; starts/ends are [start, end) column indices."""
+    h, w = mask.shape
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1:-1] = mask
+    diff = np.diff(padded.reshape(-1))
+    starts_flat = np.flatnonzero(diff == 1)
+    ends_flat = np.flatnonzero(diff == -1)
+    rows = starts_flat // (w + 2)
+    starts = starts_flat - rows * (w + 2)
+    ends = ends_flat - rows * (w + 2)
+    return rows, starts, ends
+
+
+def connected_component_runs(mask: np.ndarray, connectivity: int = 8):
+    """Run-based union-find connected-component labeling.
+
+    Returns a list of components in first-encounter scan order; each is a
+    ``(rows, starts, ends)`` triple of int64 arrays (horizontal runs).  Only
+    rows containing foreground cost anything; per-row work is a short
+    two-pointer merge over that row's runs.
+
+    This is the engine's stand-in for cv2.findContours → per-contour
+    processing: for solid regions the min-area-rect / mean score over a
+    component's pixels equal those over its filled outer contour
+    (utils/db_utils.py:123-166 parity; deviation documented in
+    ctdray.represent).
+    """
+    m = np.ascontiguousarray(mask.astype(bool, copy=False))
+    rows, starts, ends = _image_runs(m)
+    n_runs = len(rows)
+    if n_runs == 0:
+        return []
+    labels = np.empty(n_runs, dtype=np.int64)
+    uf = _UnionFind()
+    tol = 1 if connectivity == 8 else 0
+    # Row boundaries in the run arrays.
+    row_breaks = np.flatnonzero(np.diff(rows)) + 1
+    bounds = np.concatenate([[0], row_breaks, [n_runs]])
+    prev_lo = prev_hi = 0
+    prev_row = -2
+    for bi in range(len(bounds) - 1):
+        lo, hi = bounds[bi], bounds[bi + 1]
+        row = rows[lo]
+        if row != prev_row + 1:
+            prev_lo = prev_hi = lo  # no adjacent previous row → empty window
+        j = prev_lo
+        for i in range(lo, hi):
+            s, e = starts[i], ends[i]
+            lab = -1
+            while j < prev_hi and ends[j] + tol <= s:
+                j += 1
+            jj = j
+            while jj < prev_hi and starts[jj] < e + tol:
+                plab = labels[jj]
+                if lab == -1:
+                    lab = plab
+                else:
+                    uf.union(lab, plab)
+                jj += 1
+            if lab == -1:
+                lab = uf.make()
+            labels[i] = lab
+        prev_lo, prev_hi, prev_row = lo, hi, row
+    # Resolve roots → component ids in first-encounter order.
+    comp_of_root: dict[int, int] = {}
+    comp_runs: list[list[int]] = []
+    run_comp = np.empty(n_runs, dtype=np.int64)
+    for i in range(n_runs):
+        root = uf.find(int(labels[i]))
+        cid = comp_of_root.get(root)
+        if cid is None:
+            cid = len(comp_runs)
+            comp_of_root[root] = cid
+            comp_runs.append([])
+        comp_runs[cid].append(i)
+        run_comp[i] = cid
+    out = []
+    for idxs in comp_runs:
+        ii = np.array(idxs, dtype=np.int64)
+        out.append((rows[ii], starts[ii], ends[ii]))
+    return out
+
+
+def connected_components(mask: np.ndarray, connectivity: int = 8):
+    """Label-image view over :func:`connected_component_runs`:
+    ``(labels int32 (h,w), n)`` with 0 = background, ids 1..n in
+    first-encounter scan order (the cv2.connectedComponents contract used by
+    the mask-refine stage, utils/textmask.py:84,97,141)."""
+    comps = connected_component_runs(mask, connectivity)
+    labels = np.zeros(mask.shape, dtype=np.int32)
+    for cid, (rows, starts, ends) in enumerate(comps, start=1):
+        for r, s, e in zip(rows, starts, ends):
+            labels[r, s:e] = cid
+    return labels, len(comps)
+
+
+def run_boundary_points(rows: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Per-run extreme pixels (x,y) — the only points that can lie on the
+    convex hull of a run-encoded region.  ≤ 2 points per run instead of the
+    full pixel set (hull/min-rect over these equals hull over all pixels)."""
+    left = np.stack([starts, rows], axis=1)
+    right = np.stack([ends - 1, rows], axis=1)
+    return np.concatenate([left, right], axis=0)
+
+
+def runs_pixel_count(starts: np.ndarray, ends: np.ndarray) -> int:
+    return int((ends - starts).sum())
+
+
+def row_cumsum(img: np.ndarray) -> np.ndarray:
+    """Per-row prefix sums of an image (compute once per page, share across
+    components)."""
+    return np.cumsum(img, axis=1, dtype=np.float64)
+
+
+def runs_values_sum(csum: np.ndarray, rows: np.ndarray, starts: np.ndarray,
+                    ends: np.ndarray) -> float:
+    """Sum of the original image over a run-encoded region, given its
+    :func:`row_cumsum` — no per-pixel Python."""
+    left = np.where(starts > 0, csum[rows, np.maximum(starts - 1, 0)], 0.0)
+    return float((csum[rows, ends - 1] - left).sum())
+
+
+# ---------------------------------------------------------------------------
+# Otsu threshold (replaces cv2.threshold(..., THRESH_OTSU),
+# utils/textmask.py:31-38)
+# ---------------------------------------------------------------------------
+
+
+def otsu_threshold(gray: np.ndarray) -> int:
+    """Between-class-variance-maximizing threshold of a uint8 image."""
+    hist = np.bincount(gray.reshape(-1), minlength=256).astype(np.float64)
+    total = hist.sum()
+    if total == 0:
+        return 0
+    levels = np.arange(256, dtype=np.float64)
+    w0 = np.cumsum(hist)
+    w1 = total - w0
+    sum0 = np.cumsum(hist * levels)
+    total_sum = sum0[-1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mu0 = sum0 / w0
+        mu1 = (total_sum - sum0) / w1
+        var = w0 * w1 * (mu0 - mu1) ** 2
+    var[~np.isfinite(var)] = -1
+    return int(np.argmax(var))
+
+
+def expand_textwindow(img_size, xyxy, expand_r: int = 8, shrink: bool = False):
+    """Pad a block bbox by (max(h,w)·0.25 + min(h,w)·0.75)/expand_r, clipped
+    to the image (utils/imgproc_utils.py:151-161)."""
+    im_h, im_w = img_size[:2]
+    x1, y1, x2, y2 = xyxy
+    w, h = x2 - x1, y2 - y1
+    pad = int(round((max(h, w) * 0.25 + min(h, w) * 0.75) / expand_r))
+    if shrink:
+        pad = -pad
+    return [max(0, x1 - pad), max(0, y1 - pad), min(im_w - 1, x2 + pad), min(im_h - 1, y2 + pad)]

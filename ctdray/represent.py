@@ -1,0 +1,96 @@
+"""DBNet-style shrink-map → scored line quads.
+
+Fresh numpy expression of the reference's SegDetectorRepresenter
+(utils/db_utils.py:32-211) used on the inference path
+(``boxes_from_bitmap``): binarize channel 0 at ``thresh`` → connected
+regions → per region: min-area-rect (sside<2 skip) → region mean score →
+unclip by area·ratio/perimeter → min-area-rect again → round/clip to the
+destination size.
+
+Deviation (documented): the reference walks cv2.findContours outlines; we
+label connected components and use component pixel coordinates.  For solid
+regions (all the maps this engine sees — DB shrink maps are filled regions)
+the min-area-rect and mean score over the filled outer contour equal those
+over the component pixels, so the quads are identical; only the emission
+order can differ (cv2 lists contours bottom-up; we scan top-down).  Order is
+normalized downstream by the reading-order sort; the oracle shares this
+kernel, keeping the span contract exact.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .config import DetectorConfig
+from .geom import (
+    connected_component_runs,
+    min_area_rect,
+    order_rect_corners,
+    row_cumsum,
+    run_boundary_points,
+    runs_pixel_count,
+    runs_values_sum,
+    unclip_rect,
+)
+
+
+def boxes_from_bitmap(pred: np.ndarray, thresh: float = 0.3,
+                      box_thresh_unused: float = 0.6, max_candidates: int = 1000,
+                      unclip_ratio: float = 1.5,
+                      dest_width: int | None = None, dest_height: int | None = None):
+    """Extract scored quads from one shrink map (H, W) float.
+
+    Returns ``(boxes (k,4,2) int32, scores (k,) float32)`` with k = number of
+    candidate regions (capped); regions failing the sside filter keep their
+    zero row + zero score exactly like the reference's preallocated output
+    (utils/db_utils.py:138-141), to be filtered by the caller's
+    ``score > box_thresh`` gate (inference.py:159-161).
+
+    Components are run-length encoded; min-rect uses only per-run boundary
+    pixels and the mean score uses per-row prefix sums — per-region work is
+    O(region rows), not O(region pixels).
+    """
+    height, width = pred.shape
+    dest_width = width if dest_width is None else dest_width
+    dest_height = height if dest_height is None else dest_height
+    bitmap = pred > thresh
+    comps = connected_component_runs(bitmap, connectivity=8)[:max_candidates]
+    k = len(comps)
+    boxes = np.zeros((k, 4, 2), dtype=np.int32)
+    scores = np.zeros((k,), dtype=np.float32)
+    for i, (rows, starts, ends) in enumerate(comps):
+        pts = run_boundary_points(rows, starts, ends)
+        corners, wh = min_area_rect(pts)
+        _, sside = order_rect_corners(corners, wh)
+        if sside < 2:                        # utils/db_utils.py:148
+            continue
+        npix = runs_pixel_count(starts, ends)
+        # Row-local prefix sums over just this component's rows.
+        csum = row_cumsum(pred[rows])
+        local = np.arange(len(rows))
+        score = runs_values_sum(csum, local, starts, ends) / npix
+        expanded = unclip_rect(order_rect_corners(corners, wh)[0], unclip_ratio)
+        corners2, wh2 = min_area_rect(expanded)
+        box, _ = order_rect_corners(corners2, wh2)
+        box[:, 0] = np.clip(np.round(box[:, 0] / width * dest_width), 0, dest_width)
+        box[:, 1] = np.clip(np.round(box[:, 1] / height * dest_height), 0, dest_height)
+        boxes[i] = box.astype(np.int32)
+        scores[i] = score
+    return boxes, scores
+
+
+def extract_lines(lines_map: np.ndarray, cfg: DetectorConfig):
+    """Channel-0 consumption of the DB head output (utils/db_utils.py:54) plus
+    the caller-side score gate (inference.py:158-161).
+
+    ``lines_map``: (2, H, W) or (1, 2, H, W) float.  Returns
+    ``(lines (m,4,2) int32, scores (m,))`` already filtered by
+    ``cfg.box_thresh``.
+    """
+    pred = np.asarray(lines_map)
+    while pred.ndim > 2:
+        pred = pred[0]
+    boxes, scores = boxes_from_bitmap(
+        pred, thresh=cfg.seg_thresh, max_candidates=cfg.max_candidates,
+        unclip_ratio=cfg.unclip_ratio)
+    keep = scores > cfg.box_thresh
+    return boxes[keep], scores[keep]

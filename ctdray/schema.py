@@ -1,0 +1,133 @@
+"""Fixed Arrow schemas for the engine's tables.
+
+The reference has no schema system (duck-typed dicts + loose ndarrays,
+SURVEY.md §1); here every table is declared once and carried end-to-end by
+Ray Data.  The input shape is dictated by BASELINE.json ``input_hint``:
+
+  doc_id: string
+  spans:  list<struct<kind: string, text: string, media_ref: string, offset: int32>>
+
+``kind`` ∈ {'text','media'} on input; output adds 'text_line' spans spliced
+after their source media span (FIXTURES.md §4).
+"""
+from __future__ import annotations
+
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# Input / output document tables (Lance-shaped; Parquet stand-in in-sandbox)
+# ---------------------------------------------------------------------------
+
+SPAN_STRUCT = pa.struct(
+    [
+        pa.field("kind", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("offset", pa.int32()),
+    ]
+)
+
+DOC_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("spans", pa.list_(SPAN_STRUCT)),
+    ]
+)
+
+# Output spans additionally carry the reading order assigned by the per-page
+# sort (reference: utils/textblock.py:267-300); original spans have order=-1.
+OUT_SPAN_STRUCT = pa.struct(
+    [
+        pa.field("kind", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("offset", pa.int32()),
+        pa.field("order", pa.int32()),
+    ]
+)
+
+OUT_DOC_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("spans", pa.list_(OUT_SPAN_STRUCT)),
+    ]
+)
+
+# Flat (exploded) span rows — the shuffle-friendly representation: one row per
+# span; ``seq`` is the final position in the document's span sequence.
+FLAT_SPAN_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("seq", pa.int32()),
+        pa.field("kind", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("offset", pa.int32()),
+        pa.field("order", pa.int32()),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Page rows (after exploding media spans; one row per page image)
+# ---------------------------------------------------------------------------
+
+PAGE_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("media_offset", pa.int32()),
+        pa.field("media_ref", pa.string()),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Block struct — the TextBlock record type (reference: utils/textblock.py:12-86)
+# restricted to the fields inference actually fills (SURVEY.md §1.3).
+# ---------------------------------------------------------------------------
+
+BLOCK_STRUCT = pa.struct(
+    [
+        pa.field("xyxy", pa.list_(pa.int32(), 4)),
+        pa.field("lines", pa.list_(pa.list_(pa.int32(), 8))),
+        pa.field("language", pa.string()),
+        pa.field("vertical", pa.bool_()),
+        pa.field("font_size", pa.float32()),
+        pa.field("angle", pa.int32()),
+        pa.field("distance", pa.list_(pa.float64())),
+        pa.field("alignment", pa.int32()),
+        pa.field("fg_rgb", pa.list_(pa.int32(), 3)),
+        pa.field("bg_rgb", pa.list_(pa.int32(), 3)),
+        pa.field("line_spacing", pa.float32()),
+        pa.field("order", pa.int32()),
+    ]
+)
+
+BLOCK_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("media_offset", pa.int32()),
+        pa.field("media_ref", pa.string()),
+        pa.field("block", BLOCK_STRUCT),
+    ]
+)
+
+# Detected text_line span rows (pre-splice).
+DETECTED_SPAN_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("offset", pa.int32()),      # parent media span's offset
+        pa.field("kind", pa.string()),       # always 'text_line'
+        pa.field("text", pa.string()),       # canonical serialization, FIXTURES.md §4
+        pa.field("media_ref", pa.string()),
+        pa.field("order", pa.int32()),       # reading order within the page
+    ]
+)
+
+LANG_LIST = ("eng", "ja", "unknown")  # class-id → language (inference.py:117-118)
+
+
+def serialize_line_span(quad8, language: str, vertical: bool, angle: int, font_size: float) -> str:
+    """Canonical text payload of a detected line span (FIXTURES.md §4):
+    ``x1,y1,...,x4,y4|lang|v|angle|fs`` — the 8 ints mirror the reference's
+    ``line-*.txt`` rows (inference.py:61-65, np.savetxt fmt='%d')."""
+    coords = ",".join(str(int(v)) for v in quad8)
+    return f"{coords}|{language}|{int(bool(vertical))}|{int(angle)}|{int(round(font_size))}"

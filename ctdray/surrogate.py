@@ -1,0 +1,158 @@
+"""Detector backends.
+
+The reference switches between a fused torch model and an OpenCV-DNN ONNX
+model by file suffix (inference.py:124-130); this engine makes the backend an
+injected object with one method::
+
+    infer(media_ref, im_h, im_w) -> (blks, mask, lines_map)
+
+with exactly the reference's inference output contract (basemodel.py:240-244):
+
+  blks      float32 (1, N, 5+nc)  raw YOLO rows, letterboxed coords
+  mask      float32 (1, 1, S, S)  UNet sigmoid text mask
+  lines_map float32 (1, 2, S, S)  DB shrink + threshold maps (ch 0 consumed)
+
+Backends: :class:`SurrogateDetector` (deterministic, sandbox — derives the
+tensors analytically from the fixture ground truth, FIXTURES.md §3) and
+:class:`TorchDetector` / :class:`OnnxDetector` stubs that load real weights
+when torch / cv2 are importable (never in this sandbox).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .config import DetectorConfig
+from .fixtures import page_ground_truth
+from .geom import fill_convex_poly, letterbox_params, shrink_poly
+
+NUM_CLASSES = 3  # eng / ja / unknown (inference.py:117-118)
+
+
+class SurrogateDetector:
+    """Deterministic stand-in for TextDetBase.forward (basemodel.py:222-244).
+
+    Output maps are synthesized in letterboxed coordinates from the page's
+    seeded ground truth: YOLO rows for (detected) blocks plus duplicate and
+    sub-threshold noise rows to exercise NMS; the DB shrink map holds each
+    line quad shrunk by the DBNet ratio 0.4 (utils/db_utils.py:533,560-566)
+    so binarize→minrect→unclip recovers the line; the mask holds the unshrunk
+    quads.  Stateless w.r.t. pixels — everything derives from media_ref +
+    page shape, which is exactly what makes the oracle reproducible on any
+    worker.
+    """
+
+    def __init__(self, cfg: DetectorConfig | None = None):
+        self.cfg = cfg or DetectorConfig()
+
+    def infer(self, media_ref: str, im_h: int, im_w: int):
+        cfg = self.cfg
+        size = cfg.input_size
+        gt = page_ground_truth(media_ref)
+        r, new_w, new_h, dw, dh = letterbox_params(im_h, im_w, size)
+        # Exact inverse of the reference's unmapping resize_ratio
+        # (inference.py:147): model coords = original · (new/orig) per axis.
+        sx, sy = new_w / im_w, new_h / im_h
+        rng = np.random.default_rng((hash_seed := _stable_seed(media_ref)))
+
+        rows = []
+        for blk in gt.blocks:
+            if not blk.detected:
+                continue
+            x1, y1, x2, y2 = blk.bbox
+            x1, x2 = x1 * sx, x2 * sx
+            y1, y2 = y1 * sy, y2 * sy
+            rows.append(_yolo_row((x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1,
+                                  blk.conf, blk.cls_id))
+            if rng.random() < 0.4:   # overlapping duplicate → suppressed by NMS
+                jx, jy = rng.uniform(-4, 4, 2)
+                rows.append(_yolo_row((x1 + x2) / 2 + jx, (y1 + y2) / 2 + jy,
+                                      (x2 - x1) * rng.uniform(0.95, 1.05),
+                                      (y2 - y1) * rng.uniform(0.95, 1.05),
+                                      blk.conf * 0.8, blk.cls_id))
+        for (bx1, by1, bx2, by2), conf in gt.empty_boxes:
+            rows.append(_yolo_row((bx1 + bx2) / 2 * sx, (by1 + by2) / 2 * sy,
+                                  (bx2 - bx1) * sx, (by2 - by1) * sy, conf, 2))
+        for (bx1, by1, bx2, by2), conf, cls_id in gt.noise_boxes:
+            rows.append(_yolo_row((bx1 + bx2) / 2 * sx, (by1 + by2) / 2 * sy,
+                                  (bx2 - bx1) * sx, (by2 - by1) * sy, conf, cls_id))
+        blks = (np.stack(rows) if rows else np.zeros((0, 5 + NUM_CLASSES)))
+        blks = blks[None].astype(np.float32)
+
+        # Background stays 0.0 (calloc'd) — below every threshold, and ~60×
+        # cheaper than np.full on 12 MB of maps.
+        mask = np.zeros((size, size), dtype=np.float32)
+        lines_map = np.zeros((2, size, size), dtype=np.float32)
+        scale = np.array([sx, sy])
+        for blk in gt.blocks:
+            for quad in blk.lines:
+                q = quad * scale
+                fill_convex_poly(mask, q, 0.9)
+                if blk.in_lines_map:
+                    fill_convex_poly(lines_map[0], shrink_poly(q, 0.4), 0.95)
+        for quad, value in gt.noise_regions:
+            fill_convex_poly(lines_map[0], np.asarray(quad) * scale, value)
+        return blks, mask[None, None], lines_map[None]
+
+
+def _stable_seed(media_ref: str) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.sha256(b"det:" + media_ref.encode()).digest()[:8], "little")
+
+
+def _yolo_row(cx, cy, w, h, conf, cls_id):
+    row = np.zeros(5 + NUM_CLASSES, dtype=np.float64)
+    row[:4] = cx, cy, w, h
+    row[4] = conf
+    row[5:] = 0.01
+    row[5 + int(cls_id)] = 0.98
+    return row
+
+
+class TorchDetector:  # pragma: no cover - needs torch + weights (not in sandbox)
+    """Production backend: fused YOLOv5s + UNet + DBHead checkpoint
+    (basemodel.py:211-244, models/yolov5/yolo.py:286-311).  Weights are an
+    external artifact (reference README.md:5); loading happens once per actor
+    in ``__init__`` per the actor-pool contract."""
+
+    def __init__(self, model_path: str, cfg: DetectorConfig | None = None,
+                 device: str = "cuda", half: bool = False):
+        try:
+            import torch  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "TorchDetector requires torch + model weights; use "
+                "SurrogateDetector in environments without them") from e
+        raise NotImplementedError("weight loading is an offline artifact step")
+
+    def infer(self, media_ref, im_h, im_w):
+        raise NotImplementedError
+
+
+class OnnxDetector:  # pragma: no cover - needs cv2 + onnx artifact
+    """CPU ONNX backend via cv2.dnn (basemodel.py:246-256, with the reversed
+    -output channel-swap quirk handled as in inference.py:151-155)."""
+
+    def __init__(self, model_path: str, cfg: DetectorConfig | None = None):
+        try:
+            import cv2  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "OnnxDetector requires cv2; use SurrogateDetector") from e
+        raise NotImplementedError("onnx artifact loading not available in-sandbox")
+
+    def infer(self, media_ref, im_h, im_w):
+        raise NotImplementedError
+
+
+def make_detector(backend: str = "surrogate", cfg: DetectorConfig | None = None,
+                  model_path: str | None = None):
+    """Backend factory (the reference's suffix switch, inference.py:124-130,
+    made explicit)."""
+    if backend == "surrogate":
+        return SurrogateDetector(cfg)
+    if backend == "torch":
+        return TorchDetector(model_path, cfg)
+    if backend == "onnx":
+        return OnnxDetector(model_path, cfg)
+    raise ValueError(f"unknown detector backend {backend!r}")
