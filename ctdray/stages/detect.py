@@ -1,0 +1,69 @@
+"""Detect + extract stage — the actor-pool heart of the pipeline.
+
+The reference loads weights once and loops images sequentially
+(inference.py:24-28); here the detector is a callable CLASS for
+``map_batches(..., concurrency=N)``: backend construction (weights / lookup
+tables) happens once per actor in ``__init__``, per-batch work in
+``__call__`` (SURVEY.md §2.4 A1).
+
+Fused mode (default, CPU backends): the per-page model maps
+(~12 MB/page at input 1024) are consumed by NMS/representer/grouping inside
+the same call and never enter the object store — only compact span/block rows
+cross the stage boundary.  Split mode (prod GPU layout) would emit the raw
+tensors for a separate CPU postprocess pool; on a GPU cluster pass
+``num_gpus=0.25``-style resources via the pipeline builder instead.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import PipelineConfig
+from ..detect_core import detect_page, page_line_spans
+from ..schema import BLOCK_SCHEMA, DETECTED_SPAN_SCHEMA
+from ..surrogate import make_detector
+
+
+class DetectExtract:
+    """Actor: decoded page rows → detected span rows or block rows.
+
+    ``output``: 'spans' (schema.DETECTED_SPAN_SCHEMA) or 'blocks'
+    (schema.BLOCK_SCHEMA).  Every output row is self-contained (reading order
+    baked in) so downstream stages stay stateless no matter how Ray re-chunks
+    blocks.
+    """
+
+    def __init__(self, cfg: PipelineConfig | None = None, output: str = "spans",
+                 backend: str = "surrogate", model_path: str | None = None):
+        self.cfg = cfg or PipelineConfig()
+        self.det_cfg = self.cfg.detector
+        self.output = output
+        # Weights / state loaded ONCE per actor.
+        self.detector = make_detector(backend, self.det_cfg, model_path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        offsets = batch.column("media_offset").to_pylist()
+        refs = batch.column("media_ref").to_pylist()
+        hs = batch.column("im_h").to_pylist()
+        ws = batch.column("im_w").to_pylist()
+        oks = batch.column("decode_ok").to_pylist()
+        rows: list[dict] = []
+        for doc_id, off, ref, h, w, ok in zip(doc_ids, offsets, refs, hs, ws, oks):
+            if not ok:
+                continue
+            blocks, _mask = detect_page(self.detector, ref, int(h), int(w),
+                                        self.det_cfg)
+            if self.output == "blocks":
+                for bi, blk in enumerate(blocks):
+                    rows.append({"doc_id": doc_id, "media_offset": int(off),
+                                 "media_ref": ref, "block": blk.to_struct(order=bi)})
+            else:
+                for order, text in page_line_spans(blocks):
+                    rows.append({"doc_id": doc_id, "offset": int(off),
+                                 "kind": "text_line", "text": text,
+                                 "media_ref": ref, "order": order})
+        schema = BLOCK_SCHEMA if self.output == "blocks" else DETECTED_SPAN_SCHEMA
+        if not rows:
+            return schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=schema)

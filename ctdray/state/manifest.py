@@ -1,0 +1,142 @@
+"""Checkpoint manifest + idempotent resume.
+
+The reference checkpoints only training (epoch-level optimizer state,
+train_db.py:97-106) and its inference loop dies on first error
+(inference.py:28).  At 10^12-document scale an extraction run must be
+re-submittable: the input is chunked into fixed groups of Parquet/Lance
+fragments; each chunk's output is written to its own directory (temp-dir +
+atomic rename) and recorded in ``manifest/chunk-*.json`` with lineage
+(file list, code+config hash) and detection-count metrics (north_rule).
+A re-run (``ray job submit`` of the same driver script) skips every chunk
+whose manifest record exists with a matching lineage hash — no duplicated
+work, no partial outputs visible.
+"""
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import shutil
+import time
+from typing import Optional
+
+from .. import __version__
+from ..config import PipelineConfig
+
+
+def _lineage_hash(files: list[str], cfg: PipelineConfig, backend: str) -> str:
+    payload = json.dumps({
+        "engine": __version__,
+        "files": [os.path.basename(f) for f in files],
+        "cfg": repr(cfg),
+        "backend": backend,
+    }, sort_keys=True)
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _chunks(files: list[str], chunk_size: int) -> list[list[str]]:
+    return [files[i:i + chunk_size] for i in range(0, len(files), chunk_size)]
+
+
+def run_checkpointed(input_dir: str, output_dir: str,
+                     cfg: Optional[PipelineConfig] = None,
+                     backend: str = "surrogate",
+                     chunk_size: int = 4,
+                     max_chunks: Optional[int] = None) -> dict:
+    """Run the extraction pipeline over ``input_dir`` chunk-by-chunk with
+    resume.  Returns a summary dict (chunks done/skipped, span counts).
+
+    ``max_chunks`` limits how many *pending* chunks run this submit (used by
+    the kill/resume test and by budgeted incremental runs).
+    """
+    import pyarrow.parquet as pq
+
+    from ..pipelines.extract import extraction_pipeline
+
+    cfg = cfg or PipelineConfig()
+    files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet fragments under {input_dir}")
+    manifest_dir = os.path.join(output_dir, "manifest")
+    data_dir = os.path.join(output_dir, "data")
+    os.makedirs(manifest_dir, exist_ok=True)
+    os.makedirs(data_dir, exist_ok=True)
+
+    done = skipped = 0
+    total_docs = total_spans = total_detected = 0
+    for ci, chunk in enumerate(_chunks(files, chunk_size)):
+        lineage = _lineage_hash(chunk, cfg, backend)
+        man_path = os.path.join(manifest_dir, f"chunk-{ci:05d}.json")
+        if os.path.exists(man_path):
+            with open(man_path) as f:
+                rec = json.load(f)
+            if rec.get("lineage") == lineage:
+                skipped += 1
+                continue   # finished by a previous submit — idempotent skip
+        if max_chunks is not None and done >= max_chunks:
+            continue
+        t0 = time.time()
+        out_chunk = os.path.join(data_dir, f"chunk-{ci:05d}")
+        tmp_chunk = os.path.join(data_dir, f"_tmp-chunk-{ci:05d}")
+        shutil.rmtree(tmp_chunk, ignore_errors=True)
+        ds = extraction_pipeline(chunk, cfg, backend)
+        ds.write_parquet(tmp_chunk)
+        # Atomic publish: a killed run leaves only _tmp dirs + no manifest.
+        shutil.rmtree(out_chunk, ignore_errors=True)
+        os.rename(tmp_chunk, out_chunk)
+        # Partition metrics from the written files (metadata-only where
+        # possible; span kinds need one column scan of the chunk output).
+        n_docs = n_spans = n_detected = 0
+        for part in glob.glob(os.path.join(out_chunk, "*.parquet")):
+            pf = pq.ParquetFile(part)
+            n_docs += pf.metadata.num_rows
+            tbl = pq.read_table(part, columns=["spans"])
+            import pyarrow.compute as pc
+
+            flat = pc.list_flatten(tbl.column("spans").combine_chunks())
+            n_spans += len(flat)
+            n_detected += pc.sum(
+                pc.cast(pc.equal(flat.field("kind"), "text_line"), "int64")
+            ).as_py() or 0
+        rec = {
+            "chunk": ci,
+            "files": [os.path.basename(f) for f in chunk],
+            "lineage": lineage,
+            "n_docs": n_docs,
+            "n_spans": n_spans,
+            "n_detected_spans": n_detected,
+            "wall_s": round(time.time() - t0, 3),
+        }
+        tmp_man = man_path + ".tmp"
+        with open(tmp_man, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp_man, man_path)
+        done += 1
+        total_docs += n_docs
+        total_spans += n_spans
+        total_detected += n_detected
+    return {"chunks_done": done, "chunks_skipped": skipped,
+            "n_docs": total_docs, "n_spans": total_spans,
+            "n_detected_spans": total_detected}
+
+
+def read_manifest(output_dir: str) -> list[dict]:
+    recs = []
+    for p in sorted(glob.glob(os.path.join(output_dir, "manifest", "chunk-*.json"))):
+        with open(p) as f:
+            recs.append(json.load(f))
+    return recs
+
+
+def read_result(output_dir: str):
+    """Dataset over all completed chunk outputs."""
+    import ray.data
+
+    dirs = sorted(glob.glob(os.path.join(output_dir, "data", "chunk-*")))
+    dirs = [d for d in dirs if not os.path.basename(d).startswith("_tmp")]
+    if not dirs:
+        raise FileNotFoundError(f"no completed chunks under {output_dir}")
+    # read_parquet wants files (or one dir); expand the chunk dirs ourselves.
+    files = sorted(f for d in dirs for f in glob.glob(os.path.join(d, "*.parquet")))
+    return ray.data.read_parquet(files)

@@ -1,0 +1,120 @@
+"""End-to-end Ray Data pipeline: span equality vs the oracle, nested output,
+blocks table, and checkpoint/resume idempotency (SURVEY.md §5)."""
+import os
+
+import numpy as np
+import pyarrow.compute as pc
+import pytest
+
+from ctdray.config import PipelineConfig
+from ctdray.fixtures import make_corpus, write_corpus
+from ctdray.oracle import flatten_out_docs, run_oracle
+
+KEY = ["doc_id", "seq", "kind", "text", "media_ref", "offset", "order"]
+
+
+@pytest.fixture(scope="module")
+def corpus_tbl():
+    return make_corpus(16)
+
+
+def _norm(df):
+    return df[KEY].sort_values(KEY).reset_index(drop=True)
+
+
+def test_flat_spans_match_oracle(ray_session, corpus_tbl):
+    import ray.data as rd
+
+    from ctdray.pipelines.extract import build_flat_spans
+
+    got = _norm(build_flat_spans(rd.from_arrow(corpus_tbl)).to_pandas())
+    exp = _norm(flatten_out_docs(run_oracle(corpus_tbl)).to_pandas())
+    assert len(got) == len(exp) > 0
+    assert got.equals(exp)
+
+
+def test_out_docs_nested(ray_session, corpus_tbl):
+    import ray.data as rd
+
+    from ctdray.pipelines.extract import build_out_docs
+
+    out = build_out_docs(rd.from_arrow(corpus_tbl)).to_pandas()
+    assert len(out) == corpus_tbl.num_rows
+    row = out[out.doc_id == "doc-00000000"].iloc[0]
+    kinds = [s["kind"] for s in row["spans"]]
+    assert set(kinds) <= {"text", "media", "text_line"}
+    # every text_line directly follows its media span group
+    for i, s in enumerate(row["spans"]):
+        if s["kind"] == "text_line":
+            prev = row["spans"][i - 1]
+            assert prev["kind"] in ("media", "text_line")
+            assert prev["offset"] == s["offset"]
+
+
+def test_blocks_table(ray_session, corpus_tbl):
+    import ray.data as rd
+
+    from ctdray.pipelines.extract import build_blocks
+
+    blocks = build_blocks(rd.from_arrow(corpus_tbl)).to_pandas()
+    assert len(blocks) > 0
+    assert {"doc_id", "media_offset", "media_ref", "block"} <= set(blocks.columns)
+    one = blocks.iloc[0]["block"]
+    assert set(one) >= {"xyxy", "lines", "language", "vertical", "font_size",
+                        "angle", "order"}
+    # per-page block order is 0..n-1
+    for ref, grp in blocks.groupby("media_ref"):
+        orders = sorted(b["order"] for b in grp["block"])
+        assert orders == list(range(len(orders)))
+
+
+def test_checkpoint_resume_idempotent(ray_session, tmp_path):
+    from ctdray.state.manifest import read_manifest, read_result, run_checkpointed
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    write_corpus(in_dir, 9, rows_per_file=3)       # 3 fragments
+    cfg = PipelineConfig()
+
+    # Submit 1 "killed" after one chunk.
+    s1 = run_checkpointed(in_dir, out_dir, cfg, chunk_size=1, max_chunks=1)
+    assert s1["chunks_done"] == 1 and s1["chunks_skipped"] == 0
+    man0 = os.path.join(out_dir, "manifest", "chunk-00000.json")
+    mtime0 = os.path.getmtime(man0)
+
+    # Submit 2 resumes: skips chunk 0, completes the rest.
+    s2 = run_checkpointed(in_dir, out_dir, cfg, chunk_size=1)
+    assert s2["chunks_skipped"] == 1 and s2["chunks_done"] == 2
+    assert os.path.getmtime(man0) == mtime0        # finished work untouched
+
+    # Submit 3 is a no-op.
+    s3 = run_checkpointed(in_dir, out_dir, cfg, chunk_size=1)
+    assert s3["chunks_done"] == 0 and s3["chunks_skipped"] == 3
+
+    # Final result equals the oracle on the same corpus.
+    recs = read_manifest(out_dir)
+    assert len(recs) == 3
+    assert all(r["n_detected_spans"] >= 0 and "lineage" in r for r in recs)
+    got = read_result(out_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = run_oracle(make_corpus(9)).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert list(got.doc_id) == list(exp.doc_id)
+    for g, e in zip(got.spans, exp.spans):
+        assert [tuple(sorted(s.items())) for s in g] == \
+               [tuple(sorted(s.items())) for s in e]
+
+
+def test_error_rows_never_crash(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ctdray.pipelines.extract import build_flat_spans
+    from ctdray.schema import DOC_SCHEMA
+
+    bad = pa.Table.from_pylist([{
+        "doc_id": "doc-x", "spans": [
+            {"kind": "media", "text": "", "media_ref": "bogus://", "offset": 0},
+            {"kind": "text", "text": "t", "media_ref": "", "offset": 1},
+        ]}], schema=DOC_SCHEMA)
+    out = build_flat_spans(rd.from_arrow(bad)).to_pandas()
+    assert list(out["kind"]) == ["media", "text"]
