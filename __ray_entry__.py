@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The driver calls ``ray.init`` itself; nothing here (or in ctdray) calls
+``ray.init``/``ray.shutdown``.  ``entry()`` runs the flagship extraction
+pipeline at sf0.001; ``queries()``/``oracle_sql()`` expose every implemented
+operator family (SURVEY.md §2 + the training-data additions) with DuckDB
+oracles wherever the semantics are SQL-expressible.  Column names match the
+SQL aliases exactly (the driver hashes values after sorting columns by name).
 """
 
 from __future__ import annotations
@@ -18,27 +13,193 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ctdray.functions.dedup import (embedding_near_dedup, exact_dedup,
+                                    minhash_lsh_dedup, simhash_dedup,
+                                    token_set_dedup)
+from ctdray.functions.similarity import knn_bruteforce, knn_lsh
+from ctdray.functions.text import (fingerprint_batch, langid_batch,
+                                   text_stats_batch, token_count_batch)
+from ctdray.pipelines.analytics import (events_hourly,
+                                        lineitem_pricing_summary,
+                                        orders_by_nation, partial_aggregate,
+                                        top_customers_by_orders)
+from ctdray.pipelines.extract import (build_blocks, build_detected_spans,
+                                      build_flat_spans)
+from ctdray.pipelines.interleave import read_interleaved_docs
+
+_STOPLIST_SQL = "('the','a','of','and','is','to','in')"
+
+
+def _documents(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+def _documents_full(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    import pyarrow.compute as pc
+
+    mask = pc.less(t.column("vec_id"), n)
+    t = t.filter(mask)
+    order = np.argsort(np.asarray(t.column("vec_id").to_numpy(zero_copy_only=False)))
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float64)[order]
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)[order]
+    return vecs, ids
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: interleaved docs (derived from sf0.001 documents) →
+    explode → decode → detect (actor pool) → postprocess/group →
+    groupby(doc_id) splice → flat span rows."""
+    docs = read_interleaved_docs("/root/testdata/sf0.001")
+    return build_flat_spans(docs)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _blocks_flat(sf_dir: str):
+    """build_blocks → flat columns (stable schema for the smoke check)."""
+    ds = build_blocks(read_interleaved_docs(sf_dir))
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        blk = batch.column("block")
+        if isinstance(blk, pa.ChunkedArray):
+            blk = blk.combine_chunks()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "media_ref": batch.column("media_ref"),
+            "language": blk.field("language"),
+            "vertical": blk.field("vertical"),
+            "angle": blk.field("angle"),
+            "order": blk.field("order"),
+            "n_lines": pa.array(
+                [len(x) for x in blk.field("lines").to_pylist()], pa.int32()),
+        })
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- extraction (model-driven; pytest oracle, rows-only here) ---
+        "extract_flat_spans": lambda sf: build_flat_spans(read_interleaved_docs(sf)),
+        "extract_detected_spans": lambda sf: build_detected_spans(read_interleaved_docs(sf)),
+        "extract_blocks": _blocks_flat,
+        # --- text analysis (SQL-oracled) ---
+        "doc_token_count": lambda sf: _documents(sf).map_batches(
+            token_count_batch, batch_format="pyarrow"),
+        "doc_text_stats": lambda sf: _documents(sf).map_batches(
+            text_stats_batch, batch_format="pyarrow"),
+        "doc_fingerprint": lambda sf: _documents(sf).map_batches(
+            fingerprint_batch, batch_format="pyarrow"),
+        "doc_langid": lambda sf: _documents(sf).map_batches(
+            langid_batch, batch_format="pyarrow"),
+        "docs_by_lang": lambda sf: partial_aggregate(
+            _documents_full(sf).map_batches(
+                lambda b: pa.table({
+                    "lang": b.column("lang"),
+                    "n_chars": b.column("n_chars"),
+                    "one": pa.array(np.ones(len(b), dtype=np.int64))}),
+                batch_format="pyarrow"),
+            ["lang"],
+            [("one", "sum", "n_docs"), ("n_chars", "sum", "total_chars")]),
+        # --- dedup ---
+        "dedup_exact": lambda sf: exact_dedup(_documents(sf))
+            .select_columns(["doc_id", "text"]),
+        "dedup_token_set": lambda sf: token_set_dedup(_documents(sf))
+            .select_columns(["doc_id", "text"]),
+        "dedup_simhash": lambda sf: simhash_dedup(_documents(sf))
+            .select_columns(["doc_id", "text"]),
+        "dedup_minhash_lsh": lambda sf: minhash_lsh_dedup(_documents(sf)),
+        "dedup_embedding": lambda sf: embedding_near_dedup(_embeddings(sf))
+            .select_columns(["vec_id", "label"]),
+        # --- similarity search ---
+        "knn_bruteforce": lambda sf: knn_bruteforce(
+            _embeddings(sf), *_query_vectors(sf), k=10),
+        "knn_lsh": lambda sf: knn_lsh(_embeddings(sf), *_query_vectors(sf), k=10),
+        # --- relational / windowed ---
+        "q1_pricing_summary": lineitem_pricing_summary,
+        "top10_customers": top_customers_by_orders,
+        "orders_by_nation": orders_by_nation,
+        "events_hourly": events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_token_count": (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+            "FROM documents"),
+        "doc_text_stats": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+            "CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens, "
+            "CAST(length(text) - (len(string_split(text,' ')) - 1) AS BIGINT) "
+            "  AS total_token_chars, "
+            "CAST(len(list_filter(string_split(text,' '), x -> x IN "
+            f"{_STOPLIST_SQL})) AS BIGINT) AS stopword_count "
+            "FROM documents"),
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "doc_langid": (
+            "SELECT doc_id, CASE WHEN 5 * len(list_filter(string_split(text,' '), "
+            f"x -> x IN {_STOPLIST_SQL})) >= len(string_split(text,' ')) "
+            "THEN 'eng' ELSE 'unknown' END AS lang_pred FROM documents"),
+        "docs_by_lang": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents GROUP BY lang"),
+        "dedup_exact": (
+            "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"),
+        "dedup_token_set": (
+            "SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text "
+            "FROM documents GROUP BY "
+            "array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')"),
+        "knn_bruteforce": (
+            "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id < 5) "
+            "SELECT q_id, vec_id, \"rank\" FROM ("
+            "  SELECT q.q_id, e.vec_id, CAST(row_number() OVER ("
+            "    PARTITION BY q.q_id ORDER BY "
+            "    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, "
+            "    e.vec_id ASC) AS INTEGER) AS \"rank\" "
+            "  FROM embeddings e CROSS JOIN q) WHERE \"rank\" <= 10"),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+            "CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+        "top10_customers": (
+            "SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders, "
+            "any_value(c_name) AS c_name "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY o_custkey ORDER BY n_orders DESC, custkey ASC LIMIT 10"),
+        "orders_by_nation": (
+            "SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
+        "events_hourly": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "min(value) AS min_value, max(value) AS max_value "
+            "FROM events GROUP BY 1, 2"),
+    }

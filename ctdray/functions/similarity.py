@@ -1,0 +1,139 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — each ``map_batches`` task multiplies its
+batch (float64 numpy) against a **broadcast query matrix** (``ray.put`` once,
+resolved in each task; never re-shipped per batch), emits per-batch top-k
+candidates, and a tiny ``groupby(q_id)`` reduce keeps the global top-k.  Per
+batch work is one matmul; the shuffle carries only (q_id, vec_id, sim)
+candidate triples — k × n_queries × n_blocks rows, independent of corpus
+size.
+
+Scale path: ``knn_lsh`` buckets vectors with seeded random hyperplanes
+(the same family as dedup) and probes only the query's bucket — IVF-style
+candidate pruning with identical plumbing.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+def _topk_table(q_ids, sims: np.ndarray, vec_ids: np.ndarray, k: int) -> pa.Table:
+    """sims: (n_queries, n_vecs) → rows (q_id, vec_id, sim) of per-query
+    top-k, deterministic tie-break by ascending vec_id."""
+    out_q, out_v, out_s = [], [], []
+    for qi, q_id in enumerate(q_ids):
+        row = sims[qi]
+        kk = min(k, row.size)
+        if kk == 0:
+            continue
+        # sort by (-sim, vec_id): lexsort keys are last-key-primary
+        order = np.lexsort((vec_ids, -row))[:kk]
+        out_q.extend([q_id] * kk)
+        out_v.extend(vec_ids[order].tolist())
+        out_s.extend(row[order].tolist())
+    return pa.table({"q_id": pa.array(out_q, pa.int64()),
+                     "vec_id": pa.array(out_v, pa.int64()),
+                     "sim": pa.array(out_s, pa.float64())})
+
+
+def knn_bruteforce(ds: ray.data.Dataset, queries: np.ndarray,
+                   q_ids: np.ndarray, k: int = 10,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> ray.data.Dataset:
+    """Exact cosine top-k of each query row against the whole dataset.
+    Returns (q_id, vec_id, rank) with rank 1..k (sim dropped so the result is
+    integer-exact for oracle hashing; ties broken by ascending vec_id)."""
+    q_unit_ref = ray.put(_unit_rows(np.asarray(queries, dtype=np.float64)))
+    q_ids = np.asarray(q_ids, dtype=np.int64)
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        q_unit = ray.get(q_unit_ref)
+        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if vecs.size == 0:
+            return _topk_table([], np.zeros((0, 0)), ids, k)
+        sims = q_unit @ _unit_rows(vecs).T
+        return _topk_table(q_ids, sims, ids, k)
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        sims = group.column("sim").to_numpy(zero_copy_only=False)
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        out = group.take(pa.array(np.sort(order)))  # stable row order
+        order_pos = {int(ids[i]): r + 1 for r, i in enumerate(order)}
+        taken = out.column("vec_id").to_numpy(zero_copy_only=False)
+        rank = pa.array([order_pos[int(v)] for v in taken], pa.int32())
+        return pa.table({"q_id": out.column("q_id"),
+                         "vec_id": out.column("vec_id"),
+                         "rank": rank})
+
+    cands = ds.map_batches(batch_topk, batch_format="pyarrow")
+    return cands.groupby("q_id").map_groups(final_topk, batch_format="pyarrow")
+
+
+def knn_lsh(ds: ray.data.Dataset, queries: np.ndarray, q_ids: np.ndarray,
+            k: int = 10, n_planes: int = 8, seed: int = 11,
+            id_col: str = "vec_id",
+            vec_col: str = "embedding") -> ray.data.Dataset:
+    """Approximate top-k: hyperplane-bucket the corpus, search only buckets
+    that contain a query (bucket id computed identically for both sides).
+    Recall < 1 by design; multiply plane sets to trade compute for recall."""
+    queries = np.asarray(queries, dtype=np.float64)
+    dim = queries.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    shifts = (1 << np.arange(n_planes, dtype=np.uint64))
+
+    def bucket_of(m: np.ndarray) -> np.ndarray:
+        return (((m @ planes) > 0) * shifts).sum(axis=1, dtype=np.uint64)
+
+    q_buckets = bucket_of(queries)
+    by_bucket: dict[int, list[int]] = {}
+    for qi, b in enumerate(q_buckets):
+        by_bucket.setdefault(int(b), []).append(qi)
+    q_unit_ref = ray.put(_unit_rows(queries))
+    q_ids = np.asarray(q_ids, dtype=np.int64)
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        q_unit = ray.get(q_unit_ref)
+        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if vecs.size == 0:
+            return pa.table({"q_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        vb = bucket_of(vecs)
+        parts = []
+        for b, qis in by_bucket.items():
+            mask = vb == np.uint64(b)
+            if not mask.any():
+                continue
+            sims = q_unit[qis] @ _unit_rows(vecs[mask]).T
+            parts.append(_topk_table(q_ids[qis].tolist(), sims, ids[mask], k))
+        if not parts:
+            return pa.table({"q_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.concat_tables(parts)
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        sims = group.column("sim").to_numpy(zero_copy_only=False)
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table({
+            "q_id": group.column("q_id").take(pa.array(order)),
+            "vec_id": group.column("vec_id").take(pa.array(order)),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32)),
+        })
+
+    cands = ds.map_batches(batch_topk, batch_format="pyarrow")
+    return cands.groupby("q_id").map_groups(final_topk, batch_format="pyarrow")

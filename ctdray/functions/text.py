@@ -1,0 +1,113 @@
+"""Text analysis kernels: tokenization counts, quality stats, language ID,
+document fingerprinting.
+
+All kernels are Arrow-vectorized (pyarrow.compute) except cryptographic
+hashing, which loops over Python strings but spends its time in C (hashlib).
+Each has an exact ANSI-SQL equivalent used as the DuckDB oracle in
+``__ray_entry__.oracle_sql`` — integer-valued outputs throughout so the
+driver's value-hash comparison is rounding-free.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Stopword list for quality scoring / language ID; mirrored verbatim in the
+# SQL oracles — keep the two in sync.
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def _tokens(batch: pa.Table) -> pa.ChunkedArray:
+    """Whitespace tokenization with single-space semantics — identical to
+    DuckDB ``string_split(text, ' ')`` (empty pieces preserved)."""
+    return pc.split_pattern(batch.column("text"), " ")
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    toks = _tokens(batch)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+    })
+
+
+def text_stats_batch(batch: pa.Table) -> pa.Table:
+    """Quality-scoring components, all integers:
+      n_chars            = length(text)
+      n_tokens           = count of single-space-split pieces
+      total_token_chars  = n_chars - (n_tokens - 1)   [single-space joins]
+      stopword_count     = tokens ∈ STOPWORDS
+    Downstream quality filters combine these (avg token length =
+    total_token_chars/n_tokens, stopword ratio = stopword_count/n_tokens).
+    """
+    text = batch.column("text")
+    toks = _tokens(batch)
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
+    flat = pc.list_flatten(toks)
+    is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS))
+    # per-row stopword count via segmented sum over parent indices
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    stop_np = is_stop.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.zeros(len(batch), dtype=np.int64)
+    np.add.at(counts, parents, stop_np)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "total_token_chars": pc.subtract(n_chars, pc.subtract(n_tokens, pa.scalar(1, pa.int64()))),
+        "stopword_count": pa.array(counts, pa.int64()),
+    })
+
+
+def md5_fingerprint(texts) -> list[str]:
+    return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Content fingerprint = md5 of the raw text (DuckDB ``md5(text)``)."""
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "fingerprint": pa.array(md5_fingerprint(batch.column("text").to_pylist()),
+                                pa.string()),
+    })
+
+
+def token_set_key(text: str) -> str:
+    """Order/multiplicity-insensitive fingerprint: sorted unique tokens joined
+    by one space (DuckDB: ``array_to_string(list_sort(list_distinct(
+    string_split(text,' '))), ' ')``)."""
+    return " ".join(sorted(set(text.split(" "))))
+
+
+_CJK_LO, _CJK_HI = 0x3040, 0x30FF  # kana; plus unified ideographs below
+_HAN_LO, _HAN_HI = 0x4E00, 0x9FFF
+
+
+def langid_one(text: str) -> str:
+    """N-gram-free heuristic language ID (the engine's stand-in for a fasttext
+    stage; prod swaps the actor for a real model — same plumbing):
+      ja      if >10% of chars are kana/ideographs,
+      eng     if stopwords make up ≥20% of tokens,
+      unknown otherwise.
+    The eng/unknown branch is SQL-expressible and oracle-checked; the ja
+    branch never fires on the ASCII testdata (unit-tested separately)."""
+    if text:
+        cjk = sum(1 for ch in text if _CJK_LO <= ord(ch) <= _CJK_HI
+                  or _HAN_LO <= ord(ch) <= _HAN_HI)
+        if cjk * 10 > len(text):
+            return "ja"
+    toks = text.split(" ")
+    stop = sum(1 for t in toks if t in STOPWORDS)
+    return "eng" if stop * 5 >= len(toks) else "unknown"
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "lang_pred": pa.array([langid_one(t) for t in batch.column("text").to_pylist()],
+                              pa.string()),
+    })

@@ -1,0 +1,170 @@
+"""Relational demo pipelines over the TPC-H-ish testdata tables.
+
+These exercise the engine's wide-operation patterns exactly as they must run
+at 100 TB:
+
+  * partial aggregation — each ``map_batches`` task pre-aggregates its batch
+    with ``pyarrow.Table.group_by`` (combiner), so the ``groupby`` exchange
+    carries (keys × n_batches) partial rows, never raw rows;
+  * broadcast hash join — small dimension tables (customer, nation) are
+    ``ray.put`` once and resolved per task, not re-shipped per batch and
+    never shuffled;
+  * deterministic top-k — sort with explicit tie-break keys + limit on the
+    already-tiny aggregate;
+  * tumbling windows — floor_temporal bucketing inside map_batches, then the
+    same partial-agg reduce.
+
+Every pipeline has an ANSI-SQL oracle in ``__ray_entry__.oracle_sql``;
+aggregate outputs are integer-valued (counts, integral-double sums, min/max)
+so value-hash comparison is exact.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+
+# ---------------------------------------------------------------------------
+# generic partial-agg → small-groupby reduce
+# ---------------------------------------------------------------------------
+
+_COMBINE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def partial_aggregate(ds: ray.data.Dataset, keys: list[str],
+                      aggs: list[tuple[str, str, str]]) -> ray.data.Dataset:
+    """aggs: (src_col, fn ∈ {sum,count,min,max}, out_name).  Per-batch
+    pyarrow combiner, then one groupby over partials (SURVEY.md §2.7 AG2
+    pattern — distributive, no shuffle of raw rows)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gb = batch.group_by(keys)
+        res = gb.aggregate([(src, fn) for src, fn, _ in aggs])
+        cols = {k: res.column(k) for k in keys}
+        for src, fn, out in aggs:
+            cols[out] = res.column(f"{src}_{fn}")
+        return pa.table(cols)
+
+    def combine(group: pa.Table) -> pa.Table:
+        cols = {k: group.column(k).slice(0, 1) for k in keys}
+        for _, fn, out in aggs:
+            arr = group.column(out)
+            agg = {"sum": pc.sum, "count": pc.sum,
+                   "min": pc.min, "max": pc.max}[fn](arr)
+            cols[out] = pa.array([agg.as_py()], type=arr.type)
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(keys).map_groups(combine, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# pipelines
+# ---------------------------------------------------------------------------
+
+
+def lineitem_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-shaped: per (returnflag, linestatus) row count and quantity
+    sum (quantities are integral, so the double sum is order-independent and
+    exact)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def with_count(batch: pa.Table) -> pa.Table:
+        return batch.append_column("one", pa.array(np.ones(len(batch), dtype=np.int64)))
+
+    ds = ds.map_batches(with_count, batch_format="pyarrow")
+    return partial_aggregate(
+        ds, ["l_returnflag", "l_linestatus"],
+        [("l_quantity", "sum", "sum_qty"), ("one", "sum", "n_rows")])
+
+
+def top_customers_by_orders(sf_dir: str, n: int = 10) -> ray.data.Dataset:
+    """Broadcast join orders→customer, count per customer, deterministic
+    top-n (order count desc, custkey asc tie-break)."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    name_by_key = dict(zip(cust.column("c_custkey").to_pylist(),
+                           cust.column("c_name").to_pylist()))
+    cust_ref = ray.put(name_by_key)
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["o_custkey"]).aggregate([("o_custkey", "count")])
+        return pa.table({"custkey": res.column("o_custkey"),
+                         "n_orders": pc.cast(res.column("o_custkey_count"), pa.int64())})
+
+    counts = (orders.map_batches(partial, batch_format="pyarrow")
+                    .groupby("custkey")
+                    .map_groups(lambda g: pa.table({
+                        "custkey": g.column("custkey").slice(0, 1),
+                        "n_orders": pa.array([pc.sum(g.column("n_orders")).as_py()],
+                                             pa.int64())}),
+                                batch_format="pyarrow"))
+    top = counts.sort(["n_orders", "custkey"], descending=[True, False]).limit(n)
+
+    def attach_name(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(cust_ref)
+        names = [lookup.get(k, "") for k in batch.column("custkey").to_pylist()]
+        return batch.append_column("c_name", pa.array(names, pa.string()))
+
+    return top.map_batches(attach_name, batch_format="pyarrow")
+
+
+def orders_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """Two-hop broadcast join orders→customer→nation, count per nation."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nkey_by_cust = dict(zip(cust.column("c_custkey").to_pylist(),
+                            cust.column("c_nationkey").to_pylist()))
+    name_by_nkey = dict(zip(nation.column("n_nationkey").to_pylist(),
+                            nation.column("n_name").to_pylist()))
+    side_ref = ray.put((nkey_by_cust, name_by_nkey))
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nkey_by_cust_, name_by_nkey_ = ray.get(side_ref)
+        names = [name_by_nkey_.get(nkey_by_cust_.get(k), "")
+                 for k in batch.column("o_custkey").to_pylist()]
+        t = pa.table({"n_name": pa.array(names, pa.string())})
+        res = t.group_by(["n_name"]).aggregate([("n_name", "count")])
+        return pa.table({"n_name": res.column("n_name"),
+                         "n_orders": pc.cast(res.column("n_name_count"), pa.int64())})
+
+    return (orders.map_batches(partial, batch_format="pyarrow")
+                  .groupby("n_name")
+                  .map_groups(lambda g: pa.table({
+                      "n_name": g.column("n_name").slice(0, 1),
+                      "n_orders": pa.array([pc.sum(g.column("n_orders")).as_py()],
+                                           pa.int64())}),
+                              batch_format="pyarrow"))
+
+
+def events_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1-hour window per event_type: count + exact min/max value."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return pa.table({"hour": hour,
+                         "event_type": batch.column("event_type"),
+                         "value": batch.column("value"),
+                         "one": pa.array(np.ones(len(batch), dtype=np.int64))})
+
+    ds = ds.map_batches(bucket, batch_format="pyarrow")
+    return partial_aggregate(
+        ds, ["hour", "event_type"],
+        [("one", "sum", "n_events"), ("value", "min", "min_value"),
+         ("value", "max", "max_value")])

@@ -1,0 +1,91 @@
+"""Derive the interleaved text+media document table from a plain text corpus.
+
+BASELINE.json ``input_hint`` fixes the pipeline input shape
+(``doc_id: string, spans: list<struct<kind,text,media_ref,offset>>``).  The
+sandbox testdata ships a flat ``documents`` table (doc_id:int64, text, lang,
+source, n_chars); this module maps it **deterministically** into the
+interleaved shape so every scale factor (sf0.001/0.01/0.1) yields the same
+corpus on every run — no external data, no RNG state leakage (seeding is a
+pure function of doc_id).
+
+Rule (pure function of ``doc_id`` and ``text``):
+  - the document's text is split into chunks of ``words_per_span`` whitespace
+    tokens → ``kind='text'`` spans;
+  - a deterministic per-doc count of media spans (1..max_media, long-tailed:
+    ~6% of docs get the max — the dense-doc skew bucket, SURVEY.md §4 skew
+    row) is interleaved between text chunks at deterministic positions;
+  - offsets are the final 0..n-1 positions.
+
+The media_ref is ``page://doc-XXXXXXXX/<offset>`` which the sandbox media
+store (ctdray.sources.media.fetch_media) resolves to a deterministic
+synthetic page (FIXTURES.md §2).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..fixtures import make_media_ref
+from ..schema import DOC_SCHEMA
+
+
+def _doc_rng(doc_id: int) -> np.random.Generator:
+    return np.random.default_rng((0xC7D << 40) ^ (doc_id & 0xFFFFFFFF))
+
+
+def interleave_rows(doc_ids, texts, words_per_span: int = 12,
+                    max_media: int = 6) -> pa.Table:
+    """Vectorless core: build one interleaved doc per (doc_id:int, text)."""
+    docs = []
+    for doc_id, text in zip(doc_ids, texts):
+        doc_id = int(doc_id)
+        name = f"doc-{doc_id:08d}"
+        words = text.split()
+        chunks = [" ".join(words[i:i + words_per_span])
+                  for i in range(0, len(words), words_per_span)] or [""]
+        rng = _doc_rng(doc_id)
+        n_media = max_media if rng.random() < 0.06 else int(rng.integers(1, 4))
+        # deterministic insertion slots among len(chunks)+1 gaps
+        slots = sorted(int(s) for s in rng.integers(0, len(chunks) + 1, n_media))
+        spans, off, si = [], 0, 0
+        for gap in range(len(chunks) + 1):
+            while si < len(slots) and slots[si] == gap:
+                spans.append({"kind": "media", "text": "",
+                              "media_ref": make_media_ref(name, off),
+                              "offset": off})
+                off += 1
+                si += 1
+            if gap < len(chunks):
+                spans.append({"kind": "text", "text": chunks[gap],
+                              "media_ref": "", "offset": off})
+                off += 1
+        docs.append({"doc_id": name, "spans": spans})
+    return pa.Table.from_pylist(docs, schema=DOC_SCHEMA)
+
+
+def _interleave_batch(batch: pa.Table) -> pa.Table:
+    return interleave_rows(batch.column("doc_id").to_pylist(),
+                           batch.column("text").to_pylist())
+
+
+def read_interleaved_docs(sf_dir: str) -> ray.data.Dataset:
+    """sf_dir/documents.parquet → interleaved doc Dataset (DOC_SCHEMA).
+
+    Column-pruned read (only doc_id+text leave storage); the derivation runs
+    distributed inside map_batches, so at 100 TB the flat→interleaved mapping
+    streams like any other stage (in prod the table is already stored
+    interleaved in Lance and this stage disappears).
+    """
+    flat = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return flat.map_batches(_interleave_batch, batch_format="pyarrow")
+
+
+def interleaved_table(sf_dir: str) -> pa.Table:
+    """Driver-side (small-scale) materialized variant for oracle comparison."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return interleave_rows(t.column("doc_id").to_pylist(),
+                           t.column("text").to_pylist())
