@@ -16,7 +16,7 @@ from typing import List
 import numpy as np
 
 from .config import DetectorConfig
-from .geom import letterbox_params, non_max_suppression, resize_bilinear
+from .geom import ResizedMaskView, letterbox_params, non_max_suppression
 from .represent import extract_lines
 from .schema import serialize_line_span
 from .textblock import TextBlock, group_output
@@ -25,7 +25,7 @@ from .textblock import TextBlock, group_output
 def detect_page(detector, media_ref: str, im_h: int, im_w: int,
                 cfg: DetectorConfig) -> tuple[List[TextBlock], np.ndarray]:
     """Run the full per-page chain; returns (reading-ordered blocks,
-    uint8 text mask at original page size)."""
+    text mask as a lazy page-size view — ``.full()`` materializes uint8)."""
     size = cfg.input_size
     blks, mask, lines_map = detector.infer(media_ref, im_h, im_w)
     _, new_w, new_h, dw, dh = letterbox_params(im_h, im_w, size)
@@ -44,8 +44,10 @@ def detect_page(detector, media_ref: str, im_h: int, im_w: int,
     lines, _scores = extract_lines(lines_map, cfg)
 
     # Un-letterbox: crop the pad, resize to original (inference.py:163-165).
-    mask_u8 = mask_u8[: size - dh, : size - dw]
-    mask_u8 = resize_bilinear(mask_u8, im_w, im_h)
+    # The resize is deferred — group_output samples only rectangular window
+    # densities, computed bit-identically on demand (geom.ResizedMaskView);
+    # mask sinks call .full().
+    mask_u8 = ResizedMaskView(mask_u8[: size - dh, : size - dw], im_w, im_h)
     if lines.size:
         lines = lines.astype(np.float64)
         lines[..., 0] *= rr[0]

@@ -181,6 +181,67 @@ def resize_bilinear(im: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return out.astype(im.dtype)
 
 
+class ResizedMaskView:
+    """Deferred bilinear resize of a uint8 mask.
+
+    ``resize_bilinear``'s output is elementwise-independent per output pixel
+    (separable gathers + per-pixel weights), so any output window can be
+    computed alone with bit-identical values.  ``group_output`` only ever
+    samples rectangular window densities (utils/textblock.py:443-447,
+    459-464), so the full page-size resize — 25% of per-page CPU — is skipped
+    unless a mask sink actually asks for ``full()``.
+    """
+
+    def __init__(self, src: np.ndarray, out_w: int, out_h: int):
+        self.src = np.ascontiguousarray(src)
+        self.out_w, self.out_h = int(out_w), int(out_h)
+        h, w = src.shape[:2]
+        self._identity = (out_h, out_w) == (h, w)
+        if not self._identity:
+            ys = (np.arange(out_h, dtype=np.float32) + 0.5) * (h / out_h) - 0.5
+            xs = (np.arange(out_w, dtype=np.float32) + 0.5) * (w / out_w) - 0.5
+            self._y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+            self._x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+            self._y1 = np.minimum(self._y0 + 1, h - 1)
+            self._x1 = np.minimum(self._x0 + 1, w - 1)
+            self._wy = np.clip(ys - self._y0, 0.0, 1.0).astype(np.float32)
+            self._wx = np.clip(xs - self._x0, 0.0, 1.0).astype(np.float32)
+
+    @property
+    def shape(self):
+        return (self.out_h, self.out_w)
+
+    def window(self, x1, y1, x2, y2) -> np.ndarray:
+        """Output pixels [y1:y2, x1:x2] with numpy slicing semantics,
+        bit-identical to ``resize_bilinear(src, out_w, out_h)[y1:y2, x1:x2]``."""
+        ya, yb, _ = slice(int(y1), int(y2)).indices(self.out_h)
+        xa, xb, _ = slice(int(x1), int(x2)).indices(self.out_w)
+        if yb <= ya or xb <= xa:
+            return np.zeros((max(0, yb - ya), max(0, xb - xa)), dtype=self.src.dtype)
+        if self._identity:
+            return self.src[ya:yb, xa:xb]
+        imf = self.src.astype(np.float32, copy=False)
+        wy = self._wy[ya:yb][:, None]
+        rows = imf[self._y0[ya:yb]] * (1 - wy) + imf[self._y1[ya:yb]] * wy
+        wx = self._wx[xa:xb][None, :]
+        out = rows[:, self._x0[xa:xb]] * (1 - wx) + rows[:, self._x1[xa:xb]] * wx
+        if np.issubdtype(self.src.dtype, np.integer):
+            return np.clip(np.round(out), 0, 255).astype(self.src.dtype)
+        return out.astype(self.src.dtype)
+
+    def density(self, x1, y1, x2, y2) -> float:
+        """mean(window)/255; NaN for an empty window (the reference's numpy
+        empty-slice semantics, utils/textblock.py:443-447)."""
+        win = self.window(x1, y1, x2, y2)
+        if win.size == 0:
+            return float("nan")
+        return float(win.mean()) / 255.0
+
+    def full(self) -> np.ndarray:
+        return self.src.copy() if self._identity \
+            else resize_bilinear(self.src, self.out_w, self.out_h)
+
+
 def letterbox_image(im: np.ndarray, new_shape: int = 1024, scaleup: bool = True):
     """Aspect-preserving resize + bottom/right zero-pad
     (utils/imgproc_utils.py:86-117 with auto=False, stride honored by caller
@@ -279,27 +340,39 @@ def non_max_suppression(pred: np.ndarray, conf_thres: float = 0.4,
 # ---------------------------------------------------------------------------
 
 
+def _hull_chain(points: np.ndarray) -> np.ndarray:
+    """Strict half-hull of lexicographically sorted points by vectorized
+    concave-point elimination.  Each pass drops every interior point whose
+    triple is non-left-turning (cross ≤ 0, the monotone-chain pop rule);
+    hull vertices can never be eliminated (their neighbors always lie
+    strictly above their supporting chord), so this converges to exactly the
+    strict convex chain the sequential stack algorithm produces — verified
+    against the loop implementation by property test."""
+    idx = np.arange(len(points))
+    while len(idx) > 2:
+        p = points[idx]
+        o, a, b = p[:-2], p[1:-1], p[2:]
+        cross = (a[:, 0] - o[:, 0]) * (b[:, 1] - o[:, 1]) \
+            - (a[:, 1] - o[:, 1]) * (b[:, 0] - o[:, 0])
+        bad = cross <= 0
+        if not bad.any():
+            break
+        keep = np.ones(len(idx), dtype=bool)
+        keep[1:-1] = ~bad
+        idx = idx[keep]
+    return points[idx]
+
+
 def convex_hull(pts: np.ndarray) -> np.ndarray:
-    """Andrew's monotone chain → hull vertices in CCW order (k, 2) float64."""
+    """Monotone-chain hull (strict: collinear points dropped) → hull vertices
+    in CCW order (k, 2) float64."""
     pts = np.unique(np.asarray(pts, dtype=np.float64), axis=0)
     if len(pts) <= 2:
         return pts
     # np.unique sorts lexicographically by (x, y) already.
-    def half(points):
-        out = []
-        for p in points:
-            while len(out) >= 2:
-                o, a = out[-2], out[-1]
-                if (a[0] - o[0]) * (p[1] - o[1]) - (a[1] - o[1]) * (p[0] - o[0]) <= 0:
-                    out.pop()
-                else:
-                    break
-            out.append(p)
-        return out
-
-    lower = half(pts)
-    upper = half(pts[::-1])
-    return np.array(lower[:-1] + upper[:-1], dtype=np.float64)
+    lower = _hull_chain(pts)
+    upper = _hull_chain(pts[::-1])
+    return np.concatenate([lower[:-1], upper[:-1]])
 
 
 def min_area_rect(pts: np.ndarray):
@@ -321,7 +394,7 @@ def min_area_rect(pts: np.ndarray):
         d = hull[1] - hull[0]
         corners = np.array([hull[0], hull[1], hull[1], hull[0]], dtype=np.float64)
         return corners, (float(np.hypot(*d)), 0.0)
-    edges = np.roll(hull, -1, axis=0) - hull
+    edges = _next_verts(hull) - hull
     ang = np.arctan2(edges[:, 1], edges[:, 0])
     best = None
     for a in np.unique(np.mod(ang, np.pi / 2)):
@@ -361,16 +434,24 @@ def order_rect_corners(corners: np.ndarray, wh) -> tuple[np.ndarray, float]:
     return box, float(min(wh))
 
 
+def _next_verts(p: np.ndarray) -> np.ndarray:
+    """np.roll(p, -1, axis=0) for small vertex arrays without the axis
+    machinery overhead (bit-identical output)."""
+    return np.concatenate((p[1:], p[:1]))
+
+
 def polygon_area(poly: np.ndarray) -> float:
     """Shoelace area (absolute)."""
     p = np.asarray(poly, dtype=np.float64)
     x, y = p[:, 0], p[:, 1]
-    return abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))) / 2.0
+    xn, yn = _next_verts(x), _next_verts(y)
+    return abs(float(np.dot(x, yn) - np.dot(y, xn))) / 2.0
 
 
 def polygon_perimeter(poly: np.ndarray) -> float:
     p = np.asarray(poly, dtype=np.float64)
-    return float(np.linalg.norm(np.roll(p, -1, axis=0) - p, axis=1).sum())
+    e = _next_verts(p) - p
+    return float(np.sqrt((e * e).sum(axis=1)).sum())
 
 
 def unclip_rect(box: np.ndarray, unclip_ratio: float = 1.5) -> np.ndarray:
@@ -389,23 +470,24 @@ def unclip_rect(box: np.ndarray, unclip_ratio: float = 1.5) -> np.ndarray:
         return box.copy()
     d = area * unclip_ratio / perim
     center = box.mean(axis=0)
-    out = np.empty_like(box)
-    for i in range(4):
-        prev_e = box[i] - box[(i - 1) % 4]
-        next_e = box[(i + 1) % 4] - box[i]
-        def _unit(v):
-            n = np.linalg.norm(v)
-            return v / n if n > 0 else v
-        # Outward normal of each adjacent edge = edge direction rotated away
-        # from the polygon interior.
-        n1 = _unit(np.array([prev_e[1], -prev_e[0]]))
-        n2 = _unit(np.array([next_e[1], -next_e[0]]))
-        shift = (n1 + n2) * d
-        cand1 = box[i] + shift
-        cand2 = box[i] - shift
-        # Pick the candidate farther from the center (outward).
-        out[i] = cand1 if np.linalg.norm(cand1 - center) >= np.linalg.norm(cand2 - center) else cand2
-    return out
+    # Vectorized over the 4 corners (same arithmetic as the scalar loop).
+    prev_e = box - box[[3, 0, 1, 2]]
+    next_e = box[[1, 2, 3, 0]] - box
+    # Outward normal of each adjacent edge = edge direction rotated away
+    # from the polygon interior.
+    n1 = np.stack([prev_e[:, 1], -prev_e[:, 0]], axis=1)
+    n2 = np.stack([next_e[:, 1], -next_e[:, 0]], axis=1)
+    for n in (n1, n2):
+        ln = np.sqrt((n * n).sum(axis=1))
+        nz = ln > 0
+        n[nz] /= ln[nz, None]
+    shift = (n1 + n2) * d
+    cand1 = box + shift
+    cand2 = box - shift
+    d1 = ((cand1 - center) ** 2).sum(axis=1)
+    d2 = ((cand2 - center) ** 2).sum(axis=1)
+    # Pick the candidate farther from the center (outward).
+    return np.where((d1 >= d2)[:, None], cand1, cand2)
 
 
 # ---------------------------------------------------------------------------
@@ -419,18 +501,15 @@ def quads_intersect(q1, q2) -> bool:
     intersecting (the shapely ``intersects`` contract)."""
     q1 = np.asarray(q1, dtype=np.float64).reshape(4, 2)
     q2 = np.asarray(q2, dtype=np.float64).reshape(4, 2)
-    for quad in (q1, q2):
-        edges = np.roll(quad, -1, axis=0) - quad
-        for e in edges:
-            axis = np.array([-e[1], e[0]])
-            n = np.linalg.norm(axis)
-            if n == 0:
-                continue
-            p1 = q1 @ axis
-            p2 = q2 @ axis
-            if p1.max() < p2.min() or p2.max() < p1.min():
-                return False
-    return True
+    e = np.concatenate((_next_verts(q1) - q1, _next_verts(q2) - q2))
+    axes = np.stack([-e[:, 1], e[:, 0]], axis=1)          # (8, 2)
+    axes = axes[(axes != 0).any(axis=1)]
+    if not len(axes):
+        return True
+    p1 = q1 @ axes.T                                       # (4, n_axes)
+    p2 = q2 @ axes.T
+    sep = (p1.max(axis=0) < p2.min(axis=0)) | (p2.max(axis=0) < p1.min(axis=0))
+    return not bool(sep.any())
 
 
 # ---------------------------------------------------------------------------
@@ -462,7 +541,7 @@ def convex_poly_mask(poly: np.ndarray, y0: int, y1: int, x0: int, x1: int) -> np
     p = np.asarray(poly, dtype=np.float64).reshape(-1, 2)
     # Ensure consistent winding via signed area.
     x, y = p[:, 0], p[:, 1]
-    signed = float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0
+    signed = float(np.dot(x, _next_verts(y)) - np.dot(y, _next_verts(x))) / 2.0
     if signed < 0:
         p = p[::-1]
     ys = np.arange(y0, y1, dtype=np.float64)[:, None]
@@ -506,21 +585,22 @@ def shrink_poly(poly: np.ndarray, shrink_ratio: float = 0.4) -> np.ndarray:
         return p.copy()
     d = area * (1 - shrink_ratio ** 2) / perim
     center = p.mean(axis=0)
-    out = np.empty_like(p)
     k = len(p)
-    for i in range(k):
-        prev_e = p[i] - p[(i - 1) % k]
-        next_e = p[(i + 1) % k] - p[i]
-        def _unit(v):
-            n = np.linalg.norm(v)
-            return v / n if n > 0 else v
-        n1 = _unit(np.array([prev_e[1], -prev_e[0]]))
-        n2 = _unit(np.array([next_e[1], -next_e[0]]))
-        shift = (n1 + n2) * d
-        cand1 = p[i] + shift
-        cand2 = p[i] - shift
-        out[i] = cand1 if np.linalg.norm(cand1 - center) <= np.linalg.norm(cand2 - center) else cand2
-    return out
+    idx = np.arange(k)
+    prev_e = p - p[(idx - 1) % k]
+    next_e = p[(idx + 1) % k] - p
+    n1 = np.stack([prev_e[:, 1], -prev_e[:, 0]], axis=1)
+    n2 = np.stack([next_e[:, 1], -next_e[:, 0]], axis=1)
+    for n in (n1, n2):
+        ln = np.sqrt((n * n).sum(axis=1))
+        nz = ln > 0
+        n[nz] /= ln[nz, None]
+    shift = (n1 + n2) * d
+    cand1 = p + shift
+    cand2 = p - shift
+    d1 = ((cand1 - center) ** 2).sum(axis=1)
+    d2 = ((cand2 - center) ** 2).sum(axis=1)
+    return np.where((d1 <= d2)[:, None], cand1, cand2)
 
 
 # ---------------------------------------------------------------------------

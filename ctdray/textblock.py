@@ -169,10 +169,13 @@ class TextBlock:
 # ---------------------------------------------------------------------------
 
 
-def _mask_density(mask: Optional[np.ndarray], x1, y1, x2, y2) -> float:
+def _mask_density(mask, x1, y1, x2, y2) -> float:
     """mean(mask[y1:y2, x1:x2])/255; NaN for an empty window, reproducing the
     reference's numpy empty-slice behavior (NaN comparisons are False, so an
-    empty-window candidate is *kept* — utils/textblock.py:443-447,459-464)."""
+    empty-window candidate is *kept* — utils/textblock.py:443-447,459-464).
+    ``mask`` is an ndarray or a geom.ResizedMaskView (lazy, bit-identical)."""
+    if hasattr(mask, "density"):
+        return mask.density(x1, y1, x2, y2)
     win = mask[int(y1):int(y2), int(x1):int(x2)]
     if win.size == 0:
         return float("nan")
@@ -189,7 +192,7 @@ def examine_textblk(blk: TextBlock, im_w: int, im_h: int, sort: bool = False) ->
     centers = (lines[:, 0] + lines[:, 2]) / 2
     v = vec_v.sum(axis=0)
     h = vec_h.sum(axis=0)
-    norm_v, norm_h = float(np.linalg.norm(v)), float(np.linalg.norm(h))
+    norm_v, norm_h = math.sqrt(float(v @ v)), math.sqrt(float(h @ h))
     if blk.language == "ja":
         vertical = norm_v > norm_h                       # utils/textblock.py:312-313
     else:
@@ -204,7 +207,7 @@ def examine_textblk(blk: TextBlock, im_w: int, im_h: int, sort: bool = False) ->
         font_size = int(round(norm_v / len(lines)))
     dvec = centers - origin
     angle = int(math.atan2(primary_vec[1], primary_vec[0]) / math.pi * 180)
-    dist = np.linalg.norm(dvec, axis=1)
+    dist = np.sqrt((dvec * dvec).sum(axis=1))
     with np.errstate(invalid="ignore", divide="ignore"):
         rad = np.arccos(np.einsum("ij,j->i", dvec, primary_vec) / (dist * primary_norm))
         dist = np.abs(np.sin(rad) * dist)
@@ -235,9 +238,9 @@ def try_merge_textline(blk: TextBlock, blk2: TextBlock,
     vec_sum = blk.vec + blk2.vec
     cos_vec = vec_prod / blk.norm / blk2.norm
     dist_gap = float(blk2.distance[-1] - blk.distance[-1])
-    corner_gap = float(np.linalg.norm(
-        np.asarray(blk2.lines[-1][0], dtype=np.float64)
-        - np.asarray(blk.lines[-1][0], dtype=np.float64)))
+    _cg = (np.asarray(blk2.lines[-1][0], dtype=np.float64)
+           - np.asarray(blk.lines[-1][0], dtype=np.float64))
+    corner_gap = math.sqrt(float(_cg @ _cg))
     if not quads_intersect(blk.lines[-1], blk2.lines[-1]):
         if fnt_div > fntsize_tol or 1 / fnt_div > fntsize_tol:
             return False
@@ -250,7 +253,7 @@ def try_merge_textline(blk: TextBlock, blk2: TextBlock,
     blk.angle = int(round(np.rad2deg(math.atan2(vec_sum[1], vec_sum[0]))))
     if blk.vertical:
         blk.angle -= 90
-    blk.norm = float(np.linalg.norm(vec_sum))
+    blk.norm = math.sqrt(float(vec_sum @ vec_sum))
     blk.distance = np.append(blk.distance, blk2.distance[-1])
     blk.font_size = fnt_avg
     blk2.merged = True
@@ -284,7 +287,7 @@ def split_textblk(blk: TextBlock):
     """
     font_size, distance, lines = blk.font_size, blk.distance, blk.lines
     l0 = np.asarray(blk.lines[0], dtype=np.float64)
-    lines.sort(key=lambda l: float(np.linalg.norm(np.asarray(l, dtype=np.float64)[0] - l0[0])))
+    lines.sort(key=lambda l: float(np.sqrt((( np.asarray(l, dtype=np.float64)[0] - l0[0]) ** 2).sum())))
     distance_tol = font_size * 2
     cur = copy.deepcopy(blk)
     cur.lines = [lines[0]]

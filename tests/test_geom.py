@@ -239,3 +239,67 @@ def test_fill_convex_poly_and_mean_score():
     assert canvas[15, 20] == 1.0 and canvas[5, 5] == 0.0
     score = geom.poly_mean_score(canvas, quad)
     assert score > 0.8
+
+
+def test_hull_chain_matches_loop_reference():
+    """Vectorized elimination hull == sequential monotone chain (strict)."""
+    import numpy as np
+
+    from ctdray import geom
+
+    def loop_hull(pts):
+        pts = np.unique(np.asarray(pts, dtype=np.float64), axis=0)
+        if len(pts) <= 2:
+            return pts
+
+        def half(points):
+            out = []
+            for p in points:
+                while len(out) >= 2:
+                    o, a = out[-2], out[-1]
+                    if (a[0] - o[0]) * (p[1] - o[1]) - (a[1] - o[1]) * (p[0] - o[0]) <= 0:
+                        out.pop()
+                    else:
+                        break
+                out.append(p)
+            return out
+
+        return np.array(half(pts)[:-1] + half(pts[::-1])[:-1], dtype=np.float64)
+
+    rng = np.random.default_rng(123)
+    for trial in range(60):
+        kind = trial % 3
+        n = int(rng.integers(1, 120))
+        if kind == 0:
+            pts = rng.normal(size=(n, 2)) * 50
+        elif kind == 1:  # integer grid (CC boundary points are grid-aligned)
+            pts = rng.integers(0, 15, size=(n, 2)).astype(np.float64)
+        else:            # heavy collinearity
+            pts = np.stack([np.arange(n), rng.integers(0, 3, n)], axis=1).astype(np.float64)
+        got = geom.convex_hull(pts)
+        want = loop_hull(pts)
+        assert np.array_equal(got, want), (kind, n)
+
+
+def test_resized_mask_view_bit_identical():
+    import numpy as np
+
+    from ctdray import geom
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 256, size=(97, 113)).astype(np.uint8)
+    for out_w, out_h in [(113, 97), (200, 180), (60, 40)]:
+        view = geom.ResizedMaskView(src, out_w, out_h)
+        full = geom.resize_bilinear(src, out_w, out_h) if (out_h, out_w) != src.shape else src
+        assert np.array_equal(view.full(), full)
+        for _ in range(25):
+            x1, x2 = sorted(rng.integers(-5, out_w + 5, 2))
+            y1, y2 = sorted(rng.integers(-5, out_h + 5, 2))
+            win = view.window(x1, y1, x2, y2)
+            # python slicing semantics (negative indices wrap) — exactly what
+            # the eager code did with mask[y1:y2, x1:x2]
+            ref = full[int(y1):int(y2), int(x1):int(x2)]
+            assert np.array_equal(win, ref), (x1, y1, x2, y2)
+            want = float("nan") if ref.size == 0 else float(ref.mean()) / 255.0
+            got = view.density(x1, y1, x2, y2)
+            assert (np.isnan(want) and np.isnan(got)) or got == want
