@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Benchmark harness (BASELINE.md engine target).
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line::
+
+  {"metric": "pages/sec (detected-span throughput)", "value": <headline sec>,
+   "unit": "sec", "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "pages_per_sec": ..., "n_pages": ..., "n_spans": ...}
+
+``--scaling``: run the headline extraction job twice in FRESH subprocesses at
+num_cpus=8 and num_cpus=32 (the sandbox proxy for N- vs 4N-node clusters,
+BASELINE.json) and report both throughputs + scaling efficiency
+= tp(4N) / (4 · tp(N)).
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _consume_count(ds) -> int:
+    """Stream-consume a Dataset, returning row count (no driver materialize
+    beyond per-batch counts)."""
+    n = 0
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        n += batch.num_rows
+    return n
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import pyarrow.compute as pc
+
+    from ctdray.pipelines.extract import build_flat_spans
+    from ctdray.pipelines.interleave import read_interleaved_docs
+
+    queries: dict[str, float] = {}
+
+    # --- headline: full extraction pipeline, streamed end-to-end ---
+    t0 = time.perf_counter()
+    ds = build_flat_spans(read_interleaved_docs(sf_dir))
+    n_spans = 0
+    n_pages = 0
+    n_lines = 0
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        n_spans += batch.num_rows
+        kinds = batch.column("kind")
+        n_pages += pc.sum(pc.cast(pc.equal(kinds, "media"), "int64")).as_py() or 0
+        n_lines += pc.sum(pc.cast(pc.equal(kinds, "text_line"), "int64")).as_py() or 0
+    extract_sec = time.perf_counter() - t0
+    queries["extract_flat_spans"] = round(extract_sec, 3)
+
+    # --- secondary pipelines (operator breadth at bench scale) ---
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in ("dedup_exact", "dedup_minhash_lsh", "knn_bruteforce",
+                 "q1_pricing_summary", "events_hourly"):
+        t0 = time.perf_counter()
+        _consume_count(qs[name](sf_dir))
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "pages/sec (detected-span throughput)",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "pages_per_sec": round(n_pages / extract_sec, 2) if extract_sec else None,
+        "n_pages": n_pages,
+        "n_spans": n_spans,
+        "n_text_lines": n_lines,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> dict:
+    """Same job, two fresh processes at num_cpus=low and num_cpus=high."""
+    runs = {}
+    for cpus in (low, high):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run([sys.executable, os.path.abspath(__file__),
+                              "--single"],
+                             capture_output=True, text=True, env=env,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = [ln for ln in out.stdout.strip().splitlines()
+                if ln.startswith("{")][-1]
+        runs[cpus] = json.loads(line)
+    tp_low = runs[low]["pages_per_sec"]
+    tp_high = runs[high]["pages_per_sec"]
+    eff = tp_high / (tp_low * (high / low))
+    return {
+        "metric": "scaling efficiency (N->4N CPUs, fresh processes)",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": sf_dir,
+        "low_cpus": low,
+        "high_cpus": high,
+        "pages_per_sec_low": tp_low,
+        "pages_per_sec_high": tp_high,
+        "extract_sec_low": runs[low]["queries"]["extract_flat_spans"],
+        "extract_sec_high": runs[high]["queries"]["extract_flat_spans"],
+        "target": ">= 0.8",
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(SF_DIR)))
+    else:
+        print(json.dumps(run_bench(SF_DIR, NUM_CPUS)))

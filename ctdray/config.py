@@ -37,8 +37,21 @@ class PipelineConfig:
     # Ray Data sizing.  A 1024² float32 lines_map is ~8 MB; keep detect batches
     # small so batch×concurrency fits a worker heap at 100 TB scale.
     detect_batch_size: int = 8
-    detect_concurrency: int | None = None   # None → stateless tasks sized by Ray
+    detect_concurrency: int | None = None   # None → fixed pool of CPUs-1
     postprocess_batch_size: int = 16
+    # 'tasks': stateless map_batches with a per-worker detector cache — warm
+    # workers are reused across pipelines, no pool cold-start (the right mode
+    # for CPU backends whose state is cheap to build).  'actors': fixed
+    # ActorPoolStrategy pool — required for prod GPU weights (load once per
+    # actor, add num_gpus via the builder), at the cost of a pool spin-up on
+    # every pipeline.
+    detect_compute: str = "tasks"
+    # Hybrid splice routing: docs with ≤ this many media spans take the fused
+    # no-shuffle path (detect+splice inside one task); denser docs explode to
+    # page rows and reunite via groupby(doc_id) so one dense doc can never
+    # make a task unbounded.  The groupby then carries only the skew tail.
+    dense_media_threshold: int = 32
+    docs_batch_size: int = 4                # docs per fused-stage batch
     # Fuse detect+postprocess into one stage so the big per-page maps never
     # cross a stage boundary / enter the object store.  Set False to split the
     # stages (the prod GPU-actor layout; maps then ship between stages).

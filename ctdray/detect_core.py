@@ -60,6 +60,40 @@ def detect_page(detector, media_ref: str, im_h: int, im_w: int,
     return blk_list, mask_u8
 
 
+def doc_out_spans(detector, doc_id: str, spans: list[dict],
+                  cfg: DetectorConfig) -> list[dict]:
+    """Output span sequence for one document: original spans (order=-1) with
+    detected spans spliced after their source media span (FIXTURES.md §4).
+    Undecodable media is passed through without detections (poison-pill rows
+    degrade, they never crash — SURVEY.md §4).
+
+    Shared by the fused no-shuffle pipeline stage (stages.detect) and the
+    single-process oracle (ctdray.oracle); the distributed-vs-oracle span
+    equality therefore checks the Ray plumbing (batching, actor pools, the
+    dense-doc shuffle path, union ordering) rather than this chain.
+    """
+    from .sources.media import decode_pgm, fetch_media
+
+    out = []
+    for span in spans:
+        out.append({"kind": span["kind"], "text": span["text"],
+                    "media_ref": span["media_ref"], "offset": span["offset"],
+                    "order": -1})
+        if span["kind"] != "media":
+            continue
+        try:
+            img = decode_pgm(fetch_media(span["media_ref"]))
+        except ValueError:
+            continue
+        blocks, _ = detect_page(detector, span["media_ref"],
+                                img.shape[0], img.shape[1], cfg)
+        for order, text in page_line_spans(blocks):
+            out.append({"kind": "text_line", "text": text,
+                        "media_ref": span["media_ref"],
+                        "offset": span["offset"], "order": order})
+    return out
+
+
 def page_line_spans(blk_list: List[TextBlock]) -> list[tuple[int, str]]:
     """Flatten reading-ordered blocks into (order, canonical text) pairs —
     one per detected line (FIXTURES.md §4; line serialization mirrors the

@@ -12,36 +12,16 @@ from __future__ import annotations
 import pyarrow as pa
 
 from .config import DetectorConfig
-from .detect_core import detect_page, page_line_spans
+from .detect_core import doc_out_spans
 from .schema import FLAT_SPAN_SCHEMA, OUT_DOC_SCHEMA
-from .sources.media import decode_pgm, fetch_media
 from .surrogate import SurrogateDetector
 
 
 def oracle_doc_spans(doc_id: str, spans: list[dict], detector,
                      cfg: DetectorConfig) -> list[dict]:
-    """Output span sequence for one document: original spans (order=-1) with
-    detected spans spliced after their source media span (FIXTURES.md §4).
-    Undecodable media is passed through without detections (poison-pill rows
-    degrade, they never crash — SURVEY.md §4)."""
-    out = []
-    for span in spans:
-        out.append({"kind": span["kind"], "text": span["text"],
-                    "media_ref": span["media_ref"], "offset": span["offset"],
-                    "order": -1})
-        if span["kind"] != "media":
-            continue
-        try:
-            img = decode_pgm(fetch_media(span["media_ref"]))
-        except ValueError:
-            continue
-        blocks, _ = detect_page(detector, span["media_ref"],
-                                img.shape[0], img.shape[1], cfg)
-        for order, text in page_line_spans(blocks):
-            out.append({"kind": "text_line", "text": text,
-                        "media_ref": span["media_ref"],
-                        "offset": span["offset"], "order": order})
-    return out
+    """Single-doc output spans — the shared per-doc chain
+    (detect_core.doc_out_spans), exposed under the oracle's name."""
+    return doc_out_spans(detector, doc_id, spans, cfg)
 
 
 def run_oracle(docs: pa.Table, cfg: DetectorConfig | None = None) -> pa.Table:

@@ -21,21 +21,66 @@ import ray.data
 
 from ..config import PipelineConfig
 from ..stages.decode import DecodeStage
-from ..stages.detect import DetectExtract
+from ..stages.detect import (DetectExtract, DetectSpliceDoc,
+                             detect_extract_task, detect_splice_doc_task)
 from ..stages.explode import explode_all_spans, explode_media_spans
 from ..stages.splice import splice_groups
 
 
 def _detect_concurrency(cfg: PipelineConfig):
-    """Actor-pool size for the detect stage: explicit from config, else an
-    autoscaling (1, CPUs-2) pool — leaving headroom so the read/decode/write
-    stages are never starved (SURVEY.md §4 intra-op threads row)."""
+    """Actor-pool size for the detect stage: explicit from config, else a
+    FIXED pool of CPUs-1 actors.  An autoscaling (1, N) pool was measured to
+    plateau near 2 actors on this workload (Ray's queue-based upscaler lags a
+    fused pipeline whose upstream is cheap), leaving 6 of 8 CPUs idle; the
+    detect stage is the whole pipeline's cost, so it gets every core minus
+    one for the read/union/shuffle side (SURVEY.md §4 intra-op threads row)."""
     if cfg.detect_concurrency is not None:
         return cfg.detect_concurrency
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    return (1, max(2, cpus - 2))
+    return max(2, cpus - 1)
+
+
+def _map_detect(pages: ray.data.Dataset, cfg: PipelineConfig, backend: str,
+                output: str) -> ray.data.Dataset:
+    """Page rows → detected rows under the configured compute mode."""
+    if cfg.detect_compute == "actors":
+        return pages.map_batches(
+            DetectExtract,
+            fn_constructor_kwargs={"cfg": cfg, "output": output,
+                                   "backend": backend},
+            batch_format="pyarrow",
+            batch_size=cfg.detect_batch_size,
+            concurrency=_detect_concurrency(cfg),
+            num_cpus=1,
+        )
+    return pages.map_batches(
+        detect_extract_task,
+        fn_kwargs={"cfg": cfg, "output": output, "backend": backend},
+        batch_format="pyarrow",
+        batch_size=cfg.detect_batch_size,
+    )
+
+
+def _map_detect_splice(normal: ray.data.Dataset, cfg: PipelineConfig,
+                       backend: str) -> ray.data.Dataset:
+    """Doc rows → spliced out-docs under the configured compute mode."""
+    if cfg.detect_compute == "actors":
+        return normal.map_batches(
+            DetectSpliceDoc,
+            fn_constructor_kwargs={"cfg": cfg, "backend": backend},
+            batch_format="pyarrow",
+            batch_size=cfg.docs_batch_size,
+            concurrency=_detect_concurrency(cfg),
+            num_cpus=1,
+        )
+    return normal.map_batches(
+        detect_splice_doc_task,
+        fn_kwargs={"cfg": cfg, "backend": backend},
+        batch_format="pyarrow",
+        batch_size=cfg.docs_batch_size,
+    )
 
 
 def build_detected_spans(docs: ray.data.Dataset,
@@ -48,15 +93,7 @@ def build_detected_spans(docs: ray.data.Dataset,
     pages = pages.map_batches(DecodeStage(keep_pixels=False),
                               batch_format="pyarrow",
                               batch_size=cfg.postprocess_batch_size)
-    detected = pages.map_batches(
-        DetectExtract,
-        fn_constructor_kwargs={"cfg": cfg, "output": "spans", "backend": backend},
-        batch_format="pyarrow",
-        batch_size=cfg.detect_batch_size,
-        concurrency=_detect_concurrency(cfg),
-        num_cpus=1,
-    )
-    return detected
+    return _map_detect(pages, cfg, backend, output="spans")
 
 
 def build_blocks(docs: ray.data.Dataset,
@@ -69,28 +106,85 @@ def build_blocks(docs: ray.data.Dataset,
     pages = pages.map_batches(DecodeStage(keep_pixels=False),
                               batch_format="pyarrow",
                               batch_size=cfg.postprocess_batch_size)
-    return pages.map_batches(
-        DetectExtract,
-        fn_constructor_kwargs={"cfg": cfg, "output": "blocks", "backend": backend},
-        batch_format="pyarrow",
-        batch_size=cfg.detect_batch_size,
-        concurrency=_detect_concurrency(cfg),
-        num_cpus=1,
-    )
+    return _map_detect(pages, cfg, backend, output="blocks")
+
+
+def _media_span_counts(batch):
+    """Vectorized per-doc media-span count (Arrow kernels, no row loop)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    spans = batch.column("spans").combine_chunks()
+    flat = pc.list_flatten(spans)
+    parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    is_media = pc.equal(flat.field("kind"), "media").to_numpy(zero_copy_only=False)
+    counts = np.zeros(len(batch), dtype=np.int64)
+    np.add.at(counts, parents, is_media.astype(np.int64))
+    return counts
+
+
+def _make_density_filter(threshold: int, dense: bool):
+    def fn(batch):
+        import pyarrow as pa
+
+        if "n_media" in batch.column_names:   # precomputed by the reader
+            counts = batch.column("n_media").to_numpy(zero_copy_only=False)
+            batch = batch.drop_columns(["n_media"])
+        else:
+            counts = _media_span_counts(batch)
+        mask = counts > threshold if dense else counts <= threshold
+        return batch.filter(pa.array(mask))
+
+    return fn
 
 
 def build_out_docs(docs: ray.data.Dataset,
                    cfg: Optional[PipelineConfig] = None,
                    backend: str = "surrogate") -> ray.data.Dataset:
     """Full pipeline → nested output documents (schema.OUT_DOC_SCHEMA): the
-    input span array re-emitted with detected spans spliced in."""
+    input span array re-emitted with detected spans spliced in.
+
+    Hybrid routing (skew handling, SURVEY.md §4): typical docs (media spans ≤
+    cfg.dense_media_threshold) run the FUSED path — decode+detect+splice
+    inside one actor task, zero shuffles end-to-end.  The dense tail explodes
+    to page rows, detects per page, and reunites via ``groupby(doc_id)`` —
+    the shuffle exists but carries only the pathological fraction of the
+    corpus, so its barrier no longer gates the whole pipeline."""
     cfg = cfg or PipelineConfig()
-    originals = docs.map_batches(explode_all_spans, batch_format="pyarrow")
-    detected = build_detected_spans(docs, cfg, backend)
+    thr = cfg.dense_media_threshold
+
+    normal = docs.map_batches(_make_density_filter(thr, dense=False),
+                              batch_format="pyarrow")
+    fused = _map_detect_splice(normal, cfg, backend)
+
+    dense = docs.map_batches(_make_density_filter(thr, dense=True),
+                             batch_format="pyarrow")
+    originals = dense.map_batches(explode_all_spans, batch_format="pyarrow")
+    # Stateless tasks, not a second actor pool: the tail reserves no CPUs
+    # (two competing pools can deadlock a small cluster) and an empty tail
+    # costs nothing; the per-worker detector cache keeps setup amortized.
+    pages = dense.map_batches(explode_media_spans, batch_format="pyarrow")
+    pages = pages.map_batches(DecodeStage(keep_pixels=False),
+                              batch_format="pyarrow",
+                              batch_size=cfg.postprocess_batch_size)
+    detected = pages.map_batches(
+        detect_extract_task,
+        fn_kwargs={"cfg": cfg, "output": "spans", "backend": backend},
+        batch_format="pyarrow",
+        batch_size=cfg.detect_batch_size,
+    )
     all_spans = originals.union(detected)
-    # The one required shuffle: pages of a document reunite on doc_id.
-    return all_spans.groupby("doc_id").map_groups(splice_groups,
-                                                  batch_format="pyarrow")
+    # Coalesce (no shuffle) before the groupby: the tail is a small fraction
+    # of blocks, and without this the sort inherits the full upstream block
+    # count and schedules hundreds of near-empty map/reduce/splice tasks.
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    all_spans = all_spans.repartition(max(4, cpus // 4))
+    dense_out = all_spans.groupby("doc_id").map_groups(splice_groups,
+                                                       batch_format="pyarrow")
+    return fused.union(dense_out)
 
 
 def build_flat_spans(docs: ray.data.Dataset,

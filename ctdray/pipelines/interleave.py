@@ -65,20 +65,47 @@ def interleave_rows(doc_ids, texts, words_per_span: int = 12,
 
 
 def _interleave_batch(batch: pa.Table) -> pa.Table:
-    return interleave_rows(batch.column("doc_id").to_pylist(),
-                           batch.column("text").to_pylist())
+    out = interleave_rows(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist())
+    # Pre-computed media count rides along so the hybrid pipeline's
+    # density routing (pipelines.extract) is a column predicate, not a
+    # per-branch re-flattening of every span list.
+    import pyarrow.compute as pc
+
+    spans = out.column("spans").combine_chunks()
+    flat_kind = pc.list_flatten(spans).field("kind")
+    parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    is_media = pc.equal(flat_kind, "media").to_numpy(zero_copy_only=False)
+    counts = np.zeros(out.num_rows, dtype=np.int64)
+    np.add.at(counts, parents, is_media.astype(np.int64))
+    return out.append_column("n_media", pa.array(counts, pa.int64()))
 
 
-def read_interleaved_docs(sf_dir: str) -> ray.data.Dataset:
+def read_interleaved_docs(sf_dir: str,
+                          override_num_blocks: int | None = None) -> ray.data.Dataset:
     """sf_dir/documents.parquet → interleaved doc Dataset (DOC_SCHEMA).
 
     Column-pruned read (only doc_id+text leave storage); the derivation runs
     distributed inside map_batches, so at 100 TB the flat→interleaved mapping
     streams like any other stage (in prod the table is already stored
     interleaved in Lance and this stage disappears).
+
+    The testdata ships as ONE parquet file, so without splitting the read
+    would emit one block and serialize the whole pipeline; default to
+    ~4 blocks per CPU so every downstream stage fans out (a multi-node corpus
+    is already thousands of fragments and needs no override).
     """
+    if override_num_blocks is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        import pyarrow.parquet as _pq
+
+        n_rows = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+        override_num_blocks = max(1, min(cpus * 4, n_rows))
     flat = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=override_num_blocks)
     return flat.map_batches(_interleave_batch, batch_format="pyarrow")
 
 

@@ -19,9 +19,83 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import PipelineConfig
-from ..detect_core import detect_page, page_line_spans
-from ..schema import BLOCK_SCHEMA, DETECTED_SPAN_SCHEMA
+from ..detect_core import detect_page, doc_out_spans, page_line_spans
+from ..schema import BLOCK_SCHEMA, DETECTED_SPAN_SCHEMA, OUT_DOC_SCHEMA
 from ..surrogate import make_detector
+
+
+def detect_splice_doc_task(batch: pa.Table, cfg=None,
+                           backend: str = "surrogate") -> pa.Table:
+    """Stateless-task variant of :class:`DetectSpliceDoc` (see
+    :func:`detect_extract_task` for the compute-mode rationale)."""
+    cfg = cfg or PipelineConfig()
+    key = (backend, cfg.detector)
+    det = _TASK_DETECTORS.get(key)
+    if det is None:
+        det = _TASK_DETECTORS[key] = make_detector(backend, cfg.detector)
+    rows = [{"doc_id": doc_id,
+             "spans": doc_out_spans(det, doc_id, spans, cfg.detector)}
+            for doc_id, spans in zip(batch.column("doc_id").to_pylist(),
+                                     batch.column("spans").to_pylist())]
+    if not rows:
+        return OUT_DOC_SCHEMA.empty_table()
+    return pa.Table.from_pylist(rows, schema=OUT_DOC_SCHEMA)
+
+
+class DetectSpliceDoc:
+    """Actor: whole-document rows → spliced output documents — the
+    shuffle-free fast path.
+
+    A document's pages are processed inside one task and the span splice
+    happens in-place, so for typical documents NOTHING crosses an exchange:
+    read → this stage → sink.  Docs with a pathological number of media spans
+    (the skew tail) are routed by the pipeline builder to the page-explode +
+    ``groupby(doc_id)`` path instead, so one dense document can never make a
+    task unbounded (SURVEY.md §4 skew row).  Weights load once per actor.
+    """
+
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 backend: str = "surrogate", model_path: str | None = None):
+        self.cfg = cfg or PipelineConfig()
+        self.det_cfg = self.cfg.detector
+        self.detector = make_detector(backend, self.det_cfg, model_path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, spans in zip(batch.column("doc_id").to_pylist(),
+                                 batch.column("spans").to_pylist()):
+            rows.append({
+                "doc_id": doc_id,
+                "spans": doc_out_spans(self.detector, doc_id, spans, self.det_cfg),
+            })
+        if not rows:
+            return OUT_DOC_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=OUT_DOC_SCHEMA)
+
+
+_TASK_DETECTORS: dict = {}
+
+
+def detect_extract_task(batch: pa.Table, cfg=None, output: str = "spans",
+                        backend: str = "surrogate") -> pa.Table:
+    """Stateless-task variant of :class:`DetectExtract` for low-volume
+    branches (the dense-doc skew tail in the hybrid pipeline).  Unlike an
+    actor pool it reserves nothing up front — an empty branch costs zero and
+    a busy cluster schedules it opportunistically — while the detector is
+    still constructed once per worker process via a module-level cache.
+    On a GPU cluster the tail gets its own small fractional-GPU pool instead;
+    this path is the CPU-surrogate layout."""
+    cfg = cfg or PipelineConfig()
+    key = (backend, cfg.detector)
+    det = _TASK_DETECTORS.get(key)
+    if det is None:
+        det = _TASK_DETECTORS[key] = make_detector(backend, cfg.detector)
+    worker = DetectExtract.__new__(DetectExtract)
+    worker.cfg = cfg
+    worker.det_cfg = cfg.detector
+    worker.output = output
+    worker.detector = det
+    return worker(batch)
 
 
 class DetectExtract:

@@ -118,3 +118,19 @@ def test_error_rows_never_crash(ray_session):
         ]}], schema=DOC_SCHEMA)
     out = build_flat_spans(rd.from_arrow(bad)).to_pandas()
     assert list(out["kind"]) == ["media", "text"]
+
+
+def test_hybrid_dense_routing_matches_oracle(ray_session, corpus_tbl):
+    """Force the dense tail: threshold 2 routes many docs through the
+    explode → groupby(doc_id) splice path; spans must still match the oracle
+    exactly (both paths active at once)."""
+    import ray.data as rd
+
+    from ctdray.pipelines.extract import build_flat_spans
+
+    cfg = PipelineConfig(dense_media_threshold=2, detect_concurrency=2,
+                         detect_compute="actors")
+    got = _norm(build_flat_spans(rd.from_arrow(corpus_tbl), cfg).to_pandas())
+    exp = _norm(flatten_out_docs(run_oracle(corpus_tbl)).to_pandas())
+    assert len(got) == len(exp) > 0
+    assert got.equals(exp)
