@@ -101,12 +101,37 @@ def _blocks_flat(sf_dir: str):
     return ds.map_batches(flatten, batch_format="pyarrow")
 
 
+def _refined_masks_summary(sf_dir: str):
+    """Mask refinement (K1-K5) summary rows — compact columns only so the
+    driver comparison never hashes megabytes of mask bytes."""
+    from ctdray.pipelines.extract import build_refined_masks
+
+    ds = build_refined_masks(read_interleaved_docs(sf_dir))
+    return ds.select_columns(["doc_id", "media_ref", "mask_h", "mask_w",
+                              "fg_pixels", "n_blocks"])
+
+
+def _media_thumbnails(sf_dir: str):
+    """Multimodal decode+resize stage over every page (binary → thumbnail)."""
+    from ctdray.stages.explode import explode_media_spans
+    from ctdray.stages.multimodal import thumbnails_task
+
+    pages = read_interleaved_docs(sf_dir).map_batches(
+        explode_media_spans, batch_format="pyarrow")
+    thumbs = pages.map_batches(thumbnails_task, batch_format="pyarrow",
+                               batch_size=8)
+    return thumbs.select_columns(["media_ref", "height", "width", "mean_px",
+                                  "decode_ok"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- extraction (model-driven; pytest oracle, rows-only here) ---
         "extract_flat_spans": lambda sf: build_flat_spans(read_interleaved_docs(sf)),
         "extract_detected_spans": lambda sf: build_detected_spans(read_interleaved_docs(sf)),
         "extract_blocks": _blocks_flat,
+        "extract_refined_masks": _refined_masks_summary,
+        "media_thumbnails": _media_thumbnails,
         # --- text analysis (SQL-oracled) ---
         "doc_token_count": lambda sf: _documents(sf).map_batches(
             token_count_batch, batch_format="pyarrow"),

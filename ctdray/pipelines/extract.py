@@ -187,6 +187,23 @@ def build_out_docs(docs: ray.data.Dataset,
     return fused.union(dense_out)
 
 
+def build_refined_masks(docs: ray.data.Dataset,
+                        cfg: Optional[PipelineConfig] = None,
+                        backend: str = "surrogate") -> ray.data.Dataset:
+    """docs → refined-mask rows (schema.MASK_SCHEMA) — the engine's
+    mask-<name>.png sink (inference.py:70; K1-K5 SURVEY.md §2.6)."""
+    from ..stages.refine import refine_masks_task
+
+    cfg = cfg or PipelineConfig()
+    pages = docs.map_batches(explode_media_spans, batch_format="pyarrow")
+    return pages.map_batches(
+        refine_masks_task,
+        fn_kwargs={"cfg": cfg, "backend": backend},
+        batch_format="pyarrow",
+        batch_size=cfg.detect_batch_size,
+    )
+
+
 def build_flat_spans(docs: ray.data.Dataset,
                      cfg: Optional[PipelineConfig] = None,
                      backend: str = "surrogate") -> ray.data.Dataset:

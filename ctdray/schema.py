@@ -122,6 +122,21 @@ DETECTED_SPAN_SCHEMA = pa.schema(
     ]
 )
 
+# Refined-mask rows (the engine's mask-<name>.png sink, inference.py:70):
+# mask payload is an encoded image (PGM in-sandbox, PNG in prod).
+MASK_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("media_offset", pa.int32()),
+        pa.field("media_ref", pa.string()),
+        pa.field("mask", pa.binary()),
+        pa.field("mask_h", pa.int32()),
+        pa.field("mask_w", pa.int32()),
+        pa.field("fg_pixels", pa.int64()),
+        pa.field("n_blocks", pa.int32()),
+    ]
+)
+
 LANG_LIST = ("eng", "ja", "unknown")  # class-id → language (inference.py:117-118)
 
 
