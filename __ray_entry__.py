@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_blocks": _blocks_flat,
         "extract_refined_masks": _refined_masks_summary,
         "media_thumbnails": _media_thumbnails,
+        "detection_quality": lambda sf: __import__("ctdray.eval", fromlist=["detection_quality"])
+            .detection_quality(read_interleaved_docs(sf)),
         # --- text analysis (SQL-oracled) ---
         "doc_token_count": lambda sf: _documents(sf).map_batches(
             token_count_batch, batch_format="pyarrow"),

@@ -242,6 +242,54 @@ class ResizedMaskView:
             else resize_bilinear(self.src, self.out_w, self.out_h)
 
 
+def homography_4pt(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Exact 3×3 homography mapping 4 source points to 4 destination points
+    (the determined case of cv2.findHomography — with exactly 4
+    correspondences RANSAC reduces to the direct solution,
+    utils/textblock.py:184,190)."""
+    src = np.asarray(src, dtype=np.float64).reshape(4, 2)
+    dst = np.asarray(dst, dtype=np.float64).reshape(4, 2)
+    a = np.zeros((8, 8))
+    b = np.zeros(8)
+    for i in range(4):
+        x, y = src[i]
+        u, v = dst[i]
+        a[2 * i] = [x, y, 1, 0, 0, 0, -u * x, -u * y]
+        a[2 * i + 1] = [0, 0, 0, x, y, 1, -v * x, -v * y]
+        b[2 * i] = u
+        b[2 * i + 1] = v
+    h = np.linalg.solve(a, b)
+    return np.append(h, 1.0).reshape(3, 3)
+
+
+def warp_perspective(img: np.ndarray, m: np.ndarray, out_w: int,
+                     out_h: int) -> np.ndarray:
+    """Inverse-mapped bilinear perspective warp (cv2.warpPerspective
+    semantics: constant zero border)."""
+    minv = np.linalg.inv(m)
+    ys, xs = np.mgrid[0:out_h, 0:out_w].astype(np.float64)
+    denom = minv[2, 0] * xs + minv[2, 1] * ys + minv[2, 2]
+    sx = (minv[0, 0] * xs + minv[0, 1] * ys + minv[0, 2]) / denom
+    sy = (minv[1, 0] * xs + minv[1, 1] * ys + minv[1, 2]) / denom
+    h, w = img.shape[:2]
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    fx = sx - x0
+    fy = sy - y0
+    valid = (x0 >= -1) & (x0 < w) & (y0 >= -1) & (y0 < h)
+    x0c = np.clip(x0, 0, w - 1)
+    x1c = np.clip(x0 + 1, 0, w - 1)
+    y0c = np.clip(y0, 0, h - 1)
+    y1c = np.clip(y0 + 1, 0, h - 1)
+    imf = img.astype(np.float64, copy=False)
+    out = (imf[y0c, x0c] * (1 - fx) * (1 - fy) + imf[y0c, x1c] * fx * (1 - fy)
+           + imf[y1c, x0c] * (1 - fx) * fy + imf[y1c, x1c] * fx * fy)
+    out[~valid] = 0
+    if np.issubdtype(img.dtype, np.integer):
+        return np.clip(np.round(out), 0, 255).astype(img.dtype)
+    return out.astype(img.dtype)
+
+
 def letterbox_image(im: np.ndarray, new_shape: int = 1024, scaleup: bool = True):
     """Aspect-preserving resize + bottom/right zero-pad
     (utils/imgproc_utils.py:86-117 with auto=False, stride honored by caller

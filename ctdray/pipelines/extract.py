@@ -1,17 +1,20 @@
 """End-to-end extraction pipeline builders (Ray Data, streaming).
 
 Engine equivalent of ``model2annotations`` (inference.py:19-70) — SURVEY.md
-§3.1:
+§3.1 — with hybrid skew routing:
 
-    read docs → explode media spans (vectorized Arrow, no pixels)
-              → decode (stateless tasks; shape-only rows cross the boundary)
-              → detect+extract (actor pool; weights once per actor; fused
-                postprocess so model maps never enter the object store)
-              → union with original spans → groupby(doc_id) splice
-                (the single wide op) → nested span-array documents
+    read docs ──┬─ [n_media ≤ threshold, ~all docs] fused stage:
+                │    decode + detect + splice inside ONE task
+                │    (zero shuffles; weights cached per worker/actor)
+                └─ [dense tail] explode media spans → decode → detect per page
+                     → union with original spans → groupby(doc_id) splice
+                     (the single wide op, carrying only the tail)
+                → union → nested span-array documents
 
-Everything is lazy; consume with ``write_parquet`` / ``take`` /
-``iter_batches``.  No stage materializes the corpus.
+The dense path bounds task size under skew (a 10k-page document becomes 10k
+page rows, not one 10k-page task); the fused path keeps the common case
+exchange-free.  Everything is lazy; consume with ``write_parquet`` / ``take``
+/ ``iter_batches``.  No stage materializes the corpus.
 """
 from __future__ import annotations
 

@@ -429,3 +429,43 @@ def group_output(boxes: np.ndarray, classes: np.ndarray, confs: np.ndarray,
             blk.lines = [l for l in lines.astype(np.int64)]
             blk.font_size += expand
     return final
+
+
+def get_transformed_region(blk: TextBlock, img: np.ndarray, idx: int,
+                           textheight: int) -> np.ndarray:
+    """Homography-rectify one detected line to a fixed text height — the
+    downstream-OCR hook (utils/textblock.py:162-194).  eng/unknown-horizontal
+    lines are padded by font_size/3 before warping; vertical lines are warped
+    then rotated 90° CCW so OCR always sees horizontal text.  cv2
+    findHomography(RANSAC)+warpPerspective become the exact 4-point solve +
+    numpy inverse-mapped warp (geom.homography_4pt / warp_perspective)."""
+    from .geom import homography_4pt, warp_perspective
+
+    im_h, im_w = img.shape[:2]
+    src_pts = np.array(blk.lines[idx], dtype=np.float64)
+    if blk.language == "eng" or (blk.language == "unknown" and not blk.vertical):
+        e_size = blk.font_size / 3
+        src_pts[..., 0] += np.array([-e_size, e_size, e_size, -e_size])
+        src_pts[..., 1] += np.array([-e_size, -e_size, e_size, e_size])
+        src_pts[..., 0] = np.clip(src_pts[..., 0], 0, im_w)
+        src_pts[..., 1] = np.clip(src_pts[..., 1], 0, im_h)
+    middle_pnt = (src_pts[[1, 2, 3, 0]] + src_pts) / 2
+    vec_v = middle_pnt[2] - middle_pnt[0]
+    vec_h = middle_pnt[1] - middle_pnt[3]
+    norm_v = math.sqrt(float(vec_v @ vec_v))
+    norm_h = math.sqrt(float(vec_h @ vec_h))
+    ratio = norm_v / norm_h if norm_h > 0 else 1.0
+    if not blk.vertical:
+        h = int(textheight)
+        w = int(round(textheight / ratio)) if ratio > 0 else int(textheight)
+        dst = np.array([[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]],
+                       dtype=np.float64)
+        m = homography_4pt(src_pts, dst)
+        return warp_perspective(img, m, w, h)
+    w = int(textheight)
+    h = int(round(textheight * ratio))
+    dst = np.array([[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]],
+                   dtype=np.float64)
+    m = homography_4pt(src_pts, dst)
+    region = warp_perspective(img, m, w, h)
+    return np.rot90(region)          # cv2.ROTATE_90_COUNTERCLOCKWISE

@@ -303,3 +303,56 @@ def test_resized_mask_view_bit_identical():
             want = float("nan") if ref.size == 0 else float(ref.mean()) / 255.0
             got = view.density(x1, y1, x2, y2)
             assert (np.isnan(want) and np.isnan(got)) or got == want
+
+
+def test_homography_and_warp_roundtrip():
+    import numpy as np
+
+    from ctdray import geom
+
+    # identity on an axis-aligned rect
+    src = np.array([[2, 3], [12, 3], [12, 8], [2, 8]], dtype=np.float64)
+    dst = np.array([[0, 0], [9, 0], [9, 4], [0, 4]], dtype=np.float64)
+    m = geom.homography_4pt(src, dst)
+    ones = np.hstack([src, np.ones((4, 1))])
+    proj = (m @ ones.T).T
+    proj = proj[:, :2] / proj[:, 2:3]
+    assert np.allclose(proj, dst, atol=1e-9)
+
+    # warp extracts the rectangle contents
+    img = np.zeros((20, 20), np.uint8)
+    img[3:9, 2:13] = 200
+    out = geom.warp_perspective(img, m, 10, 5)
+    assert out.shape == (5, 10)
+    assert out.min() >= 199  # interior of the filled rect
+
+    # rotated square maps upright
+    c, s = np.cos(np.pi / 6), np.sin(np.pi / 6)
+    rot = np.array([[c, -s], [s, c]])
+    sq = (np.array([[0, 0], [10, 0], [10, 4], [0, 4]], float) @ rot.T) + 30
+    m2 = geom.homography_4pt(sq, np.array([[0, 0], [9, 0], [9, 3], [0, 3]], float))
+    img2 = np.zeros((60, 60), np.uint8)
+    geom.fill_convex_poly(img2, sq, 255)
+    out2 = geom.warp_perspective(img2, m2, 10, 4)
+    # boundary rows sample the rasterized edge; the interior must be solid
+    assert (out2[1:-1, 1:-1] > 127).mean() > 0.95
+
+
+def test_get_transformed_region_line():
+    import numpy as np
+
+    from ctdray import geom
+    from ctdray.textblock import TextBlock, get_transformed_region
+
+    img = np.zeros((40, 60), np.uint8)
+    quad = np.array([[10, 10], [50, 10], [50, 20], [10, 20]])
+    geom.fill_convex_poly(img, quad, 220)
+    blk = TextBlock([10, 10, 50, 20], [quad], language="ja", vertical=False,
+                    font_size=10)
+    region = get_transformed_region(blk, img, 0, 16)
+    assert region.shape[0] == 16 and region.shape[1] > 16
+    assert (region > 127).mean() > 0.9
+    vblk = TextBlock([10, 10, 50, 20], [quad], language="ja", vertical=True,
+                     font_size=10)
+    vregion = get_transformed_region(vblk, img, 0, 16)
+    assert vregion.shape[0] == 16  # rotated CCW: textheight ends up as height
