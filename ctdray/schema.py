@@ -106,6 +106,8 @@ BLOCK_SCHEMA = pa.schema(
         pa.field("doc_id", pa.string()),
         pa.field("media_offset", pa.int32()),
         pa.field("media_ref", pa.string()),
+        pa.field("im_h", pa.int32()),
+        pa.field("im_w", pa.int32()),
         pa.field("block", BLOCK_STRUCT),
     ]
 )

@@ -131,7 +131,8 @@ class DetectExtract:
             if self.output == "blocks":
                 for bi, blk in enumerate(blocks):
                     rows.append({"doc_id": doc_id, "media_offset": int(off),
-                                 "media_ref": ref, "block": blk.to_struct(order=bi)})
+                                 "media_ref": ref, "im_h": int(h), "im_w": int(w),
+                                 "block": blk.to_struct(order=bi)})
             else:
                 for order, text in page_line_spans(blocks):
                     rows.append({"doc_id": doc_id, "offset": int(off),

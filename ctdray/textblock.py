@@ -146,6 +146,25 @@ class TextBlock:
         var = int(np.abs(np.array(self.fg_rgb) - np.array(self.bg_rgb)).sum())
         return default if var > 40 else 0.0
 
+    @classmethod
+    def from_struct(cls, d: dict) -> "TextBlock":
+        """Hydrate from a schema.BLOCK_STRUCT dict — the engine's JSON-block
+        round trip (``TextBlock(**blk_dict)``, inference.py:190-192, S8)."""
+        blk = cls(d["xyxy"],
+                  lines=[np.asarray(l, dtype=np.int32).reshape(4, 2)
+                         for l in d.get("lines", [])],
+                  language=d.get("language", "unknown"),
+                  vertical=bool(d.get("vertical", False)),
+                  font_size=float(d.get("font_size", -1.0)))
+        blk.angle = int(d.get("angle", 0))
+        dist = d.get("distance")
+        blk.distance = None if dist is None or len(dist) == 0 \
+            else np.asarray(dist, dtype=np.float64)
+        blk.fg_rgb = [int(v) for v in d.get("fg_rgb", [0, 0, 0])]
+        blk.bg_rgb = [int(v) for v in d.get("bg_rgb", [0, 0, 0])]
+        blk.line_spacing = float(d.get("line_spacing", 1.0))
+        return blk
+
     def to_struct(self, order: int = -1) -> dict:
         """Arrow-friendly dict matching schema.BLOCK_STRUCT."""
         return {

@@ -217,3 +217,40 @@ def test_block_struct_roundtrip():
     assert d["order"] == 3 and d["language"] == "eng"
     assert len(d["lines"][0]) == 8
     assert isinstance(d["font_size"], float)
+
+
+def test_block_struct_round_trip():
+    import numpy as np
+
+    from ctdray.textblock import TextBlock
+
+    blk = TextBlock([5, 6, 50, 60],
+                    lines=[np.array([[5, 6], [50, 6], [50, 20], [5, 20]])],
+                    language="ja", vertical=True, font_size=14.0)
+    blk.angle = -90
+    blk.distance = np.array([12.5, 30.0])
+    d = blk.to_struct(order=3)
+    back = TextBlock.from_struct(d)
+    assert back.xyxy == blk.xyxy
+    assert back.language == "ja" and back.vertical and back.font_size == 14.0
+    assert back.angle == -90
+    np.testing.assert_array_equal(back.distance, blk.distance)
+    assert back.to_struct(order=3) == d       # stable round trip
+
+
+def test_yolo_labels_projection(ray_session):
+    import ray.data as rd
+
+    from ctdray.fixtures import make_corpus
+    from ctdray.functions.labels import yolo_labels_batch
+    from ctdray.pipelines.extract import build_blocks
+
+    blocks = build_blocks(rd.from_arrow(make_corpus(4)))
+    labels = blocks.map_batches(yolo_labels_batch,
+                                batch_format="pyarrow").to_pandas()
+    assert len(labels) > 0
+    for lab in labels["label"]:
+        parts = lab.split()
+        assert parts[0] == "1" and len(parts) == 5
+        vals = [float(p) for p in parts[1:]]
+        assert all(0.0 <= v <= 1.0 for v in vals)
