@@ -26,6 +26,7 @@ from ctdray.functions.text import (fingerprint_batch, langid_batch,
 from ctdray.pipelines.analytics import (events_hourly,
                                         lineitem_pricing_summary,
                                         orders_by_nation, partial_aggregate,
+                                        sessionize_events,
                                         top_customers_by_orders)
 from ctdray.pipelines.extract import (build_blocks, build_detected_spans,
                                       build_flat_spans)
@@ -171,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top10_customers": top_customers_by_orders,
         "orders_by_nation": orders_by_nation,
         "events_hourly": events_hourly,
+        "sessionize_events": sessionize_events,
     }
 
 
@@ -229,4 +231,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_events, "
             "min(value) AS min_value, max(value) AS max_value "
             "FROM events GROUP BY 1, 2"),
+        "sessionize_events": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(1 + sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_sessions FROM ("
+            "  SELECT user_id, epoch(ts - lag(ts) OVER ("
+            "    PARTITION BY user_id ORDER BY ts)) AS gap_s FROM events) "
+            "GROUP BY user_id"),
     }

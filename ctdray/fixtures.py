@@ -12,6 +12,7 @@ The interleaved document table follows BASELINE.json ``input_hint``:
 """
 from __future__ import annotations
 
+import functools
 import hashlib
 from dataclasses import dataclass, field
 
@@ -110,8 +111,14 @@ def _make_block_lines(rng: np.random.Generator, fs: float, n_lines: int,
     return lines
 
 
+@functools.lru_cache(maxsize=2048)
 def page_ground_truth(media_ref: str) -> PageGT:
-    """Deterministic page layout from the media_ref seed alone."""
+    """Deterministic page layout from the media_ref seed alone.
+
+    Pure function of the ref → safe to memoize; a page is consulted by the
+    decode stage, the surrogate head, and (optionally) the refine stage in
+    the same task, so the cache removes repeated synthesis.  Consumers never
+    mutate the returned GT (they copy/scale into their own buffers)."""
     rng = np.random.default_rng(media_seed(media_ref))
     page_w, page_h = _PAGE_SIZES[rng.choice(len(_PAGE_SIZES), p=_PAGE_SIZE_P)]
     gt = PageGT(page_w=page_w, page_h=page_h,

@@ -151,6 +151,30 @@ def orders_by_nation(sf_dir: str) -> ray.data.Dataset:
                               batch_format="pyarrow"))
 
 
+def sessionize_events(sf_dir: str, gap_seconds: int = 1800) -> ray.data.Dataset:
+    """Gap-based sessionization per user — the stateful-per-key streaming op:
+    ``groupby(user_id).map_groups`` sorts each user's events by time and
+    counts sessions split at >gap_seconds silences.  Per-user event counts
+    are small and bounded; the shuffle carries (user_id, ts) pairs only."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = np.sort(group.column("ts").to_numpy(zero_copy_only=False))
+        # microsecond precision: casting to whole seconds would truncate a
+        # 1800.5s gap to 1800 and disagree with the oracle's strict >
+        gaps_us = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
+        n_sessions = 1 + int((gaps_us > gap_seconds * 1_000_000).sum()) \
+            if len(ts) else 0
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "n_events": pa.array([len(ts)], pa.int64()),
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
 def events_hourly(sf_dir: str) -> ray.data.Dataset:
     """Tumbling 1-hour window per event_type: count + exact min/max value."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",

@@ -87,7 +87,8 @@ def run_checkpointed(input_dir: str, output_dir: str,
         os.rename(tmp_chunk, out_chunk)
         # Partition metrics from the written files (metadata-only where
         # possible; span kinds need one column scan of the chunk output).
-        n_docs = n_spans = n_detected = 0
+        n_docs = n_spans = n_detected = n_pages = 0
+        page_hist: dict[str, int] = {}
         for part in glob.glob(os.path.join(out_chunk, "*.parquet")):
             pf = pq.ParquetFile(part)
             n_docs += pf.metadata.num_rows
@@ -99,14 +100,30 @@ def run_checkpointed(input_dir: str, output_dir: str,
             n_detected += pc.sum(
                 pc.cast(pc.equal(flat.field("kind"), "text_line"), "int64")
             ).as_py() or 0
+            n_pages += pc.sum(
+                pc.cast(pc.equal(flat.field("kind"), "media"), "int64")
+            ).as_py() or 0
+            # Detected-lines-per-page histogram — the skew signal the
+            # size-bucketing / dense-routing decisions are based on (north
+            # rule: per-partition detection-count metrics).
+            lines = flat.filter(pc.equal(flat.field("kind"), "text_line"))
+            per_page = pc.value_counts(lines.field("media_ref"))
+            for entry in per_page.to_pylist():
+                c = entry["counts"]
+                bucket = ("0" if c == 0 else "1-4" if c <= 4 else
+                          "5-9" if c <= 9 else "10-19" if c <= 19 else "20+")
+                page_hist[bucket] = page_hist.get(bucket, 0) + 1
         rec = {
             "chunk": ci,
             "files": [os.path.basename(f) for f in chunk],
             "lineage": lineage,
             "n_docs": n_docs,
+            "n_pages": n_pages,
             "n_spans": n_spans,
             "n_detected_spans": n_detected,
+            "detected_per_page_hist": dict(sorted(page_hist.items())),
             "wall_s": round(time.time() - t0, 3),
+            "pages_per_sec": round(n_pages / max(1e-9, time.time() - t0), 2),
         }
         tmp_man = man_path + ".tmp"
         with open(tmp_man, "w") as f:
