@@ -13,7 +13,8 @@ Layout:
   ctdray.represent   DBNet-style bitmap→quad extraction (reference: utils/db_utils.py:32-211)
   ctdray.textblock   TextBlock record + grouping/merging/splitting/sorting heuristics
                      (reference: utils/textblock.py)
-  ctdray.maskrefine  per-block mask refinement (reference: utils/textmask.py)
+  ctdray.textmask    per-block mask refinement (reference: utils/textmask.py)
+  ctdray.eval        detection-quality metrics (reference: utils/db_utils.py:233-435)
   ctdray.surrogate   deterministic sandbox detector backend (same output contract as
                      the torch/ONNX backends, reference: basemodel.py:222-256)
   ctdray.oracle      single-process reference chain used as the correctness oracle

@@ -114,8 +114,8 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
 
 
 def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16,
-                      threshold: float = 0.8,
-                      shingle_k: int = 3) -> ray.data.Dataset:
+                      threshold: float = 0.8, shingle_k: int = 3,
+                      anti_join: str = "broadcast") -> ray.data.Dataset:
     """MinHash+LSH near-dedup; returns surviving (doc_id, text) rows.
 
     Stages: signature map_batches (stateful hasher per actor) → explode to
@@ -171,14 +171,16 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16,
     dup_rows = verified.filter(expr="is_dup == True")
     # doc with a verified smaller partner is a duplicate; b_id > a_id by
     # construction, so the duplicate set is exactly the distinct b_ids.
-    dup_ids = set(dup_rows.select_columns(["b_id"]).unique("b_id"))
-    dup_ids = {d["b_id"] if isinstance(d, dict) else d for d in dup_ids}
+    from .joins import broadcast_anti_join, shuffle_anti_join
 
-    def keep(batch: pa.Table) -> pa.Table:
-        mask = [d not in dup_ids for d in batch.column("doc_id").to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
-
-    return ds.map_batches(keep, batch_format="pyarrow")
+    dup_keys = dup_rows.map_batches(
+        lambda b: pa.table({"doc_id": b.column("b_id")}),
+        batch_format="pyarrow")
+    if anti_join == "shuffle":
+        # 10^12-doc path: dup set too large to broadcast — hash-partition
+        # both sides on doc_id instead (one shuffle of the corpus).
+        return shuffle_anti_join(ds, dup_keys, "doc_id")
+    return broadcast_anti_join(ds, dup_keys, "doc_id")
 
 
 # ---------------------------------------------------------------------------

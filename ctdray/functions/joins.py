@@ -1,0 +1,107 @@
+"""Join primitives the reference lacks (SURVEY.md §2.11) as Ray-Data-first
+operators.
+
+Two physical strategies, chosen by the small side's size:
+
+  broadcast_*   the small side is ``ray.put`` ONCE and read inside every
+                map_batches task — zero shuffle of the big side.  Right when
+                the small side fits comfortably in the object store
+                (dimension tables, dup-id sets in the thousands/millions).
+
+  shuffle_anti_join
+                both sides hash-partition on the key via ``groupby`` — the
+                big side shuffles once, the key side is tiny.  Right when
+                the key set is too large to broadcast (billion-row dup sets
+                at 10^12-doc scale).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def broadcast_semi_join(ds: ray.data.Dataset, keys, key_col: str,
+                        anti: bool = False) -> ray.data.Dataset:
+    """Keep rows whose ``key_col`` is (anti: is not) in ``keys``.
+    ``keys`` may be a python iterable or a small Dataset of one column."""
+    if isinstance(keys, ray.data.Dataset):
+        keys = [r[key_col] for r in keys.take_all()]
+    key_ref = ray.put(frozenset(keys))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keyset = ray.get(key_ref)
+        col = batch.column(key_col).to_pylist()
+        mask = [(k in keyset) != anti for k in col]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def broadcast_anti_join(ds: ray.data.Dataset, keys,
+                        key_col: str) -> ray.data.Dataset:
+    return broadcast_semi_join(ds, keys, key_col, anti=True)
+
+
+def broadcast_lookup_join(ds: ray.data.Dataset, lookup: dict, key_col: str,
+                          value_col: str,
+                          default=None) -> ray.data.Dataset:
+    """Equi-join against a broadcast dict: adds ``value_col`` looked up from
+    ``key_col`` (the dimension-table pattern in pipelines.analytics)."""
+    lookup_ref = ray.put(lookup)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        table = ray.get(lookup_ref)
+        vals = [table.get(k, default) for k in batch.column(key_col).to_pylist()]
+        return batch.append_column(value_col, pa.array(vals))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def shuffle_anti_join(ds: ray.data.Dataset, keys_ds: ray.data.Dataset,
+                      key_col: str) -> ray.data.Dataset:
+    """Anti-join by hash-partitioning both sides on ``key_col``: the big side
+    shuffles once; no driver-side materialization of either side.  ``keys_ds``
+    needs only the key column."""
+    marker = "__aj_marker"
+
+    # Carry full rows for the data side; key rows carry only the marker.
+    def mark_data(batch: pa.Table) -> pa.Table:
+        return batch.append_column(marker, pa.array(
+            np.zeros(len(batch), dtype=np.int8)))
+
+    def mark_keys(batch: pa.Table) -> pa.Table:
+        out = batch.select([key_col])
+        return out.append_column(marker, pa.array(
+            np.ones(len(batch), dtype=np.int8)))
+
+    data = ds.map_batches(mark_data, batch_format="pyarrow")
+    keys = keys_ds.map_batches(mark_keys, batch_format="pyarrow")
+
+    def drop_marked(group: pa.Table) -> pa.Table:
+        flags = group.column(marker).to_numpy(zero_copy_only=False)
+        keep = group.filter(pa.array(flags == 0))
+        if flags.max() == 1:        # key present → anti-join drops the group
+            keep = keep.slice(0, 0)
+        return keep.drop_columns([marker])
+
+    # union requires identical schemas: pad the key side with nulls for every
+    # data column (types captured driver-side once).
+    sch = ds.schema()
+    col_types = dict(zip(sch.names, sch.types))
+
+    def pad_keys(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cols = {}
+        for name, typ in col_types.items():
+            if name == key_col:
+                cols[name] = batch.column(key_col)
+            else:
+                cols[name] = pa.nulls(n, typ)
+        cols[marker] = batch.column(marker)
+        return pa.table(cols)
+
+    keys = keys.map_batches(pad_keys, batch_format="pyarrow")
+    both = data.union(keys)
+    return both.groupby(key_col).map_groups(drop_marked, batch_format="pyarrow")
