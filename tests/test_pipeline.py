@@ -134,3 +134,26 @@ def test_hybrid_dense_routing_matches_oracle(ray_session, corpus_tbl):
     exp = _norm(flatten_out_docs(run_oracle(corpus_tbl)).to_pandas())
     assert len(got) == len(exp) > 0
     assert got.equals(exp)
+
+
+def test_determinism_across_batching_and_compute(ray_session, corpus_tbl):
+    """Same corpus, different batch sizes / block counts / compute modes →
+    identical span tables (SURVEY.md §5 property: pipeline output is
+    invariant to parallelism choices)."""
+    import ray.data as rd
+
+    from ctdray.pipelines.extract import build_flat_spans
+
+    configs = [
+        PipelineConfig(docs_batch_size=1),
+        PipelineConfig(docs_batch_size=16, detect_batch_size=2),
+        PipelineConfig(detect_compute="actors", detect_concurrency=2,
+                       docs_batch_size=3),
+    ]
+    outs = []
+    for cfg in configs:
+        ds = rd.from_arrow(corpus_tbl).repartition(5)
+        outs.append(_norm(build_flat_spans(ds, cfg).to_pandas()))
+    assert len(outs[0]) > 0
+    assert outs[0].equals(outs[1])
+    assert outs[0].equals(outs[2])
