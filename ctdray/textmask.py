@@ -96,20 +96,24 @@ def _paint_component(canvas: np.ndarray, comp, value=255) -> None:
 
 def get_topk_color(color_list, bins, k: int = 3, color_var: int = 10,
                    bin_tol: float = 0.001):
-    """utils/textmask.py:16-27 verbatim (including the caller's swapped
-    histogram outputs: ``color_list`` is the bin-EDGE array, ``bins`` the
-    counts — zip truncation keeps indexing in range)."""
-    idx = np.argsort(bins * -1)
-    color_list, bins = color_list[idx], bins[idx]
-    top_colors = [color_list[0]]
-    bin_tol = np.sum(bins) * bin_tol
-    if len(color_list) > 1:
-        for color, bin_ in zip(color_list[1:], bins[1:]):
-            if np.abs(np.array(top_colors) - color).min() > color_var:
-                top_colors.append(color)
-            if len(top_colors) >= k or bin_ < bin_tol:
-                break
-    return top_colors
+    """Top-k modal grey values, ≥``color_var`` apart, stopping early at
+    ``k`` picks or once a candidate's count drops under ``bin_tol`` of the
+    total (semantics of utils/textmask.py:16-27 — including the caller's
+    swapped histogram outputs: ``color_list`` is the bin-EDGE array and
+    ``bins`` the counts; the edge array being one longer is harmless because
+    descending-count order never reaches the dangling edge).
+    """
+    order = np.argsort(-np.asarray(bins))
+    colors_desc = np.asarray(color_list)[order]
+    counts_desc = np.asarray(bins)[order]
+    picked = [colors_desc[0]]
+    min_count = counts_desc.sum() * bin_tol
+    for color, count in zip(colors_desc[1:], counts_desc[1:]):
+        if min(abs(p - color) for p in picked) > color_var:
+            picked.append(color)
+        if len(picked) >= k or count < min_count:
+            break
+    return picked
 
 
 def minxor_thresh(threshed: np.ndarray, mask: np.ndarray, dilate: bool = False):
