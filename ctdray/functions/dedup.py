@@ -131,7 +131,7 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16,
             self.h = MinHasher(num_perm, shingle_k)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            out = {"band": [], "band_hash": [], "doc_id": [], "text": []}
+            out = {"band": [], "band_hash": [], "doc_id": []}
             for doc_id, text in zip(batch.column("doc_id").to_pylist(),
                                     batch.column("text").to_pylist()):
                 sig = self.h.signature(text)
@@ -141,38 +141,54 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16,
                     out["band_hash"].append(
                         _stable_hash64(",".join(map(str, chunk))))
                     out["doc_id"].append(doc_id)
-                    out["text"].append(text)
             return pa.table({"band": pa.array(out["band"], pa.int32()),
                              "band_hash": pa.array(out["band_hash"], pa.uint64()),
-                             "doc_id": pa.array(out["doc_id"]),
-                             "text": pa.array(out["text"], pa.string())})
+                             "doc_id": pa.array(out["doc_id"])})
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_pylist()
-        txt = group.column("text").to_pylist()
-        uniq = sorted(set(zip(ids, txt)))
-        a_id, a_tx, b_id, b_tx = [], [], [], []
-        for (ia, ta), (ib, tb) in itertools.combinations(uniq, 2):
-            a_id.append(ia); a_tx.append(ta); b_id.append(ib); b_tx.append(tb)
-        return pa.table({"a_id": pa.array(a_id), "a_text": pa.array(a_tx, pa.string()),
-                         "b_id": pa.array(b_id), "b_text": pa.array(b_tx, pa.string())})
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+        a_id, b_id = [], []
+        for ia, ib in itertools.combinations(ids, 2):
+            a_id.append(ia); b_id.append(ib)
+        return pa.table({"a_id": pa.array(a_id), "b_id": pa.array(b_id)})
 
-    def verify(batch: pa.Table) -> pa.Table:
-        dup = []
-        for ta, tb in zip(batch.column("a_text").to_pylist(),
-                          batch.column("b_text").to_pylist()):
-            dup.append(jaccard(ta, tb, shingle_k) >= threshold)
-        return batch.append_column("is_dup", pa.array(dup, pa.bool_()))
+    def first_pair(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
 
     sigs = ds.map_batches(Signatures, batch_format="pyarrow", concurrency=(1, 8))
+    # Only (band, band_hash, doc_id) triples shuffle — the corpus text never
+    # enters the LSH exchange.
     pairs = (sigs.groupby(["band", "band_hash"])
                  .map_groups(bucket_pairs, batch_format="pyarrow"))
+    # The same pair surfaces once per colliding band: dedupe before the
+    # (expensive) exact-Jaccard verification.
+    pairs = pairs.groupby(["a_id", "b_id"]).map_groups(first_pair,
+                                                       batch_format="pyarrow")
+
+    # Fetch candidate texts with a broadcast semi-join on the (small)
+    # candidate id set; at extreme scale this becomes a shuffle equi-join,
+    # but candidates are a vanishing fraction of the corpus by construction.
+    import ray
+
+    from .joins import broadcast_anti_join, broadcast_semi_join, \
+        shuffle_anti_join
+
+    pair_rows = pairs.take_all()
+    cand_ids = {r["a_id"] for r in pair_rows} | {r["b_id"] for r in pair_rows}
+    cand_docs = broadcast_semi_join(ds, cand_ids, "doc_id").take_all()
+    text_ref = ray.put({r["doc_id"]: r["text"] for r in cand_docs})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        texts = ray.get(text_ref)
+        dup = [jaccard(texts[a], texts[b], shingle_k) >= threshold
+               for a, b in zip(batch.column("a_id").to_pylist(),
+                               batch.column("b_id").to_pylist())]
+        return batch.append_column("is_dup", pa.array(dup, pa.bool_()))
+
     verified = pairs.map_batches(verify, batch_format="pyarrow")
     dup_rows = verified.filter(expr="is_dup == True")
     # doc with a verified smaller partner is a duplicate; b_id > a_id by
     # construction, so the duplicate set is exactly the distinct b_ids.
-    from .joins import broadcast_anti_join, shuffle_anti_join
-
     dup_keys = dup_rows.map_batches(
         lambda b: pa.table({"doc_id": b.column("b_id")}),
         batch_format="pyarrow")

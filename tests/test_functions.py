@@ -1,0 +1,142 @@
+"""Unit tests for the training-data ops: text kernels, dedup, similarity."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ctdray.functions.text import (STOPWORDS, fingerprint_batch, langid_one,
+                                   text_stats_batch, token_count_batch,
+                                   token_set_key)
+
+
+def _doc_batch(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_token_count_matches_single_space_split():
+    texts = ["a b c", "", "one", "x  y"]          # double space → empty piece
+    out = token_count_batch(_doc_batch(texts)).to_pandas()
+    assert list(out.n_tokens) == [3, 1, 1, 3]
+
+
+def test_text_stats_integers_consistent():
+    texts = ["the cat sat on the mat", "a", "no stop words here"]
+    out = text_stats_batch(_doc_batch(texts)).to_pandas()
+    for _, r in out.iterrows():
+        t = texts[int(r.doc_id)]
+        toks = t.split(" ")
+        assert r.n_chars == len(t)
+        assert r.n_tokens == len(toks)
+        assert r.total_token_chars == sum(len(x) for x in toks)
+        assert r.stopword_count == sum(1 for x in toks if x in STOPWORDS)
+
+
+def test_fingerprint_is_md5():
+    import hashlib
+
+    out = fingerprint_batch(_doc_batch(["hello world"])).to_pandas()
+    assert out.fingerprint[0] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_langid_branches():
+    assert langid_one("the cat and the dog is in a tree") == "eng"
+    assert langid_one("zz yy xx ww vv uu") == "unknown"
+    assert langid_one("これは日本語のテキストです") == "ja"
+    assert langid_one("") == "unknown"
+
+
+def test_token_set_key_order_and_multiplicity_insensitive():
+    assert token_set_key("b a b a c") == token_set_key("c b a") == "a b c"
+
+
+def test_exact_and_token_set_dedup(ray_session):
+    import ray.data as rd
+
+    from ctdray.functions.dedup import exact_dedup, token_set_dedup
+
+    tbl = _doc_batch(["x y z", "x y z", "z y x", "unique words here"])
+    exact = exact_dedup(rd.from_arrow(tbl)).to_pandas()
+    assert sorted(exact.doc_id) == [0, 2, 3]      # only literal dup collapsed
+    tset = token_set_dedup(rd.from_arrow(tbl)).to_pandas()
+    assert sorted(tset.doc_id) == [0, 3]          # reordering collapsed too
+
+
+def test_simhash_dedup_identical_texts(ray_session):
+    import ray.data as rd
+
+    from ctdray.functions.dedup import simhash64, simhash_dedup
+
+    assert simhash64("alpha beta gamma") == simhash64("alpha beta gamma")
+    tbl = _doc_batch(["alpha beta gamma"] * 3 + ["totally different thing"])
+    out = simhash_dedup(rd.from_arrow(tbl)).to_pandas()
+    assert sorted(out.doc_id) == [0, 3]
+
+
+def test_minhash_lsh_finds_near_duplicates(ray_session):
+    import ray.data as rd
+
+    from ctdray.functions.dedup import jaccard, minhash_lsh_dedup
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("today", "tonight")        # high shingle overlap
+    far = "completely unrelated sentence with distinct vocabulary entirely"
+    assert jaccard(base, near) > 0.8 > jaccard(base, far)
+    tbl = _doc_batch([base, near, far])
+    out = minhash_lsh_dedup(rd.from_arrow(tbl), threshold=0.8).to_pandas()
+    assert sorted(out.doc_id) == [0, 2]
+
+
+def test_knn_bruteforce_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from ctdray.functions.similarity import knn_bruteforce
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((40, 8))
+    tbl = pa.table({"vec_id": pa.array(range(40), pa.int64()),
+                    "embedding": pa.array(vecs.tolist())})
+    q = vecs[:2]
+    out = knn_bruteforce(rd.from_arrow(tbl), q, np.array([0, 1]), k=5).to_pandas()
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for qi in (0, 1):
+        sims = unit @ unit[qi]
+        want = list(np.lexsort((np.arange(40), -sims))[:5])
+        got = list(out[out.q_id == qi].sort_values("rank").vec_id)
+        assert got == want
+    # self always rank 1
+    assert out[(out.q_id == 0) & (out["rank"] == 1)].vec_id.iloc[0] == 0
+
+
+def test_knn_lsh_subset_of_bruteforce_candidates(ray_session):
+    import ray.data as rd
+
+    from ctdray.functions.similarity import knn_lsh
+
+    rng = np.random.default_rng(6)
+    vecs = rng.standard_normal((60, 8))
+    tbl = pa.table({"vec_id": pa.array(range(60), pa.int64()),
+                    "embedding": pa.array(vecs.tolist())})
+    out = knn_lsh(rd.from_arrow(tbl), vecs[:3], np.array([0, 1, 2]), k=5,
+                  n_planes=6).to_pandas()
+    # approximate: every query at least finds itself (same bucket by def)
+    for qi in (0, 1, 2):
+        mine = out[out.q_id == qi]
+        assert len(mine) >= 1
+        assert mine.sort_values("rank").vec_id.iloc[0] == qi
+
+
+def test_embedding_near_dedup(ray_session):
+    import ray.data as rd
+
+    from ctdray.functions.dedup import embedding_near_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((5, 8))
+    # duplicate of row 0 with tiny noise, plus distinct rows
+    vecs = np.vstack([base, base[0] + 1e-6])
+    tbl = pa.table({"vec_id": pa.array(range(6), pa.int64()),
+                    "embedding": pa.array(vecs.tolist()),
+                    "label": pa.array([0] * 6, pa.int32())})
+    out = embedding_near_dedup(rd.from_arrow(tbl), threshold=0.999).to_pandas()
+    assert 5 not in set(out.vec_id)               # the near-dup is dropped
+    assert set(out.vec_id) >= {0, 1, 2, 3, 4} - {5}
