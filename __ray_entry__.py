@@ -25,8 +25,12 @@ from ctdray.functions.text import (fingerprint_batch, langid_batch,
                                    text_stats_batch, token_count_batch)
 from ctdray.pipelines.analytics import (events_hourly,
                                         lineitem_pricing_summary,
-                                        orders_by_nation, partial_aggregate,
+                                        orders_by_nation,
+                                        orders_monthly_by_priority,
+                                        part_type_stats, partial_aggregate,
                                         sessionize_events,
+                                        shipped_1995_by_flag,
+                                        supplier_stats_by_nation,
                                         top_customers_by_orders)
 from ctdray.pipelines.extract import (build_blocks, build_detected_spans,
                                       build_flat_spans)
@@ -173,6 +177,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": orders_by_nation,
         "events_hourly": events_hourly,
         "sessionize_events": sessionize_events,
+        "part_type_stats": part_type_stats,
+        "shipped_1995_by_flag": shipped_1995_by_flag,
+        "supplier_stats_by_nation": supplier_stats_by_nation,
+        "orders_monthly_by_priority": orders_monthly_by_priority,
     }
 
 
@@ -238,4 +246,21 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT user_id, epoch(ts - lag(ts) OVER ("
             "    PARTITION BY user_id ORDER BY ts)) AS gap_s FROM events) "
             "GROUP BY user_id"),
+        "part_type_stats": (
+            "SELECT p_type, CAST(count(*) AS BIGINT) AS n_parts, "
+            "min(p_retailprice) AS min_price, max(p_retailprice) AS max_price "
+            "FROM part GROUP BY p_type"),
+        "shipped_1995_by_flag": (
+            "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-01-01' GROUP BY l_returnflag"),
+        "supplier_stats_by_nation": (
+            "SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers, "
+            "min(s_acctbal) AS min_acctbal, max(s_acctbal) AS max_acctbal "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "GROUP BY n_name"),
+        "orders_monthly_by_priority": (
+            "SELECT date_trunc('month', o_orderdate) AS month, "
+            "o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders GROUP BY 1, 2"),
     }

@@ -151,6 +151,93 @@ def orders_by_nation(sf_dir: str) -> ray.data.Dataset:
                               batch_format="pyarrow"))
 
 
+def part_type_stats(sf_dir: str) -> ray.data.Dataset:
+    """Groupby over part types: count + exact min/max retail price."""
+    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_type", "p_retailprice"])
+
+    def with_one(batch: pa.Table) -> pa.Table:
+        return batch.append_column("one", pa.array(np.ones(len(batch),
+                                                           dtype=np.int64)))
+
+    return partial_aggregate(
+        ds.map_batches(with_one, batch_format="pyarrow"), ["p_type"],
+        [("one", "sum", "n_parts"), ("p_retailprice", "min", "min_price"),
+         ("p_retailprice", "max", "max_price")])
+
+
+def shipped_1995_by_flag(sf_dir: str) -> ray.data.Dataset:
+    """Filter-at-the-read demo: a pyarrow predicate is pushed into the
+    Parquet scan (row groups outside 1995 never leave storage), then a
+    partial-agg count per returnflag."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    lo = datetime.datetime(1995, 1, 1)
+    hi = datetime.datetime(1996, 1, 1)
+    expr = (pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi)
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_shipdate"],
+                               filter=expr)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["l_returnflag"]).aggregate([("l_returnflag", "count")])
+        return pa.table({"l_returnflag": res.column("l_returnflag"),
+                         "n_items": pc.cast(res.column("l_returnflag_count"),
+                                            pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("l_returnflag")
+              .map_groups(lambda g: pa.table({
+                  "l_returnflag": g.column("l_returnflag").slice(0, 1),
+                  "n_items": pa.array([pc.sum(g.column("n_items")).as_py()],
+                                      pa.int64())}),
+                          batch_format="pyarrow"))
+
+
+def supplier_stats_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast join supplier→nation + count / min / max account balance."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    name_by_key = dict(zip(nation.column("n_nationkey").to_pylist(),
+                           nation.column("n_name").to_pylist()))
+    import ray as _ray
+
+    side = _ray.put(name_by_key)
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_nationkey", "s_acctbal"])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lookup = _ray.get(side)
+        names = [lookup.get(k, "") for k in batch.column("s_nationkey").to_pylist()]
+        return pa.table({"n_name": pa.array(names, pa.string()),
+                         "s_acctbal": batch.column("s_acctbal"),
+                         "one": pa.array(np.ones(len(batch), dtype=np.int64))})
+
+    return partial_aggregate(
+        sup.map_batches(attach, batch_format="pyarrow"), ["n_name"],
+        [("one", "sum", "n_suppliers"), ("s_acctbal", "min", "min_acctbal"),
+         ("s_acctbal", "max", "max_acctbal")])
+
+
+def orders_monthly_by_priority(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling month window × priority: count of orders."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderdate", "o_orderpriority"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(batch.column("o_orderdate"), unit="month")
+        return pa.table({"month": month,
+                         "o_orderpriority": batch.column("o_orderpriority"),
+                         "one": pa.array(np.ones(len(batch), dtype=np.int64))})
+
+    return partial_aggregate(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        ["month", "o_orderpriority"], [("one", "sum", "n_orders")])
+
+
 def sessionize_events(sf_dir: str, gap_seconds: int = 1800) -> ray.data.Dataset:
     """Gap-based sessionization per user — the stateful-per-key streaming op:
     ``groupby(user_id).map_groups`` sorts each user's events by time and
