@@ -52,13 +52,8 @@ class PipelineConfig:
     # make a task unbounded.  The groupby then carries only the skew tail.
     dense_media_threshold: int = 32
     docs_batch_size: int = 4                # docs per fused-stage batch
-    # Fuse detect+postprocess into one stage so the big per-page maps never
-    # cross a stage boundary / enter the object store.  Set False to split the
-    # stages (the prod GPU-actor layout; maps then ship between stages).
-    fuse_postprocess: bool = True
-    # Optional pixel-consuming mask refinement stage (reference REFINEMASK_*,
-    # utils/textmask.py:13-14).  Off by default: it does not affect the span
-    # contract and forces decoded pixels to stay alive longer.
-    refine_masks: bool = False
-    keep_undetected_mask: bool = False      # inference.py:35,142
+    # Mask-refinement stage knobs (reference REFINEMASK_*, utils/textmask.py:
+    # 13-14; consumed by stages/refine.py — the annotation flow at
+    # inference.py:35 runs ANNOTATION mode with undetected-region recovery).
+    keep_undetected_mask: bool = True       # inference.py:35,142
     refine_mode: str = "annotation"         # 'annotation' | 'inpaint'
