@@ -157,3 +157,22 @@ def test_determinism_across_batching_and_compute(ray_session, corpus_tbl):
     assert len(outs[0]) > 0
     assert outs[0].equals(outs[1])
     assert outs[0].equals(outs[2])
+
+
+def test_write_docs_round_trip(ray_session, tmp_path):
+    """Nested span arrays survive the Parquet sink/source round trip
+    (the Lance-adapter contract, ctdray.sources.docs)."""
+    import ray.data as rd
+
+    from ctdray.oracle import run_oracle
+    from ctdray.sources.docs import read_docs, write_docs
+
+    out_docs = run_oracle(make_corpus(5))
+    path = str(tmp_path / "outdocs")
+    write_docs(rd.from_arrow(out_docs), path)
+    back = read_docs(path).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    orig = out_docs.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(back.doc_id) == list(orig.doc_id)
+    for g, e in zip(back.spans, orig.spans):
+        assert [tuple(sorted(s.items())) for s in g] == \
+               [tuple(sorted(s.items())) for s in e]
