@@ -35,7 +35,7 @@ def _consume_count(ds) -> int:
     return n
 
 
-def run_bench(sf_dir: str, num_cpus: int, n_runs: int = 2) -> dict:
+def run_bench(sf_dir: str, num_cpus: int, n_runs: int = 3) -> dict:
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,

@@ -163,11 +163,32 @@ def build_out_docs(docs: ray.data.Dataset,
 
     dense = docs.map_batches(_make_density_filter(thr, dense=True),
                              batch_format="pyarrow")
-    originals = dense.map_batches(explode_all_spans, batch_format="pyarrow")
+    # The tail's span rows are materialized ONCE: it is a bounded, vanishing
+    # fraction of the corpus by construction, and every Ray Data consumer of
+    # a lazy dataset re-executes its whole upstream chain — without this the
+    # originals and pages branches would each re-run read+interleave+filter
+    # over the full corpus, and the splice sort (a barrier) could not start
+    # until the slower of those duplicate scans finished.
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    dense_spans = (dense.map_batches(explode_all_spans, batch_format="pyarrow")
+                        .repartition(max(4, cpus // 4))
+                        .materialize())
+
+    def media_rows(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        sel = batch.filter(pc.equal(batch.column("kind"), "media"))
+        return pa.table({"doc_id": sel.column("doc_id"),
+                         "media_offset": sel.column("offset"),
+                         "media_ref": sel.column("media_ref")})
+
     # Stateless tasks, not a second actor pool: the tail reserves no CPUs
     # (two competing pools can deadlock a small cluster) and an empty tail
     # costs nothing; the per-worker detector cache keeps setup amortized.
-    pages = dense.map_batches(explode_media_spans, batch_format="pyarrow")
+    pages = dense_spans.map_batches(media_rows, batch_format="pyarrow")
     pages = pages.map_batches(DecodeStage(keep_pixels=False),
                               batch_format="pyarrow",
                               batch_size=cfg.postprocess_batch_size)
@@ -177,14 +198,7 @@ def build_out_docs(docs: ray.data.Dataset,
         batch_format="pyarrow",
         batch_size=cfg.detect_batch_size,
     )
-    all_spans = originals.union(detected)
-    # Coalesce (no shuffle) before the groupby: the tail is a small fraction
-    # of blocks, and without this the sort inherits the full upstream block
-    # count and schedules hundreds of near-empty map/reduce/splice tasks.
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    all_spans = all_spans.repartition(max(4, cpus // 4))
+    all_spans = dense_spans.union(detected)
     dense_out = all_spans.groupby("doc_id").map_groups(splice_groups,
                                                        batch_format="pyarrow")
     return fused.union(dense_out)
