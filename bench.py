@@ -9,10 +9,10 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line::
    "unit": "sec", "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
    "pages_per_sec": ..., "n_pages": ..., "n_spans": ...}
 
-``--scaling``: run the headline extraction job twice in FRESH subprocesses at
+``--scaling``: run the headline extraction job in FRESH subprocesses at
 num_cpus=8 and num_cpus=32 (the sandbox proxy for N- vs 4N-node clusters,
-BASELINE.json) and report both throughputs + scaling efficiency
-= tp(4N) / (4 · tp(N)).
+BASELINE.json) — each leg warms up then takes best-of-3 — and report both
+throughputs + scaling efficiency = tp(4N) / (4 · tp(N)).
 """
 from __future__ import annotations
 
