@@ -26,6 +26,7 @@ from ctdray.functions.text import (fingerprint_batch, langid_batch,
 from ctdray.pipelines.analytics import (events_hourly,
                                         lineitem_pricing_summary,
                                         orders_by_nation,
+                                        orders_by_mktsegment,
                                         orders_monthly_by_priority,
                                         part_type_stats, partial_aggregate,
                                         sessionize_events,
@@ -181,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipped_1995_by_flag": shipped_1995_by_flag,
         "supplier_stats_by_nation": supplier_stats_by_nation,
         "orders_monthly_by_priority": orders_monthly_by_priority,
+        "orders_by_mktsegment": orders_by_mktsegment,
     }
 
 
@@ -263,4 +265,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT date_trunc('month', o_orderdate) AS month, "
             "o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders "
             "FROM orders GROUP BY 1, 2"),
+        "orders_by_mktsegment": (
+            "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"),
     }

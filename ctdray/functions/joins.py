@@ -59,6 +59,23 @@ def broadcast_lookup_join(ds: ray.data.Dataset, lookup: dict, key_col: str,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
+              on: str, right_on: str | None = None,
+              join_type: str = "inner",
+              num_partitions: int | None = None) -> ray.data.Dataset:
+    """Distributed hash join via Ray Data's native ``Dataset.join`` (both
+    sides hash-partition on the key).  Use when BOTH sides are too large to
+    broadcast; otherwise prefer :func:`broadcast_lookup_join` (no shuffle of
+    the big side)."""
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(4, cpus // 2)
+    return left.join(right, join_type=join_type,
+                     num_partitions=num_partitions,
+                     on=(on,),
+                     right_on=(right_on,) if right_on else None)
+
+
 def shuffle_anti_join(ds: ray.data.Dataset, keys_ds: ray.data.Dataset,
                       key_col: str) -> ray.data.Dataset:
     """Anti-join by hash-partitioning both sides on ``key_col``: the big side

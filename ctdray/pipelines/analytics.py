@@ -238,6 +238,33 @@ def orders_monthly_by_priority(sf_dir: str) -> ray.data.Dataset:
         ["month", "o_orderpriority"], [("one", "sum", "n_orders")])
 
 
+def orders_by_mktsegment(sf_dir: str) -> ray.data.Dataset:
+    """Native distributed hash join (both sides shuffle on the key — the
+    path for two large tables; functions.joins.hash_join) then partial-agg
+    count per market segment."""
+    from ..functions.joins import hash_join
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    joined = hash_join(orders, cust, on="o_custkey", right_on="c_custkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["c_mktsegment"]).aggregate([("c_mktsegment", "count")])
+        return pa.table({"c_mktsegment": res.column("c_mktsegment"),
+                         "n_orders": pc.cast(res.column("c_mktsegment_count"),
+                                             pa.int64())})
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+                  .groupby("c_mktsegment")
+                  .map_groups(lambda g: pa.table({
+                      "c_mktsegment": g.column("c_mktsegment").slice(0, 1),
+                      "n_orders": pa.array([pc.sum(g.column("n_orders")).as_py()],
+                                           pa.int64())}),
+                              batch_format="pyarrow"))
+
+
 def sessionize_events(sf_dir: str, gap_seconds: int = 1800) -> ray.data.Dataset:
     """Gap-based sessionization per user — the stateful-per-key streaming op:
     ``groupby(user_id).map_groups`` sorts each user's events by time and
