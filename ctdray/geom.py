@@ -444,8 +444,12 @@ def min_area_rect(pts: np.ndarray):
         return corners, (float(np.hypot(*d)), 0.0)
     edges = _next_verts(hull) - hull
     ang = np.arctan2(edges[:, 1], edges[:, 0])
+    # sorted unique without np.unique's dispatch overhead (same values/order)
+    cand = np.sort(np.mod(ang, np.pi / 2))
+    if len(cand) > 1:
+        cand = cand[np.concatenate(([True], np.diff(cand) > 0))]
     best = None
-    for a in np.unique(np.mod(ang, np.pi / 2)):
+    for a in cand:
         c, s = np.cos(a), np.sin(a)
         rot = np.array([[c, s], [-s, c]])
         proj = hull @ rot.T

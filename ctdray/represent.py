@@ -64,10 +64,13 @@ def boxes_from_bitmap(pred: np.ndarray, thresh: float = 0.3,
         if sside < 2:                        # utils/db_utils.py:148
             continue
         npix = runs_pixel_count(starts, ends)
-        # Row-local prefix sums over just this component's rows.
-        csum = row_cumsum(pred[rows])
+        # Row-local prefix sums over just this component's row × column
+        # window (a text line spans ~10-30% of the page width, so the
+        # column crop cuts the cumsum work proportionally).
+        c0 = int(starts.min())
+        csum = row_cumsum(pred[rows][:, c0:int(ends.max())])
         local = np.arange(len(rows))
-        score = runs_values_sum(csum, local, starts, ends) / npix
+        score = runs_values_sum(csum, local, starts - c0, ends - c0) / npix
         expanded = unclip_rect(order_rect_corners(corners, wh)[0], unclip_ratio)
         corners2, wh2 = min_area_rect(expanded)
         box, _ = order_rect_corners(corners2, wh2)
