@@ -26,6 +26,8 @@ from ctdray.functions.text import (fingerprint_batch, langid_batch,
 from ctdray.pipelines.analytics import (events_hourly,
                                         lineitem_pricing_summary,
                                         orders_by_nation,
+                                        daily_distinct_users,
+                                        events_sliding_2h,
                                         orders_by_mktsegment,
                                         orders_monthly_by_priority,
                                         part_type_stats, partial_aggregate,
@@ -183,6 +185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_stats_by_nation": supplier_stats_by_nation,
         "orders_monthly_by_priority": orders_monthly_by_priority,
         "orders_by_mktsegment": orders_by_mktsegment,
+        "events_sliding_2h": events_sliding_2h,
+        "daily_distinct_users": daily_distinct_users,
     }
 
 
@@ -269,4 +273,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment"),
+        "events_sliding_2h": (
+            "SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS n_events "
+            "FROM (SELECT unnest([date_trunc('hour', ts), "
+            "date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start, "
+            "event_type FROM events) GROUP BY win_start, event_type"),
+        "daily_distinct_users": (
+            "SELECT date_trunc('day', ts) AS day, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY 1"),
     }

@@ -265,6 +265,51 @@ def orders_by_mktsegment(sf_dir: str) -> ray.data.Dataset:
                               batch_format="pyarrow"))
 
 
+def events_sliding_2h(sf_dir: str) -> ray.data.Dataset:
+    """Sliding window (size 2h, step 1h): each event replicates into the two
+    windows covering it inside map_batches (vectorized), then the usual
+    partial-agg reduce — the overlap factor, not a shuffle, carries the
+    window semantics."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+
+    def explode_windows(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        prev = pc.subtract(hour, pa.scalar(3_600_000_000,
+                                           pa.duration("us")))
+        win = pa.concat_arrays([pc.cast(hour, pa.timestamp("us")).combine_chunks(),
+                                pc.cast(prev, pa.timestamp("us")).combine_chunks()])
+        etype = batch.column("event_type").combine_chunks()
+        etype2 = pa.concat_arrays([etype, etype])
+        return pa.table({"win_start": win, "event_type": etype2,
+                         "one": pa.array(np.ones(2 * len(batch), dtype=np.int64))})
+
+    return partial_aggregate(
+        ds.map_batches(explode_windows, batch_format="pyarrow"),
+        ["win_start", "event_type"], [("one", "sum", "n_events")])
+
+
+def daily_distinct_users(sf_dir: str) -> ray.data.Dataset:
+    """Distributed exact distinct-count: per-batch (day, user) dedup shrinks
+    the exchange, then per-day unique count in the reduce."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+
+    def day_user(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        t = pa.table({"day": day, "user_id": batch.column("user_id")})
+        return t.group_by(["day", "user_id"]).aggregate([])
+
+    def count_unique(group: pa.Table) -> pa.Table:
+        uniq = group.group_by(["user_id"]).aggregate([]).num_rows
+        return pa.table({"day": group.column("day").slice(0, 1),
+                         "n_users": pa.array([uniq], pa.int64())})
+
+    return (ds.map_batches(day_user, batch_format="pyarrow")
+              .groupby("day")
+              .map_groups(count_unique, batch_format="pyarrow"))
+
+
 def sessionize_events(sf_dir: str, gap_seconds: int = 1800) -> ray.data.Dataset:
     """Gap-based sessionization per user — the stateful-per-key streaming op:
     ``groupby(user_id).map_groups`` sorts each user's events by time and
