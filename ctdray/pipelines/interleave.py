@@ -96,8 +96,6 @@ def read_interleaved_docs(sf_dir: str,
     is already thousands of fragments and needs no override).
     """
     if override_num_blocks is None:
-        import ray
-
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         import pyarrow.parquet as _pq
 
