@@ -1,0 +1,91 @@
+"""Hypothesis property tests for the geometry kernels (SURVEY.md §5)."""
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ctdray import geom
+
+# Integer coordinates — the kernel's real inputs are CC-run boundary pixels
+# (sub-2px rects are filtered by the sside gate, represent.py); adversarial
+# 1e-130-scale float degeneracies are out of the input domain.
+_coord = st.integers(min_value=-500, max_value=500)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(_coord, _coord), min_size=3, max_size=40))
+def test_min_area_rect_contains_all_points(pts):
+    pts = np.array(pts, dtype=np.float64)
+    corners, wh = geom.min_area_rect(pts)
+    if min(wh) < 1e-9:                  # degenerate: collinear input
+        return
+    # every point inside the rect (within fp tolerance): project onto the
+    # rect's edge axes and check the interval
+    e1 = corners[1] - corners[0]
+    e2 = corners[3] - corners[0]
+    for v, e in ((e1, e1), (e2, e2)):
+        n2 = float(e @ e)
+        t = ((pts - corners[0]) @ e) / n2
+        assert t.min() >= -1e-7 and t.max() <= 1 + 1e-7
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=1, max_value=60), st.integers(0, 2 ** 31 - 1))
+def test_nms_output_is_conflict_free(n, seed):
+    rng = np.random.default_rng(seed)
+    boxes = rng.uniform(0, 300, (n, 4))
+    boxes[:, 2:] = boxes[:, :2] + rng.uniform(5, 60, (n, 2))
+    scores = rng.uniform(0.01, 1, n)
+    keep = geom.nms_boxes(boxes, scores, 0.35)
+    kept = boxes[keep]
+    # no two survivors overlap above the threshold
+    if len(kept) > 1:
+        iou = geom.box_iou_matrix(kept, kept)
+        np.fill_diagonal(iou, 0)
+        assert iou.max() <= 0.35 + 1e-9
+    # survivors are in descending score order
+    s = scores[keep]
+    assert all(s[i] >= s[i + 1] for i in range(len(s) - 1))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2 ** 31 - 1))
+def test_connected_components_partition_foreground(seed):
+    rng = np.random.default_rng(seed)
+    m = rng.random((25, 30)) < 0.4
+    comps = geom.connected_component_runs(m, connectivity=8)
+    total = sum(int((e - s).sum()) for _, s, e in comps)
+    assert total == int(m.sum())        # runs partition the foreground exactly
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2 ** 31 - 1))
+def test_quad_iou_symmetry_and_bounds(seed):
+    from ctdray.eval import quad_iou
+
+    rng = np.random.default_rng(seed)
+
+    def rand_quad():
+        cx, cy = rng.uniform(0, 60, 2)
+        w, h = rng.uniform(1, 20, 2)
+        a = rng.uniform(0, np.pi)
+        base = np.array([[-w, -h], [w, -h], [w, h], [-w, h]]) / 2
+        rot = np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]])
+        return base @ rot.T + [cx, cy]
+
+    q1, q2 = rand_quad(), rand_quad()
+    i12, i21 = quad_iou(q1, q2), quad_iou(q2, q1)
+    assert abs(i12 - i21) < 1e-9
+    assert -1e-9 <= i12 <= 1 + 1e-9
+    assert quad_iou(q1, q1) > 0.999
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2 ** 31 - 1))
+def test_resized_mask_window_consistency(seed):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, 256, size=(41, 53)).astype(np.uint8)
+    view = geom.ResizedMaskView(src, 80, 64)
+    full = view.full()
+    y1, y2 = sorted(rng.integers(0, 64, 2))
+    x1, x2 = sorted(rng.integers(0, 80, 2))
+    assert np.array_equal(view.window(x1, y1, x2, y2), full[y1:y2, x1:x2])
