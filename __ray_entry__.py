@@ -20,9 +20,10 @@ import pyarrow.parquet as pq
 from ctdray.functions.dedup import (embedding_near_dedup, exact_dedup,
                                     minhash_lsh_dedup, simhash_dedup,
                                     token_set_dedup)
-from ctdray.functions.similarity import knn_bruteforce, knn_lsh
+from ctdray.functions.similarity import knn_bruteforce, knn_ivf, knn_lsh
 from ctdray.functions.text import (fingerprint_batch, langid_batch,
-                                   text_stats_batch, token_count_batch)
+                                   quality_filter_batch, text_stats_batch,
+                                   token_count_batch)
 from ctdray.pipelines.analytics import (events_hourly,
                                         lineitem_pricing_summary,
                                         orders_by_nation,
@@ -151,6 +152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fingerprint_batch, batch_format="pyarrow"),
         "doc_langid": lambda sf: _documents(sf).map_batches(
             langid_batch, batch_format="pyarrow"),
+        "doc_quality_filter": lambda sf: _documents(sf).map_batches(
+            quality_filter_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "text"]),
         "docs_by_lang": lambda sf: partial_aggregate(
             _documents_full(sf).map_batches(
                 lambda b: pa.table({
@@ -174,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": lambda sf: knn_bruteforce(
             _embeddings(sf), *_query_vectors(sf), k=10),
         "knn_lsh": lambda sf: knn_lsh(_embeddings(sf), *_query_vectors(sf), k=10),
+        "knn_ivf": lambda sf: knn_ivf(_embeddings(sf), *_query_vectors(sf), k=10),
         # --- relational / windowed ---
         "q1_pricing_summary": lineitem_pricing_summary,
         "top10_customers": top_customers_by_orders,
@@ -204,6 +209,11 @@ def oracle_sql() -> dict[str, str]:
             f"{_STOPLIST_SQL})) AS BIGINT) AS stopword_count "
             "FROM documents"),
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "doc_quality_filter": (
+            "SELECT doc_id, text FROM documents WHERE "
+            "len(string_split(text,' ')) BETWEEN 10 AND 5000 AND "
+            "2 * len(list_filter(string_split(text,' '), x -> x IN "
+            f"{_STOPLIST_SQL})) <= len(string_split(text,' '))"),
         "doc_langid": (
             "SELECT doc_id, CASE WHEN 5 * len(list_filter(string_split(text,' '), "
             f"x -> x IN {_STOPLIST_SQL})) >= len(string_split(text,' ')) "

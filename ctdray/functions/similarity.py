@@ -80,6 +80,81 @@ def knn_bruteforce(ds: ray.data.Dataset, queries: np.ndarray,
     return cands.groupby("q_id").map_groups(final_topk, batch_format="pyarrow")
 
 
+def _seeded_kmeans(sample: np.ndarray, k: int, iters: int = 8,
+                   seed: int = 13) -> np.ndarray:
+    """Deterministic Lloyd iterations on a driver-side sample — the IVF
+    coarse quantizer.  At 100 TB the sample is a tiny reservoir; centroids
+    are then broadcast, never the data."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(sample))
+    centers = sample[rng.choice(len(sample), k, replace=False)]
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for ci in range(k):
+            members = sample[assign == ci]
+            if len(members):
+                centers[ci] = members.mean(axis=0)
+    return centers
+
+
+def knn_ivf(ds: ray.data.Dataset, queries: np.ndarray, q_ids: np.ndarray,
+            k: int = 10, n_lists: int = 8, n_probe: int = 2,
+            train_sample: int = 2048, seed: int = 13,
+            id_col: str = "vec_id",
+            vec_col: str = "embedding") -> ray.data.Dataset:
+    """IVF approximate top-k: k-means coarse quantizer (trained on a
+    driver-side sample, centroids broadcast once), each task scores only
+    vectors whose nearest centroid is among the query's ``n_probe`` closest
+    lists.  Same candidate→reduce shape as :func:`knn_bruteforce`."""
+    queries = np.asarray(queries, dtype=np.float64)
+    sample_rows = ds.limit(train_sample).take_all()
+    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
+    centers = _seeded_kmeans(sample, n_lists, seed=seed)
+    centers_ref = ray.put(centers)
+    q_unit_ref = ray.put(_unit_rows(queries))
+    q_ids = np.asarray(q_ids, dtype=np.int64)
+    qd2 = ((queries[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    probe_lists = np.argsort(qd2, axis=1)[:, :n_probe]      # (nq, n_probe)
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        cents = ray.get(centers_ref)
+        q_unit = ray.get(q_unit_ref)
+        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if vecs.size == 0:
+            return pa.table({"q_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        vd2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        vlist = vd2.argmin(axis=1)
+        parts = []
+        for qi in range(len(q_unit)):
+            mask = np.isin(vlist, probe_lists[qi])
+            if not mask.any():
+                continue
+            sims = (q_unit[qi:qi + 1] @ _unit_rows(vecs[mask]).T)
+            parts.append(_topk_table([int(q_ids[qi])], sims, ids[mask], k))
+        if not parts:
+            return pa.table({"q_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.concat_tables(parts)
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        sims = group.column("sim").to_numpy(zero_copy_only=False)
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table({
+            "q_id": group.column("q_id").take(pa.array(order)),
+            "vec_id": group.column("vec_id").take(pa.array(order)),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32)),
+        })
+
+    cands = ds.map_batches(batch_topk, batch_format="pyarrow")
+    return cands.groupby("q_id").map_groups(final_topk, batch_format="pyarrow")
+
+
 def knn_lsh(ds: ray.data.Dataset, queries: np.ndarray, q_ids: np.ndarray,
             k: int = 10, n_planes: int = 8, seed: int = 11,
             id_col: str = "vec_id",

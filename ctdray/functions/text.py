@@ -105,6 +105,24 @@ def langid_one(text: str) -> str:
     return "eng" if stop * 5 >= len(toks) else "unknown"
 
 
+def quality_filter_batch(batch: pa.Table, min_tokens: int = 10,
+                         max_tokens: int = 5000,
+                         max_stopword_ratio: float = 0.5) -> pa.Table:
+    """Curation filter: keep documents with a sane token count and a
+    stopword ratio under the cap (the classic quality gate composed from
+    :func:`text_stats_batch`'s integer components — 5·stopword_count ≤
+    ... strictly, ``stopword_count·denominator`` compared in integers so the
+    ratio test is rounding-free and SQL-exact)."""
+    stats = text_stats_batch(batch)
+    n_tokens = stats.column("n_tokens").to_numpy(zero_copy_only=False)
+    stop = stats.column("stopword_count").to_numpy(zero_copy_only=False)
+    # stop/n_tokens <= r  ⟺  stop*denom <= r*denom*n_tokens with integer
+    # arithmetic when r is a ratio of small ints (0.5 → 2*stop <= n_tokens)
+    keep = (n_tokens >= min_tokens) & (n_tokens <= max_tokens) \
+        & (2 * stop <= n_tokens)
+    return batch.filter(pa.array(keep))
+
+
 def langid_batch(batch: pa.Table) -> pa.Table:
     return pa.table({
         "doc_id": batch.column("doc_id"),

@@ -140,3 +140,30 @@ def test_embedding_near_dedup(ray_session):
     out = embedding_near_dedup(rd.from_arrow(tbl), threshold=0.999).to_pandas()
     assert 5 not in set(out.vec_id)               # the near-dup is dropped
     assert set(out.vec_id) >= {0, 1, 2, 3, 4} - {5}
+
+
+def test_knn_ivf_self_hit_and_recall(ray_session):
+    import ray.data as rd
+
+    from ctdray.functions.similarity import knn_bruteforce, knn_ivf
+
+    rng = np.random.default_rng(8)
+    vecs = rng.standard_normal((80, 8))
+    tbl = pa.table({"vec_id": pa.array(range(80), pa.int64()),
+                    "embedding": pa.array(vecs.tolist())})
+    q = vecs[:3]
+    ids = np.array([0, 1, 2])
+    ivf = knn_ivf(rd.from_arrow(tbl), q, ids, k=5, n_lists=4,
+                  n_probe=2).to_pandas()
+    exact = knn_bruteforce(rd.from_arrow(tbl), q, ids, k=5).to_pandas()
+    for qi in (0, 1, 2):
+        mine = ivf[ivf.q_id == qi].sort_values("rank")
+        # self is always found (its list is always probed) and ranks first
+        assert mine.vec_id.iloc[0] == qi
+        # decent recall vs exact top-5 with 2/4 lists probed
+        overlap = set(mine.vec_id) & set(exact[exact.q_id == qi].vec_id)
+        assert len(overlap) >= 2
+    # deterministic
+    again = knn_ivf(rd.from_arrow(tbl), q, ids, k=5, n_lists=4,
+                    n_probe=2).to_pandas()
+    assert again.equals(ivf)
