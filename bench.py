@@ -24,6 +24,9 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# Corpus replication for the scaling benchmark: a K-times larger job
+# amortizes fixed session costs the way a real long-running run does.
+REPEAT = int(os.environ.get("GRAFT_SCALE_REPEAT", "1"))
 
 
 def _consume_count(ds) -> int:
@@ -35,7 +38,9 @@ def _consume_count(ds) -> int:
     return n
 
 
-def run_bench(sf_dir: str, num_cpus: int, n_runs: int = 3) -> dict:
+def run_bench(sf_dir: str, num_cpus: int, n_runs: int | None = None) -> dict:
+    if n_runs is None:
+        n_runs = 2 if REPEAT > 1 else 3   # replicated jobs are long; 2 suffices
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
@@ -57,7 +62,7 @@ def run_bench(sf_dir: str, num_cpus: int, n_runs: int = 3) -> dict:
     n_spans = n_pages = n_lines = 0
     for _ in range(n_runs):
         t0 = time.perf_counter()
-        ds = build_flat_spans(read_interleaved_docs(sf_dir))
+        ds = build_flat_spans(read_interleaved_docs(sf_dir, repeat=REPEAT))
         n_spans = n_pages = n_lines = 0
         for batch in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
             n_spans += batch.num_rows
@@ -85,6 +90,7 @@ def run_bench(sf_dir: str, num_cpus: int, n_runs: int = 3) -> dict:
         "queries": queries,
         "sf": sf_dir,
         "num_cpus": num_cpus,
+        "repeat": REPEAT,
         "pages_per_sec": round(n_pages / extract_sec, 2) if extract_sec else None,
         "n_pages": n_pages,
         "n_spans": n_spans,
@@ -94,11 +100,18 @@ def run_bench(sf_dir: str, num_cpus: int, n_runs: int = 3) -> dict:
     return result
 
 
-def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> dict:
-    """Same job, two fresh processes at num_cpus=low and num_cpus=high."""
+def run_scaling(sf_dir: str, low: int = 8, high: int = 32,
+                repeat: int | None = None) -> dict:
+    """Same job, two fresh processes at num_cpus=low and num_cpus=high.
+    The job is the corpus replicated ``repeat``× (default 3) so fixed session
+    costs (worker spin-up, read planning) amortize as they would on a real
+    long-running corpus; identical input at both levels."""
+    if repeat is None:
+        repeat = int(os.environ.get("GRAFT_SCALE_REPEAT", "3"))
     runs = {}
     for cpus in (low, high):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir,
+                   GRAFT_SCALE_REPEAT=str(repeat))
         out = subprocess.run([sys.executable, os.path.abspath(__file__),
                               "--single"],
                              capture_output=True, text=True, env=env,
@@ -116,6 +129,7 @@ def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> dict:
         "sf": sf_dir,
         "low_cpus": low,
         "high_cpus": high,
+        "repeat": repeat,
         "pages_per_sec_low": tp_low,
         "pages_per_sec_high": tp_high,
         "extract_sec_low": runs[low]["queries"]["extract_flat_spans"],

@@ -82,7 +82,8 @@ def _interleave_batch(batch: pa.Table) -> pa.Table:
 
 
 def read_interleaved_docs(sf_dir: str,
-                          override_num_blocks: int | None = None) -> ray.data.Dataset:
+                          override_num_blocks: int | None = None,
+                          repeat: int = 1) -> ray.data.Dataset:
     """sf_dir/documents.parquet → interleaved doc Dataset (DOC_SCHEMA).
 
     Column-pruned read (only doc_id+text leave storage); the derivation runs
@@ -94,16 +95,36 @@ def read_interleaved_docs(sf_dir: str,
     would emit one block and serialize the whole pipeline; default to
     ~4 blocks per CPU so every downstream stage fans out (a multi-node corpus
     is already thousands of fragments and needs no override).
+
+    ``repeat`` deterministically replicates the corpus K× with distinct
+    doc_ids (replica r shifts ids by r·10^7, so every replica also gets its
+    own synthetic pages) — the knob the scaling benchmark uses to grow the
+    job so fixed session costs amortize the way a real long-running corpus
+    run amortizes them.
     """
     if override_num_blocks is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         import pyarrow.parquet as _pq
 
         n_rows = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-        override_num_blocks = max(1, min(cpus * 4, n_rows))
+        override_num_blocks = max(1, min(cpus * 4, n_rows * max(1, repeat)))
     flat = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"],
-                                 override_num_blocks=override_num_blocks)
+                                 override_num_blocks=max(
+                                     1, override_num_blocks // max(1, repeat)))
+    if repeat > 1:
+        import pyarrow.compute as _pc
+
+        replicas = [
+            flat.map_batches(
+                (lambda r: lambda b: b.set_column(
+                    b.schema.get_field_index("doc_id"), "doc_id",
+                    _pc.add(b.column("doc_id"),
+                            pa.scalar(r * 10_000_000, pa.int64()))))(r),
+                batch_format="pyarrow")
+            for r in range(repeat)
+        ]
+        flat = replicas[0].union(*replicas[1:])
     return flat.map_batches(_interleave_batch, batch_format="pyarrow")
 
 
