@@ -29,6 +29,7 @@ import ray.data
 from .text import md5_fingerprint, token_set_key
 
 _MERSENNE = (1 << 61) - 1
+_TASK_HASHERS: dict = {}
 
 
 def _stable_hash64(s: str) -> int:
@@ -126,24 +127,26 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16,
     """
     rows_per_band = num_perm // bands
 
-    class Signatures:
-        def __init__(self):
-            self.h = MinHasher(num_perm, shingle_k)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out = {"band": [], "band_hash": [], "doc_id": []}
-            for doc_id, text in zip(batch.column("doc_id").to_pylist(),
-                                    batch.column("text").to_pylist()):
-                sig = self.h.signature(text)
-                for b in range(bands):
-                    chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
-                    out["band"].append(b)
-                    out["band_hash"].append(
-                        _stable_hash64(",".join(map(str, chunk))))
-                    out["doc_id"].append(doc_id)
-            return pa.table({"band": pa.array(out["band"], pa.int32()),
-                             "band_hash": pa.array(out["band_hash"], pa.uint64()),
-                             "doc_id": pa.array(out["doc_id"])})
+    def signatures(batch: pa.Table) -> pa.Table:
+        # per-worker hasher cache (stateless tasks — see stages.detect for
+        # the compute-mode rationale; an autoscaling actor pool plateaus)
+        key = ("minhash", num_perm, shingle_k)
+        h = _TASK_HASHERS.get(key)
+        if h is None:
+            h = _TASK_HASHERS[key] = MinHasher(num_perm, shingle_k)
+        out = {"band": [], "band_hash": [], "doc_id": []}
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            sig = h.signature(text)
+            for b in range(bands):
+                chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
+                out["band"].append(b)
+                out["band_hash"].append(
+                    _stable_hash64(",".join(map(str, chunk))))
+                out["doc_id"].append(doc_id)
+        return pa.table({"band": pa.array(out["band"], pa.int32()),
+                         "band_hash": pa.array(out["band_hash"], pa.uint64()),
+                         "doc_id": pa.array(out["doc_id"])})
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(set(group.column("doc_id").to_pylist()))
@@ -155,7 +158,7 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16,
     def first_pair(group: pa.Table) -> pa.Table:
         return group.slice(0, 1)
 
-    sigs = ds.map_batches(Signatures, batch_format="pyarrow", concurrency=(1, 8))
+    sigs = ds.map_batches(signatures, batch_format="pyarrow")
     # Only (band, band_hash, doc_id) triples shuffle — the corpus text never
     # enters the LSH exchange.
     pairs = (sigs.groupby(["band", "band_hash"])
