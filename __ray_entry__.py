@@ -21,7 +21,8 @@ from ctdray.functions.dedup import (embedding_near_dedup, exact_dedup,
                                     minhash_lsh_dedup, simhash_dedup,
                                     token_set_dedup)
 from ctdray.functions.similarity import knn_bruteforce, knn_ivf, knn_lsh
-from ctdray.functions.text import (fingerprint_batch, langid_batch,
+from ctdray.functions.text import (deterministic_sample_batch,
+                                   fingerprint_batch, langid_batch,
                                    quality_filter_batch, text_stats_batch,
                                    token_count_batch)
 from ctdray.pipelines.analytics import (events_hourly,
@@ -35,6 +36,7 @@ from ctdray.pipelines.analytics import (events_hourly,
                                         sessionize_events,
                                         shipped_1995_by_flag,
                                         supplier_stats_by_nation,
+                                        top_tokens,
                                         top_customers_by_orders)
 from ctdray.pipelines.extract import (build_blocks, build_detected_spans,
                                       build_flat_spans)
@@ -155,6 +157,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_filter": lambda sf: _documents(sf).map_batches(
             quality_filter_batch, batch_format="pyarrow")
             .select_columns(["doc_id", "text"]),
+        "doc_sample_16th": lambda sf: _documents(sf).map_batches(
+            deterministic_sample_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "text"]),
+        "top_tokens": top_tokens,
         "docs_by_lang": lambda sf: partial_aggregate(
             _documents_full(sf).map_batches(
                 lambda b: pa.table({
@@ -292,4 +298,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT date_trunc('day', ts) AS day, "
             "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events GROUP BY 1"),
+        "doc_sample_16th": (
+            "SELECT doc_id, text FROM documents "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'"),
+        "top_tokens": (
+            "SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences "
+            "FROM (SELECT unnest(string_split(text, ' ')) AS token "
+            "FROM documents) GROUP BY token "
+            "ORDER BY n_occurrences DESC, token ASC LIMIT 20"),
     }

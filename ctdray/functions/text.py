@@ -123,6 +123,18 @@ def quality_filter_batch(batch: pa.Table, min_tokens: int = 10,
     return batch.filter(pa.array(keep))
 
 
+def deterministic_sample_batch(batch: pa.Table, rate_hex_prefix: str = "0",
+                               key_col: str = "doc_id") -> pa.Table:
+    """Reproducible cluster-wide sampling: keep rows whose md5(key) starts
+    with ``rate_hex_prefix`` (one hex char → a 1/16 sample).  Hash-based so
+    every worker, every re-run, and the SQL oracle agree exactly — the
+    sampling primitive a training pipeline uses for held-out splits."""
+    keys = [str(k) for k in batch.column(key_col).to_pylist()]
+    mask = [hashlib.md5(k.encode()).hexdigest().startswith(rate_hex_prefix)
+            for k in keys]
+    return batch.filter(pa.array(mask, pa.bool_()))
+
+
 def langid_batch(batch: pa.Table) -> pa.Table:
     return pa.table({
         "doc_id": batch.column("doc_id"),

@@ -310,6 +310,32 @@ def daily_distinct_users(sf_dir: str) -> ray.data.Dataset:
               .map_groups(count_unique, batch_format="pyarrow"))
 
 
+def top_tokens(sf_dir: str, n: int = 20) -> ray.data.Dataset:
+    """Corpus vocabulary top-n: explode tokens inside map_batches (Arrow
+    list_flatten — no Python row loop), pre-count per batch, groupby-sum the
+    partials, deterministic top-n (count desc, token asc)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        t = pa.table({"token": toks})
+        res = t.group_by(["token"]).aggregate([("token", "count")])
+        return pa.table({"token": res.column("token"),
+                         "n_occurrences": pc.cast(res.column("token_count"),
+                                                  pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("token")
+                .map_groups(lambda g: pa.table({
+                    "token": g.column("token").slice(0, 1),
+                    "n_occurrences": pa.array(
+                        [pc.sum(g.column("n_occurrences")).as_py()], pa.int64())}),
+                            batch_format="pyarrow"))
+    return counts.sort(["n_occurrences", "token"],
+                       descending=[True, False]).limit(n)
+
+
 def sessionize_events(sf_dir: str, gap_seconds: int = 1800) -> ray.data.Dataset:
     """Gap-based sessionization per user — the stateful-per-key streaming op:
     ``groupby(user_id).map_groups`` sorts each user's events by time and
