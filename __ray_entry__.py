@@ -18,8 +18,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ctdray.functions.dedup import (embedding_near_dedup, exact_dedup,
-                                    minhash_lsh_dedup, simhash_dedup,
-                                    token_set_dedup)
+                                    minhash_lsh_dedup, ngram_jaccard_dedup,
+                                    simhash_dedup, token_set_dedup)
 from ctdray.functions.similarity import knn_bruteforce, knn_ivf, knn_lsh
 from ctdray.functions.text import (deterministic_sample_batch,
                                    fingerprint_batch, langid_batch,
@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": lambda sf: simhash_dedup(_documents(sf))
             .select_columns(["doc_id", "text"]),
         "dedup_minhash_lsh": lambda sf: minhash_lsh_dedup(_documents(sf)),
+        "dedup_ngram_jaccard": lambda sf: ngram_jaccard_dedup(_documents(sf)),
         "dedup_embedding": lambda sf: embedding_near_dedup(_embeddings(sf))
             .select_columns(["vec_id", "label"]),
         # --- similarity search ---

@@ -69,6 +69,21 @@ def token_set_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
     return _keyed_dedup(ds, token_set_key, "token_set")
 
 
+def ngram_jaccard_dedup(ds: ray.data.Dataset, threshold: float = 0.8,
+                        shingle_k: int = 3,
+                        num_perm: int = 128, bands: int = 32) -> ray.data.Dataset:
+    """N-gram (word-shingle) Jaccard dedup at an explicit threshold.
+
+    The scalable candidate generator IS MinHash+LSH (an all-pairs n-gram
+    Jaccard is O(n²) by definition); this entry point pins the band/row
+    geometry to the requested threshold (b=32, r=4 → s-curve midpoint
+    (1/32)^(1/4) ≈ 0.42, catching 0.8-Jaccard pairs with probability
+    ~1-(1-0.8^4)^32 ≈ 1.0) and verifies candidates with the exact
+    :func:`jaccard` before dropping anything."""
+    return minhash_lsh_dedup(ds, num_perm=num_perm, bands=bands,
+                             threshold=threshold, shingle_k=shingle_k)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -167,3 +167,18 @@ def test_knn_ivf_self_hit_and_recall(ray_session):
     again = knn_ivf(rd.from_arrow(tbl), q, ids, k=5, n_lists=4,
                     n_probe=2).to_pandas()
     assert again.equals(ivf)
+
+
+def test_ngram_jaccard_dedup_threshold(ray_session):
+    import ray.data as rd
+
+    from ctdray.functions.dedup import jaccard, ngram_jaccard_dedup
+
+    base = " ".join(f"w{i}" for i in range(30))
+    near = base.replace("w29", "w99")              # ~0.87 shingle jaccard
+    far = " ".join(f"z{i}" for i in range(30))
+    assert jaccard(base, near) > 0.8 > jaccard(base, far)
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array([base, near, far], pa.string())})
+    out = ngram_jaccard_dedup(rd.from_arrow(tbl)).to_pandas()
+    assert sorted(out.doc_id) == [0, 2]
