@@ -7,14 +7,17 @@ Five strategies, ordered by cost:
   minhash_lsh_dedup     shingle → minhash → banded LSH buckets → candidate
                         pairs → exact-Jaccard verify → greedy keep-smallest
   simhash_dedup         64-bit simhash, exact-signature grouping
+  simhash_near_dedup    banded hamming-k simhash (pigeonhole bands)
   embedding_near_dedup  cosine near-dup via seeded hyperplane LSH buckets
 
 Scale notes (100 TB): every strategy shuffles only *small keys + ids* —
 fingerprints (16 B), band hashes (8 B), signatures (8 B) — never the document
 text; the one text-bearing step (Jaccard verification) touches only LSH
 candidates, a vanishing fraction of the corpus, fetched by equi-join on
-doc_id.  Groupbys pre-aggregate nothing (first-per-group is the aggregate),
-so the exchange payload is the key set itself.
+doc_id (pairs and candidate texts never materialize on the driver; hot
+buckets are capped to O(n·reps) pairs).  Groupbys pre-aggregate nothing
+(first-per-group is the aggregate), so the exchange payload is the key set
+itself.
 """
 from __future__ import annotations
 
@@ -89,33 +92,76 @@ def ngram_jaccard_dedup(ds: ray.data.Dataset, threshold: float = 0.8,
 # ---------------------------------------------------------------------------
 
 
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)      # golden-ratio odd constants
+_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_P31 = np.uint64((1 << 31) - 1)            # Mersenne prime 2^31-1
+
+
 class MinHasher:
-    """Word-shingle MinHash signatures. Deterministic across processes:
-    shingle base hashes are blake2b-64 and the permutation family
-    ((a*h + b) mod 2^61-1) is seeded numpy."""
+    """Word-shingle MinHash signatures, fully vectorized.
+
+    Deterministic across processes: per-token base hashes are blake2b-64
+    (computed once per *unique* token in a batch), consecutive-k token
+    hashes fold into a 32-bit shingle value with numpy mixing, and the
+    permutation family ((a*h + b) mod 2^31-1) runs in pure uint64 numpy —
+    a < 2^31 and h < 2^32 keep every product under 2^63, so there is no
+    big-int fallback and no overflow UB."""
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 7):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(object)
-        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(object)
+        self.a = rng.integers(1, int(_P31), num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, int(_P31), num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.shingle_k = shingle_k
+        self._token_cache: dict[str, int] = {}
 
-    def shingle_hashes(self, text: str) -> np.ndarray:
+    def _token_hashes(self, toks: list[str]) -> np.ndarray:
+        cache = self._token_cache
+        miss = [t for t in toks if t not in cache]
+        for t in dict.fromkeys(miss):
+            cache[t] = _stable_hash64(t)
+        if len(cache) > 1_000_000:      # bound per-worker memory
+            self._token_cache = dict(list(cache.items())[-100_000:])
+        return np.fromiter((cache[t] for t in toks), dtype=np.uint64,
+                           count=len(toks))
+
+    def shingle_values(self, text: str) -> np.ndarray:
+        """Distinct 32-bit shingle hashes of the doc's word k-shingles."""
         toks = text.split()
         k = self.shingle_k
-        if len(toks) < k:
-            shingles = {" ".join(toks)} if toks else {""}
+        th = self._token_hashes(toks)
+        if len(toks) == 0:
+            mixed = np.array([_stable_hash64("")], dtype=np.uint64)
+        elif len(toks) < k:
+            acc = np.uint64(0)
+            for j in range(len(toks)):
+                acc = acc * _MIX1 ^ th[j]
+            mixed = np.array([acc], dtype=np.uint64)
         else:
-            shingles = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
-        return np.array(sorted(_stable_hash64(s) for s in shingles), dtype=object)
+            n = len(toks) - k + 1
+            acc = np.zeros(n, dtype=np.uint64)
+            for j in range(k):
+                acc = acc * _MIX1 ^ th[j:j + n]
+            mixed = acc
+        mixed = (mixed ^ (mixed >> np.uint64(32))) * _MIX2
+        return np.unique((mixed >> np.uint64(32)).astype(np.uint32))
 
     def signature(self, text: str) -> np.ndarray:
-        h = self.shingle_hashes(text)
-        # object dtype → Python big-int modmul, exact (no 64-bit overflow UB)
-        sig = np.min((h[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE,
-                     axis=1)
-        return sig.astype(np.uint64)
+        """(num_perm,) uint64 signature — one vectorized modmul + min."""
+        h = self.shingle_values(text).astype(np.uint64)
+        return np.min((h[None, :] * self.a[:, None] + self.b[:, None]) % _P31,
+                      axis=1)
+
+    def band_hashes(self, sigs: np.ndarray, bands: int) -> np.ndarray:
+        """(n_docs, num_perm) signatures → (n_docs, bands) uint64 band keys,
+        folding each band's rows with the same numpy mixer."""
+        n, num_perm = sigs.shape
+        r = num_perm // bands
+        grouped = sigs[:, :bands * r].reshape(n, bands, r)
+        acc = np.zeros((n, bands), dtype=np.uint64)
+        for j in range(r):
+            acc = acc * _MIX1 ^ grouped[:, :, j]
+        return acc
 
 
 def jaccard(a: str, b: str, k: int = 3) -> float:
@@ -129,18 +175,54 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
+def _distinct_on(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
+    """Distributed distinct via per-batch combiner + groupby first — the
+    exchange carries already-deduped key rows."""
+    def batch_distinct(batch: pa.Table) -> pa.Table:
+        return batch.select(cols).group_by(cols).aggregate([])
+
+    def first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return (ds.map_batches(batch_distinct, batch_format="pyarrow")
+              .groupby(cols[0] if len(cols) == 1 else cols)
+              .map_groups(first, batch_format="pyarrow"))
+
+
 def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16,
                       threshold: float = 0.8, shingle_k: int = 3,
-                      anti_join: str = "broadcast") -> ray.data.Dataset:
+                      anti_join: str = "auto",
+                      bucket_pair_cap: int = 512,
+                      hot_bucket_reps: int = 8,
+                      broadcast_id_limit: int = 2_000_000) -> ray.data.Dataset:
     """MinHash+LSH near-dedup; returns surviving (doc_id, text) rows.
 
-    Stages: signature map_batches (stateful hasher per actor) → explode to
-    (band, band_hash, doc_id) rows → groupby band key → candidate pairs →
-    Jaccard verify (texts travel with the candidate rows; at 10^12 scale this
-    becomes an equi-join on doc_id against the corpus instead) → a doc is a
-    duplicate iff some verified pair links it to a smaller doc_id.
+    Fully distributed — candidate pairs and candidate texts NEVER
+    materialize on the driver:
+
+      signatures   vectorized map_batches → (band, band_hash, doc_id) rows;
+                   only these 12-byte triples shuffle, never text
+      buckets      groupby(band, band_hash) → candidate pairs, CAPPED: a
+                   bucket larger than ``bucket_pair_cap`` (hot boilerplate
+                   key) emits each id against the first ``hot_bucket_reps``
+                   representatives instead of all O(n²) pairs
+      pair dedup   distributed distinct on (a_id, b_id)
+      text fetch   semi-join of the corpus on the candidate id set (ids
+                   only — broadcast while the id count is under
+                   ``broadcast_id_limit``, else a shuffle equi-join), then
+                   two hash_joins pairs⋈docs on a_id / b_id attach texts
+      verify       exact shingle-Jaccard in map_batches over pair rows
+      anti-join    duplicate ids (verified smaller partner exists) removed
+                   from the corpus — broadcast vs shuffle chosen by the
+                   measured dup-set size (``anti_join='auto'``)
+
+    Three streaming passes over the corpus (signatures, candidate fetch,
+    final anti-join); every shuffle carries only small keys/candidates.
     """
-    rows_per_band = num_perm // bands
+    import ray
+
+    from .joins import (broadcast_anti_join, broadcast_semi_join, hash_join,
+                        shuffle_anti_join)
 
     def signatures(batch: pa.Table) -> pa.Table:
         # per-worker hasher cache (stateless tasks — see stages.detect for
@@ -149,67 +231,134 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16,
         h = _TASK_HASHERS.get(key)
         if h is None:
             h = _TASK_HASHERS[key] = MinHasher(num_perm, shingle_k)
-        out = {"band": [], "band_hash": [], "doc_id": []}
-        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
-                                batch.column("text").to_pylist()):
-            sig = h.signature(text)
-            for b in range(bands):
-                chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
-                out["band"].append(b)
-                out["band_hash"].append(
-                    _stable_hash64(",".join(map(str, chunk))))
-                out["doc_id"].append(doc_id)
-        return pa.table({"band": pa.array(out["band"], pa.int32()),
-                         "band_hash": pa.array(out["band_hash"], pa.uint64()),
-                         "doc_id": pa.array(out["doc_id"])})
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id")
+        n = len(texts)
+        if n == 0:
+            return pa.table({"band": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], ids.type)})
+        sigs = np.stack([h.signature(t) for t in texts])
+        bh = h.band_hashes(sigs, bands)                  # (n, bands)
+        return pa.table({
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
+            "doc_id": pc.take(ids, pa.array(np.repeat(np.arange(n), bands))),
+        })
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(set(group.column("doc_id").to_pylist()))
-        a_id, b_id = [], []
-        for ia, ib in itertools.combinations(ids, 2):
-            a_id.append(ia); b_id.append(ib)
+        n = len(ids)
+        if n < 2:
+            return pa.table({"a_id": pa.array([], group.column("doc_id").type),
+                             "b_id": pa.array([], group.column("doc_id").type)})
+        if n > bucket_pair_cap:
+            # Hot bucket: O(n·reps) star pattern against the smallest ids.
+            # Boilerplate buckets are near-identical by construction, so the
+            # representatives certify the whole bucket; recall loss is
+            # bounded and the quadratic blowup is gone.
+            a_id, b_id = [], []
+            for rep_i in range(min(hot_bucket_reps, n - 1)):
+                rep = ids[rep_i]
+                for other in ids[rep_i + 1:]:
+                    a_id.append(rep); b_id.append(other)
+        else:
+            a_id, b_id = [], []
+            for ia, ib in itertools.combinations(ids, 2):
+                a_id.append(ia); b_id.append(ib)
         return pa.table({"a_id": pa.array(a_id), "b_id": pa.array(b_id)})
-
-    def first_pair(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
 
     sigs = ds.map_batches(signatures, batch_format="pyarrow")
     # Only (band, band_hash, doc_id) triples shuffle — the corpus text never
     # enters the LSH exchange.
     pairs = (sigs.groupby(["band", "band_hash"])
                  .map_groups(bucket_pairs, batch_format="pyarrow"))
-    # The same pair surfaces once per colliding band: dedupe before the
-    # (expensive) exact-Jaccard verification.
-    pairs = pairs.groupby(["a_id", "b_id"]).map_groups(first_pair,
-                                                       batch_format="pyarrow")
+    # The same pair surfaces once per colliding band: distributed distinct
+    # before the (expensive) exact-Jaccard verification.  Pairs are tiny
+    # relative to the corpus; materializing them avoids re-running the
+    # signature scan for each consumer below.
+    pairs = _distinct_on(pairs, ["a_id", "b_id"]).materialize()
 
-    # Fetch candidate texts with a broadcast semi-join on the (small)
-    # candidate id set; at extreme scale this becomes a shuffle equi-join,
-    # but candidates are a vanishing fraction of the corpus by construction.
-    import ray
+    # Candidate id set (ids only — never texts): distributed distinct over
+    # the union of both pair sides.
+    def pair_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pa.concat_arrays([
+            batch.column("a_id").combine_chunks(),
+            batch.column("b_id").combine_chunks()])})
 
-    from .joins import broadcast_anti_join, broadcast_semi_join, \
-        shuffle_anti_join
+    cand_ids = _distinct_on(pairs.map_batches(pair_ids, batch_format="pyarrow"),
+                            ["doc_id"]).materialize()
+    n_cand = cand_ids.count()
 
-    pair_rows = pairs.take_all()
-    cand_ids = {r["a_id"] for r in pair_rows} | {r["b_id"] for r in pair_rows}
-    cand_docs = broadcast_semi_join(ds, cand_ids, "doc_id").take_all()
-    text_ref = ray.put({r["doc_id"]: r["text"] for r in cand_docs})
+    # Semi-join the corpus on the candidate ids to fetch texts.  The id set
+    # is bounded (≤ 2·|pairs|); broadcast while it fits, else fall back to a
+    # shuffle equi-join (no driver materialization of anything unbounded).
+    if n_cand <= broadcast_id_limit:
+        cand_docs = broadcast_semi_join(ds, cand_ids, "doc_id")
+    else:  # pragma: no cover - exercised only at extreme scale
+        cand_docs = hash_join(ds, cand_ids, on="doc_id")
+    cand_docs = cand_docs.materialize()     # small: candidates only
+
+    _sch = pairs.schema()
+    id_type = dict(zip(_sch.names, _sch.types))["a_id"]
+
+    # Attach texts by distributed equi-join on doc_id (a side, then b side).
+    # Implemented as union + groupby (the shuffle_anti_join machinery) —
+    # both sides hash-partition on the key, each group holds one doc row
+    # (out_col non-null) plus that id's pair rows.  (Ray's native chained
+    # Dataset.join trips over schema-less empty partitions in 2.49, and the
+    # groupby form shuffles the same small candidate volume anyway.)
+    def attach_text(pair_ds, key_col: str, other_cols: list[tuple], out_col: str):
+        def pad_pairs(batch: pa.Table) -> pa.Table:
+            cols = {key_col: batch.column(key_col)}
+            for name, _typ in other_cols:
+                cols[name] = batch.column(name)
+            cols[out_col] = pa.nulls(len(batch), pa.string())
+            return pa.table(cols)
+
+        def doc_side(batch: pa.Table) -> pa.Table:
+            cols = {key_col: batch.column("doc_id").cast(id_type)}
+            for name, typ in other_cols:
+                cols[name] = pa.nulls(len(batch), typ)
+            cols[out_col] = batch.column("text")
+            return pa.table(cols)
+
+        def grp(group: pa.Table) -> pa.Table:
+            txt = group.column(out_col)
+            valid = pc.is_valid(txt)
+            di = pc.index(valid, True).as_py()
+            text_val = txt[di].as_py() if di >= 0 else None
+            out = group.filter(pc.invert(valid))
+            return out.set_column(
+                out.column_names.index(out_col), out_col,
+                pa.array([text_val] * len(out), pa.string()))
+
+        both = (pair_ds.map_batches(pad_pairs, batch_format="pyarrow")
+                .union(cand_docs.map_batches(doc_side, batch_format="pyarrow")))
+        return both.groupby(key_col).map_groups(grp, batch_format="pyarrow")
+
+    with_a = attach_text(pairs, "a_id", [("b_id", id_type)], "text_a")
+    with_ab = attach_text(with_a, "b_id",
+                          [("a_id", id_type), ("text_a", pa.string())],
+                          "text_b")
 
     def verify(batch: pa.Table) -> pa.Table:
-        texts = ray.get(text_ref)
-        dup = [jaccard(texts[a], texts[b], shingle_k) >= threshold
-               for a, b in zip(batch.column("a_id").to_pylist(),
-                               batch.column("b_id").to_pylist())]
-        return batch.append_column("is_dup", pa.array(dup, pa.bool_()))
+        dup = [ta is not None and tb is not None
+               and jaccard(ta, tb, shingle_k) >= threshold
+               for ta, tb in zip(batch.column("text_a").to_pylist(),
+                                 batch.column("text_b").to_pylist())]
+        t = batch.filter(pa.array(dup, pa.bool_()))
+        # doc with a verified smaller partner is a duplicate; b_id > a_id
+        # within buckets by construction, so the dup set is the b_ids.
+        return pa.table({"doc_id": t.column("b_id")})
 
-    verified = pairs.map_batches(verify, batch_format="pyarrow")
-    dup_rows = verified.filter(expr="is_dup == True")
-    # doc with a verified smaller partner is a duplicate; b_id > a_id by
-    # construction, so the duplicate set is exactly the distinct b_ids.
-    dup_keys = dup_rows.map_batches(
-        lambda b: pa.table({"doc_id": b.column("b_id")}),
-        batch_format="pyarrow")
+    dup_keys = _distinct_on(
+        with_ab.map_batches(verify, batch_format="pyarrow"),
+        ["doc_id"]).materialize()
+
+    if anti_join == "auto":
+        anti_join = "broadcast" if dup_keys.count() <= broadcast_id_limit \
+            else "shuffle"
     if anti_join == "shuffle":
         # 10^12-doc path: dup set too large to broadcast — hash-partition
         # both sides on doc_id instead (one shuffle of the corpus).
@@ -223,23 +372,23 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16,
 
 
 def simhash64(text: str) -> int:
-    """Classic 64-bit SimHash over whitespace tokens (unit weights)."""
-    acc = np.zeros(64, dtype=np.int64)
+    """Classic 64-bit SimHash over whitespace tokens (unit weights).
+    Vectorized over the token axis: hash all tokens, bit-unpack as an
+    (n_tokens, 64) matrix, column-sum, take the sign."""
+    toks = text.split()
+    if not toks:
+        return 0
+    h = np.fromiter((_stable_hash64(t) for t in toks), dtype=np.uint64,
+                    count=len(toks))
     shifts = np.arange(64, dtype=np.uint64)
-    for tok in text.split():
-        h = np.uint64(_stable_hash64(tok))
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
 
 
 def simhash_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Exact-signature SimHash dedup (hamming-0 grouping; banded hamming-k
-    candidate generation follows the same explode→groupby shape as MinHash)."""
+    """Exact-signature SimHash dedup (hamming-0 grouping); see
+    :func:`simhash_near_dedup` for the banded hamming-k variant."""
     def add_sig(batch: pa.Table) -> pa.Table:
         sigs = [simhash64(t) for t in batch.column("text").to_pylist()]
         return batch.append_column("simhash", pa.array(sigs, pa.uint64()))
@@ -247,6 +396,78 @@ def simhash_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
     keyed = ds.map_batches(add_sig, batch_format="pyarrow")
     return keyed.groupby("simhash").map_groups(_first_per_group,
                                                batch_format="pyarrow")
+
+
+def simhash_near_dedup(ds: ray.data.Dataset, hamming_k: int = 3,
+                       bucket_pair_cap: int = 512,
+                       hot_bucket_reps: int = 8) -> ray.data.Dataset:
+    """Banded hamming-k SimHash near-dedup (the explode→groupby shape of
+    MinHash-LSH, with hamming distance as the verifier).
+
+    Pigeonhole: split the 64-bit signature into ``hamming_k + 1`` bands —
+    two signatures within hamming distance k must agree exactly on at least
+    one band, so grouping by (band, band_bits) generates a complete
+    candidate set.  Candidates verify with a full 64-bit XOR popcount; a doc
+    is a duplicate iff a verified pair links it to a smaller doc_id.  Only
+    (band, band_bits, doc_id, simhash) rows shuffle — never text."""
+    n_bands = hamming_k + 1
+    # band bit boundaries: as equal as 64 allows
+    widths = [64 // n_bands + (1 if i < 64 % n_bands else 0)
+              for i in range(n_bands)]
+    offsets = np.cumsum([0] + widths[:-1])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id")
+        n = len(texts)
+        sigs = np.fromiter((simhash64(t) for t in texts), dtype=np.uint64,
+                           count=n)
+        bands_col, bits_col = [], []
+        for bi in range(n_bands):
+            mask = np.uint64((1 << widths[bi]) - 1)
+            bits_col.append((sigs >> np.uint64(offsets[bi])) & mask)
+            bands_col.append(np.full(n, bi, dtype=np.int32))
+        return pa.table({
+            "band": pa.array(np.concatenate(bands_col)),
+            "band_bits": pa.array(np.concatenate(bits_col), pa.uint64()),
+            "doc_id": pc.take(ids, pa.array(np.tile(np.arange(n), n_bands))),
+            "simhash": pa.array(np.tile(sigs, n_bands), pa.uint64()),
+        })
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        rows = sorted({(i, int(s)) for i, s in
+                       zip(group.column("doc_id").to_pylist(),
+                           group.column("simhash").to_pylist())})
+        empty = pa.table({"a_id": pa.array([], group.column("doc_id").type),
+                          "b_id": pa.array([], group.column("doc_id").type)})
+        if len(rows) < 2:
+            return empty
+        if len(rows) > bucket_pair_cap:
+            cand = [(rows[ri], other)
+                    for ri in range(min(hot_bucket_reps, len(rows) - 1))
+                    for other in rows[ri + 1:]]
+        else:
+            cand = list(itertools.combinations(rows, 2))
+        a_id, b_id = [], []
+        for (ia, sa), (ib, sb) in cand:
+            if bin(sa ^ sb).count("1") <= hamming_k:    # verify in-bucket
+                a_id.append(ia); b_id.append(ib)
+        if not a_id:
+            return empty
+        return pa.table({"a_id": pa.array(a_id), "b_id": pa.array(b_id)})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    pairs = (exploded.groupby(["band", "band_bits"])
+                     .map_groups(bucket_pairs, batch_format="pyarrow"))
+
+    def dup_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("b_id")})
+
+    from .joins import broadcast_anti_join
+
+    dup_keys = _distinct_on(pairs.map_batches(dup_ids, batch_format="pyarrow"),
+                            ["doc_id"]).materialize()
+    return broadcast_anti_join(ds, dup_keys, "doc_id")
 
 
 # ---------------------------------------------------------------------------

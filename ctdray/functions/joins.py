@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -25,16 +26,25 @@ import ray.data
 def broadcast_semi_join(ds: ray.data.Dataset, keys, key_col: str,
                         anti: bool = False) -> ray.data.Dataset:
     """Keep rows whose ``key_col`` is (anti: is not) in ``keys``.
-    ``keys`` may be a python iterable or a small Dataset of one column."""
+    ``keys`` may be a python iterable or a small Dataset of one column.
+    The key set ships as an Arrow array (``ray.put`` once) and the per-batch
+    membership test is a single ``pc.is_in`` kernel — no Python row loop."""
     if isinstance(keys, ray.data.Dataset):
         keys = [r[key_col] for r in keys.take_all()]
-    key_ref = ray.put(frozenset(keys))
+    keys = list(dict.fromkeys(keys))
+    if not keys:
+        # empty key set: semi-join keeps nothing, anti-join keeps everything
+        if anti:
+            return ds
+        return ds.map_batches(lambda b: b.slice(0, 0), batch_format="pyarrow")
+    key_ref = ray.put(pa.array(keys))
 
     def fn(batch: pa.Table) -> pa.Table:
-        keyset = ray.get(key_ref)
-        col = batch.column(key_col).to_pylist()
-        mask = [(k in keyset) != anti for k in col]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        value_set = ray.get(key_ref)
+        mask = pc.is_in(batch.column(key_col), value_set=value_set)
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -48,13 +58,18 @@ def broadcast_lookup_join(ds: ray.data.Dataset, lookup: dict, key_col: str,
                           value_col: str,
                           default=None) -> ray.data.Dataset:
     """Equi-join against a broadcast dict: adds ``value_col`` looked up from
-    ``key_col`` (the dimension-table pattern in pipelines.analytics)."""
-    lookup_ref = ray.put(lookup)
+    ``key_col`` (the dimension-table pattern in pipelines.analytics).
+    Vectorized as Arrow dictionary lookup: ``pc.index_in`` against the key
+    array, misses routed to a trailing default slot, one ``pc.take``."""
+    keys_arr = pa.array(list(lookup.keys()))
+    vals_arr = pa.array(list(lookup.values()) + [default])
+    side_ref = ray.put((keys_arr, vals_arr))
 
     def fn(batch: pa.Table) -> pa.Table:
-        table = ray.get(lookup_ref)
-        vals = [table.get(k, default) for k in batch.column(key_col).to_pylist()]
-        return batch.append_column(value_col, pa.array(vals))
+        keys_a, vals_a = ray.get(side_ref)
+        idx = pc.index_in(batch.column(key_col), value_set=keys_a)
+        idx = pc.fill_null(idx, len(keys_a))      # miss → default slot
+        return batch.append_column(value_col, pc.take(vals_a, idx))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

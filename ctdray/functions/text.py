@@ -113,13 +113,16 @@ def quality_filter_batch(batch: pa.Table, min_tokens: int = 10,
     :func:`text_stats_batch`'s integer components — 5·stopword_count ≤
     ... strictly, ``stopword_count·denominator`` compared in integers so the
     ratio test is rounding-free and SQL-exact)."""
+    from fractions import Fraction
+
     stats = text_stats_batch(batch)
     n_tokens = stats.column("n_tokens").to_numpy(zero_copy_only=False)
     stop = stats.column("stopword_count").to_numpy(zero_copy_only=False)
-    # stop/n_tokens <= r  ⟺  stop*denom <= r*denom*n_tokens with integer
+    # stop/n_tokens <= r  ⟺  stop*denom <= num*n_tokens with integer
     # arithmetic when r is a ratio of small ints (0.5 → 2*stop <= n_tokens)
+    r = Fraction(max_stopword_ratio).limit_denominator(1_000_000)
     keep = (n_tokens >= min_tokens) & (n_tokens <= max_tokens) \
-        & (2 * stop <= n_tokens)
+        & (r.denominator * stop <= r.numerator * n_tokens)
     return batch.filter(pa.array(keep))
 
 

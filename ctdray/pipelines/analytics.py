@@ -124,20 +124,25 @@ def orders_by_nation(sf_dir: str) -> ray.data.Dataset:
                          columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"])
-    nkey_by_cust = dict(zip(cust.column("c_custkey").to_pylist(),
-                            cust.column("c_nationkey").to_pylist()))
-    name_by_nkey = dict(zip(nation.column("n_nationkey").to_pylist(),
-                            nation.column("n_name").to_pylist()))
-    side_ref = ray.put((nkey_by_cust, name_by_nkey))
+    # Two-hop lookup vectorized as Arrow dictionary lookups: index_in against
+    # the customer key array → take nationkey → index_in against nation keys
+    # → take name.  Misses fall through as nulls and land on the "" slot.
+    side_ref = ray.put((cust.column("c_custkey").combine_chunks(),
+                        cust.column("c_nationkey").combine_chunks(),
+                        nation.column("n_nationkey").combine_chunks(),
+                        pa.concat_arrays([nation.column("n_name").combine_chunks(),
+                                          pa.array([""], pa.string())])))
 
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_custkey"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        nkey_by_cust_, name_by_nkey_ = ray.get(side_ref)
-        names = [name_by_nkey_.get(nkey_by_cust_.get(k), "")
-                 for k in batch.column("o_custkey").to_pylist()]
-        t = pa.table({"n_name": pa.array(names, pa.string())})
+        ckeys, cnkeys, nkeys, names_d = ray.get(side_ref)
+        i1 = pc.index_in(batch.column("o_custkey"), value_set=ckeys)
+        nkey = pc.take(cnkeys, i1)                      # null on miss
+        i2 = pc.fill_null(pc.index_in(nkey, value_set=nkeys), len(nkeys))
+        names = pc.take(names_d, i2)
+        t = pa.table({"n_name": names})
         res = t.group_by(["n_name"]).aggregate([("n_name", "count")])
         return pa.table({"n_name": res.column("n_name"),
                          "n_orders": pc.cast(res.column("n_name_count"), pa.int64())})
@@ -201,18 +206,19 @@ def supplier_stats_by_nation(sf_dir: str) -> ray.data.Dataset:
     """Broadcast join supplier→nation + count / min / max account balance."""
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"])
-    name_by_key = dict(zip(nation.column("n_nationkey").to_pylist(),
-                           nation.column("n_name").to_pylist()))
     import ray as _ray
 
-    side = _ray.put(name_by_key)
+    side = _ray.put((nation.column("n_nationkey").combine_chunks(),
+                     pa.concat_arrays([nation.column("n_name").combine_chunks(),
+                                       pa.array([""], pa.string())])))
     sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
                                 columns=["s_nationkey", "s_acctbal"])
 
     def attach(batch: pa.Table) -> pa.Table:
-        lookup = _ray.get(side)
-        names = [lookup.get(k, "") for k in batch.column("s_nationkey").to_pylist()]
-        return pa.table({"n_name": pa.array(names, pa.string()),
+        nkeys, names_d = _ray.get(side)
+        idx = pc.fill_null(pc.index_in(batch.column("s_nationkey"),
+                                       value_set=nkeys), len(nkeys))
+        return pa.table({"n_name": pc.take(names_d, idx),
                          "s_acctbal": batch.column("s_acctbal"),
                          "one": pa.array(np.ones(len(batch), dtype=np.int64))})
 

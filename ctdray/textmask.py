@@ -209,7 +209,13 @@ def merge_mask_list(mask_list, pred_mask: np.ndarray,
     # hole fill: components of the inverse; every non-largest background
     # region that reduces XOR is filled (:112-131)
     comps = components_with_stats(255 - mask_merged, connectivity=8)
-    areas = sorted(c["area"] for c in comps)
+    # cv2's stats include label 0 — the inverse image's background, i.e. the
+    # merged mask's text area — in the sorted-area list (utils/textmask.py:
+    # 113-118); components_with_stats returns foreground comps only, so the
+    # complement area must be prepended or the largest interior hole can go
+    # unfilled whenever the text area exceeds it.
+    complement_area = int((mask_merged > 0).sum())
+    areas = sorted([complement_area] + [c["area"] for c in comps])
     area_thresh = areas[-2] if len(areas) > 1 else (areas[-1] if areas else 0)
     for comp in comps:
         if comp["area"] < area_thresh:
@@ -265,8 +271,17 @@ def refine_undetected_mask(img: np.ndarray, mask_pred: np.ndarray,
     pred_t = np.where(mask_pred > 30, 255, 0).astype(np.uint8)
     comps = [c for c in components_with_stats(pred_t, connectivity=4)
              if c["area"] > 50]
+    # Reference iterates valid_labels[1:] (utils/textmask.py:142) where
+    # valid_labels[0] is cv2's BACKGROUND label 0 (zero pixels of pred_t,
+    # area almost always > 50) — so every real foreground region survives.
+    # components_with_stats returns foreground comps only: drop the first
+    # comp only in the degenerate case the background itself is ≤ 50 px
+    # (then cv2's valid_labels[0] is the first foreground comp).
+    bg_area = int((pred_t == 0).sum())
+    if bg_area <= 50 and comps:
+        comps = comps[1:]
     seg_blk_list = []
-    for comp in comps[1:] if comps else []:    # reference skips first valid (:142)
+    for comp in comps:
         bx1, by1, bx2, by2 = comp["bbox"]
         w, h = bx2 - bx1, by2 - by1
         bbox_score = -1.0

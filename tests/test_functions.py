@@ -182,3 +182,78 @@ def test_ngram_jaccard_dedup_threshold(ray_session):
                     "text": pa.array([base, near, far], pa.string())})
     out = ngram_jaccard_dedup(rd.from_arrow(tbl)).to_pandas()
     assert sorted(out.doc_id) == [0, 2]
+
+
+def test_quality_filter_honors_stopword_ratio_param():
+    from ctdray.functions.text import quality_filter_batch
+
+    # 12 tokens, 2 stopwords ("the", "and") → ratio 1/6
+    text = "the cat and dog sat on mats with hats plus rats today"
+    batch = _doc_batch([text])
+    assert len(quality_filter_batch(batch, max_stopword_ratio=0.5)) == 1
+    assert len(quality_filter_batch(batch, max_stopword_ratio=1 / 6)) == 1  # boundary
+    assert len(quality_filter_batch(batch, max_stopword_ratio=0.15)) == 0
+
+
+def test_simhash_near_dedup_hamming_k(ray_session):
+    import ray.data as rd
+
+    from ctdray.functions.dedup import simhash64, simhash_near_dedup
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = base.replace("w39", "w99")            # few tokens differ → small hamming
+    far = " ".join(f"x{i}" for i in range(40))
+    hd = bin(simhash64(base) ^ simhash64(near)).count("1")
+    hd_far = bin(simhash64(base) ^ simhash64(far)).count("1")
+    assert hd <= 12 < hd_far
+    tbl = _doc_batch([base, near, far])
+    out = simhash_near_dedup(rd.from_arrow(tbl), hamming_k=max(3, hd)).to_pandas()
+    assert sorted(out.doc_id) == [0, 2]
+    # hamming_k below the pair's distance keeps all three
+    if hd > 0:
+        out2 = simhash_near_dedup(rd.from_arrow(tbl), hamming_k=hd - 1).to_pandas()
+        assert sorted(out2.doc_id) == [0, 1, 2]
+
+
+def test_minhash_pair_path_never_materializes_pairs_or_texts(ray_session):
+    """VERDICT r1 #1: the LSH verify path must keep pairs/texts distributed.
+    Spy on Dataset.take_all: the only driver collections allowed are id-only
+    key sets (single doc_id column) — never pair rows or text columns."""
+    import ray.data as rd
+    from ray.data import Dataset
+
+    from ctdray.functions.dedup import minhash_lsh_dedup
+
+    collected_schemas = []
+    orig = Dataset.take_all
+
+    def spy(self, *a, **k):
+        collected_schemas.append(tuple(self.schema().names))
+        return orig(self, *a, **k)
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    tbl = _doc_batch([base, base.replace("today", "tonight"),
+                      "completely unrelated sentence with distinct vocabulary"])
+    try:
+        Dataset.take_all = spy
+        out = minhash_lsh_dedup(rd.from_arrow(tbl), threshold=0.8).to_pandas()
+    finally:
+        Dataset.take_all = orig
+    assert sorted(out.doc_id) == [0, 2]
+    for names in collected_schemas:
+        assert set(names) == {"doc_id"}, \
+            f"non-key dataset collected on driver: {names}"
+
+
+def test_minhash_hot_bucket_cap_still_dedups(ray_session):
+    import ray.data as rd
+
+    from ctdray.functions.dedup import minhash_lsh_dedup
+
+    # 30 identical docs: all land in one bucket per band.  With a tiny pair
+    # cap the star pattern must still link every doc to the minimum id.
+    tbl = _doc_batch(["same boilerplate text repeated here for every doc"] * 30
+                     + ["another unrelated document entirely different words"])
+    out = minhash_lsh_dedup(rd.from_arrow(tbl), threshold=0.8,
+                            bucket_pair_cap=8, hot_bucket_reps=2).to_pandas()
+    assert sorted(out.doc_id) == [0, 30]

@@ -97,3 +97,37 @@ def test_refined_masks_pipeline(ray_session):
     assert m.shape == (row["mask_h"], row["mask_w"])
     assert (m > 0).sum() == row["fg_pixels"]
     assert (out["n_blocks"] > 0).any()
+
+
+def test_hole_fill_threshold_includes_text_area_complement():
+    """ADVICE r1: cv2's hole-fill area list includes label 0 (the text area).
+    A single large interior hole beats the second-largest *hole* but not the
+    text area — it must still be filled."""
+    pred = np.zeros((40, 40), np.uint8)
+    pred[4:34, 4:34] = 255                 # solid 30×30 text region
+    cand = np.array(pred)
+    cand[10:20, 10:20] = 0                 # one 100-px interior hole
+    merged = tm.merge_mask_list([[cand, 0]], np.array(pred),
+                                refine_mode=tm.REFINEMASK_ANNOTATION)
+    # inverse components: outer background (~700 px) + the hole (100 px);
+    # with the text-area complement (≈900 px) in the list the threshold is
+    # the outer background, so the hole (smaller) gets filled.
+    assert merged[12:18, 12:18].min() == 255
+
+
+def test_refine_undetected_mask_keeps_first_region():
+    """ADVICE r1: the reference's valid_labels[1:] drops cv2's background
+    label, not a real region — every uncovered text region must be
+    recovered, including the first."""
+    img = np.full((80, 80), 255, np.uint8)
+    pred = np.zeros((80, 80), np.uint8)
+    # two disjoint predicted-text regions, dark glyph boxes in the image
+    pred[10:25, 10:40] = 255
+    pred[50:65, 30:70] = 255
+    img[10:25, 10:40] = 0
+    img[50:65, 30:70] = 0
+    refined = tm.refine_undetected_mask(img, pred, np.zeros_like(pred),
+                                        [], refine_mode=tm.REFINEMASK_ANNOTATION)
+    # both regions recovered (no block covers them)
+    assert refined[12:23, 12:38].mean() > 128
+    assert refined[52:63, 32:68].mean() > 128
