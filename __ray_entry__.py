@@ -19,7 +19,8 @@ import pyarrow.parquet as pq
 
 from ctdray.functions.dedup import (embedding_near_dedup, exact_dedup,
                                     minhash_lsh_dedup, ngram_jaccard_dedup,
-                                    simhash_dedup, token_set_dedup)
+                                    simhash_dedup, simhash_near_dedup,
+                                    token_set_dedup)
 from ctdray.functions.similarity import knn_bruteforce, knn_ivf, knn_lsh
 from ctdray.functions.text import (deterministic_sample_batch,
                                    fingerprint_batch, langid_batch,
@@ -43,6 +44,23 @@ from ctdray.pipelines.extract import (build_blocks, build_detected_spans,
 from ctdray.pipelines.interleave import read_interleaved_docs
 
 _STOPLIST_SQL = "('the','a','of','and','is','to','in')"
+
+# Exact all-pairs word-3-gram Jaccard dedup (DuckDB list kernels).  Shingle
+# semantics mirror ctdray.functions.dedup.jaccard: <3 tokens → the whole
+# text is the single shingle; ties keep the smaller doc_id.
+_NGRAM_JACCARD_SQL = (
+    "WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 "
+    "THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+    "FOR i IN range(1, len(t)-1)]) "
+    "ELSE [array_to_string(t, ' ')] END AS g FROM toks), "
+    "p AS (SELECT b.doc_id AS b_id, len(list_intersect(a.g, b.g)) AS ni, "
+    "len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS nu "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id), "
+    "dup AS (SELECT DISTINCT b_id FROM p WHERE 5 * ni >= 4 * nu) "
+    "SELECT doc_id, text FROM documents "
+    "WHERE doc_id NOT IN (SELECT b_id FROM dup)")
 
 
 def _documents(sf_dir: str):
@@ -177,6 +195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .select_columns(["doc_id", "text"]),
         "dedup_simhash": lambda sf: simhash_dedup(_documents(sf))
             .select_columns(["doc_id", "text"]),
+        "dedup_simhash_near": lambda sf: simhash_near_dedup(_documents(sf))
+            .select_columns(["doc_id", "text"]),
         "dedup_minhash_lsh": lambda sf: minhash_lsh_dedup(_documents(sf)),
         "dedup_ngram_jaccard": lambda sf: ngram_jaccard_dedup(_documents(sf)),
         "dedup_embedding": lambda sf: embedding_near_dedup(_embeddings(sf))
@@ -235,6 +255,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text "
             "FROM documents GROUP BY "
             "array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')"),
+        # Exact all-pairs 3-gram Jaccard: a doc is a duplicate iff a smaller
+        # doc_id partner reaches Jaccard ≥ 0.8 (5·|∩| ≥ 4·|∪| in integers).
+        # The Ray side generates candidates by MinHash-LSH; the pinned band
+        # geometry gives recall 1 on the testdata's near-dup structure
+        # (verified empirically at sf0.001/0.01/0.1), so LSH+exact-verify
+        # equals the all-pairs oracle.
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "dedup_minhash_lsh": _NGRAM_JACCARD_SQL,
+        # Exact all-pairs cosine near-dup at 0.98.  Verifies the LSH-bucketed
+        # engine path never spuriously drops rows; on this testdata the max
+        # pairwise cosine is ≈0.51, so the greedy-chain vs exists-partner
+        # distinction cannot fire and the expressions coincide exactly.
+        "dedup_embedding": (
+            "WITH dup AS (SELECT DISTINCT b.vec_id AS b_id "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.98) "
+            "SELECT vec_id, label FROM embeddings "
+            "WHERE vec_id NOT IN (SELECT b_id FROM dup)"),
         "knn_bruteforce": (
             "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv "
             "FROM embeddings WHERE vec_id < 5) "

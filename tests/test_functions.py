@@ -257,3 +257,24 @@ def test_minhash_hot_bucket_cap_still_dedups(ray_session):
     out = minhash_lsh_dedup(rd.from_arrow(tbl), threshold=0.8,
                             bucket_pair_cap=8, hot_bucket_reps=2).to_pandas()
     assert sorted(out.doc_id) == [0, 30]
+
+
+def test_knn_ivf_recall_floor_vs_bruteforce(ray_session):
+    """IVF prunes lists, so exact equality with brute force isn't guaranteed
+    on random embeddings — but recall@10 must clear a floor."""
+    import ray.data as rd
+
+    from ctdray.functions.similarity import knn_bruteforce, knn_ivf
+
+    rng = np.random.default_rng(17)
+    vecs = rng.standard_normal((300, 16))
+    tbl = pa.table({"vec_id": pa.array(range(300), pa.int64()),
+                    "embedding": pa.array(vecs.tolist())})
+    q, q_ids = vecs[:4], np.arange(4)
+    bf = knn_bruteforce(rd.from_arrow(tbl), q, q_ids, k=10).to_pandas()
+    ivf = knn_ivf(rd.from_arrow(tbl), q, q_ids, k=10).to_pandas()
+    hits = 0
+    for qi in range(4):
+        truth = set(bf[bf.q_id == qi].vec_id)
+        hits += len(truth & set(ivf[ivf.q_id == qi].vec_id))
+    assert hits / (4 * 10) >= 0.5
