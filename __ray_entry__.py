@@ -97,10 +97,11 @@ def _query_vectors(sf_dir: str, n: int = 5):
 
 def entry() -> Any:
     """Flagship: interleaved docs (derived from sf0.001 documents) →
-    explode → decode → detect (actor pool) → postprocess/group →
-    groupby(doc_id) splice → flat span rows."""
-    docs = read_interleaved_docs("/root/testdata/sf0.001")
-    return build_flat_spans(docs)
+    key-scan density routing → fused decode/detect/splice (dense tail via
+    groupby(doc_id)) → flat span rows."""
+    from ctdray.pipelines.extract import interleaved_extraction
+
+    return interleaved_extraction("/root/testdata/sf0.001")
 
 
 # ---------------------------------------------------------------------------
@@ -156,7 +157,9 @@ def _media_thumbnails(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- extraction (model-driven; pytest oracle, rows-only here) ---
-        "extract_flat_spans": lambda sf: build_flat_spans(read_interleaved_docs(sf)),
+        "extract_flat_spans": lambda sf: __import__(
+            "ctdray.pipelines.extract", fromlist=["interleaved_extraction"])
+            .interleaved_extraction(sf),
         "extract_detected_spans": lambda sf: build_detected_spans(read_interleaved_docs(sf)),
         "extract_blocks": _blocks_flat,
         "extract_refined_masks": _refined_masks_summary,

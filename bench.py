@@ -47,7 +47,7 @@ def run_bench(sf_dir: str, num_cpus: int, n_runs: int | None = None) -> dict:
              ignore_reinit_error=True, logging_level="ERROR")
     import pyarrow.compute as pc
 
-    from ctdray.pipelines.extract import build_flat_spans
+    from ctdray.pipelines.extract import build_flat_spans, interleaved_extraction
     from ctdray.pipelines.interleave import read_interleaved_docs
 
     queries: dict[str, float] = {}
@@ -62,7 +62,7 @@ def run_bench(sf_dir: str, num_cpus: int, n_runs: int | None = None) -> dict:
     n_spans = n_pages = n_lines = 0
     for _ in range(n_runs):
         t0 = time.perf_counter()
-        ds = build_flat_spans(read_interleaved_docs(sf_dir, repeat=REPEAT))
+        ds = interleaved_extraction(sf_dir, repeat=REPEAT)
         n_spans = n_pages = n_lines = 0
         for batch in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
             n_spans += batch.num_rows

@@ -158,9 +158,44 @@ def _tune_data_context() -> None:
     ray.data.DataContext.get_current().op_resource_reservation_enabled = False
 
 
+def _dense_doc_ids(docs: ray.data.Dataset, thr: int,
+                   dense_keys: Optional[ray.data.Dataset],
+                   limit: int = 1_000_000):
+    """Collect the dense-doc id set from a key scan.
+
+    ``dense_keys`` (doc_id + n_media only — e.g.
+    interleave.read_interleaved_doc_keys, or a stored metadata column at
+    real scale) makes this a near-free scan; without it the keys are
+    projected from ``docs`` itself (one full pass, no pixels decoded).
+    Returns a python list (tiny by construction: the dense tail is the
+    pathological skew fraction), or ``None`` if it exceeds ``limit`` —
+    the caller then falls back to predicate routing."""
+    src = dense_keys if dense_keys is not None else docs
+
+    def keys(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        if "n_media" in batch.column_names:
+            counts = batch.column("n_media").to_numpy(zero_copy_only=False)
+        else:
+            counts = _media_span_counts(batch)
+        return pa.table({"doc_id": batch.column("doc_id")}).filter(
+            pa.array(counts > thr))
+
+    ids: list = []
+    ks = src.map_batches(keys, batch_format="pyarrow")
+    for b in ks.iter_batches(batch_format="pyarrow"):
+        ids.extend(b.column("doc_id").to_pylist())
+        if len(ids) > limit:        # pragma: no cover - extreme-scale guard
+            return None
+    return ids
+
+
 def build_out_docs(docs: ray.data.Dataset,
                    cfg: Optional[PipelineConfig] = None,
-                   backend: str = "surrogate") -> ray.data.Dataset:
+                   backend: str = "surrogate",
+                   dense_keys: Optional[ray.data.Dataset] = None) -> ray.data.Dataset:
     """Full pipeline → nested output documents (schema.OUT_DOC_SCHEMA): the
     input span array re-emitted with detected spans spliced in.
 
@@ -169,17 +204,36 @@ def build_out_docs(docs: ray.data.Dataset,
     inside one actor task, zero shuffles end-to-end.  The dense tail explodes
     to page rows, detects per page, and reunites via ``groupby(doc_id)`` —
     the shuffle exists but carries only the pathological fraction of the
-    corpus, so its barrier no longer gates the whole pipeline."""
+    corpus, so its barrier no longer gates the whole pipeline.
+
+    Routing is decided by ONE cheap key scan (``dense_keys``: doc_id +
+    n_media only — see _dense_doc_ids) instead of running two full
+    read+interleave passes with complementary predicates: the common case
+    (no dense docs) then runs exactly one full scan with no filter at all,
+    and a non-empty tail routes by broadcast id-set membership (at real
+    scale the tail fetch is an indexed take on the Lance key column)."""
     _tune_data_context()
     cfg = cfg or PipelineConfig()
     thr = cfg.dense_media_threshold
 
-    normal = docs.map_batches(_make_density_filter(thr, dense=False),
-                              batch_format="pyarrow")
+    dense_ids = _dense_doc_ids(docs, thr, dense_keys)
+    if dense_ids is not None and not dense_ids:
+        # Common case: no dense tail → ONE unfiltered fused scan, no union.
+        return _map_detect_splice(docs, cfg, backend)
+
+    if dense_ids is None:   # pragma: no cover - extreme-scale fallback
+        normal = docs.map_batches(_make_density_filter(thr, dense=False),
+                                  batch_format="pyarrow")
+        dense = docs.map_batches(_make_density_filter(thr, dense=True),
+                                 batch_format="pyarrow")
+    else:
+        from ..functions.joins import broadcast_semi_join
+
+        normal = broadcast_semi_join(docs, dense_ids, "doc_id", anti=True)
+        dense = broadcast_semi_join(docs, dense_ids, "doc_id")
+
     fused = _map_detect_splice(normal, cfg, backend)
 
-    dense = docs.map_batches(_make_density_filter(thr, dense=True),
-                             batch_format="pyarrow")
     # The tail's span rows are materialized ONCE: it is a bounded, vanishing
     # fraction of the corpus by construction, and every Ray Data consumer of
     # a lazy dataset re-executes its whole upstream chain — without this the
@@ -247,10 +301,11 @@ def build_refined_masks(docs: ray.data.Dataset,
 
 def build_flat_spans(docs: ray.data.Dataset,
                      cfg: Optional[PipelineConfig] = None,
-                     backend: str = "surrogate") -> ray.data.Dataset:
+                     backend: str = "surrogate",
+                     dense_keys: Optional[ray.data.Dataset] = None) -> ray.data.Dataset:
     """Full pipeline → flat span rows with final sequence position
     (schema.FLAT_SPAN_SCHEMA) — the shuffle-friendly output representation."""
-    out_docs = build_out_docs(docs, cfg, backend)
+    out_docs = build_out_docs(docs, cfg, backend, dense_keys=dense_keys)
 
     def flatten(batch):
         import pyarrow as pa
@@ -288,3 +343,15 @@ def extraction_pipeline(input_path: str,
 
     docs = read_docs(input_path, columns=columns or ["doc_id", "spans"])
     return build_out_docs(docs, cfg, backend)
+
+
+def interleaved_extraction(sf_dir: str,
+                           cfg: Optional[PipelineConfig] = None,
+                           backend: str = "surrogate",
+                           repeat: int = 1) -> ray.data.Dataset:
+    """read interleaved docs (+ key-only scan for routing) → flat spans."""
+    from .interleave import read_interleaved_doc_keys, read_interleaved_docs
+
+    return build_flat_spans(
+        read_interleaved_docs(sf_dir, repeat=repeat), cfg, backend,
+        dense_keys=read_interleaved_doc_keys(sf_dir, repeat=repeat))

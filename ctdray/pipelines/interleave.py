@@ -128,6 +128,35 @@ def read_interleaved_docs(sf_dir: str,
     return flat.map_batches(_interleave_batch, batch_format="pyarrow")
 
 
+def doc_media_count(doc_id: int, max_media: int = 6) -> int:
+    """Media-span count of a doc — the SAME pure function interleave_rows
+    evaluates (first rng draws only), computable from the id alone."""
+    rng = _doc_rng(int(doc_id))
+    return max_media if rng.random() < 0.06 else int(rng.integers(1, 4))
+
+
+def read_interleaved_doc_keys(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
+    """Key-only companion scan: (doc_id, n_media) WITHOUT synthesizing spans
+    or reading text — the sandbox analog of scanning a stored per-doc
+    metadata column in Lance (row groups carrying only 12 bytes/doc leave
+    storage).  Feeds the hybrid router in pipelines.extract so the dense-doc
+    set is known before the single full scan starts."""
+    flat = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def keys(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_ids, out_counts = [], []
+        for r in range(max(1, repeat)):
+            shifted = ids + r * 10_000_000
+            out_ids.extend(f"doc-{int(i):08d}" for i in shifted)
+            out_counts.extend(doc_media_count(i) for i in shifted)
+        return pa.table({"doc_id": pa.array(out_ids, pa.string()),
+                         "n_media": pa.array(out_counts, pa.int64())})
+
+    return flat.map_batches(keys, batch_format="pyarrow")
+
+
 def interleaved_table(sf_dir: str) -> pa.Table:
     """Driver-side (small-scale) materialized variant for oracle comparison."""
     import pyarrow.parquet as pq

@@ -176,3 +176,36 @@ def test_write_docs_round_trip(ray_session, tmp_path):
     for g, e in zip(back.spans, orig.spans):
         assert [tuple(sorted(s.items())) for s in g] == \
                [tuple(sorted(s.items())) for s in e]
+
+
+def test_doc_keys_scan_matches_reader_counts(ray_session):
+    """The key-only routing scan (no text, no span synthesis) must agree
+    exactly with the n_media column the full interleave reader computes."""
+    from ctdray.pipelines.interleave import (read_interleaved_doc_keys,
+                                             read_interleaved_docs)
+
+    sf = "/root/testdata/sf0.001"
+    keys = {r["doc_id"]: r["n_media"]
+            for r in read_interleaved_doc_keys(sf).take_all()}
+    full = {r["doc_id"]: r["n_media"]
+            for r in read_interleaved_docs(sf).select_columns(
+                ["doc_id", "n_media"]).take_all()}
+    assert keys == full and len(keys) > 0
+
+
+def test_single_scan_routing_no_dense_tail(ray_session):
+    """With no dense docs the builder must take the unfiltered fused path
+    (no union, no materialize) and still match the oracle."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ctdray.fixtures import make_corpus
+    from ctdray.oracle import flatten_out_docs, run_oracle
+    from ctdray.pipelines.extract import build_flat_spans
+
+    tbl = make_corpus(6)
+    got = build_flat_spans(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values(["doc_id", "seq"]).reset_index(drop=True)
+    exp = flatten_out_docs(run_oracle(tbl)).to_pandas() \
+        .sort_values(["doc_id", "seq"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
