@@ -23,9 +23,13 @@ from .textblock import TextBlock, group_output
 
 
 def detect_page(detector, media_ref: str, im_h: int, im_w: int,
-                cfg: DetectorConfig) -> tuple[List[TextBlock], np.ndarray]:
+                cfg: DetectorConfig,
+                img: np.ndarray | None = None) -> tuple[List[TextBlock], np.ndarray]:
     """Run the full per-page chain; returns (reading-ordered blocks,
-    text mask as a lazy page-size view — ``.full()`` materializes uint8)."""
+    text mask as a lazy page-size view — ``.full()`` materializes uint8).
+    Passing the decoded page (``img``) additionally samples per-line fg/bg
+    font colors into the blocks (O13) — callers that already decoded the
+    page get colors for free; the span path stays pixel-free."""
     size = cfg.input_size
     blks, mask, lines_map = detector.infer(media_ref, im_h, im_w)
     _, new_w, new_h, dw, dh = letterbox_params(im_h, im_w, size)
@@ -56,7 +60,8 @@ def detect_page(detector, media_ref: str, im_h: int, im_w: int,
     else:
         lines = []
 
-    blk_list = group_output(boxes, classes, confs, lines, im_w, im_h, mask_u8)
+    blk_list = group_output(boxes, classes, confs, lines, im_w, im_h, mask_u8,
+                            img=img)
     return blk_list, mask_u8
 
 

@@ -126,8 +126,17 @@ class DetectExtract:
         for doc_id, off, ref, h, w, ok in zip(doc_ids, offsets, refs, hs, ws, oks):
             if not ok:
                 continue
+            img = None
+            if self.output == "blocks":
+                # Block rows carry fg/bg font colors (O13) — sample from the
+                # decoded page; the span path stays pixel-free.
+                from ..sources.media import decode_pgm, fetch_media
+                try:
+                    img = decode_pgm(fetch_media(ref))
+                except ValueError:
+                    img = None
             blocks, _mask = detect_page(self.detector, ref, int(h), int(w),
-                                        self.det_cfg)
+                                        self.det_cfg, img=img)
             if self.output == "blocks":
                 for bi, blk in enumerate(blocks):
                     rows.append({"doc_id": doc_id, "media_offset": int(off),

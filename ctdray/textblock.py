@@ -142,9 +142,31 @@ class TextBlock:
 
     def stroke_width(self, default: float = 0.2) -> float:
         """0.2 when fg/bg differ by > 40 summed-abs RGB, else 0
-        (utils/textblock.py:258-265)."""
-        var = int(np.abs(np.array(self.fg_rgb) - np.array(self.bg_rgb)).sum())
+        (utils/textblock.py:258-265).  Reference quirk preserved: the
+        comparison runs on the RAW ACCUMULATED per-line sums (fg_r etc. are
+        stored ×num_lines in accumulate mode), not the averages."""
+        var = int(np.abs(np.array(self.fg_rgb, dtype=np.float64)
+                         - np.array(self.bg_rgb, dtype=np.float64)).sum())
         return default if var > 40 else 0.0
+
+    def accumulate_font_color(self, frgb, brgb) -> None:
+        """Add ONE line's sampled fg/stroke color into the accumulated
+        fields — after every line contributed, the stored value equals the
+        reference's ``set_font_colors(mean, accumulate=True)`` representation
+        (mean × num_lines, utils/textblock.py:200-207)."""
+        self.fg_rgb = [a + float(b) for a, b in zip(self.fg_rgb, frgb)]
+        self.bg_rgb = [a + float(b) for a, b in zip(self.bg_rgb, brgb)]
+
+    def font_colors(self) -> tuple:
+        """(fg, bg) averaged per line, int32-truncated —
+        ``get_font_colors`` (utils/textblock.py:209-226); [0,0,0] for a
+        block with no lines."""
+        n = len(self.lines)
+        if n == 0:
+            return [0, 0, 0], [0, 0, 0]
+        fg = (np.array(self.fg_rgb, dtype=np.float64) / n).astype(np.int32)
+        bg = (np.array(self.bg_rgb, dtype=np.float64) / n).astype(np.int32)
+        return fg.tolist(), bg.tolist()
 
     @classmethod
     def from_struct(cls, d: dict) -> "TextBlock":
@@ -366,10 +388,53 @@ def sort_textblk_list(blk_list: List[TextBlock], im_w: int, im_h: int) -> List[T
     return blk_list
 
 
+def sample_line_colors(img: np.ndarray, mask, line) -> tuple:
+    """Per-line fg/bg color sample from the decoded page: fg = mean color of
+    the pixels the predicted text mask marks inside the line's bbox window,
+    bg = mean of the remaining window pixels.  This is the engine's pixel
+    sampler feeding the reference's accumulative font-color API
+    (set_font_colors/get_font_colors, utils/textblock.py:200-226 — the
+    reference ships the accumulator but leaves sampling to its GUI callers).
+    Grayscale pages broadcast to an (r,g,b) triple.  ``mask`` may be an
+    ndarray or a geom.ResizedMaskView (windowed, bit-identical)."""
+    line = np.asarray(line)
+    h, w = img.shape[0], img.shape[1]
+    x1 = max(0, int(line[:, 0].min())); x2 = min(w, int(line[:, 0].max()))
+    y1 = max(0, int(line[:, 1].min())); y2 = min(h, int(line[:, 1].max()))
+    if x2 <= x1 or y2 <= y1:
+        return (0.0, 0.0, 0.0), (0.0, 0.0, 0.0)
+    # bg samples from a margin-expanded window: the line quad wraps the
+    # glyphs tightly, so the background lives just outside it
+    m = max(2, (min(x2 - x1, y2 - y1)) // 4)
+    ex1, ey1 = max(0, x1 - m), max(0, y1 - m)
+    ex2, ey2 = min(w, x2 + m), min(h, y2 + m)
+    win = img[ey1:ey2, ex1:ex2]
+    if win.ndim == 2:
+        win = win[..., None]
+    if hasattr(mask, "window"):
+        mwin = mask.window(ex1, ey1, ex2, ey2)
+    else:
+        mwin = np.asarray(mask)[ey1:ey2, ex1:ex2]
+    text_sel = mwin > 127
+    inner = np.zeros(text_sel.shape, dtype=bool)
+    inner[y1 - ey1:y2 - ey1, x1 - ex1:x2 - ex1] = True
+    fg_sel = text_sel & inner
+    nc = win.shape[2]
+    fg = win[fg_sel].reshape(-1, nc).mean(axis=0) if fg_sel.any() \
+        else np.zeros(nc)
+    bg_sel = ~text_sel
+    bg = win[bg_sel].reshape(-1, nc).mean(axis=0) if bg_sel.any() \
+        else np.zeros(nc)
+    if nc == 1:
+        fg, bg = np.repeat(fg, 3), np.repeat(bg, 3)
+    return tuple(float(v) for v in fg), tuple(float(v) for v in bg)
+
+
 def group_output(boxes: np.ndarray, classes: np.ndarray, confs: np.ndarray,
                  lines, im_w: int, im_h: int,
                  mask: Optional[np.ndarray] = None,
-                 sort_blklist: bool = True) -> List[TextBlock]:
+                 sort_blklist: bool = True,
+                 img: Optional[np.ndarray] = None) -> List[TextBlock]:
     """The core extraction heuristic (utils/textblock.py:421-508): assign
     detected line quads to detected blocks, finalize/split blocks, merge
     scattered lines, sort into reading order, expand horizontal-eng lines.
@@ -447,6 +512,15 @@ def group_output(boxes: np.ndarray, classes: np.ndarray, confs: np.ndarray,
             lines[..., 1] = np.clip(lines[..., 1], 0, im_h - 1)
             blk.lines = [l for l in lines.astype(np.int64)]
             blk.font_size += expand
+
+    # O13: per-line accumulative fg/bg color sampling from the decoded page
+    # (opt-in — the caller passes the page only when it already holds the
+    # pixels, so the span-only hot path never decodes for colors).
+    if img is not None and mask is not None:
+        for blk in final:
+            for line in blk.lines:
+                frgb, brgb = sample_line_colors(img, mask, line)
+                blk.accumulate_font_color(frgb, brgb)
     return final
 
 

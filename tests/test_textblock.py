@@ -254,3 +254,50 @@ def test_yolo_labels_projection(ray_session):
         assert parts[0] == "1" and len(parts) == 5
         vals = [float(p) for p in parts[1:]]
         assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_font_color_sampling_on_known_page():
+    """O13: per-line accumulative fg/bg sampling (reference
+    set_font_colors/get_font_colors semantics, utils/textblock.py:200-226)."""
+    import numpy as np
+
+    from ctdray.textblock import TextBlock, group_output, sample_line_colors
+
+    img = np.full((60, 80), 220, np.uint8)        # light page
+    mask = np.zeros((60, 80), np.uint8)
+    # two dark glyph lines
+    for (y1, y2, x1, x2) in [(10, 18, 10, 60), (25, 33, 10, 60)]:
+        img[y1:y2, x1:x2] = 30
+        mask[y1:y2, x1:x2] = 255
+    line1 = np.array([[10, 10], [60, 10], [60, 18], [10, 18]])
+    line2 = np.array([[10, 25], [60, 25], [60, 33], [10, 33]])
+    frgb, brgb = sample_line_colors(img, mask, line1)
+    assert frgb == (30.0, 30.0, 30.0)
+    assert brgb == (220.0, 220.0, 220.0)
+
+    boxes = np.array([[5, 5, 70, 40]])
+    blks = group_output(boxes, np.array([0]), np.array([0.9]),
+                        [line1, line2], 80, 60, mask, img=img)
+    assert len(blks) == 1
+    fg, bg = blks[0].font_colors()
+    assert fg == [30, 30, 30] and bg == [220, 220, 220]
+    # stroke width fires on the raw accumulated difference (reference quirk)
+    assert blks[0].stroke_width() == 0.2
+    # round trip preserves the accumulated color fields
+    d = blks[0].to_struct(order=0)
+    assert d["fg_rgb"] == [60, 60, 60] and d["bg_rgb"] == [440, 440, 440]
+    back = TextBlock.from_struct(d)
+    assert back.to_struct(order=0) == d
+
+
+def test_group_output_without_img_keeps_zero_colors():
+    import numpy as np
+
+    from ctdray.textblock import group_output
+
+    mask = np.zeros((40, 40), np.uint8)
+    mask[10:20, 5:35] = 255
+    line = np.array([[5, 10], [35, 10], [35, 20], [5, 20]])
+    blks = group_output(np.array([[2, 5, 38, 25]]), np.array([0]),
+                        np.array([0.9]), [line], 40, 40, mask)
+    assert blks[0].fg_rgb == [0, 0, 0] and blks[0].bg_rgb == [0, 0, 0]
