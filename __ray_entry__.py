@@ -64,22 +64,22 @@ _NGRAM_JACCARD_SQL = (
 
 
 def _documents(sf_dir: str):
-    import ray.data
+    from ctdray.sources.tables import read_parquet_clean
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    return read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
 
 def _documents_full(sf_dir: str):
-    import ray.data
+    from ctdray.sources.tables import read_parquet_clean
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return read_parquet_clean(f"{sf_dir}/documents.parquet")
 
 
 def _embeddings(sf_dir: str):
-    import ray.data
+    from ctdray.sources.tables import read_parquet_clean
 
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet")
 
 
 def _query_vectors(sf_dir: str, n: int = 5):
@@ -154,6 +154,37 @@ def _media_thumbnails(sf_dir: str):
                                   "decode_ok"])
 
 
+def _media_refs(sf_dir: str, scheme: str):
+    """One synthetic clip per document (vid://…, aud://…) — the multimodal
+    stages' input shape."""
+    def to_refs(b: pa.Table) -> pa.Table:
+        return pa.table({"media_ref": pa.array(
+            [f"{scheme}://doc-{int(i):08d}"
+             for i in b.column("doc_id").to_pylist()], pa.string())})
+
+    return _documents(sf_dir).map_batches(to_refs, batch_format="pyarrow")
+
+
+def _media_frame_samples(sf_dir: str):
+    """Video frame sampling: real CTVF container decode per clip."""
+    from ctdray.stages.multimodal import sample_frames_task
+
+    return (_media_refs(sf_dir, "vid")
+            .map_batches(sample_frames_task, batch_format="pyarrow",
+                         batch_size=16)
+            .select_columns(["media_ref", "frame_idx", "frame_h", "frame_w"]))
+
+
+def _media_audio_features(sf_dir: str):
+    """Audio feature extraction: real WAV decode + rFFT band energies."""
+    from ctdray.stages.multimodal import audio_features_task
+
+    return (_media_refs(sf_dir, "aud")
+            .map_batches(audio_features_task, batch_format="pyarrow",
+                         batch_size=16)
+            .select_columns(["media_ref", "n_windows"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- extraction (model-driven; pytest oracle, rows-only here) ---
@@ -164,6 +195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_blocks": _blocks_flat,
         "extract_refined_masks": _refined_masks_summary,
         "media_thumbnails": _media_thumbnails,
+        "media_frame_samples": _media_frame_samples,
+        "media_audio_features": _media_audio_features,
         "detection_quality": lambda sf: __import__("ctdray.eval", fromlist=["detection_quality"])
             .detection_quality(read_interleaved_docs(sf)),
         # --- text analysis (SQL-oracled) ---

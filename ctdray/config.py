@@ -57,3 +57,6 @@ class PipelineConfig:
     # inference.py:35 runs ANNOTATION mode with undetected-region recovery).
     keep_undetected_mask: bool = True       # inference.py:35,142
     refine_mode: str = "annotation"         # 'annotation' | 'inpaint'
+    mask_format: str = "png"                # mask sink codec ('png' matches
+                                            # the reference's mask-<name>.png,
+                                            # inference.py:70; 'pgm' selectable)

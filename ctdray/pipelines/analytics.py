@@ -27,6 +27,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from ..sources.tables import read_parquet_clean
+
 
 # ---------------------------------------------------------------------------
 # generic partial-agg → small-groupby reduce
@@ -71,7 +73,7 @@ def lineitem_pricing_summary(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q1-shaped: per (returnflag, linestatus) row count and quantity
     sum (quantities are integral, so the double sum is order-independent and
     exact)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity"])
 
@@ -93,7 +95,7 @@ def top_customers_by_orders(sf_dir: str, n: int = 10) -> ray.data.Dataset:
                            cust.column("c_name").to_pylist()))
     cust_ref = ray.put(name_by_key)
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
                                    columns=["o_custkey"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -133,7 +135,7 @@ def orders_by_nation(sf_dir: str) -> ray.data.Dataset:
                         pa.concat_arrays([nation.column("n_name").combine_chunks(),
                                           pa.array([""], pa.string())])))
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
                                    columns=["o_custkey"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -158,7 +160,7 @@ def orders_by_nation(sf_dir: str) -> ray.data.Dataset:
 
 def part_type_stats(sf_dir: str) -> ray.data.Dataset:
     """Groupby over part types: count + exact min/max retail price."""
-    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/part.parquet",
                                columns=["p_type", "p_retailprice"])
 
     def with_one(batch: pa.Table) -> pa.Table:
@@ -183,7 +185,7 @@ def shipped_1995_by_flag(sf_dir: str) -> ray.data.Dataset:
     lo = datetime.datetime(1995, 1, 1)
     hi = datetime.datetime(1996, 1, 1)
     expr = (pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi)
-    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                                columns=["l_returnflag", "l_shipdate"],
                                filter=expr)
 
@@ -211,7 +213,7 @@ def supplier_stats_by_nation(sf_dir: str) -> ray.data.Dataset:
     side = _ray.put((nation.column("n_nationkey").combine_chunks(),
                      pa.concat_arrays([nation.column("n_name").combine_chunks(),
                                        pa.array([""], pa.string())])))
-    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+    sup = read_parquet_clean(f"{sf_dir}/supplier.parquet",
                                 columns=["s_nationkey", "s_acctbal"])
 
     def attach(batch: pa.Table) -> pa.Table:
@@ -230,7 +232,7 @@ def supplier_stats_by_nation(sf_dir: str) -> ray.data.Dataset:
 
 def orders_monthly_by_priority(sf_dir: str) -> ray.data.Dataset:
     """Tumbling month window × priority: count of orders."""
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
                                columns=["o_orderdate", "o_orderpriority"])
 
     def bucket(batch: pa.Table) -> pa.Table:
@@ -250,9 +252,9 @@ def orders_by_mktsegment(sf_dir: str) -> ray.data.Dataset:
     count per market segment."""
     from ..functions.joins import hash_join
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
                                    columns=["o_custkey"])
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_mktsegment"])
     joined = hash_join(orders, cust, on="o_custkey", right_on="c_custkey")
 
@@ -276,7 +278,7 @@ def events_sliding_2h(sf_dir: str) -> ray.data.Dataset:
     windows covering it inside map_batches (vectorized), then the usual
     partial-agg reduce — the overlap factor, not a shuffle, carries the
     window semantics."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["ts", "event_type"])
 
     def explode_windows(batch: pa.Table) -> pa.Table:
@@ -298,7 +300,7 @@ def events_sliding_2h(sf_dir: str) -> ray.data.Dataset:
 def daily_distinct_users(sf_dir: str) -> ray.data.Dataset:
     """Distributed exact distinct-count: per-batch (day, user) dedup shrinks
     the exchange, then per-day unique count in the reduce."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["ts", "user_id"])
 
     def day_user(batch: pa.Table) -> pa.Table:
@@ -320,7 +322,7 @@ def top_tokens(sf_dir: str, n: int = 20) -> ray.data.Dataset:
     """Corpus vocabulary top-n: explode tokens inside map_batches (Arrow
     list_flatten — no Python row loop), pre-count per batch, groupby-sum the
     partials, deterministic top-n (count desc, token asc)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -347,7 +349,7 @@ def sessionize_events(sf_dir: str, gap_seconds: int = 1800) -> ray.data.Dataset:
     ``groupby(user_id).map_groups`` sorts each user's events by time and
     counts sessions split at >gap_seconds silences.  Per-user event counts
     are small and bounded; the shuffle carries (user_id, ts) pairs only."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
 
     def per_user(group: pa.Table) -> pa.Table:
@@ -368,7 +370,7 @@ def sessionize_events(sf_dir: str, gap_seconds: int = 1800) -> ray.data.Dataset:
 
 def events_hourly(sf_dir: str) -> ray.data.Dataset:
     """Tumbling 1-hour window per event_type: count + exact min/max value."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["ts", "event_type", "value"])
 
     def bucket(batch: pa.Table) -> pa.Table:

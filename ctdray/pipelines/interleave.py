@@ -27,6 +27,7 @@ import pyarrow as pa
 import ray.data
 
 from ..fixtures import make_media_ref
+from ..sources.tables import read_parquet_clean as _read_clean
 from ..schema import DOC_SCHEMA
 
 
@@ -108,7 +109,7 @@ def read_interleaved_docs(sf_dir: str,
 
         n_rows = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
         override_num_blocks = max(1, min(cpus * 4, n_rows * max(1, repeat)))
-    flat = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    flat = _read_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"],
                                  override_num_blocks=max(
                                      1, override_num_blocks // max(1, repeat)))
@@ -141,7 +142,7 @@ def read_interleaved_doc_keys(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
     metadata column in Lance (row groups carrying only 12 bytes/doc leave
     storage).  Feeds the hybrid router in pipelines.extract so the dense-doc
     set is known before the single full scan starts."""
-    flat = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    flat = _read_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id"])
 
     def keys(batch: pa.Table) -> pa.Table:

@@ -59,13 +59,127 @@ def decode_pgm(data: bytes) -> np.ndarray:
 
 
 def fetch_media(media_ref: str) -> bytes:
-    """Resolve a media_ref to encoded page bytes.
+    """Resolve a media_ref to encoded media bytes.
 
-    Sandbox implementation synthesizes the deterministic page
-    (FIXTURES.md §2); refs that don't parse raise ValueError so the decode
-    stage can emit an error row.
+    Sandbox implementation synthesizes deterministic payloads (standing in
+    for an object-store / Lance-blob fetch):
+
+      page://…   binary-PGM page image (FIXTURES.md §2)
+      vid://…    CTVF raw-frame video (synth_video)
+      aud://…    RIFF/WAVE PCM16 audio (synth_wav)
+
+    Refs that don't parse raise ValueError so the decode stage can emit an
+    error row.
     """
-    if not media_ref.startswith("page://"):
-        raise ValueError(f"unresolvable media_ref: {media_ref!r}")
-    gt = page_ground_truth(media_ref)
-    return encode_pgm(render_page(gt))
+    if media_ref.startswith("page://"):
+        gt = page_ground_truth(media_ref)
+        return encode_pgm(render_page(gt))
+    if media_ref.startswith("vid://"):
+        return synth_video(media_ref)
+    if media_ref.startswith("aud://"):
+        return synth_wav(media_ref)
+    raise ValueError(f"unresolvable media_ref: {media_ref!r}")
+
+
+# ---------------------------------------------------------------------------
+# Toy video container (CTVF) + PCM WAV — REAL encode/decode paths for the
+# multimodal frame-sampling / audio-feature stages (no av/cv2 in-sandbox; a
+# prod deployment swaps the codec, the Ray plumbing is identical).
+# ---------------------------------------------------------------------------
+
+_CTVF_MAGIC = b"CTVF"
+
+
+def _ref_rng(tag: str, media_ref: str) -> np.random.Generator:
+    import hashlib
+
+    seed = int.from_bytes(
+        hashlib.sha256(f"{tag}:{media_ref}".encode()).digest()[:8], "little")
+    return np.random.default_rng(seed)
+
+
+def encode_ctvf(frames: np.ndarray) -> bytes:
+    """(n, h, w) uint8 → CTVF container: magic + uint16 n,h,w + raw frames."""
+    import struct
+
+    if frames.dtype != np.uint8 or frames.ndim != 3:
+        raise ValueError("encode_ctvf expects uint8 (n, h, w)")
+    n, h, w = frames.shape
+    return _CTVF_MAGIC + struct.pack("<HHH", n, h, w) + frames.tobytes()
+
+
+def decode_ctvf(data: bytes) -> np.ndarray:
+    """CTVF bytes → (n, h, w) uint8.  ValueError on malformed input."""
+    import struct
+
+    if not data.startswith(_CTVF_MAGIC):
+        raise ValueError("not a CTVF payload")
+    n, h, w = struct.unpack("<HHH", data[4:10])
+    pixels = np.frombuffer(data, dtype=np.uint8, count=n * h * w, offset=10)
+    if pixels.size != n * h * w:
+        raise ValueError("truncated CTVF frame data")
+    return pixels.reshape(n, h, w).copy()
+
+
+def synth_video(media_ref: str, n_frames: int = 24,
+                h: int = 36, w: int = 64) -> bytes:
+    """Deterministic toy clip: a bright blob translating across a noisy
+    background — frame content varies smoothly with time so frame sampling
+    has real structure to pick up."""
+    rng = _ref_rng("vid", media_ref)
+    base = rng.integers(0, 64, size=(h, w), dtype=np.uint8)
+    ys, xs = np.mgrid[0:h, 0:w]
+    frames = np.empty((n_frames, h, w), dtype=np.uint8)
+    x0, y0 = rng.integers(0, w), rng.integers(0, h)
+    vx, vy = int(rng.integers(1, 4)), int(rng.integers(1, 3))
+    for t in range(n_frames):
+        cx, cy = (x0 + vx * t) % w, (y0 + vy * t) % h
+        blob = 191.0 * np.exp(-(((xs - cx) ** 2) + ((ys - cy) ** 2)) / 40.0)
+        frames[t] = np.clip(base + blob, 0, 255).astype(np.uint8)
+    return encode_ctvf(frames)
+
+
+def synth_wav(media_ref: str, sr: int = 8000, seconds: float = 1.0) -> bytes:
+    """Deterministic PCM16 mono WAV: a mixture of 3 seeded sine tones plus
+    noise, written with the stdlib ``wave`` module (a real RIFF file any
+    audio tool can read)."""
+    import io
+    import wave
+
+    rng = _ref_rng("aud", media_ref)
+    t = np.arange(int(sr * seconds)) / sr
+    sig = np.zeros_like(t)
+    for _ in range(3):
+        f = float(rng.uniform(100, 2000))
+        sig += float(rng.uniform(0.1, 0.4)) * np.sin(2 * np.pi * f * t)
+    sig += 0.05 * rng.standard_normal(t.size)
+    pcm = np.clip(sig, -1, 1) * 32767
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(pcm.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (float64 mono samples in [-1, 1], sample_rate).
+    stdlib ``wave`` parsing — a real decoder, ValueError on malformed."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(data), "rb") as wf:
+            sr = wf.getframerate()
+            nch = wf.getnchannels()
+            width = wf.getsampwidth()
+            raw = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"not a WAV payload: {e}") from e
+    if width != 2:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if nch > 1:
+        samples = samples.reshape(-1, nch).mean(axis=1)
+    return samples, sr

@@ -1,0 +1,126 @@
+"""Pure-python PNG codec (zlib + numpy) — no cv2/PIL needed.
+
+The reference's primary image format is PNG: ``imread`` decodes it via
+``cv2.imdecode`` and the mask sink writes ``mask-<name>.png``
+(utils/io_utils.py:42-53, inference.py:70).  The sandbox has no cv2, but it
+has ``zlib``, and PNG's layout (IHDR/IDAT chunks, per-scanline filters) is
+fully decodable with numpy:
+
+  decode: 8-bit greyscale / RGB / RGBA, non-interlaced; all five scanline
+          filter types (None/Sub/Up/Average/Paeth)
+  encode: filter 0 scanlines, one zlib IDAT — valid for any PNG reader
+
+Malformed payloads raise ValueError so pipeline decode stages degrade to
+error rows (SURVEY.md §4 poison-pill handling), never crash.
+"""
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+_COLOR_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}   # grey, rgb, grey+a, rgba
+
+
+def _chunks(data: bytes):
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), \
+            data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        yield ctype, body
+        pos += 12 + length          # length + type + body + crc
+        if ctype == b"IEND":
+            return
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → uint8 (h, w) or (h, w, c)."""
+    if not data.startswith(_SIG):
+        raise ValueError("not a PNG payload")
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    for ctype, body in _chunks(data):
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if color not in _COLOR_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color}")
+            if interlace != 0:
+                raise ValueError("interlaced PNG unsupported")
+            channels = _COLOR_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.extend(body)
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = width * channels
+    if raw.size != height * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    raw = raw.reshape(height, stride + 1)
+    filters, lines = raw[:, 0], raw[:, 1:].astype(np.int32)
+    out = np.zeros((height, stride), dtype=np.int32)
+    bpp = channels
+    for y in range(height):
+        f, cur = int(filters[y]), lines[y].copy()
+        prior = out[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        if f == 0:
+            out[y] = cur
+        elif f == 1:                 # Sub: left — mod-256 prefix sum per channel
+            out[y] = (np.cumsum(cur.reshape(width, bpp), axis=0,
+                                dtype=np.int64) & 0xFF).reshape(stride)
+        elif f == 2:                 # Up
+            out[y] = (cur + prior) & 0xFF
+        elif f == 3:                 # Average
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prior[x]) >> 1)) & 0xFF
+            out[y] = cur
+        elif f == 4:                 # Paeth
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                    (b if pb_ <= pc_ else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+            out[y] = cur
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+    img = out.astype(np.uint8).reshape(height, width, channels)
+    return img[:, :, 0] if channels == 1 else img
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """uint8 (h, w) or (h, w, 3|4) → PNG bytes (filter 0, zlib level 6)."""
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("encode_png expects uint8 (h,w[,c])")
+    if img.ndim == 2:
+        color, arr = 0, img[:, :, None]
+    elif img.shape[2] == 3:
+        color, arr = 2, img
+    elif img.shape[2] == 4:
+        color, arr = 6, img
+    else:
+        raise ValueError(f"unsupported channel count {img.shape[2]}")
+    h, w, c = arr.shape
+    scan = np.zeros((h, w * c + 1), dtype=np.uint8)
+    scan[:, 1:] = arr.reshape(h, w * c)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body)) + ctype + body + \
+            struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+
+    return (_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+            + chunk(b"IEND", b""))

@@ -2,11 +2,10 @@
 
 The engine treats image/audio/video as binary columns addressed by
 ``media_ref``; decode / feature-extract / resize / frame-sample are
-``map_batches`` stages over Arrow batches.  In this sandbox only the PGM
-image codec is real (ctdray.sources.media); JPEG/PNG/audio/video codecs are
-import-gated stubs (cv2 / PIL / av are not installed) with the Ray-side
-plumbing — schemas, batch shapes, deterministic output layout — fully real
-and tested, per the engine contract for multimodal operators.
+``map_batches`` stages over Arrow batches.  Every decode here is REAL:
+PGM and PNG images (pure numpy/zlib — ctdray.sources.png), CTVF raw-frame
+video and RIFF/WAVE PCM16 audio (ctdray.sources.media).  JPEG would need
+cv2/PIL (not in this container) and routes through the explicit prod hook.
 
 Scale notes: payload rows are large (a page ≈ 1-8 MB), so these stages use
 SMALL batch sizes and emit compact derived columns (thumbnails, features,
@@ -15,13 +14,12 @@ cross a shuffle.
 """
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 
 from ..geom import resize_bilinear
-from ..sources.media import decode_pgm, fetch_media
+from ..sources.media import decode_ctvf, decode_pgm, decode_wav, fetch_media
+from ..sources.png import decode_png
 
 THUMB_SCHEMA = pa.schema([
     pa.field("media_ref", pa.string()),
@@ -50,10 +48,13 @@ AUDIO_FEAT_SCHEMA = pa.schema([
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """binary → uint8 (h, w[, c]).  PGM is native; other formats need cv2 or
-    PIL (not in this container) — the prod hook is explicit."""
+    """binary → uint8 (h, w[, c]).  PGM and PNG are native (pure
+    numpy/zlib — the reference's primary format is PNG, utils/io_utils.py:
+    42-53); JPEG/WebP need cv2 or PIL — the prod hook is explicit."""
     if payload[:2] == b"P5":
         return decode_pgm(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
     try:  # pragma: no cover - not installed in-sandbox
         import cv2
 
@@ -63,7 +64,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         return img
     except ImportError:
         raise NotImplementedError(
-            "non-PGM image decode requires cv2/PIL (unavailable in-sandbox); "
+            "JPEG/WebP decode requires cv2/PIL (unavailable in-sandbox); "
             "prod images route through this hook unchanged")
 
 
@@ -91,37 +92,50 @@ def thumbnails_task(batch: pa.Table, size: int = 64) -> pa.Table:
 
 
 def sample_frames_task(batch: pa.Table, n_frames: int = 4) -> pa.Table:
-    """Video frame sampling stage.  No video codec ships in this container,
-    so frames are a DETERMINISTIC fake (seeded by media_ref) with the real
-    output layout — one row per sampled frame; prod swaps the decoder for
-    av/cv2.VideoCapture behind the same schema."""
+    """Video frame sampling: REAL container decode (CTVF raw frames —
+    sources.media.decode_ctvf) → n uniformly-spaced frames per clip, one
+    output row each.  Prod swaps the decoder for av/cv2.VideoCapture behind
+    the same schema; undecodable payloads degrade to zero rows."""
     rows = []
     for ref in batch.column("media_ref").to_pylist():
-        seed = int.from_bytes(
-            hashlib.sha256(b"vid:" + ref.encode()).digest()[:8], "little")
-        rng = np.random.default_rng(seed)
-        h, w = 36, 64
-        for idx in range(n_frames):
-            frame = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
-            rows.append({"media_ref": ref, "frame_idx": idx,
-                         "frame": frame.tobytes(),
-                         "frame_h": h, "frame_w": w})
+        try:
+            frames = decode_ctvf(fetch_media(ref))
+        except ValueError:
+            continue
+        n_total = frames.shape[0]
+        picks = np.linspace(0, n_total - 1, min(n_frames, n_total)).astype(int)
+        for idx in picks:
+            fr = frames[idx]
+            rows.append({"media_ref": ref, "frame_idx": int(idx),
+                         "frame": fr.tobytes(),
+                         "frame_h": int(fr.shape[0]),
+                         "frame_w": int(fr.shape[1])})
     if not rows:
         return FRAME_SCHEMA.empty_table()
     return pa.Table.from_pylist(rows, schema=FRAME_SCHEMA)
 
 
 def audio_features_task(batch: pa.Table, n_windows: int = 16,
-                        n_mel: int = 8) -> pa.Table:
-    """Audio feature extraction stage.  Same contract as frames: the
-    windowed-feature layout is real, the decoded waveform is a deterministic
-    fake (no audio codec in-sandbox)."""
+                        n_bands: int = 8) -> pa.Table:
+    """Audio feature extraction: REAL WAV decode (stdlib wave →
+    sources.media.decode_wav) → per-window log band energies via numpy
+    rFFT (a mel-style filterbank without the mel warp — no scipy needed).
+    Output: n_windows × n_bands flat float32 features per clip."""
     rows = []
     for ref in batch.column("media_ref").to_pylist():
-        seed = int.from_bytes(
-            hashlib.sha256(b"aud:" + ref.encode()).digest()[:8], "little")
-        rng = np.random.default_rng(seed)
-        feats = rng.standard_normal(n_windows * n_mel).astype(np.float32)
+        try:
+            samples, _sr = decode_wav(fetch_media(ref))
+        except ValueError:
+            continue
+        if samples.size < n_windows:
+            continue
+        win = samples.size // n_windows
+        frames = samples[:win * n_windows].reshape(n_windows, win)
+        spec = np.abs(np.fft.rfft(frames * np.hanning(win), axis=1)) ** 2
+        # fold the spectrum into n_bands equal-width bands
+        nb = spec.shape[1] // n_bands * n_bands
+        bands = spec[:, :nb].reshape(n_windows, n_bands, -1).sum(axis=2)
+        feats = np.log1p(bands).astype(np.float32).reshape(-1)
         rows.append({"media_ref": ref, "n_windows": n_windows,
                      "features": feats.tolist()})
     if not rows:

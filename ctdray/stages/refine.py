@@ -15,6 +15,7 @@ from ..config import PipelineConfig
 from ..detect_core import detect_page
 from ..schema import MASK_SCHEMA
 from ..sources.media import decode_pgm, encode_pgm, fetch_media
+from ..sources.png import encode_png
 from ..surrogate import make_detector
 from ..textmask import (REFINEMASK_ANNOTATION, REFINEMASK_INPAINT,
                         refine_mask, refine_undetected_mask)
@@ -49,9 +50,12 @@ def refine_masks_task(batch: pa.Table, cfg=None,
         if cfg.keep_undetected_mask:
             refined = refine_undetected_mask(img, pred, refined, blocks,
                                              refine_mode=mode)
+        # PNG by default — the reference's actual mask sink format
+        # (mask-<name>.png, inference.py:70); PGM remains selectable.
+        enc = encode_png if cfg.mask_format == "png" else encode_pgm
         rows.append({
             "doc_id": doc_id, "media_offset": int(off), "media_ref": ref,
-            "mask": encode_pgm(refined),
+            "mask": enc(refined),
             "mask_h": int(refined.shape[0]), "mask_w": int(refined.shape[1]),
             "fg_pixels": int((refined > 0).sum()),
             "n_blocks": len(blocks),

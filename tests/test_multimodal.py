@@ -40,24 +40,64 @@ def test_thumbnails_shapes_and_poison_pill():
     assert out2.to_pandas().iloc[0]["thumb"] == ok.iloc[0]["thumb"]
 
 
-def test_frame_sampling_layout():
-    out = sample_frames_task(_page_batch(2), n_frames=3)
+def _vid_batch(n=2):
+    return pa.table({"media_ref": pa.array([f"vid://clip-{i}" for i in range(n)])})
+
+
+def test_frame_sampling_real_decode():
+    """Frames come from a REAL container decode (CTVF) — uniformly spaced
+    indices, genuine per-frame content (moving blob), poison pills skipped."""
+    batch = pa.concat_tables([_vid_batch(2),
+                              pa.table({"media_ref": pa.array(["page://x"])})])
+    out = sample_frames_task(batch, n_frames=3)
     assert out.schema.equals(FRAME_SCHEMA)
     df = out.to_pandas()
-    assert len(df) == 6
-    assert sorted(df[df.media_ref == df.media_ref[0]].frame_idx) == [0, 1, 2]
-    f = np.frombuffer(df.iloc[0]["frame"], np.uint8)
-    assert f.size == df.iloc[0]["frame_h"] * df.iloc[0]["frame_w"]
-    # deterministic across calls
-    again = sample_frames_task(_page_batch(2), n_frames=3).to_pandas()
+    assert len(df) == 6                       # 2 clips × 3 frames; bad ref skipped
+    first = df[df.media_ref == df.media_ref[0]].sort_values("frame_idx")
+    assert list(first.frame_idx) == [0, 11, 23]   # uniform over 24 frames
+    f0 = np.frombuffer(first.iloc[0]["frame"], np.uint8)
+    f2 = np.frombuffer(first.iloc[2]["frame"], np.uint8)
+    assert f0.size == first.iloc[0]["frame_h"] * first.iloc[0]["frame_w"]
+    assert not np.array_equal(f0, f2)         # the blob moved
+    again = sample_frames_task(_vid_batch(2), n_frames=3).to_pandas()
     assert again.iloc[0]["frame"] == df.iloc[0]["frame"]
 
 
-def test_audio_features_layout():
-    out = audio_features_task(_page_batch(2), n_windows=4, n_mel=3)
+def test_ctvf_and_wav_codecs_roundtrip():
+    from ctdray.sources.media import (decode_ctvf, decode_wav, encode_ctvf,
+                                      fetch_media, synth_wav)
+
+    frames = np.arange(2 * 3 * 4, dtype=np.uint8).reshape(2, 3, 4)
+    assert np.array_equal(decode_ctvf(encode_ctvf(frames)), frames)
+    samples, sr = decode_wav(synth_wav("aud://x"))
+    assert sr == 8000 and samples.size == 8000
+    assert np.abs(samples).max() <= 1.0
+    with pytest.raises(ValueError):
+        decode_ctvf(b"nope")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFbroken")
+
+
+def test_audio_features_real_decode():
+    refs = pa.table({"media_ref": pa.array(["aud://a", "aud://b", "vid://x"])})
+    out = audio_features_task(refs, n_windows=4, n_bands=3)
     assert out.schema.equals(AUDIO_FEAT_SCHEMA)
     df = out.to_pandas()
+    assert len(df) == 2                        # vid:// isn't a WAV → skipped
     assert all(len(f) == 12 for f in df["features"])
+    # sine mixtures concentrate energy: features vary across bands
+    f = np.array(df.iloc[0]["features"]).reshape(4, 3)
+    assert f.std() > 0
+
+
+def test_png_decode_image_roundtrip():
+    from ctdray.sources.png import encode_png
+    from ctdray.stages.multimodal import decode_image
+
+    rng = np.random.default_rng(9)
+    for shape in [(20, 30), (10, 12, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(decode_image(encode_png(img)), img)
 
 
 def test_thumbnails_distributed(ray_session):

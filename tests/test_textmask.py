@@ -85,7 +85,7 @@ def test_refined_masks_pipeline(ray_session):
     import ray.data as rd
 
     from ctdray.pipelines.extract import build_refined_masks
-    from ctdray.sources.media import decode_pgm
+    from ctdray.stages.multimodal import decode_image
 
     tbl = make_corpus(6)
     out = build_refined_masks(rd.from_arrow(tbl)).to_pandas()
@@ -93,7 +93,8 @@ def test_refined_masks_pipeline(ray_session):
     assert {"doc_id", "media_ref", "mask", "mask_h", "mask_w",
             "fg_pixels", "n_blocks"} <= set(out.columns)
     row = out.iloc[0]
-    m = decode_pgm(row["mask"])
+    assert bytes(row["mask"][:8]) == b"\x89PNG\r\n\x1a\n"   # reference format
+    m = decode_image(row["mask"])
     assert m.shape == (row["mask_h"], row["mask_w"])
     assert (m > 0).sum() == row["fg_pixels"]
     assert (out["n_blocks"] > 0).any()
