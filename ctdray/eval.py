@@ -67,20 +67,43 @@ def quad_iou(a, b) -> float:
     return inter / union if union > 0 else 0.0
 
 
-def evaluate_page(gt_quads, det_quads, iou_constraint: float = 0.5):
-    """Greedy 1-1 match in gt-major order (utils/db_utils.py:365-378).
-    Returns (gt_care, det_care, det_matched)."""
-    gt_matched = [False] * len(gt_quads)
-    det_matched = [False] * len(det_quads)
+def evaluate_page(gt_quads, det_quads, iou_constraint: float = 0.5,
+                  gt_ignore=None,
+                  area_precision_constraint: float = 0.5):
+    """Greedy 1-1 match in gt-major order with don't-care filtering
+    (utils/db_utils.py:296-381): GT quads flagged ignore leave the care
+    count, and a detection whose own-area overlap with any don't-care GT
+    exceeds ``area_precision_constraint`` joins the det don't-care set
+    (utils/db_utils.py:333-342) — neither side then participates in
+    matching.  Returns (gt_care, det_care, det_matched)."""
+    n_gt, n_det = len(gt_quads), len(det_quads)
+    gt_ignore = list(gt_ignore) if gt_ignore is not None else [False] * n_gt
+    gt_dc = {i for i, ig in enumerate(gt_ignore) if ig}
+    det_dc: set = set()
+    if gt_dc:
+        for di, d in enumerate(det_quads):
+            d_arr = np.asarray(d)
+            d_area = polygon_area(d_arr)
+            for gi in gt_dc:
+                inter_poly = clip_convex(np.asarray(gt_quads[gi]), d_arr)
+                inter = polygon_area(np.array(inter_poly)) \
+                    if len(inter_poly) >= 3 else 0.0
+                prec = 0.0 if d_area == 0 else inter / d_area
+                if prec > area_precision_constraint:
+                    det_dc.add(di)
+                    break
+    gt_matched = [False] * n_gt
+    det_matched = [False] * n_det
     matched = 0
     for gi, g in enumerate(gt_quads):
         for di, d in enumerate(det_quads):
-            if gt_matched[gi] or det_matched[di]:
+            if gt_matched[gi] or det_matched[di] \
+                    or gi in gt_dc or di in det_dc:
                 continue
             if quad_iou(d, g) > iou_constraint:
                 gt_matched[gi] = det_matched[di] = True
                 matched += 1
-    return len(gt_quads), len(det_quads), matched
+    return n_gt - len(gt_dc), n_det - len(det_dc), matched
 
 
 def combine_results(gt_care: int, det_care: int, matched: int) -> dict:
@@ -126,7 +149,10 @@ def detection_quality(docs: ray.data.Dataset, cfg=None,
                          for b in blocks for l in b.lines]
             gt = page_ground_truth(ref)
             gt_quads = [q for b in gt.blocks for q in b.lines]
-            g, d, m = evaluate_page(gt_quads, det_quads)
+            # fixture blocks below the detectability threshold are the
+            # don't-care regions (AG1 ignore tags, utils/db_utils.py:296-342)
+            gt_ignore = [not b.detected for b in gt.blocks for _ in b.lines]
+            g, d, m = evaluate_page(gt_quads, det_quads, gt_ignore=gt_ignore)
             rows.append({"gt_care": g, "det_care": d, "det_matched": m})
         if not rows:
             return pa.table({"gt_care": pa.array([], pa.int64()),

@@ -109,40 +109,97 @@ def _yolo_row(cx, cy, w, h, conf, cls_id):
     return row
 
 
-class TorchDetector:  # pragma: no cover - needs torch + weights (not in sandbox)
+class TorchDetector:
     """Production backend: fused YOLOv5s + UNet + DBHead checkpoint
     (basemodel.py:211-244, models/yolov5/yolo.py:286-311).  Weights are an
     external artifact (reference README.md:5); loading happens once per actor
-    in ``__init__`` per the actor-pool contract."""
+    in ``__init__`` per the actor-pool contract.
+
+    Construction is real: the checkpoint is loaded, split into the three
+    sub-model state dicts (ctdray.prodmodel.split_checkpoint) and every
+    Conv+BN pair is folded (prodmodel.fuse_state_dict — the numpy
+    re-expression of utils/yolov5_utils.py:23-43, unit-tested in-sandbox).
+    The network assembly itself is supplied by ``network_factory`` — the
+    model classes are external artifacts alongside the weights (SURVEY.md
+    §2.4 A6) — so in this container construction fails only on the missing
+    torch / weights / factory, never on our own plumbing."""
 
     def __init__(self, model_path: str, cfg: DetectorConfig | None = None,
-                 device: str = "cuda", half: bool = False):
+                 device: str = "cpu", half: bool = False,
+                 network_factory=None):
+        self.cfg = cfg or DetectorConfig()
+        self.device = device
         try:
-            import torch  # noqa: F401
-        except ImportError as e:
+            import torch
+        except ImportError as e:  # pragma: no cover - torch absent in sandbox
             raise NotImplementedError(
                 "TorchDetector requires torch + model weights; use "
                 "SurrogateDetector in environments without them") from e
-        raise NotImplementedError("weight loading is an offline artifact step")
+        from .prodmodel import fuse_state_dict, split_checkpoint
 
-    def infer(self, media_ref, im_h, im_w):
-        raise NotImplementedError
+        ckpt = torch.load(model_path, map_location=device)   # raises on missing file
+        blk_sd, seg_sd, det_sd = split_checkpoint(ckpt)
+        if isinstance(blk_sd, dict) and "state_dict" in blk_sd:
+            blk_sd = blk_sd["state_dict"]                    # yolo.py:292 layout
+        to_np = lambda d: {k: v.detach().cpu().numpy() if hasattr(v, "detach")
+                           else v for k, v in d.items()
+                           if hasattr(v, "detach") or isinstance(v, np.ndarray)}
+        self.state_dicts = {
+            "blk_det": to_np(blk_sd) if isinstance(blk_sd, dict) else blk_sd,
+            "text_seg": fuse_state_dict(to_np(seg_sd)),
+            "text_det": fuse_state_dict(to_np(det_sd)),
+        }
+        if network_factory is None:
+            raise NotImplementedError(
+                "network definitions are external artifacts (SURVEY.md §2.4 "
+                "A6): pass network_factory(state_dicts, device, half) "
+                "building the fused TextDetBase equivalent")
+        self.net = network_factory(self.state_dicts, device, half)
+
+    def infer(self, media_ref, im_h, im_w):  # pragma: no cover - needs weights
+        from .prodmodel import preprocess_blob
+        from .sources.media import fetch_media
+        from .stages.multimodal import decode_image
+
+        img = decode_image(fetch_media(media_ref))
+        blob, _dw, _dh = preprocess_blob(img, self.cfg.input_size)
+        blks, mask, lines_map = self.net(blob)
+        return (np.asarray(blks, dtype=np.float32),
+                np.asarray(mask, dtype=np.float32),
+                np.asarray(lines_map, dtype=np.float32))
 
 
-class OnnxDetector:  # pragma: no cover - needs cv2 + onnx artifact
-    """CPU ONNX backend via cv2.dnn (basemodel.py:246-256, with the reversed
-    -output channel-swap quirk handled as in inference.py:151-155)."""
+class OnnxDetector:
+    """CPU ONNX backend via cv2.dnn (TextDetBaseDNN, basemodel.py:246-256):
+    blobFromImage-equivalent preprocessing, one forward over the
+    unconnected output layers, and the reversed-output channel-swap quirk
+    (inference.py:151-155 — some OpenCV builds emit (blks, lines, mask))
+    handled by prodmodel.fix_reversed_outputs.  Constructs for real when
+    cv2 is importable; fails only on the missing artifact."""
 
     def __init__(self, model_path: str, cfg: DetectorConfig | None = None):
+        self.cfg = cfg or DetectorConfig()
         try:
-            import cv2  # noqa: F401
-        except ImportError as e:
+            import cv2
+        except ImportError as e:  # pragma: no cover - cv2 absent in sandbox
             raise NotImplementedError(
                 "OnnxDetector requires cv2; use SurrogateDetector") from e
-        raise NotImplementedError("onnx artifact loading not available in-sandbox")
+        self.model = cv2.dnn.readNetFromONNX(model_path)  # raises on bad file
+        self.uoln = self.model.getUnconnectedOutLayersNames()
 
-    def infer(self, media_ref, im_h, im_w):
-        raise NotImplementedError
+    def infer(self, media_ref, im_h, im_w):  # pragma: no cover - needs artifact
+        from .prodmodel import fix_reversed_outputs, preprocess_blob
+        from .sources.media import fetch_media
+        from .stages.multimodal import decode_image
+
+        img = decode_image(fetch_media(media_ref))
+        blob, _dw, _dh = preprocess_blob(img, self.cfg.input_size)
+        self.model.setInput(blob)
+        blks, mask, lines_map = self.model.forward(self.uoln)
+        blks, mask, lines_map = fix_reversed_outputs(blks, mask, lines_map)
+        return (np.asarray(blks, dtype=np.float32),
+                np.asarray(mask, dtype=np.float32),
+                np.asarray(lines_map, dtype=np.float32))
 
 
 def make_detector(backend: str = "surrogate", cfg: DetectorConfig | None = None,

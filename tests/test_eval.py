@@ -64,3 +64,27 @@ def test_detection_quality_distributed(ray_session):
     # the surrogate plants detectable lines: recall/precision should be high
     assert res["gt_care"] > 0 and res["det_care"] > 0
     assert res["hmean"] > 0.5
+
+
+def test_dont_care_filtering_flips_precision():
+    """AG1: a detection inside a don't-care GT region must leave the care
+    counts (utils/db_utils.py:333-342) — mishandling it drags precision."""
+    import numpy as np
+
+    from ctdray.eval import combine_results, evaluate_page
+
+    sq = lambda x, y, s: np.array([[x, y], [x + s, y], [x + s, y + s], [x, y + s]])
+    gt = [sq(0, 0, 10), sq(50, 50, 10)]          # second is don't-care
+    det = [sq(0, 0, 10), sq(51, 51, 8)]          # second lands inside it
+    g, d, m = evaluate_page(gt, det, gt_ignore=[False, True])
+    assert (g, d, m) == (1, 1, 1)
+    assert combine_results(g, d, m)["precision"] == 1.0
+    # without the ignore flag the stray det counts and precision drops
+    g2, d2, m2 = evaluate_page(gt, det)
+    assert combine_results(g2, d2, m2)["precision"] == 1.0  # it matches gt2!
+    # a det in a don't-care region that matches nothing:
+    det3 = [sq(0, 0, 10), sq(52, 53, 4)]         # too small to match gt2
+    ga, da, ma = evaluate_page(gt, det3, gt_ignore=[False, True])
+    assert combine_results(ga, da, ma)["precision"] == 1.0
+    gb, db, mb = evaluate_page(gt, det3)
+    assert combine_results(gb, db, mb)["precision"] == 0.5
