@@ -270,14 +270,13 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16,
 
     sigs = ds.map_batches(signatures, batch_format="pyarrow")
     # Only (band, band_hash, doc_id) triples shuffle — the corpus text never
-    # enters the LSH exchange.
+    # enters the LSH exchange.  The same pair may surface once per colliding
+    # band; the merge groupby below dedupes it structurally BEFORE the
+    # (expensive) exact-Jaccard verification runs.  Pairs are tiny relative
+    # to the corpus; materializing avoids re-running the signature scan for
+    # each consumer below.
     pairs = (sigs.groupby(["band", "band_hash"])
-                 .map_groups(bucket_pairs, batch_format="pyarrow"))
-    # The same pair surfaces once per colliding band: distributed distinct
-    # before the (expensive) exact-Jaccard verification.  Pairs are tiny
-    # relative to the corpus; materializing them avoids re-running the
-    # signature scan for each consumer below.
-    pairs = _distinct_on(pairs, ["a_id", "b_id"]).materialize()
+                 .map_groups(bucket_pairs, batch_format="pyarrow")).materialize()
 
     # Candidate id set (ids only — never texts): distributed distinct over
     # the union of both pair sides.
@@ -297,64 +296,68 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16,
         cand_docs = broadcast_semi_join(ds, cand_ids, "doc_id")
     else:  # pragma: no cover - exercised only at extreme scale
         cand_docs = hash_join(ds, cand_ids, on="doc_id")
-    cand_docs = cand_docs.materialize()     # small: candidates only
 
     _sch = pairs.schema()
     id_type = dict(zip(_sch.names, _sch.types))["a_id"]
 
-    # Attach texts by distributed equi-join on doc_id (a side, then b side).
-    # Implemented as union + groupby (the shuffle_anti_join machinery) —
-    # both sides hash-partition on the key, each group holds one doc row
-    # (out_col non-null) plus that id's pair rows.  (Ray's native chained
+    # Attach texts + verify in ONE keyed pass (Ray's native chained
     # Dataset.join trips over schema-less empty partitions in 2.49, and the
-    # groupby form shuffles the same small candidate volume anyway.)
-    def attach_text(pair_ds, key_col: str, other_cols: list[tuple], out_col: str):
-        def pad_pairs(batch: pa.Table) -> pa.Table:
-            cols = {key_col: batch.column(key_col)}
-            for name, _typ in other_cols:
-                cols[name] = batch.column(name)
-            cols[out_col] = pa.nulls(len(batch), pa.string())
-            return pa.table(cols)
+    # groupby form shuffles the same small candidate volume anyway):
+    #   1. explode each pair into two keyed side rows (key=a_id, key=b_id),
+    #      union with the candidate doc rows (key=doc_id, text);
+    #   2. groupby(key): stamp the key's text onto its side rows;
+    #   3. groupby(a_id, b_id): the two stamped sides reunite — exact
+    #      Jaccard once per unique pair, emit the duplicate (b_id) rows.
+    def explode_sides(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_id").combine_chunks()
+        b = batch.column("b_id").combine_chunks()
+        n = len(batch)
+        return pa.table({
+            "key": pa.concat_arrays([a, b]),
+            "a_id": pa.concat_arrays([a, a]),
+            "b_id": pa.concat_arrays([b, b]),
+            "is_a": pa.array([True] * n + [False] * n, pa.bool_()),
+            "text": pa.nulls(2 * n, pa.string()),
+        })
 
-        def doc_side(batch: pa.Table) -> pa.Table:
-            cols = {key_col: batch.column("doc_id").cast(id_type)}
-            for name, typ in other_cols:
-                cols[name] = pa.nulls(len(batch), typ)
-            cols[out_col] = batch.column("text")
-            return pa.table(cols)
+    def doc_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "key": batch.column("doc_id").cast(id_type),
+            "a_id": pa.nulls(n, id_type),
+            "b_id": pa.nulls(n, id_type),
+            "is_a": pa.nulls(n, pa.bool_()),
+            "text": batch.column("text"),
+        })
 
-        def grp(group: pa.Table) -> pa.Table:
-            txt = group.column(out_col)
-            valid = pc.is_valid(txt)
-            di = pc.index(valid, True).as_py()
-            text_val = txt[di].as_py() if di >= 0 else None
-            out = group.filter(pc.invert(valid))
-            return out.set_column(
-                out.column_names.index(out_col), out_col,
-                pa.array([text_val] * len(out), pa.string()))
+    def stamp_text(group: pa.Table) -> pa.Table:
+        txt = group.column("text")
+        valid = pc.is_valid(txt)
+        di = pc.index(valid, True).as_py()
+        text_val = txt[di].as_py() if di >= 0 else None
+        out = group.filter(pc.invert(valid)).drop_columns(["key"])
+        return out.set_column(
+            out.column_names.index("text"), "text",
+            pa.array([text_val] * len(out), pa.string()))
 
-        both = (pair_ds.map_batches(pad_pairs, batch_format="pyarrow")
-                .union(cand_docs.map_batches(doc_side, batch_format="pyarrow")))
-        return both.groupby(key_col).map_groups(grp, batch_format="pyarrow")
-
-    with_a = attach_text(pairs, "a_id", [("b_id", id_type)], "text_a")
-    with_ab = attach_text(with_a, "b_id",
-                          [("a_id", id_type), ("text_a", pa.string())],
-                          "text_b")
-
-    def verify(batch: pa.Table) -> pa.Table:
-        dup = [ta is not None and tb is not None
-               and jaccard(ta, tb, shingle_k) >= threshold
-               for ta, tb in zip(batch.column("text_a").to_pylist(),
-                                 batch.column("text_b").to_pylist())]
-        t = batch.filter(pa.array(dup, pa.bool_()))
+    def merge_verify(group: pa.Table) -> pa.Table:
+        is_a = group.column("is_a").to_pylist()
+        texts = group.column("text").to_pylist()
+        ta = next((t for f, t in zip(is_a, texts) if f), None)
+        tb = next((t for f, t in zip(is_a, texts) if not f), None)
         # doc with a verified smaller partner is a duplicate; b_id > a_id
         # within buckets by construction, so the dup set is the b_ids.
-        return pa.table({"doc_id": t.column("b_id")})
+        if ta is not None and tb is not None \
+                and jaccard(ta, tb, shingle_k) >= threshold:
+            return pa.table({"doc_id": group.column("b_id").slice(0, 1)})
+        return pa.table({"doc_id": pa.array([], id_type)})
 
-    dup_keys = _distinct_on(
-        with_ab.map_batches(verify, batch_format="pyarrow"),
-        ["doc_id"]).materialize()
+    sides = (pairs.map_batches(explode_sides, batch_format="pyarrow")
+             .union(cand_docs.map_batches(doc_side, batch_format="pyarrow")))
+    stamped = sides.groupby("key").map_groups(stamp_text,
+                                              batch_format="pyarrow")
+    dup_keys = (stamped.groupby(["a_id", "b_id"])
+                .map_groups(merge_verify, batch_format="pyarrow")).materialize()
 
     if anti_join == "auto":
         anti_join = "broadcast" if dup_keys.count() <= broadcast_id_limit \
