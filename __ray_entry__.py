@@ -24,8 +24,9 @@ from ctdray.functions.dedup import (embedding_near_dedup, exact_dedup,
 from ctdray.functions.similarity import knn_bruteforce, knn_ivf, knn_lsh
 from ctdray.functions.text import (deterministic_sample_batch,
                                    fingerprint_batch, langid_batch,
-                                   quality_filter_batch, text_stats_batch,
-                                   token_count_batch)
+                                   quality_filter_batch,
+                                   rolling_fingerprint_batch,
+                                   text_stats_batch, token_count_batch)
 from ctdray.pipelines.analytics import (events_hourly,
                                         lineitem_pricing_summary,
                                         orders_by_nation,
@@ -39,8 +40,7 @@ from ctdray.pipelines.analytics import (events_hourly,
                                         supplier_stats_by_nation,
                                         top_tokens,
                                         top_customers_by_orders)
-from ctdray.pipelines.extract import (build_blocks, build_detected_spans,
-                                      build_flat_spans)
+from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
 _STOPLIST_SQL = "('the','a','of','and','is','to','in')"
@@ -206,6 +206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             text_stats_batch, batch_format="pyarrow"),
         "doc_fingerprint": lambda sf: _documents(sf).map_batches(
             fingerprint_batch, batch_format="pyarrow"),
+        "doc_rolling_fingerprint": lambda sf: _documents(sf).map_batches(
+            rolling_fingerprint_batch, batch_format="pyarrow"),
         "doc_langid": lambda sf: _documents(sf).map_batches(
             langid_batch, batch_format="pyarrow"),
         "doc_quality_filter": lambda sf: _documents(sf).map_batches(
@@ -272,6 +274,26 @@ def oracle_sql() -> dict[str, str]:
             f"{_STOPLIST_SQL})) AS BIGINT) AS stopword_count "
             "FROM documents"),
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        # Rabin–Karp rolling fingerprint: 15-bit md5-derived token hashes,
+        # base-2^16 polynomial over 4-token windows, doc keeps min + count
+        # (mirrors functions.text.rolling_fingerprint_batch exactly).
+        "doc_rolling_fingerprint": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "hm AS (SELECT doc_id, "
+            "[ ((((strpos('0123456789abcdef', substr(md5(x),1,1))-1)*16 "
+            "+ (strpos('0123456789abcdef', substr(md5(x),2,1))-1))*16 "
+            "+ (strpos('0123456789abcdef', substr(md5(x),3,1))-1))*16 "
+            "+ (strpos('0123456789abcdef', substr(md5(x),4,1))-1)) % 32768 "
+            "FOR x IN t ] AS hs FROM toks), "
+            "w AS (SELECT doc_id, CASE WHEN len(hs) >= 4 "
+            "THEN [hs[i]*281474976710656 + hs[i+1]*4294967296 "
+            "+ hs[i+2]*65536 + hs[i+3] FOR i IN range(1, len(hs)-2)] "
+            "ELSE [CAST(list_sum([hs[j+1]*CAST(power(65536, len(hs)-1-j) "
+            "AS BIGINT) FOR j IN range(0, len(hs))]) AS BIGINT)] END AS ws "
+            "FROM hm) "
+            "SELECT doc_id, CAST(list_min(ws) AS BIGINT) AS fp_min, "
+            "CAST(len(ws) AS BIGINT) AS n_windows FROM w"),
         "doc_quality_filter": (
             "SELECT doc_id, text FROM documents WHERE "
             "len(string_split(text,' ')) BETWEEN 10 AND 5000 AND "

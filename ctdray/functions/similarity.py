@@ -157,11 +157,18 @@ def knn_ivf(ds: ray.data.Dataset, queries: np.ndarray, q_ids: np.ndarray,
 
 def knn_lsh(ds: ray.data.Dataset, queries: np.ndarray, q_ids: np.ndarray,
             k: int = 10, n_planes: int = 8, seed: int = 11,
+            probe_hamming: int = 1,
             id_col: str = "vec_id",
             vec_col: str = "embedding") -> ray.data.Dataset:
     """Approximate top-k: hyperplane-bucket the corpus, search only buckets
-    that contain a query (bucket id computed identically for both sides).
-    Recall < 1 by design; multiply plane sets to trade compute for recall."""
+    near a query.  MULTIPROBE: each query probes every bucket within
+    hamming distance ``probe_hamming`` of its own (the standard multiprobe
+    LSH recall lever — radius 1 probes n_planes+1 of the 2^n_planes
+    buckets); radius 0 recovers single-bucket probing.  Recall < 1 by
+    design; raise the radius or multiply plane sets to trade compute for
+    recall."""
+    import itertools
+
     queries = np.asarray(queries, dtype=np.float64)
     dim = queries.shape[1]
     rng = np.random.default_rng(seed)
@@ -174,7 +181,17 @@ def knn_lsh(ds: ray.data.Dataset, queries: np.ndarray, q_ids: np.ndarray,
     q_buckets = bucket_of(queries)
     by_bucket: dict[int, list[int]] = {}
     for qi, b in enumerate(q_buckets):
-        by_bucket.setdefault(int(b), []).append(qi)
+        probes = {int(b)}
+        for r in range(1, probe_hamming + 1):
+            for flips in itertools.combinations(range(n_planes), r):
+                x = int(b)
+                for f in flips:
+                    x ^= 1 << f
+                probes.add(x)
+        for pb in probes:
+            bucket = by_bucket.setdefault(pb, [])
+            if qi not in bucket:
+                bucket.append(qi)
     q_unit_ref = ray.put(_unit_rows(queries))
     q_ids = np.asarray(q_ids, dtype=np.int64)
 

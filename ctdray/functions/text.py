@@ -138,6 +138,48 @@ def deterministic_sample_batch(batch: pa.Table, rate_hex_prefix: str = "0",
     return batch.filter(pa.array(mask, pa.bool_()))
 
 
+_FP_K, _FP_BASE, _FP_MOD = 4, 65536, 32768
+
+
+def rolling_fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Rabin–Karp-style document fingerprint (winnowing-lite, Schleimer et
+    al. 2003 family): per-token 15-bit hashes (first 4 md5 hex chars mod
+    2^15 — SQL-replicable), polynomial-combined over a sliding window of 4
+    tokens (base 2^16 keeps every window value under 2^63), then the doc
+    keeps its MINIMUM window value plus the window count.  Vectorized:
+    unique-token hashing + numpy sliding windows.  Docs shorter than the
+    window use one window over the available tokens."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    ids, texts = batch.column("doc_id"), batch.column("text").to_pylist()
+    cache: dict[str, int] = {}
+
+    def th(tok: str) -> int:
+        v = cache.get(tok)
+        if v is None:
+            v = cache[tok] = int(
+                hashlib.md5(tok.encode()).hexdigest()[:4], 16) % _FP_MOD
+        return v
+
+    fp_min = np.zeros(len(texts), dtype=np.int64)
+    n_windows = np.zeros(len(texts), dtype=np.int64)
+    weights = _FP_BASE ** np.arange(_FP_K - 1, -1, -1, dtype=np.int64)
+    for i, text in enumerate(texts):
+        toks = text.split(" ")
+        hs = np.fromiter((th(t) for t in toks), dtype=np.int64,
+                         count=len(toks))
+        if len(hs) >= _FP_K:
+            ws = sliding_window_view(hs, _FP_K) @ weights
+        else:
+            w = _FP_BASE ** np.arange(len(hs) - 1, -1, -1, dtype=np.int64)
+            ws = np.array([hs @ w], dtype=np.int64)
+        fp_min[i] = ws.min()
+        n_windows[i] = len(ws)
+    return pa.table({"doc_id": ids,
+                     "fp_min": pa.array(fp_min, pa.int64()),
+                     "n_windows": pa.array(n_windows, pa.int64())})
+
+
 def langid_batch(batch: pa.Table) -> pa.Table:
     return pa.table({
         "doc_id": batch.column("doc_id"),

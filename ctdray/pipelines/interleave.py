@@ -142,8 +142,10 @@ def read_interleaved_doc_keys(sf_dir: str, repeat: int = 1) -> ray.data.Dataset:
     metadata column in Lance (row groups carrying only 12 bytes/doc leave
     storage).  Feeds the hybrid router in pipelines.extract so the dense-doc
     set is known before the single full scan starts."""
+    # One block: the key scan is bytes-tiny (12 B/doc) and its latency is
+    # pure task overhead; at real scale blocks follow the table's fragments.
     flat = _read_clean(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id"])
+                       columns=["doc_id"], override_num_blocks=1)
 
     def keys(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)

@@ -278,3 +278,26 @@ def test_knn_ivf_recall_floor_vs_bruteforce(ray_session):
         truth = set(bf[bf.q_id == qi].vec_id)
         hits += len(truth & set(ivf[ivf.q_id == qi].vec_id))
     assert hits / (4 * 10) >= 0.5
+
+
+def test_rolling_fingerprint_matches_reference_math():
+    import hashlib
+
+    from ctdray.functions.text import rolling_fingerprint_batch
+
+    texts = ["the quick brown fox jumps", "a b", "", "one two three four"]
+    out = rolling_fingerprint_batch(_doc_batch(texts)).to_pandas()
+
+    def th(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % 32768
+
+    for i, text in enumerate(texts):
+        toks = text.split(" ")
+        hs = [th(t) for t in toks]
+        if len(hs) >= 4:
+            ws = [hs[j] * 65536**3 + hs[j+1] * 65536**2 + hs[j+2] * 65536
+                  + hs[j+3] for j in range(len(hs) - 3)]
+        else:
+            ws = [sum(h * 65536**(len(hs)-1-j) for j, h in enumerate(hs))]
+        row = out[out.doc_id == i].iloc[0]
+        assert row.fp_min == min(ws) and row.n_windows == len(ws)
