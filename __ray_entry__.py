@@ -63,6 +63,25 @@ _NGRAM_JACCARD_SQL = (
     "WHERE doc_id NOT IN (SELECT b_id FROM dup)")
 
 
+def _simhash_sql(select: str) -> str:
+    """Build the 60-bit SimHash SQL shared by the simhash oracles: per-token
+    hash = first 15 md5 hex chars folded per char (mirrors
+    dedup._token_hash60), signature = sign of the per-bit ±1 column sums
+    (mirrors dedup.simhash60 exactly — split(' '), unit weights)."""
+    fold = "0"
+    for i in range(1, 16):
+        fold = f"({fold})*16 + (strpos('0123456789abcdef', substr(md5(x),{i},1))-1)"
+    return (
+        "WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t "
+        "FROM documents), "
+        f"hm AS (SELECT doc_id, text, [ {fold} FOR x IN t ] AS hs FROM toks), "
+        "sig AS (SELECT doc_id, text, CAST(list_sum([ "
+        "CASE WHEN list_sum([ ((h // CAST(power(2, b) AS BIGINT)) % 2)*2 - 1 "
+        "FOR h IN hs ]) > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END "
+        "FOR b IN range(0, 60) ]) AS BIGINT) AS s FROM hm) "
+        + select)
+
+
 def _documents(sf_dir: str):
     from ctdray.sources.tables import read_parquet_clean
 
@@ -321,6 +340,18 @@ def oracle_sql() -> dict[str, str]:
         # equals the all-pairs oracle.
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_minhash_lsh": _NGRAM_JACCARD_SQL,
+        # 60-bit SimHash rebuilt in SQL (md5-derived token hashes, per-bit
+        # sign sums) — exact-signature grouping keeps the smallest doc_id.
+        "dedup_simhash": _simhash_sql(
+            "SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text "
+            "FROM sig GROUP BY s"),
+        # Banded hamming-k dedup: the pigeonhole bands make candidate
+        # generation COMPLETE for hd ≤ k, so the engine equals the exact
+        # all-pairs xor-popcount expression.
+        "dedup_simhash_near": _simhash_sql(
+            "SELECT doc_id, text FROM sig WHERE doc_id NOT IN ("
+            "SELECT b.doc_id FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.s, b.s)) <= 3)"),
         # Exact all-pairs cosine near-dup at 0.98.  Verifies the LSH-bucketed
         # engine path never spuriously drops rows; on this testdata the max
         # pairwise cosine is ≈0.51, so the greedy-chain vs exists-partner

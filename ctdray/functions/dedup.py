@@ -6,7 +6,7 @@ Five strategies, ordered by cost:
   token_set_dedup       same, on the order/multiplicity-insensitive token set
   minhash_lsh_dedup     shingle → minhash → banded LSH buckets → candidate
                         pairs → exact-Jaccard verify → greedy keep-smallest
-  simhash_dedup         64-bit simhash, exact-signature grouping
+  simhash_dedup         60-bit simhash, exact-signature grouping
   simhash_near_dedup    banded hamming-k simhash (pigeonhole bands)
   embedding_near_dedup  cosine near-dup via seeded hyperplane LSH buckets
 
@@ -374,16 +374,25 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16,
 # ---------------------------------------------------------------------------
 
 
-def simhash64(text: str) -> int:
-    """Classic 64-bit SimHash over whitespace tokens (unit weights).
+SIMHASH_BITS = 60      # fits a signed 64-bit int → SQL-oracle-friendly
+
+
+def _token_hash60(tok: str) -> int:
+    """60-bit token hash: first 15 md5 hex chars — replicable in ANSI SQL
+    (per-char strpos fold), which is what makes the simhash dedups
+    value-oracle-able in DuckDB."""
+    return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def simhash60(text: str) -> int:
+    """Classic SimHash over single-space tokens (unit weights), 60 bits.
     Vectorized over the token axis: hash all tokens, bit-unpack as an
-    (n_tokens, 64) matrix, column-sum, take the sign."""
-    toks = text.split()
-    if not toks:
-        return 0
-    h = np.fromiter((_stable_hash64(t) for t in toks), dtype=np.uint64,
+    (n_tokens, 60) matrix, column-sum, take the sign.  Tokenization is
+    ``split(' ')`` (empty pieces preserved) to match the SQL oracle."""
+    toks = text.split(" ")
+    h = np.fromiter((_token_hash60(t) for t in toks), dtype=np.uint64,
                     count=len(toks))
-    shifts = np.arange(64, dtype=np.uint64)
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
     bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
     acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
     return int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
@@ -393,7 +402,7 @@ def simhash_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Exact-signature SimHash dedup (hamming-0 grouping); see
     :func:`simhash_near_dedup` for the banded hamming-k variant."""
     def add_sig(batch: pa.Table) -> pa.Table:
-        sigs = [simhash64(t) for t in batch.column("text").to_pylist()]
+        sigs = [simhash60(t) for t in batch.column("text").to_pylist()]
         return batch.append_column("simhash", pa.array(sigs, pa.uint64()))
 
     keyed = ds.map_batches(add_sig, batch_format="pyarrow")
@@ -414,8 +423,8 @@ def simhash_near_dedup(ds: ray.data.Dataset, hamming_k: int = 3,
     is a duplicate iff a verified pair links it to a smaller doc_id.  Only
     (band, band_bits, doc_id, simhash) rows shuffle — never text."""
     n_bands = hamming_k + 1
-    # band bit boundaries: as equal as 64 allows
-    widths = [64 // n_bands + (1 if i < 64 % n_bands else 0)
+    # band bit boundaries: as equal as SIMHASH_BITS allows
+    widths = [SIMHASH_BITS // n_bands + (1 if i < SIMHASH_BITS % n_bands else 0)
               for i in range(n_bands)]
     offsets = np.cumsum([0] + widths[:-1])
 
@@ -423,7 +432,7 @@ def simhash_near_dedup(ds: ray.data.Dataset, hamming_k: int = 3,
         texts = batch.column("text").to_pylist()
         ids = batch.column("doc_id")
         n = len(texts)
-        sigs = np.fromiter((simhash64(t) for t in texts), dtype=np.uint64,
+        sigs = np.fromiter((simhash60(t) for t in texts), dtype=np.uint64,
                            count=n)
         bands_col, bits_col = [], []
         for bi in range(n_bands):

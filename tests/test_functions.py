@@ -64,9 +64,9 @@ def test_exact_and_token_set_dedup(ray_session):
 def test_simhash_dedup_identical_texts(ray_session):
     import ray.data as rd
 
-    from ctdray.functions.dedup import simhash64, simhash_dedup
+    from ctdray.functions.dedup import simhash60, simhash_dedup
 
-    assert simhash64("alpha beta gamma") == simhash64("alpha beta gamma")
+    assert simhash60("alpha beta gamma") == simhash60("alpha beta gamma")
     tbl = _doc_batch(["alpha beta gamma"] * 3 + ["totally different thing"])
     out = simhash_dedup(rd.from_arrow(tbl)).to_pandas()
     assert sorted(out.doc_id) == [0, 3]
@@ -198,13 +198,13 @@ def test_quality_filter_honors_stopword_ratio_param():
 def test_simhash_near_dedup_hamming_k(ray_session):
     import ray.data as rd
 
-    from ctdray.functions.dedup import simhash64, simhash_near_dedup
+    from ctdray.functions.dedup import simhash60, simhash_near_dedup
 
     base = " ".join(f"w{i}" for i in range(40))
     near = base.replace("w39", "w99")            # few tokens differ → small hamming
     far = " ".join(f"x{i}" for i in range(40))
-    hd = bin(simhash64(base) ^ simhash64(near)).count("1")
-    hd_far = bin(simhash64(base) ^ simhash64(far)).count("1")
+    hd = bin(simhash60(base) ^ simhash60(near)).count("1")
+    hd_far = bin(simhash60(base) ^ simhash60(far)).count("1")
     assert hd <= 12 < hd_far
     tbl = _doc_batch([base, near, far])
     out = simhash_near_dedup(rd.from_arrow(tbl), hamming_k=max(3, hd)).to_pandas()
