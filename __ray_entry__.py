@@ -21,7 +21,8 @@ from ctdray.functions.dedup import (embedding_near_dedup, exact_dedup,
                                     minhash_lsh_dedup, ngram_jaccard_dedup,
                                     simhash_dedup, simhash_near_dedup,
                                     token_set_dedup)
-from ctdray.functions.similarity import knn_bruteforce, knn_ivf, knn_lsh
+from ctdray.functions.similarity import (cosine_range_search, knn_bruteforce,
+                                         knn_ivf, knn_lsh)
 from ctdray.functions.text import (deterministic_sample_batch,
                                    fingerprint_batch, langid_batch,
                                    quality_filter_batch,
@@ -263,6 +264,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _embeddings(sf), *_query_vectors(sf), k=10),
         "knn_lsh": lambda sf: knn_lsh(_embeddings(sf), *_query_vectors(sf), k=10),
         "knn_ivf": lambda sf: knn_ivf(_embeddings(sf), *_query_vectors(sf), k=10),
+        "cosine_range_search": lambda sf: cosine_range_search(
+            _embeddings(sf), *_query_vectors(sf), threshold=0.2),
         # --- relational / windowed ---
         "q1_pricing_summary": lineitem_pricing_summary,
         "top10_customers": top_customers_by_orders,
@@ -372,6 +375,12 @@ def oracle_sql() -> dict[str, str]:
             "    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, "
             "    e.vec_id ASC) AS INTEGER) AS \"rank\" "
             "  FROM embeddings e CROSS JOIN q) WHERE \"rank\" <= 10"),
+        "cosine_range_search": (
+            "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id < 5) "
+            "SELECT q.q_id, e.vec_id FROM embeddings e CROSS JOIN q "
+            "WHERE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) "
+            ">= 0.2"),
         "q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
             "CAST(count(*) AS BIGINT) AS n_rows "

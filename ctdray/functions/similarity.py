@@ -80,6 +80,33 @@ def knn_bruteforce(ds: ray.data.Dataset, queries: np.ndarray,
     return cands.groupby("q_id").map_groups(final_topk, batch_format="pyarrow")
 
 
+def cosine_range_search(ds: ray.data.Dataset, queries: np.ndarray,
+                        q_ids: np.ndarray, threshold: float = 0.2,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> ray.data.Dataset:
+    """Radius search (similarity join against a broadcast query set): every
+    (q_id, vec_id) pair with cosine ≥ threshold.  Same broadcast-matmul
+    shape as :func:`knn_bruteforce` but emits the full match set instead of
+    top-k — no reduce needed, the map output IS the answer (ids only, so
+    the result hashes exactly against the SQL oracle)."""
+    q_unit_ref = ray.put(_unit_rows(np.asarray(queries, dtype=np.float64)))
+    q_ids = np.asarray(q_ids, dtype=np.int64)
+
+    def batch_matches(batch: pa.Table) -> pa.Table:
+        q_unit = ray.get(q_unit_ref)
+        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if vecs.size == 0:
+            return pa.table({"q_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64())})
+        sims = q_unit @ _unit_rows(vecs).T
+        qi, vi = np.nonzero(sims >= threshold)
+        return pa.table({"q_id": pa.array(q_ids[qi], pa.int64()),
+                         "vec_id": pa.array(ids[vi], pa.int64())})
+
+    return ds.map_batches(batch_matches, batch_format="pyarrow")
+
+
 def _seeded_kmeans(sample: np.ndarray, k: int, iters: int = 8,
                    seed: int = 13) -> np.ndarray:
     """Deterministic Lloyd iterations on a driver-side sample — the IVF

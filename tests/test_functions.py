@@ -301,3 +301,21 @@ def test_rolling_fingerprint_matches_reference_math():
             ws = [sum(h * 65536**(len(hs)-1-j) for j, h in enumerate(hs))]
         row = out[out.doc_id == i].iloc[0]
         assert row.fp_min == min(ws) and row.n_windows == len(ws)
+
+
+def test_cosine_range_search_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from ctdray.functions.similarity import cosine_range_search
+
+    rng = np.random.default_rng(31)
+    vecs = rng.standard_normal((50, 8))
+    tbl = pa.table({"vec_id": pa.array(range(50), pa.int64()),
+                    "embedding": pa.array(vecs.tolist())})
+    out = cosine_range_search(rd.from_arrow(tbl), vecs[:2], np.array([0, 1]),
+                              threshold=0.3).to_pandas()
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for qi in (0, 1):
+        want = set(np.nonzero(unit @ unit[qi] >= 0.3)[0].tolist())
+        got = set(out[out.q_id == qi].vec_id)
+        assert got == want and qi in got      # self always matches
