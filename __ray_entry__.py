@@ -355,10 +355,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text FROM sig WHERE doc_id NOT IN ("
             "SELECT b.doc_id FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.s, b.s)) <= 3)"),
-        # Exact all-pairs cosine near-dup at 0.98.  Verifies the LSH-bucketed
-        # engine path never spuriously drops rows; on this testdata the max
-        # pairwise cosine is ≈0.51, so the greedy-chain vs exists-partner
-        # distinction cannot fire and the expressions coincide exactly.
+        # Exact all-pairs cosine near-dup at 0.98 (exists-smaller-partner
+        # semantics — exactly the engine's multi-table LSH + verify rule).
+        # On this testdata the max pairwise cosine is ≈0.51, so the check
+        # certifies the engine never spuriously drops rows.
         "dedup_embedding": (
             "WITH dup AS (SELECT DISTINCT b.vec_id AS b_id "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "

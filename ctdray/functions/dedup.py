@@ -488,23 +488,48 @@ def simhash_near_dedup(ds: ray.data.Dataset, hamming_k: int = 3,
 
 
 def embedding_near_dedup(ds: ray.data.Dataset, threshold: float = 0.98,
-                         n_planes: int = 16, seed: int = 11,
+                         n_planes: int = 16, n_tables: int = 3,
+                         seed: int = 11, bucket_cap: int = 4096,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> ray.data.Dataset:
-    """Cosine near-dup: seeded random-hyperplane LSH buckets, exact cosine
-    verify inside each bucket, keep the smallest id.  Only (bucket, id, vec)
-    rows shuffle; at scale multiple independent plane sets raise recall."""
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
-        dim = vecs.shape[1] if vecs.size else 0
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((dim, n_planes)) if dim else np.zeros((0, n_planes))
-        bits = (vecs @ planes) > 0
-        bucket = (bits * (1 << np.arange(n_planes, dtype=np.uint64))).sum(axis=1,
-                                                                          dtype=np.uint64)
-        return batch.append_column("bucket", pa.array(bucket, pa.uint64()))
+    """Cosine near-dup: ``n_tables`` INDEPENDENT seeded hyperplane plane
+    sets (multi-table LSH — a pair at cosine ≥ 0.98 lands together in at
+    least one table w.p. 1-(1-p^16)^3 where p = 1-acos(s)/π ≈ .96, i.e.
+    recall ≈ 0.97 vs 0.52 single-table), exact cosine verify inside each
+    bucket (capped at ``bucket_cap`` rows — a hot bucket verifies against
+    its ``bucket_cap`` smallest ids instead of going quadratic), duplicate
+    = any verified smaller-id partner in any table.  Only (table, bucket,
+    id, vec) rows shuffle; duplicates found per table reduce to a
+    distributed distinct id set and anti-join the input."""
+    shifts = (1 << np.arange(n_planes, dtype=np.uint64))
 
-    def bucket_dedup(group: pa.Table) -> pa.Table:
+    def add_buckets(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        n = len(batch)
+        dim = vecs.shape[1] if vecs.size else 0
+        tables, buckets, idx = [], [], []
+        for t in range(n_tables):
+            rng = np.random.default_rng(seed + 1000 * t)
+            planes = rng.standard_normal((dim, n_planes)) if dim \
+                else np.zeros((0, n_planes))
+            bits = (vecs @ planes) > 0 if n else np.zeros((0, n_planes), bool)
+            b = (bits * shifts).sum(axis=1, dtype=np.uint64) if n \
+                else np.zeros(0, np.uint64)
+            tables.append(np.full(n, t, dtype=np.int32))
+            buckets.append(b)
+            idx.append(np.arange(n))
+        take = pa.array(np.concatenate(idx)) if n else pa.array([], pa.int64())
+        out = pa.table({
+            "table": pa.array(np.concatenate(tables) if n else
+                              np.zeros(0, np.int32)),
+            "bucket": pa.array(np.concatenate(buckets) if n else
+                               np.zeros(0, np.uint64), pa.uint64()),
+            id_col: pc.take(batch.column(id_col), take),
+            vec_col: pc.take(batch.column(vec_col), take),
+        })
+        return out
+
+    def bucket_dups(group: pa.Table) -> pa.Table:
         ids = np.array(group.column(id_col).to_pylist())
         vecs = np.array(group.column(vec_col).to_pylist(), dtype=np.float64)
         order = np.argsort(ids)
@@ -512,12 +537,20 @@ def embedding_near_dedup(ds: ray.data.Dataset, threshold: float = 0.98,
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0] = 1.0
         unit = vecs / norms[:, None]
-        sim = unit @ unit.T
-        dup = np.zeros(len(ids), dtype=bool)
-        for i in range(len(ids)):
-            if not dup[i]:
-                dup[i + 1:] |= sim[i, i + 1:] >= threshold
-        return group.take(pa.array(order[~dup]))
+        n = len(ids)
+        reps = min(n, bucket_cap)
+        # verify each row against the bucket's `reps` smallest ids —
+        # O(n·reps), exact for buckets under the cap
+        sim = unit[:reps] @ unit.T
+        dup = np.zeros(n, dtype=bool)
+        for i in range(reps):
+            dup[i + 1:] |= sim[i, i + 1:] >= threshold
+        return pa.table({id_col: pa.array(ids[dup])})
 
-    keyed = ds.map_batches(add_bucket, batch_format="pyarrow")
-    return keyed.groupby("bucket").map_groups(bucket_dedup, batch_format="pyarrow")
+    from .joins import broadcast_anti_join
+
+    keyed = ds.map_batches(add_buckets, batch_format="pyarrow")
+    dups = (keyed.groupby(["table", "bucket"])
+                 .map_groups(bucket_dups, batch_format="pyarrow"))
+    dup_keys = _distinct_on(dups, [id_col]).materialize()
+    return broadcast_anti_join(ds, dup_keys, id_col)
