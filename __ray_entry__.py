@@ -28,7 +28,7 @@ from ctdray.functions.text import (deterministic_sample_batch,
                                    quality_filter_batch,
                                    rolling_fingerprint_batch,
                                    text_stats_batch, token_count_batch)
-from ctdray.pipelines.analytics import (events_hourly,
+from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         lineitem_pricing_summary,
                                         orders_by_nation,
                                         daily_distinct_users,
@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_mktsegment": orders_by_mktsegment,
         "events_sliding_2h": events_sliding_2h,
         "daily_distinct_users": daily_distinct_users,
+        "events_asof_last_view": asof_last_event,
     }
 
 
@@ -432,6 +433,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT unnest([date_trunc('hour', ts), "
             "date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start, "
             "event_type FROM events) GROUP BY win_start, event_type"),
+        "events_asof_last_view": (
+            "SELECT l.user_id, l.ts, r.ts AS last_view_ts "
+            "FROM (SELECT * FROM events WHERE event_type='purchase') l "
+            "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"),
         "daily_distinct_users": (
             "SELECT date_trunc('day', ts) AS day, "
             "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "

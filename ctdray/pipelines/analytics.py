@@ -385,3 +385,48 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
         ds, ["hour", "event_type"],
         [("one", "sum", "n_events"), ("value", "min", "min_value"),
          ("value", "max", "max_value")])
+
+
+def asof_last_event(sf_dir: str, left_type: str = "purchase",
+                    right_type: str = "view") -> ray.data.Dataset:
+    """AS-OF join within the events stream: each ``left_type`` event gets
+    the most recent ``right_type`` timestamp at-or-before it for the same
+    user — the operator Ray Data lacks natively, composed as column-pruned
+    read → early type filter (vectorized) → ``groupby(user_id)`` →
+    per-group sort + ``np.searchsorted`` (SURVEY.md §2.11 custom-operator
+    rule: partitioning key = user_id; per-user event counts are bounded, so
+    groups stay small and only (ts, user_id, type) triples shuffle)."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id", "event_type"])
+
+    def keep_types(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch.column("event_type"),
+                     value_set=pa.array([left_type, right_type]))
+        return batch.filter(m)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False)
+        et = np.array(group.column("event_type").to_pylist())
+        order = np.argsort(ts, kind="stable")
+        ts, et = ts[order], et[order]
+        left_sel = et == left_type
+        right_ts = ts[et == right_type]
+        lts = ts[left_sel]
+        # greatest right ts <= left ts (ASOF semantics)
+        idx = np.searchsorted(right_ts, lts, side="right") - 1
+        matched = idx >= 0
+        vals = np.full(len(lts), np.datetime64("NaT", "us"), dtype="datetime64[us]")
+        if len(right_ts):
+            vals[matched] = right_ts[idx[matched]].astype("datetime64[us]")
+        uid = group.column("user_id").slice(0, 1).to_pylist()[0]
+        return pa.table({
+            "user_id": pa.array([uid] * len(lts),
+                                group.column("user_id").type),
+            "ts": pa.array(lts.astype("datetime64[us]"), pa.timestamp("us")),
+            "last_view_ts": pa.array(vals, pa.timestamp("us"),
+                                     from_pandas=True),
+        })
+
+    return (ds.map_batches(keep_types, batch_format="pyarrow")
+              .groupby("user_id")
+              .map_groups(per_user, batch_format="pyarrow"))

@@ -319,3 +319,32 @@ def test_cosine_range_search_matches_numpy(ray_session):
         want = set(np.nonzero(unit @ unit[qi] >= 0.3)[0].tolist())
         got = set(out[out.q_id == qi].vec_id)
         assert got == want and qi in got      # self always matches
+
+
+def test_asof_join_semantics(ray_session):
+    """AS-OF join: greatest right-ts at-or-before each left event per user;
+    unmatched lefts keep a null."""
+    import pandas as pd
+
+    from ctdray.pipelines.analytics import asof_last_event
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    ts = pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00",
+                         "2024-01-01 12:00", "2024-01-01 09:00",
+                         "2024-01-01 12:30"])
+    df = pd.DataFrame({
+        "ts": ts,
+        "user_id": [1, 1, 1, 2, 2],
+        "event_type": ["view", "purchase", "purchase", "purchase", "view"],
+        "value": [0.0] * 5,
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(d, "events.parquet"))
+        out = asof_last_event(d).to_pandas().sort_values("ts").reset_index(drop=True)
+    assert len(out) == 3
+    # sorted by ts: u2 09:00 purchase first (no prior view → null), then
+    # u1's two purchases, both seeing the 10:00 view
+    assert pd.isna(out.iloc[0].last_view_ts) and out.iloc[0].user_id == 2
+    assert str(out.iloc[1].last_view_ts) == "2024-01-01 10:00:00"
+    assert str(out.iloc[2].last_view_ts) == "2024-01-01 10:00:00"
