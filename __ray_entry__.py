@@ -29,6 +29,7 @@ from ctdray.functions.text import (deterministic_sample_batch,
                                    rolling_fingerprint_batch,
                                    text_stats_batch, token_count_batch)
 from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
+                                        interval_count_join,
                                         lineitem_pricing_summary,
                                         orders_by_nation,
                                         daily_distinct_users,
@@ -280,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_2h": events_sliding_2h,
         "daily_distinct_users": daily_distinct_users,
         "events_asof_last_view": asof_last_event,
+        "events_interval_join_60s": interval_count_join,
     }
 
 
@@ -433,6 +435,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT unnest([date_trunc('hour', ts), "
             "date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start, "
             "event_type FROM events) GROUP BY win_start, event_type"),
+        "events_interval_join_60s": (
+            "SELECT p.ts, CAST(count(v.ts) AS BIGINT) AS n_nearby "
+            "FROM (SELECT ts FROM events WHERE event_type='purchase') p "
+            "LEFT JOIN (SELECT ts FROM events WHERE event_type='view') v "
+            "ON abs(epoch_us(p.ts) - epoch_us(v.ts)) <= 60000000 "
+            "GROUP BY p.ts"),
         "events_asof_last_view": (
             "SELECT l.user_id, l.ts, r.ts AS last_view_ts "
             "FROM (SELECT * FROM events WHERE event_type='purchase') l "

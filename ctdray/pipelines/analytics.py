@@ -430,3 +430,68 @@ def asof_last_event(sf_dir: str, left_type: str = "purchase",
     return (ds.map_batches(keep_types, batch_format="pyarrow")
               .groupby("user_id")
               .map_groups(per_user, batch_format="pyarrow"))
+
+
+def interval_count_join(sf_dir: str, left_type: str = "purchase",
+                        right_type: str = "view",
+                        window_s: int = 60) -> ray.data.Dataset:
+    """Banded INTERVAL (range) join: for each ``left_type`` event, count
+    ``right_type`` events within ±``window_s`` seconds (any user) — the
+    time-proximity join Ray Data lacks natively, expressed as the classic
+    band trick: right rows land in their own ``window_s``-wide time bucket;
+    left rows REPLICATE into the three buckets a qualifying partner could
+    occupy (b-1, b, b+1), so each qualifying pair meets in exactly one
+    group (the right row's home bucket) and is counted exactly once.  The
+    per-bucket partial counts reduce with one tiny groupby — no all-pairs
+    work, no skew beyond real temporal hot spots."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+    w_us = window_s * 1_000_000
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        et = np.array(batch.column("event_type").to_pylist())
+        left_ts = ts[et == left_type]
+        right_ts = ts[et == right_type]
+        lb = left_ts // w_us
+        out_ts = np.concatenate([np.repeat(left_ts, 3), right_ts])
+        out_bucket = np.concatenate(
+            [(lb[:, None] + np.array([-1, 0, 1])).reshape(-1),
+             right_ts // w_us])
+        out_left = np.concatenate([np.ones(3 * len(left_ts), bool),
+                                   np.zeros(len(right_ts), bool)])
+        return pa.table({"bucket": pa.array(out_bucket, pa.int64()),
+                         "ts_us": pa.array(out_ts, pa.int64()),
+                         "is_left": pa.array(out_left, pa.bool_())})
+
+    def bucket_counts(group: pa.Table) -> pa.Table:
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+        is_left = group.column("is_left").to_numpy(zero_copy_only=False)
+        bucket = int(group.column("bucket").slice(0, 1).to_pylist()[0])
+        lts = ts[is_left]
+        rts = np.sort(ts[~is_left])
+        # count right rows in THIS bucket within the window of each left
+        lo = np.searchsorted(rts, lts - w_us, side="left")
+        hi = np.searchsorted(rts, lts + w_us, side="right")
+        n = hi - lo
+        # emit the zero partial only from the left row's HOME bucket so
+        # every left event appears exactly once after the reduce
+        home = (lts // w_us) == bucket
+        keep = home | (n > 0)
+        return pa.table({"ts_us": pa.array(lts[keep], pa.int64()),
+                         "n_partial": pa.array(n[keep], pa.int64())})
+
+    def reduce_counts(group: pa.Table) -> pa.Table:
+        total = pc.sum(group.column("n_partial")).as_py() or 0
+        ts_us = group.column("ts_us").slice(0, 1).to_pylist()[0]
+        return pa.table({
+            "ts": pa.array(np.array([ts_us], dtype="datetime64[us]"),
+                           pa.timestamp("us")),
+            "n_nearby": pa.array([int(total)], pa.int64())})
+
+    partials = (ds.map_batches(to_buckets, batch_format="pyarrow")
+                  .groupby("bucket")
+                  .map_groups(bucket_counts, batch_format="pyarrow"))
+    return partials.groupby("ts_us").map_groups(reduce_counts,
+                                                batch_format="pyarrow")

@@ -348,3 +348,31 @@ def test_asof_join_semantics(ray_session):
     assert pd.isna(out.iloc[0].last_view_ts) and out.iloc[0].user_id == 2
     assert str(out.iloc[1].last_view_ts) == "2024-01-01 10:00:00"
     assert str(out.iloc[2].last_view_ts) == "2024-01-01 10:00:00"
+
+
+def test_interval_count_join_band_correctness(ray_session):
+    """Banded range join: each qualifying pair counted exactly once, zero
+    counts preserved, window boundary inclusive."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import interval_count_join
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        (base, "purchase"),
+        (base + pd.Timedelta(seconds=60), "view"),    # exactly at boundary
+        (base + pd.Timedelta(seconds=61), "view"),    # just outside
+        (base - pd.Timedelta(seconds=59), "view"),    # inside, prior bucket
+        (base + pd.Timedelta(hours=2), "purchase"),   # isolated → 0
+    ]
+    df = pd.DataFrame({"ts": [r[0] for r in rows],
+                       "event_type": [r[1] for r in rows],
+                       "user_id": [1] * 5, "value": [0.0] * 5})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(d, "events.parquet"))
+        out = interval_count_join(d).to_pandas().sort_values("ts").reset_index(drop=True)
+    assert list(out.n_nearby) == [2, 0]
