@@ -21,6 +21,7 @@ from ctdray.functions.dedup import (embedding_near_dedup, exact_dedup,
                                     minhash_lsh_dedup, ngram_jaccard_dedup,
                                     simhash_dedup, simhash_near_dedup,
                                     token_set_dedup)
+from ctdray.functions.quantiles import exact_quantiles
 from ctdray.functions.similarity import (cosine_range_search, knn_bruteforce,
                                          knn_ivf, knn_lsh)
 from ctdray.functions.text import (deterministic_sample_batch,
@@ -89,6 +90,13 @@ def _documents(sf_dir: str):
 
     return read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
+
+
+def _lineitem_price(sf_dir: str):
+    from ctdray.sources.tables import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_extendedprice"])
 
 
 def _documents_full(sf_dir: str):
@@ -282,6 +290,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_distinct_users": daily_distinct_users,
         "events_asof_last_view": asof_last_event,
         "events_interval_join_60s": interval_count_join,
+        "lineitem_price_quantiles": lambda sf: exact_quantiles(
+            _lineitem_price(sf), "l_extendedprice", collect_cap=10_000),
     }
 
 
@@ -435,6 +445,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT unnest([date_trunc('hour', ts), "
             "date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start, "
             "event_type FROM events) GROUP BY win_start, event_type"),
+        "lineitem_price_quantiles": (
+            " UNION ALL ".join(
+                f"SELECT {q} AS q, quantile_disc(l_extendedprice, {q}) "
+                "AS value FROM lineitem"
+                for q in (0.25, 0.5, 0.75, 0.95))),
         "events_interval_join_60s": (
             "SELECT p.ts, CAST(count(v.ts) AS BIGINT) AS n_nearby "
             "FROM (SELECT ts FROM events WHERE event_type='purchase') p "

@@ -376,3 +376,24 @@ def test_interval_count_join_band_correctness(ray_session):
         pq.write_table(pa.Table.from_pandas(df), os.path.join(d, "events.parquet"))
         out = interval_count_join(d).to_pandas().sort_values("ts").reset_index(drop=True)
     assert list(out.n_nearby) == [2, 0]
+
+
+def test_exact_quantiles_distributed_selection(ray_session):
+    """Histogram-refinement selection equals numpy's exact rank rule
+    (smallest v with count(<=v) >= ceil(q*n)) with forced refinement."""
+    import math
+
+    import ray.data as rd
+
+    from ctdray.functions.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(41)
+    vals = rng.standard_normal(5000) * 1000
+    tbl = pa.table({"v": pa.array(vals, pa.float64())})
+    out = exact_quantiles(rd.from_arrow(tbl), "v",
+                          qs=(0.1, 0.5, 0.9), n_bins=16,
+                          collect_cap=50).to_pandas()
+    s = np.sort(vals)
+    for _, row in out.iterrows():
+        rank = max(1, math.ceil(row.q * len(vals)))
+        assert row.value == s[rank - 1], row.q
