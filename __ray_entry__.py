@@ -31,6 +31,7 @@ from ctdray.functions.text import (deterministic_sample_batch,
                                    text_stats_batch, token_count_batch)
 from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         interval_count_join,
+                                        local_supplier_volume,
                                         lineitem_pricing_summary,
                                         orders_by_nation,
                                         daily_distinct_users,
@@ -290,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_distinct_users": daily_distinct_users,
         "events_asof_last_view": asof_last_event,
         "events_interval_join_60s": interval_count_join,
+        "local_supplier_volume": local_supplier_volume,
         "lineitem_price_quantiles": lambda sf: exact_quantiles(
             _lineitem_price(sf), "l_extendedprice", collect_cap=10_000),
     }
@@ -445,6 +447,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT unnest([date_trunc('hour', ts), "
             "date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start, "
             "event_type FROM events) GROUP BY win_start, event_type"),
+        "local_supplier_volume": (
+            "SELECT n_name, CAST(sum(CAST(round(l_extendedprice*"
+            "(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS revenue_e4 "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY n_name"),
         "lineitem_price_quantiles": (
             " UNION ALL ".join(
                 f"SELECT {q} AS q, quantile_disc(l_extendedprice, {q}) "

@@ -91,6 +91,69 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
                      right_on=(right_on,) if right_on else None)
 
 
+def shuffle_lookup_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                        on: str, right_on: str | None = None,
+                        left_schema=None, right_schema=None
+                        ) -> ray.data.Dataset:
+    """Inner equi-join where ``right`` has AT MOST ONE row per key (the
+    fact⋈dimension shape when the dimension is too big to broadcast):
+    both sides hash-partition on the key via ``groupby`` (union + padded
+    typed-null columns), each group stamps its right row's values onto its
+    left rows.  Use when Ray's native ``Dataset.join`` chokes — its 2.49
+    hash-shuffle builds schema-less empty partitions from a filtered
+    side's empty blocks and pyarrow rejects them — or when chaining joins.
+    Column names must not collide across sides (except the key)."""
+    right_on = right_on or on
+    # explicit schemas override Ray's inference (a filtered read whose
+    # first blocks are empty reports schema None)
+    lsch = left_schema if left_schema is not None \
+        else left.schema(fetch_if_missing=True)
+    rsch = right_schema if right_schema is not None \
+        else right.schema(fetch_if_missing=True)
+    l_types = dict(zip(lsch.names, lsch.types))
+    r_types = dict(zip(rsch.names, rsch.types))
+    r_vals = [c for c in rsch.names if c != right_on]
+    overlap = (set(lsch.names) - {on}) & set(r_vals)
+    if overlap:
+        raise ValueError(f"column collision across join sides: {overlap}")
+    KEY, SIDE = "__jk", "__left"
+
+    def pad_left(b: pa.Table) -> pa.Table:
+        cols = {KEY: b.column(on)}
+        for c in lsch.names:
+            cols[c] = b.column(c)
+        for c in r_vals:
+            cols[c] = pa.nulls(len(b), r_types[c])
+        cols[SIDE] = pa.array(np.ones(len(b), dtype=bool))
+        return pa.table(cols)
+
+    def pad_right(b: pa.Table) -> pa.Table:
+        cols = {KEY: b.column(right_on)}
+        for c in lsch.names:
+            cols[c] = pa.nulls(len(b), l_types[c])
+        for c in r_vals:
+            cols[c] = b.column(c)
+        cols[SIDE] = pa.array(np.zeros(len(b), dtype=bool))
+        return pa.table(cols)
+
+    def stamp(group: pa.Table) -> pa.Table:
+        is_left = group.column(SIDE)
+        ri = pc.index(is_left, False).as_py()
+        lefts = group.filter(is_left)
+        if ri < 0 or len(lefts) == 0:          # inner join: no match → drop
+            return lefts.slice(0, 0).drop_columns([KEY, SIDE])
+        out = lefts.drop_columns([KEY, SIDE])
+        for c in r_vals:
+            v = group.column(c)[ri].as_py()
+            out = out.set_column(out.column_names.index(c), c,
+                                 pa.array([v] * len(out), r_types[c]))
+        return out
+
+    both = (left.map_batches(pad_left, batch_format="pyarrow")
+            .union(right.map_batches(pad_right, batch_format="pyarrow")))
+    return both.groupby(KEY).map_groups(stamp, batch_format="pyarrow")
+
+
 def shuffle_anti_join(ds: ray.data.Dataset, keys_ds: ray.data.Dataset,
                       key_col: str) -> ray.data.Dataset:
     """Anti-join by hash-partitioning both sides on ``key_col``: the big side

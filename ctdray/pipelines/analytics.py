@@ -495,3 +495,97 @@ def interval_count_join(sf_dir: str, left_type: str = "purchase",
                   .map_groups(bucket_counts, batch_format="pyarrow"))
     return partials.groupby("ts_us").map_groups(reduce_counts,
                                                 batch_format="pyarrow")
+
+
+def local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                          year: int = 1996) -> ray.data.Dataset:
+    """TPC-H Q5-shaped: revenue per nation where customer and supplier share
+    an Asian nation, for orders placed in ``year``.
+
+    Physical plan at 100 TB: region→nation→customer/supplier fold into
+    BROADCAST lookup arrays (dimension side never shuffles); orders prune
+    at the read (year predicate pushed into the Parquet scan) and meet
+    lineitem in the ONE native hash join both-large sides need; nation
+    equality + revenue fold vectorized per batch; partial-agg reduce.
+    Revenue is summed in integral 10^-4 units (prices have 2 decimals,
+    discounts 2) so the double→int sum is order-independent and
+    hash-exact."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    region_t = pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = [r["r_regionkey"] for r in region_t.to_pylist()
+             if r["r_name"] == region]
+    nation_t = pq.read_table(f"{sf_dir}/nation.parquet")
+    asian = {r["n_nationkey"]: r["n_name"] for r in nation_t.to_pylist()
+             if r["n_regionkey"] in rkeys}
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    side = ray.put((
+        cust.column("c_custkey").combine_chunks(),
+        cust.column("c_nationkey").combine_chunks(),
+        supp.column("s_suppkey").combine_chunks(),
+        supp.column("s_nationkey").combine_chunks(),
+        pa.array(list(asian.keys()), pa.int64()),
+        pa.array(list(asian.values()), pa.string()),
+    ))
+
+    lo = datetime.datetime(year, 1, 1)
+    hi = datetime.datetime(year + 1, 1, 1)
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo)
+               & (pads.field("o_orderdate") < hi))
+    orders = orders.map_batches(
+        lambda b: b.drop_columns(["o_orderdate"]), batch_format="pyarrow")
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    from ..functions.joins import shuffle_lookup_join
+
+    # Both-large equi-join via the groupby form (functions.joins): Ray
+    # 2.49's native hash-shuffle join chokes on the schema-less empty
+    # partitions a row-group-pruned side produces.
+    joined = shuffle_lookup_join(
+        lineitem, orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([
+            ("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+            ("l_extendedprice", pa.float64()), ("l_discount", pa.float64())]),
+        right_schema=pa.schema([
+            ("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        ckeys, cnk, skeys, snk, nkeys, nnames = ray.get(side)
+        ci = pc.index_in(batch.column("o_custkey"), value_set=ckeys)
+        si = pc.index_in(batch.column("l_suppkey"), value_set=skeys)
+        c_nat = pc.take(cnk, ci).to_numpy(zero_copy_only=False)
+        s_nat = pc.take(snk, si).to_numpy(zero_copy_only=False)
+        nkeys_np = nkeys.to_numpy(zero_copy_only=False)
+        same = (c_nat == s_nat) & np.isin(c_nat, nkeys_np)
+        t = batch.filter(pa.array(same))
+        if len(t) == 0:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "revenue_e4": pa.array([], pa.int64())})
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.round(price * (1.0 - disc) * 10_000).astype(np.int64)
+        nat = c_nat[same]
+        ni = pc.index_in(pa.array(nat, pa.int64()), value_set=nkeys)
+        names = pc.take(nnames, ni)
+        part = pa.table({"n_name": names, "revenue_e4": pa.array(rev)})
+        res = part.group_by(["n_name"]).aggregate([("revenue_e4", "sum")])
+        return pa.table({"n_name": res.column("n_name"),
+                         "revenue_e4": res.column("revenue_e4_sum")})
+
+    partials = joined.map_batches(fold, batch_format="pyarrow")
+    return partials.groupby("n_name").map_groups(
+        lambda g: pa.table({
+            "n_name": g.column("n_name").slice(0, 1),
+            "revenue_e4": pa.array([pc.sum(g.column("revenue_e4")).as_py()],
+                                   pa.int64())}),
+        batch_format="pyarrow")

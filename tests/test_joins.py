@@ -55,3 +55,23 @@ def test_minhash_shuffle_strategy_equivalent(ray_session):
     a = minhash_lsh_dedup(rd.from_arrow(tbl)).to_pandas()
     b = minhash_lsh_dedup(rd.from_arrow(tbl), anti_join="shuffle").to_pandas()
     assert sorted(a.doc_id) == sorted(b.doc_id) == [0, 3, 5]
+
+
+def test_shuffle_lookup_join_inner_semantics(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ctdray.functions.joins import shuffle_lookup_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 3], pa.int64()),
+        "x": pa.array(["a", "b", "c", "d"])}))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([1, 2, 9], pa.int64()),
+        "v": pa.array([10, 20, 90], pa.int64())}))
+    out = shuffle_lookup_join(left, right, on="k", right_on="rk") \
+        .to_pandas().sort_values(["k", "x"]).reset_index(drop=True)
+    # inner: k=3 dropped (no right), rk=9 dropped (no left)
+    assert list(out.k) == [1, 1, 2]
+    assert list(out.v) == [10, 10, 20]
+    assert list(out.x) == ["a", "b", "c"]
