@@ -30,12 +30,14 @@ REPEAT = int(os.environ.get("GRAFT_SCALE_REPEAT", "1"))
 
 
 def _consume_count(ds) -> int:
-    """Stream-consume a Dataset, returning row count (no driver materialize
-    beyond per-batch counts)."""
-    n = 0
-    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
-        n += batch.num_rows
-    return n
+    """Stream-consume a query result (Dataset / pa.Table / DataFrame),
+    returning row count (no driver materialize beyond per-batch counts)."""
+    if hasattr(ds, "iter_batches"):
+        n = 0
+        for batch in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+            n += batch.num_rows
+        return n
+    return getattr(ds, "num_rows", None) or len(ds)
 
 
 def run_bench(sf_dir: str, num_cpus: int, n_runs: int | None = None) -> dict:
