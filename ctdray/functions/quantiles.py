@@ -108,8 +108,16 @@ def exact_quantiles(ds: ray.data.Dataset, col: str,
         if not refined:
             break
 
-    # final: collect candidates for all targets in one pass
-    ranges = [(q, *state[q]) for q in state]
+    # degenerate ranges (all remaining values equal) answer directly —
+    # never collect a constant column driver-side
+    resolved = {q: lo for q, (lo, hi, _i, _r, _n) in state.items()
+                if hi <= lo}
+    ranges = [(q, *state[q]) for q in state if q not in resolved]
+    if not ranges:
+        qs_sorted = sorted(resolved)
+        return pa.table({"q": pa.array(qs_sorted, pa.float64()),
+                         "value": pa.array([resolved[q] for q in qs_sorted],
+                                           pa.float64())})
 
     def collect(batch: pa.Table) -> pa.Table:
         v = _col_np(batch, col)
@@ -130,6 +138,9 @@ def exact_quantiles(ds: ray.data.Dataset, col: str,
         vals = np.sort(np.asarray(by_q[q]))
         out_q.append(q)
         out_v.append(float(vals[rank - 1]))
+    for q, v in resolved.items():
+        out_q.append(q)
+        out_v.append(float(v))
     order = np.argsort(out_q)
     return pa.table({"q": pa.array(np.asarray(out_q)[order], pa.float64()),
                      "value": pa.array(np.asarray(out_v)[order], pa.float64())})

@@ -89,3 +89,49 @@ def test_resized_mask_window_consistency(seed):
     y1, y2 = sorted(rng.integers(0, 64, 2))
     x1, x2 = sorted(rng.integers(0, 80, 2))
     assert np.array_equal(view.window(x1, y1, x2, y2), full[y1:y2, x1:x2])
+
+
+@given(st.integers(1, 40), st.integers(1, 3), st.integers(0, 10**6))
+@settings(max_examples=20, deadline=None)
+def test_png_roundtrip_property(h, c, seed):
+    import numpy as np
+
+    from ctdray.sources.png import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    w = int(rng.integers(1, 40))
+    shape = (h, w) if c == 1 else (h, w, 3 if c == 2 else 4)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+@given(st.lists(st.floats(-1e6, 1e6), min_size=1, max_size=400),
+       st.floats(0.01, 0.99))
+@settings(max_examples=10, deadline=None)
+def test_exact_quantile_property(ray_session, vals, q):
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ctdray.functions.quantiles import exact_quantiles
+
+    tbl = pa.table({"v": pa.array(vals, pa.float64())})
+    out = exact_quantiles(rd.from_arrow(tbl), "v", qs=(q,), n_bins=8,
+                          collect_cap=10).to_pandas()
+    s = np.sort(np.asarray(vals))
+    rank = max(1, math.ceil(q * len(vals)))
+    assert out.value.iloc[0] == s[rank - 1]
+
+
+def test_exact_quantiles_constant_column(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ctdray.functions.quantiles import exact_quantiles
+
+    tbl = pa.table({"v": pa.array([7.5] * 1000, pa.float64())})
+    out = exact_quantiles(rd.from_arrow(tbl), "v", qs=(0.25, 0.9),
+                          collect_cap=10).to_pandas()
+    assert list(out.value) == [7.5, 7.5]
