@@ -184,41 +184,47 @@ def knn_ivf(ds: ray.data.Dataset, queries: np.ndarray, q_ids: np.ndarray,
 
 def knn_lsh(ds: ray.data.Dataset, queries: np.ndarray, q_ids: np.ndarray,
             k: int = 10, n_planes: int = 8, seed: int = 11,
-            probe_hamming: int = 1,
+            probe_hamming: int = 1, n_tables: int = 3,
             id_col: str = "vec_id",
             vec_col: str = "embedding") -> ray.data.Dataset:
-    """Approximate top-k: hyperplane-bucket the corpus, search only buckets
-    near a query.  MULTIPROBE: each query probes every bucket within
-    hamming distance ``probe_hamming`` of its own (the standard multiprobe
-    LSH recall lever — radius 1 probes n_planes+1 of the 2^n_planes
-    buckets); radius 0 recovers single-bucket probing.  Recall < 1 by
-    design; raise the radius or multiply plane sets to trade compute for
-    recall."""
+    """Approximate top-k with BOTH standard LSH recall levers:
+
+      multi-table   ``n_tables`` independent plane sets — a true neighbor
+                    only needs to collide in ONE table
+      multiprobe    within each table, probe every bucket within hamming
+                    distance ``probe_hamming`` of the query's bucket
+                    (radius 1 probes n_planes+1 of the 2^n_planes buckets)
+
+    A (query, vector) pair scores at most once per batch (seen mask), so
+    candidate volume stays bounded.  Recall < 1 by design; raise either
+    lever to trade compute for recall."""
     import itertools
 
     queries = np.asarray(queries, dtype=np.float64)
     dim = queries.shape[1]
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
     shifts = (1 << np.arange(n_planes, dtype=np.uint64))
+    tables = []
+    for t in range(n_tables):
+        rng = np.random.default_rng(seed + 1000 * t)
+        planes = rng.standard_normal((dim, n_planes))
 
-    def bucket_of(m: np.ndarray) -> np.ndarray:
-        return (((m @ planes) > 0) * shifts).sum(axis=1, dtype=np.uint64)
+        def bucket_of(m: np.ndarray, _p=planes) -> np.ndarray:
+            return (((m @ _p) > 0) * shifts).sum(axis=1, dtype=np.uint64)
 
-    q_buckets = bucket_of(queries)
-    by_bucket: dict[int, list[int]] = {}
-    for qi, b in enumerate(q_buckets):
-        probes = {int(b)}
-        for r in range(1, probe_hamming + 1):
-            for flips in itertools.combinations(range(n_planes), r):
-                x = int(b)
-                for f in flips:
-                    x ^= 1 << f
-                probes.add(x)
-        for pb in probes:
-            bucket = by_bucket.setdefault(pb, [])
-            if qi not in bucket:
-                bucket.append(qi)
+        by_bucket: dict[int, list[int]] = {}
+        for qi, b in enumerate(bucket_of(queries)):
+            probes = {int(b)}
+            for r in range(1, probe_hamming + 1):
+                for flips in itertools.combinations(range(n_planes), r):
+                    x = int(b)
+                    for f in flips:
+                        x ^= 1 << f
+                    probes.add(x)
+            for pb in probes:
+                lst = by_bucket.setdefault(pb, [])
+                if qi not in lst:
+                    lst.append(qi)
+        tables.append((bucket_of, by_bucket))
     q_unit_ref = ray.put(_unit_rows(queries))
     q_ids = np.asarray(q_ids, dtype=np.int64)
 
@@ -230,14 +236,21 @@ def knn_lsh(ds: ray.data.Dataset, queries: np.ndarray, q_ids: np.ndarray,
             return pa.table({"q_id": pa.array([], pa.int64()),
                              "vec_id": pa.array([], pa.int64()),
                              "sim": pa.array([], pa.float64())})
-        vb = bucket_of(vecs)
+        unit = _unit_rows(vecs)
+        seen = np.zeros((len(q_unit), len(vecs)), dtype=bool)
+        for bucket_of, by_bucket in tables:
+            vb = bucket_of(vecs)
+            for b, qis in by_bucket.items():
+                mask = vb == np.uint64(b)
+                if mask.any():
+                    seen[np.ix_(qis, np.nonzero(mask)[0])] = True
         parts = []
-        for b, qis in by_bucket.items():
-            mask = vb == np.uint64(b)
-            if not mask.any():
+        for qi in range(len(q_unit)):
+            m = seen[qi]
+            if not m.any():
                 continue
-            sims = q_unit[qis] @ _unit_rows(vecs[mask]).T
-            parts.append(_topk_table(q_ids[qis].tolist(), sims, ids[mask], k))
+            sims = q_unit[qi:qi + 1] @ unit[m].T
+            parts.append(_topk_table([int(q_ids[qi])], sims, ids[m], k))
         if not parts:
             return pa.table({"q_id": pa.array([], pa.int64()),
                              "vec_id": pa.array([], pa.int64()),
