@@ -44,14 +44,15 @@ def detect_page(detector, media_ref: str, im_h: int, im_w: int,
     confs = np.round(det[:, 4], 3)
     classes = det[:, 5].astype(np.int32)
 
-    mask_u8 = (np.asarray(mask).squeeze() * 255).astype(np.uint8)  # inference.py:85-99
     lines, _scores = extract_lines(lines_map, cfg)
 
     # Un-letterbox: crop the pad, resize to original (inference.py:163-165).
-    # The resize is deferred — group_output samples only rectangular window
-    # densities, computed bit-identically on demand (geom.ResizedMaskView);
+    # Both the uint8 conversion (inference.py:85-99) AND the resize are
+    # deferred — group_output samples only rectangular window densities,
+    # computed bit-identically on demand (geom.ResizedMaskView, scale255);
     # mask sinks call .full().
-    mask_u8 = ResizedMaskView(mask_u8[: size - dh, : size - dw], im_w, im_h)
+    mask_u8 = ResizedMaskView(np.asarray(mask).squeeze()[: size - dh, : size - dw],
+                              im_w, im_h, scale255=True)
     if lines.size:
         lines = lines.astype(np.float64)
         lines[..., 0] *= rr[0]

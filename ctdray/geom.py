@@ -192,8 +192,15 @@ class ResizedMaskView:
     unless a mask sink actually asks for ``full()``.
     """
 
-    def __init__(self, src: np.ndarray, out_w: int, out_h: int):
+    def __init__(self, src: np.ndarray, out_w: int, out_h: int,
+                 scale255: bool = False):
+        """``scale255=True`` accepts the raw FLOAT sigmoid map and applies
+        the reference's ``(mask*255).astype(uint8)`` conversion
+        (inference.py:85-99) LAZILY per sampled window — most pages never
+        sample a density window, so the full-page cast is skipped."""
         self.src = np.ascontiguousarray(src)
+        self._scale255 = scale255
+        self._dtype = np.uint8 if scale255 else self.src.dtype
         self.out_w, self.out_h = int(out_w), int(out_h)
         h, w = src.shape[:2]
         self._identity = (out_h, out_w) == (h, w)
@@ -211,23 +218,38 @@ class ResizedMaskView:
     def shape(self):
         return (self.out_h, self.out_w)
 
+    def _u8(self, arr: np.ndarray) -> np.ndarray:
+        """Elementwise source-value view in the effective dtype —
+        (v*255).astype(uint8) when wrapping a float sigmoid map."""
+        return (arr * 255).astype(np.uint8) if self._scale255 else arr
+
     def window(self, x1, y1, x2, y2) -> np.ndarray:
         """Output pixels [y1:y2, x1:x2] with numpy slicing semantics,
-        bit-identical to ``resize_bilinear(src, out_w, out_h)[y1:y2, x1:x2]``."""
+        bit-identical to ``resize_bilinear(u8src, out_w, out_h)[y1:y2,
+        x1:x2]`` — only window-local source values are gathered/cast (the
+        four corner gathers reproduce the full-row interpolation's float32
+        op tree element-for-element)."""
         ya, yb, _ = slice(int(y1), int(y2)).indices(self.out_h)
         xa, xb, _ = slice(int(x1), int(x2)).indices(self.out_w)
         if yb <= ya or xb <= xa:
-            return np.zeros((max(0, yb - ya), max(0, xb - xa)), dtype=self.src.dtype)
+            return np.zeros((max(0, yb - ya), max(0, xb - xa)),
+                            dtype=self._dtype)
         if self._identity:
-            return self.src[ya:yb, xa:xb]
-        imf = self.src.astype(np.float32, copy=False)
+            return self._u8(self.src[ya:yb, xa:xb])
+        y0i, y1i = self._y0[ya:yb], self._y1[ya:yb]
+        x0i, x1i = self._x0[xa:xb], self._x1[xa:xb]
+        a00 = self._u8(self.src[np.ix_(y0i, x0i)]).astype(np.float32)
+        a01 = self._u8(self.src[np.ix_(y0i, x1i)]).astype(np.float32)
+        a10 = self._u8(self.src[np.ix_(y1i, x0i)]).astype(np.float32)
+        a11 = self._u8(self.src[np.ix_(y1i, x1i)]).astype(np.float32)
         wy = self._wy[ya:yb][:, None]
-        rows = imf[self._y0[ya:yb]] * (1 - wy) + imf[self._y1[ya:yb]] * wy
         wx = self._wx[xa:xb][None, :]
-        out = rows[:, self._x0[xa:xb]] * (1 - wx) + rows[:, self._x1[xa:xb]] * wx
-        if np.issubdtype(self.src.dtype, np.integer):
-            return np.clip(np.round(out), 0, 255).astype(self.src.dtype)
-        return out.astype(self.src.dtype)
+        rows0 = a00 * (1 - wy) + a10 * wy          # == rows[:, x0]
+        rows1 = a01 * (1 - wy) + a11 * wy          # == rows[:, x1]
+        out = rows0 * (1 - wx) + rows1 * wx
+        if np.issubdtype(self._dtype, np.integer):
+            return np.clip(np.round(out), 0, 255).astype(self._dtype)
+        return out.astype(self._dtype)
 
     def density(self, x1, y1, x2, y2) -> float:
         """mean(window)/255; NaN for an empty window (the reference's numpy
@@ -238,8 +260,9 @@ class ResizedMaskView:
         return float(win.mean()) / 255.0
 
     def full(self) -> np.ndarray:
-        return self.src.copy() if self._identity \
-            else resize_bilinear(self.src, self.out_w, self.out_h)
+        u8 = self._u8(self.src)
+        return u8.copy() if self._identity \
+            else resize_bilinear(u8, self.out_w, self.out_h)
 
 
 def homography_4pt(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
@@ -414,7 +437,16 @@ def _hull_chain(points: np.ndarray) -> np.ndarray:
 def convex_hull(pts: np.ndarray) -> np.ndarray:
     """Monotone-chain hull (strict: collinear points dropped) → hull vertices
     in CCW order (k, 2) float64."""
-    pts = np.unique(np.asarray(pts, dtype=np.float64), axis=0)
+    pts = np.asarray(pts, dtype=np.float64)
+    # lexicographic (x, y) sort + adjacent dedup — same rows and order as
+    # np.unique(axis=0) without its structured-view sort overhead
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+    if len(pts) > 1:
+        keep = np.empty(len(pts), dtype=bool)
+        keep[0] = True
+        keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
+        pts = pts[keep]
     if len(pts) <= 2:
         return pts
     # np.unique sorts lexicographically by (x, y) already.
@@ -570,9 +602,27 @@ def quads_intersect(q1, q2) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _axis_aligned_quad(p: np.ndarray) -> bool:
+    """True iff the 4-gon is a NON-degenerate axis-aligned rectangle: four
+    axis-parallel edges, none zero-length.  Closure then forces H/V
+    alternation, i.e. vertices (xa,ya),(xb,ya),(xb,yb),(xa,yb) — so the
+    half-plane AND collapses to the bbox test exactly (each horizontal
+    edge's cross≥0 is ys≥/≤ its y; vertical likewise; closed boundaries).
+    Degenerate quads (repeated vertices / zero area) keep the generic path,
+    whose zero-length edges drop constraints — semantics preserved
+    bit-exactly."""
+    if len(p) != 4:
+        return False
+    nx, ny = np.roll(p[:, 0], -1), np.roll(p[:, 1], -1)
+    same_x, same_y = p[:, 0] == nx, p[:, 1] == ny
+    return bool(np.all(same_x | same_y) and not np.any(same_x & same_y))
+
+
 def fill_convex_poly(canvas: np.ndarray, poly: np.ndarray, value) -> None:
     """Fill a convex polygon into ``canvas`` in place (half-plane tests over
-    the polygon's clipped bbox only — no full-image work)."""
+    the polygon's clipped bbox only — no full-image work).  Axis-aligned
+    quads (the dominant case on rendered fixture pages) fill by direct
+    slice assignment — bit-identical, no mask materialized."""
     h, w = canvas.shape[:2]
     p = np.asarray(poly, dtype=np.float64).reshape(-1, 2)
     x0 = max(int(math.floor(p[:, 0].min())), 0)
@@ -580,6 +630,15 @@ def fill_convex_poly(canvas: np.ndarray, poly: np.ndarray, value) -> None:
     y0 = max(int(math.floor(p[:, 1].min())), 0)
     y1 = min(int(math.ceil(p[:, 1].max())) + 1, h)
     if x1 <= x0 or y1 <= y0:
+        return
+    if _axis_aligned_quad(p):
+        # pixel x inside ⟺ xmin ≤ x ≤ xmax ⟺ x ∈ [ceil(xmin), floor(xmax)]
+        ix0 = max(int(math.ceil(p[:, 0].min())), x0)
+        ix1 = min(int(math.floor(p[:, 0].max())) + 1, x1)
+        iy0 = max(int(math.ceil(p[:, 1].min())), y0)
+        iy1 = min(int(math.floor(p[:, 1].max())) + 1, y1)
+        if ix1 > ix0 and iy1 > iy0:
+            canvas[iy0:iy1, ix0:ix1] = value
         return
     inside = convex_poly_mask(p, y0, y1, x0, x1)
     region = canvas[y0:y1, x0:x1]
@@ -598,6 +657,9 @@ def convex_poly_mask(poly: np.ndarray, y0: int, y1: int, x0: int, x1: int) -> np
         p = p[::-1]
     ys = np.arange(y0, y1, dtype=np.float64)[:, None]
     xs = np.arange(x0, x1, dtype=np.float64)[None, :]
+    if _axis_aligned_quad(p):
+        return ((ys >= p[:, 1].min()) & (ys <= p[:, 1].max())) \
+            & ((xs >= p[:, 0].min()) & (xs <= p[:, 0].max()))
     inside = np.ones((y1 - y0, x1 - x0), dtype=bool)
     k = len(p)
     for i in range(k):

@@ -356,3 +356,34 @@ def test_get_transformed_region_line():
                      font_size=10)
     vregion = get_transformed_region(vblk, img, 0, 16)
     assert vregion.shape[0] == 16  # rotated CCW: textheight ends up as height
+
+
+def test_axis_aligned_fill_fast_path_bit_identical():
+    """The axis-aligned quad fast path must equal the generic half-plane
+    fill exactly — including fractional coords, clipping, and degenerate
+    repeated vertices."""
+    import numpy as np
+
+    from ctdray.geom import convex_poly_mask, fill_convex_poly
+
+    rng = np.random.default_rng(55)
+    for _ in range(60):
+        x1, y1 = rng.uniform(-5, 30, 2)
+        wdt, hgt = rng.uniform(0, 25, 2)
+        x2, y2 = x1 + wdt, y1 + hgt
+        if rng.random() < 0.3:                # integer coords too
+            x1, y1, x2, y2 = map(float, map(round, (x1, y1, x2, y2)))
+        quad = np.array([[x1, y1], [x2, y1], [x2, y2], [x1, y2]])
+        if rng.random() < 0.2:                # degenerate repeated vertex
+            quad[1] = quad[0]
+        a = np.zeros((25, 35), np.uint8)
+        fill_convex_poly(a, quad, 200)
+        # generic path: force the half-plane branch via a 5-vertex copy
+        quad5 = np.vstack([quad, quad[0]])
+        b = np.zeros((25, 35), np.uint8)
+        fill_convex_poly(b, quad5, 200)
+        assert np.array_equal(a, b), quad
+        # mask variant agrees as well
+        m_fast = convex_poly_mask(quad, 0, 25, 0, 35)
+        m_gen = convex_poly_mask(quad5, 0, 25, 0, 35)
+        assert np.array_equal(m_fast, m_gen)
