@@ -613,9 +613,14 @@ def _axis_aligned_quad(p: np.ndarray) -> bool:
     bit-exactly."""
     if len(p) != 4:
         return False
-    nx, ny = np.roll(p[:, 0], -1), np.roll(p[:, 1], -1)
-    same_x, same_y = p[:, 0] == nx, p[:, 1] == ny
-    return bool(np.all(same_x | same_y) and not np.any(same_x & same_y))
+    (ax, ay), (bx, by), (cx, cy), (dx, dy) = p.tolist()
+
+    def edge_ok(x0, y0, x1, y1):
+        sx, sy = x0 == x1, y0 == y1
+        return (sx or sy) and not (sx and sy)
+
+    return edge_ok(ax, ay, bx, by) and edge_ok(bx, by, cx, cy) \
+        and edge_ok(cx, cy, dx, dy) and edge_ok(dx, dy, ax, ay)
 
 
 def fill_convex_poly(canvas: np.ndarray, poly: np.ndarray, value) -> None:
