@@ -116,10 +116,23 @@ def shuffle_lookup_join(left: ray.data.Dataset, right: ray.data.Dataset,
     overlap = (set(lsch.names) - {on}) & set(r_vals)
     if overlap:
         raise ValueError(f"column collision across join sides: {overlap}")
-    KEY, SIDE = "__jk", "__left"
+    KEY, SIDE, BUCKET = "__jk", "__left", "__jb"
+    key_type = dict(zip(lsch.names, lsch.types))[on]
+    int_key = pa.types.is_integer(key_type)
+
+    def bucket_of(keys):
+        # integer keys: Fibonacci-hash buckets (top 8 bits → 256) — the
+        # exchange groups by BUCKET and each group merges VECTORIZED
+        # (searchsorted), instead of one Python map_groups call per
+        # distinct key
+        k = keys.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.array(((k * np.uint64(0x9E3779B97F4A7C15))
+                         >> np.uint64(56)).astype(np.int32))
 
     def pad_left(b: pa.Table) -> pa.Table:
         cols = {KEY: b.column(on)}
+        if int_key:
+            cols[BUCKET] = bucket_of(b.column(on))
         for c in lsch.names:
             cols[c] = b.column(c)
         for c in r_vals:
@@ -128,7 +141,10 @@ def shuffle_lookup_join(left: ray.data.Dataset, right: ray.data.Dataset,
         return pa.table(cols)
 
     def pad_right(b: pa.Table) -> pa.Table:
-        cols = {KEY: b.column(right_on)}
+        ck = b.column(right_on).cast(key_type)
+        cols = {KEY: ck}
+        if int_key:
+            cols[BUCKET] = bucket_of(ck)
         for c in lsch.names:
             cols[c] = pa.nulls(len(b), l_types[c])
         for c in r_vals:
@@ -136,7 +152,29 @@ def shuffle_lookup_join(left: ray.data.Dataset, right: ray.data.Dataset,
         cols[SIDE] = pa.array(np.zeros(len(b), dtype=bool))
         return pa.table(cols)
 
-    def stamp(group: pa.Table) -> pa.Table:
+    def stamp_bucket(group: pa.Table) -> pa.Table:
+        is_left = group.column(SIDE).to_numpy(zero_copy_only=False)
+        keys = group.column(KEY).to_numpy(zero_copy_only=False)
+        lefts = group.filter(pa.array(is_left))
+        rights = group.filter(pa.array(~is_left))
+        drop = [KEY, SIDE] + ([BUCKET] if BUCKET in group.column_names else [])
+        if len(lefts) == 0 or len(rights) == 0:
+            return lefts.slice(0, 0).drop_columns(drop)
+        rkeys = keys[~is_left]
+        order = np.argsort(rkeys, kind="stable")
+        rkeys_s = rkeys[order]
+        lkeys = keys[is_left]
+        idx = np.searchsorted(rkeys_s, lkeys)
+        idx_c = np.clip(idx, 0, len(rkeys_s) - 1)
+        matched = rkeys_s[idx_c] == lkeys
+        out = lefts.filter(pa.array(matched)).drop_columns(drop)
+        take = pa.array(order[idx_c[matched]])
+        for c in r_vals:
+            out = out.set_column(out.column_names.index(c), c,
+                                 pc.take(rights.column(c), take))
+        return out
+
+    def stamp_key(group: pa.Table) -> pa.Table:
         is_left = group.column(SIDE)
         ri = pc.index(is_left, False).as_py()
         lefts = group.filter(is_left)
@@ -151,7 +189,10 @@ def shuffle_lookup_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
     both = (left.map_batches(pad_left, batch_format="pyarrow")
             .union(right.map_batches(pad_right, batch_format="pyarrow")))
-    return both.groupby(KEY).map_groups(stamp, batch_format="pyarrow")
+    if int_key:
+        return both.groupby(BUCKET).map_groups(stamp_bucket,
+                                               batch_format="pyarrow")
+    return both.groupby(KEY).map_groups(stamp_key, batch_format="pyarrow")
 
 
 def shuffle_anti_join(ds: ray.data.Dataset, keys_ds: ray.data.Dataset,
