@@ -43,7 +43,8 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         shipped_1995_by_flag,
                                         supplier_stats_by_nation,
                                         top_tokens,
-                                        top_customers_by_orders)
+                                        top_customers_by_orders,
+                                        top_orders_per_customer)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -279,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational / windowed ---
         "q1_pricing_summary": lineitem_pricing_summary,
         "top10_customers": top_customers_by_orders,
+        "top_orders_per_customer": top_orders_per_customer,
         "orders_by_nation": orders_by_nation,
         "events_hourly": events_hourly,
         "sessionize_events": sessionize_events,
@@ -405,6 +407,12 @@ def oracle_sql() -> dict[str, str]:
             "any_value(c_name) AS c_name "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY o_custkey ORDER BY n_orders DESC, custkey ASC LIMIT 10"),
+        "top_orders_per_customer": (
+            "SELECT custkey, o_orderkey, o_totalprice, rnk FROM ("
+            "SELECT o_custkey AS custkey, o_orderkey, o_totalprice, "
+            "CAST(row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk "
+            "FROM orders) WHERE rnk <= 2"),
         "orders_by_nation": (
             "SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders "
             "FROM orders JOIN customer ON o_custkey = c_custkey "

@@ -589,3 +589,49 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
             "revenue_e4": pa.array([pc.sum(g.column("revenue_e4")).as_py()],
                                    pa.int64())}),
         batch_format="pyarrow")
+
+
+def top_orders_per_customer(sf_dir: str, n: int = 2) -> ray.data.Dataset:
+    """Distributed WINDOW FUNCTION: row_number() over (partition by
+    customer, order by totalprice desc) ≤ n — per-key top-n without a
+    global sort.  Keys hash into 256 buckets (one groupby exchange carrying
+    only the projected columns) and each bucket ranks ALL its keys in one
+    vectorized lexsort — no per-key Python, no skew beyond real key skew.
+    Ties break on ascending o_orderkey so the result is deterministic and
+    hash-exact."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_custkey",
+                                     "o_totalprice"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        b = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(56)) \
+            .astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        cust = group.column("o_custkey").to_numpy(zero_copy_only=False)
+        price = group.column("o_totalprice").to_numpy(zero_copy_only=False)
+        okey = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+        # one lexsort ranks every key in the bucket: (cust asc, price desc,
+        # orderkey asc); rank = position within its key run
+        order = np.lexsort((okey, -price, cust))
+        cust_s = cust[order]
+        run_start = np.flatnonzero(
+            np.concatenate(([True], cust_s[1:] != cust_s[:-1])))
+        pos = np.arange(len(cust_s))
+        rank = pos - np.repeat(run_start, np.diff(
+            np.concatenate((run_start, [len(cust_s)])))) + 1
+        keep = rank <= n
+        sel = order[keep]
+        return pa.table({
+            "custkey": pa.array(cust[sel], pa.int64()),
+            "o_orderkey": pa.array(okey[sel], pa.int64()),
+            "o_totalprice": pa.array(price[sel], pa.float64()),
+            "rnk": pa.array(rank[keep].astype(np.int64)),
+        })
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(rank_bucket, batch_format="pyarrow"))

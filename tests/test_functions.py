@@ -397,3 +397,33 @@ def test_exact_quantiles_distributed_selection(ray_session):
     for _, row in out.iterrows():
         rank = max(1, math.ceil(row.q * len(vals)))
         assert row.value == s[rank - 1], row.q
+
+
+def test_top_n_per_key_window(ray_session):
+    """Bucketed per-key top-n: rank = row_number within key by (price desc,
+    orderkey asc); verified against a pandas groupby."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import top_orders_per_customer
+
+    rng = np.random.default_rng(61)
+    df = pd.DataFrame({
+        "o_orderkey": np.arange(200, dtype=np.int64),
+        "o_custkey": rng.integers(0, 30, 200).astype(np.int64),
+        "o_totalprice": np.round(rng.uniform(10, 1000, 200), 2),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(d, "orders.parquet"))
+        out = top_orders_per_customer(d, n=2).to_pandas()
+    want = (df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                           ascending=[True, False, True])
+              .groupby("o_custkey").head(2))
+    assert len(out) == len(want)
+    got = set(map(tuple, out[["custkey", "o_orderkey"]].values))
+    exp = set(map(tuple, want[["o_custkey", "o_orderkey"]].values))
+    assert got == exp
+    assert set(out.rnk) <= {1, 2}
