@@ -18,9 +18,9 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ctdray.functions.dedup import (embedding_near_dedup, exact_dedup,
-                                    minhash_lsh_dedup, ngram_jaccard_dedup,
-                                    simhash_dedup, simhash_near_dedup,
-                                    token_set_dedup)
+                                    incremental_dedup, minhash_lsh_dedup,
+                                    ngram_jaccard_dedup, simhash_dedup,
+                                    simhash_near_dedup, token_set_dedup)
 from ctdray.functions.quantiles import exact_quantiles
 from ctdray.functions.similarity import (cosine_range_search, knn_bruteforce,
                                          knn_ivf, knn_lsh)
@@ -35,6 +35,10 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         lineitem_pricing_summary,
                                         orders_by_nation,
                                         daily_distinct_users,
+                                        daily_users_hll,
+                                        doc_top_terms,
+                                        docs_stratified_sample,
+                                        events_rollup,
                                         events_sliding_2h,
                                         orders_by_mktsegment,
                                         orders_monthly_by_priority,
@@ -42,7 +46,7 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         sessionize_events,
                                         shipped_1995_by_flag,
                                         supplier_stats_by_nation,
-                                        top_tokens,
+                                        top_bigrams, top_tokens,
                                         top_customers_by_orders,
                                         top_orders_per_customer)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
@@ -68,14 +72,22 @@ _NGRAM_JACCARD_SQL = (
     "WHERE doc_id NOT IN (SELECT b_id FROM dup)")
 
 
+def _fold60_sql(expr: str) -> str:
+    """15-hex-char fold of an md5 string expression into a 60-bit BIGINT —
+    the SQL mirror of dedup._token_hash60 / analytics._hash60_str."""
+    fold = "0"
+    for i in range(1, 16):
+        fold = (f"({fold})*16 + (strpos('0123456789abcdef', "
+                f"substr({expr},{i},1))-1)")
+    return fold
+
+
 def _simhash_sql(select: str) -> str:
     """Build the 60-bit SimHash SQL shared by the simhash oracles: per-token
     hash = first 15 md5 hex chars folded per char (mirrors
     dedup._token_hash60), signature = sign of the per-bit ±1 column sums
     (mirrors dedup.simhash60 exactly — split(' '), unit weights)."""
-    fold = "0"
-    for i in range(1, 16):
-        fold = f"({fold})*16 + (strpos('0123456789abcdef', substr(md5(x),{i},1))-1)"
+    fold = _fold60_sql("md5(x)")
     return (
         "WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t "
         "FROM documents), "
@@ -248,6 +260,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             deterministic_sample_batch, batch_format="pyarrow")
             .select_columns(["doc_id", "text"]),
         "top_tokens": top_tokens,
+        "top_bigrams": top_bigrams,
+        "doc_top_terms": doc_top_terms,
+        "docs_stratified_sample": docs_stratified_sample,
         "docs_by_lang": lambda sf: partial_aggregate(
             _documents_full(sf).map_batches(
                 lambda b: pa.table({
@@ -270,6 +285,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": lambda sf: ngram_jaccard_dedup(_documents(sf)),
         "dedup_embedding": lambda sf: embedding_near_dedup(_embeddings(sf))
             .select_columns(["vec_id", "label"]),
+        "dedup_incremental": lambda sf: incremental_dedup(
+            _documents(sf).map_batches(
+                lambda b: b.append_column("is_new", pa.compute.cast(
+                    pa.compute.bit_wise_and(b.column("doc_id"), 1),
+                    pa.int32())),
+                batch_format="pyarrow")),
         # --- similarity search ---
         "knn_bruteforce": lambda sf: knn_bruteforce(
             _embeddings(sf), *_query_vectors(sf), k=10),
@@ -292,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_2h": events_sliding_2h,
         "daily_distinct_users": daily_distinct_users,
         "events_asof_last_view": asof_last_event,
+        "events_rollup": events_rollup,
+        "daily_users_hll": daily_users_hll,
         "events_interval_join_60s": interval_count_join,
         "local_supplier_volume": local_supplier_volume,
         "lineitem_price_quantiles": lambda sf: exact_quantiles(
@@ -494,4 +517,57 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT unnest(string_split(text, ' ')) AS token "
             "FROM documents) GROUP BY token "
             "ORDER BY n_occurrences DESC, token ASC LIMIT 20"),
+        "top_bigrams": (
+            "SELECT bigram, CAST(count(*) AS BIGINT) AS n_occurrences "
+            "FROM (SELECT unnest([t[i] || ' ' || t[i+1] "
+            "FOR i IN range(1, len(t))]) AS bigram "
+            "FROM (SELECT string_split(text, ' ') AS t FROM documents)) "
+            "GROUP BY bigram ORDER BY n_occurrences DESC, bigram ASC "
+            "LIMIT 20"),
+        # TF-IDF-shaped rank is float-free: idf is monotone-decreasing in
+        # df, so (tf DESC, df ASC, term ASC) is the exact tf-idf ordering.
+        "doc_top_terms": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM toks GROUP BY doc_id, term), "
+            "df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) "
+            "AS df FROM toks GROUP BY term) "
+            "SELECT doc_id, term, tf, df, rnk FROM ("
+            "SELECT tf.doc_id, tf.term, tf.tf, df.df, "
+            "CAST(row_number() OVER (PARTITION BY tf.doc_id "
+            "ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS BIGINT) AS rnk "
+            "FROM tf JOIN df USING (term)) WHERE rnk <= 3"),
+        "docs_stratified_sample": (
+            "SELECT lang, doc_id, rnk FROM ("
+            "SELECT lang, doc_id, CAST(row_number() OVER ("
+            "PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, "
+            "doc_id ASC) AS BIGINT) AS rnk FROM documents) WHERE rnk <= 5"),
+        "events_rollup": (
+            "SELECT COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), "
+            "'ALL') AS grp_day, COALESCE(event_type, 'ALL') AS grp_type, "
+            "CAST(count(*) AS BIGINT) AS n_events FROM events "
+            "GROUP BY ROLLUP (date_trunc('day', ts), event_type)"),
+        # HLL register sketch rebuilt exactly in SQL: same 60-bit md5 fold,
+        # register = h mod 64, rho = bit_count(w XOR w-1) (trailing-zero
+        # rank), 55 when the 54 remaining bits are all zero.
+        "daily_users_hll": (
+            "WITH h AS (SELECT date_trunc('day', ts) AS day, "
+            f"{_fold60_sql('md5(CAST(user_id AS VARCHAR))')} AS hh "
+            "FROM events), "
+            "r AS (SELECT day, hh % 64 AS register, "
+            "CASE WHEN hh // 64 = 0 THEN 55 "
+            "ELSE bit_count(xor(hh // 64, hh // 64 - 1)) END AS rho FROM h) "
+            "SELECT day, CAST(register AS BIGINT) AS register, "
+            "CAST(max(rho) AS BIGINT) AS max_rho FROM r "
+            "GROUP BY day, register"),
+        # Incremental dedup: snapshot = even doc_ids, delta = odd; a
+        # fingerprint group survives iff it contains no snapshot member, and
+        # the smallest-doc_id delta row represents it.
+        "dedup_incremental": (
+            "WITH f AS (SELECT doc_id, text, md5(text) AS fp, "
+            "CAST(doc_id % 2 AS INTEGER) AS is_new FROM documents), "
+            "ok AS (SELECT fp FROM f GROUP BY fp HAVING min(is_new) = 1) "
+            "SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text "
+            "FROM f WHERE fp IN (SELECT fp FROM ok) GROUP BY fp"),
     }

@@ -554,3 +554,41 @@ def embedding_near_dedup(ds: ray.data.Dataset, threshold: float = 0.98,
                  .map_groups(bucket_dups, batch_format="pyarrow"))
     dup_keys = _distinct_on(dups, [id_col]).materialize()
     return broadcast_anti_join(ds, dup_keys, id_col)
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a corpus snapshot
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(ds: ray.data.Dataset,
+                      is_new_col: str = "is_new") -> ray.data.Dataset:
+    """Dedup NEW documents against an already-ingested corpus snapshot —
+    the steady-state operation of a training-data pipeline (yesterday's
+    100 TB is sealed; today's delta must not re-admit anything already
+    seen, nor intra-delta duplicates).
+
+    Input rows carry ``doc_id, text`` and an integer ``is_new_col``
+    (0 = snapshot member, 1 = new).  One fingerprint shuffle resolves both
+    rules at once: group by md5(text); a group containing any snapshot row
+    drops all its new rows, otherwise the smallest-doc_id new row survives.
+    Only 16-byte keys + ids cross the exchange per unique text, and the
+    snapshot side could equally be a pre-sealed fingerprint table read
+    directly — the join shape is identical."""
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        fps = md5_fingerprint(batch.column("text").to_pylist())
+        return batch.append_column("fingerprint", pa.array(fps, pa.string()))
+
+    def resolve(group: pa.Table) -> pa.Table:
+        new_mask = pc.equal(group.column("is_new"), 1)
+        if pc.any(pc.invert(new_mask)).as_py():
+            return group.slice(0, 0).select(["doc_id", "text"])
+        news = group.filter(new_mask)
+        i = pc.index(pc.equal(news.column("doc_id"),
+                              pc.min(news.column("doc_id"))), True).as_py()
+        return news.slice(i, 1).select(["doc_id", "text"])
+
+    return (ds.map_batches(add_fp, batch_format="pyarrow")
+              .groupby("fingerprint")
+              .map_groups(resolve, batch_format="pyarrow"))

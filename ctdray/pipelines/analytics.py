@@ -635,3 +635,284 @@ def top_orders_per_customer(sf_dir: str, n: int = 2) -> ray.data.Dataset:
     return (ds.map_batches(bucket, batch_format="pyarrow")
               .groupby("bucket")
               .map_groups(rank_bucket, batch_format="pyarrow"))
+
+
+def top_bigrams(sf_dir: str, n: int = 20) -> ray.data.Dataset:
+    """Corpus bigram top-n: adjacent-token pairs built fully vectorized from
+    the flattened token values + list offsets (mask the last token of every
+    document, binary_join the shifted arrays), pre-counted per batch, then
+    the same tiny groupby-sum + deterministic top-n as :func:`top_tokens`.
+    At 100 TB the exchange carries (distinct bigram × n_batches) partial
+    counts only — never the exploded pairs."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lists = batch.column("text")
+        toks = pc.split_pattern(lists, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        m = len(flat)
+        if m < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n_occurrences": pa.array([], pa.int64())})
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        valid = np.ones(m - 1, dtype=bool)
+        ends = offsets[1:] - 1          # last-token index of each document
+        ends = ends[(ends >= 0) & (ends < m - 1)]
+        valid[ends] = False
+        sel = pa.array(valid)
+        left = flat.slice(0, m - 1).filter(sel)
+        right = flat.slice(1, m - 1).filter(sel)
+        bigram = pc.binary_join_element_wise(left, right, " ")
+        t = pa.table({"bigram": bigram})
+        res = t.group_by(["bigram"]).aggregate([("bigram", "count")])
+        return pa.table({"bigram": res.column("bigram"),
+                         "n_occurrences": pc.cast(res.column("bigram_count"),
+                                                  pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("bigram")
+                .map_groups(lambda g: pa.table({
+                    "bigram": g.column("bigram").slice(0, 1),
+                    "n_occurrences": pa.array(
+                        [pc.sum(g.column("n_occurrences")).as_py()],
+                        pa.int64())}),
+                            batch_format="pyarrow"))
+    return counts.sort(["n_occurrences", "bigram"],
+                       descending=[True, False]).limit(n)
+
+
+def doc_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """TF-IDF-shaped distinctive-term extraction with an integer-exact rank:
+    corpus-wide document frequency (per-batch per-doc distinct terms →
+    partial counts → groupby-sum), DF table broadcast once via ``ray.put``
+    (vocabulary is the bounded side — the tokenizer-vocab assumption every
+    training pipeline makes; the unbounded alternative is a
+    ``shuffle_lookup_join`` on term), then per-document terms ranked by
+    (tf DESC, df ASC, term ASC) — idf is monotone-decreasing in df, so this
+    ordering IS the tf-idf ordering without float ties.  Each document lives
+    in one row, so tf and the rank are batch-local; nothing but the DF
+    partials ever shuffles."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        # distinct terms per doc: explode with doc index, dedup (idx, term)
+        flat = toks.flatten()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(len(toks), dtype=np.int64),
+                        np.diff(offsets))
+        pairs = pa.table({"i": pa.array(idx), "term": flat})
+        uniq = pairs.group_by(["i", "term"]).aggregate([])
+        res = uniq.group_by(["term"]).aggregate([("term", "count")])
+        return pa.table({"term": res.column("term"),
+                         "df": pc.cast(res.column("term_count"), pa.int64())})
+
+    df_tbl = (ds.map_batches(df_partial, batch_format="pyarrow")
+                .groupby("term")
+                .map_groups(lambda g: pa.table({
+                    "term": g.column("term").slice(0, 1),
+                    "df": pa.array([pc.sum(g.column("df")).as_py()],
+                                   pa.int64())}),
+                            batch_format="pyarrow"))
+    df_at = pa.concat_tables(
+        list(df_tbl.iter_batches(batch_format="pyarrow")),
+        promote_options="default")
+    df_ref = ray.put((df_at.column("term").combine_chunks(),
+                      df_at.column("df").to_numpy(zero_copy_only=False)))
+
+    def rank_terms(batch: pa.Table) -> pa.Table:
+        terms_arr, df_vals = ray.get(df_ref)
+        toks = pc.split_pattern(batch.column("text"), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(len(toks), dtype=np.int64),
+                        np.diff(offsets))
+        pairs = pa.table({"i": pa.array(idx), "term": flat})
+        tf_tbl = pairs.group_by(["i", "term"]).aggregate([("term", "count")])
+        i = tf_tbl.column("i").to_numpy(zero_copy_only=False)
+        tf = tf_tbl.column("term_count").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        term_col = tf_tbl.column("term").combine_chunks()
+        pos = pc.index_in(term_col, value_set=terms_arr)
+        df = df_vals[pos.to_numpy(zero_copy_only=False)]
+        # rank rows per doc by (tf desc, df asc, term asc): lexsort with the
+        # term's position in its own sorted order as the final key
+        term_rank = pc.rank(term_col, sort_keys="ascending",
+                            tiebreaker="dense").to_numpy(zero_copy_only=False)
+        order = np.lexsort((term_rank, df, -tf, i))
+        i_s = i[order]
+        run_start = np.flatnonzero(
+            np.concatenate(([True], i_s[1:] != i_s[:-1])))
+        rank = np.arange(len(i_s)) - np.repeat(run_start, np.diff(
+            np.concatenate((run_start, [len(i_s)])))) + 1
+        keep = rank <= k
+        sel = order[keep]
+        return pa.table({
+            "doc_id": pa.array(doc_ids[i[sel]], pa.int64()),
+            "term": term_col.take(pa.array(sel)),
+            "tf": pa.array(tf[sel], pa.int64()),
+            "df": pa.array(df[sel], pa.int64()),
+            "rnk": pa.array(rank[keep].astype(np.int64)),
+        })
+
+    return ds.map_batches(rank_terms, batch_format="pyarrow")
+
+
+def events_rollup(sf_dir: str) -> ray.data.Dataset:
+    """Hierarchical (ROLLUP) aggregate from ONE raw scan: the finest
+    (day, event_type) counts are computed with the usual partial-agg
+    pattern, then the two coarser levels are derived by re-aggregating the
+    finest partials — the raw table is never re-read and the exchange only
+    ever carries aggregate rows.  'ALL' is the subtotal sentinel (matches
+    the oracle's COALESCE over GROUP BY ROLLUP)."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(batch.column("ts"), unit="day"),
+                          format="%Y-%m-%d")
+        return pa.table({"grp_day": day,
+                         "grp_type": batch.column("event_type"),
+                         "one": pa.array(np.ones(len(batch), dtype=np.int64))})
+
+    finest = partial_aggregate(ds.map_batches(bucket, batch_format="pyarrow"),
+                               ["grp_day", "grp_type"],
+                               [("one", "sum", "n_events")])
+
+    def expand_levels(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        all_s = pa.array(["ALL"] * n, pa.string())
+        lvl1 = pa.table({"grp_day": batch.column("grp_day"),
+                         "grp_type": all_s,
+                         "n_events": batch.column("n_events")})
+        lvl2 = pa.table({"grp_day": all_s, "grp_type": all_s,
+                         "n_events": batch.column("n_events")})
+        return pa.concat_tables([batch, lvl1, lvl2])
+
+    return partial_aggregate(
+        finest.map_batches(expand_levels, batch_format="pyarrow"),
+        ["grp_day", "grp_type"], [("n_events", "sum", "n_events")])
+
+
+def _hash60_str(s: str) -> int:
+    """60-bit md5-prefix hash of a string — same fold the SQL oracles
+    rebuild char-by-char (see __ray_entry__._fold60_sql)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def daily_users_hll(sf_dir: str, m: int = 64) -> ray.data.Dataset:
+    """HyperLogLog register sketch for daily distinct users — the mergeable
+    cardinality sketch a 100-TB pipeline uses instead of an exact
+    distinct-count shuffle.  Register index = h mod m, rho = trailing-zero
+    rank of h div m (bit_count(w XOR w-1), the SQL-replicable form).  The
+    per-batch partial is already the (day, register)→max-rho sketch, so the
+    exchange carries at most days × m rows per batch and register merges are
+    associative max — exactly how sketches union across 256 nodes.  The
+    float estimate stays out of the driver contract (registers are
+    integer-exact; the harmonic-mean estimate is a pytest property)."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id"])
+    rho_zero = 60 - int(np.log2(m)) + 1  # rho when the remaining bits are 0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        users = batch.column("user_id")
+        uniq = pc.unique(users)
+        hs = np.array([_hash60_str(str(u)) for u in uniq.to_pylist()],
+                      dtype=np.uint64)
+        mm = np.uint64(m)
+        w = hs // mm
+        wz = w == np.uint64(0)
+        safe = np.where(wz, np.uint64(1), w)
+        rho = _popcount64(safe ^ (safe - np.uint64(1))).astype(np.int64)
+        rho[wz] = rho_zero
+        reg = (hs % mm).astype(np.int64)
+        pos = pc.index_in(users, value_set=uniq).to_numpy(
+            zero_copy_only=False)
+        t = pa.table({"day": day,
+                      "register": pa.array(reg[pos]),
+                      "max_rho": pa.array(rho[pos])})
+        res = t.group_by(["day", "register"]).aggregate([("max_rho", "max")])
+        return pa.table({"day": res.column("day"),
+                         "register": res.column("register"),
+                         "max_rho": res.column("max_rho_max")})
+
+    return partial_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day", "register"], [("max_rho", "max", "max_rho")])
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) — numpy<2 has no bit_count ufunc."""
+    x = x.astype(np.uint64).copy()
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + \
+        ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def hll_estimate(registers: np.ndarray, m: int = 64) -> float:
+    """Standard HLL harmonic-mean estimate from a full m-register vector
+    (absent registers = 0), with the small-range linear-counting
+    correction."""
+    alpha = 0.709 if m == 64 else 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -registers.astype(np.float64)))
+    zeros = int((registers == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def docs_stratified_sample(sf_dir: str, per_stratum: int = 5) -> ray.data.Dataset:
+    """Deterministic stratified sample: per language, the ``per_stratum``
+    docs with the smallest md5(doc_id) — the held-out-split primitive that
+    every worker and the SQL oracle agree on exactly.  Per-batch local
+    top-n per stratum prunes the exchange to ≤ strata × n rows per batch
+    before the per-stratum reduce."""
+    import hashlib
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        key = np.array([hashlib.md5(str(d).encode()).hexdigest()
+                        for d in doc])
+        lang_rank = pc.rank(batch.column("lang"), sort_keys="ascending",
+                            tiebreaker="dense").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, key, lang_rank))
+        l_s = lang_rank[order]
+        run_start = np.flatnonzero(
+            np.concatenate(([True], l_s[1:] != l_s[:-1])))
+        rank = np.arange(len(l_s)) - np.repeat(run_start, np.diff(
+            np.concatenate((run_start, [len(l_s)])))) + 1
+        sel = order[rank <= per_stratum]
+        return pa.table({"lang": pa.array(lang[sel]),
+                         "doc_id": pa.array(doc[sel], pa.int64()),
+                         "hkey": pa.array(key[sel])})
+
+    def reduce_stratum(group: pa.Table) -> pa.Table:
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        key = group.column("hkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, key))[:per_stratum]
+        return pa.table({
+            "lang": pa.array([group.column("lang")[0].as_py()] * len(order)),
+            "doc_id": pa.array(doc[order], pa.int64()),
+            "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        })
+
+    return (ds.map_batches(local_top, batch_format="pyarrow")
+              .groupby("lang")
+              .map_groups(reduce_stratum, batch_format="pyarrow"))

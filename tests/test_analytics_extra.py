@@ -1,0 +1,133 @@
+"""Round-2 late additions: bigram counts, TF-IDF-shaped term ranking,
+ROLLUP re-aggregation, HLL sketch, stratified sampling, incremental dedup.
+
+Each operator also carries a value-exact DuckDB oracle in
+``__ray_entry__.oracle_sql`` — these tests pin the semantics on tiny
+hand-built inputs plus the sketch-accuracy property the SQL cannot express.
+"""
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs(texts, langs=None):
+    n = len(texts)
+    return pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs or ["eng"] * n, pa.string()),
+    })
+
+
+def test_bigram_masking_never_crosses_documents(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import top_bigrams
+
+    # "b c" would be a bigram only if doc boundaries leaked
+    pq.write_table(_docs(["a b", "c a b", "x"]),
+                   str(tmp_path / "documents.parquet"))
+    out = top_bigrams(str(tmp_path)).to_pandas()
+    got = dict(zip(out.bigram, out.n_occurrences))
+    assert got == {"a b": 2, "c a": 1}
+
+
+def test_doc_top_terms_rank_order(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import doc_top_terms
+
+    # doc0: 'z' tf=2 beats others; 'rare' (df=1) beats 'common' (df=2) at
+    # equal tf; term asc breaks the final tie.
+    pq.write_table(_docs(["z z rare common", "common other words here"]),
+                   str(tmp_path / "documents.parquet"))
+    out = doc_top_terms(str(tmp_path), k=3).to_pandas()
+    d0 = out[out.doc_id == 0].sort_values("rnk")
+    assert list(d0.term) == ["z", "rare", "common"]
+    assert list(d0.tf) == [2, 1, 1]
+    assert list(d0.df) == [1, 1, 2]
+
+
+def test_events_rollup_levels_consistent(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import events_rollup
+
+    ts = pa.array(np.array(["2024-01-01T05:00", "2024-01-01T06:00",
+                            "2024-01-02T05:00"], dtype="datetime64[us]"))
+    pq.write_table(pa.table({"ts": ts,
+                             "event_type": pa.array(["a", "b", "a"])}),
+                   str(tmp_path / "events.parquet"))
+    out = events_rollup(str(tmp_path)).to_pandas()
+    total = out[(out.grp_day == "ALL") & (out.grp_type == "ALL")]
+    assert list(total.n_events) == [3]
+    day1 = out[(out.grp_day == "2024-01-01") & (out.grp_type == "ALL")]
+    assert list(day1.n_events) == [2]
+    finest = out[(out.grp_day != "ALL") & (out.grp_type != "ALL")]
+    assert finest.n_events.sum() == 3 and len(finest) == 3
+
+
+def test_hll_registers_and_estimate(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import (_hash60_str, daily_users_hll,
+                                            hll_estimate)
+
+    rng = np.random.default_rng(7)
+    n_users = 400
+    users = rng.integers(0, n_users, size=4000)
+    ts = np.full(len(users), np.datetime64("2024-03-05T12:00", "us"))
+    pq.write_table(pa.table({"ts": pa.array(ts),
+                             "user_id": pa.array(users, pa.int64())}),
+                   str(tmp_path / "events.parquet"))
+    out = daily_users_hll(str(tmp_path)).to_pandas()
+    # registers match a direct per-user computation
+    regs = np.zeros(64, dtype=np.int64)
+    for u in np.unique(users):
+        h = _hash60_str(str(u))
+        w = h // 64
+        rho = 55 if w == 0 else (w & -w).bit_length()
+        regs[h % 64] = max(regs[h % 64], rho)
+    got = np.zeros(64, dtype=np.int64)
+    got[out.register.to_numpy()] = out.max_rho.to_numpy()
+    assert np.array_equal(got, regs)
+    exact = len(np.unique(users))
+    est = hll_estimate(got)
+    assert abs(est - exact) / exact < 0.3   # m=64 → ~13% typical error
+
+
+def test_stratified_sample_matches_hash_rank(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import docs_stratified_sample
+
+    n = 40
+    langs = ["eng" if i % 2 else "ja" for i in range(n)]
+    pq.write_table(_docs([f"text {i}" for i in range(n)], langs),
+                   str(tmp_path / "documents.parquet"))
+    out = docs_stratified_sample(str(tmp_path), per_stratum=3).to_pandas()
+    assert len(out) == 6
+    for lang in ("eng", "ja"):
+        ids = [i for i in range(n) if langs[i] == lang]
+        want = sorted(ids, key=lambda d: (hashlib.md5(
+            str(d).encode()).hexdigest(), d))[:3]
+        got = list(out[out.lang == lang].sort_values("rnk").doc_id)
+        assert got == want
+
+
+def test_incremental_dedup_rules(ray_session):
+    import ray.data as rd
+
+    from ctdray.functions.dedup import incremental_dedup
+
+    # snapshot rows (is_new=0): "seen" ; delta: one re-admit attempt of
+    # "seen", an intra-delta dup pair, and a fresh doc
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["seen", "seen", "dup", "dup", "fresh"]),
+        "is_new": pa.array([0, 1, 1, 1, 1], pa.int32()),
+    })
+    out = incremental_dedup(rd.from_arrow(tbl)).to_pandas()
+    assert sorted(out.doc_id) == [2, 4]   # min-id dup survivor + fresh only
