@@ -86,7 +86,8 @@ def run_bench(sf_dir: str, num_cpus: int, n_runs: int | None = None) -> dict:
     qs = entrymod.queries()
     for name in ("dedup_exact", "dedup_minhash_lsh", "knn_bruteforce",
                  "q1_pricing_summary", "events_hourly",
-                 "local_supplier_volume", "lineitem_price_quantiles"):
+                 "local_supplier_volume", "lineitem_price_quantiles",
+                 "doc_top_terms", "daily_users_hll"):
         t0 = time.perf_counter()
         _consume_count(qs[name](sf_dir))
         queries[name] = round(time.perf_counter() - t0, 3)
