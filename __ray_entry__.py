@@ -21,7 +21,7 @@ from ctdray.functions.dedup import (embedding_near_dedup, exact_dedup,
                                     incremental_dedup, minhash_lsh_dedup,
                                     ngram_jaccard_dedup, simhash_dedup,
                                     simhash_near_dedup, token_set_dedup)
-from ctdray.functions.quantiles import exact_quantiles
+from ctdray.functions.quantiles import exact_quantiles, grouped_exact_quantiles
 from ctdray.functions.similarity import (cosine_range_search, knn_bruteforce,
                                          knn_ivf, knn_lsh)
 from ctdray.functions.text import (deterministic_sample_batch,
@@ -319,6 +319,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": local_supplier_volume,
         "lineitem_price_quantiles": lambda sf: exact_quantiles(
             _lineitem_price(sf), "l_extendedprice", collect_cap=10_000),
+        "price_quantiles_by_flag": lambda sf: grouped_exact_quantiles(
+            __import__("ctdray.sources.tables",
+                       fromlist=["read_parquet_clean"]).read_parquet_clean(
+                f"{sf}/lineitem.parquet",
+                columns=["l_returnflag", "l_extendedprice"]),
+            "l_returnflag", "l_extendedprice", collect_cap=5_000),
     }
 
 
@@ -493,6 +499,12 @@ def oracle_sql() -> dict[str, str]:
             " UNION ALL ".join(
                 f"SELECT {q} AS q, quantile_disc(l_extendedprice, {q}) "
                 "AS value FROM lineitem"
+                for q in (0.25, 0.5, 0.75, 0.95))),
+        "price_quantiles_by_flag": (
+            " UNION ALL ".join(
+                f"SELECT l_returnflag, {q} AS q, "
+                f"quantile_disc(l_extendedprice, {q}) AS value "
+                "FROM lineitem GROUP BY l_returnflag"
                 for q in (0.25, 0.5, 0.75, 0.95))),
         "events_interval_join_60s": (
             "SELECT p.ts, CAST(count(v.ts) AS BIGINT) AS n_nearby "

@@ -14,6 +14,7 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 
@@ -144,3 +145,122 @@ def exact_quantiles(ds: ray.data.Dataset, col: str,
     order = np.argsort(out_q)
     return pa.table({"q": pa.array(np.asarray(out_q)[order], pa.float64()),
                      "value": pa.array(np.asarray(out_v)[order], pa.float64())})
+
+
+def grouped_exact_quantiles(ds: ray.data.Dataset, key_col: str, col: str,
+                            qs=(0.25, 0.5, 0.75, 0.95),
+                            n_bins: int = 1024,
+                            collect_cap: int = 100_000) -> pa.Table:
+    """→ pa.Table (key_col, q, value): exact per-group discrete quantiles.
+
+    Same histogram-refinement selection as :func:`exact_quantiles`, keyed:
+    every pass histograms ALL active (group, q) ranges in ONE dataset scan
+    (the range list is ``ray.put`` once per pass; each batch contributes one
+    small (range_id, counts) partial per range), so pass count stays
+    log_B(max group size) regardless of how many groups × quantiles are in
+    flight.  Assumes the group-key cardinality is bounded (any groupby
+    result that must fit a driver table — same contract as the SQL oracle);
+    group SIZES are unbounded and never collected."""
+    import ray
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        t = pa.table({"k": batch.column(key_col), "v": batch.column(col)})
+        res = t.group_by(["k"]).aggregate([("v", "count"), ("v", "min"),
+                                           ("v", "max")])
+        return pa.table({"k": res.column("k"),
+                         "n": pc.cast(res.column("v_count"), pa.int64()),
+                         "mn": pc.cast(res.column("v_min"), pa.float64()),
+                         "mx": pc.cast(res.column("v_max"), pa.float64())})
+
+    stats: dict = {}
+    for r in ds.map_batches(minmax, batch_format="pyarrow").take_all():
+        k = r["k"]
+        if k in stats:
+            n0, lo0, hi0 = stats[k]
+            stats[k] = (n0 + r["n"], min(lo0, r["mn"]), max(hi0, r["mx"]))
+        else:
+            stats[k] = (r["n"], r["mn"], r["mx"])
+    if not stats:
+        return pa.table({key_col: pa.array([], pa.string()),
+                         "q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+
+    # state[(key, q)] = (lo, hi, inclusive, rank-in-range, n_in_range)
+    state = {(k, float(q)): (lo, hi, True, max(1, math.ceil(q * n)), n)
+             for k, (n, lo, hi) in stats.items() for q in qs}
+
+    def _active():
+        return [(kq, rng) for kq, rng in state.items()
+                if rng[4] > collect_cap and rng[1] > rng[0]]
+
+    for _ in range(4):
+        active = _active()
+        if not active:
+            break
+        ranges = [(i, kq[0], *rng[:3]) for i, (kq, rng) in enumerate(active)]
+        ranges_ref = ray.put(ranges)
+
+        def hist(batch: pa.Table) -> pa.Table:
+            v = _col_np(batch, col)
+            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+            out_i, out_h = [], []
+            for rid, k, lo, hi, incl in ray.get(ranges_ref):
+                sel = v[(keys == k) & _range_mask(v, lo, hi, incl)]
+                if len(sel) == 0:
+                    continue
+                edges = np.linspace(lo, hi, n_bins + 1)
+                idx = np.clip(np.searchsorted(edges, sel, side="right") - 1,
+                              0, n_bins - 1)
+                out_i.append(rid)
+                out_h.append(np.bincount(idx, minlength=n_bins).tolist())
+            return pa.table({"rid": pa.array(out_i, pa.int64()),
+                             "h": pa.array(out_h, pa.list_(pa.int64()))})
+
+        totals = {i: np.zeros(n_bins, dtype=np.int64)
+                  for i in range(len(active))}
+        for r in ds.map_batches(hist, batch_format="pyarrow").take_all():
+            totals[r["rid"]] += np.asarray(r["h"], dtype=np.int64)
+        for i, (kq, (lo, hi, incl, rank, _n)) in enumerate(active):
+            counts = totals[i]
+            edges = np.linspace(lo, hi, n_bins + 1)
+            cum = np.cumsum(counts)
+            bi = int(np.searchsorted(cum, rank, side="left"))
+            rank_in_bin = rank - (int(cum[bi - 1]) if bi else 0)
+            b_lo = float(edges[bi])
+            b_hi = float(edges[bi + 1]) if bi + 1 <= n_bins else hi
+            state[kq] = (b_lo, b_hi, incl and (bi == n_bins - 1),
+                         rank_in_bin, int(counts[bi]))
+
+    resolved = {kq: lo for kq, (lo, hi, *_rest) in state.items() if hi <= lo}
+    ranges = [(kq, *state[kq]) for kq in state if kq not in resolved]
+    by_kq: dict = {kq: None for kq, *_ in ranges}
+    if ranges:
+        ranges_ref = ray.put([(i, kq[0], lo, hi, incl)
+                              for i, (kq, lo, hi, incl, _r, _n)
+                              in enumerate(ranges)])
+
+        def collect(batch: pa.Table) -> pa.Table:
+            v = _col_np(batch, col)
+            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+            out_i, out_v = [], []
+            for rid, k, lo, hi, incl in ray.get(ranges_ref):
+                sel = v[(keys == k) & _range_mask(v, lo, hi, incl)]
+                out_i.extend([rid] * len(sel))
+                out_v.extend(sel.tolist())
+            return pa.table({"rid": pa.array(out_i, pa.int64()),
+                             "value": pa.array(out_v, pa.float64())})
+
+        vals: dict = {i: [] for i in range(len(ranges))}
+        for r in (ds.map_batches(collect, batch_format="pyarrow")
+                    .take_all()):
+            vals[r["rid"]].append(r["value"])
+        for i, (kq, _lo, _hi, _incl, rank, _n) in enumerate(ranges):
+            arr = np.sort(np.asarray(vals[i]))
+            by_kq[kq] = float(arr[rank - 1])
+    by_kq.update(resolved)
+    items = sorted(by_kq.items())
+    return pa.table({
+        key_col: pa.array([k for (k, _q), _v in items]),
+        "q": pa.array([q for (_k, q), _v in items], pa.float64()),
+        "value": pa.array([v for _kq, v in items], pa.float64()),
+    })

@@ -131,3 +131,24 @@ def test_incremental_dedup_rules(ray_session):
     })
     out = incremental_dedup(rd.from_arrow(tbl)).to_pandas()
     assert sorted(out.doc_id) == [2, 4]   # min-id dup survivor + fresh only
+
+
+def test_grouped_exact_quantiles_vs_numpy(ray_session):
+    import ray.data as rd
+
+    from ctdray.functions.quantiles import grouped_exact_quantiles
+
+    rng = np.random.default_rng(3)
+    keys = rng.choice(["a", "b", "c"], size=5000)
+    vals = rng.normal(100, 25, size=5000)
+    tbl = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    out = grouped_exact_quantiles(rd.from_arrow(tbl), "k", "v",
+                                  qs=(0.25, 0.5, 0.95),
+                                  collect_cap=200).to_pandas()
+    for k in ("a", "b", "c"):
+        gv = np.sort(vals[keys == k])
+        n = len(gv)
+        for q in (0.25, 0.5, 0.95):
+            want = gv[max(1, int(np.ceil(q * n))) - 1]  # quantile_disc
+            got = out[(out.k == k) & (out.q == q)].value.iloc[0]
+            assert got == want, (k, q)
