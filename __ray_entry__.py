@@ -46,6 +46,7 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         sessionize_events,
                                         shipped_1995_by_flag,
                                         supplier_stats_by_nation,
+                                        token_countmin,
                                         top_bigrams, top_tokens,
                                         top_customers_by_orders,
                                         top_orders_per_customer)
@@ -70,6 +71,9 @@ _NGRAM_JACCARD_SQL = (
     "dup AS (SELECT DISTINCT b_id FROM p WHERE 5 * ni >= 4 * nu) "
     "SELECT doc_id, text FROM documents "
     "WHERE doc_id NOT IN (SELECT b_id FROM dup)")
+
+
+_CM_MD5 = "md5(CAST(depth AS VARCHAR) || ':' || tok)"
 
 
 def _fold60_sql(expr: str) -> str:
@@ -261,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .select_columns(["doc_id", "text"]),
         "top_tokens": top_tokens,
         "top_bigrams": top_bigrams,
+        "token_countmin": token_countmin,
         "doc_top_terms": doc_top_terms,
         "docs_stratified_sample": docs_stratified_sample,
         "docs_by_lang": lambda sf: partial_aggregate(
@@ -550,6 +555,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(row_number() OVER (PARTITION BY tf.doc_id "
             "ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS BIGINT) AS rnk "
             "FROM tf JOIN df USING (term)) WHERE rnk <= 3"),
+        # Count-Min register table rebuilt exactly: same md5-derived row
+        # hashes h_d(tok) = fold60(md5(d || ':' || tok)) mod 256, summed
+        # over every token occurrence.
+        "token_countmin": (
+            "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok "
+            "FROM documents), "
+            "dd AS (SELECT unnest([0,1,2,3]) AS depth, tok FROM toks), "
+            "s AS (SELECT depth, ("
+            f"{_fold60_sql(_CM_MD5)}) % 256 AS slot FROM dd) "
+            "SELECT CAST(depth AS BIGINT) AS depth, CAST(slot AS BIGINT) "
+            "AS slot, CAST(count(*) AS BIGINT) AS n FROM s "
+            "GROUP BY depth, slot"),
         "docs_stratified_sample": (
             "SELECT lang, doc_id, rnk FROM ("
             "SELECT lang, doc_id, CAST(row_number() OVER ("

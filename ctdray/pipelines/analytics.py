@@ -916,3 +916,58 @@ def docs_stratified_sample(sf_dir: str, per_stratum: int = 5) -> ray.data.Datase
     return (ds.map_batches(local_top, batch_format="pyarrow")
               .groupby("lang")
               .map_groups(reduce_stratum, batch_format="pyarrow"))
+
+
+def token_countmin(sf_dir: str, depth: int = 4,
+                   width: int = 256) -> ray.data.Dataset:
+    """Count-Min sketch of corpus token frequencies — the mergeable
+    heavy-hitter structure a 100-TB pipeline uses when the exact vocabulary
+    groupby is too wide.  Cell (d, h_d(tok) mod width) accumulates every
+    occurrence; rows merge by plain sum, so the per-batch partial is already
+    a sketch and the exchange carries ≤ depth·width rows per batch no matter
+    the token volume.  Hash rows are md5-derived (``_hash60_str(f"{d}:{tok}")``)
+    so the full register table is rebuilt exactly by the SQL oracle; the
+    point-query guarantee (min over rows ≥ true count) is the pytest
+    property."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        uniq = pc.unique(toks)
+        uniq_py = uniq.to_pylist()
+        occ = pc.index_in(toks, value_set=uniq).to_numpy(
+            zero_copy_only=False)
+        per_uniq = np.bincount(occ, minlength=len(uniq_py)).astype(np.int64)
+        out_d, out_s, out_n = [], [], []
+        for d in range(depth):
+            slots = np.array([_hash60_str(f"{d}:{t}") % width
+                              for t in uniq_py], dtype=np.int64)
+            cnt = np.bincount(slots, weights=per_uniq,
+                              minlength=width).astype(np.int64)
+            nz = np.flatnonzero(cnt)
+            out_d.extend([d] * len(nz))
+            out_s.extend(nz.tolist())
+            out_n.extend(cnt[nz].tolist())
+        return pa.table({"depth": pa.array(out_d, pa.int64()),
+                         "slot": pa.array(out_s, pa.int64()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    return partial_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["depth", "slot"], [("n", "sum", "n")])
+
+
+def countmin_point_query(sketch, token: str, depth: int = 4,
+                         width: int = 256) -> int:
+    """Min-over-rows estimate for one token from a materialized sketch
+    table (pandas or pa.Table with depth/slot/n)."""
+    import pandas as pd
+
+    df = sketch.to_pandas() if not isinstance(sketch, pd.DataFrame) else sketch
+    est = None
+    for d in range(depth):
+        slot = _hash60_str(f"{d}:{token}") % width
+        row = df[(df.depth == d) & (df.slot == slot)]
+        v = int(row.n.iloc[0]) if len(row) else 0
+        est = v if est is None else min(est, v)
+    return int(est or 0)

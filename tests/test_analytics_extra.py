@@ -152,3 +152,25 @@ def test_grouped_exact_quantiles_vs_numpy(ray_session):
             want = gv[max(1, int(np.ceil(q * n))) - 1]  # quantile_disc
             got = out[(out.k == k) & (out.q == q)].value.iloc[0]
             assert got == want, (k, q)
+
+
+def test_countmin_registers_and_point_query(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import (_hash60_str, countmin_point_query,
+                                            token_countmin)
+
+    texts = ["apple banana apple", "banana cherry", "apple"]
+    pq.write_table(_docs(texts), str(tmp_path / "documents.parquet"))
+    out = token_countmin(str(tmp_path)).to_pandas()
+    # register table matches a direct computation
+    want: dict = {}
+    for t in " ".join(texts).split(" "):
+        for d in range(4):
+            key = (d, _hash60_str(f"{d}:{t}") % 256)
+            want[key] = want.get(key, 0) + 1
+    got = {(int(r.depth), int(r.slot)): int(r.n) for r in out.itertuples()}
+    assert got == want
+    # point-query guarantee: estimate >= truth, exact absent collisions
+    assert countmin_point_query(out, "apple") >= 3
+    assert countmin_point_query(out, "cherry") >= 1
