@@ -48,6 +48,8 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         supplier_stats_by_nation,
                                         token_countmin,
                                         top_bigrams, top_tokens,
+                                        viewers_not_purchasers,
+                                        events_daily_pivot,
                                         top_customers_by_orders,
                                         top_orders_per_customer)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
@@ -320,6 +322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_last_view": asof_last_event,
         "events_rollup": events_rollup,
         "daily_users_hll": daily_users_hll,
+        "viewers_not_purchasers": viewers_not_purchasers,
+        "events_daily_pivot": events_daily_pivot,
         "events_interval_join_60s": interval_count_join,
         "local_supplier_volume": local_supplier_volume,
         "lineitem_price_quantiles": lambda sf: exact_quantiles(
@@ -590,6 +594,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT day, CAST(register AS BIGINT) AS register, "
             "CAST(max(rho) AS BIGINT) AS max_rho FROM r "
             "GROUP BY day, register"),
+        "viewers_not_purchasers": (
+            "SELECT date_trunc('day', ts) AS day, user_id FROM events "
+            "GROUP BY 1, 2 "
+            "HAVING max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1 "
+            "AND max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 0"),
+        "events_daily_pivot": (
+            "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+            + ", ".join(
+                f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) "
+                f"AS n_{t}"
+                for t in ("click", "error", "purchase", "signup", "view"))
+            + " FROM events GROUP BY 1"),
         # Incremental dedup: snapshot = even doc_ids, delta = odd; a
         # fingerprint group survives iff it contains no snapshot member, and
         # the smallest-doc_id delta row represents it.

@@ -971,3 +971,64 @@ def countmin_point_query(sketch, token: str, depth: int = 4,
         v = int(row.n.iloc[0]) if len(row) else 0
         est = v if est is None else min(est, v)
     return int(est or 0)
+
+
+def viewers_not_purchasers(sf_dir: str) -> ray.data.Dataset:
+    """Distributed set difference (EXCEPT) at (day, user) grain: user-days
+    with ≥1 'view' and no 'purchase'.  One scan; the per-batch partial
+    collapses to one row per (day, user) with max flags, so the exchange
+    carries user-day rows, not events — the same flag-aggregation trick
+    works for any k-way set algebra without materializing either side."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        t = pa.table({
+            "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+            "user_id": batch.column("user_id"),
+            "viewed": pc.cast(pc.equal(et, "view"), pa.int64()),
+            "purchased": pc.cast(pc.equal(et, "purchase"), pa.int64()),
+        })
+        res = t.group_by(["day", "user_id"]).aggregate([("viewed", "max"),
+                                                        ("purchased", "max")])
+        return pa.table({"day": res.column("day"),
+                         "user_id": res.column("user_id"),
+                         "viewed": res.column("viewed_max"),
+                         "purchased": res.column("purchased_max")})
+
+    def resolve(group: pa.Table) -> pa.Table:
+        if (pc.max(group.column("viewed")).as_py() == 1
+                and pc.max(group.column("purchased")).as_py() == 0):
+            return group.slice(0, 1).select(["day", "user_id"])
+        return group.slice(0, 0).select(["day", "user_id"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["day", "user_id"])
+              .map_groups(resolve, batch_format="pyarrow"))
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_daily_pivot(sf_dir: str) -> ray.data.Dataset:
+    """Pivot: per-day event counts widened to one column per event type —
+    conditional partial sums inside map_batches (k indicator columns), then
+    the standard tiny reduce; the exchange carries days × n_batches rows of
+    k integers, never the raw events, and adding a type is adding a
+    column, not a shuffle."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(batch.column("ts"), unit="day"),
+                          format="%Y-%m-%d")
+        et = batch.column("event_type")
+        cols = {"day": day}
+        for t in _EVENT_TYPES:
+            cols[f"n_{t}"] = pc.cast(pc.equal(et, t), pa.int64())
+        return pa.table(cols)
+
+    return partial_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), ["day"],
+        [(f"n_{t}", "sum", f"n_{t}") for t in _EVENT_TYPES])

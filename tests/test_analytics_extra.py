@@ -174,3 +174,31 @@ def test_countmin_registers_and_point_query(ray_session, tmp_path):
     # point-query guarantee: estimate >= truth, exact absent collisions
     assert countmin_point_query(out, "apple") >= 3
     assert countmin_point_query(out, "cherry") >= 1
+
+
+def test_set_difference_and_pivot(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import (events_daily_pivot,
+                                            viewers_not_purchasers)
+
+    ts = pa.array(np.array(["2024-01-01T05:00"] * 5 + ["2024-01-02T05:00"],
+                           dtype="datetime64[us]"))
+    # u1: view only; u2: view+purchase; u3: purchase only; u4: click only
+    tbl = pa.table({
+        "ts": ts,
+        "user_id": pa.array([1, 2, 2, 3, 4, 1], pa.int64()),
+        "event_type": pa.array(["view", "view", "purchase", "purchase",
+                                "click", "view"]),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = viewers_not_purchasers(str(tmp_path)).to_pandas()
+    # day-1: u1 views without purchasing; u2 purchases too; day-2: u1 again
+    assert sorted(out.user_id) == [1, 1]
+    assert len(out[out.user_id == 1].day.unique()) == 2
+    piv = events_daily_pivot(str(tmp_path)).to_pandas().set_index("day")
+    assert piv.loc["2024-01-01", "n_view"] == 2
+    assert piv.loc["2024-01-01", "n_purchase"] == 2
+    assert piv.loc["2024-01-01", "n_click"] == 1
+    assert piv.loc["2024-01-02", "n_view"] == 1
+    assert piv.loc["2024-01-01", "n_error"] == 0
