@@ -17,7 +17,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ctdray.functions.dedup import (embedding_near_dedup, exact_dedup,
+from ctdray.functions.dedup import (dedup_clusters, embedding_near_dedup,
+                                    exact_dedup,
                                     incremental_dedup, minhash_lsh_dedup,
                                     ngram_jaccard_dedup, simhash_dedup,
                                     simhash_near_dedup, token_set_dedup)
@@ -289,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_near": lambda sf: simhash_near_dedup(_documents(sf))
             .select_columns(["doc_id", "text"]),
         "dedup_minhash_lsh": lambda sf: minhash_lsh_dedup(_documents(sf)),
+        "dedup_clusters": lambda sf: dedup_clusters(_documents(sf)),
         "dedup_ngram_jaccard": lambda sf: ngram_jaccard_dedup(_documents(sf)),
         "dedup_embedding": lambda sf: embedding_near_dedup(_embeddings(sf))
             .select_columns(["vec_id", "label"]),
@@ -398,6 +400,27 @@ def oracle_sql() -> dict[str, str]:
         # equals the all-pairs oracle.
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_minhash_lsh": _NGRAM_JACCARD_SQL,
+        # Transitive closure of the exact all-pairs near-dup graph (DuckDB
+        # recursive CTE): cluster_id = min doc_id reachable through edges
+        # with 3-gram Jaccard >= 0.8.  The engine's LSH pair set has recall
+        # 1 on this testdata (see dedup_minhash_lsh), so components match.
+        "dedup_clusters": (
+            "WITH RECURSIVE toks AS (SELECT doc_id, "
+            "string_split(text, ' ') AS t FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 "
+            "THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+            "FOR i IN range(1, len(t)-1)]) "
+            "ELSE [array_to_string(t, ' ')] END AS g FROM toks), "
+            "e AS (SELECT a.doc_id AS ua, b.doc_id AS ub FROM sh a "
+            "JOIN sh b ON a.doc_id <> b.doc_id "
+            "WHERE 5 * len(list_intersect(a.g, b.g)) >= "
+            "4 * (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))), "
+            "reach(node, r) AS ("
+            "SELECT doc_id, doc_id FROM documents "
+            "UNION "
+            "SELECT e.ub, reach.r FROM reach JOIN e ON e.ua = reach.node) "
+            "SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id "
+            "FROM reach GROUP BY node"),
         # 60-bit SimHash rebuilt in SQL (md5-derived token hashes, per-bit
         # sign sums) — exact-signature grouping keeps the smallest doc_id.
         "dedup_simhash": _simhash_sql(

@@ -189,13 +189,17 @@ def _distinct_on(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
               .map_groups(first, batch_format="pyarrow"))
 
 
-def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16,
-                      threshold: float = 0.8, shingle_k: int = 3,
-                      anti_join: str = "auto",
-                      bucket_pair_cap: int = 512,
-                      hot_bucket_reps: int = 8,
-                      broadcast_id_limit: int = 2_000_000) -> ray.data.Dataset:
-    """MinHash+LSH near-dedup; returns surviving (doc_id, text) rows.
+def minhash_verified_pairs(ds: ray.data.Dataset, num_perm: int = 64,
+                           bands: int = 16,
+                           threshold: float = 0.8, shingle_k: int = 3,
+                           bucket_pair_cap: int = 512,
+                           hot_bucket_reps: int = 8,
+                           broadcast_id_limit: int = 2_000_000
+                           ) -> ray.data.Dataset:
+    """Verified near-duplicate PAIRS (a_id < b_id, exact shingle-Jaccard ≥
+    threshold) found by MinHash+LSH — the shared candidate stage behind
+    :func:`minhash_lsh_dedup` (which anti-joins the b-side) and
+    :func:`dedup_clusters` (which runs connected components over them).
 
     Fully distributed — candidate pairs and candidate texts NEVER
     materialize on the driver:
@@ -212,17 +216,11 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16,
                    ``broadcast_id_limit``, else a shuffle equi-join), then
                    two hash_joins pairs⋈docs on a_id / b_id attach texts
       verify       exact shingle-Jaccard in map_batches over pair rows
-      anti-join    duplicate ids (verified smaller partner exists) removed
-                   from the corpus — broadcast vs shuffle chosen by the
-                   measured dup-set size (``anti_join='auto'``)
 
-    Three streaming passes over the corpus (signatures, candidate fetch,
-    final anti-join); every shuffle carries only small keys/candidates.
+    Two streaming passes over the corpus (signatures, candidate fetch);
+    every shuffle carries only small keys/candidates.
     """
-    import ray
-
-    from .joins import (broadcast_anti_join, broadcast_semi_join, hash_join,
-                        shuffle_anti_join)
+    from .joins import broadcast_semi_join, hash_join
 
     def signatures(batch: pa.Table) -> pa.Table:
         # per-worker hasher cache (stateless tasks — see stages.detect for
@@ -345,19 +343,46 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16,
         texts = group.column("text").to_pylist()
         ta = next((t for f, t in zip(is_a, texts) if f), None)
         tb = next((t for f, t in zip(is_a, texts) if not f), None)
-        # doc with a verified smaller partner is a duplicate; b_id > a_id
-        # within buckets by construction, so the dup set is the b_ids.
         if ta is not None and tb is not None \
                 and jaccard(ta, tb, shingle_k) >= threshold:
-            return pa.table({"doc_id": group.column("b_id").slice(0, 1)})
-        return pa.table({"doc_id": pa.array([], id_type)})
+            return pa.table({"a_id": group.column("a_id").slice(0, 1),
+                             "b_id": group.column("b_id").slice(0, 1)})
+        return pa.table({"a_id": pa.array([], id_type),
+                         "b_id": pa.array([], id_type)})
 
     sides = (pairs.map_batches(explode_sides, batch_format="pyarrow")
              .union(cand_docs.map_batches(doc_side, batch_format="pyarrow")))
     stamped = sides.groupby("key").map_groups(stamp_text,
                                               batch_format="pyarrow")
-    dup_keys = (stamped.groupby(["a_id", "b_id"])
-                .map_groups(merge_verify, batch_format="pyarrow")).materialize()
+    return (stamped.groupby(["a_id", "b_id"])
+            .map_groups(merge_verify, batch_format="pyarrow"))
+
+
+def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16,
+                      threshold: float = 0.8, shingle_k: int = 3,
+                      anti_join: str = "auto",
+                      bucket_pair_cap: int = 512,
+                      hot_bucket_reps: int = 8,
+                      broadcast_id_limit: int = 2_000_000) -> ray.data.Dataset:
+    """MinHash+LSH near-dedup; returns surviving (doc_id, text) rows.
+
+    :func:`minhash_verified_pairs` finds verified duplicate pairs fully
+    distributed; a doc with a verified smaller partner is a duplicate
+    (b_id > a_id within buckets by construction, so the dup set is the
+    b_ids), removed from the corpus by a broadcast-vs-shuffle anti-join
+    chosen from the measured dup-set size (``anti_join='auto'``).  Three
+    streaming passes over the corpus total (signatures, candidate fetch,
+    final anti-join)."""
+    from .joins import broadcast_anti_join, shuffle_anti_join
+
+    verified = minhash_verified_pairs(
+        ds, num_perm=num_perm, bands=bands, threshold=threshold,
+        shingle_k=shingle_k, bucket_pair_cap=bucket_pair_cap,
+        hot_bucket_reps=hot_bucket_reps,
+        broadcast_id_limit=broadcast_id_limit)
+    dup_keys = verified.map_batches(
+        lambda b: pa.table({"doc_id": b.column("b_id")}),
+        batch_format="pyarrow").materialize()
 
     if anti_join == "auto":
         anti_join = "broadcast" if dup_keys.count() <= broadcast_id_limit \
@@ -592,3 +617,119 @@ def incremental_dedup(ds: ray.data.Dataset,
     return (ds.map_batches(add_fp, batch_format="pyarrow")
               .groupby("fingerprint")
               .map_groups(resolve, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering: connected components over verified near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16,
+                   threshold: float = 0.8, shingle_k: int = 3,
+                   max_iters: int = 15,
+                   broadcast_label_limit: int = 2_000_000
+                   ) -> ray.data.Dataset:
+    """Transitive near-duplicate clustering: every doc labeled with the
+    smallest doc_id in its connected component of the verified-pair graph
+    (A~B, B~C ⇒ {A,B,C} one cluster even when A~C itself is below
+    threshold) — what a training pipeline needs to keep ONE representative
+    per duplicate *family*, not merely drop pairwise partners.
+
+    BSP min-label propagation over :func:`minhash_verified_pairs` edges:
+    labels start as own id; each superstep stamps the source label onto
+    its edges (the union + groupby(key) equi-join — Ray 2.49's chained
+    native join breaks on schema-less empty partitions) and takes the min
+    per node.  Converges in O(component diameter) supersteps — near-dup
+    families are shallow, and each superstep shuffles only (node, label)
+    pairs, never text.  The label sum is monotone decreasing, so a cheap
+    scalar aggregate detects convergence.  Docs in no pair stay their own
+    singleton cluster via a broadcast label lookup (label count is bounded
+    by 2·|pairs|; the >limit path would swap in shuffle_lookup_join)."""
+    import ray
+
+    pairs = minhash_verified_pairs(
+        ds, num_perm=num_perm, bands=bands, threshold=threshold,
+        shingle_k=shingle_k).materialize()
+
+    def all_docs_self(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        return pa.table({"doc_id": ids, "cluster_id": ids})
+
+    if pairs.count() == 0:
+        return ds.map_batches(all_docs_self, batch_format="pyarrow")
+
+    id_type = dict(zip(pairs.schema().names, pairs.schema().types))["a_id"]
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_id").combine_chunks()
+        b = batch.column("b_id").combine_chunks()
+        return pa.table({"src": pa.concat_arrays([a, b]),
+                         "dst": pa.concat_arrays([b, a])})
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        res = batch.select(["src"]).group_by(["src"]).aggregate([])
+        return pa.table({"node": res.column("src"),
+                         "label": res.column("src")})
+
+    labels = _distinct_on(
+        edges.map_batches(init_labels, batch_format="pyarrow"),
+        ["node", "label"]).materialize()
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({"key": batch.column("src"),
+                         "dst": batch.column("dst"),
+                         "label": pa.nulls(n, id_type)})
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({"key": batch.column("node"),
+                         "dst": pa.nulls(n, id_type),
+                         "label": batch.column("label")})
+
+    def stamp_min(group: pa.Table) -> pa.Table:
+        lab = pc.min(group.column("label")).as_py()
+        dst = group.column("dst")
+        valid = pc.is_valid(dst)
+        out_nodes = [group.column("key")[0].as_py()]
+        out_nodes.extend(dst.filter(valid).to_pylist())
+        return pa.table({"node": pa.array(out_nodes, id_type),
+                         "label": pa.array([lab] * len(out_nodes), id_type)})
+
+    def min_label(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": group.column("node").slice(0, 1),
+            "label": pa.array([pc.min(group.column("label")).as_py()],
+                              id_type)})
+
+    prev_sum = None
+    for _ in range(max_iters):
+        msgs = (edges.map_batches(edge_rows, batch_format="pyarrow")
+                .union(labels.map_batches(label_rows,
+                                          batch_format="pyarrow"))
+                .groupby("key")
+                .map_groups(stamp_min, batch_format="pyarrow"))
+        labels = (msgs.groupby("node")
+                  .map_groups(min_label, batch_format="pyarrow")).materialize()
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    lbl = pa.concat_tables(list(labels.iter_batches(batch_format="pyarrow")),
+                           promote_options="default")
+    lbl_ref = ray.put((lbl.column("node").combine_chunks(),
+                       lbl.column("label").combine_chunks()))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        nodes, labs = ray.get(lbl_ref)
+        ids = batch.column("doc_id").combine_chunks()
+        pos = pc.index_in(ids, value_set=nodes)
+        got = pc.take(labs, pos)
+        return pa.table({"doc_id": ids,
+                         "cluster_id": pc.if_else(pc.is_valid(got), got,
+                                                  ids.cast(id_type))})
+
+    return ds.map_batches(attach, batch_format="pyarrow")

@@ -202,3 +202,22 @@ def test_set_difference_and_pivot(ray_session, tmp_path):
     assert piv.loc["2024-01-01", "n_click"] == 1
     assert piv.loc["2024-01-02", "n_view"] == 1
     assert piv.loc["2024-01-01", "n_error"] == 0
+
+
+def test_dedup_clusters_transitive_chain(ray_session):
+    import ray.data as rd
+
+    from ctdray.functions.dedup import dedup_clusters
+
+    # Chain A~B~C where A and C are dissimilar enough that only transitive
+    # closure puts them in one cluster; D is a singleton.
+    base = "w%d " * 12
+    a = " ".join(f"w{i}" for i in range(12))
+    b = " ".join(f"w{i}" for i in range(1, 13))      # high overlap with a
+    c = " ".join(f"w{i}" for i in range(2, 14))      # high overlap with b
+    d = "totally different text with nothing shared at all here now ok"
+    tbl = pa.table({"doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+                    "text": pa.array([a, b, c, d])})
+    out = (dedup_clusters(rd.from_arrow(tbl), threshold=0.5)
+           .to_pandas().sort_values("doc_id"))
+    assert list(out.cluster_id) == [10, 10, 10, 13]
