@@ -52,7 +52,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         viewers_not_purchasers,
                                         events_daily_pivot,
                                         top_customers_by_orders,
-                                        top_orders_per_customer)
+                                        top_orders_per_customer,
+                                        customer_urgent_order_counts,
+                                        user_event_gaps, event_funnel,
+                                        bloom_semi_volume, token_postings,
+                                        user_record_events)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -330,6 +334,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": local_supplier_volume,
         "lineitem_price_quantiles": lambda sf: exact_quantiles(
             _lineitem_price(sf), "l_extendedprice", collect_cap=10_000),
+        "customer_urgent_order_counts": customer_urgent_order_counts,
+        "user_event_gaps": user_event_gaps,
+        "event_funnel_24h": event_funnel,
+        "bloom_semi_volume": bloom_semi_volume,
+        "token_postings": token_postings,
+        "user_record_events": user_record_events,
         "price_quantiles_by_flag": lambda sf: grouped_exact_quantiles(
             __import__("ctdray.sources.tables",
                        fromlist=["read_parquet_clean"]).read_parquet_clean(
@@ -638,4 +648,52 @@ def oracle_sql() -> dict[str, str]:
             "ok AS (SELECT fp FROM f GROUP BY fp HAVING min(is_new) = 1) "
             "SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text "
             "FROM f WHERE fp IN (SELECT fp FROM ok) GROUP BY fp"),
+        "customer_urgent_order_counts": (
+            "SELECT c_custkey, c_mktsegment, "
+            "CAST(count(o.o_custkey) AS BIGINT) AS n_urgent, "
+            "CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), "
+            "0) AS BIGINT) AS urgent_cents "
+            "FROM customer c LEFT JOIN orders o "
+            "ON o.o_custkey = c.c_custkey "
+            "AND o.o_orderpriority = '1-URGENT' "
+            "GROUP BY 1, 2"),
+        "user_event_gaps": (
+            "WITH o AS (SELECT user_id, ts, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts "
+            "FROM events) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(max(date_diff('microseconds', pts, ts)) AS BIGINT) "
+            "AS max_gap_us, "
+            "CAST(min(date_diff('microseconds', pts, ts)) AS BIGINT) "
+            "AS min_gap_us, "
+            "CAST(date_diff('microseconds', min(ts), max(ts)) AS BIGINT) "
+            "AS span_us "
+            "FROM o GROUP BY user_id"),
+        "event_funnel_24h": (
+            "WITH fv AS (SELECT user_id, min(ts) AS first_view_ts "
+            "FROM events WHERE event_type = 'view' GROUP BY user_id) "
+            "SELECT fv.user_id, fv.first_view_ts, "
+            "CAST(count(e.ts) AS BIGINT) AS n_purchases_24h "
+            "FROM fv LEFT JOIN events e ON e.user_id = fv.user_id "
+            "AND e.event_type = 'purchase' AND e.ts >= fv.first_view_ts "
+            "AND e.ts <= fv.first_view_ts + INTERVAL 24 HOUR "
+            "GROUP BY 1, 2"),
+        "bloom_semi_volume": (
+            "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+            "FROM lineitem WHERE l_partkey IN "
+            "(SELECT p_partkey FROM part WHERE p_type = 'PROMO') "
+            "GROUP BY l_returnflag"),
+        "token_postings": (
+            "WITH pairs AS (SELECT DISTINCT doc_id, token FROM ("
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+            "FROM documents) t) "
+            "SELECT token, doc_id FROM pairs "
+            "QUALIFY count(*) OVER (PARTITION BY token) >= 100"),
+        "user_record_events": (
+            "SELECT user_id, ts, event_id, value FROM ("
+            "SELECT user_id, ts, event_id, value, "
+            "max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm "
+            "FROM events) WHERE pm IS NULL OR value > pm"),
     }

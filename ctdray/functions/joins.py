@@ -93,16 +93,22 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
 def shuffle_lookup_join(left: ray.data.Dataset, right: ray.data.Dataset,
                         on: str, right_on: str | None = None,
-                        left_schema=None, right_schema=None
-                        ) -> ray.data.Dataset:
-    """Inner equi-join where ``right`` has AT MOST ONE row per key (the
+                        left_schema=None, right_schema=None,
+                        how: str = "inner") -> ray.data.Dataset:
+    """Equi-join where ``right`` has AT MOST ONE row per key (the
     fact⋈dimension shape when the dimension is too big to broadcast):
     both sides hash-partition on the key via ``groupby`` (union + padded
     typed-null columns), each group stamps its right row's values onto its
     left rows.  Use when Ray's native ``Dataset.join`` chokes — its 2.49
     hash-shuffle builds schema-less empty partitions from a filtered
     side's empty blocks and pyarrow rejects them — or when chaining joins.
-    Column names must not collide across sides (except the key)."""
+    Column names must not collide across sides (except the key).
+
+    ``how="left"`` keeps unmatched left rows with NULL right-side values
+    (LEFT OUTER); ``how="inner"`` drops them."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    left_outer = how == "left"
     right_on = right_on or on
     # explicit schemas override Ray's inference (a filtered read whose
     # first blocks are empty reports schema None)
@@ -158,8 +164,12 @@ def shuffle_lookup_join(left: ray.data.Dataset, right: ray.data.Dataset,
         lefts = group.filter(pa.array(is_left))
         rights = group.filter(pa.array(~is_left))
         drop = [KEY, SIDE] + ([BUCKET] if BUCKET in group.column_names else [])
-        if len(lefts) == 0 or len(rights) == 0:
+        if len(lefts) == 0:
             return lefts.slice(0, 0).drop_columns(drop)
+        if len(rights) == 0:
+            # left outer: unmatched rows keep their padded NULL right values
+            return (lefts if left_outer else lefts.slice(0, 0)) \
+                .drop_columns(drop)
         rkeys = keys[~is_left]
         order = np.argsort(rkeys, kind="stable")
         rkeys_s = rkeys[order]
@@ -167,8 +177,13 @@ def shuffle_lookup_join(left: ray.data.Dataset, right: ray.data.Dataset,
         idx = np.searchsorted(rkeys_s, lkeys)
         idx_c = np.clip(idx, 0, len(rkeys_s) - 1)
         matched = rkeys_s[idx_c] == lkeys
-        out = lefts.filter(pa.array(matched)).drop_columns(drop)
-        take = pa.array(order[idx_c[matched]])
+        if left_outer:
+            out = lefts.drop_columns(drop)
+            # null indices propagate nulls through pc.take
+            take = pa.array(order[idx_c].astype(np.int64), mask=~matched)
+        else:
+            out = lefts.filter(pa.array(matched)).drop_columns(drop)
+            take = pa.array(order[idx_c[matched]])
         for c in r_vals:
             out = out.set_column(out.column_names.index(c), c,
                                  pc.take(rights.column(c), take))
@@ -178,7 +193,9 @@ def shuffle_lookup_join(left: ray.data.Dataset, right: ray.data.Dataset,
         is_left = group.column(SIDE)
         ri = pc.index(is_left, False).as_py()
         lefts = group.filter(is_left)
-        if ri < 0 or len(lefts) == 0:          # inner join: no match → drop
+        if ri < 0 or len(lefts) == 0:          # no match for this key
+            if left_outer and len(lefts):      # keep padded-NULL right values
+                return lefts.drop_columns([KEY, SIDE])
             return lefts.slice(0, 0).drop_columns([KEY, SIDE])
         out = lefts.drop_columns([KEY, SIDE])
         for c in r_vals:

@@ -1032,3 +1032,291 @@ def events_daily_pivot(sf_dir: str) -> ray.data.Dataset:
     return partial_aggregate(
         ds.map_batches(partial, batch_format="pyarrow"), ["day"],
         [(f"n_{t}", "sum", f"n_{t}") for t in _EVENT_TYPES])
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: outer join, sequence analytics, bloom semi-join,
+# inverted index, per-key running max
+# ---------------------------------------------------------------------------
+
+
+def customer_urgent_order_counts(sf_dir: str) -> ray.data.Dataset:
+    """LEFT OUTER equi-join: every customer row survives; customers with no
+    URGENT orders keep zero counts.  Fact side pre-aggregates per custkey
+    (partial combiners), then the generic groupby equi-join
+    (``joins.shuffle_lookup_join(how="left")``) stamps the aggregate onto
+    the dimension — unmatched rows carry typed NULLs, filled to 0 in a
+    final vectorized pass.  Both sides shuffle once on the SAME key; no
+    driver materialization."""
+    from ..functions.joins import shuffle_lookup_join
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"])
+
+    def urgent_cents(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("o_orderpriority"),
+                                  "1-URGENT"))
+        tp = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "one": pa.array(np.ones(len(b), dtype=np.int64)),
+            "cents": pa.array(np.rint(tp * 100).astype(np.int64)),
+        })
+
+    agg = partial_aggregate(
+        orders.map_batches(urgent_cents, batch_format="pyarrow"),
+        ["o_custkey"],
+        [("one", "sum", "n_urgent"), ("cents", "sum", "urgent_cents")])
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    joined = shuffle_lookup_join(
+        cust, agg, on="c_custkey", right_on="o_custkey", how="left",
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("c_mktsegment", pa.string())]),
+        right_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("n_urgent", pa.int64()),
+                                ("urgent_cents", pa.int64())]))
+
+    def fill_zero(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "c_mktsegment": b.column("c_mktsegment"),
+            "n_urgent": pc.fill_null(b.column("n_urgent"), 0),
+            "urgent_cents": pc.fill_null(b.column("urgent_cents"), 0)})
+
+    return joined.map_batches(fill_zero, batch_format="pyarrow")
+
+
+def user_event_gaps(sf_dir: str) -> ray.data.Dataset:
+    """LAG-style inter-event gap statistics per user: max/min gap and total
+    active span in µs.  The consecutive-difference multiset over a user's
+    sorted timestamps is tie-order invariant, so one per-key sort inside
+    ``map_groups`` matches SQL's LAG window exactly; the exchange carries
+    (user_id, ts) pairs only."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = np.sort(group.column("ts").to_numpy(zero_copy_only=False)
+                     .astype("datetime64[us]").astype(np.int64))
+        gaps = np.diff(ts)
+        has = len(gaps) > 0
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "n_events": pa.array([len(ts)], pa.int64()),
+            "max_gap_us": pa.array([int(gaps.max()) if has else None],
+                                   pa.int64()),
+            "min_gap_us": pa.array([int(gaps.min()) if has else None],
+                                   pa.int64()),
+            "span_us": pa.array([int(ts[-1] - ts[0])], pa.int64()),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")
+
+
+def event_funnel(sf_dir: str, first_type: str = "view",
+                 then_type: str = "purchase",
+                 window_h: int = 24) -> ray.data.Dataset:
+    """Sequential funnel: per user, the FIRST ``first_type`` event and the
+    number of ``then_type`` events inside the following ``window_h``-hour
+    window.  Early vectorized type filter (only funnel-relevant events
+    shuffle), then one pass per user group — the standard conversion
+    query that needs event-sequence semantics SQL expresses with a
+    time-banded self-join."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+    w_us = window_h * 3_600 * 1_000_000
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(
+            batch.column("event_type"),
+            value_set=pa.array([first_type, then_type])))
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        fts = ts[et == first_type]
+        uid_t = group.column("user_id").type
+        if len(fts) == 0:
+            return pa.table({
+                "user_id": pa.array([], uid_t),
+                "first_view_ts": pa.array([], pa.timestamp("us")),
+                "n_purchases_24h": pa.array([], pa.int64())})
+        fv = int(fts.min())
+        pts = ts[et == then_type]
+        n = int(((pts >= fv) & (pts <= fv + w_us)).sum())
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "first_view_ts": pa.array(
+                np.array([fv], dtype="datetime64[us]"), pa.timestamp("us")),
+            "n_purchases_24h": pa.array([n], pa.int64())})
+
+    return (ds.map_batches(keep, batch_format="pyarrow")
+              .groupby("user_id")
+              .map_groups(per_user, batch_format="pyarrow"))
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) \
+        & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) \
+        & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return x ^ (x >> np.uint64(31))
+
+
+def build_bloom_bits(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """Vectorized Bloom insert: k double-hash probes per key into an
+    ``m_bits``-bit array (uint64 words)."""
+    bits = np.zeros(m_bits // 64, dtype=np.uint64)
+    h1 = _splitmix64(keys.astype(np.uint64))
+    h2 = _splitmix64(keys.astype(np.uint64) ^ np.uint64(0xDEADBEEF)) \
+        | np.uint64(1)
+    for i in range(k):
+        h = ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)).astype(np.uint64)
+        np.bitwise_or.at(bits, (h >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (h & np.uint64(63)))
+    return bits
+
+
+def bloom_probe(keys: np.ndarray, bits: np.ndarray, m_bits: int,
+                k: int) -> np.ndarray:
+    """Vectorized membership probe: True where ALL k probe bits are set
+    (may include false positives, never false negatives)."""
+    h1 = _splitmix64(keys.astype(np.uint64))
+    h2 = _splitmix64(keys.astype(np.uint64) ^ np.uint64(0xDEADBEEF)) \
+        | np.uint64(1)
+    ok = np.ones(len(keys), dtype=bool)
+    for i in range(k):
+        h = ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)).astype(np.uint64)
+        word = bits[(h >> np.uint64(6)).astype(np.int64)]
+        ok &= (word >> (h & np.uint64(63))) & np.uint64(1) != 0
+    return ok
+
+
+def bloom_semi_volume(sf_dir: str, p_type: str = "PROMO",
+                      m_bits: int = 1 << 17, k: int = 5) -> ray.data.Dataset:
+    """Bloom-filter-accelerated semi-join: lineitem volume for parts of one
+    type.  The filtered part keys fold into a 16 KiB Bloom bitmap
+    (per-batch partial bitmaps, OR-merged — the fold input is one small
+    binary row per block, bounded by block count, NOT by key count), the
+    bitmap broadcasts via ``ray.put``, and the fact scan drops ~everything
+    BEFORE the exact shuffled semi-join (``shuffle_lookup_join`` on the
+    surviving rows removes bloom false positives).  At 100 TB this is the
+    standard pattern when the build side exceeds the broadcast budget:
+    16 KiB prunes the shuffle instead of shipping the key set."""
+    from ..functions.joins import shuffle_lookup_join
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_type"])
+
+    def part_keys(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("p_type"), p_type)) \
+            .select(["p_partkey"])
+
+    keys_ds = part.map_batches(part_keys, batch_format="pyarrow")
+
+    def to_bitmap(b: pa.Table) -> pa.Table:
+        ks = b.column("p_partkey").to_numpy(zero_copy_only=False)
+        return pa.table({"bits": pa.array(
+            [build_bloom_bits(ks, m_bits, k).tobytes()], pa.binary())})
+
+    bitmap = np.zeros(m_bits // 64, dtype=np.uint64)
+    for row in keys_ds.map_batches(to_bitmap,
+                                   batch_format="pyarrow").take_all():
+        bitmap |= np.frombuffer(row["bits"], dtype=np.uint64)
+    bm_ref = ray.put(bitmap)
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_returnflag", "l_quantity"])
+
+    def prune(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bm_ref)
+        ks = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(bloom_probe(ks, bits, m_bits, k)))
+
+    survivors = li.map_batches(prune, batch_format="pyarrow")
+    verified = shuffle_lookup_join(
+        survivors, keys_ds, on="l_partkey", right_on="p_partkey",
+        left_schema=pa.schema([("l_partkey", pa.int64()),
+                               ("l_returnflag", pa.string()),
+                               ("l_quantity", pa.float64())]),
+        right_schema=pa.schema([("p_partkey", pa.int64())]))
+
+    def qty(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "one": pa.array(np.ones(len(b), dtype=np.int64)),
+            "qty": pa.array(q.astype(np.int64))})
+
+    return partial_aggregate(
+        verified.map_batches(qty, batch_format="pyarrow"),
+        ["l_returnflag"],
+        [("one", "sum", "n_items"), ("qty", "sum", "sum_qty")])
+
+
+def token_postings(sf_dir: str, min_df: int = 100) -> ray.data.Dataset:
+    """Inverted-index construction: (token, doc_id) posting pairs for
+    tokens whose document frequency reaches ``min_df``.  Tokens explode
+    vectorized (``split_pattern`` + ``list_parent_indices``), each batch
+    emits DISTINCT local pairs, and one shuffle on token both dedups
+    globally and applies the df threshold — the exchange carries distinct
+    pairs, never raw token occurrences."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(batch.column("text"), " ")
+        toks = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        docs = pc.take(batch.column("doc_id"), parent)
+        t = pa.table({"token": toks, "doc_id": docs})
+        res = t.group_by(["token", "doc_id"]).aggregate([])
+        return res.select(["token", "doc_id"])
+
+    def per_token(group: pa.Table) -> pa.Table:
+        docs = pc.unique(group.column("doc_id"))
+        if len(docs) < min_df:
+            return group.slice(0, 0).select(["token", "doc_id"])
+        n = len(docs)
+        return pa.table({
+            "token": pa.array([group.column("token")[0].as_py()] * n),
+            "doc_id": docs})
+
+    return (ds.map_batches(pairs, batch_format="pyarrow")
+              .groupby("token")
+              .map_groups(per_token, batch_format="pyarrow"))
+
+
+def user_record_events(sf_dir: str) -> ray.data.Dataset:
+    """Per-key running-max filter ("record" events): events whose value
+    strictly exceeds every earlier value for the same user, ordered by
+    (ts, event_id) for deterministic ties.  One shuffle on user_id; the
+    per-group kernel is a lexsort + cumulative max (no Python loop).
+    Pure comparisons on the stored doubles — no float arithmetic — so the
+    output hashes identically to SQL's windowed MAX OVER PRECEDING."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        val = group.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        v = val[order]
+        prev_max = np.maximum.accumulate(
+            np.concatenate([[-np.inf], v]))[:-1]
+        keep = order[v > prev_max]
+        return pa.table({
+            "user_id": pc.take(group.column("user_id"), pa.array(keep)),
+            "ts": pc.take(group.column("ts"), pa.array(keep)),
+            "event_id": pc.take(group.column("event_id"), pa.array(keep)),
+            "value": pc.take(group.column("value"), pa.array(keep))})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")

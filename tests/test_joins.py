@@ -75,3 +75,79 @@ def test_shuffle_lookup_join_inner_semantics(ray_session):
     assert list(out.k) == [1, 1, 2]
     assert list(out.v) == [10, 10, 20]
     assert list(out.x) == ["a", "b", "c"]
+
+
+def test_shuffle_lookup_join_left_outer_int_and_string_keys(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ctdray.functions.joins import shuffle_lookup_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 3], pa.int64()),
+        "x": pa.array(["a", "b", "c", "d"])}))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([1, 2, 9], pa.int64()),
+        "v": pa.array([10, 20, 90], pa.int64())}))
+    out = shuffle_lookup_join(left, right, on="k", right_on="rk",
+                              how="left") \
+        .to_pandas().sort_values(["k", "x"]).reset_index(drop=True)
+    # left outer: every left row survives; k=3 carries NULL v
+    assert list(out.k) == [1, 1, 2, 3]
+    assert list(out.v[:3]) == [10, 10, 20] and np.isnan(out.v[3])
+
+    sleft = rd.from_arrow(pa.table({
+        "k": pa.array(["p", "q", "r"]),
+        "x": pa.array([1, 2, 3], pa.int64())}))
+    sright = rd.from_arrow(pa.table({
+        "k": pa.array(["p", "z"]),
+        "v": pa.array([7, 9], pa.int64())}))
+    sout = shuffle_lookup_join(sleft, sright, on="k", how="left") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(sout.k) == ["p", "q", "r"]
+    assert sout.v[0] == 7 and np.isnan(sout.v[1]) and np.isnan(sout.v[2])
+
+
+def test_bloom_filter_no_false_negatives(ray_session):
+    import numpy as np
+
+    from ctdray.pipelines.analytics import bloom_probe, build_bloom_bits
+
+    rng = np.random.default_rng(7)
+    members = rng.integers(0, 1 << 40, size=500).astype(np.int64)
+    others = rng.integers(1 << 41, 1 << 42, size=5000).astype(np.int64)
+    bits = build_bloom_bits(members, m_bits=1 << 17, k=5)
+    assert bloom_probe(members, bits, 1 << 17, 5).all()   # zero false negatives
+    fp = bloom_probe(others, bits, 1 << 17, 5).mean()
+    assert fp < 0.01                                      # 16 KiB, 500 keys
+
+
+def test_user_record_events_matches_pandas_cummax(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import user_record_events
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 7, n).astype(np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, n), unit="s"),
+        "event_type": "view",
+        "value": rng.normal(size=n),
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "events.parquet")
+    got = user_record_events(str(tmp_path)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    exp_rows = []
+    for _, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        rec = g[g.value > g.value.cummax().shift(1, fill_value=-np.inf)]
+        exp_rows.append(rec)
+    exp = pd.concat(exp_rows).sort_values("event_id").reset_index(drop=True)
+    assert list(got.event_id) == list(exp.event_id)
+    assert np.allclose(got.value, exp.value)
