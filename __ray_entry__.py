@@ -56,7 +56,10 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         customer_urgent_order_counts,
                                         user_event_gaps, event_funnel,
                                         bloom_semi_volume, token_postings,
-                                        user_record_events)
+                                        user_record_events,
+                                        events_json_k_stats, orders_cube,
+                                        user_best_event, cohort_retention,
+                                        lang_char_trigrams)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -340,6 +343,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_volume": bloom_semi_volume,
         "token_postings": token_postings,
         "user_record_events": user_record_events,
+        "events_json_k_stats": events_json_k_stats,
+        "orders_cube": orders_cube,
+        "user_best_event": user_best_event,
+        "cohort_retention": cohort_retention,
+        "lang_char_trigrams": lang_char_trigrams,
         "price_quantiles_by_flag": lambda sf: grouped_exact_quantiles(
             __import__("ctdray.sources.tables",
                        fromlist=["read_parquet_clean"]).read_parquet_clean(
@@ -696,4 +704,41 @@ def oracle_sql() -> dict[str, str]:
             "max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm "
             "FROM events) WHERE pm IS NULL OR value > pm"),
+        "events_json_k_stats": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(k) AS BIGINT) AS sum_k, "
+            "CAST(min(k) AS BIGINT) AS min_k, "
+            "CAST(max(k) AS BIGINT) AS max_k FROM ("
+            "SELECT event_type, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+            "FROM events) WHERE k IS NOT NULL GROUP BY event_type"),
+        "orders_cube": (
+            "SELECT COALESCE(strftime(o_orderdate, '%Y'), 'ALL') "
+            "AS grp_year, COALESCE(o_orderpriority, 'ALL') AS grp_priority, "
+            "CAST(count(*) AS BIGINT) AS n_orders FROM orders "
+            "GROUP BY CUBE (strftime(o_orderdate, '%Y'), o_orderpriority)"),
+        "user_best_event": (
+            "SELECT user_id, event_id, value AS best_value FROM ("
+            "SELECT user_id, event_id, value, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn "
+            "FROM events) WHERE rn = 1"),
+        "cohort_retention": (
+            "WITH c AS (SELECT user_id, date_trunc('week', min(ts)) AS cw "
+            "FROM events WHERE event_type = 'signup' GROUP BY user_id), "
+            "a AS (SELECT DISTINCT e.user_id, date_trunc('week', e.ts) "
+            "AS aw FROM events e), "
+            "j AS (SELECT c.user_id, cw, aw FROM c JOIN a USING (user_id) "
+            "WHERE aw >= cw) "
+            "SELECT CAST(cw AS TIMESTAMP) AS cohort_week, "
+            "CAST(date_diff('week', cw, aw) AS BIGINT) AS week_offset, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM j GROUP BY 1, 2"),
+        "lang_char_trigrams": (
+            "WITH tg AS (SELECT lang, substr(text, i, 3) AS tri "
+            "FROM documents, UNNEST(range(1, length(text) - 1)) t(i)) "
+            "SELECT lang, tri, n, rnk FROM ("
+            "SELECT lang, tri, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(row_number() OVER (PARTITION BY lang "
+            "ORDER BY count(*) DESC, tri ASC) AS BIGINT) AS rnk "
+            "FROM tg GROUP BY lang, tri) WHERE rnk <= 5"),
     }

@@ -1320,3 +1320,202 @@ def user_record_events(sf_dir: str) -> ray.data.Dataset:
 
     return ds.groupby("user_id").map_groups(per_user,
                                             batch_format="pyarrow")
+
+
+def events_json_k_stats(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured field extraction: pull the integer ``k`` out of the
+    JSON ``props`` column with Arrow's vectorized RE2 kernel
+    (``extract_regex`` — compiled once, no per-row Python JSON parse),
+    then the standard partial-agg reduce per event type."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"), r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        keep = pc.is_valid(k)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "k": k,
+            "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+        }).filter(keep)
+
+    return partial_aggregate(
+        ds.map_batches(extract, batch_format="pyarrow"), ["event_type"],
+        [("one", "sum", "n_events"), ("k", "sum", "sum_k"),
+         ("k", "min", "min_k"), ("k", "max", "max_k")])
+
+
+def orders_cube(sf_dir: str) -> ray.data.Dataset:
+    """CUBE (all 2² grouping sets) over (order year, priority) from ONE
+    scan: finest-grain partial-agg, then each finest row expands into the
+    four grouping sets and re-aggregates — the raw table is read once and
+    the exchanges only carry aggregate rows ('ALL' = subtotal sentinel,
+    matching GROUP BY CUBE + COALESCE)."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_orderpriority"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        yr = pc.strftime(batch.column("o_orderdate"), format="%Y")
+        return pa.table({"grp_year": yr,
+                         "grp_priority": batch.column("o_orderpriority"),
+                         "one": pa.array(np.ones(len(batch),
+                                                 dtype=np.int64))})
+
+    finest = partial_aggregate(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        ["grp_year", "grp_priority"], [("one", "sum", "n_orders")])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        all_s = pa.array(["ALL"] * n, pa.string())
+        out = [batch,
+               pa.table({"grp_year": batch.column("grp_year"),
+                         "grp_priority": all_s,
+                         "n_orders": batch.column("n_orders")}),
+               pa.table({"grp_year": all_s,
+                         "grp_priority": batch.column("grp_priority"),
+                         "n_orders": batch.column("n_orders")}),
+               pa.table({"grp_year": all_s, "grp_priority": all_s,
+                         "n_orders": batch.column("n_orders")})]
+        return pa.concat_tables(out)
+
+    return partial_aggregate(
+        finest.map_batches(expand, batch_format="pyarrow"),
+        ["grp_year", "grp_priority"], [("n_orders", "sum", "n_orders")])
+
+
+def _best_per_user(batch: pa.Table) -> pa.Table:
+    """Lexicographic argmax (value DESC, event_id ASC) per user — used as
+    both the per-batch combiner and the per-group reducer, because argmax
+    with a deterministic tie-break is distributive."""
+    uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+    val = batch.column("best_value").to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, -val))
+    first = np.unique(uid[order], return_index=True)[1]
+    keep = pa.array(np.sort(order[first]))
+    return pa.table({"user_id": pc.take(batch.column("user_id"), keep),
+                     "event_id": pc.take(batch.column("event_id"), keep),
+                     "best_value": pc.take(batch.column("best_value"),
+                                           keep)})
+
+
+def user_best_event(sf_dir: str) -> ray.data.Dataset:
+    """Distributive ARG-MAX aggregate: each user's single best event
+    (max value; ties → smallest event_id).  The per-batch combiner emits
+    at most one row per (user, batch), so the exchange carries candidates,
+    never raw events, and the per-group reduce applies the identical
+    lexsort pick — no window-function sort of the full table."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _best_per_user(pa.table({
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "best_value": batch.column("value")}))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("user_id")
+              .map_groups(_best_per_user, batch_format="pyarrow"))
+
+
+def cohort_retention(sf_dir: str) -> ray.data.Dataset:
+    """Weekly cohort retention: users grouped by the week of their first
+    'signup' event; for each week offset ≥ 0, how many of the cohort were
+    active (any event).  Weeks are bucketed vectorized BEFORE the shuffle
+    (Arrow floor_temporal, Monday-start — matches date_trunc('week')),
+    each user group emits its DISTINCT (cohort_week, offset) pairs, and the
+    count reduce is exact because a user contributes each pair once."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+    WEEK_US = 7 * 86_400 * 1_000_000
+
+    def to_weeks(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "week": pc.floor_temporal(batch.column("ts"), unit="week"),
+            "is_signup": pc.equal(batch.column("event_type"), "signup")})
+
+    def per_user(group: pa.Table) -> pa.Table:
+        wk = group.column("week").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        sg = group.column("is_signup").to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "cohort_week": pa.array([], pa.timestamp("us")),
+            "week_offset": pa.array([], pa.int64()),
+            "one": pa.array([], pa.int64())})
+        if not sg.any():
+            return empty
+        cw = wk[sg].min()
+        offs = np.unique((wk[wk >= cw] - cw) // WEEK_US)
+        return pa.table({
+            "cohort_week": pa.array(
+                np.full(len(offs), cw, dtype=np.int64)
+                .astype("datetime64[us]"), pa.timestamp("us")),
+            "week_offset": pa.array(offs, pa.int64()),
+            "one": pa.array(np.ones(len(offs), dtype=np.int64))})
+
+    pairs = (ds.map_batches(to_weeks, batch_format="pyarrow")
+               .groupby("user_id")
+               .map_groups(per_user, batch_format="pyarrow"))
+    return partial_aggregate(pairs, ["cohort_week", "week_offset"],
+                             [("one", "sum", "n_users")])
+
+
+def lang_char_trigrams(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """Character-trigram language profile: top-k char 3-grams per lang —
+    the classic n-gram LM / language-ID feature build.  Per batch, all
+    texts concatenate into ONE byte buffer; sliding 3-byte windows are
+    packed into int codes with stride tricks and windows crossing document
+    boundaries are masked out — no per-row Python.  Exchange carries
+    (lang, code) partial counts; the final per-lang rank is a tiny
+    map_groups."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        lens = pc.binary_length(texts).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        langs = batch.column("lang")
+        buf = np.frombuffer(
+            "".join(texts.to_pylist()).encode("ascii"), dtype=np.uint8) \
+            .astype(np.int64)
+        if len(buf) < 3:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "code": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        codes = buf[:-2] * 65536 + buf[1:-1] * 256 + buf[2:]
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        # valid window start positions: within a doc, ≥3 chars remaining
+        doc_of = np.repeat(np.arange(len(lens)), lens)[:len(codes)]
+        valid = np.arange(len(codes)) + 3 <= ends[doc_of]
+        t = pa.table({
+            "lang": pc.take(langs, pa.array(doc_of[valid])),
+            "code": pa.array(codes[valid], pa.int64())})
+        res = t.group_by(["lang", "code"]).aggregate([("code", "count")])
+        return pa.table({"lang": res.column("lang"),
+                         "code": res.column("code"),
+                         "n": pc.cast(res.column("code_count"), pa.int64())})
+
+    counts = partial_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "code"], [("n", "sum", "n")])
+
+    def rank_lang(group: pa.Table) -> pa.Table:
+        code = group.column("code").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((code, -n))[:k]
+        tris = ["".join(chr((c >> s) & 0xFF) for s in (16, 8, 0))
+                for c in code[order]]
+        return pa.table({
+            "lang": pa.array([group.column("lang")[0].as_py()] * len(order)),
+            "tri": pa.array(tris, pa.string()),
+            "n": pa.array(n[order], pa.int64()),
+            "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64))})
+
+    return counts.groupby("lang").map_groups(rank_lang,
+                                             batch_format="pyarrow")

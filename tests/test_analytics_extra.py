@@ -221,3 +221,125 @@ def test_dedup_clusters_transitive_chain(ray_session):
     out = (dedup_clusters(rd.from_arrow(tbl), threshold=0.5)
            .to_pandas().sort_values("doc_id"))
     assert list(out.cluster_id) == [10, 10, 10, 13]
+
+
+def test_orders_cube_levels_consistent(ray_session):
+    import pyarrow.parquet as pq
+    import pandas as pd
+    from ctdray.pipelines.analytics import orders_cube
+
+    df = orders_cube("/root/testdata/sf0.001").to_pandas()
+    total = int(df[(df.grp_year == "ALL")
+                   & (df.grp_priority == "ALL")].n_orders.iloc[0])
+    by_year = df[(df.grp_year != "ALL") & (df.grp_priority == "ALL")]
+    by_prio = df[(df.grp_year == "ALL") & (df.grp_priority != "ALL")]
+    fine = df[(df.grp_year != "ALL") & (df.grp_priority != "ALL")]
+    assert by_year.n_orders.sum() == total
+    assert by_prio.n_orders.sum() == total
+    assert fine.n_orders.sum() == total
+    assert len(df) == len(fine) + len(by_year) + len(by_prio) + 1
+
+
+def test_cohort_retention_hand_case(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ctdray.pipelines.analytics import cohort_retention
+
+    # user 1 signs up week of 2024-01-01 (Mon), active weeks 0 and 2;
+    # user 2 signs up week of 2024-01-08, active week 0 only;
+    # user 3 never signs up -> excluded
+    rows = [
+        (1, "2024-01-03", "signup"), (1, "2024-01-04", "view"),
+        (1, "2024-01-17", "click"),  # week offset 2
+        (2, "2024-01-09", "signup"), (2, "2024-01-10", "purchase"),
+        (3, "2024-01-03", "view"),
+        (1, "2023-12-25", "view"),   # active BEFORE signup week -> ignored
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    df["ts"] = pd.to_datetime(df.ts)
+    df["event_id"] = np.arange(len(df), dtype=np.int64)
+    df["value"] = 0.0
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "events.parquet")
+    got = cohort_retention(str(tmp_path)).to_pandas() \
+        .sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+    assert list(got.week_offset) == [0, 2, 0]
+    assert list(got.n_users) == [1, 1, 1]
+    assert got.cohort_week.iloc[0] == pd.Timestamp("2024-01-01")
+    assert got.cohort_week.iloc[2] == pd.Timestamp("2024-01-08")
+
+
+def test_lang_char_trigrams_known_counts(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ctdray.pipelines.analytics import lang_char_trigrams
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["aaaa", "ab", "xaaax"], pa.string()),
+        "lang": pa.array(["l1", "l1", "l2"], pa.string()),
+        "source": pa.array(["s"] * 3), 
+        "n_chars": pa.array([4, 2, 5], pa.int64()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    got = lang_char_trigrams(str(tmp_path)).to_pandas() \
+        .sort_values(["lang", "rnk"]).reset_index(drop=True)
+    l1 = got[got.lang == "l1"]
+    # "aaaa" -> aaa x2; "ab" too short -> nothing
+    assert list(l1.tri) == ["aaa"] and list(l1.n) == [2]
+    l2 = got[got.lang == "l2"]
+    # "xaaax" -> xaa, aaa, aax (each once), rank ties broken tri ASC
+    assert list(l2.tri) == ["aaa", "aax", "xaa"]
+    assert list(l2.n) == [1, 1, 1]
+
+
+def test_user_best_event_ties_and_partials(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ctdray.pipelines.analytics import user_best_event
+
+    rng = np.random.default_rng(3)
+    n = 500
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 9, n).astype(np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, n), unit="s"),
+        "event_type": "view",
+        # quantized values force ties -> event_id tie-break must engage
+        "value": np.round(rng.normal(size=n), 1),
+        "props": "{}",
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "events.parquet")
+    got = user_best_event(str(tmp_path)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    exp = (df.sort_values(["value", "event_id"],
+                          ascending=[False, True])
+             .groupby("user_id", as_index=False).first()
+             .sort_values("user_id").reset_index(drop=True))
+    assert list(got.user_id) == list(exp.user_id)
+    assert list(got.event_id) == list(exp.event_id)
+    assert np.allclose(got.best_value, exp.value)
+
+
+def test_events_json_k_stats_drops_unparseable(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ctdray.pipelines.analytics import events_json_k_stats
+
+    df = pd.DataFrame({
+        "event_id": np.arange(4, dtype=np.int64),
+        "user_id": np.zeros(4, dtype=np.int64),
+        "ts": pd.to_datetime([0, 1, 2, 3], unit="s"),
+        "event_type": ["a", "a", "a", "b"],
+        "value": np.zeros(4),
+        "props": ['{"k": 5}', '{"k": 11}', 'junk', '{"k": 2}'],
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "events.parquet")
+    got = events_json_k_stats(str(tmp_path)).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    assert list(got.n_events) == [2, 1]
+    assert list(got.sum_k) == [16, 2]
+    assert list(got.min_k) == [5, 2] and list(got.max_k) == [11, 2]
