@@ -59,7 +59,10 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         user_record_events,
                                         events_json_k_stats, orders_cube,
                                         user_best_event, cohort_retention,
-                                        lang_char_trigrams)
+                                        lang_char_trigrams,
+                                        frequent_token_pairs,
+                                        order_status_transitions,
+                                        doc_length_histogram)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -348,6 +351,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_best_event": user_best_event,
         "cohort_retention": cohort_retention,
         "lang_char_trigrams": lang_char_trigrams,
+        "frequent_token_pairs": frequent_token_pairs,
+        "order_status_transitions": order_status_transitions,
+        "doc_length_histogram": doc_length_histogram,
         "price_quantiles_by_flag": lambda sf: grouped_exact_quantiles(
             __import__("ctdray.sources.tables",
                        fromlist=["read_parquet_clean"]).read_parquet_clean(
@@ -733,6 +739,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(date_diff('week', cw, aw) AS BIGINT) AS week_offset, "
             "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM j GROUP BY 1, 2"),
+        "frequent_token_pairs": (
+            "WITH dt AS (SELECT DISTINCT doc_id, token FROM ("
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+            "FROM documents) t) "
+            "SELECT a.token AS ta, b.token AS tb, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM dt a JOIN dt b ON a.doc_id = b.doc_id "
+            "AND a.token < b.token "
+            "GROUP BY 1, 2 HAVING count(*) >= 50"),
+        "order_status_transitions": (
+            "WITH s AS (SELECT o_custkey, o_orderstatus, "
+            "lag(o_orderstatus) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey) AS prev FROM orders) "
+            "SELECT prev AS from_status, o_orderstatus AS to_status, "
+            "CAST(count(*) AS BIGINT) AS n FROM s "
+            "WHERE prev IS NOT NULL GROUP BY 1, 2"),
+        "doc_length_histogram": (
+            "SELECT n_chars // 100 AS bin, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(min(n_chars) AS BIGINT) AS min_chars, "
+            "CAST(max(n_chars) AS BIGINT) AS max_chars "
+            "FROM documents GROUP BY 1"),
         "lang_char_trigrams": (
             "WITH tg AS (SELECT lang, substr(text, i, 3) AS tri "
             "FROM documents, UNNEST(range(1, length(text) - 1)) t(i)) "

@@ -1519,3 +1519,107 @@ def lang_char_trigrams(sf_dir: str, k: int = 5) -> ray.data.Dataset:
 
     return counts.groupby("lang").map_groups(rank_lang,
                                              batch_format="pyarrow")
+
+
+def frequent_token_pairs(sf_dir: str,
+                         min_support: int = 50) -> ray.data.Dataset:
+    """Frequent itemset mining (2-itemsets): token pairs co-occurring in
+    ≥ ``min_support`` documents.  Per batch: distinct (doc, token) pairs
+    sort by (doc, token); unordered pairs materialize via shifted-array
+    passes (pair (t[i], t[i+s]) where both positions share a doc — tokens
+    are sorted so t[i] < t[i+s] for free), one vectorized pass per shift,
+    bounded by the per-doc distinct-token count, not the doc count.  The
+    exchange carries per-batch pair counts only."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(batch.column("text"), " ")
+        toks = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        t = pa.table({"d": parent, "tok": toks})
+        dt = t.group_by(["d", "tok"]).aggregate([])
+        d = dt.column("d").to_numpy(zero_copy_only=False)
+        tok = np.asarray(dt.column("tok").to_pylist(), dtype=object)
+        order = np.lexsort((tok, d))
+        d, tok = d[order], tok[order]
+        tas, tbs = [], []
+        _, counts = np.unique(d, return_counts=True)
+        max_len = int(counts.max()) if len(counts) else 0
+        for s in range(1, max_len):
+            same = d[:-s] == d[s:] if s < len(d) else np.array([], bool)
+            tas.append(tok[:-s][same])
+            tbs.append(tok[s:][same])
+        if not tas:
+            return pa.table({"ta": pa.array([], pa.string()),
+                             "tb": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        p = pa.table({"ta": pa.array(np.concatenate(tas), pa.string()),
+                      "tb": pa.array(np.concatenate(tbs), pa.string())})
+        res = p.group_by(["ta", "tb"]).aggregate([("ta", "count")])
+        return pa.table({"ta": res.column("ta"), "tb": res.column("tb"),
+                         "n": pc.cast(res.column("ta_count"), pa.int64())})
+
+    counts = partial_aggregate(
+        ds.map_batches(pair_counts, batch_format="pyarrow"),
+        ["ta", "tb"], [("n", "sum", "n")])
+    return counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n"), min_support)),
+        batch_format="pyarrow")
+
+
+def order_status_transitions(sf_dir: str) -> ray.data.Dataset:
+    """Markov transition counts over each customer's order-status sequence
+    (orders sorted by (date, orderkey) per customer, consecutive pairs
+    counted globally).  The per-group kernel emits LOCAL pair counts
+    (≤ |statuses|² rows), so the final exchange carries tiny partials."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus"])
+
+    def per_customer(group: pa.Table) -> pa.Table:
+        dt = group.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ok = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+        st = np.asarray(group.column("o_orderstatus").to_pylist(),
+                        dtype=object)
+        order = np.lexsort((ok, dt))
+        s = st[order]
+        if len(s) < 2:
+            return pa.table({"from_status": pa.array([], pa.string()),
+                             "to_status": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        p = pa.table({"from_status": pa.array(s[:-1], pa.string()),
+                      "to_status": pa.array(s[1:], pa.string())})
+        res = p.group_by(["from_status", "to_status"]) \
+            .aggregate([("from_status", "count")])
+        return pa.table({
+            "from_status": res.column("from_status"),
+            "to_status": res.column("to_status"),
+            "n": pc.cast(res.column("from_status_count"), pa.int64())})
+
+    partials = ds.groupby("o_custkey").map_groups(per_customer,
+                                                  batch_format="pyarrow")
+    return partial_aggregate(partials, ["from_status", "to_status"],
+                             [("n", "sum", "n")])
+
+
+def doc_length_histogram(sf_dir: str, bin_width: int = 100
+                         ) -> ray.data.Dataset:
+    """Fixed-width integer histogram of document lengths: bin = n_chars //
+    bin_width, with per-bin count and exact min/max — pure integer
+    arithmetic so the SQL oracle hashes identically."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["n_chars"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bin": pa.array(n // bin_width, pa.int64()),
+            "n_chars": batch.column("n_chars"),
+            "one": pa.array(np.ones(len(batch), dtype=np.int64))})
+
+    return partial_aggregate(
+        ds.map_batches(bucket, batch_format="pyarrow"), ["bin"],
+        [("one", "sum", "n_docs"), ("n_chars", "min", "min_chars"),
+         ("n_chars", "max", "max_chars")])

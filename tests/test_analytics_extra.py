@@ -343,3 +343,45 @@ def test_events_json_k_stats_drops_unparseable(ray_session, tmp_path):
     assert list(got.n_events) == [2, 1]
     assert list(got.sum_k) == [16, 2]
     assert list(got.min_k) == [5, 2] and list(got.max_k) == [11, 2]
+
+
+def test_frequent_token_pairs_hand_case(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ctdray.pipelines.analytics import frequent_token_pairs
+
+    texts = ["a b c", "a c", "b a", "c a b", "a a b"]   # dup 'a a' once
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["eng"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())})
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    got = frequent_token_pairs(str(tmp_path), min_support=2).to_pandas() \
+        .sort_values(["ta", "tb"]).reset_index(drop=True)
+    # co-doc counts: (a,b)=4, (a,c)=3, (b,c)=2  (distinct per doc)
+    assert list(zip(got.ta, got.tb, got.n)) == [
+        ("a", "b", 4), ("a", "c", 3), ("b", "c", 2)]
+
+
+def test_order_status_transitions_hand_case(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ctdray.pipelines.analytics import order_status_transitions
+
+    df = pd.DataFrame({
+        "o_orderkey": np.array([1, 2, 3, 4, 5, 6], dtype=np.int64),
+        "o_custkey": np.array([7, 7, 7, 8, 8, 9], dtype=np.int64),
+        "o_orderdate": pd.to_datetime(
+            ["2024-01-01", "2024-01-02", "2024-01-02",
+             "2024-02-01", "2024-02-02", "2024-03-01"]),
+        "o_orderstatus": ["O", "F", "P", "O", "O", "F"],
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "orders.parquet")
+    got = order_status_transitions(str(tmp_path)).to_pandas() \
+        .sort_values(["from_status", "to_status"]).reset_index(drop=True)
+    # cust 7: O->F (key 2 before 3 on tied date), F->P; cust 8: O->O
+    assert list(zip(got.from_status, got.to_status, got.n)) == [
+        ("F", "P", 1), ("O", "F", 1), ("O", "O", 1)]
