@@ -38,8 +38,15 @@ def main() -> None:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False)
+        # Under `ray job submit` the supervisor exports RAY_ADDRESS for the
+        # running cluster — connect to it (num_cpus is a local-mode knob
+        # only).  Standalone, default to a fresh local instance.
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        if addr in ("local", ""):
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False)
+        else:
+            ray.init(address=addr)
 
     from ctdray.config import PipelineConfig
     from ctdray.fixtures import write_corpus
