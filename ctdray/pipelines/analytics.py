@@ -498,18 +498,27 @@ def interval_count_join(sf_dir: str, left_type: str = "purchase",
 
 
 def local_supplier_volume(sf_dir: str, region: str = "ASIA",
-                          year: int = 1996) -> ray.data.Dataset:
+                          year: int = 1996,
+                          broadcast_cap: int = 4_000_000) -> ray.data.Dataset:
     """TPC-H Q5-shaped: revenue per nation where customer and supplier share
     an Asian nation, for orders placed in ``year``.
 
     Physical plan at 100 TB: region→nation→customer/supplier fold into
-    BROADCAST lookup arrays (dimension side never shuffles); orders prune
-    at the read (year predicate pushed into the Parquet scan) and meet
-    lineitem in the ONE native hash join both-large sides need; nation
-    equality + revenue fold vectorized per batch; partial-agg reduce.
-    Revenue is summed in integral 10^-4 units (prices have 2 decimals,
-    discounts 2) so the double→int sum is order-independent and
-    hash-exact."""
+    BROADCAST lookup arrays (dimension side never shuffles).  Orders prune
+    at the read (year predicate pushed into the Parquet scan), then the
+    Asian-customer semi-join is applied per batch against the broadcast
+    customer lookup BEFORE the big join — year ∧ region keeps ~1/35 of
+    orders, so the join's build side shrinks 35× before any exchange.
+    The orders×lineitem join is then chosen adaptively, Spark-style
+    size-based broadcast: a ``limit(cap+1)`` probe materializes the
+    filtered build side only if it is provably under ``broadcast_cap``
+    rows (a bounded take, ~16 B/row), in which case lineitem streams once
+    through a per-batch hash lookup and NOTHING shuffles; over the cap it
+    falls back to the sort-bucket shuffle join (functions.joins — Ray
+    2.49's native hash join chokes on schema-less empty partitions a
+    row-group-pruned side produces).  Revenue is summed in integral 10^-4
+    units (prices/discounts have 2 decimals) so the double→int sum is
+    order-independent and hash-exact."""
     import datetime
 
     import pyarrow.dataset as pads
@@ -524,12 +533,13 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
                          columns=["c_custkey", "c_nationkey"])
     supp = pq.read_table(f"{sf_dir}/supplier.parquet",
                          columns=["s_suppkey", "s_nationkey"])
+    nkeys = pa.array(list(asian.keys()), pa.int64())
     side = ray.put((
         cust.column("c_custkey").combine_chunks(),
         cust.column("c_nationkey").combine_chunks(),
         supp.column("s_suppkey").combine_chunks(),
         supp.column("s_nationkey").combine_chunks(),
-        pa.array(list(asian.keys()), pa.int64()),
+        nkeys,
         pa.array(list(asian.values()), pa.string()),
     ))
 
@@ -540,33 +550,29 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=(pads.field("o_orderdate") >= lo)
                & (pads.field("o_orderdate") < hi))
-    orders = orders.map_batches(
-        lambda b: b.drop_columns(["o_orderdate"]), batch_format="pyarrow")
+
+    def stamp_cnat(b: pa.Table) -> pa.Table:
+        """Asian-customer semi-join + c_nationkey stamp (build side)."""
+        ckeys, cnk, _sk, _sn, nk, _nn = ray.get(side)
+        ci = pc.index_in(b.column("o_custkey"), value_set=ckeys)
+        c_nat = pc.take(cnk, ci)
+        keep = pc.fill_null(pc.is_in(c_nat, value_set=nk), False)
+        return pa.table({"o_orderkey": b.column("o_orderkey").filter(keep),
+                         "c_nat": pc.cast(c_nat.filter(keep), pa.int64())})
+
+    orders_asia = orders.map_batches(stamp_cnat, batch_format="pyarrow")
     lineitem = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
 
-    from ..functions.joins import shuffle_lookup_join
-
-    # Both-large equi-join via the groupby form (functions.joins): Ray
-    # 2.49's native hash-shuffle join chokes on the schema-less empty
-    # partitions a row-group-pruned side produces.
-    joined = shuffle_lookup_join(
-        lineitem, orders, on="l_orderkey", right_on="o_orderkey",
-        left_schema=pa.schema([
-            ("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
-            ("l_extendedprice", pa.float64()), ("l_discount", pa.float64())]),
-        right_schema=pa.schema([
-            ("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]))
-
     def fold(batch: pa.Table) -> pa.Table:
-        ckeys, cnk, skeys, snk, nkeys, nnames = ray.get(side)
-        ci = pc.index_in(batch.column("o_custkey"), value_set=ckeys)
+        """Shared tail: batch has (l_suppkey, l_extendedprice, l_discount,
+        c_nat); supplier-nation lookup + same-nation filter + revenue fold."""
+        _ck, _cn, skeys, snk, nk, nnames = ray.get(side)
         si = pc.index_in(batch.column("l_suppkey"), value_set=skeys)
-        c_nat = pc.take(cnk, ci).to_numpy(zero_copy_only=False)
         s_nat = pc.take(snk, si).to_numpy(zero_copy_only=False)
-        nkeys_np = nkeys.to_numpy(zero_copy_only=False)
-        same = (c_nat == s_nat) & np.isin(c_nat, nkeys_np)
+        c_nat = batch.column("c_nat").to_numpy(zero_copy_only=False)
+        same = c_nat == s_nat
         t = batch.filter(pa.array(same))
         if len(t) == 0:
             return pa.table({"n_name": pa.array([], pa.string()),
@@ -574,21 +580,66 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
         price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = t.column("l_discount").to_numpy(zero_copy_only=False)
         rev = np.round(price * (1.0 - disc) * 10_000).astype(np.int64)
-        nat = c_nat[same]
-        ni = pc.index_in(pa.array(nat, pa.int64()), value_set=nkeys)
+        ni = pc.index_in(t.column("c_nat"), value_set=nk)
         names = pc.take(nnames, ni)
         part = pa.table({"n_name": names, "revenue_e4": pa.array(rev)})
         res = part.group_by(["n_name"]).aggregate([("revenue_e4", "sum")])
         return pa.table({"n_name": res.column("n_name"),
                          "revenue_e4": res.column("revenue_e4_sum")})
 
-    partials = joined.map_batches(fold, batch_format="pyarrow")
-    return partials.groupby("n_name").map_groups(
-        lambda g: pa.table({
-            "n_name": g.column("n_name").slice(0, 1),
-            "revenue_e4": pa.array([pc.sum(g.column("revenue_e4")).as_py()],
-                                   pa.int64())}),
-        batch_format="pyarrow")
+    # Size probe: bounded take of cap+1 rows decides broadcast vs shuffle.
+    probe = orders_asia.limit(broadcast_cap + 1).take_all()
+    if len(probe) <= broadcast_cap:
+        okeys_np = np.array([r["o_orderkey"] for r in probe], dtype=np.int64)
+        onat_np = np.array([r["c_nat"] for r in probe], dtype=np.int64)
+        order_sorted = np.argsort(okeys_np, kind="stable")
+        build = ray.put((okeys_np[order_sorted], onat_np[order_sorted]))
+
+        def bjoin_fold(b: pa.Table) -> pa.Table:
+            okeys, onat = ray.get(build)
+            lk = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(okeys, lk)
+            pos_c = np.minimum(pos, len(okeys) - 1) if len(okeys) else pos
+            hit = (len(okeys) > 0) & (okeys[pos_c] == lk) if len(okeys) \
+                else np.zeros(len(lk), dtype=bool)
+            t = b.filter(pa.array(hit))
+            if len(t) == 0:
+                return pa.table({"n_name": pa.array([], pa.string()),
+                                 "revenue_e4": pa.array([], pa.int64())})
+            t = t.append_column(
+                "c_nat", pa.array(onat[pos_c[hit]], pa.int64()))
+            return fold(t)
+
+        partials = lineitem.map_batches(bjoin_fold, batch_format="pyarrow")
+    else:  # over-cap fallback: the 100-TB path (tested vs broadcast at sf0.001)
+        from ..functions.joins import shuffle_lookup_join
+
+        joined = shuffle_lookup_join(
+            lineitem, orders_asia, on="l_orderkey", right_on="o_orderkey",
+            left_schema=pa.schema([
+                ("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+                ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64())]),
+            right_schema=pa.schema([
+                ("o_orderkey", pa.int64()), ("c_nat", pa.int64())]))
+        partials = joined.map_batches(fold, batch_format="pyarrow")
+    # Final reduce driver-side: the combiner output is ≤ n_nations ×
+    # n_blocks rows (25 × blocks here), so streaming it to the driver and
+    # folding in Arrow replaces a whole Sort exchange with a bounded
+    # collect — the same "small aggregated result" exemption as take-based
+    # sinks.  At 100 TB the partial count grows only with block count,
+    # never with data volume.
+    parts = list(partials.iter_batches(batch_format="pyarrow",
+                                       batch_size=None))
+    empty = pa.table({"n_name": pa.array([], pa.string()),
+                      "revenue_e4": pa.array([], pa.int64())})
+    merged = pa.concat_tables(parts) if parts else empty
+    if len(merged) == 0:
+        return ray.data.from_arrow(empty)
+    res = merged.group_by(["n_name"]).aggregate([("revenue_e4", "sum")])
+    return ray.data.from_arrow(pa.table({
+        "n_name": res.column("n_name"),
+        "revenue_e4": pc.cast(res.column("revenue_e4_sum"), pa.int64())}))
 
 
 def top_orders_per_customer(sf_dir: str, n: int = 2) -> ray.data.Dataset:

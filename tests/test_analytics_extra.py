@@ -385,3 +385,24 @@ def test_order_status_transitions_hand_case(ray_session, tmp_path):
     # cust 7: O->F (key 2 before 3 on tied date), F->P; cust 8: O->O
     assert list(zip(got.from_status, got.to_status, got.n)) == [
         ("F", "P", 1), ("O", "F", 1), ("O", "O", 1)]
+
+
+def test_local_supplier_volume_broadcast_matches_shuffle(ray_session):
+    """Q5's adaptive join: the size-probe broadcast path and the over-cap
+    shuffle fallback must produce identical results (the fallback is the
+    100-TB path, so it needs coverage even though the bench always takes
+    the broadcast branch at test scale)."""
+    import pyarrow as pa
+
+    from ctdray.pipelines.analytics import local_supplier_volume
+
+    sf = "/root/testdata/sf0.001"
+
+    def collect(ds):
+        return pa.concat_tables(
+            ds.iter_batches(batch_format="pyarrow")).sort_by("n_name")
+
+    bcast = collect(local_supplier_volume(sf))
+    shuf = collect(local_supplier_volume(sf, broadcast_cap=0))
+    assert bcast.num_rows > 0
+    assert bcast.equals(shuf)
