@@ -62,7 +62,10 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         lang_char_trigrams,
                                         frequent_token_pairs,
                                         order_status_transitions,
-                                        doc_length_histogram)
+                                        doc_length_histogram,
+                                        doc_repetition_stats,
+                                        small_qty_part_revenue,
+                                        bm25_top_docs, user_value_trend)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -354,6 +357,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_token_pairs": frequent_token_pairs,
         "order_status_transitions": order_status_transitions,
         "doc_length_histogram": doc_length_histogram,
+        "doc_repetition_stats": doc_repetition_stats,
+        "small_qty_part_revenue": small_qty_part_revenue,
+        "bm25_top_docs": bm25_top_docs,
+        "user_value_trend": user_value_trend,
         "price_quantiles_by_flag": lambda sf: grouped_exact_quantiles(
             __import__("ctdray.sources.tables",
                        fromlist=["read_parquet_clean"]).read_parquet_clean(
@@ -761,6 +768,58 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min(n_chars) AS BIGINT) AS min_chars, "
             "CAST(max(n_chars) AS BIGINT) AS max_chars "
             "FROM documents GROUP BY 1"),
+        "doc_repetition_stats": (
+            "WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS tok FROM documents), "
+            "c AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2) "
+            "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+            "CAST(count(*) AS BIGINT) AS n_distinct, "
+            "CAST(max(c) AS BIGINT) AS top_count FROM c GROUP BY doc_id"),
+        "small_qty_part_revenue": (
+            "WITH pk AS (SELECT p_partkey FROM part "
+            "WHERE p_brand = 'Brand#1'), "
+            "li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents "
+            "FROM lineitem JOIN pk ON l_partkey = p_partkey), "
+            "st AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS sq, "
+            "CAST(count(*) AS BIGINT) AS c FROM li GROUP BY 1) "
+            "SELECT CAST(sum(cents) AS BIGINT) AS revenue_cents, "
+            "CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM li JOIN st USING (l_partkey) WHERE 5 * q * c < sq"),
+        "bm25_top_docs": (
+            "WITH st AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS a, "
+            "greatest(1, sum(CASE WHEN list_contains("
+            "string_split(text, ' '), 'join') THEN 1 ELSE 0 END)) AS dfj, "
+            "greatest(1, sum(CASE WHEN list_contains("
+            "string_split(text, ' '), 'filter') THEN 1 ELSE 0 END)) AS dff, "
+            "greatest(1, sum(CASE WHEN list_contains("
+            "string_split(text, ' '), 'scan') THEN 1 ELSE 0 END)) AS dfs "
+            "FROM documents), "
+            "sc AS (SELECT doc_id, "
+            "(1000 * st.n // st.dfj) * (tfj * 3000 // (tfj * 1000 + 500 + l)) "
+            "+ (1000 * st.n // st.dff) * (tff * 3000 // (tff * 1000 + 500 + l)) "
+            "+ (1000 * st.n // st.dfs) * (tfs * 3000 // (tfs * 1000 + 500 + l)) "
+            "AS score FROM (SELECT doc_id, "
+            "len(list_filter(string_split(text, ' '), x -> x = 'join')) AS tfj, "
+            "len(list_filter(string_split(text, ' '), x -> x = 'filter')) AS tff, "
+            "len(list_filter(string_split(text, ' '), x -> x = 'scan')) AS tfs, "
+            "len(string_split(text, ' ')) * 1000 * "
+            "(SELECT n FROM st) // (SELECT a FROM st) AS l "
+            "FROM documents) d, st) "
+            "SELECT doc_id, CAST(score AS BIGINT) AS score FROM sc "
+            "WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20"),
+        "user_value_trend": (
+            "WITH e AS (SELECT user_id, "
+            "CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x, "
+            "CAST(round(value * 100) AS BIGINT) AS y FROM events) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(x) AS BIGINT) AS sum_x, "
+            "CAST(sum(y) AS BIGINT) AS sum_y, "
+            "CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) "
+            "AS trend_num, "
+            "CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) "
+            "AS trend_den FROM e GROUP BY user_id"),
         "lang_char_trigrams": (
             "WITH tg AS (SELECT lang, substr(text, i, 3) AS tri "
             "FROM documents, UNNEST(range(1, length(text) - 1)) t(i)) "

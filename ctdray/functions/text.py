@@ -186,3 +186,33 @@ def langid_batch(batch: pa.Table) -> pa.Table:
         "lang_pred": pa.array([langid_one(t) for t in batch.column("text").to_pylist()],
                               pa.string()),
     })
+
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals (Rae et al. 2021, table A1), all
+    integers so the SQL oracle hashes exactly:
+      n_tokens    = total tokens
+      n_distinct  = distinct tokens
+      top_count   = occurrences of the most frequent token
+    Downstream filters threshold top_count/n_tokens (mode-token fraction)
+    and n_distinct/n_tokens (type-token ratio).  Fully vectorized: one
+    Arrow explode + (doc, token) group_by per batch, then segmented
+    max/count in numpy — no Python loop over docs or tokens."""
+    toks = _tokens(batch)
+    n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
+    parents = pc.list_parent_indices(toks)
+    pairs = pa.table({"i": parents, "tok": pc.list_flatten(toks)})
+    per_tok = pairs.group_by(["i", "tok"]).aggregate([("tok", "count")])
+    i = per_tok.column("i").to_numpy(zero_copy_only=False)
+    c = per_tok.column("tok_count").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    n_distinct = np.zeros(len(batch), dtype=np.int64)
+    top_count = np.zeros(len(batch), dtype=np.int64)
+    np.add.at(n_distinct, i, 1)
+    np.maximum.at(top_count, i, c)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": n_tokens,
+        "n_distinct": pa.array(n_distinct),
+        "top_count": pa.array(top_count),
+    })

@@ -1674,3 +1674,210 @@ def doc_length_histogram(sf_dir: str, bin_width: int = 100
         ds.map_batches(bucket, batch_format="pyarrow"), ["bin"],
         [("one", "sum", "n_docs"), ("n_chars", "min", "min_chars"),
          ("n_chars", "max", "max_chars")])
+
+
+def doc_repetition_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-document repetition quality signals (Gopher-style) — a pure
+    vectorized map, no exchange.  Kernel in
+    ``functions.text.repetition_stats_batch``."""
+    from ..functions.text import repetition_stats_batch
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ds.map_batches(repetition_stats_batch, batch_format="pyarrow")
+
+
+def small_qty_part_revenue(sf_dir: str,
+                           brand: str = "Brand#1") -> ray.data.Dataset:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20 % of the per-part average, for one brand's parts.  Pattern at
+    100 TB: (1) the dimension filter yields a SMALL key set (one brand =
+    1/25 of part) — broadcast it, semi-filter the fact scan ONCE and
+    materialize the survivors (tiny fraction of lineitem); (2) per-part
+    (sum_qty, cnt) via partial aggregation — the exchange carries
+    per-batch partials; (3) the per-part stats table (≤ |brand parts|
+    rows) broadcasts back and the survivors filter locally with the
+    integer predicate 5·qty·cnt < sum_qty ⟺ qty < 0.2·avg(qty), then a
+    scalar fold.  lineitem is scanned exactly once; nothing unbounded
+    touches the driver."""
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_brand"])
+    key_rows = part.map_batches(
+        lambda b: b.filter(pc.equal(b.column("p_brand"), brand))
+                   .select(["p_partkey"]),
+        batch_format="pyarrow").take_all()  # bounded: one brand
+    keys = pa.array(sorted(r["p_partkey"] for r in key_rows), pa.int64())
+    keys_ref = ray.put(keys)
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def semi(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(batch.column("l_partkey"),
+                                  value_set=ray.get(keys_ref)))
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.rint(t.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"l_partkey": t.column("l_partkey"),
+                         "q": pa.array(q), "cents": pa.array(cents)})
+
+    survivors = li.map_batches(semi, batch_format="pyarrow").materialize()
+
+    stats = partial_aggregate(
+        survivors.map_batches(
+            lambda b: pa.table({"l_partkey": b.column("l_partkey"),
+                                "q": b.column("q"),
+                                "one": pa.array(np.ones(len(b), np.int64))}),
+            batch_format="pyarrow"),
+        ["l_partkey"],
+        [("q", "sum", "sum_q"), ("one", "sum", "cnt")]).take_all()
+    pk = np.array([r["l_partkey"] for r in stats], np.int64)
+    order = np.argsort(pk)
+    side = (pk[order],
+            np.array([r["sum_q"] for r in stats], np.int64)[order],
+            np.array([r["cnt"] for r in stats], np.int64)[order])
+    stats_ref = ray.put(side)
+
+    def fold_small(batch: pa.Table) -> pa.Table:
+        spk, ssq, scn = ray.get(stats_ref)
+        k = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(spk, k)  # every k present by construction
+        q = batch.column("q").to_numpy(zero_copy_only=False)
+        keep = 5 * q * scn[pos] < ssq[pos]
+        c = batch.column("cents").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "revenue_cents": pa.array([int(c[keep].sum())], pa.int64()),
+            "n_rows": pa.array([int(keep.sum())], pa.int64()),
+            "_k": pa.array([0], pa.int64())})
+
+    partials = survivors.map_batches(fold_small, batch_format="pyarrow")
+    out = partial_aggregate(partials, ["_k"],
+                            [("revenue_cents", "sum", "revenue_cents"),
+                             ("n_rows", "sum", "n_rows")])
+    return out.select_columns(["revenue_cents", "n_rows"])
+
+
+_BM25_TERMS = ("join", "filter", "scan")
+
+
+def bm25_top_docs(sf_dir: str, terms: tuple = _BM25_TERMS,
+                  k: int = 20) -> ray.data.Dataset:
+    """Integral BM25-variant retrieval: two passes over documents.
+    Pass 1 reduces corpus stats to ONE row (N, total token count, per-term
+    document frequency — a scalar fold of per-batch partials); pass 2
+    broadcasts the stats and scores every document with pure int64
+    arithmetic, then a distributed top-k (per-batch local top-k → global
+    sort+limit on ≤ k·n_blocks rows).  Score per doc:
+        L     = (dl · 1000 · N) // A          (≈ 1000 · dl / avgdl)
+        idf_t = (1000 · N) // df_t
+        sat_t = (tf · 3000) // (tf · 1000 + 500 + L)   (BM25-style
+                saturation with length normalization in the denominator)
+        score = Σ_t idf_t · sat_t
+    Integer-exact, so the DuckDB oracle hashes identically."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cols = {"n_docs": pa.array([len(batch)], pa.int64()),
+                "total_tokens": pa.array([int(nt.sum())], pa.int64()),
+                "_k": pa.array([0], pa.int64())}
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        for t in terms:
+            hit = pc.equal(flat, t).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            per_doc = np.zeros(len(batch), dtype=np.int64)
+            np.add.at(per_doc, parents, hit)
+            cols[f"df_{t}"] = pa.array([int((per_doc > 0).sum())], pa.int64())
+        return pa.table(cols)
+
+    aggs = [("n_docs", "sum", "n_docs"), ("total_tokens", "sum", "A")]
+    aggs += [(f"df_{t}", "sum", f"df_{t}") for t in terms]
+    srow = partial_aggregate(
+        ds.map_batches(stats_partial, batch_format="pyarrow"),
+        ["_k"], aggs).take_all()[0]
+    n_docs, a_total = int(srow["n_docs"]), int(srow["A"])
+    dfs = [max(1, int(srow[f"df_{t}"])) for t in terms]
+    side_ref = ray.put((n_docs, a_total, dfs))
+
+    def score(batch: pa.Table) -> pa.Table:
+        n, a, df = ray.get(side_ref)
+        toks = pc.split_pattern(batch.column("text"), " ")
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        big_l = (dl * 1000 * n) // a
+        total = np.zeros(len(batch), dtype=np.int64)
+        for t, d in zip(terms, df):
+            hit = pc.equal(flat, t).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            tf = np.zeros(len(batch), dtype=np.int64)
+            np.add.at(tf, parents, hit)
+            idf = (1000 * n) // d
+            sat = (tf * 3000) // (tf * 1000 + 500 + big_l)
+            total += idf * sat
+        out = pa.table({"doc_id": batch.column("doc_id"),
+                        "score": pa.array(total)})
+        out = out.filter(pc.greater(out.column("score"), 0))
+        # local top-k so the global sort sees ≤ k rows per block
+        idx = pa.table({"s": out.column("score"), "d": out.column("doc_id")})
+        srt = idx.sort_by([("s", "descending"), ("d", "ascending")]) \
+            .slice(0, k)
+        return pa.table({"doc_id": srt.column("d"),
+                         "score": srt.column("s")})
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["score", "doc_id"],
+                       descending=[True, False]).limit(k)
+
+
+def user_value_trend(sf_dir: str) -> ray.data.Dataset:
+    """Per-user linear trend of event value over time via DISTRIBUTED
+    sufficient statistics: each batch folds (n, Σx, Σy, Σxy, Σx²) per user
+    with x = days since 2024-01-01 (int) and y = value cents (int); the
+    exchange carries only per-batch per-user partials.  The slope
+    num/den = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) ships as exact integers —
+    the consumer divides (or compares sign) without float drift."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
+    origin = np.datetime64("2024-01-01", "D").astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = (batch.column("ts").to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64) - origin)
+        y = np.rint(batch.column("value").to_numpy(zero_copy_only=False)
+                    * 100).astype(np.int64)
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "one": pa.array(np.ones(len(batch), np.int64)),
+                      "x": pa.array(x), "y": pa.array(y),
+                      "xy": pa.array(x * y), "xx": pa.array(x * x)})
+        return t.group_by(["user_id"]).aggregate(
+            [("one", "sum"), ("x", "sum"), ("y", "sum"),
+             ("xy", "sum"), ("xx", "sum")]).rename_columns(
+            ["user_id", "n_events", "sum_x", "sum_y", "sum_xy", "sum_xx"])
+
+    folded = partial_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), ["user_id"],
+        [("n_events", "sum", "n_events"), ("sum_x", "sum", "sum_x"),
+         ("sum_y", "sum", "sum_y"), ("sum_xy", "sum", "sum_xy"),
+         ("sum_xx", "sum", "sum_xx")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n_events").to_numpy(zero_copy_only=False)
+        sx = b.column("sum_x").to_numpy(zero_copy_only=False)
+        sy = b.column("sum_y").to_numpy(zero_copy_only=False)
+        sxy = b.column("sum_xy").to_numpy(zero_copy_only=False)
+        sxx = b.column("sum_xx").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "n_events": b.column("n_events"),
+            "sum_x": b.column("sum_x"), "sum_y": b.column("sum_y"),
+            "trend_num": pa.array(n * sxy - sx * sy),
+            "trend_den": pa.array(n * sxx - sx * sx)})
+
+    return folded.map_batches(finish, batch_format="pyarrow")

@@ -406,3 +406,76 @@ def test_local_supplier_volume_broadcast_matches_shuffle(ray_session):
     shuf = collect(local_supplier_volume(sf, broadcast_cap=0))
     assert bcast.num_rows > 0
     assert bcast.equals(shuf)
+
+
+def test_repetition_stats_hand_case(ray_session):
+    from ctdray.functions.text import repetition_stats_batch
+
+    b = _docs(["a b a a c", "x", "y y", "p q r s"])
+    out = repetition_stats_batch(b).to_pydict()
+    assert out["n_tokens"] == [5, 1, 2, 4]
+    assert out["n_distinct"] == [3, 1, 1, 4]
+    assert out["top_count"] == [3, 1, 2, 1]
+
+
+def test_small_qty_part_revenue_hand_case(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import small_qty_part_revenue
+
+    # part 1 (Brand#1): qtys [1, 10, 10, 10] → sum=31 cnt=4; keep rows with
+    # 5·q·4 < 31 ⟺ q ≤ 1 → only the qty-1 row ($2.00).  part 2 is another
+    # brand and must not contribute even though its qty qualifies anywhere.
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_brand": pa.array(["Brand#1", "Brand#2"]),
+    }), str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "l_quantity": pa.array([1.0, 10.0, 10.0, 10.0, 1.0]),
+        "l_extendedprice": pa.array([2.0, 5.0, 5.0, 5.0, 9.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = small_qty_part_revenue(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    assert int(out.revenue_cents.iloc[0]) == 200
+    assert int(out.n_rows.iloc[0]) == 1
+
+
+def test_bm25_scoring_order_and_saturation(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import bm25_top_docs
+
+    # doc0 has 'join' twice in 4 tokens; doc1 once in 2 tokens (shorter →
+    # less length penalty); doc2 has no query terms (filtered out); doc3
+    # spams 'join' — saturation caps its advantage but it still ranks first.
+    pq.write_table(_docs([
+        "join join x y", "join z", "nothing here at all",
+        "join join join join join join join join"]),
+        str(tmp_path / "documents.parquet"))
+    out = bm25_top_docs(str(tmp_path), terms=("join",), k=10).to_pandas()
+    assert list(out.doc_id) != []
+    assert 2 not in set(out.doc_id)
+    assert out.score.is_monotonic_decreasing
+    assert out.doc_id.iloc[0] == 3  # highest tf wins even saturated
+
+
+def test_user_value_trend_known_slope(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import user_value_trend
+
+    # user 7: y cents = [100, 200, 300] at x days = [0, 1, 2] → exact
+    # slope 100 cents/day: num/den = 100.  user 8: constant → num 0.
+    ts = pa.array(np.array(["2024-01-01T01:00", "2024-01-02T01:00",
+                            "2024-01-03T01:00", "2024-01-01T09:00",
+                            "2024-01-05T09:00"], dtype="datetime64[us]"))
+    pq.write_table(pa.table({
+        "user_id": pa.array([7, 7, 7, 8, 8], pa.int64()),
+        "ts": ts,
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 4.0]),
+    }), str(tmp_path / "events.parquet"))
+    out = user_value_trend(str(tmp_path)).to_pandas().set_index("user_id")
+    assert int(out.loc[7, "trend_num"]) / int(out.loc[7, "trend_den"]) == 100.0
+    assert int(out.loc[8, "trend_num"]) == 0
+    assert int(out.loc[7, "n_events"]) == 3
