@@ -65,7 +65,10 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         doc_length_histogram,
                                         doc_repetition_stats,
                                         small_qty_part_revenue,
-                                        bm25_top_docs, user_value_trend)
+                                        bm25_top_docs, user_value_trend,
+                                        views_purchases_full,
+                                        daily_revenue_moving7,
+                                        global_event_rank)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -361,6 +364,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_part_revenue": small_qty_part_revenue,
         "bm25_top_docs": bm25_top_docs,
         "user_value_trend": user_value_trend,
+        "doc_normalize": lambda sf: _documents(sf).map_batches(
+            __import__("ctdray.functions.text",
+                       fromlist=["normalize_batch"]).normalize_batch,
+            batch_format="pyarrow"),
+        "views_purchases_full": views_purchases_full,
+        "daily_revenue_moving7": daily_revenue_moving7,
+        "global_event_rank": global_event_rank,
         "price_quantiles_by_flag": lambda sf: grouped_exact_quantiles(
             __import__("ctdray.sources.tables",
                        fromlist=["read_parquet_clean"]).read_parquet_clean(
@@ -809,6 +819,36 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) d, st) "
             "SELECT doc_id, CAST(score AS BIGINT) AS score FROM sc "
             "WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20"),
+        "doc_normalize": (
+            "SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS text_norm, "
+            "CAST(length(trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) "
+            "AS n_chars_norm FROM documents"),
+        "views_purchases_full": (
+            "WITH v AS (SELECT date_trunc('day', ts) AS day, user_id, "
+            "CAST(count(*) AS BIGINT) AS n_views FROM events "
+            "WHERE event_type = 'view' GROUP BY 1, 2), "
+            "p AS (SELECT date_trunc('day', ts) AS day, user_id, "
+            "CAST(count(*) AS BIGINT) AS n_purchases FROM events "
+            "WHERE event_type = 'purchase' GROUP BY 1, 2) "
+            "SELECT COALESCE(v.day, p.day) AS day, "
+            "COALESCE(v.user_id, p.user_id) AS user_id, "
+            "CAST(COALESCE(n_views, 0) AS BIGINT) AS n_views, "
+            "CAST(COALESCE(n_purchases, 0) AS BIGINT) AS n_purchases "
+            "FROM v FULL OUTER JOIN p "
+            "ON v.day = p.day AND v.user_id = p.user_id"),
+        "daily_revenue_moving7": (
+            "WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS revenue_cents FROM orders GROUP BY 1) "
+            "SELECT day, revenue_cents, "
+            "CAST(sum(revenue_cents) OVER (ORDER BY day "
+            "RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS moving7_cents FROM d"),
+        "global_event_rank": (
+            "SELECT event_id, CAST(row_number() OVER "
+            "(ORDER BY ts, event_id) AS BIGINT) AS rnk FROM events"),
         "user_value_trend": (
             "WITH e AS (SELECT user_id, "
             "CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x, "

@@ -216,3 +216,19 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
         "n_distinct": pa.array(n_distinct),
         "top_count": pa.array(top_count),
     })
+
+
+def normalize_batch(batch: pa.Table) -> pa.Table:
+    """Canonical text normalization for training corpora: lowercase,
+    strip non-[a-z0-9 ] chars, collapse space runs, trim.  All Arrow RE2
+    kernels — zero Python per row; the DuckDB oracle uses the same RE2
+    patterns so outputs hash identically."""
+    low = pc.utf8_lower(batch.column("text"))
+    s = pc.replace_substring_regex(low, "[^a-z0-9 ]", "")
+    s = pc.replace_substring_regex(s, " +", " ")
+    s = pc.utf8_trim(s, " ")
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "text_norm": s,
+        "n_chars_norm": pc.cast(pc.utf8_length(s), pa.int64()),
+    })

@@ -1881,3 +1881,123 @@ def user_value_trend(sf_dir: str) -> ray.data.Dataset:
             "trend_den": pa.array(n * sxx - sx * sx)})
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def views_purchases_full(sf_dir: str) -> ray.data.Dataset:
+    """FULL OUTER join shape at (day, user) grain: per-day per-user view
+    counts vs purchase counts, keeping keys present on EITHER side with
+    zero-fill.  Because each side contributes at most one row per key
+    after its own partial aggregation, the full-outer join IS a union +
+    groupby-sum of zero-padded partials — no join operator, one exchange,
+    no driver materialization, and no null-handling edge cases at scale."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch.column("ts"), unit="day"),
+                      pa.timestamp("us"))
+        et = batch.column("event_type")
+        is_v = pc.cast(pc.equal(et, "view"), pa.int64())
+        is_p = pc.cast(pc.equal(et, "purchase"), pa.int64())
+        t = pa.table({"day": day, "user_id": batch.column("user_id"),
+                      "v": is_v, "p": is_p})
+        t = t.filter(pc.greater(pc.add(t.column("v"), t.column("p")), 0))
+        return t
+
+    counted = partial_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day", "user_id"],
+        [("v", "sum", "n_views"), ("p", "sum", "n_purchases")])
+    return counted
+
+
+def daily_revenue_moving7(sf_dir: str) -> ray.data.Dataset:
+    """Trailing 7-day moving revenue sum: the raw scan folds to ONE row
+    per calendar day (partial-agg — bounded by the date range, ~2.5k days
+    at any corpus size), and only that bounded aggregate flows through the
+    single-group windowing kernel.  The window math itself is a vectorized
+    cumsum difference."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch.column("o_orderdate"),
+                                        unit="day"), pa.timestamp("us"))
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        return pa.table({"day": day, "cents": pa.array(cents),
+                         "_k": pa.array(np.zeros(len(batch), np.int64))})
+
+    daily = partial_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day", "_k"], [("cents", "sum", "revenue_cents")])
+
+    def window(group: pa.Table) -> pa.Table:
+        day = group.column("day").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        rev = group.column("revenue_cents").to_numpy(zero_copy_only=False)
+        order = np.argsort(day)
+        day, rev = day[order], rev[order]
+        csum = np.concatenate([[0], np.cumsum(rev)])
+        # trailing window includes days within [d-6, d]; days are dense in
+        # TPC-H but handle gaps exactly via searchsorted on day values
+        lo = np.searchsorted(day, day - 6, side="left")
+        mov = csum[np.arange(1, len(day) + 1)] - csum[lo]
+        return pa.table({
+            "day": pa.array(day.astype("datetime64[D]")
+                            .astype("datetime64[us]")),
+            "revenue_cents": pa.array(rev),
+            "moving7_cents": pa.array(mov)})
+
+    return daily.groupby("_k").map_groups(window, batch_format="pyarrow") \
+        .select_columns(["day", "revenue_cents", "moving7_cents"])
+
+
+def global_event_rank(sf_dir: str) -> ray.data.Dataset:
+    """Distributed zipWithIndex: the exact global rank of every event
+    under ORDER BY (ts, event_id), without a single-node sort.  Pattern:
+    (1) per-day counts via partial aggregation (bounded: calendar days);
+    (2) driver computes exclusive prefix sums over the ~tiny day table
+    and broadcasts them; (3) ``groupby(day).map_groups`` sorts each
+    bucket locally and stamps offset + local position.  Rank assignment
+    is bucket-parallel; no global exchange beyond the day groupby."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_id"])
+    origin = np.datetime64("1970-01-01", "D").astype(np.int64)
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        day = (batch.column("ts").to_numpy(zero_copy_only=False)
+               .astype("datetime64[D]").astype(np.int64) - origin)
+        return pa.table({"day": pa.array(day),
+                         "one": pa.array(np.ones(len(batch), np.int64))})
+
+    daily = partial_aggregate(
+        ds.map_batches(day_partial, batch_format="pyarrow"),
+        ["day"], [("one", "sum", "n")]).take_all()  # bounded: ~days
+    days = np.array([r["day"] for r in daily], np.int64)
+    ns = np.array([r["n"] for r in daily], np.int64)
+    order = np.argsort(days)
+    days, ns = days[order], ns[order]
+    offsets = np.concatenate([[0], np.cumsum(ns)[:-1]])
+    side_ref = ray.put((days, offsets))
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        day = (batch.column("ts").to_numpy(zero_copy_only=False)
+               .astype("datetime64[D]").astype(np.int64) - origin)
+        return batch.append_column("day", pa.array(day))
+
+    def stamp(group: pa.Table) -> pa.Table:
+        sdays, soffs = ray.get(side_ref)
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        local = np.lexsort((eid, ts))
+        rnk = np.empty(len(group), dtype=np.int64)
+        base = soffs[np.searchsorted(sdays, group.column("day")[0].as_py())]
+        rnk[local] = base + 1 + np.arange(len(group), dtype=np.int64)
+        return pa.table({"event_id": group.column("event_id"),
+                         "rnk": pa.array(rnk)})
+
+    return ds.map_batches(add_day, batch_format="pyarrow") \
+        .groupby("day").map_groups(stamp, batch_format="pyarrow")

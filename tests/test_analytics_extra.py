@@ -479,3 +479,72 @@ def test_user_value_trend_known_slope(ray_session, tmp_path):
     assert int(out.loc[7, "trend_num"]) / int(out.loc[7, "trend_den"]) == 100.0
     assert int(out.loc[8, "trend_num"]) == 0
     assert int(out.loc[7, "n_events"]) == 3
+
+
+def test_normalize_batch_hand_case(ray_session):
+    from ctdray.functions.text import normalize_batch
+
+    b = _docs(["  Hello,  WORLD! 42 ", "a--b"])
+    out = normalize_batch(b).to_pydict()
+    assert out["text_norm"] == ["hello world 42", "ab"]
+    assert out["n_chars_norm"] == [14, 2]
+
+
+def test_views_purchases_full_outer_semantics(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import views_purchases_full
+
+    ts = pa.array(np.array(["2024-01-01T05:00", "2024-01-01T06:00",
+                            "2024-01-02T05:00", "2024-01-02T06:00"],
+                           dtype="datetime64[us]"))
+    pq.write_table(pa.table({
+        "ts": ts,
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "event_type": pa.array(["view", "purchase", "view", "purchase"]),
+    }), str(tmp_path / "events.parquet"))
+    out = views_purchases_full(str(tmp_path)).to_pandas()
+    out["day"] = out.day.astype("datetime64[us]").dt.day
+    rows = {(r.day, r.user_id): (r.n_views, r.n_purchases)
+            for r in out.itertuples()}
+    # day1/user1 both sides; day2/user1 view-only; day2/user2 purchase-only
+    assert rows == {(1, 1): (1, 1), (2, 1): (1, 0), (2, 2): (0, 1)}
+
+
+def test_daily_revenue_moving7_gap_exact(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import daily_revenue_moving7
+
+    # days 0, 5, 8: window at day 8 covers [2..8] → includes day 5 only
+    dt = pa.array(np.array(["2024-01-01", "2024-01-06", "2024-01-09"],
+                           dtype="datetime64[us]"))
+    pq.write_table(pa.table({
+        "o_orderdate": dt,
+        "o_totalprice": pa.array([1.0, 2.0, 4.0]),
+    }), str(tmp_path / "orders.parquet"))
+    out = daily_revenue_moving7(str(tmp_path)).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+    assert list(out.moving7_cents) == [100, 300, 600]  # [d0], [d0,d5], [d5,d8]
+
+
+def test_global_event_rank_matches_lexsort(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import global_event_rank
+
+    rng = np.random.default_rng(7)
+    n = 500
+    ts = (np.datetime64("2024-01-01", "us")
+          + rng.integers(0, 10 * 86400 * 10**6, n).astype("timedelta64[us]"))
+    # force ts collisions so the event_id tiebreak matters
+    ts[100:200] = ts[0]
+    eid = rng.permutation(n).astype(np.int64)
+    pq.write_table(pa.table({"ts": pa.array(ts), "event_id": pa.array(eid)}),
+                   str(tmp_path / "events.parquet"))
+    out = global_event_rank(str(tmp_path)).to_pandas()
+    order = np.lexsort((eid, ts.astype(np.int64)))
+    expect = np.empty(n, np.int64)
+    expect[order] = 1 + np.arange(n)
+    got = out.set_index("event_id").rnk
+    assert (got.loc[eid].to_numpy() == expect).all()
