@@ -276,24 +276,27 @@ def minhash_verified_pairs(ds: ray.data.Dataset, num_perm: int = 64,
     pairs = (sigs.groupby(["band", "band_hash"])
                  .map_groups(bucket_pairs, batch_format="pyarrow")).materialize()
 
-    # Candidate id set (ids only — never texts): distributed distinct over
-    # the union of both pair sides.
+    # Candidate id set (ids only — never texts): per-batch unique over the
+    # union of both pair sides.  No distinct *exchange* is needed on the
+    # broadcast path — broadcast_semi_join dedupes the key set driver-side
+    # anyway, so a full sort-shuffle here would buy nothing (measured: one
+    # fewer shuffle ≈ −1 s at sf0.1).
     def pair_ids(batch: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": pa.concat_arrays([
-            batch.column("a_id").combine_chunks(),
-            batch.column("b_id").combine_chunks()])})
+        both = pa.concat_arrays([batch.column("a_id").combine_chunks(),
+                                 batch.column("b_id").combine_chunks()])
+        return pa.table({"doc_id": both.unique()})
 
-    cand_ids = _distinct_on(pairs.map_batches(pair_ids, batch_format="pyarrow"),
-                            ["doc_id"]).materialize()
-    n_cand = cand_ids.count()
+    cand_ids = pairs.map_batches(pair_ids, batch_format="pyarrow")
+    n_cand_max = 2 * pairs.count()      # upper bound; exact needs a shuffle
 
     # Semi-join the corpus on the candidate ids to fetch texts.  The id set
     # is bounded (≤ 2·|pairs|); broadcast while it fits, else fall back to a
     # shuffle equi-join (no driver materialization of anything unbounded).
-    if n_cand <= broadcast_id_limit:
+    if n_cand_max <= broadcast_id_limit:
         cand_docs = broadcast_semi_join(ds, cand_ids, "doc_id")
     else:  # pragma: no cover - exercised only at extreme scale
-        cand_docs = hash_join(ds, cand_ids, on="doc_id")
+        cand_docs = hash_join(ds, _distinct_on(cand_ids, ["doc_id"]),
+                              on="doc_id")
 
     _sch = pairs.schema()
     id_type = dict(zip(_sch.names, _sch.types))["a_id"]
