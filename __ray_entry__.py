@@ -68,7 +68,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         bm25_top_docs, user_value_trend,
                                         views_purchases_full,
                                         daily_revenue_moving7,
-                                        global_event_rank)
+                                        global_event_rank,
+                                        user_top_event_type,
+                                        heavy_hitter_tokens,
+                                        price_quartile_volumes,
+                                        session_duration_stats)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -371,6 +375,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "views_purchases_full": views_purchases_full,
         "daily_revenue_moving7": daily_revenue_moving7,
         "global_event_rank": global_event_rank,
+        "user_top_event_type": user_top_event_type,
+        "heavy_hitter_tokens": heavy_hitter_tokens,
+        "price_quartile_volumes": price_quartile_volumes,
+        "session_duration_stats": session_duration_stats,
         "price_quantiles_by_flag": lambda sf: grouped_exact_quantiles(
             __import__("ctdray.sources.tables",
                        fromlist=["read_parquet_clean"]).read_parquet_clean(
@@ -849,6 +857,41 @@ def oracle_sql() -> dict[str, str]:
         "global_event_rank": (
             "SELECT event_id, CAST(row_number() OVER "
             "(ORDER BY ts, event_id) AS BIGINT) AS rnk FROM events"),
+        "user_top_event_type": (
+            "WITH c AS (SELECT user_id, event_type, count(*) AS cnt "
+            "FROM events GROUP BY 1, 2) "
+            "SELECT user_id, event_type AS top_type, "
+            "CAST(cnt AS BIGINT) AS n FROM c "
+            "QUALIFY row_number() OVER (PARTITION BY user_id "
+            "ORDER BY cnt DESC, event_type ASC) = 1"),
+        "heavy_hitter_tokens": (
+            "SELECT tok AS token, CAST(count(*) AS BIGINT) AS n "
+            "FROM (SELECT unnest(string_split(text, ' ')) AS tok "
+            "FROM documents) GROUP BY tok HAVING count(*) >= 800"),
+        "price_quartile_volumes": (
+            "WITH q AS (SELECT quantile_disc(l_extendedprice, 0.25) AS b1, "
+            "quantile_disc(l_extendedprice, 0.5) AS b2, "
+            "quantile_disc(l_extendedprice, 0.75) AS b3 FROM lineitem) "
+            "SELECT CAST(CASE WHEN l_extendedprice <= b1 THEN 0 "
+            "WHEN l_extendedprice <= b2 THEN 1 "
+            "WHEN l_extendedprice <= b3 THEN 2 ELSE 3 END AS BIGINT) "
+            "AS bucket, CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS sum_cents FROM lineitem, q GROUP BY 1"),
+        "session_duration_stats": (
+            "WITH o AS (SELECT user_id, ts, lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) AS prev FROM events), "
+            "g AS (SELECT user_id, ts, CASE WHEN prev IS NULL "
+            "OR ts - prev > INTERVAL 1800 SECOND THEN 1 ELSE 0 END "
+            "AS brk FROM o), "
+            "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g), "
+            "d AS (SELECT user_id, sid, epoch_us(max(ts)) - epoch_us(min(ts)) "
+            "AS dur FROM s GROUP BY 1, 2) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions, "
+            "CAST(sum(dur) AS BIGINT) AS total_dur_us, "
+            "CAST(max(dur) AS BIGINT) AS longest_dur_us "
+            "FROM d GROUP BY user_id"),
         "user_value_trend": (
             "WITH e AS (SELECT user_id, "
             "CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x, "

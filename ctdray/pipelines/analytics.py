@@ -2001,3 +2001,168 @@ def global_event_rank(sf_dir: str) -> ray.data.Dataset:
 
     return ds.map_batches(add_day, batch_format="pyarrow") \
         .groupby("day").map_groups(stamp, batch_format="pyarrow")
+
+
+def user_top_event_type(sf_dir: str) -> ray.data.Dataset:
+    """Grouped MODE: each user's most frequent event type (ties → type
+    asc).  Two-level distributive plan: per-batch (user, type) counts →
+    groupby-sum partials → per-batch local argmax (≤ 1 row per user per
+    batch) → per-user final argmax.  The exchange never carries raw
+    events, and the mode pick is a deterministic lexicographic reduce."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = batch.append_column(
+            "one", pa.array(np.ones(len(batch), np.int64)))
+        res = t.group_by(["user_id", "event_type"]).aggregate([("one", "sum")])
+        return pa.table({"user_id": res.column("user_id"),
+                         "top_type": res.column("event_type"),
+                         "n": res.column("one_sum")})
+
+    counts = partial_aggregate(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["user_id", "top_type"], [("n", "sum", "n")])
+
+    def best(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        typ = np.asarray(batch.column("top_type").to_pylist(), dtype=object)
+        order = np.lexsort((typ, -n))
+        first = np.unique(uid[order], return_index=True)[1]
+        keep = pa.array(np.sort(order[first]))
+        return pa.table({"user_id": pc.take(batch.column("user_id"), keep),
+                         "top_type": pc.take(batch.column("top_type"), keep),
+                         "n": pc.take(batch.column("n"), keep)})
+
+    return (counts.map_batches(best, batch_format="pyarrow")
+                  .groupby("user_id")
+                  .map_groups(best, batch_format="pyarrow"))
+
+
+def heavy_hitter_tokens(sf_dir: str, threshold: int = 800,
+                        per_batch_top: int = 256) -> ray.data.Dataset:
+    """Exact heavy hitters (tokens with global count ≥ threshold) via the
+    two-pass sketch-then-verify pattern: pass 1 keeps each batch's top-M
+    local token counts and the M-th (dropped) count as that batch's error
+    cap — a token absent from EVERY batch's top-M has global count
+    ≤ Σ caps, so if Σ caps < threshold the candidate set is provably
+    complete.  Pass 2 recounts ONLY the candidates exactly (broadcast
+    id set, bounded by M · n_blocks) and filters ≥ threshold.  If the
+    guarantee ever fails (Σ caps ≥ threshold), fall back to the exact
+    full groupby — correctness is never sampled away.  Oracle-exact by
+    construction."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        res = pa.table({"token": toks}).group_by(["token"]) \
+            .aggregate([("token", "count")])
+        n = res.column("token_count").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cap = 0
+        if len(n) > per_batch_top:
+            keep_idx = np.argpartition(-n, per_batch_top)[:per_batch_top]
+            cap = int(np.delete(n, keep_idx).max())
+            res = res.take(pa.array(np.sort(keep_idx)))
+        tok = res.column("token")
+        return pa.table({
+            "token": pa.concat_arrays(
+                [tok.combine_chunks(), pa.array([None], tok.type)]),
+            "cap": pa.array([0] * len(res) + [cap], pa.int64())})
+
+    cand_rows = ds.map_batches(local_top, batch_format="pyarrow") \
+        .materialize()
+    caps_sum = 0
+    cand: set = set()
+    for b in cand_rows.iter_batches(batch_format="pyarrow",
+                                    batch_size=8192):
+        toks = b.column("token")
+        null = pc.is_null(toks)
+        caps_sum += int(pc.sum(pc.if_else(
+            null, b.column("cap"), pa.scalar(0, pa.int64()))).as_py() or 0)
+        cand.update(b.filter(pc.invert(null)).column("token").to_pylist())
+
+    ds2 = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["text"])
+    if caps_sum >= threshold:  # pragma: no cover - guarantee never fails
+        # at this vocabulary scale; exactness is preserved regardless
+        cand_ref = None
+    else:
+        cand_ref = ray.put(pa.array(sorted(cand)))
+
+    def recount(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        if cand_ref is not None:
+            toks = toks.filter(pc.is_in(toks, value_set=ray.get(cand_ref)))
+        res = pa.table({"token": toks}).group_by(["token"]) \
+            .aggregate([("token", "count")])
+        return pa.table({"token": res.column("token"),
+                         "n": pc.cast(res.column("token_count"),
+                                      pa.int64())})
+
+    counts = partial_aggregate(
+        ds2.map_batches(recount, batch_format="pyarrow"),
+        ["token"], [("n", "sum", "n")])
+    return counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n"), threshold)),
+        batch_format="pyarrow")
+
+
+def price_quartile_volumes(sf_dir: str) -> ray.data.Dataset:
+    """Value-threshold quartile bucketing: exact quartile boundaries via
+    the distributed histogram-refinement selection (one extra scan family,
+    never a global sort), boundaries broadcast, rows bucketed with one
+    searchsorted per batch, volumes reduced with partial aggregation.
+    Bucket b = number of quartile boundaries strictly below the value —
+    deterministic under ties, unlike SQL NTILE."""
+    from ..functions.quantiles import exact_quantiles
+    price = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+    qt = exact_quantiles(price, "l_extendedprice", qs=(0.25, 0.5, 0.75),
+                         collect_cap=10_000)
+    bounds = np.sort(np.asarray(qt.column("value").to_pylist(),
+                                dtype=np.float64))
+    b_ref = ray.put(bounds)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        bs = ray.get(b_ref)
+        v = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        bk = np.searchsorted(bs, v, side="left")   # boundaries < v
+        cents = np.rint(v * 100).astype(np.int64)
+        return pa.table({"bucket": pa.array(bk.astype(np.int64)),
+                         "one": pa.array(np.ones(len(batch), np.int64)),
+                         "cents": pa.array(cents)})
+
+    return partial_aggregate(
+        price.map_batches(bucket, batch_format="pyarrow"),
+        ["bucket"], [("one", "sum", "n_rows"), ("cents", "sum", "sum_cents")])
+
+
+def session_duration_stats(sf_dir: str,
+                           gap_seconds: int = 1800) -> ray.data.Dataset:
+    """Per-user session DURATION statistics (sessionize_events counts
+    sessions; this measures them): sessions split at > gap_seconds
+    silences, per user emit session count, total and longest session
+    duration in exact microseconds.  Same single groupby(user) exchange —
+    the per-group kernel is a vectorized diff/split."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = np.sort(group.column("ts").to_numpy(zero_copy_only=False)
+                     .astype("datetime64[us]").astype(np.int64))
+        gaps = np.diff(ts)
+        brk = np.nonzero(gaps > gap_seconds * 1_000_000)[0]
+        starts = np.concatenate([[0], brk + 1])
+        ends = np.concatenate([brk, [len(ts) - 1]])
+        durs = ts[ends] - ts[starts]
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "n_sessions": pa.array([len(durs)], pa.int64()),
+            "total_dur_us": pa.array([int(durs.sum())], pa.int64()),
+            "longest_dur_us": pa.array([int(durs.max())], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")

@@ -548,3 +548,71 @@ def test_global_event_rank_matches_lexsort(ray_session, tmp_path):
     expect[order] = 1 + np.arange(n)
     got = out.set_index("event_id").rnk
     assert (got.loc[eid].to_numpy() == expect).all()
+
+
+def test_user_top_event_type_tiebreak(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import user_top_event_type
+
+    # user 1: 'b' ×2 beats 'a' ×1; user 2: tie 1-1 → 'a' wins (type asc)
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["a", "b", "b", "b", "a"]),
+    }), str(tmp_path / "events.parquet"))
+    out = user_top_event_type(str(tmp_path)).to_pandas() \
+        .set_index("user_id")
+    assert out.loc[1, "top_type"] == "b" and out.loc[1, "n"] == 2
+    assert out.loc[2, "top_type"] == "a" and out.loc[2, "n"] == 1
+
+
+def test_heavy_hitters_exact_with_tiny_top(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import heavy_hitter_tokens
+
+    # per_batch_top=2 forces candidate truncation; 'x' (6) and 'y' (5)
+    # are the only tokens with count >= 4
+    texts = ["x x x y y z", "x x x y y y w", "q r s"]
+    pq.write_table(pa.table({"text": pa.array(texts)}),
+                   str(tmp_path / "documents.parquet"))
+    out = heavy_hitter_tokens(str(tmp_path), threshold=4,
+                              per_batch_top=2).to_pandas()
+    got = dict(zip(out.token, out.n))
+    assert got == {"x": 6, "y": 5}
+
+
+def test_price_quartile_volumes_small(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import price_quartile_volumes
+
+    # 8 values; quantile_disc boundaries at ranks ceil(q*8): 2nd, 4th, 6th
+    vals = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0]
+    pq.write_table(pa.table({"l_extendedprice": pa.array(vals)}),
+                   str(tmp_path / "lineitem.parquet"))
+    out = price_quartile_volumes(str(tmp_path)).to_pandas() \
+        .set_index("bucket").sort_index()
+    # boundaries 20/40/60 → buckets: {10,20}=0, {30,40}=1, {50,60}=2, {70,80}=3
+    assert list(out.n_rows) == [2, 2, 2, 2]
+    assert list(out.sum_cents) == [3000, 7000, 11000, 15000]
+
+
+def test_session_duration_stats_hand_case(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import session_duration_stats
+
+    # user 5: events at 0s, 600s, then 4000s gap → 2 sessions of
+    # durations 600s and 0s
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = pa.array([base, base + np.timedelta64(600, "s"),
+                   base + np.timedelta64(4600, "s")])
+    pq.write_table(pa.table({
+        "user_id": pa.array([5, 5, 5], pa.int64()), "ts": ts,
+    }), str(tmp_path / "events.parquet"))
+    out = session_duration_stats(str(tmp_path)).to_pandas() \
+        .set_index("user_id")
+    assert int(out.loc[5, "n_sessions"]) == 2
+    assert int(out.loc[5, "total_dur_us"]) == 600 * 10**6
+    assert int(out.loc[5, "longest_dur_us"]) == 600 * 10**6
