@@ -630,13 +630,20 @@ def incremental_dedup(ds: ray.data.Dataset,
 def dedup_clusters(ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16,
                    threshold: float = 0.8, shingle_k: int = 3,
                    max_iters: int = 15,
-                   broadcast_label_limit: int = 2_000_000
+                   broadcast_label_limit: int = 2_000_000,
+                   driver_pairs_limit: int = 500_000
                    ) -> ray.data.Dataset:
     """Transitive near-duplicate clustering: every doc labeled with the
     smallest doc_id in its connected component of the verified-pair graph
     (A~B, B~C ⇒ {A,B,C} one cluster even when A~C itself is below
     threshold) — what a training pipeline needs to keep ONE representative
     per duplicate *family*, not merely drop pairwise partners.
+
+    Adaptive two-path execution on the measured verified-pair count:
+    ≤ ``driver_pairs_limit`` pairs run union-find on the driver (bounded
+    bytes, exact same labels); beyond it, BSP min-label propagation —
+    so the common case pays zero supersteps and the huge case never
+    touches the driver.
 
     BSP min-label propagation over :func:`minhash_verified_pairs` edges:
     labels start as own id; each superstep stamps the source label onto
@@ -658,10 +665,52 @@ def dedup_clusters(ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16,
         ids = batch.column("doc_id")
         return pa.table({"doc_id": ids, "cluster_id": ids})
 
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return ds.map_batches(all_docs_self, batch_format="pyarrow")
 
     id_type = dict(zip(pairs.schema().names, pairs.schema().types))["a_id"]
+
+    if n_pairs <= driver_pairs_limit:
+        # Adaptive small-graph path (the anti_join='auto' pattern): the
+        # verified-pair set is ALREADY bounded and measured — at ≤ 16 B a
+        # pair this is ≤ 8 MB on the driver, where union-find with path
+        # compression beats O(diameter) BSP supersteps (each superstep is
+        # two sort exchanges of the same edges).  The BSP path below
+        # remains the >limit route, so nothing unbounded ever lands here.
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:        # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in pairs.iter_rows():
+            ra, rb = find(row["a_id"]), find(row["b_id"])
+            if ra != rb:
+                # union by smaller label so the root IS the min id
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+
+        nodes = list(parent.keys() | {find(k) for k in parent})
+        lbl_nodes = pa.array(nodes, id_type)
+        lbl_labels = pa.array([find(x) for x in nodes], id_type)
+        lbl_ref_small = ray.put((lbl_nodes, lbl_labels))
+
+        def attach_small(batch: pa.Table) -> pa.Table:
+            nds, labs = ray.get(lbl_ref_small)
+            ids = batch.column("doc_id").combine_chunks()
+            pos = pc.index_in(ids, value_set=nds)
+            got = pc.take(labs, pos)
+            return pa.table({"doc_id": ids,
+                             "cluster_id": pc.if_else(pc.is_valid(got), got,
+                                                      ids.cast(id_type))})
+
+        return ds.map_batches(attach_small, batch_format="pyarrow")
 
     def both_dirs(batch: pa.Table) -> pa.Table:
         a = batch.column("a_id").combine_chunks()

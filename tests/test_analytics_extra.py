@@ -221,6 +221,12 @@ def test_dedup_clusters_transitive_chain(ray_session):
     out = (dedup_clusters(rd.from_arrow(tbl), threshold=0.5)
            .to_pandas().sort_values("doc_id"))
     assert list(out.cluster_id) == [10, 10, 10, 13]
+    # both execution paths must label identically: driver_pairs_limit=0
+    # forces the distributed BSP route on the same graph
+    out_bsp = (dedup_clusters(rd.from_arrow(tbl), threshold=0.5,
+                              driver_pairs_limit=0)
+               .to_pandas().sort_values("doc_id"))
+    assert list(out_bsp.cluster_id) == [10, 10, 10, 13]
 
 
 def test_orders_cube_levels_consistent(ray_session):
