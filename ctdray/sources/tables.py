@@ -22,3 +22,43 @@ def read_parquet_clean(path: str, columns: list[str] | None = None,
     if columns:
         sch = pa.schema([sch.field(c) for c in columns])
     return ray.data.read_parquet(path, columns=columns, schema=sch, **kwargs)
+
+
+def read_csv_table(path: str, schema: pa.Schema | None = None,
+                   columns: list[str] | None = None,
+                   **kwargs) -> ray.data.Dataset:
+    """CSV source: ``ray.data.read_csv`` with an explicit Arrow schema
+    (type inference is per-file and can disagree across shards — a 100 TB
+    corpus MUST pin types at the read) and column projection pushed into
+    the Arrow CSV reader via convert_options.
+
+    The CSV analog of ``read_parquet_clean``; cite: the reference scans
+    annotation ``.txt`` sidecars per image (inference.py:33-70) — tabular
+    text ingest is part of its source surface."""
+    from pyarrow import csv as pacsv
+    convert = pacsv.ConvertOptions(
+        column_types=schema,
+        include_columns=columns or (list(schema.names) if schema else None))
+    return ray.data.read_csv(path, convert_options=convert, **kwargs)
+
+
+def read_jsonl_table(path: str, schema: pa.Schema | None = None,
+                     columns: list[str] | None = None,
+                     **kwargs) -> ray.data.Dataset:
+    """JSON-lines source: ``ray.data.read_json`` (Arrow streaming JSON
+    reader — newline-delimited records), explicit schema pinning for
+    cross-shard type agreement, column projection applied as a zero-copy
+    select after parse (Arrow's JSON reader has no projection pushdown;
+    unparsed columns never leave the read task)."""
+    ds = ray.data.read_json(path, **kwargs)
+    if schema is not None:
+        target = pa.schema([schema.field(c) for c in (columns or schema.names)])
+
+        def conform(batch: pa.Table) -> pa.Table:
+            cols = [batch.column(f.name).cast(f.type) for f in target]
+            return pa.table(dict(zip(target.names, cols)))
+
+        return ds.map_batches(conform, batch_format="pyarrow")
+    if columns:
+        return ds.select_columns(columns)
+    return ds

@@ -427,3 +427,33 @@ def test_top_n_per_key_window(ray_session):
     exp = set(map(tuple, want[["o_custkey", "o_orderkey"]].values))
     assert got == exp
     assert set(out.rnk) <= {1, 2}
+
+
+def test_csv_and_jsonl_sources_round_trip(ray_session, tmp_path):
+    import json
+
+    import pyarrow as pa
+
+    from ctdray.sources.tables import read_csv_table, read_jsonl_table
+
+    rows = [{"doc_id": 1, "text": "alpha beta", "n": 10},
+            {"doc_id": 2, "text": "gamma", "n": -3}]
+    csv_p = tmp_path / "t.csv"
+    csv_p.write_text("doc_id,text,n\n" +
+                     "\n".join(f'{r["doc_id"]},{r["text"]},{r["n"]}'
+                               for r in rows) + "\n")
+    jsonl_p = tmp_path / "t.jsonl"
+    jsonl_p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("n", pa.int32())])
+    for reader, path in ((read_csv_table, csv_p), (read_jsonl_table, jsonl_p)):
+        out = reader(str(path), schema=schema).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert list(out.doc_id) == [1, 2]
+        assert list(out.text) == ["alpha beta", "gamma"]
+        assert list(out.n) == [10, -3]
+        # projection drops the text column at/after the read
+        pr = reader(str(path), schema=schema,
+                    columns=["doc_id", "n"]).to_pandas()
+        assert sorted(pr.columns) == ["doc_id", "n"]
