@@ -72,7 +72,9 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         user_top_event_type,
                                         heavy_hitter_tokens,
                                         price_quartile_volumes,
-                                        session_duration_stats)
+                                        session_duration_stats,
+                                        token_offset_packing,
+                                        decontaminate_5gram)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -379,6 +381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": heavy_hitter_tokens,
         "price_quartile_volumes": price_quartile_volumes,
         "session_duration_stats": session_duration_stats,
+        "token_offset_packing": token_offset_packing,
+        "decontaminate_5gram": decontaminate_5gram,
         "price_quantiles_by_flag": lambda sf: grouped_exact_quantiles(
             __import__("ctdray.sources.tables",
                        fromlist=["read_parquet_clean"]).read_parquet_clean(
@@ -878,6 +882,29 @@ def oracle_sql() -> dict[str, str]:
             "AS bucket, CAST(count(*) AS BIGINT) AS n_rows, "
             "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) "
             "AS BIGINT) AS sum_cents FROM lineitem, q GROUP BY 1"),
+        "token_offset_packing": (
+            "WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS nt "
+            "FROM documents) "
+            "SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, "
+            "CAST(COALESCE(sum(nt) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS BIGINT) AS start_tok, "
+            "CAST(COALESCE(sum(nt) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "// 4096 AS BIGINT) AS chunk_id FROM t"),
+        "decontaminate_5gram": (
+            "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "gg AS (SELECT doc_id, CASE WHEN len(t) >= 5 THEN "
+            "[array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)] "
+            "ELSE [] END AS gs FROM tk), "
+            "ev AS (SELECT DISTINCT g FROM gg, UNNEST(gs) u(g) "
+            "WHERE doc_id < 10), "
+            "tr AS (SELECT doc_id, gs FROM gg WHERE doc_id >= 10), "
+            "hits AS (SELECT tr.doc_id, count(*) AS n FROM tr, "
+            "UNNEST(gs) w(g) JOIN ev USING (g) GROUP BY 1) "
+            "SELECT tr.doc_id, CAST(COALESCE(hits.n, 0) AS BIGINT) "
+            "AS n_matches FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id"),
         "session_duration_stats": (
             "WITH o AS (SELECT user_id, ts, lag(ts) OVER "
             "(PARTITION BY user_id ORDER BY ts) AS prev FROM events), "

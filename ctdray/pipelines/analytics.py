@@ -2166,3 +2166,120 @@ def session_duration_stats(sf_dir: str,
 
     return ds.groupby("user_id").map_groups(per_user,
                                             batch_format="pyarrow")
+
+
+def token_offset_packing(sf_dir: str,
+                         chunk_tokens: int = 4096,
+                         id_bucket: int = 1024) -> ray.data.Dataset:
+    """Sequence-packing offsets for LLM pretraining: documents concatenate
+    in doc_id order into one token stream chunked every ``chunk_tokens``;
+    each doc gets its global start offset and chunk id (docs may straddle
+    chunk boundaries — the GPT-style concat-then-chunk regime).  The
+    global prefix sum is distributed exactly like ``global_event_rank``:
+    per-id-range token counts reduce to a tiny table, the driver prefix-
+    sums it, and each range stamps its docs bucket-parallel (requires the
+    corpus's dense integer doc_id — the row-group ordinal any Lance/
+    parquet corpus carries)."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def bucket_tokens(batch: pa.Table) -> pa.Table:
+        nt = pc.list_value_length(pc.split_pattern(batch.column("text"),
+                                                   " "))
+        return pa.table({
+            "bucket": pa.array(
+                batch.column("doc_id").to_numpy(zero_copy_only=False)
+                // id_bucket),
+            "nt": pc.cast(nt, pa.int64())})
+
+    per_bucket = partial_aggregate(
+        ds.map_batches(bucket_tokens, batch_format="pyarrow"),
+        ["bucket"], [("nt", "sum", "n")]).take_all()   # bounded: N/id_bucket
+    bks = np.array([r["bucket"] for r in per_bucket], np.int64)
+    ns = np.array([r["n"] for r in per_bucket], np.int64)
+    order = np.argsort(bks)
+    bks, ns = bks[order], ns[order]
+    offsets = np.concatenate([[0], np.cumsum(ns)[:-1]])
+    side = ray.put((bks, offsets))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket", pa.array(
+                batch.column("doc_id").to_numpy(zero_copy_only=False)
+                // id_bucket))
+
+    def stamp(group: pa.Table) -> pa.Table:
+        sbks, soffs = ray.get(side)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        nt = pc.list_value_length(pc.split_pattern(group.column("text"),
+                                                   " ")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        base = soffs[np.searchsorted(sbks, group.column("bucket")[0].as_py())]
+        starts = np.empty(len(ids), np.int64)
+        starts[order] = base + np.concatenate([[0], np.cumsum(nt[order])[:-1]])
+        return pa.table({
+            "doc_id": group.column("doc_id"),
+            "n_tokens": pa.array(nt),
+            "start_tok": pa.array(starts),
+            "chunk_id": pa.array(starts // chunk_tokens)})
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(stamp, batch_format="pyarrow")
+
+
+def decontaminate_5gram(sf_dir: str, eval_ids_below: int = 10,
+                        k: int = 5) -> ray.data.Dataset:
+    """Benchmark decontamination: for every training document, count its
+    k-gram (default 5) windows that also appear in the EVAL set (docs
+    with doc_id < ``eval_ids_below``) — the n-gram-overlap contamination
+    check every serious pretraining pipeline runs against held-out
+    benchmarks.  The eval shingle set is bounded (|eval docs| is fixed) —
+    built once, broadcast via ``ray.put``; the corpus pass builds windows
+    with vectorized object-array concatenation and counts membership with
+    one ``pc.is_in`` + segmented sum per batch.  No exchange at all."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def windows(texts: pa.ChunkedArray | pa.Array):
+        toks = pc.split_pattern(texts, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+        off = toks.offsets.to_numpy(zero_copy_only=False)
+        parents = np.repeat(np.arange(len(toks), dtype=np.int64),
+                            np.diff(off))
+        if len(flat) < k:
+            return np.array([], dtype=object), np.array([], np.int64)
+        n = len(flat) - k + 1
+        joined = flat[:n].copy()
+        for j in range(1, k):
+            joined = joined + " "
+            joined = joined + flat[j:j + n]
+        same_doc = parents[:n] == parents[k - 1:]
+        return joined[same_doc], parents[:n][same_doc]
+
+    eval_rows = ds.map_batches(
+        lambda b: b.filter(pc.less(b.column("doc_id"), eval_ids_below)),
+        batch_format="pyarrow").take_all()            # bounded: eval set
+    eval_texts = pa.array([r["text"] for r in eval_rows], pa.string())
+    ev_grams, _ = windows(eval_texts)
+    ev_ref = ray.put(pa.array(np.unique(ev_grams).tolist(), pa.string()))
+
+    def count_matches(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch.column("doc_id"),
+                                          eval_ids_below))
+        if len(t) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_matches": pa.array([], pa.int64())})
+        grams, parents = windows(t.column("text"))
+        hits = np.zeros(len(t), dtype=np.int64)
+        if len(grams):
+            m = pc.is_in(pa.array(grams.tolist(), pa.string()),
+                         value_set=ray.get(ev_ref)) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            np.add.at(hits, parents, m)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_matches": pa.array(hits)})
+
+    return ds.map_batches(count_matches, batch_format="pyarrow")

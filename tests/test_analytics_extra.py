@@ -622,3 +622,44 @@ def test_session_duration_stats_hand_case(ray_session, tmp_path):
     assert int(out.loc[5, "n_sessions"]) == 2
     assert int(out.loc[5, "total_dur_us"]) == 600 * 10**6
     assert int(out.loc[5, "longest_dur_us"]) == 600 * 10**6
+
+
+def test_token_offset_packing_chunk_boundaries(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import token_offset_packing
+
+    # token counts 3, 4, 2, 5 in doc_id order; chunk size 6:
+    # starts 0, 3, 7, 9 → chunks 0, 0, 1, 1.  id_bucket=2 forces the
+    # distributed prefix across two buckets.
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c", "d e f g", "h i", "j k l m n"]),
+    }), str(tmp_path / "documents.parquet"))
+    out = token_offset_packing(str(tmp_path), chunk_tokens=6,
+                               id_bucket=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out.start_tok) == [0, 3, 7, 9]
+    assert list(out.chunk_id) == [0, 0, 1, 1]
+    assert list(out.n_tokens) == [3, 4, 2, 5]
+
+
+def test_decontaminate_counts_window_multiplicity(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import decontaminate_5gram
+
+    ev = "a b c d e f"                   # eval windows: abcde, bcdef
+    clean = "z y x w v u t"
+    dup = "a b c d e q a b c d e"        # window 'a b c d e' appears twice
+    short = "a b"                        # < k tokens → zero windows
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 10, 11, 12], pa.int64()),
+        "text": pa.array([ev, clean, dup, short]),
+    }), str(tmp_path / "documents.parquet"))
+    out = decontaminate_5gram(str(tmp_path), eval_ids_below=10) \
+        .to_pandas().set_index("doc_id")
+    assert 0 not in out.index            # eval docs excluded from output
+    assert int(out.loc[10, "n_matches"]) == 0
+    assert int(out.loc[11, "n_matches"]) == 2   # multiplicity counted
+    assert int(out.loc[12, "n_matches"]) == 0
