@@ -74,7 +74,9 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         price_quartile_volumes,
                                         session_duration_stats,
                                         token_offset_packing,
-                                        decontaminate_5gram)
+                                        decontaminate_5gram,
+                                        user_outlier_events,
+                                        rolling_7d_active_users)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -383,6 +385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_duration_stats": session_duration_stats,
         "token_offset_packing": token_offset_packing,
         "decontaminate_5gram": decontaminate_5gram,
+        "user_outlier_events": user_outlier_events,
+        "rolling_7d_active_users": rolling_7d_active_users,
         "price_quantiles_by_flag": lambda sf: grouped_exact_quantiles(
             __import__("ctdray.sources.tables",
                        fromlist=["read_parquet_clean"]).read_parquet_clean(
@@ -882,6 +886,21 @@ def oracle_sql() -> dict[str, str]:
             "AS bucket, CAST(count(*) AS BIGINT) AS n_rows, "
             "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) "
             "AS BIGINT) AS sum_cents FROM lineitem, q GROUP BY 1"),
+        "user_outlier_events": (
+            "WITH e AS (SELECT event_id, user_id, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+            "s AS (SELECT user_id, CAST(sum(cents) AS BIGINT) AS sc, "
+            "CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1) "
+            "SELECT event_id, e.user_id, cents FROM e JOIN s USING "
+            "(user_id) WHERE cents * n > 3 * sc"),
+        "rolling_7d_active_users": (
+            "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id "
+            "FROM events), "
+            "ex AS (SELECT d + to_days(CAST(o AS INT)) AS d, user_id "
+            "FROM du, UNNEST(range(0, 7)) t(o)) "
+            "SELECT CAST(d AS TIMESTAMP) AS day, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS wau "
+            "FROM ex GROUP BY 1"),
         "token_offset_packing": (
             "WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS nt "
             "FROM documents) "

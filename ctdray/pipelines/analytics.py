@@ -2283,3 +2283,93 @@ def decontaminate_5gram(sf_dir: str, eval_ids_below: int = 10,
                          "n_matches": pa.array(hits)})
 
     return ds.map_batches(count_matches, batch_format="pyarrow")
+
+
+def user_outlier_events(sf_dir: str, k_times_mean: int = 3
+                        ) -> ray.data.Dataset:
+    """Events whose value exceeds k× their user's mean — the
+    compare-to-group-aggregate shape where the group-stats side is
+    UNBOUNDED (one row per user), so unlike the Q17 pattern it must NOT
+    broadcast: facts and their per-user (sum, n) partials meet in a
+    ``shuffle_lookup_join`` on user_id (vectorized 256-bucket exchange).
+    The outlier predicate is integer-exact: cents·n > k·sum_cents
+    ⟺ value > k·mean."""
+    from ..functions.joins import shuffle_lookup_join
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        return pa.table({"event_id": batch.column("event_id"),
+                         "user_id": batch.column("user_id"),
+                         "cents": pa.array(cents)})
+
+    events = ds.map_batches(to_cents, batch_format="pyarrow")
+
+    stats = partial_aggregate(
+        events.map_batches(
+            lambda b: pa.table({"user_id": b.column("user_id"),
+                                "cents": b.column("cents"),
+                                "one": pa.array(np.ones(len(b), np.int64))}),
+            batch_format="pyarrow"),
+        ["user_id"], [("cents", "sum", "sum_cents"), ("one", "sum", "n")])
+
+    joined = shuffle_lookup_join(
+        events, stats, on="user_id",
+        left_schema=pa.schema([("event_id", pa.int64()),
+                               ("user_id", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("user_id", pa.int64()),
+                                ("sum_cents", pa.int64()),
+                                ("n", pa.int64())]))
+
+    def outliers(batch: pa.Table) -> pa.Table:
+        c = batch.column("cents").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        s = batch.column("sum_cents").to_numpy(zero_copy_only=False)
+        keep = c * n > k_times_mean * s
+        return batch.filter(pa.array(keep)) \
+            .select(["event_id", "user_id", "cents"])
+
+    return joined.map_batches(outliers, batch_format="pyarrow")
+
+
+def rolling_7d_active_users(sf_dir: str, window_days: int = 7
+                            ) -> ray.data.Dataset:
+    """Rolling 7-day active users per day — exact rolling DISTINCT via
+    bounded window expansion: per-batch distinct (day, user) pairs each
+    emit ``window_days`` (target_day, user) rows (a 7× row blowup of the
+    already-tiny distinct pairs, NOT of raw events), then one
+    groupby(day) with a vectorized unique-count kernel.  The alternative
+    — a per-day scan-back self-join — reads the fact table 7×; this
+    reads it once."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        day = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        t = pa.table({"day": pa.array(day), "user_id": pa.array(uid)})
+        t = t.group_by(["day", "user_id"]).aggregate([])       # distinct
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        offs = np.arange(window_days, dtype=np.int64)
+        return pa.table({
+            "day": pa.array((d[:, None] + offs[None, :]).reshape(-1)),
+            "user_id": pa.array(np.repeat(u, window_days))})
+
+    def count_unique(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        day = int(group.column("day")[0].as_py())
+        return pa.table({
+            "day": pa.array(np.array([day], np.int64)
+                            .astype("datetime64[D]")
+                            .astype("datetime64[us]")),
+            "wau": pa.array([len(np.unique(u))], pa.int64())})
+
+    return (ds.map_batches(expand, batch_format="pyarrow")
+              .groupby("day")
+              .map_groups(count_unique, batch_format="pyarrow"))

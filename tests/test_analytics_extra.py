@@ -663,3 +663,41 @@ def test_decontaminate_counts_window_multiplicity(ray_session, tmp_path):
     assert int(out.loc[10, "n_matches"]) == 0
     assert int(out.loc[11, "n_matches"]) == 2   # multiplicity counted
     assert int(out.loc[12, "n_matches"]) == 0
+
+
+def test_user_outlier_events_hand_case(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import user_outlier_events
+
+    # user 1: values [1, 1, 10] → mean 4; only 10 > 12? no (10*3=30 !> 36).
+    # With k=2: 10 > 8 → outlier.  user 2: constant → none.
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "value": pa.array([1.0, 1.0, 10.0, 5.0, 5.0]),
+    }), str(tmp_path / "events.parquet"))
+    out3 = user_outlier_events(str(tmp_path), k_times_mean=3).to_pandas()
+    assert len(out3) == 0
+    out2 = user_outlier_events(str(tmp_path), k_times_mean=2).to_pandas()
+    assert list(out2.event_id) == [3] and list(out2.cents) == [1000]
+
+
+def test_rolling_wau_window_semantics(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import rolling_7d_active_users
+
+    # user 1 active day 0; user 2 active day 3.  WAU(day 3) = 2 (both in
+    # window), WAU(day 7) = 1 (day 0 aged out), WAU(day 9) = 1.
+    ts = pa.array(np.array(["2024-01-01T10:00", "2024-01-04T10:00"],
+                           dtype="datetime64[us]"))
+    pq.write_table(pa.table({
+        "ts": ts, "user_id": pa.array([1, 2], pa.int64()),
+    }), str(tmp_path / "events.parquet"))
+    out = rolling_7d_active_users(str(tmp_path)).to_pandas()
+    out["d"] = out.day.astype("datetime64[us]").dt.day
+    got = dict(zip(out.d, out.wau))
+    assert got[4] == 2          # Jan 4: both users within 7 days
+    assert got[8] == 1          # Jan 8: only user 2 remains
+    assert got[10] == 1 and 11 not in got  # window ends Jan 10
