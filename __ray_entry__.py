@@ -76,7 +76,9 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         token_offset_packing,
                                         decontaminate_5gram,
                                         user_outlier_events,
-                                        rolling_7d_active_users)
+                                        rolling_7d_active_users,
+                                        users_per_event_type,
+                                        token_typo_pairs)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -387,6 +389,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_5gram": decontaminate_5gram,
         "user_outlier_events": user_outlier_events,
         "rolling_7d_active_users": rolling_7d_active_users,
+        "users_per_event_type": users_per_event_type,
+        "token_typo_pairs": token_typo_pairs,
         "price_quantiles_by_flag": lambda sf: grouped_exact_quantiles(
             __import__("ctdray.sources.tables",
                        fromlist=["read_parquet_clean"]).read_parquet_clean(
@@ -886,6 +890,14 @@ def oracle_sql() -> dict[str, str]:
             "AS bucket, CAST(count(*) AS BIGINT) AS n_rows, "
             "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) "
             "AS BIGINT) AS sum_cents FROM lineitem, q GROUP BY 1"),
+        "users_per_event_type": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
+            "AS n_users FROM events GROUP BY 1"),
+        "token_typo_pairs": (
+            "WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) "
+            "AS tok FROM documents) "
+            "SELECT a.tok AS ta, b.tok AS tb FROM v a JOIN v b "
+            "ON a.tok < b.tok AND levenshtein(a.tok, b.tok) = 1"),
         "user_outlier_events": (
             "WITH e AS (SELECT event_id, user_id, "
             "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "

@@ -2373,3 +2373,109 @@ def rolling_7d_active_users(sf_dir: str, window_days: int = 7
     return (ds.map_batches(expand, batch_format="pyarrow")
               .groupby("day")
               .map_groups(count_unique, batch_format="pyarrow"))
+
+
+def users_per_event_type(sf_dir: str, n_user_buckets: int = 16
+                         ) -> ray.data.Dataset:
+    """Exact COUNT(DISTINCT) at scale: distinct users per event type.
+    Per-key distinct sets don't pre-aggregate (a user seen in two batches
+    must not double-count), so the classic fix is to SALT THE DISTINCT
+    KEY: users hash into ``n_user_buckets`` disjoint partitions, each
+    (type, bucket) group counts its own users exactly, and the per-bucket
+    counts ADD because the partitions are disjoint.  The exchange carries
+    per-batch-distinct (type, bucket, user) triples; no single group ever
+    holds a full key's user set."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+
+    def distinct_triples(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["event_type", "user_id"]).aggregate([])
+        u = t.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        bk = ((u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(60)) \
+            .astype(np.int64) % n_user_buckets
+        return t.append_column("bucket", pa.array(bk))
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": group.column("event_type").slice(0, 1),
+            "n_users": pa.array([len(np.unique(u))], pa.int64())})
+
+    per_bucket = (ds.map_batches(distinct_triples, batch_format="pyarrow")
+                  .groupby(["event_type", "bucket"])
+                  .map_groups(count_bucket, batch_format="pyarrow"))
+    return partial_aggregate(per_bucket, ["event_type"],
+                             [("n_users", "sum", "n_users")])
+
+
+def token_typo_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Fuzzy self-join: all pairs of distinct corpus tokens at edit
+    distance exactly 1, WITHOUT the O(|V|²) comparison — the
+    deletion-neighborhood join.  Each token emits (variant, pos) keys:
+    itself at pos −1 and each one-char deletion at its position.  Bucket
+    on the variant string: a (self, deletion) collision is an
+    insert/delete pair; two deletions colliding at the SAME position are
+    a substitution pair (the tokens differ at exactly that index).
+    Structurally distance-exact — no verify pass needed; a final distinct
+    dedupes pairs reachable through several variants.  Scales as
+    Σ len(token) keys instead of |V|² comparisons."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        return pa.table({"tok": toks}).group_by(["tok"]).aggregate([])
+
+    vocab = (ds.map_batches(vocab_partial, batch_format="pyarrow")
+             .groupby("tok")
+             .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow"))
+
+    def emit_variants(batch: pa.Table) -> pa.Table:
+        toks = batch.column("tok").to_pylist()
+        key, pos, orig = [], [], []
+        for t in toks:                       # vocab rows, not corpus rows
+            key.append(t); pos.append(-1); orig.append(t)
+            for i in range(len(t)):
+                key.append(t[:i] + t[i + 1:]); pos.append(i); orig.append(t)
+        return pa.table({"key": pa.array(key, pa.string()),
+                         "pos": pa.array(pos, pa.int32()),
+                         "orig": pa.array(orig, pa.string())})
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        pos = group.column("pos").to_numpy(zero_copy_only=False)
+        orig = np.asarray(group.column("orig").to_pylist(), dtype=object)
+        selfs = orig[pos == -1]
+        ta, tb = [], []
+        for i in np.nonzero(pos >= 0)[0]:
+            # insert/delete: deletion variant equals another whole token
+            for s in selfs:
+                if s != orig[i]:
+                    a, b = sorted((s, orig[i]))
+                    ta.append(a); tb.append(b)
+        dels = np.nonzero(pos >= 0)[0]
+        for ii in range(len(dels)):
+            for jj in range(ii + 1, len(dels)):
+                i, j = dels[ii], dels[jj]
+                # substitution: same deletion position, different tokens
+                if pos[i] == pos[j] and orig[i] != orig[j]:
+                    a, b = sorted((orig[i], orig[j]))
+                    ta.append(a); tb.append(b)
+        return pa.table({"ta": pa.array(ta, pa.string()),
+                         "tb": pa.array(tb, pa.string())})
+
+    pairs = (vocab.map_batches(emit_variants, batch_format="pyarrow")
+             .groupby("key")
+             .map_groups(bucket_pairs, batch_format="pyarrow"))
+    distinct = (pairs.groupby(["ta", "tb"])
+                .map_groups(lambda g: g.slice(0, 1),
+                            batch_format="pyarrow"))
+    # The pair set is bounded by the vocabulary (the tokenizer-vocab
+    # assumption, as in doc_top_terms), so collect to a TYPED pa.Table —
+    # a 0-row ray Dataset drops its schema through to_pandas(), and a
+    # legitimately pair-free corpus must still present (ta, tb).
+    seed = pa.table({"ta": pa.array([], pa.string()),
+                     "tb": pa.array([], pa.string())})
+    got = list(distinct.iter_batches(batch_format="pyarrow",
+                                     batch_size=8192))
+    return pa.concat_tables([seed, *got], promote_options="default")

@@ -701,3 +701,41 @@ def test_rolling_wau_window_semantics(ray_session, tmp_path):
     assert got[4] == 2          # Jan 4: both users within 7 days
     assert got[8] == 1          # Jan 8: only user 2 remains
     assert got[10] == 1 and 11 not in got  # window ends Jan 10
+
+
+def test_users_per_event_type_exact_distinct(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import users_per_event_type
+
+    # user 1 appears twice under 'view' (must count once); 3 distinct
+    # viewers, 1 purchaser
+    pq.write_table(pa.table({
+        "event_type": pa.array(["view", "view", "view", "view", "purchase"]),
+        "user_id": pa.array([1, 1, 2, 3, 1], pa.int64()),
+    }), str(tmp_path / "events.parquet"))
+    out = users_per_event_type(str(tmp_path)).to_pandas() \
+        .set_index("event_type")
+    assert int(out.loc["view", "n_users"]) == 3
+    assert int(out.loc["purchase", "n_users"]) == 1
+
+
+def test_token_typo_pairs_all_edit_kinds(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import token_typo_pairs
+
+    # cat~cut (substitution), cat~cart (insertion), cat~at (deletion);
+    # dog is isolated; cat~cat never pairs with itself
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["cat cut cart", "at dog cat"]),
+    }), str(tmp_path / "documents.parquet"))
+    out = token_typo_pairs(str(tmp_path)).to_pandas()
+    got = set(zip(out.ta, out.tb))
+    assert ("cat", "cut") in got
+    assert ("cart", "cat") in got
+    assert ("at", "cat") in got
+    assert not any("dog" in p for pair in got for p in pair)
+    # exactness: no distance-2 pair (cut~cart is distance 2)
+    assert ("cart", "cut") not in got
