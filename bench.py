@@ -90,7 +90,8 @@ def run_bench(sf_dir: str, num_cpus: int, n_runs: int | None = None) -> dict:
     for name in ("dedup_exact", "dedup_minhash_lsh", "knn_bruteforce",
                  "q1_pricing_summary", "events_hourly",
                  "local_supplier_volume", "lineitem_price_quantiles",
-                 "doc_top_terms", "daily_users_hll"):
+                 "doc_top_terms", "daily_users_hll",
+                 "token_offset_packing", "decontaminate_5gram"):
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
