@@ -78,7 +78,9 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         user_outlier_events,
                                         rolling_7d_active_users,
                                         users_per_event_type,
-                                        token_typo_pairs)
+                                        token_typo_pairs,
+                                        nation_revenue_share_ppm,
+                                        region_priority_matrix)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -391,6 +393,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_7d_active_users": rolling_7d_active_users,
         "users_per_event_type": users_per_event_type,
         "token_typo_pairs": token_typo_pairs,
+        "nation_revenue_share_ppm": nation_revenue_share_ppm,
+        "region_priority_matrix": region_priority_matrix,
         "price_quantiles_by_flag": lambda sf: grouped_exact_quantiles(
             __import__("ctdray.sources.tables",
                        fromlist=["read_parquet_clean"]).read_parquet_clean(
@@ -893,6 +897,26 @@ def oracle_sql() -> dict[str, str]:
         "users_per_event_type": (
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
             "AS n_users FROM events GROUP BY 1"),
+        "nation_revenue_share_ppm": (
+            "WITH r AS (SELECT n_name, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS cents FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1) "
+            "SELECT n_name, cents AS revenue_cents, "
+            "CAST(cents * 1000000 // (SELECT sum(cents) FROM r) AS BIGINT) "
+            "AS share_ppm FROM r"),
+        "region_priority_matrix": (
+            "WITH a AS (SELECT r_name, o_orderpriority AS pr, "
+            "CAST(count(*) AS BIGINT) AS n FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2), "
+            "d AS (SELECT r_name, pr FROM (SELECT DISTINCT r_name "
+            "FROM region), (SELECT DISTINCT o_orderpriority AS pr "
+            "FROM orders)) "
+            "SELECT d.r_name, d.pr AS priority, "
+            "CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders FROM d "
+            "LEFT JOIN a ON d.r_name = a.r_name AND d.pr = a.pr"),
         "token_typo_pairs": (
             "WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) "
             "AS tok FROM documents) "

@@ -2479,3 +2479,101 @@ def token_typo_pairs(sf_dir: str) -> ray.data.Dataset:
     got = list(distinct.iter_batches(batch_format="pyarrow",
                                      batch_size=8192))
     return pa.concat_tables([seed, *got], promote_options="default")
+
+
+def nation_revenue_share_ppm(sf_dir: str) -> pa.Table:
+    """Ratio-to-report: each nation's share of total order revenue in
+    exact integer parts-per-million (cents·10⁶ // total).  The fact scan
+    folds through the broadcast two-hop dim lookup into 25 partial rows;
+    the share division happens on the already-tiny aggregate — the
+    "percent of total" BI shape with zero extra passes."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    side_ref = ray.put((
+        cust.column("c_custkey").combine_chunks(),
+        cust.column("c_nationkey").combine_chunks(),
+        nation.column("n_nationkey").combine_chunks(),
+        pa.concat_arrays([nation.column("n_name").combine_chunks(),
+                          pa.array([""], pa.string())])))
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ckeys, cnkeys, nkeys, names_d = ray.get(side_ref)
+        i1 = pc.index_in(batch.column("o_custkey"), value_set=ckeys)
+        nkey = pc.take(cnkeys, i1)
+        i2 = pc.fill_null(pc.index_in(nkey, value_set=nkeys), len(nkeys))
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"n_name": pc.take(names_d, i2),
+                      "cents": pa.array(cents)})
+        res = t.group_by(["n_name"]).aggregate([("cents", "sum")])
+        return pa.table({"n_name": res.column("n_name"),
+                         "cents": res.column("cents_sum")})
+
+    agg = partial_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["n_name"], [("cents", "sum", "cents")]).take_all()  # ≤ |nation|
+    total = sum(r["cents"] for r in agg)
+    agg.sort(key=lambda r: r["n_name"])
+    return pa.table({
+        "n_name": pa.array([r["n_name"] for r in agg], pa.string()),
+        "revenue_cents": pa.array([r["cents"] for r in agg], pa.int64()),
+        "share_ppm": pa.array([r["cents"] * 1_000_000 // total for r in agg],
+                              pa.int64())})
+
+
+def region_priority_matrix(sf_dir: str) -> pa.Table:
+    """Zero-filled cross-product report: order counts for EVERY
+    (region, priority) combination, including empty cells — the
+    dimension CROSS JOIN + LEFT JOIN COALESCE(0) shape.  The fact scan
+    reduces through broadcast dims; the cross product materializes only
+    on the driver-side dim grid (|region|·|priority| rows)."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
+    side_ref = ray.put((
+        cust.column("c_custkey").combine_chunks(),
+        cust.column("c_nationkey").combine_chunks(),
+        nation.column("n_nationkey").combine_chunks(),
+        nation.column("n_regionkey").combine_chunks(),
+        region.column("r_regionkey").combine_chunks(),
+        pa.concat_arrays([region.column("r_name").combine_chunks(),
+                          pa.array([""], pa.string())])))
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck, cnk, nk, nrk, rk, rnames_d = ray.get(side_ref)
+        i1 = pc.index_in(batch.column("o_custkey"), value_set=ck)
+        nkey = pc.take(cnk, i1)
+        i2 = pc.index_in(nkey, value_set=nk)
+        rkey = pc.take(nrk, i2)
+        i3 = pc.fill_null(pc.index_in(rkey, value_set=rk), len(rk))
+        t = pa.table({"r_name": pc.take(rnames_d, i3),
+                      "priority": batch.column("o_orderpriority"),
+                      "one": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["r_name", "priority"]).aggregate([("one", "sum")])
+        return pa.table({"r_name": res.column("r_name"),
+                         "priority": res.column("priority"),
+                         "n": res.column("one_sum")})
+
+    agg = partial_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["r_name", "priority"], [("n", "sum", "n")]).take_all()
+    got = {(r["r_name"], r["priority"]): r["n"] for r in agg}
+    all_regions = sorted(region.column("r_name").to_pylist())
+    all_prios = sorted({k[1] for k in got})
+    rows = [(rn, pr, got.get((rn, pr), 0))
+            for rn in all_regions for pr in all_prios]
+    return pa.table({
+        "r_name": pa.array([r[0] for r in rows], pa.string()),
+        "priority": pa.array([r[1] for r in rows], pa.string()),
+        "n_orders": pa.array([r[2] for r in rows], pa.int64())})

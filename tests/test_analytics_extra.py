@@ -739,3 +739,46 @@ def test_token_typo_pairs_all_edit_kinds(ray_session, tmp_path):
     assert not any("dog" in p for pair in got for p in pair)
     # exactness: no distance-2 pair (cut~cart is distance 2)
     assert ("cart", "cut") not in got
+
+
+def test_nation_share_ppm_sums_near_million(ray_session):
+    from ctdray.pipelines.analytics import nation_revenue_share_ppm
+
+    out = nation_revenue_share_ppm("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 25
+    total = out.revenue_cents.sum()
+    # floor-division shares: sum ≤ 10^6, within 25 ulps
+    assert 10**6 - 25 <= out.share_ppm.sum() <= 10**6
+    # exact recompute of one row
+    r = out.iloc[0]
+    assert r.share_ppm == r.revenue_cents * 10**6 // total
+
+
+def test_region_priority_matrix_zero_fill(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import region_priority_matrix
+
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int64()),
+        "r_name": pa.array(["EAST", "WEST"])}),
+        str(tmp_path / "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0], pa.int64()),
+        "n_regionkey": pa.array([0], pa.int64())}),
+        str(tmp_path / "nation.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1], pa.int64()),
+        "c_nationkey": pa.array([0], pa.int64())}),
+        str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1], pa.int64()),
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"])}),
+        str(tmp_path / "orders.parquet"))
+    out = region_priority_matrix(str(tmp_path)).to_pandas()
+    # full 2×2 grid: WEST rows exist with zero counts
+    assert len(out) == 4
+    got = {(r.r_name, r.priority): r.n_orders for r in out.itertuples()}
+    assert got[("EAST", "1-URGENT")] == 1
+    assert got[("WEST", "1-URGENT")] == 0
+    assert got[("WEST", "2-HIGH")] == 0
