@@ -280,6 +280,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis (SQL-oracled) ---
         "doc_token_count": lambda sf: _documents(sf).map_batches(
             token_count_batch, batch_format="pyarrow"),
+        "doc_bpe_token_count": lambda sf: _documents(sf).map_batches(
+            __import__("ctdray.functions.text",
+                       fromlist=["bpe_token_count_batch"])
+            .bpe_token_count_batch, batch_format="pyarrow"),
         "doc_text_stats": lambda sf: _documents(sf).map_batches(
             text_stats_batch, batch_format="pyarrow"),
         "doc_fingerprint": lambda sf: _documents(sf).map_batches(
@@ -417,6 +421,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(list_filter(string_split(text,' '), x -> x IN "
             f"{_STOPLIST_SQL})) AS BIGINT) AS stopword_count "
             "FROM documents"),
+        "doc_bpe_token_count": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS BIGINT) "
+            "AS n_bpe_tokens FROM documents"),
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         # Rabin–Karp rolling fingerprint: 15-bit md5-derived token hashes,
         # base-2^16 polynomial over 4-token windows, doc keeps min + count

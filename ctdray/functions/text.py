@@ -232,3 +232,19 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
         "text_norm": s,
         "n_chars_norm": pc.cast(pc.utf8_length(s), pa.int64()),
     })
+
+
+_BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """GPT-2-style pre-tokenizer count: runs of letters, runs of digits,
+    and runs of other non-space symbols each count as one token (the
+    regex split BPE applies before merges).  One Arrow RE2 kernel per
+    batch (``count_substring_regex``); the DuckDB oracle uses the same
+    RE2 pattern via ``regexp_extract_all``."""
+    n = pc.count_substring_regex(batch.column("text"), _BPE_PATTERN)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_bpe_tokens": pc.cast(n, pa.int64()),
+    })

@@ -457,3 +457,15 @@ def test_csv_and_jsonl_sources_round_trip(ray_session, tmp_path):
         pr = reader(str(path), schema=schema,
                     columns=["doc_id", "n"]).to_pandas()
         assert sorted(pr.columns) == ["doc_id", "n"]
+
+
+def test_bpe_token_count_segments(ray_session):
+    import pyarrow as pa
+
+    from ctdray.functions.text import bpe_token_count_batch
+
+    b = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["hello, world!! 42", "abc1x", ""])})
+    out = bpe_token_count_batch(b).to_pydict()
+    # hello|,|world|!!|42 = 5; abc|1|x = 3; empty = 0
+    assert out["n_bpe_tokens"] == [5, 3, 0]
