@@ -80,7 +80,8 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         users_per_event_type,
                                         token_typo_pairs,
                                         nation_revenue_share_ppm,
-                                        region_priority_matrix)
+                                        region_priority_matrix,
+                                        selfjoin_cardinality_by_part)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -399,6 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_typo_pairs": token_typo_pairs,
         "nation_revenue_share_ppm": nation_revenue_share_ppm,
         "region_priority_matrix": region_priority_matrix,
+        "selfjoin_cardinality_by_part": selfjoin_cardinality_by_part,
         "price_quantiles_by_flag": lambda sf: grouped_exact_quantiles(
             __import__("ctdray.sources.tables",
                        fromlist=["read_parquet_clean"]).read_parquet_clean(
@@ -905,6 +907,11 @@ def oracle_sql() -> dict[str, str]:
         "users_per_event_type": (
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
             "AS n_users FROM events GROUP BY 1"),
+        "selfjoin_cardinality_by_part": (
+            "SELECT CAST((SELECT count(*) FROM lineitem a JOIN lineitem b "
+            "ON a.l_partkey = b.l_partkey) AS BIGINT) AS join_rows, "
+            "CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_keys "
+            "FROM lineitem"),
         "nation_revenue_share_ppm": (
             "WITH r AS (SELECT n_name, "
             "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "

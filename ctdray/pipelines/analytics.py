@@ -2577,3 +2577,38 @@ def region_priority_matrix(sf_dir: str) -> pa.Table:
         "r_name": pa.array([r[0] for r in rows], pa.string()),
         "priority": pa.array([r[1] for r in rows], pa.string()),
         "n_orders": pa.array([r[2] for r in rows], pa.int64())})
+
+
+def selfjoin_cardinality_by_part(sf_dir: str) -> ray.data.Dataset:
+    """Join-size computation WITHOUT executing the join: |lineitem ⋈
+    lineitem on l_partkey| = Σ_k c(k)² by the count-product identity —
+    the optimizer-statistics shape (exact here; swap the exact per-key
+    counts for a Count-Min row to get the classic sketched estimate).
+    One partial-agg exchange of per-key counts, then a scalar fold;
+    nothing quadratic ever materializes."""
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey"])
+
+    def key_counts(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["l_partkey"]).aggregate([("l_partkey",
+                                                        "count")])
+        return pa.table({"l_partkey": res.column("l_partkey"),
+                         "c": pc.cast(res.column("l_partkey_count"),
+                                      pa.int64())})
+
+    counts = partial_aggregate(
+        ds.map_batches(key_counts, batch_format="pyarrow"),
+        ["l_partkey"], [("c", "sum", "c")])
+
+    def square_fold(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        return pa.table({"join_rows": pa.array([int((c * c).sum())],
+                                               pa.int64()),
+                         "n_keys": pa.array([len(c)], pa.int64()),
+                         "_k": pa.array([0], pa.int64())})
+
+    out = partial_aggregate(
+        counts.map_batches(square_fold, batch_format="pyarrow"),
+        ["_k"], [("join_rows", "sum", "join_rows"),
+                 ("n_keys", "sum", "n_keys")])
+    return out.select_columns(["join_rows", "n_keys"])

@@ -782,3 +782,17 @@ def test_region_priority_matrix_zero_fill(ray_session, tmp_path):
     assert got[("EAST", "1-URGENT")] == 1
     assert got[("WEST", "1-URGENT")] == 0
     assert got[("WEST", "2-HIGH")] == 0
+
+
+def test_selfjoin_cardinality_identity(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import selfjoin_cardinality_by_part
+
+    # counts per key: {1: 3, 2: 1} → Σc² = 9 + 1 = 10
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1, 2], pa.int64())}),
+        str(tmp_path / "lineitem.parquet"))
+    out = selfjoin_cardinality_by_part(str(tmp_path)).to_pandas()
+    assert int(out.join_rows.iloc[0]) == 10
+    assert int(out.n_keys.iloc[0]) == 2
