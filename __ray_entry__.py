@@ -81,7 +81,8 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         token_typo_pairs,
                                         nation_revenue_share_ppm,
                                         region_priority_matrix,
-                                        selfjoin_cardinality_by_part)
+                                        selfjoin_cardinality_by_part,
+                                        source_quality_stats)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -401,6 +402,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue_share_ppm": nation_revenue_share_ppm,
         "region_priority_matrix": region_priority_matrix,
         "selfjoin_cardinality_by_part": selfjoin_cardinality_by_part,
+        "source_quality_stats": source_quality_stats,
+        "daily_value_median": lambda sf: grouped_exact_quantiles(
+            __import__("ctdray.sources.tables",
+                       fromlist=["read_parquet_clean"]).read_parquet_clean(
+                f"{sf}/events.parquet", columns=["ts", "value"])
+            .map_batches(
+                lambda b: pa.table({
+                    "day": pa.compute.cast(
+                        pa.compute.floor_temporal(b.column("ts"),
+                                                  unit="day"),
+                        pa.timestamp("us")),
+                    "value": b.column("value")}),
+                batch_format="pyarrow"),
+            "day", "value", qs=(0.5,), collect_cap=5_000),
         "price_quantiles_by_flag": lambda sf: grouped_exact_quantiles(
             __import__("ctdray.sources.tables",
                        fromlist=["read_parquet_clean"]).read_parquet_clean(
@@ -907,6 +922,17 @@ def oracle_sql() -> dict[str, str]:
         "users_per_event_type": (
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
             "AS n_users FROM events GROUP BY 1"),
+        "source_quality_stats": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(length(text)) AS BIGINT) AS total_chars, "
+            "CAST(sum(len(string_split(text, ' '))) AS BIGINT) "
+            "AS total_tokens, "
+            "CAST(sum(len(list_filter(string_split(text, ' '), x -> x IN "
+            f"{_STOPLIST_SQL}))) AS BIGINT) AS total_stopwords "
+            "FROM documents GROUP BY source"),
+        "daily_value_median": (
+            "SELECT date_trunc('day', ts) AS day, 0.5 AS q, "
+            "quantile_disc(value, 0.5) AS value FROM events GROUP BY 1"),
         "selfjoin_cardinality_by_part": (
             "SELECT CAST((SELECT count(*) FROM lineitem a JOIN lineitem b "
             "ON a.l_partkey = b.l_partkey) AS BIGINT) AS join_rows, "

@@ -2612,3 +2612,28 @@ def selfjoin_cardinality_by_part(sf_dir: str) -> ray.data.Dataset:
         ["_k"], [("join_rows", "sum", "join_rows"),
                  ("n_keys", "sum", "n_keys")])
     return out.select_columns(["join_rows", "n_keys"])
+
+
+def source_quality_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-source corpus quality rollup (the curation dashboard every
+    training pipeline keeps per crawl/source): doc count, chars, tokens,
+    stopwords — all integer sums composed from the text_stats kernel,
+    reduced with partial aggregation on the low-cardinality source key."""
+    from ..functions.text import text_stats_batch
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        stats = text_stats_batch(batch)
+        return pa.table({
+            "source": batch.column("source"),
+            "one": pa.array(np.ones(len(batch), np.int64)),
+            "n_chars": stats.column("n_chars"),
+            "n_tokens": stats.column("n_tokens"),
+            "stopword_count": stats.column("stopword_count")})
+
+    return partial_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), ["source"],
+        [("one", "sum", "n_docs"), ("n_chars", "sum", "total_chars"),
+         ("n_tokens", "sum", "total_tokens"),
+         ("stopword_count", "sum", "total_stopwords")])

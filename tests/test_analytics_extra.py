@@ -796,3 +796,21 @@ def test_selfjoin_cardinality_identity(ray_session, tmp_path):
     out = selfjoin_cardinality_by_part(str(tmp_path)).to_pandas()
     assert int(out.join_rows.iloc[0]) == 10
     assert int(out.n_keys.iloc[0]) == 2
+
+
+def test_source_quality_stats_sums(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import source_quality_stats
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["the cat", "a dog runs", "xyz"]),
+        "source": pa.array(["web", "web", "books"]),
+    }), str(tmp_path / "documents.parquet"))
+    out = source_quality_stats(str(tmp_path)).to_pandas() \
+        .set_index("source")
+    assert int(out.loc["web", "n_docs"]) == 2
+    assert int(out.loc["web", "total_tokens"]) == 5
+    assert int(out.loc["web", "total_stopwords"]) == 2   # 'the', 'a'
+    assert int(out.loc["books", "total_chars"]) == 3
