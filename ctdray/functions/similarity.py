@@ -184,7 +184,7 @@ def knn_ivf(ds: ray.data.Dataset, queries: np.ndarray, q_ids: np.ndarray,
 
 def knn_lsh(ds: ray.data.Dataset, queries: np.ndarray, q_ids: np.ndarray,
             k: int = 10, n_planes: int = 8, seed: int = 11,
-            probe_hamming: int = 1, n_tables: int = 3,
+            probe_hamming: int = 2, n_tables: int = 6,
             id_col: str = "vec_id",
             vec_col: str = "embedding") -> ray.data.Dataset:
     """Approximate top-k with BOTH standard LSH recall levers:

