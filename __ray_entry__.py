@@ -82,7 +82,9 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         nation_revenue_share_ppm,
                                         region_priority_matrix,
                                         selfjoin_cardinality_by_part,
-                                        source_quality_stats)
+                                        source_quality_stats,
+                                        lineitem_orphans,
+                                        daily_order_counts_dense)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -403,6 +405,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_priority_matrix": region_priority_matrix,
         "selfjoin_cardinality_by_part": selfjoin_cardinality_by_part,
         "source_quality_stats": source_quality_stats,
+        "lineitem_orphans": lineitem_orphans,
+        "daily_order_counts_dense": daily_order_counts_dense,
         "daily_value_median": lambda sf: grouped_exact_quantiles(
             __import__("ctdray.sources.tables",
                        fromlist=["read_parquet_clean"]).read_parquet_clean(
@@ -933,6 +937,19 @@ def oracle_sql() -> dict[str, str]:
         "daily_value_median": (
             "SELECT date_trunc('day', ts) AS day, 0.5 AS q, "
             "quantile_disc(value, 0.5) AS value FROM events GROUP BY 1"),
+        "lineitem_orphans": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_orphans FROM lineitem "
+            "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)"),
+        "daily_order_counts_dense": (
+            "WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo, "
+            "CAST(max(o_orderdate) AS DATE) AS hi FROM orders), "
+            "spine AS (SELECT unnest(generate_series(lo, hi, "
+            "INTERVAL 1 DAY)) AS day FROM b), "
+            "a AS (SELECT date_trunc('day', o_orderdate) AS day, "
+            "CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1) "
+            "SELECT CAST(spine.day AS TIMESTAMP) AS day, "
+            "CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders "
+            "FROM spine LEFT JOIN a ON spine.day = a.day"),
         "selfjoin_cardinality_by_part": (
             "SELECT CAST((SELECT count(*) FROM lineitem a JOIN lineitem b "
             "ON a.l_partkey = b.l_partkey) AS BIGINT) AS join_rows, "

@@ -2637,3 +2637,75 @@ def source_quality_stats(sf_dir: str) -> ray.data.Dataset:
         [("one", "sum", "n_docs"), ("n_chars", "sum", "total_chars"),
          ("n_tokens", "sum", "total_tokens"),
          ("stopword_count", "sum", "total_stopwords")])
+
+
+def lineitem_orphans(sf_dir: str) -> ray.data.Dataset:
+    """Referential-integrity audit: lineitems whose l_orderkey has no
+    parent order — the data-quality gate every ingest pipeline runs.
+    Exact anti-join of fact keys against the dimension keyset via
+    ``shuffle_anti_join`` (keys hash-partition; neither side broadcasts,
+    so the audit holds at any orders cardinality), reduced to one count
+    row (always emitted, zero included — an audit that reports nothing
+    on success is unverifiable)."""
+    from ..functions.joins import shuffle_anti_join
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey"])
+    ok = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey"])
+    orphans = shuffle_anti_join(
+        li, ok.map_batches(
+            lambda b: pa.table({"l_orderkey": b.column("o_orderkey")}),
+            batch_format="pyarrow"),
+        "l_orderkey")
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"n_orphans": pa.array([len(batch)], pa.int64()),
+                         "_k": pa.array([0], pa.int64())})
+
+    seed = ray.data.from_arrow(pa.table({
+        "n_orphans": pa.array([0], pa.int64()),
+        "_k": pa.array([0], pa.int64())}))
+    out = partial_aggregate(
+        seed.union(orphans.map_batches(count_partial,
+                                       batch_format="pyarrow")),
+        ["_k"], [("n_orphans", "sum", "n_orphans")])
+    return out.select_columns(["n_orphans"])
+
+
+def daily_order_counts_dense(sf_dir: str) -> ray.data.Dataset:
+    """Calendar-spine zero-fill: order counts for EVERY day in the data's
+    date range, including order-free days — the generated-dimension LEFT
+    JOIN shape.  The spine comes from ``ray.data.range`` (no driver loop
+    building dates); the per-day counts (bounded by the range) broadcast
+    into the spine as an Arrow dictionary lookup."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate"])
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        return pa.table({"day": pa.array(d),
+                         "one": pa.array(np.ones(len(batch), np.int64))})
+
+    daily = partial_aggregate(
+        ds.map_batches(day_partial, batch_format="pyarrow"),
+        ["day"], [("one", "sum", "n_orders")]).take_all()  # bounded: days
+    days = np.array([r["day"] for r in daily], np.int64)
+    ns = np.array([r["n_orders"] for r in daily], np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    side = ray.put((days, ns, lo))
+
+    spine = ray.data.range(hi - lo + 1)
+
+    def fill(batch: pa.Table) -> pa.Table:
+        sdays, sns, slo = ray.get(side)
+        d = batch.column("id").to_numpy(zero_copy_only=False) + slo
+        pos = np.searchsorted(sdays, d)
+        pos_c = np.clip(pos, 0, len(sdays) - 1)
+        n = np.where(sdays[pos_c] == d, sns[pos_c], 0)
+        return pa.table({
+            "day": pa.array(d.astype("datetime64[D]")
+                            .astype("datetime64[us]")),
+            "n_orders": pa.array(n.astype(np.int64))})
+
+    return spine.map_batches(fill, batch_format="pyarrow")

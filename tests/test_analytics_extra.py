@@ -814,3 +814,39 @@ def test_source_quality_stats_sums(ray_session, tmp_path):
     assert int(out.loc["web", "total_tokens"]) == 5
     assert int(out.loc["web", "total_stopwords"]) == 2   # 'the', 'a'
     assert int(out.loc["books", "total_chars"]) == 3
+
+
+def test_lineitem_orphans_detects_and_zero(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import lineitem_orphans
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 9], pa.int64())}),
+        str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64())}),
+        str(tmp_path / "orders.parquet"))
+    out = lineitem_orphans(str(tmp_path)).to_pandas()
+    assert int(out.n_orphans.iloc[0]) == 1   # key 9 has no parent
+    # clean case reports an explicit zero, never an empty frame
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2], pa.int64())}),
+        str(tmp_path / "lineitem.parquet"))
+    out0 = lineitem_orphans(str(tmp_path)).to_pandas()
+    assert len(out0) == 1 and int(out0.n_orphans.iloc[0]) == 0
+
+
+def test_daily_dense_spine_has_gap_days(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import daily_order_counts_dense
+
+    dt = pa.array(np.array(["2024-01-01", "2024-01-01", "2024-01-04"],
+                           dtype="datetime64[us]"))
+    pq.write_table(pa.table({"o_orderdate": dt}),
+                   str(tmp_path / "orders.parquet"))
+    out = daily_order_counts_dense(str(tmp_path)).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+    assert len(out) == 4                       # Jan 1..4 inclusive
+    assert list(out.n_orders) == [2, 0, 0, 1]  # gap days zero-filled
