@@ -84,7 +84,9 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         selfjoin_cardinality_by_part,
                                         source_quality_stats,
                                         lineitem_orphans,
-                                        daily_order_counts_dense)
+                                        daily_order_counts_dense,
+                                        part_metrics_unpivot,
+                                        user_path_prefixes)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -407,6 +409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quality_stats": source_quality_stats,
         "lineitem_orphans": lineitem_orphans,
         "daily_order_counts_dense": daily_order_counts_dense,
+        "part_metrics_unpivot": part_metrics_unpivot,
+        "user_path_prefixes": user_path_prefixes,
         "daily_value_median": lambda sf: grouped_exact_quantiles(
             __import__("ctdray.sources.tables",
                        fromlist=["read_parquet_clean"]).read_parquet_clean(
@@ -940,6 +944,20 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_orphans": (
             "SELECT CAST(count(*) AS BIGINT) AS n_orphans FROM lineitem "
             "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)"),
+        "part_metrics_unpivot": (
+            "SELECT p_partkey, 'size' AS metric, "
+            "CAST(p_size AS BIGINT) AS value FROM part "
+            "UNION ALL SELECT p_partkey, 'retail_cents' AS metric, "
+            "CAST(round(p_retailprice * 100) AS BIGINT) AS value FROM part"),
+        "user_path_prefixes": (
+            "WITH r AS (SELECT user_id, event_type, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS rn, ts, event_id FROM events), "
+            "p AS (SELECT user_id, string_agg(event_type, '>' "
+            "ORDER BY ts, event_id) AS path FROM r WHERE rn <= 3 "
+            "GROUP BY 1) "
+            "SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p "
+            "GROUP BY 1"),
         "daily_order_counts_dense": (
             "WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo, "
             "CAST(max(o_orderdate) AS DATE) AS hi FROM orders), "

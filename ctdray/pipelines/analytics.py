@@ -2709,3 +2709,54 @@ def daily_order_counts_dense(sf_dir: str) -> ray.data.Dataset:
             "n_orders": pa.array(n.astype(np.int64))})
 
     return spine.map_batches(fill, batch_format="pyarrow")
+
+
+def part_metrics_unpivot(sf_dir: str) -> ray.data.Dataset:
+    """UNPIVOT/melt — the inverse of events_daily_pivot: part's metric
+    columns become (p_partkey, metric, value) long-form rows.  Pure
+    vectorized reshape inside map_batches (concat of column slices, no
+    exchange at all); integer-exact values (retail price as cents)."""
+    ds = read_parquet_clean(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_size",
+                                     "p_retailprice"])
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        keys = batch.column("p_partkey").combine_chunks()
+        size = pc.cast(batch.column("p_size"), pa.int64()).combine_chunks()
+        cents = pa.array(np.rint(
+            batch.column("p_retailprice").to_numpy(zero_copy_only=False)
+            * 100).astype(np.int64))
+        return pa.table({
+            "p_partkey": pa.concat_arrays([keys, keys]),
+            "metric": pa.array(["size"] * n + ["retail_cents"] * n,
+                               pa.string()),
+            "value": pa.concat_arrays([size, cents])})
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def user_path_prefixes(sf_dir: str, prefix_len: int = 3
+                       ) -> ray.data.Dataset:
+    """Sequence mining over user journeys: each user's first
+    ``prefix_len`` event types (by ts, event_id) join into a path string;
+    paths count globally.  The per-user kernel emits ONE row per user, so
+    the second exchange carries |users| path rows and the path-count
+    reduce is a standard partial aggregation."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        et = group.column("event_type").to_pylist()
+        order = np.lexsort((eid, ts))[:prefix_len]
+        path = ">".join(et[i] for i in order)
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "one": pa.array([1], pa.int64())})
+
+    per = ds.groupby("user_id").map_groups(per_user,
+                                           batch_format="pyarrow")
+    return partial_aggregate(per, ["path"], [("one", "sum", "n_users")])

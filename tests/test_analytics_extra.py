@@ -850,3 +850,39 @@ def test_daily_dense_spine_has_gap_days(ray_session, tmp_path):
         .sort_values("day").reset_index(drop=True)
     assert len(out) == 4                       # Jan 1..4 inclusive
     assert list(out.n_orders) == [2, 0, 0, 1]  # gap days zero-filled
+
+
+def test_part_metrics_unpivot_shape(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import part_metrics_unpivot
+
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_size": pa.array([5, 9], pa.int32()),
+        "p_retailprice": pa.array([1.5, 2.25]),
+    }), str(tmp_path / "part.parquet"))
+    out = part_metrics_unpivot(str(tmp_path)).to_pandas()
+    got = {(r.p_partkey, r.metric): r.value for r in out.itertuples()}
+    assert got == {(1, "size"): 5, (2, "size"): 9,
+                   (1, "retail_cents"): 150, (2, "retail_cents"): 225}
+
+
+def test_user_path_prefixes_order_and_truncation(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ctdray.pipelines.analytics import user_path_prefixes
+
+    ts = pa.array(np.array(["2024-01-01T01:00", "2024-01-01T02:00",
+                            "2024-01-01T03:00", "2024-01-01T04:00",
+                            "2024-01-02T01:00"], dtype="datetime64[us]"))
+    # user 1: view>click>buy (4th event truncated); user 2: view only
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "ts": ts,
+        "event_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "event_type": pa.array(["view", "click", "buy", "view", "view"]),
+    }), str(tmp_path / "events.parquet"))
+    out = user_path_prefixes(str(tmp_path)).to_pandas()
+    got = dict(zip(out.path, out.n_users))
+    assert got == {"view>click>buy": 1, "view": 1}
