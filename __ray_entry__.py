@@ -86,7 +86,10 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         lineitem_orphans,
                                         daily_order_counts_dense,
                                         part_metrics_unpivot,
-                                        user_path_prefixes)
+                                        user_path_prefixes,
+                                        q3_shipping_priority,
+                                        late_ship_priority_counts,
+                                        event_dedup_60s)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -411,6 +414,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_order_counts_dense": daily_order_counts_dense,
         "part_metrics_unpivot": part_metrics_unpivot,
         "user_path_prefixes": user_path_prefixes,
+        "q3_shipping_priority": q3_shipping_priority,
+        "late_ship_priority_counts": late_ship_priority_counts,
+        "event_dedup_60s": event_dedup_60s,
+        "doc_blocklist_scrub": lambda sf: _documents(sf).map_batches(
+            __import__("ctdray.functions.text",
+                       fromlist=["blocklist_scrub_batch"])
+            .blocklist_scrub_batch,
+            batch_format="pyarrow"),
         "daily_value_median": lambda sf: grouped_exact_quantiles(
             __import__("ctdray.sources.tables",
                        fromlist=["read_parquet_clean"]).read_parquet_clean(
@@ -949,6 +960,37 @@ def oracle_sql() -> dict[str, str]:
             "CAST(p_size AS BIGINT) AS value FROM part "
             "UNION ALL SELECT p_partkey, 'retail_cents' AS metric, "
             "CAST(round(p_retailprice * 100) AS BIGINT) AS value FROM part"),
+        "q3_shipping_priority": (
+            "SELECT l_orderkey, "
+            "SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_cp, "
+            "o_orderdate, o_orderpriority "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1995-03-15' "
+            "AND l_shipdate > TIMESTAMP '1995-03-15' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue_cp DESC, o_orderdate, l_orderkey LIMIT 10"),
+        "late_ship_priority_counts": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) "
+            "AS n_late_orders FROM orders WHERE EXISTS "
+            "(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+            "AND l_shipdate > o_orderdate + INTERVAL 90 DAY) "
+            "GROUP BY o_orderpriority"),
+        "event_dedup_60s": (
+            "SELECT event_id, ts, user_id, event_type FROM "
+            "(SELECT event_id, ts, user_id, event_type, "
+            "lag(ts) OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts, event_id) AS prev_ts FROM events) "
+            "WHERE prev_ts IS NULL OR ts - prev_ts >= INTERVAL 60 SECOND"),
+        "doc_blocklist_scrub": (
+            "SELECT doc_id, regexp_replace(text, "
+            "'\\b(customer|spark|secret)\\b', '<SCRUBBED>', 'g') "
+            "AS text_scrubbed, "
+            "CAST(len(regexp_extract_all(text, "
+            "'\\b(customer|spark|secret)\\b')) AS BIGINT) AS n_scrubbed "
+            "FROM documents"),
         "user_path_prefixes": (
             "WITH r AS (SELECT user_id, event_type, "
             "row_number() OVER (PARTITION BY user_id "

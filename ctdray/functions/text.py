@@ -248,3 +248,25 @@ def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
         "doc_id": batch.column("doc_id"),
         "n_bpe_tokens": pc.cast(n, pa.int64()),
     })
+
+
+_SCRUB_PATTERN = r"\b(customer|spark|secret)\b"
+_SCRUB_TOKEN = "<SCRUBBED>"
+
+
+def blocklist_scrub_batch(batch: pa.Table) -> pa.Table:
+    """Blocklist term scrubbing (the PII-redaction shape on this
+    synthetic corpus): every word-bounded blocklist hit is replaced with
+    a sentinel and counted.  Two Arrow RE2 kernels per batch
+    (``count_substring_regex`` + ``replace_substring_regex``), zero
+    Python per row; DuckDB's regexp functions are RE2 too, so the oracle
+    (``regexp_replace(..., 'g')`` / ``regexp_extract_all``) hashes
+    identically."""
+    txt = batch.column("text")
+    n = pc.count_substring_regex(txt, _SCRUB_PATTERN)
+    scrubbed = pc.replace_substring_regex(txt, _SCRUB_PATTERN, _SCRUB_TOKEN)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "text_scrubbed": scrubbed,
+        "n_scrubbed": pc.cast(n, pa.int64()),
+    })

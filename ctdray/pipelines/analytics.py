@@ -2760,3 +2760,182 @@ def user_path_prefixes(sf_dir: str, prefix_len: int = 3
     per = ds.groupby("user_id").map_groups(per_user,
                                            batch_format="pyarrow")
     return partial_aggregate(per, ["path"], [("one", "sum", "n_users")])
+
+
+def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                         cutoff: str = "1995-03-15", n: int = 10
+                         ) -> ray.data.Dataset:
+    """TPC-H Q3 shape: top-``n`` unshipped-revenue orders for one market
+    segment.  customer is a broadcast dimension (segment keyset);
+    qualifying orders (date-filtered) stay a Dataset and meet the
+    lineitem revenue partials in a ``shuffle_lookup_join`` — the
+    fact⋈filtered-fact equi-join where neither side is driver-bounded.
+    Revenue is exact integer cent·percent (cents × (100 − disc_pct)), so
+    the distributed sum is order-independent."""
+    from ..functions.joins import shuffle_lookup_join
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    keyset = cust.filter(pc.equal(cust.column("c_mktsegment"), segment)) \
+                 .column("c_custkey").combine_chunks()
+    key_ref = ray.put(keyset)
+    cut_us = np.datetime64(cutoff, "us")
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def keep_orders(batch: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        m = pc.and_(pc.is_in(batch.column("o_custkey"), value_set=ks),
+                    pc.less(batch.column("o_orderdate"),
+                            pa.scalar(cut_us.item(), pa.timestamp("us"))))
+        return batch.filter(m).drop_columns(["o_custkey"])
+
+    orders_q = orders.map_batches(keep_orders, batch_format="pyarrow")
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        m = pc.greater(batch.column("l_shipdate"),
+                       pa.scalar(cut_us.item(), pa.timestamp("us")))
+        b = batch.filter(m)
+        cents = np.rint(b.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc = np.rint(b.column("l_discount")
+                       .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        t = pa.table({"l_orderkey": b.column("l_orderkey"),
+                      "revenue_cp": pa.array(cents * (100 - disc))})
+        res = t.group_by(["l_orderkey"]).aggregate([("revenue_cp", "sum")])
+        return pa.table({"l_orderkey": res.column("l_orderkey"),
+                         "revenue_cp": res.column("revenue_cp_sum")})
+
+    rev = partial_aggregate(
+        li.map_batches(rev_partial, batch_format="pyarrow"),
+        ["l_orderkey"], [("revenue_cp", "sum", "revenue_cp")])
+    joined = shuffle_lookup_join(
+        rev, orders_q, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("revenue_cp", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us")),
+                                ("o_orderpriority", pa.string())]),
+        how="inner")
+    return joined.sort(["revenue_cp", "o_orderdate", "l_orderkey"],
+                       descending=[True, False, False]).limit(n)
+
+
+def late_ship_priority_counts(sf_dir: str, grace_days: int = 90
+                              ) -> ray.data.Dataset:
+    """TPC-H Q4-shaped EXISTS: count orders per priority having ANY
+    lineitem shipped more than ``grace_days`` after the order date.  One
+    exchange total: orders rows and per-batch (orderkey → max shipdate)
+    lineitem partials union-tag into 256 Fibonacci-hash buckets; each
+    bucket group reduces the partial maxes vectorized (lexsort +
+    maximum.reduceat), probes them with searchsorted against its orders,
+    and emits per-priority partial counts — the aggregate-then-semi-join
+    fused into the groupby that EXISTS subqueries compile to."""
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_shipdate"])
+    grace_us = np.int64(grace_days) * 86_400_000_000
+
+    def bucket_of(keys: np.ndarray) -> pa.Array:
+        return pa.array(((keys.astype(np.uint64)
+                          * np.uint64(0x9E3779B97F4A7C15))
+                         >> np.uint64(56)).astype(np.int32))
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bkt": bucket_of(k), "key": batch.column("o_orderkey"),
+            "odate": batch.column("o_orderdate").cast(pa.int64()),
+            "priority": batch.column("o_orderpriority"),
+            "is_order": pa.array(np.ones(len(batch), dtype=bool)),
+            "max_ship": pa.nulls(len(batch), pa.int64())})
+
+    def tag_lineitem(batch: pa.Table) -> pa.Table:
+        t = pa.table({"key": batch.column("l_orderkey"),
+                      "ship": batch.column("l_shipdate").cast(pa.int64())})
+        res = t.group_by(["key"]).aggregate([("ship", "max")])
+        k = res.column("key").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bkt": bucket_of(k), "key": res.column("key"),
+            "odate": pa.nulls(len(res), pa.int64()),
+            "priority": pa.nulls(len(res), pa.string()),
+            "is_order": pa.array(np.zeros(len(res), dtype=bool)),
+            "max_ship": res.column("ship_max")})
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        li.map_batches(tag_lineitem, batch_format="pyarrow"))
+
+    def reduce_bucket(group: pa.Table) -> pa.Table:
+        side = group.column("is_order").to_numpy(zero_copy_only=False)
+        keys = group.column("key").to_numpy(zero_copy_only=False)
+        rk, rv = keys[~side], group.column("max_ship") \
+            .to_numpy(zero_copy_only=False)[~side].astype(np.int64)
+        if len(rk) == 0 or side.sum() == 0:
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "n_late_orders": pa.array([], pa.int64())})
+        order = np.argsort(rk, kind="stable")
+        rk, rv = rk[order], rv[order]
+        uk, starts = np.unique(rk, return_index=True)
+        umax = np.maximum.reduceat(rv, starts)
+        lk = keys[side]
+        odate = group.column("odate").to_numpy(
+            zero_copy_only=False)[side].astype(np.int64)
+        idx = np.searchsorted(uk, lk)
+        idx_c = np.clip(idx, 0, len(uk) - 1)
+        hit = uk[idx_c] == lk
+        late = hit & (umax[idx_c] > odate + grace_us)
+        if not late.any():
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "n_late_orders": pa.array([], pa.int64())})
+        pri = group.column("priority").filter(
+            pa.array(side)).filter(pa.array(late))
+        t = pa.table({"o_orderpriority": pri,
+                      "one": pa.array(np.ones(len(pri), dtype=np.int64))})
+        res = t.group_by(["o_orderpriority"]).aggregate([("one", "sum")])
+        return pa.table({"o_orderpriority": res.column("o_orderpriority"),
+                         "n_late_orders": res.column("one_sum")})
+
+    per_bucket = tagged.groupby("bkt").map_groups(
+        reduce_bucket, batch_format="pyarrow")
+    return partial_aggregate(per_bucket, ["o_orderpriority"],
+                             [("n_late_orders", "sum", "n_late_orders")])
+
+
+def event_dedup_60s(sf_dir: str, min_gap_seconds: int = 60
+                    ) -> ray.data.Dataset:
+    """Bounded-window event throttle: drop an event when the SAME
+    (user, event_type) produced another event less than
+    ``min_gap_seconds`` earlier — LAG-against-previous-raw-row semantics
+    (the greedy keep-chain variant is order-recursive and not
+    SQL-expressible; this one carries an exact QUALIFY-lag oracle).
+    Partitioned by user_id; each group lexsorts (type, ts, event_id) and
+    keeps run heads plus rows whose in-type gap ≥ the threshold."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    gap_us = np.int64(min_gap_seconds) * 1_000_000
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, et.astype("U")))
+        ts_s, et_s = ts[order], et[order]
+        keep = np.ones(len(ts_s), dtype=bool)
+        if len(ts_s) > 1:
+            same_type = et_s[1:] == et_s[:-1]
+            close = (ts_s[1:] - ts_s[:-1]) < gap_us
+            keep[1:] = ~(same_type & close)
+        sel = order[keep]
+        return group.take(pa.array(np.sort(sel)))
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")

@@ -1,0 +1,93 @@
+"""Q3 top-k revenue join, Q4-style late-ship EXISTS, LAG-window event
+throttle, and blocklist scrubbing — tiny hand-built inputs pin the exact
+semantics the DuckDB oracles verify at driver scale."""
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _ts(s):
+    return np.datetime64(s, "us").item()
+
+
+def test_q3_shipping_priority_revenue_and_order(ray_session, tmp_path):
+    from ctdray.pipelines.analytics import q3_shipping_priority
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_mktsegment": pa.array(["BUILDING", "AUTOMOBILE"]),
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2], pa.int64()),
+        # order 11 is past the cutoff -> excluded; 12 wrong segment
+        "o_orderdate": pa.array([_ts("1995-01-01"), _ts("1995-04-01"),
+                                 _ts("1995-01-01")], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 10, 11, 12], pa.int64()),
+        "l_extendedprice": pa.array([10.0, 20.0, 5.0, 7.0]),
+        "l_discount": pa.array([0.10, 0.0, 0.0, 0.0]),
+        # first line shipped before the cutoff -> its revenue is excluded
+        "l_shipdate": pa.array([_ts("1995-01-02"), _ts("1995-06-01"),
+                                _ts("1995-06-01"), _ts("1995-06-01")],
+                               pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q3_shipping_priority(str(tmp_path)).to_pandas()
+    assert list(out.l_orderkey) == [10]
+    # 20.00 at 0% discount = 2000 cents * 100
+    assert list(out.revenue_cp) == [200000]
+    assert list(out.o_orderpriority) == ["1-URGENT"]
+
+
+def test_late_ship_priority_counts_exists_semantics(ray_session, tmp_path):
+    from ctdray.pipelines.analytics import late_ship_priority_counts
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array([_ts("1995-01-01")] * 3, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT", "2-HIGH"]),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        # order 1: one on-time + one late line (EXISTS -> counted once)
+        # order 2: exactly at the 90-day boundary (not > ) -> not late
+        # order 3: late
+        "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "l_shipdate": pa.array([_ts("1995-01-15"), _ts("1995-06-01"),
+                                _ts("1995-04-01"), _ts("1995-12-31")],
+                               pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = late_ship_priority_counts(str(tmp_path)).to_pandas()
+    got = dict(zip(out.o_orderpriority, out.n_late_orders))
+    assert got == {"1-URGENT": 1, "2-HIGH": 1}
+
+
+def test_event_dedup_60s_lag_not_chain(ray_session, tmp_path):
+    from ctdray.pipelines.analytics import event_dedup_60s
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        # e2 30s after e1 (same type) -> dropped; e3 30s after e2 but
+        # LAG vs raw previous row (e2) -> dropped too (NOT the greedy
+        # chain, which would keep e3 at 60s after the kept e1);
+        # e4 is another type -> kept; e5 70s after e3 -> kept
+        "ts": pa.array([_ts("2024-01-01T00:00:00"),
+                        _ts("2024-01-01T00:00:30"),
+                        _ts("2024-01-01T00:01:00"),
+                        _ts("2024-01-01T00:01:01"),
+                        _ts("2024-01-01T00:02:10")], pa.timestamp("us")),
+        "user_id": pa.array([7] * 5, pa.int64()),
+        "event_type": pa.array(["view", "view", "view", "click", "view"]),
+    }), str(tmp_path / "events.parquet"))
+    out = event_dedup_60s(str(tmp_path)).to_pandas()
+    assert sorted(out.event_id) == [1, 4, 5]
+
+
+def test_blocklist_scrub_word_boundaries(ray_session):
+    from ctdray.functions.text import blocklist_scrub_batch
+    out = blocklist_scrub_batch(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["customer spark customers sparkle",
+                          "no hits here"]),
+    }))
+    assert out.column("text_scrubbed").to_pylist() == [
+        "<SCRUBBED> <SCRUBBED> customers sparkle", "no hits here"]
+    assert out.column("n_scrubbed").to_pylist() == [2, 0]
