@@ -89,7 +89,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         user_path_prefixes,
                                         q3_shipping_priority,
                                         late_ship_priority_counts,
-                                        event_dedup_60s)
+                                        event_dedup_60s,
+                                        q14_promo_revenue_ppm,
+                                        user_value_quartiles,
+                                        major_parts_by_revenue,
+                                        embedding_norm_stats_by_label)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -417,6 +421,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": q3_shipping_priority,
         "late_ship_priority_counts": late_ship_priority_counts,
         "event_dedup_60s": event_dedup_60s,
+        "q14_promo_revenue_ppm": q14_promo_revenue_ppm,
+        "user_value_quartiles": user_value_quartiles,
+        "major_parts_by_revenue": major_parts_by_revenue,
+        "embedding_norm_stats_by_label": embedding_norm_stats_by_label,
         "doc_blocklist_scrub": lambda sf: _documents(sf).map_batches(
             __import__("ctdray.functions.text",
                        fromlist=["blocklist_scrub_batch"])
@@ -972,6 +980,39 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1995-03-15' "
             "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
             "ORDER BY revenue_cp DESC, o_orderdate, l_orderkey LIMIT 10"),
+        "q14_promo_revenue_ppm": (
+            "WITH r AS (SELECT l_partkey, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev "
+            "FROM lineitem), "
+            "s AS (SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev "
+            "ELSE 0 END) AS BIGINT) AS promo_cp, "
+            "CAST(SUM(rev) AS BIGINT) AS total_cp "
+            "FROM r JOIN part ON l_partkey = p_partkey) "
+            "SELECT promo_cp, total_cp, "
+            "CAST(promo_cp * 1000000 // total_cp AS BIGINT) AS promo_ppm "
+            "FROM s"),
+        "user_value_quartiles": (
+            "SELECT event_id, user_id, value, "
+            "CAST(ntile(4) OVER (PARTITION BY user_id "
+            "ORDER BY value, event_id) AS BIGINT) AS quartile FROM events"),
+        "major_parts_by_revenue": (
+            "WITH r AS (SELECT l_partkey, CAST(SUM("
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS revenue_cp FROM lineitem GROUP BY 1) "
+            "SELECT l_partkey, revenue_cp FROM r "
+            "WHERE revenue_cp * 1000000 > "
+            "600 * (SELECT SUM(revenue_cp) FROM r)"),
+        "embedding_norm_stats_by_label": (
+            "WITH n AS (SELECT CAST(label AS BIGINT) AS label, "
+            "CAST(list_sum([CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)"
+            " * CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) "
+            "FOR x IN embedding]) AS BIGINT) AS norm2 FROM embeddings) "
+            "SELECT label, CAST(count(*) AS BIGINT) AS n_vectors, "
+            "CAST(SUM(norm2) AS BIGINT) AS norm2_sum, "
+            "MIN(norm2) AS norm2_min, MAX(norm2) AS norm2_max "
+            "FROM n GROUP BY label"),
         "late_ship_priority_counts": (
             "SELECT o_orderpriority, CAST(count(*) AS BIGINT) "
             "AS n_late_orders FROM orders WHERE EXISTS "

@@ -2939,3 +2939,136 @@ def event_dedup_60s(sf_dir: str, min_gap_seconds: int = 60
 
     return ds.groupby("user_id").map_groups(per_user,
                                             batch_format="pyarrow")
+
+
+def q14_promo_revenue_ppm(sf_dir: str) -> pa.Table:
+    """TPC-H Q14 shape: promo-typed parts' share of lineitem revenue as
+    exact integer ppm.  part is a broadcast dimension (promo keyset); one
+    fact scan folds two conditional integer sums (cent·percent) into a
+    single row — the conditional-aggregate ratio report."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    promo = part.filter(pc.equal(part.column("p_type"), "PROMO")) \
+                .column("p_partkey").combine_chunks()
+    promo_ref = ray.put(promo)
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc = np.rint(batch.column("l_discount")
+                       .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        rev = cents * (100 - disc)
+        is_promo = pc.is_in(batch.column("l_partkey"),
+                            value_set=ray.get(promo_ref)) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"promo_cp": pa.array([int(rev[is_promo].sum())]),
+                         "total_cp": pa.array([int(rev.sum())])})
+
+    rows = li.map_batches(partial, batch_format="pyarrow").take_all()
+    promo_cp = sum(r["promo_cp"] for r in rows)
+    total_cp = sum(r["total_cp"] for r in rows)
+    return pa.table({
+        "promo_cp": pa.array([promo_cp], pa.int64()),
+        "total_cp": pa.array([total_cp], pa.int64()),
+        "promo_ppm": pa.array([promo_cp * 1_000_000 // total_cp], pa.int64()),
+    })
+
+
+def user_value_quartiles(sf_dir: str, k: int = 4) -> ray.data.Dataset:
+    """NTILE(k) window function: each user's events bucket into k
+    near-equal groups by (value, event_id) rank — SQL NTILE semantics
+    exactly (first n%k buckets take the extra row).  Partitioned by
+    user_id; the per-group kernel is one argsort + an integer bucket
+    formula, no Python per row."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "value"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        val = group.column("value").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, val))
+        n = len(order)
+        idx = np.empty(n, dtype=np.int64)
+        idx[order] = np.arange(n)
+        big, small = n % k, n // k
+        size_big = small + 1
+        cut = big * size_big
+        q = np.where(idx < cut,
+                     idx // max(size_big, 1) + 1,
+                     big + (idx - cut) // max(small, 1) + 1)
+        return group.append_column("quartile",
+                                   pa.array(q.astype(np.int64)))
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")
+
+
+def major_parts_by_revenue(sf_dir: str, threshold_ppm: int = 600
+                           ) -> ray.data.Dataset:
+    """TPC-H Q11 shape: parts whose revenue exceeds ``threshold_ppm`` of
+    the global total — HAVING against a whole-table scalar.  One fact
+    scan builds per-part integer revenue partials; the per-part aggregate
+    (bounded by |part|) materializes once, the driver folds the global
+    total from it, and the ppm filter runs distributed with the scalar
+    broadcast — no second scan of the fact table."""
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc = np.rint(batch.column("l_discount")
+                       .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        t = pa.table({"l_partkey": batch.column("l_partkey"),
+                      "revenue_cp": pa.array(cents * (100 - disc))})
+        res = t.group_by(["l_partkey"]).aggregate([("revenue_cp", "sum")])
+        return pa.table({"l_partkey": res.column("l_partkey"),
+                         "revenue_cp": res.column("revenue_cp_sum")})
+
+    agg = partial_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_partkey"], [("revenue_cp", "sum", "revenue_cp")]).materialize()
+    total = 0
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        total += int(pc.sum(b.column("revenue_cp")).as_py() or 0)
+    total_ref = ray.put(total)
+
+    def keep_major(batch: pa.Table) -> pa.Table:
+        tot = ray.get(total_ref)
+        rev = batch.column("revenue_cp").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(rev * 1_000_000 > threshold_ppm * tot))
+
+    return agg.map_batches(keep_major, batch_format="pyarrow")
+
+
+def embedding_norm_stats_by_label(sf_dir: str) -> ray.data.Dataset:
+    """Vector-column aggregate: per label, count and the sum/min/max of
+    integer-scaled squared norms (components round to 1e-4 before
+    squaring, so the distributed sum is exact and order-independent —
+    the trick that lets float vector math carry a value-exact SQL
+    oracle).  One scan, fixed-width numpy reshape per batch."""
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        flat = np.rint(emb.combine_chunks().flatten()
+                       .to_numpy(zero_copy_only=False)
+                       .astype(np.float64) * 10_000).astype(np.int64)
+        dim = len(flat) // len(batch)
+        norm2 = (flat.reshape(len(batch), dim) ** 2).sum(axis=1)
+        t = pa.table({"label": pc.cast(batch.column("label"), pa.int64()),
+                      "norm2_scaled": pa.array(norm2),
+                      "one": pa.array(np.ones(len(batch), dtype=np.int64))})
+        return t
+
+    tagged = ds.map_batches(partial, batch_format="pyarrow")
+    return partial_aggregate(
+        tagged, ["label"],
+        [("one", "sum", "n_vectors"), ("norm2_scaled", "sum", "norm2_sum"),
+         ("norm2_scaled", "min", "norm2_min"),
+         ("norm2_scaled", "max", "norm2_max")])

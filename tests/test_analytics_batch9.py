@@ -91,3 +91,61 @@ def test_blocklist_scrub_word_boundaries(ray_session):
     assert out.column("text_scrubbed").to_pylist() == [
         "<SCRUBBED> <SCRUBBED> customers sparkle", "no hits here"]
     assert out.column("n_scrubbed").to_pylist() == [2, 0]
+
+
+def test_user_value_quartiles_ntile_semantics(ray_session, tmp_path):
+    from ctdray.pipelines.analytics import user_value_quartiles
+    # 6 rows, k=4 -> NTILE sizes [2,2,1,1] (first n%k buckets get the
+    # extra row); ranked by (value, event_id)
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "user_id": pa.array([9] * 6, pa.int64()),
+        "value": pa.array([10.0, 20.0, 30.0, 40.0, 50.0, 60.0]),
+    }), str(tmp_path / "events.parquet"))
+    out = user_value_quartiles(str(tmp_path)).to_pandas() \
+        .sort_values("event_id")
+    assert list(out.quartile) == [1, 1, 2, 2, 3, 4]
+
+
+def test_user_value_quartiles_fewer_rows_than_buckets(ray_session, tmp_path):
+    from ctdray.pipelines.analytics import user_value_quartiles
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([9, 9], pa.int64()),
+        "value": pa.array([5.0, 1.0]),
+    }), str(tmp_path / "events.parquet"))
+    out = user_value_quartiles(str(tmp_path)).to_pandas() \
+        .sort_values("event_id")
+    # rank order is by value: event 2 (value 1.0) is bucket 1
+    assert list(out.quartile) == [2, 1]
+
+
+def test_major_parts_threshold_is_strict(ray_session, tmp_path):
+    from ctdray.pipelines.analytics import major_parts_by_revenue
+    # part 1: 900.00, part 2: 100.00 -> shares 900000 / 100000 ppm
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2], pa.int64()),
+        "l_extendedprice": pa.array([900.0, 100.0]),
+        "l_discount": pa.array([0.0, 0.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = major_parts_by_revenue(str(tmp_path),
+                                 threshold_ppm=100_000).to_pandas()
+    assert list(out.l_partkey) == [1]      # part 2 == threshold -> excluded
+    assert list(out.revenue_cp) == [9_000_000]
+
+
+def test_embedding_norm_stats_exact_integers(ray_session, tmp_path):
+    from ctdray.pipelines.analytics import embedding_norm_stats_by_label
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[0.5, -0.5], [1.0, 0.0]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([3, 3], pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+    out = embedding_norm_stats_by_label(str(tmp_path)).to_pandas()
+    assert list(out.label) == [3]
+    assert list(out.n_vectors) == [2]
+    # norms: 5000^2*2 = 50e6 ; 10000^2 = 100e6
+    assert list(out.norm2_min) == [50_000_000]
+    assert list(out.norm2_max) == [100_000_000]
+    assert list(out.norm2_sum) == [150_000_000]
