@@ -93,7 +93,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         q14_promo_revenue_ppm,
                                         user_value_quartiles,
                                         major_parts_by_revenue,
-                                        embedding_norm_stats_by_label)
+                                        embedding_norm_stats_by_label,
+                                        lang_confusion_matrix,
+                                        q19_disjunctive_revenue,
+                                        idle_customers_by_nation,
+                                        event_type_jaccard)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -425,6 +429,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_quartiles": user_value_quartiles,
         "major_parts_by_revenue": major_parts_by_revenue,
         "embedding_norm_stats_by_label": embedding_norm_stats_by_label,
+        "lang_confusion_matrix": lang_confusion_matrix,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "idle_customers_by_nation": idle_customers_by_nation,
+        "event_type_jaccard": event_type_jaccard,
         "doc_blocklist_scrub": lambda sf: _documents(sf).map_batches(
             __import__("ctdray.functions.text",
                        fromlist=["blocklist_scrub_batch"])
@@ -980,6 +988,41 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1995-03-15' "
             "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
             "ORDER BY revenue_cp DESC, o_orderdate, l_orderkey LIMIT 10"),
+        "lang_confusion_matrix": (
+            "SELECT lang, CASE WHEN 5 * len(list_filter("
+            "string_split(text,' '), "
+            f"x -> x IN {_STOPLIST_SQL})) >= len(string_split(text,' ')) "
+            "THEN 'eng' ELSE 'unknown' END AS lang_pred, "
+            "CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY 1, 2"),
+        "q19_disjunctive_revenue": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_lines, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS revenue_cp "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 10) "
+            "OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)"),
+        "idle_customers_by_nation": (
+            "SELECT n_name, CAST(count(*) AS BIGINT) AS n_idle_customers "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = c_custkey) GROUP BY n_name"),
+        "event_type_jaccard": (
+            "WITH tu AS (SELECT DISTINCT event_type, user_id FROM events), "
+            "c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n "
+            "FROM tu GROUP BY 1), "
+            "p AS (SELECT a.event_type AS ta, b.event_type AS tb, "
+            "CAST(count(*) AS BIGINT) AS nb FROM tu a "
+            "JOIN tu b ON a.user_id = b.user_id "
+            "AND a.event_type < b.event_type GROUP BY 1, 2) "
+            "SELECT ta AS type_a, tb AS type_b, ca.n AS n_a, cb.n AS n_b, "
+            "nb AS n_both, "
+            "CAST(nb * 1000000 // (ca.n + cb.n - nb) AS BIGINT) "
+            "AS jaccard_ppm FROM p "
+            "JOIN c ca ON ta = ca.event_type "
+            "JOIN c cb ON tb = cb.event_type"),
         "q14_promo_revenue_ppm": (
             "WITH r AS (SELECT l_partkey, "
             "CAST(round(l_extendedprice * 100) AS BIGINT) * "

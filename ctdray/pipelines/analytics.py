@@ -3072,3 +3072,165 @@ def embedding_norm_stats_by_label(sf_dir: str) -> ray.data.Dataset:
         [("one", "sum", "n_vectors"), ("norm2_scaled", "sum", "norm2_sum"),
          ("norm2_scaled", "min", "norm2_min"),
          ("norm2_scaled", "max", "norm2_max")])
+
+
+def lang_confusion_matrix(sf_dir: str) -> ray.data.Dataset:
+    """Claimed-vs-detected language confusion counts: one documents scan
+    runs the n-gram language heuristic per batch and partial-counts into
+    (lang, lang_pred) cells — the model-QA crosstab every corpus audit
+    starts with.  The exchange carries ≤ |langs|² partial rows."""
+    from ..functions.text import langid_one
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pred = pa.array([langid_one(t)
+                         for t in batch.column("text").to_pylist()],
+                        pa.string())
+        t = pa.table({"lang": batch.column("lang"), "lang_pred": pred,
+                      "one": pa.array(np.ones(len(batch), dtype=np.int64))})
+        res = t.group_by(["lang", "lang_pred"]).aggregate([("one", "sum")])
+        return pa.table({"lang": res.column("lang"),
+                         "lang_pred": res.column("lang_pred"),
+                         "one": res.column("one_sum")})
+
+    return partial_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "lang_pred"], [("one", "sum", "n_docs")])
+
+
+_Q19_CONJUNCTS = (("Brand#1", 1, 10), ("Brand#2", 10, 20),
+                  ("Brand#3", 20, 30))
+
+
+def q19_disjunctive_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q19 shape: revenue under an OR-of-conjuncts predicate
+    ((brand, quantity-range) triples).  part broadcasts one partkey→brand
+    dictionary; the disjunction evaluates vectorized per batch and the
+    scan folds to a single (n_lines, revenue_cp) row — the multi-clause
+    pushdown filter that defeats naive per-clause scans."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    side_ref = ray.put((part.column("p_partkey").combine_chunks(),
+                        pa.concat_arrays([
+                            part.column("p_brand").combine_chunks(),
+                            pa.array([""], pa.string())])))
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, brands = ray.get(side_ref)
+        idx = pc.fill_null(pc.index_in(batch.column("l_partkey"),
+                                       value_set=keys), len(keys))
+        brand = np.asarray(pc.take(brands, idx).to_pylist(), dtype=object)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        m = np.zeros(len(batch), dtype=bool)
+        for b, lo, hi in _Q19_CONJUNCTS:
+            m |= (brand == b) & (qty >= lo) & (qty <= hi)
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc = np.rint(batch.column("l_discount")
+                       .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        rev = (cents * (100 - disc))[m]
+        return pa.table({"n_lines": pa.array([int(m.sum())]),
+                         "revenue_cp": pa.array([int(rev.sum())])})
+
+    rows = li.map_batches(partial, batch_format="pyarrow").take_all()
+    return pa.table({
+        "n_lines": pa.array([sum(r["n_lines"] for r in rows)], pa.int64()),
+        "revenue_cp": pa.array([sum(r["revenue_cp"] for r in rows)],
+                               pa.int64())})
+
+
+def idle_customers_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q22 shape: customers who never placed an order, counted per
+    nation — NOT EXISTS compiled to ``shuffle_anti_join`` (both sides
+    hash-partition on custkey; nothing driver-materializes) followed by
+    the broadcast-dimension nation rollup."""
+    from ..functions.joins import shuffle_anti_join
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    side_ref = ray.put((nation.column("n_nationkey").combine_chunks(),
+                        pa.concat_arrays([
+                            nation.column("n_name").combine_chunks(),
+                            pa.array([""], pa.string())])))
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey"])
+    idle = shuffle_anti_join(
+        cust, orders.map_batches(
+            lambda b: pa.table({"c_custkey": b.column("o_custkey")}),
+            batch_format="pyarrow"),
+        "c_custkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nk, names = ray.get(side_ref)
+        idx = pc.fill_null(pc.index_in(batch.column("c_nationkey"),
+                                       value_set=nk), len(nk))
+        t = pa.table({"n_name": pc.take(names, idx),
+                      "one": pa.array(np.ones(len(batch), dtype=np.int64))})
+        res = t.group_by(["n_name"]).aggregate([("one", "sum")])
+        return pa.table({"n_name": res.column("n_name"),
+                         "one": res.column("one_sum")})
+
+    agg = partial_aggregate(
+        idle.map_batches(partial, batch_format="pyarrow"),
+        ["n_name"], [("one", "sum", "n_idle_customers")])
+    # bounded (≤ |nation| rows) and legitimately empty when every customer
+    # ordered — seed a typed table so an empty result keeps its schema
+    seed = pa.table({"n_name": pa.array([], pa.string()),
+                     "n_idle_customers": pa.array([], pa.int64())})
+    return pa.concat_tables(
+        [seed] + [b.select(["n_name", "n_idle_customers"])
+                  for b in agg.iter_batches(batch_format="pyarrow")])
+
+
+def event_type_jaccard(sf_dir: str) -> pa.Table:
+    """Pairwise Jaccard similarity between event types over their user
+    sets, computed WITHOUT the |users|² self-join: per-batch distinct
+    (user, type) pairs → one user-keyed exchange folds each user to a
+    single sorted type-set string → the type-set histogram (≤ 2^|types|
+    rows) leaves the cluster and the driver expands it to per-pair
+    intersection/union counts.  Only co-occurring pairs emit (matching
+    the inner-join SQL oracle); similarity is exact integer ppm."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["user_id", "event_type"]) \
+            .aggregate([([], "count_all")])
+        return res.select(["user_id", "event_type"])
+
+    def typeset(group: pa.Table) -> pa.Table:
+        types = sorted(set(group.column("event_type").to_pylist()))
+        return pa.table({"ts_key": pa.array(["|".join(types)], pa.string()),
+                         "one": pa.array([1], pa.int64())})
+
+    hist = partial_aggregate(
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+          .groupby("user_id").map_groups(typeset, batch_format="pyarrow"),
+        ["ts_key"], [("one", "sum", "n_users")]).take_all()
+
+    per_type: dict[str, int] = {}
+    per_pair: dict[tuple[str, str], int] = {}
+    for row in hist:
+        types, n = row["ts_key"].split("|"), row["n_users"]
+        for i, a in enumerate(types):
+            per_type[a] = per_type.get(a, 0) + n
+            for b in types[i + 1:]:
+                per_pair[(a, b)] = per_pair.get((a, b), 0) + n
+    pairs = sorted(per_pair)
+    n_a = [per_type[a] for a, _ in pairs]
+    n_b = [per_type[b] for _, b in pairs]
+    n_both = [per_pair[p] for p in pairs]
+    return pa.table({
+        "type_a": pa.array([a for a, _ in pairs], pa.string()),
+        "type_b": pa.array([b for _, b in pairs], pa.string()),
+        "n_a": pa.array(n_a, pa.int64()),
+        "n_b": pa.array(n_b, pa.int64()),
+        "n_both": pa.array(n_both, pa.int64()),
+        "jaccard_ppm": pa.array(
+            [both * 1_000_000 // (a + b - both)
+             for a, b, both in zip(n_a, n_b, n_both)], pa.int64())})

@@ -149,3 +149,55 @@ def test_embedding_norm_stats_exact_integers(ray_session, tmp_path):
     assert list(out.norm2_min) == [50_000_000]
     assert list(out.norm2_max) == [100_000_000]
     assert list(out.norm2_sum) == [150_000_000]
+
+
+def test_idle_customers_counts_only_orderless(ray_session, tmp_path):
+    from ctdray.pipelines.analytics import idle_customers_by_nation
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_name": pa.array(["ALGERIA", "BRAZIL"]),
+    }), str(tmp_path / "nation.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_nationkey": pa.array([0, 0, 1], pa.int64()),
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1], pa.int64()),
+    }), str(tmp_path / "orders.parquet"))
+    out = idle_customers_by_nation(str(tmp_path)).to_pandas()
+    got = dict(zip(out.n_name, out.n_idle_customers))
+    assert got == {"ALGERIA": 1, "BRAZIL": 1}
+
+
+def test_event_type_jaccard_exact_counts(ray_session, tmp_path):
+    from ctdray.pipelines.analytics import event_type_jaccard
+    # users: 1 {a,b}, 2 {a}, 3 {a,b}, 4 {c} -> (a,b): 2/3; c co-occurs
+    # with nothing so no (a,c)/(b,c) rows (matches the inner-join oracle)
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 3, 3, 4], pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "a", "a", "b", "c"]),
+    }), str(tmp_path / "events.parquet"))
+    out = event_type_jaccard(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.type_a, r.type_b, r.n_a, r.n_b, r.n_both) == ("a", "b", 3, 2, 2)
+    assert r.jaccard_ppm == 2 * 1_000_000 // 3
+
+
+def test_q19_disjunction_boundaries(ray_session, tmp_path):
+    from ctdray.pipelines.analytics import q19_disjunctive_revenue
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_brand": pa.array(["Brand#1", "Brand#2", "Brand#9"]),
+    }), str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        # B1 qty 10 -> in; B1 qty 11 -> out; B2 qty 10 -> in (overlap
+        # boundary belongs to both clauses); B9 any -> out
+        "l_partkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "l_quantity": pa.array([10.0, 11.0, 10.0, 5.0]),
+        "l_extendedprice": pa.array([100.0, 100.0, 50.0, 70.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.10, 0.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q19_disjunctive_revenue(str(tmp_path)).to_pandas()
+    assert out.n_lines[0] == 2
+    assert out.revenue_cp[0] == 100_00 * 100 + 50_00 * 90
