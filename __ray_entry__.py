@@ -97,7 +97,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         lang_confusion_matrix,
                                         q19_disjunctive_revenue,
                                         idle_customers_by_nation,
-                                        event_type_jaccard)
+                                        event_type_jaccard,
+                                        docs_weighted_sample,
+                                        doc_length_deciles,
+                                        docs_with_hapax,
+                                        bilateral_trade_volume)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -129,6 +133,16 @@ def _fold60_sql(expr: str) -> str:
     the SQL mirror of dedup._token_hash60 / analytics._hash60_str."""
     fold = "0"
     for i in range(1, 16):
+        fold = (f"({fold})*16 + (strpos('0123456789abcdef', "
+                f"substr({expr},{i},1))-1)")
+    return fold
+
+
+def _fold48_sql(expr: str) -> str:
+    """12-hex-char fold → 48-bit BIGINT (48 not 60 so threshold·weight
+    products stay inside int64; mirrors docs_weighted_sample)."""
+    fold = "0"
+    for i in range(1, 13):
         fold = (f"({fold})*16 + (strpos('0123456789abcdef', "
                 f"substr({expr},{i},1))-1)")
     return fold
@@ -433,6 +447,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "idle_customers_by_nation": idle_customers_by_nation,
         "event_type_jaccard": event_type_jaccard,
+        "docs_weighted_sample": docs_weighted_sample,
+        "doc_length_deciles": doc_length_deciles,
+        "docs_with_hapax": docs_with_hapax,
+        "bilateral_trade_volume": bilateral_trade_volume,
         "doc_blocklist_scrub": lambda sf: _documents(sf).map_batches(
             __import__("ctdray.functions.text",
                        fromlist=["blocklist_scrub_batch"])
@@ -988,6 +1006,34 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1995-03-15' "
             "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
             "ORDER BY revenue_cp DESC, o_orderdate, l_orderkey LIMIT 10"),
+        "docs_weighted_sample": (
+            "SELECT doc_id, n_chars FROM documents WHERE "
+            f"({_fold48_sql('md5(CAST(doc_id AS VARCHAR))')}) "
+            "* (SELECT max(n_chars) FROM documents) "
+            "< n_chars * 281474976710656"),
+        "doc_length_deciles": (
+            "SELECT doc_id, n_chars, CAST(ntile(10) OVER "
+            "(ORDER BY n_chars, doc_id) AS BIGINT) AS decile "
+            "FROM documents"),
+        "docs_with_hapax": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(list_distinct(string_split(text, ' '))) AS t "
+            "FROM documents), "
+            "df AS (SELECT t, count(*) AS c FROM tok GROUP BY 1) "
+            "SELECT DISTINCT doc_id FROM tok "
+            "WHERE t IN (SELECT t FROM df WHERE c = 1)"),
+        "bilateral_trade_volume": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS BIGINT) AS ship_year, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS revenue_cp "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "GROUP BY 1, 2, 3"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

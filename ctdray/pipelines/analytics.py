@@ -3234,3 +3234,206 @@ def event_type_jaccard(sf_dir: str) -> pa.Table:
         "jaccard_ppm": pa.array(
             [both * 1_000_000 // (a + b - both)
              for a, b, both in zip(n_a, n_b, n_both)], pa.int64())})
+
+
+def docs_weighted_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic weighted Bernoulli sample: doc_id keeps with
+    probability n_chars / max(n_chars) via a 48-bit md5 threshold test —
+    the seedless, shard-order-independent sampler (same hash → same
+    sample on any cluster shape).  48 bits (not 60) so threshold·weight
+    stays inside int64 for the exact SQL mirror.  Pass 1 folds the global
+    max from per-batch partials; pass 2 filters vectorized."""
+    import hashlib
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+    mx = 0
+    for b in ds.map_batches(
+            lambda b: pa.table({"m": pa.array(
+                [int(pc.max(b.column("n_chars")).as_py() or 0)])}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        mx = max(mx, int(pc.max(b.column("m")).as_py() or 0))
+    mx_ref = ray.put(mx)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = ray.get(mx_ref)
+        h = np.array([int(hashlib.md5(str(d).encode()).hexdigest()[:12], 16)
+                      for d in batch.column("doc_id").to_pylist()],
+                     dtype=np.int64)
+        n = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(h * m < n << 48))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def doc_length_deciles(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Global NTILE(k) over (n_chars, doc_id) rank without a single-node
+    sort: coarse length buckets partial-count (bounded: length range /
+    width), the driver prefix-sums the tiny bucket table, and each bucket
+    group stamps offset + local sorted position → exact global rank →
+    SQL-NTILE bucket formula.  The global_event_rank pattern applied to
+    the corpus-curation 'length decile' feature."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+    width = 64
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        bkt = batch.column("n_chars").to_numpy(zero_copy_only=False) // width
+        return pa.table({"bkt": pa.array(bkt.astype(np.int64)),
+                         "one": pa.array(np.ones(len(batch), np.int64))})
+
+    per_bkt = partial_aggregate(
+        ds.map_batches(bucket_partial, batch_format="pyarrow"),
+        ["bkt"], [("one", "sum", "n")]).take_all()
+    bks = np.array([r["bkt"] for r in per_bkt], np.int64)
+    ns = np.array([r["n"] for r in per_bkt], np.int64)
+    order = np.argsort(bks)
+    bks, ns = bks[order], ns[order]
+    offs = np.concatenate([[0], np.cumsum(ns)[:-1]])
+    total = int(ns.sum())
+    side_ref = ray.put((bks, offs, total))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bkt = batch.column("n_chars").to_numpy(zero_copy_only=False) // width
+        return batch.append_column("bkt", pa.array(bkt.astype(np.int64)))
+
+    def stamp(group: pa.Table) -> pa.Table:
+        sb, so, n = ray.get(side_ref)
+        nc = group.column("n_chars").to_numpy(zero_copy_only=False)
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        local = np.lexsort((did, nc))
+        rnk = np.empty(len(group), dtype=np.int64)
+        base = so[np.searchsorted(sb, group.column("bkt")[0].as_py())]
+        rnk[local] = base + np.arange(len(group), dtype=np.int64)
+        big, small = n % k, n // k
+        size_big = small + 1
+        cut = big * size_big
+        dec = np.where(rnk < cut,
+                       rnk // max(size_big, 1) + 1,
+                       big + (rnk - cut) // max(small, 1) + 1)
+        return pa.table({"doc_id": group.column("doc_id"),
+                         "n_chars": group.column("n_chars"),
+                         "decile": pa.array(dec.astype(np.int64))})
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bkt").map_groups(stamp, batch_format="pyarrow")
+
+
+def docs_with_hapax(sf_dir: str) -> ray.data.Dataset:
+    """Docs containing at least one corpus-unique token (hapax legomenon)
+    — the rare-content flag.  One scan emits distinct (token, doc_id)
+    pairs; the token-keyed exchange lets every df=1 group emit its single
+    owner doc_id; a second (≤ |docs|) exchange dedups owners.  No
+    broadcast of the hapax vocabulary — at web scale that set is the
+    LARGE side, which is why membership runs inside the token groupby."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        dids = np.repeat(
+            batch.column("doc_id").to_numpy(zero_copy_only=False),
+            lens.astype(np.int64))
+        t = pa.table({"token": flat, "doc_id": pa.array(dids)})
+        return t.group_by(["token", "doc_id"]) \
+            .aggregate([([], "count_all")]).select(["token", "doc_id"])
+
+    def hapax_owner(group: pa.Table) -> pa.Table:
+        if len(group) != 1:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        return group.select(["doc_id"])
+
+    owners = (ds.map_batches(pairs, batch_format="pyarrow")
+                .groupby("token").map_groups(hapax_owner,
+                                             batch_format="pyarrow"))
+    distinct = owners.groupby("doc_id").map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    # id-only result, legitimately empty on closed-vocabulary corpora —
+    # seed a typed table so the schema survives zero rows
+    seed = pa.table({"doc_id": pa.array([], pa.int64())})
+    return pa.concat_tables(
+        [seed] + [b.select(["doc_id"])
+                  for b in distinct.iter_batches(batch_format="pyarrow")])
+
+
+def bilateral_trade_volume(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q7 shape: revenue by (supplier nation, customer nation,
+    ship year).  supplier/customer/nation broadcast as dictionaries; the
+    lineitem→orders link (fact⋈fact) runs through one
+    ``shuffle_lookup_join`` on orderkey AFTER lineitem pre-reduces to
+    (orderkey, supp_nation, year) partials — the exchange carries
+    partial sums, never raw lineitems."""
+    from ..functions.joins import shuffle_lookup_join
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nk = nation.column("n_nationkey").combine_chunks()
+    nnames = pa.concat_arrays([nation.column("n_name").combine_chunks(),
+                               pa.array([""], pa.string())])
+    side_ref = ray.put((
+        sup.column("s_suppkey").combine_chunks(),
+        pc.cast(sup.column("s_nationkey").combine_chunks(), pa.int64()),
+        cust.column("c_custkey").combine_chunks(),
+        pc.cast(cust.column("c_nationkey").combine_chunks(), pa.int64()),
+        nk, nnames))
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        sk, snk, _, _, nkeys, names = ray.get(side_ref)
+        i = pc.index_in(batch.column("l_suppkey"), value_set=sk)
+        j = pc.fill_null(pc.index_in(pc.take(snk, i), value_set=nkeys),
+                         len(nkeys))
+        year = batch.column("l_shipdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc = np.rint(batch.column("l_discount")
+                       .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "supp_nation": pc.take(names, j),
+                      "ship_year": pa.array(year),
+                      "revenue_cp": pa.array(cents * (100 - disc))})
+        res = t.group_by(["l_orderkey", "supp_nation", "ship_year"]) \
+            .aggregate([("revenue_cp", "sum")])
+        return pa.table({
+            "l_orderkey": res.column("l_orderkey"),
+            "supp_nation": res.column("supp_nation"),
+            "ship_year": res.column("ship_year"),
+            "revenue_cp": res.column("revenue_cp_sum")})
+
+    pre = li.map_batches(li_partial, batch_format="pyarrow")
+    joined = shuffle_lookup_join(
+        pre, orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("supp_nation", pa.string()),
+                               ("ship_year", pa.int64()),
+                               ("revenue_cp", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64())]),
+        how="inner")
+
+    def cust_nation(batch: pa.Table) -> pa.Table:
+        _, _, ck, cnk, nkeys, names = ray.get(side_ref)
+        i = pc.index_in(batch.column("o_custkey"), value_set=ck)
+        j = pc.fill_null(pc.index_in(pc.take(cnk, i), value_set=nkeys),
+                         len(nkeys))
+        return pa.table({"supp_nation": batch.column("supp_nation"),
+                         "cust_nation": pc.take(names, j),
+                         "ship_year": batch.column("ship_year"),
+                         "revenue_cp": batch.column("revenue_cp")})
+
+    return partial_aggregate(
+        joined.map_batches(cust_nation, batch_format="pyarrow"),
+        ["supp_nation", "cust_nation", "ship_year"],
+        [("revenue_cp", "sum", "revenue_cp")])

@@ -201,3 +201,52 @@ def test_q19_disjunction_boundaries(ray_session, tmp_path):
     out = q19_disjunctive_revenue(str(tmp_path)).to_pandas()
     assert out.n_lines[0] == 2
     assert out.revenue_cp[0] == 100_00 * 100 + 50_00 * 90
+
+
+def test_docs_with_hapax_finds_unique_token_owners(ray_session, tmp_path):
+    from ctdray.pipelines.analytics import docs_with_hapax
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["common words here xylophone",
+                          "common words here",
+                          "common zebra zebra"]),   # in-doc repeat is
+    }), str(tmp_path / "documents.parquet"))       # still corpus-unique
+    out = docs_with_hapax(str(tmp_path)).to_pandas()
+    assert sorted(out.doc_id) == [0, 2]
+
+
+def test_doc_length_deciles_matches_ntile(ray_session, tmp_path):
+    import duckdb
+    from ctdray.pipelines.analytics import doc_length_deciles
+    n = 23
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "n_chars": pa.array([(7 * i) % 5 + 100 * (i % 3) for i in range(n)],
+                            pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = doc_length_deciles(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    exp = duckdb.sql(
+        "SELECT doc_id, CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) "
+        "AS BIGINT) AS decile FROM tbl ORDER BY doc_id").df()
+    assert list(out.decile) == list(exp.decile)
+
+
+def test_docs_weighted_sample_monotone_in_weight(ray_session, tmp_path):
+    import hashlib
+    from ctdray.pipelines.analytics import docs_weighted_sample
+    n = 200
+    chars = [(i * 37) % 997 + 1 for i in range(n)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "n_chars": pa.array(chars, pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    out = docs_weighted_sample(str(tmp_path)).to_pandas()
+    kept = set(out.doc_id)
+    mx = max(chars)
+    for d in range(n):
+        h = int(hashlib.md5(str(d).encode()).hexdigest()[:12], 16)
+        assert (d in kept) == (h * mx < chars[d] << 48)
+    # the max-weight doc keeps with probability ~1 (h < 2^48 always)
+    assert chars.index(mx) in kept
