@@ -101,7 +101,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         docs_weighted_sample,
                                         doc_length_deciles,
                                         docs_with_hapax,
-                                        bilateral_trade_volume)
+                                        bilateral_trade_volume,
+                                        customer_order_gap_median,
+                                        daily_revenue_delta,
+                                        cheapest_supplier_per_part,
+                                        q10_returned_revenue)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -451,6 +455,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_deciles": doc_length_deciles,
         "docs_with_hapax": docs_with_hapax,
         "bilateral_trade_volume": bilateral_trade_volume,
+        "customer_order_gap_median": customer_order_gap_median,
+        "daily_revenue_delta": daily_revenue_delta,
+        "cheapest_supplier_per_part": cheapest_supplier_per_part,
+        "q10_returned_revenue": q10_returned_revenue,
         "doc_blocklist_scrub": lambda sf: _documents(sf).map_batches(
             __import__("ctdray.functions.text",
                        fromlist=["blocklist_scrub_batch"])
@@ -1034,6 +1042,46 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
             "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
             "GROUP BY 1, 2, 3"),
+        "customer_order_gap_median": (
+            "WITH o AS (SELECT o_custkey, o_orderdate, "
+            "lag(o_orderdate) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey) AS prev FROM orders), "
+            "g AS (SELECT o_custkey, date_diff('day', "
+            "date_trunc('day', prev), date_trunc('day', o_orderdate)) "
+            "AS gap FROM o WHERE prev IS NOT NULL) "
+            "SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_gaps, "
+            "CAST(quantile_disc(gap, 0.5) AS BIGINT) AS median_gap_days "
+            "FROM g GROUP BY o_custkey"),
+        "daily_revenue_delta": (
+            "WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, "
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS rc FROM orders GROUP BY 1), "
+            "w AS (SELECT day, rc, lag(rc) OVER (ORDER BY day) AS prev "
+            "FROM d) "
+            "SELECT day, rc AS revenue_cents, "
+            "CAST(coalesce(rc - prev, 0) AS BIGINT) AS delta_cents, "
+            "CAST(CASE WHEN prev IS NULL THEN 0 ELSE "
+            "CAST(sign(rc - prev) AS BIGINT) * "
+            "(abs(rc - prev) * 1000000 // greatest(prev, 1)) END AS BIGINT) "
+            "AS delta_ppm FROM w"),
+        "cheapest_supplier_per_part": (
+            "WITH spend AS (SELECT l_partkey, l_suppkey, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS spend_cp FROM lineitem GROUP BY 1, 2) "
+            "SELECT l_partkey, l_suppkey AS best_suppkey, spend_cp "
+            "FROM spend QUALIFY row_number() OVER (PARTITION BY l_partkey "
+            "ORDER BY spend_cp, l_suppkey) = 1"),
+        "q10_returned_revenue": (
+            "SELECT o_custkey, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS revenue_cp, c_name "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE l_returnflag = 'R' "
+            "GROUP BY o_custkey, c_name "
+            "ORDER BY revenue_cp DESC, o_custkey LIMIT 20"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

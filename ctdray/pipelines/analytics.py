@@ -3437,3 +3437,177 @@ def bilateral_trade_volume(sf_dir: str) -> ray.data.Dataset:
         joined.map_batches(cust_nation, batch_format="pyarrow"),
         ["supp_nation", "cust_nation", "ship_year"],
         [("revenue_cp", "sum", "revenue_cp")])
+
+
+def customer_order_gap_median(sf_dir: str) -> ray.data.Dataset:
+    """Per-customer inter-order cadence: for customers with ≥2 orders,
+    the count and the LOWER-median (quantile_disc 0.5 — stays integer)
+    of day gaps between consecutive orders.  Partitioned by custkey; the
+    per-group kernel is one sort + diff + partition-select, and the
+    exchange carries (custkey, orderdate) pairs only."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate",
+                                     "o_orderkey"])
+
+    def per_customer(group: pa.Table) -> pa.Table:
+        ts = group.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        oid = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((oid, ts))
+        days = ts[order] // 86_400_000_000
+        gaps = np.diff(days)
+        if len(gaps) == 0:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "n_gaps": pa.array([], pa.int64()),
+                             "median_gap_days": pa.array([], pa.int64())})
+        gaps.sort()
+        med = int(gaps[(len(gaps) - 1) // 2])  # quantile_disc(0.5)
+        return pa.table({
+            "o_custkey": group.column("o_custkey").slice(0, 1),
+            "n_gaps": pa.array([len(gaps)], pa.int64()),
+            "median_gap_days": pa.array([med], pa.int64())})
+
+    return ds.groupby("o_custkey").map_groups(per_customer,
+                                              batch_format="pyarrow")
+
+
+def daily_revenue_delta(sf_dir: str) -> pa.Table:
+    """Day-over-day revenue movement: the LAG window over the daily
+    aggregate.  The fact scan partial-sums into one row per calendar day
+    (bounded), the tiny day table leaves the cluster ONCE, and the
+    diff/ppm columns compute on the driver — windowing an aggregate
+    never needs a second distributed pass."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("o_orderdate"), unit="day")
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"day": day, "cents": pa.array(cents)})
+        res = t.group_by(["day"]).aggregate([("cents", "sum")])
+        return pa.table({"day": res.column("day"),
+                         "cents": res.column("cents_sum")})
+
+    rows = partial_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], [("cents", "sum", "cents")]).take_all()
+    rows.sort(key=lambda r: r["day"])
+    cents = np.array([r["cents"] for r in rows], np.int64)
+    prev = np.concatenate([[0], cents[:-1]])
+    delta = cents - prev
+    delta[0] = 0
+    has_prev = np.arange(len(cents)) > 0
+    # DuckDB's // truncates toward zero (numpy floors) — match it
+    mag = np.abs(delta) * 1_000_000 // np.maximum(prev, 1)
+    ppm = np.where(has_prev, np.sign(delta) * mag, 0)
+    return pa.table({
+        "day": pa.array([r["day"] for r in rows], pa.timestamp("us")),
+        "revenue_cents": pa.array(cents),
+        "delta_cents": pa.array(delta),
+        "delta_ppm": pa.array(ppm.astype(np.int64))})
+
+
+def cheapest_supplier_per_part(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q2 argmin shape: for every part, the supplier with the
+    lowest total discounted spend (ties → smaller suppkey).  Per-batch
+    (part, supplier) partial sums → pair groupby (the only exchange that
+    matters; pair cardinality ≪ raw rows) → per-part lexicographic
+    argmin, itself two-level distributive like user_best_event."""
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc = np.rint(batch.column("l_discount")
+                       .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        t = pa.table({"l_partkey": batch.column("l_partkey"),
+                      "l_suppkey": batch.column("l_suppkey"),
+                      "spend_cp": pa.array(cents * (100 - disc))})
+        res = t.group_by(["l_partkey", "l_suppkey"]) \
+            .aggregate([("spend_cp", "sum")])
+        return pa.table({"l_partkey": res.column("l_partkey"),
+                         "l_suppkey": res.column("l_suppkey"),
+                         "spend_cp": res.column("spend_cp_sum")})
+
+    pair = partial_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"], [("spend_cp", "sum", "spend_cp")])
+
+    def argmin_part(group: pa.Table) -> pa.Table:
+        spend = group.column("spend_cp").to_numpy(zero_copy_only=False)
+        supp = group.column("l_suppkey").to_numpy(zero_copy_only=False)
+        i = np.lexsort((supp, spend))[0]
+        return pa.table({
+            "l_partkey": group.column("l_partkey").slice(0, 1),
+            "best_suppkey": pa.array([int(supp[i])], pa.int64()),
+            "spend_cp": pa.array([int(spend[i])], pa.int64())})
+
+    return pair.groupby("l_partkey").map_groups(argmin_part,
+                                                batch_format="pyarrow")
+
+
+def q10_returned_revenue(sf_dir: str, n: int = 20) -> ray.data.Dataset:
+    """TPC-H Q10 shape: top-``n`` customers by revenue on RETURNED
+    lineitems.  Early returnflag filter inside the scan, per-batch
+    orderkey partial sums, one ``shuffle_lookup_join`` to orders for the
+    custkey, then the customer rollup + broadcast name attach and a
+    deterministic top-n on the aggregate."""
+    from ..functions.joins import shuffle_lookup_join
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    side_ref = ray.put((cust.column("c_custkey").combine_chunks(),
+                        pa.concat_arrays([
+                            cust.column("c_name").combine_chunks(),
+                            pa.array([""], pa.string())])))
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        cents = np.rint(b.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc = np.rint(b.column("l_discount")
+                       .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        t = pa.table({"l_orderkey": b.column("l_orderkey"),
+                      "revenue_cp": pa.array(cents * (100 - disc))})
+        res = t.group_by(["l_orderkey"]).aggregate([("revenue_cp", "sum")])
+        return pa.table({"l_orderkey": res.column("l_orderkey"),
+                         "revenue_cp": res.column("revenue_cp_sum")})
+
+    pre = partial_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_orderkey"], [("revenue_cp", "sum", "revenue_cp")])
+    joined = shuffle_lookup_join(
+        pre, orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("revenue_cp", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64())]),
+        how="inner")
+
+    def by_cust(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["o_custkey"]).aggregate([("revenue_cp", "sum")])
+        return pa.table({"o_custkey": res.column("o_custkey"),
+                         "revenue_cp": res.column("revenue_cp_sum")})
+
+    per_cust = partial_aggregate(
+        joined.map_batches(by_cust, batch_format="pyarrow"),
+        ["o_custkey"], [("revenue_cp", "sum", "revenue_cp")])
+    top = per_cust.sort(["revenue_cp", "o_custkey"],
+                        descending=[True, False]).limit(n)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        keys, names = ray.get(side_ref)
+        i = pc.fill_null(pc.index_in(batch.column("o_custkey"),
+                                     value_set=keys), len(keys))
+        return batch.append_column("c_name", pc.take(names, i))
+
+    return top.map_batches(attach, batch_format="pyarrow")
