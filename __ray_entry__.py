@@ -105,7 +105,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         customer_order_gap_median,
                                         daily_revenue_delta,
                                         cheapest_supplier_per_part,
-                                        q10_returned_revenue)
+                                        q10_returned_revenue,
+                                        order_count_distribution,
+                                        q18_large_orders,
+                                        q8_market_share,
+                                        chunk_dedup_stats)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -459,6 +463,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_revenue_delta": daily_revenue_delta,
         "cheapest_supplier_per_part": cheapest_supplier_per_part,
         "q10_returned_revenue": q10_returned_revenue,
+        "order_count_distribution": order_count_distribution,
+        "q18_large_orders": q18_large_orders,
+        "q8_market_share": q8_market_share,
+        "chunk_dedup_stats": chunk_dedup_stats,
         "doc_blocklist_scrub": lambda sf: _documents(sf).map_batches(
             __import__("ctdray.functions.text",
                        fromlist=["blocklist_scrub_batch"])
@@ -1082,6 +1090,52 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_returnflag = 'R' "
             "GROUP BY o_custkey, c_name "
             "ORDER BY revenue_cp DESC, o_custkey LIMIT 20"),
+        "order_count_distribution": (
+            "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM ("
+            "SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY c_custkey) GROUP BY c_count"),
+        "q18_large_orders": (
+            "SELECT c_name, o_custkey, o_orderkey, o_orderdate, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents, "
+            "sum_qty FROM ("
+            "SELECT l_orderkey, "
+            "CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) "
+            "AS sum_qty FROM lineitem GROUP BY 1 HAVING sum_qty >= 300) q "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "ORDER BY total_cents DESC, o_orderkey LIMIT 100"),
+        "q8_market_share": (
+            "WITH rev AS (SELECT year(o_orderdate) AS yr, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT)) AS cp, "
+            "(n1.n_name = 'NATION_2') AS is_target "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "JOIN region ON n2.n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA') "
+            "SELECT CAST(yr AS BIGINT) AS order_year, "
+            "CAST(sum(cp) AS BIGINT) AS total_cp, "
+            "CAST(coalesce(sum(CASE WHEN is_target THEN cp END), 0) "
+            "AS BIGINT) AS nation_cp, "
+            "CAST(coalesce(sum(CASE WHEN is_target THEN cp END), 0) "
+            "* 1000000 // sum(cp) AS BIGINT) AS share_ppm "
+            "FROM rev GROUP BY 1"),
+        "chunk_dedup_stats": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "occ AS (SELECT doc_id, unnest([array_to_string("
+            "t[8*k+1:8*k+8], ' ') FOR k IN range(0, len(t)//8)]) AS chunk "
+            "FROM toks), "
+            "df AS (SELECT chunk, count(DISTINCT doc_id) AS nd "
+            "FROM occ GROUP BY 1) "
+            "SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_chunks, "
+            "CAST(sum(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_dup_chunks "
+            "FROM occ o JOIN df USING(chunk) GROUP BY o.doc_id"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

@@ -3611,3 +3611,260 @@ def q10_returned_revenue(sf_dir: str, n: int = 20) -> ray.data.Dataset:
         return batch.append_column("c_name", pc.take(names, i))
 
     return top.map_batches(attach, batch_format="pyarrow")
+
+
+def order_count_distribution(sf_dir: str) -> pa.Table:
+    """TPC-H Q13 shape: the distribution of per-customer order counts,
+    INCLUDING the zero bucket.  Two distributive levels (custkey counts →
+    count-of-counts) so the exchanges carry one row per customer then one
+    row per distinct count; the zero bucket is total customers minus the
+    ordering ones — a metadata count, never an outer join of the full
+    customer table.  Returns a bounded typed table (≤ max orders/customer
+    rows)."""
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey"])
+
+    def ones(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_custkey": batch.column("o_custkey"),
+                      "one": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["o_custkey"]).aggregate([("one", "sum")])
+        return pa.table({"o_custkey": res.column("o_custkey"),
+                         "c_count": res.column("one_sum")})
+
+    per_cust = partial_aggregate(
+        orders.map_batches(ones, batch_format="pyarrow"),
+        ["o_custkey"], [("c_count", "sum", "c_count")])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pa.table({"c_count": batch.column("c_count"),
+                      "one": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["c_count"]).aggregate([("one", "sum")])
+        return pa.table({"c_count": res.column("c_count"),
+                         "custdist": res.column("one_sum")})
+
+    rows = partial_aggregate(
+        per_cust.map_batches(hist, batch_format="pyarrow"),
+        ["c_count"], [("custdist", "sum", "custdist")]).take_all()
+    n_customers = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                                     columns=["c_custkey"]).count()
+    zero = n_customers - sum(r["custdist"] for r in rows)
+    if zero > 0:
+        rows.append({"c_count": 0, "custdist": zero})
+    rows.sort(key=lambda r: r["c_count"])
+    return pa.table({
+        "c_count": pa.array([r["c_count"] for r in rows], pa.int64()),
+        "custdist": pa.array([r["custdist"] for r in rows], pa.int64())})
+
+
+def q18_large_orders(sf_dir: str, min_qty: int = 300,
+                     n: int = 100) -> ray.data.Dataset:
+    """TPC-H Q18 shape: orders whose total quantity reaches ``min_qty``,
+    with customer name, total price and the quantity sum, top-``n`` by
+    price.  The HAVING filter runs on the per-orderkey aggregate (tiny)
+    BEFORE any join, so the orders join probes a vanishing build side and
+    the customer name attaches from a broadcast array."""
+    from ..functions.joins import shuffle_lookup_join
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    side_ref = ray.put((cust.column("c_custkey").combine_chunks(),
+                        pa.concat_arrays([
+                            cust.column("c_name").combine_chunks(),
+                            pa.array([""], pa.string())])))
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_quantity"])
+
+    def per_order(batch: pa.Table) -> pa.Table:
+        qty = np.rint(batch.column("l_quantity")
+                      .to_numpy(zero_copy_only=False)).astype(np.int64)
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "sum_qty": pa.array(qty)})
+        res = t.group_by(["l_orderkey"]).aggregate([("sum_qty", "sum")])
+        return pa.table({"l_orderkey": res.column("l_orderkey"),
+                         "sum_qty": res.column("sum_qty_sum")})
+
+    big = partial_aggregate(
+        li.map_batches(per_order, batch_format="pyarrow"),
+        ["l_orderkey"], [("sum_qty", "sum", "sum_qty")]) \
+        .map_batches(lambda b: b.filter(
+            pc.greater_equal(b.column("sum_qty"), min_qty)),
+            batch_format="pyarrow")
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    joined = shuffle_lookup_join(
+        big, orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("sum_qty", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us")),
+                                ("o_totalprice", pa.float64())]),
+        how="inner")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keys, names = ray.get(side_ref)
+        i = pc.fill_null(pc.index_in(batch.column("o_custkey"),
+                                     value_set=keys), len(keys))
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        return pa.table({
+            "c_name": pc.take(names, i),
+            "o_custkey": batch.column("o_custkey"),
+            "o_orderkey": batch.column("l_orderkey"),
+            "o_orderdate": batch.column("o_orderdate"),
+            "total_cents": pa.array(cents),
+            "sum_qty": batch.column("sum_qty")})
+
+    return joined.map_batches(finish, batch_format="pyarrow") \
+        .sort(["total_cents", "o_orderkey"], descending=[True, False]) \
+        .limit(n)
+
+
+def q8_market_share(sf_dir: str, region: str = "ASIA",
+                    nation: str = "NATION_2") -> pa.Table:
+    """TPC-H Q8 shape: per order-year, the ppm share of revenue supplied
+    by ``nation`` within the ``region`` customer market.  Supplier and
+    customer dimensions fold into broadcast flag arrays (is-target /
+    in-region); lineitem pre-aggregates to (orderkey, is_target) pairs —
+    at most 2 rows per order — before the one real exchange (the orders
+    join); the year rollup is the standard partial-agg reduce and the
+    final share divides a ≤ #years-row table on the driver."""
+    from ..functions.joins import shuffle_lookup_join
+    region_t = pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = [r["r_regionkey"] for r in region_t.to_pylist()
+             if r["r_name"] == region]
+    nation_t = pq.read_table(f"{sf_dir}/nation.parquet")
+    region_nk = pa.array([r["n_nationkey"] for r in nation_t.to_pylist()
+                          if r["n_regionkey"] in rkeys], pa.int64())
+    target_nk = [r["n_nationkey"] for r in nation_t.to_pylist()
+                 if r["n_name"] == nation]
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    side_ref = ray.put((
+        supp.column("s_suppkey").combine_chunks(),
+        pc.is_in(supp.column("s_nationkey").combine_chunks(),
+                 value_set=pa.array(target_nk, pa.int64())),
+        cust.column("c_custkey").combine_chunks(),
+        pc.is_in(cust.column("c_nationkey").combine_chunks(),
+                 value_set=region_nk)))
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        skeys, s_tgt, _ck, _cr = ray.get(side_ref)
+        i = pc.index_in(batch.column("l_suppkey"), value_set=skeys)
+        is_target = pc.fill_null(pc.take(s_tgt, i), False)
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc = np.rint(batch.column("l_discount")
+                       .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "is_target": is_target,
+                      "cp": pa.array(cents * (100 - disc))})
+        res = t.group_by(["l_orderkey", "is_target"]).aggregate([("cp", "sum")])
+        return pa.table({"l_orderkey": res.column("l_orderkey"),
+                         "is_target": res.column("is_target"),
+                         "cp": res.column("cp_sum")})
+
+    pre_agg = partial_aggregate(
+        li.map_batches(pre, batch_format="pyarrow"),
+        ["l_orderkey", "is_target"], [("cp", "sum", "cp")])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey",
+                                         "o_orderdate"])
+    joined = shuffle_lookup_join(
+        pre_agg, orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("is_target", pa.bool_()),
+                               ("cp", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us"))]),
+        how="inner")
+
+    def per_year(batch: pa.Table) -> pa.Table:
+        _sk, _st, ckeys, c_reg = ray.get(side_ref)
+        i = pc.index_in(batch.column("o_custkey"), value_set=ckeys)
+        keep = pc.fill_null(pc.take(c_reg, i), False)
+        b = batch.filter(keep)
+        if len(b) == 0:
+            return pa.table({"order_year": pa.array([], pa.int64()),
+                             "total_cp": pa.array([], pa.int64()),
+                             "nation_cp": pa.array([], pa.int64())})
+        year = pc.cast(pc.year(b.column("o_orderdate")), pa.int64())
+        cp = b.column("cp").to_numpy(zero_copy_only=False)
+        tgt = b.column("is_target").to_numpy(zero_copy_only=False)
+        t = pa.table({"order_year": year, "total_cp": pa.array(cp),
+                      "nation_cp": pa.array(np.where(tgt, cp, 0))})
+        res = t.group_by(["order_year"]).aggregate(
+            [("total_cp", "sum"), ("nation_cp", "sum")])
+        return pa.table({"order_year": res.column("order_year"),
+                         "total_cp": res.column("total_cp_sum"),
+                         "nation_cp": res.column("nation_cp_sum")})
+
+    rows = partial_aggregate(
+        joined.map_batches(per_year, batch_format="pyarrow"),
+        ["order_year"], [("total_cp", "sum", "total_cp"),
+                         ("nation_cp", "sum", "nation_cp")]).take_all()
+    rows.sort(key=lambda r: r["order_year"])
+    total = np.array([r["total_cp"] for r in rows], np.int64)
+    nat = np.array([r["nation_cp"] for r in rows], np.int64)
+    share = nat * 1_000_000 // np.maximum(total, 1)
+    return pa.table({
+        "order_year": pa.array([r["order_year"] for r in rows], pa.int64()),
+        "total_cp": pa.array(total),
+        "nation_cp": pa.array(nat),
+        "share_ppm": pa.array(share)})
+
+
+def chunk_dedup_stats(sf_dir: str, chunk_tokens: int = 8) -> ray.data.Dataset:
+    """Boilerplate profiling for LLM curation: split every document into
+    non-overlapping ``chunk_tokens``-token chunks and count, per document,
+    how many chunk positions also occur in at least one OTHER document.
+    The chunk shuffle is pre-reduced to (chunk, doc_id, n_occ) partials so
+    each exchange row is one distinct chunk-per-doc (a chunk repeated
+    inside one doc ships once); the per-chunk group then only counts
+    distinct docs.  Docs shorter than one chunk are absent (0 chunks)."""
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids, chunks, occs = [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            toks = text.split(" ")
+            counts: dict = {}
+            for k in range(len(toks) // chunk_tokens):
+                c = " ".join(toks[k * chunk_tokens:(k + 1) * chunk_tokens])
+                counts[c] = counts.get(c, 0) + 1
+            for c, n in counts.items():
+                ids.append(did)
+                chunks.append(c)
+                occs.append(n)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "chunk": pa.array(chunks, pa.string()),
+                         "n_occ": pa.array(occs, pa.int64())})
+
+    occ = partial_aggregate(docs.map_batches(emit, batch_format="pyarrow"),
+                            ["chunk", "doc_id"], [("n_occ", "sum", "n_occ")])
+
+    def per_chunk(group: pa.Table) -> pa.Table:
+        dup = len(group) >= 2  # rows are distinct docs by construction
+        n = group.column("n_occ")
+        return pa.table({
+            "doc_id": group.column("doc_id"),
+            "n_chunks": n,
+            "n_dup_chunks": n if dup else pa.array(
+                np.zeros(len(group), np.int64))})
+
+    flags = occ.groupby("chunk").map_groups(per_chunk,
+                                            batch_format="pyarrow")
+    return partial_aggregate(flags, ["doc_id"],
+                             [("n_chunks", "sum", "n_chunks"),
+                              ("n_dup_chunks", "sum", "n_dup_chunks")])
