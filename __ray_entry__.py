@@ -109,7 +109,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         order_count_distribution,
                                         q18_large_orders,
                                         q8_market_share,
-                                        chunk_dedup_stats)
+                                        chunk_dedup_stats,
+                                        label_centroid_dots,
+                                        q21_last_ship_supplier,
+                                        docs_matching_all_terms,
+                                        value_mad_by_event_type)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -467,6 +471,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_orders": q18_large_orders,
         "q8_market_share": q8_market_share,
         "chunk_dedup_stats": chunk_dedup_stats,
+        "label_centroid_dots": label_centroid_dots,
+        "q21_last_ship_supplier": q21_last_ship_supplier,
+        "docs_matching_all_terms": docs_matching_all_terms,
+        "value_mad_by_event_type": value_mad_by_event_type,
         "doc_blocklist_scrub": lambda sf: _documents(sf).map_batches(
             __import__("ctdray.functions.text",
                        fromlist=["blocklist_scrub_batch"])
@@ -1136,6 +1144,39 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
             "AS n_dup_chunks "
             "FROM occ o JOIN df USING(chunk) GROUP BY o.doc_id"),
+        "label_centroid_dots": (
+            "WITH comp AS (SELECT label, k AS dim, "
+            "CAST(SUM(CAST(round(embedding[k] * 10000) AS BIGINT)) "
+            "AS BIGINT) AS s "
+            "FROM embeddings, range(1, 65) r(k) GROUP BY 1, 2) "
+            "SELECT a.label AS label_a, b.label AS label_b, "
+            "CAST(SUM(a.s * b.s) AS BIGINT) AS dot "
+            "FROM comp a JOIN comp b ON a.dim = b.dim "
+            "AND a.label <= b.label GROUP BY 1, 2"),
+        "q21_last_ship_supplier": (
+            "WITH ms AS (SELECT l_orderkey, l_suppkey, "
+            "max(l_shipdate) AS md FROM lineitem GROUP BY 1, 2), "
+            "w AS (SELECT l_orderkey, l_suppkey, "
+            "row_number() OVER (PARTITION BY l_orderkey "
+            "ORDER BY md DESC, l_suppkey) AS rn, "
+            "count(*) OVER (PARTITION BY l_orderkey) AS ns FROM ms) "
+            "SELECT l_suppkey, CAST(count(*) AS BIGINT) "
+            "AS n_last_ship_orders FROM w WHERE rn = 1 AND ns >= 2 "
+            "GROUP BY 1"),
+        "docs_matching_all_terms": (
+            "SELECT doc_id FROM documents "
+            "WHERE list_contains(string_split(text, ' '), 'table') "
+            "AND list_contains(string_split(text, ' '), 'query') "
+            "AND list_contains(string_split(text, ' '), 'value')"),
+        "value_mad_by_event_type": (
+            "WITH c AS (SELECT event_type, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+            "m AS (SELECT event_type, quantile_disc(cents, 0.5) AS med "
+            "FROM c GROUP BY 1) "
+            "SELECT c.event_type, CAST(m.med AS BIGINT) AS median_cents, "
+            "CAST(quantile_disc(abs(c.cents - m.med), 0.5) AS BIGINT) "
+            "AS mad_cents, CAST(count(*) AS BIGINT) AS n_events "
+            "FROM c JOIN m USING(event_type) GROUP BY c.event_type, m.med"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

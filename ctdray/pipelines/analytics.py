@@ -3868,3 +3868,168 @@ def chunk_dedup_stats(sf_dir: str, chunk_tokens: int = 8) -> ray.data.Dataset:
     return partial_aggregate(flags, ["doc_id"],
                              [("n_chunks", "sum", "n_chunks"),
                               ("n_dup_chunks", "sum", "n_dup_chunks")])
+
+
+def label_centroid_dots(sf_dir: str) -> pa.Table:
+    """Distributed vector-sum aggregation over the embedding column: per
+    label, the exact integer sum vector (coords scaled ×10⁴), then every
+    pairwise dot product label_a ≤ label_b (self-dot = squared norm of
+    the sum vector).  Per-batch numpy matmul partials reduce to
+    (label, dim) rows — the exchange carries ≤ labels × dims rows per
+    batch, never an embedding — and the 640-value final table folds on
+    the driver.  At petabyte scale the int64 dot can overflow; a real
+    deployment widens to float128/int128 at the driver fold (the
+    distributed sums themselves stay well inside int64)."""
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = np.stack(batch.column("embedding").to_pylist())
+        m = np.rint(m * 10_000).astype(np.int64)
+        labels = np.asarray(batch.column("label").to_pylist())
+        uniq = np.unique(labels)
+        out_lab, out_dim, out_s = [], [], []
+        for lab in uniq:
+            s = m[labels == lab].sum(axis=0)
+            out_lab.extend([lab] * m.shape[1])
+            out_dim.extend(range(1, m.shape[1] + 1))
+            out_s.extend(s.tolist())
+        return pa.table({"label": pa.array(out_lab, pa.int64()),
+                         "dim": pa.array(out_dim, pa.int64()),
+                         "s": pa.array(out_s, pa.int64())})
+
+    rows = partial_aggregate(emb.map_batches(partial, batch_format="pyarrow"),
+                             ["label", "dim"], [("s", "sum", "s")]).take_all()
+    labs = sorted({r["label"] for r in rows})
+    ndim = max(r["dim"] for r in rows)
+    mat = np.zeros((len(labs), ndim), np.int64)
+    pos = {l: i for i, l in enumerate(labs)}
+    for r in rows:
+        mat[pos[r["label"]], r["dim"] - 1] = r["s"]
+    la, lb, dots = [], [], []
+    for i, a in enumerate(labs):
+        for j in range(i, len(labs)):
+            la.append(a)
+            lb.append(labs[j])
+            dots.append(int(mat[i] @ mat[j]))
+    return pa.table({"label_a": pa.array(la, pa.int64()),
+                     "label_b": pa.array(lb, pa.int64()),
+                     "dot": pa.array(dots, pa.int64())})
+
+
+def q21_last_ship_supplier(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q21 shape (adapted to the columns present): among orders
+    fulfilled by ≥ 2 distinct suppliers, count per supplier how often it
+    shipped the order's LAST line (max shipdate; date ties break to the
+    smaller suppkey).  Lineitem pre-reduces to (orderkey, suppkey,
+    max_ship) — bounded by suppliers-per-order — before the per-order
+    argmax group, and the winner rows fold with the standard count
+    reduce."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_suppkey",
+                                     "l_shipdate"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["l_orderkey", "l_suppkey"]) \
+            .aggregate([("l_shipdate", "max")])
+        return pa.table({"l_orderkey": res.column("l_orderkey"),
+                         "l_suppkey": res.column("l_suppkey"),
+                         "max_ship": res.column("l_shipdate_max")})
+
+    per_pair = partial_aggregate(
+        li.map_batches(pre, batch_format="pyarrow"),
+        ["l_orderkey", "l_suppkey"], [("max_ship", "max", "max_ship")])
+
+    def last_supplier(group: pa.Table) -> pa.Table:
+        if len(group) < 2:
+            return pa.table({"l_suppkey": pa.array([], pa.int64())})
+        ship = group.column("max_ship").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        supp = group.column("l_suppkey").to_numpy(zero_copy_only=False)
+        i = np.lexsort((supp, -ship))[0]
+        return pa.table({"l_suppkey": pa.array([int(supp[i])], pa.int64())})
+
+    winners = per_pair.groupby("l_orderkey").map_groups(
+        last_supplier, batch_format="pyarrow")
+
+    def ones(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_suppkey": batch.column("l_suppkey"),
+                      "one": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["l_suppkey"]).aggregate([("one", "sum")])
+        return pa.table({"l_suppkey": res.column("l_suppkey"),
+                         "n_last_ship_orders": res.column("one_sum")})
+
+    return partial_aggregate(
+        winners.map_batches(ones, batch_format="pyarrow"),
+        ["l_suppkey"], [("n_last_ship_orders", "sum", "n_last_ship_orders")])
+
+
+def docs_matching_all_terms(
+        sf_dir: str,
+        terms: tuple = ("table", "query", "value")) -> ray.data.Dataset:
+    """Conjunctive boolean retrieval (AND of all ``terms`` as whole
+    tokens) — the multi-term filter a training-data search runs before
+    ranking.  Purely embarrassingly parallel: each batch pads the text
+    with sentinel spaces and ANDs one vectorized substring kernel per
+    term; nothing shuffles."""
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+
+    def match(batch: pa.Table) -> pa.Table:
+        padded = pc.binary_join_element_wise(
+            " ", batch.column("text"), " ", "")
+        keep = None
+        for t in terms:
+            m = pc.match_substring(padded, f" {t} ")
+            keep = m if keep is None else pc.and_(keep, m)
+        return pa.table({"doc_id": batch.column("doc_id").filter(keep)})
+
+    return docs.map_batches(match, batch_format="pyarrow")
+
+
+def value_mad_by_event_type(sf_dir: str) -> ray.data.Dataset:
+    """Robust two-moment statistic: per event type, the lower-median of
+    value (cents) and the median absolute deviation around it.  Raw rows
+    NEVER shuffle: each batch pre-reduces to a (type, cents, n) histogram
+    — event values are integral cents so the histogram is bounded by the
+    distinct-value count — one exchange reduces it, and each type's group
+    computes both quantiles from its weighted histogram in one pass
+    (cumsum select at rank (n-1)//2, the quantile_disc 0.5 element)."""
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("value")
+                        .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "cents": pa.array(cents),
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["event_type", "cents"]).aggregate([("n", "sum")])
+        return pa.table({"event_type": res.column("event_type"),
+                         "cents": res.column("cents"),
+                         "n": res.column("n_sum")})
+
+    hg = partial_aggregate(ev.map_batches(hist, batch_format="pyarrow"),
+                           ["event_type", "cents"], [("n", "sum", "n")])
+
+    def weighted_lower_median(vals: np.ndarray, cnts: np.ndarray) -> int:
+        order = np.argsort(vals, kind="stable")
+        v, c = vals[order], cnts[order]
+        total = int(c.sum())
+        idx = (total - 1) // 2
+        return int(v[np.searchsorted(np.cumsum(c), idx + 1)])
+
+    def per_type(group: pa.Table) -> pa.Table:
+        vals = group.column("cents").to_numpy(zero_copy_only=False)
+        cnts = group.column("n").to_numpy(zero_copy_only=False)
+        med = weighted_lower_median(vals, cnts)
+        mad = weighted_lower_median(np.abs(vals - med), cnts)
+        return pa.table({
+            "event_type": group.column("event_type").slice(0, 1),
+            "median_cents": pa.array([med], pa.int64()),
+            "mad_cents": pa.array([mad], pa.int64()),
+            "n_events": pa.array([int(cnts.sum())], pa.int64())})
+
+    return hg.groupby("event_type").map_groups(per_type,
+                                               batch_format="pyarrow")
