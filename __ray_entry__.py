@@ -113,7 +113,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         label_centroid_dots,
                                         q21_last_ship_supplier,
                                         docs_matching_all_terms,
-                                        value_mad_by_event_type)
+                                        value_mad_by_event_type,
+                                        cross_source_dup_docs,
+                                        user_value_1h_window,
+                                        region_nation_rollup,
+                                        top_chunk_overlap_pairs)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -475,6 +479,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_last_ship_supplier": q21_last_ship_supplier,
         "docs_matching_all_terms": docs_matching_all_terms,
         "value_mad_by_event_type": value_mad_by_event_type,
+        "cross_source_dup_docs": cross_source_dup_docs,
+        "user_value_1h_window": user_value_1h_window,
+        "region_nation_rollup": region_nation_rollup,
+        "top_chunk_overlap_pairs": top_chunk_overlap_pairs,
         "doc_blocklist_scrub": lambda sf: _documents(sf).map_batches(
             __import__("ctdray.functions.text",
                        fromlist=["blocklist_scrub_batch"])
@@ -1177,6 +1185,42 @@ def oracle_sql() -> dict[str, str]:
             "CAST(quantile_disc(abs(c.cents - m.med), 0.5) AS BIGINT) "
             "AS mad_cents, CAST(count(*) AS BIGINT) AS n_events "
             "FROM c JOIN m USING(event_type) GROUP BY c.event_type, m.med"),
+        "cross_source_dup_docs": (
+            "WITH k AS (SELECT doc_id, source, array_to_string(list_sort("
+            "list_distinct(string_split(text, ' '))), ' ') AS key "
+            "FROM documents) "
+            "SELECT doc_id, source FROM k a WHERE EXISTS ("
+            "SELECT 1 FROM k b WHERE b.key = a.key "
+            "AND b.source <> a.source)"),
+        "user_value_1h_window": (
+            "SELECT event_id, user_id, ts, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS w_cents FROM events"),
+        "region_nation_rollup": (
+            "SELECT coalesce(r_name, 'ALL') AS region_name, "
+            "coalesce(n_name, 'ALL') AS nation_name, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS revenue_cents, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY ROLLUP(r_name, n_name)"),
+        "top_chunk_overlap_pairs": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "occ AS (SELECT DISTINCT doc_id, chunk FROM ("
+            "SELECT doc_id, unnest([array_to_string(t[8*k+1:8*k+8], ' ') "
+            "FOR k IN range(0, len(t)//8)]) AS chunk FROM toks)), "
+            "df AS (SELECT chunk, count(*) AS nd FROM occ GROUP BY 1), "
+            "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "count(*) AS n_shared FROM occ a "
+            "JOIN occ b ON a.chunk = b.chunk AND a.doc_id < b.doc_id "
+            "JOIN df ON df.chunk = a.chunk AND df.nd BETWEEN 2 AND 64 "
+            "GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared "
+            "FROM p ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

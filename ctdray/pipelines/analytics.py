@@ -4033,3 +4033,174 @@ def value_mad_by_event_type(sf_dir: str) -> ray.data.Dataset:
 
     return hg.groupby("event_type").map_groups(per_type,
                                                batch_format="pyarrow")
+
+
+def cross_source_dup_docs(sf_dir: str) -> ray.data.Dataset:
+    """Incremental-ingest dedup shape: documents whose token-set key
+    (sorted distinct tokens — the ``dedup_token_set`` normalization)
+    also appears under a DIFFERENT source.  The exchange carries
+    (key, doc_id, source) triples hashed by key; each key group scans
+    its ≤ dup-set rows once, so cross-source containment never joins
+    the corpus against itself."""
+    from ..functions.text import token_set_key
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "source"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        keys = [token_set_key(t) for t in
+                batch.column("text").to_pylist()]
+        return pa.table({"key": pa.array(keys, pa.string()),
+                         "doc_id": batch.column("doc_id"),
+                         "source": batch.column("source")})
+
+    def per_key(group: pa.Table) -> pa.Table:
+        src = group.column("source").to_pylist()
+        if len(set(src)) < 2:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string())})
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = [i for i, s in enumerate(src)
+                if any(o != s for o in src)]
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64()),
+                         "source": pa.array([src[i] for i in keep])})
+
+    return docs.map_batches(keyed, batch_format="pyarrow") \
+        .groupby("key").map_groups(per_key, batch_format="pyarrow")
+
+
+def user_value_1h_window(sf_dir: str) -> ray.data.Dataset:
+    """Per-ROW time-range window (SQL ``RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW``): every event gets the sum of its user's
+    value-cents over the trailing hour INCLUDING equal-timestamp peers
+    after it, exactly the RANGE-frame peer rule.  One user-keyed
+    exchange; inside each group a sort + prefix-cumsum + two
+    searchsorteds — O(n log n) per user, no per-row work."""
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "value"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        cents = np.rint(group.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        ts_s, c_s = ts[order], cents[order]
+        csum = np.concatenate([[0], np.cumsum(c_s)])
+        hour = 3_600_000_000
+        hi = np.searchsorted(ts_s, ts_s, side="right")
+        lo = np.searchsorted(ts_s, ts_s - hour, side="left")
+        w = csum[hi] - csum[lo]
+        out = np.empty_like(w)
+        out[order] = w
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": group.column("user_id"),
+            "ts": group.column("ts"),
+            "w_cents": pa.array(out, pa.int64())})
+
+    return ev.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")
+
+
+def region_nation_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(region, nation) over order revenue: nation rows,
+    region subtotals, and the grand total, super-level keys labelled
+    'ALL'.  The fact scan partial-sums at the FINEST level only (≤ 25
+    nation rows cross the wire); both super-levels fold from that tiny
+    aggregate on the driver — a rollup never needs one exchange per
+    level."""
+    nation_t = pq.read_table(f"{sf_dir}/nation.parquet")
+    region_t = pq.read_table(f"{sf_dir}/region.parquet")
+    rname = {r["r_regionkey"]: r["r_name"] for r in region_t.to_pylist()}
+    nk2name = {r["n_nationkey"]: r["n_name"] for r in nation_t.to_pylist()}
+    nk2region = {r["n_nationkey"]: rname[r["n_regionkey"]]
+                 for r in nation_t.to_pylist()}
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    side_ref = ray.put((cust.column("c_custkey").combine_chunks(),
+                        cust.column("c_nationkey").combine_chunks()))
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ckeys, cnk = ray.get(side_ref)
+        i = pc.index_in(batch.column("o_custkey"), value_set=ckeys)
+        nk = pc.take(cnk, i)
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"nk": nk, "cents": pa.array(cents),
+                      "one": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["nk"]).aggregate([("cents", "sum"), ("one", "sum")])
+        return pa.table({"nk": res.column("nk"),
+                         "cents": res.column("cents_sum"),
+                         "n": res.column("one_sum")})
+
+    rows = partial_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["nk"], [("cents", "sum", "cents"), ("n", "sum", "n")]).take_all()
+    levels: dict = {}
+    for r in rows:
+        nk = r["nk"]
+        for key in ((nk2region[nk], nk2name[nk]),
+                    (nk2region[nk], "ALL"), ("ALL", "ALL")):
+            c, n = levels.get(key, (0, 0))
+            levels[key] = (c + r["cents"], n + r["n"])
+    keys = sorted(levels)
+    return pa.table({
+        "region_name": pa.array([k[0] for k in keys], pa.string()),
+        "nation_name": pa.array([k[1] for k in keys], pa.string()),
+        "revenue_cents": pa.array([levels[k][0] for k in keys], pa.int64()),
+        "n_orders": pa.array([levels[k][1] for k in keys], pa.int64())})
+
+
+def top_chunk_overlap_pairs(sf_dir: str, chunk_tokens: int = 8,
+                            max_chunk_df: int = 64,
+                            n: int = 20) -> ray.data.Dataset:
+    """Most-similar document pairs by EXACT shared-chunk count (the
+    retrieval complement of chunk_dedup_stats): distinct 8-token chunks
+    per doc, per-chunk pair emission with a document-frequency cap —
+    chunks shared by more than ``max_chunk_df`` docs are boilerplate,
+    not signal, and would emit O(df²) pairs — then a pair-count reduce
+    and a deterministic top-``n``.  The cap is part of the operator's
+    contract (the SQL oracle applies the same bound)."""
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids, chunks = [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            toks = text.split(" ")
+            seen = set()
+            for k in range(len(toks) // chunk_tokens):
+                c = " ".join(toks[k * chunk_tokens:(k + 1) * chunk_tokens])
+                if c not in seen:
+                    seen.add(c)
+                    ids.append(did)
+                    chunks.append(c)
+        return pa.table({"chunk": pa.array(chunks, pa.string()),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    occ = partial_aggregate(
+        docs.map_batches(emit, batch_format="pyarrow"),
+        ["chunk", "doc_id"], [])
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = np.sort(group.column("doc_id").to_numpy(zero_copy_only=False))
+        if len(ids) < 2 or len(ids) > max_chunk_df:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "n_shared": pa.array([], pa.int64())})
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pa.table({"doc_a": pa.array(ids[ai], pa.int64()),
+                         "doc_b": pa.array(ids[bi], pa.int64()),
+                         "n_shared": pa.array(np.ones(len(ai), np.int64))})
+
+    counted = partial_aggregate(
+        occ.groupby("chunk").map_groups(pairs, batch_format="pyarrow"),
+        ["doc_a", "doc_b"], [("n_shared", "sum", "n_shared")])
+    return counted.sort(["n_shared", "doc_a", "doc_b"],
+                        descending=[True, False, False]).limit(n)
