@@ -117,7 +117,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         cross_source_dup_docs,
                                         user_value_1h_window,
                                         region_nation_rollup,
-                                        top_chunk_overlap_pairs)
+                                        top_chunk_overlap_pairs,
+                                        time_rollup_multigrain,
+                                        pareto_customer_cutoff,
+                                        events_dow_hour_share,
+                                        session_type_pairs)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -483,6 +487,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_1h_window": user_value_1h_window,
         "region_nation_rollup": region_nation_rollup,
         "top_chunk_overlap_pairs": top_chunk_overlap_pairs,
+        "time_rollup_multigrain": time_rollup_multigrain,
+        "pareto_customer_cutoff": pareto_customer_cutoff,
+        "events_dow_hour_share": events_dow_hour_share,
+        "session_type_pairs": session_type_pairs,
         "doc_blocklist_scrub": lambda sf: _documents(sf).map_batches(
             __import__("ctdray.functions.text",
                        fromlist=["blocklist_scrub_batch"])
@@ -1221,6 +1229,51 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2) "
             "SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared "
             "FROM p ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20"),
+        "time_rollup_multigrain": (
+            "WITH e AS (SELECT ts, CAST(round(value * 100) AS BIGINT) "
+            "AS cents FROM events) "
+            "SELECT 'hour' AS granularity, date_trunc('hour', ts) AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(cents) AS BIGINT) AS value_cents FROM e GROUP BY 2 "
+            "UNION ALL SELECT 'day', date_trunc('day', ts), "
+            "CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT) "
+            "FROM e GROUP BY 2 "
+            "UNION ALL SELECT 'week', date_trunc('week', ts), "
+            "CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT) "
+            "FROM e GROUP BY 2"),
+        "pareto_customer_cutoff": (
+            "WITH p AS (SELECT o_custkey, CAST(sum(CAST(round("
+            "o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s "
+            "FROM orders GROUP BY 1), "
+            "t AS (SELECT CAST(sum(s) AS BIGINT) AS tot FROM p), "
+            "w AS (SELECT sum(s) OVER (ORDER BY s DESC, o_custkey) AS cum, "
+            "row_number() OVER (ORDER BY s DESC, o_custkey) AS k FROM p) "
+            "SELECT CAST(k AS BIGINT) AS n_customers, "
+            "CAST(cum AS BIGINT) AS cum_cents, tot AS total_cents "
+            "FROM w, t WHERE cum * 1000000 >= 800000 * tot "
+            "ORDER BY k LIMIT 1"),
+        "events_dow_hour_share": (
+            "WITH c AS (SELECT CAST(isodow(ts) AS BIGINT) AS isodow, "
+            "CAST(hour(ts) AS BIGINT) AS hour, "
+            "CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2), "
+            "d AS (SELECT isodow, sum(n_events) AS tot FROM c GROUP BY 1) "
+            "SELECT c.isodow, hour, n_events, "
+            "CAST(n_events * 1000000 // tot AS BIGINT) AS share_ppm "
+            "FROM c JOIN d USING(isodow)"),
+        "session_type_pairs": (
+            "WITH g AS (SELECT user_id, ts, event_type, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND THEN 1 ELSE 0 "
+            "END AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT user_id, event_type, SUM(brk) OVER ("
+            "PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) "
+            "AS sid FROM g), "
+            "d AS (SELECT DISTINCT user_id, sid, event_type FROM s) "
+            "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+            "CAST(count(*) AS BIGINT) AS n_sessions "
+            "FROM d a JOIN d b ON a.user_id = b.user_id AND a.sid = b.sid "
+            "AND a.event_type < b.event_type GROUP BY 1, 2"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

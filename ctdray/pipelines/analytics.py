@@ -4204,3 +4204,171 @@ def top_chunk_overlap_pairs(sf_dir: str, chunk_tokens: int = 8,
         ["doc_a", "doc_b"], [("n_shared", "sum", "n_shared")])
     return counted.sort(["n_shared", "doc_a", "doc_b"],
                         descending=[True, False, False]).limit(n)
+
+
+def time_rollup_multigrain(sf_dir: str) -> pa.Table:
+    """One-pass multi-granularity time rollup (hour → day → week): the
+    fact scan partial-sums ONCE at hour grain; the day and week levels
+    fold from the bounded hour table on the driver — never three scans,
+    never three exchanges.  Week buckets are ISO Monday-start
+    (pyarrow floor_temporal == DuckDB date_trunc('week'))."""
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "value"])
+
+    def per_hour(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        cents = np.rint(batch.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"bucket": hour, "cents": pa.array(cents),
+                      "one": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["bucket"]).aggregate(
+            [("cents", "sum"), ("one", "sum")])
+        return pa.table({"bucket": res.column("bucket"),
+                         "cents": res.column("cents_sum"),
+                         "n": res.column("one_sum")})
+
+    hours = partial_aggregate(
+        ev.map_batches(per_hour, batch_format="pyarrow"),
+        ["bucket"], [("cents", "sum", "cents"), ("n", "sum", "n")]) \
+        .take_all()
+    out: dict = {}
+    for r in hours:
+        h = np.datetime64(r["bucket"], "us")
+        day = h.astype("datetime64[D]")
+        # ISO week: Monday start.  1970-01-01 was a Thursday (weekday 3).
+        dayno = day.astype(np.int64)
+        week = (day - (dayno + 3) % 7).astype("datetime64[us]")
+        for grain, b in (("hour", h), ("day", day.astype("datetime64[us]")),
+                         ("week", week)):
+            c, n = out.get((grain, b.item()), (0, 0))
+            out[(grain, b.item())] = (c + r["cents"], n + r["n"])
+    keys = sorted(out, key=lambda k: (k[0], k[1]))
+    return pa.table({
+        "granularity": pa.array([k[0] for k in keys], pa.string()),
+        "bucket": pa.array([k[1] for k in keys], pa.timestamp("us")),
+        "n_events": pa.array([out[k][1] for k in keys], pa.int64()),
+        "value_cents": pa.array([out[k][0] for k in keys], pa.int64())})
+
+
+def pareto_customer_cutoff(sf_dir: str, ppm: int = 800_000) -> pa.Table:
+    """Pareto concentration probe: the smallest prefix of customers
+    (ranked by order revenue, ties → smaller custkey) whose cumulative
+    revenue reaches ``ppm`` of the total.  Per-customer sums reduce
+    distributed, the ranked aggregate streams back in sorted blocks via
+    ``iter_batches`` and the driver keeps ONE running scalar, stopping
+    at the crossing — the full customer ranking is never materialized."""
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"o_custkey": batch.column("o_custkey"),
+                      "cents": pa.array(cents)})
+        res = t.group_by(["o_custkey"]).aggregate([("cents", "sum")])
+        return pa.table({"o_custkey": res.column("o_custkey"),
+                         "cents": res.column("cents_sum")})
+
+    per_cust = partial_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"], [("cents", "sum", "cents")])
+    total = sum(r["cents"] for r in
+                per_cust.map_batches(
+                    lambda b: pa.table({"cents": pa.array(
+                        [pc.sum(b.column("cents")).as_py() or 0],
+                        pa.int64())}),
+                    batch_format="pyarrow").take_all())
+    ranked = per_cust.sort(["cents", "o_custkey"],
+                           descending=[True, False])
+    cum, k = 0, 0
+    for batch in ranked.iter_batches(batch_format="pyarrow"):
+        for c in batch.column("cents").to_pylist():
+            cum += c
+            k += 1
+            if cum * 1_000_000 >= ppm * total:
+                return pa.table({
+                    "n_customers": pa.array([k], pa.int64()),
+                    "cum_cents": pa.array([cum], pa.int64()),
+                    "total_cents": pa.array([total], pa.int64())})
+    return pa.table({"n_customers": pa.array([k], pa.int64()),
+                     "cum_cents": pa.array([cum], pa.int64()),
+                     "total_cents": pa.array([total], pa.int64())})
+
+
+def events_dow_hour_share(sf_dir: str) -> pa.Table:
+    """Traffic heatmap: event counts by (ISO weekday, hour-of-day) with
+    each cell's ppm share WITHIN its weekday row.  The exchange carries
+    at most 7 × 24 partial rows per batch; shares divide the tiny final
+    matrix on the driver."""
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        # pyarrow day_of_week: Monday=0 — ISO dow is that +1
+        dow = pc.add(pc.day_of_week(batch.column("ts")), 1)
+        hour = pc.hour(batch.column("ts"))
+        t = pa.table({"isodow": pc.cast(dow, pa.int64()),
+                      "hour": pc.cast(hour, pa.int64()),
+                      "one": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["isodow", "hour"]).aggregate([("one", "sum")])
+        return pa.table({"isodow": res.column("isodow"),
+                         "hour": res.column("hour"),
+                         "n": res.column("one_sum")})
+
+    rows = partial_aggregate(
+        ev.map_batches(cells, batch_format="pyarrow"),
+        ["isodow", "hour"], [("n", "sum", "n")]).take_all()
+    dow_tot: dict = {}
+    for r in rows:
+        dow_tot[r["isodow"]] = dow_tot.get(r["isodow"], 0) + r["n"]
+    rows.sort(key=lambda r: (r["isodow"], r["hour"]))
+    return pa.table({
+        "isodow": pa.array([r["isodow"] for r in rows], pa.int64()),
+        "hour": pa.array([r["hour"] for r in rows], pa.int64()),
+        "n_events": pa.array([r["n"] for r in rows], pa.int64()),
+        "share_ppm": pa.array(
+            [r["n"] * 1_000_000 // dow_tot[r["isodow"]] for r in rows],
+            pa.int64())})
+
+
+def session_type_pairs(sf_dir: str,
+                       gap_seconds: int = 1800) -> ray.data.Dataset:
+    """Market-basket co-occurrence over sessions: for every unordered
+    pair of event types, in how many sessions (the sessionize_events
+    gap rule: new session after a strict >gap silence) both occur.
+    One user-keyed exchange; each user group sessionizes with the
+    cumsum-of-breaks trick and emits DISTINCT (session, type-pair) rows
+    pre-counted per batch before the tiny pair reduce."""
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        types = np.asarray(group.column("event_type").to_pylist())
+        order = np.argsort(ts, kind="stable")
+        ts_s, ty_s = ts[order], types[order]
+        gaps = np.diff(ts_s)
+        sid = np.concatenate([[0], np.cumsum(
+            gaps > gap_seconds * 1_000_000)])
+        pa_, pb_, n_ = [], [], []
+        pair_count: dict = {}
+        for s in np.unique(sid):
+            uniq = sorted(set(ty_s[sid == s]))
+            for i in range(len(uniq)):
+                for j in range(i + 1, len(uniq)):
+                    key = (uniq[i], uniq[j])
+                    pair_count[key] = pair_count.get(key, 0) + 1
+        for (a, b), n in pair_count.items():
+            pa_.append(a)
+            pb_.append(b)
+            n_.append(n)
+        return pa.table({"type_a": pa.array(pa_, pa.string()),
+                         "type_b": pa.array(pb_, pa.string()),
+                         "n_sessions": pa.array(n_, pa.int64())})
+
+    per_user_pairs = ev.groupby("user_id").map_groups(
+        per_user, batch_format="pyarrow")
+    return partial_aggregate(per_user_pairs, ["type_a", "type_b"],
+                             [("n_sessions", "sum", "n_sessions")])
