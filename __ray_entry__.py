@@ -121,7 +121,15 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         time_rollup_multigrain,
                                         pareto_customer_cutoff,
                                         events_dow_hour_share,
-                                        session_type_pairs)
+                                        session_type_pairs,
+                                        q6_forecast_revenue,
+                                        q9_profit_by_nation_year,
+                                        q15_top_supplier,
+                                        q20_dominant_suppliers,
+                                        q12_late_lines_by_priority,
+                                        q16_supplier_variety,
+                                        doc_token_commonness,
+                                        user_ping_pong_transitions)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -491,6 +499,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_customer_cutoff": pareto_customer_cutoff,
         "events_dow_hour_share": events_dow_hour_share,
         "session_type_pairs": session_type_pairs,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q9_profit_by_nation_year": q9_profit_by_nation_year,
+        "q15_top_supplier": q15_top_supplier,
+        "q20_dominant_suppliers": q20_dominant_suppliers,
+        "q12_late_lines_by_priority": q12_late_lines_by_priority,
+        "q16_supplier_variety": q16_supplier_variety,
+        "doc_token_commonness": doc_token_commonness,
+        "user_ping_pong_transitions": user_ping_pong_transitions,
         "doc_blocklist_scrub": lambda sf: _documents(sf).map_batches(
             __import__("ctdray.functions.text",
                        fromlist=["blocklist_scrub_batch"])
@@ -1162,8 +1178,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM occ o JOIN df USING(chunk) GROUP BY o.doc_id"),
         "label_centroid_dots": (
             "WITH comp AS (SELECT label, k AS dim, "
-            "CAST(SUM(CAST(round(embedding[k] * 10000) AS BIGINT)) "
-            "AS BIGINT) AS s "
+            "CAST(SUM(CAST(round(CAST(embedding[k] AS DOUBLE) * 10000) "
+            "AS BIGINT)) AS BIGINT) AS s "
             "FROM embeddings, range(1, 65) r(k) GROUP BY 1, 2) "
             "SELECT a.label AS label_a, b.label AS label_b, "
             "CAST(SUM(a.s * b.s) AS BIGINT) AS dot "
@@ -1274,6 +1290,76 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_sessions "
             "FROM d a JOIN d b ON a.user_id = b.user_id AND a.sid = b.sid "
             "AND a.event_type < b.event_type GROUP BY 1, 2"),
+        "q6_forecast_revenue": (
+            "SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) "
+            "AS revenue_e4, CAST(count(*) AS BIGINT) AS n_lines "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-01-01' "
+            "AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7 "
+            "AND CAST(round(l_quantity) AS BIGINT) < 24"),
+        "q9_profit_by_nation_year": (
+            "SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS order_year, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS revenue_cp "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE p_name LIKE '%red%' GROUP BY 1, 2"),
+        "q15_top_supplier": (
+            "WITH r AS (SELECT l_suppkey, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS total_cp FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
+            "AND l_shipdate < TIMESTAMP '1995-04-01' GROUP BY 1) "
+            "SELECT s_suppkey, s_name, total_cp FROM r "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "WHERE total_cp = (SELECT max(total_cp) FROM r) "
+            "ORDER BY s_suppkey"),
+        "q20_dominant_suppliers": (
+            "WITH pq_ AS (SELECT l_partkey, l_suppkey, "
+            "CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q "
+            "FROM lineitem GROUP BY 1, 2), "
+            "t AS (SELECT l_partkey, SUM(q) AS tq FROM pq_ GROUP BY 1) "
+            "SELECT l_suppkey, CAST(count(*) AS BIGINT) "
+            "AS n_dominated_parts FROM pq_ JOIN t USING(l_partkey) "
+            "WHERE q * 1000000 > 200000 * tq GROUP BY 1"),
+        "q12_late_lines_by_priority": (
+            "SELECT l_returnflag, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY "
+            "GROUP BY 1"),
+        "q16_supplier_variety": (
+            "SELECT p_brand, CAST(p_size AS BIGINT) AS p_size, "
+            "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand <> 'Brand#1' AND l_suppkey NOT IN "
+            "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+            "GROUP BY 1, 2"),
+        "doc_token_commonness": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS tok FROM documents), "
+            "cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS n "
+            "FROM tok GROUP BY 1) "
+            "SELECT doc_id, CAST(SUM(n) AS BIGINT) AS sum_commonness, "
+            "CAST(MIN(n) AS BIGINT) AS min_commonness, "
+            "CAST(count(*) AS BIGINT) AS n_tokens "
+            "FROM tok JOIN cnt USING(tok) GROUP BY 1"),
+        "user_ping_pong_transitions": (
+            "WITH s AS (SELECT user_id, event_type, "
+            "LAG(event_type) OVER w AS prev, "
+            "LEAD(event_type) OVER w AS nxt FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT prev AS a_type, event_type AS b_type, "
+            "CAST(count(*) AS BIGINT) AS n FROM s "
+            "WHERE prev = nxt AND prev <> event_type GROUP BY 1, 2"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

@@ -36,12 +36,55 @@ from ..sources.tables import read_parquet_clean
 
 _COMBINE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
+_FIB64 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def bucket_ids(tbl: pa.Table, keys: list[str],
+               n_buckets: int = 256) -> pa.Array:
+    """Deterministic coarse hash bucket (int32 in [0, n_buckets)) of the
+    key tuple, vectorized per column.  Coarse bucketing lets a groupby
+    exchange carry ~n_buckets groups instead of one Python ``map_groups``
+    call per distinct key — the per-call overhead is ~60 µs, so 150 k
+    distinct keys cost ~9 s of pure call dispatch (measured round 1); a
+    vectorized ``pa.Table.group_by`` inside 256 buckets costs none of it.
+    Never use Python ``hash()`` here: string hashing is process-salted and
+    map tasks run in different workers."""
+    import zlib
+    acc = np.zeros(len(tbl), dtype=np.uint64)
+    shift = np.uint64(64 - int(n_buckets).bit_length() + 1)
+    for k in keys:
+        col = tbl.column(k)
+        t = col.type
+        if pa.types.is_integer(t) or pa.types.is_boolean(t):
+            v = pc.fill_null(col.cast(pa.int64()), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.uint64)
+        elif (pa.types.is_timestamp(t) or pa.types.is_date(t)
+              or pa.types.is_time(t)):
+            v = pc.fill_null(col.cast(pa.int64()), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.uint64)
+        elif pa.types.is_floating(t):
+            v = col.cast(pa.float64()).to_numpy(zero_copy_only=False) \
+                .view(np.uint64).copy()
+        else:  # string / binary: crc32 per row (C speed, deterministic)
+            v = np.fromiter(
+                (zlib.crc32(s.encode("utf-8", "surrogatepass"))
+                 if isinstance(s, str)
+                 else zlib.crc32(s or b"") for s in col.to_pylist()),
+                dtype=np.uint64, count=len(col))
+        acc = (acc ^ v) * _FIB64
+    return pa.array(((acc * _FIB64) >> shift).astype(np.int32))
+
 
 def partial_aggregate(ds: ray.data.Dataset, keys: list[str],
                       aggs: list[tuple[str, str, str]]) -> ray.data.Dataset:
     """aggs: (src_col, fn ∈ {sum,count,min,max}, out_name).  Per-batch
     pyarrow combiner, then one groupby over partials (SURVEY.md §2.7 AG2
-    pattern — distributive, no shuffle of raw rows)."""
+    pattern — distributive, no shuffle of raw rows).  The exchange groups
+    by a coarse hash bucket of the keys, so the reduce side makes ≤256
+    Python calls total and combines each bucket with one vectorized
+    ``pa.Table.group_by`` — high-cardinality keys (150 k+ distinct) cost
+    the same dispatch overhead as 6."""
+    _PB = "__pb"
 
     def partial(batch: pa.Table) -> pa.Table:
         gb = batch.group_by(keys)
@@ -49,19 +92,21 @@ def partial_aggregate(ds: ray.data.Dataset, keys: list[str],
         cols = {k: res.column(k) for k in keys}
         for src, fn, out in aggs:
             cols[out] = res.column(f"{src}_{fn}")
-        return pa.table(cols)
+        t = pa.table(cols)
+        return t.append_column(_PB, bucket_ids(t, keys))
 
     def combine(group: pa.Table) -> pa.Table:
-        cols = {k: group.column(k).slice(0, 1) for k in keys}
+        in_types = {out: group.column(out).type for _, _, out in aggs}
+        res = group.drop_columns([_PB]).group_by(keys).aggregate(
+            [(out, _COMBINE[fn]) for _, fn, out in aggs])
+        cols = {k: res.column(k) for k in keys}
         for _, fn, out in aggs:
-            arr = group.column(out)
-            agg = {"sum": pc.sum, "count": pc.sum,
-                   "min": pc.min, "max": pc.max}[fn](arr)
-            cols[out] = pa.array([agg.as_py()], type=arr.type)
+            cols[out] = res.column(f"{out}_{_COMBINE[fn]}") \
+                .cast(in_types[out])
         return pa.table(cols)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(keys).map_groups(combine, batch_format="pyarrow")
+    return partials.groupby(_PB).map_groups(combine, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -2692,6 +2737,10 @@ def daily_order_counts_dense(sf_dir: str) -> ray.data.Dataset:
         ["day"], [("one", "sum", "n_orders")]).take_all()  # bounded: days
     days = np.array([r["day"] for r in daily], np.int64)
     ns = np.array([r["n_orders"] for r in daily], np.int64)
+    # partial_aggregate groups by hash bucket, so output order is arbitrary;
+    # searchsorted below needs the spine side sorted
+    order = np.argsort(days)
+    days, ns = days[order], ns[order]
     lo, hi = int(days.min()), int(days.max())
     side = ray.put((days, ns, lo))
 
@@ -3884,8 +3933,10 @@ def label_centroid_dots(sf_dir: str) -> pa.Table:
                              columns=["embedding", "label"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        m = np.stack(batch.column("embedding").to_pylist())
-        m = np.rint(m * 10_000).astype(np.int64)
+        m = np.stack(batch.column("embedding").to_pylist()) * 10_000
+        # DuckDB round() is half-AWAY-from-zero; np.rint is half-even —
+        # 2/32000 scaled coords at sf0.001 land exactly on .5 and diverge
+        m = np.copysign(np.floor(np.abs(m) + 0.5), m).astype(np.int64)
         labels = np.asarray(batch.column("label").to_pylist())
         uniq = np.unique(labels)
         out_lab, out_dim, out_s = [], [], []
@@ -4372,3 +4423,460 @@ def session_type_pairs(sf_dir: str,
         per_user, batch_format="pyarrow")
     return partial_aggregate(per_user_pairs, ["type_a", "type_b"],
                              [("n_sessions", "sum", "n_sessions")])
+
+
+def q6_forecast_revenue(sf_dir: str, year: int = 1995,
+                        min_disc: float = 0.05, max_disc: float = 0.07,
+                        max_qty: int = 24) -> ray.data.Dataset:
+    """TPC-H Q6: the canonical pushdown-scan scalar — revenue delta from
+    a discount band on small-quantity lines shipped in ``year``.  The
+    year predicate prunes row groups AT THE READ; the remaining band
+    filters and the price×discount fold are one vectorized kernel per
+    batch; the exchange carries one partial row per batch.  Revenue unit
+    is 10⁻⁴ dollars (cents × discount-percent, both exact ints)."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    lo = datetime.datetime(year, 1, 1)
+    hi = datetime.datetime(year + 1, 1, 1)
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity",
+                 "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo)
+               & (pads.field("l_shipdate") < hi))
+    lo_cp = int(round(min_disc * 100))
+    hi_cp = int(round(max_disc * 100))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc = np.rint(batch.column("l_discount")
+                       .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        qty = np.rint(batch.column("l_quantity")
+                      .to_numpy(zero_copy_only=False)).astype(np.int64)
+        keep = (disc >= lo_cp) & (disc <= hi_cp) & (qty < max_qty)
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False)[keep] * 100) \
+            .astype(np.int64)
+        return pa.table({
+            "grp": pa.array([0], pa.int64()),
+            "revenue_e4": pa.array([int((cents * disc[keep]).sum())],
+                                   pa.int64()),
+            "n_lines": pa.array([int(keep.sum())], pa.int64())})
+
+    out = partial_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["grp"], [("revenue_e4", "sum", "revenue_e4"),
+                  ("n_lines", "sum", "n_lines")])
+    return out.select_columns(["revenue_e4", "n_lines"])
+
+
+def q9_profit_by_nation_year(sf_dir: str,
+                             name_contains: str = "red") -> ray.data.Dataset:
+    """TPC-H Q9 shape: revenue by supplier nation × order year for parts
+    whose name matches a pattern.  The part filter folds to a broadcast
+    partkey SET (semi-join applied per batch before anything else — the
+    LIKE never touches the fact table), supplier→nation is a broadcast
+    array, lineitem pre-aggregates to (orderkey, nation) pairs, and the
+    single real exchange joins those pairs to orders for the year."""
+    from ..functions.joins import shuffle_lookup_join
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    keep = pc.match_substring(part.column("p_name"), name_contains)
+    pkeys = part.filter(keep).column("p_partkey").combine_chunks()
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    nation_t = pq.read_table(f"{sf_dir}/nation.parquet")
+    nk = nation_t.column("n_nationkey").combine_chunks()
+    nn = nation_t.column("n_name").combine_chunks()
+    side_ref = ray.put((pkeys, supp.column("s_suppkey").combine_chunks(),
+                        supp.column("s_nationkey").combine_chunks(), nk, nn))
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        pk, sk, snk, nk_, nn_ = ray.get(side_ref)
+        sel = pc.is_in(batch.column("l_partkey"), value_set=pk)
+        b = batch.filter(sel)
+        if len(b) == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "n_name": pa.array([], pa.string()),
+                             "cp": pa.array([], pa.int64())})
+        si = pc.index_in(b.column("l_suppkey"), value_set=sk)
+        s_nat = pc.take(snk, si)
+        ni = pc.index_in(s_nat, value_set=nk_)
+        names = pc.take(nn_, ni)
+        cents = np.rint(b.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc = np.rint(b.column("l_discount")
+                       .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        t = pa.table({"l_orderkey": b.column("l_orderkey"),
+                      "n_name": names,
+                      "cp": pa.array(cents * (100 - disc))})
+        res = t.group_by(["l_orderkey", "n_name"]).aggregate([("cp", "sum")])
+        return pa.table({"l_orderkey": res.column("l_orderkey"),
+                         "n_name": res.column("n_name"),
+                         "cp": res.column("cp_sum")})
+
+    pre_agg = partial_aggregate(
+        li.map_batches(pre, batch_format="pyarrow"),
+        ["l_orderkey", "n_name"], [("cp", "sum", "cp")])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderdate"])
+    joined = shuffle_lookup_join(
+        pre_agg, orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("n_name", pa.string()),
+                               ("cp", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us"))]),
+        how="inner")
+
+    def per_year(batch: pa.Table) -> pa.Table:
+        year = pc.cast(pc.year(batch.column("o_orderdate")), pa.int64())
+        t = pa.table({"n_name": batch.column("n_name"),
+                      "order_year": year, "cp": batch.column("cp")})
+        res = t.group_by(["n_name", "order_year"]).aggregate([("cp", "sum")])
+        return pa.table({"n_name": res.column("n_name"),
+                         "order_year": res.column("order_year"),
+                         "revenue_cp": res.column("cp_sum")})
+
+    return partial_aggregate(
+        joined.map_batches(per_year, batch_format="pyarrow"),
+        ["n_name", "order_year"], [("revenue_cp", "sum", "revenue_cp")])
+
+
+def q15_top_supplier(sf_dir: str, start: str = "1995-01-01") -> pa.Table:
+    """TPC-H Q15: supplier(s) achieving the MAXIMUM revenue over a
+    3-month ship window — the scalar-subquery-equality shape, ties kept.
+    The windowed read prunes at the scan, revenue reduces to one row per
+    supplier (bounded: supplier is a dimension), and the max + equality
+    filter fold over that tiny aggregate on the driver."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    lo = datetime.datetime.fromisoformat(start)
+    mo = lo.month + 3
+    hi = datetime.datetime(lo.year + (mo - 1) // 12, (mo - 1) % 12 + 1,
+                           lo.day)
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo)
+               & (pads.field("l_shipdate") < hi))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc = np.rint(batch.column("l_discount")
+                       .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        t = pa.table({"l_suppkey": batch.column("l_suppkey"),
+                      "cp": pa.array(cents * (100 - disc))})
+        res = t.group_by(["l_suppkey"]).aggregate([("cp", "sum")])
+        return pa.table({"l_suppkey": res.column("l_suppkey"),
+                         "cp": res.column("cp_sum")})
+
+    rows = partial_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_suppkey"], [("cp", "sum", "cp")]).take_all()
+    best = max((r["cp"] for r in rows), default=0)
+    winners = sorted(r["l_suppkey"] for r in rows if r["cp"] == best)
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    name = dict(zip(supp.column("s_suppkey").to_pylist(),
+                    supp.column("s_name").to_pylist()))
+    return pa.table({
+        "s_suppkey": pa.array(winners, pa.int64()),
+        "s_name": pa.array([name[s] for s in winners], pa.string()),
+        "total_cp": pa.array([best] * len(winners), pa.int64())})
+
+
+def q20_dominant_suppliers(sf_dir: str,
+                           ppm: int = 200_000) -> pa.Table:
+    """TPC-H Q20 shape (adapted): suppliers who shipped STRICTLY more
+    than ``ppm`` (default a fifth) of some part's total quantity, counted
+    by how many parts they dominate.  The ratio joins two aggregates at
+    different grains — (part, supplier) pairs vs part totals — inside
+    one part-keyed group (the totals never broadcast, skew-safe), then
+    the winners fold with the standard count reduce."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey",
+                                     "l_quantity"])
+
+    def pair(batch: pa.Table) -> pa.Table:
+        qty = np.rint(batch.column("l_quantity")
+                      .to_numpy(zero_copy_only=False)).astype(np.int64)
+        t = pa.table({"l_partkey": batch.column("l_partkey"),
+                      "l_suppkey": batch.column("l_suppkey"),
+                      "q": pa.array(qty)})
+        res = t.group_by(["l_partkey", "l_suppkey"]).aggregate([("q", "sum")])
+        return pa.table({"l_partkey": res.column("l_partkey"),
+                         "l_suppkey": res.column("l_suppkey"),
+                         "q": res.column("q_sum")})
+
+    pairs = partial_aggregate(
+        li.map_batches(pair, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"], [("q", "sum", "q")])
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__b",
+                                   bucket_ids(batch, ["l_partkey"]))
+
+    def dominant(group: pa.Table) -> pa.Table:
+        # vectorized per BUCKET (≤256 groups): sort by part, segment-sum
+        # totals via reduceat, filter winners, pre-count per supplier —
+        # never one Python call per distinct part (150 k parts ≈ 9 s of
+        # dispatch overhead at sf0.1, measured round 1)
+        if len(group) == 0:
+            return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                             "n_dominated_parts": pa.array([], pa.int64())})
+        part = group.column("l_partkey").to_numpy(zero_copy_only=False)
+        q = group.column("q").to_numpy(zero_copy_only=False)
+        order = np.argsort(part, kind="stable")
+        part_s, q_s = part[order], q[order]
+        starts = np.flatnonzero(np.r_[True, part_s[1:] != part_s[:-1]])
+        totals = np.add.reduceat(q_s, starts)
+        runs = np.diff(np.r_[starts, len(part_s)])
+        keep = q_s * 1_000_000 > ppm * np.repeat(totals, runs)
+        t = pa.table({
+            "l_suppkey": group.column("l_suppkey")
+            .take(pa.array(order[keep])),
+            "one": pa.array(np.ones(int(keep.sum()), np.int64))})
+        res = t.group_by(["l_suppkey"]).aggregate([("one", "sum")])
+        return pa.table({"l_suppkey": res.column("l_suppkey"),
+                         "n_dominated_parts": res.column("one_sum")})
+
+    winners = pairs.map_batches(stamp, batch_format="pyarrow") \
+        .groupby("__b").map_groups(dominant, batch_format="pyarrow")
+
+    agg = partial_aggregate(
+        winners, ["l_suppkey"],
+        [("n_dominated_parts", "sum", "n_dominated_parts")])
+    # bounded (≤ |supplier| rows) and legitimately empty when no supplier
+    # crosses the bar — seed a typed table so the schema survives 0 rows
+    seed = pa.table({"l_suppkey": pa.array([], pa.int64()),
+                     "n_dominated_parts": pa.array([], pa.int64())})
+    return pa.concat_tables(
+        [seed] + [b.select(["l_suppkey", "n_dominated_parts"])
+                  for b in agg.iter_batches(batch_format="pyarrow")])
+
+
+def q12_late_lines_by_priority(sf_dir: str, grace_days: int = 60
+                               ) -> ray.data.Dataset:
+    """TPC-H Q12 shape adapted to this schema (no l_shipmode /
+    l_receiptdate in the testdata): per l_returnflag, count late-shipped
+    lines (l_shipdate > o_orderdate + grace) split into high-priority
+    (URGENT/HIGH) vs low-priority orders.  Order priority is resolved by
+    ONE shuffle equi-join on orderkey; the priority CASE and the lateness
+    predicate fold per batch, and the final groupby carries ≤ |flags|
+    partial rows per task."""
+    from ..functions.joins import shuffle_lookup_join
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_returnflag",
+                                     "l_shipdate"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderdate",
+                                         "o_orderpriority"])
+    joined = shuffle_lookup_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_returnflag", pa.string()),
+                               ("l_shipdate", pa.timestamp("us"))]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us")),
+                                ("o_orderpriority", pa.string())]),
+        how="inner")
+    grace_us = np.int64(grace_days) * 86_400_000_000
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        odt = batch.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        late = ship > odt + grace_us
+        b = batch.filter(pa.array(late))
+        if len(b) == 0:
+            return pa.table({"l_returnflag": pa.array([], pa.string()),
+                             "high_line_count": pa.array([], pa.int64()),
+                             "low_line_count": pa.array([], pa.int64())})
+        pri = b.column("o_orderpriority")
+        hi = pc.or_(pc.equal(pri, "1-URGENT"), pc.equal(pri, "2-HIGH"))
+        hi64 = pc.cast(hi, pa.int64())
+        t = pa.table({"l_returnflag": b.column("l_returnflag"),
+                      "high": hi64,
+                      "low": pc.subtract(pa.scalar(1, pa.int64()), hi64)})
+        res = t.group_by(["l_returnflag"]).aggregate(
+            [("high", "sum"), ("low", "sum")])
+        return pa.table({"l_returnflag": res.column("l_returnflag"),
+                         "high_line_count": res.column("high_sum"),
+                         "low_line_count": res.column("low_sum")})
+
+    return partial_aggregate(
+        joined.map_batches(per_batch, batch_format="pyarrow"),
+        ["l_returnflag"], [("high_line_count", "sum", "high_line_count"),
+                           ("low_line_count", "sum", "low_line_count")])
+
+
+def q16_supplier_variety(sf_dir: str, excl_brand: str = "Brand#1"
+                         ) -> ray.data.Dataset:
+    """TPC-H Q16 shape adapted (no partsupp table): per (p_brand,
+    p_size), the number of DISTINCT suppliers that shipped the part —
+    excluding one brand and excluding "complaint" suppliers
+    (s_acctbal < 0 stands in for the LIKE '%Complaints%' anti-join).
+    Part attributes and the tiny excluded-supplier set broadcast; the
+    fact table reduces to distinct (brand, size, suppkey) triples inside
+    each batch, ONE exchange dedups them globally, and the final count
+    is a second tiny aggregate."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    keep = pc.invert(pc.equal(part.column("p_brand"), excl_brand))
+    part = part.filter(keep)
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_acctbal"])
+    bad = supp.filter(pc.less(supp.column("s_acctbal"), 0.0)) \
+        .column("s_suppkey").combine_chunks()
+    side_ref = ray.put((part.column("p_partkey").combine_chunks(),
+                        part.column("p_brand").combine_chunks(),
+                        pc.cast(part.column("p_size"),
+                                pa.int64()).combine_chunks(), bad))
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey"])
+
+    def triples(batch: pa.Table) -> pa.Table:
+        pk, brand, size, bad_s = ray.get(side_ref)
+        b = batch.filter(pc.and_(
+            pc.is_in(batch.column("l_partkey"), value_set=pk),
+            pc.invert(pc.is_in(batch.column("l_suppkey"),
+                               value_set=bad_s))))
+        if len(b) == 0:
+            return pa.table({"p_brand": pa.array([], pa.string()),
+                             "p_size": pa.array([], pa.int64()),
+                             "l_suppkey": pa.array([], pa.int64())})
+        pi = pc.index_in(b.column("l_partkey"), value_set=pk)
+        t = pa.table({"p_brand": pc.take(brand, pi),
+                      "p_size": pc.take(size, pi),
+                      "l_suppkey": b.column("l_suppkey")})
+        res = t.group_by(["p_brand", "p_size", "l_suppkey"]) \
+            .aggregate([])
+        return res.select(["p_brand", "p_size", "l_suppkey"])
+
+    distinct = partial_aggregate(
+        li.map_batches(triples, batch_format="pyarrow"),
+        ["p_brand", "p_size", "l_suppkey"], [])
+
+    def count_suppliers(batch: pa.Table) -> pa.Table:
+        t = pa.table({"p_brand": batch.column("p_brand"),
+                      "p_size": batch.column("p_size"),
+                      "one": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["p_brand", "p_size"]).aggregate([("one", "sum")])
+        return pa.table({"p_brand": res.column("p_brand"),
+                         "p_size": res.column("p_size"),
+                         "supplier_cnt": res.column("one_sum")})
+
+    return partial_aggregate(
+        distinct.map_batches(count_suppliers, batch_format="pyarrow"),
+        ["p_brand", "p_size"], [("supplier_cnt", "sum", "supplier_cnt")])
+
+
+def doc_token_commonness(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-frequency document scoring, fully distributed: pass 1
+    computes global token counts (partial-agg groupby over exploded
+    tokens — the vocabulary is NOT assumed to fit on the driver); pass 2
+    re-explodes each doc and joins the counts back by ONE shuffle
+    equi-join on the token, then re-aggregates per doc to an integer
+    commonness profile (sum + min of global counts, token count).  The
+    rarest-token minimum is the classic rare-word quality signal."""
+    from ..functions.joins import shuffle_lookup_join
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(batch.column("doc_id")
+                        .to_numpy(zero_copy_only=False), n)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "tok": flat})
+
+    exploded = docs.map_batches(explode, batch_format="pyarrow")
+
+    def local_counts(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["tok"]).aggregate([("tok", "count")])
+        return pa.table({"tok": res.column("tok"),
+                         "n": pc.cast(res.column("tok_count"), pa.int64())})
+
+    vocab = partial_aggregate(
+        exploded.map_batches(local_counts, batch_format="pyarrow"),
+        ["tok"], [("n", "sum", "n")])
+
+    joined = shuffle_lookup_join(
+        exploded, vocab, on="tok", right_on="tok",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("tok", pa.string())]),
+        right_schema=pa.schema([("tok", pa.string()),
+                                ("n", pa.int64())]),
+        how="inner")
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        t = pa.table({"doc_id": batch.column("doc_id"),
+                      "n": batch.column("n"),
+                      "one": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["doc_id"]).aggregate(
+            [("n", "sum"), ("n", "min"), ("one", "sum")])
+        return pa.table({"doc_id": res.column("doc_id"),
+                         "sum_commonness": res.column("n_sum"),
+                         "min_commonness": res.column("n_min"),
+                         "n_tokens": res.column("one_sum")})
+
+    return partial_aggregate(
+        joined.map_batches(per_doc, batch_format="pyarrow"),
+        ["doc_id"], [("sum_commonness", "sum", "sum_commonness"),
+                     ("min_commonness", "min", "min_commonness"),
+                     ("n_tokens", "sum", "n_tokens")])
+
+
+def user_ping_pong_transitions(sf_dir: str) -> ray.data.Dataset:
+    """Per-user A→B→A "ping-pong" pattern counts over the (ts, event_id)-
+    ordered event-type sequence — the LAG/LEAD window shape with a
+    3-term predicate (prev == next != cur).  The per-user kernel emits
+    local (a_type, b_type) pattern counts, so the final exchange carries
+    ≤ |types|² partials per group."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        empty = pa.table({"a_type": pa.array([], pa.string()),
+                          "b_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if len(group) < 3:
+            return empty
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(group.column("event_type").to_pylist(),
+                        dtype=object)
+        s = et[np.lexsort((eid, ts))]
+        hit = (s[:-2] == s[2:]) & (s[:-2] != s[1:-1])
+        if not hit.any():
+            return empty
+        p = pa.table({"a_type": pa.array(s[:-2][hit], pa.string()),
+                      "b_type": pa.array(s[1:-1][hit], pa.string())})
+        res = p.group_by(["a_type", "b_type"]) \
+            .aggregate([("a_type", "count")])
+        return pa.table({"a_type": res.column("a_type"),
+                         "b_type": res.column("b_type"),
+                         "n": pc.cast(res.column("a_type_count"),
+                                      pa.int64())})
+
+    partials = ds.groupby("user_id").map_groups(per_user,
+                                                batch_format="pyarrow")
+    return partial_aggregate(partials, ["a_type", "b_type"],
+                             [("n", "sum", "n")])
