@@ -129,7 +129,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         q12_late_lines_by_priority,
                                         q16_supplier_variety,
                                         doc_token_commonness,
-                                        user_ping_pong_transitions)
+                                        user_ping_pong_transitions,
+                                        doc_chunks_sliding,
+                                        tokens_in_all_langs,
+                                        customer_rfm_scores,
+                                        value_decile_matrix)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -507,6 +511,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_supplier_variety": q16_supplier_variety,
         "doc_token_commonness": doc_token_commonness,
         "user_ping_pong_transitions": user_ping_pong_transitions,
+        "doc_chunks_sliding": doc_chunks_sliding,
+        "tokens_in_all_langs": tokens_in_all_langs,
+        "customer_rfm_scores": customer_rfm_scores,
+        "value_decile_matrix": value_decile_matrix,
         "doc_blocklist_scrub": lambda sf: _documents(sf).map_batches(
             __import__("ctdray.functions.text",
                        fromlist=["blocklist_scrub_batch"])
@@ -1360,6 +1368,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT prev AS a_type, event_type AS b_type, "
             "CAST(count(*) AS BIGINT) AS n FROM s "
             "WHERE prev = nxt AND prev <> event_type GROUP BY 1, 2"),
+        "doc_chunks_sliding": (
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "c AS (SELECT doc_id, t, unnest([1 + 4 * i FOR i IN "
+            "range(0, CAST(ceil(len(t) / 4.0) AS BIGINT))]) AS s FROM d) "
+            "SELECT doc_id, CAST((s - 1) / 4 AS BIGINT) AS chunk_idx, "
+            "array_to_string(t[s:s+5], ' ') AS chunk_text, "
+            "CAST(least(6, len(t) - s + 1) AS BIGINT) AS n_tokens "
+            "FROM c"),
+        "tokens_in_all_langs": (
+            "WITH tok AS (SELECT DISTINCT doc_id, lang, "
+            "unnest(string_split(text, ' ')) AS tok FROM documents) "
+            "SELECT tok, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, "
+            "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+            "FROM tok GROUP BY 1 HAVING count(DISTINCT lang) = "
+            "(SELECT count(DISTINCT lang) FROM documents)"),
+        "customer_rfm_scores": (
+            "WITH a AS (SELECT o_custkey, max(o_orderdate) AS last_dt, "
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS cents, count(*) AS n "
+            "FROM orders GROUP BY 1), "
+            "s AS (SELECT o_custkey, "
+            "CAST(NTILE(4) OVER (ORDER BY last_dt, o_custkey) AS BIGINT) "
+            "AS r_score, "
+            "CAST(NTILE(4) OVER (ORDER BY n, o_custkey) AS BIGINT) "
+            "AS f_score, "
+            "CAST(NTILE(4) OVER (ORDER BY cents, o_custkey) AS BIGINT) "
+            "AS m_score FROM a) "
+            "SELECT o_custkey, r_score, f_score, m_score, "
+            "100 * r_score + 10 * f_score + m_score AS rfm_code FROM s"),
+        "value_decile_matrix": (
+            "WITH s AS (SELECT event_type, "
+            "NTILE(10) OVER (ORDER BY value, event_id) AS decile "
+            "FROM events) "
+            "SELECT event_type, CAST(decile AS BIGINT) AS decile, "
+            "CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1, 2"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

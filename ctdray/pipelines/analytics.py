@@ -4880,3 +4880,216 @@ def user_ping_pong_transitions(sf_dir: str) -> ray.data.Dataset:
                                                 batch_format="pyarrow")
     return partial_aggregate(partials, ["a_type", "b_type"],
                              [("n", "sum", "n")])
+
+
+def doc_chunks_sliding(sf_dir: str, chunk_tokens: int = 6,
+                       stride: int = 4) -> ray.data.Dataset:
+    """RAG/training-style sliding-window chunker: each document explodes
+    into overlapping token windows (size ``chunk_tokens``, step
+    ``stride``; the final partial window is kept).  Pure per-batch
+    flat-map — no exchange at all; at 100 TB this is embarrassingly
+    parallel and the chunk rows stream straight to the consumer."""
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+
+    def chunker(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_idx, out_txt, out_n = [], [], [], []
+        tl = toks.to_pylist()
+        for did, n, tk in zip(ids, lens, tl):
+            for ci, s in enumerate(range(0, int(n), stride)):
+                w = tk[s:s + chunk_tokens]
+                out_id.append(did)
+                out_idx.append(ci)
+                out_txt.append(" ".join(w))
+                out_n.append(len(w))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "chunk_idx": pa.array(out_idx, pa.int64()),
+                         "chunk_text": pa.array(out_txt, pa.string()),
+                         "n_tokens": pa.array(out_n, pa.int64())})
+
+    return docs.map_batches(chunker, batch_format="pyarrow")
+
+
+def tokens_in_all_langs(sf_dir: str) -> ray.data.Dataset:
+    """Relational division: tokens that appear in documents of EVERY
+    language.  Distinct (token, lang) pairs reduce per batch, one
+    exchange counts distinct langs per token, and the divisor (total
+    distinct languages — a bounded dimension) comes from the same tiny
+    aggregate; the qualifying tokens keep their corpus doc counts."""
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "lang"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lang = np.repeat(np.asarray(batch.column("lang").to_pylist(),
+                                    dtype=object), n)
+        did = np.repeat(batch.column("doc_id")
+                        .to_numpy(zero_copy_only=False), n)
+        t = pa.table({"tok": pc.list_flatten(toks),
+                      "lang": pa.array(lang, pa.string()),
+                      "doc_id": pa.array(did, pa.int64())})
+        return t.group_by(["tok", "lang", "doc_id"]).aggregate([]) \
+            .select(["tok", "lang", "doc_id"])
+
+    tld = partial_aggregate(
+        docs.map_batches(pairs, batch_format="pyarrow"),
+        ["tok", "lang", "doc_id"], [])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        tl = batch.group_by(["tok", "lang"]).aggregate([])
+        td = batch.group_by(["tok", "doc_id"]).aggregate([])
+        a = pa.table({"tok": tl.column("tok"), "lang": tl.column("lang"),
+                      "is_lang": pa.array(np.ones(len(tl), np.int64)),
+                      "is_doc": pa.array(np.zeros(len(tl), np.int64))})
+        b = pa.table({"tok": td.column("tok"),
+                      "lang": pa.array([""] * len(td), pa.string()),
+                      "is_lang": pa.array(np.zeros(len(td), np.int64)),
+                      "is_doc": pa.array(np.ones(len(td), np.int64))})
+        return pa.concat_tables([a, b])
+
+    # (tok,lang,doc) triples are already distinct globally, so per-token
+    # lang/doc counts are exact after ONE more exchange over the folded
+    # marker rows (lang-distinct rows carry is_lang, doc-distinct is_doc).
+    folded = partial_aggregate(
+        tld.map_batches(fold, batch_format="pyarrow"),
+        ["tok", "lang"], [("is_lang", "max", "is_lang"),
+                          ("is_doc", "sum", "is_doc")])
+
+    def per_tok(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["tok"]).aggregate(
+            [("is_lang", "sum"), ("is_doc", "sum")])
+        return pa.table({"tok": res.column("tok"),
+                         "n_langs": res.column("is_lang_sum"),
+                         "n_docs": res.column("is_doc_sum")})
+
+    per = partial_aggregate(
+        folded.map_batches(per_tok, batch_format="pyarrow"),
+        ["tok"], [("n_langs", "sum", "n_langs"),
+                  ("n_docs", "sum", "n_docs")]).materialize()
+    total_langs = len(pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["lang"])
+        .column("lang").unique())
+    return per.filter(lambda r, t=total_langs: r["n_langs"] == t)
+
+
+def customer_rfm_scores(sf_dir: str, k: int = 4) -> pa.Table:
+    """RFM customer scoring: per-customer recency (last order date),
+    frequency (order count) and monetary (total cents) reduce via ONE
+    partial-agg exchange to a dimension-bounded table; the NTILE(k)
+    scores over (metric, custkey) fold on the driver (bounded by
+    |customer|, documented — the fact table never leaves the cluster).
+    rfm_code = 100·r + 10·f + m, the classic segmentation key."""
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_orderdate",
+                                         "o_totalprice"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ts = batch.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"o_custkey": batch.column("o_custkey"),
+                      "last_us": pa.array(ts),
+                      "cents": pa.array(cents),
+                      "one": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["o_custkey"]).aggregate(
+            [("last_us", "max"), ("cents", "sum"), ("one", "sum")])
+        return pa.table({"o_custkey": res.column("o_custkey"),
+                         "last_us": res.column("last_us_max"),
+                         "cents": res.column("cents_sum"),
+                         "n_orders": res.column("one_sum")})
+
+    agg = partial_aggregate(
+        orders.map_batches(per_batch, batch_format="pyarrow"),
+        ["o_custkey"], [("last_us", "max", "last_us"),
+                        ("cents", "sum", "cents"),
+                        ("n_orders", "sum", "n_orders")]).take_all()
+    ck = np.array([r["o_custkey"] for r in agg], np.int64)
+    last = np.array([r["last_us"] for r in agg], np.int64)
+    cents = np.array([r["cents"] for r in agg], np.int64)
+    nord = np.array([r["n_orders"] for r in agg], np.int64)
+    n = len(ck)
+
+    def ntile(metric: np.ndarray) -> np.ndarray:
+        rnk = np.empty(n, np.int64)
+        rnk[np.lexsort((ck, metric))] = np.arange(n)
+        big, small = n % k, n // k
+        size_big = small + 1
+        cut = big * size_big
+        return np.where(rnk < cut, rnk // max(size_big, 1) + 1,
+                        big + (rnk - cut) // max(small, 1) + 1)
+
+    r, f, m = ntile(last), ntile(nord), ntile(cents)
+    order = np.argsort(ck)
+    return pa.table({"o_custkey": pa.array(ck[order]),
+                     "r_score": pa.array(r[order]),
+                     "f_score": pa.array(f[order]),
+                     "m_score": pa.array(m[order]),
+                     "rfm_code": pa.array((100 * r + 10 * f + m)[order])})
+
+
+def value_decile_matrix(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Cross-tab of event types against GLOBAL value deciles — the
+    doc_length_deciles distributed-rank pattern (coarse value buckets →
+    driver prefix-sum → per-bucket rank stamp → SQL NTILE formula) with
+    a per-(type, decile) count reduce on top, so the output is the
+    |types| × k contingency matrix and no single node ever sorts the
+    fact table."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+    width = 8.0
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        bkt = np.floor(batch.column("value")
+                       .to_numpy(zero_copy_only=False) / width)
+        return pa.table({"bkt": pa.array(bkt.astype(np.int64)),
+                         "one": pa.array(np.ones(len(batch), np.int64))})
+
+    per_bkt = partial_aggregate(
+        ds.map_batches(bucket_partial, batch_format="pyarrow"),
+        ["bkt"], [("one", "sum", "n")]).take_all()
+    bks = np.array([r["bkt"] for r in per_bkt], np.int64)
+    ns = np.array([r["n"] for r in per_bkt], np.int64)
+    order = np.argsort(bks)
+    bks, ns = bks[order], ns[order]
+    offs = np.concatenate([[0], np.cumsum(ns)[:-1]])
+    total = int(ns.sum())
+    side_ref = ray.put((bks, offs, total))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bkt = np.floor(batch.column("value")
+                       .to_numpy(zero_copy_only=False) / width)
+        return batch.append_column("bkt", pa.array(bkt.astype(np.int64)))
+
+    def stamp(group: pa.Table) -> pa.Table:
+        sb, so, n = ray.get(side_ref)
+        v = group.column("value").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        local = np.lexsort((eid, v))
+        rnk = np.empty(len(group), dtype=np.int64)
+        base = so[np.searchsorted(sb, group.column("bkt")[0].as_py())]
+        rnk[local] = base + np.arange(len(group), dtype=np.int64)
+        big, small = n % k, n // k
+        size_big = small + 1
+        cut = big * size_big
+        dec = np.where(rnk < cut,
+                       rnk // max(size_big, 1) + 1,
+                       big + (rnk - cut) // max(small, 1) + 1)
+        t = pa.table({"event_type": group.column("event_type"),
+                      "decile": pa.array(dec.astype(np.int64)),
+                      "one": pa.array(np.ones(len(group), np.int64))})
+        res = t.group_by(["event_type", "decile"]).aggregate(
+            [("one", "sum")])
+        return pa.table({"event_type": res.column("event_type"),
+                         "decile": res.column("decile"),
+                         "n": res.column("one_sum")})
+
+    stamped = ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bkt").map_groups(stamp, batch_format="pyarrow")
+    return partial_aggregate(stamped, ["event_type", "decile"],
+                             [("n", "sum", "n")])
