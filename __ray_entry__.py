@@ -133,7 +133,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         doc_chunks_sliding,
                                         tokens_in_all_langs,
                                         customer_rfm_scores,
-                                        value_decile_matrix)
+                                        value_decile_matrix,
+                                        user_active_day_streaks,
+                                        mutual_top_partner_nations,
+                                        embedding_quantize_int8,
+                                        daily_new_vs_returning)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -515,6 +519,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_in_all_langs": tokens_in_all_langs,
         "customer_rfm_scores": customer_rfm_scores,
         "value_decile_matrix": value_decile_matrix,
+        "user_active_day_streaks": user_active_day_streaks,
+        "mutual_top_partner_nations": mutual_top_partner_nations,
+        "embedding_quantize_int8": embedding_quantize_int8,
+        "daily_new_vs_returning": daily_new_vs_returning,
         "doc_blocklist_scrub": lambda sf: _documents(sf).map_batches(
             __import__("ctdray.functions.text",
                        fromlist=["blocklist_scrub_batch"])
@@ -1404,6 +1412,56 @@ def oracle_sql() -> dict[str, str]:
             "FROM events) "
             "SELECT event_type, CAST(decile AS BIGINT) AS decile, "
             "CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1, 2"),
+        "user_active_day_streaks": (
+            "WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
+            "FROM events), "
+            "g AS (SELECT user_id, day, day - to_days(CAST(ROW_NUMBER() "
+            "OVER (PARTITION BY user_id ORDER BY day) AS INT)) AS grp "
+            "FROM d), "
+            "s AS (SELECT user_id, grp, count(*) AS streak FROM g "
+            "GROUP BY 1, 2) "
+            "SELECT user_id, CAST(SUM(streak) AS BIGINT) AS "
+            "n_active_days, CAST(MAX(streak) AS BIGINT) AS "
+            "longest_streak FROM s GROUP BY 1"),
+        "mutual_top_partner_nations": (
+            "WITH v AS (SELECT n1.n_name AS a, n2.n_name AS b, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS volume "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "WHERE n1.n_name <> n2.n_name GROUP BY 1, 2), "
+            "t AS (SELECT a, b, volume, ROW_NUMBER() OVER "
+            "(PARTITION BY a ORDER BY volume DESC, b) AS rn FROM v) "
+            "SELECT t1.a AS nation_a, t1.b AS nation_b, "
+            "t1.volume AS volume_ab, t2.volume AS volume_ba "
+            "FROM t t1 JOIN t t2 ON t1.b = t2.a AND t2.b = t1.a "
+            "WHERE t1.rn = 1 AND t2.rn = 1 AND t1.a < t1.b"),
+        "embedding_quantize_int8": (
+            "WITH m AS (SELECT vec_id, "
+            "[CAST(x AS DOUBLE) FOR x IN embedding] AS e, "
+            "list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS mx "
+            "FROM embeddings), "
+            "q AS (SELECT vec_id, mx, "
+            "[CAST(trunc(127 * x / mx) AS BIGINT) FOR x IN e] AS qs "
+            "FROM m) "
+            "SELECT vec_id, CAST(list_sum(qs) AS BIGINT) AS q_sum, "
+            "CAST(list_min(qs) AS BIGINT) AS q_min, "
+            "CAST(list_max(qs) AS BIGINT) AS q_max, "
+            "CAST(trunc(mx * 1000000) AS BIGINT) AS scale_e6 FROM q"),
+        "daily_new_vs_returning": (
+            "WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
+            "FROM events), "
+            "f AS (SELECT user_id, MIN(day) AS first_day FROM d "
+            "GROUP BY 1) "
+            "SELECT CAST(day AS TIMESTAMP) AS day, "
+            "CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS new_users, "
+            "CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS returning_users "
+            "FROM d JOIN f USING (user_id) GROUP BY 1"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

@@ -5093,3 +5093,255 @@ def value_decile_matrix(sf_dir: str, k: int = 10) -> ray.data.Dataset:
         .groupby("bkt").map_groups(stamp, batch_format="pyarrow")
     return partial_aggregate(stamped, ["event_type", "decile"],
                              [("n", "sum", "n")])
+
+
+def user_active_day_streaks(sf_dir: str) -> ray.data.Dataset:
+    """Gaps-and-islands: per user, total distinct active days and the
+    LONGEST run of consecutive calendar days.  Distinct (user, day)
+    pairs reduce per batch, one exchange groups each user's day set, and
+    the island scan is a vectorized diff over the sorted day ints — the
+    SQL ``day - ROW_NUMBER()`` trick without ever materializing row
+    numbers."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "day": pa.array(d)})
+        return t.group_by(["user_id", "day"]).aggregate([]) \
+            .select(["user_id", "day"])
+
+    per_day = partial_aggregate(
+        ds.map_batches(days, batch_format="pyarrow"),
+        ["user_id", "day"], [])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        d = np.sort(group.column("day").to_numpy(zero_copy_only=False))
+        runs = np.split(np.arange(len(d)),
+                        np.flatnonzero(np.diff(d) != 1) + 1)
+        longest = max(len(r) for r in runs)
+        return pa.table({
+            "user_id": group.column("user_id")[:1],
+            "n_active_days": pa.array([len(d)], pa.int64()),
+            "longest_streak": pa.array([longest], pa.int64())})
+
+    return per_day.groupby("user_id").map_groups(per_user,
+                                                 batch_format="pyarrow")
+
+
+def mutual_top_partner_nations(sf_dir: str) -> pa.Table:
+    """Reciprocal-best-match over the directed trade-volume matrix:
+    nation A's top partner (by supplier→customer revenue, ties by
+    partner name) is B AND B's top partner is A.  The fact table
+    resolves supplier nation per batch (broadcast), joins orders for the
+    customer nation via ONE shuffle, and reduces to the |nations|²
+    volume matrix; the argmax + mutuality fold over that tiny matrix on
+    the driver."""
+    from ..functions.joins import shuffle_lookup_join
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation_t = pq.read_table(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    side_ref = ray.put((
+        supp.column("s_suppkey").combine_chunks(),
+        supp.column("s_nationkey").combine_chunks(),
+        cust.column("c_custkey").combine_chunks(),
+        cust.column("c_nationkey").combine_chunks(),
+        nation_t.column("n_nationkey").combine_chunks(),
+        nation_t.column("n_name").combine_chunks()))
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_suppkey",
+                                     "l_extendedprice"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        sk, snk, _, _, nk, nn = ray.get(side_ref)
+        si = pc.index_in(batch.column("l_suppkey"), value_set=sk)
+        ni = pc.index_in(pc.take(snk, si), value_set=nk)
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "supp_nation": pc.take(nn, ni),
+                      "cents": pa.array(cents)})
+        res = t.group_by(["l_orderkey", "supp_nation"]).aggregate(
+            [("cents", "sum")])
+        return pa.table({"l_orderkey": res.column("l_orderkey"),
+                         "supp_nation": res.column("supp_nation"),
+                         "cents": res.column("cents_sum")})
+
+    pre_agg = partial_aggregate(
+        li.map_batches(pre, batch_format="pyarrow"),
+        ["l_orderkey", "supp_nation"], [("cents", "sum", "cents")])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    joined = shuffle_lookup_join(
+        pre_agg, orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("supp_nation", pa.string()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64())]),
+        how="inner")
+
+    def cust_nation(batch: pa.Table) -> pa.Table:
+        _, _, ck, cnk, nk, nn = ray.get(side_ref)
+        ci = pc.index_in(batch.column("o_custkey"), value_set=ck)
+        ni = pc.index_in(pc.take(cnk, ci), value_set=nk)
+        t = pa.table({"supp_nation": batch.column("supp_nation"),
+                      "cust_nation": pc.take(nn, ni),
+                      "cents": batch.column("cents")})
+        res = t.group_by(["supp_nation", "cust_nation"]).aggregate(
+            [("cents", "sum")])
+        return pa.table({"supp_nation": res.column("supp_nation"),
+                         "cust_nation": res.column("cust_nation"),
+                         "cents": res.column("cents_sum")})
+
+    mat = partial_aggregate(
+        joined.map_batches(cust_nation, batch_format="pyarrow"),
+        ["supp_nation", "cust_nation"],
+        [("cents", "sum", "cents")]).take_all()
+    vol = {}
+    for r in mat:
+        if r["supp_nation"] != r["cust_nation"]:
+            vol[(r["supp_nation"], r["cust_nation"])] = r["cents"]
+    best = {}
+    for (a, b), v in sorted(vol.items()):
+        cur = best.get(a)
+        if cur is None or v > cur[1] or (v == cur[1] and b < cur[0]):
+            best[a] = (b, v)
+    rows = []
+    for a, (b, v_ab) in sorted(best.items()):
+        if a < b and b in best and best[b][0] == a:
+            rows.append((a, b, v_ab, best[b][1]))
+    return pa.table({
+        "nation_a": pa.array([r[0] for r in rows], pa.string()),
+        "nation_b": pa.array([r[1] for r in rows], pa.string()),
+        "volume_ab": pa.array([r[2] for r in rows], pa.int64()),
+        "volume_ba": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def embedding_quantize_int8(sf_dir: str) -> ray.data.Dataset:
+    """Symmetric int8 quantization per vector (q = trunc(127·x/max|x|),
+    the standard weight/embedding compression step): per-vector integer
+    checksums (sum, min, max) plus the 1e6-scaled scale factor come out
+    of ONE stateless map_batches — no exchange.  trunc (not round) keeps
+    the oracle comparison exact across numpy and SQL rounding modes."""
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+
+    def quant(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
+        mat = flat.reshape(len(batch), -1) if len(set(n)) == 1 else None
+        if mat is None:  # ragged fallback
+            out = []
+            off = 0
+            for ln in n:
+                out.append(flat[off:off + ln])
+                off += ln
+            mats = out
+        else:
+            mats = mat
+        sums, mins, maxs, scales = [], [], [], []
+        for row in mats:
+            m = np.abs(row).max()
+            q = np.trunc(127.0 * row / m).astype(np.int64) if m > 0 \
+                else np.zeros(len(row), np.int64)
+            sums.append(int(q.sum()))
+            mins.append(int(q.min()))
+            maxs.append(int(q.max()))
+            scales.append(int(np.trunc(m * 1_000_000)))
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "q_sum": pa.array(sums, pa.int64()),
+                         "q_min": pa.array(mins, pa.int64()),
+                         "q_max": pa.array(maxs, pa.int64()),
+                         "scale_e6": pa.array(scales, pa.int64())})
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def daily_new_vs_returning(sf_dir: str) -> ray.data.Dataset:
+    """Growth-accounting split: per calendar day, how many active users
+    are NEW (first-ever activity) vs RETURNING.  Distinct (user, day)
+    pairs reduce per batch; per-user first days come from the same
+    partial-agg (min) exchange; new counts read off the first-day table
+    directly (one row per user) and returning counts join each user's
+    later days back by ONE shuffle on user_id."""
+    from ..functions.joins import shuffle_lookup_join
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "day": pa.array(d)})
+        return t.group_by(["user_id", "day"]).aggregate([]) \
+            .select(["user_id", "day"])
+
+    per_day = partial_aggregate(
+        ds.map_batches(days, batch_format="pyarrow"),
+        ["user_id", "day"], [])
+    first = partial_aggregate(
+        per_day, ["user_id"], [("day", "min", "first_day")])
+
+    def new_counts(batch: pa.Table) -> pa.Table:
+        t = pa.table({"day": batch.column("first_day"),
+                      "new_users": pa.array(np.ones(len(batch),
+                                                    np.int64)),
+                      "returning_users": pa.array(np.zeros(len(batch),
+                                                           np.int64))})
+        return t.group_by(["day"]).aggregate(
+            [("new_users", "sum"), ("returning_users", "sum")])
+
+    news = first.map_batches(new_counts, batch_format="pyarrow") \
+        .map_batches(lambda b: pa.table({
+            "day": b.column("day"),
+            "new_users": b.column("new_users_sum"),
+            "returning_users": b.column("returning_users_sum")}),
+            batch_format="pyarrow")
+
+    joined = shuffle_lookup_join(
+        per_day, first, on="user_id", right_on="user_id",
+        left_schema=pa.schema([("user_id", pa.int64()),
+                               ("day", pa.int64())]),
+        right_schema=pa.schema([("user_id", pa.int64()),
+                                ("first_day", pa.int64())]),
+        how="inner")
+
+    def ret_counts(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater(batch.column("day"),
+                                    batch.column("first_day")))
+        t = pa.table({"day": b.column("day"),
+                      "new_users": pa.array(np.zeros(len(b), np.int64)),
+                      "returning_users": pa.array(np.ones(len(b),
+                                                          np.int64))})
+        res = t.group_by(["day"]).aggregate(
+            [("new_users", "sum"), ("returning_users", "sum")])
+        return pa.table({"day": res.column("day"),
+                         "new_users": res.column("new_users_sum"),
+                         "returning_users":
+                             res.column("returning_users_sum")})
+
+    rets = joined.map_batches(ret_counts, batch_format="pyarrow")
+    both = news.union(rets)
+    agg = partial_aggregate(
+        both, ["day"], [("new_users", "sum", "new_users"),
+                        ("returning_users", "sum", "returning_users")])
+
+    def to_date(batch: pa.Table) -> pa.Table:
+        d = batch.column("day").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype("datetime64[us]")
+        return pa.table({"day": pa.array(d),
+                         "new_users": batch.column("new_users"),
+                         "returning_users":
+                             batch.column("returning_users")})
+
+    return agg.map_batches(to_date, batch_format="pyarrow")
