@@ -137,7 +137,9 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         user_active_day_streaks,
                                         mutual_top_partner_nations,
                                         embedding_quantize_int8,
-                                        daily_new_vs_returning)
+                                        daily_new_vs_returning,
+                                        lang_balanced_sample,
+                                        coordered_part_pairs)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -523,6 +525,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_top_partner_nations": mutual_top_partner_nations,
         "embedding_quantize_int8": embedding_quantize_int8,
         "daily_new_vs_returning": daily_new_vs_returning,
+        "lang_balanced_sample": lang_balanced_sample,
+        "coordered_part_pairs": coordered_part_pairs,
+        "jaccard_pairs_prefix": lambda sf: __import__(
+            "ctdray.functions.dedup",
+            fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
+            _documents(sf)),
         "doc_blocklist_scrub": lambda sf: _documents(sf).map_batches(
             __import__("ctdray.functions.text",
                        fromlist=["blocklist_scrub_batch"])
@@ -1462,6 +1470,34 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) "
             "AS BIGINT) AS returning_users "
             "FROM d JOIN f USING (user_id) GROUP BY 1"),
+        "lang_balanced_sample": (
+            "SELECT doc_id, lang, smp_rank AS sample_rank FROM ("
+            "SELECT doc_id, lang, CAST(ROW_NUMBER() OVER ("
+            "PARTITION BY lang ORDER BY "
+            f"({_fold48_sql('md5(CAST(doc_id AS VARCHAR))')}), doc_id) "
+            "AS BIGINT) AS smp_rank FROM documents) "
+            "WHERE smp_rank <= 40"),
+        "coordered_part_pairs": (
+            "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem) "
+            "SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+            "CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey "
+            "GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b "
+            "LIMIT 20"),
+        "jaccard_pairs_prefix": (
+            "WITH s AS (SELECT doc_id, "
+            "list_distinct(string_split(text, ' ')) AS toks "
+            "FROM documents) "
+            "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+            "CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) "
+            "AS inter_size, "
+            "CAST(len(list_distinct(a.toks || b.toks)) AS BIGINT) "
+            "AS union_size "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.toks, b.toks)) * 5 >= "
+            "4 * len(list_distinct(a.toks || b.toks))"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

@@ -785,3 +785,166 @@ def dedup_clusters(ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16,
                                                   ids.cast(id_type))})
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def prefix_jaccard_pairs(ds: ray.data.Dataset, threshold=None,
+                         num: int = 4, den: int = 5) -> ray.data.Dataset:
+    """EXACT token-set similarity join via prefix filtering (the
+    SSJoin/PPJoin family; Vernica et al., SIGMOD'10 MapReduce
+    formulation): emit every unordered doc pair whose distinct-token
+    Jaccard ≥ num/den, with the exact intersection and union sizes.
+
+    Unlike :func:`minhash_verified_pairs` (probabilistic candidates),
+    the prefix filter is LOSSLESS: order tokens by ascending global
+    document frequency; a set of size s keeps the first
+    ``s - ceil(t*s) + 1`` tokens as its prefix; any pair with J ≥ t
+    must share a prefix token (overlap ≥ ceil(t*s) cannot hide entirely
+    in either suffix), so grouping on prefix tokens plus a pairwise
+    length filter (min ≥ t·max) loses nothing.  Exchanges carry
+    (token, doc_id, set_size) triples and candidate id pairs — never
+    text; verification stamps candidate texts by equi-key groupby (the
+    minhash pattern) and computes set intersection/union exactly.
+
+    threshold may be a float (converted to an exact fraction) or give
+    num/den directly.
+    """
+    from fractions import Fraction
+
+    from .joins import broadcast_semi_join
+    if threshold is not None:
+        fr = Fraction(threshold).limit_denominator(1000)
+        num, den = fr.numerator, fr.denominator
+
+    def tok_doc(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_t, out_d = [], []
+        for did, tl in zip(ids, toks.to_pylist()):
+            for t in set(tl):
+                out_t.append(t)
+                out_d.append(did)
+        return pa.table({"tok": pa.array(out_t, pa.string()),
+                         "doc_id": pa.array(out_d, pa.int64())})
+
+    pairs_td = ds.map_batches(tok_doc, batch_format="pyarrow")
+
+    def local_df(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["tok"]).aggregate([("tok", "count")])
+        return pa.table({"tok": res.column("tok"),
+                         "df": pc.cast(res.column("tok_count"),
+                                       pa.int64())})
+
+    from ..pipelines.analytics import partial_aggregate
+    df = partial_aggregate(
+        pairs_td.map_batches(local_df, batch_format="pyarrow"),
+        ["tok"], [("df", "sum", "df")])
+    from .joins import shuffle_lookup_join
+    with_df = shuffle_lookup_join(
+        pairs_td, df, on="tok", right_on="tok",
+        left_schema=pa.schema([("tok", pa.string()),
+                               ("doc_id", pa.int64())]),
+        right_schema=pa.schema([("tok", pa.string()),
+                                ("df", pa.int64())]),
+        how="inner")
+
+    def prefixes(group: pa.Table) -> pa.Table:
+        toks = np.asarray(group.column("tok").to_pylist(), dtype=object)
+        dfs = group.column("df").to_numpy(zero_copy_only=False)
+        s = len(toks)
+        p = s - (num * s + den - 1) // den + 1
+        order = np.lexsort((toks, dfs))[:p]
+        return pa.table({
+            "tok": pa.array(toks[order], pa.string()),
+            "doc_id": group.column("doc_id").slice(0, 1)
+            .to_pylist() * len(order),
+            "set_size": pa.array([s] * len(order), pa.int64())})
+
+    pref = with_df.groupby("doc_id").map_groups(prefixes,
+                                                batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        sz = group.column("set_size").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids, sz = ids[order], sz[order]
+        n = len(ids)
+        if n < 2:
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64())})
+        ii, jj = np.triu_indices(n, k=1)
+        lo = np.minimum(sz[ii], sz[jj])
+        hi = np.maximum(sz[ii], sz[jj])
+        keep = lo * den >= num * hi               # length filter
+        return pa.table({"a_id": pa.array(ids[ii[keep]], pa.int64()),
+                         "b_id": pa.array(ids[jj[keep]], pa.int64())})
+
+    pairs = pref.groupby("tok").map_groups(
+        bucket_pairs, batch_format="pyarrow").materialize()
+
+    def pair_ids(batch: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([batch.column("a_id").combine_chunks(),
+                                 batch.column("b_id").combine_chunks()])
+        return pa.table({"doc_id": both.unique()})
+
+    cand_ids = pairs.map_batches(pair_ids, batch_format="pyarrow")
+    cand_docs = broadcast_semi_join(ds, cand_ids, "doc_id")
+
+    def explode_sides(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_id").combine_chunks()
+        b = batch.column("b_id").combine_chunks()
+        n = len(batch)
+        return pa.table({
+            "key": pa.concat_arrays([a, b]),
+            "a_id": pa.concat_arrays([a, a]),
+            "b_id": pa.concat_arrays([b, b]),
+            "is_a": pa.array([True] * n + [False] * n, pa.bool_()),
+            "text": pa.nulls(2 * n, pa.string())})
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "key": batch.column("doc_id").cast(pa.int64()),
+            "a_id": pa.nulls(n, pa.int64()),
+            "b_id": pa.nulls(n, pa.int64()),
+            "is_a": pa.nulls(n, pa.bool_()),
+            "text": batch.column("text")})
+
+    def stamp_text(group: pa.Table) -> pa.Table:
+        txt = group.column("text")
+        valid = pc.is_valid(txt)
+        di = pc.index(valid, True).as_py()
+        text_val = txt[di].as_py() if di >= 0 else None
+        out = group.filter(pc.invert(valid)).drop_columns(["key"])
+        return out.set_column(
+            out.column_names.index("text"), "text",
+            pa.array([text_val] * len(out), pa.string()))
+
+    def merge_verify(group: pa.Table) -> pa.Table:
+        empty = pa.table({"a_id": pa.array([], pa.int64()),
+                          "b_id": pa.array([], pa.int64()),
+                          "inter_size": pa.array([], pa.int64()),
+                          "union_size": pa.array([], pa.int64())})
+        is_a = group.column("is_a").to_pylist()
+        texts = group.column("text").to_pylist()
+        ta = next((t for f, t in zip(is_a, texts) if f), None)
+        tb = next((t for f, t in zip(is_a, texts) if not f), None)
+        if ta is None or tb is None:
+            return empty
+        sa, sb = set(ta.split(" ")), set(tb.split(" "))
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        if inter * den >= num * union:
+            return pa.table({
+                "a_id": group.column("a_id").slice(0, 1),
+                "b_id": group.column("b_id").slice(0, 1),
+                "inter_size": pa.array([inter], pa.int64()),
+                "union_size": pa.array([union], pa.int64())})
+        return empty
+
+    sides = (pairs.map_batches(explode_sides, batch_format="pyarrow")
+             .union(cand_docs.map_batches(doc_side,
+                                          batch_format="pyarrow")))
+    stamped = sides.groupby("key").map_groups(stamp_text,
+                                              batch_format="pyarrow")
+    return (stamped.groupby(["a_id", "b_id"])
+            .map_groups(merge_verify, batch_format="pyarrow"))

@@ -5345,3 +5345,102 @@ def daily_new_vs_returning(sf_dir: str) -> ray.data.Dataset:
                              batch.column("returning_users")})
 
     return agg.map_batches(to_date, batch_format="pyarrow")
+
+
+def lang_balanced_sample(sf_dir: str, per_lang: int = 40
+                         ) -> ray.data.Dataset:
+    """Balanced corpus resampling: exactly ``per_lang`` documents per
+    language, picked by deterministic md5 order (reproducible across
+    runs and cluster sizes).  Distributed top-N-per-group: every batch
+    keeps its local N smallest (hash, doc_id) per lang, so the final
+    per-lang groupby sees ≤ N·n_batches candidate rows — the fact table
+    never shuffles, and group skew cannot matter because each group's
+    input is already capped."""
+    import hashlib
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keys = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+             for i in ids), np.int64, len(ids))
+        return batch.append_column("hkey", pa.array(keys))
+
+    def local_topn(batch: pa.Table) -> pa.Table:
+        out = []
+        for lang in pc.unique(batch.column("lang")).to_pylist():
+            g = batch.filter(pc.equal(batch.column("lang"), lang))
+            k = g.column("hkey").to_numpy(zero_copy_only=False)
+            d = g.column("doc_id").to_numpy(zero_copy_only=False)
+            order = np.lexsort((d, k))[:per_lang]
+            out.append(g.take(pa.array(order)))
+        return pa.concat_tables(out) if out else batch.slice(0, 0)
+
+    def final_topn(group: pa.Table) -> pa.Table:
+        k = group.column("hkey").to_numpy(zero_copy_only=False)
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, k))[:per_lang]
+        g = group.take(pa.array(order))
+        return pa.table({"doc_id": g.column("doc_id"),
+                         "lang": g.column("lang"),
+                         "sample_rank": pa.array(
+                             np.arange(1, len(g) + 1, dtype=np.int64))})
+
+    return ds.map_batches(add_key, batch_format="pyarrow") \
+        .map_batches(local_topn, batch_format="pyarrow") \
+        .groupby("lang").map_groups(final_topn, batch_format="pyarrow")
+
+
+def coordered_part_pairs(sf_dir: str, n: int = 20) -> ray.data.Dataset:
+    """Market-basket over orders: top-N pairs of DISTINCT parts appearing
+    in the same order.  Orders hash into coarse buckets (one vectorized
+    kernel per bucket instead of one Python call per order — the 150k-key
+    map_groups trap); within a bucket, per-order pair generation runs
+    class-by-length with np.triu_indices, pair counts partial-aggregate,
+    and the top-N sort sees only the aggregated pair table."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        bkt = ((ok.astype(np.uint64) * _FIB64) >> np.uint64(56)) \
+            .astype(np.int64)
+        return batch.append_column("bkt", pa.array(bkt))
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ok = group.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = group.column("l_partkey").to_numpy(zero_copy_only=False)
+        # distinct (order, part), sorted by order then part
+        u = np.unique(np.stack([ok, pk], axis=1), axis=0)
+        ok, pk = u[:, 0], u[:, 1]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        lens = np.diff(np.r_[starts, len(ok)])
+        a_all, b_all = [], []
+        for ln in np.unique(lens):
+            if ln < 2:
+                continue
+            segs = starts[lens == ln]                     # (m,)
+            mat = pk[segs[:, None] + np.arange(ln)]       # (m, ln)
+            ii, jj = np.triu_indices(int(ln), k=1)
+            a_all.append(mat[:, ii].ravel())
+            b_all.append(mat[:, jj].ravel())
+        if not a_all:
+            return pa.table({"part_a": pa.array([], pa.int64()),
+                             "part_b": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64())})
+        t = pa.table({"part_a": pa.array(np.concatenate(a_all)),
+                      "part_b": pa.array(np.concatenate(b_all)),
+                      "one": pa.array(np.ones(
+                          sum(len(a) for a in a_all), np.int64))})
+        res = t.group_by(["part_a", "part_b"]).aggregate([("one", "sum")])
+        return pa.table({"part_a": res.column("part_a"),
+                         "part_b": res.column("part_b"),
+                         "n_orders": res.column("one_sum")})
+
+    pairs = li.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bkt").map_groups(bucket_pairs, batch_format="pyarrow")
+    agg = partial_aggregate(pairs, ["part_a", "part_b"],
+                            [("n_orders", "sum", "n_orders")])
+    return agg.sort(["n_orders", "part_a", "part_b"],
+                    descending=[True, False, False]).limit(n)
