@@ -139,7 +139,10 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         embedding_quantize_int8,
                                         daily_new_vs_returning,
                                         lang_balanced_sample,
-                                        coordered_part_pairs)
+                                        coordered_part_pairs,
+                                        dim_correlation_topk,
+                                        part_graph_bfs,
+                                        ngram_novelty_ratio)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -527,6 +530,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_new_vs_returning": daily_new_vs_returning,
         "lang_balanced_sample": lang_balanced_sample,
         "coordered_part_pairs": coordered_part_pairs,
+        "dim_correlation_topk": dim_correlation_topk,
+        "part_graph_bfs": part_graph_bfs,
+        "ngram_novelty_ratio": ngram_novelty_ratio,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -1498,6 +1504,41 @@ def oracle_sql() -> dict[str, str]:
             "FROM s a JOIN s b ON a.doc_id < b.doc_id "
             "WHERE len(list_intersect(a.toks, b.toks)) * 5 >= "
             "4 * len(list_distinct(a.toks || b.toks))"),
+        "dim_correlation_topk": (
+            "WITH q AS (SELECT vec_id, "
+            "[CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) "
+            "FOR x IN embedding] AS e FROM embeddings), "
+            "d AS (SELECT CAST(i - 1 AS BIGINT) AS dim_a, "
+            "CAST(j - 1 AS BIGINT) AS dim_b, "
+            "CAST(SUM(e[CAST(i AS INT)] * e[CAST(j AS INT)]) AS BIGINT) "
+            "AS dot_e8 "
+            "FROM q, range(1, 65) ri(i), range(1, 65) rj(j) "
+            "WHERE i < j GROUP BY 1, 2) "
+            "SELECT dim_a, dim_b, dot_e8 FROM d "
+            "ORDER BY dot_e8 DESC, dim_a, dim_b LIMIT 20"),
+        "part_graph_bfs": (
+            "WITH RECURSIVE e AS (SELECT DISTINCT a.l_partkey AS src, "
+            "b.l_partkey AS dst FROM lineitem a "
+            "JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey <> b.l_partkey), "
+            "bfs(part_id, d) AS ("
+            "SELECT (SELECT min(p_partkey) FROM part), 0 "
+            "UNION "
+            "SELECT e.dst, bfs.d + 1 FROM bfs "
+            "JOIN e ON bfs.part_id = e.src WHERE bfs.d < 3) "
+            "SELECT part_id, CAST(MIN(d) AS BIGINT) AS dist "
+            "FROM bfs GROUP BY 1"),
+        "ngram_novelty_ratio": (
+            "WITH g AS (SELECT DISTINCT doc_id, gram FROM ("
+            "SELECT doc_id, unnest([array_to_string(t[CAST(i AS INT):"
+            "CAST(i AS INT)+2], ' ') FOR i IN range(1, len(t) - 1)]) "
+            "AS gram FROM (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents) WHERE len(t) >= 3)), "
+            "df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1) "
+            "SELECT doc_id, CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_unique_grams, "
+            "CAST(count(*) AS BIGINT) AS n_grams "
+            "FROM g JOIN df USING (gram) GROUP BY 1"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

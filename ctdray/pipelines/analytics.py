@@ -5444,3 +5444,164 @@ def coordered_part_pairs(sf_dir: str, n: int = 20) -> ray.data.Dataset:
                             [("n_orders", "sum", "n_orders")])
     return agg.sort(["n_orders", "part_a", "part_b"],
                     descending=[True, False, False]).limit(n)
+
+
+def dim_correlation_topk(sf_dir: str, n: int = 20) -> ray.data.Dataset:
+    """Top-N most-correlated embedding dimension pairs by (1e4-scaled)
+    integer dot product — the gradient/Gram aggregation shape: each
+    batch computes its LOCAL 64×64 Xᵀ X in one numpy matmul, the
+    exchange carries only the 2016 upper-triangle partials per task, and
+    the final sort sees a dimension-bounded table."""
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+
+    def gram(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        d = pc.list_value_length(emb)[0].as_py()
+        q = np.rint(flat.reshape(-1, d) * 10_000).astype(np.int64)
+        g = q.T @ q                                     # (d, d) int64
+        ii, jj = np.triu_indices(d, k=1)
+        return pa.table({"dim_a": pa.array(ii.astype(np.int64)),
+                         "dim_b": pa.array(jj.astype(np.int64)),
+                         "dot_e8": pa.array(g[ii, jj])})
+
+    agg = partial_aggregate(
+        ds.map_batches(gram, batch_format="pyarrow"),
+        ["dim_a", "dim_b"], [("dot_e8", "sum", "dot_e8")])
+    return agg.sort(["dot_e8", "dim_a", "dim_b"],
+                    descending=[True, False, False]).limit(n)
+
+
+def part_graph_bfs(sf_dir: str, max_depth: int = 3) -> pa.Table:
+    """Iterative BFS over the co-ordered-parts graph from the smallest
+    partkey: round k broadcasts the frontier id set (bounded by the part
+    DIMENSION, never the fact table) and one edge-table pass collects
+    the next frontier — the BSP shape of dedup_clusters applied to graph
+    traversal.  The DuckDB oracle is a recursive CTE with MIN(dist)."""
+    seed = int(pc.min(pq.read_table(f"{sf_dir}/part.parquet",
+                                    columns=["p_partkey"])
+                      .column("p_partkey")).as_py())
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        bkt = ((ok.astype(np.uint64) * _FIB64) >> np.uint64(56)) \
+            .astype(np.int64)
+        return batch.append_column("bkt", pa.array(bkt))
+
+    def bucket_edges(group: pa.Table) -> pa.Table:
+        ok = group.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = group.column("l_partkey").to_numpy(zero_copy_only=False)
+        u = np.unique(np.stack([ok, pk], axis=1), axis=0)
+        ok, pk = u[:, 0], u[:, 1]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        lens = np.diff(np.r_[starts, len(ok)])
+        src_all, dst_all = [], []
+        for ln in np.unique(lens):
+            if ln < 2:
+                continue
+            segs = starts[lens == ln]
+            mat = pk[segs[:, None] + np.arange(ln)]
+            ii, jj = np.triu_indices(int(ln), k=1)
+            a, b = mat[:, ii].ravel(), mat[:, jj].ravel()
+            src_all += [a, b]
+            dst_all += [b, a]
+        if not src_all:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        t = pa.table({"src": pa.array(np.concatenate(src_all)),
+                      "dst": pa.array(np.concatenate(dst_all))})
+        return t.group_by(["src", "dst"]).aggregate([]) \
+            .select(["src", "dst"])
+
+    edges = li.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bkt").map_groups(bucket_edges, batch_format="pyarrow") \
+        .materialize()
+
+    dist = {seed: 0}
+    frontier = {seed}
+    for depth in range(1, max_depth + 1):
+        f_arr = pa.array(sorted(frontier), pa.int64())
+
+        def next_hop(batch: pa.Table, fa=f_arr) -> pa.Table:
+            b = batch.filter(pc.is_in(batch.column("src"), value_set=fa))
+            return pa.table({"dst": b.column("dst").combine_chunks()
+                             .unique()})
+
+        # frontier/visited are bounded by the part DIMENSION (tiny);
+        # edges stream through the cluster each round.
+        nxt = set()
+        for b in edges.map_batches(next_hop, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            nxt.update(b.column("dst").to_pylist())
+        frontier = {p for p in nxt if p not in dist}
+        if not frontier:
+            break
+        for p in frontier:
+            dist[p] = depth
+    ids = sorted(dist)
+    return pa.table({"part_id": pa.array(ids, pa.int64()),
+                     "dist": pa.array([dist[i] for i in ids],
+                                      pa.int64())})
+
+
+def ngram_novelty_ratio(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Cross-corpus n-gram novelty (data-curation signal): per document,
+    how many of its distinct word 3-grams appear in NO other document.
+    Distinct (gram, doc) pairs reduce per batch, gram document-frequency
+    comes from one partial-agg exchange, and the join-back on gram is
+    the only other shuffle — text never moves after the explode."""
+    from ..functions.joins import shuffle_lookup_join
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_g, out_d = [], []
+        for did, tl in zip(ids, toks.to_pylist()):
+            gs = {" ".join(tl[i:i + k]) for i in range(len(tl) - k + 1)}
+            out_g.extend(gs)
+            out_d.extend([did] * len(gs))
+        return pa.table({"gram": pa.array(out_g, pa.string()),
+                         "doc_id": pa.array(out_d, pa.int64())})
+
+    gd = docs.map_batches(grams, batch_format="pyarrow")
+
+    def local_df(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["gram"]).aggregate([("gram", "count")])
+        return pa.table({"gram": res.column("gram"),
+                         "df": pc.cast(res.column("gram_count"),
+                                       pa.int64())})
+
+    df = partial_aggregate(
+        gd.map_batches(local_df, batch_format="pyarrow"),
+        ["gram"], [("df", "sum", "df")])
+    joined = shuffle_lookup_join(
+        gd, df, on="gram", right_on="gram",
+        left_schema=pa.schema([("gram", pa.string()),
+                               ("doc_id", pa.int64())]),
+        right_schema=pa.schema([("gram", pa.string()),
+                                ("df", pa.int64())]),
+        how="inner")
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        uniq = pc.cast(pc.equal(batch.column("df"), 1), pa.int64())
+        t = pa.table({"doc_id": batch.column("doc_id"),
+                      "n_unique_grams": uniq,
+                      "n_grams": pa.array(np.ones(len(batch),
+                                                  np.int64))})
+        res = t.group_by(["doc_id"]).aggregate(
+            [("n_unique_grams", "sum"), ("n_grams", "sum")])
+        return pa.table({"doc_id": res.column("doc_id"),
+                         "n_unique_grams":
+                             res.column("n_unique_grams_sum"),
+                         "n_grams": res.column("n_grams_sum")})
+
+    return partial_aggregate(
+        joined.map_batches(per_doc, batch_format="pyarrow"),
+        ["doc_id"], [("n_unique_grams", "sum", "n_unique_grams"),
+                     ("n_grams", "sum", "n_grams")])
