@@ -142,7 +142,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         coordered_part_pairs,
                                         dim_correlation_topk,
                                         part_graph_bfs,
-                                        ngram_novelty_ratio)
+                                        ngram_novelty_ratio,
+                                        fulfillment_lag_histogram,
+                                        user_top_value_share,
+                                        nation_supplier_hhi,
+                                        user_activity_bitmask)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -533,6 +537,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dim_correlation_topk": dim_correlation_topk,
         "part_graph_bfs": part_graph_bfs,
         "ngram_novelty_ratio": ngram_novelty_ratio,
+        "fulfillment_lag_histogram": fulfillment_lag_histogram,
+        "user_top_value_share": user_top_value_share,
+        "nation_supplier_hhi": nation_supplier_hhi,
+        "user_activity_bitmask": user_activity_bitmask,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -1539,6 +1547,45 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS n_unique_grams, "
             "CAST(count(*) AS BIGINT) AS n_grams "
             "FROM g JOIN df USING (gram) GROUP BY 1"),
+        "fulfillment_lag_histogram": (
+            "WITH j AS (SELECT date_diff('day', "
+            "CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) "
+            "AS lag FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey) "
+            "SELECT CAST(floor(lag / 7.0) AS BIGINT) AS bucket_week, "
+            "CAST(count(*) AS BIGINT) AS n_lines, "
+            "CAST(min(lag) AS BIGINT) AS min_lag_days, "
+            "CAST(max(lag) AS BIGINT) AS max_lag_days "
+            "FROM j GROUP BY 1"),
+        "user_top_value_share": (
+            "WITH a AS (SELECT user_id, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS total_cents, "
+            "CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS max_c FROM events GROUP BY 1) "
+            "SELECT user_id, total_cents, "
+            "CAST(CASE WHEN total_cents = 0 THEN 0 ELSE "
+            "(1000000 * max_c) // total_cents END AS BIGINT) "
+            "AS top_share_ppm FROM a"),
+        "nation_supplier_hhi": (
+            "WITH sc AS (SELECT n_name, s_suppkey, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS c FROM lineitem "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey GROUP BY 1, 2), "
+            "t AS (SELECT n_name, "
+            "(1000000 * c) // SUM(c) OVER (PARTITION BY n_name) "
+            "AS share_ppm FROM sc) "
+            "SELECT n_name, CAST(SUM(share_ppm * share_ppm) AS BIGINT) "
+            "AS hhi_ppm2, CAST(count(*) AS BIGINT) AS n_suppliers "
+            "FROM t GROUP BY 1"),
+        "user_activity_bitmask": (
+            "WITH d AS (SELECT DISTINCT user_id, date_diff('day', "
+            "DATE '2024-01-01', CAST(ts AS DATE)) AS off FROM events) "
+            "SELECT user_id, "
+            "CAST(SUM(CAST(1 AS BIGINT) << CAST(off AS INT)) AS BIGINT) "
+            "AS mask, CAST(count(*) AS BIGINT) AS n_days "
+            "FROM d WHERE off >= 0 AND off < 63 GROUP BY 1"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

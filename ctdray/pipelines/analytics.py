@@ -5605,3 +5605,174 @@ def ngram_novelty_ratio(sf_dir: str, k: int = 3) -> ray.data.Dataset:
         joined.map_batches(per_doc, batch_format="pyarrow"),
         ["doc_id"], [("n_unique_grams", "sum", "n_unique_grams"),
                      ("n_grams", "sum", "n_grams")])
+
+
+def fulfillment_lag_histogram(sf_dir: str, bucket_days: int = 7
+                              ) -> ray.data.Dataset:
+    """Weekly histogram of order→ship lag: ONE shuffle equi-join
+    attaches the order date, the day difference and bucket fold per
+    batch, and the exchange carries only (bucket, count, min, max)
+    partials."""
+    from ..functions.joins import shuffle_lookup_join
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_shipdate"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderdate"])
+    joined = shuffle_lookup_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_shipdate", pa.timestamp("us"))]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us"))]),
+        how="inner")
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        odt = batch.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        lag = ship - odt
+        t = pa.table({"bucket_week": pa.array(lag // bucket_days),
+                      "n_lines": pa.array(np.ones(len(batch), np.int64)),
+                      "min_lag_days": pa.array(lag),
+                      "max_lag_days": pa.array(lag)})
+        res = t.group_by(["bucket_week"]).aggregate(
+            [("n_lines", "sum"), ("min_lag_days", "min"),
+             ("max_lag_days", "max")])
+        return pa.table({"bucket_week": res.column("bucket_week"),
+                         "n_lines": res.column("n_lines_sum"),
+                         "min_lag_days": res.column("min_lag_days_min"),
+                         "max_lag_days": res.column("max_lag_days_max")})
+
+    return partial_aggregate(
+        joined.map_batches(per_batch, batch_format="pyarrow"),
+        ["bucket_week"], [("n_lines", "sum", "n_lines"),
+                          ("min_lag_days", "min", "min_lag_days"),
+                          ("max_lag_days", "max", "max_lag_days")])
+
+
+def user_top_value_share(sf_dir: str) -> ray.data.Dataset:
+    """Per-user value concentration: the share (ppm, integer floor
+    division so the oracle hashes exactly) of the user's single largest
+    event in their total — a skew/whale signal computed with one
+    partial-agg exchange of (sum, max) pairs."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "value"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "sum_c": pa.array(cents),
+                      "max_c": pa.array(cents)})
+        res = t.group_by(["user_id"]).aggregate(
+            [("sum_c", "sum"), ("max_c", "max")])
+        return pa.table({"user_id": res.column("user_id"),
+                         "sum_c": res.column("sum_c_sum"),
+                         "max_c": res.column("max_c_max")})
+
+    agg = partial_aggregate(
+        ds.map_batches(per_batch, batch_format="pyarrow"),
+        ["user_id"], [("sum_c", "sum", "sum_c"),
+                      ("max_c", "max", "max_c")])
+
+    def share(batch: pa.Table) -> pa.Table:
+        s = batch.column("sum_c").to_numpy(zero_copy_only=False)
+        m = batch.column("max_c").to_numpy(zero_copy_only=False)
+        ppm = np.where(s != 0, (1_000_000 * m) // np.where(s == 0, 1, s),
+                       0)
+        return pa.table({"user_id": batch.column("user_id"),
+                         "total_cents": pa.array(s),
+                         "top_share_ppm": pa.array(ppm)})
+
+    return agg.map_batches(share, batch_format="pyarrow")
+
+
+def nation_supplier_hhi(sf_dir: str) -> ray.data.Dataset:
+    """Herfindahl–Hirschman revenue-concentration index per supplier
+    nation: lineitem reduces to (nation, supplier) revenue cents — a
+    dimension-bounded table — via broadcast nation resolution + one
+    partial-agg exchange; integer ppm shares and the Σ share² fold per
+    nation group."""
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    nation_t = pq.read_table(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    side_ref = ray.put((supp.column("s_suppkey").combine_chunks(),
+                        supp.column("s_nationkey").combine_chunks(),
+                        nation_t.column("n_nationkey").combine_chunks(),
+                        nation_t.column("n_name").combine_chunks()))
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_suppkey", "l_extendedprice"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        sk, snk, nk, nn = ray.get(side_ref)
+        si = pc.index_in(batch.column("l_suppkey"), value_set=sk)
+        ni = pc.index_in(pc.take(snk, si), value_set=nk)
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"n_name": pc.take(nn, ni),
+                      "s_suppkey": batch.column("l_suppkey"),
+                      "cents": pa.array(cents)})
+        res = t.group_by(["n_name", "s_suppkey"]).aggregate(
+            [("cents", "sum")])
+        return pa.table({"n_name": res.column("n_name"),
+                         "s_suppkey": res.column("s_suppkey"),
+                         "cents": res.column("cents_sum")})
+
+    per_supp = partial_aggregate(
+        li.map_batches(per_batch, batch_format="pyarrow"),
+        ["n_name", "s_suppkey"], [("cents", "sum", "cents")])
+
+    def hhi(group: pa.Table) -> pa.Table:
+        c = group.column("cents").to_numpy(zero_copy_only=False)
+        total = int(c.sum())
+        share = (1_000_000 * c) // total if total else np.zeros_like(c)
+        return pa.table({
+            "n_name": group.column("n_name").slice(0, 1),
+            "hhi_ppm2": pa.array([int((share * share).sum())],
+                                 pa.int64()),
+            "n_suppliers": pa.array([len(c)], pa.int64())})
+
+    return per_supp.groupby("n_name").map_groups(hhi,
+                                                 batch_format="pyarrow")
+
+
+def user_activity_bitmask(sf_dir: str, anchor: str = "2024-01-01"
+                          ) -> ray.data.Dataset:
+    """Per-user 63-day activity bitmap (bit i = active on anchor+i),
+    the roaring-bitmap-style presence encoding: distinct (user, offset)
+    pairs reduce per batch, and the mask is Σ 2^offset over the distinct
+    offsets — an integer SUM the oracle replicates with << — so the
+    final exchange carries one int64 per user."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+    anchor_day = np.datetime64(anchor, "D").astype(np.int64)
+
+    def offsets(batch: pa.Table) -> pa.Table:
+        off = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64) - anchor_day
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "off": pa.array(off)})
+        t = t.filter(pc.and_(pc.greater_equal(t.column("off"), 0),
+                             pc.less(t.column("off"), 63)))
+        return t.group_by(["user_id", "off"]).aggregate([]) \
+            .select(["user_id", "off"])
+
+    per_off = partial_aggregate(
+        ds.map_batches(offsets, batch_format="pyarrow"),
+        ["user_id", "off"], [])
+
+    def to_bits(batch: pa.Table) -> pa.Table:
+        off = batch.column("off").to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": batch.column("user_id"),
+                         "mask": pa.array(np.int64(1) << off),
+                         "n_days": pa.array(np.ones(len(batch),
+                                                    np.int64))})
+
+    return partial_aggregate(
+        per_off.map_batches(to_bits, batch_format="pyarrow"),
+        ["user_id"], [("mask", "sum", "mask"),
+                      ("n_days", "sum", "n_days")])
