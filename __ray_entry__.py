@@ -146,7 +146,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         fulfillment_lag_histogram,
                                         user_top_value_share,
                                         nation_supplier_hhi,
-                                        user_activity_bitmask)
+                                        user_activity_bitmask,
+                                        part_skyline,
+                                        customers_all_priorities,
+                                        part_price_band_pairs,
+                                        weighted_median_price)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -541,6 +545,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top_value_share": user_top_value_share,
         "nation_supplier_hhi": nation_supplier_hhi,
         "user_activity_bitmask": user_activity_bitmask,
+        "part_skyline": part_skyline,
+        "customers_all_priorities": customers_all_priorities,
+        "part_price_band_pairs": part_price_band_pairs,
+        "weighted_median_price": weighted_median_price,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -1586,6 +1594,38 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(1 AS BIGINT) << CAST(off AS INT)) AS BIGINT) "
             "AS mask, CAST(count(*) AS BIGINT) AS n_days "
             "FROM d WHERE off >= 0 AND off < 63 GROUP BY 1"),
+        "part_skyline": (
+            "WITH p AS (SELECT p_partkey, "
+            "CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents, "
+            "CAST(p_size AS BIGINT) AS p_size FROM part) "
+            "SELECT p_partkey, price_cents, p_size FROM p a "
+            "WHERE NOT EXISTS (SELECT 1 FROM p b WHERE "
+            "b.price_cents <= a.price_cents AND b.p_size >= a.p_size "
+            "AND (b.price_cents < a.price_cents "
+            "OR b.p_size > a.p_size))"),
+        "customers_all_priorities": (
+            "SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders GROUP BY 1 "
+            "HAVING count(DISTINCT o_orderpriority) = "
+            "(SELECT count(DISTINCT o_orderpriority) FROM orders)"),
+        "part_price_band_pairs": (
+            "WITH p AS (SELECT p_partkey, p_brand, "
+            "CAST(round(p_retailprice * 100) AS BIGINT) AS cents "
+            "FROM part) "
+            "SELECT a.p_partkey AS part_a, b.p_partkey AS part_b, "
+            "CAST(abs(a.cents - b.cents) AS BIGINT) AS price_diff_cents "
+            "FROM p a JOIN p b ON a.p_brand = b.p_brand "
+            "AND a.p_partkey < b.p_partkey "
+            "AND abs(a.cents - b.cents) <= 100"),
+        "weighted_median_price": (
+            "WITH w AS (SELECT CAST(round(l_extendedprice * 100) "
+            "AS BIGINT) AS c, CAST(round(l_quantity) AS BIGINT) AS q "
+            "FROM lineitem), "
+            "o AS (SELECT c, SUM(q) OVER (ORDER BY c) AS cw, "
+            "(SELECT SUM(q) FROM w) AS tw FROM w) "
+            "SELECT CAST(MIN(c) AS BIGINT) AS median_cents, "
+            "CAST((SELECT SUM(q) FROM w) AS BIGINT) AS total_weight "
+            "FROM o WHERE 2 * cw >= tw"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

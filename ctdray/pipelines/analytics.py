@@ -5776,3 +5776,220 @@ def user_activity_bitmask(sf_dir: str, anchor: str = "2024-01-01"
         per_off.map_batches(to_bits, batch_format="pyarrow"),
         ["user_id"], [("mask", "sum", "mask"),
                       ("n_days", "sum", "n_days")])
+
+
+def part_skyline(sf_dir: str) -> pa.Table:
+    """Skyline (Pareto-front) operator: parts not dominated on
+    (minimize retail price, maximize size).  Each batch computes its
+    LOCAL skyline with one vectorized domination matrix; the global
+    skyline equals the skyline of the unioned local skylines
+    (domination is transitive), so the driver folds only the tiny
+    surviving set — the distributed block-nested-loop scheme."""
+    ds = read_parquet_clean(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_retailprice",
+                                     "p_size"])
+
+    def _skyline(pk, price, size):
+        n = len(pk)
+        dom = ((price[:, None] <= price[None, :])
+               & (size[:, None] >= size[None, :])
+               & ((price[:, None] < price[None, :])
+                  | (size[:, None] > size[None, :])))
+        return ~dom.any(axis=0)
+
+    def local_sky(batch: pa.Table) -> pa.Table:
+        pk = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        price = np.rint(batch.column("p_retailprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        size = pc.cast(batch.column("p_size"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = _skyline(pk, price, size)
+        return pa.table({"p_partkey": pa.array(pk[keep]),
+                         "price_cents": pa.array(price[keep]),
+                         "p_size": pa.array(size[keep])})
+
+    locals_ = ds.map_batches(local_sky, batch_format="pyarrow") \
+        .take_all()
+    pk = np.array([r["p_partkey"] for r in locals_], np.int64)
+    price = np.array([r["price_cents"] for r in locals_], np.int64)
+    size = np.array([r["p_size"] for r in locals_], np.int64)
+    keep = _skyline(pk, price, size)
+    order = np.argsort(pk[keep])
+    return pa.table({"p_partkey": pa.array(pk[keep][order]),
+                     "price_cents": pa.array(price[keep][order]),
+                     "p_size": pa.array(size[keep][order])})
+
+
+def customers_all_priorities(sf_dir: str) -> ray.data.Dataset:
+    """Relational division over a FACT table: customers that placed
+    orders in EVERY priority class.  Distinct (cust, priority) pairs
+    and per-customer order counts reduce in parallel exchanges keyed the
+    same way; the divisor (|priority classes|) is a bounded dimension."""
+    from ..functions.joins import shuffle_lookup_join
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderpriority"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["o_custkey", "o_orderpriority"]) \
+            .aggregate([]).select(["o_custkey", "o_orderpriority"])
+
+    distinct = partial_aggregate(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["o_custkey", "o_orderpriority"], [])
+
+    def pri_counts(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["o_custkey"]).aggregate(
+            [("o_custkey", "count")])
+        return pa.table({"o_custkey": res.column("o_custkey"),
+                         "n_pri": pc.cast(res.column("o_custkey_count"),
+                                          pa.int64())})
+
+    n_pri = partial_aggregate(
+        distinct.map_batches(pri_counts, batch_format="pyarrow"),
+        ["o_custkey"], [("n_pri", "sum", "n_pri")])
+
+    def order_counts(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["o_custkey"]).aggregate(
+            [("o_custkey", "count")])
+        return pa.table({"o_custkey": res.column("o_custkey"),
+                         "n_orders": pc.cast(
+                             res.column("o_custkey_count"), pa.int64())})
+
+    n_ord = partial_aggregate(
+        ds.map_batches(order_counts, batch_format="pyarrow"),
+        ["o_custkey"], [("n_orders", "sum", "n_orders")])
+
+    total = len(pq.read_table(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderpriority"])
+                .column("o_orderpriority").unique())
+    joined = shuffle_lookup_join(
+        n_ord, n_pri, on="o_custkey", right_on="o_custkey",
+        left_schema=pa.schema([("o_custkey", pa.int64()),
+                               ("n_orders", pa.int64())]),
+        right_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("n_pri", pa.int64())]),
+        how="inner")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("n_pri"), total))
+        return pa.table({"o_custkey": b.column("o_custkey"),
+                         "n_orders": b.column("n_orders")})
+
+    return joined.map_batches(keep, batch_format="pyarrow")
+
+
+def part_price_band_pairs(sf_dir: str, band_cents: int = 100
+                          ) -> ray.data.Dataset:
+    """Band (inequality) self-join: pairs of same-brand parts whose
+    retail prices differ by ≤ band.  Each row replicates to its price
+    bucket AND the one below, pairs generate inside (brand, bucket)
+    groups, and the min-bucket convention counts each pair exactly once
+    — the standard bucketed band-join that avoids any all-pairs
+    exchange."""
+    ds = read_parquet_clean(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_brand",
+                                     "p_retailprice"])
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        pk = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        cents = np.rint(batch.column("p_retailprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        bkt = cents // band_cents
+        brand = np.asarray(batch.column("p_brand").to_pylist(),
+                           dtype=object)
+        return pa.table({
+            "p_brand": pa.array(np.concatenate([brand, brand]),
+                                pa.string()),
+            "grp": pa.array(np.concatenate([bkt, bkt - 1])),
+            "own": pa.array(np.concatenate([bkt, bkt])),
+            "p_partkey": pa.array(np.concatenate([pk, pk])),
+            "cents": pa.array(np.concatenate([cents, cents]))})
+
+    fanned = ds.map_batches(fan_out, batch_format="pyarrow")
+
+    def pairs(group: pa.Table) -> pa.Table:
+        g = group.column("grp")[0].as_py()
+        pk = group.column("p_partkey").to_numpy(zero_copy_only=False)
+        c = group.column("cents").to_numpy(zero_copy_only=False)
+        own = group.column("own").to_numpy(zero_copy_only=False)
+        order = np.argsort(pk)
+        pk, c, own = pk[order], c[order], own[order]
+        n = len(pk)
+        if n < 2:
+            return pa.table({"part_a": pa.array([], pa.int64()),
+                             "part_b": pa.array([], pa.int64()),
+                             "price_diff_cents": pa.array([],
+                                                          pa.int64())})
+        ii, jj = np.triu_indices(n, k=1)
+        diff = np.abs(c[ii] - c[jj])
+        keep = (diff <= band_cents) \
+            & (np.minimum(own[ii], own[jj]) == g) \
+            & (pk[ii] != pk[jj])
+        return pa.table({"part_a": pa.array(pk[ii[keep]]),
+                         "part_b": pa.array(pk[jj[keep]]),
+                         "price_diff_cents": pa.array(diff[keep])})
+
+    return fanned.groupby(["p_brand", "grp"]).map_groups(
+        pairs, batch_format="pyarrow")
+
+
+def weighted_median_price(sf_dir: str) -> pa.Table:
+    """Exact quantity-weighted median of the extended price, two-pass:
+    pass 1 partial-sums weights into coarse price buckets (bounded), the
+    driver prefix-sums to locate the median bucket, and pass 2 scans
+    ONLY that bucket's rows (read pruned by the bucket predicate) for
+    the exact within-bucket answer — no global sort, no full
+    materialization."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_extendedprice", "l_quantity"])
+    width = 1000  # 10-dollar buckets
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch.column("l_extendedprice")
+                    .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        q = np.rint(batch.column("l_quantity")
+                    .to_numpy(zero_copy_only=False)).astype(np.int64)
+        t = pa.table({"bkt": pa.array(c // width), "w": pa.array(q)})
+        res = t.group_by(["bkt"]).aggregate([("w", "sum")])
+        return pa.table({"bkt": res.column("bkt"),
+                         "w": res.column("w_sum")})
+
+    per_bkt = partial_aggregate(
+        li.map_batches(bucketed, batch_format="pyarrow"),
+        ["bkt"], [("w", "sum", "w")]).take_all()
+    bks = np.array([r["bkt"] for r in per_bkt], np.int64)
+    ws = np.array([r["w"] for r in per_bkt], np.int64)
+    order = np.argsort(bks)
+    bks, ws = bks[order], ws[order]
+    cum = np.cumsum(ws)
+    total = int(cum[-1])
+    mi = int(np.searchsorted(cum * 2, total))
+    target_bkt = int(bks[mi])
+    before = int(cum[mi - 1]) if mi > 0 else 0
+
+    def in_bucket(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch.column("l_extendedprice")
+                    .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        q = np.rint(batch.column("l_quantity")
+                    .to_numpy(zero_copy_only=False)).astype(np.int64)
+        sel = (c // width) == target_bkt
+        t = pa.table({"c": pa.array(c[sel]), "w": pa.array(q[sel])})
+        res = t.group_by(["c"]).aggregate([("w", "sum")])
+        return pa.table({"c": res.column("c"),
+                         "w": res.column("w_sum")})
+
+    inb = partial_aggregate(
+        li.map_batches(in_bucket, batch_format="pyarrow"),
+        ["c"], [("w", "sum", "w")]).take_all()
+    cs = np.array([r["c"] for r in inb], np.int64)
+    iws = np.array([r["w"] for r in inb], np.int64)
+    o2 = np.argsort(cs)
+    cs, iws = cs[o2], iws[o2]
+    cum2 = before + np.cumsum(iws)
+    median = int(cs[np.searchsorted(cum2 * 2, total)])
+    return pa.table({"median_cents": pa.array([median], pa.int64()),
+                     "total_weight": pa.array([total], pa.int64())})
