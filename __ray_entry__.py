@@ -150,7 +150,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         part_skyline,
                                         customers_all_priorities,
                                         part_price_band_pairs,
-                                        weighted_median_price)
+                                        weighted_median_price,
+                                        user_type_signature,
+                                        orders_above_group_median,
+                                        dedup_keep_longest,
+                                        customer_status_asof)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -549,6 +553,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_all_priorities": customers_all_priorities,
         "part_price_band_pairs": part_price_band_pairs,
         "weighted_median_price": weighted_median_price,
+        "user_type_signature": user_type_signature,
+        "orders_above_group_median": orders_above_group_median,
+        "dedup_keep_longest": dedup_keep_longest,
+        "customer_status_asof": customer_status_asof,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -1626,6 +1634,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(MIN(c) AS BIGINT) AS median_cents, "
             "CAST((SELECT SUM(q) FROM w) AS BIGINT) AS total_weight "
             "FROM o WHERE 2 * cw >= tw"),
+        "user_type_signature": (
+            "WITH s AS (SELECT user_id, string_agg(DISTINCT event_type, "
+            "',' ORDER BY event_type) AS signature FROM events "
+            "GROUP BY 1) "
+            "SELECT signature, CAST(count(*) AS BIGINT) AS n_users "
+            "FROM s GROUP BY 1"),
+        "orders_above_group_median": (
+            "WITH m AS (SELECT o_orderpriority, "
+            "quantile_disc(o_totalprice, 0.5) AS med FROM orders "
+            "GROUP BY 1) "
+            "SELECT o.o_orderpriority, "
+            "CAST(round(MIN(med) * 100) AS BIGINT) AS median_cents, "
+            "CAST(SUM(CASE WHEN o_totalprice > med THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_above, "
+            "CAST(count(*) AS BIGINT) AS n_total "
+            "FROM orders o JOIN m USING (o_orderpriority) GROUP BY 1"),
+        "dedup_keep_longest": (
+            "SELECT doc_id, n_chars FROM ("
+            "SELECT doc_id, n_chars, ROW_NUMBER() OVER ("
+            "PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id) "
+            "AS rn FROM documents) WHERE rn = 1"),
+        "customer_status_asof": (
+            "SELECT o_custkey, o_orderkey, o_orderstatus, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents "
+            "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn "
+            "FROM orders WHERE o_orderdate <= TIMESTAMP '1995-06-30') "
+            "WHERE rn = 1"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

@@ -5993,3 +5993,158 @@ def weighted_median_price(sf_dir: str) -> pa.Table:
     median = int(cs[np.searchsorted(cum2 * 2, total)])
     return pa.table({"median_cents": pa.array([median], pa.int64()),
                      "total_weight": pa.array([total], pa.int64())})
+
+
+def user_type_signature(sf_dir: str) -> ray.data.Dataset:
+    """Behavioral-signature grouping: each user's sorted distinct
+    event-type set folds to one comma-joined string, then users count
+    per signature.  Distinct (user, type) pairs reduce per batch, the
+    per-user fold emits ONE row, so the signature exchange carries
+    |users| rows and the final reduce is a standard partial agg."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["user_id", "event_type"]).aggregate([]) \
+            .select(["user_id", "event_type"])
+
+    distinct = partial_aggregate(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["user_id", "event_type"], [])
+
+    def sig(group: pa.Table) -> pa.Table:
+        types = sorted(group.column("event_type").to_pylist())
+        return pa.table({"signature": pa.array([",".join(types)],
+                                               pa.string()),
+                         "one": pa.array([1], pa.int64())})
+
+    per_user = distinct.groupby("user_id").map_groups(
+        sig, batch_format="pyarrow")
+    return partial_aggregate(per_user, ["signature"],
+                             [("one", "sum", "n_users")])
+
+
+def orders_above_group_median(sf_dir: str) -> ray.data.Dataset:
+    """Aggregate→broadcast→re-scan: per priority class, exact group
+    median (distributed histogram-refinement selection — no sort) then
+    one more fact pass counting orders strictly above their OWN group's
+    median.  The medians table is dimension-bounded and rides along as
+    a broadcast."""
+    from ..functions.quantiles import grouped_exact_quantiles
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderpriority",
+                                         "o_totalprice"])
+    med = grouped_exact_quantiles(orders, "o_orderpriority",
+                                  "o_totalprice", qs=(0.5,),
+                                  collect_cap=5_000)
+    med_map = dict(zip(med.column("o_orderpriority").to_pylist(),
+                       med.column("value").to_pylist()))
+    med_ref = ray.put(med_map)
+
+    def count_above(batch: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        pri = batch.column("o_orderpriority").to_pylist()
+        v = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        meds = np.array([m[p] for p in pri], np.float64)
+        t = pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "median_cents": pa.array(np.rint(meds * 100)
+                                     .astype(np.int64)),
+            "n_above": pa.array((v > meds).astype(np.int64)),
+            "n_total": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["o_orderpriority"]).aggregate(
+            [("median_cents", "min"), ("n_above", "sum"),
+             ("n_total", "sum")])
+        return pa.table({
+            "o_orderpriority": res.column("o_orderpriority"),
+            "median_cents": res.column("median_cents_min"),
+            "n_above": res.column("n_above_sum"),
+            "n_total": res.column("n_total_sum")})
+
+    return partial_aggregate(
+        orders.map_batches(count_above, batch_format="pyarrow"),
+        ["o_orderpriority"], [("median_cents", "min", "median_cents"),
+                              ("n_above", "sum", "n_above"),
+                              ("n_total", "sum", "n_total")])
+
+
+def dedup_keep_longest(sf_dir: str) -> ray.data.Dataset:
+    """Exact dedup with a KEEP POLICY: within each content-fingerprint
+    group survive the LONGEST document (ties → smallest doc_id) — the
+    curation-grade "keep best representative" variant of exact_dedup
+    (which keeps the smallest id).  Only (fingerprint, n_chars, doc_id)
+    triples shuffle."""
+    from ..functions.text import md5_fingerprint
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "n_chars"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "fingerprint": pa.array(md5_fingerprint(
+                batch.column("text").to_pylist()), pa.string()),
+            "doc_id": batch.column("doc_id"),
+            "n_chars": batch.column("n_chars")})
+
+    keyed = ds.map_batches(fp, batch_format="pyarrow")
+
+    def best(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        n = group.column("n_chars").to_numpy(zero_copy_only=False)
+        i = np.lexsort((d, -n))[0]
+        return pa.table({"doc_id": pa.array([int(d[i])], pa.int64()),
+                         "n_chars": pa.array([int(n[i])], pa.int64())})
+
+    return keyed.groupby("fingerprint").map_groups(
+        best, batch_format="pyarrow")
+
+
+def customer_status_asof(sf_dir: str, asof: str = "1995-06-30"
+                         ) -> ray.data.Dataset:
+    """Point-in-time (SCD-style) snapshot: each customer's LATEST order
+    on or before the as-of date (ties → largest orderkey).  Per-batch
+    keep-best partials shrink the exchange to ≤ |customers| rows per
+    task; the final keep-best runs per coarse hash bucket with one
+    vectorized lexsort (never one Python call per customer)."""
+    asof_us = np.datetime64(asof, "us").astype(np.int64)
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderkey",
+                                     "o_orderdate", "o_orderstatus",
+                                     "o_totalprice"])
+
+    def keep_best(batch: pa.Table) -> pa.Table:
+        dt = batch.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        sel = dt <= asof_us
+        b = batch.filter(pa.array(sel))
+        if len(b) == 0:
+            return b.select(["o_custkey", "o_orderkey", "o_orderdate",
+                             "o_orderstatus", "o_totalprice"])
+        dt = dt[sel]
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        ok = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, dt, ck))
+        last = np.flatnonzero(np.r_[ck[order][1:] != ck[order][:-1],
+                                    True])
+        return b.take(pa.array(order[last])) \
+            .select(["o_custkey", "o_orderkey", "o_orderdate",
+                     "o_orderstatus", "o_totalprice"])
+
+    partials = ds.map_batches(keep_best, batch_format="pyarrow")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        bkt = ((ck.astype(np.uint64) * _FIB64) >> np.uint64(56)) \
+            .astype(np.int64)
+        return batch.append_column("bkt", pa.array(bkt))
+
+    def final_best(group: pa.Table) -> pa.Table:
+        out = keep_best(group.drop_columns(["bkt"]))
+        c = out.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_custkey": out.column("o_custkey"),
+            "o_orderkey": out.column("o_orderkey"),
+            "o_orderstatus": out.column("o_orderstatus"),
+            "price_cents": pa.array(np.rint(c * 100).astype(np.int64))})
+
+    return partials.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bkt").map_groups(final_best, batch_format="pyarrow")
