@@ -154,7 +154,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         user_type_signature,
                                         orders_above_group_median,
                                         dedup_keep_longest,
-                                        customer_status_asof)
+                                        customer_status_asof,
+                                        doc_char_class_profile,
+                                        value_first_digit_hist,
+                                        monthly_revenue_growth_ppm,
+                                        part_supplier_degree_hist)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -557,6 +561,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_group_median": orders_above_group_median,
         "dedup_keep_longest": dedup_keep_longest,
         "customer_status_asof": customer_status_asof,
+        "doc_char_class_profile": doc_char_class_profile,
+        "value_first_digit_hist": value_first_digit_hist,
+        "monthly_revenue_growth_ppm": monthly_revenue_growth_ppm,
+        "part_supplier_degree_hist": part_supplier_degree_hist,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -1662,6 +1670,40 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn "
             "FROM orders WHERE o_orderdate <= TIMESTAMP '1995-06-30') "
             "WHERE rn = 1"),
+        "doc_char_class_profile": (
+            "SELECT doc_id, "
+            "CAST(length(text) - length(regexp_replace(text, '[a-z]', "
+            "'', 'g')) AS BIGINT) AS n_letters, "
+            "CAST(length(text) - length(replace(text, ' ', '')) "
+            "AS BIGINT) AS n_spaces, "
+            "CAST(length(text) - length(regexp_replace(text, "
+            "'[aeiou]', '', 'g')) AS BIGINT) AS n_vowels "
+            "FROM documents"),
+        "value_first_digit_hist": (
+            "WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS c "
+            "FROM events WHERE round(value * 100) > 0) "
+            "SELECT CAST(left(CAST(c AS VARCHAR), 1) AS BIGINT) "
+            "AS digit, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(min(c) AS BIGINT) AS min_cents, "
+            "CAST(max(c) AS BIGINT) AS max_cents FROM c GROUP BY 1"),
+        "monthly_revenue_growth_ppm": (
+            "WITH m AS (SELECT date_trunc('month', o_orderdate) "
+            "AS month, CAST(SUM(CAST(round(o_totalprice * 100) "
+            "AS BIGINT)) AS BIGINT) AS cents FROM orders GROUP BY 1), "
+            "w AS (SELECT CAST(month AS TIMESTAMP) AS month, cents "
+            "AS revenue_cents, LAG(cents) OVER (ORDER BY month) "
+            "AS prev_cents FROM m) "
+            "SELECT month, revenue_cents, "
+            "CAST(prev_cents AS BIGINT) AS prev_cents, "
+            "CAST(floor(1000000.0 * (revenue_cents - prev_cents) "
+            "/ prev_cents) AS BIGINT) AS growth_ppm "
+            "FROM w WHERE prev_cents IS NOT NULL"),
+        "part_supplier_degree_hist": (
+            "WITH d AS (SELECT l_partkey, "
+            "count(DISTINCT l_suppkey) AS n_suppliers "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers, "
+            "CAST(count(*) AS BIGINT) AS n_parts FROM d GROUP BY 1"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

@@ -6148,3 +6148,133 @@ def customer_status_asof(sf_dir: str, asof: str = "1995-06-30"
 
     return partials.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("bkt").map_groups(final_best, batch_format="pyarrow")
+
+
+def doc_char_class_profile(sf_dir: str) -> ray.data.Dataset:
+    """Character-class profile per document (letters / spaces / vowels)
+    — one pass of vectorized Arrow regex counts, no exchange at all;
+    the classic cheap quality-signal extraction shape."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def profile(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_letters": pc.cast(pc.count_substring_regex(txt, "[a-z]"),
+                                 pa.int64()),
+            "n_spaces": pc.cast(pc.count_substring(txt, " "),
+                                pa.int64()),
+            "n_vowels": pc.cast(pc.count_substring_regex(txt, "[aeiou]"),
+                                pa.int64())})
+
+    return ds.map_batches(profile, batch_format="pyarrow")
+
+
+def value_first_digit_hist(sf_dir: str) -> ray.data.Dataset:
+    """Benford-style first-significant-digit histogram over event value
+    cents (fraud/data-quality check): digit extraction is integer→string
+    (replicable exactly in SQL), counts partial-aggregate per batch."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["value"])
+
+    def digits(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch.column("value")
+                    .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        c = c[c > 0]
+        # exact integer first-digit (no float log10 edge cases):
+        # ≤ 19 vectorized halving-by-10 passes
+        first = c.copy()
+        while (first >= 10).any():
+            first = np.where(first >= 10, first // 10, first)
+        t = pa.table({"digit": pa.array(first),
+                      "n": pa.array(np.ones(len(c), np.int64)),
+                      "min_cents": pa.array(c),
+                      "max_cents": pa.array(c)})
+        res = t.group_by(["digit"]).aggregate(
+            [("n", "sum"), ("min_cents", "min"), ("max_cents", "max")])
+        return pa.table({"digit": res.column("digit"),
+                         "n": res.column("n_sum"),
+                         "min_cents": res.column("min_cents_min"),
+                         "max_cents": res.column("max_cents_max")})
+
+    return partial_aggregate(
+        ds.map_batches(digits, batch_format="pyarrow"),
+        ["digit"], [("n", "sum", "n"), ("min_cents", "min", "min_cents"),
+                    ("max_cents", "max", "max_cents")])
+
+
+def monthly_revenue_growth_ppm(sf_dir: str) -> pa.Table:
+    """Month-over-month revenue growth (floor-ppm): monthly totals
+    reduce via partial aggregation to a CALENDAR-bounded table; the LAG
+    window folds on the driver (documented bounded — same contract as
+    the SQL oracle's window over the grouped result)."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def monthly(batch: pa.Table) -> pa.Table:
+        m = pc.floor_temporal(batch.column("o_orderdate"), unit="month")
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"month": m, "cents": pa.array(cents)})
+        res = t.group_by(["month"]).aggregate([("cents", "sum")])
+        return pa.table({"month": res.column("month"),
+                         "cents": res.column("cents_sum")})
+
+    rows = partial_aggregate(
+        ds.map_batches(monthly, batch_format="pyarrow"),
+        ["month"], [("cents", "sum", "cents")]).take_all()
+    rows.sort(key=lambda r: r["month"])
+    months = [r["month"] for r in rows]
+    cents = np.array([r["cents"] for r in rows], np.int64)
+    growth = np.floor(1_000_000.0 * (cents[1:] - cents[:-1])
+                      / cents[:-1]).astype(np.int64)
+    return pa.table({
+        "month": pa.array(np.array(months[1:],
+                                   dtype="datetime64[us]")),
+        "revenue_cents": pa.array(cents[1:]),
+        "prev_cents": pa.array(cents[:-1]),
+        "growth_ppm": pa.array(growth)})
+
+
+def part_supplier_degree_hist(sf_dir: str) -> ray.data.Dataset:
+    """Bipartite degree distribution: histogram over parts of "how many
+    distinct suppliers shipped this part" — the distribution-of-a-
+    distribution shape.  Distinct (part, supplier) pairs reduce per
+    batch, per-part degrees come from one exchange, the degree histogram
+    from a second tiny one."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["l_partkey", "l_suppkey"]).aggregate([]) \
+            .select(["l_partkey", "l_suppkey"])
+
+    distinct = partial_aggregate(
+        li.map_batches(pairs, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"], [])
+
+    def degree(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["l_partkey"]).aggregate(
+            [("l_partkey", "count")])
+        return pa.table({"l_partkey": res.column("l_partkey"),
+                         "n_suppliers": pc.cast(
+                             res.column("l_partkey_count"), pa.int64())})
+
+    per_part = partial_aggregate(
+        distinct.map_batches(degree, batch_format="pyarrow"),
+        ["l_partkey"], [("n_suppliers", "sum", "n_suppliers")])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pa.table({"n_suppliers": batch.column("n_suppliers"),
+                      "n_parts": pa.array(np.ones(len(batch),
+                                                  np.int64))})
+        res = t.group_by(["n_suppliers"]).aggregate([("n_parts", "sum")])
+        return pa.table({"n_suppliers": res.column("n_suppliers"),
+                         "n_parts": res.column("n_parts_sum")})
+
+    return partial_aggregate(
+        per_part.map_batches(hist, batch_format="pyarrow"),
+        ["n_suppliers"], [("n_parts", "sum", "n_parts")])
