@@ -158,7 +158,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         doc_char_class_profile,
                                         value_first_digit_hist,
                                         monthly_revenue_growth_ppm,
-                                        part_supplier_degree_hist)
+                                        part_supplier_degree_hist,
+                                        top_tokens_per_lang,
+                                        parts_never_ordered,
+                                        event_round_value_bias,
+                                        token_length_hist)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -565,6 +569,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_first_digit_hist": value_first_digit_hist,
         "monthly_revenue_growth_ppm": monthly_revenue_growth_ppm,
         "part_supplier_degree_hist": part_supplier_degree_hist,
+        "top_tokens_per_lang": top_tokens_per_lang,
+        "parts_never_ordered": parts_never_ordered,
+        "event_round_value_bias": event_round_value_bias,
+        "token_length_hist": token_length_hist,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -1704,6 +1712,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY 1) "
             "SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers, "
             "CAST(count(*) AS BIGINT) AS n_parts FROM d GROUP BY 1"),
+        "top_tokens_per_lang": (
+            "WITH c AS (SELECT lang, "
+            "unnest(string_split(text, ' ')) AS tok FROM documents), "
+            "a AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n "
+            "FROM c GROUP BY 1, 2) "
+            "SELECT lang, tok, n, CAST(ROW_NUMBER() OVER ("
+            "PARTITION BY lang ORDER BY n DESC, tok) AS BIGINT) AS rnk "
+            "FROM a QUALIFY rnk <= 5"),
+        "parts_never_ordered": (
+            "SELECT p_partkey, p_brand FROM part "
+            "WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)"),
+        "event_round_value_bias": (
+            "WITH c AS (SELECT event_type, "
+            "CAST(round(value * 100) AS BIGINT) AS c FROM events) "
+            "SELECT event_type, "
+            "CAST(SUM(CASE WHEN c % 100 = 0 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_whole_dollar, "
+            "CAST(SUM(CASE WHEN c % 1000 = 0 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_whole_ten, "
+            "CAST(count(*) AS BIGINT) AS n_total FROM c GROUP BY 1"),
+        "token_length_hist": (
+            "SELECT CAST(length(tok) AS BIGINT) AS tok_len, "
+            "CAST(count(*) AS BIGINT) AS n FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS tok "
+            "FROM documents) GROUP BY 1"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

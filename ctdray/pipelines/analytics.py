@@ -6278,3 +6278,130 @@ def part_supplier_degree_hist(sf_dir: str) -> ray.data.Dataset:
     return partial_aggregate(
         per_part.map_batches(hist, batch_format="pyarrow"),
         ["n_suppliers"], [("n_parts", "sum", "n_parts")])
+
+
+def top_tokens_per_lang(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """Grouped top-k: the k most frequent tokens WITHIN each language
+    (ties → lexicographic).  (lang, token) counts partial-aggregate; the
+    per-lang top-k folds per group over the already-aggregated count
+    table, so the heavy exchange carries counts, never token
+    occurrences."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lang = np.repeat(np.asarray(batch.column("lang").to_pylist(),
+                                    dtype=object), n)
+        t = pa.table({"lang": pa.array(lang, pa.string()),
+                      "tok": pc.list_flatten(toks),
+                      "one": pa.array(np.ones(int(n.sum()), np.int64))})
+        res = t.group_by(["lang", "tok"]).aggregate([("one", "sum")])
+        return pa.table({"lang": res.column("lang"),
+                         "tok": res.column("tok"),
+                         "n": res.column("one_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["lang", "tok"], [("n", "sum", "n")])
+
+    def topk(group: pa.Table) -> pa.Table:
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        tok = np.asarray(group.column("tok").to_pylist(), dtype=object)
+        order = np.lexsort((tok, -n))[:k]
+        g = group.take(pa.array(order))
+        return pa.table({"lang": g.column("lang"),
+                         "tok": g.column("tok"),
+                         "n": g.column("n"),
+                         "rnk": pa.array(np.arange(1, len(g) + 1,
+                                                   dtype=np.int64))})
+
+    return agg.groupby("lang").map_groups(topk, batch_format="pyarrow")
+
+
+def parts_never_ordered(sf_dir: str) -> pa.Table:
+    """Dimension-anti-fact join: parts with NO lineitem.  The fact table
+    semi-reduces to its distinct partkey set (bounded by the part
+    dimension) via partial aggregation; the anti filter then runs over
+    the dimension with the key set broadcast — the fact table itself is
+    never shuffled."""
+    from ..functions.joins import broadcast_anti_join
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey"])
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        return pa.table({"l_partkey": batch.column("l_partkey")
+                         .combine_chunks().unique()})
+
+    used = partial_aggregate(
+        li.map_batches(distinct, batch_format="pyarrow"),
+        ["l_partkey"], [])
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_brand"])
+    used_keys = used.map_batches(
+        lambda b: pa.table({"p_partkey": b.column("l_partkey")}),
+        batch_format="pyarrow")
+    out = broadcast_anti_join(part, used_keys, "p_partkey")
+    # dimension-bounded and legitimately often EMPTY → materialize as a
+    # typed Table (Ray to_pandas drops columns on 0-row Datasets)
+    seed = pa.table({"p_partkey": pa.array([], pa.int64()),
+                     "p_brand": pa.array([], pa.string())})
+    return pa.concat_tables(
+        [seed] + [b.select(["p_partkey", "p_brand"])
+                  for b in out.iter_batches(batch_format="pyarrow")])
+
+
+def event_round_value_bias(sf_dir: str) -> ray.data.Dataset:
+    """Round-number bias per event type (data-quality check): how many
+    values are whole dollars / whole ten-dollars vs total — pure integer
+    modulo folds per batch, one tiny exchange."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch.column("value")
+                    .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "n_whole_dollar": pa.array((c % 100 == 0)
+                                       .astype(np.int64)),
+            "n_whole_ten": pa.array((c % 1000 == 0).astype(np.int64)),
+            "n_total": pa.array(np.ones(len(c), np.int64))})
+        res = t.group_by(["event_type"]).aggregate(
+            [("n_whole_dollar", "sum"), ("n_whole_ten", "sum"),
+             ("n_total", "sum")])
+        return pa.table({
+            "event_type": res.column("event_type"),
+            "n_whole_dollar": res.column("n_whole_dollar_sum"),
+            "n_whole_ten": res.column("n_whole_ten_sum"),
+            "n_total": res.column("n_total_sum")})
+
+    return partial_aggregate(
+        ds.map_batches(per_batch, batch_format="pyarrow"),
+        ["event_type"], [("n_whole_dollar", "sum", "n_whole_dollar"),
+                         ("n_whole_ten", "sum", "n_whole_ten"),
+                         ("n_total", "sum", "n_total")])
+
+
+def token_length_hist(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-wide token-length distribution (tokenizer sanity stat):
+    explode → per-batch length histogram → one tiny exchange of
+    (length, count) partials."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(batch.column("text"),
+                                                " "))
+        ln = pc.cast(pc.utf8_length(flat), pa.int64())
+        t = pa.table({"tok_len": ln,
+                      "n": pa.array(np.ones(len(flat), np.int64))})
+        res = t.group_by(["tok_len"]).aggregate([("n", "sum")])
+        return pa.table({"tok_len": res.column("tok_len"),
+                         "n": res.column("n_sum")})
+
+    return partial_aggregate(
+        ds.map_batches(per_batch, batch_format="pyarrow"),
+        ["tok_len"], [("n", "sum", "n")])
