@@ -162,7 +162,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         top_tokens_per_lang,
                                         parts_never_ordered,
                                         event_round_value_bias,
-                                        token_length_hist)
+                                        token_length_hist,
+                                        part_triangle_count,
+                                        token_first_seen_hist,
+                                        doc_intra_repeat_positions,
+                                        orders_open_per_day)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -573,6 +577,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_never_ordered": parts_never_ordered,
         "event_round_value_bias": event_round_value_bias,
         "token_length_hist": token_length_hist,
+        "part_triangle_count": part_triangle_count,
+        "token_first_seen_hist": token_first_seen_hist,
+        "doc_intra_repeat_positions": doc_intra_repeat_positions,
+        "orders_open_per_day": orders_open_per_day,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -1737,6 +1745,56 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n FROM ("
             "SELECT unnest(string_split(text, ' ')) AS tok "
             "FROM documents) GROUP BY 1"),
+        "part_triangle_count": (
+            "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem), "
+            "e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+            "FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey), "
+            "w AS (SELECT count(*) AS nw FROM e e1 "
+            "JOIN e e2 ON e1.v = e2.u), "
+            "t AS (SELECT count(*) AS nt FROM e e1 "
+            "JOIN e e2 ON e1.v = e2.u "
+            "JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) "
+            "SELECT CAST(nt AS BIGINT) AS n_triangles, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges, "
+            "CAST(nw AS BIGINT) AS n_wedges FROM t, w"),
+        "token_first_seen_hist": (
+            "WITH f AS (SELECT tok, MIN(doc_id) AS first_doc FROM ("
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+            "FROM documents) GROUP BY 1) "
+            "SELECT CAST(first_doc // 64 AS BIGINT) AS doc_bucket, "
+            "CAST(count(*) AS BIGINT) AS n_new_tokens FROM f "
+            "GROUP BY 1"),
+        "doc_intra_repeat_positions": (
+            "WITH c AS (SELECT doc_id, "
+            "unnest([i FOR i IN range(1, len(t) - 6)]) AS i, "
+            "unnest([array_to_string(t[CAST(i AS INT):CAST(i AS INT)+7]"
+            ", ' ') FOR i IN range(1, len(t) - 6)]) AS ch "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents) WHERE len(t) >= 8), "
+            "m AS (SELECT doc_id, i, MIN(i) OVER ("
+            "PARTITION BY doc_id, ch) AS fi FROM c) "
+            "SELECT doc_id, CAST(SUM(CASE WHEN i > fi THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS n_repeat_positions, "
+            "CAST(count(*) AS BIGINT) AS n_positions "
+            "FROM m GROUP BY 1"),
+        "orders_open_per_day": (
+            "WITH del AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "1 AS delta FROM orders UNION ALL "
+            "SELECT CAST(o_orderdate AS DATE) + to_days(30), -1 "
+            "FROM orders), "
+            "agg AS (SELECT day, SUM(delta) AS d FROM del GROUP BY 1), "
+            "spine AS (SELECT (SELECT min(day) FROM agg) + "
+            "to_days(CAST(i AS INT)) AS day FROM range(0, 100000) r(i) "
+            "WHERE i < (SELECT date_diff('day', min(day), max(day)) + 1 "
+            "FROM agg)), "
+            "lv AS (SELECT spine.day, SUM(COALESCE(agg.d, 0)) OVER ("
+            "ORDER BY spine.day) AS n_open FROM spine "
+            "LEFT JOIN agg USING (day)) "
+            "SELECT CAST(day AS TIMESTAMP) AS day, "
+            "CAST(n_open AS BIGINT) AS n_open FROM lv "
+            "WHERE n_open > 0"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

@@ -6405,3 +6405,216 @@ def token_length_hist(sf_dir: str) -> ray.data.Dataset:
     return partial_aggregate(
         ds.map_batches(per_batch, batch_format="pyarrow"),
         ["tok_len"], [("n", "sum", "n")])
+
+
+def part_triangle_count(sf_dir: str) -> pa.Table:
+    """Distributed triangle counting on the co-ordered-parts graph
+    (node-iterator with ordered wedges): co-order edges (u<v) come from
+    the coarse-bucket pair kernel; each middle node v emits its
+    (lower, higher)-neighbor wedges; the closing-edge membership test is
+    one vectorized is_in against the broadcast packed edge set.  Every
+    triangle u<v<w is counted exactly once (as the wedge around its
+    middle vertex)."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        bkt = ((ok.astype(np.uint64) * _FIB64) >> np.uint64(56)) \
+            .astype(np.int64)
+        return batch.append_column("bkt", pa.array(bkt))
+
+    def bucket_edges(group: pa.Table) -> pa.Table:
+        ok = group.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = group.column("l_partkey").to_numpy(zero_copy_only=False)
+        u = np.unique(np.stack([ok, pk], axis=1), axis=0)
+        ok, pk = u[:, 0], u[:, 1]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        lens = np.diff(np.r_[starts, len(ok)])
+        a_all, b_all = [], []
+        for ln in np.unique(lens):
+            if ln < 2:
+                continue
+            segs = starts[lens == ln]
+            mat = pk[segs[:, None] + np.arange(ln)]
+            ii, jj = np.triu_indices(int(ln), k=1)
+            a_all.append(mat[:, ii].ravel())
+            b_all.append(mat[:, jj].ravel())
+        if not a_all:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        t = pa.table({"u": pa.array(np.concatenate(a_all)),
+                      "v": pa.array(np.concatenate(b_all))})
+        return t.group_by(["u", "v"]).aggregate([]).select(["u", "v"])
+
+    edges = partial_aggregate(
+        li.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bkt").map_groups(bucket_edges, batch_format="pyarrow"),
+        ["u", "v"], []).materialize()
+    n_edges = edges.count()
+
+    # broadcast packed edge set (u<v; parts are dimension-bounded so the
+    # edge set is |part|²-bounded — at web scale swap for a bloom filter)
+    packed = []
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        uu = b.column("u").to_numpy(zero_copy_only=False)
+        vv = b.column("v").to_numpy(zero_copy_only=False)
+        packed.append(uu * np.int64(1 << 31) + vv)
+    edge_set = pa.array(np.concatenate(packed) if packed
+                        else np.array([], np.int64))
+    edge_ref = ray.put(edge_set)
+
+    def adjacency(batch: pa.Table) -> pa.Table:
+        uu = batch.column("u").combine_chunks()
+        vv = batch.column("v").combine_chunks()
+        # node = middle vertex; lower neighbors arrive via (u,v) rows
+        # keyed v, higher neighbors via rows keyed u
+        return pa.table({
+            "node": pa.concat_arrays([vv, uu]),
+            "nbr": pa.concat_arrays([uu, vv]),
+            "is_lower": pa.array([True] * len(batch)
+                                 + [False] * len(batch), pa.bool_())})
+
+    adj = edges.map_batches(adjacency, batch_format="pyarrow")
+
+    def wedges(group: pa.Table) -> pa.Table:
+        mask = group.column("is_lower").to_numpy(zero_copy_only=False)
+        nbr = group.column("nbr").to_numpy(zero_copy_only=False)
+        lo, hi = nbr[mask], nbr[~mask]
+        if len(lo) == 0 or len(hi) == 0:
+            return pa.table({"n_wedges": pa.array([0], pa.int64()),
+                             "n_closed": pa.array([0], pa.int64())})
+        key = (lo[:, None] * np.int64(1 << 31) + hi[None, :]).ravel()
+        es = ray.get(edge_ref)
+        closed = pc.sum(pc.cast(pc.is_in(pa.array(key), value_set=es),
+                                pa.int64())).as_py() or 0
+        return pa.table({"n_wedges": pa.array([len(key)], pa.int64()),
+                         "n_closed": pa.array([int(closed)],
+                                              pa.int64())})
+
+    per_node = adj.groupby("node").map_groups(wedges,
+                                              batch_format="pyarrow")
+    tot = partial_aggregate(per_node.map_batches(
+        lambda b: b.append_column("k", pa.array(np.zeros(len(b),
+                                                         np.int64))),
+        batch_format="pyarrow"), ["k"],
+        [("n_wedges", "sum", "n_wedges"),
+         ("n_closed", "sum", "n_triangles")]).take_all()
+    row = tot[0] if tot else {"n_wedges": 0, "n_triangles": 0}
+    return pa.table({
+        "n_triangles": pa.array([row["n_triangles"]], pa.int64()),
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_wedges": pa.array([row["n_wedges"]], pa.int64())})
+
+
+def token_first_seen_hist(sf_dir: str, width: int = 64
+                          ) -> ray.data.Dataset:
+    """Vocabulary-growth profile (Heaps-law style): tokens grouped by
+    the doc_id bucket in which they FIRST appear.  (token, min doc_id)
+    reduces via a min-combiner exchange; the bucket histogram is a
+    second tiny reduce."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def first_seen(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(batch.column("doc_id")
+                        .to_numpy(zero_copy_only=False), n)
+        t = pa.table({"tok": pc.list_flatten(toks),
+                      "first_doc": pa.array(ids)})
+        res = t.group_by(["tok"]).aggregate([("first_doc", "min")])
+        return pa.table({"tok": res.column("tok"),
+                         "first_doc": res.column("first_doc_min")})
+
+    per_tok = partial_aggregate(
+        ds.map_batches(first_seen, batch_format="pyarrow"),
+        ["tok"], [("first_doc", "min", "first_doc")])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        fd = batch.column("first_doc").to_numpy(zero_copy_only=False)
+        t = pa.table({"doc_bucket": pa.array(fd // width),
+                      "n_new_tokens": pa.array(np.ones(len(fd),
+                                                       np.int64))})
+        res = t.group_by(["doc_bucket"]).aggregate(
+            [("n_new_tokens", "sum")])
+        return pa.table({"doc_bucket": res.column("doc_bucket"),
+                         "n_new_tokens": res.column("n_new_tokens_sum")})
+
+    return partial_aggregate(
+        per_tok.map_batches(hist, batch_format="pyarrow"),
+        ["doc_bucket"], [("n_new_tokens", "sum", "n_new_tokens")])
+
+
+def doc_intra_repeat_positions(sf_dir: str, chunk_tokens: int = 8
+                               ) -> ray.data.Dataset:
+    """Intra-document repetition localization: per doc, how many chunk
+    START POSITIONS repeat a chunk already seen earlier in the SAME doc
+    (the position-level signal behind repetition filters).  Pure
+    per-batch kernel — no exchange."""
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        rep, tot = [], []
+        for tl in toks.to_pylist():
+            npos = max(0, len(tl) - chunk_tokens + 1)
+            seen: set = set()
+            r = 0
+            for i in range(npos):
+                ch = tuple(tl[i:i + chunk_tokens])
+                if ch in seen:
+                    r += 1
+                else:
+                    seen.add(ch)
+            rep.append(r)
+            tot.append(npos)
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "n_repeat_positions": pa.array(rep, pa.int64()),
+                      "n_positions": pa.array(tot, pa.int64())})
+        # docs shorter than one chunk have no positions at all
+        return t.filter(pc.greater(t.column("n_positions"), 0))
+
+    return docs.map_batches(per_doc, batch_format="pyarrow")
+
+
+def orders_open_per_day(sf_dir: str, open_days: int = 30) -> pa.Table:
+    """Interval concurrency via the +1/−1 boundary sweep: each order
+    contributes a start delta on its order day and an end delta
+    ``open_days`` later; per-day deltas partial-aggregate (calendar-
+    bounded) and ONE driver prefix-sum yields the number of
+    simultaneously-open orders per day — no per-day interval join."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate"])
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        t = pa.table({"day": pa.array(np.concatenate([d,
+                                                      d + open_days])),
+                      "delta": pa.array(np.concatenate(
+                          [np.ones(len(d), np.int64),
+                           -np.ones(len(d), np.int64)]))})
+        res = t.group_by(["day"]).aggregate([("delta", "sum")])
+        return pa.table({"day": res.column("day"),
+                         "delta": res.column("delta_sum")})
+
+    rows = partial_aggregate(
+        ds.map_batches(deltas, batch_format="pyarrow"),
+        ["day"], [("delta", "sum", "delta")]).take_all()
+    rows.sort(key=lambda r: r["day"])
+    days = np.array([r["day"] for r in rows], np.int64)
+    deltas_ = np.array([r["delta"] for r in rows], np.int64)
+    # expand to the dense calendar so zero-delta days still carry the
+    # running level
+    full = np.arange(days[0], days[-1] + 1)
+    dense = np.zeros(len(full), np.int64)
+    dense[days - days[0]] = deltas_
+    level = np.cumsum(dense)
+    keep = level > 0
+    return pa.table({
+        "day": pa.array(full[keep].astype("datetime64[D]")
+                        .astype("datetime64[us]")),
+        "n_open": pa.array(level[keep])})
