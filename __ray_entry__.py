@@ -166,7 +166,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         part_triangle_count,
                                         token_first_seen_hist,
                                         doc_intra_repeat_positions,
-                                        orders_open_per_day)
+                                        orders_open_per_day,
+                                        knn_label_vote,
+                                        user_burst_max_5min,
+                                        repeat_purchase_stats,
+                                        dup_cluster_size_hist)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -581,6 +585,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_first_seen_hist": token_first_seen_hist,
         "doc_intra_repeat_positions": doc_intra_repeat_positions,
         "orders_open_per_day": orders_open_per_day,
+        "knn_label_vote": knn_label_vote,
+        "user_burst_max_5min": user_burst_max_5min,
+        "repeat_purchase_stats": repeat_purchase_stats,
+        "dup_cluster_size_hist": dup_cluster_size_hist,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -1795,6 +1803,49 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(day AS TIMESTAMP) AS day, "
             "CAST(n_open AS BIGINT) AS n_open FROM lv "
             "WHERE n_open > 0"),
+        "knn_label_vote": (
+            "WITH q AS (SELECT vec_id, label, "
+            "[CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) "
+            "FOR x IN embedding] AS e FROM embeddings), "
+            "d AS (SELECT a.vec_id AS qa, a.label AS la, "
+            "b.vec_id AS vb, b.label AS lb, "
+            "list_sum([a.e[CAST(k AS INT)] * b.e[CAST(k AS INT)] "
+            "FOR k IN range(1, 65)]) AS dot "
+            "FROM q a JOIN q b ON a.vec_id <> b.vec_id), "
+            "r AS (SELECT qa, la, lb, ROW_NUMBER() OVER ("
+            "PARTITION BY qa ORDER BY dot DESC, vb) AS rn FROM d), "
+            "v AS (SELECT qa, la, lb, count(*) AS c FROM r "
+            "WHERE rn <= 5 GROUP BY 1, 2, 3), "
+            "p AS (SELECT qa, la, lb AS pred, ROW_NUMBER() OVER ("
+            "PARTITION BY qa ORDER BY c DESC, lb) AS pr FROM v) "
+            "SELECT CAST(la AS BIGINT) AS true_label, "
+            "CAST(pred AS BIGINT) AS pred_label, "
+            "CAST(count(*) AS BIGINT) AS n FROM p WHERE pr = 1 "
+            "GROUP BY 1, 2"),
+        "user_burst_max_5min": (
+            "SELECT a.user_id, CAST(MAX(c) AS BIGINT) AS max_burst, "
+            "CAST(MAX(tot) AS BIGINT) AS n_events FROM ("
+            "SELECT a.user_id, a.event_id, count(*) AS c, "
+            "(SELECT count(*) FROM events x "
+            "WHERE x.user_id = a.user_id) AS tot "
+            "FROM events a JOIN events b ON a.user_id = b.user_id "
+            "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE "
+            "GROUP BY 1, 2, a.user_id) a GROUP BY 1"),
+        "repeat_purchase_stats": (
+            "WITH t AS (SELECT DISTINCT o_custkey, l_partkey, "
+            "l_orderkey FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey), "
+            "p AS (SELECT o_custkey, l_partkey, count(*) AS n "
+            "FROM t GROUP BY 1, 2) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_pairs, "
+            "CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_repeat_pairs, "
+            "CAST(MAX(n) AS BIGINT) AS max_repeats FROM p"),
+        "dup_cluster_size_hist": (
+            "WITH f AS (SELECT md5(text) AS fp, count(*) AS n "
+            "FROM documents GROUP BY 1) "
+            "SELECT CAST(n AS BIGINT) AS cluster_size, "
+            "CAST(count(*) AS BIGINT) AS n_clusters FROM f GROUP BY 1"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

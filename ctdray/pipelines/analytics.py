@@ -6618,3 +6618,182 @@ def orders_open_per_day(sf_dir: str, open_days: int = 30) -> pa.Table:
         "day": pa.array(full[keep].astype("datetime64[D]")
                         .astype("datetime64[us]")),
         "n_open": pa.array(level[keep])})
+
+
+def knn_label_vote(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """k-NN label classification audit: every vector is classified by
+    majority vote of its k nearest neighbours (integer-scaled dot
+    product, self excluded, ties → smallest vec_id then smallest label)
+    and the (true, predicted) confusion matrix comes back.  The corpus
+    matrix broadcasts once (same contract as knn_bruteforce; beyond
+    broadcast scale use the IVF path) and each batch does ONE int64
+    matmul — deterministic, so the SQL oracle hashes exactly."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding", "label"])
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    labels = t.column("label").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(t.column("embedding")) \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    q = np.rint(flat.reshape(len(ids), -1) * 10_000).astype(np.int64)
+    order = np.argsort(ids)
+    side_ref = ray.put((ids[order], labels[order], q[order]))
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding", "label"])
+
+    def vote(batch: pa.Table) -> pa.Table:
+        cids, clabels, cq = ray.get(side_ref)
+        bids = batch.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bl = batch.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bflat = pc.list_flatten(batch.column("embedding")) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        bq = np.rint(bflat.reshape(len(bids), -1) * 10_000) \
+            .astype(np.int64)
+        dots = bq @ cq.T                                  # (n, N)
+        self_pos = np.searchsorted(cids, bids)
+        # min+1, NOT min: the descending sort negates dots and
+        # -int64_min overflows back to itself (self row would sort
+        # FIRST instead of last)
+        dots[np.arange(len(bids)), self_pos] = \
+            np.iinfo(np.int64).min + 1
+        preds = np.empty(len(bids), np.int64)
+        for i in range(len(bids)):
+            nn = np.lexsort((cids, -dots[i]))[:k]
+            labs = clabels[nn]
+            uniq, cnt = np.unique(labs, return_counts=True)
+            preds[i] = uniq[np.lexsort((uniq, -cnt))[0]]
+        tt = pa.table({"true_label": pa.array(bl),
+                       "pred_label": pa.array(preds),
+                       "n": pa.array(np.ones(len(bids), np.int64))})
+        res = tt.group_by(["true_label", "pred_label"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"true_label": res.column("true_label"),
+                         "pred_label": res.column("pred_label"),
+                         "n": res.column("n_sum")})
+
+    return partial_aggregate(
+        ds.map_batches(vote, batch_format="pyarrow"),
+        ["true_label", "pred_label"], [("n", "sum", "n")])
+
+
+def user_burst_max_5min(sf_dir: str, window_s: int = 300
+                        ) -> ray.data.Dataset:
+    """Burstiness: per user, the maximum number of events in any window
+    [t, t+window] anchored at an event — the anchored sliding-window max
+    done with one sorted two-pointer sweep per user group (never a
+    per-pair self-join)."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+    win_us = np.int64(window_s) * 1_000_000
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = np.sort(group.column("ts").to_numpy(zero_copy_only=False)
+                     .astype("datetime64[us]").astype(np.int64))
+        ends = np.searchsorted(ts, ts + win_us, side="right")
+        burst = int((ends - np.arange(len(ts))).max())
+        return pa.table({"user_id": group.column("user_id").slice(0, 1),
+                         "max_burst": pa.array([burst], pa.int64()),
+                         "n_events": pa.array([len(ts)], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")
+
+
+def repeat_purchase_stats(sf_dir: str) -> pa.Table:
+    """Repeat-purchase audit: over (customer, part) pairs, how many
+    recur across ≥2 distinct orders.  Custkey attaches by ONE shuffle
+    equi-join; distinct (cust, part, order) triples reduce per batch;
+    pair order-counts and the global summary come from two more tiny
+    exchanges."""
+    from ..functions.joins import shuffle_lookup_join
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    joined = shuffle_lookup_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_partkey", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64())]),
+        how="inner")
+
+    def triples(batch: pa.Table) -> pa.Table:
+        return batch.group_by(
+            ["o_custkey", "l_partkey", "l_orderkey"]).aggregate([]) \
+            .select(["o_custkey", "l_partkey", "l_orderkey"])
+
+    distinct = partial_aggregate(
+        joined.map_batches(triples, batch_format="pyarrow"),
+        ["o_custkey", "l_partkey", "l_orderkey"], [])
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["o_custkey", "l_partkey"]).aggregate(
+            [("o_custkey", "count")])
+        return pa.table({"o_custkey": res.column("o_custkey"),
+                         "l_partkey": res.column("l_partkey"),
+                         "n_orders": pc.cast(
+                             res.column("o_custkey_count"), pa.int64())})
+
+    pairs = partial_aggregate(
+        distinct.map_batches(pair_counts, batch_format="pyarrow"),
+        ["o_custkey", "l_partkey"], [("n_orders", "sum", "n_orders")])
+
+    def summary(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_orders").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "n_pairs": pa.array([len(n)], pa.int64()),
+            "n_repeat_pairs": pa.array([int((n >= 2).sum())],
+                                       pa.int64()),
+            "max_repeats": pa.array([int(n.max()) if len(n) else 0],
+                                    pa.int64())})
+
+    tot = partial_aggregate(
+        pairs.map_batches(summary, batch_format="pyarrow"),
+        ["k"], [("n_pairs", "sum", "n_pairs"),
+                ("n_repeat_pairs", "sum", "n_repeat_pairs"),
+                ("max_repeats", "max", "max_repeats")]).take_all()
+    r = tot[0]
+    return pa.table({
+        "n_pairs": pa.array([r["n_pairs"]], pa.int64()),
+        "n_repeat_pairs": pa.array([r["n_repeat_pairs"]], pa.int64()),
+        "max_repeats": pa.array([r["max_repeats"]], pa.int64())})
+
+
+def dup_cluster_size_hist(sf_dir: str) -> ray.data.Dataset:
+    """Observability for exact dedup: histogram of duplicate-cluster
+    sizes (content fingerprint → cluster size → #clusters of that
+    size).  Only 16-B fingerprints shuffle."""
+    from ..functions.text import md5_fingerprint
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def fp_counts(batch: pa.Table) -> pa.Table:
+        t = pa.table({"fp": pa.array(md5_fingerprint(
+            batch.column("text").to_pylist()), pa.string()),
+            "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["fp"]).aggregate([("n", "sum")])
+        return pa.table({"fp": res.column("fp"),
+                         "n": res.column("n_sum")})
+
+    per_fp = partial_aggregate(
+        ds.map_batches(fp_counts, batch_format="pyarrow"),
+        ["fp"], [("n", "sum", "n")])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pa.table({"cluster_size": batch.column("n"),
+                      "n_clusters": pa.array(np.ones(len(batch),
+                                                     np.int64))})
+        res = t.group_by(["cluster_size"]).aggregate(
+            [("n_clusters", "sum")])
+        return pa.table({"cluster_size": res.column("cluster_size"),
+                         "n_clusters": res.column("n_clusters_sum")})
+
+    return partial_aggregate(
+        per_fp.map_batches(hist, batch_format="pyarrow"),
+        ["cluster_size"], [("n_clusters", "sum", "n_clusters")])
