@@ -170,7 +170,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         knn_label_vote,
                                         user_burst_max_5min,
                                         repeat_purchase_stats,
-                                        dup_cluster_size_hist)
+                                        dup_cluster_size_hist,
+                                        supplier_revenue_pctile,
+                                        lang_source_lift,
+                                        token_pair_lift_topk,
+                                        session_bounce_stats)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -589,6 +593,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_burst_max_5min": user_burst_max_5min,
         "repeat_purchase_stats": repeat_purchase_stats,
         "dup_cluster_size_hist": dup_cluster_size_hist,
+        "supplier_revenue_pctile": supplier_revenue_pctile,
+        "lang_source_lift": lang_source_lift,
+        "token_pair_lift_topk": token_pair_lift_topk,
+        "session_bounce_stats": session_bounce_stats,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -1846,6 +1854,59 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY 1) "
             "SELECT CAST(n AS BIGINT) AS cluster_size, "
             "CAST(count(*) AS BIGINT) AS n_clusters FROM f GROUP BY 1"),
+        "supplier_revenue_pctile": (
+            "WITH sc AS (SELECT n_name, s_suppkey, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS cents FROM lineitem "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey GROUP BY 1, 2), "
+            "r AS (SELECT n_name, s_suppkey, cents, "
+            "RANK() OVER (PARTITION BY n_name ORDER BY cents) AS rnk, "
+            "COUNT(*) OVER (PARTITION BY n_name) AS cnt FROM sc) "
+            "SELECT n_name, s_suppkey, cents, "
+            "CAST(CASE WHEN cnt = 1 THEN 0 ELSE "
+            "((rnk - 1) * 1000000) // (cnt - 1) END AS BIGINT) "
+            "AS pct_ppm FROM r"),
+        "lang_source_lift": (
+            "WITH c AS (SELECT lang, source, count(*) AS n_ab "
+            "FROM documents GROUP BY 1, 2), "
+            "a AS (SELECT lang, SUM(n_ab) AS n_a FROM c GROUP BY 1), "
+            "b AS (SELECT source, SUM(n_ab) AS n_b FROM c GROUP BY 1), "
+            "n AS (SELECT SUM(n_ab) AS n FROM c) "
+            "SELECT lang, source, CAST(n_ab AS BIGINT) AS n_ab, "
+            "CAST((n.n * n_ab * 1000000) // (a.n_a * b.n_b) AS BIGINT) "
+            "AS lift_ppm FROM c JOIN a USING (lang) "
+            "JOIN b USING (source) CROSS JOIN n"),
+        "token_pair_lift_topk": (
+            "WITH td AS (SELECT DISTINCT doc_id, "
+            "unnest(string_split(text, ' ')) AS tok FROM documents), "
+            "m AS (SELECT tok, count(*) AS df FROM td GROUP BY 1), "
+            "p AS (SELECT a.tok AS tok_a, b.tok AS tok_b, "
+            "count(*) AS n_ab FROM td a JOIN td b "
+            "ON a.doc_id = b.doc_id AND a.tok < b.tok GROUP BY 1, 2), "
+            "n AS (SELECT count(*) AS n FROM documents) "
+            "SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab, "
+            "CAST((n.n * n_ab * 1000000) // (ma.df * mb.df) AS BIGINT) "
+            "AS lift_ppm FROM p JOIN m ma ON ma.tok = p.tok_a "
+            "JOIN m mb ON mb.tok = p.tok_b CROSS JOIN n "
+            "WHERE n_ab >= 5 "
+            "ORDER BY lift_ppm DESC, tok_a, tok_b LIMIT 20"),
+        "session_bounce_stats": (
+            "WITH s AS (SELECT user_id, ts, event_id, event_type, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR "
+            "epoch(ts - lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END "
+            "AS brk FROM events WINDOW w AS ("
+            "PARTITION BY user_id ORDER BY ts, event_id)), "
+            "g AS (SELECT user_id, event_type, ts, event_id, "
+            "SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS sid FROM s), "
+            "a AS (SELECT user_id, sid, count(*) AS ne, "
+            "first(event_type ORDER BY ts, event_id) AS ft "
+            "FROM g GROUP BY 1, 2) "
+            "SELECT ft AS first_event_type, "
+            "CAST(count(*) AS BIGINT) AS n_sessions, "
+            "CAST(SUM(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_bounce FROM a GROUP BY 1"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

@@ -6797,3 +6797,203 @@ def dup_cluster_size_hist(sf_dir: str) -> ray.data.Dataset:
     return partial_aggregate(
         per_fp.map_batches(hist, batch_format="pyarrow"),
         ["cluster_size"], [("n_clusters", "sum", "n_clusters")])
+
+
+def supplier_revenue_pctile(sf_dir: str) -> ray.data.Dataset:
+    """Grouped percent-rank, integer-exact: each supplier's revenue
+    percentile within its nation as ((rank-1)·1e6) // (n-1) with RANK
+    tie semantics (float PERCENT_RANK·1e6 can floor one off — 3/5 in
+    IEEE is 0.5999…).  Fact reduces to the (nation, supplier) dimension
+    table first; the rank fold runs per nation group."""
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    nation_t = pq.read_table(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    side_ref = ray.put((supp.column("s_suppkey").combine_chunks(),
+                        supp.column("s_nationkey").combine_chunks(),
+                        nation_t.column("n_nationkey").combine_chunks(),
+                        nation_t.column("n_name").combine_chunks()))
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_suppkey", "l_extendedprice"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        sk, snk, nk, nn = ray.get(side_ref)
+        si = pc.index_in(batch.column("l_suppkey"), value_set=sk)
+        ni = pc.index_in(pc.take(snk, si), value_set=nk)
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"n_name": pc.take(nn, ni),
+                      "s_suppkey": batch.column("l_suppkey"),
+                      "cents": pa.array(cents)})
+        res = t.group_by(["n_name", "s_suppkey"]).aggregate(
+            [("cents", "sum")])
+        return pa.table({"n_name": res.column("n_name"),
+                         "s_suppkey": res.column("s_suppkey"),
+                         "cents": res.column("cents_sum")})
+
+    per_supp = partial_aggregate(
+        li.map_batches(per_batch, batch_format="pyarrow"),
+        ["n_name", "s_suppkey"], [("cents", "sum", "cents")])
+
+    def pct(group: pa.Table) -> pa.Table:
+        c = group.column("cents").to_numpy(zero_copy_only=False)
+        n = len(c)
+        srt = np.sort(c)
+        rnk = np.searchsorted(srt, c, side="left") + 1   # RANK ties
+        ppm = np.zeros(n, np.int64) if n == 1 else \
+            ((rnk - 1) * 1_000_000) // (n - 1)
+        return pa.table({"n_name": group.column("n_name"),
+                         "s_suppkey": group.column("s_suppkey"),
+                         "cents": group.column("cents"),
+                         "pct_ppm": pa.array(ppm.astype(np.int64))})
+
+    return per_supp.groupby("n_name").map_groups(pct,
+                                                 batch_format="pyarrow")
+
+
+def lang_source_lift(sf_dir: str) -> pa.Table:
+    """Association lift (ppm, integer) between document language and
+    source: lift = N·n_ab / (n_a·n_b).  The crosstab and both marginals
+    are dimension-bounded partial-agg results; the lift folds on the
+    driver (int64-safe up to ~3e6 docs per cell — beyond that scale the
+    ppm factor down)."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "source"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        t = batch.append_column("n", pa.array(np.ones(len(batch),
+                                                      np.int64)))
+        res = t.group_by(["lang", "source"]).aggregate([("n", "sum")])
+        return pa.table({"lang": res.column("lang"),
+                         "source": res.column("source"),
+                         "n_ab": res.column("n_sum")})
+
+    cells = partial_aggregate(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["lang", "source"], [("n_ab", "sum", "n_ab")]).take_all()
+    n_a: dict = {}
+    n_b: dict = {}
+    total = 0
+    for r in cells:
+        n_a[r["lang"]] = n_a.get(r["lang"], 0) + r["n_ab"]
+        n_b[r["source"]] = n_b.get(r["source"], 0) + r["n_ab"]
+        total += r["n_ab"]
+    rows = sorted(cells, key=lambda r: (r["lang"], r["source"]))
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        "n_ab": pa.array([r["n_ab"] for r in rows], pa.int64()),
+        "lift_ppm": pa.array(
+            [(total * r["n_ab"] * 1_000_000)
+             // (n_a[r["lang"]] * n_b[r["source"]]) for r in rows],
+            pa.int64())})
+
+
+def token_pair_lift_topk(sf_dir: str, n: int = 20, min_support: int = 5
+                         ) -> ray.data.Dataset:
+    """Association-rule mining over token co-occurrence: top-N token
+    pairs by integer lift (N·n_ab·1e6 // (df_a·df_b)) with a minimum
+    support.  Distinct-token pair counts partial-aggregate; marginal
+    document frequencies are vocabulary-bounded and broadcast back for
+    the lift stamp (same contract as top_tokens)."""
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        a_all, b_all = [], []
+        for tl in toks.to_pylist():
+            u = sorted(set(tl))
+            for i in range(len(u) - 1):
+                a_all.extend(u[i] for _ in range(len(u) - 1 - i))
+                b_all.extend(u[i + 1:])
+        t = pa.table({"tok_a": pa.array(a_all, pa.string()),
+                      "tok_b": pa.array(b_all, pa.string()),
+                      "n_ab": pa.array(np.ones(len(a_all), np.int64))})
+        res = t.group_by(["tok_a", "tok_b"]).aggregate([("n_ab", "sum")])
+        return pa.table({"tok_a": res.column("tok_a"),
+                         "tok_b": res.column("tok_b"),
+                         "n_ab": res.column("n_ab_sum")})
+
+    pairs = partial_aggregate(
+        docs.map_batches(pair_counts, batch_format="pyarrow"),
+        ["tok_a", "tok_b"], [("n_ab", "sum", "n_ab")])
+
+    def df_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        out = []
+        for tl in toks.to_pylist():
+            out.extend(set(tl))
+        t = pa.table({"tok": pa.array(out, pa.string()),
+                      "df": pa.array(np.ones(len(out), np.int64))})
+        res = t.group_by(["tok"]).aggregate([("df", "sum")])
+        return pa.table({"tok": res.column("tok"),
+                         "df": res.column("df_sum")})
+
+    df_rows = partial_aggregate(
+        docs.map_batches(df_counts, batch_format="pyarrow"),
+        ["tok"], [("df", "sum", "df")]).take_all()
+    df_map = {r["tok"]: r["df"] for r in df_rows}
+    df_ref = ray.put(df_map)
+
+    def lift(batch: pa.Table) -> pa.Table:
+        m = ray.get(df_ref)
+        b = batch.filter(pc.greater_equal(batch.column("n_ab"),
+                                          min_support))
+        ta = b.column("tok_a").to_pylist()
+        tb = b.column("tok_b").to_pylist()
+        nab = b.column("n_ab").to_numpy(zero_copy_only=False)
+        ppm = np.array([(n_docs * int(x) * 1_000_000)
+                        // (m[a] * m[bb])
+                        for a, bb, x in zip(ta, tb, nab)], np.int64) \
+            if len(b) else np.array([], np.int64)
+        return pa.table({"tok_a": b.column("tok_a"),
+                         "tok_b": b.column("tok_b"),
+                         "n_ab": b.column("n_ab"),
+                         "lift_ppm": pa.array(ppm)})
+
+    stamped = pairs.map_batches(lift, batch_format="pyarrow")
+    return stamped.sort(["lift_ppm", "tok_a", "tok_b"],
+                        descending=[True, False, False]).limit(n)
+
+
+def session_bounce_stats(sf_dir: str, gap_seconds: int = 1800
+                         ) -> ray.data.Dataset:
+    """Bounce analysis over gap-based sessions: per FIRST event type of
+    a session, how many sessions start with it and how many bounce
+    (single-event sessions).  The per-user kernel emits local
+    (first_type, counts) partials, so the final exchange carries
+    ≤ |types| rows per group."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+    gap_us = np.int64(gap_seconds) * 1_000_000
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(group.column("event_type").to_pylist(),
+                        dtype=object)
+        order = np.lexsort((eid, ts))
+        ts, et = ts[order], et[order]
+        starts = np.flatnonzero(np.r_[True, np.diff(ts) > gap_us])
+        sizes = np.diff(np.r_[starts, len(ts)])
+        t = pa.table({
+            "first_event_type": pa.array(et[starts], pa.string()),
+            "n_sessions": pa.array(np.ones(len(starts), np.int64)),
+            "n_bounce": pa.array((sizes == 1).astype(np.int64))})
+        res = t.group_by(["first_event_type"]).aggregate(
+            [("n_sessions", "sum"), ("n_bounce", "sum")])
+        return pa.table({
+            "first_event_type": res.column("first_event_type"),
+            "n_sessions": res.column("n_sessions_sum"),
+            "n_bounce": res.column("n_bounce_sum")})
+
+    partials = ds.groupby("user_id").map_groups(per_user,
+                                                batch_format="pyarrow")
+    return partial_aggregate(partials, ["first_event_type"],
+                             [("n_sessions", "sum", "n_sessions"),
+                              ("n_bounce", "sum", "n_bounce")])
