@@ -174,7 +174,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         supplier_revenue_pctile,
                                         lang_source_lift,
                                         token_pair_lift_topk,
-                                        session_bounce_stats)
+                                        session_bounce_stats,
+                                        events_peak_hour_per_type,
+                                        revenue_abc_classification,
+                                        trimmed_price_sum,
+                                        supplier_first_month_cohort)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -597,6 +601,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_lift": lang_source_lift,
         "token_pair_lift_topk": token_pair_lift_topk,
         "session_bounce_stats": session_bounce_stats,
+        "events_peak_hour_per_type": events_peak_hour_per_type,
+        "revenue_abc_classification": revenue_abc_classification,
+        "trimmed_price_sum": trimmed_price_sum,
+        "supplier_first_month_cohort": supplier_first_month_cohort,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -1907,6 +1915,46 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_sessions, "
             "CAST(SUM(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS BIGINT) "
             "AS n_bounce FROM a GROUP BY 1"),
+        "events_peak_hour_per_type": (
+            "WITH c AS (SELECT event_type, "
+            "CAST(hour(ts) AS BIGINT) AS hour, count(*) AS n "
+            "FROM events GROUP BY 1, 2), "
+            "r AS (SELECT event_type, hour, n, ROW_NUMBER() OVER ("
+            "PARTITION BY event_type ORDER BY n DESC, hour) AS rn "
+            "FROM c) "
+            "SELECT event_type, hour AS peak_hour, "
+            "CAST(n AS BIGINT) AS n_events FROM r WHERE rn = 1"),
+        "revenue_abc_classification": (
+            "WITH p AS (SELECT l_partkey, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS cents FROM lineitem GROUP BY 1), "
+            "r AS (SELECT cents, SUM(cents) OVER (ORDER BY cents DESC, "
+            "l_partkey ROWS UNBOUNDED PRECEDING) * 1000000 // "
+            "(SELECT SUM(cents) FROM p) AS share_ppm FROM p), "
+            "c AS (SELECT cents, CASE WHEN share_ppm <= 800000 THEN 'A' "
+            "WHEN share_ppm <= 950000 THEN 'B' ELSE 'C' END AS "
+            "abc_class FROM r) "
+            "SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts, "
+            "CAST(SUM(cents) AS BIGINT) AS revenue_cents "
+            "FROM c GROUP BY 1"),
+        "trimmed_price_sum": (
+            "WITH w AS (SELECT CAST(round(l_extendedprice * 100) "
+            "AS BIGINT) AS c FROM lineitem), "
+            "kk AS (SELECT (50000 * count(*)) // 1000000 AS k, "
+            "count(*) AS n FROM w), "
+            "r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn "
+            "FROM w) "
+            "SELECT CAST(SUM(c) AS BIGINT) AS sum_trimmed_cents, "
+            "CAST(count(*) AS BIGINT) AS n_trimmed, "
+            "CAST((SELECT k FROM kk) AS BIGINT) AS k_each_side "
+            "FROM r WHERE rn > (SELECT k FROM kk) "
+            "AND rn <= (SELECT n - k FROM kk)"),
+        "supplier_first_month_cohort": (
+            "WITH f AS (SELECT l_suppkey, MIN(l_shipdate) AS fd "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT CAST(date_trunc('month', fd) AS TIMESTAMP) "
+            "AS cohort_month, CAST(count(*) AS BIGINT) AS n_suppliers "
+            "FROM f GROUP BY 1"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

@@ -6997,3 +6997,174 @@ def session_bounce_stats(sf_dir: str, gap_seconds: int = 1800
     return partial_aggregate(partials, ["first_event_type"],
                              [("n_sessions", "sum", "n_sessions"),
                               ("n_bounce", "sum", "n_bounce")])
+
+
+def events_peak_hour_per_type(sf_dir: str) -> ray.data.Dataset:
+    """Argmax-per-group over a derived time dimension: each event type's
+    busiest hour-of-day (ties → earliest hour).  (type, hour) counts
+    partial-aggregate; the argmax folds per type group over ≤24 rows."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        hr = pc.cast(pc.hour(batch.column("ts")), pa.int64())
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "hour": hr,
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["event_type", "hour"]).aggregate([("n", "sum")])
+        return pa.table({"event_type": res.column("event_type"),
+                         "hour": res.column("hour"),
+                         "n": res.column("n_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["event_type", "hour"], [("n", "sum", "n")])
+
+    def argmax(group: pa.Table) -> pa.Table:
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        h = group.column("hour").to_numpy(zero_copy_only=False)
+        i = np.lexsort((h, -n))[0]
+        return pa.table({
+            "event_type": group.column("event_type").slice(0, 1),
+            "peak_hour": pa.array([int(h[i])], pa.int64()),
+            "n_events": pa.array([int(n[i])], pa.int64())})
+
+    return agg.groupby("event_type").map_groups(argmax,
+                                                batch_format="pyarrow")
+
+
+def revenue_abc_classification(sf_dir: str, a_ppm: int = 800_000,
+                               b_ppm: int = 950_000) -> pa.Table:
+    """ABC (Pareto-class) inventory analysis: parts sorted by revenue
+    descending; class A covers the first 80% of cumulative revenue, B to
+    95%, C the tail — a part is in the first class whose threshold its
+    INCLUSIVE cumulative share reaches.  The fact reduces to per-part
+    revenue; the cumulative fold runs over that dimension-bounded table
+    (ties broken by partkey, matching the SQL window order)."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_extendedprice"])
+
+    def per_part(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"l_partkey": batch.column("l_partkey"),
+                      "cents": pa.array(cents)})
+        res = t.group_by(["l_partkey"]).aggregate([("cents", "sum")])
+        return pa.table({"l_partkey": res.column("l_partkey"),
+                         "cents": res.column("cents_sum")})
+
+    rows = partial_aggregate(
+        li.map_batches(per_part, batch_format="pyarrow"),
+        ["l_partkey"], [("cents", "sum", "cents")]).take_all()
+    pk = np.array([r["l_partkey"] for r in rows], np.int64)
+    c = np.array([r["cents"] for r in rows], np.int64)
+    order = np.lexsort((pk, -c))
+    c = c[order]
+    cum = np.cumsum(c)
+    total = int(cum[-1])
+    share_ppm = cum * 1_000_000 // total
+    cls = np.where(share_ppm <= a_ppm, 0,
+                   np.where(share_ppm <= b_ppm, 1, 2))
+    names = np.array(["A", "B", "C"])
+    out = {}
+    for k in (0, 1, 2):
+        sel = cls == k
+        out[k] = (int(sel.sum()), int(c[sel].sum()))
+    return pa.table({
+        "abc_class": pa.array([str(names[k]) for k in (0, 1, 2)],
+                              pa.string()),
+        "n_parts": pa.array([out[k][0] for k in (0, 1, 2)], pa.int64()),
+        "revenue_cents": pa.array([out[k][1] for k in (0, 1, 2)],
+                                  pa.int64())})
+
+
+def trimmed_price_sum(sf_dir: str, trim_ppm: int = 50_000) -> pa.Table:
+    """Exact two-sided trimmed sum (robust mean numerator): drop the k
+    lowest- and k highest-RANKED prices (k = ⌊trim·n⌋) without a global
+    sort — quantile boundaries come from the distributed selection
+    kernel, full-side sums from one conditional scan, and boundary-value
+    duplicates are settled by exact counts."""
+    from ..functions.quantiles import exact_quantiles
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_extendedprice"])
+    n_rows = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    k = (trim_ppm * n_rows) // 1_000_000
+    # half-offset fractions so ceil(q·n) lands EXACTLY on ranks k and
+    # n-k+1 (q = k/n can float-round ceil to k+1)
+    qt = exact_quantiles(li, "l_extendedprice",
+                         qs=((k - 0.5) / n_rows,
+                             (n_rows - k + 0.5) / n_rows))
+    vals = qt.column("value").to_pylist()
+    b_lo, b_hi = float(vals[0]), float(vals[1])
+
+    def side_sums(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        lo_c = np.rint(b_lo * 100).astype(np.int64)
+        hi_c = np.rint(b_hi * 100).astype(np.int64)
+        return pa.table({
+            "kk": pa.array([0], pa.int64()),
+            "sum_all": pa.array([int(cents.sum())], pa.int64()),
+            "n_lt_lo": pa.array([int((cents < lo_c).sum())], pa.int64()),
+            "sum_lt_lo": pa.array([int(cents[cents < lo_c].sum())],
+                                  pa.int64()),
+            "n_gt_hi": pa.array([int((cents > hi_c).sum())], pa.int64()),
+            "sum_gt_hi": pa.array([int(cents[cents > hi_c].sum())],
+                                  pa.int64())})
+
+    agg = partial_aggregate(
+        li.map_batches(side_sums, batch_format="pyarrow"),
+        ["kk"], [("sum_all", "sum", "sum_all"),
+                 ("n_lt_lo", "sum", "n_lt_lo"),
+                 ("sum_lt_lo", "sum", "sum_lt_lo"),
+                 ("n_gt_hi", "sum", "n_gt_hi"),
+                 ("sum_gt_hi", "sum", "sum_gt_hi")]).take_all()[0]
+    lo_c = int(np.rint(b_lo * 100))
+    hi_c = int(np.rint(b_hi * 100))
+    # rank-based trim: k lowest = all strictly-below + boundary copies
+    sum_low = agg["sum_lt_lo"] + (k - agg["n_lt_lo"]) * lo_c
+    sum_high = agg["sum_gt_hi"] + (k - agg["n_gt_hi"]) * hi_c
+    return pa.table({
+        "sum_trimmed_cents": pa.array(
+            [agg["sum_all"] - sum_low - sum_high], pa.int64()),
+        "n_trimmed": pa.array([n_rows - 2 * k], pa.int64()),
+        "k_each_side": pa.array([k], pa.int64())})
+
+
+def supplier_first_month_cohort(sf_dir: str) -> ray.data.Dataset:
+    """Supplier activation cohorts: suppliers grouped by the month of
+    their FIRST shipment — min-combiner exchange then a tiny month
+    histogram (the dimension-entity equivalent of token_first_seen)."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_suppkey", "l_shipdate"])
+
+    def first_ship(batch: pa.Table) -> pa.Table:
+        ts = batch.column("l_shipdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        t = pa.table({"l_suppkey": batch.column("l_suppkey"),
+                      "first_us": pa.array(ts)})
+        res = t.group_by(["l_suppkey"]).aggregate([("first_us", "min")])
+        return pa.table({"l_suppkey": res.column("l_suppkey"),
+                         "first_us": res.column("first_us_min")})
+
+    per_supp = partial_aggregate(
+        li.map_batches(first_ship, batch_format="pyarrow"),
+        ["l_suppkey"], [("first_us", "min", "first_us")])
+
+    def cohort(batch: pa.Table) -> pa.Table:
+        m = batch.column("first_us").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype("datetime64[M]") \
+            .astype("datetime64[us]")
+        t = pa.table({"cohort_month": pa.array(m),
+                      "n_suppliers": pa.array(np.ones(len(batch),
+                                                      np.int64))})
+        res = t.group_by(["cohort_month"]).aggregate(
+            [("n_suppliers", "sum")])
+        return pa.table({"cohort_month": res.column("cohort_month"),
+                         "n_suppliers": res.column("n_suppliers_sum")})
+
+    return partial_aggregate(
+        per_supp.map_batches(cohort, batch_format="pyarrow"),
+        ["cohort_month"], [("n_suppliers", "sum", "n_suppliers")])
