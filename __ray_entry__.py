@@ -178,7 +178,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         events_peak_hour_per_type,
                                         revenue_abc_classification,
                                         trimmed_price_sum,
-                                        supplier_first_month_cohort)
+                                        supplier_first_month_cohort,
+                                        order_total_consistency,
+                                        lineitem_linenumber_gaps,
+                                        embedding_norm_outlier_ids,
+                                        order_value_concentration_hist)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -605,6 +609,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_abc_classification": revenue_abc_classification,
         "trimmed_price_sum": trimmed_price_sum,
         "supplier_first_month_cohort": supplier_first_month_cohort,
+        "order_total_consistency": order_total_consistency,
+        "lineitem_linenumber_gaps": lineitem_linenumber_gaps,
+        "embedding_norm_outlier_ids": embedding_norm_outlier_ids,
+        "order_value_concentration_hist": order_value_concentration_hist,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -1955,6 +1963,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(date_trunc('month', fd) AS TIMESTAMP) "
             "AS cohort_month, CAST(count(*) AS BIGINT) AS n_suppliers "
             "FROM f GROUP BY 1"),
+        "order_total_consistency": (
+            "WITH ls AS (SELECT l_orderkey, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS line_cents FROM lineitem GROUP BY 1), "
+            "j AS (SELECT abs(CAST(round(o_totalprice * 100) AS BIGINT) "
+            "- line_cents) AS d FROM ls JOIN orders "
+            "ON l_orderkey = o_orderkey) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_exact, "
+            "CAST(MAX(d) AS BIGINT) AS max_abs_diff_cents FROM j"),
+        "lineitem_linenumber_gaps": (
+            "WITH a AS (SELECT l_orderkey, count(*) AS c, "
+            "count(DISTINCT l_linenumber) AS dc, "
+            "max(l_linenumber) AS mx FROM lineitem GROUP BY 1) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(CASE WHEN mx <> c OR dc <> c THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_gapped FROM a"),
+        "embedding_norm_outlier_ids": (
+            "WITH n AS (SELECT vec_id, CAST(list_sum("
+            "[CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) * "
+            "CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) "
+            "FOR x IN embedding]) AS BIGINT) AS norm2_e8 "
+            "FROM embeddings) "
+            "SELECT vec_id, norm2_e8 FROM n WHERE norm2_e8 > "
+            "(SELECT quantile_disc(norm2_e8, 0.99) FROM n)"),
+        "order_value_concentration_hist": (
+            "WITH p AS (SELECT l_orderkey, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS s, "
+            "CAST(MAX(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS m FROM lineitem GROUP BY 1), "
+            "b AS (SELECT CASE WHEN s > 0 THEN (1000000 * m) // s "
+            "ELSE 0 END AS ppm FROM p) "
+            "SELECT CAST(ppm // 100000 AS BIGINT) AS share_bucket, "
+            "CAST(count(*) AS BIGINT) AS n_orders FROM b GROUP BY 1"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

@@ -7168,3 +7168,183 @@ def supplier_first_month_cohort(sf_dir: str) -> ray.data.Dataset:
     return partial_aggregate(
         per_supp.map_batches(cohort, batch_format="pyarrow"),
         ["cohort_month"], [("n_suppliers", "sum", "n_suppliers")])
+
+
+def order_total_consistency(sf_dir: str) -> pa.Table:
+    """Referential-consistency audit: compare each order's stated total
+    against the sum of its line extended prices (both in cents) and
+    report match counts plus the largest absolute discrepancy.  Line
+    sums reduce per batch keyed by orderkey; ONE shuffle equi-join
+    attaches the stated total; the verdict folds to a single row."""
+    from ..functions.joins import shuffle_lookup_join
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_extendedprice"])
+
+    def line_sums(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "line_cents": pa.array(cents)})
+        res = t.group_by(["l_orderkey"]).aggregate([("line_cents",
+                                                     "sum")])
+        return pa.table({"l_orderkey": res.column("l_orderkey"),
+                         "line_cents": res.column("line_cents_sum")})
+
+    sums = partial_aggregate(
+        li.map_batches(line_sums, batch_format="pyarrow"),
+        ["l_orderkey"], [("line_cents", "sum", "line_cents")])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_totalprice"])
+    joined = shuffle_lookup_join(
+        sums, orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("line_cents", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_totalprice", pa.float64())]),
+        how="inner")
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        stated = np.rint(batch.column("o_totalprice")
+                         .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        lines = batch.column("line_cents") \
+            .to_numpy(zero_copy_only=False)
+        diff = np.abs(stated - lines)
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "n_orders": pa.array([len(diff)], pa.int64()),
+            "n_exact": pa.array([int((diff == 0).sum())], pa.int64()),
+            "max_abs_diff_cents": pa.array(
+                [int(diff.max()) if len(diff) else 0], pa.int64())})
+
+    tot = partial_aggregate(
+        joined.map_batches(verdict, batch_format="pyarrow"),
+        ["k"], [("n_orders", "sum", "n_orders"),
+                ("n_exact", "sum", "n_exact"),
+                ("max_abs_diff_cents", "max", "max_abs_diff_cents")]) \
+        .take_all()[0]
+    return pa.table({
+        "n_orders": pa.array([tot["n_orders"]], pa.int64()),
+        "n_exact": pa.array([tot["n_exact"]], pa.int64()),
+        "max_abs_diff_cents": pa.array([tot["max_abs_diff_cents"]],
+                                       pa.int64())})
+
+
+def lineitem_linenumber_gaps(sf_dir: str) -> pa.Table:
+    """Data-integrity audit: orders whose line numbers are NOT a
+    contiguous 1..n sequence (duplicates or holes).  Per-order
+    (count, distinct-count, max) fold inside coarse orderkey buckets —
+    one vectorized kernel per bucket, never one Python call per
+    order."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        bkt = ((ok.astype(np.uint64) * _FIB64) >> np.uint64(56)) \
+            .astype(np.int64)
+        return batch.append_column("bkt", pa.array(bkt))
+
+    def audit(group: pa.Table) -> pa.Table:
+        ok = group.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = pc.cast(group.column("l_linenumber"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((ln, ok))
+        ok, ln = ok[order], ln[order]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        ends = np.r_[starts[1:], len(ok)]
+        cnt = ends - starts
+        mx = ln[ends - 1]
+        dup = np.add.reduceat(
+            np.r_[(ln[1:] == ln[:-1]) & (ok[1:] == ok[:-1]), False]
+            .astype(np.int64), starts)
+        bad = (mx != cnt) | (dup > 0)
+        return pa.table({
+            "n_orders": pa.array([len(starts)], pa.int64()),
+            "n_gapped": pa.array([int(bad.sum())], pa.int64())})
+
+    agg = li.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bkt").map_groups(audit, batch_format="pyarrow")
+    tot = partial_aggregate(agg.map_batches(
+        lambda b: b.append_column("k", pa.array(np.zeros(len(b),
+                                                         np.int64))),
+        batch_format="pyarrow"), ["k"],
+        [("n_orders", "sum", "n_orders"),
+         ("n_gapped", "sum", "n_gapped")]).take_all()[0]
+    return pa.table({
+        "n_orders": pa.array([tot["n_orders"]], pa.int64()),
+        "n_gapped": pa.array([tot["n_gapped"]], pa.int64())})
+
+
+def embedding_norm_outlier_ids(sf_dir: str, q: float = 0.99
+                               ) -> ray.data.Dataset:
+    """Norm-based embedding outliers: vectors whose 1e8-scaled squared
+    norm is STRICTLY above the q-quantile (quantile_disc semantics from
+    the distributed selection kernel — no sort, no full collect)."""
+    from ..functions.quantiles import exact_quantiles
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+
+    def norms(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        qm = np.rint(flat.reshape(len(batch), -1) * 10_000) \
+            .astype(np.int64)
+        n2 = (qm * qm).sum(axis=1)
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "norm2_e8": pa.array(n2)})
+
+    scored = ds.map_batches(norms, batch_format="pyarrow")
+    qt = exact_quantiles(scored, "norm2_e8", qs=(q,))
+    bound = int(qt.column("value")[0].as_py())
+    return scored.map_batches(
+        lambda b, bd=bound: b.filter(pc.greater(b.column("norm2_e8"),
+                                                bd)),
+        batch_format="pyarrow")
+
+
+def order_value_concentration_hist(sf_dir: str, bucket_ppm: int = 100_000
+                                   ) -> ray.data.Dataset:
+    """How concentrated is each order's value in its single largest
+    line?  Per-order (sum, max) reduce via one keyed exchange, the
+    max-share ppm folds per batch, and the deciles-of-ppm histogram is a
+    final tiny reduce — the feature-distribution shape for basket-skew
+    features."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_extendedprice"])
+
+    def per_order(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "sum_c": pa.array(cents),
+                      "max_c": pa.array(cents)})
+        res = t.group_by(["l_orderkey"]).aggregate(
+            [("sum_c", "sum"), ("max_c", "max")])
+        return pa.table({"l_orderkey": res.column("l_orderkey"),
+                         "sum_c": res.column("sum_c_sum"),
+                         "max_c": res.column("max_c_max")})
+
+    per = partial_aggregate(
+        li.map_batches(per_order, batch_format="pyarrow"),
+        ["l_orderkey"], [("sum_c", "sum", "sum_c"),
+                         ("max_c", "max", "max_c")])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        s = batch.column("sum_c").to_numpy(zero_copy_only=False)
+        m = batch.column("max_c").to_numpy(zero_copy_only=False)
+        ppm = np.where(s > 0, (1_000_000 * m) // np.where(s <= 0, 1, s),
+                       0)
+        t = pa.table({"share_bucket": pa.array(ppm // bucket_ppm),
+                      "n_orders": pa.array(np.ones(len(s), np.int64))})
+        res = t.group_by(["share_bucket"]).aggregate(
+            [("n_orders", "sum")])
+        return pa.table({"share_bucket": res.column("share_bucket"),
+                         "n_orders": res.column("n_orders_sum")})
+
+    return partial_aggregate(
+        per.map_batches(hist, batch_format="pyarrow"),
+        ["share_bucket"], [("n_orders", "sum", "n_orders")])
