@@ -182,7 +182,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         order_total_consistency,
                                         lineitem_linenumber_gaps,
                                         embedding_norm_outlier_ids,
-                                        order_value_concentration_hist)
+                                        order_value_concentration_hist,
+                                        doc_hash_shard_balance,
+                                        docs_with_phrase,
+                                        top_revenue_day_per_nation,
+                                        lineitem_quantity_mode)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -613,6 +617,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_linenumber_gaps": lineitem_linenumber_gaps,
         "embedding_norm_outlier_ids": embedding_norm_outlier_ids,
         "order_value_concentration_hist": order_value_concentration_hist,
+        "doc_hash_shard_balance": doc_hash_shard_balance,
+        "docs_with_phrase": docs_with_phrase,
+        "top_revenue_day_per_nation": top_revenue_day_per_nation,
+        "lineitem_quantity_mode": lineitem_quantity_mode,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -1999,6 +2007,38 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0 END AS ppm FROM p) "
             "SELECT CAST(ppm // 100000 AS BIGINT) AS share_bucket, "
             "CAST(count(*) AS BIGINT) AS n_orders FROM b GROUP BY 1"),
+        "doc_hash_shard_balance": (
+            "WITH s AS (SELECT "
+            f"({_fold48_sql('md5(CAST(doc_id AS VARCHAR))')}) % 16 "
+            "AS shard, n_chars FROM documents) "
+            "SELECT CAST(shard AS BIGINT) AS shard, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM s "
+            "GROUP BY 1"),
+        "docs_with_phrase": (
+            "SELECT doc_id FROM documents "
+            "WHERE strpos(' ' || text || ' ', ' key agg row ') > 0"),
+        "top_revenue_day_per_nation": (
+            "WITH c AS (SELECT n_name, "
+            "CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS cents FROM lineitem "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey GROUP BY 1, 2), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name "
+            "ORDER BY cents DESC, day) AS rn FROM c) "
+            "SELECT n_name, day AS peak_day, cents AS revenue_cents "
+            "FROM r WHERE rn = 1"),
+        "lineitem_quantity_mode": (
+            "WITH c AS (SELECT CAST(round(l_quantity) AS BIGINT) "
+            "AS qty, count(*) AS n FROM lineitem GROUP BY 1), "
+            "r AS (SELECT qty, n, ROW_NUMBER() OVER ("
+            "ORDER BY n DESC, qty) AS rn FROM c) "
+            "SELECT (SELECT CAST(qty AS BIGINT) FROM r WHERE rn = 1) "
+            "AS mode_qty, "
+            "(SELECT CAST(n AS BIGINT) FROM r WHERE rn = 1) "
+            "AS n_occurrences, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM c) AS n_distinct"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

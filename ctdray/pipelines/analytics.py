@@ -7348,3 +7348,132 @@ def order_value_concentration_hist(sf_dir: str, bucket_ppm: int = 100_000
     return partial_aggregate(
         per.map_batches(hist, batch_format="pyarrow"),
         ["share_bucket"], [("n_orders", "sum", "n_orders")])
+
+
+def doc_hash_shard_balance(sf_dir: str, n_shards: int = 16
+                           ) -> ray.data.Dataset:
+    """Partitioning-quality audit: docs assigned to md5-hash shards
+    (the exact shard function a 100-TB layout would use) with per-shard
+    row and byte counts — skew here predicts shuffle skew everywhere
+    else.  One stateless pass + a tiny exchange."""
+    import hashlib
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+
+    def shard(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sh = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+             % n_shards for i in ids), np.int64, len(ids))
+        t = pa.table({"shard": pa.array(sh),
+                      "n_docs": pa.array(np.ones(len(ids), np.int64)),
+                      "n_chars": pc.cast(batch.column("n_chars"),
+                                         pa.int64())})
+        res = t.group_by(["shard"]).aggregate(
+            [("n_docs", "sum"), ("n_chars", "sum")])
+        return pa.table({"shard": res.column("shard"),
+                         "n_docs": res.column("n_docs_sum"),
+                         "n_chars": res.column("n_chars_sum")})
+
+    return partial_aggregate(
+        ds.map_batches(shard, batch_format="pyarrow"),
+        ["shard"], [("n_docs", "sum", "n_docs"),
+                    ("n_chars", "sum", "n_chars")])
+
+
+def docs_with_phrase(sf_dir: str, phrase: str = "key agg row"
+                     ) -> ray.data.Dataset:
+    """Exact multi-token phrase search with word boundaries: pad the
+    text with spaces and run ONE vectorized substring kernel per batch
+    — the retrieval primitive behind phrase queries, no index
+    required."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    needle = f" {phrase} "
+
+    def match(batch: pa.Table) -> pa.Table:
+        padded = pc.binary_join_element_wise(
+            pa.array([" "] * len(batch)), batch.column("text"),
+            pa.array([" "] * len(batch)), pa.scalar(""))
+        keep = pc.match_substring(padded, needle)
+        b = batch.filter(keep)
+        return pa.table({"doc_id": b.column("doc_id")})
+
+    return ds.map_batches(match, batch_format="pyarrow")
+
+
+def top_revenue_day_per_nation(sf_dir: str) -> ray.data.Dataset:
+    """Argmax over a JOINED fact: each supplier nation's highest-revenue
+    ship day (ties → earliest day).  Nation resolves per batch
+    (broadcast), (nation, day) revenues partial-aggregate, the argmax
+    folds per nation group over a calendar-bounded table."""
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    nation_t = pq.read_table(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    side_ref = ray.put((supp.column("s_suppkey").combine_chunks(),
+                        supp.column("s_nationkey").combine_chunks(),
+                        nation_t.column("n_nationkey").combine_chunks(),
+                        nation_t.column("n_name").combine_chunks()))
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_suppkey", "l_shipdate",
+                                     "l_extendedprice"])
+
+    def per_day(batch: pa.Table) -> pa.Table:
+        sk, snk, nk, nn = ray.get(side_ref)
+        si = pc.index_in(batch.column("l_suppkey"), value_set=sk)
+        ni = pc.index_in(pc.take(snk, si), value_set=nk)
+        day = pc.floor_temporal(batch.column("l_shipdate"), unit="day")
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"n_name": pc.take(nn, ni), "day": day,
+                      "cents": pa.array(cents)})
+        res = t.group_by(["n_name", "day"]).aggregate([("cents", "sum")])
+        return pa.table({"n_name": res.column("n_name"),
+                         "day": res.column("day"),
+                         "cents": res.column("cents_sum")})
+
+    agg = partial_aggregate(
+        li.map_batches(per_day, batch_format="pyarrow"),
+        ["n_name", "day"], [("cents", "sum", "cents")])
+
+    def argmax(group: pa.Table) -> pa.Table:
+        c = group.column("cents").to_numpy(zero_copy_only=False)
+        d = group.column("day").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        i = np.lexsort((d, -c))[0]
+        return pa.table({
+            "n_name": group.column("n_name").slice(0, 1),
+            "peak_day": group.column("day").take(pa.array([int(i)])),
+            "revenue_cents": pa.array([int(c[i])], pa.int64())})
+
+    return agg.groupby("n_name").map_groups(argmax,
+                                            batch_format="pyarrow")
+
+
+def lineitem_quantity_mode(sf_dir: str) -> pa.Table:
+    """Exact statistical MODE of the quantity column (tie → smallest
+    value): value counts partial-aggregate over the bounded distinct-
+    value domain; the argmax folds on the driver."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_quantity"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        q = np.rint(batch.column("l_quantity")
+                    .to_numpy(zero_copy_only=False)).astype(np.int64)
+        t = pa.table({"qty": pa.array(q),
+                      "n": pa.array(np.ones(len(q), np.int64))})
+        res = t.group_by(["qty"]).aggregate([("n", "sum")])
+        return pa.table({"qty": res.column("qty"),
+                         "n": res.column("n_sum")})
+
+    rows = partial_aggregate(
+        li.map_batches(counts, batch_format="pyarrow"),
+        ["qty"], [("n", "sum", "n")]).take_all()
+    qs = np.array([r["qty"] for r in rows], np.int64)
+    ns = np.array([r["n"] for r in rows], np.int64)
+    i = np.lexsort((qs, -ns))[0]
+    return pa.table({"mode_qty": pa.array([int(qs[i])], pa.int64()),
+                     "n_occurrences": pa.array([int(ns[i])], pa.int64()),
+                     "n_distinct": pa.array([len(qs)], pa.int64())})
