@@ -186,7 +186,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         doc_hash_shard_balance,
                                         docs_with_phrase,
                                         top_revenue_day_per_nation,
-                                        lineitem_quantity_mode)
+                                        lineitem_quantity_mode,
+                                        part_revenue_gini_ppm,
+                                        customer_year_overlap_matrix,
+                                        view_to_purchase_lag_hist,
+                                        token_zipf_ranks)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -621,6 +625,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_with_phrase": docs_with_phrase,
         "top_revenue_day_per_nation": top_revenue_day_per_nation,
         "lineitem_quantity_mode": lineitem_quantity_mode,
+        "part_revenue_gini_ppm": part_revenue_gini_ppm,
+        "customer_year_overlap_matrix": customer_year_overlap_matrix,
+        "view_to_purchase_lag_hist": view_to_purchase_lag_hist,
+        "token_zipf_ranks": token_zipf_ranks,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2039,6 +2047,42 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(n AS BIGINT) FROM r WHERE rn = 1) "
             "AS n_occurrences, "
             "(SELECT CAST(count(*) AS BIGINT) FROM c) AS n_distinct"),
+        "part_revenue_gini_ppm": (
+            "WITH p AS (SELECT l_partkey, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS cents FROM lineitem GROUP BY 1), "
+            "r AS (SELECT cents, ROW_NUMBER() OVER ("
+            "ORDER BY cents, l_partkey) AS rn, "
+            "count(*) OVER () AS n FROM p) "
+            "SELECT CAST(SUM((2 * rn - n - 1) * cents) * 1000000 // "
+            "(MAX(n) * SUM(cents)) AS BIGINT) AS gini_ppm, "
+            "CAST(MAX(n) AS BIGINT) AS n_parts, "
+            "CAST(SUM(cents) AS BIGINT) AS total_cents FROM r"),
+        "customer_year_overlap_matrix": (
+            "WITH d AS (SELECT DISTINCT o_custkey, "
+            "CAST(year(o_orderdate) AS BIGINT) AS y FROM orders) "
+            "SELECT a.y AS year_a, b.y AS year_b, "
+            "CAST(count(*) AS BIGINT) AS n_customers "
+            "FROM d a JOIN d b ON a.o_custkey = b.o_custkey "
+            "AND a.y <= b.y GROUP BY 1, 2"),
+        "view_to_purchase_lag_hist": (
+            "WITH f AS (SELECT user_id, event_type, min(ts) AS t "
+            "FROM events WHERE event_type IN ('view', 'purchase') "
+            "GROUP BY 1, 2), "
+            "v AS (SELECT a.user_id, CAST(epoch_us(b.t) - "
+            "epoch_us(a.t) AS BIGINT) AS lag_us FROM f a "
+            "JOIN f b ON a.user_id = b.user_id "
+            "AND a.event_type = 'view' AND b.event_type = 'purchase') "
+            "SELECT CAST((lag_us // 1000000) // 3600 AS BIGINT) "
+            "AS lag_bucket, CAST(count(*) AS BIGINT) AS n_users "
+            "FROM v WHERE lag_us >= 0 GROUP BY 1"),
+        "token_zipf_ranks": (
+            "WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n "
+            "FROM (SELECT unnest(string_split(text, ' ')) AS tok "
+            "FROM documents) GROUP BY 1) "
+            "SELECT tok, n AS n_occurrences, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS BIGINT) "
+            "AS freq_rank FROM c"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

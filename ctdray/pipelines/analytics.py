@@ -7477,3 +7477,150 @@ def lineitem_quantity_mode(sf_dir: str) -> pa.Table:
     return pa.table({"mode_qty": pa.array([int(qs[i])], pa.int64()),
                      "n_occurrences": pa.array([int(ns[i])], pa.int64()),
                      "n_distinct": pa.array([len(qs)], pa.int64())})
+
+
+def part_revenue_gini_ppm(sf_dir: str) -> pa.Table:
+    """Gini coefficient (floor ppm) of revenue across parts — the
+    inequality metric over a dimension-bounded aggregate: fact reduces
+    to per-part revenue, the driver folds the classic
+    Σ(2i−n−1)·x_(i) / (n·Σx) formula over the sorted bounded table
+    (sort ties broken by partkey to match the SQL window)."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_extendedprice"])
+
+    def per_part(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"l_partkey": batch.column("l_partkey"),
+                      "cents": pa.array(cents)})
+        res = t.group_by(["l_partkey"]).aggregate([("cents", "sum")])
+        return pa.table({"l_partkey": res.column("l_partkey"),
+                         "cents": res.column("cents_sum")})
+
+    rows = partial_aggregate(
+        li.map_batches(per_part, batch_format="pyarrow"),
+        ["l_partkey"], [("cents", "sum", "cents")]).take_all()
+    pk = np.array([r["l_partkey"] for r in rows], np.int64)
+    c = np.array([r["cents"] for r in rows], np.int64)
+    order = np.lexsort((pk, c))
+    c = c[order]
+    n = len(c)
+    total = int(c.sum())
+    num = int((((2 * np.arange(1, n + 1) - n - 1)) * c).sum())
+    gini_ppm = (num * 1_000_000) // (n * total) if total else 0
+    return pa.table({"gini_ppm": pa.array([gini_ppm], pa.int64()),
+                     "n_parts": pa.array([n], pa.int64()),
+                     "total_cents": pa.array([total], pa.int64())})
+
+
+def customer_year_overlap_matrix(sf_dir: str) -> ray.data.Dataset:
+    """Temporal cohort overlap: for every ordered pair of years, how
+    many customers were active in BOTH.  Distinct (cust, year) pairs
+    reduce per batch; each customer's year set folds to its year pairs
+    (≤ |years|² rows per customer), and pair counts partial-aggregate —
+    the co-occurrence matrix over a per-entity attribute set."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        y = pc.cast(pc.year(batch.column("o_orderdate")), pa.int64())
+        t = pa.table({"o_custkey": batch.column("o_custkey"),
+                      "year": y})
+        return t.group_by(["o_custkey", "year"]).aggregate([]) \
+            .select(["o_custkey", "year"])
+
+    distinct = partial_aggregate(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["o_custkey", "year"], [])
+
+    def year_pairs(group: pa.Table) -> pa.Table:
+        y = np.sort(group.column("year").to_numpy(zero_copy_only=False))
+        ii, jj = np.triu_indices(len(y), k=0)
+        return pa.table({"year_a": pa.array(y[ii]),
+                         "year_b": pa.array(y[jj]),
+                         "n": pa.array(np.ones(len(ii), np.int64))})
+
+    per = distinct.groupby("o_custkey").map_groups(
+        year_pairs, batch_format="pyarrow")
+    return partial_aggregate(per, ["year_a", "year_b"],
+                             [("n", "sum", "n_customers")])
+
+
+def view_to_purchase_lag_hist(sf_dir: str, bucket_s: int = 3600
+                              ) -> ray.data.Dataset:
+    """Funnel latency: per user, seconds from FIRST view to FIRST
+    purchase (only users with both, purchase after view), folded into
+    hour buckets.  Two min-combiner aggregates keyed the same way, one
+    group fold, one tiny histogram exchange."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type", "ts"])
+
+    def firsts(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_in(batch.column("event_type"),
+                                  value_set=pa.array(["view",
+                                                      "purchase"])))
+        ts = b.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        t = pa.table({"user_id": b.column("user_id"),
+                      "event_type": b.column("event_type"),
+                      "first_us": pa.array(ts)})
+        res = t.group_by(["user_id", "event_type"]).aggregate(
+            [("first_us", "min")])
+        return pa.table({"user_id": res.column("user_id"),
+                         "event_type": res.column("event_type"),
+                         "first_us": res.column("first_us_min")})
+
+    per = partial_aggregate(
+        ds.map_batches(firsts, batch_format="pyarrow"),
+        ["user_id", "event_type"], [("first_us", "min", "first_us")])
+
+    def lag(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_pylist()
+        us = group.column("first_us").to_numpy(zero_copy_only=False)
+        d = dict(zip(et, us))
+        empty = pa.table({"lag_bucket": pa.array([], pa.int64()),
+                          "n_users": pa.array([], pa.int64())})
+        if "view" not in d or "purchase" not in d:
+            return empty
+        lag_s = (int(d["purchase"]) - int(d["view"])) // 1_000_000
+        if lag_s < 0:
+            return empty
+        return pa.table({"lag_bucket": pa.array([lag_s // bucket_s],
+                                                pa.int64()),
+                         "n_users": pa.array([1], pa.int64())})
+
+    per_user = per.groupby("user_id").map_groups(lag,
+                                                 batch_format="pyarrow")
+    return partial_aggregate(per_user, ["lag_bucket"],
+                             [("n_users", "sum", "n_users")])
+
+
+def token_zipf_ranks(sf_dir: str) -> pa.Table:
+    """Zipf profile: every token with its document frequency and
+    frequency rank (ties → lexicographic) — the rank-frequency table
+    behind vocabulary diagnostics.  Token df counts partial-aggregate
+    (vocabulary-bounded); ranks fold on the driver."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(batch.column("text"),
+                                                " "))
+        t = pa.table({"tok": flat,
+                      "n": pa.array(np.ones(len(flat), np.int64))})
+        res = t.group_by(["tok"]).aggregate([("n", "sum")])
+        return pa.table({"tok": res.column("tok"),
+                         "n": res.column("n_sum")})
+
+    rows = partial_aggregate(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["tok"], [("n", "sum", "n")]).take_all()
+    toks = np.asarray([r["tok"] for r in rows], dtype=object)
+    ns = np.array([r["n"] for r in rows], np.int64)
+    order = np.lexsort((toks, -ns))
+    return pa.table({
+        "tok": pa.array(toks[order], pa.string()),
+        "n_occurrences": pa.array(ns[order]),
+        "freq_rank": pa.array(np.arange(1, len(order) + 1,
+                                        dtype=np.int64))})
