@@ -190,7 +190,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         part_revenue_gini_ppm,
                                         customer_year_overlap_matrix,
                                         view_to_purchase_lag_hist,
-                                        token_zipf_ranks)
+                                        token_zipf_ranks,
+                                        supplier_quadrant_counts,
+                                        doc_ttr_ppm,
+                                        user_value_milestone,
+                                        part_name_bigram_topk)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -629,6 +633,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_year_overlap_matrix": customer_year_overlap_matrix,
         "view_to_purchase_lag_hist": view_to_purchase_lag_hist,
         "token_zipf_ranks": token_zipf_ranks,
+        "supplier_quadrant_counts": supplier_quadrant_counts,
+        "doc_ttr_ppm": doc_ttr_ppm,
+        "user_value_milestone": user_value_milestone,
+        "part_name_bigram_topk": part_name_bigram_topk,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2083,6 +2091,49 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tok, n AS n_occurrences, "
             "CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS BIGINT) "
             "AS freq_rank FROM c"),
+        "supplier_quadrant_counts": (
+            "WITH rev AS (SELECT l_suppkey, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS rv FROM lineitem GROUP BY 1), "
+            "r AS (SELECT s_suppkey, "
+            "CAST(round(s_acctbal * 100) AS BIGINT) AS bal, "
+            "COALESCE(rv, 0) AS rv FROM supplier "
+            "LEFT JOIN rev ON s_suppkey = l_suppkey), "
+            "m AS (SELECT quantile_disc(bal, 0.5) AS mb, "
+            "quantile_disc(rv, 0.5) AS mr FROM r) "
+            "SELECT CASE WHEN bal > mb AND rv > mr THEN 'hb_hr' "
+            "WHEN bal > mb THEN 'hb_lr' WHEN rv > mr THEN 'lb_hr' "
+            "ELSE 'lb_lr' END AS quadrant, "
+            "CAST(count(*) AS BIGINT) AS n_suppliers "
+            "FROM r, m GROUP BY 1"),
+        "doc_ttr_ppm": (
+            "SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, "
+            "CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct, "
+            "CAST(CASE WHEN len(t) = 0 THEN 0 ELSE "
+            "(1000000 * len(list_distinct(t))) // len(t) END AS BIGINT) "
+            "AS ttr_ppm FROM (SELECT doc_id, "
+            "string_split(text, ' ') AS t FROM documents)"),
+        "user_value_milestone": (
+            "WITH s AS (SELECT user_id, event_id, "
+            "SUM(CAST(round(value * 100) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS cum, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS rn FROM events), "
+            "f AS (SELECT user_id, event_id, rn, cum, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) "
+            "AS hitrank FROM s WHERE cum >= 10000) "
+            "SELECT user_id, event_id, "
+            "CAST(rn AS BIGINT) AS n_events_to_milestone, "
+            "CAST(cum AS BIGINT) AS cum_cents FROM f "
+            "WHERE hitrank = 1"),
+        "part_name_bigram_topk": (
+            "WITH g AS (SELECT unnest([t[CAST(i AS INT)] || ' ' || "
+            "t[CAST(i AS INT) + 1] FOR i IN range(1, len(t))]) "
+            "AS bigram FROM (SELECT string_split(p_name, ' ') AS t "
+            "FROM part)) "
+            "SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM g "
+            "GROUP BY 1 ORDER BY n DESC, bigram LIMIT 10"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

@@ -7624,3 +7624,133 @@ def token_zipf_ranks(sf_dir: str) -> pa.Table:
         "n_occurrences": pa.array(ns[order]),
         "freq_rank": pa.array(np.arange(1, len(order) + 1,
                                         dtype=np.int64))})
+
+
+def supplier_quadrant_counts(sf_dir: str) -> pa.Table:
+    """Median-split quadrant analysis: suppliers classified by (account
+    balance vs median, revenue vs median) into four quadrants — the
+    2-D feature binning used for segment dashboards.  Fact reduces to
+    per-supplier revenue; both medians use quantile_disc semantics over
+    the bounded supplier dimension; counts fold on the driver."""
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_acctbal"])
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_suppkey", "l_extendedprice"])
+
+    def per_supp(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"l_suppkey": batch.column("l_suppkey"),
+                      "cents": pa.array(cents)})
+        res = t.group_by(["l_suppkey"]).aggregate([("cents", "sum")])
+        return pa.table({"l_suppkey": res.column("l_suppkey"),
+                         "cents": res.column("cents_sum")})
+
+    rows = partial_aggregate(
+        li.map_batches(per_supp, batch_format="pyarrow"),
+        ["l_suppkey"], [("cents", "sum", "cents")]).take_all()
+    rev = {r["l_suppkey"]: r["cents"] for r in rows}
+    sk = supp.column("s_suppkey").to_numpy(zero_copy_only=False)
+    bal_c = np.rint(supp.column("s_acctbal")
+                    .to_numpy(zero_copy_only=False) * 100) \
+        .astype(np.int64)
+    rv = np.array([rev.get(int(k), 0) for k in sk], np.int64)
+
+    def disc_median(v: np.ndarray) -> int:
+        s = np.sort(v)
+        return int(s[max(0, -(-len(s) // 2) - 1)])  # rank ceil(n/2)
+
+    mb, mr = disc_median(bal_c), disc_median(rv)
+    hi_b, hi_r = bal_c > mb, rv > mr
+    names = ["hb_hr", "hb_lr", "lb_hr", "lb_lr"]
+    counts = [int((hi_b & hi_r).sum()), int((hi_b & ~hi_r).sum()),
+              int((~hi_b & hi_r).sum()), int((~hi_b & ~hi_r).sum())]
+    keep = [i for i, c in enumerate(counts) if c > 0]  # match SQL GROUP BY
+    return pa.table({
+        "quadrant": pa.array([names[i] for i in keep], pa.string()),
+        "n_suppliers": pa.array([counts[i] for i in keep], pa.int64())})
+
+
+def doc_ttr_ppm(sf_dir: str) -> ray.data.Dataset:
+    """Type-token ratio per document (distinct/total tokens, floor ppm)
+    — the lexical-diversity curation signal; one stateless pass."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def ttr(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        distinct = np.fromiter((len(set(t)) for t in toks.to_pylist()),
+                               np.int64, len(batch))
+        ppm = np.where(n > 0,
+                       (1_000_000 * distinct) // np.where(n == 0, 1, n),
+                       0)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tokens": pa.array(n.astype(np.int64)),
+                         "n_distinct": pa.array(distinct),
+                         "ttr_ppm": pa.array(ppm)})
+
+    return ds.map_batches(ttr, batch_format="pyarrow")
+
+
+def user_value_milestone(sf_dir: str, milestone_cents: int = 10_000
+                         ) -> ray.data.Dataset:
+    """Windowed-accumulator milestone: for each user, the FIRST event at
+    which their running value total (ordered by ts, event_id) crosses
+    the milestone — per-user vectorized cumsum, one keyed exchange, no
+    driver loops.  Users that never cross are absent."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "value"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        cents = np.rint(group.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts))
+        cum = np.cumsum(cents[order])
+        hit = np.flatnonzero(cum >= milestone_cents)
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "event_id": pa.array([], pa.int64()),
+                          "n_events_to_milestone": pa.array([],
+                                                            pa.int64()),
+                          "cum_cents": pa.array([], pa.int64())})
+        if len(hit) == 0:
+            return empty
+        i = int(hit[0])
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "event_id": pa.array([int(eid[order][i])], pa.int64()),
+            "n_events_to_milestone": pa.array([i + 1], pa.int64()),
+            "cum_cents": pa.array([int(cum[i])], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")
+
+
+def part_name_bigram_topk(sf_dir: str, n: int = 10) -> ray.data.Dataset:
+    """Top word bigrams over the part-name corpus (a second text column
+    family): per-batch bigram counts, partial-agg reduce, deterministic
+    top-k."""
+    ds = read_parquet_clean(f"{sf_dir}/part.parquet",
+                            columns=["p_name"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("p_name"), " ")
+        grams = []
+        for tl in toks.to_pylist():
+            grams.extend(f"{a} {b}" for a, b in zip(tl, tl[1:]))
+        t = pa.table({"bigram": pa.array(grams, pa.string()),
+                      "n": pa.array(np.ones(len(grams), np.int64))})
+        res = t.group_by(["bigram"]).aggregate([("n", "sum")])
+        return pa.table({"bigram": res.column("bigram"),
+                         "n": res.column("n_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["bigram"], [("n", "sum", "n")])
+    return agg.sort(["n", "bigram"], descending=[True, False]).limit(n)
