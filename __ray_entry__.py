@@ -194,7 +194,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         supplier_quadrant_counts,
                                         doc_ttr_ppm,
                                         user_value_milestone,
-                                        part_name_bigram_topk)
+                                        part_name_bigram_topk,
+                                        user_second_event_type_dist,
+                                        user_longest_increasing_run,
+                                        order_seasonality_index,
+                                        embedding_dim_range)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -637,6 +641,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ttr_ppm": doc_ttr_ppm,
         "user_value_milestone": user_value_milestone,
         "part_name_bigram_topk": part_name_bigram_topk,
+        "user_second_event_type_dist": user_second_event_type_dist,
+        "user_longest_increasing_run": user_longest_increasing_run,
+        "order_seasonality_index": order_seasonality_index,
+        "embedding_dim_range": embedding_dim_range,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2134,6 +2142,43 @@ def oracle_sql() -> dict[str, str]:
             "FROM part)) "
             "SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM g "
             "GROUP BY 1 ORDER BY n DESC, bigram LIMIT 10"),
+        "user_second_event_type_dist": (
+            "WITH s AS (SELECT user_id, event_type, ROW_NUMBER() OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+            "FROM events) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_users "
+            "FROM s WHERE rn = 2 GROUP BY 1"),
+        "user_longest_increasing_run": (
+            "WITH s AS (SELECT user_id, ts, event_id, "
+            "CAST(round(value * 100) AS BIGINT) AS c, "
+            "LAG(CAST(round(value * 100) AS BIGINT)) OVER w AS prev "
+            "FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id)), "
+            "g AS (SELECT user_id, SUM(CASE WHEN prev IS NULL "
+            "OR c <= prev THEN 1 ELSE 0 END) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM s), "
+            "runs AS (SELECT user_id, sid, count(*) AS run "
+            "FROM g GROUP BY 1, 2) "
+            "SELECT user_id, CAST(MAX(run) AS BIGINT) AS longest_run, "
+            "CAST(SUM(run) AS BIGINT) AS n_events FROM runs "
+            "GROUP BY 1"),
+        "order_seasonality_index": (
+            "WITH m AS (SELECT CAST(month(o_orderdate) AS BIGINT) "
+            "AS month_of_year, "
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS revenue_cents FROM orders GROUP BY 1) "
+            "SELECT month_of_year, revenue_cents, "
+            "CAST(revenue_cents * 12 * 1000000 // "
+            "(SELECT SUM(revenue_cents) FROM m) AS BIGINT) "
+            "AS seasonality_ppm FROM m"),
+        "embedding_dim_range": (
+            "SELECT CAST(k - 1 AS BIGINT) AS dim, "
+            "CAST(MIN(CAST(round(CAST(embedding[CAST(k AS INT)] "
+            "AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) AS min_e4, "
+            "CAST(MAX(CAST(round(CAST(embedding[CAST(k AS INT)] "
+            "AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) AS max_e4 "
+            "FROM embeddings, range(1, 65) r(k) GROUP BY 1"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

@@ -7754,3 +7754,120 @@ def part_name_bigram_topk(sf_dir: str, n: int = 10) -> ray.data.Dataset:
         ds.map_batches(counts, batch_format="pyarrow"),
         ["bigram"], [("n", "sum", "n")])
     return agg.sort(["n", "bigram"], descending=[True, False]).limit(n)
+
+
+def user_second_event_type_dist(sf_dir: str) -> ray.data.Dataset:
+    """Position-indexed selection: the distribution of each user's
+    SECOND event type (by ts, event_id) — the 'what happens right after
+    acquisition' profile.  Per-user fold emits one row; counts reduce
+    via partial aggregation."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    def second(group: pa.Table) -> pa.Table:
+        if len(group) < 2:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n_users": pa.array([], pa.int64())})
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        i = np.lexsort((eid, ts))[1]
+        return pa.table({
+            "event_type": group.column("event_type")
+            .take(pa.array([int(i)])),
+            "n_users": pa.array([1], pa.int64())})
+
+    per = ds.groupby("user_id").map_groups(second,
+                                           batch_format="pyarrow")
+    return partial_aggregate(per, ["event_type"],
+                             [("n_users", "sum", "n_users")])
+
+
+def user_longest_increasing_run(sf_dir: str) -> ray.data.Dataset:
+    """Pattern mining: per user, the longest run of STRICTLY increasing
+    event values over the (ts, event_id)-ordered stream — vectorized
+    island detection per group, no row loops."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "value"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        cents = np.rint(group.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts))
+        v = cents[order]
+        if len(v) == 1:
+            longest = 1
+        else:
+            brk = np.flatnonzero(v[1:] <= v[:-1])
+            runs = np.diff(np.r_[0, brk + 1, len(v)])
+            longest = int(runs.max())
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "longest_run": pa.array([longest], pa.int64()),
+            "n_events": pa.array([len(v)], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")
+
+
+def order_seasonality_index(sf_dir: str) -> pa.Table:
+    """Month-of-year seasonality index: each calendar month's revenue
+    relative to the uniform monthly mean (floor ppm, ×12 integer
+    arithmetic).  Month revenues partial-aggregate (12-bounded); the
+    index folds on the driver."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def per_month(batch: pa.Table) -> pa.Table:
+        m = pc.cast(pc.month(batch.column("o_orderdate")), pa.int64())
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"month_of_year": m, "cents": pa.array(cents)})
+        res = t.group_by(["month_of_year"]).aggregate([("cents", "sum")])
+        return pa.table({"month_of_year": res.column("month_of_year"),
+                         "cents": res.column("cents_sum")})
+
+    rows = partial_aggregate(
+        ds.map_batches(per_month, batch_format="pyarrow"),
+        ["month_of_year"], [("cents", "sum", "cents")]).take_all()
+    rows.sort(key=lambda r: r["month_of_year"])
+    total = sum(r["cents"] for r in rows)
+    return pa.table({
+        "month_of_year": pa.array([r["month_of_year"] for r in rows],
+                                  pa.int64()),
+        "revenue_cents": pa.array([r["cents"] for r in rows],
+                                  pa.int64()),
+        "seasonality_ppm": pa.array(
+            [(r["cents"] * 12 * 1_000_000) // total for r in rows],
+            pa.int64())})
+
+
+def embedding_dim_range(sf_dir: str) -> ray.data.Dataset:
+    """Per-dimension value ranges over the embedding corpus (feature
+    scaling diagnostics): each batch folds its local per-dim min/max
+    (1e4-scaled ints) and the exchange carries 64 rows per task."""
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"])
+
+    def ranges(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        d = pc.list_value_length(emb)[0].as_py()
+        q = np.rint(flat.reshape(-1, d) * 10_000).astype(np.int64)
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "min_e4": pa.array(q.min(axis=0)),
+            "max_e4": pa.array(q.max(axis=0))})
+
+    return partial_aggregate(
+        ds.map_batches(ranges, batch_format="pyarrow"),
+        ["dim"], [("min_e4", "min", "min_e4"),
+                  ("max_e4", "max", "max_e4")])
