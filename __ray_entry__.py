@@ -198,7 +198,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         user_second_event_type_dist,
                                         user_longest_increasing_run,
                                         order_seasonality_index,
-                                        embedding_dim_range)
+                                        embedding_dim_range,
+                                        doc_top_token,
+                                        label_peak_dim,
+                                        docs_term_first_pos,
+                                        discount_tax_joint_hist)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -645,6 +649,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_longest_increasing_run": user_longest_increasing_run,
         "order_seasonality_index": order_seasonality_index,
         "embedding_dim_range": embedding_dim_range,
+        "doc_top_token": doc_top_token,
+        "label_peak_dim": label_peak_dim,
+        "docs_term_first_pos": docs_term_first_pos,
+        "discount_tax_joint_hist": discount_tax_joint_hist,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2179,6 +2187,39 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MAX(CAST(round(CAST(embedding[CAST(k AS INT)] "
             "AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) AS max_e4 "
             "FROM embeddings, range(1, 65) r(k) GROUP BY 1"),
+        "doc_top_token": (
+            "WITH c AS (SELECT doc_id, tok, count(*) AS n FROM ("
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+            "FROM documents) GROUP BY 1, 2), "
+            "r AS (SELECT doc_id, tok, n, ROW_NUMBER() OVER ("
+            "PARTITION BY doc_id ORDER BY n DESC, tok) AS rn FROM c) "
+            "SELECT doc_id, tok AS top_token, "
+            "CAST(n AS BIGINT) AS n_occurrences FROM r WHERE rn = 1"),
+        "label_peak_dim": (
+            "WITH s AS (SELECT CAST(label AS BIGINT) AS label, "
+            "CAST(k - 1 AS BIGINT) AS dim, "
+            "CAST(SUM(CAST(round(CAST(embedding[CAST(k AS INT)] "
+            "AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) AS s_e4 "
+            "FROM embeddings, range(1, 65) r(k) GROUP BY 1, 2), "
+            "r AS (SELECT label, dim, s_e4, ROW_NUMBER() OVER ("
+            "PARTITION BY label ORDER BY abs(s_e4) DESC, dim) AS rn "
+            "FROM s) "
+            "SELECT label, dim AS peak_dim, s_e4 AS component_e4 "
+            "FROM r WHERE rn = 1"),
+        "docs_term_first_pos": (
+            "SELECT doc_id, CAST(list_position("
+            "string_split(text, ' '), 'key') AS BIGINT) AS first_pos "
+            "FROM documents "
+            "WHERE list_position(string_split(text, ' '), 'key') "
+            "IS NOT NULL AND list_position(string_split(text, ' '), "
+            "'key') > 0"),
+        "discount_tax_joint_hist": (
+            "SELECT CAST(round(l_discount * 100) AS BIGINT) "
+            "AS disc_pct, CAST(round(l_tax * 100) AS BIGINT) "
+            "AS tax_pct, CAST(count(*) AS BIGINT) AS n_lines, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS revenue_cents "
+            "FROM lineitem GROUP BY 1, 2"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

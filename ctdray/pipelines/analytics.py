@@ -7871,3 +7871,136 @@ def embedding_dim_range(sf_dir: str) -> ray.data.Dataset:
         ds.map_batches(ranges, batch_format="pyarrow"),
         ["dim"], [("min_e4", "min", "min_e4"),
                   ("max_e4", "max", "max_e4")])
+
+
+def doc_top_token(sf_dir: str) -> ray.data.Dataset:
+    """Per-document mode token (ties → lexicographic) with its count —
+    per-doc argmax folded inside ONE stateless pass (documents are
+    self-contained; nothing shuffles)."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def top(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_t, out_n = [], []
+        for tl in toks.to_pylist():
+            best, best_n = None, 0
+            cnt: dict = {}
+            for t in tl:
+                cnt[t] = cnt.get(t, 0) + 1
+            for t in sorted(cnt):
+                if cnt[t] > best_n:
+                    best, best_n = t, cnt[t]
+            out_t.append(best)
+            out_n.append(best_n)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "top_token": pa.array(out_t, pa.string()),
+                         "n_occurrences": pa.array(out_n, pa.int64())})
+
+    return ds.map_batches(top, batch_format="pyarrow")
+
+
+def label_peak_dim(sf_dir: str) -> ray.data.Dataset:
+    """Per-label peak embedding dimension: the dim with the largest
+    ABSOLUTE centroid component (1e4-scaled integer sums; ties → lowest
+    dim).  (label, dim) sums partial-aggregate — the gradient-shaped
+    exchange — then a per-label argmax fold."""
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["label", "embedding"])
+
+    def sums(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        d = pc.list_value_length(emb)[0].as_py()
+        q = np.rint(flat.reshape(-1, d) * 10_000).astype(np.int64)
+        labels = pc.cast(batch.column("label"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        uniq = np.unique(labels)
+        lab_out, dim_out, s_out = [], [], []
+        for lb in uniq:
+            s = q[labels == lb].sum(axis=0)
+            lab_out.append(np.full(d, lb, np.int64))
+            dim_out.append(np.arange(d, dtype=np.int64))
+            s_out.append(s)
+        return pa.table({"label": pa.array(np.concatenate(lab_out)),
+                         "dim": pa.array(np.concatenate(dim_out)),
+                         "s_e4": pa.array(np.concatenate(s_out))})
+
+    agg = partial_aggregate(
+        ds.map_batches(sums, batch_format="pyarrow"),
+        ["label", "dim"], [("s_e4", "sum", "s_e4")])
+
+    def argmax(group: pa.Table) -> pa.Table:
+        s = group.column("s_e4").to_numpy(zero_copy_only=False)
+        d = group.column("dim").to_numpy(zero_copy_only=False)
+        i = np.lexsort((d, -np.abs(s)))[0]
+        return pa.table({
+            "label": group.column("label").slice(0, 1),
+            "peak_dim": pa.array([int(d[i])], pa.int64()),
+            "component_e4": pa.array([int(s[i])], pa.int64())})
+
+    return agg.groupby("label").map_groups(argmax,
+                                           batch_format="pyarrow")
+
+
+def docs_term_first_pos(sf_dir: str, term: str = "key"
+                        ) -> ray.data.Dataset:
+    """Positional postings for one term: each containing document with
+    the 1-based position of the term's FIRST occurrence — the retrieval
+    primitive behind proximity scoring.  One stateless pass."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def first_pos(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_pos = [], []
+        for did, tl in zip(ids, toks.to_pylist()):
+            try:
+                out_pos.append(tl.index(term) + 1)
+                out_id.append(did)
+            except ValueError:
+                pass
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "first_pos": pa.array(out_pos, pa.int64())})
+
+    return ds.map_batches(first_pos, batch_format="pyarrow")
+
+
+def discount_tax_joint_hist(sf_dir: str) -> ray.data.Dataset:
+    """Joint (discount%, tax%) contingency table over lineitems with
+    integral-cent revenue per cell — the 2-D categorical histogram for
+    pricing audits; pure partial aggregation."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_discount", "l_tax",
+                                     "l_extendedprice"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        disc = np.rint(batch.column("l_discount")
+                       .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        tax = np.rint(batch.column("l_tax")
+                      .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"disc_pct": pa.array(disc),
+                      "tax_pct": pa.array(tax),
+                      "n_lines": pa.array(np.ones(len(disc), np.int64)),
+                      "revenue_cents": pa.array(cents)})
+        res = t.group_by(["disc_pct", "tax_pct"]).aggregate(
+            [("n_lines", "sum"), ("revenue_cents", "sum")])
+        return pa.table({"disc_pct": res.column("disc_pct"),
+                         "tax_pct": res.column("tax_pct"),
+                         "n_lines": res.column("n_lines_sum"),
+                         "revenue_cents":
+                             res.column("revenue_cents_sum")})
+
+    return partial_aggregate(
+        li.map_batches(cells, batch_format="pyarrow"),
+        ["disc_pct", "tax_pct"],
+        [("n_lines", "sum", "n_lines"),
+         ("revenue_cents", "sum", "revenue_cents")])
