@@ -202,7 +202,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         doc_top_token,
                                         label_peak_dim,
                                         docs_term_first_pos,
-                                        discount_tax_joint_hist)
+                                        discount_tax_joint_hist,
+                                        customer_value_trend_counts,
+                                        parts_multi_nation,
+                                        top_value_events,
+                                        event_weekend_share_ppm)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -653,6 +657,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_peak_dim": label_peak_dim,
         "docs_term_first_pos": docs_term_first_pos,
         "discount_tax_joint_hist": discount_tax_joint_hist,
+        "customer_value_trend_counts": customer_value_trend_counts,
+        "parts_multi_nation": parts_multi_nation,
+        "top_value_events": top_value_events,
+        "event_weekend_share_ppm": event_weekend_share_ppm,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2220,6 +2228,40 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) "
             "AS BIGINT) AS revenue_cents "
             "FROM lineitem GROUP BY 1, 2"),
+        "customer_value_trend_counts": (
+            "WITH a AS (SELECT o_custkey, "
+            "first(CAST(round(o_totalprice * 100) AS BIGINT) "
+            "ORDER BY o_orderdate, o_orderkey) AS f, "
+            "last(CAST(round(o_totalprice * 100) AS BIGINT) "
+            "ORDER BY o_orderdate, o_orderkey) AS l "
+            "FROM orders GROUP BY 1) "
+            "SELECT CAST(SUM(CASE WHEN l > f THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_up, "
+            "CAST(SUM(CASE WHEN l < f THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_down, "
+            "CAST(SUM(CASE WHEN l = f THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_flat FROM a"),
+        "parts_multi_nation": (
+            "WITH d AS (SELECT DISTINCT l_partkey, s_nationkey "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey) "
+            "SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_nations "
+            "FROM d GROUP BY 1 HAVING count(*) >= 3"),
+        "top_value_events": (
+            "SELECT event_id, user_id, event_type, "
+            "CAST(round(value * 100) AS BIGINT) AS value_cents "
+            "FROM events ORDER BY value_cents DESC, event_id "
+            "LIMIT 10"),
+        "event_weekend_share_ppm": (
+            "WITH s AS (SELECT event_type, "
+            "CAST(SUM(CASE WHEN isodow(ts) >= 6 THEN "
+            "CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) "
+            "AS weekend_cents, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS total_cents FROM events GROUP BY 1) "
+            "SELECT event_type, weekend_cents, total_cents, "
+            "CAST(CASE WHEN total_cents = 0 THEN 0 ELSE "
+            "(1000000 * weekend_cents) // total_cents END AS BIGINT) "
+            "AS weekend_share_ppm FROM s"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

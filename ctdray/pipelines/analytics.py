@@ -8004,3 +8004,169 @@ def discount_tax_joint_hist(sf_dir: str) -> ray.data.Dataset:
         ["disc_pct", "tax_pct"],
         [("n_lines", "sum", "n_lines"),
          ("revenue_cents", "sum", "revenue_cents")])
+
+
+def customer_value_trend_counts(sf_dir: str) -> pa.Table:
+    """Per-customer trajectory classification (first vs last order
+    value → up / down / flat) aggregated to global counts.  Per-batch
+    keep-first/keep-last partials bound the exchange to ≤ |customers|
+    rows per task; the classification folds per coarse bucket."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderkey",
+                                     "o_orderdate", "o_totalprice"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        dt = batch.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, dt, ck))
+        ck_s = ck[order]
+        first = np.flatnonzero(np.r_[True, ck_s[1:] != ck_s[:-1]])
+        last = np.r_[first[1:] - 1, len(ck_s) - 1]
+        return pa.concat_tables([
+            batch.take(pa.array(order[first])),
+            batch.take(pa.array(order[last]))])
+
+    partials = ds.map_batches(per_batch, batch_format="pyarrow")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        bkt = ((ck.astype(np.uint64) * _FIB64) >> np.uint64(56)) \
+            .astype(np.int64)
+        return batch.append_column("bkt", pa.array(bkt))
+
+    def classify(group: pa.Table) -> pa.Table:
+        dt = group.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ck = group.column("o_custkey").to_numpy(zero_copy_only=False)
+        ok = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cents = np.rint(group.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        order = np.lexsort((ok, dt, ck))
+        ck_s, c_s = ck[order], cents[order]
+        first = np.flatnonzero(np.r_[True, ck_s[1:] != ck_s[:-1]])
+        last = np.r_[first[1:] - 1, len(ck_s) - 1]
+        f, l = c_s[first], c_s[last]
+        return pa.table({
+            "n_up": pa.array([int((l > f).sum())], pa.int64()),
+            "n_down": pa.array([int((l < f).sum())], pa.int64()),
+            "n_flat": pa.array([int((l == f).sum())], pa.int64())})
+
+    per_bkt = partials.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bkt").map_groups(classify, batch_format="pyarrow")
+    tot = partial_aggregate(per_bkt.map_batches(
+        lambda b: b.append_column("k", pa.array(np.zeros(len(b),
+                                                         np.int64))),
+        batch_format="pyarrow"), ["k"],
+        [("n_up", "sum", "n_up"), ("n_down", "sum", "n_down"),
+         ("n_flat", "sum", "n_flat")]).take_all()[0]
+    return pa.table({"n_up": pa.array([tot["n_up"]], pa.int64()),
+                     "n_down": pa.array([tot["n_down"]], pa.int64()),
+                     "n_flat": pa.array([tot["n_flat"]], pa.int64())})
+
+
+def parts_multi_nation(sf_dir: str, min_nations: int = 3
+                       ) -> ray.data.Dataset:
+    """Parts sourced from ≥ N distinct supplier nations — the
+    supply-chain-diversity filter: nation resolves per batch
+    (broadcast), distinct (part, nation) pairs reduce, per-part nation
+    counts filter."""
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    side_ref = ray.put((supp.column("s_suppkey").combine_chunks(),
+                        pc.cast(supp.column("s_nationkey"),
+                                pa.int64()).combine_chunks()))
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        sk, snk = ray.get(side_ref)
+        si = pc.index_in(batch.column("l_suppkey"), value_set=sk)
+        t = pa.table({"l_partkey": batch.column("l_partkey"),
+                      "nat": pc.take(snk, si)})
+        return t.group_by(["l_partkey", "nat"]).aggregate([]) \
+            .select(["l_partkey", "nat"])
+
+    distinct = partial_aggregate(
+        li.map_batches(pairs, batch_format="pyarrow"),
+        ["l_partkey", "nat"], [])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["l_partkey"]).aggregate(
+            [("l_partkey", "count")])
+        return pa.table({"l_partkey": res.column("l_partkey"),
+                         "n_nations": pc.cast(
+                             res.column("l_partkey_count"), pa.int64())})
+
+    per_part = partial_aggregate(
+        distinct.map_batches(counts, batch_format="pyarrow"),
+        ["l_partkey"], [("n_nations", "sum", "n_nations")])
+    return per_part.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n_nations"),
+                                            min_nations)),
+        batch_format="pyarrow")
+
+
+def top_value_events(sf_dir: str, n: int = 10) -> ray.data.Dataset:
+    """Raw-fact top-k (no aggregation): the N highest-value events with
+    deterministic tie-break — Ray's distributed sort over (value desc,
+    event_id) then limit; only the head blocks materialize."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id",
+                                     "event_type", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        return pa.table({"event_id": batch.column("event_id"),
+                         "user_id": batch.column("user_id"),
+                         "event_type": batch.column("event_type"),
+                         "value_cents": pa.array(cents)})
+
+    return ds.map_batches(to_cents, batch_format="pyarrow") \
+        .sort(["value_cents", "event_id"],
+              descending=[True, False]).limit(n)
+
+
+def event_weekend_share_ppm(sf_dir: str) -> ray.data.Dataset:
+    """Weekend revenue share per event type (floor ppm): day-of-week
+    folds per batch, (type) sums reduce once, the share stamps on the
+    tiny aggregate."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts", "value"])
+
+    def sums(batch: pa.Table) -> pa.Table:
+        # ISO day of week: Monday=1 .. Sunday=7
+        dow = pc.day_of_week(batch.column("ts"), count_from_zero=False,
+                             week_start=1).to_numpy(
+            zero_copy_only=False)
+        cents = np.rint(batch.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        wknd = (dow >= 6).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "weekend_cents": pa.array(cents * wknd),
+                      "total_cents": pa.array(cents)})
+        res = t.group_by(["event_type"]).aggregate(
+            [("weekend_cents", "sum"), ("total_cents", "sum")])
+        return pa.table({"event_type": res.column("event_type"),
+                         "weekend_cents": res.column(
+                             "weekend_cents_sum"),
+                         "total_cents": res.column("total_cents_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(sums, batch_format="pyarrow"),
+        ["event_type"], [("weekend_cents", "sum", "weekend_cents"),
+                         ("total_cents", "sum", "total_cents")])
+
+    def share(batch: pa.Table) -> pa.Table:
+        w = batch.column("weekend_cents").to_numpy(zero_copy_only=False)
+        t = batch.column("total_cents").to_numpy(zero_copy_only=False)
+        ppm = np.where(t != 0,
+                       (1_000_000 * w) // np.where(t == 0, 1, t), 0)
+        return batch.append_column("weekend_share_ppm", pa.array(ppm))
+
+    return agg.map_batches(share, batch_format="pyarrow")
