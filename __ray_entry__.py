@@ -206,7 +206,10 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         customer_value_trend_counts,
                                         parts_multi_nation,
                                         top_value_events,
-                                        event_weekend_share_ppm)
+                                        event_weekend_share_ppm,
+                                        global_event_gap_topk,
+                                        source_vocab_jaccard,
+                                        nation_cr4_ppm)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -661,6 +664,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_multi_nation": parts_multi_nation,
         "top_value_events": top_value_events,
         "event_weekend_share_ppm": event_weekend_share_ppm,
+        "global_event_gap_topk": global_event_gap_topk,
+        "source_vocab_jaccard": source_vocab_jaccard,
+        "nation_cr4_ppm": nation_cr4_ppm,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2262,6 +2268,39 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN total_cents = 0 THEN 0 ELSE "
             "(1000000 * weekend_cents) // total_cents END AS BIGINT) "
             "AS weekend_share_ppm FROM s"),
+        "global_event_gap_topk": (
+            "WITH s AS (SELECT ts, LEAD(ts) OVER (ORDER BY ts) AS nxt "
+            "FROM events), "
+            "g AS (SELECT CAST(epoch_us(nxt) - epoch_us(ts) AS BIGINT) "
+            "AS gap_us, ts FROM s WHERE nxt IS NOT NULL) "
+            "SELECT gap_us, CAST(ts AS TIMESTAMP) AS start_ts "
+            "FROM g ORDER BY gap_us DESC, ts LIMIT 10"),
+        "source_vocab_jaccard": (
+            "WITH d AS (SELECT DISTINCT source, tok FROM ("
+            "SELECT source, unnest(string_split(text, ' ')) AS tok "
+            "FROM documents)), "
+            "i AS (SELECT a.source AS source_a, b.source AS source_b, "
+            "count(*) AS n FROM d a JOIN d b ON a.tok = b.tok "
+            "AND a.source < b.source GROUP BY 1, 2), "
+            "sz AS (SELECT source, count(*) AS n FROM d GROUP BY 1) "
+            "SELECT source_a, source_b, CAST(i.n AS BIGINT) "
+            "AS inter_size, CAST(sa.n + sb.n - i.n AS BIGINT) "
+            "AS union_size FROM i "
+            "JOIN sz sa ON sa.source = i.source_a "
+            "JOIN sz sb ON sb.source = i.source_b"),
+        "nation_cr4_ppm": (
+            "WITH sc AS (SELECT n_name, s_suppkey, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS c FROM lineitem "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey GROUP BY 1, 2), "
+            "r AS (SELECT n_name, c, ROW_NUMBER() OVER ("
+            "PARTITION BY n_name ORDER BY c DESC, s_suppkey) AS rn "
+            "FROM sc) "
+            "SELECT n_name, CAST((1000000 * SUM(CASE WHEN rn <= 4 "
+            "THEN c ELSE 0 END)) // SUM(c) AS BIGINT) AS cr4_ppm, "
+            "CAST(count(*) AS BIGINT) AS n_suppliers FROM r "
+            "GROUP BY 1"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

@@ -8170,3 +8170,165 @@ def event_weekend_share_ppm(sf_dir: str) -> ray.data.Dataset:
         return batch.append_column("weekend_share_ppm", pa.array(ppm))
 
     return agg.map_batches(share, batch_format="pyarrow")
+
+
+def global_event_gap_topk(sf_dir: str, n: int = 10) -> pa.Table:
+    """Top-N longest silences in the GLOBAL event stream — a total-order
+    statistic WITHOUT a global sort: hour buckets compute their internal
+    consecutive gaps locally; cross-bucket gaps come from the
+    calendar-bounded per-hour (min, max) table on the driver.  Output
+    is (gap_us, start_ts) pairs, ties → earliest start."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts"])
+
+    def bucket_stats(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        hour = ts // 3_600_000_000
+        t = pa.table({"hour": pa.array(hour), "ts": pa.array(ts)})
+        return t
+
+    def within(group: pa.Table) -> pa.Table:
+        ts = np.sort(group.column("ts").to_numpy(zero_copy_only=False))
+        gaps = np.diff(ts)
+        k = min(n, len(gaps))
+        if k == 0:
+            top_g = np.array([], np.int64)
+            top_s = np.array([], np.int64)
+        else:
+            idx = np.lexsort((ts[:-1], -gaps))[:k]
+            top_g, top_s = gaps[idx], ts[:-1][idx]
+        return pa.table({
+            "kind": pa.array(["gap"] * len(top_g) + ["edge"],
+                             pa.string()),
+            "gap_us": pa.array(np.r_[top_g, 0]),
+            "start_us": pa.array(np.r_[top_s, 0]),
+            "min_us": pa.array([0] * len(top_g) + [int(ts[0])],
+                               pa.int64()),
+            "max_us": pa.array([0] * len(top_g) + [int(ts[-1])],
+                               pa.int64())})
+
+    rows = ds.map_batches(bucket_stats, batch_format="pyarrow") \
+        .groupby("hour").map_groups(within, batch_format="pyarrow") \
+        .take_all()
+    cand = [(r["gap_us"], r["start_us"]) for r in rows
+            if r["kind"] == "gap"]
+    edges = sorted((r["min_us"], r["max_us"]) for r in rows
+                   if r["kind"] == "edge")
+    for (m1, x1), (m2, x2) in zip(edges, edges[1:]):
+        cand.append((m2 - x1, x1))
+    cand.sort(key=lambda p: (-p[0], p[1]))
+    cand = cand[:n]
+    return pa.table({
+        "gap_us": pa.array([c[0] for c in cand], pa.int64()),
+        "start_ts": pa.array(
+            np.array([c[1] for c in cand],
+                     np.int64).astype("datetime64[us]"))})
+
+
+def source_vocab_jaccard(sf_dir: str) -> ray.data.Dataset:
+    """Vocabulary overlap between document sources: exact Jaccard
+    numerators/denominators per source pair.  Distinct (token, source)
+    pairs reduce; each token's source set folds to its source pairs
+    (sources are a bounded dimension), and |A|, |B| ride along from the
+    same aggregate — vocabulary never collects anywhere."""
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["source", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        src = batch.column("source").to_pylist()
+        out_t, out_s = [], []
+        for s_, tl in zip(src, toks.to_pylist()):
+            u = set(tl)
+            out_t.extend(u)
+            out_s.extend([s_] * len(u))
+        t = pa.table({"tok": pa.array(out_t, pa.string()),
+                      "source": pa.array(out_s, pa.string())})
+        return t.group_by(["tok", "source"]).aggregate([]) \
+            .select(["tok", "source"])
+
+    distinct = partial_aggregate(
+        docs.map_batches(pairs, batch_format="pyarrow"),
+        ["tok", "source"], [])
+
+    def tok_pairs(group: pa.Table) -> pa.Table:
+        srcs = sorted(group.column("source").to_pylist())
+        a, b = [], []
+        for i in range(len(srcs)):
+            for j in range(i + 1, len(srcs)):
+                a.append(srcs[i])
+                b.append(srcs[j])
+        # marginal rows (source, source) count |vocab(source)|
+        a.extend(srcs)
+        b.extend(srcs)
+        return pa.table({"source_a": pa.array(a, pa.string()),
+                         "source_b": pa.array(b, pa.string()),
+                         "n": pa.array(np.ones(len(a), np.int64))})
+
+    per_tok = distinct.groupby("tok").map_groups(tok_pairs,
+                                                 batch_format="pyarrow")
+    agg = partial_aggregate(per_tok, ["source_a", "source_b"],
+                            [("n", "sum", "n")]).take_all()
+    size = {r["source_a"]: r["n"] for r in agg
+            if r["source_a"] == r["source_b"]}
+    rows = sorted((r for r in agg if r["source_a"] != r["source_b"]),
+                  key=lambda r: (r["source_a"], r["source_b"]))
+    return pa.table({
+        "source_a": pa.array([r["source_a"] for r in rows], pa.string()),
+        "source_b": pa.array([r["source_b"] for r in rows], pa.string()),
+        "inter_size": pa.array([r["n"] for r in rows], pa.int64()),
+        "union_size": pa.array(
+            [size[r["source_a"]] + size[r["source_b"]] - r["n"]
+             for r in rows], pa.int64())})
+
+
+def nation_cr4_ppm(sf_dir: str, k: int = 4) -> ray.data.Dataset:
+    """CR-k concentration ratio per nation: the revenue share (floor
+    ppm) of each nation's top k suppliers — the companion metric to the
+    HHI, folded per nation group over the dimension-bounded supplier
+    revenue table."""
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    nation_t = pq.read_table(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    side_ref = ray.put((supp.column("s_suppkey").combine_chunks(),
+                        supp.column("s_nationkey").combine_chunks(),
+                        nation_t.column("n_nationkey").combine_chunks(),
+                        nation_t.column("n_name").combine_chunks()))
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_suppkey", "l_extendedprice"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        sk, snk, nk, nn = ray.get(side_ref)
+        si = pc.index_in(batch.column("l_suppkey"), value_set=sk)
+        ni = pc.index_in(pc.take(snk, si), value_set=nk)
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"n_name": pc.take(nn, ni),
+                      "s_suppkey": batch.column("l_suppkey"),
+                      "cents": pa.array(cents)})
+        res = t.group_by(["n_name", "s_suppkey"]).aggregate(
+            [("cents", "sum")])
+        return pa.table({"n_name": res.column("n_name"),
+                         "s_suppkey": res.column("s_suppkey"),
+                         "cents": res.column("cents_sum")})
+
+    per_supp = partial_aggregate(
+        li.map_batches(per_batch, batch_format="pyarrow"),
+        ["n_name", "s_suppkey"], [("cents", "sum", "cents")])
+
+    def cr(group: pa.Table) -> pa.Table:
+        c = group.column("cents").to_numpy(zero_copy_only=False)
+        sk = group.column("s_suppkey").to_numpy(zero_copy_only=False)
+        total = int(c.sum())
+        top = c[np.lexsort((sk, -c))[:k]]
+        ppm = (1_000_000 * int(top.sum())) // total if total else 0
+        return pa.table({
+            "n_name": group.column("n_name").slice(0, 1),
+            "cr4_ppm": pa.array([ppm], pa.int64()),
+            "n_suppliers": pa.array([len(c)], pa.int64())})
+
+    return per_supp.groupby("n_name").map_groups(cr,
+                                                 batch_format="pyarrow")
