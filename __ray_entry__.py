@@ -209,7 +209,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         event_weekend_share_ppm,
                                         global_event_gap_topk,
                                         source_vocab_jaccard,
-                                        nation_cr4_ppm)
+                                        nation_cr4_ppm,
+                                        parts_above_brand_mean,
+                                        weekly_stickiness_ppm,
+                                        supplier_exclusive_parts,
+                                        event_type_share_volatility)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -667,6 +671,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_event_gap_topk": global_event_gap_topk,
         "source_vocab_jaccard": source_vocab_jaccard,
         "nation_cr4_ppm": nation_cr4_ppm,
+        "parts_above_brand_mean": parts_above_brand_mean,
+        "weekly_stickiness_ppm": weekly_stickiness_ppm,
+        "supplier_exclusive_parts": supplier_exclusive_parts,
+        "event_type_share_volatility": event_type_share_volatility,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2301,6 +2309,48 @@ def oracle_sql() -> dict[str, str]:
             "THEN c ELSE 0 END)) // SUM(c) AS BIGINT) AS cr4_ppm, "
             "CAST(count(*) AS BIGINT) AS n_suppliers FROM r "
             "GROUP BY 1"),
+        "parts_above_brand_mean": (
+            "WITH c AS (SELECT p_brand, "
+            "CAST(round(p_retailprice * 100) AS BIGINT) AS cents "
+            "FROM part), "
+            "s AS (SELECT p_brand, SUM(cents) AS sm, count(*) AS n "
+            "FROM c GROUP BY 1) "
+            "SELECT c.p_brand, CAST(SUM(CASE WHEN cents * n > sm "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_above, "
+            "CAST(MAX(n) AS BIGINT) AS n_total "
+            "FROM c JOIN s USING (p_brand) GROUP BY 1"),
+        "weekly_stickiness_ppm": (
+            "WITH d AS (SELECT DISTINCT user_id, date_diff('day', "
+            "DATE '1970-01-01', CAST(ts AS DATE)) AS day FROM events), "
+            "g AS (SELECT week, count(*) AS sum_dau, "
+            "count(DISTINCT user_id) AS wau, "
+            "count(DISTINCT day) AS n_days FROM ("
+            "SELECT user_id, day, (day + 3) // 7 AS week FROM d) "
+            "GROUP BY 1) "
+            "SELECT CAST(week AS BIGINT) AS week, "
+            "CAST(sum_dau AS BIGINT) AS sum_dau, "
+            "CAST(wau AS BIGINT) AS wau, "
+            "CAST(n_days AS BIGINT) AS n_days, "
+            "CAST((1000000 * sum_dau) // (n_days * wau) AS BIGINT) "
+            "AS stickiness_ppm FROM g"),
+        "supplier_exclusive_parts": (
+            "WITH d AS (SELECT DISTINCT l_partkey, l_suppkey "
+            "FROM lineitem), "
+            "e AS (SELECT l_partkey FROM d GROUP BY 1 "
+            "HAVING count(*) = 1) "
+            "SELECT l_suppkey, CAST(count(*) AS BIGINT) "
+            "AS n_exclusive_parts FROM d JOIN e USING (l_partkey) "
+            "GROUP BY 1"),
+        "event_type_share_volatility": (
+            "WITH c AS (SELECT CAST(ts AS DATE) AS day, event_type, "
+            "count(*) AS n FROM events GROUP BY 1, 2), "
+            "t AS (SELECT day, SUM(n) AS tot FROM c GROUP BY 1), "
+            "sh AS (SELECT event_type, (1000000 * n) // tot AS ppm "
+            "FROM c JOIN t USING (day)) "
+            "SELECT event_type, CAST(MIN(ppm) AS BIGINT) "
+            "AS min_share_ppm, CAST(MAX(ppm) AS BIGINT) "
+            "AS max_share_ppm, CAST(MAX(ppm) - MIN(ppm) AS BIGINT) "
+            "AS share_range_ppm FROM sh GROUP BY 1"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

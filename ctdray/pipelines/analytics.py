@@ -8332,3 +8332,157 @@ def nation_cr4_ppm(sf_dir: str, k: int = 4) -> ray.data.Dataset:
 
     return per_supp.groupby("n_name").map_groups(cr,
                                                  batch_format="pyarrow")
+
+
+def parts_above_brand_mean(sf_dir: str) -> ray.data.Dataset:
+    """Deviation-from-group-mean WITHOUT division: a part is above its
+    brand's mean retail price iff price·n_brand > brand_sum (exact
+    integer cross-multiplication, no float mean).  Brand sums fold per
+    group over the part dimension."""
+    ds = read_parquet_clean(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_brand",
+                                     "p_retailprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("p_retailprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        return pa.table({"p_brand": batch.column("p_brand"),
+                         "cents": pa.array(cents)})
+
+    def per_brand(group: pa.Table) -> pa.Table:
+        c = group.column("cents").to_numpy(zero_copy_only=False)
+        n = len(c)
+        s = int(c.sum())
+        return pa.table({
+            "p_brand": group.column("p_brand").slice(0, 1),
+            "n_above": pa.array([int((c * n > s).sum())], pa.int64()),
+            "n_total": pa.array([n], pa.int64())})
+
+    return ds.map_batches(to_cents, batch_format="pyarrow") \
+        .groupby("p_brand").map_groups(per_brand,
+                                       batch_format="pyarrow")
+
+
+def weekly_stickiness_ppm(sf_dir: str) -> ray.data.Dataset:
+    """DAU/WAU stickiness per ISO-truncated week (floor ppm of the
+    mean-daily-to-weekly ratio): distinct (user, day) pairs reduce once
+    and serve BOTH the daily and the weekly distinct counts; the ratio
+    folds per week."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "day": pa.array(d)})
+        return t.group_by(["user_id", "day"]).aggregate([]) \
+            .select(["user_id", "day"])
+
+    per_day = partial_aggregate(
+        ds.map_batches(days, batch_format="pyarrow"),
+        ["user_id", "day"], [])
+
+    def fold(group: pa.Table) -> pa.Table:
+        d = group.column("day").to_numpy(zero_copy_only=False)
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        dau_sum = len(np.unique(np.stack([d, u], axis=1), axis=0))
+        wau = len(np.unique(u))
+        n_days = len(np.unique(d))
+        ppm = (1_000_000 * dau_sum) // (n_days * wau) if wau else 0
+        return pa.table({
+            "week": group.column("week").slice(0, 1),
+            "sum_dau": pa.array([dau_sum], pa.int64()),
+            "wau": pa.array([wau], pa.int64()),
+            "n_days": pa.array([n_days], pa.int64()),
+            "stickiness_ppm": pa.array([ppm], pa.int64())})
+
+    def add_week(batch: pa.Table) -> pa.Table:
+        # ISO-agnostic Monday-aligned week: days since epoch (a
+        # Thursday) shifted so weeks split on Monday boundaries
+        d = batch.column("day").to_numpy(zero_copy_only=False)
+        week = (d + 3) // 7
+        return batch.append_column("week", pa.array(week))
+
+    return per_day.map_batches(add_week, batch_format="pyarrow") \
+        .groupby("week").map_groups(fold, batch_format="pyarrow")
+
+
+def supplier_exclusive_parts(sf_dir: str) -> ray.data.Dataset:
+    """Exclusive-supply audit: for each supplier, how many of its parts
+    are shipped by NO other supplier.  Distinct (part, supplier) pairs
+    reduce; single-supplier parts fold per part group and re-aggregate
+    per supplier."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["l_partkey", "l_suppkey"]).aggregate([]) \
+            .select(["l_partkey", "l_suppkey"])
+
+    distinct = partial_aggregate(
+        li.map_batches(pairs, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"], [])
+
+    def exclusive(group: pa.Table) -> pa.Table:
+        if len(group) != 1:
+            return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                             "n_exclusive_parts": pa.array([],
+                                                           pa.int64())})
+        return pa.table({"l_suppkey": group.column("l_suppkey"),
+                         "n_exclusive_parts": pa.array([1], pa.int64())})
+
+    per_part = distinct.groupby("l_partkey").map_groups(
+        exclusive, batch_format="pyarrow")
+    agg = partial_aggregate(per_part, ["l_suppkey"],
+                            [("n_exclusive_parts", "sum",
+                              "n_exclusive_parts")])
+    # legitimately often EMPTY → typed Table (Ray to_pandas drops
+    # columns on 0-row Datasets)
+    seed = pa.table({"l_suppkey": pa.array([], pa.int64()),
+                     "n_exclusive_parts": pa.array([], pa.int64())})
+    return pa.concat_tables(
+        [seed] + [b.select(["l_suppkey", "n_exclusive_parts"])
+                  for b in agg.iter_batches(batch_format="pyarrow")])
+
+
+def event_type_share_volatility(sf_dir: str) -> pa.Table:
+    """Mix-shift volatility: per event type, the range (max − min) of
+    its DAILY share (floor ppm) across days — (day, type) counts reduce
+    once; the per-day shares and the per-type range fold over the
+    calendar × types bounded table on the driver."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        d = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        t = pa.table({"day": pa.array(d),
+                      "event_type": batch.column("event_type"),
+                      "n": pa.array(np.ones(len(d), np.int64))})
+        res = t.group_by(["day", "event_type"]).aggregate([("n", "sum")])
+        return pa.table({"day": res.column("day"),
+                         "event_type": res.column("event_type"),
+                         "n": res.column("n_sum")})
+
+    rows = partial_aggregate(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["day", "event_type"], [("n", "sum", "n")]).take_all()
+    day_tot: dict = {}
+    for r in rows:
+        day_tot[r["day"]] = day_tot.get(r["day"], 0) + r["n"]
+    shares: dict = {}
+    for r in rows:
+        ppm = (1_000_000 * r["n"]) // day_tot[r["day"]]
+        shares.setdefault(r["event_type"], []).append(ppm)
+    types = sorted(shares)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "min_share_ppm": pa.array([min(shares[t]) for t in types],
+                                  pa.int64()),
+        "max_share_ppm": pa.array([max(shares[t]) for t in types],
+                                  pa.int64()),
+        "share_range_ppm": pa.array(
+            [max(shares[t]) - min(shares[t]) for t in types],
+            pa.int64())})
