@@ -213,7 +213,10 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         parts_above_brand_mean,
                                         weekly_stickiness_ppm,
                                         supplier_exclusive_parts,
-                                        event_type_share_volatility)
+                                        event_type_share_volatility,
+                                        price_last_digit_hist,
+                                        user_resurrection_counts,
+                                        doc_first_token_dist)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -675,6 +678,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_stickiness_ppm": weekly_stickiness_ppm,
         "supplier_exclusive_parts": supplier_exclusive_parts,
         "event_type_share_volatility": event_type_share_volatility,
+        "price_last_digit_hist": price_last_digit_hist,
+        "user_resurrection_counts": user_resurrection_counts,
+        "doc_first_token_dist": doc_first_token_dist,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2351,6 +2357,25 @@ def oracle_sql() -> dict[str, str]:
             "AS min_share_ppm, CAST(MAX(ppm) AS BIGINT) "
             "AS max_share_ppm, CAST(MAX(ppm) - MIN(ppm) AS BIGINT) "
             "AS share_range_ppm FROM sh GROUP BY 1"),
+        "price_last_digit_hist": (
+            "SELECT CAST(CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "% 10 AS BIGINT) AS last_digit, "
+            "CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1"),
+        "user_resurrection_counts": (
+            "WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) "
+            "AS day FROM events), "
+            "g AS (SELECT user_id, date_diff('day', "
+            "LAG(day) OVER (PARTITION BY user_id ORDER BY day), day) "
+            "AS gap FROM d), "
+            "u AS (SELECT user_id, SUM(CASE WHEN gap > 7 THEN 1 "
+            "ELSE 0 END) AS n_resurrections FROM g GROUP BY 1) "
+            "SELECT CAST(n_resurrections AS BIGINT) "
+            "AS n_resurrections, CAST(count(*) AS BIGINT) AS n_users "
+            "FROM u GROUP BY 1"),
+        "doc_first_token_dist": (
+            "SELECT string_split(text, ' ')[1] AS first_token, "
+            "CAST(count(*) AS BIGINT) AS n_docs FROM documents "
+            "GROUP BY 1"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

@@ -8486,3 +8486,81 @@ def event_type_share_volatility(sf_dir: str) -> pa.Table:
         "share_range_ppm": pa.array(
             [max(shares[t]) - min(shares[t]) for t in types],
             pa.int64())})
+
+
+def price_last_digit_hist(sf_dir: str) -> ray.data.Dataset:
+    """Last-digit uniformity audit (companion to the Benford first-digit
+    check): distribution of the final cent digit of extended prices —
+    pure integer modulo, one tiny exchange."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_extendedprice"])
+
+    def digits(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch.column("l_extendedprice")
+                    .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"last_digit": pa.array(c % 10),
+                      "n": pa.array(np.ones(len(c), np.int64))})
+        res = t.group_by(["last_digit"]).aggregate([("n", "sum")])
+        return pa.table({"last_digit": res.column("last_digit"),
+                         "n": res.column("n_sum")})
+
+    return partial_aggregate(
+        li.map_batches(digits, batch_format="pyarrow"),
+        ["last_digit"], [("n", "sum", "n")])
+
+
+def user_resurrection_counts(sf_dir: str, churn_days: int = 7
+                             ) -> ray.data.Dataset:
+    """Churn-and-return accounting: histogram of per-user resurrection
+    counts (gaps > churn_days between consecutive ACTIVE days).
+    Distinct (user, day) pairs reduce; the per-user gap scan is one
+    vectorized diff; the histogram a final tiny exchange."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "day": pa.array(d)})
+        return t.group_by(["user_id", "day"]).aggregate([]) \
+            .select(["user_id", "day"])
+
+    per_day = partial_aggregate(
+        ds.map_batches(days, batch_format="pyarrow"),
+        ["user_id", "day"], [])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        d = np.sort(group.column("day").to_numpy(zero_copy_only=False))
+        n_res = int((np.diff(d) > churn_days).sum())
+        return pa.table({"n_resurrections": pa.array([n_res],
+                                                     pa.int64()),
+                         "n_users": pa.array([1], pa.int64())})
+
+    per = per_day.groupby("user_id").map_groups(per_user,
+                                                batch_format="pyarrow")
+    return partial_aggregate(per, ["n_resurrections"],
+                             [("n_users", "sum", "n_users")])
+
+
+def doc_first_token_dist(sf_dir: str) -> ray.data.Dataset:
+    """Distribution of document-initial tokens (template/boilerplate
+    detector): one vectorized first-token extraction, counts
+    partial-aggregate."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def firsts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        first = pc.list_element(toks, 0)
+        t = pa.table({"first_token": first,
+                      "n_docs": pa.array(np.ones(len(batch),
+                                                 np.int64))})
+        res = t.group_by(["first_token"]).aggregate([("n_docs", "sum")])
+        return pa.table({"first_token": res.column("first_token"),
+                         "n_docs": res.column("n_docs_sum")})
+
+    return partial_aggregate(
+        ds.map_batches(firsts, batch_format="pyarrow"),
+        ["first_token"], [("n_docs", "sum", "n_docs")])
