@@ -216,7 +216,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         event_type_share_volatility,
                                         price_last_digit_hist,
                                         user_resurrection_counts,
-                                        doc_first_token_dist)
+                                        doc_first_token_dist,
+                                        order_ship_span_hist,
+                                        user_type_loyalty,
+                                        supplier_active_months,
+                                        token_cooccurrence_degree)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -681,6 +685,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_last_digit_hist": price_last_digit_hist,
         "user_resurrection_counts": user_resurrection_counts,
         "doc_first_token_dist": doc_first_token_dist,
+        "order_ship_span_hist": order_ship_span_hist,
+        "user_type_loyalty": user_type_loyalty,
+        "supplier_active_months": supplier_active_months,
+        "token_cooccurrence_degree": token_cooccurrence_degree,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2376,6 +2384,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT string_split(text, ' ')[1] AS first_token, "
             "CAST(count(*) AS BIGINT) AS n_docs FROM documents "
             "GROUP BY 1"),
+        "order_ship_span_hist": (
+            "WITH p AS (SELECT l_orderkey, date_diff('day', "
+            "CAST(min(l_shipdate) AS DATE), "
+            "CAST(max(l_shipdate) AS DATE)) AS span "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT CAST(span AS BIGINT) AS span_days, "
+            "CAST(count(*) AS BIGINT) AS n_orders FROM p GROUP BY 1"),
+        "user_type_loyalty": (
+            "WITH c AS (SELECT user_id, event_type, count(*) AS n "
+            "FROM events GROUP BY 1, 2) "
+            "SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events, "
+            "CAST((1000000 * MAX(n)) // SUM(n) AS BIGINT) "
+            "AS loyalty_ppm FROM c GROUP BY 1"),
+        "supplier_active_months": (
+            "WITH d AS (SELECT DISTINCT l_suppkey, "
+            "date_trunc('month', l_shipdate) AS m FROM lineitem), "
+            "a AS (SELECT l_suppkey, count(*) AS nm, "
+            "date_diff('month', min(m), max(m)) + 1 AS span "
+            "FROM d GROUP BY 1) "
+            "SELECT l_suppkey, CAST(nm AS BIGINT) AS n_active_months, "
+            "CAST(span AS BIGINT) AS span_months, "
+            "CAST((1000000 * nm) // span AS BIGINT) AS coverage_ppm "
+            "FROM a"),
+        "token_cooccurrence_degree": (
+            "WITH td AS (SELECT DISTINCT doc_id, "
+            "unnest(string_split(text, ' ')) AS tok FROM documents), "
+            "e AS (SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b "
+            "FROM td a JOIN td b ON a.doc_id = b.doc_id "
+            "AND a.tok < b.tok) "
+            "SELECT tok, CAST(count(*) AS BIGINT) AS degree FROM ("
+            "SELECT tok_a AS tok FROM e UNION ALL "
+            "SELECT tok_b FROM e) GROUP BY 1"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

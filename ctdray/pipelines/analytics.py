@@ -8564,3 +8564,149 @@ def doc_first_token_dist(sf_dir: str) -> ray.data.Dataset:
     return partial_aggregate(
         ds.map_batches(firsts, batch_format="pyarrow"),
         ["first_token"], [("n_docs", "sum", "n_docs")])
+
+
+def order_ship_span_hist(sf_dir: str) -> ray.data.Dataset:
+    """Fulfillment-span histogram: days between an order's FIRST and
+    LAST line shipments — per-order (min, max) reduce via one keyed
+    exchange, span fold per batch, tiny histogram reduce."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_shipdate"])
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        d = batch.column("l_shipdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "mn": pa.array(d), "mx": pa.array(d)})
+        res = t.group_by(["l_orderkey"]).aggregate(
+            [("mn", "min"), ("mx", "max")])
+        return pa.table({"l_orderkey": res.column("l_orderkey"),
+                         "mn": res.column("mn_min"),
+                         "mx": res.column("mx_max")})
+
+    per = partial_aggregate(
+        li.map_batches(minmax, batch_format="pyarrow"),
+        ["l_orderkey"], [("mn", "min", "mn"), ("mx", "max", "mx")])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        span = batch.column("mx").to_numpy(zero_copy_only=False) \
+            - batch.column("mn").to_numpy(zero_copy_only=False)
+        t = pa.table({"span_days": pa.array(span),
+                      "n_orders": pa.array(np.ones(len(span),
+                                                   np.int64))})
+        res = t.group_by(["span_days"]).aggregate([("n_orders", "sum")])
+        return pa.table({"span_days": res.column("span_days"),
+                         "n_orders": res.column("n_orders_sum")})
+
+    return partial_aggregate(
+        per.map_batches(hist, batch_format="pyarrow"),
+        ["span_days"], [("n_orders", "sum", "n_orders")])
+
+
+def user_type_loyalty(sf_dir: str) -> ray.data.Dataset:
+    """Per-user behavioral loyalty: the floor-ppm share of the user's
+    single most frequent event type (ties irrelevant — only the max
+    count matters).  (user, type) counts reduce once; the max/sum fold
+    runs per user group over ≤ |types| rows."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        t = batch.append_column("n", pa.array(np.ones(len(batch),
+                                                      np.int64)))
+        res = t.group_by(["user_id", "event_type"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"user_id": res.column("user_id"),
+                         "event_type": res.column("event_type"),
+                         "n": res.column("n_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["user_id", "event_type"], [("n", "sum", "n")])
+
+    def loyalty(group: pa.Table) -> pa.Table:
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        tot = int(n.sum())
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "n_events": pa.array([tot], pa.int64()),
+            "loyalty_ppm": pa.array(
+                [(1_000_000 * int(n.max())) // tot if tot else 0],
+                pa.int64())})
+
+    return agg.groupby("user_id").map_groups(loyalty,
+                                             batch_format="pyarrow")
+
+
+def supplier_active_months(sf_dir: str) -> ray.data.Dataset:
+    """Supplier activity continuity: distinct active months, the
+    first→last month span, and the coverage share (floor ppm of active
+    months within the span).  Distinct (supplier, month) pairs reduce;
+    the continuity fold runs per supplier group."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_suppkey", "l_shipdate"])
+
+    def months(batch: pa.Table) -> pa.Table:
+        m = batch.column("l_shipdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]").astype(np.int64)
+        t = pa.table({"l_suppkey": batch.column("l_suppkey"),
+                      "month": pa.array(m)})
+        return t.group_by(["l_suppkey", "month"]).aggregate([]) \
+            .select(["l_suppkey", "month"])
+
+    per = partial_aggregate(
+        li.map_batches(months, batch_format="pyarrow"),
+        ["l_suppkey", "month"], [])
+
+    def fold(group: pa.Table) -> pa.Table:
+        m = group.column("month").to_numpy(zero_copy_only=False)
+        span = int(m.max() - m.min()) + 1
+        return pa.table({
+            "l_suppkey": group.column("l_suppkey").slice(0, 1),
+            "n_active_months": pa.array([len(m)], pa.int64()),
+            "span_months": pa.array([span], pa.int64()),
+            "coverage_ppm": pa.array([(1_000_000 * len(m)) // span],
+                                     pa.int64())})
+
+    return per.groupby("l_suppkey").map_groups(fold,
+                                               batch_format="pyarrow")
+
+
+def token_cooccurrence_degree(sf_dir: str) -> ray.data.Dataset:
+    """Token co-occurrence graph degrees: for each token, how many
+    DISTINCT other tokens share a document with it.  Distinct unordered
+    token pairs reduce (the frequent-itemset exchange); degrees fold by
+    exploding each pair both ways."""
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        a_all, b_all = [], []
+        for tl in toks.to_pylist():
+            u = sorted(set(tl))
+            for i in range(len(u) - 1):
+                a_all.extend(u[i] for _ in range(len(u) - 1 - i))
+                b_all.extend(u[i + 1:])
+        t = pa.table({"tok_a": pa.array(a_all, pa.string()),
+                      "tok_b": pa.array(b_all, pa.string())})
+        return t.group_by(["tok_a", "tok_b"]).aggregate([]) \
+            .select(["tok_a", "tok_b"])
+
+    distinct = partial_aggregate(
+        docs.map_batches(pairs, batch_format="pyarrow"),
+        ["tok_a", "tok_b"], [])
+
+    def degrees(batch: pa.Table) -> pa.Table:
+        a = batch.column("tok_a").combine_chunks()
+        b = batch.column("tok_b").combine_chunks()
+        t = pa.table({"tok": pa.concat_arrays([a, b]),
+                      "degree": pa.array(np.ones(2 * len(batch),
+                                                 np.int64))})
+        res = t.group_by(["tok"]).aggregate([("degree", "sum")])
+        return pa.table({"tok": res.column("tok"),
+                         "degree": res.column("degree_sum")})
+
+    return partial_aggregate(
+        distinct.map_batches(degrees, batch_format="pyarrow"),
+        ["tok"], [("degree", "sum", "degree")])
