@@ -220,7 +220,10 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         order_ship_span_hist,
                                         user_type_loyalty,
                                         supplier_active_months,
-                                        token_cooccurrence_degree)
+                                        token_cooccurrence_degree,
+                                        preferred_order_dow_dist,
+                                        doc_adjacent_repeat_counts,
+                                        nation_customer_reach)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -689,6 +692,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_loyalty": user_type_loyalty,
         "supplier_active_months": supplier_active_months,
         "token_cooccurrence_degree": token_cooccurrence_degree,
+        "preferred_order_dow_dist": preferred_order_dow_dist,
+        "doc_adjacent_repeat_counts": doc_adjacent_repeat_counts,
+        "nation_customer_reach": nation_customer_reach,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2416,6 +2422,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tok, CAST(count(*) AS BIGINT) AS degree FROM ("
             "SELECT tok_a AS tok FROM e UNION ALL "
             "SELECT tok_b FROM e) GROUP BY 1"),
+        "preferred_order_dow_dist": (
+            "WITH c AS (SELECT o_custkey, isodow(o_orderdate) AS dow, "
+            "count(*) AS n FROM orders GROUP BY 1, 2), "
+            "r AS (SELECT o_custkey, dow, ROW_NUMBER() OVER ("
+            "PARTITION BY o_custkey ORDER BY n DESC, dow) AS rn "
+            "FROM c) "
+            "SELECT CAST(dow AS BIGINT) AS preferred_dow, "
+            "CAST(count(*) AS BIGINT) AS n_customers FROM r "
+            "WHERE rn = 1 GROUP BY 1"),
+        "doc_adjacent_repeat_counts": (
+            "SELECT doc_id, CAST(COALESCE(list_sum([CASE WHEN "
+            "t[CAST(i AS INT)] = t[CAST(i AS INT) + 1] THEN 1 ELSE 0 "
+            "END FOR i IN range(1, len(t))]), 0) AS BIGINT) "
+            "AS n_adjacent_repeats, CAST(len(t) AS BIGINT) AS n_tokens "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents)"),
+        "nation_customer_reach": (
+            "WITH a AS (SELECT n_name, "
+            "CAST(SUM(CASE WHEN c_custkey IN ("
+            "SELECT o_custkey FROM orders) THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_active, "
+            "CAST(count(*) AS BIGINT) AS n_customers "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY 1) "
+            "SELECT n_name, n_active, n_customers, "
+            "CAST((1000000 * n_active) // n_customers AS BIGINT) "
+            "AS reach_ppm FROM a"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

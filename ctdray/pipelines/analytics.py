@@ -8710,3 +8710,116 @@ def token_cooccurrence_degree(sf_dir: str) -> ray.data.Dataset:
     return partial_aggregate(
         distinct.map_batches(degrees, batch_format="pyarrow"),
         ["tok"], [("degree", "sum", "degree")])
+
+
+def preferred_order_dow_dist(sf_dir: str) -> ray.data.Dataset:
+    """Two-level argmax: each customer's preferred order day-of-week
+    (max order count, ties → smallest ISO dow), then the distribution of
+    customers over preferred days.  (cust, dow) counts reduce; the
+    argmax folds per customer over ≤7 rows; a final tiny reduce."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        dow = pc.day_of_week(batch.column("o_orderdate"),
+                             count_from_zero=False, week_start=1)
+        t = pa.table({"o_custkey": batch.column("o_custkey"),
+                      "dow": pc.cast(dow, pa.int64()),
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["o_custkey", "dow"]).aggregate([("n", "sum")])
+        return pa.table({"o_custkey": res.column("o_custkey"),
+                         "dow": res.column("dow"),
+                         "n": res.column("n_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["o_custkey", "dow"], [("n", "sum", "n")])
+
+    def argmax(group: pa.Table) -> pa.Table:
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        d = group.column("dow").to_numpy(zero_copy_only=False)
+        i = np.lexsort((d, -n))[0]
+        return pa.table({"preferred_dow": pa.array([int(d[i])],
+                                                   pa.int64()),
+                         "n_customers": pa.array([1], pa.int64())})
+
+    per = agg.groupby("o_custkey").map_groups(argmax,
+                                              batch_format="pyarrow")
+    return partial_aggregate(per, ["preferred_dow"],
+                             [("n_customers", "sum", "n_customers")])
+
+
+def doc_adjacent_repeat_counts(sf_dir: str) -> ray.data.Dataset:
+    """RLE-compressibility signal: per document, how many adjacent token
+    pairs are equal (stutter/repetition artifact detector) — one
+    vectorized pass, no exchange."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def repeats(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        reps = np.fromiter(
+            (sum(a == b for a, b in zip(tl, tl[1:]))
+             for tl in toks.to_pylist()), np.int64, len(batch))
+        n = pc.cast(pc.list_value_length(toks), pa.int64())
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_adjacent_repeats": pa.array(reps),
+                         "n_tokens": n})
+
+    return ds.map_batches(repeats, batch_format="pyarrow")
+
+
+def nation_customer_reach(sf_dir: str) -> ray.data.Dataset:
+    """Market-reach audit per nation: how many customers exist vs how
+    many ever ordered (floor-ppm reach).  The fact reduces to its
+    distinct custkey set (bounded by the customer dimension), broadcast
+    back over the dimension scan — the fact table never shuffles."""
+    from ..functions.joins import broadcast_semi_join
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey"])
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": batch.column("o_custkey")
+                         .combine_chunks().unique()})
+
+    active = partial_aggregate(
+        orders.map_batches(distinct, batch_format="pyarrow"),
+        ["o_custkey"], [])
+    active_keys = pa.array(
+        sorted(r["o_custkey"] for r in active.take_all()))
+    key_ref = ray.put(active_keys)
+    nation_t = pq.read_table(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    side_ref = ray.put((nation_t.column("n_nationkey").combine_chunks(),
+                        nation_t.column("n_name").combine_chunks()))
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        keys = ray.get(key_ref)
+        nk, nn = ray.get(side_ref)
+        ni = pc.index_in(batch.column("c_nationkey"), value_set=nk)
+        act = pc.cast(pc.is_in(batch.column("c_custkey"),
+                               value_set=keys), pa.int64())
+        t = pa.table({"n_name": pc.take(nn, ni),
+                      "n_active": act,
+                      "n_customers": pa.array(np.ones(len(batch),
+                                                      np.int64))})
+        res = t.group_by(["n_name"]).aggregate(
+            [("n_active", "sum"), ("n_customers", "sum")])
+        return pa.table({"n_name": res.column("n_name"),
+                         "n_active": res.column("n_active_sum"),
+                         "n_customers": res.column("n_customers_sum")})
+
+    agg = partial_aggregate(
+        cust.map_batches(per_batch, batch_format="pyarrow"),
+        ["n_name"], [("n_active", "sum", "n_active"),
+                     ("n_customers", "sum", "n_customers")])
+
+    def reach(batch: pa.Table) -> pa.Table:
+        a = batch.column("n_active").to_numpy(zero_copy_only=False)
+        c = batch.column("n_customers").to_numpy(zero_copy_only=False)
+        ppm = (1_000_000 * a) // np.where(c == 0, 1, c)
+        return batch.append_column("reach_ppm", pa.array(ppm))
+
+    return agg.map_batches(reach, batch_format="pyarrow")
