@@ -223,7 +223,10 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         token_cooccurrence_degree,
                                         preferred_order_dow_dist,
                                         doc_adjacent_repeat_counts,
-                                        nation_customer_reach)
+                                        nation_customer_reach,
+                                        top_order_value_jumps,
+                                        event_minute_hist,
+                                        user_weekend_ratio_hist)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -695,6 +698,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "preferred_order_dow_dist": preferred_order_dow_dist,
         "doc_adjacent_repeat_counts": doc_adjacent_repeat_counts,
         "nation_customer_reach": nation_customer_reach,
+        "top_order_value_jumps": top_order_value_jumps,
+        "event_minute_hist": event_minute_hist,
+        "user_weekend_ratio_hist": user_weekend_ratio_hist,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2449,6 +2455,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_name, n_active, n_customers, "
             "CAST((1000000 * n_active) // n_customers AS BIGINT) "
             "AS reach_ppm FROM a"),
+        "top_order_value_jumps": (
+            "WITH s AS (SELECT o_custkey, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) - "
+            "LAG(CAST(round(o_totalprice * 100) AS BIGINT)) OVER ("
+            "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) "
+            "AS jump FROM orders), "
+            "m AS (SELECT o_custkey, CAST(MAX(jump) AS BIGINT) "
+            "AS jump_cents FROM s WHERE jump IS NOT NULL "
+            "GROUP BY 1 HAVING MAX(jump) > 0) "
+            "SELECT o_custkey, jump_cents FROM m "
+            "ORDER BY jump_cents DESC, o_custkey LIMIT 10"),
+        "event_minute_hist": (
+            "SELECT CAST(minute(ts) AS BIGINT) AS minute, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1"),
+        "user_weekend_ratio_hist": (
+            "WITH u AS (SELECT user_id, "
+            "SUM(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) AS w, "
+            "count(*) AS t FROM events GROUP BY 1) "
+            "SELECT CAST(((1000000 * w) // t) // 100000 AS BIGINT) "
+            "AS ratio_bucket, CAST(count(*) AS BIGINT) AS n_users "
+            "FROM u GROUP BY 1"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

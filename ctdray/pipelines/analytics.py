@@ -8823,3 +8823,102 @@ def nation_customer_reach(sf_dir: str) -> ray.data.Dataset:
         return batch.append_column("reach_ppm", pa.array(ppm))
 
     return agg.map_batches(reach, batch_format="pyarrow")
+
+
+def top_order_value_jumps(sf_dir: str, n: int = 10) -> ray.data.Dataset:
+    """Largest order-over-order value INCREASES: per-customer
+    consecutive diffs over the (date, orderkey)-ordered sequence, each
+    customer's max jump, then a global deterministic top-N.  Per-user
+    kernels emit one row; only the bounded jump table sorts."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderkey",
+                                     "o_orderdate", "o_totalprice"])
+
+    def per_cust(group: pa.Table) -> pa.Table:
+        empty = pa.table({"o_custkey": pa.array([], pa.int64()),
+                          "jump_cents": pa.array([], pa.int64())})
+        if len(group) < 2:
+            return empty
+        dt = group.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ok = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cents = np.rint(group.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        order = np.lexsort((ok, dt))
+        d = np.diff(cents[order])
+        mx = int(d.max())
+        if mx <= 0:
+            return empty
+        return pa.table({"o_custkey": group.column("o_custkey")
+                         .slice(0, 1),
+                         "jump_cents": pa.array([mx], pa.int64())})
+
+    per = ds.groupby("o_custkey").map_groups(per_cust,
+                                             batch_format="pyarrow")
+    return per.sort(["jump_cents", "o_custkey"],
+                    descending=[True, False]).limit(n)
+
+
+def event_minute_hist(sf_dir: str) -> ray.data.Dataset:
+    """Minute-of-hour uniformity histogram (clock-skew / batching
+    artifact detector) — one vectorized temporal kernel, tiny reduce."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts"])
+
+    def minutes(batch: pa.Table) -> pa.Table:
+        m = pc.cast(pc.minute(batch.column("ts")), pa.int64())
+        t = pa.table({"minute": m,
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["minute"]).aggregate([("n", "sum")])
+        return pa.table({"minute": res.column("minute"),
+                         "n": res.column("n_sum")})
+
+    return partial_aggregate(
+        ds.map_batches(minutes, batch_format="pyarrow"),
+        ["minute"], [("n", "sum", "n")])
+
+
+def user_weekend_ratio_hist(sf_dir: str, bucket_ppm: int = 100_000
+                            ) -> ray.data.Dataset:
+    """Distribution of per-user weekend-activity ratios: each user's
+    weekend event share (floor ppm) folds into deciles-of-ppm buckets —
+    behavioral segmentation without materializing per-user rows
+    anywhere central."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def sums(batch: pa.Table) -> pa.Table:
+        dow = pc.day_of_week(batch.column("ts"), count_from_zero=False,
+                             week_start=1).to_numpy(
+            zero_copy_only=False)
+        wknd = (dow >= 6).astype(np.int64)
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "n_weekend": pa.array(wknd),
+                      "n_total": pa.array(np.ones(len(batch),
+                                                  np.int64))})
+        res = t.group_by(["user_id"]).aggregate(
+            [("n_weekend", "sum"), ("n_total", "sum")])
+        return pa.table({"user_id": res.column("user_id"),
+                         "n_weekend": res.column("n_weekend_sum"),
+                         "n_total": res.column("n_total_sum")})
+
+    per = partial_aggregate(
+        ds.map_batches(sums, batch_format="pyarrow"),
+        ["user_id"], [("n_weekend", "sum", "n_weekend"),
+                      ("n_total", "sum", "n_total")])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        w = batch.column("n_weekend").to_numpy(zero_copy_only=False)
+        t = batch.column("n_total").to_numpy(zero_copy_only=False)
+        ppm = (1_000_000 * w) // np.where(t == 0, 1, t)
+        tb = pa.table({"ratio_bucket": pa.array(ppm // bucket_ppm),
+                       "n_users": pa.array(np.ones(len(w), np.int64))})
+        res = tb.group_by(["ratio_bucket"]).aggregate(
+            [("n_users", "sum")])
+        return pa.table({"ratio_bucket": res.column("ratio_bucket"),
+                         "n_users": res.column("n_users_sum")})
+
+    return partial_aggregate(
+        per.map_batches(hist, batch_format="pyarrow"),
+        ["ratio_bucket"], [("n_users", "sum", "n_users")])
