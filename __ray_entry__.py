@@ -226,7 +226,10 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         nation_customer_reach,
                                         top_order_value_jumps,
                                         event_minute_hist,
-                                        user_weekend_ratio_hist)
+                                        user_weekend_ratio_hist,
+                                        source_dup_stats,
+                                        user_hour_bitmask,
+                                        part_name_collisions)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -701,6 +704,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_order_value_jumps": top_order_value_jumps,
         "event_minute_hist": event_minute_hist,
         "user_weekend_ratio_hist": user_weekend_ratio_hist,
+        "source_dup_stats": source_dup_stats,
+        "user_hour_bitmask": user_hour_bitmask,
+        "part_name_collisions": part_name_collisions,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2476,6 +2482,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(((1000000 * w) // t) // 100000 AS BIGINT) "
             "AS ratio_bucket, CAST(count(*) AS BIGINT) AS n_users "
             "FROM u GROUP BY 1"),
+        "source_dup_stats": (
+            "WITH f AS (SELECT source, md5(text) AS fp, count(*) AS n "
+            "FROM documents GROUP BY 1, 2), "
+            "a AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs, "
+            "CAST(count(*) AS BIGINT) AS n_unique FROM f GROUP BY 1) "
+            "SELECT source, n_docs, n_unique, "
+            "CAST((1000000 * (n_docs - n_unique)) // n_docs AS BIGINT) "
+            "AS dup_ratio_ppm FROM a"),
+        "user_hour_bitmask": (
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "CAST(hour(ts) AS INT) AS h FROM events) "
+            "SELECT user_id, CAST(SUM(CAST(1 AS BIGINT) << h) "
+            "AS BIGINT) AS hour_mask, "
+            "CAST(count(*) AS BIGINT) AS n_active_hours "
+            "FROM d GROUP BY 1"),
+        "part_name_collisions": (
+            "WITH d AS (SELECT DISTINCT p_name, p_brand FROM part) "
+            "SELECT p_name, CAST(count(*) AS BIGINT) AS n_brands "
+            "FROM d GROUP BY 1 HAVING count(*) >= 2"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

@@ -8922,3 +8922,121 @@ def user_weekend_ratio_hist(sf_dir: str, bucket_ppm: int = 100_000
     return partial_aggregate(
         per.map_batches(hist, batch_format="pyarrow"),
         ["ratio_bucket"], [("n_users", "sum", "n_users")])
+
+
+def source_dup_stats(sf_dir: str) -> ray.data.Dataset:
+    """Dedup observability per source: document count, distinct content
+    fingerprints, and the duplicate ratio (floor ppm).  Distinct
+    (source, fingerprint) pairs reduce alongside raw counts — only 16-B
+    fingerprints shuffle."""
+    from ..functions.text import md5_fingerprint
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": batch.column("source"),
+            "fp": pa.array(md5_fingerprint(
+                batch.column("text").to_pylist()), pa.string()),
+            "n": pa.array(np.ones(len(batch), np.int64))})
+
+    keyed = ds.map_batches(fp, batch_format="pyarrow")
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["source", "fp"]).aggregate([("n", "sum")])
+        return pa.table({"source": res.column("source"),
+                         "fp": res.column("fp"),
+                         "n": res.column("n_sum")})
+
+    per_fp = partial_aggregate(
+        keyed.map_batches(pairs, batch_format="pyarrow"),
+        ["source", "fp"], [("n", "sum", "n")])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        t = pa.table({"source": batch.column("source"),
+                      "n_docs": batch.column("n"),
+                      "n_unique": pa.array(np.ones(len(batch),
+                                                   np.int64))})
+        res = t.group_by(["source"]).aggregate(
+            [("n_docs", "sum"), ("n_unique", "sum")])
+        return pa.table({"source": res.column("source"),
+                         "n_docs": res.column("n_docs_sum"),
+                         "n_unique": res.column("n_unique_sum")})
+
+    agg = partial_aggregate(
+        per_fp.map_batches(fold, batch_format="pyarrow"),
+        ["source"], [("n_docs", "sum", "n_docs"),
+                     ("n_unique", "sum", "n_unique")])
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        d = batch.column("n_docs").to_numpy(zero_copy_only=False)
+        u = batch.column("n_unique").to_numpy(zero_copy_only=False)
+        ppm = (1_000_000 * (d - u)) // np.where(d == 0, 1, d)
+        return batch.append_column("dup_ratio_ppm", pa.array(ppm))
+
+    return agg.map_batches(ratio, batch_format="pyarrow")
+
+
+def user_hour_bitmask(sf_dir: str) -> ray.data.Dataset:
+    """24-bit hour-of-day activity fingerprint per user (bit h = any
+    event in hour h) plus the active-hour count — the behavioral
+    fingerprint companion to the 63-day bitmask.  Distinct (user, hour)
+    pairs reduce; the mask is Σ 2^hour."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def hours(batch: pa.Table) -> pa.Table:
+        h = pc.cast(pc.hour(batch.column("ts")), pa.int64())
+        t = pa.table({"user_id": batch.column("user_id"), "hour": h})
+        return t.group_by(["user_id", "hour"]).aggregate([]) \
+            .select(["user_id", "hour"])
+
+    per = partial_aggregate(
+        ds.map_batches(hours, batch_format="pyarrow"),
+        ["user_id", "hour"], [])
+
+    def bits(batch: pa.Table) -> pa.Table:
+        h = batch.column("hour").to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": batch.column("user_id"),
+                         "hour_mask": pa.array(np.int64(1) << h),
+                         "n_active_hours": pa.array(
+                             np.ones(len(h), np.int64))})
+
+    return partial_aggregate(
+        per.map_batches(bits, batch_format="pyarrow"),
+        ["user_id"], [("hour_mask", "sum", "hour_mask"),
+                      ("n_active_hours", "sum", "n_active_hours")])
+
+
+def part_name_collisions(sf_dir: str) -> ray.data.Dataset:
+    """Catalog-integrity audit: part NAMES used by more than one brand
+    (distinct (name, brand) pairs → per-name brand counts → filter) —
+    the attribute-collision detector."""
+    ds = read_parquet_clean(f"{sf_dir}/part.parquet",
+                            columns=["p_name", "p_brand"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["p_name", "p_brand"]).aggregate([]) \
+            .select(["p_name", "p_brand"])
+
+    distinct = partial_aggregate(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["p_name", "p_brand"], [])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["p_name"]).aggregate([("p_name", "count")])
+        return pa.table({"p_name": res.column("p_name"),
+                         "n_brands": pc.cast(res.column("p_name_count"),
+                                             pa.int64())})
+
+    per_name = partial_aggregate(
+        distinct.map_batches(counts, batch_format="pyarrow"),
+        ["p_name"], [("n_brands", "sum", "n_brands")])
+    out = per_name.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n_brands"), 2)),
+        batch_format="pyarrow")
+    seed = pa.table({"p_name": pa.array([], pa.string()),
+                     "n_brands": pa.array([], pa.int64())})
+    return pa.concat_tables(
+        [seed] + [b.select(["p_name", "n_brands"])
+                  for b in out.iter_batches(batch_format="pyarrow")])
