@@ -229,7 +229,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         user_weekend_ratio_hist,
                                         source_dup_stats,
                                         user_hour_bitmask,
-                                        part_name_collisions)
+                                        part_name_collisions,
+                                        referential_integrity_audit,
+                                        embedding_dim_sign_balance,
+                                        avg_token_len_by_lang,
+                                        user_type_run_counts)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -707,6 +711,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_dup_stats": source_dup_stats,
         "user_hour_bitmask": user_hour_bitmask,
         "part_name_collisions": part_name_collisions,
+        "referential_integrity_audit": referential_integrity_audit,
+        "embedding_dim_sign_balance": embedding_dim_sign_balance,
+        "avg_token_len_by_lang": avg_token_len_by_lang,
+        "user_type_run_counts": user_type_run_counts,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2501,6 +2509,63 @@ def oracle_sql() -> dict[str, str]:
             "WITH d AS (SELECT DISTINCT p_name, p_brand FROM part) "
             "SELECT p_name, CAST(count(*) AS BIGINT) AS n_brands "
             "FROM d GROUP BY 1 HAVING count(*) >= 2"),
+        "referential_integrity_audit": (
+            "SELECT 'lineitem.l_partkey->part' AS fk, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(SUM(CASE WHEN l_partkey NOT IN "
+            "(SELECT p_partkey FROM part) THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_orphans FROM lineitem "
+            "UNION ALL SELECT 'lineitem.l_suppkey->supplier', "
+            "CAST(count(*) AS BIGINT), "
+            "CAST(SUM(CASE WHEN l_suppkey NOT IN "
+            "(SELECT s_suppkey FROM supplier) THEN 1 ELSE 0 END) "
+            "AS BIGINT) FROM lineitem "
+            "UNION ALL SELECT 'orders.o_custkey->customer', "
+            "CAST(count(*) AS BIGINT), "
+            "CAST(SUM(CASE WHEN o_custkey NOT IN "
+            "(SELECT c_custkey FROM customer) THEN 1 ELSE 0 END) "
+            "AS BIGINT) FROM orders "
+            "UNION ALL SELECT 'customer.c_nationkey->nation', "
+            "CAST(count(*) AS BIGINT), "
+            "CAST(SUM(CASE WHEN c_nationkey NOT IN "
+            "(SELECT n_nationkey FROM nation) THEN 1 ELSE 0 END) "
+            "AS BIGINT) FROM customer"),
+        "embedding_dim_sign_balance": (
+            "WITH v AS (SELECT CAST(k - 1 AS BIGINT) AS dim, "
+            "CAST(round(CAST(embedding[CAST(k AS INT)] AS DOUBLE) "
+            "* 10000) AS BIGINT) AS q "
+            "FROM embeddings, range(1, 65) r(k)) "
+            "SELECT dim, "
+            "CAST(SUM(CASE WHEN q > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_pos, "
+            "CAST(SUM(CASE WHEN q < 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_neg, "
+            "CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_zero FROM v GROUP BY 1"),
+        "avg_token_len_by_lang": (
+            "WITH t AS (SELECT lang, "
+            "unnest(string_split(text, ' ')) AS tok FROM documents), "
+            "k AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(SUM(length(tok)) AS BIGINT) AS tok_chars "
+            "FROM t GROUP BY 1), "
+            "d AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY 1) "
+            "SELECT d.lang, d.n_docs, k.n_tokens, k.tok_chars, "
+            "CAST((1000000 * k.tok_chars) // k.n_tokens AS BIGINT) "
+            "AS avg_len_ppm FROM d JOIN k ON d.lang = k.lang"),
+        "user_type_run_counts": (
+            "WITH o AS (SELECT user_id, ts, event_id, event_type, "
+            "CASE WHEN lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) IS DISTINCT FROM event_type "
+            "THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT user_id, sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS rid "
+            "FROM o), "
+            "runs AS (SELECT user_id, rid, count(*) AS run_len "
+            "FROM s GROUP BY 1, 2) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_runs, "
+            "CAST(max(run_len) AS BIGINT) AS longest_run "
+            "FROM runs GROUP BY 1"),
         "lang_confusion_matrix": (
             "SELECT lang, CASE WHEN 5 * len(list_filter("
             "string_split(text,' '), "

@@ -9040,3 +9040,148 @@ def part_name_collisions(sf_dir: str) -> ray.data.Dataset:
     return pa.concat_tables(
         [seed] + [b.select(["p_name", "n_brands"])
                   for b in out.iter_batches(batch_format="pyarrow")])
+
+
+def referential_integrity_audit(sf_dir: str) -> ray.data.Dataset:
+    """One-report FK-orphan audit across the star schema: for each
+    foreign key, total fact rows and rows whose key is missing from the
+    dimension.  Every dimension key set is ``ray.put`` ONCE and tested
+    with ``pc.is_in`` inside map_batches (no shuffle; the fact tables
+    stream).  Both lineitem FKs share a single scan.  For a fact→fact
+    edge too big to broadcast, the shuffle anti-join pattern
+    (``lineitem_orphans``) is the scale path."""
+    import ray as _ray
+
+    part_keys = _ray.put(pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]).column(0)
+        .combine_chunks())
+    supp_keys = _ray.put(pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]).column(0)
+        .combine_chunks())
+    cust_keys = _ray.put(pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]).column(0)
+        .combine_chunks())
+    nat_keys = _ray.put(pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey"]).column(0)
+        .combine_chunks())
+
+    def audit(fk_names: list[tuple[str, str, object]]):
+        def fn(batch: pa.Table) -> pa.Table:
+            fks, rows, orphans = [], [], []
+            for col, label, ref in fk_names:
+                keys = _ray.get(ref)
+                v = batch.column(col)
+                if v.type != keys.type:
+                    v = v.cast(keys.type)
+                hit = pc.is_in(v, value_set=keys)
+                fks.append(label)
+                rows.append(len(batch))
+                orphans.append(len(batch)
+                               - pc.sum(hit).as_py())
+            return pa.table({"fk": pa.array(fks, pa.string()),
+                             "n_rows": pa.array(rows, pa.int64()),
+                             "n_orphans": pa.array(orphans, pa.int64())})
+        return fn
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey"]) \
+        .map_batches(audit([
+            ("l_partkey", "lineitem.l_partkey->part", part_keys),
+            ("l_suppkey", "lineitem.l_suppkey->supplier", supp_keys)]),
+            batch_format="pyarrow")
+    od = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey"]) \
+        .map_batches(audit([
+            ("o_custkey", "orders.o_custkey->customer", cust_keys)]),
+            batch_format="pyarrow")
+    cu = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                            columns=["c_nationkey"]) \
+        .map_batches(audit([
+            ("c_nationkey", "customer.c_nationkey->nation", nat_keys)]),
+            batch_format="pyarrow")
+    return partial_aggregate(
+        li.union(od).union(cu), ["fk"],
+        [("n_rows", "sum", "n_rows"), ("n_orphans", "sum", "n_orphans")])
+
+
+def embedding_dim_sign_balance(sf_dir: str) -> ray.data.Dataset:
+    """Per-dimension sign census of the embedding space (positive /
+    negative / zero counts at e4 quantization) — the sanity probe for a
+    mis-centered encoder.  Each batch folds its vectors into a 64-row
+    partial; the exchange carries 64 × n_batches rows."""
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        m = np.stack(batch.column("embedding")
+                     .to_numpy(zero_copy_only=False))
+        q = np.rint(m.astype(np.float64) * 10_000).astype(np.int64)
+        return pa.table({
+            "dim": pa.array(np.arange(q.shape[1], dtype=np.int64)),
+            "n_pos": pa.array((q > 0).sum(axis=0).astype(np.int64)),
+            "n_neg": pa.array((q < 0).sum(axis=0).astype(np.int64)),
+            "n_zero": pa.array((q == 0).sum(axis=0).astype(np.int64))})
+
+    return partial_aggregate(
+        ds.map_batches(per_batch, batch_format="pyarrow"),
+        ["dim"], [("n_pos", "sum", "n_pos"), ("n_neg", "sum", "n_neg"),
+                  ("n_zero", "sum", "n_zero")])
+
+
+def avg_token_len_by_lang(sf_dir: str) -> ray.data.Dataset:
+    """Mean token length per language (floor ppm) WITHOUT tokenizing:
+    for single-space-joined text, Σ len(token) = len(text) − n_spaces
+    and n_tokens = n_spaces + n_docs — two string kernels replace the
+    token explode, so the exchange carries 3 counters per lang."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "text"])
+
+    def counters(batch: pa.Table) -> pa.Table:
+        chars = pc.utf8_length(batch.column("text"))
+        spaces = pc.count_substring(batch.column("text"), " ")
+        return pa.table({
+            "lang": batch.column("lang"),
+            "n_docs": pa.array(np.ones(len(batch), np.int64)),
+            "n_tokens": pc.cast(pc.add(spaces, 1), pa.int64()),
+            "tok_chars": pc.cast(pc.subtract(chars, spaces), pa.int64())})
+
+    agg = partial_aggregate(
+        ds.map_batches(counters, batch_format="pyarrow"),
+        ["lang"], [("n_docs", "sum", "n_docs"),
+                   ("n_tokens", "sum", "n_tokens"),
+                   ("tok_chars", "sum", "tok_chars")])
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        t = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        c = batch.column("tok_chars").to_numpy(zero_copy_only=False)
+        ppm = (1_000_000 * c) // np.where(t == 0, 1, t)
+        return batch.append_column("avg_len_ppm", pa.array(ppm))
+
+    return agg.map_batches(ratio, batch_format="pyarrow")
+
+
+def user_type_run_counts(sf_dir: str) -> ray.data.Dataset:
+    """Run-length encoding of each user's event-type stream: number of
+    maximal same-type runs and the longest run, over the
+    (ts, event_id)-ordered sequence — vectorized break detection per
+    group (the hash exchange carries only the group key)."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        types = group.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        t = types[order]
+        brk = np.flatnonzero(t[1:] != t[:-1])
+        runs = np.diff(np.r_[0, brk + 1, len(t)])
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "n_runs": pa.array([len(runs)], pa.int64()),
+            "longest_run": pa.array([int(runs.max())], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")
