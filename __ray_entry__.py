@@ -233,7 +233,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         referential_integrity_audit,
                                         embedding_dim_sign_balance,
                                         avg_token_len_by_lang,
-                                        user_type_run_counts)
+                                        user_type_run_counts,
+                                        pagerank_nation_trade,
+                                        brand_name_lcp,
+                                        embedding_top2_dims,
+                                        views_except_all_purchases)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -715,6 +719,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_sign_balance": embedding_dim_sign_balance,
         "avg_token_len_by_lang": avg_token_len_by_lang,
         "user_type_run_counts": user_type_run_counts,
+        "pagerank_nation_trade": pagerank_nation_trade,
+        "brand_name_lcp": brand_name_lcp,
+        "embedding_top2_dims": embedding_top2_dims,
+        "views_except_all_purchases": views_except_all_purchases,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2553,6 +2561,65 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.lang, d.n_docs, k.n_tokens, k.tok_chars, "
             "CAST((1000000 * k.tok_chars) // k.n_tokens AS BIGINT) "
             "AS avg_len_ppm FROM d JOIN k ON d.lang = k.lang"),
+        "pagerank_nation_trade": (
+            "WITH e AS (SELECT CAST(c.c_nationkey AS BIGINT) AS u, "
+            "CAST(s.s_nationkey AS BIGINT) AS v, "
+            "CAST(count(*) AS BIGINT) AS w FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey GROUP BY 1, 2), "
+            "ow AS (SELECT u, SUM(w) AS wout FROM e GROUP BY 1), "
+            "n AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation), "
+            "p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM n), "
+            "c1 AS (SELECT e.v AS id, SUM((p0.pr * e.w) // ow.wout) AS s "
+            "FROM e JOIN p0 ON e.u = p0.id JOIN ow ON e.u = ow.u "
+            "GROUP BY 1), "
+            "p1 AS (SELECT n.id, CAST(150000 + "
+            "(850 * COALESCE(c1.s, 0)) // 1000 AS BIGINT) AS pr "
+            "FROM n LEFT JOIN c1 ON n.id = c1.id), "
+            "c2 AS (SELECT e.v AS id, SUM((p1.pr * e.w) // ow.wout) AS s "
+            "FROM e JOIN p1 ON e.u = p1.id JOIN ow ON e.u = ow.u "
+            "GROUP BY 1), "
+            "p2 AS (SELECT n.id, CAST(150000 + "
+            "(850 * COALESCE(c2.s, 0)) // 1000 AS BIGINT) AS pr "
+            "FROM n LEFT JOIN c2 ON n.id = c2.id), "
+            "c3 AS (SELECT e.v AS id, SUM((p2.pr * e.w) // ow.wout) AS s "
+            "FROM e JOIN p2 ON e.u = p2.id JOIN ow ON e.u = ow.u "
+            "GROUP BY 1), "
+            "p3 AS (SELECT n.id, CAST(150000 + "
+            "(850 * COALESCE(c3.s, 0)) // 1000 AS BIGINT) AS pr "
+            "FROM n LEFT JOIN c3 ON n.id = c3.id) "
+            "SELECT id AS nationkey, pr AS pr_e6 FROM p3"),
+        "brand_name_lcp": (
+            "WITH a AS (SELECT p_brand, "
+            "CAST(count(*) AS BIGINT) AS n_parts, "
+            "min(p_name) AS mn, max(p_name) AS mx FROM part GROUP BY 1) "
+            "SELECT p_brand, n_parts, CAST(COALESCE((SELECT MIN(i) "
+            "FROM unnest(range(1, LEAST(length(mn), length(mx)) + 1)) "
+            "t(i) WHERE substr(mn, CAST(i AS INT), 1) <> "
+            "substr(mx, CAST(i AS INT), 1)) - 1, "
+            "LEAST(length(mn), length(mx))) AS BIGINT) AS lcp_len "
+            "FROM a"),
+        "embedding_top2_dims": (
+            "WITH v AS (SELECT vec_id, CAST(k - 1 AS BIGINT) AS dim, "
+            "CAST(round(CAST(embedding[CAST(k AS INT)] AS DOUBLE) "
+            "* 10000) AS BIGINT) AS q "
+            "FROM embeddings, range(1, 65) r(k)), "
+            "r AS (SELECT vec_id, dim, row_number() OVER ("
+            "PARTITION BY vec_id ORDER BY q DESC, dim) AS rn FROM v), "
+            "p AS (SELECT vec_id, "
+            "MAX(CASE WHEN rn = 1 THEN dim END) AS dim1, "
+            "MAX(CASE WHEN rn = 2 THEN dim END) AS dim2 "
+            "FROM r WHERE rn <= 2 GROUP BY 1) "
+            "SELECT dim1, dim2, CAST(count(*) AS BIGINT) AS n_vecs "
+            "FROM p GROUP BY 1, 2"),
+        "views_except_all_purchases": (
+            "WITH c AS (SELECT user_id, "
+            "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv, "
+            "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+            "AS np FROM events GROUP BY 1) "
+            "SELECT user_id, CAST(nv - np AS BIGINT) AS surplus_views "
+            "FROM c WHERE nv > np"),
         "user_type_run_counts": (
             "WITH o AS (SELECT user_id, ts, event_id, event_type, "
             "CASE WHEN lag(event_type) OVER (PARTITION BY user_id "

@@ -9185,3 +9185,184 @@ def user_type_run_counts(sf_dir: str) -> ray.data.Dataset:
 
     return ds.groupby("user_id").map_groups(per_user,
                                             batch_format="pyarrow")
+
+
+def pagerank_nation_trade(sf_dir: str, iters: int = 3) -> ray.data.Dataset:
+    """Integer fixed-point PageRank (damping 0.85, e6 scale, floor
+    division — bit-exact vs the unrolled SQL oracle) over the nation
+    trade graph: edge (customer nation → supplier nation) weighted by
+    lineitem count.  The heavy work is the distributed edge build —
+    lineitem pre-reduces per batch, the fact⋈fact orderkey link runs
+    one shuffle_lookup_join — after which the graph is bounded by the
+    nation DIMENSION (≤625 edges), so the power iterations fold on the
+    driver; node count never scales with data volume."""
+    from ..functions.joins import shuffle_lookup_join
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation_ids = pc.cast(pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey"]).column(0),
+        pa.int64()).to_numpy(zero_copy_only=False)
+    side = ray.put((sup.column("s_suppkey").combine_chunks(),
+                    pc.cast(sup.column("s_nationkey").combine_chunks(),
+                            pa.int64()),
+                    cust.column("c_custkey").combine_chunks(),
+                    pc.cast(cust.column("c_nationkey").combine_chunks(),
+                            pa.int64())))
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_suppkey"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        sk, snk, _, _ = ray.get(side)
+        i = pc.index_in(batch.column("l_suppkey"), value_set=sk)
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "supp_nk": pc.take(snk, i),
+                      "w": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["l_orderkey", "supp_nk"]).aggregate([("w", "sum")])
+        return pa.table({"l_orderkey": res.column("l_orderkey"),
+                         "supp_nk": res.column("supp_nk"),
+                         "w": res.column("w_sum")})
+
+    def ord_nat(batch: pa.Table) -> pa.Table:
+        _, _, ck, cnk = ray.get(side)
+        i = pc.index_in(batch.column("o_custkey"), value_set=ck)
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "cust_nk": pc.take(cnk, i)})
+
+    joined = shuffle_lookup_join(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        orders.map_batches(ord_nat, batch_format="pyarrow"),
+        on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("supp_nk", pa.int64()),
+                               ("w", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("cust_nk", pa.int64())]))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["cust_nk", "supp_nk"]).aggregate([("w", "sum")])
+        return pa.table({"u": res.column("cust_nk"),
+                         "v": res.column("supp_nk"),
+                         "w": res.column("w_sum")})
+
+    edges = partial_aggregate(
+        joined.map_batches(fold, batch_format="pyarrow"),
+        ["u", "v"], [("w", "sum", "w")]).take_all()  # ≤ 625 rows (dim²)
+    u = np.array([e["u"] for e in edges], np.int64)
+    v = np.array([e["v"] for e in edges], np.int64)
+    w = np.array([e["w"] for e in edges], np.int64)
+
+    idx = {int(n): k for k, n in enumerate(nation_ids)}
+    ui = np.array([idx[x] for x in u], np.int64) if len(u) else u
+    vi = np.array([idx[x] for x in v], np.int64) if len(v) else v
+    n = len(nation_ids)
+    wout = np.zeros(n, np.int64)
+    np.add.at(wout, ui, w)
+    pr = np.full(n, 1_000_000, np.int64)
+    for _ in range(iters):
+        contrib = np.zeros(n, np.int64)
+        if len(u):
+            np.add.at(contrib, vi, (pr[ui] * w) // wout[ui])
+        pr = 150_000 + (850 * contrib) // 1000
+    return ray.data.from_arrow(pa.table({
+        "nationkey": pa.array(nation_ids),
+        "pr_e6": pa.array(pr)}))
+
+
+def brand_name_lcp(sf_dir: str) -> ray.data.Dataset:
+    """Longest-common-prefix length of all part names per brand WITHOUT
+    shipping the names: LCP(group) = LCP(min(name), max(name)) — two
+    order-statistic string aggregates replace an all-names reduction, so
+    the exchange carries 2 strings per brand."""
+    ds = read_parquet_clean(f"{sf_dir}/part.parquet",
+                            columns=["p_brand", "p_name"])
+
+    def mm(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["p_brand"]).aggregate(
+            [("p_name", "min"), ("p_name", "max"),
+             ("p_brand", "count")])
+        return pa.table({"p_brand": res.column("p_brand"),
+                         "mn": res.column("p_name_min"),
+                         "mx": res.column("p_name_max"),
+                         "n_parts": pc.cast(res.column("p_brand_count"),
+                                            pa.int64())})
+
+    agg = partial_aggregate(
+        ds.map_batches(mm, batch_format="pyarrow"),
+        ["p_brand"], [("mn", "min", "mn"), ("mx", "max", "mx"),
+                      ("n_parts", "sum", "n_parts")])
+
+    def lcp(batch: pa.Table) -> pa.Table:  # ≤ n_brands rows (dimension)
+        import os.path
+        mn = batch.column("mn").to_pylist()
+        mx = batch.column("mx").to_pylist()
+        out = [len(os.path.commonprefix([a, b])) for a, b in zip(mn, mx)]
+        return pa.table({"p_brand": batch.column("p_brand"),
+                         "n_parts": batch.column("n_parts"),
+                         "lcp_len": pa.array(out, pa.int64())})
+
+    return agg.map_batches(lcp, batch_format="pyarrow")
+
+
+def embedding_top2_dims(sf_dir: str) -> ray.data.Dataset:
+    """Histogram of each vector's two strongest dimensions (by e4-
+    quantized value, ties to the smaller dim) — the per-row top-k over a
+    list column, vectorized with one stable argsort per batch; only
+    (dim1, dim2, count) partials shuffle."""
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        m = np.stack(batch.column("embedding")
+                     .to_numpy(zero_copy_only=False))
+        q = np.rint(m.astype(np.float64) * 10_000).astype(np.int64)
+        idx = np.argsort(-q, axis=1, kind="stable")
+        t = pa.table({"dim1": pa.array(idx[:, 0].astype(np.int64)),
+                      "dim2": pa.array(idx[:, 1].astype(np.int64)),
+                      "n_vecs": pa.array(np.ones(len(q), np.int64))})
+        res = t.group_by(["dim1", "dim2"]).aggregate([("n_vecs", "sum")])
+        return pa.table({"dim1": res.column("dim1"),
+                         "dim2": res.column("dim2"),
+                         "n_vecs": res.column("n_vecs_sum")})
+
+    return partial_aggregate(
+        ds.map_batches(per_batch, batch_format="pyarrow"),
+        ["dim1", "dim2"], [("n_vecs", "sum", "n_vecs")])
+
+
+def views_except_all_purchases(sf_dir: str) -> ray.data.Dataset:
+    """Multiset difference (EXCEPT ALL at user grain): per user the
+    surplus of 'view' events over 'purchase' events, keeping users with
+    a positive surplus — bag semantics where viewers_not_purchasers is
+    the set version.  Counts partial-aggregate; the subtraction folds on
+    the already-small per-user rows."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "n_view": pc.cast(pc.equal(et, "view"), pa.int64()),
+            "n_purchase": pc.cast(pc.equal(et, "purchase"), pa.int64())})
+
+    agg = partial_aggregate(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["user_id"], [("n_view", "sum", "n_view"),
+                      ("n_purchase", "sum", "n_purchase")])
+
+    def surplus(batch: pa.Table) -> pa.Table:
+        nv = batch.column("n_view").to_numpy(zero_copy_only=False)
+        np_ = batch.column("n_purchase").to_numpy(zero_copy_only=False)
+        s = nv - np_
+        keep = s > 0
+        return pa.table({
+            "user_id": pa.array(batch.column("user_id")
+                                .to_numpy(zero_copy_only=False)[keep]),
+            "surplus_views": pa.array(s[keep])})
+
+    return agg.map_batches(surplus, batch_format="pyarrow")
