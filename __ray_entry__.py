@@ -237,7 +237,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         pagerank_nation_trade,
                                         brand_name_lcp,
                                         embedding_top2_dims,
-                                        views_except_all_purchases)
+                                        views_except_all_purchases,
+                                        pretrain_pipeline_docs,
+                                        user_type_gini_ppm,
+                                        global_gap_median_us,
+                                        user_event_id_inversions)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -723,6 +727,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_name_lcp": brand_name_lcp,
         "embedding_top2_dims": embedding_top2_dims,
         "views_except_all_purchases": views_except_all_purchases,
+        "pretrain_pipeline_docs": pretrain_pipeline_docs,
+        "user_type_gini_ppm": user_type_gini_ppm,
+        "global_gap_median_us": global_gap_median_us,
+        "user_event_id_inversions": user_event_id_inversions,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2620,6 +2628,39 @@ def oracle_sql() -> dict[str, str]:
             "AS np FROM events GROUP BY 1) "
             "SELECT user_id, CAST(nv - np AS BIGINT) AS surplus_views "
             "FROM c WHERE nv > np"),
+        "pretrain_pipeline_docs": (
+            "WITH d AS (SELECT min(doc_id) AS doc_id, text "
+            "FROM documents GROUP BY text), "
+            "q AS (SELECT doc_id, text FROM d WHERE "
+            "len(string_split(text,' ')) BETWEEN 10 AND 5000 AND "
+            "2 * len(list_filter(string_split(text,' '), x -> x IN "
+            f"{_STOPLIST_SQL})) <= len(string_split(text,' '))) "
+            "SELECT doc_id, text FROM q "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'"),
+        "user_type_gini_ppm": (
+            "WITH c AS (SELECT user_id, event_type, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2) "
+            "SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events, "
+            "CAST(1000000 - (1000000 * SUM(n * n)) "
+            "// (SUM(n) * SUM(n)) AS BIGINT) AS gini_ppm "
+            "FROM c GROUP BY 1"),
+        "global_gap_median_us": (
+            "WITH o AS (SELECT user_id, "
+            "epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id)) AS gap FROM events) "
+            "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
+            "AS value FROM o WHERE gap IS NOT NULL"),
+        "user_event_id_inversions": (
+            "WITH inv AS (SELECT a.user_id, "
+            "CAST(count(*) AS BIGINT) AS n_inversions "
+            "FROM events a JOIN events b ON a.user_id = b.user_id "
+            "AND a.ts < b.ts AND a.event_id > b.event_id GROUP BY 1), "
+            "tot AS (SELECT user_id, CAST(count(*) AS BIGINT) "
+            "AS n_events FROM events GROUP BY 1) "
+            "SELECT tot.user_id, "
+            "CAST(COALESCE(inv.n_inversions, 0) AS BIGINT) "
+            "AS n_inversions, tot.n_events FROM tot "
+            "LEFT JOIN inv ON tot.user_id = inv.user_id"),
         "user_type_run_counts": (
             "WITH o AS (SELECT user_id, ts, event_id, event_type, "
             "CASE WHEN lag(event_type) OVER (PARTITION BY user_id "

@@ -9366,3 +9366,140 @@ def views_except_all_purchases(sf_dir: str) -> ray.data.Dataset:
             "surplus_views": pa.array(s[keep])})
 
     return agg.map_batches(surplus, batch_format="pyarrow")
+
+
+def pretrain_pipeline_docs(sf_dir: str) -> ray.data.Dataset:
+    """The flagship training-data composite: exact dedup (md5 key, keep
+    smallest doc_id) → quality filter (token-count band + stopword
+    ratio) → deterministic 1/16 hash sample — three operators CHAINED
+    as one lazy Dataset, so blocks stream end-to-end with no
+    materialization between stages."""
+    from ..functions.dedup import exact_dedup
+    from ..functions.text import (deterministic_sample_batch,
+                                  quality_filter_batch)
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    deduped = exact_dedup(ds)
+    filtered = deduped.map_batches(quality_filter_batch,
+                                   batch_format="pyarrow")
+    sampled = filtered.map_batches(deterministic_sample_batch,
+                                   batch_format="pyarrow")
+    return sampled.select_columns(["doc_id", "text"])
+
+
+def user_type_gini_ppm(sf_dir: str) -> ray.data.Dataset:
+    """Gini impurity (1 − Σp², floor ppm) of each user's event-type
+    mix — diversity WITHOUT logarithms, so the statistic is integer-
+    exact: Σn_t and Σn_t² fold from the distinct (user, type) count
+    partials."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "event_type": batch.column("event_type"),
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["user_id", "event_type"]).aggregate([("n", "sum")])
+        return pa.table({"user_id": res.column("user_id"),
+                         "event_type": res.column("event_type"),
+                         "n": res.column("n_sum")})
+
+    per_type = partial_aggregate(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["user_id", "event_type"], [("n", "sum", "n")])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": batch.column("user_id"),
+                         "n_events": pa.array(n),
+                         "n_sq": pa.array(n * n)})
+
+    agg = partial_aggregate(
+        per_type.map_batches(fold, batch_format="pyarrow"),
+        ["user_id"], [("n_events", "sum", "n_events"),
+                      ("n_sq", "sum", "n_sq")])
+
+    def gini(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_events").to_numpy(zero_copy_only=False)
+        sq = batch.column("n_sq").to_numpy(zero_copy_only=False)
+        g = 1_000_000 - (1_000_000 * sq) // np.where(n == 0, 1, n * n)
+        return pa.table({"user_id": batch.column("user_id"),
+                         "n_events": pa.array(n),
+                         "gini_ppm": pa.array(g)})
+
+    return agg.map_batches(gini, batch_format="pyarrow")
+
+
+def global_gap_median_us(sf_dir: str) -> pa.Table:
+    """Exact global median of the DERIVED inter-event gap column: gaps
+    materialize per user inside map_groups (a window over the keyed
+    stream), then the multi-pass histogram-selection engine finds the
+    exact rank without ever sorting or collecting the gaps."""
+    from ..functions.quantiles import exact_quantiles
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id"])
+
+    def gaps(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        t = ts[order]
+        return pa.table({"gap_us": pa.array(np.diff(t).astype(np.float64))})
+
+    gap_ds = ds.groupby("user_id").map_groups(gaps, batch_format="pyarrow")
+    return exact_quantiles(gap_ds, "gap_us", qs=(0.5,))
+
+
+def _count_inversions(a: np.ndarray) -> int:
+    """Inversion count of ``a`` by bottom-up merge counting — each pass
+    merges adjacent sorted runs and adds, for every right-run element,
+    the count of left-run elements greater than it (one vectorized
+    searchsorted per run pair); O(n log n), no Python per-element work."""
+    n = len(a)
+    inv = 0
+    w = 64  # seed runs: O(w²) triangular count, w bounded
+    runs = []
+    for i in range(0, n, w):
+        chunk = a[i:i + w]
+        inv += int(np.sum(np.triu(chunk[:, None] > chunk[None, :], 1)))
+        runs.append(np.sort(chunk, kind="stable"))
+    while len(runs) > 1:
+        nxt = []
+        for i in range(0, len(runs) - 1, 2):
+            left, right = runs[i], runs[i + 1]
+            inv += int(np.sum(len(left)
+                              - np.searchsorted(left, right, side="right")))
+            nxt.append(np.concatenate([left, right]))
+            nxt[-1].sort(kind="stable")
+        if len(runs) % 2:
+            nxt.append(runs[-1])
+        runs = nxt
+    return inv
+
+
+def user_event_id_inversions(sf_dir: str) -> ray.data.Dataset:
+    """Out-of-order-arrival audit: per user, the number of event pairs
+    whose event_id order contradicts their strict ts order (the Kendall
+    discordance numerator).  Counting runs inside each group with the
+    O(n log n) merge counter — per-key streams are bounded by user
+    activity, never by corpus size."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        # ties on ts sort by event_id and are NOT inversions; strict-ts
+        # pairs with decreasing event_id are.  Equal-ts runs are already
+        # eid-ascending after lexsort, contributing zero.
+        inv = _count_inversions(eid[order])
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "n_inversions": pa.array([inv], pa.int64()),
+            "n_events": pa.array([len(eid)], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")
