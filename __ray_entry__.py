@@ -241,7 +241,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         pretrain_pipeline_docs,
                                         user_type_gini_ppm,
                                         global_gap_median_us,
-                                        user_event_id_inversions)
+                                        user_event_id_inversions,
+                                        doc_longest_token,
+                                        top_token_context_diversity,
+                                        customer_balance_peers,
+                                        source_exclusive_vocab)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -731,6 +735,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_gini_ppm": user_type_gini_ppm,
         "global_gap_median_us": global_gap_median_us,
         "user_event_id_inversions": user_event_id_inversions,
+        "doc_longest_token": doc_longest_token,
+        "top_token_context_diversity": top_token_context_diversity,
+        "customer_balance_peers": customer_balance_peers,
+        "source_exclusive_vocab": source_exclusive_vocab,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2650,6 +2658,43 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "doc_longest_token": (
+            "WITH t AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS tok FROM documents), "
+            "r AS (SELECT doc_id, tok, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY length(tok) DESC, tok) AS rn "
+            "FROM t) "
+            "SELECT doc_id, tok AS longest_token, "
+            "CAST(length(tok) AS BIGINT) AS token_len FROM r "
+            "WHERE rn = 1"),
+        "top_token_context_diversity": (
+            "WITH c AS (SELECT tok, count(*) AS n FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS tok "
+            "FROM documents) GROUP BY 1), "
+            "head AS (SELECT tok FROM c "
+            "ORDER BY n DESC, tok LIMIT 20), "
+            "bg AS (SELECT DISTINCT toks[i] AS tok, "
+            "toks[i + 1] AS next_tok FROM ("
+            "SELECT string_split(text, ' ') AS toks FROM documents), "
+            "unnest(range(1, len(toks))) t(i)) "
+            "SELECT bg.tok, CAST(count(*) AS BIGINT) AS n_contexts "
+            "FROM bg JOIN head ON bg.tok = head.tok GROUP BY 1"),
+        "customer_balance_peers": (
+            "SELECT a.c_custkey, CAST(count(b.c_custkey) - 1 AS BIGINT) "
+            "AS n_peers FROM customer a JOIN customer b "
+            "ON a.c_nationkey = b.c_nationkey "
+            "AND CAST(round(b.c_acctbal * 100) AS BIGINT) BETWEEN "
+            "CAST(round(a.c_acctbal * 100) AS BIGINT) - 10000 AND "
+            "CAST(round(a.c_acctbal * 100) AS BIGINT) + 10000 "
+            "GROUP BY 1"),
+        "source_exclusive_vocab": (
+            "WITH p AS (SELECT DISTINCT tok, source FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS tok, source "
+            "FROM documents)), "
+            "x AS (SELECT tok, min(source) AS source FROM p "
+            "GROUP BY 1 HAVING count(*) = 1) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_exclusive "
+            "FROM x GROUP BY 1"),
         "user_event_id_inversions": (
             "WITH inv AS (SELECT a.user_id, "
             "CAST(count(*) AS BIGINT) AS n_inversions "

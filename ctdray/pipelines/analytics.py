@@ -9503,3 +9503,169 @@ def user_event_id_inversions(sf_dir: str) -> ray.data.Dataset:
 
     return ds.groupby("user_id").map_groups(per_user,
                                             batch_format="pyarrow")
+
+
+def doc_longest_token(sf_dir: str) -> ray.data.Dataset:
+    """Per-document argmax over the token list (longest token, ties to
+    the lexicographically smallest) — a ragged per-row reduction done
+    with ONE vectorized explode + lexsort per batch; documents are
+    atomic within a batch so no exchange is needed at all."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        reps = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc = np.repeat(np.arange(len(batch)), reps)
+        lens = np.char.str_len(flat.astype(str))
+        order = np.lexsort((flat, -lens, doc))
+        first = np.unique(doc[order], return_index=True)[1]
+        pick = order[first]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "longest_token": pa.array(flat[pick]),
+            "token_len": pa.array(lens[pick].astype(np.int64))})
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def top_token_context_diversity(sf_dir: str, n_top: int = 20
+                                ) -> ray.data.Dataset:
+    """Context diversity of the corpus head: for each of the top-n
+    tokens by occurrence, the number of DISTINCT tokens that immediately
+    follow it.  Pass 1 finds the head (tiny, broadcast); pass 2 keeps
+    only bigrams anchored on it, dedups pairs, counts per anchor — the
+    'entropy probe' without a logarithm."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        t = pa.table({"tok": flat,
+                      "n": pa.array(np.ones(len(flat), np.int64))})
+        res = t.group_by(["tok"]).aggregate([("n", "sum")])
+        return pa.table({"tok": res.column("tok"),
+                         "n": res.column("n_sum")})
+
+    counts = partial_aggregate(
+        ds.map_batches(tok_counts, batch_format="pyarrow"),
+        ["tok"], [("n", "sum", "n")])
+    head = counts.sort(["n", "tok"], descending=[True, False]) \
+        .limit(n_top).take_all()
+    head_ref = ray.put(pa.array([r["tok"] for r in head], pa.string()))
+
+    def bigrams(batch: pa.Table) -> pa.Table:
+        anchors = ray.get(head_ref)
+        toks = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        reps = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc = np.repeat(np.arange(len(batch)), reps)
+        if len(flat) == 0:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "next_tok": pa.array([], pa.string())})
+        same = doc[1:] == doc[:-1]
+        first = pa.array(flat[:-1][same])
+        second = pa.array(flat[1:][same])
+        keep = pc.is_in(first, value_set=anchors)
+        t = pa.table({"tok": pc.filter(first, keep),
+                      "next_tok": pc.filter(second, keep)})
+        return t.group_by(["tok", "next_tok"]).aggregate([]) \
+            .select(["tok", "next_tok"])
+
+    pairs = partial_aggregate(
+        ds.map_batches(bigrams, batch_format="pyarrow"),
+        ["tok", "next_tok"], [])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["tok"]).aggregate([("tok", "count")])
+        return pa.table({"tok": res.column("tok"),
+                         "n_contexts": pc.cast(res.column("tok_count"),
+                                               pa.int64())})
+
+    return partial_aggregate(
+        pairs.map_batches(fold, batch_format="pyarrow"),
+        ["tok"], [("n_contexts", "sum", "n_contexts")])
+
+
+def customer_balance_peers(sf_dir: str, band_cents: int = 10_000
+                           ) -> ray.data.Dataset:
+    """Value-band self-join: per customer, how many OTHER same-nation
+    customers hold an account balance within ±band — the scalar analog
+    of the time-interval join, solved per nation group with one sort +
+    two searchsorted sweeps instead of an O(n²) pair build."""
+    ds = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_nationkey",
+                                     "c_acctbal"])
+
+    def per_nation(group: pa.Table) -> pa.Table:
+        cents = np.rint(group.column("c_acctbal")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        s = np.sort(cents, kind="stable")
+        hi = np.searchsorted(s, cents + band_cents, side="right")
+        lo = np.searchsorted(s, cents - band_cents, side="left")
+        return pa.table({
+            "c_custkey": group.column("c_custkey"),
+            "n_peers": pa.array(hi - lo - 1)})  # minus self
+
+    return ds.groupby("c_nationkey").map_groups(per_nation,
+                                                batch_format="pyarrow")
+
+
+def source_exclusive_vocab(sf_dir: str) -> ray.data.Dataset:
+    """Per-source exclusive vocabulary: tokens observed in EXACTLY one
+    source, counted per source — the set-difference profile of corpus
+    provenance.  Distinct (token, source) pairs reduce, per-token
+    source counts filter to 1, a count per source folds the survivors."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        reps = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = pc.take(batch.column("source"),
+                      pa.array(np.repeat(np.arange(len(batch)), reps)))
+        t = pa.table({"tok": flat, "source": src})
+        return t.group_by(["tok", "source"]).aggregate([]) \
+            .select(["tok", "source"])
+
+    distinct = partial_aggregate(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["tok", "source"], [])
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["tok"]).aggregate(
+            [("source", "min"), ("source", "max"), ("tok", "count")])
+        return pa.table({"tok": res.column("tok"),
+                         "src_min": res.column("source_min"),
+                         "src_max": res.column("source_max"),
+                         "n_sources": pc.cast(res.column("tok_count"),
+                                              pa.int64())})
+
+    # second exchange keyed on tok ALONE (the distinct output above is
+    # keyed on the pair, so one token's rows may span batches): min/max
+    # carry the source name, the sum carries the source count.
+    per_tok = partial_aggregate(
+        distinct.map_batches(tok_partial, batch_format="pyarrow"),
+        ["tok"], [("src_min", "min", "src_min"),
+                  ("src_max", "max", "src_max"),
+                  ("n_sources", "sum", "n_sources")])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.equal(batch.column("n_sources"), 1))
+        return pa.table({
+            "source": kept.column("src_min"),
+            "n_exclusive": pa.array(np.ones(len(kept), np.int64))})
+
+    out = partial_aggregate(
+        per_tok.map_batches(fold, batch_format="pyarrow"),
+        ["source"], [("n_exclusive", "sum", "n_exclusive")])
+    # typed seed: an all-shared vocabulary yields ZERO rows and an empty
+    # Dataset drops its schema — keep the (source, n_exclusive) contract
+    seed = pa.table({"source": pa.array([], pa.string()),
+                     "n_exclusive": pa.array([], pa.int64())})
+    return pa.concat_tables(
+        [seed] + [b.select(["source", "n_exclusive"])
+                  for b in out.iter_batches(batch_format="pyarrow")])
