@@ -245,7 +245,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         doc_longest_token,
                                         top_token_context_diversity,
                                         customer_balance_peers,
-                                        source_exclusive_vocab)
+                                        source_exclusive_vocab,
+                                        session_conversion_ppm,
+                                        daily_revenue_interpolated,
+                                        events_rate_limited,
+                                        order_first_ship_lag_hist)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -739,6 +743,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_token_context_diversity": top_token_context_diversity,
         "customer_balance_peers": customer_balance_peers,
         "source_exclusive_vocab": source_exclusive_vocab,
+        "session_conversion_ppm": session_conversion_ppm,
+        "daily_revenue_interpolated": daily_revenue_interpolated,
+        "events_rate_limited": events_rate_limited,
+        "order_first_ship_lag_hist": order_first_ship_lag_hist,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2658,6 +2666,61 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "session_conversion_ppm": (
+            "WITH o AS (SELECT user_id, ts, event_id, event_type, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - "
+            "epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END "
+            "AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, event_type, sum(brk) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM o), "
+            "g AS (SELECT user_id, sid, "
+            "max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv, "
+            "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+            "AS hp FROM s GROUP BY 1, 2) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_sessions, "
+            "CAST(SUM(hv) AS BIGINT) AS n_view_sessions, "
+            "CAST(SUM(hv * hp) AS BIGINT) AS n_converted, "
+            "CAST((1000000 * SUM(hv * hp)) // SUM(hv) AS BIGINT) "
+            "AS conversion_ppm FROM g"),
+        "daily_revenue_interpolated": (
+            "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents "
+            "FROM orders GROUP BY 1), "
+            "b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), "
+            "spine AS (SELECT CAST(unnest(generate_series(lo, hi, "
+            "INTERVAL 1 DAY)) AS DATE) AS day FROM b), "
+            "j AS (SELECT spine.day, d.cents FROM spine "
+            "LEFT JOIN d ON spine.day = d.day), "
+            "w AS (SELECT day, cents, "
+            "last_value(cents IGNORE NULLS) OVER (ORDER BY day) AS pv, "
+            "last_value(CASE WHEN cents IS NOT NULL THEN day END "
+            "IGNORE NULLS) OVER (ORDER BY day) AS pd, "
+            "first_value(cents IGNORE NULLS) OVER (ORDER BY day "
+            "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv, "
+            "first_value(CASE WHEN cents IS NOT NULL THEN day END "
+            "IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN CURRENT ROW "
+            "AND UNBOUNDED FOLLOWING) AS nd FROM j) "
+            "SELECT CAST(day AS TIMESTAMP) AS day, "
+            "CAST(CASE WHEN cents IS NOT NULL THEN cents "
+            "ELSE pv + ((nv - pv) * (day - pd)) // (nd - pd) "
+            "- CASE WHEN ((nv - pv) * (day - pd)) % (nd - pd) <> 0 "
+            "AND (nv - pv) * (day - pd) < 0 THEN 1 ELSE 0 END END "
+            "AS BIGINT) AS revenue_cents, "
+            "CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS BIGINT) "
+            "AS interpolated FROM w"),
+        "events_rate_limited": (
+            "SELECT event_id FROM (SELECT event_id, row_number() OVER ("
+            "PARTITION BY user_id, date_trunc('minute', ts) "
+            "ORDER BY ts, event_id) AS rn FROM events) WHERE rn <= 2"),
+        "order_first_ship_lag_hist": (
+            "WITH m AS (SELECT l_orderkey, min(l_shipdate) AS fs "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT CAST(CAST(m.fs AS DATE) - CAST(o.o_orderdate AS DATE) "
+            "AS BIGINT) AS lag_days, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM m JOIN orders o ON m.l_orderkey = o.o_orderkey "
+            "GROUP BY 1"),
         "doc_longest_token": (
             "WITH t AS (SELECT doc_id, "
             "unnest(string_split(text, ' ')) AS tok FROM documents), "

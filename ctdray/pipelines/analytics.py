@@ -9669,3 +9669,181 @@ def source_exclusive_vocab(sf_dir: str) -> ray.data.Dataset:
     return pa.concat_tables(
         [seed] + [b.select(["source", "n_exclusive"])
                   for b in out.iter_batches(batch_format="pyarrow")])
+
+
+def session_conversion_ppm(sf_dir: str, gap_seconds: int = 1800
+                           ) -> ray.data.Dataset:
+    """Session-level funnel conversion: of the 30-min-gap sessions that
+    contain a 'view', the fraction that also contain a 'purchase'
+    (floor ppm).  Each user's sessions fold to three counters inside
+    map_groups, so the global reduce sums 3 integers per user."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        types = group.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        t, ty = ts[order], types[order]
+        brk = np.r_[0, np.flatnonzero(np.diff(t)
+                                      > gap_seconds * 1_000_000) + 1,
+                    len(t)]
+        sid = np.repeat(np.arange(len(brk) - 1), np.diff(brk))
+        n_sessions = len(brk) - 1
+        is_view = ty == "view"
+        is_purch = ty == "purchase"
+        has_view = np.zeros(n_sessions, bool)
+        has_purch = np.zeros(n_sessions, bool)
+        np.logical_or.at(has_view, sid, is_view)
+        np.logical_or.at(has_purch, sid, is_purch)
+        return pa.table({
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+            "n_view_sessions": pa.array([int(has_view.sum())], pa.int64()),
+            "n_converted": pa.array([int((has_view & has_purch).sum())],
+                                    pa.int64())})
+
+    per = ds.groupby("user_id").map_groups(per_user,
+                                           batch_format="pyarrow")
+    rows = pa.concat_tables(list(per.iter_batches(batch_format="pyarrow",
+                                                  batch_size=None)))
+    ns = int(pc.sum(rows.column("n_sessions")).as_py() or 0)
+    nv = int(pc.sum(rows.column("n_view_sessions")).as_py() or 0)
+    nc = int(pc.sum(rows.column("n_converted")).as_py() or 0)
+    ppm = (1_000_000 * nc) // nv if nv else 0
+    return ray.data.from_arrow(pa.table({
+        "n_sessions": pa.array([ns], pa.int64()),
+        "n_view_sessions": pa.array([nv], pa.int64()),
+        "n_converted": pa.array([nc], pa.int64()),
+        "conversion_ppm": pa.array([ppm], pa.int64())}))
+
+
+def daily_revenue_interpolated(sf_dir: str) -> ray.data.Dataset:
+    """Gap-fill with integer linear interpolation: the daily order-
+    revenue series densified over the full calendar, zero-order days
+    getting floor((next−prev)·(d−pd)/(nd−pd)) + prev between their
+    nearest revenue days (edges stay at 0).  Daily sums partial-
+    aggregate; the interpolation folds on the calendar-bounded tail."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("o_orderdate"), unit="day")
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"day": day, "cents": pa.array(cents)})
+        res = t.group_by(["day"]).aggregate([("cents", "sum")])
+        return pa.table({"day": res.column("day"),
+                         "cents": res.column("cents_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(daily, batch_format="pyarrow"),
+        ["day"], [("cents", "sum", "cents")])
+    rows = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow",
+                                                  batch_size=None)))
+    day = rows.column("day").to_numpy(zero_copy_only=False) \
+        .astype("datetime64[D]").astype(np.int64)
+    cents = rows.column("cents").to_numpy(zero_copy_only=False)
+    order = np.argsort(day)
+    day, cents = day[order], cents[order]
+    if len(day) == 0:
+        return ray.data.from_arrow(pa.table({
+            "day": pa.array([], pa.timestamp("us")),
+            "revenue_cents": pa.array([], pa.int64()),
+            "interpolated": pa.array([], pa.int64())}))
+    full = np.arange(day[0], day[-1] + 1)
+    known = np.isin(full, day)
+    out = np.zeros(len(full), np.int64)
+    out[known] = cents
+    # nearest known neighbor on each side (edges covered: first/last known)
+    pos = np.searchsorted(day, full)          # next known index
+    prev = day[np.clip(pos - 1, 0, len(day) - 1)]
+    nxt = day[np.clip(pos, 0, len(day) - 1)]
+    pv = cents[np.clip(pos - 1, 0, len(day) - 1)]
+    nv = cents[np.clip(pos, 0, len(day) - 1)]
+    miss = ~known
+    interp = pv + ((nv - pv) * (full - prev)) // np.where(
+        nxt == prev, 1, nxt - prev)
+    out[miss] = interp[miss]
+    return ray.data.from_arrow(pa.table({
+        "day": pa.array(full.astype("datetime64[D]")
+                        .astype("datetime64[us]")),
+        "revenue_cents": pa.array(out),
+        "interpolated": pa.array(miss.astype(np.int64))}))
+
+
+def events_rate_limited(sf_dir: str, per_minute: int = 2
+                        ) -> ray.data.Dataset:
+    """Deterministic per-key rate limiter: at most ``per_minute`` events
+    survive per (user, minute), kept in (ts, event_id) arrival order —
+    the throttle/cap primitive of stream ingestion, ranked per user
+    group with one lexsort and a vectorized per-minute cumulative
+    counter (no Python loop)."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]")
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        minute = ts.astype("datetime64[m]").astype(np.int64)
+        order = np.lexsort((eid, ts.astype(np.int64), minute))
+        m = minute[order]
+        # position within each minute run: index − run start
+        starts = np.r_[0, np.flatnonzero(np.diff(m)) + 1]
+        runlen = np.diff(np.r_[starts, len(m)])
+        posn = np.arange(len(m)) - np.repeat(starts, runlen)
+        keep = posn < per_minute
+        return pa.table({
+            "event_id": pa.array(np.sort(eid[order][keep]))})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")
+
+
+def order_first_ship_lag_hist(sf_dir: str) -> ray.data.Dataset:
+    """Per-ORDER fulfillment latency: days from order date to the
+    FIRST lineitem shipment, folded to a histogram — a two-level
+    temporal aggregate (min over lines, count over orders) whose
+    fact⋈fact link carries only (orderkey, min_ship) partials through
+    one shuffle_lookup_join."""
+    from ..functions.joins import shuffle_lookup_join
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_shipdate"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderdate"])
+
+    def li_min(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["l_orderkey"]).aggregate(
+            [("l_shipdate", "min")])
+        return pa.table({"l_orderkey": res.column("l_orderkey"),
+                         "first_ship": res.column("l_shipdate_min")})
+
+    partial = partial_aggregate(
+        li.map_batches(li_min, batch_format="pyarrow"),
+        ["l_orderkey"], [("first_ship", "min", "first_ship")])
+
+    joined = shuffle_lookup_join(
+        partial, orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("first_ship", pa.timestamp("us"))]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us"))]))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        ship = batch.column("first_ship").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        od = batch.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        t = pa.table({"lag_days": pa.array(ship - od),
+                      "n_orders": pa.array(np.ones(len(ship), np.int64))})
+        res = t.group_by(["lag_days"]).aggregate([("n_orders", "sum")])
+        return pa.table({"lag_days": res.column("lag_days"),
+                         "n_orders": res.column("n_orders_sum")})
+
+    return partial_aggregate(
+        joined.map_batches(hist, batch_format="pyarrow"),
+        ["lag_days"], [("n_orders", "sum", "n_orders")])
