@@ -249,7 +249,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         session_conversion_ppm,
                                         daily_revenue_interpolated,
                                         events_rate_limited,
-                                        order_first_ship_lag_hist)
+                                        order_first_ship_lag_hist,
+                                        user_late_events,
+                                        event_type_daily_dominance,
+                                        lineitem_table_checksum,
+                                        cust_supp_balance_matches)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -747,6 +751,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_revenue_interpolated": daily_revenue_interpolated,
         "events_rate_limited": events_rate_limited,
         "order_first_ship_lag_hist": order_first_ship_lag_hist,
+        "user_late_events": user_late_events,
+        "event_type_daily_dominance": event_type_daily_dominance,
+        "lineitem_table_checksum": lineitem_table_checksum,
+        "cust_supp_balance_matches": cust_supp_balance_matches,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2666,6 +2674,43 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "user_late_events": (
+            "WITH o AS (SELECT user_id, ts, max(ts) OVER ("
+            "PARTITION BY user_id ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm "
+            "FROM events) "
+            "SELECT user_id, CAST(SUM(CASE WHEN wm IS NOT NULL AND "
+            "epoch_us(ts) < epoch_us(wm) - 60000000 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_late, "
+            "CAST(count(*) AS BIGINT) AS n_events FROM o GROUP BY 1"),
+        "event_type_daily_dominance": (
+            "WITH d AS (SELECT date_trunc('day', ts) AS day, event_type, "
+            "count(*) AS n FROM events GROUP BY 1, 2), "
+            "t AS (SELECT DISTINCT event_type FROM events), "
+            "days AS (SELECT DISTINCT day FROM d), "
+            "grid AS (SELECT days.day, t.event_type, COALESCE(d.n, 0) "
+            "AS n FROM days CROSS JOIN t LEFT JOIN d "
+            "ON days.day = d.day AND t.event_type = d.event_type) "
+            "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+            "CAST(SUM(CASE WHEN a.n > b.n THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_days_a_wins FROM grid a JOIN grid b "
+            "ON a.day = b.day AND a.event_type <> b.event_type "
+            "GROUP BY 1, 2"),
+        "lineitem_table_checksum": (
+            "SELECT bit_xor(CAST(CONCAT('0x', substr(md5("
+            "CAST(l_orderkey AS VARCHAR) || '|' || "
+            "CAST(l_linenumber AS VARCHAR) || '|' || "
+            "CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR)"
+            "), 1, 15)) AS BIGINT)) AS checksum, "
+            "CAST(count(*) AS BIGINT) AS n_rows FROM lineitem"),
+        "cust_supp_balance_matches": (
+            "SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey, "
+            "CAST(count(*) AS BIGINT) AS n_pairs FROM customer c "
+            "JOIN supplier s ON c.c_nationkey = s.s_nationkey "
+            "AND CAST(round(c.c_acctbal * 100) AS BIGINT) BETWEEN "
+            "CAST(round(s.s_acctbal * 100) AS BIGINT) - 1000 AND "
+            "CAST(round(s.s_acctbal * 100) AS BIGINT) + 1000 "
+            "GROUP BY 1"),
         "session_conversion_ppm": (
             "WITH o AS (SELECT user_id, ts, event_id, event_type, "
             "CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - "

@@ -9847,3 +9847,158 @@ def order_first_ship_lag_hist(sf_dir: str) -> ray.data.Dataset:
     return partial_aggregate(
         joined.map_batches(hist, batch_format="pyarrow"),
         ["lag_days"], [("n_orders", "sum", "n_orders")])
+
+
+def user_late_events(sf_dir: str, watermark_seconds: int = 60
+                     ) -> ray.data.Dataset:
+    """Watermark lateness audit: an event is LATE when its timestamp
+    trails the running max-ts of all earlier-sequenced events (by
+    event_id) by more than the watermark — the out-of-order metric a
+    streaming ingester alerts on.  Per-user running max is one
+    np.maximum.accumulate over the event_id-ordered group."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(eid, kind="stable")
+        t = ts[order]
+        run_max = np.maximum.accumulate(t)
+        late = np.zeros(len(t), bool)
+        late[1:] = t[1:] < run_max[:-1] - watermark_seconds * 1_000_000
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "n_late": pa.array([int(late.sum())], pa.int64()),
+            "n_events": pa.array([len(t)], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")
+
+
+def event_type_daily_dominance(sf_dir: str) -> ray.data.Dataset:
+    """Rank-flip census: for every ordered pair of event types, the
+    number of days on which type A logged strictly more events than
+    type B.  Daily type counts partial-aggregate (calendar × types
+    bounded); the pairwise comparison folds on that small matrix."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        t = pa.table({"day": day,
+                      "event_type": batch.column("event_type"),
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["day", "event_type"]).aggregate([("n", "sum")])
+        return pa.table({"day": res.column("day"),
+                         "event_type": res.column("event_type"),
+                         "n": res.column("n_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(daily, batch_format="pyarrow"),
+        ["day", "event_type"], [("n", "sum", "n")])
+    rows = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow",
+                                                  batch_size=None)))
+    day = rows.column("day").to_numpy(zero_copy_only=False)
+    et = rows.column("event_type").to_numpy(zero_copy_only=False)
+    n = rows.column("n").to_numpy(zero_copy_only=False)
+    types = np.unique(et)
+    days, day_idx = np.unique(day, return_inverse=True)
+    type_idx = np.searchsorted(types, et)
+    mat = np.zeros((len(days), len(types)), np.int64)
+    mat[day_idx, type_idx] = n
+    ta, tb, wins = [], [], []
+    for i, a in enumerate(types):
+        for j, b in enumerate(types):
+            if i == j:
+                continue
+            ta.append(a)
+            tb.append(b)
+            wins.append(int((mat[:, i] > mat[:, j]).sum()))
+    return ray.data.from_arrow(pa.table({
+        "type_a": pa.array(ta, pa.string()),
+        "type_b": pa.array(tb, pa.string()),
+        "n_days_a_wins": pa.array(wins, pa.int64())}))
+
+
+def lineitem_table_checksum(sf_dir: str) -> ray.data.Dataset:
+    """Order-independent dataset fingerprint: XOR of a 60-bit md5 prefix
+    of each row's canonical key string — the replication/migration
+    verifier that needs NO sort and NO shuffle (XOR is commutative, so
+    each batch folds to 8 bytes and the driver XORs the per-batch
+    words)."""
+    import hashlib
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber",
+                                     "l_quantity"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = batch.column("l_linenumber").to_numpy(zero_copy_only=False)
+        q = np.rint(batch.column("l_quantity")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        acc = np.int64(0)
+        n = len(ok)
+        for i in range(n):  # md5 has no Arrow kernel; C-speed hashlib
+            s = f"{ok[i]}|{ln[i]}|{q[i]}"
+            acc ^= np.int64(int(hashlib.md5(s.encode()).hexdigest()[:15],
+                                16))
+        return pa.table({"checksum": pa.array([acc], pa.int64()),
+                         "n_rows": pa.array([n], pa.int64())})
+
+    parts = pa.concat_tables(list(
+        ds.map_batches(per_batch, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    cs = np.bitwise_xor.reduce(
+        parts.column("checksum").to_numpy(zero_copy_only=False)) \
+        if len(parts) else np.int64(0)
+    nr = int(pc.sum(parts.column("n_rows")).as_py() or 0)
+    return ray.data.from_arrow(pa.table({
+        "checksum": pa.array([int(cs)], pa.int64()),
+        "n_rows": pa.array([nr], pa.int64())}))
+
+
+def cust_supp_balance_matches(sf_dir: str, band_cents: int = 1_000
+                              ) -> ray.data.Dataset:
+    """Cross-entity blocking join: candidate (customer, supplier) pairs
+    in the SAME nation with account balances within ±band — the entity-
+    resolution primitive (block on nation, band on balance).  Both
+    sides union into one keyed exchange; each nation group counts pairs
+    with sort + two searchsorted sweeps, never building the pairs."""
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_nationkey", "c_acctbal"]) \
+        .map_batches(lambda b: pa.table({
+            "nationkey": pc.cast(b.column("c_nationkey"), pa.int64()),
+            "cents": pa.array(np.rint(
+                b.column("c_acctbal").to_numpy(zero_copy_only=False)
+                * 100).astype(np.int64)),
+            "side": pa.array(np.zeros(len(b), np.int8))}),
+            batch_format="pyarrow")
+    supp = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                              columns=["s_nationkey", "s_acctbal"]) \
+        .map_batches(lambda b: pa.table({
+            "nationkey": pc.cast(b.column("s_nationkey"), pa.int64()),
+            "cents": pa.array(np.rint(
+                b.column("s_acctbal").to_numpy(zero_copy_only=False)
+                * 100).astype(np.int64)),
+            "side": pa.array(np.ones(len(b), np.int8))}),
+            batch_format="pyarrow")
+
+    def per_nation(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        cents = group.column("cents").to_numpy(zero_copy_only=False)
+        c = np.sort(cents[side == 0], kind="stable")
+        s = cents[side == 1]
+        hi = np.searchsorted(c, s + band_cents, side="right")
+        lo = np.searchsorted(c, s - band_cents, side="left")
+        n_pairs = int((hi - lo).sum())
+        if n_pairs == 0:  # inner-join semantics: pairless nations vanish
+            return pa.table({"nationkey": pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64())})
+        return pa.table({
+            "nationkey": group.column("nationkey").slice(0, 1),
+            "n_pairs": pa.array([n_pairs], pa.int64())})
+
+    return cust.union(supp).groupby("nationkey") \
+        .map_groups(per_nation, batch_format="pyarrow")
