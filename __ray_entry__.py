@@ -253,7 +253,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         user_late_events,
                                         event_type_daily_dominance,
                                         lineitem_table_checksum,
-                                        cust_supp_balance_matches)
+                                        cust_supp_balance_matches,
+                                        embedding_dim_variance,
+                                        dau_overlap_jaccard,
+                                        join_size_estimate,
+                                        event_value_log2_hist)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -755,6 +759,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_daily_dominance": event_type_daily_dominance,
         "lineitem_table_checksum": lineitem_table_checksum,
         "cust_supp_balance_matches": cust_supp_balance_matches,
+        "embedding_dim_variance": embedding_dim_variance,
+        "dau_overlap_jaccard": dau_overlap_jaccard,
+        "join_size_estimate": join_size_estimate,
+        "event_value_log2_hist": event_value_log2_hist,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2674,6 +2682,48 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "embedding_dim_variance": (
+            "WITH v AS (SELECT CAST(k - 1 AS BIGINT) AS dim, "
+            "CAST(round(CAST(embedding[CAST(k AS INT)] AS DOUBLE) "
+            "* 10000) AS BIGINT) AS q "
+            "FROM embeddings, range(1, 65) r(k)) "
+            "SELECT dim, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(SUM(q) AS BIGINT) AS sum_e4, "
+            "CAST(SUM(q * q) AS BIGINT) AS sumsq_e8, "
+            "CAST(count(*) * SUM(q * q) - SUM(q) * SUM(q) AS BIGINT) "
+            "AS var_num_e8 FROM v GROUP BY 1"),
+        "dau_overlap_jaccard": (
+            "WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, "
+            "user_id FROM events), "
+            "c AS (SELECT day, CAST(count(*) AS BIGINT) AS n "
+            "FROM du GROUP BY 1), "
+            "i AS (SELECT a.day, CAST(count(*) AS BIGINT) AS inter "
+            "FROM du a JOIN du b ON a.user_id = b.user_id "
+            "AND b.day = a.day + INTERVAL 1 DAY GROUP BY 1) "
+            "SELECT CAST(c.day AS TIMESTAMP) AS day, c.n AS n_today, "
+            "c2.n AS n_next, "
+            "CAST(COALESCE(i.inter, 0) AS BIGINT) AS n_both, "
+            "CAST((1000000 * COALESCE(i.inter, 0)) // "
+            "(c.n + c2.n - COALESCE(i.inter, 0)) AS BIGINT) "
+            "AS jaccard_ppm FROM c "
+            "JOIN c c2 ON c2.day = c.day + INTERVAL 1 DAY "
+            "LEFT JOIN i ON i.day = c.day"),
+        "join_size_estimate": (
+            "WITH l AS (SELECT l_orderkey AS k, "
+            "CAST(count(*) AS BIGINT) AS nl FROM lineitem GROUP BY 1), "
+            "r AS (SELECT o_orderkey AS k, "
+            "CAST(count(*) AS BIGINT) AS nr FROM orders GROUP BY 1), "
+            "j AS (SELECT l.nl, r.nr FROM l JOIN r ON l.k = r.k) "
+            "SELECT CAST(SUM(nl) AS BIGINT) AS n_left_rows, "
+            "CAST(count(*) AS BIGINT) AS n_keys_both, "
+            "CAST(SUM(nl * nr) AS BIGINT) AS est_join_rows FROM j"),
+        "event_value_log2_hist": (
+            "WITH b AS (SELECT event_type, "
+            "CASE WHEN CAST(round(value * 100) AS BIGINT) > 0 "
+            "THEN CAST(floor(log2(CAST(round(value * 100) AS BIGINT))) "
+            "AS BIGINT) ELSE -1 END AS bucket FROM events) "
+            "SELECT event_type, bucket, "
+            "CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2"),
         "user_late_events": (
             "WITH o AS (SELECT user_id, ts, max(ts) OVER ("
             "PARTITION BY user_id ORDER BY event_id "

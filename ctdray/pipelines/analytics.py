@@ -10002,3 +10002,197 @@ def cust_supp_balance_matches(sf_dir: str, band_cents: int = 1_000
 
     return cust.union(supp).groupby("nationkey") \
         .map_groups(per_nation, batch_format="pyarrow")
+
+
+def embedding_dim_variance(sf_dir: str) -> ray.data.Dataset:
+    """Per-dimension second-moment profile of the embedding space at e4
+    quantization: n, Σq, Σq² and the integer variance numerator
+    n·Σq² − (Σq)² (denominator n²) — the whitening / feature-scaling
+    statistic, folded from 64-row batch partials."""
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        m = np.stack(batch.column("embedding")
+                     .to_numpy(zero_copy_only=False))
+        q = np.rint(m.astype(np.float64) * 10_000).astype(np.int64)
+        return pa.table({
+            "dim": pa.array(np.arange(q.shape[1], dtype=np.int64)),
+            "n": pa.array(np.full(q.shape[1], len(q), np.int64)),
+            "sum_e4": pa.array(q.sum(axis=0)),
+            "sumsq_e8": pa.array((q * q).sum(axis=0))})
+
+    agg = partial_aggregate(
+        ds.map_batches(per_batch, batch_format="pyarrow"),
+        ["dim"], [("n", "sum", "n"), ("sum_e4", "sum", "sum_e4"),
+                  ("sumsq_e8", "sum", "sumsq_e8")])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        s = batch.column("sum_e4").to_numpy(zero_copy_only=False)
+        ss = batch.column("sumsq_e8").to_numpy(zero_copy_only=False)
+        return batch.append_column("var_num_e8", pa.array(n * ss - s * s))
+
+    return agg.map_batches(fold, batch_format="pyarrow")
+
+
+def dau_overlap_jaccard(sf_dir: str) -> ray.data.Dataset:
+    """Day-over-day audience overlap: Jaccard (floor ppm) between each
+    day's active-user set and the NEXT day's.  Per-user sorted active
+    days emit intersection contributions (one keyed exchange bounded by
+    |user×day| distinct pairs); daily totals and the ppm fold on the
+    calendar-bounded tail."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        t = pa.table({"user_id": batch.column("user_id"), "day": day})
+        return t.group_by(["user_id", "day"]).aggregate([]) \
+            .select(["user_id", "day"])
+
+    distinct = partial_aggregate(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["user_id", "day"], [])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        d = np.sort(group.column("day").to_numpy(zero_copy_only=False)
+                    .astype("datetime64[D]").astype(np.int64))
+        nxt = d[np.isin(d + 1, d)]
+        return pa.table({
+            "day": pa.array(nxt.astype("datetime64[D]")
+                            .astype("datetime64[us]")),
+            "n_both": pa.array(np.ones(len(nxt), np.int64))})
+
+    inter = partial_aggregate(
+        distinct.groupby("user_id").map_groups(per_user,
+                                               batch_format="pyarrow"),
+        ["day"], [("n_both", "sum", "n_both")])
+
+    def day_counts(batch: pa.Table) -> pa.Table:
+        t = pa.table({"day": batch.column("day"),
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["day"]).aggregate([("n", "sum")])
+        return pa.table({"day": res.column("day"),
+                         "n": res.column("n_sum")})
+
+    daily = partial_aggregate(
+        distinct.map_batches(day_counts, batch_format="pyarrow"),
+        ["day"], [("n", "sum", "n")])
+
+    # calendar-bounded tails fold on the driver
+    dtab = pa.concat_tables(list(daily.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    itab = pa.concat_tables(list(inter.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    dd = dtab.column("day").to_numpy(zero_copy_only=False) \
+        .astype("datetime64[D]").astype(np.int64)
+    dn = dtab.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(dd)
+    dd, dn = dd[order], dn[order]
+    idx_next = np.searchsorted(dd, dd + 1)
+    has_next = (idx_next < len(dd)) & \
+        (dd[np.clip(idx_next, 0, len(dd) - 1)] == dd + 1)
+    id_ = itab.column("day").to_numpy(zero_copy_only=False) \
+        .astype("datetime64[D]").astype(np.int64)
+    in_ = itab.column("n_both").to_numpy(zero_copy_only=False)
+    imap = np.zeros(len(dd), np.int64)
+    imap[np.searchsorted(dd, id_)] = in_
+    today = dn[has_next]
+    nextd = dn[idx_next[has_next]]
+    both = imap[has_next]
+    union = today + nextd - both
+    ppm = (1_000_000 * both) // np.where(union == 0, 1, union)
+    return ray.data.from_arrow(pa.table({
+        "day": pa.array(dd[has_next].astype("datetime64[D]")
+                        .astype("datetime64[us]")),
+        "n_today": pa.array(today),
+        "n_next": pa.array(nextd),
+        "n_both": pa.array(both),
+        "jaccard_ppm": pa.array(ppm)}))
+
+
+def join_size_estimate(sf_dir: str) -> ray.data.Dataset:
+    """Exact join-size estimation WITHOUT running the join (the query-
+    planner statistic): per-key row counts on both sides co-group on
+    the key, the dot product Σ cL(k)·cR(k) is the exact lineitem⋈orders
+    output cardinality.  Only (key, count) partials shuffle."""
+    from ..functions.joins import shuffle_lookup_join
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey"])
+
+    def lcounts(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["l_orderkey"]).aggregate(
+            [("l_orderkey", "count")])
+        return pa.table({"l_orderkey": res.column("l_orderkey"),
+                         "nl": pc.cast(res.column("l_orderkey_count"),
+                                       pa.int64())})
+
+    def rcounts(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["o_orderkey"]).aggregate(
+            [("o_orderkey", "count")])
+        return pa.table({"o_orderkey": res.column("o_orderkey"),
+                         "nr": pc.cast(res.column("o_orderkey_count"),
+                                       pa.int64())})
+
+    lagg = partial_aggregate(
+        li.map_batches(lcounts, batch_format="pyarrow"),
+        ["l_orderkey"], [("nl", "sum", "nl")])
+    ragg = partial_aggregate(
+        orders.map_batches(rcounts, batch_format="pyarrow"),
+        ["o_orderkey"], [("nr", "sum", "nr")])
+    joined = shuffle_lookup_join(
+        lagg, ragg, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("nl", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("nr", pa.int64())]))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        nl = batch.column("nl").to_numpy(zero_copy_only=False)
+        nr = batch.column("nr").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_left_rows": pa.array([int(nl.sum())], pa.int64()),
+            "n_keys_both": pa.array([len(nl)], pa.int64()),
+            "est_join_rows": pa.array([int((nl * nr).sum())], pa.int64())})
+
+    parts = pa.concat_tables(list(
+        joined.map_batches(fold, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    return ray.data.from_arrow(pa.table({
+        "n_left_rows": pa.array([int(pc.sum(
+            parts.column("n_left_rows")).as_py() or 0)], pa.int64()),
+        "n_keys_both": pa.array([int(pc.sum(
+            parts.column("n_keys_both")).as_py() or 0)], pa.int64()),
+        "est_join_rows": pa.array([int(pc.sum(
+            parts.column("est_join_rows")).as_py() or 0)], pa.int64())}))
+
+
+def event_value_log2_hist(sf_dir: str) -> ray.data.Dataset:
+    """Exponential (log2-bucket) histogram of event values per type —
+    the constant-size summary that replaces equi-width histograms when
+    the value range is unknown a priori (the HdrHistogram/DDSketch
+    bucket rule, exact here because bucket = floor(log2(cents)))."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        b = np.full(len(cents), -1, np.int64)
+        pos = cents > 0
+        b[pos] = np.floor(np.log2(cents[pos])).astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "bucket": pa.array(b),
+                      "n": pa.array(np.ones(len(b), np.int64))})
+        res = t.group_by(["event_type", "bucket"]).aggregate([("n", "sum")])
+        return pa.table({"event_type": res.column("event_type"),
+                         "bucket": res.column("bucket"),
+                         "n": res.column("n_sum")})
+
+    return partial_aggregate(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        ["event_type", "bucket"], [("n", "sum", "n")])
