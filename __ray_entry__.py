@@ -257,7 +257,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         embedding_dim_variance,
                                         dau_overlap_jaccard,
                                         join_size_estimate,
-                                        event_value_log2_hist)
+                                        event_value_log2_hist,
+                                        shipdate_zonemap_overlap,
+                                        source_weighted_jaccard,
+                                        qty_discount_cov_by_flag,
+                                        priority_dow_independence)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -763,6 +767,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dau_overlap_jaccard": dau_overlap_jaccard,
         "join_size_estimate": join_size_estimate,
         "event_value_log2_hist": event_value_log2_hist,
+        "shipdate_zonemap_overlap": shipdate_zonemap_overlap,
+        "source_weighted_jaccard": source_weighted_jaccard,
+        "qty_discount_cov_by_flag": qty_discount_cov_by_flag,
+        "priority_dow_independence": priority_dow_independence,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2682,6 +2690,57 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "shipdate_zonemap_overlap": (
+            "WITH e AS (SELECT l_orderkey // 1000 AS chunk, "
+            "min(l_shipdate) AS mn, max(l_shipdate) AS mx "
+            "FROM lineitem GROUP BY 1), "
+            "p AS (SELECT count(*) AS np FROM e a JOIN e b "
+            "ON a.chunk < b.chunk AND a.mn <= b.mx AND b.mn <= a.mx), "
+            "c AS (SELECT count(*) AS nc FROM e) "
+            "SELECT CAST(c.nc AS BIGINT) AS n_chunks, "
+            "CAST(p.np AS BIGINT) AS n_overlapping_pairs, "
+            "CAST(CASE WHEN c.nc >= 2 THEN (1000000 * p.np) // "
+            "(c.nc * (c.nc - 1) // 2) ELSE 0 END AS BIGINT) "
+            "AS overlap_ppm FROM p, c"),
+        "source_weighted_jaccard": (
+            "WITH c AS (SELECT source, tok, "
+            "CAST(count(*) AS BIGINT) AS n FROM ("
+            "SELECT source, unnest(string_split(text, ' ')) AS tok "
+            "FROM documents) GROUP BY 1, 2), "
+            "tot AS (SELECT source, SUM(n) AS t FROM c GROUP BY 1), "
+            "m AS (SELECT a.source AS sa, b.source AS sb, "
+            "SUM(LEAST(a.n, b.n)) AS mn FROM c a JOIN c b "
+            "ON a.tok = b.tok AND a.source < b.source GROUP BY 1, 2) "
+            "SELECT m.sa AS source_a, m.sb AS source_b, "
+            "CAST(m.mn AS BIGINT) AS min_sum, "
+            "CAST(ta.t + tb.t - m.mn AS BIGINT) AS max_sum, "
+            "CAST((1000000 * m.mn) // (ta.t + tb.t - m.mn) AS BIGINT) "
+            "AS wjaccard_ppm FROM m "
+            "JOIN tot ta ON ta.source = m.sa "
+            "JOIN tot tb ON tb.source = m.sb"),
+        "qty_discount_cov_by_flag": (
+            "WITH x AS (SELECT l_returnflag, "
+            "CAST(round(l_quantity * 100) AS BIGINT) AS q, "
+            "CAST(round(l_discount * 100) AS BIGINT) AS d "
+            "FROM lineitem) "
+            "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(SUM(q) AS BIGINT) AS sum_q, "
+            "CAST(SUM(d) AS BIGINT) AS sum_d, "
+            "CAST(SUM(q * d) AS BIGINT) AS sum_qd, "
+            "CAST(count(*) * SUM(q * d) - SUM(q) * SUM(d) AS BIGINT) "
+            "AS cov_num FROM x GROUP BY 1"),
+        "priority_dow_independence": (
+            "WITH cells AS (SELECT CAST(isodow(o_orderdate) AS BIGINT) "
+            "AS dow, o_orderpriority AS priority, "
+            "CAST(count(*) AS BIGINT) AS obs FROM orders GROUP BY 1, 2), "
+            "t AS (SELECT SUM(obs) AS total FROM cells), "
+            "r AS (SELECT dow, SUM(obs) AS rt FROM cells GROUP BY 1), "
+            "k AS (SELECT priority, SUM(obs) AS ct FROM cells GROUP BY 1) "
+            "SELECT cells.dow, cells.priority, cells.obs, "
+            "CAST(cells.obs * t.total - r.rt * k.ct AS BIGINT) "
+            "AS dev_num FROM cells, t "
+            "JOIN r ON r.dow = cells.dow "
+            "JOIN k ON k.priority = cells.priority"),
         "embedding_dim_variance": (
             "WITH v AS (SELECT CAST(k - 1 AS BIGINT) AS dim, "
             "CAST(round(CAST(embedding[CAST(k AS INT)] AS DOUBLE) "

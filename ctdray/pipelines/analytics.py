@@ -10196,3 +10196,221 @@ def event_value_log2_hist(sf_dir: str) -> ray.data.Dataset:
     return partial_aggregate(
         ds.map_batches(bucket, batch_format="pyarrow"),
         ["event_type", "bucket"], [("n", "sum", "n")])
+
+
+def shipdate_zonemap_overlap(sf_dir: str, chunk_orders: int = 1_000
+                             ) -> ray.data.Dataset:
+    """Zone-map effectiveness audit: chunk lineitems by orderkey range,
+    take each chunk's [min, max] shipdate envelope, and count envelope
+    pairs that OVERLAP — high overlap means shipdate predicates cannot
+    prune orderkey-clustered storage.  Envelopes partial-aggregate
+    (bounded by chunk count); the pair count folds on that small table
+    (sort+sweep replaces the O(C²) loop at larger C)."""
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_shipdate"])
+
+    def env(batch: pa.Table) -> pa.Table:
+        chunk = pc.divide(batch.column("l_orderkey"),
+                          chunk_orders)
+        t = pa.table({"chunk": pc.cast(chunk, pa.int64()),
+                      "ship": batch.column("l_shipdate")})
+        res = t.group_by(["chunk"]).aggregate(
+            [("ship", "min"), ("ship", "max")])
+        return pa.table({"chunk": res.column("chunk"),
+                         "mn": res.column("ship_min"),
+                         "mx": res.column("ship_max")})
+
+    agg = partial_aggregate(
+        ds.map_batches(env, batch_format="pyarrow"),
+        ["chunk"], [("mn", "min", "mn"), ("mx", "max", "mx")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    mn = rows.column("mn").to_numpy(zero_copy_only=False) \
+        .astype("datetime64[us]").astype(np.int64)
+    mx = rows.column("mx").to_numpy(zero_copy_only=False) \
+        .astype("datetime64[us]").astype(np.int64)
+    c = len(mn)
+    # overlap(i,j) ⇔ mn_j ≤ mx_i ∧ mn_i ≤ mx_j; count via sort+searchsorted:
+    # pairs with mn_j ≤ mx_i (j≠i, each unordered pair counted once after
+    # subtracting the ordered double-count of non-overlaps)
+    order = np.argsort(mn, kind="stable")
+    smn = mn[order]
+    # for each i: number of j with mn_j <= mx_i  (includes i itself)
+    le = np.searchsorted(smn, mx, side="right")
+    # ordered pairs (i, j), i≠j, mn_j <= mx_i
+    ordered = int(le.sum()) - c
+    # non-overlapping ordered pairs counted once each (mx_j < mn_i side
+    # never satisfies mn_j <= mx_i when intervals are disjoint with j
+    # after i), so overlapping unordered pairs:
+    n_pairs = (ordered - (c * (c - 1) - ordered)) // 2 \
+        if c else 0
+    total_pairs = c * (c - 1) // 2
+    ppm = (1_000_000 * n_pairs) // total_pairs if total_pairs else 0
+    return ray.data.from_arrow(pa.table({
+        "n_chunks": pa.array([c], pa.int64()),
+        "n_overlapping_pairs": pa.array([n_pairs], pa.int64()),
+        "overlap_ppm": pa.array([ppm], pa.int64())}))
+
+
+def source_weighted_jaccard(sf_dir: str) -> ray.data.Dataset:
+    """Weighted Jaccard (Σmin/Σmax of token multiplicities, floor ppm)
+    between every source pair.  Per-token count vectors pivot into one
+    row per token (the source DIMENSION is bounded), each batch folds
+    190 pair-partials of Σmin, and Σmax follows from per-source totals:
+    Σmax = tA + tB − Σmin — so nothing quadratic in tokens ever ships."""
+    src_list = sorted(pc.unique(pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["source"]).column(0)).to_pylist())
+    k = len(src_list)
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+
+    def pivot(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        reps = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = pc.take(batch.column("source"),
+                      pa.array(np.repeat(np.arange(len(batch)), reps)))
+        si = pc.index_in(src, value_set=pa.array(src_list)) \
+            .to_numpy(zero_copy_only=False)
+        tok_np = flat.to_numpy(zero_copy_only=False)
+        uniq, ti = np.unique(tok_np, return_inverse=True)
+        mat = np.zeros((len(uniq), k), np.int64)
+        np.add.at(mat, (ti, si), 1)
+        cols = {"tok": pa.array(uniq)}
+        for j, s in enumerate(src_list):
+            cols[f"n_{j}"] = pa.array(mat[:, j])
+        return pa.table(cols)
+
+    per_tok = partial_aggregate(
+        ds.map_batches(pivot, batch_format="pyarrow"),
+        ["tok"], [(f"n_{j}", "sum", f"n_{j}") for j in range(k)])
+
+    def pair_fold(batch: pa.Table) -> pa.Table:
+        mat = np.stack([batch.column(f"n_{j}")
+                        .to_numpy(zero_copy_only=False)
+                        for j in range(k)], axis=1)
+        ia, ib, mins, tota, totb = [], [], [], [], []
+        for a in range(k):
+            for b in range(a + 1, k):
+                ia.append(a)
+                ib.append(b)
+                mins.append(int(np.minimum(mat[:, a], mat[:, b]).sum()))
+                tota.append(int(mat[:, a].sum()))
+                totb.append(int(mat[:, b].sum()))
+        return pa.table({"ia": pa.array(ia, pa.int64()),
+                         "ib": pa.array(ib, pa.int64()),
+                         "min_sum": pa.array(mins, pa.int64()),
+                         "tot_a": pa.array(tota, pa.int64()),
+                         "tot_b": pa.array(totb, pa.int64())})
+
+    agg = partial_aggregate(
+        per_tok.map_batches(pair_fold, batch_format="pyarrow"),
+        ["ia", "ib"], [("min_sum", "sum", "min_sum"),
+                       ("tot_a", "sum", "tot_a"),
+                       ("tot_b", "sum", "tot_b")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ia = batch.column("ia").to_numpy(zero_copy_only=False)
+        ib = batch.column("ib").to_numpy(zero_copy_only=False)
+        mn = batch.column("min_sum").to_numpy(zero_copy_only=False)
+        ta = batch.column("tot_a").to_numpy(zero_copy_only=False)
+        tb = batch.column("tot_b").to_numpy(zero_copy_only=False)
+        keep = mn > 0           # inner-join semantics of the oracle
+        mx = ta + tb - mn
+        ppm = (1_000_000 * mn) // np.where(mx == 0, 1, mx)
+        names = np.array(src_list)
+        return pa.table({
+            "source_a": pa.array(names[ia[keep]]),
+            "source_b": pa.array(names[ib[keep]]),
+            "min_sum": pa.array(mn[keep]),
+            "max_sum": pa.array(mx[keep]),
+            "wjaccard_ppm": pa.array(ppm[keep])})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def qty_discount_cov_by_flag(sf_dir: str) -> ray.data.Dataset:
+    """Column-pair covariance per group, integer-exact: for each
+    returnflag the numerator n·Σxy − Σx·Σy (denominator n²) between
+    quantity and discount cents — the correlation probe computed from
+    four distributive sums."""
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_quantity",
+                                     "l_discount"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        q = np.rint(batch.column("l_quantity")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        d = np.rint(batch.column("l_discount")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        t = pa.table({"l_returnflag": batch.column("l_returnflag"),
+                      "n": pa.array(np.ones(len(q), np.int64)),
+                      "sum_q": pa.array(q), "sum_d": pa.array(d),
+                      "sum_qd": pa.array(q * d)})
+        res = t.group_by(["l_returnflag"]).aggregate(
+            [("n", "sum"), ("sum_q", "sum"), ("sum_d", "sum"),
+             ("sum_qd", "sum")])
+        return pa.table({"l_returnflag": res.column("l_returnflag"),
+                         "n": res.column("n_sum"),
+                         "sum_q": res.column("sum_q_sum"),
+                         "sum_d": res.column("sum_d_sum"),
+                         "sum_qd": res.column("sum_qd_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        ["l_returnflag"], [("n", "sum", "n"), ("sum_q", "sum", "sum_q"),
+                           ("sum_d", "sum", "sum_d"),
+                           ("sum_qd", "sum", "sum_qd")])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        sq = batch.column("sum_q").to_numpy(zero_copy_only=False)
+        sd = batch.column("sum_d").to_numpy(zero_copy_only=False)
+        sqd = batch.column("sum_qd").to_numpy(zero_copy_only=False)
+        return batch.append_column("cov_num", pa.array(n * sqd - sq * sd))
+
+    return agg.map_batches(fold, batch_format="pyarrow")
+
+
+def priority_dow_independence(sf_dir: str) -> ray.data.Dataset:
+    """Independence deviation of the (weekday × priority) contingency
+    table: per cell the observed count and the integer deviation
+    numerator obs·total − rowtotal·coltotal (positive ⇒ the combination
+    is over-represented) — the χ²-free association test.  Cell counts
+    partial-aggregate (7 × priorities bounded); marginals fold on the
+    driver."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_orderpriority"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        dow = pc.cast(pc.day_of_week(batch.column("o_orderdate"),
+                                     count_from_zero=False,
+                                     week_start=1), pa.int64())
+        t = pa.table({"dow": dow,
+                      "priority": batch.column("o_orderpriority"),
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["dow", "priority"]).aggregate([("n", "sum")])
+        return pa.table({"dow": res.column("dow"),
+                         "priority": res.column("priority"),
+                         "n": res.column("n_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        ["dow", "priority"], [("n", "sum", "n")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    dow = rows.column("dow").to_numpy(zero_copy_only=False)
+    pri = rows.column("priority").to_numpy(zero_copy_only=False)
+    n = rows.column("n").to_numpy(zero_copy_only=False)
+    total = int(n.sum())
+    dows, di = np.unique(dow, return_inverse=True)
+    pris, pi = np.unique(pri, return_inverse=True)
+    rowt = np.zeros(len(dows), np.int64)
+    colt = np.zeros(len(pris), np.int64)
+    np.add.at(rowt, di, n)
+    np.add.at(colt, pi, n)
+    dev = n * total - rowt[di] * colt[pi]
+    return ray.data.from_arrow(pa.table({
+        "dow": pa.array(dow), "priority": pa.array(pri),
+        "obs": pa.array(n), "dev_num": pa.array(dev)}))
