@@ -261,7 +261,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         shipdate_zonemap_overlap,
                                         source_weighted_jaccard,
                                         qty_discount_cov_by_flag,
-                                        priority_dow_independence)
+                                        priority_dow_independence,
+                                        same_month_ship_share_by_year,
+                                        priority_value_drift_l1,
+                                        quantity_ks_between_flags,
+                                        dedup_survivorship_stats)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -771,6 +775,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_weighted_jaccard": source_weighted_jaccard,
         "qty_discount_cov_by_flag": qty_discount_cov_by_flag,
         "priority_dow_independence": priority_dow_independence,
+        "same_month_ship_share_by_year": same_month_ship_share_by_year,
+        "priority_value_drift_l1": priority_value_drift_l1,
+        "quantity_ks_between_flags": quantity_ks_between_flags,
+        "dedup_survivorship_stats": dedup_survivorship_stats,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2690,6 +2698,57 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "same_month_ship_share_by_year": (
+            "WITH j AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) "
+            "AS order_year, CASE WHEN date_trunc('month', l.l_shipdate) "
+            "= date_trunc('month', o.o_orderdate) THEN 1 ELSE 0 END "
+            "AS same FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey) "
+            "SELECT order_year, CAST(count(*) AS BIGINT) AS n_lines, "
+            "CAST(SUM(same) AS BIGINT) AS n_same_month, "
+            "CAST((1000000 * SUM(same)) // count(*) AS BIGINT) "
+            "AS same_month_ppm FROM j GROUP BY 1"),
+        "priority_value_drift_l1": (
+            "WITH c AS (SELECT o_orderpriority AS priority, "
+            "CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) > 0 "
+            "THEN CAST(floor(log2(CAST(round(o_totalprice * 100) "
+            "AS BIGINT))) AS BIGINT) ELSE -1 END AS bucket, "
+            "CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END "
+            "AS era FROM orders), "
+            "g AS (SELECT priority, bucket, "
+            "SUM(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS na, "
+            "SUM(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS nb "
+            "FROM c GROUP BY 1, 2), "
+            "t AS (SELECT priority, SUM(na) AS ta, SUM(nb) AS tb "
+            "FROM g GROUP BY 1) "
+            "SELECT g.priority, CAST(t.ta AS BIGINT) AS n_before, "
+            "CAST(t.tb AS BIGINT) AS n_after, "
+            "CAST(SUM(abs(g.na * t.tb - g.nb * t.ta)) AS BIGINT) "
+            "AS l1_num FROM g JOIN t ON g.priority = t.priority "
+            "GROUP BY 1, 2, 3"),
+        "quantity_ks_between_flags": (
+            "WITH c AS (SELECT l_returnflag AS flag, "
+            "CAST(round(l_quantity * 100) AS BIGINT) AS q, "
+            "count(*) AS n FROM lineitem "
+            "WHERE l_returnflag IN ('A', 'R') GROUP BY 1, 2), "
+            "v AS (SELECT DISTINCT q FROM c), "
+            "cum AS (SELECT v.q, "
+            "SUM(CASE WHEN c.flag = 'A' THEN c.n ELSE 0 END) AS ca, "
+            "SUM(CASE WHEN c.flag = 'R' THEN c.n ELSE 0 END) AS cb "
+            "FROM v LEFT JOIN c ON c.q <= v.q GROUP BY 1), "
+            "tot AS (SELECT SUM(CASE WHEN flag = 'A' THEN n ELSE 0 END) "
+            "AS na, SUM(CASE WHEN flag = 'R' THEN n ELSE 0 END) AS nb "
+            "FROM c) "
+            "SELECT CAST(tot.na AS BIGINT) AS n_a, "
+            "CAST(tot.nb AS BIGINT) AS n_b, "
+            "CAST(MAX(abs(cum.ca * tot.nb - cum.cb * tot.na)) AS BIGINT) "
+            "AS ks_num FROM cum, tot GROUP BY 1, 2"),
+        "dedup_survivorship_stats": (
+            "WITH k AS (SELECT doc_id, length(text) AS ch, "
+            "CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text)) "
+            "THEN 'kept' ELSE 'dropped' END AS status FROM documents) "
+            "SELECT status, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(ch) AS BIGINT) AS total_chars FROM k GROUP BY 1"),
         "shipdate_zonemap_overlap": (
             "WITH e AS (SELECT l_orderkey // 1000 AS chunk, "
             "min(l_shipdate) AS mn, max(l_shipdate) AS mx "

@@ -10414,3 +10414,203 @@ def priority_dow_independence(sf_dir: str) -> ray.data.Dataset:
     return ray.data.from_arrow(pa.table({
         "dow": pa.array(dow), "priority": pa.array(pri),
         "obs": pa.array(n), "dev_num": pa.array(dev)}))
+
+
+def same_month_ship_share_by_year(sf_dir: str) -> ray.data.Dataset:
+    """Temporal alignment share: per order year, the fraction (floor
+    ppm) of lineitems shipped in the SAME calendar month the order was
+    placed — one shuffle_lookup_join carries (orderkey, ship month)
+    partial counts against the order side."""
+    from ..functions.joins import shuffle_lookup_join
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_shipdate"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderdate"])
+
+    def li_m(batch: pa.Table) -> pa.Table:
+        m = pc.floor_temporal(batch.column("l_shipdate"), unit="month")
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "ship_month": m,
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["l_orderkey", "ship_month"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"l_orderkey": res.column("l_orderkey"),
+                         "ship_month": res.column("ship_month"),
+                         "n": res.column("n_sum")})
+
+    joined = shuffle_lookup_join(
+        li.map_batches(li_m, batch_format="pyarrow"),
+        orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("ship_month", pa.timestamp("us")),
+                               ("n", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us"))]))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        om = pc.floor_temporal(batch.column("o_orderdate"), unit="month")
+        year = pc.cast(pc.year(batch.column("o_orderdate")), pa.int64())
+        same = pc.cast(pc.equal(batch.column("ship_month"), om),
+                       pa.int64())
+        n = batch.column("n")
+        t = pa.table({"order_year": year,
+                      "n_lines": n,
+                      "n_same_month": pc.multiply(same, n)})
+        res = t.group_by(["order_year"]).aggregate(
+            [("n_lines", "sum"), ("n_same_month", "sum")])
+        return pa.table({"order_year": res.column("order_year"),
+                         "n_lines": res.column("n_lines_sum"),
+                         "n_same_month": res.column("n_same_month_sum")})
+
+    agg = partial_aggregate(
+        joined.map_batches(fold, batch_format="pyarrow"),
+        ["order_year"], [("n_lines", "sum", "n_lines"),
+                         ("n_same_month", "sum", "n_same_month")])
+
+    def ppm(batch: pa.Table) -> pa.Table:
+        nl = batch.column("n_lines").to_numpy(zero_copy_only=False)
+        ns = batch.column("n_same_month").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "same_month_ppm",
+            pa.array((1_000_000 * ns) // np.where(nl == 0, 1, nl)))
+
+    return agg.map_batches(ppm, batch_format="pyarrow")
+
+
+def priority_value_drift_l1(sf_dir: str, split_year: int = 1998
+                            ) -> ray.data.Dataset:
+    """Distribution-drift monitor: per priority, the scale-free integer
+    L1 distance numerator Σ_b |n_a(b)·T_b − n_b(b)·T_a| between the
+    order-value log2 histograms of the era before ``split_year`` and
+    the era from it on (denominator T_a·T_b) — the PSI/KL stand-in that
+    needs no floats.  Histogram cells partial-aggregate (priorities ×
+    ~40 buckets bounded); the distance folds on that grid."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_orderpriority",
+                                     "o_totalprice"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        b = np.full(len(cents), -1, np.int64)
+        pos = cents > 0
+        b[pos] = np.floor(np.log2(cents[pos])).astype(np.int64)
+        year = pc.year(batch.column("o_orderdate")) \
+            .to_numpy(zero_copy_only=False)
+        era = (year >= split_year).astype(np.int64)
+        t = pa.table({"priority": batch.column("o_orderpriority"),
+                      "bucket": pa.array(b), "era": pa.array(era),
+                      "n": pa.array(np.ones(len(b), np.int64))})
+        res = t.group_by(["priority", "bucket", "era"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"priority": res.column("priority"),
+                         "bucket": res.column("bucket"),
+                         "era": res.column("era"),
+                         "n": res.column("n_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        ["priority", "bucket", "era"], [("n", "sum", "n")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    pri = rows.column("priority").to_numpy(zero_copy_only=False)
+    bkt = rows.column("bucket").to_numpy(zero_copy_only=False)
+    era = rows.column("era").to_numpy(zero_copy_only=False)
+    n = rows.column("n").to_numpy(zero_copy_only=False)
+    pris, pi = np.unique(pri, return_inverse=True)
+    bkts, bi = np.unique(bkt, return_inverse=True)
+    na = np.zeros((len(pris), len(bkts)), np.int64)
+    nb = np.zeros_like(na)
+    old = era == 0
+    np.add.at(na, (pi[old], bi[old]), n[old])
+    np.add.at(nb, (pi[~old], bi[~old]), n[~old])
+    ta = na.sum(axis=1)
+    tb = nb.sum(axis=1)
+    l1 = np.abs(na * tb[:, None] - nb * ta[:, None]).sum(axis=1)
+    return ray.data.from_arrow(pa.table({
+        "priority": pa.array(pris),
+        "n_before": pa.array(ta), "n_after": pa.array(tb),
+        "l1_num": pa.array(l1)}))
+
+
+def quantity_ks_between_flags(sf_dir: str, flag_a: str = "A",
+                              flag_b: str = "R") -> ray.data.Dataset:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    quantity distributions of two returnflags, as the integer numerator
+    max_v |cumA(v)·nB − cumB(v)·nA| (denominator nA·nB) — computed from
+    per-value counts (the quantity DOMAIN is bounded), never from
+    sorted raw rows."""
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_quantity"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("l_returnflag"),
+                        value_set=pa.array([flag_a, flag_b]))
+        t = batch.filter(keep)
+        q = np.rint(t.column("l_quantity")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        tt = pa.table({"flag": t.column("l_returnflag"),
+                       "q": pa.array(q),
+                       "n": pa.array(np.ones(len(q), np.int64))})
+        res = tt.group_by(["flag", "q"]).aggregate([("n", "sum")])
+        return pa.table({"flag": res.column("flag"),
+                         "q": res.column("q"),
+                         "n": res.column("n_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        ["flag", "q"], [("n", "sum", "n")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    fl = rows.column("flag").to_numpy(zero_copy_only=False)
+    q = rows.column("q").to_numpy(zero_copy_only=False)
+    n = rows.column("n").to_numpy(zero_copy_only=False)
+    vals = np.unique(q)
+    ca = np.zeros(len(vals), np.int64)
+    cb = np.zeros(len(vals), np.int64)
+    ia = fl == flag_a
+    np.add.at(ca, np.searchsorted(vals, q[ia]), n[ia])
+    np.add.at(cb, np.searchsorted(vals, q[~ia]), n[~ia])
+    na, nb = int(ca.sum()), int(cb.sum())
+    cuma = np.cumsum(ca)
+    cumb = np.cumsum(cb)
+    ks = int(np.abs(cuma * nb - cumb * na).max()) if len(vals) else 0
+    return ray.data.from_arrow(pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "ks_num": pa.array([ks], pa.int64())}))
+
+
+def dedup_survivorship_stats(sf_dir: str) -> ray.data.Dataset:
+    """Dedup bias audit: do dropped duplicates differ from kept docs?
+    Per outcome (kept = smallest doc_id of its text group), document
+    count and total characters — the survivorship-skew check run AFTER
+    classification, with only (fingerprint, min_id) pairs shuffling."""
+    from ..functions.text import md5_fingerprint
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "fp": pa.array(md5_fingerprint(
+                batch.column("text").to_pylist()), pa.string()),
+            "n_chars": pc.cast(pc.utf8_length(batch.column("text")),
+                               pa.int64())})
+
+    keyed = ds.map_batches(fp, batch_format="pyarrow")
+
+    def per_fp(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        ch = group.column("n_chars").to_numpy(zero_copy_only=False)
+        kept = ids == ids.min()
+        return pa.table({
+            "status": pa.array(np.where(kept, "kept", "dropped")),
+            "n_docs": pa.array(np.ones(len(ids), np.int64)),
+            "total_chars": pa.array(ch)})
+
+    per = keyed.groupby("fp").map_groups(per_fp, batch_format="pyarrow")
+    return partial_aggregate(
+        per, ["status"], [("n_docs", "sum", "n_docs"),
+                          ("total_chars", "sum", "total_chars")])
