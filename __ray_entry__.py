@@ -265,7 +265,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         same_month_ship_share_by_year,
                                         priority_value_drift_l1,
                                         quantity_ks_between_flags,
-                                        dedup_survivorship_stats)
+                                        dedup_survivorship_stats,
+                                        diversified_top_orders,
+                                        coorder_degree_assortativity,
+                                        fingerprint_collision_audit,
+                                        brand_rank_churn)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -779,6 +783,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_value_drift_l1": priority_value_drift_l1,
         "quantity_ks_between_flags": quantity_ks_between_flags,
         "dedup_survivorship_stats": dedup_survivorship_stats,
+        "diversified_top_orders": diversified_top_orders,
+        "coorder_degree_assortativity": coorder_degree_assortativity,
+        "fingerprint_collision_audit": fingerprint_collision_audit,
+        "brand_rank_churn": brand_rank_churn,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2698,6 +2706,57 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "diversified_top_orders": (
+            "WITH r AS (SELECT o_orderkey, o_custkey, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, "
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY round(o_totalprice * 100) DESC, o_orderkey) AS rn "
+            "FROM orders) "
+            "SELECT o_orderkey, o_custkey, price_cents FROM r "
+            "WHERE rn <= 2 ORDER BY price_cents DESC, o_orderkey "
+            "LIMIT 10"),
+        "coorder_degree_assortativity": (
+            "WITH op AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem), "
+            "e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+            "FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey), "
+            "d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM ("
+            "SELECT u AS node FROM e UNION ALL SELECT v FROM e) "
+            "GROUP BY 1) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_edges, "
+            "CAST(SUM(du.deg * dv.deg) AS BIGINT) AS sum_dudv, "
+            "CAST(SUM(du.deg + dv.deg) AS BIGINT) AS sum_deg, "
+            "CAST(SUM(du.deg * du.deg + dv.deg * dv.deg) AS BIGINT) "
+            "AS sum_degsq FROM e "
+            "JOIN d du ON e.u = du.node JOIN d dv ON e.v = dv.node"),
+        "fingerprint_collision_audit": (
+            "WITH d AS (SELECT DISTINCT md5(text) AS fp FROM documents), "
+            "b AS (SELECT substr(fp, 1, 4) AS prefix, "
+            "CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1) "
+            "SELECT n AS bucket_size, "
+            "CAST(count(*) AS BIGINT) AS n_buckets FROM b GROUP BY 1"),
+        "brand_rank_churn": (
+            "WITH g AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS y, "
+            "p.p_brand AS brand, "
+            "SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents "
+            "FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN part p ON l.l_partkey = p.p_partkey GROUP BY 1, 2), "
+            "years AS (SELECT DISTINCT y FROM g), "
+            "brands AS (SELECT DISTINCT brand FROM g), "
+            "grid AS (SELECT years.y, brands.brand, "
+            "COALESCE(g.cents, 0) AS cents FROM years CROSS JOIN brands "
+            "LEFT JOIN g ON g.y = years.y AND g.brand = brands.brand), "
+            "r AS (SELECT y, brand, row_number() OVER (PARTITION BY y "
+            "ORDER BY cents DESC, brand) AS rnk FROM grid), "
+            "ch AS (SELECT a.brand, SUM(abs(b.rnk - a.rnk)) AS churn "
+            "FROM r a JOIN r b ON a.brand = b.brand AND b.y = a.y + 1 "
+            "GROUP BY 1) "
+            "SELECT brands.brand, "
+            "CAST(COALESCE(ch.churn, 0) AS BIGINT) AS rank_churn, "
+            "CAST((SELECT count(*) FROM years) AS BIGINT) AS n_years "
+            "FROM brands LEFT JOIN ch ON ch.brand = brands.brand"),
         "same_month_ship_share_by_year": (
             "WITH j AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) "
             "AS order_year, CASE WHEN date_trunc('month', l.l_shipdate) "

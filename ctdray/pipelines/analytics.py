@@ -10614,3 +10614,236 @@ def dedup_survivorship_stats(sf_dir: str) -> ray.data.Dataset:
     return partial_aggregate(
         per, ["status"], [("n_docs", "sum", "n_docs"),
                           ("total_chars", "sum", "total_chars")])
+
+
+def diversified_top_orders(sf_dir: str, n: int = 10, per_customer: int = 2
+                           ) -> ray.data.Dataset:
+    """Diversity-constrained top-k: the n highest-value orders with AT
+    MOST ``per_customer`` per customer — per-key capping (one bucketed
+    rank exchange) prunes the candidate set to ≤ per_customer·|keys|
+    before the tiny global top-n sort."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_custkey",
+                                     "o_totalprice"])
+
+    def per_cust(group: pa.Table) -> pa.Table:
+        cents = np.rint(group.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        ok = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, -cents))[:per_customer]
+        return pa.table({
+            "o_orderkey": pa.array(ok[order]),
+            "o_custkey": group.column("o_custkey").slice(0, 1)
+            .to_numpy(zero_copy_only=False).repeat(len(order)),
+            "price_cents": pa.array(cents[order])})
+
+    capped = ds.groupby("o_custkey").map_groups(per_cust,
+                                                batch_format="pyarrow")
+    return capped.sort(["price_cents", "o_orderkey"],
+                       descending=[True, False]).limit(n)
+
+
+def coorder_degree_assortativity(sf_dir: str) -> ray.data.Dataset:
+    """Degree-assortativity moments of the co-ordered-parts graph: over
+    distinct edges, Σ deg(u)·deg(v), Σ(deg(u)+deg(v)) and the edge
+    count — the integer numerators of Pearson assortativity.  Edges
+    dedup through one pair exchange; degrees (bounded by the part
+    DIMENSION) broadcast back onto edges."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    # orders hash into coarse buckets so every order's lines co-locate
+    # (the coordered_part_pairs exchange); pair build is class-by-length
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        bkt = ((ok.astype(np.uint64) * _FIB64) >> np.uint64(56)) \
+            .astype(np.int64)
+        return batch.append_column("bkt", pa.array(bkt))
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ok = group.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = group.column("l_partkey").to_numpy(zero_copy_only=False)
+        u = np.unique(np.stack([ok, pk], axis=1), axis=0)
+        ok, pk = u[:, 0], u[:, 1]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        lens = np.diff(np.r_[starts, len(ok)])
+        a_all, b_all = [], []
+        for ln in np.unique(lens):
+            if ln < 2:
+                continue
+            segs = starts[lens == ln]
+            mat = pk[segs[:, None] + np.arange(ln)]
+            ii, jj = np.triu_indices(int(ln), k=1)
+            a_all.append(mat[:, ii].ravel())
+            b_all.append(mat[:, jj].ravel())
+        if not a_all:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        a = np.concatenate(a_all)
+        b = np.concatenate(b_all)
+        t2 = pa.table({"u": pa.array(np.minimum(a, b)),
+                       "v": pa.array(np.maximum(a, b))})
+        return t2.group_by(["u", "v"]).aggregate([]).select(["u", "v"])
+
+    edges = partial_aggregate(
+        li.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bkt").map_groups(bucket_pairs, batch_format="pyarrow"),
+        ["u", "v"], [])
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([batch.column("u").combine_chunks(),
+                                 batch.column("v").combine_chunks()])
+        t = pa.table({"node": both,
+                      "d": pa.array(np.ones(len(both), np.int64))})
+        res = t.group_by(["node"]).aggregate([("d", "sum")])
+        return pa.table({"node": res.column("node"),
+                         "d": res.column("d_sum")})
+
+    deg = partial_aggregate(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        ["node"], [("d", "sum", "d")])
+    dtab = pa.concat_tables(list(deg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))  # part DIMENSION
+    dref = ray.put((dtab.column("node").combine_chunks(),
+                    dtab.column("d").to_numpy(zero_copy_only=False)))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        nodes, d = ray.get(dref)
+        du = d[pc.index_in(batch.column("u"), value_set=nodes)
+               .to_numpy(zero_copy_only=False)]
+        dv = d[pc.index_in(batch.column("v"), value_set=nodes)
+               .to_numpy(zero_copy_only=False)]
+        return pa.table({
+            "n_edges": pa.array([len(du)], pa.int64()),
+            "sum_dudv": pa.array([int((du * dv).sum())], pa.int64()),
+            "sum_deg": pa.array([int((du + dv).sum())], pa.int64()),
+            "sum_degsq": pa.array([int((du * du + dv * dv).sum())],
+                                  pa.int64())})
+
+    parts = pa.concat_tables(list(
+        edges.map_batches(fold, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    out = {c: pa.array([int(pc.sum(parts.column(c)).as_py() or 0)],
+                       pa.int64())
+           for c in ("n_edges", "sum_dudv", "sum_deg", "sum_degsq")}
+    return ray.data.from_arrow(pa.table(out))
+
+
+def fingerprint_collision_audit(sf_dir: str, prefix_hex: int = 4
+                                ) -> ray.data.Dataset:
+    """Dedup-key risk audit: how crowded are truncated-fingerprint
+    buckets?  Distinct texts hash to md5, group on the first
+    ``prefix_hex`` hex chars, and the bucket-size histogram shows the
+    collision exposure of a shortened key."""
+    from ..functions.text import md5_fingerprint
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        fps = md5_fingerprint(batch.column("text").to_pylist())
+        return pa.table({"fp": pa.array(fps, pa.string())})
+
+    distinct = partial_aggregate(
+        ds.map_batches(fp, batch_format="pyarrow"), ["fp"], [])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        pref = pc.utf8_slice_codeunits(batch.column("fp"), 0, prefix_hex)
+        t = pa.table({"prefix": pref,
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["prefix"]).aggregate([("n", "sum")])
+        return pa.table({"prefix": res.column("prefix"),
+                         "n": res.column("n_sum")})
+
+    per_bucket = partial_aggregate(
+        distinct.map_batches(bucket, batch_format="pyarrow"),
+        ["prefix"], [("n", "sum", "n")])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pa.table({"bucket_size": batch.column("n"),
+                      "n_buckets": pa.array(np.ones(len(batch),
+                                                    np.int64))})
+        res = t.group_by(["bucket_size"]).aggregate([("n_buckets", "sum")])
+        return pa.table({"bucket_size": res.column("bucket_size"),
+                         "n_buckets": res.column("n_buckets_sum")})
+
+    return partial_aggregate(
+        per_bucket.map_batches(hist, batch_format="pyarrow"),
+        ["bucket_size"], [("n_buckets", "sum", "n_buckets")])
+
+
+def brand_rank_churn(sf_dir: str) -> ray.data.Dataset:
+    """Rank stability over time: each brand's revenue rank per order
+    year, summed |rank_y − rank_{y+1}| across adjacent years — the
+    leaderboard-churn metric.  The year×brand revenue grid partial-
+    aggregates (bounded by both dimensions); ranking folds on it."""
+    from ..functions.joins import shuffle_lookup_join
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey",
+                                     "l_extendedprice"])
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    pref = ray.put((part.column("p_partkey").combine_chunks(),
+                    part.column("p_brand").combine_chunks()))
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderdate"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        pk, pb = ray.get(pref)
+        i = pc.index_in(batch.column("l_partkey"), value_set=pk)
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "brand": pc.take(pb, i),
+                      "cents": pa.array(cents)})
+        res = t.group_by(["l_orderkey", "brand"]).aggregate(
+            [("cents", "sum")])
+        return pa.table({"l_orderkey": res.column("l_orderkey"),
+                         "brand": res.column("brand"),
+                         "cents": res.column("cents_sum")})
+
+    joined = shuffle_lookup_join(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("brand", pa.string()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us"))]))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        t = pa.table({"year": pc.cast(pc.year(
+            batch.column("o_orderdate")), pa.int64()),
+            "brand": batch.column("brand"),
+            "cents": batch.column("cents")})
+        res = t.group_by(["year", "brand"]).aggregate([("cents", "sum")])
+        return pa.table({"year": res.column("year"),
+                         "brand": res.column("brand"),
+                         "cents": res.column("cents_sum")})
+
+    agg = partial_aggregate(
+        joined.map_batches(fold, batch_format="pyarrow"),
+        ["year", "brand"], [("cents", "sum", "cents")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    yr = rows.column("year").to_numpy(zero_copy_only=False)
+    br = rows.column("brand").to_numpy(zero_copy_only=False)
+    cents = rows.column("cents").to_numpy(zero_copy_only=False)
+    years = np.unique(yr)
+    brands = np.unique(br)
+    grid = np.zeros((len(years), len(brands)), np.int64)
+    grid[np.searchsorted(years, yr), np.searchsorted(brands, br)] = cents
+    # rank 1 = highest revenue; ties by brand name ascending
+    churn = np.zeros(len(brands), np.int64)
+    ranks = np.zeros_like(grid)
+    for yi in range(len(years)):
+        order = np.lexsort((brands, -grid[yi]))
+        ranks[yi, order] = np.arange(1, len(brands) + 1)
+    for yi in range(len(years) - 1):
+        if years[yi + 1] == years[yi] + 1:  # value-adjacent years only
+            churn += np.abs(ranks[yi + 1] - ranks[yi])
+    return ray.data.from_arrow(pa.table({
+        "brand": pa.array(brands),
+        "rank_churn": pa.array(churn),
+        "n_years": pa.array(np.full(len(brands), len(years), np.int64))}))
