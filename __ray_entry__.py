@@ -269,7 +269,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         diversified_top_orders,
                                         coorder_degree_assortativity,
                                         fingerprint_collision_audit,
-                                        brand_rank_churn)
+                                        brand_rank_churn,
+                                        events_hourly_ohlc,
+                                        user_daily_twap,
+                                        order_overlap_pairs_per_customer,
+                                        supplier_borda_top10)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -787,6 +791,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coorder_degree_assortativity": coorder_degree_assortativity,
         "fingerprint_collision_audit": fingerprint_collision_audit,
         "brand_rank_churn": brand_rank_churn,
+        "events_hourly_ohlc": events_hourly_ohlc,
+        "user_daily_twap": user_daily_twap,
+        "order_overlap_pairs_per_customer": order_overlap_pairs_per_customer,
+        "supplier_borda_top10": supplier_borda_top10,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2706,6 +2714,64 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "events_hourly_ohlc": (
+            "WITH w AS (SELECT date_trunc('hour', ts) AS hour, "
+            "event_type, CAST(round(value * 100) AS BIGINT) AS cents, "
+            "row_number() OVER (PARTITION BY date_trunc('hour', ts), "
+            "event_type ORDER BY ts, event_id) AS rf, "
+            "row_number() OVER (PARTITION BY date_trunc('hour', ts), "
+            "event_type ORDER BY ts DESC, event_id DESC) AS rl "
+            "FROM events) "
+            "SELECT CAST(hour AS TIMESTAMP) AS hour, event_type, "
+            "CAST(MAX(CASE WHEN rf = 1 THEN cents END) AS BIGINT) "
+            "AS open_cents, "
+            "CAST(MAX(cents) AS BIGINT) AS high_cents, "
+            "CAST(MIN(cents) AS BIGINT) AS low_cents, "
+            "CAST(MAX(CASE WHEN rl = 1 THEN cents END) AS BIGINT) "
+            "AS close_cents FROM w GROUP BY 1, 2"),
+        "user_daily_twap": (
+            "WITH o AS (SELECT user_id, ts, "
+            "CAST(round(value * 100) AS BIGINT) AS cents, "
+            "date_trunc('day', ts) AS day, "
+            "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS nxt FROM events), "
+            "d AS (SELECT user_id, day, cents, "
+            "CASE WHEN nxt IS NOT NULL AND date_trunc('day', nxt) = day "
+            "THEN epoch_us(nxt) ELSE epoch_us(day + INTERVAL 1 DAY) END "
+            "- epoch_us(ts) AS dur FROM o) "
+            "SELECT user_id, CAST(day AS TIMESTAMP) AS day, "
+            "CAST(SUM(cents * dur) AS BIGINT) AS twap_num, "
+            "CAST(SUM(dur) AS BIGINT) AS dur_us FROM d GROUP BY 1, 2"),
+        "order_overlap_pairs_per_customer": (
+            "WITH s AS (SELECT o.o_custkey, o.o_orderkey, "
+            "LEAST(o.o_orderdate, m.last_ship) AS lo, "
+            "GREATEST(o.o_orderdate, m.last_ship) AS hi FROM orders o "
+            "JOIN (SELECT l_orderkey, max(l_shipdate) AS last_ship "
+            "FROM lineitem GROUP BY 1) m ON m.l_orderkey = o.o_orderkey), "
+            "p AS (SELECT a.o_custkey, count(*) AS np FROM s a "
+            "JOIN s b ON a.o_custkey = b.o_custkey "
+            "AND a.o_orderkey < b.o_orderkey "
+            "AND a.lo <= b.hi AND b.lo <= a.hi GROUP BY 1), "
+            "c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) "
+            "AS n_orders FROM s GROUP BY 1) "
+            "SELECT c.o_custkey, c.n_orders, "
+            "CAST(COALESCE(p.np, 0) AS BIGINT) AS n_overlap_pairs "
+            "FROM c LEFT JOIN p ON p.o_custkey = c.o_custkey"),
+        "supplier_borda_top10": (
+            "WITH m AS (SELECT l_suppkey, "
+            "SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS revenue_cents, "
+            "count(DISTINCT l_partkey) AS n_parts FROM lineitem "
+            "GROUP BY 1), "
+            "r AS (SELECT l_suppkey, "
+            "row_number() OVER (ORDER BY revenue_cents DESC, l_suppkey) "
+            "AS rank_revenue, "
+            "row_number() OVER (ORDER BY n_parts DESC, l_suppkey) "
+            "AS rank_parts FROM m) "
+            "SELECT l_suppkey, CAST(rank_revenue AS BIGINT) "
+            "AS rank_revenue, CAST(rank_parts AS BIGINT) AS rank_parts, "
+            "CAST(rank_revenue + rank_parts AS BIGINT) AS borda FROM r "
+            "ORDER BY borda, l_suppkey LIMIT 10"),
         "diversified_top_orders": (
             "WITH r AS (SELECT o_orderkey, o_custkey, "
             "CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, "

@@ -10847,3 +10847,205 @@ def brand_rank_churn(sf_dir: str) -> ray.data.Dataset:
         "brand": pa.array(brands),
         "rank_churn": pa.array(churn),
         "n_years": pa.array(np.full(len(brands), len(years), np.int64))}))
+
+
+def events_hourly_ohlc(sf_dir: str) -> ray.data.Dataset:
+    """OHLC downsampling (the time-series resampler): per (hour, type)
+    the first, max, min and last value — FIRST/LAST are argmin/argmax
+    over (ts, event_id), solved by hashing windows into coarse buckets
+    and lexsorting each bucket ONCE (no per-window Python call)."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_id", "event_type",
+                                     "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        cents = np.rint(batch.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"hour": hour,
+                      "event_type": batch.column("event_type"),
+                      "ts": batch.column("ts"),
+                      "event_id": batch.column("event_id"),
+                      "cents": pa.array(cents)})
+        return t.append_column("bkt", bucket_ids(t, ["hour",
+                                                     "event_type"]))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        hour = group.column("hour").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        cents = group.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, et, hour))
+        h, e, c = hour[order], et[order], cents[order]
+        new = np.r_[True, (h[1:] != h[:-1]) | (e[1:] != e[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(h)] - 1
+        highs = np.maximum.reduceat(c, starts)
+        lows = np.minimum.reduceat(c, starts)
+        return pa.table({
+            "hour": pa.array(h[starts].astype("datetime64[us]")),
+            "event_type": pa.array(e[starts]),
+            "open_cents": pa.array(c[starts]),
+            "high_cents": pa.array(highs),
+            "low_cents": pa.array(lows),
+            "close_cents": pa.array(c[ends])})
+
+    return ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("bkt").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def user_daily_twap(sf_dir: str) -> ray.data.Dataset:
+    """Time-weighted average position (TWAP numerator/denominator): per
+    (user, day) Σ value·hold-duration where each event's value holds
+    until the next event that day or midnight — the financial resample
+    that weights by TIME, not by count.  Vectorized LEAD per user
+    group."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "value"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        cents = np.rint(group.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts))
+        t, c = ts[order], cents[order]
+        day = t // 86_400_000_000
+        day_end = (day + 1) * 86_400_000_000
+        nxt = np.r_[t[1:], np.int64(0)]
+        same_day = np.r_[day[1:] == day[:-1], False]
+        hold_until = np.where(same_day, nxt, day_end)
+        dur = hold_until - t
+        tw = pa.table({
+            "user_id": group.column("user_id").slice(0, 1)
+            .to_numpy(zero_copy_only=False).repeat(len(t)),
+            "day": pa.array((day * 86_400_000_000)
+                            .astype("datetime64[us]")),
+            "twap_num": pa.array(c * dur),
+            "dur_us": pa.array(dur)})
+        res = tw.group_by(["user_id", "day"]).aggregate(
+            [("twap_num", "sum"), ("dur_us", "sum")])
+        return pa.table({"user_id": res.column("user_id"),
+                         "day": res.column("day"),
+                         "twap_num": res.column("twap_num_sum"),
+                         "dur_us": res.column("dur_us_sum")})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")
+
+
+def order_overlap_pairs_per_customer(sf_dir: str) -> ray.data.Dataset:
+    """Per-key interval self-overlap: for each customer, how many pairs
+    of their orders' fulfillment spans [orderdate, last shipdate]
+    intersect — queue-pressure per account.  Spans assemble through one
+    shuffle_lookup_join; each customer's pair count is a sort + sweep,
+    never an O(n²) build."""
+    from ..functions.joins import shuffle_lookup_join
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_shipdate"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey",
+                                         "o_orderdate"])
+
+    def li_max(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["l_orderkey"]).aggregate(
+            [("l_shipdate", "max")])
+        return pa.table({"l_orderkey": res.column("l_orderkey"),
+                         "last_ship": res.column("l_shipdate_max")})
+
+    spans = shuffle_lookup_join(
+        partial_aggregate(
+            li.map_batches(li_max, batch_format="pyarrow"),
+            ["l_orderkey"], [("last_ship", "max", "last_ship")]),
+        orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("last_ship", pa.timestamp("us"))]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us"))]))
+
+    def per_cust(group: pa.Table) -> pa.Table:
+        a = group.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        b = group.column("last_ship").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        # synthetic data allows ship-before-order; normalize the span
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        c = len(lo)
+        order = np.argsort(lo, kind="stable")
+        slo = lo[order]
+        le = np.searchsorted(slo, hi, side="right")
+        ordered = int(le.sum()) - c
+        n_pairs = ordered - c * (c - 1) // 2
+        return pa.table({
+            "o_custkey": group.column("o_custkey").slice(0, 1),
+            "n_orders": pa.array([c], pa.int64()),
+            "n_overlap_pairs": pa.array([n_pairs], pa.int64())})
+
+    return spans.groupby("o_custkey").map_groups(per_cust,
+                                                 batch_format="pyarrow")
+
+
+def supplier_borda_top10(sf_dir: str) -> ray.data.Dataset:
+    """Rank aggregation (Borda count): suppliers ranked separately by
+    lineitem revenue and by distinct parts supplied; the Borda score is
+    the rank sum, lowest wins.  Both metrics partial-aggregate keyed on
+    the supplier DIMENSION; ranking and blending fold on that bounded
+    table."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_suppkey", "l_partkey",
+                                     "l_extendedprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"l_suppkey": batch.column("l_suppkey"),
+                      "l_partkey": batch.column("l_partkey"),
+                      "cents": pa.array(cents)})
+        res = t.group_by(["l_suppkey", "l_partkey"]).aggregate(
+            [("cents", "sum")])
+        return pa.table({"l_suppkey": res.column("l_suppkey"),
+                         "l_partkey": res.column("l_partkey"),
+                         "cents": res.column("cents_sum")})
+
+    per_sp = partial_aggregate(
+        li.map_batches(partials, batch_format="pyarrow"),
+        ["l_suppkey", "l_partkey"], [("cents", "sum", "cents")])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["l_suppkey"]).aggregate(
+            [("cents", "sum"), ("l_partkey", "count")])
+        return pa.table({"l_suppkey": res.column("l_suppkey"),
+                         "revenue_cents": res.column("cents_sum"),
+                         "n_parts": pc.cast(
+                             res.column("l_partkey_count"), pa.int64())})
+
+    agg = partial_aggregate(
+        per_sp.map_batches(fold, batch_format="pyarrow"),
+        ["l_suppkey"], [("revenue_cents", "sum", "revenue_cents"),
+                        ("n_parts", "sum", "n_parts")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))  # supplier DIMENSION
+    sk = rows.column("l_suppkey").to_numpy(zero_copy_only=False)
+    rev = rows.column("revenue_cents").to_numpy(zero_copy_only=False)
+    npart = rows.column("n_parts").to_numpy(zero_copy_only=False)
+    r1 = np.empty(len(sk), np.int64)
+    r1[np.lexsort((sk, -rev))] = np.arange(1, len(sk) + 1)
+    r2 = np.empty(len(sk), np.int64)
+    r2[np.lexsort((sk, -npart))] = np.arange(1, len(sk) + 1)
+    borda = r1 + r2
+    order = np.lexsort((sk, borda))[:10]
+    return ray.data.from_arrow(pa.table({
+        "l_suppkey": pa.array(sk[order]),
+        "rank_revenue": pa.array(r1[order]),
+        "rank_parts": pa.array(r2[order]),
+        "borda": pa.array(borda[order])}))
