@@ -273,7 +273,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         events_hourly_ohlc,
                                         user_daily_twap,
                                         order_overlap_pairs_per_customer,
-                                        supplier_borda_top10)
+                                        supplier_borda_top10,
+                                        same_customer_yoy_delta,
+                                        type_coburst_hours,
+                                        revenue_sigma_outlier_days,
+                                        view_purchase_within3_events)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -795,6 +799,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_daily_twap": user_daily_twap,
         "order_overlap_pairs_per_customer": order_overlap_pairs_per_customer,
         "supplier_borda_top10": supplier_borda_top10,
+        "same_customer_yoy_delta": same_customer_yoy_delta,
+        "type_coburst_hours": type_coburst_hours,
+        "revenue_sigma_outlier_days": revenue_sigma_outlier_days,
+        "view_purchase_within3_events": view_purchase_within3_events,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2714,6 +2722,69 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "same_customer_yoy_delta": (
+            "WITH p AS (SELECT o_custkey, "
+            "SUM(CASE WHEN year(o_orderdate) = 1996 THEN "
+            "CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) "
+            "AS cents_a, "
+            "SUM(CASE WHEN year(o_orderdate) = 1997 THEN "
+            "CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) "
+            "AS cents_b, "
+            "SUM(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) "
+            "AS n_a, "
+            "SUM(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) "
+            "AS n_b FROM orders "
+            "WHERE year(o_orderdate) IN (1996, 1997) GROUP BY 1) "
+            "SELECT o_custkey, CAST(cents_a AS BIGINT) AS cents_a, "
+            "CAST(cents_b AS BIGINT) AS cents_b, "
+            "CAST(cents_b - cents_a AS BIGINT) AS delta_cents "
+            "FROM p WHERE n_a > 0 AND n_b > 0"),
+        "type_coburst_hours": (
+            "WITH hc AS (SELECT date_trunc('hour', ts) AS hour, "
+            "event_type, CAST(count(*) AS BIGINT) AS n FROM events "
+            "GROUP BY 1, 2), "
+            "hrs AS (SELECT DISTINCT hour FROM hc), "
+            "t AS (SELECT DISTINCT event_type FROM hc), "
+            "grid AS (SELECT hrs.hour, t.event_type, "
+            "COALESCE(hc.n, 0) AS n FROM hrs CROSS JOIN t "
+            "LEFT JOIN hc ON hc.hour = hrs.hour "
+            "AND hc.event_type = t.event_type), "
+            "med AS (SELECT event_type, quantile_disc(n, 0.5) AS m "
+            "FROM grid GROUP BY 1), "
+            "ab AS (SELECT grid.hour, grid.event_type FROM grid "
+            "JOIN med ON med.event_type = grid.event_type "
+            "WHERE grid.n > med.m) "
+            "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+            "CAST(count(*) AS BIGINT) AS n_coburst_hours "
+            "FROM ab a JOIN ab b ON a.hour = b.hour "
+            "AND a.event_type < b.event_type GROUP BY 1, 2"),
+        "revenue_sigma_outlier_days": (
+            "WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, "
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents "
+            "FROM orders GROUP BY 1), "
+            "m AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+            "CAST(SUM(cents) AS HUGEINT) AS s, "
+            "SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS ss "
+            "FROM d) "
+            "SELECT CAST(d.day AS TIMESTAMP) AS day, "
+            "CAST(d.cents AS BIGINT) AS revenue_cents, "
+            "CAST(CASE WHEN (m.n * CAST(d.cents AS HUGEINT) - m.s) "
+            "* (m.n * CAST(d.cents AS HUGEINT) - m.s) "
+            "> 4 * (m.n * m.ss - m.s * m.s) THEN 1 ELSE 0 END "
+            "AS BIGINT) AS is_outlier FROM d, m"),
+        "view_purchase_within3_events": (
+            "WITH o AS (SELECT user_id, event_type, "
+            "lead(event_type, 1) OVER w AS t1, "
+            "lead(event_type, 2) OVER w AS t2, "
+            "lead(event_type, 3) OVER w AS t3 FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT user_id, "
+            "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_views, "
+            "CAST(SUM(CASE WHEN event_type = 'view' AND ("
+            "t1 = 'purchase' OR t2 = 'purchase' OR t3 = 'purchase') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_views "
+            "FROM o GROUP BY 1"),
         "events_hourly_ohlc": (
             "WITH w AS (SELECT date_trunc('hour', ts) AS hour, "
             "event_type, CAST(round(value * 100) AS BIGINT) AS cents, "

@@ -11049,3 +11049,170 @@ def supplier_borda_top10(sf_dir: str) -> ray.data.Dataset:
         "rank_revenue": pa.array(r1[order]),
         "rank_parts": pa.array(r2[order]),
         "borda": pa.array(borda[order])}))
+
+
+def same_customer_yoy_delta(sf_dir: str, year_a: int = 1996,
+                            year_b: int = 1997) -> ray.data.Dataset:
+    """Comparable-cohort (same-store) comparison: customers ordering in
+    BOTH years, with each year's revenue and the delta — the semi-join-
+    both-periods pattern that removes mix effects.  Per (customer,
+    year) partials reduce; the both-years filter is a per-key fold."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate",
+                                     "o_totalprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        year = pc.year(batch.column("o_orderdate")) \
+            .to_numpy(zero_copy_only=False)
+        keep = (year == year_a) | (year == year_b)
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        isa = (year == year_a)[keep]
+        t = pa.table({
+            "o_custkey": pa.array(ck[keep]),
+            "cents_a": pa.array(np.where(isa, cents[keep], 0)),
+            "cents_b": pa.array(np.where(isa, 0, cents[keep])),
+            "n_a": pa.array(isa.astype(np.int64)),
+            "n_b": pa.array((~isa).astype(np.int64))})
+        res = t.group_by(["o_custkey"]).aggregate(
+            [("cents_a", "sum"), ("cents_b", "sum"),
+             ("n_a", "sum"), ("n_b", "sum")])
+        return pa.table({"o_custkey": res.column("o_custkey"),
+                         "cents_a": res.column("cents_a_sum"),
+                         "cents_b": res.column("cents_b_sum"),
+                         "n_a": res.column("n_a_sum"),
+                         "n_b": res.column("n_b_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["o_custkey"], [("cents_a", "sum", "cents_a"),
+                        ("cents_b", "sum", "cents_b"),
+                        ("n_a", "sum", "n_a"), ("n_b", "sum", "n_b")])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        both = pc.and_(pc.greater(batch.column("n_a"), 0),
+                       pc.greater(batch.column("n_b"), 0))
+        t = batch.filter(both)
+        ca = t.column("cents_a").to_numpy(zero_copy_only=False)
+        cb = t.column("cents_b").to_numpy(zero_copy_only=False)
+        return pa.table({"o_custkey": t.column("o_custkey"),
+                         "cents_a": pa.array(ca),
+                         "cents_b": pa.array(cb),
+                         "delta_cents": pa.array(cb - ca)})
+
+    return agg.map_batches(fold, batch_format="pyarrow")
+
+
+def type_coburst_hours(sf_dir: str) -> ray.data.Dataset:
+    """Co-burst detection: for every event-type pair, hours where BOTH
+    types ran strictly above their own median hourly volume.  Hourly
+    counts partial-aggregate to a calendar×types grid; medians (lower
+    median, quantile_disc semantics) and the joint count fold on it."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+
+    def hourly(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        t = pa.table({"hour": hour,
+                      "event_type": batch.column("event_type"),
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["hour", "event_type"]).aggregate([("n", "sum")])
+        return pa.table({"hour": res.column("hour"),
+                         "event_type": res.column("event_type"),
+                         "n": res.column("n_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(hourly, batch_format="pyarrow"),
+        ["hour", "event_type"], [("n", "sum", "n")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    hr = rows.column("hour").to_numpy(zero_copy_only=False)
+    et = rows.column("event_type").to_numpy(zero_copy_only=False)
+    n = rows.column("n").to_numpy(zero_copy_only=False)
+    hours, hi = np.unique(hr, return_inverse=True)
+    types, ti = np.unique(et, return_inverse=True)
+    grid = np.zeros((len(hours), len(types)), np.int64)
+    grid[hi, ti] = n
+    # lower median (quantile_disc 0.5) over the DENSE hour series
+    med = np.sort(grid, axis=0)[(len(hours) - 1) // 2, :]
+    above = grid > med[None, :]
+    ta, tb, co = [], [], []
+    for a in range(len(types)):
+        for b in range(a + 1, len(types)):
+            nco = int((above[:, a] & above[:, b]).sum())
+            if nco > 0:         # inner-join semantics of the oracle
+                ta.append(types[a])
+                tb.append(types[b])
+                co.append(nco)
+    return ray.data.from_arrow(pa.table({
+        "type_a": pa.array(ta, pa.string()),
+        "type_b": pa.array(tb, pa.string()),
+        "n_coburst_hours": pa.array(co, pa.int64())}))
+
+
+def revenue_sigma_outlier_days(sf_dir: str) -> ray.data.Dataset:
+    """2σ anomaly days WITHOUT floats: a day is anomalous when
+    (n·x − S)² > 4·(n·SS − S²) — both sides n²-scaled, evaluated in
+    exact arbitrary-precision integers on the calendar-bounded daily
+    series (the squares exceed int64, so the fold uses Python ints)."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("o_orderdate"), unit="day")
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"day": day, "cents": pa.array(cents)})
+        res = t.group_by(["day"]).aggregate([("cents", "sum")])
+        return pa.table({"day": res.column("day"),
+                         "cents": res.column("cents_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(daily, batch_format="pyarrow"),
+        ["day"], [("cents", "sum", "cents")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    day = rows.column("day")
+    cents = rows.column("cents").to_numpy(zero_copy_only=False)
+    n = len(cents)
+    s = int(cents.sum())
+    ss = int((cents.astype(object) * cents.astype(object)).sum())
+    var_num = n * ss - s * s            # n²·σ²  (exact Python int)
+    flags = [1 if (n * int(x) - s) ** 2 > 4 * var_num else 0
+             for x in cents]
+    return ray.data.from_arrow(pa.table({
+        "day": day,
+        "revenue_cents": pa.array(cents),
+        "is_outlier": pa.array(flags, pa.int64())}))
+
+
+def view_purchase_within3_events(sf_dir: str) -> ray.data.Dataset:
+    """Row-offset funnel: per user, 'view' events followed by a
+    'purchase' within the next THREE events (position window, not time
+    window) — vectorized lookahead over each user's ordered stream."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        types = group.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ty = types[order]
+        is_p = ty == "purchase"
+        hit = np.zeros(len(ty), bool)
+        for off in (1, 2, 3):
+            hit[:-off] |= is_p[off:]
+        conv = (ty == "view") & hit
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "n_views": pa.array([int((ty == "view").sum())], pa.int64()),
+            "n_converted_views": pa.array([int(conv.sum())], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")
