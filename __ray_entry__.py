@@ -277,7 +277,10 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         same_customer_yoy_delta,
                                         type_coburst_hours,
                                         revenue_sigma_outlier_days,
-                                        view_purchase_within3_events)
+                                        view_purchase_within3_events,
+                                        embedding_power_iteration,
+                                        top_customer_part_drilldown,
+                                        consistent_hash_move_audit)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -803,6 +806,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_coburst_hours": type_coburst_hours,
         "revenue_sigma_outlier_days": revenue_sigma_outlier_days,
         "view_purchase_within3_events": view_purchase_within3_events,
+        "embedding_power_iteration": embedding_power_iteration,
+        "top_customer_part_drilldown": top_customer_part_drilldown,
+        "consistent_hash_move_audit": consistent_hash_move_audit,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2722,6 +2728,65 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        # floor division helper inlined: q = a//b (trunc) minus 1 when
+        # a%b != 0 and a < 0 (b always > 0 here)
+        "embedding_power_iteration": (
+            "WITH q AS (SELECT vec_id, CAST(k - 1 AS BIGINT) AS dim, "
+            "CAST(round(CAST(embedding[CAST(k AS INT)] AS DOUBLE) "
+            "* 10000) AS BIGINT) AS q "
+            "FROM embeddings, range(1, 65) r(k)), "
+            "a AS (SELECT x.dim AS i, y.dim AS j, "
+            "SUM(CAST(x.q AS HUGEINT) * y.q) AS a "
+            "FROM q x JOIN q y ON x.vec_id = y.vec_id GROUP BY 1, 2), "
+            "av1 AS (SELECT i, SUM(a) AS s FROM a GROUP BY 1), "
+            "m1 AS (SELECT MAX(abs(s)) AS mx FROM av1), "
+            "v1 AS (SELECT i AS dim, (100 * s) // mx - CASE WHEN "
+            "(100 * s) % mx <> 0 AND s < 0 THEN 1 ELSE 0 END AS v "
+            "FROM av1, m1), "
+            "av2 AS (SELECT a.i, SUM(a.a * v1.v) AS s FROM a "
+            "JOIN v1 ON a.j = v1.dim GROUP BY 1), "
+            "m2 AS (SELECT MAX(abs(s)) AS mx FROM av2), "
+            "v2 AS (SELECT i AS dim, (100 * s) // mx - CASE WHEN "
+            "(100 * s) % mx <> 0 AND s < 0 THEN 1 ELSE 0 END AS v "
+            "FROM av2, m2), "
+            "av3 AS (SELECT a.i, SUM(a.a * v2.v) AS s FROM a "
+            "JOIN v2 ON a.j = v2.dim GROUP BY 1), "
+            "m3 AS (SELECT MAX(abs(s)) AS mx FROM av3), "
+            "v3 AS (SELECT i AS dim, (100 * s) // mx - CASE WHEN "
+            "(100 * s) % mx <> 0 AND s < 0 THEN 1 ELSE 0 END AS v "
+            "FROM av3, m3) "
+            "SELECT dim, CAST(v AS BIGINT) AS v FROM v3"),
+        "top_customer_part_drilldown": (
+            "WITH cp AS (SELECT o.o_custkey, l.l_partkey, "
+            "SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) "
+            "AS cents FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY 1, 2), "
+            "tc AS (SELECT o_custkey, SUM(cents) AS c FROM cp "
+            "GROUP BY 1 ORDER BY c DESC, o_custkey LIMIT 5), "
+            "r AS (SELECT cp.o_custkey, cp.l_partkey, cp.cents, "
+            "row_number() OVER (PARTITION BY cp.o_custkey "
+            "ORDER BY cp.cents DESC, cp.l_partkey) AS rn "
+            "FROM cp JOIN tc ON tc.o_custkey = cp.o_custkey) "
+            "SELECT o_custkey, l_partkey, cents, "
+            "CAST(rn AS BIGINT) AS part_rank FROM r WHERE rn <= 3"),
+        "consistent_hash_move_audit": (
+            "WITH w AS (SELECT doc_id, node, "
+            "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) "
+            "|| '|' || CAST(node AS VARCHAR)), 1, 15)) AS BIGINT) AS wt "
+            "FROM documents, range(0, 17) t(node)), "
+            "old AS (SELECT doc_id, node FROM (SELECT doc_id, node, "
+            "row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY wt DESC, node DESC) AS rn FROM w WHERE node < 16) "
+            "WHERE rn = 1), "
+            "nw AS (SELECT doc_id, node FROM (SELECT doc_id, node, "
+            "row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY wt DESC, node DESC) AS rn FROM w) WHERE rn = 1) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(CASE WHEN old.doc_id % 16 <> old.doc_id % 17 "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS moved_mod, "
+            "CAST(SUM(CASE WHEN old.node <> nw.node THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS moved_rendezvous "
+            "FROM old JOIN nw ON old.doc_id = nw.doc_id"),
         "same_customer_yoy_delta": (
             "WITH p AS (SELECT o_custkey, "
             "SUM(CASE WHEN year(o_orderdate) = 1996 THEN "

@@ -11216,3 +11216,163 @@ def view_purchase_within3_events(sf_dir: str) -> ray.data.Dataset:
 
     return ds.groupby("user_id").map_groups(per_user,
                                             batch_format="pyarrow")
+
+
+def embedding_power_iteration(sf_dir: str, iters: int = 3,
+                              scale: int = 100) -> ray.data.Dataset:
+    """Top principal direction by fixed-point power iteration: the
+    64×64 integer Gram matrix A = Σ qqᵀ (e8 units) folds from batch
+    partials — the ONLY data-sized pass — then v ← (scale·Av)//max|Av|
+    iterates on the driver, bit-exact vs the unrolled SQL oracle.
+    The iterative-ML primitive (PCA/eigenvector) on Ray Data."""
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"])
+
+    def gram(batch: pa.Table) -> pa.Table:
+        m = np.stack(batch.column("embedding")
+                     .to_numpy(zero_copy_only=False))
+        q = np.rint(m.astype(np.float64) * 10_000).astype(np.int64)
+        a = q.T @ q                    # 64×64 int64
+        i, j = np.divmod(np.arange(a.size, dtype=np.int64), a.shape[1])
+        return pa.table({"i": pa.array(i), "j": pa.array(j),
+                         "a": pa.array(a.ravel())})
+
+    agg = partial_aggregate(
+        ds.map_batches(gram, batch_format="pyarrow"),
+        ["i", "j"], [("a", "sum", "a")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    k = 64
+    a = np.zeros((k, k), dtype=object)   # Python ints: no overflow
+    a[rows.column("i").to_numpy(zero_copy_only=False),
+      rows.column("j").to_numpy(zero_copy_only=False)] = \
+        [int(x) for x in rows.column("a").to_numpy(zero_copy_only=False)]
+    v = np.full(k, 1, dtype=object)
+    for _ in range(iters):
+        av = a @ v
+        mx = max(int(abs(x)) for x in av)
+        if mx == 0:
+            break
+        # floor division toward -inf, matching the SQL floor() oracle
+        v = np.array([(scale * int(x)) // mx for x in av], dtype=object)
+    return ray.data.from_arrow(pa.table({
+        "dim": pa.array(np.arange(k, dtype=np.int64)),
+        "v": pa.array([int(x) for x in v], pa.int64())}))
+
+
+def top_customer_part_drilldown(sf_dir: str, n_cust: int = 5,
+                                n_parts: int = 3) -> ray.data.Dataset:
+    """Hierarchical drill-down: the top-5 customers by lineitem revenue,
+    then each one's top-3 parts by spend.  Pass 1 ranks customers (the
+    fact joins orderkey→custkey once); the tiny winner set broadcasts
+    into pass 2's semi-join so the per-part ranking sees only their
+    rows."""
+    from ..functions.joins import shuffle_lookup_join
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey",
+                                     "l_extendedprice"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "l_partkey": batch.column("l_partkey"),
+                      "cents": pa.array(cents)})
+        res = t.group_by(["l_orderkey", "l_partkey"]).aggregate(
+            [("cents", "sum")])
+        return pa.table({"l_orderkey": res.column("l_orderkey"),
+                         "l_partkey": res.column("l_partkey"),
+                         "cents": res.column("cents_sum")})
+
+    joined = shuffle_lookup_join(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_partkey", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64())]))
+
+    def cust_part(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["o_custkey", "l_partkey"]).aggregate(
+            [("cents", "sum")])
+        return pa.table({"o_custkey": res.column("o_custkey"),
+                         "l_partkey": res.column("l_partkey"),
+                         "cents": res.column("cents_sum")})
+
+    per_cp = partial_aggregate(
+        joined.map_batches(cust_part, batch_format="pyarrow"),
+        ["o_custkey", "l_partkey"], [("cents", "sum", "cents")])
+
+    def cust_fold(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["o_custkey"]).aggregate([("cents", "sum")])
+        return pa.table({"o_custkey": res.column("o_custkey"),
+                         "cents": res.column("cents_sum")})
+
+    top = partial_aggregate(
+        per_cp.map_batches(cust_fold, batch_format="pyarrow"),
+        ["o_custkey"], [("cents", "sum", "cents")]) \
+        .sort(["cents", "o_custkey"], descending=[True, False]) \
+        .limit(n_cust).take_all()
+    winners = pa.array(sorted(r["o_custkey"] for r in top), pa.int64())
+    wref = ray.put(winners)
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("o_custkey"),
+                                     value_set=ray.get(wref)))
+
+    kept = pa.concat_tables(list(
+        per_cp.map_batches(keep_winners, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    ck = kept.column("o_custkey").to_numpy(zero_copy_only=False)
+    pk = kept.column("l_partkey").to_numpy(zero_copy_only=False)
+    cents = kept.column("cents").to_numpy(zero_copy_only=False)
+    order = np.lexsort((pk, -cents, ck))
+    ck, pk, cents = ck[order], pk[order], cents[order]
+    starts = np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]])
+    pos = np.arange(len(ck)) - np.repeat(starts, np.diff(
+        np.r_[starts, len(ck)]))
+    keep = pos < n_parts
+    return ray.data.from_arrow(pa.table({
+        "o_custkey": pa.array(ck[keep]),
+        "l_partkey": pa.array(pk[keep]),
+        "cents": pa.array(cents[keep]),
+        "part_rank": pa.array(pos[keep] + 1)}))
+
+
+def consistent_hash_move_audit(sf_dir: str, n_old: int = 16,
+                               n_new: int = 17) -> ray.data.Dataset:
+    """Data-placement stability audit: how many documents move when a
+    17th node joins, under modulo placement versus rendezvous (highest-
+    random-weight) hashing — the shard-rebalance cost comparison.
+    Rendezvous weight = md5(doc_id|node) prefix; each batch folds to
+    two counters, nothing shuffles."""
+    import hashlib
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def audit(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        moved_mod = int((ids % n_old != ids % n_new).sum())
+        moved_rdv = 0
+        for d in ids:  # hashlib has no Arrow kernel; C-speed loop
+            ws = [int(hashlib.md5(f"{d}|{node}".encode())
+                      .hexdigest()[:15], 16) for node in range(n_new)]
+            old_node = max(range(n_old), key=lambda nd: (ws[nd], nd))
+            new_node = max(range(n_new), key=lambda nd: (ws[nd], nd))
+            moved_rdv += old_node != new_node
+        return pa.table({
+            "n_docs": pa.array([len(ids)], pa.int64()),
+            "moved_mod": pa.array([moved_mod], pa.int64()),
+            "moved_rendezvous": pa.array([moved_rdv], pa.int64())})
+
+    parts = pa.concat_tables(list(
+        ds.map_batches(audit, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    out = {c: pa.array([int(pc.sum(parts.column(c)).as_py() or 0)],
+                       pa.int64())
+           for c in ("n_docs", "moved_mod", "moved_rendezvous")}
+    return ray.data.from_arrow(pa.table(out))
