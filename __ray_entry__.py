@@ -280,7 +280,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         view_purchase_within3_events,
                                         embedding_power_iteration,
                                         top_customer_part_drilldown,
-                                        consistent_hash_move_audit)
+                                        consistent_hash_move_audit,
+                                        part_name_levenshtein_pairs,
+                                        lineitem_profile,
+                                        purchase_position_in_session,
+                                        priority_lag_quantiles)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -809,6 +813,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_power_iteration": embedding_power_iteration,
         "top_customer_part_drilldown": top_customer_part_drilldown,
         "consistent_hash_move_audit": consistent_hash_move_audit,
+        "part_name_levenshtein_pairs": part_name_levenshtein_pairs,
+        "lineitem_profile": lineitem_profile,
+        "purchase_position_in_session": purchase_position_in_session,
+        "priority_lag_quantiles": priority_lag_quantiles,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2728,6 +2736,52 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "part_name_levenshtein_pairs": (
+            "WITH n AS (SELECT DISTINCT p_brand, p_name FROM part), "
+            "p AS (SELECT a.p_brand, count(*) AS np FROM n a "
+            "JOIN n b ON a.p_brand = b.p_brand AND a.p_name < b.p_name "
+            "AND levenshtein(a.p_name, b.p_name) <= 2 GROUP BY 1), "
+            "c AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_names "
+            "FROM n GROUP BY 1) "
+            "SELECT c.p_brand, c.n_names, "
+            "CAST(COALESCE(p.np, 0) AS BIGINT) AS n_close_pairs "
+            "FROM c LEFT JOIN p ON p.p_brand = c.p_brand"),
+        "lineitem_profile": (
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS col_name, "
+                f"CAST(count({c}) AS BIGINT) AS n_nonnull, "
+                f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct "
+                "FROM lineitem"
+                for c in ("l_orderkey", "l_partkey", "l_suppkey",
+                          "l_linenumber", "l_returnflag",
+                          "l_linestatus"))),
+        "purchase_position_in_session": (
+            "WITH o AS (SELECT user_id, ts, event_id, event_type, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - "
+            "epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END "
+            "AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, ts, event_id, event_type, "
+            "sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM o), "
+            "p AS (SELECT user_id, sid, event_type, row_number() OVER ("
+            "PARTITION BY user_id, sid ORDER BY ts, event_id) - 1 "
+            "AS pos FROM s) "
+            "SELECT CAST((SELECT count(*) FROM ("
+            "SELECT DISTINCT user_id, sid FROM s)) AS BIGINT) "
+            "AS n_sessions, "
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS n_purchases, "
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN pos "
+            "ELSE 0 END) AS BIGINT) AS sum_position FROM p"),
+        "priority_lag_quantiles": (
+            " UNION ALL ".join(
+                f"SELECT o_orderpriority, {q} AS q, "
+                f"quantile_disc(CAST(CAST(l_shipdate AS DATE) - "
+                f"CAST(o_orderdate AS DATE) AS DOUBLE), {q}) AS value "
+                "FROM lineitem JOIN orders "
+                "ON l_orderkey = o_orderkey GROUP BY 1"
+                for q in (0.5, 0.9, 0.99))),
         # floor division helper inlined: q = a//b (trunc) minus 1 when
         # a%b != 0 and a < 0 (b always > 0 here)
         "embedding_power_iteration": (

@@ -11376,3 +11376,162 @@ def consistent_hash_move_audit(sf_dir: str, n_old: int = 16,
                        pa.int64())
            for c in ("n_docs", "moved_mod", "moved_rendezvous")}
     return ray.data.from_arrow(pa.table(out))
+
+
+def part_name_levenshtein_pairs(sf_dir: str, max_dist: int = 2
+                                ) -> ray.data.Dataset:
+    """Edit-distance band join blocked on brand: within each brand,
+    count part-name pairs with Levenshtein distance ≤ 2 — the fuzzy-
+    match primitive of entity resolution.  Brands are a bounded
+    dimension, so each group's pair DP runs on a dimension-sized set;
+    the blocking key is what keeps this off the O(N²) cliff."""
+    ds = read_parquet_clean(f"{sf_dir}/part.parquet",
+                            columns=["p_brand", "p_name"])
+
+    def lev(a: str, b: str) -> int:
+        if abs(len(a) - len(b)) > max_dist:
+            return max_dist + 1
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            if min(cur) > max_dist:
+                return max_dist + 1
+            prev = cur
+        return prev[-1]
+
+    def per_brand(group: pa.Table) -> pa.Table:
+        names = sorted(set(group.column("p_name").to_pylist()))
+        n_close = 0
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                if lev(names[i], names[j]) <= max_dist:
+                    n_close += 1
+        return pa.table({
+            "p_brand": group.column("p_brand").slice(0, 1),
+            "n_names": pa.array([len(names)], pa.int64()),
+            "n_close_pairs": pa.array([n_close], pa.int64())})
+
+    return ds.groupby("p_brand").map_groups(per_brand,
+                                            batch_format="pyarrow")
+
+
+def lineitem_profile(sf_dir: str) -> ray.data.Dataset:
+    """One-pass table profiler (ANALYZE): per column, the non-null row
+    count and the exact distinct count.  Each column's values key their
+    own distinct exchange; counts fold per column — the schema-stats
+    operator every warehouse runs before planning."""
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_returnflag", "l_linestatus"]
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=cols)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        outs = []
+        for c in cols:
+            col = batch.column(c)
+            v = pc.cast(col, pa.string())
+            t = pa.table({"col_name": pa.array([c] * len(batch),
+                                             pa.string()),
+                          "value": v})
+            outs.append(t.group_by(["col_name", "value"]).aggregate(
+                [("value", "count")]))
+        merged = pa.concat_tables(outs)
+        return pa.table({"col_name": merged.column("col_name"),
+                         "value": merged.column("value"),
+                         "n": pc.cast(merged.column("value_count"),
+                                      pa.int64())})
+
+    per_value = partial_aggregate(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["col_name", "value"], [("n", "sum", "n")])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        t = pa.table({"col_name": batch.column("col_name"),
+                      "n_nonnull": batch.column("n"),
+                      "n_distinct": pa.array(np.ones(len(batch),
+                                                     np.int64))})
+        res = t.group_by(["col_name"]).aggregate(
+            [("n_nonnull", "sum"), ("n_distinct", "sum")])
+        return pa.table({"col_name": res.column("col_name"),
+                         "n_nonnull": res.column("n_nonnull_sum"),
+                         "n_distinct": res.column("n_distinct_sum")})
+
+    return partial_aggregate(
+        per_value.map_batches(fold, batch_format="pyarrow"),
+        ["col_name"], [("n_nonnull", "sum", "n_nonnull"),
+                     ("n_distinct", "sum", "n_distinct")])
+
+
+def purchase_position_in_session(sf_dir: str, gap_seconds: int = 1800
+                                 ) -> ray.data.Dataset:
+    """Where in a session do purchases happen?  Global count of
+    purchases and the sum of their 0-based positions within their
+    session (mean position = sum/n) plus total sessions — per-user
+    session folds emit 3 counters, the reduce is a 3-integer sum."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        types = group.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        t, ty = ts[order], types[order]
+        brk = np.r_[0, np.flatnonzero(np.diff(t)
+                                      > gap_seconds * 1_000_000) + 1,
+                    len(t)]
+        starts = brk[:-1]
+        runlen = np.diff(brk)
+        pos = np.arange(len(t)) - np.repeat(starts, runlen)
+        is_p = ty == "purchase"
+        return pa.table({
+            "n_sessions": pa.array([len(starts)], pa.int64()),
+            "n_purchases": pa.array([int(is_p.sum())], pa.int64()),
+            "sum_position": pa.array([int(pos[is_p].sum())], pa.int64())})
+
+    per = ds.groupby("user_id").map_groups(per_user,
+                                           batch_format="pyarrow")
+    rows = pa.concat_tables(list(per.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    out = {c: pa.array([int(pc.sum(rows.column(c)).as_py() or 0)],
+                       pa.int64())
+           for c in ("n_sessions", "n_purchases", "sum_position")}
+    return ray.data.from_arrow(pa.table(out))
+
+
+def priority_lag_quantiles(sf_dir: str) -> pa.Table:
+    """Fulfillment-latency SLA percentiles: exact p50/p90/p99 of the
+    per-lineitem ship lag (days) for each order priority — the grouped
+    histogram-refinement selection over a DERIVED column built by one
+    shuffle_lookup_join."""
+    from ..functions.joins import shuffle_lookup_join
+    from ..functions.quantiles import grouped_exact_quantiles
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_shipdate"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderdate",
+                                         "o_orderpriority"])
+    joined = shuffle_lookup_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_shipdate", pa.timestamp("us"))]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us")),
+                                ("o_orderpriority", pa.string())]))
+
+    def lag(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        od = batch.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        return pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "lag_days": pa.array((ship - od).astype(np.float64))})
+
+    lags = joined.map_batches(lag, batch_format="pyarrow")
+    return grouped_exact_quantiles(lags, "o_orderpriority", "lag_days",
+                                   qs=(0.5, 0.9, 0.99))
