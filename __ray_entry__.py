@@ -284,7 +284,15 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         part_name_levenshtein_pairs,
                                         lineitem_profile,
                                         purchase_position_in_session,
-                                        priority_lag_quantiles)
+                                        priority_lag_quantiles,
+                                        customer_name_key_audit,
+                                        event_id_density_audit,
+                                        customer_status_sequence_signatures,
+                                        customer_giant_orders,
+                                        vocab_coverage_curve,
+                                        arrival_dispersion_by_type,
+                                        token_burstiness_top10,
+                                        part_staleness_tiers)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -817,6 +825,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_profile": lineitem_profile,
         "purchase_position_in_session": purchase_position_in_session,
         "priority_lag_quantiles": priority_lag_quantiles,
+        "customer_name_key_audit": customer_name_key_audit,
+        "event_id_density_audit": event_id_density_audit,
+        "customer_status_sequence_signatures":
+            customer_status_sequence_signatures,
+        "customer_giant_orders": customer_giant_orders,
+        "vocab_coverage_curve": vocab_coverage_curve,
+        "arrival_dispersion_by_type": arrival_dispersion_by_type,
+        "token_burstiness_top10": token_burstiness_top10,
+        "part_staleness_tiers": part_staleness_tiers,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2736,6 +2753,89 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "vocab_coverage_curve": (
+            "WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS tok "
+            "FROM documents) GROUP BY 1), "
+            "r AS (SELECT n, row_number() OVER ("
+            "ORDER BY n DESC, tok) AS rnk FROM c), "
+            "t AS (SELECT SUM(n) AS total FROM c), "
+            "ks AS (SELECT unnest([10, 100, 1000]) AS k) "
+            "SELECT CAST(ks.k AS BIGINT) AS k, "
+            "CAST(SUM(r.n) AS BIGINT) AS covered, "
+            "CAST(t.total AS BIGINT) AS total, "
+            "CAST((1000000 * SUM(r.n)) // t.total AS BIGINT) "
+            "AS coverage_ppm FROM ks "
+            "JOIN r ON r.rnk <= ks.k, t GROUP BY ks.k, t.total"),
+        "arrival_dispersion_by_type": (
+            "WITH g AS (SELECT event_type, epoch_us(ts) - "
+            "epoch_us(lag(ts) OVER (PARTITION BY event_type "
+            "ORDER BY ts, event_id)) AS gap FROM events) "
+            "SELECT event_type, CAST(count(gap) AS BIGINT) AS n_gaps, "
+            "CAST(SUM(gap) AS BIGINT) AS sum_gap_us, "
+            "CAST(SUM(CAST(gap AS HUGEINT) * gap) AS DOUBLE) "
+            "AS sumsq_gap, "
+            "CAST(count(gap) * SUM(CAST(gap AS HUGEINT) * gap) "
+            "- CAST(SUM(gap) AS HUGEINT) * SUM(gap) AS DOUBLE) "
+            "AS disp_num FROM g GROUP BY 1"),
+        "token_burstiness_top10": (
+            "WITH pd AS (SELECT doc_id, tok, "
+            "CAST(count(*) AS BIGINT) AS n FROM ("
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+            "FROM documents) GROUP BY 1, 2) "
+            "SELECT tok, CAST(MAX(n) AS BIGINT) AS max_in_doc, "
+            "CAST(SUM(n) AS BIGINT) AS total FROM pd GROUP BY 1 "
+            "ORDER BY max_in_doc DESC, tok LIMIT 10"),
+        "part_staleness_tiers": (
+            "WITH a AS (SELECT l_partkey, max(l_shipdate) AS last_ship, "
+            "SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents "
+            "FROM lineitem GROUP BY 1), "
+            "t AS (SELECT CASE WHEN DATE '2001-08-01' - "
+            "CAST(last_ship AS DATE) < 365 THEN 'hot' "
+            "WHEN DATE '2001-08-01' - CAST(last_ship AS DATE) < 730 "
+            "THEN 'warm' ELSE 'cold' END AS tier, cents FROM a) "
+            "SELECT tier, CAST(count(*) AS BIGINT) AS n_parts, "
+            "CAST(SUM(cents) AS BIGINT) AS revenue_cents FROM t "
+            "GROUP BY 1 "
+            "UNION ALL SELECT 'never', "
+            "CAST((SELECT count(*) FROM part) - "
+            "(SELECT count(*) FROM a) AS BIGINT), CAST(0 AS BIGINT)"),
+        "customer_name_key_audit": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(SUM(CASE WHEN c_name LIKE 'Customer#%' AND "
+            "TRY_CAST(substr(c_name, 10) AS BIGINT) = c_custkey "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent, "
+            "CAST(SUM(CASE WHEN c_name LIKE 'Customer#%' AND "
+            "TRY_CAST(substr(c_name, 10) AS BIGINT) = c_custkey "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS n_mismatched "
+            "FROM customer"),
+        "event_id_density_audit": (
+            "SELECT CAST(min(event_id) AS BIGINT) AS min_id, "
+            "CAST(max(event_id) AS BIGINT) AS max_id, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(count(*) - count(DISTINCT event_id) AS BIGINT) "
+            "AS n_duplicates, "
+            "CAST(max(event_id) - min(event_id) + 1 "
+            "- count(DISTINCT event_id) AS BIGINT) AS n_holes "
+            "FROM events"),
+        "customer_status_sequence_signatures": (
+            "WITH s AS (SELECT o_custkey, "
+            "string_agg(o_orderstatus, '' ORDER BY o_orderdate, "
+            "o_orderkey) AS signature FROM orders GROUP BY 1) "
+            "SELECT signature, CAST(count(*) AS BIGINT) AS n_customers "
+            "FROM s GROUP BY 1"),
+        "customer_giant_orders": (
+            "WITH c AS (SELECT o_custkey, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents "
+            "FROM orders), "
+            "m AS (SELECT o_custkey, quantile_disc(cents, 0.5) AS med, "
+            "CAST(count(*) AS BIGINT) AS n_orders FROM c GROUP BY 1) "
+            "SELECT c.o_custkey, m.n_orders, "
+            "CAST(SUM(CASE WHEN c.cents > 3 * m.med THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_giant FROM c "
+            "JOIN m ON c.o_custkey = m.o_custkey GROUP BY 1, 2 "
+            "HAVING SUM(CASE WHEN c.cents > 3 * m.med THEN 1 ELSE 0 END) "
+            "> 0"),
         "part_name_levenshtein_pairs": (
             "WITH n AS (SELECT DISTINCT p_brand, p_name FROM part), "
             "p AS (SELECT a.p_brand, count(*) AS np FROM n a "

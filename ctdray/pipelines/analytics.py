@@ -11535,3 +11535,304 @@ def priority_lag_quantiles(sf_dir: str) -> pa.Table:
     lags = joined.map_batches(lag, batch_format="pyarrow")
     return grouped_exact_quantiles(lags, "o_orderpriority", "lag_days",
                                    qs=(0.5, 0.9, 0.99))
+
+
+def customer_name_key_audit(sf_dir: str) -> ray.data.Dataset:
+    """Derived-field consistency audit: the numeric suffix of c_name
+    must equal c_custkey ('Customer#%09d' contract).  One vectorized
+    slice+cast per batch, three counters out — the cheap invariant
+    check that catches bad backfills."""
+    ds = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_name"])
+
+    def audit(batch: pa.Table) -> pa.Table:
+        suffix = pc.utf8_slice_codeunits(batch.column("c_name"), 9, 99)
+        parsed = pc.cast(suffix, pa.int64(), safe=False)
+        okfmt = pc.starts_with(batch.column("c_name"), "Customer#")
+        match = pc.and_(okfmt, pc.equal(parsed, batch.column("c_custkey")))
+        n = len(batch)
+        good = int(pc.sum(pc.cast(match, pa.int64())).as_py() or 0)
+        return pa.table({
+            "n_rows": pa.array([n], pa.int64()),
+            "n_consistent": pa.array([good], pa.int64()),
+            "n_mismatched": pa.array([n - good], pa.int64())})
+
+    parts = pa.concat_tables(list(
+        ds.map_batches(audit, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    out = {c: pa.array([int(pc.sum(parts.column(c)).as_py() or 0)],
+                       pa.int64())
+           for c in ("n_rows", "n_consistent", "n_mismatched")}
+    return ray.data.from_arrow(pa.table(out))
+
+
+def event_id_density_audit(sf_dir: str) -> ray.data.Dataset:
+    """Surrogate-key density audit: min/max/count of event_id and the
+    implied hole count (max−min+1−n) plus duplicate count — the
+    sequence-integrity check, folded from four distributive
+    aggregates and one distinct count."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id"])
+
+    # distinct count needs its own keyed exchange; min/max/count fold
+    def dvals(batch: pa.Table) -> pa.Table:
+        dis = pc.unique(batch.column("event_id"))
+        return pa.table({"event_id": dis})
+
+    distinct = partial_aggregate(
+        ds.map_batches(dvals, batch_format="pyarrow"), ["event_id"], [])
+
+    def dcount(batch: pa.Table) -> pa.Table:
+        return pa.table({"nd": pa.array([len(batch)], pa.int64())})
+
+    dparts = pa.concat_tables(list(
+        distinct.map_batches(dcount, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    n_distinct = int(pc.sum(dparts.column("nd")).as_py() or 0)
+
+    def mmc(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id")
+        return pa.table({
+            "mn": pa.array([pc.min(ids).as_py()], pa.int64()),
+            "mx": pa.array([pc.max(ids).as_py()], pa.int64()),
+            "n": pa.array([len(ids)], pa.int64())})
+
+    mparts = pa.concat_tables(list(
+        ds.map_batches(mmc, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    mn = int(pc.min(mparts.column("mn")).as_py())
+    mx = int(pc.max(mparts.column("mx")).as_py())
+    n = int(pc.sum(mparts.column("n")).as_py())
+    return ray.data.from_arrow(pa.table({
+        "min_id": pa.array([mn], pa.int64()),
+        "max_id": pa.array([mx], pa.int64()),
+        "n_rows": pa.array([n], pa.int64()),
+        "n_duplicates": pa.array([n - n_distinct], pa.int64()),
+        "n_holes": pa.array([mx - mn + 1 - n_distinct], pa.int64())}))
+
+
+def customer_status_sequence_signatures(sf_dir: str) -> ray.data.Dataset:
+    """Ordered-sequence signatures: each customer's order statuses
+    concatenated in (orderdate, orderkey) order form a signature
+    string; count customers per signature — the behavioral-sequence
+    census (set-signature's ORDERED sibling)."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate",
+                                     "o_orderkey", "o_orderstatus"])
+
+    def per_cust(group: pa.Table) -> pa.Table:
+        od = group.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ok = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+        st = group.column("o_orderstatus").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, od))
+        sig = "".join(st[order])
+        return pa.table({"signature": pa.array([sig], pa.string()),
+                         "n_customers": pa.array([1], pa.int64())})
+
+    per = ds.groupby("o_custkey").map_groups(per_cust,
+                                             batch_format="pyarrow")
+    return partial_aggregate(
+        per, ["signature"], [("n_customers", "sum", "n_customers")])
+
+
+def customer_giant_orders(sf_dir: str, factor: int = 3
+                          ) -> ray.data.Dataset:
+    """Robust per-key outlier detection: orders worth more than
+    ``factor`` × the CUSTOMER'S OWN lower-median order value — the
+    per-entity threshold that a global cutoff can't express.  Median
+    and comparison both happen inside each customer's group."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_totalprice"])
+
+    def per_cust(group: pa.Table) -> pa.Table:
+        cents = np.rint(group.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        med = np.sort(cents, kind="stable")[(len(cents) - 1) // 2]
+        giant = int((cents > factor * med).sum())
+        if giant == 0:      # inner semantics: quiet customers drop
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64()),
+                             "n_giant": pa.array([], pa.int64())})
+        return pa.table({
+            "o_custkey": group.column("o_custkey").slice(0, 1),
+            "n_orders": pa.array([len(cents)], pa.int64()),
+            "n_giant": pa.array([giant], pa.int64())})
+
+    return ds.groupby("o_custkey").map_groups(per_cust,
+                                              batch_format="pyarrow")
+
+
+def vocab_coverage_curve(sf_dir: str, ks=(10, 100, 1000)
+                         ) -> ray.data.Dataset:
+    """Tokenizer-design coverage curve: what fraction (floor ppm) of
+    all token occurrences do the top-k vocabulary entries cover, at
+    k ∈ {10, 100, 1000}?  Token counts partial-aggregate; only the
+    top-max(k) rows (deterministic count-desc/token-asc rank) and one
+    global total ever reach the driver."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(batch.column("text"),
+                                                " "))
+        t = pa.table({"tok": flat,
+                      "n": pa.array(np.ones(len(flat), np.int64))})
+        res = t.group_by(["tok"]).aggregate([("n", "sum")])
+        return pa.table({"tok": res.column("tok"),
+                         "n": res.column("n_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["tok"], [("n", "sum", "n")])
+    top = agg.sort(["n", "tok"], descending=[True, False]) \
+        .limit(max(ks)).take_all()
+    totals = pa.concat_tables(list(
+        agg.map_batches(
+            lambda b: pa.table({"t": pa.array(
+                [int(pc.sum(b.column("n")).as_py() or 0)], pa.int64())}),
+            batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    total = int(pc.sum(totals.column("t")).as_py() or 0)
+    head = np.array([r["n"] for r in top], np.int64)
+    cum = np.cumsum(head)
+    out_k, out_cov, out_ppm = [], [], []
+    for k in ks:
+        covered = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+        out_k.append(k)
+        out_cov.append(covered)
+        out_ppm.append((1_000_000 * covered) // max(total, 1))
+    return ray.data.from_arrow(pa.table({
+        "k": pa.array(out_k, pa.int64()),
+        "covered": pa.array(out_cov, pa.int64()),
+        "total": pa.array([total] * len(ks), pa.int64()),
+        "coverage_ppm": pa.array(out_ppm, pa.int64())}))
+
+
+def arrival_dispersion_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Poisson-ness probe: per event type the inter-arrival dispersion
+    moments — gap count, Σgap, Σgap² and the integer variance numerator
+    n·Σg² − (Σg)² (index of dispersion = that / (n·Σg)) — gaps built by
+    one per-type ordered diff."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts", "event_id"])
+
+    def per_type(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        g = np.diff(ts[order]).astype(object)
+        n = len(g)
+        sg = int(sum(g)) if n else 0
+        sgg = int(sum(x * x for x in g)) if n else 0
+        return pa.table({
+            "event_type": group.column("event_type").slice(0, 1),
+            "n_gaps": pa.array([n], pa.int64()),
+            "sum_gap_us": pa.array([sg], pa.int64()),
+            "sumsq_gap": pa.array([float(sgg)], pa.float64()),
+            "disp_num": pa.array([float(n * sgg - sg * sg)],
+                                 pa.float64())})
+
+    return ds.groupby("event_type").map_groups(per_type,
+                                               batch_format="pyarrow")
+
+
+def token_burstiness_top10(sf_dir: str) -> ray.data.Dataset:
+    """Burstiness census: tokens whose single-document concentration is
+    highest — per token the MAX within-one-doc count and the corpus
+    total, top-10 by that max.  Per-doc counts stay inside the batch
+    (docs are atomic rows); only (token, max, total) partials shuffle."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        reps = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc = np.repeat(np.arange(len(batch)), reps)
+        t = pa.table({"doc": pa.array(doc), "tok": pa.array(flat),
+                      "n": pa.array(np.ones(len(flat), np.int64))})
+        per_doc = t.group_by(["doc", "tok"]).aggregate([("n", "sum")])
+        t2 = pa.table({"tok": per_doc.column("tok"),
+                       "max_in_doc": per_doc.column("n_sum"),
+                       "total": per_doc.column("n_sum")})
+        res = t2.group_by(["tok"]).aggregate(
+            [("max_in_doc", "max"), ("total", "sum")])
+        return pa.table({"tok": res.column("tok"),
+                         "max_in_doc": res.column("max_in_doc_max"),
+                         "total": res.column("total_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(per_batch, batch_format="pyarrow"),
+        ["tok"], [("max_in_doc", "max", "max_in_doc"),
+                  ("total", "sum", "total")])
+    return agg.sort(["max_in_doc", "tok"],
+                    descending=[True, False]).limit(10)
+
+
+def part_staleness_tiers(sf_dir: str, asof: str = "2001-08-01"
+                         ) -> ray.data.Dataset:
+    """Storage-lifecycle tiering: parts bucketed by days since their
+    LAST shipment as of a pinned date — hot (<365), warm (<730), cold
+    (≥730) — with part counts and lifetime revenue per tier; the
+    never-ordered backlog reports as its own tier.  Per-part last-ship
+    and revenue fold in one keyed exchange; parts broadcast."""
+    asof_day = np.datetime64(asof, "D").astype(np.int64)
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_shipdate",
+                                     "l_extendedprice"])
+    all_parts = pq.read_table(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey"]).column(0)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"l_partkey": batch.column("l_partkey"),
+                      "last_ship": batch.column("l_shipdate"),
+                      "cents": pa.array(cents)})
+        res = t.group_by(["l_partkey"]).aggregate(
+            [("last_ship", "max"), ("cents", "sum")])
+        return pa.table({"l_partkey": res.column("l_partkey"),
+                         "last_ship": res.column("last_ship_max"),
+                         "cents": res.column("cents_sum")})
+
+    agg = partial_aggregate(
+        li.map_batches(partials, batch_format="pyarrow"),
+        ["l_partkey"], [("last_ship", "max", "last_ship"),
+                        ("cents", "sum", "cents")])
+
+    def tier(batch: pa.Table) -> pa.Table:
+        last = batch.column("last_ship").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        age = asof_day - last
+        t = np.where(age < 365, "hot",
+                     np.where(age < 730, "warm", "cold"))
+        tt = pa.table({"tier": pa.array(t),
+                       "n_parts": pa.array(np.ones(len(t), np.int64)),
+                       "revenue_cents": batch.column("cents")})
+        res = tt.group_by(["tier"]).aggregate(
+            [("n_parts", "sum"), ("revenue_cents", "sum")])
+        return pa.table({"tier": res.column("tier"),
+                         "n_parts": res.column("n_parts_sum"),
+                         "revenue_cents": res.column(
+                             "revenue_cents_sum")})
+
+    tiers = partial_aggregate(
+        agg.map_batches(tier, batch_format="pyarrow"),
+        ["tier"], [("n_parts", "sum", "n_parts"),
+                   ("revenue_cents", "sum", "revenue_cents")])
+    rows = pa.concat_tables(list(tiers.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    # never-shipped parts: dimension minus active keys, counted via the
+    # aggregated key count (bounded by the part dimension)
+    keyt = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    n_never = len(all_parts) - len(keyt)
+    extra = pa.table({"tier": pa.array(["never"], pa.string()),
+                      "n_parts": pa.array([n_never], pa.int64()),
+                      "revenue_cents": pa.array([0], pa.int64())})
+    return ray.data.from_arrow(pa.concat_tables(
+        [rows.select(["tier", "n_parts", "revenue_cents"]), extra]))
