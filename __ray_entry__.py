@@ -292,7 +292,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         vocab_coverage_curve,
                                         arrival_dispersion_by_type,
                                         token_burstiness_top10,
-                                        part_staleness_tiers)
+                                        part_staleness_tiers,
+                                        daily_peak_3h_window,
+                                        type_pair_lag_xcorr,
+                                        brand_revenue_anova,
+                                        user_value_ewma2)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -834,6 +838,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "arrival_dispersion_by_type": arrival_dispersion_by_type,
         "token_burstiness_top10": token_burstiness_top10,
         "part_staleness_tiers": part_staleness_tiers,
+        "daily_peak_3h_window": daily_peak_3h_window,
+        "type_pair_lag_xcorr": type_pair_lag_xcorr,
+        "brand_revenue_anova": brand_revenue_anova,
+        "user_value_ewma2": user_value_ewma2,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2753,6 +2761,68 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "daily_peak_3h_window": (
+            "WITH h AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "(epoch_us(ts) % 86400000000) // 3600000000 AS hour, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+            "days AS (SELECT DISTINCT day FROM h), "
+            "grid AS (SELECT days.day, s.start, "
+            "CAST(COALESCE(SUM(h.n), 0) AS BIGINT) AS w "
+            "FROM days CROSS JOIN range(0, 22) s(start) "
+            "LEFT JOIN h ON h.day = days.day "
+            "AND h.hour BETWEEN s.start AND s.start + 2 GROUP BY 1, 2), "
+            "best AS (SELECT day, start, w, row_number() OVER ("
+            "PARTITION BY day ORDER BY w DESC, start) AS rn FROM grid) "
+            "SELECT epoch_ms(CAST(day AS BIGINT) * 86400000) AS day, "
+            "CAST(start AS BIGINT) AS start_hour, "
+            "w AS window_events FROM best WHERE rn = 1"),
+        "type_pair_lag_xcorr": (
+            "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "event_type, CAST(count(*) AS BIGINT) AS n FROM events "
+            "WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2), "
+            "a AS (SELECT day, n FROM d WHERE event_type = 'view'), "
+            "p AS (SELECT day, n FROM d WHERE event_type = 'purchase'), "
+            "lags AS (SELECT unnest([0, 1, 2, 3]) AS lag) "
+            "SELECT CAST(lags.lag AS BIGINT) AS lag, "
+            "CAST(COALESCE(SUM(a.n * p.n), 0) AS BIGINT) AS dot "
+            "FROM lags LEFT JOIN a ON TRUE "
+            "LEFT JOIN p ON p.day = a.day + lags.lag "
+            "GROUP BY 1"),
+        "brand_revenue_anova": (
+            "WITH m AS (SELECT p.p_brand, "
+            "CAST(count(*) AS HUGEINT) AS n, "
+            "CAST(SUM(CAST(round(l.l_extendedprice) AS BIGINT)) "
+            "AS HUGEINT) AS s, "
+            "SUM(CAST(round(l.l_extendedprice) AS HUGEINT) "
+            "* CAST(round(l.l_extendedprice) AS HUGEINT)) AS ss "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "GROUP BY 1), "
+            "g AS (SELECT SUM(n) AS n, SUM(s) AS s, SUM(ss) AS ss, "
+            "CAST(count(*) AS BIGINT) AS n_brands FROM m), "
+            "gm AS (SELECT g.s // g.n AS gmean FROM g), "
+            "ssb AS (SELECT SUM(m.n * (m.s // m.n - gm.gmean) "
+            "* (m.s // m.n - gm.gmean)) AS v FROM m, gm), "
+            "sst AS (SELECT g.ss - 2 * gm.gmean * g.s "
+            "+ g.n * gm.gmean * gm.gmean AS v FROM g, gm) "
+            "SELECT CAST(g.n AS BIGINT) AS n_rows, g.n_brands, "
+            "CAST((1000000 * ssb.v) // sst.v AS BIGINT) AS ssb_ppm "
+            "FROM g, ssb, sst"),
+        "user_value_ewma2": (
+            "WITH RECURSIVE seq AS (SELECT user_id, "
+            "CAST(round(value * 100) AS BIGINT) AS cents, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS rn FROM events), "
+            "cnt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n "
+            "FROM seq GROUP BY 1), "
+            "r AS (SELECT user_id, rn, cents // 2 AS e "
+            "FROM seq WHERE rn = 1 "
+            "UNION ALL SELECT seq.user_id, seq.rn, "
+            "(seq.cents + r.e) // 2 FROM r "
+            "JOIN seq ON seq.user_id = r.user_id "
+            "AND seq.rn = r.rn + 1) "
+            "SELECT r.user_id, CAST(r.e AS BIGINT) AS ewma_cents, "
+            "cnt.n AS n_events FROM r "
+            "JOIN cnt ON cnt.user_id = r.user_id WHERE r.rn = cnt.n"),
         "vocab_coverage_curve": (
             "WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM ("
             "SELECT unnest(string_split(text, ' ')) AS tok "

@@ -11836,3 +11836,182 @@ def part_staleness_tiers(sf_dir: str, asof: str = "2001-08-01"
                       "revenue_cents": pa.array([0], pa.int64())})
     return ray.data.from_arrow(pa.concat_tables(
         [rows.select(["tier", "n_parts", "revenue_cents"]), extra]))
+
+
+def daily_peak_3h_window(sf_dir: str, window_hours: int = 3
+                         ) -> ray.data.Dataset:
+    """Sliding-window argmax: per day, the 3-hour contiguous window
+    holding the most events (earliest start wins ties).  Hourly counts
+    partial-aggregate to the bounded day×24 grid; the window sweep
+    folds on it."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def hourly(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        day = ts // 86_400_000_000
+        hour = (ts % 86_400_000_000) // 3_600_000_000
+        t = pa.table({"day": pa.array(day), "hour": pa.array(hour),
+                      "n": pa.array(np.ones(len(ts), np.int64))})
+        res = t.group_by(["day", "hour"]).aggregate([("n", "sum")])
+        return pa.table({"day": res.column("day"),
+                         "hour": res.column("hour"),
+                         "n": res.column("n_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(hourly, batch_format="pyarrow"),
+        ["day", "hour"], [("n", "sum", "n")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    day = rows.column("day").to_numpy(zero_copy_only=False)
+    hour = rows.column("hour").to_numpy(zero_copy_only=False)
+    n = rows.column("n").to_numpy(zero_copy_only=False)
+    days, di = np.unique(day, return_inverse=True)
+    grid = np.zeros((len(days), 24), np.int64)
+    grid[di, hour] = n
+    k = window_hours
+    sums = np.stack([grid[:, s:s + k].sum(axis=1)
+                     for s in range(24 - k + 1)], axis=1)
+    start = sums.argmax(axis=1)          # first max wins (earliest)
+    best = sums[np.arange(len(days)), start]
+    return ray.data.from_arrow(pa.table({
+        "day": pa.array((days * 86_400_000_000)
+                        .astype("datetime64[us]")),
+        "start_hour": pa.array(start.astype(np.int64)),
+        "window_events": pa.array(best)}))
+
+
+def type_pair_lag_xcorr(sf_dir: str, type_a: str = "view",
+                        type_b: str = "purchase", max_lag: int = 3
+                        ) -> ray.data.Dataset:
+    """Lead-lag detection: the raw cross-correlation dot product
+    Σ_d a(d)·b(d+lag) between two event types' daily-count series for
+    lag 0..3 — does activity in A anticipate B?  The daily grid is
+    calendar-bounded; the lagged dots fold on it."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array([type_a, type_b]))
+        t = batch.filter(keep)
+        ts = t.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        day = ts // 86_400_000_000
+        tt = pa.table({"day": pa.array(day),
+                       "event_type": t.column("event_type"),
+                       "n": pa.array(np.ones(len(day), np.int64))})
+        res = tt.group_by(["day", "event_type"]).aggregate([("n", "sum")])
+        return pa.table({"day": res.column("day"),
+                         "event_type": res.column("event_type"),
+                         "n": res.column("n_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(daily, batch_format="pyarrow"),
+        ["day", "event_type"], [("n", "sum", "n")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    day = rows.column("day").to_numpy(zero_copy_only=False)
+    et = rows.column("event_type").to_numpy(zero_copy_only=False)
+    n = rows.column("n").to_numpy(zero_copy_only=False)
+    days = np.unique(day)
+    full = np.arange(days.min(), days.max() + 1) if len(days) else days
+    a = np.zeros(len(full), np.int64)
+    b = np.zeros(len(full), np.int64)
+    ia = et == type_a
+    a[day[ia] - full[0] if len(full) else []] = n[ia]
+    b[day[~ia] - full[0] if len(full) else []] = n[~ia]
+    lags, dots = [], []
+    for lag in range(max_lag + 1):
+        lags.append(lag)
+        dots.append(int((a[:len(a) - lag] * b[lag:]).sum())
+                    if lag < len(a) else 0)
+    return ray.data.from_arrow(pa.table({
+        "lag": pa.array(lags, pa.int64()),
+        "dot": pa.array(dots, pa.int64())}))
+
+
+def brand_revenue_anova(sf_dir: str) -> ray.data.Dataset:
+    """One-way ANOVA decomposition without floats: between-brand and
+    within-brand sum-of-squares numerators for lineitem revenue, both
+    N²-scaled so SSB_num + SSW_num = SST_num exactly.  Per-brand
+    (n, Σx, Σx²) partials fold; the exact-bignum assembly runs on the
+    brand-bounded table."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_extendedprice"])
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    pref = ray.put((part.column("p_partkey").combine_chunks(),
+                    part.column("p_brand").combine_chunks()))
+
+    def moments(batch: pa.Table) -> pa.Table:
+        pk, pb = ray.get(pref)
+        i = pc.index_in(batch.column("l_partkey"), value_set=pk)
+        # whole DOLLARS, not cents: Σx² of cents would overflow int64
+        # by sf0.1 (1e14 per row × 6e5 rows); dollars keep Σx² < 1e16
+        dollars = np.rint(batch.column("l_extendedprice")
+                          .to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        t = pa.table({"brand": pc.take(pb, i),
+                      "n": pa.array(np.ones(len(dollars), np.int64)),
+                      "s": pa.array(dollars),
+                      "ss": pa.array(dollars * dollars)})
+        res = t.group_by(["brand"]).aggregate(
+            [("n", "sum"), ("s", "sum"), ("ss", "sum")])
+        return pa.table({"brand": res.column("brand"),
+                         "n": res.column("n_sum"),
+                         "s": res.column("s_sum"),
+                         "ss": res.column("ss_sum")})
+
+    agg = partial_aggregate(
+        li.map_batches(moments, batch_format="pyarrow"),
+        ["brand"], [("n", "sum", "n"), ("s", "sum", "s"),
+                    ("ss", "sum", "ss")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    ng = [int(x) for x in rows.column("n").to_pylist()]
+    sg = [int(x) for x in rows.column("s").to_pylist()]
+    ssg = [int(x) for x in rows.column("ss").to_pylist()]
+    n = sum(ng)
+    s = sum(sg)
+    # floor-mean quantization keeps BOTH engines in exact integers:
+    # group mean gm_g = S_g // n_g, grand mean gm = S // N,
+    # SSB* = Σ n_g·(gm_g − gm)², SST* = ΣΣx² − 2·gm·S + N·gm²
+    gm = s // n if n else 0
+    ssb = sum(m * (x // m - gm) ** 2 for x, m in zip(sg, ng) if m)
+    sst = sum(ssg) - 2 * gm * s + n * gm * gm
+    ssb_ppm = (1_000_000 * ssb) // sst if sst else 0
+    return ray.data.from_arrow(pa.table({
+        "n_rows": pa.array([n], pa.int64()),
+        "n_brands": pa.array([len(ng)], pa.int64()),
+        "ssb_ppm": pa.array([ssb_ppm], pa.int64())}))
+
+
+def user_value_ewma2(sf_dir: str) -> ray.data.Dataset:
+    """Stateful per-key scan with a data dependency: integer EWMA with
+    α = 1/2, ewma ← (cents + ewma) // 2 over each user's ordered
+    stream (floor at every step, so NO closed form exists — this is a
+    true sequential scan, the recursive-CTE oracle's shape).  The
+    recurrence runs inside each user's group; groups are bounded."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "value"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        cents = np.rint(group.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts))
+        e = 0
+        for c in cents[order]:       # inherent sequential dependency
+            e = (int(c) + e) // 2
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "ewma_cents": pa.array([e], pa.int64()),
+            "n_events": pa.array([len(cents)], pa.int64())})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")
