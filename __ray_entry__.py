@@ -296,7 +296,10 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         daily_peak_3h_window,
                                         type_pair_lag_xcorr,
                                         brand_revenue_anova,
-                                        user_value_ewma2)
+                                        user_value_ewma2,
+                                        revenue_growth_accounting,
+                                        order_total_allocation,
+                                        quality_pass_by_length_decile)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -842,6 +845,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_pair_lag_xcorr": type_pair_lag_xcorr,
         "brand_revenue_anova": brand_revenue_anova,
         "user_value_ewma2": user_value_ewma2,
+        "revenue_growth_accounting": revenue_growth_accounting,
+        "order_total_allocation": order_total_allocation,
+        "quality_pass_by_length_decile": quality_pass_by_length_decile,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2761,6 +2767,61 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "revenue_growth_accounting": (
+            "WITH cy AS (SELECT o_custkey AS c, "
+            "CAST(year(o_orderdate) AS BIGINT) AS y, "
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v "
+            "FROM orders GROUP BY 1, 2), "
+            "j AS (SELECT COALESCE(b.y, a.y + 1) AS year, "
+            "a.c AS ac, b.c AS bc, COALESCE(a.v, 0) AS prev, "
+            "COALESCE(b.v, 0) AS cur FROM cy a "
+            "FULL OUTER JOIN cy b ON a.c = b.c AND a.y + 1 = b.y) "
+            "SELECT year, "
+            "CAST(SUM(CASE WHEN ac IS NULL THEN cur ELSE 0 END) "
+            "AS BIGINT) AS new_cents, "
+            "CAST(SUM(CASE WHEN bc IS NULL THEN prev ELSE 0 END) "
+            "AS BIGINT) AS churned_cents, "
+            "CAST(SUM(CASE WHEN ac IS NOT NULL AND bc IS NOT NULL "
+            "THEN GREATEST(cur - prev, 0) ELSE 0 END) AS BIGINT) "
+            "AS expansion_cents, "
+            "CAST(SUM(CASE WHEN ac IS NOT NULL AND bc IS NOT NULL "
+            "THEN GREATEST(prev - cur, 0) ELSE 0 END) AS BIGINT) "
+            "AS contraction_cents FROM j GROUP BY 1"),
+        "order_total_allocation": (
+            "WITH j AS (SELECT l.l_orderkey, l.l_linenumber, "
+            "l.l_returnflag, "
+            "CAST(round(l.l_extendedprice * 100) AS BIGINT) AS w, "
+            "CAST(round(o.o_totalprice * 100) AS BIGINT) AS total "
+            "FROM lineitem l JOIN orders o "
+            "ON l.l_orderkey = o.o_orderkey), "
+            "g AS (SELECT *, SUM(w) OVER (PARTITION BY l_orderkey) "
+            "AS wsum FROM j), "
+            "b AS (SELECT *, (total * w) // wsum AS base, "
+            "(total * w) % wsum AS rem FROM g), "
+            "kk AS (SELECT l_orderkey, MIN(total) - SUM(base) AS k "
+            "FROM b GROUP BY 1), "
+            "r AS (SELECT b.*, row_number() OVER ("
+            "PARTITION BY b.l_orderkey "
+            "ORDER BY b.rem DESC, b.l_linenumber) - 1 AS pos FROM b) "
+            "SELECT r.l_returnflag, "
+            "CAST(SUM(r.base + CASE WHEN r.pos < kk.k THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS allocated_cents, "
+            "CAST(count(*) AS BIGINT) AS n_lines FROM r "
+            "JOIN kk ON kk.l_orderkey = r.l_orderkey GROUP BY 1"),
+        "quality_pass_by_length_decile": (
+            "WITH b AS (SELECT quantile_disc(CAST(n_chars AS DOUBLE), "
+            "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs "
+            "FROM documents), "
+            "d AS (SELECT CAST(len(list_filter(b.qs, "
+            "x -> x < CAST(n_chars AS DOUBLE))) AS BIGINT) AS decile, "
+            "CASE WHEN len(string_split(text,' ')) BETWEEN 10 AND 5000 "
+            "AND 2 * len(list_filter(string_split(text,' '), x -> x IN "
+            f"{_STOPLIST_SQL})) <= len(string_split(text,' ')) "
+            "THEN 1 ELSE 0 END AS pass FROM documents, b) "
+            "SELECT decile, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(pass) AS BIGINT) AS n_pass, "
+            "CAST((1000000 * SUM(pass)) // count(*) AS BIGINT) "
+            "AS pass_ppm FROM d GROUP BY 1"),
         "daily_peak_3h_window": (
             "WITH h AS (SELECT epoch_us(ts) // 86400000000 AS day, "
             "(epoch_us(ts) % 86400000000) // 3600000000 AS hour, "

@@ -12015,3 +12015,210 @@ def user_value_ewma2(sf_dir: str) -> ray.data.Dataset:
 
     return ds.groupby("user_id").map_groups(per_user,
                                             batch_format="pyarrow")
+
+
+def revenue_growth_accounting(sf_dir: str) -> ray.data.Dataset:
+    """Growth accounting (the revenue waterfall): each year-over-year
+    revenue delta decomposed into NEW (customer absent prior year),
+    CHURNED (absent this year), EXPANSION and CONTRACTION — per
+    customer-year revenues fold per customer, contributions re-key by
+    year; the identity new+expansion−contraction−churned = Δtotal holds
+    exactly in cents."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate",
+                                     "o_totalprice"])
+
+    def cy(batch: pa.Table) -> pa.Table:
+        year = pc.cast(pc.year(batch.column("o_orderdate")), pa.int64())
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"o_custkey": batch.column("o_custkey"),
+                      "year": year, "cents": pa.array(cents)})
+        res = t.group_by(["o_custkey", "year"]).aggregate(
+            [("cents", "sum")])
+        return pa.table({"o_custkey": res.column("o_custkey"),
+                         "year": res.column("year"),
+                         "cents": res.column("cents_sum")})
+
+    per_cy = partial_aggregate(
+        ds.map_batches(cy, batch_format="pyarrow"),
+        ["o_custkey", "year"], [("cents", "sum", "cents")])
+
+    def per_cust(group: pa.Table) -> pa.Table:
+        yr = group.column("year").to_numpy(zero_copy_only=False)
+        cents = group.column("cents").to_numpy(zero_copy_only=False)
+        order = np.argsort(yr)
+        yr, cents = yr[order], cents[order]
+        years, news, churns, exps, cons = [], [], [], [], []
+        for i in range(len(yr)):
+            # contribution into year yr[i]+1 bucket (vs prior year)
+            nxt = yr[i] + 1
+            j = i + 1
+            cur = cents[i]
+            nxt_rev = cents[j] if j < len(yr) and yr[j] == nxt else 0
+            if j < len(yr) and yr[j] == nxt:
+                years.append(nxt)
+                news.append(0)
+                churns.append(0)
+                exps.append(max(nxt_rev - cur, 0))
+                cons.append(max(cur - nxt_rev, 0))
+            else:
+                years.append(nxt)
+                news.append(0)
+                churns.append(cur)
+                exps.append(0)
+                cons.append(0)
+            prv = cents[i - 1] if i > 0 and yr[i - 1] == yr[i] - 1 else None
+            if prv is None:
+                years.append(yr[i])
+                news.append(cur)
+                churns.append(0)
+                exps.append(0)
+                cons.append(0)
+        return pa.table({"year": pa.array(years, pa.int64()),
+                         "new_cents": pa.array(news, pa.int64()),
+                         "churned_cents": pa.array(churns, pa.int64()),
+                         "expansion_cents": pa.array(exps, pa.int64()),
+                         "contraction_cents": pa.array(cons,
+                                                       pa.int64())})
+
+    per = per_cy.groupby("o_custkey").map_groups(per_cust,
+                                                 batch_format="pyarrow")
+    return partial_aggregate(
+        per, ["year"],
+        [("new_cents", "sum", "new_cents"),
+         ("churned_cents", "sum", "churned_cents"),
+         ("expansion_cents", "sum", "expansion_cents"),
+         ("contraction_cents", "sum", "contraction_cents")])
+
+
+def order_total_allocation(sf_dir: str) -> ray.data.Dataset:
+    """Largest-remainder (Hamilton) allocation: each order's total
+    price in cents split across its lineitems proportional to extended
+    price, floor first, the k largest remainders rounding up — the
+    exact-money distribution primitive (Σ allocations ≡ order total).
+    Allocation runs inside order groups (bucketed); allocated cents
+    aggregate per returnflag."""
+    from ..functions.joins import shuffle_lookup_join
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber",
+                                     "l_extendedprice", "l_returnflag"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_totalprice"])
+    joined = shuffle_lookup_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_linenumber", pa.int32()),
+                               ("l_extendedprice", pa.float64()),
+                               ("l_returnflag", pa.string())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_totalprice", pa.float64())]))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        bkt = ((ok.astype(np.uint64) * _FIB64) >> np.uint64(56)) \
+            .astype(np.int64)
+        return batch.append_column("bkt", pa.array(bkt))
+
+    def allocate(group: pa.Table) -> pa.Table:
+        ok = group.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = group.column("l_linenumber").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        w = np.rint(group.column("l_extendedprice")
+                    .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        total = np.rint(group.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        flag = group.column("l_returnflag").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ln, ok))
+        ok, ln, w, total, flag = (x[order] for x in
+                                  (ok, ln, w, total, flag))
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        lens = np.diff(np.r_[starts, len(ok)])
+        gid = np.repeat(np.arange(len(starts)), lens)
+        wsum = np.zeros(len(starts), np.int64)
+        np.add.at(wsum, gid, w)
+        wsum_r = wsum[gid]
+        tot_r = total
+        base = (tot_r * w) // wsum_r
+        rem = (tot_r * w) % wsum_r
+        k = tot_r[starts] - np.add.reduceat(base, starts)
+        # rank remainders desc, linenumber asc within order
+        rr = np.lexsort((ln, -rem, gid))
+        pos = np.empty(len(rr), np.int64)
+        pos[rr] = np.arange(len(rr)) - np.repeat(starts, lens)[rr]
+        alloc = base + (pos < k[gid])
+        t = pa.table({"l_returnflag": pa.array(flag),
+                      "allocated_cents": pa.array(alloc),
+                      "n_lines": pa.array(np.ones(len(alloc),
+                                                  np.int64))})
+        res = t.group_by(["l_returnflag"]).aggregate(
+            [("allocated_cents", "sum"), ("n_lines", "sum")])
+        return pa.table({"l_returnflag": res.column("l_returnflag"),
+                         "allocated_cents": res.column(
+                             "allocated_cents_sum"),
+                         "n_lines": res.column("n_lines_sum")})
+
+    alloc = joined.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bkt").map_groups(allocate, batch_format="pyarrow")
+    return partial_aggregate(
+        alloc, ["l_returnflag"],
+        [("allocated_cents", "sum", "allocated_cents"),
+         ("n_lines", "sum", "n_lines")])
+
+
+def quality_pass_by_length_decile(sf_dir: str) -> ray.data.Dataset:
+    """Calibration curve: documents bucketed into global length deciles
+    (exact boundaries via distributed selection), the quality-filter
+    pass rate (floor ppm) per decile — does the filter correlate with
+    length?  Boundaries broadcast; bucketing and the pass predicate run
+    in one vectorized pass."""
+    from ..functions.quantiles import exact_quantiles
+    from ..functions.text import quality_filter_batch
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "n_chars"])
+    qs = tuple(i / 10 for i in range(1, 10))
+    bounds_t = exact_quantiles(
+        ds.map_batches(lambda b: pa.table({
+            "n_chars": pc.cast(b.column("n_chars"), pa.float64())}),
+            batch_format="pyarrow"),
+        "n_chars", qs=qs)
+    bounds = np.array(sorted(bounds_t.column("value").to_pylist()),
+                      np.float64)
+    bref = ray.put(bounds)
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        nch = batch.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        decile = np.searchsorted(b, nch, side="left").astype(np.int64)
+        kept = quality_filter_batch(batch.select(["doc_id", "text"]))
+        passed = np.zeros(len(batch), bool)
+        passed[np.isin(batch.column("doc_id")
+                       .to_numpy(zero_copy_only=False),
+                       kept.column("doc_id")
+                       .to_numpy(zero_copy_only=False))] = True
+        t = pa.table({"decile": pa.array(decile),
+                      "n_docs": pa.array(np.ones(len(batch), np.int64)),
+                      "n_pass": pa.array(passed.astype(np.int64))})
+        res = t.group_by(["decile"]).aggregate(
+            [("n_docs", "sum"), ("n_pass", "sum")])
+        return pa.table({"decile": res.column("decile"),
+                         "n_docs": res.column("n_docs_sum"),
+                         "n_pass": res.column("n_pass_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(bucketed, batch_format="pyarrow"),
+        ["decile"], [("n_docs", "sum", "n_docs"),
+                     ("n_pass", "sum", "n_pass")])
+
+    def ppm(batch: pa.Table) -> pa.Table:
+        nd = batch.column("n_docs").to_numpy(zero_copy_only=False)
+        npass = batch.column("n_pass").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "pass_ppm",
+            pa.array((1_000_000 * npass) // np.where(nd == 0, 1, nd)))
+
+    return agg.map_batches(ppm, batch_format="pyarrow")
