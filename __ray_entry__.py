@@ -299,7 +299,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         user_value_ewma2,
                                         revenue_growth_accounting,
                                         order_total_allocation,
-                                        quality_pass_by_length_decile)
+                                        quality_pass_by_length_decile,
+                                        revenue_changepoint_day,
+                                        orders_fiscal_445_counts,
+                                        sampled_topk_fidelity,
+                                        user_decayed_value)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -848,6 +852,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_growth_accounting": revenue_growth_accounting,
         "order_total_allocation": order_total_allocation,
         "quality_pass_by_length_decile": quality_pass_by_length_decile,
+        "revenue_changepoint_day": revenue_changepoint_day,
+        "orders_fiscal_445_counts": orders_fiscal_445_counts,
+        "sampled_topk_fidelity": sampled_topk_fidelity,
+        "user_decayed_value": user_decayed_value,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2767,6 +2775,69 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "revenue_changepoint_day": (
+            "WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, "
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS HUGEINT) AS cents, CAST(count(*) AS HUGEINT) AS n "
+            "FROM orders GROUP BY 1), "
+            "t AS (SELECT SUM(cents) AS ts, SUM(n) AS tn, "
+            "CAST(count(*) AS BIGINT) AS nd FROM d), "
+            "c AS (SELECT day, SUM(cents) OVER w AS sp, "
+            "SUM(n) OVER w AS np, row_number() OVER ("
+            "ORDER BY day DESC) AS from_end FROM d "
+            "WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)), "
+            "sc AS (SELECT day, abs(sp * (t.tn - np) "
+            "- (t.ts - sp) * np) AS score FROM c, t "
+            "WHERE from_end > 1), "
+            "best AS (SELECT day, score, row_number() OVER ("
+            "ORDER BY score DESC, day) AS rn FROM sc) "
+            "SELECT CAST(best.day AS TIMESTAMP) AS split_day, "
+            "CAST(best.score AS DOUBLE) AS score, t.nd AS n_days "
+            "FROM best, t WHERE rn = 1"),
+        "orders_fiscal_445_counts": (
+            "WITH w AS (SELECT (CAST(o_orderdate AS DATE) "
+            "- DATE '1994-12-26') // 7 AS wk_abs, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents "
+            "FROM orders), "
+            "p AS (SELECT CAST(wk_abs // 52 AS BIGINT) AS fiscal_year, "
+            "CAST(CASE WHEN wk_abs % 52 < 4 THEN 1 "
+            "WHEN wk_abs % 52 < 8 THEN 2 WHEN wk_abs % 52 < 13 THEN 3 "
+            "WHEN wk_abs % 52 < 17 THEN 4 WHEN wk_abs % 52 < 21 THEN 5 "
+            "WHEN wk_abs % 52 < 26 THEN 6 WHEN wk_abs % 52 < 30 THEN 7 "
+            "WHEN wk_abs % 52 < 34 THEN 8 WHEN wk_abs % 52 < 39 THEN 9 "
+            "WHEN wk_abs % 52 < 43 THEN 10 "
+            "WHEN wk_abs % 52 < 47 THEN 11 ELSE 12 END AS BIGINT) "
+            "AS period, cents FROM w) "
+            "SELECT fiscal_year, period, "
+            "CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(cents) AS BIGINT) AS cents FROM p GROUP BY 1, 2"),
+        "sampled_topk_fidelity": (
+            "WITH c AS (SELECT tok, count(*) AS n FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS tok "
+            "FROM documents) GROUP BY 1), "
+            "e AS (SELECT tok FROM c ORDER BY n DESC, tok LIMIT 10), "
+            "sc AS (SELECT tok, count(*) AS n FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS tok "
+            "FROM documents WHERE "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0') "
+            "GROUP BY 1), "
+            "s AS (SELECT tok FROM sc ORDER BY n DESC, tok LIMIT 10), "
+            "i AS (SELECT CAST(count(*) AS BIGINT) AS inter "
+            "FROM e JOIN s USING (tok)), "
+            "u AS (SELECT CAST(count(*) AS BIGINT) AS un FROM ("
+            "SELECT tok FROM e UNION SELECT tok FROM s)) "
+            "SELECT CAST(10 AS BIGINT) AS k, i.inter AS n_overlap, "
+            "CAST((1000000 * i.inter) // GREATEST(u.un, 1) AS BIGINT) "
+            "AS jaccard_ppm FROM i, u"),
+        "user_decayed_value": (
+            "WITH mx AS (SELECT CAST(max(ts) AS DATE) AS md "
+            "FROM events) "
+            "SELECT user_id, CAST(SUM("
+            "CAST(round(value * 100) AS BIGINT) >> LEAST("
+            "mx.md - CAST(ts AS DATE), 62)) AS BIGINT) "
+            "AS decayed_cents, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events, mx GROUP BY 1"),
         "revenue_growth_accounting": (
             "WITH cy AS (SELECT o_custkey AS c, "
             "CAST(year(o_orderdate) AS BIGINT) AS y, "

@@ -12222,3 +12222,170 @@ def quality_pass_by_length_decile(sf_dir: str) -> ray.data.Dataset:
             pa.array((1_000_000 * npass) // np.where(nd == 0, 1, nd)))
 
     return agg.map_batches(ppm, batch_format="pyarrow")
+
+
+def revenue_changepoint_day(sf_dir: str) -> ray.data.Dataset:
+    """CUSUM-style change-point detection: the split day d maximizing
+    |S_pre·n_post − S_post·n_pre| over the daily revenue series (exact
+    bignum cross-multiply — no mean, no float).  Daily sums partial-
+    aggregate; the argmax sweep folds on the calendar-bounded tail."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("o_orderdate"), unit="day")
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"day": day, "cents": pa.array(cents),
+                      "n": pa.array(np.ones(len(cents), np.int64))})
+        res = t.group_by(["day"]).aggregate([("cents", "sum"),
+                                             ("n", "sum")])
+        return pa.table({"day": res.column("day"),
+                         "cents": res.column("cents_sum"),
+                         "n": res.column("n_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(daily, batch_format="pyarrow"),
+        ["day"], [("cents", "sum", "cents"), ("n", "sum", "n")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    day = rows.column("day").to_numpy(zero_copy_only=False) \
+        .astype("datetime64[us]")
+    cents = rows.column("cents").to_numpy(zero_copy_only=False)
+    n = rows.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(day)
+    day, cents, n = day[order], cents[order], n[order]
+    total_s = int(cents.sum())
+    total_n = int(n.sum())
+    best_day, best_score = None, -1
+    s_pre, n_pre = 0, 0
+    for i in range(len(day) - 1):      # split AFTER day i; bignum-exact
+        s_pre += int(cents[i])
+        n_pre += int(n[i])
+        score = abs(s_pre * (total_n - n_pre)
+                    - (total_s - s_pre) * n_pre)
+        if score > best_score:
+            best_score = score
+            best_day = day[i]
+    return ray.data.from_arrow(pa.table({
+        "split_day": pa.array([best_day], pa.timestamp("us")),
+        "score": pa.array([float(best_score)], pa.float64()),
+        "n_days": pa.array([len(day)], pa.int64())}))
+
+
+def orders_fiscal_445_counts(sf_dir: str) -> ray.data.Dataset:
+    """Custom-calendar bucketing: orders rolled up on the retail 4-4-5
+    calendar (13 fiscal periods of 4, 4 and 5 weeks per 52-week fiscal
+    year anchored at Monday 1994-12-26) — the calendar logic every
+    retail warehouse carries; pure integer week arithmetic in both
+    engines.  The anchor precedes all data so the week index never
+    goes negative (numpy floors, SQL truncates)."""
+    epoch = np.datetime64("1994-12-26", "D").astype(np.int64)
+    # period start weeks within the 52-week year: cumsum of 4,4,5 ×4
+    starts = np.cumsum([0] + [4, 4, 5] * 4)[:12]
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        w = (d - epoch) // 7
+        fy = w // 52
+        wk = w % 52
+        period = np.searchsorted(starts, wk, side="right")  # 1..12
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"fiscal_year": pa.array(fy),
+                      "period": pa.array(period.astype(np.int64)),
+                      "n_orders": pa.array(np.ones(len(d), np.int64)),
+                      "cents": pa.array(cents)})
+        res = t.group_by(["fiscal_year", "period"]).aggregate(
+            [("n_orders", "sum"), ("cents", "sum")])
+        return pa.table({"fiscal_year": res.column("fiscal_year"),
+                         "period": res.column("period"),
+                         "n_orders": res.column("n_orders_sum"),
+                         "cents": res.column("cents_sum")})
+
+    return partial_aggregate(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        ["fiscal_year", "period"], [("n_orders", "sum", "n_orders"),
+                                    ("cents", "sum", "cents")])
+
+
+def sampled_topk_fidelity(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Sampling-accuracy audit: does the deterministic 1/16 document
+    sample reproduce the exact corpus top-k tokens?  Both top-k sets
+    compute with the same partial-agg machinery; the overlap count and
+    floor-ppm Jaccard quantify sample fidelity."""
+    from ..functions.text import deterministic_sample_batch
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def counts(dset):
+        def tok(batch: pa.Table) -> pa.Table:
+            flat = pc.list_flatten(pc.split_pattern(
+                batch.column("text"), " "))
+            t = pa.table({"tok": flat,
+                          "n": pa.array(np.ones(len(flat), np.int64))})
+            res = t.group_by(["tok"]).aggregate([("n", "sum")])
+            return pa.table({"tok": res.column("tok"),
+                             "n": res.column("n_sum")})
+        return partial_aggregate(
+            dset.map_batches(tok, batch_format="pyarrow"),
+            ["tok"], [("n", "sum", "n")])
+
+    exact = counts(ds).sort(["n", "tok"], descending=[True, False]) \
+        .limit(k).take_all()
+    sampled = counts(ds.map_batches(deterministic_sample_batch,
+                                    batch_format="pyarrow")) \
+        .sort(["n", "tok"], descending=[True, False]).limit(k).take_all()
+    a = {r["tok"] for r in exact}
+    b = {r["tok"] for r in sampled}
+    inter = len(a & b)
+    union = len(a | b)
+    return ray.data.from_arrow(pa.table({
+        "k": pa.array([k], pa.int64()),
+        "n_overlap": pa.array([inter], pa.int64()),
+        "jaccard_ppm": pa.array([(1_000_000 * inter)
+                                 // max(union, 1)], pa.int64())}))
+
+
+def user_decayed_value(sf_dir: str) -> ray.data.Dataset:
+    """Recency-decayed engagement score: Σ cents >> age_days per user,
+    halving per day of age relative to the GLOBAL max event day (bit
+    shift = floor ·2⁻ᵃᵍᵉ, so the score is integer-exact).  The max day
+    resolves in one tiny pre-pass; scoring is one vectorized pass."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
+    mx_parts = pa.concat_tables(list(
+        ds.map_batches(lambda b: pa.table({
+            "mx": pa.array([pc.max(b.column("ts")).as_py()],
+                           pa.timestamp("us"))}), batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    max_day = int(np.datetime64(pc.max(mx_parts.column("mx")).as_py(),
+                                "us").astype("datetime64[D]")
+                  .astype(np.int64))
+
+    def score(batch: pa.Table) -> pa.Table:
+        day = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        age = np.minimum(max_day - day, 62)
+        cents = np.rint(batch.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "decayed_cents": pa.array(cents >> age),
+                      "n_events": pa.array(np.ones(len(day), np.int64))})
+        res = t.group_by(["user_id"]).aggregate(
+            [("decayed_cents", "sum"), ("n_events", "sum")])
+        return pa.table({"user_id": res.column("user_id"),
+                         "decayed_cents": res.column("decayed_cents_sum"),
+                         "n_events": res.column("n_events_sum")})
+
+    return partial_aggregate(
+        ds.map_batches(score, batch_format="pyarrow"),
+        ["user_id"], [("decayed_cents", "sum", "decayed_cents"),
+                      ("n_events", "sum", "n_events")])
