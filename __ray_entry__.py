@@ -303,7 +303,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         revenue_changepoint_day,
                                         orders_fiscal_445_counts,
                                         sampled_topk_fidelity,
-                                        user_decayed_value)
+                                        user_decayed_value,
+                                        daily_revenue_kmeans2,
+                                        token_anagram_groups,
+                                        session_handoff_matrix,
+                                        domestic_supply_share)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -856,6 +860,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_fiscal_445_counts": orders_fiscal_445_counts,
         "sampled_topk_fidelity": sampled_topk_fidelity,
         "user_decayed_value": user_decayed_value,
+        "daily_revenue_kmeans2": daily_revenue_kmeans2,
+        "token_anagram_groups": token_anagram_groups,
+        "session_handoff_matrix": session_handoff_matrix,
+        "domestic_supply_share": domestic_supply_share,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2775,6 +2783,78 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "daily_revenue_kmeans2": (
+            "WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, "
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS x FROM orders GROUP BY 1), "
+            "c0 AS (SELECT min(x) AS lo, max(x) AS hi FROM d), "
+            "c1 AS (SELECT COALESCE(SUM(x) FILTER ("
+            "2 * x <= c0.lo + c0.hi) // NULLIF(count(*) FILTER ("
+            "2 * x <= c0.lo + c0.hi), 0), c0.lo) AS lo, "
+            "COALESCE(SUM(x) FILTER (2 * x > c0.lo + c0.hi) "
+            "// NULLIF(count(*) FILTER (2 * x > c0.lo + c0.hi), 0), "
+            "c0.hi) AS hi FROM d, c0 GROUP BY c0.lo, c0.hi), "
+            "c2 AS (SELECT COALESCE(SUM(x) FILTER ("
+            "2 * x <= c1.lo + c1.hi) // NULLIF(count(*) FILTER ("
+            "2 * x <= c1.lo + c1.hi), 0), c1.lo) AS lo, "
+            "COALESCE(SUM(x) FILTER (2 * x > c1.lo + c1.hi) "
+            "// NULLIF(count(*) FILTER (2 * x > c1.lo + c1.hi), 0), "
+            "c1.hi) AS hi FROM d, c1 GROUP BY c1.lo, c1.hi), "
+            "c3 AS (SELECT COALESCE(SUM(x) FILTER ("
+            "2 * x <= c2.lo + c2.hi) // NULLIF(count(*) FILTER ("
+            "2 * x <= c2.lo + c2.hi), 0), c2.lo) AS lo, "
+            "COALESCE(SUM(x) FILTER (2 * x > c2.lo + c2.hi) "
+            "// NULLIF(count(*) FILTER (2 * x > c2.lo + c2.hi), 0), "
+            "c2.hi) AS hi FROM d, c2 GROUP BY c2.lo, c2.hi) "
+            "SELECT CAST(c3.lo AS BIGINT) AS centroid_lo, "
+            "CAST(c3.hi AS BIGINT) AS centroid_hi, "
+            "CAST(count(*) FILTER (2 * x <= c3.lo + c3.hi) AS BIGINT) "
+            "AS n_lo, "
+            "CAST(count(*) FILTER (2 * x > c3.lo + c3.hi) AS BIGINT) "
+            "AS n_hi FROM d, c3 GROUP BY c3.lo, c3.hi"),
+        "token_anagram_groups": (
+            "WITH v AS (SELECT DISTINCT "
+            "unnest(string_split(text, ' ')) AS tok FROM documents), "
+            "k AS (SELECT array_to_string(list_sort("
+            "string_split_regex(tok, '')), '') AS akey, tok FROM v) "
+            "SELECT akey, CAST(count(*) AS BIGINT) AS n_tokens "
+            "FROM k GROUP BY 1 HAVING count(*) >= 2"),
+        "session_handoff_matrix": (
+            "WITH o AS (SELECT user_id, ts, event_id, event_type, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - "
+            "epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END "
+            "AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, ts, event_id, event_type, "
+            "sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM o), "
+            "r AS (SELECT user_id, sid, event_type, "
+            "row_number() OVER (PARTITION BY user_id, sid "
+            "ORDER BY ts, event_id) AS rf, "
+            "row_number() OVER (PARTITION BY user_id, sid "
+            "ORDER BY ts DESC, event_id DESC) AS rl FROM s), "
+            "fl AS (SELECT user_id, sid, "
+            "MAX(CASE WHEN rf = 1 THEN event_type END) AS first_type, "
+            "MAX(CASE WHEN rl = 1 THEN event_type END) AS last_type "
+            "FROM r GROUP BY 1, 2) "
+            "SELECT a.last_type AS from_type, b.first_type AS to_type, "
+            "CAST(count(*) AS BIGINT) AS n FROM fl a "
+            "JOIN fl b ON a.user_id = b.user_id AND b.sid = a.sid + 1 "
+            "GROUP BY 1, 2"),
+        "domestic_supply_share": (
+            "WITH j AS (SELECT CAST(c.c_nationkey AS BIGINT) "
+            "AS nationkey, "
+            "CASE WHEN s.s_nationkey = c.c_nationkey THEN 1 ELSE 0 END "
+            "AS dom, CAST(round(l.l_extendedprice * 100) AS BIGINT) "
+            "AS cents FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey) "
+            "SELECT nationkey, "
+            "CAST(SUM(dom * cents) AS BIGINT) AS domestic_cents, "
+            "CAST(SUM(cents) AS BIGINT) AS total_cents, "
+            "CAST((1000000 * SUM(dom * cents)) // SUM(cents) AS BIGINT) "
+            "AS domestic_ppm FROM j GROUP BY 1"),
         "revenue_changepoint_day": (
             "WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, "
             "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) "

@@ -12389,3 +12389,209 @@ def user_decayed_value(sf_dir: str) -> ray.data.Dataset:
         ds.map_batches(score, batch_format="pyarrow"),
         ["user_id"], [("decayed_cents", "sum", "decayed_cents"),
                       ("n_events", "sum", "n_events")])
+
+
+def daily_revenue_kmeans2(sf_dir: str, iters: int = 3
+                          ) -> ray.data.Dataset:
+    """1-D 2-means clustering of daily revenue (regime detection):
+    centroids start at the series min/max, 3 Lloyd iterations with
+    integer floor-mean centroids and midpoint assignment — fully
+    deterministic, mirrored by the unrolled SQL oracle.  Daily sums
+    partial-aggregate; Lloyd runs on the calendar-bounded series."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("o_orderdate"), unit="day")
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"day": day, "cents": pa.array(cents)})
+        res = t.group_by(["day"]).aggregate([("cents", "sum")])
+        return pa.table({"day": res.column("day"),
+                         "cents": res.column("cents_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(daily, batch_format="pyarrow"),
+        ["day"], [("cents", "sum", "cents")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    x = np.sort(rows.column("cents").to_numpy(zero_copy_only=False))
+    c_lo, c_hi = int(x[0]), int(x[-1])
+    for _ in range(iters):
+        # assign by midpoint: lo cluster gets v where 2v <= lo+hi
+        lo_mask = 2 * x <= c_lo + c_hi
+        if lo_mask.any():
+            c_lo = int(x[lo_mask].sum()) // int(lo_mask.sum())
+        if (~lo_mask).any():
+            c_hi = int(x[~lo_mask].sum()) // int((~lo_mask).sum())
+    lo_mask = 2 * x <= c_lo + c_hi
+    return ray.data.from_arrow(pa.table({
+        "centroid_lo": pa.array([c_lo], pa.int64()),
+        "centroid_hi": pa.array([c_hi], pa.int64()),
+        "n_lo": pa.array([int(lo_mask.sum())], pa.int64()),
+        "n_hi": pa.array([int((~lo_mask).sum())], pa.int64())}))
+
+
+def token_anagram_groups(sf_dir: str) -> ray.data.Dataset:
+    """Anagram detection over the corpus vocabulary: tokens bucket by
+    their sorted-letter key; keys holding ≥2 DISTINCT tokens are
+    anagram groups.  Distinct tokens reduce first (vocabulary-sized),
+    the letter-sort runs per unique token, and only (key, token) pairs
+    shuffle."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        flat = pc.unique(pc.list_flatten(
+            pc.split_pattern(batch.column("text"), " ")))
+        return pa.table({"tok": flat})
+
+    vocab = partial_aggregate(
+        ds.map_batches(toks, batch_format="pyarrow"), ["tok"], [])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        t = batch.column("tok").to_pylist()
+        keys = ["".join(sorted(w)) for w in t]
+        return pa.table({"akey": pa.array(keys, pa.string()),
+                         "tok": batch.column("tok")})
+
+    per_key = partial_aggregate(
+        vocab.map_batches(keyed, batch_format="pyarrow"),
+        ["akey", "tok"], [])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["akey"]).aggregate([("tok", "count")])
+        return pa.table({"akey": res.column("akey"),
+                         "n_tokens": pc.cast(res.column("tok_count"),
+                                             pa.int64())})
+
+    grouped = partial_aggregate(
+        per_key.map_batches(fold, batch_format="pyarrow"),
+        ["akey"], [("n_tokens", "sum", "n_tokens")])
+    out = grouped.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n_tokens"), 2)),
+        batch_format="pyarrow")
+    seed = pa.table({"akey": pa.array([], pa.string()),
+                     "n_tokens": pa.array([], pa.int64())})
+    return pa.concat_tables(
+        [seed] + [b.select(["akey", "n_tokens"])
+                  for b in out.iter_batches(batch_format="pyarrow")])
+
+
+def session_handoff_matrix(sf_dir: str, gap_seconds: int = 1800
+                           ) -> ray.data.Dataset:
+    """Cross-session transition matrix: the LAST event type of each
+    session versus the FIRST type of the user's NEXT session — what do
+    people come back to?  Per-user session folds emit the handoff
+    pairs; the matrix reduce is a standard partial agg."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        types = group.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        t, ty = ts[order], types[order]
+        brk = np.r_[0, np.flatnonzero(np.diff(t)
+                                      > gap_seconds * 1_000_000) + 1,
+                    len(t)]
+        starts, ends = brk[:-1], brk[1:] - 1
+        if len(starts) < 2:
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "from_type": pa.array(ty[ends[:-1]]),
+            "to_type": pa.array(ty[starts[1:]]),
+            "n": pa.array(np.ones(len(starts) - 1, np.int64))})
+
+    per = ds.groupby("user_id").map_groups(per_user,
+                                           batch_format="pyarrow")
+    return partial_aggregate(per, ["from_type", "to_type"],
+                             [("n", "sum", "n")])
+
+
+def domestic_supply_share(sf_dir: str) -> ray.data.Dataset:
+    """Trade localization: per customer nation, revenue supplied from
+    the SAME nation versus total (floor ppm) — the Q5 join shape
+    widened to a share.  Supplier/customer nation maps broadcast; the
+    fact⋈fact orderkey link is one shuffle_lookup_join of partials."""
+    from ..functions.joins import shuffle_lookup_join
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    side = ray.put((sup.column("s_suppkey").combine_chunks(),
+                    pc.cast(sup.column("s_nationkey").combine_chunks(),
+                            pa.int64()),
+                    cust.column("c_custkey").combine_chunks(),
+                    pc.cast(cust.column("c_nationkey").combine_chunks(),
+                            pa.int64())))
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_suppkey",
+                                     "l_extendedprice"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        sk, snk, _, _ = ray.get(side)
+        i = pc.index_in(batch.column("l_suppkey"), value_set=sk)
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "supp_nk": pc.take(snk, i),
+                      "cents": pa.array(cents)})
+        res = t.group_by(["l_orderkey", "supp_nk"]).aggregate(
+            [("cents", "sum")])
+        return pa.table({"l_orderkey": res.column("l_orderkey"),
+                         "supp_nk": res.column("supp_nk"),
+                         "cents": res.column("cents_sum")})
+
+    def ord_nat(batch: pa.Table) -> pa.Table:
+        _, _, ck, cnk = ray.get(side)
+        i = pc.index_in(batch.column("o_custkey"), value_set=ck)
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "cust_nk": pc.take(cnk, i)})
+
+    joined = shuffle_lookup_join(
+        li.map_batches(li_partial, batch_format="pyarrow"),
+        orders.map_batches(ord_nat, batch_format="pyarrow"),
+        on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("supp_nk", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("cust_nk", pa.int64())]))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        dom = pc.cast(pc.equal(batch.column("supp_nk"),
+                               batch.column("cust_nk")), pa.int64())
+        t = pa.table({
+            "nationkey": batch.column("cust_nk"),
+            "domestic_cents": pc.multiply(dom, batch.column("cents")),
+            "total_cents": batch.column("cents")})
+        res = t.group_by(["nationkey"]).aggregate(
+            [("domestic_cents", "sum"), ("total_cents", "sum")])
+        return pa.table({"nationkey": res.column("nationkey"),
+                         "domestic_cents": res.column(
+                             "domestic_cents_sum"),
+                         "total_cents": res.column("total_cents_sum")})
+
+    agg = partial_aggregate(
+        joined.map_batches(fold, batch_format="pyarrow"),
+        ["nationkey"], [("domestic_cents", "sum", "domestic_cents"),
+                        ("total_cents", "sum", "total_cents")])
+
+    def ppm(batch: pa.Table) -> pa.Table:
+        d = batch.column("domestic_cents").to_numpy(zero_copy_only=False)
+        t = batch.column("total_cents").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "domestic_ppm",
+            pa.array((1_000_000 * d) // np.where(t == 0, 1, t)))
+
+    return agg.map_batches(ppm, batch_format="pyarrow")
