@@ -307,7 +307,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         daily_revenue_kmeans2,
                                         token_anagram_groups,
                                         session_handoff_matrix,
-                                        domestic_supply_share)
+                                        domestic_supply_share,
+                                        dataset_split_manifest,
+                                        lineitem_sync_manifest,
+                                        session_count_sweep,
+                                        customer_supplier_diversity_hist)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -864,6 +868,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_anagram_groups": token_anagram_groups,
         "session_handoff_matrix": session_handoff_matrix,
         "domestic_supply_share": domestic_supply_share,
+        "dataset_split_manifest": dataset_split_manifest,
+        "lineitem_sync_manifest": lineitem_sync_manifest,
+        "session_count_sweep": session_count_sweep,
+        "customer_supplier_diversity_hist":
+            customer_supplier_diversity_hist,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2783,6 +2792,45 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "dataset_split_manifest": (
+            "WITH a AS (SELECT lang, CASE WHEN "
+            "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), "
+            "1, 2)) AS BIGINT) % 10 < 8 THEN 'train' WHEN "
+            "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), "
+            "1, 2)) AS BIGINT) % 10 = 8 THEN 'val' ELSE 'test' END "
+            "AS split FROM documents) "
+            "SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM a GROUP BY 1, 2"),
+        "lineitem_sync_manifest": (
+            "SELECT l_orderkey // 10000 AS chunk, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "bit_xor(CAST(CONCAT('0x', substr(md5("
+            "CAST(l_orderkey AS VARCHAR) || '|' || "
+            "CAST(l_linenumber AS VARCHAR) || '|' || "
+            "CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR)"
+            "), 1, 15)) AS BIGINT)) AS checksum, "
+            "min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship "
+            "FROM lineitem GROUP BY 1"),
+        "session_count_sweep": (
+            "WITH o AS (SELECT user_id, epoch_us(ts) - "
+            "epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) "
+            "AS gap FROM events), "
+            "g AS (SELECT unnest([5, 15, 30, 60]) AS gm), "
+            "u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) "
+            "AS nu FROM events) "
+            "SELECT CAST(g.gm AS BIGINT) AS gap_minutes, "
+            "CAST(u.nu + SUM(CASE WHEN o.gap > "
+            "CAST(g.gm AS BIGINT) * 60000000 "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions "
+            "FROM g, o, u GROUP BY 1, u.nu"),
+        "customer_supplier_diversity_hist": (
+            "WITH d AS (SELECT DISTINCT o.o_custkey, l.l_suppkey "
+            "FROM lineitem l JOIN orders o "
+            "ON l.l_orderkey = o.o_orderkey), "
+            "p AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS ns "
+            "FROM d GROUP BY 1) "
+            "SELECT ns AS n_suppliers, "
+            "CAST(count(*) AS BIGINT) AS n_customers FROM p GROUP BY 1"),
         "daily_revenue_kmeans2": (
             "WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, "
             "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) "

@@ -12595,3 +12595,182 @@ def domestic_supply_share(sf_dir: str) -> ray.data.Dataset:
             pa.array((1_000_000 * d) // np.where(t == 0, 1, t)))
 
     return agg.map_batches(ppm, batch_format="pyarrow")
+
+
+def dataset_split_manifest(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic 80/10/10 train/val/test assignment by document-id
+    hash (first md5 byte mod 10: 0-7 train, 8 val, 9 test), manifested
+    per language — the reproducible-split bookkeeping every ML corpus
+    needs; membership is a pure function of the id, so re-runs and
+    backfills land identically."""
+    import hashlib
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        b = np.fromiter(
+            (int(hashlib.md5(str(d).encode()).hexdigest()[:2], 16) % 10
+             for d in ids), np.int64, count=len(ids))
+        split = np.where(b < 8, "train", np.where(b == 8, "val", "test"))
+        t = pa.table({"lang": batch.column("lang"),
+                      "split": pa.array(split),
+                      "n_docs": pa.array(np.ones(len(ids), np.int64))})
+        res = t.group_by(["lang", "split"]).aggregate([("n_docs", "sum")])
+        return pa.table({"lang": res.column("lang"),
+                         "split": res.column("split"),
+                         "n_docs": res.column("n_docs_sum")})
+
+    return partial_aggregate(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        ["lang", "split"], [("n_docs", "sum", "n_docs")])
+
+
+def lineitem_sync_manifest(sf_dir: str, chunk_orders: int = 10_000
+                           ) -> ray.data.Dataset:
+    """Incremental-replication manifest: per orderkey-range chunk the
+    row count, XOR row-checksum and shipdate envelope — enough for a
+    consumer to detect WHICH chunks changed and re-pull only those.
+    Everything folds per chunk; no global exchange of row data."""
+    import hashlib
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber",
+                                     "l_quantity", "l_shipdate"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = batch.column("l_linenumber").to_numpy(zero_copy_only=False)
+        q = np.rint(batch.column("l_quantity")
+                    .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        chunk = ok // chunk_orders
+        cs = np.fromiter(
+            (int(hashlib.md5(f"{a}|{b}|{c}".encode()).hexdigest()[:15],
+                 16) for a, b, c in zip(ok, ln, q)),
+            np.int64, count=len(ok))
+        t = pa.table({"chunk": pa.array(chunk),
+                      "xr": pa.array(cs),
+                      "n_rows": pa.array(np.ones(len(ok), np.int64)),
+                      "ship": batch.column("l_shipdate")})
+        # XOR folds per chunk via numpy (Arrow has no xor aggregate)
+        order = np.argsort(chunk, kind="stable")
+        ch = chunk[order]
+        starts = np.flatnonzero(np.r_[True, ch[1:] != ch[:-1]])
+        xor = np.array([np.bitwise_xor.reduce(cs[order][s:e])
+                        for s, e in zip(starts, np.r_[starts[1:],
+                                                      len(ch)])],
+                       np.int64)
+        res = t.group_by(["chunk"]).aggregate(
+            [("n_rows", "sum"), ("ship", "min"), ("ship", "max")])
+        # align xor to the group_by row order
+        gb_chunks = res.column("chunk").to_numpy(zero_copy_only=False)
+        xmap = dict(zip(ch[starts].tolist(), xor.tolist()))
+        return pa.table({
+            "chunk": res.column("chunk"),
+            "n_rows": res.column("n_rows_sum"),
+            "checksum": pa.array([xmap[int(c)] for c in gb_chunks],
+                                 pa.int64()),
+            "min_ship": res.column("ship_min"),
+            "max_ship": res.column("ship_max")})
+
+    per = ds.map_batches(per_batch, batch_format="pyarrow")
+
+    def fold(group: pa.Table) -> pa.Table:
+        xs = group.column("checksum").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "chunk": group.column("chunk").slice(0, 1),
+            "n_rows": pa.array([int(pc.sum(
+                group.column("n_rows")).as_py())], pa.int64()),
+            "checksum": pa.array([int(np.bitwise_xor.reduce(xs))],
+                                 pa.int64()),
+            "min_ship": pa.array([pc.min(group.column("min_ship"))
+                                  .as_py()], pa.timestamp("us")),
+            "max_ship": pa.array([pc.max(group.column("max_ship"))
+                                  .as_py()], pa.timestamp("us"))})
+
+    return per.groupby("chunk").map_groups(fold, batch_format="pyarrow")
+
+
+def session_count_sweep(sf_dir: str, gaps_minutes=(5, 15, 30, 60)
+                        ) -> ray.data.Dataset:
+    """Hyperparameter sweep in ONE scan: total session counts at four
+    gap thresholds simultaneously — each user's sorted gap vector
+    answers every threshold with one searchsorted, so tuning the
+    sessionizer costs one pass instead of four."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = np.sort(group.column("ts").to_numpy(zero_copy_only=False)
+                     .astype("datetime64[us]").astype(np.int64))
+        gaps = np.sort(np.diff(ts))
+        out_g, out_n = [], []
+        for gm in gaps_minutes:
+            thr = gm * 60 * 1_000_000
+            n_breaks = len(gaps) - np.searchsorted(gaps, thr,
+                                                   side="right")
+            out_g.append(gm)
+            out_n.append(1 + int(n_breaks) if len(ts) else 0)
+        return pa.table({"gap_minutes": pa.array(out_g, pa.int64()),
+                         "n_sessions": pa.array(out_n, pa.int64())})
+
+    per = ds.groupby("user_id").map_groups(per_user,
+                                           batch_format="pyarrow")
+    return partial_aggregate(per, ["gap_minutes"],
+                             [("n_sessions", "sum", "n_sessions")])
+
+
+def customer_supplier_diversity_hist(sf_dir: str) -> ray.data.Dataset:
+    """Supply-base diversity: distinct suppliers each customer has
+    bought from, folded to a histogram — the fan-out profile of the
+    customer⇄supplier bipartite graph.  Distinct (cust, supp) pairs
+    reduce through the one fact⋈fact link."""
+    from ..functions.joins import shuffle_lookup_join
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_suppkey"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+
+    def li_pairs(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["l_orderkey", "l_suppkey"]) \
+            .aggregate([]).select(["l_orderkey", "l_suppkey"])
+
+    joined = shuffle_lookup_join(
+        li.map_batches(li_pairs, batch_format="pyarrow"),
+        orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64())]))
+
+    def cs_pairs(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["o_custkey", "l_suppkey"]) \
+            .aggregate([]).select(["o_custkey", "l_suppkey"])
+
+    distinct = partial_aggregate(
+        joined.map_batches(cs_pairs, batch_format="pyarrow"),
+        ["o_custkey", "l_suppkey"], [])
+
+    def per_cust(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["o_custkey"]).aggregate(
+            [("o_custkey", "count")])
+        return pa.table({"o_custkey": res.column("o_custkey"),
+                         "n_suppliers": pc.cast(
+                             res.column("o_custkey_count"), pa.int64())})
+
+    per = partial_aggregate(
+        distinct.map_batches(per_cust, batch_format="pyarrow"),
+        ["o_custkey"], [("n_suppliers", "sum", "n_suppliers")])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pa.table({"n_suppliers": batch.column("n_suppliers"),
+                      "n_customers": pa.array(np.ones(len(batch),
+                                                      np.int64))})
+        res = t.group_by(["n_suppliers"]).aggregate(
+            [("n_customers", "sum")])
+        return pa.table({"n_suppliers": res.column("n_suppliers"),
+                         "n_customers": res.column("n_customers_sum")})
+
+    return partial_aggregate(
+        per.map_batches(hist, batch_format="pyarrow"),
+        ["n_suppliers"], [("n_customers", "sum", "n_customers")])
