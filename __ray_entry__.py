@@ -311,7 +311,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         dataset_split_manifest,
                                         lineitem_sync_manifest,
                                         session_count_sweep,
-                                        customer_supplier_diversity_hist)
+                                        customer_supplier_diversity_hist,
+                                        corpus_lang_run_count,
+                                        order_ship_atomicity,
+                                        purchase_attribution_models,
+                                        cumulative_unique_users)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -873,6 +877,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_count_sweep": session_count_sweep,
         "customer_supplier_diversity_hist":
             customer_supplier_diversity_hist,
+        "corpus_lang_run_count": corpus_lang_run_count,
+        "order_ship_atomicity": order_ship_atomicity,
+        "purchase_attribution_models": purchase_attribution_models,
+        "cumulative_unique_users": cumulative_unique_users,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2792,6 +2800,56 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "corpus_lang_run_count": (
+            "WITH j AS (SELECT a.lang AS la, b.lang AS lb "
+            "FROM documents a "
+            "JOIN documents b ON b.doc_id = a.doc_id + 1) "
+            "SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) "
+            "AS n_docs, CAST(count(*) AS BIGINT) AS n_adjacent_pairs, "
+            "CAST((SELECT count(*) FROM documents) - count(*) "
+            "+ SUM(CASE WHEN la <> lb THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_runs FROM j"),
+        "order_ship_atomicity": (
+            "WITH a AS (SELECT l_orderkey, count(*) AS nl, "
+            "min(date_trunc('day', l_shipdate)) AS mn, "
+            "max(date_trunc('day', l_shipdate)) AS mx "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT CAST(SUM(CASE WHEN nl > 1 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_multi, "
+            "CAST(SUM(CASE WHEN nl > 1 AND mn = mx THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_atomic, "
+            "CAST((1000000 * SUM(CASE WHEN nl > 1 AND mn = mx "
+            "THEN 1 ELSE 0 END)) // GREATEST(SUM(CASE WHEN nl > 1 "
+            "THEN 1 ELSE 0 END), 1) AS BIGINT) AS atomic_ppm FROM a"),
+        "purchase_attribution_models": (
+            "WITH e AS (SELECT user_id, ts, event_id, event_type, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+            "p AS (SELECT user_id, ts, event_id, cents FROM e "
+            "WHERE event_type = 'purchase'), "
+            "c AS (SELECT p.user_id, p.event_id AS pid, p.cents, "
+            "n.event_type, row_number() OVER (PARTITION BY p.user_id, "
+            "p.event_id ORDER BY n.ts, n.event_id) AS rf, "
+            "row_number() OVER (PARTITION BY p.user_id, p.event_id "
+            "ORDER BY n.ts DESC, n.event_id DESC) AS rl "
+            "FROM p JOIN e n ON n.user_id = p.user_id "
+            "AND n.event_type <> 'purchase' "
+            "AND (n.ts < p.ts OR (n.ts = p.ts "
+            "AND n.event_id < p.event_id)) "
+            "AND epoch_us(n.ts) >= epoch_us(p.ts) - 86400000000) "
+            "SELECT event_type, "
+            "CAST(SUM(CASE WHEN rf = 1 THEN cents ELSE 0 END) "
+            "AS BIGINT) AS first_touch_cents, "
+            "CAST(SUM(CASE WHEN rl = 1 THEN cents ELSE 0 END) "
+            "AS BIGINT) AS last_touch_cents FROM c "
+            "WHERE rf = 1 OR rl = 1 GROUP BY 1"),
+        "cumulative_unique_users": (
+            "WITH f AS (SELECT user_id, "
+            "min(date_trunc('day', ts)) AS fd FROM events GROUP BY 1), "
+            "d AS (SELECT fd AS day, CAST(count(*) AS BIGINT) AS n_new "
+            "FROM f GROUP BY 1) "
+            "SELECT CAST(day AS TIMESTAMP) AS day, n_new, "
+            "CAST(SUM(n_new) OVER (ORDER BY day "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users FROM d"),
         "dataset_split_manifest": (
             "WITH a AS (SELECT lang, CASE WHEN "
             "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), "

@@ -12774,3 +12774,203 @@ def customer_supplier_diversity_hist(sf_dir: str) -> ray.data.Dataset:
     return partial_aggregate(
         per.map_batches(hist, batch_format="pyarrow"),
         ["n_suppliers"], [("n_customers", "sum", "n_customers")])
+
+
+def corpus_lang_run_count(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-layout homogeneity: number of maximal same-lang RUNS in
+    global doc_id order, computed WITHOUT a global sort — each (id,
+    lang) row re-keys to id+1 and joins its successor (the key-shift
+    join), so run breaks count wherever adjacent langs differ; block
+    boundaries never matter."""
+    from ..functions.joins import shuffle_lookup_join
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+
+    left = ds.map_batches(
+        lambda b: pa.table({
+            "nxt_id": pc.add(b.column("doc_id"), 1),
+            "lang": b.column("lang")}), batch_format="pyarrow")
+    right = ds.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "nxt_lang": b.column("lang")}),
+        batch_format="pyarrow")
+    joined = shuffle_lookup_join(
+        left, right, on="nxt_id", right_on="doc_id",
+        left_schema=pa.schema([("nxt_id", pa.int64()),
+                               ("lang", pa.string())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("nxt_lang", pa.string())]))
+
+    def breaks(batch: pa.Table) -> pa.Table:
+        diff = pc.cast(pc.not_equal(batch.column("lang"),
+                                    batch.column("nxt_lang")),
+                       pa.int64())
+        return pa.table({
+            "n_breaks": pa.array([int(pc.sum(diff).as_py() or 0)],
+                                 pa.int64()),
+            "n_adjacent": pa.array([len(batch)], pa.int64())})
+
+    parts = pa.concat_tables(list(
+        joined.map_batches(breaks, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    nb = int(pc.sum(parts.column("n_breaks")).as_py() or 0)
+    na = int(pc.sum(parts.column("n_adjacent")).as_py() or 0)
+    counts = pa.concat_tables(list(
+        ds.map_batches(lambda b: pa.table({
+            "n": pa.array([len(b)], pa.int64())}),
+            batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    n_docs = int(pc.sum(counts.column("n")).as_py() or 0)
+    return ray.data.from_arrow(pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_adjacent_pairs": pa.array([na], pa.int64()),
+        "n_runs": pa.array([n_docs - na + nb], pa.int64())}))
+
+
+def order_ship_atomicity(sf_dir: str) -> ray.data.Dataset:
+    """Group-level all-equal audit: of multi-line orders, how many ship
+    every line on the SAME day (atomic fulfillment)?  Per-order
+    distinct-shipdate counts fold from (order, day) pair partials —
+    min=max carries the all-equal predicate through the exchange."""
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_shipdate"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("l_shipdate"), unit="day")
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "mn": day, "mx": day,
+                      "n_lines": pa.array(np.ones(len(batch),
+                                                  np.int64))})
+        res = t.group_by(["l_orderkey"]).aggregate(
+            [("mn", "min"), ("mx", "max"), ("n_lines", "sum")])
+        return pa.table({"l_orderkey": res.column("l_orderkey"),
+                         "mn": res.column("mn_min"),
+                         "mx": res.column("mx_max"),
+                         "n_lines": res.column("n_lines_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["l_orderkey"], [("mn", "min", "mn"), ("mx", "max", "mx"),
+                         ("n_lines", "sum", "n_lines")])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        multi = pc.greater(batch.column("n_lines"), 1)
+        atomic = pc.and_(multi, pc.equal(batch.column("mn"),
+                                         batch.column("mx")))
+        nm = int(pc.sum(pc.cast(multi, pa.int64())).as_py() or 0)
+        na = int(pc.sum(pc.cast(atomic, pa.int64())).as_py() or 0)
+        return pa.table({"n_multi": pa.array([nm], pa.int64()),
+                         "n_atomic": pa.array([na], pa.int64())})
+
+    parts = pa.concat_tables(list(
+        agg.map_batches(fold, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    nm = int(pc.sum(parts.column("n_multi")).as_py() or 0)
+    na = int(pc.sum(parts.column("n_atomic")).as_py() or 0)
+    return ray.data.from_arrow(pa.table({
+        "n_multi": pa.array([nm], pa.int64()),
+        "n_atomic": pa.array([na], pa.int64()),
+        "atomic_ppm": pa.array([(1_000_000 * na) // max(nm, 1)],
+                               pa.int64())}))
+
+
+def purchase_attribution_models(sf_dir: str, window_hours: int = 24
+                                ) -> ray.data.Dataset:
+    """First-touch vs last-touch attribution: each purchase's cents
+    credit the FIRST and LAST non-purchase event type in the preceding
+    24 h window — two marketing models from ONE per-user vectorized
+    pass (searchsorted for the window start, running last-seen for the
+    touch)."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type", "value"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        types = group.column("event_type").to_numpy(zero_copy_only=False)
+        cents = np.rint(group.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts))
+        t, ty, c = ts[order], types[order], cents[order]
+        w = window_hours * 3_600_000_000
+        is_p = ty == "purchase"
+        ft, lt, amt = [], [], []
+        non_p_idx = np.flatnonzero(~is_p)
+        for i in np.flatnonzero(is_p):
+            lo = t[i] - w
+            # candidate non-purchase events in [lo, t_i) by position
+            cand = non_p_idx[(non_p_idx < i)]
+            cand = cand[t[cand] >= lo]
+            if len(cand) == 0:
+                continue
+            ft.append(ty[cand[0]])
+            lt.append(ty[cand[-1]])
+            amt.append(int(c[i]))
+        if not ft:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "first_touch_cents": pa.array([], pa.int64()),
+                "last_touch_cents": pa.array([], pa.int64())})
+        tt = pa.table({"event_type": pa.array(ft + lt),
+                       "first_touch_cents": pa.array(
+                           amt + [0] * len(lt), pa.int64()),
+                       "last_touch_cents": pa.array(
+                           [0] * len(ft) + amt, pa.int64())})
+        res = tt.group_by(["event_type"]).aggregate(
+            [("first_touch_cents", "sum"), ("last_touch_cents", "sum")])
+        return pa.table({"event_type": res.column("event_type"),
+                         "first_touch_cents": res.column(
+                             "first_touch_cents_sum"),
+                         "last_touch_cents": res.column(
+                             "last_touch_cents_sum")})
+
+    per = ds.groupby("user_id").map_groups(per_user,
+                                           batch_format="pyarrow")
+    return partial_aggregate(
+        per, ["event_type"],
+        [("first_touch_cents", "sum", "first_touch_cents"),
+         ("last_touch_cents", "sum", "last_touch_cents")])
+
+
+def cumulative_unique_users(sf_dir: str) -> ray.data.Dataset:
+    """Audience accumulation curve: per day the count of FIRST-EVER
+    users and the running total of unique users to date — each user
+    contributes exactly one (first-day) row, daily counts reduce, the
+    prefix sum folds on the calendar-bounded tail."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        t = pa.table({"user_id": batch.column("user_id"), "day": day})
+        res = t.group_by(["user_id"]).aggregate([("day", "min")])
+        return pa.table({"user_id": res.column("user_id"),
+                         "first_day": res.column("day_min")})
+
+    first = partial_aggregate(
+        ds.map_batches(per_batch, batch_format="pyarrow"),
+        ["user_id"], [("first_day", "min", "first_day")])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        t = pa.table({"day": batch.column("first_day"),
+                      "n_new": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["day"]).aggregate([("n_new", "sum")])
+        return pa.table({"day": res.column("day"),
+                         "n_new": res.column("n_new_sum")})
+
+    agg = partial_aggregate(
+        first.map_batches(daily, batch_format="pyarrow"),
+        ["day"], [("n_new", "sum", "n_new")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    day = rows.column("day").to_numpy(zero_copy_only=False)
+    n = rows.column("n_new").to_numpy(zero_copy_only=False)
+    order = np.argsort(day)
+    day, n = day[order], n[order]
+    return ray.data.from_arrow(pa.table({
+        "day": pa.array(day),
+        "n_new": pa.array(n),
+        "cum_users": pa.array(np.cumsum(n))}))
