@@ -315,7 +315,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         corpus_lang_run_count,
                                         order_ship_atomicity,
                                         purchase_attribution_models,
-                                        cumulative_unique_users)
+                                        cumulative_unique_users,
+                                        brand_return_rate_top10,
+                                        join_size_bucket_estimate,
+                                        customer_lorenz_curve,
+                                        order_line_concentration_hist)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -881,6 +885,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_ship_atomicity": order_ship_atomicity,
         "purchase_attribution_models": purchase_attribution_models,
         "cumulative_unique_users": cumulative_unique_users,
+        "brand_return_rate_top10": brand_return_rate_top10,
+        "join_size_bucket_estimate": join_size_bucket_estimate,
+        "customer_lorenz_curve": customer_lorenz_curve,
+        "order_line_concentration_hist": order_line_concentration_hist,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2800,6 +2808,50 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "brand_return_rate_top10": (
+            "WITH a AS (SELECT p.p_brand, "
+            "CAST(count(*) AS BIGINT) AS n_lines, "
+            "CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS n_returned FROM lineitem l "
+            "JOIN part p ON l.l_partkey = p.p_partkey GROUP BY 1) "
+            "SELECT p_brand, n_lines, n_returned, "
+            "CAST((1000000 * n_returned) // n_lines AS BIGINT) "
+            "AS return_ppm FROM a "
+            "ORDER BY return_ppm DESC, p_brand LIMIT 10"),
+        "join_size_bucket_estimate": (
+            "WITH kc AS (SELECT l_orderkey AS k, "
+            "CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1), "
+            "b AS (SELECT k % 16 AS b, SUM(n) AS nl, "
+            "CAST(count(*) AS BIGINT) AS dl, SUM(n * n) AS sq "
+            "FROM kc GROUP BY 1) "
+            "SELECT CAST(SUM((nl * nl) // GREATEST(dl, 1)) AS BIGINT) "
+            "AS est_rows, CAST(SUM(sq) AS BIGINT) AS exact_rows, "
+            "CAST((1000000 * abs(SUM((nl * nl) // GREATEST(dl, 1)) "
+            "- SUM(sq))) // GREATEST(SUM(sq), 1) AS BIGINT) "
+            "AS err_ppm FROM b"),
+        "customer_lorenz_curve": (
+            "WITH t AS (SELECT o_custkey, "
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents "
+            "FROM orders GROUP BY 1), "
+            "r AS (SELECT cents, row_number() OVER ("
+            "ORDER BY cents, o_custkey) AS rn, "
+            "SUM(cents) OVER (ORDER BY cents, o_custkey "
+            "ROWS UNBOUNDED PRECEDING) AS cum FROM t), "
+            "m AS (SELECT count(*) AS n, SUM(cents) AS total FROM t), "
+            "ks AS (SELECT unnest(range(1, 11)) AS k) "
+            "SELECT CAST(ks.k AS BIGINT) AS decile, "
+            "CAST(CASE WHEN (ks.k * m.n) // 10 = 0 THEN 0 ELSE "
+            "(1000000 * (SELECT cum FROM r "
+            "WHERE rn = (ks.k * m.n) // 10)) "
+            "// GREATEST(m.total, 1) END AS BIGINT) AS cum_share_ppm "
+            "FROM ks, m"),
+        "order_line_concentration_hist": (
+            "WITH a AS (SELECT l_orderkey, "
+            "MAX(CAST(round(l_extendedprice * 100) AS BIGINT)) AS mx, "
+            "SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS s "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT ((1000000 * mx) // s) // 100000 AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n_orders FROM a GROUP BY 1"),
         "corpus_lang_run_count": (
             "WITH j AS (SELECT a.lang AS la, b.lang AS lb "
             "FROM documents a "

@@ -12974,3 +12974,181 @@ def cumulative_unique_users(sf_dir: str) -> ray.data.Dataset:
         "day": pa.array(day),
         "n_new": pa.array(n),
         "cum_users": pa.array(np.cumsum(n))}))
+
+
+def brand_return_rate_top10(sf_dir: str) -> ray.data.Dataset:
+    """Return-rate leaderboard: lineitem return share (flag 'R', floor
+    ppm) per part brand, top 10 by rate — the QA ranking that flags
+    problem suppliers.  Brand keys broadcast; counts reduce per
+    brand."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_returnflag"])
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    pref = ray.put((part.column("p_partkey").combine_chunks(),
+                    part.column("p_brand").combine_chunks()))
+
+    def counts(batch: pa.Table) -> pa.Table:
+        pk, pb = ray.get(pref)
+        i = pc.index_in(batch.column("l_partkey"), value_set=pk)
+        ret = pc.cast(pc.equal(batch.column("l_returnflag"), "R"),
+                      pa.int64())
+        t = pa.table({"p_brand": pc.take(pb, i),
+                      "n_lines": pa.array(np.ones(len(batch),
+                                                  np.int64)),
+                      "n_returned": ret})
+        res = t.group_by(["p_brand"]).aggregate(
+            [("n_lines", "sum"), ("n_returned", "sum")])
+        return pa.table({"p_brand": res.column("p_brand"),
+                         "n_lines": res.column("n_lines_sum"),
+                         "n_returned": res.column("n_returned_sum")})
+
+    agg = partial_aggregate(
+        li.map_batches(counts, batch_format="pyarrow"),
+        ["p_brand"], [("n_lines", "sum", "n_lines"),
+                      ("n_returned", "sum", "n_returned")])
+
+    def ppm(batch: pa.Table) -> pa.Table:
+        nl = batch.column("n_lines").to_numpy(zero_copy_only=False)
+        nr = batch.column("n_returned").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "return_ppm",
+            pa.array((1_000_000 * nr) // np.where(nl == 0, 1, nl)))
+
+    return agg.map_batches(ppm, batch_format="pyarrow") \
+        .sort(["return_ppm", "p_brand"], descending=[True, False]) \
+        .limit(10)
+
+
+def join_size_bucket_estimate(sf_dir: str, n_buckets: int = 16
+                              ) -> ray.data.Dataset:
+    """Planner-statistics accuracy audit: the textbook bucketed
+    SELF-join-size estimate Σ_b n_b²/d_b (n = rows, d = distinct keys
+    per bucket, uniformity assumed) versus the EXACT lineitem⋈lineitem
+    orderkey cardinality Σ_k c_k² — how wrong is a 16-bucket histogram
+    when keys are skewed?  Bucket stats and per-key counts both fold
+    from partials; the error reports as floor ppm."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey"])
+
+    def key_counts(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["l_orderkey"]).aggregate([("n", "sum")])
+        return pa.table({"l_orderkey": res.column("l_orderkey"),
+                         "n": res.column("n_sum")})
+
+    per_key = partial_aggregate(
+        li.map_batches(key_counts, batch_format="pyarrow"),
+        ["l_orderkey"], [("n", "sum", "n")])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        b = k % n_buckets
+        t = pa.table({"b": pa.array(b), "nl": pa.array(n),
+                      "dl": pa.array(np.ones(len(k), np.int64)),
+                      "sq": pa.array(n * n)})
+        res = t.group_by(["b"]).aggregate(
+            [("nl", "sum"), ("dl", "sum"), ("sq", "sum")])
+        return pa.table({"b": res.column("b"),
+                         "nl": res.column("nl_sum"),
+                         "dl": res.column("dl_sum"),
+                         "sq": res.column("sq_sum")})
+
+    bt = pa.concat_tables(list(partial_aggregate(
+        per_key.map_batches(fold, batch_format="pyarrow"),
+        ["b"], [("nl", "sum", "nl"), ("dl", "sum", "dl"),
+                ("sq", "sum", "sq")])
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    est = sum((int(nl) * int(nl)) // max(int(dl), 1)
+              for nl, dl in zip(bt.column("nl").to_pylist(),
+                                bt.column("dl").to_pylist()))
+    exact = int(sum(bt.column("sq").to_pylist()))
+    err_ppm = (1_000_000 * abs(est - exact)) // max(exact, 1)
+    return ray.data.from_arrow(pa.table({
+        "est_rows": pa.array([est], pa.int64()),
+        "exact_rows": pa.array([exact], pa.int64()),
+        "err_ppm": pa.array([err_ppm], pa.int64())}))
+
+
+def customer_lorenz_curve(sf_dir: str) -> ray.data.Dataset:
+    """Lorenz concentration curve: customers sorted by total revenue
+    ascending, the cumulative revenue share (floor ppm) held by the
+    poorest k/10 of customers for k = 1..10 — the inequality curve
+    behind the Gini.  Per-customer totals reduce; the curve folds on
+    the customer-bounded table."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_totalprice"])
+
+    def totals(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"o_custkey": batch.column("o_custkey"),
+                      "cents": pa.array(cents)})
+        res = t.group_by(["o_custkey"]).aggregate([("cents", "sum")])
+        return pa.table({"o_custkey": res.column("o_custkey"),
+                         "cents": res.column("cents_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(totals, batch_format="pyarrow"),
+        ["o_custkey"], [("cents", "sum", "cents")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    ck = rows.column("o_custkey").to_numpy(zero_copy_only=False)
+    cents = rows.column("cents").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ck, cents))
+    c = cents[order]
+    total = int(c.sum())
+    n = len(c)
+    cum = np.cumsum(c)
+    ks, shares = [], []
+    for k in range(1, 11):
+        idx = (k * n) // 10
+        ks.append(k)
+        shares.append((1_000_000 * int(cum[idx - 1])) // max(total, 1)
+                      if idx else 0)
+    return ray.data.from_arrow(pa.table({
+        "decile": pa.array(ks, pa.int64()),
+        "cum_share_ppm": pa.array(shares, pa.int64())}))
+
+
+def order_line_concentration_hist(sf_dir: str) -> ray.data.Dataset:
+    """Intra-order concentration: each order's top-line revenue share
+    (floor ppm of max line over order revenue) bucketed per 100k ppm —
+    the group-level ratio histogram (is an order ONE big item or many
+    small ones?)."""
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_extendedprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "mx": pa.array(cents), "s": pa.array(cents)})
+        res = t.group_by(["l_orderkey"]).aggregate(
+            [("mx", "max"), ("s", "sum")])
+        return pa.table({"l_orderkey": res.column("l_orderkey"),
+                         "mx": res.column("mx_max"),
+                         "s": res.column("s_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["l_orderkey"], [("mx", "max", "mx"), ("s", "sum", "s")])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        mx = batch.column("mx").to_numpy(zero_copy_only=False)
+        s = batch.column("s").to_numpy(zero_copy_only=False)
+        ppm = (1_000_000 * mx) // np.where(s == 0, 1, s)
+        bucket = ppm // 100_000
+        t = pa.table({"bucket": pa.array(bucket),
+                      "n_orders": pa.array(np.ones(len(mx), np.int64))})
+        res = t.group_by(["bucket"]).aggregate([("n_orders", "sum")])
+        return pa.table({"bucket": res.column("bucket"),
+                         "n_orders": res.column("n_orders_sum")})
+
+    return partial_aggregate(
+        agg.map_batches(hist, batch_format="pyarrow"),
+        ["bucket"], [("n_orders", "sum", "n_orders")])
