@@ -319,7 +319,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         brand_return_rate_top10,
                                         join_size_bucket_estimate,
                                         customer_lorenz_curve,
-                                        order_line_concentration_hist)
+                                        order_line_concentration_hist,
+                                        revenue_multiscale_variance,
+                                        rapid_event_share,
+                                        revenue_up_down_streaks,
+                                        brand_size_grid_sparsity)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -889,6 +893,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_bucket_estimate": join_size_bucket_estimate,
         "customer_lorenz_curve": customer_lorenz_curve,
         "order_line_concentration_hist": order_line_concentration_hist,
+        "revenue_multiscale_variance": revenue_multiscale_variance,
+        "rapid_event_share": rapid_event_share,
+        "revenue_up_down_streaks": revenue_up_down_streaks,
+        "brand_size_grid_sparsity": brand_size_grid_sparsity,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2808,6 +2816,61 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "revenue_multiscale_variance": (
+            " UNION ALL ".join(
+                f"SELECT '{g}' AS grain, "
+                "CAST(count(*) AS BIGINT) AS n_buckets, "
+                "CAST(count(*) * SUM(CAST(x AS HUGEINT) * x) "
+                "- CAST(SUM(x) AS HUGEINT) * SUM(x) AS DOUBLE) "
+                "AS var_num FROM ("
+                f"SELECT date_trunc('{g}', o_orderdate) AS b, "
+                "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x "
+                "FROM orders GROUP BY 1)"
+                for g in ("day", "week", "month"))),
+        "rapid_event_share": (
+            "WITH o AS (SELECT value, epoch_us(ts) - epoch_us(lag(ts) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap "
+            "FROM events) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(CASE WHEN gap <= 60000000 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_rapid, "
+            "CAST(SUM(CASE WHEN gap <= 60000000 THEN "
+            "CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) "
+            "AS rapid_cents, "
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS total_cents FROM o"),
+        "revenue_up_down_streaks": (
+            "WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, "
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents "
+            "FROM orders GROUP BY 1), "
+            "w AS (SELECT day, cents, lag(day) OVER (ORDER BY day) "
+            "AS pd, lag(cents) OVER (ORDER BY day) AS pv FROM d), "
+            "f AS (SELECT day, CASE WHEN pd = day - INTERVAL 1 DAY "
+            "AND cents > pv THEN 1 ELSE 0 END AS up, "
+            "CASE WHEN pd = day - INTERVAL 1 DAY AND cents < pv "
+            "THEN 1 ELSE 0 END AS dn FROM w), "
+            "g AS (SELECT up, dn, SUM(CASE WHEN up = 0 THEN 1 ELSE 0 "
+            "END) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS ug, "
+            "SUM(CASE WHEN dn = 0 THEN 1 ELSE 0 END) OVER ("
+            "ORDER BY day ROWS UNBOUNDED PRECEDING) AS dg FROM f), "
+            "ur AS (SELECT COALESCE(MAX(c), 0) AS m FROM ("
+            "SELECT ug, count(*) AS c FROM g WHERE up = 1 "
+            "GROUP BY ug)), "
+            "dr AS (SELECT COALESCE(MAX(c), 0) AS m FROM ("
+            "SELECT dg, count(*) AS c FROM g WHERE dn = 1 "
+            "GROUP BY dg)) "
+            "SELECT CAST(ur.m AS BIGINT) AS longest_up_days, "
+            "CAST(dr.m AS BIGINT) AS longest_down_days, "
+            "CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days "
+            "FROM ur, dr"),
+        "brand_size_grid_sparsity": (
+            "WITH d AS (SELECT DISTINCT p_brand, p_size FROM part), "
+            "m AS (SELECT CAST(count(DISTINCT p_brand) AS BIGINT) "
+            "AS nb, CAST(count(DISTINCT p_size) AS BIGINT) AS ns, "
+            "CAST(count(*) AS BIGINT) AS occ FROM d) "
+            "SELECT nb AS n_brands, ns AS n_sizes, occ AS n_occupied, "
+            "CAST((1000000 * occ) // GREATEST(nb * ns, 1) AS BIGINT) "
+            "AS occupancy_ppm FROM m"),
         "brand_return_rate_top10": (
             "WITH a AS (SELECT p.p_brand, "
             "CAST(count(*) AS BIGINT) AS n_lines, "

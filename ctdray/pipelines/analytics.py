@@ -13152,3 +13152,161 @@ def order_line_concentration_hist(sf_dir: str) -> ray.data.Dataset:
     return partial_aggregate(
         agg.map_batches(hist, batch_format="pyarrow"),
         ["bucket"], [("n_orders", "sum", "n_orders")])
+
+
+def revenue_multiscale_variance(sf_dir: str) -> ray.data.Dataset:
+    """Multi-resolution variance profile: the integer variance
+    numerator n·Σx²−S² of revenue series at DAY, WEEK and MONTH grain
+    from one scan (three bucketings per batch) — how much structure
+    does each aggregation level smooth away?"""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def buckets(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        outs = []
+        for grain in ("day", "week", "month"):
+            g = pc.floor_temporal(batch.column("o_orderdate"),
+                                  unit=grain)
+            t = pa.table({"grain": pa.array([grain] * len(cents),
+                                            pa.string()),
+                          "bucket": g, "cents": pa.array(cents)})
+            outs.append(t.group_by(["grain", "bucket"]).aggregate(
+                [("cents", "sum")]))
+        merged = pa.concat_tables(outs)
+        return pa.table({"grain": merged.column("grain"),
+                         "bucket": merged.column("bucket"),
+                         "cents": merged.column("cents_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(buckets, batch_format="pyarrow"),
+        ["grain", "bucket"], [("cents", "sum", "cents")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    grains = rows.column("grain").to_numpy(zero_copy_only=False)
+    cents = rows.column("cents").to_numpy(zero_copy_only=False)
+    out_g, out_n, out_var = [], [], []
+    for g in ("day", "week", "month"):
+        x = cents[grains == g]
+        n = len(x)
+        s = int(x.sum())
+        ss = sum(int(v) * int(v) for v in x)
+        out_g.append(g)
+        out_n.append(n)
+        out_var.append(float(n * ss - s * s))
+    return ray.data.from_arrow(pa.table({
+        "grain": pa.array(out_g, pa.string()),
+        "n_buckets": pa.array(out_n, pa.int64()),
+        "var_num": pa.array(out_var, pa.float64())}))
+
+
+def rapid_event_share(sf_dir: str, window_seconds: int = 60
+                      ) -> ray.data.Dataset:
+    """Burst share: events arriving within 60 s of the user's previous
+    event — the machine-traffic smell test — with count and value
+    share, folded per user then globally."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "value"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        cents = np.rint(group.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts))
+        t, c = ts[order], cents[order]
+        rapid = np.zeros(len(t), bool)
+        rapid[1:] = np.diff(t) <= window_seconds * 1_000_000
+        return pa.table({
+            "n_events": pa.array([len(t)], pa.int64()),
+            "n_rapid": pa.array([int(rapid.sum())], pa.int64()),
+            "rapid_cents": pa.array([int(c[rapid].sum())], pa.int64()),
+            "total_cents": pa.array([int(c.sum())], pa.int64())})
+
+    per = ds.groupby("user_id").map_groups(per_user,
+                                           batch_format="pyarrow")
+    rows = pa.concat_tables(list(per.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    out = {c: pa.array([int(pc.sum(rows.column(c)).as_py() or 0)],
+                       pa.int64())
+           for c in ("n_events", "n_rapid", "rapid_cents",
+                     "total_cents")}
+    return ray.data.from_arrow(pa.table(out))
+
+
+def revenue_up_down_streaks(sf_dir: str) -> ray.data.Dataset:
+    """Momentum streaks: the longest runs of consecutive CALENDAR days
+    with strictly increasing and strictly decreasing revenue (gap days
+    break streaks) — folded on the calendar-bounded daily series."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("o_orderdate"), unit="day")
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"day": day, "cents": pa.array(cents)})
+        res = t.group_by(["day"]).aggregate([("cents", "sum")])
+        return pa.table({"day": res.column("day"),
+                         "cents": res.column("cents_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(daily, batch_format="pyarrow"),
+        ["day"], [("cents", "sum", "cents")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    day = rows.column("day").to_numpy(zero_copy_only=False) \
+        .astype("datetime64[D]").astype(np.int64)
+    cents = rows.column("cents").to_numpy(zero_copy_only=False)
+    order = np.argsort(day)
+    day, cents = day[order], cents[order]
+    adjacent = np.diff(day) == 1
+    up = adjacent & (np.diff(cents) > 0)
+    down = adjacent & (np.diff(cents) < 0)
+
+    def longest(mask: np.ndarray) -> int:
+        best = cur = 0
+        for m in mask:
+            cur = cur + 1 if m else 0
+            best = max(best, cur)
+        return best
+
+    return ray.data.from_arrow(pa.table({
+        "longest_up_days": pa.array([longest(up)], pa.int64()),
+        "longest_down_days": pa.array([longest(down)], pa.int64()),
+        "n_days": pa.array([len(day)], pa.int64())}))
+
+
+def brand_size_grid_sparsity(sf_dir: str) -> ray.data.Dataset:
+    """Cross-dimension coverage audit: of the brand × size grid, how
+    many combinations actually exist in the catalog (sparsity floor
+    ppm)?  Distinct pairs and per-dimension distincts all reduce from
+    batch partials."""
+    ds = read_parquet_clean(f"{sf_dir}/part.parquet",
+                            columns=["p_brand", "p_size"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["p_brand", "p_size"]).aggregate([]) \
+            .select(["p_brand", "p_size"])
+
+    distinct = partial_aggregate(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["p_brand", "p_size"], [])
+    rows = pa.concat_tables(list(distinct.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    brands = len(set(rows.column("p_brand").to_pylist()))
+    sizes = len(set(rows.column("p_size").to_pylist()))
+    occupied = len(rows)
+    possible = brands * sizes
+    return ray.data.from_arrow(pa.table({
+        "n_brands": pa.array([brands], pa.int64()),
+        "n_sizes": pa.array([sizes], pa.int64()),
+        "n_occupied": pa.array([occupied], pa.int64()),
+        "occupancy_ppm": pa.array(
+            [(1_000_000 * occupied) // max(possible, 1)], pa.int64())}))
