@@ -323,7 +323,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         revenue_multiscale_variance,
                                         rapid_event_share,
                                         revenue_up_down_streaks,
-                                        brand_size_grid_sparsity)
+                                        brand_size_grid_sparsity,
+                                        transition_time_matrix,
+                                        hierarchy_share_report,
+                                        month_end_revenue_share,
+                                        user_staleness_hist)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -897,6 +901,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rapid_event_share": rapid_event_share,
         "revenue_up_down_streaks": revenue_up_down_streaks,
         "brand_size_grid_sparsity": brand_size_grid_sparsity,
+        "transition_time_matrix": transition_time_matrix,
+        "hierarchy_share_report": hierarchy_share_report,
+        "month_end_revenue_share": month_end_revenue_share,
+        "user_staleness_hist": user_staleness_hist,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2816,6 +2824,55 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "transition_time_matrix": (
+            "WITH o AS (SELECT user_id, ts, event_id, event_type, "
+            "lead(event_type) OVER w AS nt, "
+            "epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "g AS (SELECT event_type || '>' || nt AS pair, "
+            "CAST(gap AS DOUBLE) AS gap_us FROM o "
+            "WHERE nt IS NOT NULL) "
+            "SELECT pair, 0.5 AS q, "
+            "CAST(quantile_disc(gap_us, 0.5) AS DOUBLE) AS value "
+            "FROM g GROUP BY 1"),
+        "hierarchy_share_report": (
+            "WITH nv AS (SELECT n.n_name, n.n_regionkey, "
+            "SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "GROUP BY 1, 2), "
+            "rv AS (SELECT n_regionkey, SUM(cents) AS cents "
+            "FROM nv GROUP BY 1), "
+            "tv AS (SELECT SUM(cents) AS total FROM rv) "
+            "SELECT 'nation' AS level, nv.n_name AS key, "
+            "r.r_name AS parent, CAST(nv.cents AS BIGINT) AS cents, "
+            "CAST((1000000 * nv.cents) // GREATEST(rv.cents, 1) "
+            "AS BIGINT) AS share_of_parent_ppm FROM nv "
+            "JOIN rv ON rv.n_regionkey = nv.n_regionkey "
+            "JOIN region r ON r.r_regionkey = nv.n_regionkey "
+            "UNION ALL SELECT 'region', r.r_name, 'ALL', "
+            "CAST(rv.cents AS BIGINT), "
+            "CAST((1000000 * rv.cents) // GREATEST(tv.total, 1) "
+            "AS BIGINT) FROM rv "
+            "JOIN region r ON r.r_regionkey = rv.n_regionkey, tv"),
+        "month_end_revenue_share": (
+            "WITH a AS (SELECT CAST(year(o_orderdate) AS BIGINT) "
+            "AS year, CASE WHEN day(o_orderdate) > "
+            "day(last_day(CAST(o_orderdate AS DATE))) - 3 "
+            "THEN 1 ELSE 0 END AS is_end, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents "
+            "FROM orders) "
+            "SELECT year, CAST(SUM(is_end * cents) AS BIGINT) "
+            "AS end_cents, CAST(SUM(cents) AS BIGINT) AS total_cents, "
+            "CAST((1000000 * SUM(is_end * cents)) // SUM(cents) "
+            "AS BIGINT) AS month_end_ppm FROM a GROUP BY 1"),
+        "user_staleness_hist": (
+            "WITH l AS (SELECT user_id, "
+            "CAST(max(ts) AS DATE) AS ld FROM events GROUP BY 1), "
+            "m AS (SELECT max(ld) AS md FROM l) "
+            "SELECT CAST(m.md - l.ld AS BIGINT) AS days_stale, "
+            "CAST(count(*) AS BIGINT) AS n_users FROM l, m GROUP BY 1"),
         "revenue_multiscale_variance": (
             " UNION ALL ".join(
                 f"SELECT '{g}' AS grain, "

@@ -91,7 +91,9 @@ def run_bench(sf_dir: str, num_cpus: int, n_runs: int | None = None) -> dict:
                  "q1_pricing_summary", "events_hourly",
                  "local_supplier_volume", "lineitem_price_quantiles",
                  "doc_top_terms", "daily_users_hll",
-                 "token_offset_packing", "decontaminate_5gram"):
+                 "token_offset_packing", "decontaminate_5gram",
+                 "pagerank_nation_trade", "source_weighted_jaccard",
+                 "pretrain_pipeline_docs"):
         best = None
         for _ in range(2):
             t0 = time.perf_counter()

@@ -13310,3 +13310,185 @@ def brand_size_grid_sparsity(sf_dir: str) -> ray.data.Dataset:
         "n_occupied": pa.array([occupied], pa.int64()),
         "occupancy_ppm": pa.array(
             [(1_000_000 * occupied) // max(possible, 1)], pa.int64())}))
+
+
+def transition_time_matrix(sf_dir: str) -> pa.Table:
+    """Transition TIMING: for every adjacent event-type pair in a
+    user's stream, the exact lower-median gap (µs) and pair count —
+    which handoffs are fast, which stall?  Gaps materialize per user,
+    re-key by the (from, to) pair, and the grouped histogram-selection
+    finds each pair's median without sorting raw gaps."""
+    from ..functions.quantiles import grouped_exact_quantiles
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    def gaps(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        types = group.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        t, ty = ts[order], types[order]
+        if len(t) < 2:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "gap_us": pa.array([], pa.float64())})
+        pair = np.char.add(np.char.add(ty[:-1].astype(str), ">"),
+                           ty[1:].astype(str))
+        return pa.table({"pair": pa.array(pair),
+                         "gap_us": pa.array(np.diff(t)
+                                            .astype(np.float64))})
+
+    gap_ds = ds.groupby("user_id").map_groups(gaps,
+                                              batch_format="pyarrow")
+    return grouped_exact_quantiles(gap_ds, "pair", "gap_us", qs=(0.5,))
+
+
+def hierarchy_share_report(sf_dir: str) -> ray.data.Dataset:
+    """Parent-relative rollup: each nation's order revenue as floor-ppm
+    of its REGION, and each region as floor-ppm of the GLOBAL total —
+    the share-of-parent report a hierarchy UI renders.  Dimension maps
+    broadcast; one fact pass feeds every level."""
+    from ..functions.joins import shuffle_lookup_join
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name",
+                                    "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    side = ray.put((cust.column("c_custkey").combine_chunks(),
+                    pc.cast(cust.column("c_nationkey").combine_chunks(),
+                            pa.int64())))
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+
+    def per_nation(batch: pa.Table) -> pa.Table:
+        ck, cnk = ray.get(side)
+        i = pc.index_in(batch.column("o_custkey"), value_set=ck)
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"nationkey": pc.take(cnk, i),
+                      "cents": pa.array(cents)})
+        res = t.group_by(["nationkey"]).aggregate([("cents", "sum")])
+        return pa.table({"nationkey": res.column("nationkey"),
+                         "cents": res.column("cents_sum")})
+
+    agg = partial_aggregate(
+        orders.map_batches(per_nation, batch_format="pyarrow"),
+        ["nationkey"], [("cents", "sum", "cents")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    nk = rows.column("nationkey").to_numpy(zero_copy_only=False)
+    cents = rows.column("cents").to_numpy(zero_copy_only=False)
+    n_nk = pc.cast(nation.column("n_nationkey"), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    n_rk = pc.cast(nation.column("n_regionkey"), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    n_names = np.asarray(nation.column("n_name").to_pylist())
+    r_rk = pc.cast(region.column("r_regionkey"), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    r_names = np.asarray(region.column("r_name").to_pylist())
+    rk_of = dict(zip(n_nk.tolist(), n_rk.tolist()))
+    nname_of = dict(zip(n_nk.tolist(), n_names.tolist()))
+    rname_of = dict(zip(r_rk.tolist(), r_names.tolist()))
+    region_cents = {}
+    for k, c in zip(nk.tolist(), cents.tolist()):
+        region_cents[rk_of[k]] = region_cents.get(rk_of[k], 0) + int(c)
+    total = sum(region_cents.values())
+    levels, keys, parents, vals, shares = [], [], [], [], []
+    for k, c in sorted(zip(nk.tolist(), cents.tolist())):
+        levels.append("nation")
+        keys.append(nname_of[k])
+        parents.append(rname_of[rk_of[k]])
+        vals.append(int(c))
+        shares.append((1_000_000 * int(c))
+                      // max(region_cents[rk_of[k]], 1))
+    for rk in sorted(region_cents):
+        levels.append("region")
+        keys.append(rname_of[rk])
+        parents.append("ALL")
+        vals.append(region_cents[rk])
+        shares.append((1_000_000 * region_cents[rk]) // max(total, 1))
+    return ray.data.from_arrow(pa.table({
+        "level": pa.array(levels, pa.string()),
+        "key": pa.array(keys, pa.string()),
+        "parent": pa.array(parents, pa.string()),
+        "cents": pa.array(vals, pa.int64()),
+        "share_of_parent_ppm": pa.array(shares, pa.int64())}))
+
+
+def month_end_revenue_share(sf_dir: str) -> ray.data.Dataset:
+    """Calendar-edge bias: the share (floor ppm) of each year's order
+    revenue booked in the LAST THREE calendar days of a month — the
+    quota-stuffing audit.  Month-end membership is pure date
+    arithmetic inside the batch."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        year = pc.cast(pc.year(d), pa.int64())
+        dd = d.to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        m = dd.astype("datetime64[M]")
+        # days in month via month arithmetic (ceil_temporal is a no-op
+        # on the boundary, so day-1 rows would see a 0-day month)
+        dim = ((m + 1).astype("datetime64[D]")
+               - m.astype("datetime64[D]")).astype(np.int64)
+        dom = (dd - m.astype("datetime64[D]")).astype(np.int64) + 1
+        is_end = (dom > dim - 3).astype(np.int64)
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"year": year,
+                      "end_cents": pa.array(is_end * cents),
+                      "total_cents": pa.array(cents)})
+        res = t.group_by(["year"]).aggregate(
+            [("end_cents", "sum"), ("total_cents", "sum")])
+        return pa.table({"year": res.column("year"),
+                         "end_cents": res.column("end_cents_sum"),
+                         "total_cents": res.column("total_cents_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["year"], [("end_cents", "sum", "end_cents"),
+                   ("total_cents", "sum", "total_cents")])
+
+    def ppm(batch: pa.Table) -> pa.Table:
+        e = batch.column("end_cents").to_numpy(zero_copy_only=False)
+        t = batch.column("total_cents").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "month_end_ppm",
+            pa.array((1_000_000 * e) // np.where(t == 0, 1, t)))
+
+    return agg.map_batches(ppm, batch_format="pyarrow")
+
+
+def user_staleness_hist(sf_dir: str) -> ray.data.Dataset:
+    """Engagement staleness: per user, days since their LAST event
+    relative to the global max day, folded to a histogram — the churn
+    monitor's age pyramid."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "last_ts": batch.column("ts")})
+        res = t.group_by(["user_id"]).aggregate([("last_ts", "max")])
+        return pa.table({"user_id": res.column("user_id"),
+                         "last_ts": res.column("last_ts_max")})
+
+    last = partial_aggregate(
+        ds.map_batches(per_batch, batch_format="pyarrow"),
+        ["user_id"], [("last_ts", "max", "last_ts")])
+    rows = pa.concat_tables(list(last.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    lt = rows.column("last_ts").to_numpy(zero_copy_only=False) \
+        .astype("datetime64[D]").astype(np.int64)
+    mx = int(lt.max()) if len(lt) else 0
+    stale = mx - lt
+    vals, counts = np.unique(stale, return_counts=True)
+    return ray.data.from_arrow(pa.table({
+        "days_stale": pa.array(vals.astype(np.int64)),
+        "n_users": pa.array(counts.astype(np.int64))}))
