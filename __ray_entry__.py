@@ -327,7 +327,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         transition_time_matrix,
                                         hierarchy_share_report,
                                         month_end_revenue_share,
-                                        user_staleness_hist)
+                                        user_staleness_hist,
+                                        unit_price_deviation_hist,
+                                        brand_price_gap_hist,
+                                        users_business_hours_share,
+                                        priority_habit_consistency)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -905,6 +909,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hierarchy_share_report": hierarchy_share_report,
         "month_end_revenue_share": month_end_revenue_share,
         "user_staleness_hist": user_staleness_hist,
+        "unit_price_deviation_hist": unit_price_deviation_hist,
+        "brand_price_gap_hist": brand_price_gap_hist,
+        "users_business_hours_share": users_business_hours_share,
+        "priority_habit_consistency": priority_habit_consistency,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2824,6 +2832,57 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "unit_price_deviation_hist": (
+            "WITH j AS (SELECT "
+            "CAST(round(l.l_extendedprice * 100) AS BIGINT) AS ext, "
+            "(CAST(round(p.p_retailprice * 100) AS BIGINT) "
+            "* CAST(round(l.l_quantity * 100) AS BIGINT)) // 100 "
+            "AS expected FROM lineitem l "
+            "JOIN part p ON l.l_partkey = p.p_partkey), "
+            "d AS (SELECT (1000000 * (ext - expected)) "
+            "// GREATEST(expected, 1) - CASE WHEN "
+            "(1000000 * (ext - expected)) % GREATEST(expected, 1) <> 0 "
+            "AND ext < expected THEN 1 ELSE 0 END AS dev FROM j), "
+            "b AS (SELECT dev // 100000 - CASE WHEN dev % 100000 <> 0 "
+            "AND dev < 0 THEN 1 ELSE 0 END AS bucket FROM d) "
+            "SELECT bucket, CAST(count(*) AS BIGINT) AS n_lines "
+            "FROM b GROUP BY 1"),
+        "brand_price_gap_hist": (
+            "WITH s AS (SELECT p_brand, "
+            "CAST(round(p_retailprice * 100) AS BIGINT) AS c "
+            "FROM part), "
+            "d AS (SELECT c - lag(c) OVER (PARTITION BY p_brand "
+            "ORDER BY c) AS gap FROM s), "
+            "b AS (SELECT CASE WHEN gap > 0 THEN "
+            "CAST(floor(log2(gap)) AS BIGINT) ELSE -1 END AS bucket "
+            "FROM d WHERE gap IS NOT NULL) "
+            "SELECT bucket, CAST(count(*) AS BIGINT) AS n_gaps "
+            "FROM b GROUP BY 1"),
+        "users_business_hours_share": (
+            "WITH h AS (SELECT user_id, CAST(hour(ts) AS BIGINT) "
+            "AS hr, count(*) AS n FROM events GROUP BY 1, 2), "
+            "m AS (SELECT user_id, hr FROM (SELECT user_id, hr, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY n DESC, hr) AS rn FROM h) WHERE rn = 1) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_users, "
+            "CAST(SUM(CASE WHEN hr BETWEEN 9 AND 17 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_business, "
+            "CAST((1000000 * SUM(CASE WHEN hr BETWEEN 9 AND 17 "
+            "THEN 1 ELSE 0 END)) // GREATEST(count(*), 1) AS BIGINT) "
+            "AS business_ppm FROM m"),
+        "priority_habit_consistency": (
+            "WITH c AS (SELECT o_custkey, o_orderpriority AS p, "
+            "count(*) AS n FROM orders GROUP BY 1, 2), "
+            "m AS (SELECT o_custkey, p FROM (SELECT o_custkey, p, "
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY n DESC, p) AS rn FROM c) WHERE rn = 1) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(CASE WHEN o.o_orderpriority = m.p THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS n_matching, "
+            "CAST((1000000 * SUM(CASE WHEN o.o_orderpriority = m.p "
+            "THEN 1 ELSE 0 END)) // GREATEST(count(*), 1) AS BIGINT) "
+            "AS consistency_ppm FROM orders o "
+            "JOIN m ON o.o_custkey = m.o_custkey"),
         "transition_time_matrix": (
             "WITH o AS (SELECT user_id, ts, event_id, event_type, "
             "lead(event_type) OVER w AS nt, "

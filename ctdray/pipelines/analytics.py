@@ -13492,3 +13492,132 @@ def user_staleness_hist(sf_dir: str) -> ray.data.Dataset:
     return ray.data.from_arrow(pa.table({
         "days_stale": pa.array(vals.astype(np.int64)),
         "n_users": pa.array(counts.astype(np.int64))}))
+
+
+def unit_price_deviation_hist(sf_dir: str) -> ray.data.Dataset:
+    """Pricing reconciliation: each lineitem's deviation (floor ppm)
+    of extended price from catalog retail × quantity, bucketed per
+    100k ppm with FLOOR semantics on the signed value — the invoice
+    audit that surfaces systematic over/under-billing.  Part prices
+    broadcast; the deviation is one vectorized pass."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_quantity",
+                                     "l_extendedprice"])
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_retailprice"])
+    pref = ray.put((part.column("p_partkey").combine_chunks(),
+                    np.rint(part.column("p_retailprice")
+                            .to_numpy(zero_copy_only=False) * 100)
+                    .astype(np.int64)))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        pk, retail = ray.get(pref)
+        i = pc.index_in(batch.column("l_partkey"), value_set=pk) \
+            .to_numpy(zero_copy_only=False)
+        qty = np.rint(batch.column("l_quantity")
+                      .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        ext = np.rint(batch.column("l_extendedprice")
+                      .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        expected = (retail[i] * qty) // 100
+        dev_ppm = (1_000_000 * (ext - expected)) \
+            // np.where(expected == 0, 1, expected)
+        bucket = dev_ppm // 100_000          # numpy floors negatives
+        t = pa.table({"bucket": pa.array(bucket),
+                      "n_lines": pa.array(np.ones(len(ext), np.int64))})
+        res = t.group_by(["bucket"]).aggregate([("n_lines", "sum")])
+        return pa.table({"bucket": res.column("bucket"),
+                         "n_lines": res.column("n_lines_sum")})
+
+    return partial_aggregate(
+        li.map_batches(hist, batch_format="pyarrow"),
+        ["bucket"], [("n_lines", "sum", "n_lines")])
+
+
+def brand_price_gap_hist(sf_dir: str) -> ray.data.Dataset:
+    """Nearest-neighbor price-gap distribution: within each brand,
+    sorted retail prices diff to their next-cheaper neighbor and the
+    gaps bucket by floor(log2(cents)) — the price-ladder density probe.
+    Sorting happens per brand group (bounded by the brand's catalog)."""
+    ds = read_parquet_clean(f"{sf_dir}/part.parquet",
+                            columns=["p_brand", "p_retailprice"])
+
+    def per_brand(group: pa.Table) -> pa.Table:
+        cents = np.sort(np.rint(group.column("p_retailprice")
+                                .to_numpy(zero_copy_only=False) * 100)
+                        .astype(np.int64))
+        gaps = np.diff(cents)
+        b = np.full(len(gaps), -1, np.int64)
+        pos = gaps > 0
+        b[pos] = np.floor(np.log2(gaps[pos])).astype(np.int64)
+        t = pa.table({"bucket": pa.array(b),
+                      "n_gaps": pa.array(np.ones(len(b), np.int64))})
+        res = t.group_by(["bucket"]).aggregate([("n_gaps", "sum")])
+        return pa.table({"bucket": res.column("bucket"),
+                         "n_gaps": res.column("n_gaps_sum")})
+
+    per = ds.groupby("p_brand").map_groups(per_brand,
+                                           batch_format="pyarrow")
+    return partial_aggregate(per, ["bucket"],
+                             [("n_gaps", "sum", "n_gaps")])
+
+
+def users_business_hours_share(sf_dir: str) -> ray.data.Dataset:
+    """Behavioral segmentation: users whose MODAL activity hour (ties
+    to the earliest hour) falls inside business hours 9-17 — one
+    per-user argmax over the 24-bin hour histogram."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        h = pc.hour(group.column("ts")).to_numpy(zero_copy_only=False)
+        counts = np.bincount(h, minlength=24)
+        modal = int(counts.argmax())       # first max = earliest hour
+        return pa.table({
+            "is_business": pa.array(
+                [1 if 9 <= modal <= 17 else 0], pa.int64()),
+            "one": pa.array([1], pa.int64())})
+
+    per = ds.groupby("user_id").map_groups(per_user,
+                                           batch_format="pyarrow")
+    rows = pa.concat_tables(list(per.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    nb = int(pc.sum(rows.column("is_business")).as_py() or 0)
+    n = int(pc.sum(rows.column("one")).as_py() or 0)
+    return ray.data.from_arrow(pa.table({
+        "n_users": pa.array([n], pa.int64()),
+        "n_business": pa.array([nb], pa.int64()),
+        "business_ppm": pa.array([(1_000_000 * nb) // max(n, 1)],
+                                 pa.int64())}))
+
+
+def priority_habit_consistency(sf_dir: str) -> ray.data.Dataset:
+    """Habit consistency: the share (floor ppm) of orders placed at
+    their customer's own MODAL priority (ties to the lexicographically
+    smallest priority) — mode computation and the match count both
+    live inside each customer's group, so only 2 counters reduce."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderpriority"])
+
+    def per_cust(group: pa.Table) -> pa.Table:
+        pr = group.column("o_orderpriority") \
+            .to_numpy(zero_copy_only=False)
+        vals, counts = np.unique(pr, return_counts=True)
+        modal = vals[np.lexsort((vals, -counts))[0]]
+        return pa.table({
+            "n_orders": pa.array([len(pr)], pa.int64()),
+            "n_matching": pa.array([int((pr == modal).sum())],
+                                   pa.int64())})
+
+    per = ds.groupby("o_custkey").map_groups(per_cust,
+                                             batch_format="pyarrow")
+    rows = pa.concat_tables(list(per.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    no = int(pc.sum(rows.column("n_orders")).as_py() or 0)
+    nm = int(pc.sum(rows.column("n_matching")).as_py() or 0)
+    return ray.data.from_arrow(pa.table({
+        "n_orders": pa.array([no], pa.int64()),
+        "n_matching": pa.array([nm], pa.int64()),
+        "consistency_ppm": pa.array([(1_000_000 * nm) // max(no, 1)],
+                                    pa.int64())}))
