@@ -331,7 +331,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         unit_price_deviation_hist,
                                         brand_price_gap_hist,
                                         users_business_hours_share,
-                                        priority_habit_consistency)
+                                        priority_habit_consistency,
+                                        customer_rank_spearman_d2,
+                                        activation_gap_median_days,
+                                        orderkey_fragmentation,
+                                        quality_filter_ablation)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -913,6 +917,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_price_gap_hist": brand_price_gap_hist,
         "users_business_hours_share": users_business_hours_share,
         "priority_habit_consistency": priority_habit_consistency,
+        "customer_rank_spearman_d2": customer_rank_spearman_d2,
+        "activation_gap_median_days": activation_gap_median_days,
+        "orderkey_fragmentation": orderkey_fragmentation,
+        "quality_filter_ablation": quality_filter_ablation,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2832,6 +2840,50 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "customer_rank_spearman_d2": (
+            "WITH t AS (SELECT o_custkey, "
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents, "
+            "count(*) AS n FROM orders GROUP BY 1), "
+            "r AS (SELECT row_number() OVER ("
+            "ORDER BY cents DESC, o_custkey) AS r1, "
+            "row_number() OVER (ORDER BY n DESC, o_custkey) AS r2 "
+            "FROM t) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_customers, "
+            "CAST(SUM((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2 "
+            "FROM r"),
+        "activation_gap_median_days": (
+            "WITH r AS (SELECT o_custkey, "
+            "CAST(o_orderdate AS DATE) AS d, row_number() OVER ("
+            "PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey) AS rn FROM orders), "
+            "g AS (SELECT CAST(b.d - a.d AS DOUBLE) AS gap FROM r a "
+            "JOIN r b ON a.o_custkey = b.o_custkey "
+            "AND a.rn = 1 AND b.rn = 2) "
+            "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
+            "AS value FROM g"),
+        "orderkey_fragmentation": (
+            "WITH b AS (SELECT count(*) AS nb FROM orders WHERE "
+            "o_orderkey + 1 NOT IN (SELECT o_orderkey FROM orders)), "
+            "m AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx, "
+            "count(*) AS n FROM orders) "
+            "SELECT CAST(m.n AS BIGINT) AS n_keys, "
+            "CAST(b.nb AS BIGINT) AS n_fragments, "
+            "CAST(m.mx - m.mn + 1 - m.n AS BIGINT) AS total_missing "
+            "FROM b, m"),
+        "quality_filter_ablation": (
+            "WITH a AS (SELECT len(string_split(text, ' ')) AS nt, "
+            "len(list_filter(string_split(text, ' '), x -> x IN "
+            f"{_STOPLIST_SQL})) AS ns FROM documents) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(CASE WHEN nt < 10 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_fail_short, "
+            "CAST(SUM(CASE WHEN nt > 5000 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_fail_long, "
+            "CAST(SUM(CASE WHEN 2 * ns > nt THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_fail_stopword, "
+            "CAST(SUM(CASE WHEN nt >= 10 AND nt <= 5000 "
+            "AND 2 * ns <= nt THEN 1 ELSE 0 END) AS BIGINT) AS n_pass "
+            "FROM a"),
         "unit_price_deviation_hist": (
             "WITH j AS (SELECT "
             "CAST(round(l.l_extendedprice * 100) AS BIGINT) AS ext, "

@@ -13621,3 +13621,165 @@ def priority_habit_consistency(sf_dir: str) -> ray.data.Dataset:
         "n_matching": pa.array([nm], pa.int64()),
         "consistency_ppm": pa.array([(1_000_000 * nm) // max(no, 1)],
                                     pa.int64())}))
+
+
+def customer_rank_spearman_d2(sf_dir: str) -> ray.data.Dataset:
+    """Rank agreement between two customer metrics: revenue rank vs
+    order-count rank, as the Spearman numerator Σd² (n for the
+    denominator) — do big spenders also order most often?  Both
+    metrics fold per customer; ranking runs on the customer-bounded
+    table with deterministic (metric desc, custkey) ties."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_totalprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"o_custkey": batch.column("o_custkey"),
+                      "cents": pa.array(cents),
+                      "n": pa.array(np.ones(len(cents), np.int64))})
+        res = t.group_by(["o_custkey"]).aggregate(
+            [("cents", "sum"), ("n", "sum")])
+        return pa.table({"o_custkey": res.column("o_custkey"),
+                         "cents": res.column("cents_sum"),
+                         "n": res.column("n_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["o_custkey"], [("cents", "sum", "cents"), ("n", "sum", "n")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    ck = rows.column("o_custkey").to_numpy(zero_copy_only=False)
+    cents = rows.column("cents").to_numpy(zero_copy_only=False)
+    n = rows.column("n").to_numpy(zero_copy_only=False)
+    r1 = np.empty(len(ck), np.int64)
+    r1[np.lexsort((ck, -cents))] = np.arange(1, len(ck) + 1)
+    r2 = np.empty(len(ck), np.int64)
+    r2[np.lexsort((ck, -n))] = np.arange(1, len(ck) + 1)
+    d = r1 - r2
+    return ray.data.from_arrow(pa.table({
+        "n_customers": pa.array([len(ck)], pa.int64()),
+        "sum_d2": pa.array([int((d * d).sum())], pa.int64())}))
+
+
+def activation_gap_median_days(sf_dir: str) -> pa.Table:
+    """Activation velocity: the exact lower-median days between each
+    customer's FIRST and SECOND order (customers with ≥2 orders) —
+    second-smallest minus smallest per group, then the distributed
+    selection finds the global median."""
+    from ..functions.quantiles import exact_quantiles
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate",
+                                     "o_orderkey"])
+
+    def per_cust(group: pa.Table) -> pa.Table:
+        od = group.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ok = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+        if len(od) < 2:
+            return pa.table({"gap_days": pa.array([], pa.float64())})
+        order = np.lexsort((ok, od))
+        d = od[order].astype("datetime64[us]").astype("datetime64[D]") \
+            .astype(np.int64)
+        return pa.table({"gap_days": pa.array(
+            [float(d[1] - d[0])], pa.float64())})
+
+    gaps = ds.groupby("o_custkey").map_groups(per_cust,
+                                              batch_format="pyarrow")
+    return exact_quantiles(gaps, "gap_days", qs=(0.5,))
+
+
+def orderkey_fragmentation(sf_dir: str) -> ray.data.Dataset:
+    """Keyspace fragmentation: how many contiguity FRAGMENTS does the
+    orderkey space hold?  A key starts a gap when key+1 is absent (and
+    it isn't the max) — detected with the key-shift anti-join, so no
+    global sort; total missing follows from min/max/count."""
+    from ..functions.joins import shuffle_lookup_join
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey"])
+
+    left = ds.map_batches(
+        lambda b: pa.table({"probe": pc.add(b.column("o_orderkey"), 1),
+                            "k": b.column("o_orderkey")}),
+        batch_format="pyarrow")
+    right = ds.map_batches(
+        lambda b: pa.table({"o_orderkey": b.column("o_orderkey"),
+                            "hit": pa.array(np.ones(len(b), np.int8))}),
+        batch_format="pyarrow")
+    joined = shuffle_lookup_join(
+        left, right, on="probe", right_on="o_orderkey",
+        left_schema=pa.schema([("probe", pa.int64()),
+                               ("k", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("hit", pa.int8())]),
+        how="left")
+
+    def fold(batch: pa.Table) -> pa.Table:
+        miss = pc.is_null(batch.column("hit"))
+        return pa.table({
+            "n_boundaries": pa.array(
+                [int(pc.sum(pc.cast(miss, pa.int64())).as_py() or 0)],
+                pa.int64()),
+            "mn": pa.array([pc.min(batch.column("k")).as_py()],
+                           pa.int64()),
+            "mx": pa.array([pc.max(batch.column("k")).as_py()],
+                           pa.int64()),
+            "n": pa.array([len(batch)], pa.int64())})
+
+    parts = pa.concat_tables(list(
+        joined.map_batches(fold, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    nb = int(pc.sum(parts.column("n_boundaries")).as_py() or 0)
+    mn = int(pc.min(parts.column("mn")).as_py())
+    mx = int(pc.max(parts.column("mx")).as_py())
+    n = int(pc.sum(parts.column("n")).as_py() or 0)
+    # the max key always probes a missing key+1: it ends the LAST
+    # fragment, so fragments = boundaries (max included by design)
+    return ray.data.from_arrow(pa.table({
+        "n_keys": pa.array([n], pa.int64()),
+        "n_fragments": pa.array([nb], pa.int64()),
+        "total_missing": pa.array([mx - mn + 1 - n], pa.int64())}))
+
+
+def quality_filter_ablation(sf_dir: str) -> ray.data.Dataset:
+    """Filter attribution (ablation): how many documents fail the
+    TOO-SHORT rule, the TOO-LONG rule, the STOPWORD-ratio rule, and
+    how many pass everything — which gate does the work?  All four
+    predicates evaluate in one vectorized pass."""
+    from ..functions.text import STOPWORDS
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    stop_ref = ray.put(pa.array(sorted(STOPWORDS), pa.string()))
+
+    def audit(batch: pa.Table) -> pa.Table:
+        stops = ray.get(stop_ref)
+        toks = pc.split_pattern(batch.column("text"), " ")
+        n_tok = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        is_stop = pc.is_in(flat, value_set=stops) \
+            .to_numpy(zero_copy_only=False)
+        reps = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc = np.repeat(np.arange(len(batch)), reps)
+        n_stop = np.zeros(len(batch), np.int64)
+        np.add.at(n_stop, doc, is_stop.astype(np.int64))
+        too_short = n_tok < 10
+        too_long = n_tok > 5000
+        stopy = 2 * n_stop > n_tok
+        passed = ~(too_short | too_long | stopy)
+        return pa.table({
+            "n_docs": pa.array([len(batch)], pa.int64()),
+            "n_fail_short": pa.array([int(too_short.sum())], pa.int64()),
+            "n_fail_long": pa.array([int(too_long.sum())], pa.int64()),
+            "n_fail_stopword": pa.array([int(stopy.sum())], pa.int64()),
+            "n_pass": pa.array([int(passed.sum())], pa.int64())})
+
+    parts = pa.concat_tables(list(
+        ds.map_batches(audit, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    out = {c: pa.array([int(pc.sum(parts.column(c)).as_py() or 0)],
+                       pa.int64())
+           for c in ("n_docs", "n_fail_short", "n_fail_long",
+                     "n_fail_stopword", "n_pass")}
+    return ray.data.from_arrow(pa.table(out))
