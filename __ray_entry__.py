@@ -335,7 +335,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         customer_rank_spearman_d2,
                                         activation_gap_median_days,
                                         orderkey_fragmentation,
-                                        quality_filter_ablation)
+                                        quality_filter_ablation,
+                                        bpe_overhead_by_lang,
+                                        label_centroid_distance_matrix,
+                                        user_day_density_ppm,
+                                        salted_top_user)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -921,6 +925,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activation_gap_median_days": activation_gap_median_days,
         "orderkey_fragmentation": orderkey_fragmentation,
         "quality_filter_ablation": quality_filter_ablation,
+        "bpe_overhead_by_lang": bpe_overhead_by_lang,
+        "label_centroid_distance_matrix": label_centroid_distance_matrix,
+        "user_day_density_ppm": user_day_density_ppm,
+        "salted_top_user": salted_top_user,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2840,6 +2848,48 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "bpe_overhead_by_lang": (
+            "WITH a AS (SELECT lang, "
+            "CAST(len(regexp_extract_all(text, "
+            "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS BIGINT) AS nb, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS nw "
+            "FROM documents) "
+            "SELECT lang, CAST(SUM(nb) AS BIGINT) AS n_bpe, "
+            "CAST(SUM(nw) AS BIGINT) AS n_ws, "
+            "CAST((1000000 * SUM(nb)) // GREATEST(SUM(nw), 1) "
+            "AS BIGINT) AS overhead_ppm FROM a GROUP BY 1"),
+        "label_centroid_distance_matrix": (
+            "WITH q AS (SELECT CAST(label AS BIGINT) AS label, "
+            "CAST(k - 1 AS BIGINT) AS dim, "
+            "CAST(round(CAST(embedding[CAST(k AS INT)] AS DOUBLE) "
+            "* 10000) AS BIGINT) AS q "
+            "FROM embeddings, range(1, 65) r(k)), "
+            "s AS (SELECT label, dim, CAST(SUM(q) AS HUGEINT) AS s "
+            "FROM q GROUP BY 1, 2), "
+            "n AS (SELECT CAST(label AS BIGINT) AS label, "
+            "CAST(count(*) AS HUGEINT) AS n FROM embeddings "
+            "GROUP BY 1) "
+            "SELECT a.label AS label_a, b.label AS label_b, "
+            "CAST(SUM((nb.n * a.s - na.n * b.s) "
+            "* (nb.n * a.s - na.n * b.s)) AS DOUBLE) AS d2_num, "
+            "CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b "
+            "FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label "
+            "JOIN n na ON na.label = a.label "
+            "JOIN n nb ON nb.label = b.label "
+            "GROUP BY a.label, b.label, na.n, nb.n"),
+        "user_day_density_ppm": (
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "date_trunc('day', ts) AS day FROM events) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_user_days, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+            "CAST(count(DISTINCT day) AS BIGINT) AS n_days, "
+            "CAST((1000000 * count(*)) // GREATEST("
+            "count(DISTINCT user_id) * count(DISTINCT day), 1) "
+            "AS BIGINT) AS density_ppm FROM d"),
+        "salted_top_user": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY 1 "
+            "ORDER BY n_events DESC, user_id LIMIT 1"),
         "customer_rank_spearman_d2": (
             "WITH t AS (SELECT o_custkey, "
             "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents, "

@@ -13783,3 +13783,170 @@ def quality_filter_ablation(sf_dir: str) -> ray.data.Dataset:
            for c in ("n_docs", "n_fail_short", "n_fail_long",
                      "n_fail_stopword", "n_pass")}
     return ray.data.from_arrow(pa.table(out))
+
+
+def bpe_overhead_by_lang(sf_dir: str) -> ray.data.Dataset:
+    """Tokenizer-cost planning: per language the BPE-pretokenizer token
+    count versus whitespace tokens, and the overhead ratio (floor ppm)
+    — which languages inflate the token budget?  Both counters are one
+    RE2 kernel per batch."""
+    from ..functions.text import _BPE_PATTERN
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "text"])
+
+    def counters(batch: pa.Table) -> pa.Table:
+        bpe = pc.cast(pc.count_substring_regex(
+            batch.column("text"), _BPE_PATTERN), pa.int64())
+        ws = pc.cast(pc.add(pc.count_substring(
+            batch.column("text"), " "), 1), pa.int64())
+        t = pa.table({"lang": batch.column("lang"),
+                      "n_bpe": bpe, "n_ws": ws})
+        res = t.group_by(["lang"]).aggregate(
+            [("n_bpe", "sum"), ("n_ws", "sum")])
+        return pa.table({"lang": res.column("lang"),
+                         "n_bpe": res.column("n_bpe_sum"),
+                         "n_ws": res.column("n_ws_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(counters, batch_format="pyarrow"),
+        ["lang"], [("n_bpe", "sum", "n_bpe"), ("n_ws", "sum", "n_ws")])
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        b = batch.column("n_bpe").to_numpy(zero_copy_only=False)
+        w = batch.column("n_ws").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "overhead_ppm",
+            pa.array((1_000_000 * b) // np.where(w == 0, 1, w)))
+
+    return agg.map_batches(ratio, batch_format="pyarrow")
+
+
+def label_centroid_distance_matrix(sf_dir: str) -> ray.data.Dataset:
+    """Inter-class separation: for every label pair the exact integer
+    numerator ‖n_b·S_a − n_a·S_b‖² of the squared centroid distance
+    (denominator (n_a·n_b)², e8 units) — does the embedding space
+    separate the classes?  Per-label sums fold from batch partials;
+    the bignum assembly runs on the label-bounded table."""
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding", "label"])
+
+    def sums(batch: pa.Table) -> pa.Table:
+        m = np.stack(batch.column("embedding")
+                     .to_numpy(zero_copy_only=False))
+        q = np.rint(m.astype(np.float64) * 10_000).astype(np.int64)
+        lab = pc.cast(batch.column("label"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        labs, li = np.unique(lab, return_inverse=True)
+        acc = np.zeros((len(labs), q.shape[1]), np.int64)
+        np.add.at(acc, li, q)
+        cnt = np.bincount(li, minlength=len(labs)).astype(np.int64)
+        cols = {"label": pa.array(labs), "n": pa.array(cnt)}
+        for j in range(q.shape[1]):
+            cols[f"s_{j}"] = pa.array(acc[:, j])
+        return pa.table(cols)
+
+    agg = partial_aggregate(
+        ds.map_batches(sums, batch_format="pyarrow"),
+        ["label"], [("n", "sum", "n")]
+        + [(f"s_{j}", "sum", f"s_{j}") for j in range(64)])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    labs = rows.column("label").to_pylist()
+    n = [int(x) for x in rows.column("n").to_pylist()]
+    s = [[int(rows.column(f"s_{j}")[i].as_py()) for j in range(64)]
+         for i in range(len(labs))]
+    order = np.argsort(labs)
+    la, lb, d2, nas, nbs = [], [], [], [], []
+    for ii in range(len(order)):
+        for jj in range(ii + 1, len(order)):
+            a, b = order[ii], order[jj]
+            num = sum((n[b] * s[a][k] - n[a] * s[b][k]) ** 2
+                      for k in range(64))
+            la.append(labs[a])
+            lb.append(labs[b])
+            d2.append(float(num))
+            nas.append(n[a])
+            nbs.append(n[b])
+    return ray.data.from_arrow(pa.table({
+        "label_a": pa.array(la, pa.int64()),
+        "label_b": pa.array(lb, pa.int64()),
+        "d2_num": pa.array(d2, pa.float64()),
+        "n_a": pa.array(nas, pa.int64()),
+        "n_b": pa.array(nbs, pa.int64())}))
+
+
+def user_day_density_ppm(sf_dir: str) -> ray.data.Dataset:
+    """Engagement-matrix density: distinct (user, day) cells over the
+    full user × day grid (floor ppm) — how close is the activity
+    matrix to dense?  Three distinct counts, one scan each way."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        t = pa.table({"user_id": batch.column("user_id"), "day": day})
+        return t.group_by(["user_id", "day"]).aggregate([]) \
+            .select(["user_id", "day"])
+
+    distinct = partial_aggregate(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["user_id", "day"], [])
+    rows = pa.concat_tables(list(
+        distinct.map_batches(lambda b: pa.table({
+            "nud": pa.array([len(b)], pa.int64()),
+            "users": pa.array([b.column("user_id")
+                               .to_pylist()], pa.list_(pa.int64())),
+            "days": pa.array([pc.cast(b.column("day"), pa.int64())
+                              .to_pylist()], pa.list_(pa.int64()))}),
+            batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    nud = int(pc.sum(rows.column("nud")).as_py() or 0)
+    users = set()
+    days = set()
+    for lst in rows.column("users").to_pylist():
+        users.update(lst)
+    for lst in rows.column("days").to_pylist():
+        days.update(lst)
+    nu, nd = len(users), len(days)
+    return ray.data.from_arrow(pa.table({
+        "n_user_days": pa.array([nud], pa.int64()),
+        "n_users": pa.array([nu], pa.int64()),
+        "n_days": pa.array([nd], pa.int64()),
+        "density_ppm": pa.array([(1_000_000 * nud)
+                                 // max(nu * nd, 1)], pa.int64())}))
+
+
+def salted_top_user(sf_dir: str, n_salts: int = 8) -> ray.data.Dataset:
+    """Hot-key salting demo: the busiest user computed through a
+    SALTED two-stage aggregation — stage 1 reduces (user, salt) cells
+    so no single reducer ever sees a whole hot key, stage 2 merges the
+    ≤ n_salts partials per user — then the tiny argmax.  Same answer
+    as the direct groupby, skew-proof exchange."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_id"])
+
+    def stage1(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        salt = (eid % n_salts).astype(np.int64)
+        t = pa.table({"user_id": pa.array(u), "salt": pa.array(salt),
+                      "n": pa.array(np.ones(len(u), np.int64))})
+        res = t.group_by(["user_id", "salt"]).aggregate([("n", "sum")])
+        return pa.table({"user_id": res.column("user_id"),
+                         "salt": res.column("salt"),
+                         "n": res.column("n_sum")})
+
+    salted = partial_aggregate(
+        ds.map_batches(stage1, batch_format="pyarrow"),
+        ["user_id", "salt"], [("n", "sum", "n")])
+
+    def stage2(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["user_id"]).aggregate([("n", "sum")])
+        return pa.table({"user_id": res.column("user_id"),
+                         "n_events": res.column("n_sum")})
+
+    merged = partial_aggregate(
+        salted.map_batches(stage2, batch_format="pyarrow"),
+        ["user_id"], [("n_events", "sum", "n_events")])
+    return merged.sort(["n_events", "user_id"],
+                       descending=[True, False]).limit(1)
