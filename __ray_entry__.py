@@ -339,7 +339,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         bpe_overhead_by_lang,
                                         label_centroid_distance_matrix,
                                         user_day_density_ppm,
-                                        salted_top_user)
+                                        salted_top_user,
+                                        kmv_intersection_estimate,
+                                        token_position_diversity,
+                                        coorder_clustering_coefficient,
+                                        early_value_share_hist)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -929,6 +933,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroid_distance_matrix": label_centroid_distance_matrix,
         "user_day_density_ppm": user_day_density_ppm,
         "salted_top_user": salted_top_user,
+        "kmv_intersection_estimate": kmv_intersection_estimate,
+        "token_position_diversity": token_position_diversity,
+        "coorder_clustering_coefficient": coorder_clustering_coefficient,
+        "early_value_share_hist": early_value_share_hist,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2848,6 +2856,71 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "kmv_intersection_estimate": (
+            "WITH du AS (SELECT DISTINCT event_type, user_id "
+            "FROM events WHERE event_type IN ('view', 'purchase')), "
+            "hh AS (SELECT event_type, CAST(CONCAT('0x', "
+            "substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) "
+            "AS h FROM du), "
+            "a AS (SELECT h FROM hh WHERE event_type = 'view' "
+            "ORDER BY h LIMIT 64), "
+            "b AS (SELECT h FROM hh WHERE event_type = 'purchase' "
+            "ORDER BY h LIMIT 64), "
+            "un AS (SELECT h FROM (SELECT h FROM a UNION "
+            "SELECT h FROM b) ORDER BY h LIMIT 64), "
+            "st AS (SELECT (SELECT count(*) FROM ("
+            "SELECT h FROM a UNION SELECT h FROM b)) AS full_union, "
+            "(SELECT count(*) FROM un) AS nu, "
+            "(SELECT max(h) FROM un) AS theta), "
+            "i AS (SELECT count(*) AS i FROM (SELECT h FROM a "
+            "INTERSECT SELECT h FROM b) x, st "
+            "WHERE st.full_union <= 64 OR x.h <= st.theta), "
+            "ex AS (SELECT count(*) AS exact FROM ("
+            "SELECT h FROM hh WHERE event_type = 'view' INTERSECT "
+            "SELECT h FROM hh WHERE event_type = 'purchase')) "
+            "SELECT CAST(CASE WHEN st.full_union <= 64 THEN i.i ELSE "
+            "(CAST(i.i AS HUGEINT) * (st.nu - 1) "
+            "* CAST(1152921504606846976 AS HUGEINT)) "
+            "// (st.nu * GREATEST(st.theta, 1)) END AS BIGINT) "
+            "AS est_intersection, "
+            "CAST(ex.exact AS BIGINT) AS exact_intersection, "
+            "CAST(64 AS BIGINT) AS k FROM st, i, ex"),
+        "token_position_diversity": (
+            "WITH p AS (SELECT DISTINCT i - 1 AS pos, toks[i] AS tok "
+            "FROM (SELECT string_split(text, ' ') AS toks "
+            "FROM documents), "
+            "unnest(range(1, LEAST(len(toks), 10) + 1)) t(i)) "
+            "SELECT CAST(pos AS BIGINT) AS pos, "
+            "CAST(count(*) AS BIGINT) AS n_distinct_tokens "
+            "FROM p GROUP BY 1"),
+        "coorder_clustering_coefficient": (
+            "WITH op AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem), "
+            "e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+            "FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey), "
+            "tri AS (SELECT count(*) AS t FROM e e1 "
+            "JOIN e e2 ON e1.v = e2.u "
+            "JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), "
+            "d AS (SELECT node, count(*) AS deg FROM ("
+            "SELECT u AS node FROM e UNION ALL SELECT v FROM e) "
+            "GROUP BY 1), "
+            "p2 AS (SELECT SUM(deg * (deg - 1) // 2) AS p FROM d) "
+            "SELECT CAST(tri.t AS BIGINT) AS n_triangles, "
+            "CAST(p2.p AS BIGINT) AS n_paths2, "
+            "CAST((1000000 * 3 * tri.t) // GREATEST(p2.p, 1) "
+            "AS BIGINT) AS clustering_ppm FROM tri, p2"),
+        "early_value_share_hist": (
+            "WITH u AS (SELECT user_id, min(ts) AS mn FROM events "
+            "GROUP BY 1), "
+            "s AS (SELECT e.user_id, SUM(CASE WHEN epoch_us(e.ts) < "
+            "epoch_us(u.mn) + 604800000000 THEN "
+            "CAST(round(e.value * 100) AS BIGINT) ELSE 0 END) AS early, "
+            "SUM(CAST(round(e.value * 100) AS BIGINT)) AS total "
+            "FROM events e JOIN u ON e.user_id = u.user_id GROUP BY 1) "
+            "SELECT ((1000000 * early) // GREATEST(total, 1)) "
+            "// 100000 AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n_users FROM s GROUP BY 1"),
         "bpe_overhead_by_lang": (
             "WITH a AS (SELECT lang, "
             "CAST(len(regexp_extract_all(text, "

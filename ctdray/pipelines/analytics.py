@@ -13950,3 +13950,199 @@ def salted_top_user(sf_dir: str, n_salts: int = 8) -> ray.data.Dataset:
         ["user_id"], [("n_events", "sum", "n_events")])
     return merged.sort(["n_events", "user_id"],
                        descending=[True, False]).limit(1)
+
+
+def kmv_intersection_estimate(sf_dir: str, k: int = 64,
+                              type_a: str = "view",
+                              type_b: str = "purchase"
+                              ) -> ray.data.Dataset:
+    """Theta/KMV sketch audit with a DETERMINISTIC hash: the k-minimum-
+    values sketches of two event types' user sets (md5-derived 60-bit
+    keys — reproducible, mergeable) yield an intersection estimate that
+    the oracle recomputes exactly; the true intersection sits beside it
+    for the error read.  Per-type distinct users reduce; only k keys
+    per type ever reach the driver."""
+    import hashlib
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array([type_a, type_b]))
+        t = batch.filter(keep)
+        return t.group_by(["event_type", "user_id"]).aggregate([]) \
+            .select(["event_type", "user_id"])
+
+    distinct = partial_aggregate(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["event_type", "user_id"], [])
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+             for x in u), np.int64, count=len(u))
+        return pa.table({"event_type": batch.column("event_type"),
+                         "h": pa.array(h)})
+
+    rows = pa.concat_tables(list(
+        distinct.map_batches(hashed, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    et = rows.column("event_type").to_numpy(zero_copy_only=False)
+    h = rows.column("h").to_numpy(zero_copy_only=False)
+    ha = np.sort(h[et == type_a])[:k]
+    hb = np.sort(h[et == type_b])[:k]
+    sa, sb = set(ha.tolist()), set(hb.tolist())
+    union = np.sort(np.array(sorted(sa | sb), np.int64))[:k]
+    theta = int(union[-1]) if len(union) >= k else (1 << 60)
+    both = sorted(sa & sb)
+    i_under = sum(1 for x in both if x <= theta)
+    n_union_under = len(union)
+    # KMV estimate: |A∩B| ≈ i/k_union · |union| where |union| ≈
+    # (k-1)·2^60/θ ; keep it integer: est = i·(k_union−1)·2^60 //
+    # (k_union·θ) (0 when the union sketch is unsaturated: exact mode)
+    if len(sa | sb) <= k:
+        est = i_under              # sketch holds the whole union
+    else:
+        est = (i_under * (n_union_under - 1) * (1 << 60)) \
+            // (n_union_under * max(theta, 1))
+    exact = len({int(x) for x in h[et == type_a]}
+                & {int(x) for x in h[et == type_b]})
+    return ray.data.from_arrow(pa.table({
+        "est_intersection": pa.array([est], pa.int64()),
+        "exact_intersection": pa.array([exact], pa.int64()),
+        "k": pa.array([k], pa.int64())}))
+
+
+def token_position_diversity(sf_dir: str, max_pos: int = 10
+                             ) -> ray.data.Dataset:
+    """Positional vocabulary profile: distinct tokens observed at each
+    of the first 10 token positions across the corpus — do documents
+    share stereotyped openings?  (position, token) pairs dedup through
+    one keyed exchange."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        reps = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        starts = np.r_[0, np.cumsum(reps)[:-1]]
+        pos = np.arange(len(flat)) - np.repeat(starts, reps)
+        keep = pos < max_pos
+        t = pa.table({"pos": pa.array(pos[keep].astype(np.int64)),
+                      "tok": pa.array(flat[keep])})
+        return t.group_by(["pos", "tok"]).aggregate([]) \
+            .select(["pos", "tok"])
+
+    distinct = partial_aggregate(
+        ds.map_batches(pairs, batch_format="pyarrow"), ["pos", "tok"],
+        [])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["pos"]).aggregate([("pos", "count")])
+        return pa.table({"pos": res.column("pos"),
+                         "n_distinct_tokens": pc.cast(
+                             res.column("pos_count"), pa.int64())})
+
+    return partial_aggregate(
+        distinct.map_batches(fold, batch_format="pyarrow"),
+        ["pos"], [("n_distinct_tokens", "sum", "n_distinct_tokens")])
+
+
+def coorder_clustering_coefficient(sf_dir: str) -> ray.data.Dataset:
+    """Global clustering coefficient of the co-ordered-parts graph:
+    3·triangles / open-2-paths (floor ppm) — triangles via the oriented
+    edge-join on the deduped edge list, 2-paths from the degree sums;
+    both bounded by the part dimension after the pair exchange."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        bkt = ((ok.astype(np.uint64) * _FIB64) >> np.uint64(56)) \
+            .astype(np.int64)
+        return batch.append_column("bkt", pa.array(bkt))
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ok = group.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = group.column("l_partkey").to_numpy(zero_copy_only=False)
+        u = np.unique(np.stack([ok, pk], axis=1), axis=0)
+        ok, pk = u[:, 0], u[:, 1]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        lens = np.diff(np.r_[starts, len(ok)])
+        a_all, b_all = [], []
+        for ln in np.unique(lens):
+            if ln < 2:
+                continue
+            segs = starts[lens == ln]
+            mat = pk[segs[:, None] + np.arange(ln)]
+            ii, jj = np.triu_indices(int(ln), k=1)
+            a_all.append(mat[:, ii].ravel())
+            b_all.append(mat[:, jj].ravel())
+        if not a_all:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        a = np.concatenate(a_all)
+        b = np.concatenate(b_all)
+        t2 = pa.table({"u": pa.array(np.minimum(a, b)),
+                       "v": pa.array(np.maximum(a, b))})
+        return t2.group_by(["u", "v"]).aggregate([]).select(["u", "v"])
+
+    edges_tab = pa.concat_tables(list(partial_aggregate(
+        li.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bkt").map_groups(bucket_pairs,
+                                   batch_format="pyarrow"),
+        ["u", "v"], [])
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    # part-dimension-bounded adjacency: triangles by sorted-set probe
+    eu = edges_tab.column("u").to_numpy(zero_copy_only=False)
+    ev = edges_tab.column("v").to_numpy(zero_copy_only=False)
+    edge_set = set(zip(eu.tolist(), ev.tolist()))
+    nbrs = {}
+    for a, b in edge_set:
+        nbrs.setdefault(a, []).append(b)
+    tri = 0
+    for a, lst in nbrs.items():
+        lst = sorted(lst)
+        for i in range(len(lst)):
+            for j in range(i + 1, len(lst)):
+                if (lst[i], lst[j]) in edge_set:
+                    tri += 1
+    deg = {}
+    for a, b in edge_set:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    paths2 = sum(d * (d - 1) // 2 for d in deg.values())
+    return ray.data.from_arrow(pa.table({
+        "n_triangles": pa.array([tri], pa.int64()),
+        "n_paths2": pa.array([paths2], pa.int64()),
+        "clustering_ppm": pa.array(
+            [(1_000_000 * 3 * tri) // max(paths2, 1)], pa.int64())}))
+
+
+def early_value_share_hist(sf_dir: str) -> ray.data.Dataset:
+    """Cohort quality signal: each user's FIRST-7-DAYS value share of
+    their lifetime value (floor ppm), bucketed per 100k — does early
+    behavior predict the total?  Entirely within each user's group."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        cents = np.rint(group.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        cutoff = ts.min() + 7 * 86_400_000_000
+        early = int(cents[ts < cutoff].sum())
+        total = int(cents.sum())
+        ppm = (1_000_000 * early) // max(total, 1)
+        return pa.table({
+            "bucket": pa.array([ppm // 100_000], pa.int64()),
+            "n_users": pa.array([1], pa.int64())})
+
+    per = ds.groupby("user_id").map_groups(per_user,
+                                           batch_format="pyarrow")
+    return partial_aggregate(per, ["bucket"],
+                             [("n_users", "sum", "n_users")])
