@@ -343,7 +343,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         kmv_intersection_estimate,
                                         token_position_diversity,
                                         coorder_clustering_coefficient,
-                                        early_value_share_hist)
+                                        early_value_share_hist,
+                                        popularity_rec_hit_at10,
+                                        order_rolling_rank_counts,
+                                        hourly_hotuser_share_hist,
+                                        doc_half_jaccard_hist)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -937,6 +941,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_position_diversity": token_position_diversity,
         "coorder_clustering_coefficient": coorder_clustering_coefficient,
         "early_value_share_hist": early_value_share_hist,
+        "popularity_rec_hit_at10": popularity_rec_hit_at10,
+        "order_rolling_rank_counts": order_rolling_rank_counts,
+        "hourly_hotuser_share_hist": hourly_hotuser_share_hist,
+        "doc_half_jaccard_hist": doc_half_jaccard_hist,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2856,6 +2864,55 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "popularity_rec_hit_at10": (
+            "WITH lo AS (SELECT o_custkey, o_orderkey, row_number() "
+            "OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, "
+            "o_orderkey DESC) AS rn, count(*) OVER ("
+            "PARTITION BY o_custkey) AS nc FROM orders), "
+            "last AS (SELECT o_orderkey, nc FROM lo WHERE rn = 1), "
+            "train AS (SELECT l_partkey, count(*) AS n FROM lineitem "
+            "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM last) "
+            "GROUP BY 1), "
+            "top AS (SELECT l_partkey FROM train "
+            "ORDER BY n DESC, l_partkey LIMIT 10), "
+            "ev AS (SELECT o_orderkey FROM last WHERE nc >= 2), "
+            "ho AS (SELECT l.l_orderkey, MAX(CASE WHEN l.l_partkey IN "
+            "(SELECT l_partkey FROM top) THEN 1 ELSE 0 END) AS hit "
+            "FROM lineitem l JOIN ev ON l.l_orderkey = ev.o_orderkey "
+            "GROUP BY 1) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_eval_customers, "
+            "CAST(SUM(hit) AS BIGINT) AS n_hits, "
+            "CAST((1000000 * SUM(hit)) // GREATEST(count(*), 1) "
+            "AS BIGINT) AS hit_ppm FROM ho"),
+        "order_rolling_rank_counts": (
+            "WITH r AS (SELECT o_custkey, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS c, "
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey) AS rn FROM orders), "
+            "k AS (SELECT a.o_custkey, a.rn, 1 + SUM(CASE WHEN "
+            "b.c > a.c THEN 1 ELSE 0 END) AS rnk FROM r a "
+            "JOIN r b ON a.o_custkey = b.o_custkey "
+            "AND b.rn BETWEEN a.rn - 4 AND a.rn GROUP BY 1, 2) "
+            "SELECT CAST(rnk AS BIGINT) AS rank, "
+            "CAST(count(*) AS BIGINT) AS n_orders FROM k GROUP BY 1"),
+        "hourly_hotuser_share_hist": (
+            "WITH c AS (SELECT date_trunc('hour', ts) AS h, user_id, "
+            "count(*) AS n FROM events GROUP BY 1, 2), "
+            "s AS (SELECT h, (1000000 * MAX(n)) // SUM(n) AS share "
+            "FROM c GROUP BY 1) "
+            "SELECT share // 100000 AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n_hours FROM s GROUP BY 1"),
+        "doc_half_jaccard_hist": (
+            "WITH e AS (SELECT doc_id, toks[i] AS tok, "
+            "CASE WHEN i - 1 < len(toks) // 2 THEN 1 ELSE 0 END AS ia "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS toks "
+            "FROM documents), unnest(range(1, len(toks) + 1)) t(i)), "
+            "g AS (SELECT doc_id, tok, MAX(ia) AS ina, "
+            "MAX(1 - ia) AS inb FROM e GROUP BY 1, 2), "
+            "d AS (SELECT doc_id, SUM(ina * inb) AS inter, "
+            "count(*) AS un FROM g GROUP BY 1) "
+            "SELECT ((1000000 * inter) // un) // 100000 AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY 1"),
         "kmv_intersection_estimate": (
             "WITH du AS (SELECT DISTINCT event_type, user_id "
             "FROM events WHERE event_type IN ('view', 'purchase')), "

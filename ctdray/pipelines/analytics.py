@@ -14146,3 +14146,196 @@ def early_value_share_hist(sf_dir: str) -> ray.data.Dataset:
                                            batch_format="pyarrow")
     return partial_aggregate(per, ["bucket"],
                              [("n_users", "sum", "n_users")])
+
+
+def popularity_rec_hit_at10(sf_dir: str, k: int = 10
+                            ) -> ray.data.Dataset:
+    """Leave-last-order-out recommender evaluation: popularity ranks
+    train on every NON-last order, and a customer scores a hit when
+    their held-out last order contains any top-k popular part — the
+    deterministic hit@k protocol.  Last-order ids resolve per customer;
+    popularity folds from the train split; the tiny top-k broadcasts
+    into the evaluation pass."""
+    from ..functions.joins import shuffle_lookup_join
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey",
+                                         "o_orderdate"])
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def last_orders(group: pa.Table) -> pa.Table:
+        od = group.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ok = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+        pick = np.lexsort((-ok, -od))[0]   # latest date, max orderkey
+        n = len(ok)
+        return pa.table({
+            "o_orderkey": pa.array([int(ok[pick])], pa.int64()),
+            "is_eval": pa.array([1 if n >= 2 else 0], pa.int64())})
+
+    last = pa.concat_tables(list(
+        orders.groupby("o_custkey")
+        .map_groups(last_orders, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    eval_keys = pa.array(sorted(
+        last.filter(pc.equal(last.column("is_eval"), 1))
+        .column("o_orderkey").to_pylist()), pa.int64())
+    all_last = pa.array(sorted(last.column("o_orderkey").to_pylist()),
+                        pa.int64())
+    lref = ray.put((all_last, eval_keys))
+
+    def train_counts(batch: pa.Table) -> pa.Table:
+        alast, _ = ray.get(lref)
+        keep = pc.invert(pc.is_in(batch.column("l_orderkey"),
+                                  value_set=alast))
+        t = batch.filter(keep)
+        tt = pa.table({"l_partkey": t.column("l_partkey"),
+                       "n": pa.array(np.ones(len(t), np.int64))})
+        res = tt.group_by(["l_partkey"]).aggregate([("n", "sum")])
+        return pa.table({"l_partkey": res.column("l_partkey"),
+                         "n": res.column("n_sum")})
+
+    pop = partial_aggregate(
+        li.map_batches(train_counts, batch_format="pyarrow"),
+        ["l_partkey"], [("n", "sum", "n")]) \
+        .sort(["n", "l_partkey"], descending=[True, False]) \
+        .limit(k).take_all()
+    top = pa.array(sorted(r["l_partkey"] for r in pop), pa.int64())
+    tref = ray.put(top)
+
+    def hits(batch: pa.Table) -> pa.Table:
+        _, ekeys = ray.get(lref)
+        topk = ray.get(tref)
+        keep = pc.is_in(batch.column("l_orderkey"), value_set=ekeys)
+        t = batch.filter(keep)
+        hit = pc.is_in(t.column("l_partkey"), value_set=topk)
+        tt = pa.table({"l_orderkey": t.column("l_orderkey"),
+                       "hit": pc.cast(hit, pa.int64())})
+        res = tt.group_by(["l_orderkey"]).aggregate([("hit", "max")])
+        return pa.table({"l_orderkey": res.column("l_orderkey"),
+                         "hit": res.column("hit_max")})
+
+    per_order = partial_aggregate(
+        li.map_batches(hits, batch_format="pyarrow"),
+        ["l_orderkey"], [("hit", "max", "hit")])
+    rows = pa.concat_tables(list(per_order.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    n_eval = len(rows)
+    n_hits = int(pc.sum(rows.column("hit")).as_py() or 0)
+    return ray.data.from_arrow(pa.table({
+        "n_eval_customers": pa.array([n_eval], pa.int64()),
+        "n_hits": pa.array([n_hits], pa.int64()),
+        "hit_ppm": pa.array([(1_000_000 * n_hits) // max(n_eval, 1)],
+                            pa.int64())}))
+
+
+def order_rolling_rank_counts(sf_dir: str, window: int = 5
+                              ) -> ray.data.Dataset:
+    """Rolling rank: each order's value rank among the customer's
+    trailing 5 orders (1 = highest), folded to a rank histogram —
+    'is the latest order their biggest recently?'  One vectorized
+    window sweep per customer group."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderkey",
+                                     "o_orderdate", "o_totalprice"])
+
+    def per_cust(group: pa.Table) -> pa.Table:
+        od = group.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        ok = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cents = np.rint(group.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        order = np.lexsort((ok, od))
+        c = cents[order]
+        ranks = np.empty(len(c), np.int64)
+        for i in range(len(c)):
+            lo = max(0, i - window + 1)
+            w = c[lo:i + 1]
+            ranks[i] = 1 + int((w > c[i]).sum())
+        t = pa.table({"rank": pa.array(ranks),
+                      "n_orders": pa.array(np.ones(len(c), np.int64))})
+        res = t.group_by(["rank"]).aggregate([("n_orders", "sum")])
+        return pa.table({"rank": res.column("rank"),
+                         "n_orders": res.column("n_orders_sum")})
+
+    per = ds.groupby("o_custkey").map_groups(per_cust,
+                                             batch_format="pyarrow")
+    return partial_aggregate(per, ["rank"],
+                             [("n_orders", "sum", "n_orders")])
+
+
+def hourly_hotuser_share_hist(sf_dir: str) -> ray.data.Dataset:
+    """Windowed skew monitor: per hour the busiest user's event share
+    (floor ppm), folded to a share histogram (buckets per 100k) — the
+    multi-tenant fairness gauge.  (hour, user) counts reduce; per-hour
+    argmax runs on the hour-bounded grid."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        t = pa.table({"hour": hour,
+                      "user_id": batch.column("user_id"),
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["hour", "user_id"]).aggregate([("n", "sum")])
+        return pa.table({"hour": res.column("hour"),
+                         "user_id": res.column("user_id"),
+                         "n": res.column("n_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["hour", "user_id"], [("n", "sum", "n")])
+
+    def per_hour(group: pa.Table) -> pa.Table:
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        share = (1_000_000 * int(n.max())) // int(n.sum())
+        return pa.table({
+            "bucket": pa.array([share // 100_000], pa.int64()),
+            "n_hours": pa.array([1], pa.int64())})
+
+    per = agg.groupby("hour").map_groups(per_hour,
+                                         batch_format="pyarrow")
+    return partial_aggregate(per, ["bucket"],
+                             [("n_hours", "sum", "n_hours")])
+
+
+def doc_half_jaccard_hist(sf_dir: str) -> ray.data.Dataset:
+    """Intra-document self-similarity: Jaccard (floor ppm) between the
+    token SETS of each document's first and second half, bucketed per
+    100k — repetitive boilerplate scores high.  Documents are atomic
+    per batch, so the set algebra is one vectorized group_by."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        reps = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        starts = np.r_[0, np.cumsum(reps)[:-1]]
+        pos = np.arange(len(flat)) - np.repeat(starts, reps)
+        doc = np.repeat(np.arange(len(batch)), reps)
+        half = (pos >= np.repeat(reps // 2, reps)).astype(np.int8)
+        t = pa.table({"doc": pa.array(doc), "tok": pa.array(flat),
+                      "in_a": pa.array((half == 0).astype(np.int64)),
+                      "in_b": pa.array((half == 1).astype(np.int64))})
+        res = t.group_by(["doc", "tok"]).aggregate(
+            [("in_a", "max"), ("in_b", "max")])
+        da = res.column("doc").to_numpy(zero_copy_only=False)
+        ia = res.column("in_a_max").to_numpy(zero_copy_only=False)
+        ib = res.column("in_b_max").to_numpy(zero_copy_only=False)
+        inter = np.zeros(len(batch), np.int64)
+        union = np.zeros(len(batch), np.int64)
+        np.add.at(inter, da, (ia & ib).astype(np.int64))
+        np.add.at(union, da, np.ones(len(da), np.int64))
+        ppm = (1_000_000 * inter) // np.where(union == 0, 1, union)
+        t2 = pa.table({"bucket": pa.array(ppm // 100_000),
+                       "n_docs": pa.array(np.ones(len(batch),
+                                                  np.int64))})
+        res2 = t2.group_by(["bucket"]).aggregate([("n_docs", "sum")])
+        return pa.table({"bucket": res2.column("bucket"),
+                         "n_docs": res2.column("n_docs_sum")})
+
+    return partial_aggregate(
+        ds.map_batches(per_batch, batch_format="pyarrow"),
+        ["bucket"], [("n_docs", "sum", "n_docs")])
