@@ -347,7 +347,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         popularity_rec_hit_at10,
                                         order_rolling_rank_counts,
                                         hourly_hotuser_share_hist,
-                                        doc_half_jaccard_hist)
+                                        doc_half_jaccard_hist,
+                                        zorder_locality_audit,
+                                        lang_hapax_tail_mass,
+                                        value_split_retention,
+                                        priority_multiline_share)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -945,6 +949,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_rolling_rank_counts": order_rolling_rank_counts,
         "hourly_hotuser_share_hist": hourly_hotuser_share_hist,
         "doc_half_jaccard_hist": doc_half_jaccard_hist,
+        "zorder_locality_audit": zorder_locality_audit,
+        "lang_hapax_tail_mass": lang_hapax_tail_mass,
+        "value_split_retention": value_split_retention,
+        "priority_multiline_share": priority_multiline_share,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2864,6 +2872,54 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "zorder_locality_audit": (
+            "WITH b AS (SELECT o_custkey AS c, "
+            "CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' "
+            "AS BIGINT) AS d FROM orders), "
+            "zz AS (SELECT ((((d >> 0) & 1) << 0) + (((c >> 0) & 1) << 1) + (((d >> 1) & 1) << 2) + (((c >> 1) & 1) << 3) + (((d >> 2) & 1) << 4) + (((c >> 2) & 1) << 5) + (((d >> 3) & 1) << 6) + (((c >> 3) & 1) << 7) + (((d >> 4) & 1) << 8) + (((c >> 4) & 1) << 9) + (((d >> 5) & 1) << 10) + (((c >> 5) & 1) << 11) + (((d >> 6) & 1) << 12) + (((c >> 6) & 1) << 13) + (((d >> 7) & 1) << 14) + (((c >> 7) & 1) << 15) + (((d >> 8) & 1) << 16) + (((c >> 8) & 1) << 17) + (((d >> 9) & 1) << 18) + (((c >> 9) & 1) << 19) + (((d >> 10) & 1) << 20) + (((c >> 10) & 1) << 21) + (((d >> 11) & 1) << 22) + (((c >> 11) & 1) << 23) + (((d >> 12) & 1) << 24) + (((c >> 12) & 1) << 25) + (((d >> 13) & 1) << 26) + (((c >> 13) & 1) << 27) + (((d >> 14) & 1) << 28) + (((c >> 14) & 1) << 29) + (((d >> 15) & 1) << 30) + (((c >> 15) & 1) << 31) + (((d >> 16) & 1) << 32) + (((c >> 16) & 1) << 33) + (((d >> 17) & 1) << 34) + (((c >> 17) & 1) << 35) + (((d >> 18) & 1) << 36) + (((c >> 18) & 1) << 37) + (((d >> 19) & 1) << 38) + (((c >> 19) & 1) << 39)) AS z, d, c FROM b), "
+            "ch AS (SELECT z >> 30 AS chunk, min(d) AS dmn, "
+            "max(d) AS dmx, min(c) AS kmn, max(c) AS kmx, "
+            "count(*) AS n FROM zz GROUP BY 1) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_chunks, "
+            "CAST(SUM(dmx - dmn) AS BIGINT) AS sum_day_span, "
+            "CAST(SUM(kmx - kmn) AS BIGINT) AS sum_key_span, "
+            "CAST(SUM(n) AS BIGINT) AS n_rows FROM ch"),
+        "lang_hapax_tail_mass": (
+            "WITH c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) "
+            "AS n FROM (SELECT lang, "
+            "unnest(string_split(text, ' ')) AS tok FROM documents) "
+            "GROUP BY 1, 2) "
+            "SELECT lang, CAST(SUM(n) AS BIGINT) AS n_occurrences, "
+            "CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_hapax, "
+            "CAST((1000000 * SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)) "
+            "// GREATEST(SUM(n), 1) AS BIGINT) AS tail_ppm "
+            "FROM c GROUP BY 1"),
+        "value_split_retention": (
+            "WITH u AS (SELECT user_id, "
+            "SUM(CAST(round(value * 100) AS BIGINT)) AS cents, "
+            "max(ts) AS last FROM events GROUP BY 1), "
+            "m AS (SELECT quantile_disc(cents, 0.5) AS med, "
+            "max(last) AS mx FROM u), "
+            "c AS (SELECT CASE WHEN u.cents > m.med THEN 'high' "
+            "ELSE 'low' END AS segment, CASE WHEN epoch_us(u.last) >= "
+            "epoch_us(m.mx) - 2592000000000 THEN 1 ELSE 0 END AS act "
+            "FROM u, m) "
+            "SELECT segment, CAST(count(*) AS BIGINT) AS n_users, "
+            "CAST(SUM(act) AS BIGINT) AS n_retained, "
+            "CAST((1000000 * SUM(act)) // GREATEST(count(*), 1) "
+            "AS BIGINT) AS retention_ppm FROM c GROUP BY 1"),
+        "priority_multiline_share": (
+            "WITH po AS (SELECT l_orderkey, count(*) AS nl "
+            "FROM lineitem GROUP BY 1), "
+            "j AS (SELECT o.o_orderpriority AS priority, po.nl "
+            "FROM po JOIN orders o ON po.l_orderkey = o.o_orderkey) "
+            "SELECT priority, CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(CASE WHEN nl > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_multi, "
+            "CAST((1000000 * SUM(CASE WHEN nl > 1 THEN 1 ELSE 0 END)) "
+            "// GREATEST(count(*), 1) AS BIGINT) AS multi_ppm "
+            "FROM j GROUP BY 1"),
         "popularity_rec_hit_at10": (
             "WITH lo AS (SELECT o_custkey, o_orderkey, row_number() "
             "OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, "

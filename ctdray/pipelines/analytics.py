@@ -14339,3 +14339,217 @@ def doc_half_jaccard_hist(sf_dir: str) -> ray.data.Dataset:
     return partial_aggregate(
         ds.map_batches(per_batch, batch_format="pyarrow"),
         ["bucket"], [("n_docs", "sum", "n_docs")])
+
+
+def zorder_locality_audit(sf_dir: str, shift: int = 30
+                          ) -> ray.data.Dataset:
+    """Z-order (Morton) layout audit: orders keyed by the bit-
+    interleave of (custkey, days-since-epoch) and chunked on the
+    z-prefix; per chunk the day-span and key-span show how well a
+    z-sort would co-locate BOTH dimensions (the multi-column
+    clustering question Z-ordering answers).  The interleave is 20+20
+    vectorized bit ops; chunk envelopes partial-aggregate."""
+    epoch = np.datetime64("1995-01-01", "D").astype(np.int64)
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate"])
+
+    def z(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        day = (batch.column("o_orderdate")
+               .to_numpy(zero_copy_only=False).astype("datetime64[D]")
+               .astype(np.int64) - epoch)
+        zv = np.zeros(len(ck), np.int64)
+        for i in range(20):
+            zv |= ((day >> i) & 1) << (2 * i)
+            zv |= ((ck >> i) & 1) << (2 * i + 1)
+        chunk = zv >> shift
+        t = pa.table({"chunk": pa.array(chunk),
+                      "dmn": pa.array(day), "dmx": pa.array(day),
+                      "kmn": pa.array(ck), "kmx": pa.array(ck),
+                      "n": pa.array(np.ones(len(ck), np.int64))})
+        res = t.group_by(["chunk"]).aggregate(
+            [("dmn", "min"), ("dmx", "max"), ("kmn", "min"),
+             ("kmx", "max"), ("n", "sum")])
+        return pa.table({"chunk": res.column("chunk"),
+                         "dmn": res.column("dmn_min"),
+                         "dmx": res.column("dmx_max"),
+                         "kmn": res.column("kmn_min"),
+                         "kmx": res.column("kmx_max"),
+                         "n": res.column("n_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(z, batch_format="pyarrow"),
+        ["chunk"], [("dmn", "min", "dmn"), ("dmx", "max", "dmx"),
+                    ("kmn", "min", "kmn"), ("kmx", "max", "kmx"),
+                    ("n", "sum", "n")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    dspan = (rows.column("dmx").to_numpy(zero_copy_only=False)
+             - rows.column("dmn").to_numpy(zero_copy_only=False))
+    kspan = (rows.column("kmx").to_numpy(zero_copy_only=False)
+             - rows.column("kmn").to_numpy(zero_copy_only=False))
+    return ray.data.from_arrow(pa.table({
+        "n_chunks": pa.array([len(rows)], pa.int64()),
+        "sum_day_span": pa.array([int(dspan.sum())], pa.int64()),
+        "sum_key_span": pa.array([int(kspan.sum())], pa.int64()),
+        "n_rows": pa.array([int(pc.sum(rows.column("n")).as_py())],
+                           pa.int64())}))
+
+
+def lang_hapax_tail_mass(sf_dir: str) -> ray.data.Dataset:
+    """Long-tail mass per language: the share (floor ppm) of token
+    OCCURRENCES carried by hapax legomena (corpus-frequency-1 tokens
+    within the language) — the vocabulary-pruning cost gauge."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        reps = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lang = pc.take(batch.column("lang"),
+                       pa.array(np.repeat(np.arange(len(batch)), reps)))
+        t = pa.table({"lang": lang, "tok": flat,
+                      "n": pa.array(np.ones(len(flat), np.int64))})
+        res = t.group_by(["lang", "tok"]).aggregate([("n", "sum")])
+        return pa.table({"lang": res.column("lang"),
+                         "tok": res.column("tok"),
+                         "n": res.column("n_sum")})
+
+    per_tok = partial_aggregate(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["lang", "tok"], [("n", "sum", "n")])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        t = pa.table({"lang": batch.column("lang"),
+                      "total": pa.array(n),
+                      "hapax": pa.array((n == 1).astype(np.int64))})
+        res = t.group_by(["lang"]).aggregate(
+            [("total", "sum"), ("hapax", "sum")])
+        return pa.table({"lang": res.column("lang"),
+                         "total": res.column("total_sum"),
+                         "hapax": res.column("hapax_sum")})
+
+    agg = partial_aggregate(
+        per_tok.map_batches(fold, batch_format="pyarrow"),
+        ["lang"], [("total", "sum", "total"),
+                   ("hapax", "sum", "hapax")])
+
+    def ppm(batch: pa.Table) -> pa.Table:
+        t = batch.column("total").to_numpy(zero_copy_only=False)
+        h = batch.column("hapax").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lang": batch.column("lang"),
+            "n_occurrences": pa.array(t),
+            "n_hapax": pa.array(h),
+            "tail_ppm": pa.array((1_000_000 * h)
+                                 // np.where(t == 0, 1, t))})
+
+    return agg.map_batches(ppm, batch_format="pyarrow")
+
+
+def value_split_retention(sf_dir: str, window_days: int = 30
+                          ) -> ray.data.Dataset:
+    """Value-stratified retention: users split at the lower-median
+    lifetime value; each half's share (floor ppm) still active in the
+    final 30 days — do valuable users stick?  Per-user totals and
+    last-seen fold in one pass; the median splits on the user-bounded
+    table."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "cents": pa.array(cents),
+                      "last_ts": batch.column("ts")})
+        res = t.group_by(["user_id"]).aggregate(
+            [("cents", "sum"), ("last_ts", "max")])
+        return pa.table({"user_id": res.column("user_id"),
+                         "cents": res.column("cents_sum"),
+                         "last_ts": res.column("last_ts_max")})
+
+    agg = partial_aggregate(
+        ds.map_batches(per_batch, batch_format="pyarrow"),
+        ["user_id"], [("cents", "sum", "cents"),
+                      ("last_ts", "max", "last_ts")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    cents = rows.column("cents").to_numpy(zero_copy_only=False)
+    last = rows.column("last_ts").to_numpy(zero_copy_only=False) \
+        .astype("datetime64[us]").astype(np.int64)
+    med = int(np.sort(cents)[(len(cents) - 1) // 2])
+    cutoff = int(last.max()) - window_days * 86_400_000_000
+    hi = cents > med
+    active = last >= cutoff
+    out_rows = []
+    for name, mask in (("high", hi), ("low", ~hi)):
+        n = int(mask.sum())
+        ret = int((mask & active).sum())
+        out_rows.append((name, n, ret,
+                         (1_000_000 * ret) // max(n, 1)))
+    return ray.data.from_arrow(pa.table({
+        "segment": pa.array([r[0] for r in out_rows], pa.string()),
+        "n_users": pa.array([r[1] for r in out_rows], pa.int64()),
+        "n_retained": pa.array([r[2] for r in out_rows], pa.int64()),
+        "retention_ppm": pa.array([r[3] for r in out_rows],
+                                  pa.int64())}))
+
+
+def priority_multiline_share(sf_dir: str) -> ray.data.Dataset:
+    """Order complexity by priority: share (floor ppm) of each
+    priority's orders with MORE THAN ONE lineitem — per-order line
+    counts join the order side through one shuffle_lookup_join."""
+    from ..functions.joins import shuffle_lookup_join
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey",
+                                         "o_orderpriority"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "nl": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["l_orderkey"]).aggregate([("nl", "sum")])
+        return pa.table({"l_orderkey": res.column("l_orderkey"),
+                         "nl": res.column("nl_sum")})
+
+    per_order = partial_aggregate(
+        li.map_batches(counts, batch_format="pyarrow"),
+        ["l_orderkey"], [("nl", "sum", "nl")])
+    joined = shuffle_lookup_join(
+        per_order, orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("nl", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderpriority", pa.string())]))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        multi = pc.cast(pc.greater(batch.column("nl"), 1), pa.int64())
+        t = pa.table({"priority": batch.column("o_orderpriority"),
+                      "n_orders": pa.array(np.ones(len(batch),
+                                                   np.int64)),
+                      "n_multi": multi})
+        res = t.group_by(["priority"]).aggregate(
+            [("n_orders", "sum"), ("n_multi", "sum")])
+        return pa.table({"priority": res.column("priority"),
+                         "n_orders": res.column("n_orders_sum"),
+                         "n_multi": res.column("n_multi_sum")})
+
+    agg = partial_aggregate(
+        joined.map_batches(fold, batch_format="pyarrow"),
+        ["priority"], [("n_orders", "sum", "n_orders"),
+                       ("n_multi", "sum", "n_multi")])
+
+    def ppm(batch: pa.Table) -> pa.Table:
+        no = batch.column("n_orders").to_numpy(zero_copy_only=False)
+        nm = batch.column("n_multi").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "multi_ppm",
+            pa.array((1_000_000 * nm) // np.where(no == 0, 1, no)))
+
+    return agg.map_batches(ppm, batch_format="pyarrow")
