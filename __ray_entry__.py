@@ -351,7 +351,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         zorder_locality_audit,
                                         lang_hapax_tail_mass,
                                         value_split_retention,
-                                        priority_multiline_share)
+                                        priority_multiline_share,
+                                        props_k_value_cov,
+                                        same_day_repeat_buyers,
+                                        repdigit_value_audit,
+                                        alert_2of3_low_days)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -953,6 +957,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_hapax_tail_mass": lang_hapax_tail_mass,
         "value_split_retention": value_split_retention,
         "priority_multiline_share": priority_multiline_share,
+        "props_k_value_cov": props_k_value_cov,
+        "same_day_repeat_buyers": same_day_repeat_buyers,
+        "repdigit_value_audit": repdigit_value_audit,
+        "alert_2of3_low_days": alert_2of3_low_days,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2872,6 +2880,44 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "props_k_value_cov": (
+            "WITH e AS (SELECT event_type, "
+            "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) "
+            "AS BIGINT) AS k, "
+            "CAST(round(value * 100) AS BIGINT) AS v FROM events) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(*) * SUM(k * v) - SUM(k) * SUM(v) AS DOUBLE) "
+            "AS cov_num FROM e GROUP BY 1"),
+        "same_day_repeat_buyers": (
+            "WITH p AS (SELECT o_custkey, "
+            "date_trunc('day', o_orderdate) AS day, count(*) AS n "
+            "FROM orders GROUP BY 1, 2), "
+            "r AS (SELECT * FROM p WHERE n >= 2) "
+            "SELECT CAST(count(*) AS BIGINT) "
+            "AS n_repeat_customer_days, "
+            "CAST(count(DISTINCT o_custkey) AS BIGINT) "
+            "AS n_repeat_customers FROM r"),
+        "repdigit_value_audit": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(CASE WHEN CAST(round(value * 100) AS BIGINT) IN "
+            "(1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 22, 33, 44, 55, 66, 77, 88, 99, 111, 222, 333, 444, 555, 666, 777, 888, 999, 1111, 2222, 3333, 4444, 5555, 6666, 7777, 8888, 9999, 11111, 22222, 33333, 44444, 55555, 66666, 77777, 88888, 99999, 111111, 222222, 333333, 444444, 555555, 666666, 777777, 888888, 999999, 1111111, 2222222, 3333333, 4444444, 5555555, 6666666, 7777777, 8888888, 9999999, 11111111, 22222222, 33333333, 44444444, 55555555, 66666666, 77777777, 88888888, 99999999, 111111111, 222222222, 333333333, 444444444, 555555555, 666666666, 777777777, 888888888, 999999999, 1111111111, 2222222222, 3333333333, 4444444444, 5555555555, 6666666666, 7777777777, 8888888888, 9999999999, 11111111111, 22222222222, 33333333333, 44444444444, 55555555555, 66666666666, 77777777777, 88888888888, 99999999999, 111111111111, 222222222222, 333333333333, 444444444444, 555555555555, 666666666666, 777777777777, 888888888888, 999999999999, 1111111111111, 2222222222222, 3333333333333, 4444444444444, 5555555555555, 6666666666666, 7777777777777, 8888888888888, 9999999999999, 11111111111111, 22222222222222, 33333333333333, 44444444444444, 55555555555555, 66666666666666, 77777777777777, 88888888888888, 99999999999999, 111111111111111, 222222222222222, 333333333333333, 444444444444444, 555555555555555, 666666666666666, 777777777777777, 888888888888888, 999999999999999) THEN 1 ELSE 0 END) AS BIGINT) AS n_repdigit "
+            "FROM events GROUP BY 1"),
+        "alert_2of3_low_days": (
+            "WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, "
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents "
+            "FROM orders GROUP BY 1), "
+            "m AS (SELECT count(*) AS n, SUM(cents) AS s FROM d), "
+            "l AS (SELECT day, CASE WHEN CAST(cents AS HUGEINT) * m.n "
+            "< m.s THEN 1 ELSE 0 END AS low FROM d, m), "
+            "a AS (SELECT l1.day, l1.low + COALESCE(l2.low, 0) "
+            "+ COALESCE(l3.low, 0) AS c FROM l l1 "
+            "LEFT JOIN l l2 ON l2.day = l1.day - INTERVAL 1 DAY "
+            "LEFT JOIN l l3 ON l3.day = l1.day - INTERVAL 2 DAY) "
+            "SELECT CAST((SELECT count(*) FROM d) AS BIGINT) "
+            "AS n_days, "
+            "CAST((SELECT SUM(low) FROM l) AS BIGINT) AS n_low_days, "
+            "CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_alert_days FROM a"),
         "zorder_locality_audit": (
             "WITH b AS (SELECT o_custkey AS c, "
             "CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' "

@@ -14553,3 +14553,172 @@ def priority_multiline_share(sf_dir: str) -> ray.data.Dataset:
             pa.array((1_000_000 * nm) // np.where(no == 0, 1, no)))
 
     return agg.map_batches(ppm, batch_format="pyarrow")
+
+
+def props_k_value_cov(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured × metric covariance: per event type the integer
+    covariance numerator n·Σkv − Σk·Σv between the JSON field ``k``
+    (extracted with one RE2 kernel) and the event value in cents —
+    does the payload field track the metric?"""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value", "props"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        ks = pc.extract_regex(batch.column("props"),
+                              r'"k": (?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ks, "k"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cents = np.rint(batch.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "n": pa.array(np.ones(len(k), np.int64)),
+                      "sk": pa.array(k), "sv": pa.array(cents),
+                      "skv": pa.array(k * cents)})
+        res = t.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("sk", "sum"), ("sv", "sum"),
+             ("skv", "sum")])
+        return pa.table({"event_type": res.column("event_type"),
+                         "n": res.column("n_sum"),
+                         "sk": res.column("sk_sum"),
+                         "sv": res.column("sv_sum"),
+                         "skv": res.column("skv_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        ["event_type"], [("n", "sum", "n"), ("sk", "sum", "sk"),
+                         ("sv", "sum", "sv"), ("skv", "sum", "skv")])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        sk = batch.column("sk").to_numpy(zero_copy_only=False)
+        sv = batch.column("sv").to_numpy(zero_copy_only=False)
+        skv = batch.column("skv").to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": batch.column("event_type"),
+                         "n": pa.array(n),
+                         "cov_num": pa.array(
+                             (n * skv - sk * sv).astype(np.float64))})
+
+    return agg.map_batches(fold, batch_format="pyarrow")
+
+
+def same_day_repeat_buyers(sf_dir: str) -> ray.data.Dataset:
+    """Intra-day repeat intensity: customers placing ≥2 orders the
+    SAME day, and how many such customer-days — the urgency/fraud
+    smell.  (customer, day) counts reduce; the threshold folds."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("o_orderdate"), unit="day")
+        t = pa.table({"o_custkey": batch.column("o_custkey"),
+                      "day": day,
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["o_custkey", "day"]).aggregate([("n", "sum")])
+        return pa.table({"o_custkey": res.column("o_custkey"),
+                         "day": res.column("day"),
+                         "n": res.column("n_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["o_custkey", "day"], [("n", "sum", "n")])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        rep = pc.greater_equal(batch.column("n"), 2)
+        t = batch.filter(rep)
+        custs = pc.unique(t.column("o_custkey"))
+        return pa.table({
+            "repeat_days": pa.array([len(t)], pa.int64()),
+            "custs": pa.array([custs.to_pylist()],
+                              pa.list_(pa.int64()))})
+
+    parts = pa.concat_tables(list(
+        agg.map_batches(fold, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    n_days = int(pc.sum(parts.column("repeat_days")).as_py() or 0)
+    custs = set()
+    for lst in parts.column("custs").to_pylist():
+        custs.update(lst)
+    return ray.data.from_arrow(pa.table({
+        "n_repeat_customer_days": pa.array([n_days], pa.int64()),
+        "n_repeat_customers": pa.array([len(custs)], pa.int64())}))
+
+
+def repdigit_value_audit(sf_dir: str) -> ray.data.Dataset:
+    """Fabricated-amount audit: event values whose cents are a
+    REPDIGIT (7, 77, 777, …) per event type — repeated-digit amounts
+    over-index in invented numbers.  RE2 has no backreferences, so the
+    bounded repdigit SET (9 digits × 15 lengths) broadcasts and one
+    is_in kernel classifies."""
+    reps = [int(str(d) * ln) for d in range(1, 10)
+            for ln in range(1, 16)]
+    rep_arr = pa.array(sorted(reps), pa.int64())
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def audit(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        is_rep = pc.is_in(pa.array(cents), value_set=rep_arr)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "n_events": pa.array(np.ones(len(cents),
+                                                   np.int64)),
+                      "n_repdigit": pc.cast(is_rep, pa.int64())})
+        res = t.group_by(["event_type"]).aggregate(
+            [("n_events", "sum"), ("n_repdigit", "sum")])
+        return pa.table({"event_type": res.column("event_type"),
+                         "n_events": res.column("n_events_sum"),
+                         "n_repdigit": res.column("n_repdigit_sum")})
+
+    return partial_aggregate(
+        ds.map_batches(audit, batch_format="pyarrow"),
+        ["event_type"], [("n_events", "sum", "n_events"),
+                         ("n_repdigit", "sum", "n_repdigit")])
+
+
+def alert_2of3_low_days(sf_dir: str) -> ray.data.Dataset:
+    """Windowed alert rule: days where at least 2 of the trailing 3
+    calendar days ran below the global daily mean (n·x < S integer
+    cross-multiply — no division) — the m-of-n alerting primitive,
+    evaluated on the calendar-bounded daily series."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("o_orderdate"), unit="day")
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"day": day, "cents": pa.array(cents)})
+        res = t.group_by(["day"]).aggregate([("cents", "sum")])
+        return pa.table({"day": res.column("day"),
+                         "cents": res.column("cents_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(daily, batch_format="pyarrow"),
+        ["day"], [("cents", "sum", "cents")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    day = rows.column("day").to_numpy(zero_copy_only=False) \
+        .astype("datetime64[D]").astype(np.int64)
+    cents = rows.column("cents").to_numpy(zero_copy_only=False)
+    order = np.argsort(day)
+    day, cents = day[order], cents[order]
+    n = len(cents)
+    s = int(cents.sum())
+    low = (cents.astype(object) * n < s).astype(bool)
+    # trailing window over CALENDAR positions (gap days count as
+    # not-low): dense series via searchsorted membership
+    alerts = 0
+    for i in range(n):
+        cnt = 0
+        for back in range(3):
+            j = np.searchsorted(day, day[i] - back)
+            if j < n and day[j] == day[i] - back and low[j]:
+                cnt += 1
+        alerts += cnt >= 2
+    return ray.data.from_arrow(pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "n_low_days": pa.array([int(low.sum())], pa.int64()),
+        "n_alert_days": pa.array([alerts], pa.int64())}))
