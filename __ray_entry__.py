@@ -355,7 +355,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         props_k_value_cov,
                                         same_day_repeat_buyers,
                                         repdigit_value_audit,
-                                        alert_2of3_low_days)
+                                        alert_2of3_low_days,
+                                        boilerplate_prefix_docs,
+                                        segment_staleness_matrix,
+                                        coorder_largest_component,
+                                        core_vocab_mass_ppm)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -961,6 +965,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "same_day_repeat_buyers": same_day_repeat_buyers,
         "repdigit_value_audit": repdigit_value_audit,
         "alert_2of3_low_days": alert_2of3_low_days,
+        "boilerplate_prefix_docs": boilerplate_prefix_docs,
+        "segment_staleness_matrix": segment_staleness_matrix,
+        "coorder_largest_component": coorder_largest_component,
+        "core_vocab_mass_ppm": core_vocab_mass_ppm,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2880,6 +2888,65 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "boilerplate_prefix_docs": (
+            "WITH p AS (SELECT source, array_to_string(list_slice("
+            "string_split(text, ' '), 1, 3), ' ') AS prefix "
+            "FROM documents), "
+            "big AS (SELECT prefix FROM p GROUP BY 1 "
+            "HAVING count(*) >= 5) "
+            "SELECT p.source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(CASE WHEN p.prefix IN (SELECT prefix FROM big) "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged "
+            "FROM p GROUP BY 1"),
+        "segment_staleness_matrix": (
+            "WITH l AS (SELECT o_custkey, "
+            "CAST(max(o_orderdate) AS DATE) AS lo FROM orders "
+            "GROUP BY 1), "
+            "m AS (SELECT max(lo) AS mx FROM l), "
+            "t AS (SELECT c.c_mktsegment AS segment, "
+            "CASE WHEN m.mx - l.lo < 365 THEN 'hot' "
+            "WHEN m.mx - l.lo < 730 THEN 'warm' ELSE 'cold' END "
+            "AS tier FROM l "
+            "JOIN customer c ON c.c_custkey = l.o_custkey, m) "
+            "SELECT segment, tier, CAST(count(*) AS BIGINT) "
+            "AS n_customers FROM t GROUP BY 1, 2"),
+        "coorder_largest_component": (
+            "WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, "
+            "l_partkey FROM lineitem), "
+            "e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+            "FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey), "
+            "nodes AS (SELECT DISTINCT node FROM ("
+            "SELECT u AS node FROM e UNION ALL SELECT v FROM e)), "
+            "sym AS (SELECT u, v FROM e UNION ALL "
+            "SELECT v, u FROM e), "
+            "reach AS (SELECT node, node AS m FROM nodes "
+            "UNION SELECT sym.v AS node, reach.m FROM reach "
+            "JOIN sym ON sym.u = reach.node AND reach.m < sym.v), "
+            "comp AS (SELECT node, MIN(m) AS c FROM reach GROUP BY 1), "
+            "s AS (SELECT c, count(*) AS sz FROM comp GROUP BY 1) "
+            "SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) "
+            "AS n_nodes, "
+            "CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges, "
+            "CAST((SELECT count(*) FROM s) AS BIGINT) "
+            "AS n_components, "
+            "CAST((SELECT COALESCE(max(sz), 0) FROM s) AS BIGINT) "
+            "AS lcc_size"),
+        "core_vocab_mass_ppm": (
+            "WITH c AS (SELECT tok, lang, count(*) AS n FROM ("
+            "SELECT lang, unnest(string_split(text, ' ')) AS tok "
+            "FROM documents) GROUP BY 1, 2), "
+            "t AS (SELECT tok, SUM(n) AS n, count(*) AS nl "
+            "FROM c GROUP BY 1), "
+            "k AS (SELECT count(DISTINCT lang) AS k FROM documents) "
+            "SELECT CAST(SUM(t.n) AS BIGINT) AS n_occurrences, "
+            "CAST(SUM(CASE WHEN t.nl = k.k THEN t.n ELSE 0 END) "
+            "AS BIGINT) AS core_occurrences, "
+            "CAST(SUM(CASE WHEN t.nl = k.k THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_core_tokens, "
+            "CAST((1000000 * SUM(CASE WHEN t.nl = k.k THEN t.n "
+            "ELSE 0 END)) // GREATEST(SUM(t.n), 1) AS BIGINT) "
+            "AS core_mass_ppm FROM t, k GROUP BY k.k"),
         "props_k_value_cov": (
             "WITH e AS (SELECT event_type, "
             "CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) "

@@ -14722,3 +14722,239 @@ def alert_2of3_low_days(sf_dir: str) -> ray.data.Dataset:
         "n_days": pa.array([n], pa.int64()),
         "n_low_days": pa.array([int(low.sum())], pa.int64()),
         "n_alert_days": pa.array([alerts], pa.int64())}))
+
+
+def boilerplate_prefix_docs(sf_dir: str, k_tokens: int = 3,
+                            min_group: int = 5) -> ray.data.Dataset:
+    """Boilerplate detection by prefix blocking: documents whose first
+    3 tokens match ≥5 OTHER docs' opening (template smell), counted
+    per source.  The prefix key is one slice per batch; group sizes
+    reduce keyed on the prefix, then re-join the (prefix → big) set by
+    broadcast."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        pref = pc.binary_join(pc.list_slice(toks, 0, k_tokens), " ")
+        t = pa.table({"prefix": pref,
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["prefix"]).aggregate([("n", "sum")])
+        return pa.table({"prefix": res.column("prefix"),
+                         "n": res.column("n_sum")})
+
+    counts = partial_aggregate(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        ["prefix"], [("n", "sum", "n")])
+    seed = pa.table({"prefix": pa.array([], pa.string())})
+    big_tab = pa.concat_tables([seed] + list(
+        counts.map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("n"),
+                                                min_group))
+            .select(["prefix"]), batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    big_ref = ray.put(big_tab.column("prefix").combine_chunks())
+
+    def flag(batch: pa.Table) -> pa.Table:
+        big = ray.get(big_ref)
+        toks = pc.split_pattern(batch.column("text"), " ")
+        pref = pc.binary_join(pc.list_slice(toks, 0, k_tokens), " ")
+        hit = pc.cast(pc.is_in(pref, value_set=big), pa.int64())
+        t = pa.table({"source": batch.column("source"),
+                      "n_docs": pa.array(np.ones(len(batch),
+                                                 np.int64)),
+                      "n_flagged": hit})
+        res = t.group_by(["source"]).aggregate(
+            [("n_docs", "sum"), ("n_flagged", "sum")])
+        return pa.table({"source": res.column("source"),
+                         "n_docs": res.column("n_docs_sum"),
+                         "n_flagged": res.column("n_flagged_sum")})
+
+    return partial_aggregate(
+        ds.map_batches(flag, batch_format="pyarrow"),
+        ["source"], [("n_docs", "sum", "n_docs"),
+                     ("n_flagged", "sum", "n_flagged")])
+
+
+def segment_staleness_matrix(sf_dir: str) -> ray.data.Dataset:
+    """Churn-risk matrix: customers cross-classified by market segment
+    and order-recency tier (hot <365 d, warm <730 d, cold otherwise,
+    relative to the global max order date) — segment dim broadcasts;
+    per-customer last-order dates reduce."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    cref = ray.put((cust.column("c_custkey").combine_chunks(),
+                    cust.column("c_mktsegment").combine_chunks()))
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate"])
+
+    def last(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_custkey": batch.column("o_custkey"),
+                      "last_o": batch.column("o_orderdate")})
+        res = t.group_by(["o_custkey"]).aggregate([("last_o", "max")])
+        return pa.table({"o_custkey": res.column("o_custkey"),
+                         "last_o": res.column("last_o_max")})
+
+    agg = partial_aggregate(
+        ds.map_batches(last, batch_format="pyarrow"),
+        ["o_custkey"], [("last_o", "max", "last_o")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    lo = rows.column("last_o").to_numpy(zero_copy_only=False) \
+        .astype("datetime64[D]").astype(np.int64)
+    mx = int(lo.max()) if len(lo) else 0
+    age = mx - lo
+    tier = np.where(age < 365, "hot",
+                    np.where(age < 730, "warm", "cold"))
+    ck, seg = ray.get(cref)
+    i = pc.index_in(rows.column("o_custkey"), value_set=ck)
+    segs = pc.take(seg, i).to_numpy(zero_copy_only=False)
+    t = pa.table({"segment": pa.array(segs), "tier": pa.array(tier),
+                  "n_customers": pa.array(np.ones(len(lo), np.int64))})
+    res = t.group_by(["segment", "tier"]).aggregate(
+        [("n_customers", "sum")])
+    return ray.data.from_arrow(pa.table({
+        "segment": res.column("segment"),
+        "tier": res.column("tier"),
+        "n_customers": pc.cast(res.column("n_customers_sum"),
+                               pa.int64())}))
+
+
+def coorder_largest_component(sf_dir: str) -> ray.data.Dataset:
+    """Connected-component census of the co-ordered-parts graph: node
+    and edge counts, number of components, and the largest component's
+    size — union-find over the dimension-bounded deduped edge list
+    (the pair exchange is the only data-sized step)."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        bkt = ((ok.astype(np.uint64) * _FIB64) >> np.uint64(56)) \
+            .astype(np.int64)
+        return batch.append_column("bkt", pa.array(bkt))
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ok = group.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = group.column("l_partkey").to_numpy(zero_copy_only=False)
+        u = np.unique(np.stack([ok, pk], axis=1), axis=0)
+        ok, pk = u[:, 0], u[:, 1]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        lens = np.diff(np.r_[starts, len(ok)])
+        a_all, b_all = [], []
+        for ln in np.unique(lens):
+            if ln < 2:
+                continue
+            segs = starts[lens == ln]
+            mat = pk[segs[:, None] + np.arange(ln)]
+            ii, jj = np.triu_indices(int(ln), k=1)
+            a_all.append(mat[:, ii].ravel())
+            b_all.append(mat[:, jj].ravel())
+        if not a_all:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        a = np.concatenate(a_all)
+        b = np.concatenate(b_all)
+        t2 = pa.table({"u": pa.array(np.minimum(a, b)),
+                       "v": pa.array(np.maximum(a, b))})
+        return t2.group_by(["u", "v"]).aggregate([]).select(["u", "v"])
+
+    edges = pa.concat_tables(list(partial_aggregate(
+        li.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bkt").map_groups(bucket_pairs,
+                                   batch_format="pyarrow"),
+        ["u", "v"], [])
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    eu = edges.column("u").to_pylist()
+    ev = edges.column("v").to_pylist()
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(eu, ev):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    sizes = {}
+    for node in parent:
+        r = find(node)
+        sizes[r] = sizes.get(r, 0) + 1
+    return ray.data.from_arrow(pa.table({
+        "n_nodes": pa.array([len(parent)], pa.int64()),
+        "n_edges": pa.array([len(eu)], pa.int64()),
+        "n_components": pa.array([len(sizes)], pa.int64()),
+        "lcc_size": pa.array([max(sizes.values()) if sizes else 0],
+                             pa.int64())}))
+
+
+def core_vocab_mass_ppm(sf_dir: str) -> ray.data.Dataset:
+    """Core-vocabulary mass: the share (floor ppm) of ALL token
+    occurrences carried by tokens present in EVERY language — how much
+    of the corpus is cross-lingual 'core'?  Per-(token, lang) distinct
+    counts and per-token totals reduce; the lang-count filter folds."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "text"])
+    n_langs = len(pc.unique(pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["lang"]).column(0)))
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        reps = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lang = pc.take(batch.column("lang"),
+                       pa.array(np.repeat(np.arange(len(batch)), reps)))
+        t = pa.table({"tok": flat, "lang": lang,
+                      "n": pa.array(np.ones(len(flat), np.int64))})
+        res = t.group_by(["tok", "lang"]).aggregate([("n", "sum")])
+        return pa.table({"tok": res.column("tok"),
+                         "lang": res.column("lang"),
+                         "n": res.column("n_sum")})
+
+    per_tl = partial_aggregate(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["tok", "lang"], [("n", "sum", "n")])
+
+    def per_tok(batch: pa.Table) -> pa.Table:
+        t = pa.table({"tok": batch.column("tok"),
+                      "n": batch.column("n"),
+                      "nl": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["tok"]).aggregate([("n", "sum"),
+                                             ("nl", "sum")])
+        return pa.table({"tok": res.column("tok"),
+                         "n": res.column("n_sum"),
+                         "nl": res.column("nl_sum")})
+
+    agg = partial_aggregate(
+        per_tl.map_batches(per_tok, batch_format="pyarrow"),
+        ["tok"], [("n", "sum", "n"), ("nl", "sum", "nl")])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        nl = batch.column("nl").to_numpy(zero_copy_only=False)
+        core = nl == n_langs
+        return pa.table({
+            "total": pa.array([int(n.sum())], pa.int64()),
+            "core": pa.array([int(n[core].sum())], pa.int64()),
+            "n_core_tokens": pa.array([int(core.sum())], pa.int64())})
+
+    parts = pa.concat_tables(list(
+        agg.map_batches(fold, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    total = int(pc.sum(parts.column("total")).as_py() or 0)
+    core = int(pc.sum(parts.column("core")).as_py() or 0)
+    nct = int(pc.sum(parts.column("n_core_tokens")).as_py() or 0)
+    return ray.data.from_arrow(pa.table({
+        "n_occurrences": pa.array([total], pa.int64()),
+        "core_occurrences": pa.array([core], pa.int64()),
+        "n_core_tokens": pa.array([nct], pa.int64()),
+        "core_mass_ppm": pa.array([(1_000_000 * core)
+                                   // max(total, 1)], pa.int64())}))
