@@ -359,7 +359,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         boilerplate_prefix_docs,
                                         segment_staleness_matrix,
                                         coorder_largest_component,
-                                        core_vocab_mass_ppm)
+                                        core_vocab_mass_ppm,
+                                        duplicate_order_suspects,
+                                        monetization_by_activity_decile,
+                                        bigram_holdout_coverage,
+                                        error_rate_churn_matrix)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -969,6 +973,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_staleness_matrix": segment_staleness_matrix,
         "coorder_largest_component": coorder_largest_component,
         "core_vocab_mass_ppm": core_vocab_mass_ppm,
+        "duplicate_order_suspects": duplicate_order_suspects,
+        "monetization_by_activity_decile":
+            monetization_by_activity_decile,
+        "bigram_holdout_coverage": bigram_holdout_coverage,
+        "error_rate_churn_matrix": error_rate_churn_matrix,
         "jaccard_pairs_prefix": lambda sf: __import__(
             "ctdray.functions.dedup",
             fromlist=["prefix_jaccard_pairs"]).prefix_jaccard_pairs(
@@ -2888,6 +2897,52 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "duplicate_order_suspects": (
+            "WITH g AS (SELECT o_custkey, "
+            "date_trunc('day', o_orderdate) AS day, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents, "
+            "count(*) AS n FROM orders GROUP BY 1, 2, 3), "
+            "s AS (SELECT * FROM g WHERE n >= 2) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_suspect_groups, "
+            "CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_suspect_orders "
+            "FROM s"),
+        "monetization_by_activity_decile": (
+            "WITH u AS (SELECT user_id, count(*) AS ne, "
+            "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+            "AS np FROM events GROUP BY 1), "
+            "r AS (SELECT ne, np, row_number() OVER ("
+            "ORDER BY ne, user_id) - 1 AS rnk, "
+            "(SELECT count(*) FROM u) AS total FROM u), "
+            "d AS (SELECT (10 * rnk) // total AS decile, ne, np FROM r) "
+            "SELECT CAST(decile AS BIGINT) AS decile, "
+            "CAST(SUM(ne) AS BIGINT) AS n_events, "
+            "CAST(SUM(np) AS BIGINT) AS n_purchases, "
+            "CAST((1000000 * SUM(np)) // GREATEST(SUM(ne), 1) "
+            "AS BIGINT) AS purchase_ppm FROM d GROUP BY 1"),
+        "bigram_holdout_coverage": (
+            "WITH b AS (SELECT CASE WHEN substr(md5("
+            "CAST(doc_id AS VARCHAR)), 1, 1) = '0' THEN 1 ELSE 0 END "
+            "AS is_test, toks[i] || ' ' || toks[i + 1] AS bigram "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS toks "
+            "FROM documents), unnest(range(1, len(toks))) t(i)), "
+            "g AS (SELECT bigram, MAX(1 - is_test) AS in_train, "
+            "MAX(is_test) AS in_test FROM b GROUP BY 1) "
+            "SELECT CAST(SUM(in_test) AS BIGINT) AS n_test_bigrams, "
+            "CAST(SUM(in_test * in_train) AS BIGINT) AS n_seen, "
+            "CAST((1000000 * SUM(in_test * in_train)) "
+            "// GREATEST(SUM(in_test), 1) AS BIGINT) AS coverage_ppm "
+            "FROM g"),
+        "error_rate_churn_matrix": (
+            "WITH u AS (SELECT user_id, count(*) AS n, "
+            "SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) "
+            "AS ne, max(ts) AS last FROM events GROUP BY 1), "
+            "m AS (SELECT max(last) AS mx FROM u), "
+            "c AS (SELECT ((1000000 * u.ne) // GREATEST(u.n, 1)) "
+            "// 100000 AS err_bucket, CASE WHEN epoch_us(u.last) < "
+            "epoch_us(m.mx) - 2592000000000 THEN 'stale' ELSE 'active' "
+            "END AS status FROM u, m) "
+            "SELECT CAST(err_bucket AS BIGINT) AS err_bucket, status, "
+            "CAST(count(*) AS BIGINT) AS n_users FROM c GROUP BY 1, 2"),
         "boilerplate_prefix_docs": (
             "WITH p AS (SELECT source, array_to_string(list_slice("
             "string_split(text, ' '), 1, 3), ' ') AS prefix "

@@ -14958,3 +14958,201 @@ def core_vocab_mass_ppm(sf_dir: str) -> ray.data.Dataset:
         "n_core_tokens": pa.array([nct], pa.int64()),
         "core_mass_ppm": pa.array([(1_000_000 * core)
                                    // max(total, 1)], pa.int64())}))
+
+
+def duplicate_order_suspects(sf_dir: str) -> ray.data.Dataset:
+    """Double-submission audit: groups of orders sharing (customer,
+    date, total cents) with ≥2 members — the business-key duplicate
+    check that surrogate keys hide.  Group sizes reduce keyed on the
+    composite; only suspect groups fold."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate",
+                                     "o_totalprice"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"o_custkey": batch.column("o_custkey"),
+                      "day": pc.floor_temporal(
+                          batch.column("o_orderdate"), unit="day"),
+                      "cents": pa.array(cents),
+                      "n": pa.array(np.ones(len(cents), np.int64))})
+        res = t.group_by(["o_custkey", "day", "cents"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"o_custkey": res.column("o_custkey"),
+                         "day": res.column("day"),
+                         "cents": res.column("cents"),
+                         "n": res.column("n_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        ["o_custkey", "day", "cents"], [("n", "sum", "n")])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        sus = batch.filter(pc.greater_equal(batch.column("n"), 2))
+        n = sus.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_suspect_groups": pa.array([len(sus)], pa.int64()),
+            "n_suspect_orders": pa.array([int(n.sum())], pa.int64())})
+
+    parts = pa.concat_tables(list(
+        agg.map_batches(fold, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    return ray.data.from_arrow(pa.table({
+        "n_suspect_groups": pa.array([int(pc.sum(
+            parts.column("n_suspect_groups")).as_py() or 0)],
+            pa.int64()),
+        "n_suspect_orders": pa.array([int(pc.sum(
+            parts.column("n_suspect_orders")).as_py() or 0)],
+            pa.int64())}))
+
+
+def monetization_by_activity_decile(sf_dir: str) -> ray.data.Dataset:
+    """Engagement→monetization curve: users ranked into activity
+    deciles by event count (deterministic rank ties on user id), each
+    decile's purchase share of events (floor ppm) — does usage convert?
+    Per-user counters reduce; ranking folds on the user-bounded
+    table."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+
+    def per_user(batch: pa.Table) -> pa.Table:
+        p = pc.cast(pc.equal(batch.column("event_type"), "purchase"),
+                    pa.int64())
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "n_events": pa.array(np.ones(len(batch),
+                                                   np.int64)),
+                      "n_purch": p})
+        res = t.group_by(["user_id"]).aggregate(
+            [("n_events", "sum"), ("n_purch", "sum")])
+        return pa.table({"user_id": res.column("user_id"),
+                         "n_events": res.column("n_events_sum"),
+                         "n_purch": res.column("n_purch_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(per_user, batch_format="pyarrow"),
+        ["user_id"], [("n_events", "sum", "n_events"),
+                      ("n_purch", "sum", "n_purch")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    uid = rows.column("user_id").to_numpy(zero_copy_only=False)
+    ne = rows.column("n_events").to_numpy(zero_copy_only=False)
+    np_ = rows.column("n_purch").to_numpy(zero_copy_only=False)
+    rank = np.empty(len(uid), np.int64)
+    rank[np.lexsort((uid, ne))] = np.arange(len(uid))
+    decile = (10 * rank) // max(len(uid), 1)
+    t = pa.table({"decile": pa.array(decile),
+                  "n_events": pa.array(ne), "n_purch": pa.array(np_)})
+    res = t.group_by(["decile"]).aggregate(
+        [("n_events", "sum"), ("n_purch", "sum")])
+    e = res.column("n_events_sum").to_numpy(zero_copy_only=False)
+    p = res.column("n_purch_sum").to_numpy(zero_copy_only=False)
+    return ray.data.from_arrow(pa.table({
+        "decile": res.column("decile"),
+        "n_events": pa.array(e), "n_purchases": pa.array(p),
+        "purchase_ppm": pa.array((1_000_000 * p)
+                                 // np.where(e == 0, 1, e))}))
+
+
+def bigram_holdout_coverage(sf_dir: str) -> ray.data.Dataset:
+    """LM-style generalization probe: the 1/16 held-out docs' bigram
+    coverage by the training split's bigram vocabulary (floor ppm of
+    distinct test bigrams seen in train) — sampled split by the
+    deterministic doc-id hash, bigram sets deduped through keyed
+    exchanges."""
+    import hashlib
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def bigrams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        test = np.fromiter(
+            (hashlib.md5(str(d).encode()).hexdigest()[0] == "0"
+             for d in ids), bool, count=len(ids))
+        toks = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        reps = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc = np.repeat(np.arange(len(batch)), reps)
+        same = doc[1:] == doc[:-1]
+        bg = np.char.add(np.char.add(flat[:-1][same].astype(str), " "),
+                         flat[1:][same].astype(str))
+        is_test = np.repeat(test, reps)[:-1][same]
+        t = pa.table({"bigram": pa.array(bg),
+                      "in_train": pa.array(
+                          (~is_test).astype(np.int64)),
+                      "in_test": pa.array(is_test.astype(np.int64))})
+        res = t.group_by(["bigram"]).aggregate(
+            [("in_train", "max"), ("in_test", "max")])
+        return pa.table({"bigram": res.column("bigram"),
+                         "in_train": res.column("in_train_max"),
+                         "in_test": res.column("in_test_max")})
+
+    agg = partial_aggregate(
+        ds.map_batches(bigrams, batch_format="pyarrow"),
+        ["bigram"], [("in_train", "max", "in_train"),
+                     ("in_test", "max", "in_test")])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        tr = batch.column("in_train").to_numpy(zero_copy_only=False)
+        te = batch.column("in_test").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_test_bigrams": pa.array([int(te.sum())], pa.int64()),
+            "n_seen": pa.array([int((te & tr).sum())], pa.int64())})
+
+    parts = pa.concat_tables(list(
+        agg.map_batches(fold, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    nt = int(pc.sum(parts.column("n_test_bigrams")).as_py() or 0)
+    ns = int(pc.sum(parts.column("n_seen")).as_py() or 0)
+    return ray.data.from_arrow(pa.table({
+        "n_test_bigrams": pa.array([nt], pa.int64()),
+        "n_seen": pa.array([ns], pa.int64()),
+        "coverage_ppm": pa.array([(1_000_000 * ns) // max(nt, 1)],
+                                 pa.int64())}))
+
+
+def error_rate_churn_matrix(sf_dir: str, stale_days: int = 30
+                            ) -> ray.data.Dataset:
+    """Risk matrix: users cross-classified by error-event share decile
+    (0-10, per 100k ppm) and staleness (>30 days since last event vs
+    active) — do bad experiences precede churn?  Per-user counters
+    reduce; the matrix folds on the user-bounded table."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+
+    def per_user(batch: pa.Table) -> pa.Table:
+        err = pc.cast(pc.equal(batch.column("event_type"), "error"),
+                      pa.int64())
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "n": pa.array(np.ones(len(batch), np.int64)),
+                      "n_err": err, "last_ts": batch.column("ts")})
+        res = t.group_by(["user_id"]).aggregate(
+            [("n", "sum"), ("n_err", "sum"), ("last_ts", "max")])
+        return pa.table({"user_id": res.column("user_id"),
+                         "n": res.column("n_sum"),
+                         "n_err": res.column("n_err_sum"),
+                         "last_ts": res.column("last_ts_max")})
+
+    agg = partial_aggregate(
+        ds.map_batches(per_user, batch_format="pyarrow"),
+        ["user_id"], [("n", "sum", "n"), ("n_err", "sum", "n_err"),
+                      ("last_ts", "max", "last_ts")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    n = rows.column("n").to_numpy(zero_copy_only=False)
+    ne = rows.column("n_err").to_numpy(zero_copy_only=False)
+    last = rows.column("last_ts").to_numpy(zero_copy_only=False) \
+        .astype("datetime64[us]").astype(np.int64)
+    cutoff = int(last.max()) - stale_days * 86_400_000_000
+    bucket = ((1_000_000 * ne) // np.where(n == 0, 1, n)) // 100_000
+    stale = np.where(last < cutoff, "stale", "active")
+    t = pa.table({"err_bucket": pa.array(bucket),
+                  "status": pa.array(stale),
+                  "n_users": pa.array(np.ones(len(n), np.int64))})
+    res = t.group_by(["err_bucket", "status"]).aggregate(
+        [("n_users", "sum")])
+    return ray.data.from_arrow(pa.table({
+        "err_bucket": res.column("err_bucket"),
+        "status": res.column("status"),
+        "n_users": pc.cast(res.column("n_users_sum"), pa.int64())}))
