@@ -363,7 +363,10 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         duplicate_order_suspects,
                                         monetization_by_activity_decile,
                                         bigram_holdout_coverage,
-                                        error_rate_churn_matrix)
+                                        error_rate_churn_matrix,
+                                        monthly_value_p90,
+                                        intermittent_parts,
+                                        customer_top2_gap_hist)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -974,6 +977,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coorder_largest_component": coorder_largest_component,
         "core_vocab_mass_ppm": core_vocab_mass_ppm,
         "duplicate_order_suspects": duplicate_order_suspects,
+        "monthly_value_p90": monthly_value_p90,
+        "intermittent_parts": intermittent_parts,
+        "customer_top2_gap_hist": customer_top2_gap_hist,
         "monetization_by_activity_decile":
             monetization_by_activity_decile,
         "bigram_holdout_coverage": bigram_holdout_coverage,
@@ -2897,6 +2903,37 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "monthly_value_p90": (
+            "SELECT strftime(date_trunc('month', o_orderdate), "
+            "'%Y-%m') AS month, 0.9 AS q, "
+            "CAST(quantile_disc(CAST(round(o_totalprice * 100) "
+            "AS BIGINT), 0.9) AS DOUBLE) AS value "
+            "FROM orders GROUP BY 1"),
+        "intermittent_parts": (
+            "WITH py AS (SELECT DISTINCT l_partkey, "
+            "CAST(year(l_shipdate) AS BIGINT) AS y FROM lineitem), "
+            "h AS (SELECT a.l_partkey, count(*) AS holes FROM py a "
+            "JOIN py b ON a.l_partkey = b.l_partkey "
+            "AND b.y = a.y + 2 "
+            "LEFT JOIN py c ON c.l_partkey = a.l_partkey "
+            "AND c.y = a.y + 1 "
+            "WHERE c.l_partkey IS NULL GROUP BY 1) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_intermittent_parts, "
+            "CAST(COALESCE(SUM(holes), 0) AS BIGINT) AS n_gap_years "
+            "FROM h"),
+        "customer_top2_gap_hist": (
+            "WITH r AS (SELECT o_custkey, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS c, "
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY round(o_totalprice * 100) DESC) AS rn "
+            "FROM orders), "
+            "g AS (SELECT a.c - b.c AS gap FROM r a "
+            "JOIN r b ON a.o_custkey = b.o_custkey "
+            "AND a.rn = 1 AND b.rn = 2) "
+            "SELECT CASE WHEN gap > 0 THEN "
+            "CAST(floor(log2(gap)) AS BIGINT) ELSE -1 END AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n_customers FROM g "
+            "GROUP BY 1"),
         "duplicate_order_suspects": (
             "WITH g AS (SELECT o_custkey, "
             "date_trunc('day', o_orderdate) AS day, "

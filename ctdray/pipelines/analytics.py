@@ -15156,3 +15156,97 @@ def error_rate_churn_matrix(sf_dir: str, stale_days: int = 30
         "err_bucket": res.column("err_bucket"),
         "status": res.column("status"),
         "n_users": pc.cast(res.column("n_users_sum"), pa.int64())}))
+
+
+def monthly_value_p90(sf_dir: str) -> pa.Table:
+    """Quantile tracking over time: the exact p90 of order value per
+    calendar month — the SLA-style percentile time series, computed by
+    the grouped histogram-refinement selection (month keys are
+    calendar-bounded; no per-month sort of raw values)."""
+    from ..functions.quantiles import grouped_exact_quantiles
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = pc.floor_temporal(batch.column("o_orderdate"), unit="month")
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.float64)
+        return pa.table({"month": pc.strftime(m, format="%Y-%m"),
+                         "cents": pa.array(cents)})
+
+    keyed = ds.map_batches(prep, batch_format="pyarrow")
+    return grouped_exact_quantiles(keyed, "month", "cents", qs=(0.9,))
+
+
+def intermittent_parts(sf_dir: str) -> ray.data.Dataset:
+    """Intermittent-demand census: (part, year) gaps where the part
+    sold the year BEFORE and the year AFTER but not that year — the
+    101 pattern inventory planners flag.  Distinct (part, year)
+    presence reduces; the neighbor test is a per-part vectorized
+    membership check."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_shipdate"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        year = pc.cast(pc.year(batch.column("l_shipdate")), pa.int64())
+        t = pa.table({"l_partkey": batch.column("l_partkey"),
+                      "year": year})
+        return t.group_by(["l_partkey", "year"]).aggregate([]) \
+            .select(["l_partkey", "year"])
+
+    distinct = partial_aggregate(
+        li.map_batches(pairs, batch_format="pyarrow"),
+        ["l_partkey", "year"], [])
+
+    def per_part(group: pa.Table) -> pa.Table:
+        y = np.sort(group.column("year").to_numpy(zero_copy_only=False))
+        present = set(y.tolist())
+        holes = sum(1 for yy in range(int(y.min()), int(y.max()) + 1)
+                    if yy not in present
+                    and (yy - 1) in present and (yy + 1) in present)
+        if holes == 0:
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "n_holes": pa.array([], pa.int64())})
+        return pa.table({
+            "l_partkey": group.column("l_partkey").slice(0, 1),
+            "n_holes": pa.array([holes], pa.int64())})
+
+    per = distinct.groupby("l_partkey").map_groups(
+        per_part, batch_format="pyarrow")
+    rows = pa.concat_tables(
+        [pa.table({"l_partkey": pa.array([], pa.int64()),
+                   "n_holes": pa.array([], pa.int64())})]
+        + list(per.iter_batches(batch_format="pyarrow",
+                                batch_size=None)))
+    nh = rows.column("n_holes").to_numpy(zero_copy_only=False)
+    return ray.data.from_arrow(pa.table({
+        "n_intermittent_parts": pa.array([len(rows)], pa.int64()),
+        "n_gap_years": pa.array([int(nh.sum()) if len(nh) else 0],
+                                pa.int64())}))
+
+
+def customer_top2_gap_hist(sf_dir: str) -> ray.data.Dataset:
+    """Runner-up gap: for customers with ≥2 orders, the cents gap
+    between their top and second order values, bucketed by
+    floor(log2(gap)) (-1 for ties) — the auction-style dominance
+    metric, one partial top-2 per group."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_totalprice"])
+
+    def per_cust(group: pa.Table) -> pa.Table:
+        cents = np.sort(np.rint(group.column("o_totalprice")
+                                .to_numpy(zero_copy_only=False) * 100)
+                        .astype(np.int64))
+        if len(cents) < 2:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n_customers": pa.array([], pa.int64())})
+        gap = int(cents[-1] - cents[-2])
+        b = int(np.floor(np.log2(gap))) if gap > 0 else -1
+        return pa.table({"bucket": pa.array([b], pa.int64()),
+                         "n_customers": pa.array([1], pa.int64())})
+
+    per = ds.groupby("o_custkey").map_groups(per_cust,
+                                             batch_format="pyarrow")
+    return partial_aggregate(per, ["bucket"],
+                             [("n_customers", "sum", "n_customers")])
