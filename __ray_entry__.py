@@ -366,7 +366,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         error_rate_churn_matrix,
                                         monthly_value_p90,
                                         intermittent_parts,
-                                        customer_top2_gap_hist)
+                                        customer_top2_gap_hist,
+                                        price_fd_violations,
+                                        worst_5day_window,
+                                        snapshot_staleness_by_type,
+                                        premium_sku_counts)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -980,6 +984,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_value_p90": monthly_value_p90,
         "intermittent_parts": intermittent_parts,
         "customer_top2_gap_hist": customer_top2_gap_hist,
+        "price_fd_violations": price_fd_violations,
+        "worst_5day_window": worst_5day_window,
+        "snapshot_staleness_by_type": snapshot_staleness_by_type,
+        "premium_sku_counts": premium_sku_counts,
         "monetization_by_activity_decile":
             monetization_by_activity_decile,
         "bigram_holdout_coverage": bigram_holdout_coverage,
@@ -2903,6 +2911,53 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "price_fd_violations": (
+            "WITH d AS (SELECT DISTINCT p_brand, p_size, "
+            "CAST(round(p_retailprice * 100) AS BIGINT) AS cents "
+            "FROM part), "
+            "g AS (SELECT p_brand, p_size, count(*) AS np FROM d "
+            "GROUP BY 1, 2) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_groups, "
+            "CAST(SUM(CASE WHEN np > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_violating FROM g"),
+        "worst_5day_window": (
+            "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents "
+            "FROM orders GROUP BY 1), "
+            "b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), "
+            "spine AS (SELECT CAST(unnest(generate_series(lo, hi, "
+            "INTERVAL 1 DAY)) AS DATE) AS day FROM b), "
+            "dense AS (SELECT spine.day, COALESCE(d.cents, 0) AS cents "
+            "FROM spine LEFT JOIN d ON spine.day = d.day), "
+            "w AS (SELECT day, SUM(cents) OVER (ORDER BY day "
+            "ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS s, "
+            "row_number() OVER (ORDER BY day DESC) AS from_end "
+            "FROM dense), "
+            "v AS (SELECT day, s FROM w WHERE from_end >= 5 "
+            "UNION ALL SELECT day, s FROM w WHERE "
+            "(SELECT count(*) FROM dense) < 5 AND from_end = "
+            "(SELECT count(*) FROM dense)) "
+            "SELECT CAST(day AS TIMESTAMP) AS start_day, "
+            "CAST(s AS BIGINT) AS window_cents FROM v "
+            "ORDER BY s, day LIMIT 1"),
+        "snapshot_staleness_by_type": (
+            "WITH l AS (SELECT event_type, "
+            "epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY) "
+            "- epoch_us(ts) AS d FROM events) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(SUM(d) AS BIGINT) AS total_lag_us, "
+            "CAST(MAX(d) AS BIGINT) AS max_lag_us FROM l GROUP BY 1"),
+        "premium_sku_counts": (
+            "WITH c AS (SELECT p_brand, "
+            "CAST(round(p_retailprice * 100) AS BIGINT) AS cents "
+            "FROM part), "
+            "q AS (SELECT p_brand, quantile_disc(cents, 0.9) AS p90 "
+            "FROM c GROUP BY 1) "
+            "SELECT c.p_brand, CAST(count(*) AS BIGINT) AS n_parts, "
+            "CAST(SUM(CASE WHEN c.cents > q.p90 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_premium, "
+            "CAST(MIN(q.p90) AS BIGINT) AS p90_cents FROM c "
+            "JOIN q ON q.p_brand = c.p_brand GROUP BY 1"),
         "monthly_value_p90": (
             "SELECT strftime(date_trunc('month', o_orderdate), "
             "'%Y-%m') AS month, 0.9 AS q, "

@@ -15250,3 +15250,161 @@ def customer_top2_gap_hist(sf_dir: str) -> ray.data.Dataset:
                                              batch_format="pyarrow")
     return partial_aggregate(per, ["bucket"],
                              [("n_customers", "sum", "n_customers")])
+
+
+def price_fd_violations(sf_dir: str) -> ray.data.Dataset:
+    """Functional-dependency mining: does (brand, size) determine
+    retail price?  Count the determinant groups and those holding >1
+    distinct price — the schema-inference primitive.  Distinct
+    triples reduce, then per-group distinct counts fold."""
+    ds = read_parquet_clean(f"{sf_dir}/part.parquet",
+                            columns=["p_brand", "p_size",
+                                     "p_retailprice"])
+
+    def triples(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("p_retailprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"p_brand": batch.column("p_brand"),
+                      "p_size": pc.cast(batch.column("p_size"),
+                                        pa.int64()),
+                      "cents": pa.array(cents)})
+        return t.group_by(["p_brand", "p_size", "cents"]) \
+            .aggregate([]).select(["p_brand", "p_size", "cents"])
+
+    distinct = partial_aggregate(
+        ds.map_batches(triples, batch_format="pyarrow"),
+        ["p_brand", "p_size", "cents"], [])
+
+    def per_group(batch: pa.Table) -> pa.Table:
+        res = batch.group_by(["p_brand", "p_size"]).aggregate(
+            [("cents", "count")])
+        return pa.table({"p_brand": res.column("p_brand"),
+                         "p_size": res.column("p_size"),
+                         "n_prices": pc.cast(res.column("cents_count"),
+                                             pa.int64())})
+
+    per = partial_aggregate(
+        distinct.map_batches(per_group, batch_format="pyarrow"),
+        ["p_brand", "p_size"], [("n_prices", "sum", "n_prices")])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        viol = pc.greater(batch.column("n_prices"), 1)
+        return pa.table({
+            "n_groups": pa.array([len(batch)], pa.int64()),
+            "n_violating": pa.array(
+                [int(pc.sum(pc.cast(viol, pa.int64())).as_py() or 0)],
+                pa.int64())})
+
+    parts = pa.concat_tables(list(
+        per.map_batches(fold, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    return ray.data.from_arrow(pa.table({
+        "n_groups": pa.array([int(pc.sum(
+            parts.column("n_groups")).as_py() or 0)], pa.int64()),
+        "n_violating": pa.array([int(pc.sum(
+            parts.column("n_violating")).as_py() or 0)], pa.int64())}))
+
+
+def worst_5day_window(sf_dir: str, window: int = 5) -> ray.data.Dataset:
+    """Drawdown detection: the contiguous 5-calendar-day window with
+    the LOWEST total revenue (gap days count as zero; earliest start
+    wins ties) — the sliding-min dual of the peak finder, swept over
+    the dense calendar-bounded series."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("o_orderdate"), unit="day")
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"day": day, "cents": pa.array(cents)})
+        res = t.group_by(["day"]).aggregate([("cents", "sum")])
+        return pa.table({"day": res.column("day"),
+                         "cents": res.column("cents_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(daily, batch_format="pyarrow"),
+        ["day"], [("cents", "sum", "cents")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    day = rows.column("day").to_numpy(zero_copy_only=False) \
+        .astype("datetime64[D]").astype(np.int64)
+    cents = rows.column("cents").to_numpy(zero_copy_only=False)
+    order = np.argsort(day)
+    day, cents = day[order], cents[order]
+    full = np.arange(day[0], day[-1] + 1)
+    dense = np.zeros(len(full), np.int64)
+    dense[np.searchsorted(full, day)] = cents
+    if len(full) < window:
+        sums = np.array([dense.sum()])
+        starts = np.array([full[0]])
+    else:
+        cs = np.r_[0, np.cumsum(dense)]
+        sums = cs[window:] - cs[:-window]
+        starts = full[:len(sums)]
+    i = int(np.argmin(sums))         # first min = earliest start
+    return ray.data.from_arrow(pa.table({
+        "start_day": pa.array([starts[i].astype("datetime64[D]")
+                               .astype("datetime64[us]")],
+                              pa.timestamp("us")),
+        "window_cents": pa.array([int(sums[i])], pa.int64())}))
+
+
+def snapshot_staleness_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Freshness SLO accounting: if a consumer snapshot refreshes at
+    each midnight, how stale is every event when first served?  Per
+    type the total and max (next-midnight − ts) lag in µs — pure
+    vectorized date arithmetic."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts"])
+
+    def lag(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        nxt_mid = (ts // 86_400_000_000 + 1) * 86_400_000_000
+        d = nxt_mid - ts
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "n": pa.array(np.ones(len(d), np.int64)),
+                      "total_lag_us": pa.array(d),
+                      "max_lag_us": pa.array(d)})
+        res = t.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("total_lag_us", "sum"),
+             ("max_lag_us", "max")])
+        return pa.table({"event_type": res.column("event_type"),
+                         "n": res.column("n_sum"),
+                         "total_lag_us": res.column("total_lag_us_sum"),
+                         "max_lag_us": res.column("max_lag_us_max")})
+
+    return partial_aggregate(
+        ds.map_batches(lag, batch_format="pyarrow"),
+        ["event_type"], [("n", "sum", "n"),
+                         ("total_lag_us", "sum", "total_lag_us"),
+                         ("max_lag_us", "max", "max_lag_us")])
+
+
+def premium_sku_counts(sf_dir: str) -> ray.data.Dataset:
+    """Premium-tier census: per brand, parts priced strictly above the
+    brand's own lower-p90 price — the robust 'top decile of our own
+    catalog' tiering, computed inside each brand group (brand catalogs
+    are dimension-bounded)."""
+    ds = read_parquet_clean(f"{sf_dir}/part.parquet",
+                            columns=["p_brand", "p_retailprice"])
+
+    def per_brand(group: pa.Table) -> pa.Table:
+        cents = np.rint(group.column("p_retailprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        # quantile_disc rank = ceil(n·q) − 1
+        idx = -((-9 * len(cents)) // 10) - 1
+        p90 = np.sort(cents, kind="stable")[idx]
+        return pa.table({
+            "p_brand": group.column("p_brand").slice(0, 1),
+            "n_parts": pa.array([len(cents)], pa.int64()),
+            "n_premium": pa.array([int((cents > p90).sum())],
+                                  pa.int64()),
+            "p90_cents": pa.array([int(p90)], pa.int64())})
+
+    return ds.groupby("p_brand").map_groups(per_brand,
+                                            batch_format="pyarrow")
