@@ -370,7 +370,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         price_fd_violations,
                                         worst_5day_window,
                                         snapshot_staleness_by_type,
-                                        premium_sku_counts)
+                                        premium_sku_counts,
+                                        nation_median_of_customer_medians,
+                                        frequent_part_triples,
+                                        user_value_temporal_spearman,
+                                        stream_outage_audit)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -985,6 +989,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intermittent_parts": intermittent_parts,
         "customer_top2_gap_hist": customer_top2_gap_hist,
         "price_fd_violations": price_fd_violations,
+        "nation_median_of_customer_medians":
+            nation_median_of_customer_medians,
+        "frequent_part_triples": frequent_part_triples,
+        "user_value_temporal_spearman": user_value_temporal_spearman,
+        "stream_outage_audit": stream_outage_audit,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -2911,6 +2920,57 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "nation_median_of_customer_medians": (
+            "WITH cm AS (SELECT o_custkey, quantile_disc("
+            "CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS med "
+            "FROM orders GROUP BY 1) "
+            "SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey, "
+            "CAST(quantile_disc(cm.med, 0.5) AS BIGINT) "
+            "AS median_of_medians_cents, "
+            "CAST(count(*) AS BIGINT) AS n_customers FROM cm "
+            "JOIN customer c ON c.c_custkey = cm.o_custkey "
+            "GROUP BY 1"),
+        "frequent_part_triples": (
+            "WITH op AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem), "
+            "t AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, "
+            "c.l_partkey AS pc, count(*) AS n FROM op a "
+            "JOIN op b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey "
+            "JOIN op c ON a.l_orderkey = c.l_orderkey "
+            "AND b.l_partkey < c.l_partkey GROUP BY 1, 2, 3) "
+            "SELECT pa AS part_a, pb AS part_b, pc AS part_c, "
+            "CAST(n AS BIGINT) AS n_orders FROM t WHERE n >= 2 "
+            "ORDER BY n DESC, pa, pb, pc LIMIT 5"),
+        "user_value_temporal_spearman": (
+            "WITH u AS (SELECT user_id, "
+            "SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN "
+            "CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS cb, "
+            "SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN "
+            "CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS ca, "
+            "SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 "
+            "ELSE 0 END) AS nb, "
+            "SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 "
+            "ELSE 0 END) AS na FROM events GROUP BY 1), "
+            "k AS (SELECT user_id, cb, ca FROM u "
+            "WHERE nb > 0 AND na > 0), "
+            "r AS (SELECT row_number() OVER ("
+            "ORDER BY cb DESC, user_id) AS r1, row_number() OVER ("
+            "ORDER BY ca DESC, user_id) AS r2 FROM k) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_users, "
+            "CAST(COALESCE(SUM((r1 - r2) * (r1 - r2)), 0) AS BIGINT) "
+            "AS sum_d2 FROM r"),
+        "stream_outage_audit": (
+            "WITH m AS (SELECT DISTINCT date_trunc('minute', ts) "
+            "AS minute FROM events), "
+            "g AS (SELECT (epoch_us(minute) - epoch_us(lag(minute) "
+            "OVER (ORDER BY minute))) // 60000000 - 1 AS gap FROM m) "
+            "SELECT CAST((SELECT count(*) FROM m) AS BIGINT) "
+            "AS n_active_minutes, "
+            "CAST(COALESCE(SUM(CASE WHEN gap >= 60 THEN 1 ELSE 0 "
+            "END), 0) AS BIGINT) AS n_outages, "
+            "CAST(COALESCE(MAX(gap), 0) AS BIGINT) "
+            "AS longest_gap_minutes FROM g WHERE gap IS NOT NULL"),
         "price_fd_violations": (
             "WITH d AS (SELECT DISTINCT p_brand, p_size, "
             "CAST(round(p_retailprice * 100) AS BIGINT) AS cents "

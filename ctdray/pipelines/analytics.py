@@ -15408,3 +15408,203 @@ def premium_sku_counts(sf_dir: str) -> ray.data.Dataset:
 
     return ds.groupby("p_brand").map_groups(per_brand,
                                             batch_format="pyarrow")
+
+
+def nation_median_of_customer_medians(sf_dir: str) -> ray.data.Dataset:
+    """Nested robust center: per nation, the lower-median of its
+    customers' OWN median order values — the two-level statistic that
+    resists both whale customers and whale orders.  Inner medians run
+    per customer group; the outer median folds per nation (both
+    dimensions bounded)."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    cref = ray.put((cust.column("c_custkey").combine_chunks(),
+                    pc.cast(cust.column("c_nationkey").combine_chunks(),
+                            pa.int64())))
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_totalprice"])
+
+    def per_cust(group: pa.Table) -> pa.Table:
+        cents = np.sort(np.rint(group.column("o_totalprice")
+                                .to_numpy(zero_copy_only=False) * 100)
+                        .astype(np.int64))
+        med = int(cents[(len(cents) - 1) // 2])
+        return pa.table({
+            "o_custkey": group.column("o_custkey").slice(0, 1),
+            "med_cents": pa.array([med], pa.int64())})
+
+    per = ds.groupby("o_custkey").map_groups(per_cust,
+                                             batch_format="pyarrow")
+    rows = pa.concat_tables(list(per.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    ck, cnk = ray.get(cref)
+    i = pc.index_in(rows.column("o_custkey"), value_set=ck)
+    nat = pc.take(cnk, i).to_numpy(zero_copy_only=False)
+    med = rows.column("med_cents").to_numpy(zero_copy_only=False)
+    nats = np.unique(nat)
+    out_n, out_m, out_c = [], [], []
+    for n in nats:
+        vals = np.sort(med[nat == n])
+        out_n.append(int(n))
+        out_m.append(int(vals[(len(vals) - 1) // 2]))
+        out_c.append(len(vals))
+    return ray.data.from_arrow(pa.table({
+        "nationkey": pa.array(out_n, pa.int64()),
+        "median_of_medians_cents": pa.array(out_m, pa.int64()),
+        "n_customers": pa.array(out_c, pa.int64())}))
+
+
+def frequent_part_triples(sf_dir: str, min_support: int = 2,
+                          n: int = 5) -> ray.data.Dataset:
+    """Frequent 3-itemsets (the Apriori step beyond pairs): part
+    triples co-ordered in ≥2 orders, top-5 by support — triple
+    generation stays inside order groups (bucketed), supports reduce
+    keyed on the triple."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        bkt = ((ok.astype(np.uint64) * _FIB64) >> np.uint64(56)) \
+            .astype(np.int64)
+        return batch.append_column("bkt", pa.array(bkt))
+
+    def bucket_triples(group: pa.Table) -> pa.Table:
+        ok = group.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = group.column("l_partkey").to_numpy(zero_copy_only=False)
+        u = np.unique(np.stack([ok, pk], axis=1), axis=0)
+        ok, pk = u[:, 0], u[:, 1]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        lens = np.diff(np.r_[starts, len(ok)])
+        a_all, b_all, c_all = [], [], []
+        from itertools import combinations
+        for ln in np.unique(lens):
+            if ln < 3:
+                continue
+            segs = starts[lens == ln]
+            mat = np.sort(pk[segs[:, None] + np.arange(ln)], axis=1)
+            idx = np.array(list(combinations(range(int(ln)), 3)))
+            a_all.append(mat[:, idx[:, 0]].ravel())
+            b_all.append(mat[:, idx[:, 1]].ravel())
+            c_all.append(mat[:, idx[:, 2]].ravel())
+        if not a_all:
+            return pa.table({"pa_": pa.array([], pa.int64()),
+                             "pb_": pa.array([], pa.int64()),
+                             "pc_": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64())})
+        t = pa.table({"pa_": pa.array(np.concatenate(a_all)),
+                      "pb_": pa.array(np.concatenate(b_all)),
+                      "pc_": pa.array(np.concatenate(c_all)),
+                      "one": pa.array(np.ones(
+                          sum(len(x) for x in a_all), np.int64))})
+        res = t.group_by(["pa_", "pb_", "pc_"]).aggregate(
+            [("one", "sum")])
+        return pa.table({"pa_": res.column("pa_"),
+                         "pb_": res.column("pb_"),
+                         "pc_": res.column("pc_"),
+                         "n_orders": res.column("one_sum")})
+
+    triples = partial_aggregate(
+        li.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bkt").map_groups(bucket_triples,
+                                   batch_format="pyarrow"),
+        ["pa_", "pb_", "pc_"], [("n_orders", "sum", "n_orders")])
+    freq = triples.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n_orders"),
+                                            min_support)),
+        batch_format="pyarrow")
+    seed = pa.table({"pa_": pa.array([], pa.int64()),
+                     "pb_": pa.array([], pa.int64()),
+                     "pc_": pa.array([], pa.int64()),
+                     "n_orders": pa.array([], pa.int64())})
+    tab = pa.concat_tables([seed] + list(freq.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    df = tab.to_pandas().sort_values(
+        ["n_orders", "pa_", "pb_", "pc_"],
+        ascending=[False, True, True, True]).head(n)
+    return ray.data.from_arrow(pa.Table.from_pandas(
+        df.rename(columns={"pa_": "part_a", "pb_": "part_b",
+                           "pc_": "part_c"}), preserve_index=False))
+
+
+def user_value_temporal_spearman(sf_dir: str,
+                                 split: str = "2024-01-16"
+                                 ) -> ray.data.Dataset:
+    """Predictive-stability probe: users ranked by value BEFORE the
+    split date versus AFTER it — the Spearman numerator Σd² says
+    whether past value predicts future value.  Only users active in
+    both halves rank."""
+    cut = np.datetime64(split, "us").astype(np.int64)
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        cents = np.rint(batch.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        before = ts < cut
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "c_before": pa.array(np.where(before, cents, 0)),
+                      "c_after": pa.array(np.where(before, 0, cents)),
+                      "n_before": pa.array(before.astype(np.int64)),
+                      "n_after": pa.array((~before).astype(np.int64))})
+        res = t.group_by(["user_id"]).aggregate(
+            [("c_before", "sum"), ("c_after", "sum"),
+             ("n_before", "sum"), ("n_after", "sum")])
+        return pa.table({"user_id": res.column("user_id"),
+                         "c_before": res.column("c_before_sum"),
+                         "c_after": res.column("c_after_sum"),
+                         "n_before": res.column("n_before_sum"),
+                         "n_after": res.column("n_after_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["user_id"], [("c_before", "sum", "c_before"),
+                      ("c_after", "sum", "c_after"),
+                      ("n_before", "sum", "n_before"),
+                      ("n_after", "sum", "n_after")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    nb = rows.column("n_before").to_numpy(zero_copy_only=False)
+    na = rows.column("n_after").to_numpy(zero_copy_only=False)
+    keep = (nb > 0) & (na > 0)
+    uid = rows.column("user_id").to_numpy(zero_copy_only=False)[keep]
+    cb = rows.column("c_before").to_numpy(zero_copy_only=False)[keep]
+    ca = rows.column("c_after").to_numpy(zero_copy_only=False)[keep]
+    r1 = np.empty(len(uid), np.int64)
+    r1[np.lexsort((uid, -cb))] = np.arange(1, len(uid) + 1)
+    r2 = np.empty(len(uid), np.int64)
+    r2[np.lexsort((uid, -ca))] = np.arange(1, len(uid) + 1)
+    d = r1 - r2
+    return ray.data.from_arrow(pa.table({
+        "n_users": pa.array([len(uid)], pa.int64()),
+        "sum_d2": pa.array([int((d * d).sum())], pa.int64())}))
+
+
+def stream_outage_audit(sf_dir: str, gap_minutes: int = 60
+                        ) -> ray.data.Dataset:
+    """Pipeline-outage detector: silent gaps in the MERGED event stream
+    at minute grain — count of silences longer than an hour and the
+    longest silence.  Distinct active minutes reduce; the gap sweep
+    folds on that calendar-bounded list."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def minutes(batch: pa.Table) -> pa.Table:
+        m = pc.floor_temporal(batch.column("ts"), unit="minute")
+        return pa.table({"minute": pc.unique(m)})
+
+    distinct = partial_aggregate(
+        ds.map_batches(minutes, batch_format="pyarrow"), ["minute"], [])
+    rows = pa.concat_tables(list(distinct.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    m = np.sort(rows.column("minute").to_numpy(zero_copy_only=False)
+                .astype("datetime64[m]").astype(np.int64))
+    gaps = np.diff(m) - 1            # silent minutes between actives
+    big = gaps[gaps >= gap_minutes]
+    return ray.data.from_arrow(pa.table({
+        "n_active_minutes": pa.array([len(m)], pa.int64()),
+        "n_outages": pa.array([len(big)], pa.int64()),
+        "longest_gap_minutes": pa.array(
+            [int(gaps.max()) if len(gaps) else 0], pa.int64())}))
