@@ -374,7 +374,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         nation_median_of_customer_medians,
                                         frequent_part_triples,
                                         user_value_temporal_spearman,
-                                        stream_outage_audit)
+                                        stream_outage_audit,
+                                        purchase_hazard_table,
+                                        score_calibration_lift,
+                                        unattributed_purchase_share,
+                                        nation_dow_mix_l1)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -994,6 +998,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_part_triples": frequent_part_triples,
         "user_value_temporal_spearman": user_value_temporal_spearman,
         "stream_outage_audit": stream_outage_audit,
+        "purchase_hazard_table": purchase_hazard_table,
+        "score_calibration_lift": score_calibration_lift,
+        "unattributed_purchase_share": unattributed_purchase_share,
+        "nation_dow_mix_l1": nation_dow_mix_l1,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -2920,6 +2928,75 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "purchase_hazard_table": (
+            "WITH p AS (SELECT user_id, ts, event_id FROM events "
+            "WHERE event_type = 'purchase'), "
+            "g AS (SELECT (epoch_us(ts) - epoch_us(lag(ts) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id))) "
+            "// 86400000000 AS gd FROM p), "
+            "h AS (SELECT gd FROM g WHERE gd IS NOT NULL), "
+            "ks AS (SELECT unnest(range(1, 8)) AS k) "
+            "SELECT CAST(ks.k AS BIGINT) AS k_days, "
+            "CAST(COALESCE(SUM(CASE WHEN h.gd >= ks.k - 1 THEN 1 "
+            "ELSE 0 END), 0) AS BIGINT) AS n_at_risk, "
+            "CAST(COALESCE(SUM(CASE WHEN h.gd = ks.k - 1 THEN 1 "
+            "ELSE 0 END), 0) AS BIGINT) AS n_events, "
+            "CAST((SELECT count(*) FROM h) AS BIGINT) "
+            "AS n_gaps_total FROM ks LEFT JOIN h ON TRUE GROUP BY 1"),
+        "score_calibration_lift": (
+            "WITH u AS (SELECT user_id, "
+            "SUM(CASE WHEN ts < TIMESTAMP '2024-01-21' THEN "
+            "CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS score, "
+            "SUM(CASE WHEN ts >= TIMESTAMP '2024-01-21' THEN "
+            "CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS future "
+            "FROM events GROUP BY 1), "
+            "r AS (SELECT score, future, row_number() OVER ("
+            "ORDER BY score, user_id) - 1 AS rnk, "
+            "(SELECT count(*) FROM u) AS total FROM u), "
+            "d AS (SELECT (10 * rnk) // total AS decile, future FROM r) "
+            "SELECT CAST(decile AS BIGINT) AS decile, "
+            "CAST(count(*) AS BIGINT) AS n_users, "
+            "CAST(SUM(future) AS BIGINT) AS future_cents "
+            "FROM d GROUP BY 1"),
+        "unattributed_purchase_share": (
+            "WITH p AS (SELECT user_id, ts, event_id FROM events "
+            "WHERE event_type = 'purchase'), "
+            "att AS (SELECT p.user_id, p.event_id FROM p "
+            "JOIN events n ON n.user_id = p.user_id "
+            "AND n.event_type <> 'purchase' "
+            "AND (n.ts < p.ts OR (n.ts = p.ts "
+            "AND n.event_id < p.event_id)) "
+            "AND epoch_us(n.ts) >= epoch_us(p.ts) - 86400000000 "
+            "GROUP BY 1, 2) "
+            "SELECT CAST((SELECT count(*) FROM p) AS BIGINT) "
+            "AS n_purchases, "
+            "CAST((SELECT count(*) FROM p) "
+            "- (SELECT count(*) FROM att) AS BIGINT) "
+            "AS n_unattributed, "
+            "CAST((1000000 * ((SELECT count(*) FROM p) "
+            "- (SELECT count(*) FROM att))) "
+            "// GREATEST((SELECT count(*) FROM p), 1) AS BIGINT) "
+            "AS unattributed_ppm"),
+        "nation_dow_mix_l1": (
+            "WITH c AS (SELECT CAST(cu.c_nationkey AS BIGINT) AS nk, "
+            "CAST(isodow(o.o_orderdate) AS BIGINT) AS dow, "
+            "count(*) AS n FROM orders o "
+            "JOIN customer cu ON o.o_custkey = cu.c_custkey "
+            "GROUP BY 1, 2), "
+            "nats AS (SELECT DISTINCT nk FROM c), "
+            "dows AS (SELECT unnest(range(1, 8)) AS dow), "
+            "grid AS (SELECT nats.nk, dows.dow, COALESCE(c.n, 0) AS n "
+            "FROM nats CROSS JOIN dows "
+            "LEFT JOIN c ON c.nk = nats.nk AND c.dow = dows.dow), "
+            "gl AS (SELECT dow, SUM(n) AS g FROM grid GROUP BY 1), "
+            "tm AS (SELECT SUM(n) AS tg FROM grid), "
+            "tn AS (SELECT nk, SUM(n) AS t FROM grid GROUP BY 1) "
+            "SELECT grid.nk AS nationkey, "
+            "CAST(tn.t AS BIGINT) AS n_orders, "
+            "CAST(SUM(abs(CAST(grid.n AS HUGEINT) * tm.tg "
+            "- CAST(gl.g AS HUGEINT) * tn.t)) AS DOUBLE) AS l1_num "
+            "FROM grid JOIN gl ON gl.dow = grid.dow "
+            "JOIN tn ON tn.nk = grid.nk, tm GROUP BY 1, 2"),
         "nation_median_of_customer_medians": (
             "WITH cm AS (SELECT o_custkey, quantile_disc("
             "CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS med "

@@ -15608,3 +15608,196 @@ def stream_outage_audit(sf_dir: str, gap_minutes: int = 60
         "n_outages": pa.array([len(big)], pa.int64()),
         "longest_gap_minutes": pa.array(
             [int(gaps.max()) if len(gaps) else 0], pa.int64())}))
+
+
+def purchase_hazard_table(sf_dir: str, max_k: int = 7
+                          ) -> ray.data.Dataset:
+    """Discrete survival/hazard table for repurchase: gaps between a
+    user's consecutive purchases (floor days); for k = 1..7, how many
+    gaps were AT RISK at day k (≥ k−1) and how many converted that day
+    (in [k−1, k)) — the retention-curve denominator/numerator pairs.
+    Gap histograms reduce; the at-risk cumulative folds."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    def gaps(group: pa.Table) -> pa.Table:
+        keep = pc.equal(group.column("event_type"), "purchase")
+        g = group.filter(keep)
+        if len(g) < 2:
+            return pa.table({"gap_days": pa.array([], pa.int64())})
+        ts = g.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        d = np.diff(ts[order]) // 86_400_000_000
+        return pa.table({"gap_days": pa.array(d)})
+
+    gap_ds = ds.groupby("user_id").map_groups(gaps,
+                                              batch_format="pyarrow")
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pa.table({"gap_days": batch.column("gap_days"),
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["gap_days"]).aggregate([("n", "sum")])
+        return pa.table({"gap_days": res.column("gap_days"),
+                         "n": res.column("n_sum")})
+
+    agg = partial_aggregate(
+        gap_ds.map_batches(hist, batch_format="pyarrow"),
+        ["gap_days"], [("n", "sum", "n")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    gd = rows.column("gap_days").to_numpy(zero_copy_only=False)
+    n = rows.column("n").to_numpy(zero_copy_only=False)
+    total = int(n.sum())
+    ks, at_risk, events = [], [], []
+    for k in range(1, max_k + 1):
+        ks.append(k)
+        at_risk.append(int(n[gd >= k - 1].sum()))
+        events.append(int(n[gd == k - 1].sum()))
+    return ray.data.from_arrow(pa.table({
+        "k_days": pa.array(ks, pa.int64()),
+        "n_at_risk": pa.array(at_risk, pa.int64()),
+        "n_events": pa.array(events, pa.int64()),
+        "n_gaps_total": pa.array([total] * max_k, pa.int64())}))
+
+
+def score_calibration_lift(sf_dir: str, split: str = "2024-01-21"
+                           ) -> ray.data.Dataset:
+    """Feature-calibration lift table: users scored by FIRST-20-DAYS
+    value, bucketed into score deciles, and each decile's FUTURE value
+    (after the split) reported — does the feature rank the future?
+    Both windows fold in one pass; ranking runs on the user-bounded
+    table."""
+    cut = np.datetime64(split, "us").astype(np.int64)
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        cents = np.rint(batch.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        before = ts < cut
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "score": pa.array(np.where(before, cents, 0)),
+                      "future": pa.array(np.where(before, 0, cents))})
+        res = t.group_by(["user_id"]).aggregate(
+            [("score", "sum"), ("future", "sum")])
+        return pa.table({"user_id": res.column("user_id"),
+                         "score": res.column("score_sum"),
+                         "future": res.column("future_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["user_id"], [("score", "sum", "score"),
+                      ("future", "sum", "future")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    uid = rows.column("user_id").to_numpy(zero_copy_only=False)
+    sc = rows.column("score").to_numpy(zero_copy_only=False)
+    fu = rows.column("future").to_numpy(zero_copy_only=False)
+    rank = np.empty(len(uid), np.int64)
+    rank[np.lexsort((uid, sc))] = np.arange(len(uid))
+    decile = (10 * rank) // max(len(uid), 1)
+    t = pa.table({"decile": pa.array(decile),
+                  "n_users": pa.array(np.ones(len(uid), np.int64)),
+                  "future_cents": pa.array(fu)})
+    res = t.group_by(["decile"]).aggregate(
+        [("n_users", "sum"), ("future_cents", "sum")])
+    return ray.data.from_arrow(pa.table({
+        "decile": res.column("decile"),
+        "n_users": pc.cast(res.column("n_users_sum"), pa.int64()),
+        "future_cents": pc.cast(res.column("future_cents_sum"),
+                                pa.int64())}))
+
+
+def unattributed_purchase_share(sf_dir: str, window_hours: int = 24
+                                ) -> ray.data.Dataset:
+    """Organic-purchase share: purchases with NO non-purchase event in
+    the user's preceding 24 h (nothing to attribute) — the complement
+    of the attribution models, floor ppm."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        types = group.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        t, ty = ts[order], types[order]
+        w = window_hours * 3_600_000_000
+        is_p = ty == "purchase"
+        non_p_idx = np.flatnonzero(~is_p)
+        n_un = 0
+        for i in np.flatnonzero(is_p):
+            cand = non_p_idx[non_p_idx < i]
+            if len(cand) == 0 or t[cand[-1]] < t[i] - w:
+                n_un += 1
+        return pa.table({
+            "n_purchases": pa.array([int(is_p.sum())], pa.int64()),
+            "n_unattributed": pa.array([n_un], pa.int64())})
+
+    per = ds.groupby("user_id").map_groups(per_user,
+                                           batch_format="pyarrow")
+    rows = pa.concat_tables(list(per.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    np_ = int(pc.sum(rows.column("n_purchases")).as_py() or 0)
+    nu = int(pc.sum(rows.column("n_unattributed")).as_py() or 0)
+    return ray.data.from_arrow(pa.table({
+        "n_purchases": pa.array([np_], pa.int64()),
+        "n_unattributed": pa.array([nu], pa.int64()),
+        "unattributed_ppm": pa.array([(1_000_000 * nu) // max(np_, 1)],
+                                     pa.int64())}))
+
+
+def nation_dow_mix_l1(sf_dir: str) -> ray.data.Dataset:
+    """Segment-divergence profile: each nation's order day-of-week mix
+    versus the GLOBAL mix, as the scale-free L1 numerator
+    Σ_d |n_nation(d)·T_global − n_global(d)·T_nation| — which markets
+    march to a different weekly drum?  The nation×dow grid is doubly
+    bounded; the divergence folds on it."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    cref = ray.put((cust.column("c_custkey").combine_chunks(),
+                    pc.cast(cust.column("c_nationkey").combine_chunks(),
+                            pa.int64())))
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ck, cnk = ray.get(cref)
+        i = pc.index_in(batch.column("o_custkey"), value_set=ck)
+        dow = pc.cast(pc.day_of_week(batch.column("o_orderdate"),
+                                     count_from_zero=False,
+                                     week_start=1), pa.int64())
+        t = pa.table({"nationkey": pc.take(cnk, i), "dow": dow,
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["nationkey", "dow"]).aggregate([("n", "sum")])
+        return pa.table({"nationkey": res.column("nationkey"),
+                         "dow": res.column("dow"),
+                         "n": res.column("n_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        ["nationkey", "dow"], [("n", "sum", "n")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    nk = rows.column("nationkey").to_numpy(zero_copy_only=False)
+    dow = rows.column("dow").to_numpy(zero_copy_only=False)
+    n = rows.column("n").to_numpy(zero_copy_only=False)
+    nats, ni = np.unique(nk, return_inverse=True)
+    grid = np.zeros((len(nats), 7), np.int64)
+    grid[ni, dow - 1] = n
+    gl = grid.sum(axis=0)
+    tg = int(gl.sum())
+    tn = grid.sum(axis=1)
+    l1 = np.abs(grid * tg - gl[None, :] * tn[:, None]).sum(axis=1)
+    return ray.data.from_arrow(pa.table({
+        "nationkey": pa.array(nats),
+        "n_orders": pa.array(tn),
+        "l1_num": pa.array(l1.astype(np.float64))}))
