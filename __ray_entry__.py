@@ -378,7 +378,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         purchase_hazard_table,
                                         score_calibration_lift,
                                         unattributed_purchase_share,
-                                        nation_dow_mix_l1)
+                                        nation_dow_mix_l1,
+                                        session_3step_funnel,
+                                        corpus_simpson_index,
+                                        supplier_share_movers,
+                                        popular_part_antipairs)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1002,6 +1006,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "score_calibration_lift": score_calibration_lift,
         "unattributed_purchase_share": unattributed_purchase_share,
         "nation_dow_mix_l1": nation_dow_mix_l1,
+        "session_3step_funnel": session_3step_funnel,
+        "corpus_simpson_index": corpus_simpson_index,
+        "supplier_share_movers": supplier_share_movers,
+        "popular_part_antipairs": popular_part_antipairs,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -2928,6 +2936,69 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "session_3step_funnel": (
+            "WITH o AS (SELECT user_id, ts, event_id, event_type, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - "
+            "epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END "
+            "AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, ts, event_id, event_type, "
+            "sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS sid, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM o), "
+            "fv AS (SELECT user_id, sid, MIN(rn) AS v FROM s "
+            "WHERE event_type = 'view' GROUP BY 1, 2), "
+            "fc AS (SELECT s.user_id, s.sid, MIN(s.rn) AS c FROM s "
+            "JOIN fv ON fv.user_id = s.user_id AND fv.sid = s.sid "
+            "WHERE s.event_type = 'click' AND s.rn > fv.v "
+            "GROUP BY 1, 2), "
+            "fp AS (SELECT s.user_id, s.sid FROM s "
+            "JOIN fc ON fc.user_id = s.user_id AND fc.sid = s.sid "
+            "WHERE s.event_type = 'purchase' AND s.rn > fc.c "
+            "GROUP BY 1, 2) "
+            "SELECT CAST((SELECT count(*) FROM (SELECT DISTINCT "
+            "user_id, sid FROM s)) AS BIGINT) AS n_sessions, "
+            "CAST((SELECT count(*) FROM fv) AS BIGINT) "
+            "AS n_view_sessions, "
+            "CAST((SELECT count(*) FROM fp) AS BIGINT) "
+            "AS n_full_funnel"),
+        "corpus_simpson_index": (
+            "WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n "
+            "FROM (SELECT unnest(string_split(text, ' ')) AS tok "
+            "FROM documents) GROUP BY 1) "
+            "SELECT CAST(SUM(n) AS BIGINT) AS n_occurrences, "
+            "CAST(SUM(n * n) AS BIGINT) AS sum_f2, "
+            "CAST(count(*) AS BIGINT) AS n_types FROM c"),
+        "supplier_share_movers": (
+            "WITH a AS (SELECT l_suppkey, "
+            "SUM(CASE WHEN year(l_shipdate) < 1998 THEN "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) "
+            "AS cb, "
+            "SUM(CASE WHEN year(l_shipdate) >= 1998 THEN "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) "
+            "AS ca FROM lineitem GROUP BY 1), "
+            "t AS (SELECT SUM(cb) AS tb, SUM(ca) AS ta FROM a), "
+            "sh AS (SELECT a.l_suppkey, "
+            "(1000000 * a.cb) // GREATEST(t.tb, 1) AS sb, "
+            "(1000000 * a.ca) // GREATEST(t.ta, 1) AS sa FROM a, t) "
+            "SELECT l_suppkey, CAST(sb AS BIGINT) AS share_before_ppm, "
+            "CAST(sa AS BIGINT) AS share_after_ppm, "
+            "CAST(sa - sb AS BIGINT) AS delta_ppm FROM sh "
+            "ORDER BY abs(sa - sb) DESC, l_suppkey LIMIT 10"),
+        "popular_part_antipairs": (
+            "WITH top AS (SELECT l_partkey FROM (SELECT l_partkey, "
+            "count(*) AS n FROM lineitem GROUP BY 1) "
+            "ORDER BY n DESC, l_partkey LIMIT 20), "
+            "op AS (SELECT DISTINCT l.l_orderkey, l.l_partkey "
+            "FROM lineitem l JOIN top ON l.l_partkey = top.l_partkey), "
+            "seen AS (SELECT DISTINCT a.l_partkey AS u, "
+            "b.l_partkey AS v FROM op a "
+            "JOIN op b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey) "
+            "SELECT a.l_partkey AS part_a, b.l_partkey AS part_b "
+            "FROM top a JOIN top b ON a.l_partkey < b.l_partkey "
+            "LEFT JOIN seen ON seen.u = a.l_partkey "
+            "AND seen.v = b.l_partkey WHERE seen.u IS NULL"),
         "purchase_hazard_table": (
             "WITH p AS (SELECT user_id, ts, event_id FROM events "
             "WHERE event_type = 'purchase'), "

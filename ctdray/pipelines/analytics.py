@@ -15801,3 +15801,220 @@ def nation_dow_mix_l1(sf_dir: str) -> ray.data.Dataset:
         "nationkey": pa.array(nats),
         "n_orders": pa.array(tn),
         "l1_num": pa.array(l1.astype(np.float64))}))
+
+
+def session_3step_funnel(sf_dir: str, gap_seconds: int = 1800
+                         ) -> ray.data.Dataset:
+    """Strict ordered 3-step funnel inside sessions: view → later click
+    → later purchase, all within one 30-min-gap session — the
+    subsequence-exists test, swept per session with three first-index
+    scans."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        types = group.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        t, ty = ts[order], types[order]
+        brk = np.r_[0, np.flatnonzero(np.diff(t)
+                                      > gap_seconds * 1_000_000) + 1,
+                    len(t)]
+        n_sessions = len(brk) - 1
+        n_view = n_full = 0
+        for s, e in zip(brk[:-1], brk[1:]):
+            seg = ty[s:e]
+            vi = np.flatnonzero(seg == "view")
+            if len(vi) == 0:
+                continue
+            n_view += 1
+            ci = np.flatnonzero(seg[vi[0] + 1:] == "click")
+            if len(ci) == 0:
+                continue
+            pi = np.flatnonzero(seg[vi[0] + 1 + ci[0] + 1:]
+                                == "purchase")
+            if len(pi):
+                n_full += 1
+        return pa.table({
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+            "n_view_sessions": pa.array([n_view], pa.int64()),
+            "n_full_funnel": pa.array([n_full], pa.int64())})
+
+    per = ds.groupby("user_id").map_groups(per_user,
+                                           batch_format="pyarrow")
+    rows = pa.concat_tables(list(per.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    out = {c: pa.array([int(pc.sum(rows.column(c)).as_py() or 0)],
+                       pa.int64())
+           for c in ("n_sessions", "n_view_sessions", "n_full_funnel")}
+    return ray.data.from_arrow(pa.table(out))
+
+
+def corpus_simpson_index(sf_dir: str) -> ray.data.Dataset:
+    """Simpson diversity of the corpus vocabulary without floats: the
+    collision numerator Σ f_tok² alongside total occurrences (the
+    repeat-draw probability is Σf²/T²) — the lexical-diversity dual of
+    entropy, exactly mergeable."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(batch.column("text"),
+                                                " "))
+        t = pa.table({"tok": flat,
+                      "n": pa.array(np.ones(len(flat), np.int64))})
+        res = t.group_by(["tok"]).aggregate([("n", "sum")])
+        return pa.table({"tok": res.column("tok"),
+                         "n": res.column("n_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["tok"], [("n", "sum", "n")])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "total": pa.array([int(n.sum())], pa.int64()),
+            "sum_f2": pa.array([int((n * n).sum())], pa.int64()),
+            "n_types": pa.array([len(n)], pa.int64())})
+
+    parts = pa.concat_tables(list(
+        agg.map_batches(fold, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    return ray.data.from_arrow(pa.table({
+        "n_occurrences": pa.array([int(pc.sum(
+            parts.column("total")).as_py() or 0)], pa.int64()),
+        "sum_f2": pa.array([int(pc.sum(
+            parts.column("sum_f2")).as_py() or 0)], pa.int64()),
+        "n_types": pa.array([int(pc.sum(
+            parts.column("n_types")).as_py() or 0)], pa.int64())}))
+
+
+def supplier_share_movers(sf_dir: str, split_year: int = 1998,
+                          n: int = 10) -> ray.data.Dataset:
+    """Market-share movers: each supplier's revenue share (floor ppm)
+    before vs from the split year, top-10 by absolute share delta —
+    the competitive-shift leaderboard.  Era partials reduce per
+    supplier; shares and the delta rank fold on the supplier-bounded
+    table."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_suppkey", "l_shipdate",
+                                     "l_extendedprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        year = pc.year(batch.column("l_shipdate")) \
+            .to_numpy(zero_copy_only=False)
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        before = year < split_year
+        t = pa.table({"l_suppkey": batch.column("l_suppkey"),
+                      "cb": pa.array(np.where(before, cents, 0)),
+                      "ca": pa.array(np.where(before, 0, cents))})
+        res = t.group_by(["l_suppkey"]).aggregate(
+            [("cb", "sum"), ("ca", "sum")])
+        return pa.table({"l_suppkey": res.column("l_suppkey"),
+                         "cb": res.column("cb_sum"),
+                         "ca": res.column("ca_sum")})
+
+    agg = partial_aggregate(
+        li.map_batches(partials, batch_format="pyarrow"),
+        ["l_suppkey"], [("cb", "sum", "cb"), ("ca", "sum", "ca")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    sk = rows.column("l_suppkey").to_numpy(zero_copy_only=False)
+    cb = rows.column("cb").to_numpy(zero_copy_only=False)
+    ca = rows.column("ca").to_numpy(zero_copy_only=False)
+    tb, ta = int(cb.sum()), int(ca.sum())
+    sb = (1_000_000 * cb) // max(tb, 1)
+    sa = (1_000_000 * ca) // max(ta, 1)
+    delta = sa - sb
+    order = np.lexsort((sk, -np.abs(delta)))[:n]
+    return ray.data.from_arrow(pa.table({
+        "l_suppkey": pa.array(sk[order]),
+        "share_before_ppm": pa.array(sb[order]),
+        "share_after_ppm": pa.array(sa[order]),
+        "delta_ppm": pa.array(delta[order])}))
+
+
+def popular_part_antipairs(sf_dir: str, k: int = 20
+                           ) -> ray.data.Dataset:
+    """Negative association mining: among the top-20 most-ordered
+    parts, the pairs that NEVER co-occur in an order (substitute
+    suspects).  The head set broadcasts; co-order pairs restricted to
+    it reduce; the complement folds on the k²-bounded grid."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_partkey": batch.column("l_partkey"),
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["l_partkey"]).aggregate([("n", "sum")])
+        return pa.table({"l_partkey": res.column("l_partkey"),
+                         "n": res.column("n_sum")})
+
+    top = partial_aggregate(
+        li.map_batches(counts, batch_format="pyarrow"),
+        ["l_partkey"], [("n", "sum", "n")]) \
+        .sort(["n", "l_partkey"], descending=[True, False]) \
+        .limit(k).take_all()
+    head = pa.array(sorted(r["l_partkey"] for r in top), pa.int64())
+    href = ray.put(head)
+
+    def pairs(group: pa.Table) -> pa.Table:
+        hd = ray.get(href)
+        keep = pc.is_in(group.column("l_partkey"), value_set=hd)
+        g = group.filter(keep)
+        ok = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        u = np.unique(np.stack([ok, pk], axis=1), axis=0)
+        ok, pk = u[:, 0], u[:, 1]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        lens = np.diff(np.r_[starts, len(ok)])
+        a_all, b_all = [], []
+        for ln in np.unique(lens):
+            if ln < 2:
+                continue
+            segs = starts[lens == ln]
+            mat = pk[segs[:, None] + np.arange(ln)]
+            ii, jj = np.triu_indices(int(ln), k=1)
+            a_all.append(mat[:, ii].ravel())
+            b_all.append(mat[:, jj].ravel())
+        if not a_all:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        a = np.concatenate(a_all)
+        b = np.concatenate(b_all)
+        t2 = pa.table({"u": pa.array(np.minimum(a, b)),
+                       "v": pa.array(np.maximum(a, b))})
+        return t2.group_by(["u", "v"]).aggregate([]).select(["u", "v"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        bkt = ((ok.astype(np.uint64) * _FIB64) >> np.uint64(56)) \
+            .astype(np.int64)
+        return batch.append_column("bkt", pa.array(bkt))
+
+    seen_tab = pa.concat_tables(
+        [pa.table({"u": pa.array([], pa.int64()),
+                   "v": pa.array([], pa.int64())})]
+        + list(partial_aggregate(
+            li.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bkt").map_groups(pairs, batch_format="pyarrow"),
+            ["u", "v"], [])
+            .iter_batches(batch_format="pyarrow", batch_size=None)))
+    seen = set(zip(seen_tab.column("u").to_pylist(),
+                   seen_tab.column("v").to_pylist()))
+    hd = sorted(head.to_pylist())
+    ua, va = [], []
+    for i in range(len(hd)):
+        for j in range(i + 1, len(hd)):
+            if (hd[i], hd[j]) not in seen:
+                ua.append(hd[i])
+                va.append(hd[j])
+    return ray.data.from_arrow(pa.table({
+        "part_a": pa.array(ua, pa.int64()),
+        "part_b": pa.array(va, pa.int64())}))
