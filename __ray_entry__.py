@@ -382,7 +382,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         session_3step_funnel,
                                         corpus_simpson_index,
                                         supplier_share_movers,
-                                        popular_part_antipairs)
+                                        popular_part_antipairs,
+                                        discount_ladder,
+                                        lang_length_mix_l1,
+                                        first_event_purchase_share,
+                                        part_reorder_gap_hist)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1010,6 +1014,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_simpson_index": corpus_simpson_index,
         "supplier_share_movers": supplier_share_movers,
         "popular_part_antipairs": popular_part_antipairs,
+        "discount_ladder": discount_ladder,
+        "lang_length_mix_l1": lang_length_mix_l1,
+        "first_event_purchase_share": first_event_purchase_share,
+        "part_reorder_gap_hist": part_reorder_gap_hist,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -2936,6 +2944,51 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "discount_ladder": (
+            "WITH c AS (SELECT CAST(round(l_quantity) AS BIGINT) // 10 "
+            "AS bracket, CAST(round(l_discount * 100) AS BIGINT) "
+            "AS disc_cents, count(*) AS n FROM lineitem GROUP BY 1, 2), "
+            "r AS (SELECT bracket, disc_cents, n, row_number() OVER ("
+            "PARTITION BY bracket ORDER BY n DESC, disc_cents) AS rn "
+            "FROM c) "
+            "SELECT bracket, disc_cents AS modal_discount_cents, "
+            "CAST(n AS BIGINT) AS n_lines FROM r WHERE rn = 1"),
+        "lang_length_mix_l1": (
+            "WITH c AS (SELECT lang, CASE WHEN n_chars > 0 THEN "
+            "CAST(floor(log2(n_chars)) AS BIGINT) ELSE -1 END "
+            "AS bucket, count(*) AS n FROM documents GROUP BY 1, 2), "
+            "langs AS (SELECT DISTINCT lang FROM c), "
+            "bkts AS (SELECT DISTINCT bucket FROM c), "
+            "grid AS (SELECT langs.lang, bkts.bucket, "
+            "COALESCE(c.n, 0) AS n FROM langs CROSS JOIN bkts "
+            "LEFT JOIN c ON c.lang = langs.lang "
+            "AND c.bucket = bkts.bucket), "
+            "gl AS (SELECT bucket, SUM(n) AS g FROM grid GROUP BY 1), "
+            "tm AS (SELECT SUM(n) AS tg FROM grid), "
+            "tl AS (SELECT lang, SUM(n) AS t FROM grid GROUP BY 1) "
+            "SELECT grid.lang, CAST(tl.t AS BIGINT) AS n_docs, "
+            "CAST(SUM(abs(CAST(grid.n AS HUGEINT) * tm.tg "
+            "- CAST(gl.g AS HUGEINT) * tl.t)) AS DOUBLE) AS l1_num "
+            "FROM grid JOIN gl ON gl.bucket = grid.bucket "
+            "JOIN tl ON tl.lang = grid.lang, tm GROUP BY 1, 2"),
+        "first_event_purchase_share": (
+            "WITH f AS (SELECT user_id, event_type, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+            "FROM events) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_users, "
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS n_cold_purchasers, "
+            "CAST((1000000 * SUM(CASE WHEN event_type = 'purchase' "
+            "THEN 1 ELSE 0 END)) // GREATEST(count(*), 1) AS BIGINT) "
+            "AS cold_ppm FROM f WHERE rn = 1"),
+        "part_reorder_gap_hist": (
+            "WITH d AS (SELECT DISTINCT l_partkey, "
+            "CAST(l_shipdate AS DATE) AS day FROM lineitem), "
+            "g AS (SELECT day - lag(day) OVER (PARTITION BY l_partkey "
+            "ORDER BY day) AS gap FROM d) "
+            "SELECT CAST(floor(log2(gap)) AS BIGINT) AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n_gaps FROM g "
+            "WHERE gap IS NOT NULL GROUP BY 1"),
         "session_3step_funnel": (
             "WITH o AS (SELECT user_id, ts, event_id, event_type, "
             "CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - "

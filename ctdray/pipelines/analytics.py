@@ -16018,3 +16018,146 @@ def popular_part_antipairs(sf_dir: str, k: int = 20
     return ray.data.from_arrow(pa.table({
         "part_a": pa.array(ua, pa.int64()),
         "part_b": pa.array(va, pa.int64())}))
+
+
+def discount_ladder(sf_dir: str) -> ray.data.Dataset:
+    """Volume-discount ladder detection: the MODAL discount (cents,
+    ties low) per quantity bracket of 10 — does pricing step with
+    volume?  (bracket, discount) counts reduce; the per-bracket argmax
+    folds on the bounded grid."""
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_quantity", "l_discount"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        q = np.rint(batch.column("l_quantity")
+                    .to_numpy(zero_copy_only=False)).astype(np.int64)
+        d = np.rint(batch.column("l_discount")
+                    .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"bracket": pa.array(q // 10),
+                      "disc_cents": pa.array(d),
+                      "n": pa.array(np.ones(len(q), np.int64))})
+        res = t.group_by(["bracket", "disc_cents"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"bracket": res.column("bracket"),
+                         "disc_cents": res.column("disc_cents"),
+                         "n": res.column("n_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        ["bracket", "disc_cents"], [("n", "sum", "n")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    br = rows.column("bracket").to_numpy(zero_copy_only=False)
+    dc = rows.column("disc_cents").to_numpy(zero_copy_only=False)
+    n = rows.column("n").to_numpy(zero_copy_only=False)
+    order = np.lexsort((dc, -n, br))
+    brs, first = np.unique(br[order], return_index=True)
+    pick = order[first]
+    return ray.data.from_arrow(pa.table({
+        "bracket": pa.array(br[pick]),
+        "modal_discount_cents": pa.array(dc[pick]),
+        "n_lines": pa.array(n[pick])}))
+
+
+def lang_length_mix_l1(sf_dir: str) -> ray.data.Dataset:
+    """Per-language length-profile divergence: each lang's log2 doc-
+    length histogram versus the global profile, as the scale-free L1
+    numerator — do languages write short or long here?"""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "n_chars"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        b = np.full(len(nc), -1, np.int64)
+        pos = nc > 0
+        b[pos] = np.floor(np.log2(nc[pos])).astype(np.int64)
+        t = pa.table({"lang": batch.column("lang"),
+                      "bucket": pa.array(b),
+                      "n": pa.array(np.ones(len(nc), np.int64))})
+        res = t.group_by(["lang", "bucket"]).aggregate([("n", "sum")])
+        return pa.table({"lang": res.column("lang"),
+                         "bucket": res.column("bucket"),
+                         "n": res.column("n_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        ["lang", "bucket"], [("n", "sum", "n")])
+    rows = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    lang = rows.column("lang").to_numpy(zero_copy_only=False)
+    bkt = rows.column("bucket").to_numpy(zero_copy_only=False)
+    n = rows.column("n").to_numpy(zero_copy_only=False)
+    langs, li = np.unique(lang, return_inverse=True)
+    bkts, bi = np.unique(bkt, return_inverse=True)
+    grid = np.zeros((len(langs), len(bkts)), np.int64)
+    grid[li, bi] = n
+    gl = grid.sum(axis=0)
+    tg = int(gl.sum())
+    tl = grid.sum(axis=1)
+    l1 = np.abs(grid * tg - gl[None, :] * tl[:, None]).sum(axis=1)
+    return ray.data.from_arrow(pa.table({
+        "lang": pa.array(langs),
+        "n_docs": pa.array(tl),
+        "l1_num": pa.array(l1.astype(np.float64))}))
+
+
+def first_event_purchase_share(sf_dir: str) -> ray.data.Dataset:
+    """Cold-purchaser census: users whose FIRST-EVER event is already a
+    purchase (no onboarding journey), as count and floor ppm — per-user
+    argmin by (ts, event_id) folds inside groups."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        types = group.column("event_type").to_numpy(zero_copy_only=False)
+        first = types[np.lexsort((eid, ts))[0]]
+        return pa.table({
+            "is_cold": pa.array([1 if first == "purchase" else 0],
+                                pa.int64()),
+            "one": pa.array([1], pa.int64())})
+
+    per = ds.groupby("user_id").map_groups(per_user,
+                                           batch_format="pyarrow")
+    rows = pa.concat_tables(list(per.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    n = int(pc.sum(rows.column("one")).as_py() or 0)
+    c = int(pc.sum(rows.column("is_cold")).as_py() or 0)
+    return ray.data.from_arrow(pa.table({
+        "n_users": pa.array([n], pa.int64()),
+        "n_cold_purchasers": pa.array([c], pa.int64()),
+        "cold_ppm": pa.array([(1_000_000 * c) // max(n, 1)],
+                             pa.int64())}))
+
+
+def part_reorder_gap_hist(sf_dir: str) -> ray.data.Dataset:
+    """Demand periodicity: per part the gaps between consecutive ship
+    DAYS (distinct days, sorted inside the part group), folded to a
+    global log2-day histogram — the reorder-interval profile inventory
+    models start from."""
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_shipdate"])
+
+    def per_part(group: pa.Table) -> pa.Table:
+        d = np.unique(group.column("l_shipdate")
+                      .to_numpy(zero_copy_only=False)
+                      .astype("datetime64[D]").astype(np.int64))
+        if len(d) < 2:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n_gaps": pa.array([], pa.int64())})
+        gaps = np.diff(d)
+        b = np.floor(np.log2(gaps)).astype(np.int64)
+        t = pa.table({"bucket": pa.array(b),
+                      "n_gaps": pa.array(np.ones(len(b), np.int64))})
+        res = t.group_by(["bucket"]).aggregate([("n_gaps", "sum")])
+        return pa.table({"bucket": res.column("bucket"),
+                         "n_gaps": res.column("n_gaps_sum")})
+
+    per = ds.groupby("l_partkey").map_groups(per_part,
+                                             batch_format="pyarrow")
+    return partial_aggregate(per, ["bucket"],
+                             [("n_gaps", "sum", "n_gaps")])
