@@ -386,7 +386,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         discount_ladder,
                                         lang_length_mix_l1,
                                         first_event_purchase_share,
-                                        part_reorder_gap_hist)
+                                        part_reorder_gap_hist,
+                                        token_lifetime_hist,
+                                        value_nextgap_cov,
+                                        nation_entity_balance,
+                                        session_position_type_matrix)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1018,6 +1022,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_length_mix_l1": lang_length_mix_l1,
         "first_event_purchase_share": first_event_purchase_share,
         "part_reorder_gap_hist": part_reorder_gap_hist,
+        "token_lifetime_hist": token_lifetime_hist,
+        "value_nextgap_cov": value_nextgap_cov,
+        "nation_entity_balance": nation_entity_balance,
+        "session_position_type_matrix": session_position_type_matrix,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -2944,6 +2952,58 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "token_lifetime_hist": (
+            "WITH s AS (SELECT tok, max(doc_id) - min(doc_id) AS life "
+            "FROM (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS tok FROM documents) GROUP BY 1) "
+            "SELECT CASE WHEN life > 0 THEN "
+            "CAST(floor(log2(life)) AS BIGINT) ELSE -1 END AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n_tokens FROM s GROUP BY 1"),
+        "value_nextgap_cov": (
+            "WITH o AS (SELECT user_id, "
+            "CAST(round(value * 100) AS BIGINT) AS x, "
+            "epoch_us(lead(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id)) - epoch_us(ts) AS y FROM events), "
+            "k AS (SELECT x, y FROM o WHERE y IS NOT NULL) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_pairs, "
+            "CAST(CAST(count(*) AS HUGEINT) "
+            "* SUM(CAST(x AS HUGEINT) * y) "
+            "- CAST(SUM(x) AS HUGEINT) * SUM(y) AS DOUBLE) "
+            "AS cov_num FROM k"),
+        "nation_entity_balance": (
+            "WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nk, "
+            "count(*) AS n FROM customer GROUP BY 1), "
+            "s AS (SELECT CAST(s_nationkey AS BIGINT) AS nk, "
+            "count(*) AS n FROM supplier GROUP BY 1), "
+            "nats AS (SELECT DISTINCT nk FROM (SELECT nk FROM c "
+            "UNION ALL SELECT nk FROM s)) "
+            "SELECT nats.nk AS nationkey, "
+            "CAST(COALESCE(c.n, 0) AS BIGINT) AS n_customers, "
+            "CAST(COALESCE(s.n, 0) AS BIGINT) AS n_suppliers, "
+            "CAST((1000000 * COALESCE(c.n, 0)) // GREATEST("
+            "COALESCE(c.n, 0) + COALESCE(s.n, 0), 1) AS BIGINT) "
+            "AS customer_ppm FROM nats "
+            "LEFT JOIN c ON c.nk = nats.nk "
+            "LEFT JOIN s ON s.nk = nats.nk"),
+        "session_position_type_matrix": (
+            "WITH o AS (SELECT user_id, ts, event_id, event_type, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - "
+            "epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END "
+            "AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, ts, event_id, event_type, "
+            "sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM o), "
+            "r AS (SELECT event_type, row_number() OVER ("
+            "PARTITION BY user_id, sid ORDER BY ts, event_id) AS rf, "
+            "row_number() OVER (PARTITION BY user_id, sid "
+            "ORDER BY ts DESC, event_id DESC) AS rl, "
+            "count(*) OVER (PARTITION BY user_id, sid) AS sz FROM s), "
+            "c AS (SELECT CASE WHEN sz = 1 THEN 'solo' "
+            "WHEN rf = 1 THEN 'first' WHEN rl = 1 THEN 'last' "
+            "ELSE 'middle' END AS position, event_type FROM r) "
+            "SELECT position, event_type, "
+            "CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1, 2"),
         "discount_ladder": (
             "WITH c AS (SELECT CAST(round(l_quantity) AS BIGINT) // 10 "
             "AS bracket, CAST(round(l_discount * 100) AS BIGINT) "

@@ -16161,3 +16161,159 @@ def part_reorder_gap_hist(sf_dir: str) -> ray.data.Dataset:
                                              batch_format="pyarrow")
     return partial_aggregate(per, ["bucket"],
                              [("n_gaps", "sum", "n_gaps")])
+
+
+def token_lifetime_hist(sf_dir: str) -> ray.data.Dataset:
+    """Term-drift probe: each token's LIFETIME (max doc_id − min doc_id
+    over its occurrences) folded to a log2 histogram (-1 for single-doc
+    tokens) — ephemeral versus evergreen vocabulary in corpus order."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def spans(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        reps = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(batch.column("doc_id")
+                        .to_numpy(zero_copy_only=False), reps)
+        t = pa.table({"tok": flat, "mn": pa.array(ids),
+                      "mx": pa.array(ids)})
+        res = t.group_by(["tok"]).aggregate([("mn", "min"),
+                                             ("mx", "max")])
+        return pa.table({"tok": res.column("tok"),
+                         "mn": res.column("mn_min"),
+                         "mx": res.column("mx_max")})
+
+    agg = partial_aggregate(
+        ds.map_batches(spans, batch_format="pyarrow"),
+        ["tok"], [("mn", "min", "mn"), ("mx", "max", "mx")])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        life = (batch.column("mx").to_numpy(zero_copy_only=False)
+                - batch.column("mn").to_numpy(zero_copy_only=False))
+        b = np.full(len(life), -1, np.int64)
+        pos = life > 0
+        b[pos] = np.floor(np.log2(life[pos])).astype(np.int64)
+        t = pa.table({"bucket": pa.array(b),
+                      "n_tokens": pa.array(np.ones(len(b), np.int64))})
+        res = t.group_by(["bucket"]).aggregate([("n_tokens", "sum")])
+        return pa.table({"bucket": res.column("bucket"),
+                         "n_tokens": res.column("n_tokens_sum")})
+
+    return partial_aggregate(
+        agg.map_batches(hist, batch_format="pyarrow"),
+        ["bucket"], [("n_tokens", "sum", "n_tokens")])
+
+
+def value_nextgap_cov(sf_dir: str) -> ray.data.Dataset:
+    """Lagged cross-covariance inside keys: does a BIG event precede a
+    LONG pause?  Per user, pairs (value cents, gap to next event µs)
+    contribute to the global integer numerator n·Σxy − Σx·Σy — one
+    vectorized LEAD per group, three counters out."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "value"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        cents = np.rint(group.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts))
+        t, c = ts[order], cents[order]
+        if len(t) < 2:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "sx": pa.array([0], pa.int64()),
+                             "sy": pa.array([0], pa.int64()),
+                             "sxy": pa.array([0], pa.int64())})
+        x = c[:-1]
+        y = np.diff(t)
+        # per-group sums stay well inside int64; the global reduce
+        # sums int64 exactly and casts to double ONCE at the end
+        return pa.table({
+            "n": pa.array([len(t) - 1], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64())})
+
+    per = ds.groupby("user_id").map_groups(per_user,
+                                           batch_format="pyarrow")
+    rows = pa.concat_tables(list(per.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    n = int(pc.sum(rows.column("n")).as_py() or 0)
+    sx = int(pc.sum(rows.column("sx")).as_py() or 0)
+    sy = int(pc.sum(rows.column("sy")).as_py() or 0)
+    sxy = int(pc.sum(rows.column("sxy")).as_py() or 0)
+    return ray.data.from_arrow(pa.table({
+        "n_pairs": pa.array([n], pa.int64()),
+        "cov_num": pa.array([float(n * sxy - sx * sy)], pa.float64())}))
+
+
+def nation_entity_balance(sf_dir: str) -> ray.data.Dataset:
+    """Dimension balance: customers versus suppliers per nation with
+    the customer share (floor ppm) — the market-structure readout of
+    the two entity tables joined on the conformed nation dimension."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_nationkey"])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_nationkey"])
+    cn = pc.cast(cust.column("c_nationkey"), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    sn = pc.cast(supp.column("s_nationkey"), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    nats = np.unique(np.r_[cn, sn])
+    ncu = np.zeros(len(nats), np.int64)
+    nsu = np.zeros(len(nats), np.int64)
+    np.add.at(ncu, np.searchsorted(nats, cn), 1)
+    np.add.at(nsu, np.searchsorted(nats, sn), 1)
+    tot = ncu + nsu
+    return ray.data.from_arrow(pa.table({
+        "nationkey": pa.array(nats),
+        "n_customers": pa.array(ncu),
+        "n_suppliers": pa.array(nsu),
+        "customer_ppm": pa.array((1_000_000 * ncu)
+                                 // np.where(tot == 0, 1, tot))}))
+
+
+def session_position_type_matrix(sf_dir: str, gap_seconds: int = 1800
+                                 ) -> ray.data.Dataset:
+    """Position-class profile: event types cross-tabulated by their
+    role in the session — FIRST, LAST (multi-event sessions), SOLO, or
+    MIDDLE — where do purchases sit in a visit?  Per-user session folds
+    emit (class, type) counters."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        types = group.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        t, ty = ts[order], types[order]
+        brk = np.r_[0, np.flatnonzero(np.diff(t)
+                                      > gap_seconds * 1_000_000) + 1,
+                    len(t)]
+        starts, ends = brk[:-1], brk[1:] - 1
+        runlen = np.diff(brk)
+        cls = np.full(len(t), "middle", dtype=object)
+        solo = runlen == 1
+        cls[starts[solo]] = "solo"
+        cls[starts[~solo]] = "first"
+        cls[ends[~solo]] = "last"
+        tt = pa.table({"position": pa.array(cls.astype(str)),
+                       "event_type": pa.array(ty),
+                       "n": pa.array(np.ones(len(t), np.int64))})
+        res = tt.group_by(["position", "event_type"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"position": res.column("position"),
+                         "event_type": res.column("event_type"),
+                         "n": res.column("n_sum")})
+
+    per = ds.groupby("user_id").map_groups(per_user,
+                                           batch_format="pyarrow")
+    return partial_aggregate(per, ["position", "event_type"],
+                             [("n", "sum", "n")])
