@@ -390,7 +390,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         token_lifetime_hist,
                                         value_nextgap_cov,
                                         nation_entity_balance,
-                                        session_position_type_matrix)
+                                        session_position_type_matrix,
+                                        brand_activation_rate,
+                                        value_granularity_audit,
+                                        session_size_hist,
+                                        order_dup_part_lines)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1026,6 +1030,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_nextgap_cov": value_nextgap_cov,
         "nation_entity_balance": nation_entity_balance,
         "session_position_type_matrix": session_position_type_matrix,
+        "brand_activation_rate": brand_activation_rate,
+        "value_granularity_audit": value_granularity_audit,
+        "session_size_hist": session_size_hist,
+        "order_dup_part_lines": order_dup_part_lines,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -2952,6 +2960,45 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT 0.5 AS q, CAST(quantile_disc(gap, 0.5) AS DOUBLE) "
             "AS value FROM o WHERE gap IS NOT NULL"),
+        "brand_activation_rate": (
+            "WITH act AS (SELECT DISTINCT l_partkey FROM lineitem) "
+            "SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_parts, "
+            "CAST(SUM(CASE WHEN act.l_partkey IS NOT NULL THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_active, "
+            "CAST((1000000 * SUM(CASE WHEN act.l_partkey IS NOT NULL "
+            "THEN 1 ELSE 0 END)) // GREATEST(count(*), 1) AS BIGINT) "
+            "AS activation_ppm FROM part p "
+            "LEFT JOIN act ON act.l_partkey = p.p_partkey GROUP BY 1"),
+        "value_granularity_audit": (
+            "WITH c AS (SELECT DISTINCT "
+            "CAST(round(value * 100) AS BIGINT) AS c FROM events) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_distinct_cents, "
+            "CAST(min(c) AS BIGINT) AS min_cents, "
+            "CAST(max(c) AS BIGINT) AS max_cents, "
+            "CAST((1000000 * count(*)) // (max(c) - min(c) + 1) "
+            "AS BIGINT) AS coverage_ppm FROM c"),
+        "session_size_hist": (
+            "WITH o AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w "
+            "IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER w) "
+            "> 1800000000 THEN 1 ELSE 0 END AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT user_id, sum(brk) OVER ("
+            "PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM o), "
+            "z AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) "
+            "AS session_events FROM s GROUP BY 1, 2) "
+            "SELECT session_events, CAST(count(*) AS BIGINT) "
+            "AS n_sessions FROM z GROUP BY 1"),
+        "order_dup_part_lines": (
+            "WITH p AS (SELECT l_orderkey, l_partkey, count(*) AS n "
+            "FROM lineitem GROUP BY 1, 2), "
+            "d AS (SELECT * FROM p WHERE n > 1) "
+            "SELECT CAST((SELECT count(*) FROM d) AS BIGINT) "
+            "AS n_dup_pairs, "
+            "CAST((SELECT COALESCE(SUM(n - 1), 0) FROM d) AS BIGINT) "
+            "AS n_extra_lines, "
+            "CAST((SELECT count(DISTINCT l_orderkey) FROM d) "
+            "AS BIGINT) AS n_orders_affected"),
         "token_lifetime_hist": (
             "WITH s AS (SELECT tok, max(doc_id) - min(doc_id) AS life "
             "FROM (SELECT doc_id, unnest(string_split(text, ' ')) "

@@ -16317,3 +16317,155 @@ def session_position_type_matrix(sf_dir: str, gap_seconds: int = 1800
                                            batch_format="pyarrow")
     return partial_aggregate(per, ["position", "event_type"],
                              [("n", "sum", "n")])
+
+
+def brand_activation_rate(sf_dir: str) -> ray.data.Dataset:
+    """Catalog activation: per brand, parts that have EVER shipped
+    versus catalog size (floor ppm) — the assortment-efficiency
+    readout.  The ordered-part key set reduces once and broadcasts
+    into the dimension pass."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey"])
+
+    def keys(batch: pa.Table) -> pa.Table:
+        return pa.table({"l_partkey": pc.unique(
+            batch.column("l_partkey"))})
+
+    active_tab = pa.concat_tables(list(partial_aggregate(
+        li.map_batches(keys, batch_format="pyarrow"),
+        ["l_partkey"], [])
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    active = ray.put(active_tab.column("l_partkey").combine_chunks())
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_brand"])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        act = pc.cast(pc.is_in(batch.column("p_partkey"),
+                               value_set=ray.get(active)), pa.int64())
+        t = pa.table({"p_brand": batch.column("p_brand"),
+                      "n_parts": pa.array(np.ones(len(batch),
+                                                  np.int64)),
+                      "n_active": act})
+        res = t.group_by(["p_brand"]).aggregate(
+            [("n_parts", "sum"), ("n_active", "sum")])
+        return pa.table({"p_brand": res.column("p_brand"),
+                         "n_parts": res.column("n_parts_sum"),
+                         "n_active": res.column("n_active_sum")})
+
+    agg = partial_aggregate(
+        part.map_batches(fold, batch_format="pyarrow"),
+        ["p_brand"], [("n_parts", "sum", "n_parts"),
+                      ("n_active", "sum", "n_active")])
+
+    def ppm(batch: pa.Table) -> pa.Table:
+        np_ = batch.column("n_parts").to_numpy(zero_copy_only=False)
+        na = batch.column("n_active").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "activation_ppm",
+            pa.array((1_000_000 * na) // np.where(np_ == 0, 1, np_)))
+
+    return agg.map_batches(ppm, batch_format="pyarrow")
+
+
+def value_granularity_audit(sf_dir: str) -> ray.data.Dataset:
+    """Value-quantization audit: how many DISTINCT cent amounts do
+    events use, over what range (coverage floor ppm of the span) —
+    coarse quantization betrays synthetic or rounded feeds."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch.column("value")
+                    .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        return pa.table({"c": pa.array(np.unique(c))})
+
+    distinct = partial_aggregate(
+        ds.map_batches(cents, batch_format="pyarrow"), ["c"], [])
+    rows = pa.concat_tables(list(distinct.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    c = rows.column("c").to_numpy(zero_copy_only=False)
+    nd = len(c)
+    mn, mx = (int(c.min()), int(c.max())) if nd else (0, 0)
+    span = mx - mn + 1 if nd else 1
+    return ray.data.from_arrow(pa.table({
+        "n_distinct_cents": pa.array([nd], pa.int64()),
+        "min_cents": pa.array([mn], pa.int64()),
+        "max_cents": pa.array([mx], pa.int64()),
+        "coverage_ppm": pa.array([(1_000_000 * nd) // span],
+                                 pa.int64())}))
+
+
+def session_size_hist(sf_dir: str, gap_seconds: int = 1800
+                      ) -> ray.data.Dataset:
+    """Session-length (event-count) histogram: how many sessions hold
+    1, 2, 3… events — the visit-depth distribution, folded from
+    per-user session runs."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = np.sort(group.column("ts").to_numpy(zero_copy_only=False)
+                     .astype("datetime64[us]").astype(np.int64))
+        brk = np.r_[0, np.flatnonzero(np.diff(ts)
+                                      > gap_seconds * 1_000_000) + 1,
+                    len(ts)]
+        sizes = np.diff(brk)
+        t = pa.table({"session_events": pa.array(sizes),
+                      "n_sessions": pa.array(np.ones(len(sizes),
+                                                     np.int64))})
+        res = t.group_by(["session_events"]).aggregate(
+            [("n_sessions", "sum")])
+        return pa.table({"session_events": res.column("session_events"),
+                         "n_sessions": res.column("n_sessions_sum")})
+
+    per = ds.groupby("user_id").map_groups(per_user,
+                                           batch_format="pyarrow")
+    return partial_aggregate(per, ["session_events"],
+                             [("n_sessions", "sum", "n_sessions")])
+
+
+def order_dup_part_lines(sf_dir: str) -> ray.data.Dataset:
+    """Intra-order duplicate-part audit: orders listing the SAME part
+    on multiple lines (should they have been merged?) — per-order
+    line-vs-distinct counts fold from (order, part) partials."""
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "l_partkey": batch.column("l_partkey"),
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["l_orderkey", "l_partkey"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"l_orderkey": res.column("l_orderkey"),
+                         "l_partkey": res.column("l_partkey"),
+                         "n": res.column("n_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["l_orderkey", "l_partkey"], [("n", "sum", "n")])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        dup = n > 1
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_dup_pairs": pa.array([int(dup.sum())], pa.int64()),
+            "n_extra_lines": pa.array([int((n[dup] - 1).sum())],
+                                      pa.int64()),
+            "orders": pa.array([np.unique(ok[dup]).tolist()],
+                               pa.list_(pa.int64()))})
+
+    parts = pa.concat_tables(list(
+        agg.map_batches(fold, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    orders = set()
+    for lst in parts.column("orders").to_pylist():
+        orders.update(lst)
+    return ray.data.from_arrow(pa.table({
+        "n_dup_pairs": pa.array([int(pc.sum(
+            parts.column("n_dup_pairs")).as_py() or 0)], pa.int64()),
+        "n_extra_lines": pa.array([int(pc.sum(
+            parts.column("n_extra_lines")).as_py() or 0)], pa.int64()),
+        "n_orders_affected": pa.array([len(orders)], pa.int64())}))
