@@ -27,6 +27,8 @@ def _tokens(batch: pa.Table) -> pa.ChunkedArray:
 
 
 def token_count_batch(batch: pa.Table) -> pa.Table:
+    """Whitespace token count per doc — Arrow split_whitespace +
+    list_value_length, zero Python-loop."""
     toks = _tokens(batch)
     return pa.table({
         "doc_id": batch.column("doc_id"),
@@ -181,6 +183,8 @@ def rolling_fingerprint_batch(batch: pa.Table) -> pa.Table:
 
 
 def langid_batch(batch: pa.Table) -> pa.Table:
+    """Language-ID per doc: charset + stopword-ratio heuristic (see
+    langid_one) — the fasttext-stage stand-in with identical plumbing."""
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "lang_pred": pa.array([langid_one(t) for t in batch.column("text").to_pylist()],

@@ -13,9 +13,30 @@ import __ray_entry__ as entry  # noqa: E402
 
 
 def first_doc_line(fn) -> str:
-    target = fn
-    # unwrap lambdas / partials that delegate to a named pipeline fn
-    doc = inspect.getdoc(target) or ""
+    doc = inspect.getdoc(fn) or ""
+    if not doc and getattr(fn, "__name__", "") == "<lambda>":
+        # unwrap lambdas that delegate to a named pipeline fn: take the doc
+        # of the first global it calls that isn't a private helper
+        for name in fn.__code__.co_names:
+            if name.startswith("_") or name == "__import__":
+                continue
+            target = fn.__globals__.get(name)
+            if target is None:
+                # `__import__("mod", fromlist=[...]).attr(...)` pattern:
+                # module path sits in co_consts, attr name in co_names
+                for const in fn.__code__.co_consts:
+                    if isinstance(const, str) and const.startswith("ctdray"):
+                        try:
+                            mod = __import__(const, fromlist=[name])
+                            target = getattr(mod, name, None)
+                        except ImportError:
+                            target = None
+                        if target is not None:
+                            break
+            tdoc = inspect.getdoc(target) if target is not None else ""
+            if tdoc:
+                doc = tdoc
+                break
     line = doc.strip().split("\n")[0] if doc else ""
     return line
 
