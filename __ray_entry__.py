@@ -3853,7 +3853,7 @@ def oracle_sql() -> dict[str, str]:
                 f"SELECT '{g}' AS grain, "
                 "CAST(count(*) AS BIGINT) AS n_buckets, "
                 "CAST(count(*) * SUM(CAST(x AS HUGEINT) * x) "
-                "- CAST(SUM(x) AS HUGEINT) * SUM(x) AS DOUBLE) "
+                "- CAST(SUM(x) AS HUGEINT) * SUM(x) AS VARCHAR) "
                 "AS var_num FROM ("
                 f"SELECT date_trunc('{g}', o_orderdate) AS b, "
                 "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x "

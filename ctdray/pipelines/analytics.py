@@ -10000,8 +10000,15 @@ def cust_supp_balance_matches(sf_dir: str, band_cents: int = 1_000
             "nationkey": group.column("nationkey").slice(0, 1),
             "n_pairs": pa.array([n_pairs], pa.int64())})
 
-    return cust.union(supp).groupby("nationkey") \
+    out = cust.union(supp).groupby("nationkey") \
         .map_groups(per_nation, batch_format="pyarrow")
+    # bounded by |nation| (25): collect to a TYPED pa.Table so a
+    # legitimately pair-free corpus (tiny sf) still presents the schema —
+    # a 0-row ray Dataset drops its columns through to_pandas().
+    seed = pa.table({"nationkey": pa.array([], pa.int64()),
+                     "n_pairs": pa.array([], pa.int64())})
+    got = list(out.iter_batches(batch_format="pyarrow", batch_size=8192))
+    return pa.concat_tables([seed, *got], promote_options="default")
 
 
 def embedding_dim_variance(sf_dir: str) -> ray.data.Dataset:
@@ -13195,11 +13202,13 @@ def revenue_multiscale_variance(sf_dir: str) -> ray.data.Dataset:
         ss = sum(int(v) * int(v) for v in x)
         out_g.append(g)
         out_n.append(n)
-        out_var.append(float(n * ss - s * s))
+        # exact decimal string: n·Σx²−S² exceeds 2^53, and int→float64
+        # rounding differs from DuckDB's HUGEINT→DOUBLE by 1 ULP
+        out_var.append(str(n * ss - s * s))
     return ray.data.from_arrow(pa.table({
         "grain": pa.array(out_g, pa.string()),
         "n_buckets": pa.array(out_n, pa.int64()),
-        "var_num": pa.array(out_var, pa.float64())}))
+        "var_num": pa.array(out_var, pa.string())}))
 
 
 def rapid_event_share(sf_dir: str, window_seconds: int = 60
