@@ -3013,9 +3013,9 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) - epoch_us(ts) AS y FROM events), "
             "k AS (SELECT x, y FROM o WHERE y IS NOT NULL) "
             "SELECT CAST(count(*) AS BIGINT) AS n_pairs, "
-            "CAST(CAST(count(*) AS HUGEINT) "
+            "CAST(COALESCE(CAST(count(*) AS HUGEINT) "
             "* SUM(CAST(x AS HUGEINT) * y) "
-            "- CAST(SUM(x) AS HUGEINT) * SUM(y) AS DOUBLE) "
+            "- CAST(SUM(x) AS HUGEINT) * SUM(y), 0) AS VARCHAR) "
             "AS cov_num FROM k"),
         "nation_entity_balance": (
             "WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nk, "
@@ -4308,10 +4308,10 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id)) AS gap FROM events) "
             "SELECT event_type, CAST(count(gap) AS BIGINT) AS n_gaps, "
             "CAST(SUM(gap) AS BIGINT) AS sum_gap_us, "
-            "CAST(SUM(CAST(gap AS HUGEINT) * gap) AS DOUBLE) "
-            "AS sumsq_gap, "
-            "CAST(count(gap) * SUM(CAST(gap AS HUGEINT) * gap) "
-            "- CAST(SUM(gap) AS HUGEINT) * SUM(gap) AS DOUBLE) "
+            "CAST(COALESCE(SUM(CAST(gap AS HUGEINT) * gap), 0) "
+            "AS VARCHAR) AS sumsq_gap, "
+            "CAST(COALESCE(count(gap) * SUM(CAST(gap AS HUGEINT) * gap) "
+            "- CAST(SUM(gap) AS HUGEINT) * SUM(gap), 0) AS VARCHAR) "
             "AS disp_num FROM g GROUP BY 1"),
         "token_burstiness_top10": (
             "WITH pd AS (SELECT doc_id, tok, "

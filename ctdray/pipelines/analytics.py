@@ -11738,9 +11738,12 @@ def arrival_dispersion_by_type(sf_dir: str) -> ray.data.Dataset:
             "event_type": group.column("event_type").slice(0, 1),
             "n_gaps": pa.array([n], pa.int64()),
             "sum_gap_us": pa.array([sg], pa.int64()),
-            "sumsq_gap": pa.array([float(sgg)], pa.float64()),
-            "disp_num": pa.array([float(n * sgg - sg * sg)],
-                                 pa.float64())})
+            # exact decimal strings: Σg² exceeds 2^53 (µs gaps squared),
+            # and int→float64 rounding can differ 1 ULP from DuckDB's
+            # HUGEINT→DOUBLE double-rounding
+            "sumsq_gap": pa.array([str(sgg)], pa.string()),
+            "disp_num": pa.array([str(n * sgg - sg * sg)],
+                                 pa.string())})
 
     return ds.groupby("event_type").map_groups(per_type,
                                                batch_format="pyarrow")
@@ -16257,7 +16260,9 @@ def value_nextgap_cov(sf_dir: str) -> ray.data.Dataset:
     sxy = int(pc.sum(rows.column("sxy")).as_py() or 0)
     return ray.data.from_arrow(pa.table({
         "n_pairs": pa.array([n], pa.int64()),
-        "cov_num": pa.array([float(n * sxy - sx * sy)], pa.float64())}))
+        # exact decimal string: n·Σxy−ΣxΣy exceeds 2^53; int→float64
+        # differs 1 ULP from DuckDB's HUGEINT→DOUBLE double-rounding
+        "cov_num": pa.array([str(n * sxy - sx * sy)], pa.string())}))
 
 
 def nation_entity_balance(sf_dir: str) -> ray.data.Dataset:

@@ -40,8 +40,8 @@ def test_arrival_dispersion_by_type(ray_session, tmp_path):
     out = arrival_dispersion_by_type(str(tmp_path)).to_pandas()
     assert out.n_gaps[0] == 2
     assert out.sum_gap_us[0] == 30_000_000
-    assert out.sumsq_gap[0] == 5e14
-    assert out.disp_num[0] == 1e14
+    assert out.sumsq_gap[0] == '500000000000000'
+    assert out.disp_num[0] == '100000000000000'
 
 
 def test_token_burstiness_top10(ray_session, tmp_path):

@@ -38,7 +38,7 @@ def test_value_nextgap_cov(ray_session, tmp_path):
     # n=2, sx=400, sy=4e7, sxy=100*1e7+300*3e7=1e10
     # cov = 2*1e10 - 400*4e7 = 2e10 - 1.6e10 = 4e9
     assert out.n_pairs[0] == 2
-    assert out.cov_num[0] == 4e9
+    assert out.cov_num[0] == '4000000000'
 
 
 def test_nation_entity_balance(ray_session, tmp_path):
