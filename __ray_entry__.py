@@ -660,6 +660,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": lambda sf: knn_bruteforce(
             _embeddings(sf), *_query_vectors(sf), k=10),
         "knn_lsh": lambda sf: knn_lsh(_embeddings(sf), *_query_vectors(sf), k=10),
+        # full-probe variants: exact BY CONSTRUCTION (every list/bucket
+        # probed), so the driver value-verifies the partition/assign/scan
+        # machinery loses or duplicates no vector; the approximate defaults
+        # above stay pytest-verified via recall floors.
+        "knn_ivf_fullprobe": lambda sf: knn_ivf(
+            _embeddings(sf), *_query_vectors(sf), k=10,
+            n_lists=8, n_probe=8),
+        "knn_lsh_allbuckets": lambda sf: knn_lsh(
+            _embeddings(sf), *_query_vectors(sf), k=10,
+            n_planes=6, probe_hamming=6, n_tables=1),
         "knn_ivf": lambda sf: knn_ivf(_embeddings(sf), *_query_vectors(sf), k=10),
         "cosine_range_search": lambda sf: cosine_range_search(
             _embeddings(sf), *_query_vectors(sf), threshold=0.2),
@@ -1182,6 +1192,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, label FROM embeddings "
             "WHERE vec_id NOT IN (SELECT b_id FROM dup)"),
         "knn_bruteforce": (
+            "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id < 5) "
+            "SELECT q_id, vec_id, \"rank\" FROM ("
+            "  SELECT q.q_id, e.vec_id, CAST(row_number() OVER ("
+            "    PARTITION BY q.q_id ORDER BY "
+            "    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, "
+            "    e.vec_id ASC) AS INTEGER) AS \"rank\" "
+            "  FROM embeddings e CROSS JOIN q) WHERE \"rank\" <= 10"),
+        "knn_ivf_fullprobe": (
+            "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id < 5) "
+            "SELECT q_id, vec_id, \"rank\" FROM ("
+            "  SELECT q.q_id, e.vec_id, CAST(row_number() OVER ("
+            "    PARTITION BY q.q_id ORDER BY "
+            "    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, "
+            "    e.vec_id ASC) AS INTEGER) AS \"rank\" "
+            "  FROM embeddings e CROSS JOIN q) WHERE \"rank\" <= 10"),
+        "knn_lsh_allbuckets": (
             "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv "
             "FROM embeddings WHERE vec_id < 5) "
             "SELECT q_id, vec_id, \"rank\" FROM ("

@@ -492,3 +492,31 @@ def test_knn_lsh_recall_floor_vs_bruteforce(ray_session):
     recall = sum(len(set(d.vec_id) & truth[g]) / 10
                  for g, d in got.groupby("q_id")) / len(truth)
     assert recall >= 0.6, recall
+
+
+def test_fullprobe_variants_equal_bruteforce(ray_session):
+    """Full-probe IVF (n_probe=n_lists) and all-bucket LSH
+    (probe_hamming=n_planes) are exact BY CONSTRUCTION: every list/
+    bucket is probed, so output must equal knn_bruteforce rank-for-rank
+    — the driver-oracled contract of knn_ivf_fullprobe /
+    knn_lsh_allbuckets in __ray_entry__."""
+    import ray.data as rd
+
+    from ctdray.functions.similarity import knn_bruteforce, knn_ivf, knn_lsh
+
+    rng = np.random.default_rng(8)
+    vecs = rng.standard_normal((64, 8))
+    tbl = pa.table({"vec_id": pa.array(range(64), pa.int64()),
+                    "embedding": pa.array(vecs.tolist())})
+    q, qid = vecs[:3], np.array([0, 1, 2])
+
+    def norm(df):
+        return df.sort_values(["q_id", "rank"]).reset_index(drop=True)
+
+    bf = norm(knn_bruteforce(rd.from_arrow(tbl), q, qid, k=5).to_pandas())
+    ivf = norm(knn_ivf(rd.from_arrow(tbl), q, qid, k=5,
+                       n_lists=4, n_probe=4).to_pandas())
+    lsh = norm(knn_lsh(rd.from_arrow(tbl), q, qid, k=5, n_planes=5,
+                       probe_hamming=5, n_tables=1).to_pandas())
+    assert bf.equals(ivf)
+    assert bf.equals(lsh)
