@@ -235,36 +235,70 @@ def minhash_verified_pairs(ds: ray.data.Dataset, num_perm: int = 64,
         if n == 0:
             return pa.table({"band": pa.array([], pa.int32()),
                              "band_hash": pa.array([], pa.uint64()),
+                             "__pb": pa.array([], pa.int32()),
                              "doc_id": pa.array([], ids.type)})
         sigs = np.stack([h.signature(t) for t in texts])
         bh = h.band_hashes(sigs, bands)                  # (n, bands)
+        flat = bh.reshape(-1)
+        band_col = np.tile(np.arange(bands, dtype=np.int32), n)
+        # coarse exchange key: 256 buckets of fine (band, band_hash)
+        # cells, so the reduce side makes ≤256 Python calls total and
+        # pairs each cell vectorized — not one map_groups call per cell
+        pb = ((flat ^ (band_col.astype(np.uint64) * _MIX2))
+              >> np.uint64(56)).astype(np.int32)
         return pa.table({
-            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-            "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
+            "band": pa.array(band_col),
+            "band_hash": pa.array(flat, pa.uint64()),
+            "__pb": pa.array(pb),
             "doc_id": pc.take(ids, pa.array(np.repeat(np.arange(n), bands))),
         })
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))
-        n = len(ids)
-        if n < 2:
-            return pa.table({"a_id": pa.array([], group.column("doc_id").type),
-                             "b_id": pa.array([], group.column("doc_id").type)})
-        if n > bucket_pair_cap:
-            # Hot bucket: O(n·reps) star pattern against the smallest ids.
-            # Boilerplate buckets are near-identical by construction, so the
-            # representatives certify the whole bucket; recall loss is
-            # bounded and the quadratic blowup is gone.
-            a_id, b_id = [], []
-            for rep_i in range(min(hot_bucket_reps, n - 1)):
-                rep = ids[rep_i]
-                for other in ids[rep_i + 1:]:
-                    a_id.append(rep); b_id.append(other)
-        else:
-            a_id, b_id = [], []
-            for ia, ib in itertools.combinations(ids, 2):
-                a_id.append(ia); b_id.append(ib)
-        return pa.table({"a_id": pa.array(a_id), "b_id": pa.array(b_id)})
+    def bucket_pairs_coarse(group: pa.Table) -> pa.Table:
+        """All fine (band, band_hash) cells of one coarse bucket: sort,
+        find cell runs, emit each run's pairs with numpy — identical pair
+        semantics to the per-cell version (sorted unique ids; all pairs
+        under the cap, O(n·reps) star pattern over it), ~300× fewer
+        Python-call dispatches."""
+        id_arr_type = group.column("doc_id").type
+        t = group.sort_by([("band", "ascending"),
+                           ("band_hash", "ascending"),
+                           ("doc_id", "ascending")])
+        band = t.column("band").to_numpy(zero_copy_only=False)
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False)
+        ids_np = t.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(band) == 0:
+            return pa.table({"a_id": pa.array([], id_arr_type),
+                             "b_id": pa.array([], id_arr_type)})
+        change = np.flatnonzero((band[1:] != band[:-1])
+                                | (bh[1:] != bh[:-1]))
+        starts = np.r_[0, change + 1]
+        ends = np.r_[change + 1, len(band)]
+        a_parts, b_parts = [], []
+        for s, e in zip(starts, ends):
+            ids = np.unique(ids_np[s:e])        # sorted unique, as before
+            n = len(ids)
+            if n < 2:
+                continue
+            if n > bucket_pair_cap:
+                # Hot bucket: O(n·reps) star pattern against the smallest
+                # ids.  Boilerplate buckets are near-identical by
+                # construction, so the representatives certify the whole
+                # bucket; recall loss is bounded and the quadratic blowup
+                # is gone.
+                reps = min(hot_bucket_reps, n - 1)
+                a_parts.extend(np.full(n - 1 - i, ids[i])
+                               for i in range(reps))
+                b_parts.extend(ids[i + 1:] for i in range(reps))
+            else:
+                iu, ju = np.triu_indices(n, 1)
+                a_parts.append(ids[iu])
+                b_parts.append(ids[ju])
+        if not a_parts:
+            return pa.table({"a_id": pa.array([], id_arr_type),
+                             "b_id": pa.array([], id_arr_type)})
+        return pa.table({
+            "a_id": pa.array(np.concatenate(a_parts)).cast(id_arr_type),
+            "b_id": pa.array(np.concatenate(b_parts)).cast(id_arr_type)})
 
     sigs = ds.map_batches(signatures, batch_format="pyarrow")
     # Only (band, band_hash, doc_id) triples shuffle — the corpus text never
@@ -272,9 +306,12 @@ def minhash_verified_pairs(ds: ray.data.Dataset, num_perm: int = 64,
     # band; the merge groupby below dedupes it structurally BEFORE the
     # (expensive) exact-Jaccard verification runs.  Pairs are tiny relative
     # to the corpus; materializing avoids re-running the signature scan for
-    # each consumer below.
-    pairs = (sigs.groupby(["band", "band_hash"])
-                 .map_groups(bucket_pairs, batch_format="pyarrow")).materialize()
+    # each consumer below.  The exchange groups by the 256-way coarse
+    # bucket, not the fine cell — high-cardinality map_groups dispatch is
+    # the measured bottleneck at bench scale (3.9 s → vectorized runs).
+    pairs = (sigs.groupby("__pb")
+                 .map_groups(bucket_pairs_coarse,
+                             batch_format="pyarrow")).materialize()
 
     # Candidate id set (ids only — never texts): per-batch unique over the
     # union of both pair sides.  No distinct *exchange* is needed on the
