@@ -189,6 +189,159 @@ def _distinct_on(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
               .map_groups(first, batch_format="pyarrow"))
 
 
+def _hash_ids_u64(arr: pa.Array) -> np.ndarray:
+    """uint64 mix of an id column — numpy splitmix for integer ids,
+    blake2b fallback for anything else (rare path)."""
+    if len(arr) == 0:
+        return np.array([], dtype=np.uint64)
+    if pa.types.is_integer(arr.type):
+        v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        v = (v ^ (v >> np.uint64(33))) * _MIX1
+        return v ^ (v >> np.uint64(29))
+    return np.fromiter((_stable_hash64(str(x)) for x in arr.to_pylist()),
+                       dtype=np.uint64, count=len(arr))
+
+
+def verify_pairs_by_text(pairs: ray.data.Dataset,
+                         cand_docs: ray.data.Dataset,
+                         id_type: pa.DataType,
+                         verify,
+                         extra_fields: tuple = ()) -> ray.data.Dataset:
+    """Shared distributed stamp-and-verify tail for candidate-pair dedup
+    (minhash / prefix-filter): attach each candidate doc's text to its
+    pair rows and run ``verify(text_a, text_b)`` once per DISTINCT pair.
+
+    ``pairs`` is Dataset[a_id, b_id] (duplicates allowed — the same pair
+    may surface once per colliding band / shared prefix token);
+    ``cand_docs`` is Dataset[doc_id, text] with one row per candidate.
+    ``verify`` returns None to reject or a tuple matching
+    ``extra_fields`` ((name, pa.type) pairs appended after a_id/b_id).
+
+    Scale shape: Ray's chained Dataset.join trips over schema-less empty
+    partitions in 2.49, so texts attach by the union + groupby equi-join
+    — and BOTH exchanges here group on 256-way coarse hash buckets with
+    the reduce side vectorized over sorted runs: high-cardinality
+    map_groups dispatch (one Python/Arrow call per key or per pair) is
+    the measured bottleneck at bench scale, not the shuffled bytes."""
+
+    def explode_sides(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_id").combine_chunks()
+        b = batch.column("b_id").combine_chunks()
+        n = len(batch)
+        key = pa.concat_arrays([a, b])
+        pp = ((_hash_ids_u64(a) * _MIX1) ^ (_hash_ids_u64(b) * _MIX2))
+        pp = (pp >> np.uint64(56)).astype(np.int32)
+        pk = (_hash_ids_u64(key) >> np.uint64(56)).astype(np.int32)
+        return pa.table({
+            "key": key,
+            "a_id": pa.concat_arrays([a, a]),
+            "b_id": pa.concat_arrays([b, b]),
+            "is_a": pa.array([True] * n + [False] * n, pa.bool_()),
+            "text": pa.nulls(2 * n, pa.string()),
+            "__pk": pa.array(pk),
+            "__pp": pa.array(np.tile(pp, 2)),
+        })
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        did = batch.column("doc_id").cast(id_type).combine_chunks()
+        pk = (_hash_ids_u64(did) >> np.uint64(56)).astype(np.int32)
+        return pa.table({
+            "key": did,
+            "a_id": pa.nulls(n, id_type),
+            "b_id": pa.nulls(n, id_type),
+            "is_a": pa.nulls(n, pa.bool_()),
+            "text": batch.column("text"),
+            "__pk": pa.array(pk),
+            "__pp": pa.array(np.zeros(n, np.int32)),
+        })
+
+    def stamp_coarse(group: pa.Table) -> pa.Table:
+        """All keys of one coarse bucket: sort (key, doc-row-first),
+        detect key runs, stamp the run's text across its side rows —
+        zero per-key Python dispatch."""
+        n = len(group)
+        t = group.append_column(
+            "__vf", pc.cast(pc.is_null(group.column("text")), pa.int8()))
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("key", "ascending"), ("__vf", "ascending")]))
+        key = t.column("key").combine_chunks()
+        neq = pc.not_equal(key.slice(1), key.slice(0, n - 1)) \
+            .to_numpy(zero_copy_only=False) if n > 1 else \
+            np.array([], dtype=bool)
+        starts = np.r_[0, np.flatnonzero(neq) + 1]
+        sizes = np.diff(np.r_[starts, n])
+        texts = t.column("text").combine_chunks()
+        has_text = pc.is_valid(texts).to_numpy(zero_copy_only=False)
+        rows_text = texts.take(pa.array(np.repeat(starts, sizes), pa.int64()))
+        keep = (~has_text) & np.repeat(has_text[starts], sizes)
+        ka = pa.array(np.flatnonzero(keep), pa.int64())
+        return pa.table({
+            "a_id": t.column("a_id").take(ka),
+            "b_id": t.column("b_id").take(ka),
+            "is_a": t.column("is_a").take(ka),
+            "text": rows_text.take(ka),
+            "__pp": t.column("__pp").take(ka),
+        })
+
+    def verify_coarse(group: pa.Table) -> pa.Table:
+        """All candidate pairs of one coarse bucket: sort by (a, b),
+        verify once per distinct pair run."""
+        n = len(group)
+        t = group.take(pc.sort_indices(
+            group, sort_keys=[("a_id", "ascending"), ("b_id", "ascending")]))
+        a = t.column("a_id").combine_chunks()
+        b = t.column("b_id").combine_chunks()
+        if n > 1:
+            neq = pc.or_(
+                pc.not_equal(a.slice(1), a.slice(0, n - 1)),
+                pc.not_equal(b.slice(1), b.slice(0, n - 1))) \
+                .to_numpy(zero_copy_only=False)
+        else:
+            neq = np.array([], dtype=bool)
+        starts = np.r_[0, np.flatnonzero(neq) + 1]
+        ends = np.r_[starts[1:], n]
+        is_a = pc.cast(t.column("is_a"), pa.bool_()) \
+            .to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        a_py, b_py = a.to_pylist(), b.to_pylist()
+        out_a, out_b = [], []
+        extras: list[list] = [[] for _ in extra_fields]
+        for s, e in zip(starts, ends):
+            ta = tb = None
+            for i in range(s, e):
+                if is_a[i]:
+                    if ta is None:
+                        ta = texts[i]
+                elif tb is None:
+                    tb = texts[i]
+                if ta is not None and tb is not None:
+                    break
+            if ta is None or tb is None:
+                continue
+            res = verify(ta, tb)
+            if res is None:
+                continue
+            out_a.append(a_py[s])
+            out_b.append(b_py[s])
+            for lst, v in zip(extras, res):
+                lst.append(v)
+        cols = {"a_id": pa.array(out_a, id_type),
+                "b_id": pa.array(out_b, id_type)}
+        for (nm, typ), lst in zip(extra_fields, extras):
+            cols[nm] = pa.array(lst, typ)
+        return pa.table(cols)
+
+    sides = (pairs.map_batches(explode_sides, batch_format="pyarrow")
+             .union(cand_docs.map_batches(doc_side,
+                                          batch_format="pyarrow")))
+    stamped = sides.groupby("__pk").map_groups(stamp_coarse,
+                                               batch_format="pyarrow")
+    return stamped.groupby("__pp").map_groups(verify_coarse,
+                                              batch_format="pyarrow")
+
+
 def minhash_verified_pairs(ds: ray.data.Dataset, num_perm: int = 64,
                            bands: int = 16,
                            threshold: float = 0.8, shingle_k: int = 3,
@@ -338,64 +491,12 @@ def minhash_verified_pairs(ds: ray.data.Dataset, num_perm: int = 64,
     _sch = pairs.schema()
     id_type = dict(zip(_sch.names, _sch.types))["a_id"]
 
-    # Attach texts + verify in ONE keyed pass (Ray's native chained
-    # Dataset.join trips over schema-less empty partitions in 2.49, and the
-    # groupby form shuffles the same small candidate volume anyway):
-    #   1. explode each pair into two keyed side rows (key=a_id, key=b_id),
-    #      union with the candidate doc rows (key=doc_id, text);
-    #   2. groupby(key): stamp the key's text onto its side rows;
-    #   3. groupby(a_id, b_id): the two stamped sides reunite — exact
-    #      Jaccard once per unique pair, emit the duplicate (b_id) rows.
-    def explode_sides(batch: pa.Table) -> pa.Table:
-        a = batch.column("a_id").combine_chunks()
-        b = batch.column("b_id").combine_chunks()
-        n = len(batch)
-        return pa.table({
-            "key": pa.concat_arrays([a, b]),
-            "a_id": pa.concat_arrays([a, a]),
-            "b_id": pa.concat_arrays([b, b]),
-            "is_a": pa.array([True] * n + [False] * n, pa.bool_()),
-            "text": pa.nulls(2 * n, pa.string()),
-        })
-
-    def doc_side(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.table({
-            "key": batch.column("doc_id").cast(id_type),
-            "a_id": pa.nulls(n, id_type),
-            "b_id": pa.nulls(n, id_type),
-            "is_a": pa.nulls(n, pa.bool_()),
-            "text": batch.column("text"),
-        })
-
-    def stamp_text(group: pa.Table) -> pa.Table:
-        txt = group.column("text")
-        valid = pc.is_valid(txt)
-        di = pc.index(valid, True).as_py()
-        text_val = txt[di].as_py() if di >= 0 else None
-        out = group.filter(pc.invert(valid)).drop_columns(["key"])
-        return out.set_column(
-            out.column_names.index("text"), "text",
-            pa.array([text_val] * len(out), pa.string()))
-
-    def merge_verify(group: pa.Table) -> pa.Table:
-        is_a = group.column("is_a").to_pylist()
-        texts = group.column("text").to_pylist()
-        ta = next((t for f, t in zip(is_a, texts) if f), None)
-        tb = next((t for f, t in zip(is_a, texts) if not f), None)
-        if ta is not None and tb is not None \
-                and jaccard(ta, tb, shingle_k) >= threshold:
-            return pa.table({"a_id": group.column("a_id").slice(0, 1),
-                             "b_id": group.column("b_id").slice(0, 1)})
-        return pa.table({"a_id": pa.array([], id_type),
-                         "b_id": pa.array([], id_type)})
-
-    sides = (pairs.map_batches(explode_sides, batch_format="pyarrow")
-             .union(cand_docs.map_batches(doc_side, batch_format="pyarrow")))
-    stamped = sides.groupby("key").map_groups(stamp_text,
-                                              batch_format="pyarrow")
-    return (stamped.groupby(["a_id", "b_id"])
-            .map_groups(merge_verify, batch_format="pyarrow"))
+    # Attach texts + verify via the shared coarse-bucketed equi-join tail
+    # (see verify_pairs_by_text): exact Jaccard once per distinct pair.
+    return verify_pairs_by_text(
+        pairs, cand_docs, id_type,
+        lambda ta, tb: () if jaccard(ta, tb, shingle_k) >= threshold
+        else None)
 
 
 def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16,
@@ -884,39 +985,76 @@ def prefix_jaccard_pairs(ds: ray.data.Dataset, threshold=None,
                                 ("df", pa.int64())]),
         how="inner")
 
-    def prefixes(group: pa.Table) -> pa.Table:
-        toks = np.asarray(group.column("tok").to_pylist(), dtype=object)
-        dfs = group.column("df").to_numpy(zero_copy_only=False)
-        s = len(toks)
-        p = s - (num * s + den - 1) // den + 1
-        order = np.lexsort((toks, dfs))[:p]
+    # both wide steps group on 256-way coarse buckets of the fine key
+    # (doc_id here, prefix token below) with the reduce side vectorized
+    # over sorted runs — per-key map_groups dispatch, not shuffled bytes,
+    # is the measured cost at high key cardinality
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        pd_ = (_hash_ids_u64(batch.column("doc_id").combine_chunks())
+               >> np.uint64(56)).astype(np.int32)
+        return batch.append_column("__pd", pa.array(pd_))
+
+    def prefixes_coarse(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("doc_id", "ascending")])
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = np.asarray(t.column("tok").to_pylist(), dtype=object)
+        dfs = t.column("df").to_numpy(zero_copy_only=False)
+        change = np.flatnonzero(ids[1:] != ids[:-1])
+        starts = np.r_[0, change + 1]
+        ends = np.r_[change + 1, len(ids)]
+        out_t, out_d, out_s = [], [], []
+        for s, e in zip(starts, ends):
+            sz = e - s
+            p = sz - (num * sz + den - 1) // den + 1
+            seg_t, seg_df = toks[s:e], dfs[s:e]
+            order = np.lexsort((seg_t, seg_df))[:p]
+            out_t.append(seg_t[order])
+            out_d.append(np.full(len(order), ids[s], np.int64))
+            out_s.append(np.full(len(order), sz, np.int64))
+        tok_out = np.concatenate(out_t) if out_t else \
+            np.array([], dtype=object)
+        pt = np.fromiter((_stable_hash64(x) >> 56 for x in tok_out),
+                         dtype=np.int32, count=len(tok_out))
         return pa.table({
-            "tok": pa.array(toks[order], pa.string()),
-            "doc_id": group.column("doc_id").slice(0, 1)
-            .to_pylist() * len(order),
-            "set_size": pa.array([s] * len(order), pa.int64())})
+            "tok": pa.array(tok_out, pa.string()),
+            "doc_id": pa.array(np.concatenate(out_d)
+                               if out_d else [], pa.int64()),
+            "set_size": pa.array(np.concatenate(out_s)
+                                 if out_s else [], pa.int64()),
+            "__pt": pa.array(pt)})
 
-    pref = with_df.groupby("doc_id").map_groups(prefixes,
-                                                batch_format="pyarrow")
+    pref = (with_df.map_batches(add_doc_bucket, batch_format="pyarrow")
+            .groupby("__pd")
+            .map_groups(prefixes_coarse, batch_format="pyarrow"))
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        sz = group.column("set_size").to_numpy(zero_copy_only=False)
-        order = np.argsort(ids)
-        ids, sz = ids[order], sz[order]
-        n = len(ids)
-        if n < 2:
+    def bucket_pairs_coarse(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("tok", "ascending"), ("doc_id", "ascending")])
+        tok = np.asarray(t.column("tok").to_pylist(), dtype=object)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sz = t.column("set_size").to_numpy(zero_copy_only=False)
+        change = np.flatnonzero(tok[1:] != tok[:-1])
+        starts = np.r_[0, change + 1]
+        ends = np.r_[change + 1, len(tok)]
+        a_parts, b_parts = [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            ii, jj = np.triu_indices(n, k=1)
+            lo = np.minimum(sz[s + ii], sz[s + jj])
+            hi = np.maximum(sz[s + ii], sz[s + jj])
+            keep = lo * den >= num * hi           # length filter
+            a_parts.append(ids[s + ii[keep]])
+            b_parts.append(ids[s + jj[keep]])
+        if not a_parts:
             return pa.table({"a_id": pa.array([], pa.int64()),
                              "b_id": pa.array([], pa.int64())})
-        ii, jj = np.triu_indices(n, k=1)
-        lo = np.minimum(sz[ii], sz[jj])
-        hi = np.maximum(sz[ii], sz[jj])
-        keep = lo * den >= num * hi               # length filter
-        return pa.table({"a_id": pa.array(ids[ii[keep]], pa.int64()),
-                         "b_id": pa.array(ids[jj[keep]], pa.int64())})
+        return pa.table({
+            "a_id": pa.array(np.concatenate(a_parts), pa.int64()),
+            "b_id": pa.array(np.concatenate(b_parts), pa.int64())})
 
-    pairs = pref.groupby("tok").map_groups(
-        bucket_pairs, batch_format="pyarrow").materialize()
+    pairs = pref.groupby("__pt").map_groups(
+        bucket_pairs_coarse, batch_format="pyarrow").materialize()
 
     def pair_ids(batch: pa.Table) -> pa.Table:
         both = pa.concat_arrays([batch.column("a_id").combine_chunks(),
@@ -926,62 +1064,15 @@ def prefix_jaccard_pairs(ds: ray.data.Dataset, threshold=None,
     cand_ids = pairs.map_batches(pair_ids, batch_format="pyarrow")
     cand_docs = broadcast_semi_join(ds, cand_ids, "doc_id")
 
-    def explode_sides(batch: pa.Table) -> pa.Table:
-        a = batch.column("a_id").combine_chunks()
-        b = batch.column("b_id").combine_chunks()
-        n = len(batch)
-        return pa.table({
-            "key": pa.concat_arrays([a, b]),
-            "a_id": pa.concat_arrays([a, a]),
-            "b_id": pa.concat_arrays([b, b]),
-            "is_a": pa.array([True] * n + [False] * n, pa.bool_()),
-            "text": pa.nulls(2 * n, pa.string())})
-
-    def doc_side(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.table({
-            "key": batch.column("doc_id").cast(pa.int64()),
-            "a_id": pa.nulls(n, pa.int64()),
-            "b_id": pa.nulls(n, pa.int64()),
-            "is_a": pa.nulls(n, pa.bool_()),
-            "text": batch.column("text")})
-
-    def stamp_text(group: pa.Table) -> pa.Table:
-        txt = group.column("text")
-        valid = pc.is_valid(txt)
-        di = pc.index(valid, True).as_py()
-        text_val = txt[di].as_py() if di >= 0 else None
-        out = group.filter(pc.invert(valid)).drop_columns(["key"])
-        return out.set_column(
-            out.column_names.index("text"), "text",
-            pa.array([text_val] * len(out), pa.string()))
-
-    def merge_verify(group: pa.Table) -> pa.Table:
-        empty = pa.table({"a_id": pa.array([], pa.int64()),
-                          "b_id": pa.array([], pa.int64()),
-                          "inter_size": pa.array([], pa.int64()),
-                          "union_size": pa.array([], pa.int64())})
-        is_a = group.column("is_a").to_pylist()
-        texts = group.column("text").to_pylist()
-        ta = next((t for f, t in zip(is_a, texts) if f), None)
-        tb = next((t for f, t in zip(is_a, texts) if not f), None)
-        if ta is None or tb is None:
-            return empty
+    def verify_sets(ta: str, tb: str):
         sa, sb = set(ta.split(" ")), set(tb.split(" "))
         inter = len(sa & sb)
         union = len(sa | sb)
-        if inter * den >= num * union:
-            return pa.table({
-                "a_id": group.column("a_id").slice(0, 1),
-                "b_id": group.column("b_id").slice(0, 1),
-                "inter_size": pa.array([inter], pa.int64()),
-                "union_size": pa.array([union], pa.int64())})
-        return empty
+        return (inter, union) if inter * den >= num * union else None
 
-    sides = (pairs.map_batches(explode_sides, batch_format="pyarrow")
-             .union(cand_docs.map_batches(doc_side,
-                                          batch_format="pyarrow")))
-    stamped = sides.groupby("key").map_groups(stamp_text,
-                                              batch_format="pyarrow")
-    return (stamped.groupby(["a_id", "b_id"])
-            .map_groups(merge_verify, batch_format="pyarrow"))
+    # Attach texts + verify via the shared coarse-bucketed equi-join tail
+    # (see verify_pairs_by_text): exact set overlap once per distinct pair.
+    return verify_pairs_by_text(
+        pairs, cand_docs, pa.int64(), verify_sets,
+        extra_fields=(("inter_size", pa.int64()),
+                      ("union_size", pa.int64())))

@@ -21,10 +21,11 @@ def test_revenue_multiscale_variance(ray_session, tmp_path):
     out = revenue_multiscale_variance(str(tmp_path)).to_pandas() \
         .set_index("grain")
     # day: n=2, x={1000,3000} -> 2*(1e6+9e6) - 16e6 = 4e6
-    assert out.loc["day"].var_num == 4e6
+    # (var_num is an exact decimal string to avoid >2^53 float rounding)
+    assert int(out.loc["day"].var_num) == 4_000_000
     assert out.loc["week"].n_buckets == 1
-    assert out.loc["week"].var_num == 0
-    assert out.loc["month"].var_num == 0
+    assert int(out.loc["week"].var_num) == 0
+    assert int(out.loc["month"].var_num) == 0
 
 
 def test_rapid_event_share(ray_session, tmp_path):
