@@ -394,7 +394,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         brand_activation_rate,
                                         value_granularity_audit,
                                         session_size_hist,
-                                        order_dup_part_lines)
+                                        order_dup_part_lines,
+                                        customer_kanonymity_audit,
+                                        price_percentile_ranks,
+                                        event_type_trigrams,
+                                        order_priority_escalation)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1044,6 +1048,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_granularity_audit": value_granularity_audit,
         "session_size_hist": session_size_hist,
         "order_dup_part_lines": order_dup_part_lines,
+        "customer_kanonymity_audit": customer_kanonymity_audit,
+        "price_percentile_ranks": price_percentile_ranks,
+        "event_type_trigrams": event_type_trigrams,
+        "order_priority_escalation": order_priority_escalation,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3017,6 +3025,49 @@ def oracle_sql() -> dict[str, str]:
             "AS session_events FROM s GROUP BY 1, 2) "
             "SELECT session_events, CAST(count(*) AS BIGINT) "
             "AS n_sessions FROM z GROUP BY 1"),
+        "customer_kanonymity_audit": (
+            "WITH g AS (SELECT c_nationkey, c_mktsegment, "
+            "CAST(floor(c_acctbal / 1000) AS BIGINT) AS band, "
+            "count(*) AS n FROM customer GROUP BY 1, 2, 3) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_groups, "
+            "CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_risky_groups, "
+            "CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0) "
+            "AS BIGINT) AS n_risky_customers, "
+            "CAST(min(n) AS BIGINT) AS min_group_size FROM g"),
+        "price_percentile_ranks": (
+            "WITH c AS (SELECT CAST(round(l_extendedprice * 100) "
+            "AS BIGINT) AS cents FROM lineitem), "
+            "t(threshold_cents) AS (VALUES (2500000), (5000000), "
+            "(7500000), (10000000)) "
+            "SELECT CAST(threshold_cents AS BIGINT) AS threshold_cents, "
+            "CAST(SUM(CASE WHEN cents <= threshold_cents THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_le, "
+            "CAST((1000000 * SUM(CASE WHEN cents <= threshold_cents "
+            "THEN 1 ELSE 0 END)) // GREATEST(count(*), 1) AS BIGINT) "
+            "AS pctile_ppm FROM c CROSS JOIN t GROUP BY 1"),
+        "event_type_trigrams": (
+            "WITH o AS (SELECT event_type AS t1, "
+            "lead(event_type, 1) OVER w AS t2, "
+            "lead(event_type, 2) OVER w AS t3 FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n FROM o "
+            "WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1, 2, 3 "
+            "ORDER BY n DESC, t1, t2, t3 LIMIT 20"),
+        "order_priority_escalation": (
+            "WITH o AS (SELECT o_custkey, "
+            "CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS r, "
+            "lag(CAST(substr(o_orderpriority, 1, 1) AS BIGINT)) "
+            "OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey) AS pr FROM orders) "
+            "SELECT CAST(count(*) FILTER (WHERE pr IS NOT NULL) "
+            "AS BIGINT) AS n_pairs, "
+            "CAST(count(*) FILTER (WHERE r < pr) AS BIGINT) "
+            "AS n_escalations, "
+            "CAST(count(*) FILTER (WHERE r > pr) AS BIGINT) "
+            "AS n_deescalations, "
+            "CAST(count(DISTINCT o_custkey) FILTER (WHERE r < pr) "
+            "AS BIGINT) AS n_escalating_customers FROM o"),
         "order_dup_part_lines": (
             "WITH p AS (SELECT l_orderkey, l_partkey, count(*) AS n "
             "FROM lineitem GROUP BY 1, 2), "

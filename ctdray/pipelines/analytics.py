@@ -16483,3 +16483,201 @@ def order_dup_part_lines(sf_dir: str) -> ray.data.Dataset:
         "n_extra_lines": pa.array([int(pc.sum(
             parts.column("n_extra_lines")).as_py() or 0)], pa.int64()),
         "n_orders_affected": pa.array([len(orders)], pa.int64())}))
+
+
+def customer_kanonymity_audit(sf_dir: str, k: int = 5,
+                              band_width: float = 1000.0
+                              ) -> ray.data.Dataset:
+    """Privacy k-anonymity audit over quasi-identifiers (nation,
+    mktsegment, acctbal band): how many QI groups fall below k members,
+    how many customers sit in those re-identifiable groups, and the
+    anonymity floor (smallest group).  Group counts fold from per-batch
+    partials; the audit row folds from ≤256 bucket partials."""
+    ds = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                            columns=["c_nationkey", "c_mktsegment",
+                                     "c_acctbal"])
+
+    def qi(batch: pa.Table) -> pa.Table:
+        band = np.floor(batch.column("c_acctbal")
+                        .to_numpy(zero_copy_only=False) / band_width) \
+            .astype(np.int64)
+        t = pa.table({
+            "nk": pc.cast(batch.column("c_nationkey"), pa.int64()),
+            "seg": batch.column("c_mktsegment"),
+            "band": pa.array(band),
+            "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["nk", "seg", "band"]).aggregate([("n", "sum")])
+        return pa.table({"nk": res.column("nk"),
+                         "seg": res.column("seg"),
+                         "band": res.column("band"),
+                         "n": res.column("n_sum")})
+
+    groups = partial_aggregate(ds.map_batches(qi, batch_format="pyarrow"),
+                               ["nk", "seg", "band"],
+                               [("n", "sum", "n")])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        if len(n) == 0:          # empty partial must not poison the min
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("n_groups", "n_risky_groups",
+                                       "n_risky_customers",
+                                       "min_group_size")})
+        risky = n < k
+        return pa.table({
+            "n_groups": pa.array([len(n)], pa.int64()),
+            "n_risky_groups": pa.array([int(risky.sum())], pa.int64()),
+            "n_risky_customers": pa.array([int(n[risky].sum())],
+                                          pa.int64()),
+            "min_group_size": pa.array(
+                [int(n.min()) if len(n) else 0], pa.int64())})
+
+    parts = pa.concat_tables(list(
+        groups.map_batches(fold, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    mins = parts.column("min_group_size").to_numpy(zero_copy_only=False)
+    return ray.data.from_arrow(pa.table({
+        "n_groups": pa.array([int(pc.sum(
+            parts.column("n_groups")).as_py() or 0)], pa.int64()),
+        "n_risky_groups": pa.array([int(pc.sum(
+            parts.column("n_risky_groups")).as_py() or 0)], pa.int64()),
+        "n_risky_customers": pa.array([int(pc.sum(
+            parts.column("n_risky_customers")).as_py() or 0)],
+            pa.int64()),
+        "min_group_size": pa.array(
+            [int(mins.min()) if len(mins) else 0], pa.int64())}))
+
+
+def price_percentile_ranks(sf_dir: str,
+                           thresholds_cents: tuple =
+                           (2_500_000, 5_000_000, 7_500_000, 10_000_000)
+                           ) -> ray.data.Dataset:
+    """CDF probes: the percentile rank (floor ppm) of fixed price
+    thresholds in the lineitem extended-price distribution — the
+    inverse of a quantile query, answerable with pure counting (no
+    sort, no sketch).  Per-batch counts per threshold fold through one
+    tiny exchange."""
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_extendedprice"])
+    thr = np.asarray(sorted(thresholds_cents), np.int64)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        # one searchsorted gives all cumulative counts at once
+        le = np.searchsorted(np.sort(cents), thr, side="right") \
+            .astype(np.int64)
+        return pa.table({
+            "threshold_cents": pa.array(thr),
+            "n_le": pa.array(le),
+            "n_total": pa.array(np.full(len(thr), len(cents), np.int64))})
+
+    agg = partial_aggregate(ds.map_batches(counts, batch_format="pyarrow"),
+                            ["threshold_cents"],
+                            [("n_le", "sum", "n_le"),
+                             ("n_total", "sum", "n_total")])
+
+    def ppm(batch: pa.Table) -> pa.Table:
+        le = batch.column("n_le").to_numpy(zero_copy_only=False)
+        tot = batch.column("n_total").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "threshold_cents": batch.column("threshold_cents"),
+            "n_le": batch.column("n_le"),
+            "pctile_ppm": pa.array(
+                (1_000_000 * le) // np.maximum(tot, 1), pa.int64())})
+
+    return agg.map_batches(ppm, batch_format="pyarrow")
+
+
+def event_type_trigrams(sf_dir: str, n: int = 20) -> ray.data.Dataset:
+    """Top consecutive event-type trigrams across per-user timelines
+    (behavioral motifs one step past the handoff/pair matrices).  The
+    exchange groups 256-way coarse user buckets; inside a bucket one
+    sort + shifted-compare masks off user boundaries, so trigram
+    counting is fully vectorized regardless of user cardinality."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__ub",
+                                   bucket_ids(batch, ["user_id"]))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        t = group.take(pc.sort_indices(
+            group, sort_keys=[("user_id", "ascending"),
+                              ("ts", "ascending"),
+                              ("event_id", "ascending")]))
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ty = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        if len(u) < 3:
+            return pa.table({"t1": pa.array([], pa.string()),
+                             "t2": pa.array([], pa.string()),
+                             "t3": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        valid = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        tt = pa.table({"t1": pa.array(ty[:-2][valid], pa.string()),
+                       "t2": pa.array(ty[1:-1][valid], pa.string()),
+                       "t3": pa.array(ty[2:][valid], pa.string()),
+                       "n": pa.array(np.ones(int(valid.sum()),
+                                             np.int64))})
+        res = tt.group_by(["t1", "t2", "t3"]).aggregate([("n", "sum")])
+        return pa.table({"t1": res.column("t1"), "t2": res.column("t2"),
+                         "t3": res.column("t3"),
+                         "n": res.column("n_sum")})
+
+    per = (ds.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("__ub").map_groups(per_bucket,
+                                       batch_format="pyarrow"))
+    agg = partial_aggregate(per, ["t1", "t2", "t3"],
+                            [("n", "sum", "n")])
+    return agg.sort(["n", "t1", "t2", "t3"],
+                    descending=[True, False, False, False]).limit(n)
+
+
+def order_priority_escalation(sf_dir: str) -> ray.data.Dataset:
+    """Priority drift audit: across each customer's consecutive orders
+    (date then key order), how often does priority escalate toward
+    urgent (rank drops), de-escalate, or hold — plus how many customers
+    ever escalate.  Coarse customer buckets keep the sequence fold
+    vectorized; bucket partials sum to one audit row."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate",
+                                     "o_orderkey", "o_orderpriority"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__ub",
+                                   bucket_ids(batch, ["o_custkey"]))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        t = group.take(pc.sort_indices(
+            group, sort_keys=[("o_custkey", "ascending"),
+                              ("o_orderdate", "ascending"),
+                              ("o_orderkey", "ascending")]))
+        cust = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        rank = pc.cast(pc.utf8_slice_codeunits(
+            t.column("o_orderpriority"), 0, 1), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        same_cust = cust[1:] == cust[:-1]
+        esc = same_cust & (rank[1:] < rank[:-1])
+        return pa.table({
+            "n_pairs": pa.array([int(same_cust.sum())], pa.int64()),
+            "n_escalations": pa.array([int(esc.sum())], pa.int64()),
+            "n_deescalations": pa.array(
+                [int((same_cust & (rank[1:] > rank[:-1])).sum())],
+                pa.int64()),
+            "n_escalating_customers": pa.array(
+                [len(np.unique(cust[1:][esc]))], pa.int64())})
+
+    parts = pa.concat_tables(list(
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__ub").map_groups(per_bucket, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    out = {}
+    for col in ("n_pairs", "n_escalations", "n_deescalations",
+                "n_escalating_customers"):
+        out[col] = pa.array([int(pc.sum(parts.column(col)).as_py() or 0)],
+                            pa.int64())
+    return ray.data.from_arrow(pa.table(out))
+
