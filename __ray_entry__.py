@@ -398,7 +398,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         customer_kanonymity_audit,
                                         price_percentile_ranks,
                                         event_type_trigrams,
-                                        order_priority_escalation)
+                                        order_priority_escalation,
+                                        nation_segment_lift,
+                                        customer_part_diversity_hist,
+                                        user_first_last_matrix,
+                                        token_df_hist)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1052,6 +1056,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_percentile_ranks": price_percentile_ranks,
         "event_type_trigrams": event_type_trigrams,
         "order_priority_escalation": order_priority_escalation,
+        "nation_segment_lift": nation_segment_lift,
+        "customer_part_diversity_hist": customer_part_diversity_hist,
+        "user_first_last_matrix": user_first_last_matrix,
+        "token_df_hist": token_df_hist,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3068,6 +3076,41 @@ def oracle_sql() -> dict[str, str]:
             "AS n_deescalations, "
             "CAST(count(DISTINCT o_custkey) FILTER (WHERE r < pr) "
             "AS BIGINT) AS n_escalating_customers FROM o"),
+        "nation_segment_lift": (
+            "WITH g AS (SELECT CAST(c_nationkey AS BIGINT) AS "
+            "c_nationkey, c_mktsegment, count(*) AS n FROM customer "
+            "GROUP BY 1, 2) "
+            "SELECT c_nationkey, c_mktsegment, "
+            "CAST(n AS BIGINT) AS n_customers, "
+            "CAST((1000000 * n * (SELECT sum(n) FROM g)) // "
+            "(sum(n) OVER (PARTITION BY c_nationkey) * "
+            "sum(n) OVER (PARTITION BY c_mktsegment)) AS BIGINT) "
+            "AS lift_ppm FROM g ORDER BY 1, 2"),
+        "customer_part_diversity_hist": (
+            "WITH k AS (SELECT o_custkey, "
+            "count(DISTINCT l_partkey) AS n_parts FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey GROUP BY 1) "
+            "SELECT CAST(n_parts AS BIGINT) AS n_parts, "
+            "CAST(count(*) AS BIGINT) AS n_customers FROM k "
+            "GROUP BY 1 ORDER BY 1"),
+        "user_first_last_matrix": (
+            "WITH o AS (SELECT user_id, "
+            "first_value(event_type) OVER w AS first_type, "
+            "last_value(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+            "AS last_type, row_number() OVER w AS rn FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT first_type, last_type, CAST(count(*) AS BIGINT) "
+            "AS n_users FROM o WHERE rn = 1 GROUP BY 1, 2 "
+            "ORDER BY 1, 2"),
+        "token_df_hist": (
+            "WITH d AS (SELECT DISTINCT doc_id, "
+            "unnest(string_split(text, ' ')) AS token FROM documents), "
+            "f AS (SELECT token, count(*) AS df FROM d GROUP BY 1) "
+            "SELECT CAST(df AS BIGINT) AS df, "
+            "CAST(count(*) AS BIGINT) AS n_tokens FROM f "
+            "GROUP BY 1 ORDER BY 1"),
         "order_dup_part_lines": (
             "WITH p AS (SELECT l_orderkey, l_partkey, count(*) AS n "
             "FROM lineitem GROUP BY 1, 2), "

@@ -16681,3 +16681,186 @@ def order_priority_escalation(sf_dir: str) -> ray.data.Dataset:
                             pa.int64())
     return ray.data.from_arrow(pa.table(out))
 
+def nation_segment_lift(sf_dir: str) -> ray.data.Dataset:
+    """Market-basket lift of each (nation, mktsegment) cell against
+    independence: lift_ppm = 1e6·n·N / (n_nation·n_segment), floor
+    division so the value is exact.  One partial-agg exchange produces
+    the ≤(nations×segments) cell table; margins fold driver-side from
+    that bounded aggregate (≤125 rows), never from raw customers."""
+    ds = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                            columns=["c_nationkey", "c_mktsegment"])
+
+    def cell(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "nk": pc.cast(batch.column("c_nationkey"), pa.int64()),
+            "seg": batch.column("c_mktsegment"),
+            "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["nk", "seg"]).aggregate([("n", "sum")])
+        return pa.table({"nk": res.column("nk"),
+                         "seg": res.column("seg"),
+                         "n": res.column("n_sum")})
+
+    cells = pa.concat_tables(list(
+        partial_aggregate(ds.map_batches(cell, batch_format="pyarrow"),
+                          ["nk", "seg"], [("n", "sum", "n")])
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    nk = cells.column("nk").to_numpy(zero_copy_only=False)
+    seg = np.asarray(cells.column("seg").to_pylist(), dtype=object)
+    n = cells.column("n").to_numpy(zero_copy_only=False)
+    total = int(n.sum())
+    n_nation = {}
+    for k, v in zip(nk, n):
+        n_nation[int(k)] = n_nation.get(int(k), 0) + int(v)
+    n_seg = {}
+    for s, v in zip(seg, n):
+        n_seg[s] = n_seg.get(s, 0) + int(v)
+    lift = np.array([(1_000_000 * int(v) * total)
+                     // (n_nation[int(k)] * n_seg[s])
+                     for k, s, v in zip(nk, seg, n)], np.int64)
+    order = np.lexsort((seg.astype(str), nk))
+    return ray.data.from_arrow(pa.table({
+        "c_nationkey": pa.array(nk[order], pa.int64()),
+        "c_mktsegment": pa.array(list(seg[order]), pa.string()),
+        "n_customers": pa.array(n[order], pa.int64()),
+        "lift_ppm": pa.array(lift[order])}))
+
+
+def customer_part_diversity_hist(sf_dir: str) -> ray.data.Dataset:
+    """Histogram of per-customer distinct-part breadth: how many
+    customers ever bought exactly k distinct parts.  The lineitem→orders
+    key resolution is a distributed hash join (both sides too big to
+    broadcast at 100 TB); (cust, part) pairs dedupe through one
+    partial-agg exchange, per-customer counts through a second, the
+    histogram through a third — every exchange carries aggregates."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    from ..functions.joins import hash_join
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def pair(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "cust": pc.cast(batch.column("o_custkey"), pa.int64()),
+            "part": pc.cast(batch.column("l_partkey"), pa.int64()),
+            "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["cust", "part"]).aggregate([("n", "sum")])
+        return pa.table({"cust": res.column("cust"),
+                         "part": res.column("part"),
+                         "n": res.column("n_sum")})
+
+    pairs = partial_aggregate(joined.map_batches(pair,
+                                                 batch_format="pyarrow"),
+                              ["cust", "part"], [("n", "sum", "n")])
+
+    def per_cust(batch: pa.Table) -> pa.Table:
+        t = pa.table({"cust": batch.column("cust"),
+                      "k": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["cust"]).aggregate([("k", "sum")])
+        return pa.table({"cust": res.column("cust"),
+                         "k": res.column("k_sum")})
+
+    counts = partial_aggregate(pairs.map_batches(per_cust,
+                                                 batch_format="pyarrow"),
+                               ["cust"], [("k", "sum", "k")])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pa.table({"n_parts": batch.column("k"),
+                      "n_customers": pa.array(
+                          np.ones(len(batch), np.int64))})
+        res = t.group_by(["n_parts"]).aggregate([("n_customers", "sum")])
+        return pa.table({"n_parts": res.column("n_parts"),
+                         "n_customers": res.column("n_customers_sum")})
+
+    agg = partial_aggregate(counts.map_batches(hist,
+                                               batch_format="pyarrow"),
+                            ["n_parts"], [("n_customers", "sum",
+                                           "n_customers")])
+    return agg.sort("n_parts")
+
+
+def user_first_last_matrix(sf_dir: str) -> ray.data.Dataset:
+    """Entry/exit behavior matrix: per user the FIRST and LAST event
+    type of their whole timeline (ts then event_id order), counted into
+    a (first_type, last_type) matrix.  Users hash into 256 coarse
+    buckets; inside a bucket one sort + boundary masks pick both
+    endpoints vectorized, and only the tiny matrix leaves the stage."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__ub",
+                                   bucket_ids(batch, ["user_id"]))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        t = group.take(pc.sort_indices(
+            group, sort_keys=[("user_id", "ascending"),
+                              ("ts", "ascending"),
+                              ("event_id", "ascending")]))
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ty = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        if len(u) == 0:
+            return pa.table({"first_type": pa.array([], pa.string()),
+                             "last_type": pa.array([], pa.string()),
+                             "n_users": pa.array([], pa.int64())})
+        first = np.r_[True, u[1:] != u[:-1]]
+        last = np.r_[u[1:] != u[:-1], True]
+        tt = pa.table({"first_type": pa.array(ty[first], pa.string()),
+                       "last_type": pa.array(ty[last], pa.string()),
+                       "n_users": pa.array(
+                           np.ones(int(first.sum()), np.int64))})
+        res = tt.group_by(["first_type", "last_type"]) \
+            .aggregate([("n_users", "sum")])
+        return pa.table({"first_type": res.column("first_type"),
+                         "last_type": res.column("last_type"),
+                         "n_users": res.column("n_users_sum")})
+
+    per = (ds.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("__ub").map_groups(per_bucket,
+                                       batch_format="pyarrow"))
+    agg = partial_aggregate(per, ["first_type", "last_type"],
+                            [("n_users", "sum", "n_users")])
+    return agg.sort(["first_type", "last_type"])
+
+
+def token_df_hist(sf_dir: str) -> ray.data.Dataset:
+    """IR document-frequency histogram: for each df value k, how many
+    vocabulary tokens appear in exactly k documents.  Per-doc distinct
+    tokens emit (token, 1) partials (whitespace split, matching the
+    corpus tokenizer), token dfs fold through the coarse-bucket
+    exchange, and the df histogram folds through a second tiny one."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        doc_ids = batch.column("doc_id")
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pa.table({
+            "doc": pa.array(np.repeat(
+                doc_ids.to_numpy(zero_copy_only=False), n_tok)),
+            "token": pc.list_flatten(toks)})
+        # distinct (doc, token) within the batch == within the doc
+        res = flat.group_by(["doc", "token"]).aggregate([("doc", "count")])
+        t = pa.table({"token": res.column("token"),
+                      "df": pa.array(np.ones(len(res), np.int64))})
+        out = t.group_by(["token"]).aggregate([("df", "sum")])
+        return pa.table({"token": out.column("token"),
+                         "df": out.column("df_sum")})
+
+    dfs = partial_aggregate(ds.map_batches(per_doc,
+                                           batch_format="pyarrow"),
+                            ["token"], [("df", "sum", "df")])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pa.table({"df": batch.column("df"),
+                      "n_tokens": pa.array(np.ones(len(batch),
+                                                   np.int64))})
+        res = t.group_by(["df"]).aggregate([("n_tokens", "sum")])
+        return pa.table({"df": res.column("df"),
+                         "n_tokens": res.column("n_tokens_sum")})
+
+    agg = partial_aggregate(dfs.map_batches(hist, batch_format="pyarrow"),
+                            ["df"], [("n_tokens", "sum", "n_tokens")])
+    return agg.sort("df")
