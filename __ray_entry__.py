@@ -402,7 +402,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         nation_segment_lift,
                                         customer_part_diversity_hist,
                                         user_first_last_matrix,
-                                        token_df_hist)
+                                        token_df_hist,
+                                        supplier_part_jaccard_topk,
+                                        embedding_signbucket_hist,
+                                        sentence_len_hist,
+                                        daily_type_mix_l1)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1060,6 +1064,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_part_diversity_hist": customer_part_diversity_hist,
         "user_first_last_matrix": user_first_last_matrix,
         "token_df_hist": token_df_hist,
+        "supplier_part_jaccard_topk": supplier_part_jaccard_topk,
+        "embedding_signbucket_hist": embedding_signbucket_hist,
+        "sentence_len_hist": sentence_len_hist,
+        "daily_type_mix_l1": daily_type_mix_l1,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3111,6 +3119,53 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(df AS BIGINT) AS df, "
             "CAST(count(*) AS BIGINT) AS n_tokens FROM f "
             "GROUP BY 1 ORDER BY 1"),
+        "supplier_part_jaccard_topk": (
+            "WITH d AS (SELECT DISTINCT l_partkey AS p, "
+            "l_suppkey AS s FROM lineitem), "
+            "sz AS (SELECT s, count(*) AS n FROM d GROUP BY 1), "
+            "sh AS (SELECT a.s AS s1, b.s AS s2, count(*) AS shared "
+            "FROM d a JOIN d b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2) "
+            "SELECT CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2, "
+            "CAST(shared AS BIGINT) AS shared, "
+            "CAST((1000000 * shared) // (z1.n + z2.n - shared) "
+            "AS BIGINT) AS jaccard_ppm FROM sh "
+            "JOIN sz z1 ON z1.s = sh.s1 JOIN sz z2 ON z2.s = sh.s2 "
+            "ORDER BY jaccard_ppm DESC, s1, s2 LIMIT 10"),
+        "embedding_signbucket_hist": (
+            "SELECT CAST(b AS BIGINT) AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n_vectors FROM ("
+            "SELECT (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) "
+            "+ 2 * (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) "
+            "+ 4 * (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) "
+            "+ 8 * (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) "
+            "+ 16 * (CASE WHEN embedding[5] > 0 THEN 1 ELSE 0 END) "
+            "+ 32 * (CASE WHEN embedding[6] > 0 THEN 1 ELSE 0 END) "
+            "+ 64 * (CASE WHEN embedding[7] > 0 THEN 1 ELSE 0 END) "
+            "+ 128 * (CASE WHEN embedding[8] > 0 THEN 1 ELSE 0 END) "
+            "AS b FROM embeddings) GROUP BY 1 ORDER BY 1"),
+        "sentence_len_hist": (
+            "SELECT CAST(len AS BIGINT) AS sentence_tokens, "
+            "CAST(count(*) AS BIGINT) AS n_sentences FROM ("
+            "SELECT length(string_split(s, ' ')) AS len FROM ("
+            "SELECT unnest(string_split(text, '. ')) AS s "
+            "FROM documents)) GROUP BY 1 ORDER BY 1"),
+        "daily_type_mix_l1": (
+            "WITH c AS (SELECT date_trunc('day', ts) AS day, "
+            "event_type, count(*) AS n FROM events GROUP BY 1, 2), "
+            "t AS (SELECT day, sum(n) AS nd, "
+            "row_number() OVER (ORDER BY day) AS rk FROM c GROUP BY 1), "
+            "p AS (SELECT a.day AS day, a.nd AS nd, b.day AS pday, "
+            "b.nd AS np FROM t a JOIN t b ON a.rk = b.rk + 1), "
+            "ty AS (SELECT DISTINCT event_type FROM c) "
+            "SELECT p.day, CAST((1000000 * sum(abs("
+            "coalesce(cd.n, 0) * p.np - coalesce(cp.n, 0) * p.nd))) "
+            "// (p.nd * p.np) AS BIGINT) AS l1_ppm "
+            "FROM p CROSS JOIN ty "
+            "LEFT JOIN c cd ON cd.day = p.day "
+            "AND cd.event_type = ty.event_type "
+            "LEFT JOIN c cp ON cp.day = p.pday "
+            "AND cp.event_type = ty.event_type "
+            "GROUP BY p.day, p.nd, p.np ORDER BY p.day"),
         "order_dup_part_lines": (
             "WITH p AS (SELECT l_orderkey, l_partkey, count(*) AS n "
             "FROM lineitem GROUP BY 1, 2), "

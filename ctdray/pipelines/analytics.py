@@ -16864,3 +16864,200 @@ def token_df_hist(sf_dir: str) -> ray.data.Dataset:
     agg = partial_aggregate(dfs.map_batches(hist, batch_format="pyarrow"),
                             ["df"], [("n_tokens", "sum", "n_tokens")])
     return agg.sort("df")
+
+
+def supplier_part_jaccard_topk(sf_dir: str, k: int = 10
+                               ) -> ray.data.Dataset:
+    """Top-k supplier pairs by part-catalog Jaccard overlap (ppm, floor
+    div — exact).  Distinct (part, supplier) pairs fold through one
+    exchange; pair generation groups 256 coarse part buckets and emits
+    each part's supplier pairs with one numpy triu per run (per-part
+    supplier degree is schema-bounded, so no quadratic risk); catalog
+    sizes are a supplier-cardinality aggregate, broadcast into the
+    scoring stage — never joined."""
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey"])
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "part": pc.cast(batch.column("l_partkey"), pa.int64()),
+            "supp": pc.cast(batch.column("l_suppkey"), pa.int64()),
+            "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["part", "supp"]).aggregate([("n", "max")])
+        return pa.table({"part": res.column("part"),
+                         "supp": res.column("supp"),
+                         "n": res.column("n_max")})
+
+    pairs_ds = partial_aggregate(
+        ds.map_batches(distinct, batch_format="pyarrow"),
+        ["part", "supp"], [("n", "max", "n")])
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        t = pa.table({"supp": batch.column("supp"),
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["supp"]).aggregate([("n", "sum")])
+        return pa.table({"supp": res.column("supp"),
+                         "n": res.column("n_sum")})
+
+    size_tbl = pa.concat_tables(list(
+        partial_aggregate(pairs_ds.map_batches(sizes,
+                                               batch_format="pyarrow"),
+                          ["supp"], [("n", "sum", "n")])
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    size_ref = ray.put(dict(
+        zip(size_tbl.column("supp").to_pylist(),
+            size_tbl.column("n").to_pylist())))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__pb2",
+                                   bucket_ids(batch, ["part"]))
+
+    def gen_pairs(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("part", "ascending"), ("supp", "ascending")])
+        part = t.column("part").to_numpy(zero_copy_only=False)
+        supp = t.column("supp").to_numpy(zero_copy_only=False)
+        if len(part) == 0:
+            return pa.table({"s1": pa.array([], pa.int64()),
+                             "s2": pa.array([], pa.int64()),
+                             "shared": pa.array([], pa.int64())})
+        change = np.flatnonzero(part[1:] != part[:-1])
+        starts = np.r_[0, change + 1]
+        ends = np.r_[change + 1, len(part)]
+        a, b = [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            iu, ju = np.triu_indices(n, 1)
+            a.append(supp[s:e][iu])
+            b.append(supp[s:e][ju])
+        if not a:
+            return pa.table({"s1": pa.array([], pa.int64()),
+                             "s2": pa.array([], pa.int64()),
+                             "shared": pa.array([], pa.int64())})
+        tt = pa.table({"s1": pa.array(np.concatenate(a)),
+                       "s2": pa.array(np.concatenate(b)),
+                       "shared": pa.array(
+                           np.ones(sum(len(x) for x in a), np.int64))})
+        res = tt.group_by(["s1", "s2"]).aggregate([("shared", "sum")])
+        return pa.table({"s1": res.column("s1"), "s2": res.column("s2"),
+                         "shared": res.column("shared_sum")})
+
+    shared = partial_aggregate(
+        pairs_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__pb2").map_groups(gen_pairs, batch_format="pyarrow"),
+        ["s1", "s2"], [("shared", "sum", "shared")])
+
+    def score(batch: pa.Table) -> pa.Table:
+        sz = ray.get(size_ref)
+        s1 = batch.column("s1").to_numpy(zero_copy_only=False)
+        s2 = batch.column("s2").to_numpy(zero_copy_only=False)
+        sh = batch.column("shared").to_numpy(zero_copy_only=False)
+        n1 = np.array([sz[int(x)] for x in s1], np.int64)
+        n2 = np.array([sz[int(x)] for x in s2], np.int64)
+        return batch.append_column("jaccard_ppm", pa.array(
+            (1_000_000 * sh) // (n1 + n2 - sh)))
+
+    return (shared.map_batches(score, batch_format="pyarrow")
+            .sort(["jaccard_ppm", "s1", "s2"],
+                  descending=[True, False, False]).limit(k))
+
+
+def embedding_signbucket_hist(sf_dir: str, n_dims: int = 8
+                              ) -> ray.data.Dataset:
+    """SimHash-bucket balance audit: hash every vector into one of 2^d
+    buckets by the sign pattern of its first d dimensions and histogram
+    the occupancy — the skew diagnostic for any sign-LSH ANN layout
+    (hot buckets → hot partitions).  Per-batch bincount partials fold
+    through one ≤2^d-row exchange."""
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"])
+    weights = (1 << np.arange(n_dims)).astype(np.int64)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        m = np.stack(batch.column("embedding")
+                     .to_numpy(zero_copy_only=False))[:, :n_dims]
+        bucket = ((m > 0).astype(np.int64) * weights).sum(axis=1)
+        counts = np.bincount(bucket, minlength=1 << n_dims)
+        nz = np.flatnonzero(counts)
+        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                         "n_vectors": pa.array(counts[nz])})
+
+    agg = partial_aggregate(
+        ds.map_batches(per_batch, batch_format="pyarrow"),
+        ["bucket"], [("n_vectors", "sum", "n_vectors")])
+    return agg.sort("bucket")
+
+
+def sentence_len_hist(sf_dir: str) -> ray.data.Dataset:
+    """Corpus sentence-length histogram: split every document on '. ',
+    count whitespace tokens per sentence, histogram the lengths — the
+    chunking-size profile a context-window packer needs.  All splitting
+    is Arrow-kernel (two nested split_pattern), partials fold through
+    one tiny exchange."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        sents = pc.list_flatten(
+            pc.split_pattern(batch.column("text"), ". "))
+        lens = pc.list_value_length(pc.split_pattern(sents, " ")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"sentence_tokens": pa.array(lens),
+                      "n_sentences": pa.array(
+                          np.ones(len(lens), np.int64))})
+        res = t.group_by(["sentence_tokens"]) \
+            .aggregate([("n_sentences", "sum")])
+        return pa.table({
+            "sentence_tokens": res.column("sentence_tokens"),
+            "n_sentences": res.column("n_sentences_sum")})
+
+    agg = partial_aggregate(
+        ds.map_batches(per_batch, batch_format="pyarrow"),
+        ["sentence_tokens"], [("n_sentences", "sum", "n_sentences")])
+    return agg.sort("sentence_tokens")
+
+
+def daily_type_mix_l1(sf_dir: str) -> pa.Table:
+    """Day-over-day event-type mix churn: the L1 distance (ppm, exact
+    integer cross-multiplication) between each observed day's type
+    distribution and the previous observed day's — the drift monitor
+    for a type-routing layer.  The fact scan folds to a bounded
+    (day × type) table through one exchange; the window over that
+    aggregate computes on the driver."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        t = pa.table({"day": day, "event_type": batch.column("event_type"),
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["day", "event_type"]).aggregate([("n", "sum")])
+        return pa.table({"day": res.column("day"),
+                         "event_type": res.column("event_type"),
+                         "n": res.column("n_sum")})
+
+    cells = pa.concat_tables(list(
+        partial_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["day", "event_type"], [("n", "sum", "n")])
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    day = cells.column("day").to_numpy(zero_copy_only=False)
+    typ = np.asarray(cells.column("event_type").to_pylist(), dtype=object)
+    n = cells.column("n").to_numpy(zero_copy_only=False)
+    days = np.sort(np.unique(day))
+    types = sorted(set(typ))
+    tidx = {t: i for i, t in enumerate(types)}
+    didx = {d: i for i, d in enumerate(days)}
+    mat = np.zeros((len(days), len(types)), np.int64)
+    for d, t, v in zip(day, typ, n):
+        mat[didx[d], tidx[t]] = v
+    tot = mat.sum(axis=1)
+    out_day, out_ppm = [], []
+    for i in range(1, len(days)):
+        num = np.abs(mat[i] * tot[i - 1] - mat[i - 1] * tot[i]).sum()
+        out_day.append(days[i])
+        out_ppm.append(int(1_000_000 * int(num)
+                           // (int(tot[i]) * int(tot[i - 1]))))
+    return pa.table({
+        "day": pa.array(list(out_day), pa.timestamp("us")),
+        "l1_ppm": pa.array(out_ppm, pa.int64())})
