@@ -406,7 +406,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         supplier_part_jaccard_topk,
                                         embedding_signbucket_hist,
                                         sentence_len_hist,
-                                        daily_type_mix_l1)
+                                        daily_type_mix_l1,
+                                        customer_rrf_top10,
+                                        coorder_kcore_peel,
+                                        order_fulfill_30d_share_by_month,
+                                        supplier_leadtime_variance_topk)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1068,6 +1072,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_signbucket_hist": embedding_signbucket_hist,
         "sentence_len_hist": sentence_len_hist,
         "daily_type_mix_l1": daily_type_mix_l1,
+        "customer_rrf_top10": customer_rrf_top10,
+        "coorder_kcore_peel": coorder_kcore_peel,
+        "order_fulfill_30d_share_by_month": order_fulfill_30d_share_by_month,
+        "supplier_leadtime_variance_topk": supplier_leadtime_variance_topk,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3149,6 +3157,65 @@ def oracle_sql() -> dict[str, str]:
             "SELECT length(string_split(s, ' ')) AS len FROM ("
             "SELECT unnest(string_split(text, '. ')) AS s "
             "FROM documents)) GROUP BY 1 ORDER BY 1"),
+        "customer_rrf_top10": (
+            "WITH a AS (SELECT o_custkey, "
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents, "
+            "count(*) AS n FROM orders GROUP BY 1), "
+            "r AS (SELECT o_custkey, "
+            "row_number() OVER (ORDER BY cents DESC, o_custkey) AS r1, "
+            "row_number() OVER (ORDER BY n DESC, o_custkey) AS r2 "
+            "FROM a) "
+            "SELECT CAST(o_custkey AS BIGINT) AS o_custkey, "
+            "CAST(1000000 // (60 + r1) + 1000000 // (60 + r2) "
+            "AS BIGINT) AS rrf_score FROM r "
+            "ORDER BY rrf_score DESC, o_custkey LIMIT 10"),
+        "coorder_kcore_peel": (
+            "WITH e0 AS (SELECT DISTINCT a.l_partkey AS a, "
+            "b.l_partkey AS b FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey), "
+            "d1 AS (SELECT node, count(*) AS deg FROM ("
+            "SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) "
+            "GROUP BY 1), "
+            "k1 AS (SELECT node FROM d1 WHERE deg >= 3), "
+            "e1 AS (SELECT * FROM e0 WHERE a IN (SELECT node FROM k1) "
+            "AND b IN (SELECT node FROM k1)), "
+            "d2 AS (SELECT node, count(*) AS deg FROM ("
+            "SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) "
+            "GROUP BY 1), "
+            "k2 AS (SELECT node FROM d2 WHERE deg >= 3), "
+            "e2 AS (SELECT * FROM e1 WHERE a IN (SELECT node FROM k2) "
+            "AND b IN (SELECT node FROM k2)) "
+            "SELECT CAST(1 AS BIGINT) AS \"round\", "
+            "CAST((SELECT count(*) FROM k1) AS BIGINT) AS n_nodes, "
+            "CAST((SELECT count(*) FROM e1) AS BIGINT) AS n_edges "
+            "UNION ALL SELECT CAST(2 AS BIGINT), "
+            "CAST((SELECT count(*) FROM k2) AS BIGINT), "
+            "CAST((SELECT count(*) FROM e2) AS BIGINT) "
+            "ORDER BY \"round\""),
+        "order_fulfill_30d_share_by_month": (
+            "WITH m AS (SELECT l_orderkey, "
+            "date_trunc('month', o_orderdate) AS month, "
+            "max(date_diff('day', o_orderdate, l_shipdate)) AS lag "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY 1, 2) "
+            "SELECT month, CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(CASE WHEN lag <= 30 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_ok, "
+            "CAST((1000000 * SUM(CASE WHEN lag <= 30 THEN 1 ELSE 0 END))"
+            " // GREATEST(count(*), 1) AS BIGINT) AS ok_ppm "
+            "FROM m GROUP BY 1 ORDER BY 1"),
+        "supplier_leadtime_variance_topk": (
+            "WITH x AS (SELECT l_suppkey, "
+            "date_diff('day', o_orderdate, l_shipdate) AS d "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
+            "m AS (SELECT l_suppkey, count(*) AS n, "
+            "SUM(CAST(d AS HUGEINT)) AS s, "
+            "SUM(CAST(d AS HUGEINT) * d) AS ss FROM x GROUP BY 1) "
+            "SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey, "
+            "CAST(n AS BIGINT) AS n_lines, "
+            "CAST(n * ss - s * s AS VARCHAR) AS var_num FROM m "
+            "ORDER BY n * ss - s * s DESC, l_suppkey LIMIT 10"),
         "daily_type_mix_l1": (
             "WITH c AS (SELECT date_trunc('day', ts) AS day, "
             "event_type, count(*) AS n FROM events GROUP BY 1, 2), "

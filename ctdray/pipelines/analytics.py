@@ -17061,3 +17061,252 @@ def daily_type_mix_l1(sf_dir: str) -> pa.Table:
     return pa.table({
         "day": pa.array(list(out_day), pa.timestamp("us")),
         "l1_ppm": pa.array(out_ppm, pa.int64())})
+
+
+def customer_rrf_top10(sf_dir: str, rrf_k: int = 60,
+                       cand: int = 1000) -> ray.data.Dataset:
+    """Reciprocal-rank fusion of two customer rankings — by revenue and
+    by order count — the retrieval-style list-merge (score =
+    Σ 1e6 // (60 + rank), integer so exact).  Per-customer aggregates
+    fold through one exchange; each ranking's top-``cand`` comes back
+    via a distributed sort+limit, and because any customer outside both
+    top-1000 lists scores < 2·1e6/1061 < the 10th candidate's floor
+    (≥ 1e6/1070), fusing the 2000 candidates on the driver is provably
+    exact, never a heuristic."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"cust": pc.cast(batch.column("o_custkey"),
+                                      pa.int64()),
+                      "cents": pa.array(cents),
+                      "n_orders": pa.array(np.ones(len(batch),
+                                                   np.int64))})
+        res = t.group_by(["cust"]).aggregate([("cents", "sum"),
+                                              ("n_orders", "sum")])
+        return pa.table({"cust": res.column("cust"),
+                         "cents": res.column("cents_sum"),
+                         "n_orders": res.column("n_orders_sum")})
+
+    agg = partial_aggregate(ds.map_batches(partial,
+                                           batch_format="pyarrow"),
+                            ["cust"], [("cents", "sum", "cents"),
+                                       ("n_orders", "sum", "n_orders")])
+    by_rev = agg.sort(["cents", "cust"],
+                      descending=[True, False]).limit(cand).take_all()
+    by_cnt = agg.sort(["n_orders", "cust"],
+                      descending=[True, False]).limit(cand).take_all()
+    score: dict[int, int] = {}
+    for rows in (by_rev, by_cnt):
+        for r, row in enumerate(rows, start=1):
+            c = int(row["cust"])
+            score[c] = score.get(c, 0) + 1_000_000 // (rrf_k + r)
+    top = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return ray.data.from_arrow(pa.table({
+        "o_custkey": pa.array([c for c, _ in top], pa.int64()),
+        "rrf_score": pa.array([s for _, s in top], pa.int64())}))
+
+
+def coorder_kcore_peel(sf_dir: str, k: int = 3,
+                       rounds: int = 2) -> ray.data.Dataset:
+    """Iterative k-core peel over the part co-order graph (edge = two
+    parts sharing an order): each round drops nodes with degree < k and
+    the edges touching them, reporting (round, n_nodes, n_edges) — the
+    standard community-mining preprocessor.  Edges dedupe through a
+    pair exchange (per-order numpy triu, order width schema-bounded);
+    each peel broadcasts only the survivor NODE set (dimension-scale,
+    ≪ edges) into a pc.is_in filter — edges never reshuffle."""
+    from ..functions.joins import broadcast_semi_join
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        t = pa.table({"okey": pc.cast(batch.column("l_orderkey"),
+                                      pa.int64()),
+                      "part": pc.cast(batch.column("l_partkey"),
+                                      pa.int64())})
+        return t.append_column("__ob", bucket_ids(t, ["okey"]))
+
+    def gen_edges(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("okey", "ascending"), ("part", "ascending")])
+        okey = t.column("okey").to_numpy(zero_copy_only=False)
+        part = t.column("part").to_numpy(zero_copy_only=False)
+        if len(okey) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        change = np.flatnonzero(okey[1:] != okey[:-1])
+        starts = np.r_[0, change + 1]
+        ends = np.r_[change + 1, len(okey)]
+        aa, bb = [], []
+        for s, e in zip(starts, ends):
+            ids = np.unique(part[s:e])
+            n = len(ids)
+            if n < 2:
+                continue
+            iu, ju = np.triu_indices(n, 1)
+            aa.append(ids[iu])
+            bb.append(ids[ju])
+        if not aa:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        tt = pa.table({"a": pa.array(np.concatenate(aa)),
+                       "b": pa.array(np.concatenate(bb)),
+                       "n": pa.array(np.ones(sum(len(x) for x in aa),
+                                             np.int64))})
+        res = tt.group_by(["a", "b"]).aggregate([("n", "max")])
+        return pa.table({"a": res.column("a"), "b": res.column("b"),
+                         "n": res.column("n_max")})
+
+    edges = partial_aggregate(
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__ob").map_groups(gen_edges, batch_format="pyarrow"),
+        ["a", "b"], [("n", "max", "n")]).materialize()
+
+    def degrees(batch: pa.Table) -> pa.Table:
+        node = pa.concat_arrays([
+            batch.column("a").combine_chunks(),
+            batch.column("b").combine_chunks()])
+        t = pa.table({"node": node,
+                      "deg": pa.array(np.ones(len(node), np.int64))})
+        res = t.group_by(["node"]).aggregate([("deg", "sum")])
+        return pa.table({"node": res.column("node"),
+                         "deg": res.column("deg_sum")})
+
+    out_round, out_nodes, out_edges = [], [], []
+    for rnd in range(1, rounds + 1):
+        deg = partial_aggregate(
+            edges.map_batches(degrees, batch_format="pyarrow"),
+            ["node"], [("deg", "sum", "deg")])
+        keep = [r["node"] for r in deg.take_all() if r["deg"] >= k]
+        edges = broadcast_semi_join(
+            broadcast_semi_join(edges, keep, "a"), keep, "b") \
+            .materialize()
+        out_round.append(rnd)
+        out_nodes.append(len(keep))
+        out_edges.append(edges.count())
+    return ray.data.from_arrow(pa.table({
+        "round": pa.array(out_round, pa.int64()),
+        "n_nodes": pa.array(out_nodes, pa.int64()),
+        "n_edges": pa.array(out_edges, pa.int64())}))
+
+
+def order_fulfill_30d_share_by_month(sf_dir: str, sla_days: int = 30
+                                     ) -> ray.data.Dataset:
+    """Fulfillment SLA by order month: the share (ppm) of orders whose
+    LAST line shipped within ``sla_days`` of the order date.  Lineitem
+    resolves order dates through a distributed hash join; the per-order
+    max-lag folds through an order-key exchange carrying one row per
+    order; months fold through a second, month-sized one."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_shipdate"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderdate"])
+    from ..functions.joins import hash_join
+    joined = hash_join(li, orders, on="l_orderkey",
+                       right_on="o_orderkey")
+
+    def per_order(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate") \
+            .to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        odate = batch.column("o_orderdate") \
+            .to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        lag = ((ship - odate).astype("timedelta64[us]").astype(np.int64)
+               // 86_400_000_000)
+        month = pc.floor_temporal(batch.column("o_orderdate"),
+                                  unit="month")
+        t = pa.table({"okey": pc.cast(batch.column("l_orderkey"),
+                                      pa.int64()),
+                      "month": month, "lag": pa.array(lag)})
+        res = t.group_by(["okey", "month"]).aggregate([("lag", "max")])
+        return pa.table({"okey": res.column("okey"),
+                         "month": res.column("month"),
+                         "lag": res.column("lag_max")})
+
+    per = partial_aggregate(joined.map_batches(per_order,
+                                               batch_format="pyarrow"),
+                            ["okey", "month"], [("lag", "max", "lag")])
+
+    def per_month(batch: pa.Table) -> pa.Table:
+        lag = batch.column("lag").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "month": batch.column("month"),
+            "n_orders": pa.array(np.ones(len(batch), np.int64)),
+            "n_ok": pa.array((lag <= sla_days).astype(np.int64))})
+        res = t.group_by(["month"]).aggregate([("n_orders", "sum"),
+                                               ("n_ok", "sum")])
+        return pa.table({"month": res.column("month"),
+                         "n_orders": res.column("n_orders_sum"),
+                         "n_ok": res.column("n_ok_sum")})
+
+    agg = partial_aggregate(per.map_batches(per_month,
+                                            batch_format="pyarrow"),
+                            ["month"], [("n_orders", "sum", "n_orders"),
+                                        ("n_ok", "sum", "n_ok")])
+
+    def share(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_orders").to_numpy(zero_copy_only=False)
+        ok = batch.column("n_ok").to_numpy(zero_copy_only=False)
+        return batch.append_column("ok_ppm", pa.array(
+            (1_000_000 * ok) // np.maximum(n, 1)))
+
+    return agg.map_batches(share, batch_format="pyarrow").sort("month")
+
+
+def supplier_leadtime_variance_topk(sf_dir: str, k: int = 10
+                                    ) -> ray.data.Dataset:
+    """Supplier reliability screen: the 10 suppliers with the most
+    ERRATIC lead time (order date → ship date), ranked by the exact
+    integer variance numerator n·Σx²−(Σx)².  Moments are distributive
+    (one partial-agg exchange over the supplier-cardinality aggregate);
+    the numerator is emitted as an exact decimal STRING because at
+    fleet scale n·Σx² exceeds both int64 and the 2^53 DOUBLE mantissa
+    (the HUGEINT→DOUBLE rounding hazard)."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_suppkey",
+                                     "l_shipdate"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderdate"])
+    from ..functions.joins import hash_join
+    joined = hash_join(li, orders, on="l_orderkey",
+                       right_on="o_orderkey")
+
+    def moments(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate") \
+            .to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        odate = batch.column("o_orderdate") \
+            .to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        x = ((ship - odate).astype("timedelta64[us]").astype(np.int64)
+             // 86_400_000_000)
+        t = pa.table({"supp": pc.cast(batch.column("l_suppkey"),
+                                      pa.int64()),
+                      "n": pa.array(np.ones(len(batch), np.int64)),
+                      "s": pa.array(x), "ss": pa.array(x * x)})
+        res = t.group_by(["supp"]).aggregate([("n", "sum"), ("s", "sum"),
+                                              ("ss", "sum")])
+        return pa.table({"supp": res.column("supp"),
+                         "n": res.column("n_sum"),
+                         "s": res.column("s_sum"),
+                         "ss": res.column("ss_sum")})
+
+    agg = pa.concat_tables(list(
+        partial_aggregate(joined.map_batches(moments,
+                                             batch_format="pyarrow"),
+                          ["supp"], [("n", "sum", "n"), ("s", "sum", "s"),
+                                     ("ss", "sum", "ss")])
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    rows = sorted(
+        ((int(n) * int(ss) - int(s) * int(s), int(supp), int(n))
+         for supp, n, s, ss in zip(agg.column("supp").to_pylist(),
+                                   agg.column("n").to_pylist(),
+                                   agg.column("s").to_pylist(),
+                                   agg.column("ss").to_pylist())),
+        key=lambda r: (-r[0], r[1]))[:k]
+    return ray.data.from_arrow(pa.table({
+        "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+        "n_lines": pa.array([r[2] for r in rows], pa.int64()),
+        "var_num": pa.array([str(r[0]) for r in rows], pa.string())}))
