@@ -410,7 +410,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         customer_rrf_top10,
                                         coorder_kcore_peel,
                                         order_fulfill_30d_share_by_month,
-                                        supplier_leadtime_variance_topk)
+                                        supplier_leadtime_variance_topk,
+                                        q4_late_order_share,
+                                        q22_sales_opportunity,
+                                        supplier_customer_concentration_hist,
+                                        daily_count_autocorr)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1076,6 +1080,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coorder_kcore_peel": coorder_kcore_peel,
         "order_fulfill_30d_share_by_month": order_fulfill_30d_share_by_month,
         "supplier_leadtime_variance_topk": supplier_leadtime_variance_topk,
+        "q4_late_order_share": q4_late_order_share,
+        "q22_sales_opportunity": q22_sales_opportunity,
+        "supplier_customer_concentration_hist":
+            supplier_customer_concentration_hist,
+        "daily_count_autocorr": daily_count_autocorr,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3157,6 +3166,54 @@ def oracle_sql() -> dict[str, str]:
             "SELECT length(string_split(s, ' ')) AS len FROM ("
             "SELECT unnest(string_split(text, '. ')) AS s "
             "FROM documents)) GROUP BY 1 ORDER BY 1"),
+        "q4_late_order_share": (
+            "WITH w AS (SELECT o_orderkey, o_orderdate, o_orderpriority "
+            "FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' "
+            "AND o_orderdate < TIMESTAMP '1995-04-01'), "
+            "m AS (SELECT o_orderkey, o_orderpriority, "
+            "max(CASE WHEN date_diff('day', o_orderdate, l_shipdate) "
+            "> 60 THEN 1 ELSE 0 END) AS late FROM w "
+            "JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1, 2) "
+            "SELECT o_orderpriority, CAST(sum(late) AS BIGINT) "
+            "AS n_late_orders FROM m GROUP BY 1 ORDER BY 1"),
+        "q22_sales_opportunity": (
+            "WITH s AS (SELECT count(*) AS n_pos, "
+            "SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_pos "
+            "FROM customer WHERE round(c_acctbal * 100) > 0) "
+            "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+            "CAST(count(*) AS BIGINT) AS n_custs, "
+            "CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)"
+            " AS total_cents FROM customer, s "
+            "WHERE CAST(round(c_acctbal * 100) AS BIGINT) * s.n_pos "
+            "> s.sum_pos AND c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '2000-01-01') "
+            "GROUP BY 1 ORDER BY 1"),
+        "supplier_customer_concentration_hist": (
+            "WITH p AS (SELECT l_suppkey, o_custkey, "
+            "SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS c "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY 1, 2), "
+            "m AS (SELECT l_suppkey, max(c) AS top, sum(c) AS total "
+            "FROM p GROUP BY 1) "
+            "SELECT CAST((1000000 * top // GREATEST(total, 1)) "
+            "// 100000 AS BIGINT) AS share_decile, "
+            "CAST(count(*) AS BIGINT) AS n_suppliers FROM m "
+            "GROUP BY 1 ORDER BY 1"),
+        "daily_count_autocorr": (
+            "WITH c AS (SELECT date_trunc('day', ts) AS day, "
+            "CAST(count(*) AS HUGEINT) AS n FROM events GROUP BY 1) "
+            "SELECT CAST(1 AS BIGINT) AS lag_days, "
+            "CAST(count(*) AS BIGINT) AS n_pairs, "
+            "CAST(coalesce(count(*) * SUM(a.n * b.n) "
+            "- SUM(a.n) * SUM(b.n), 0) AS VARCHAR) AS corr_num "
+            "FROM c a JOIN c b ON a.day = b.day + INTERVAL 1 DAY "
+            "UNION ALL "
+            "SELECT CAST(7 AS BIGINT), CAST(count(*) AS BIGINT), "
+            "CAST(coalesce(count(*) * SUM(a.n * b.n) "
+            "- SUM(a.n) * SUM(b.n), 0) AS VARCHAR) "
+            "FROM c a JOIN c b ON a.day = b.day + INTERVAL 7 DAY "
+            "ORDER BY lag_days"),
         "customer_rrf_top10": (
             "WITH a AS (SELECT o_custkey, "
             "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents, "

@@ -17310,3 +17310,257 @@ def supplier_leadtime_variance_topk(sf_dir: str, k: int = 10
         "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
         "n_lines": pa.array([r[2] for r in rows], pa.int64()),
         "var_num": pa.array([str(r[0]) for r in rows], pa.string())}))
+
+
+def q4_late_order_share(sf_dir: str, grace_days: int = 60
+                        ) -> ray.data.Dataset:
+    """TPC-H Q4 adapted to this schema (no commit/receipt dates): for
+    orders placed in 1995Q1, how many per priority had at least one
+    line shipped more than ``grace_days`` after the order date — the
+    EXISTS-semi-join shape.  The order scan prunes to the quarter
+    BEFORE the hash join; the per-order ANY folds as a max through one
+    order-key exchange, priorities through a tiny second."""
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderdate",
+                                         "o_orderpriority"])
+
+    def prune(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        lo = np.datetime64("1995-01-01", "us").item()
+        hi = np.datetime64("1995-04-01", "us").item()
+        keep = pc.and_(pc.greater_equal(d, pa.scalar(lo)),
+                       pc.less(d, pa.scalar(hi)))
+        return batch.filter(keep)
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_shipdate"])
+    from ..functions.joins import hash_join
+    joined = hash_join(orders.map_batches(prune, batch_format="pyarrow"),
+                       li, on="o_orderkey", right_on="l_orderkey")
+
+    def per_order(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate") \
+            .to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        odate = batch.column("o_orderdate") \
+            .to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        lag = ((ship - odate).astype("timedelta64[us]").astype(np.int64)
+               // 86_400_000_000)
+        t = pa.table({"okey": pc.cast(batch.column("o_orderkey"),
+                                      pa.int64()),
+                      "prio": batch.column("o_orderpriority"),
+                      "late": pa.array((lag > grace_days)
+                                       .astype(np.int64))})
+        res = t.group_by(["okey", "prio"]).aggregate([("late", "max")])
+        return pa.table({"okey": res.column("okey"),
+                         "prio": res.column("prio"),
+                         "late": res.column("late_max")})
+
+    per = partial_aggregate(joined.map_batches(per_order,
+                                               batch_format="pyarrow"),
+                            ["okey", "prio"], [("late", "max", "late")])
+
+    def per_prio(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderpriority": batch.column("prio"),
+                      "n_late_orders": batch.column("late")})
+        res = t.group_by(["o_orderpriority"]) \
+            .aggregate([("n_late_orders", "sum")])
+        return pa.table({
+            "o_orderpriority": res.column("o_orderpriority"),
+            "n_late_orders": res.column("n_late_orders_sum")})
+
+    return partial_aggregate(
+        per.map_batches(per_prio, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        [("n_late_orders", "sum", "n_late_orders")]) \
+        .sort("o_orderpriority")
+
+
+def q22_sales_opportunity(sf_dir: str,
+                          cutoff: str = "2000-01-01") -> ray.data.Dataset:
+    """TPC-H Q22 adapted: per nation, the count and total balance
+    (cents) of LAPSED customers — balance above the positive-balance
+    mean, no order since ``cutoff``.  The mean test is the exact
+    integer cross-multiplication bal·n_pos > Σ_pos; lapsed-ness is a
+    shuffle anti-join against the distinct recent-order custkeys
+    (recency filter pushed below the key projection) — neither side
+    ever lands on the driver."""
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey",
+                                       "c_acctbal"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("c_acctbal")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        pos = cents > 0
+        return pa.table({"one": pa.array([1], pa.int64()),
+                         "n_pos": pa.array([int(pos.sum())], pa.int64()),
+                         "sum_pos": pa.array([int(cents[pos].sum())],
+                                             pa.int64())})
+
+    mom = pa.concat_tables(list(
+        partial_aggregate(cust.map_batches(moments,
+                                           batch_format="pyarrow"),
+                          ["one"], [("n_pos", "sum", "n_pos"),
+                                    ("sum_pos", "sum", "sum_pos")])
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    n_pos = int(mom.column("n_pos")[0].as_py())
+    sum_pos = int(mom.column("sum_pos")[0].as_py())
+
+    def above_avg(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("c_acctbal")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        keep = cents * n_pos > sum_pos
+        out = batch.filter(pa.array(keep))
+        return out.append_column("bal_cents", pa.array(
+            np.rint(out.column("c_acctbal")
+                    .to_numpy(zero_copy_only=False) * 100)
+            .astype(np.int64)))
+
+    rich = cust.map_batches(above_avg, batch_format="pyarrow")
+    cut = np.datetime64(cutoff, "us").item()
+
+    def recent_keys(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(b.column("o_orderdate"), pa.scalar(cut))
+        return pa.table({"c_custkey": pc.unique(pc.cast(
+            b.column("o_custkey").filter(keep), pa.int64()))})
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_orderdate"]) \
+        .map_batches(recent_keys, batch_format="pyarrow")
+    from ..functions.joins import shuffle_anti_join
+    never = shuffle_anti_join(
+        rich.map_batches(lambda b: b.set_column(
+            b.schema.get_field_index("c_custkey"), "c_custkey",
+            pc.cast(b.column("c_custkey"), pa.int64())),
+            batch_format="pyarrow"),
+        orders, "c_custkey")
+
+    def per_nation(batch: pa.Table) -> pa.Table:
+        t = pa.table({"c_nationkey": pc.cast(batch.column("c_nationkey"),
+                                             pa.int64()),
+                      "n_custs": pa.array(np.ones(len(batch), np.int64)),
+                      "total_cents": batch.column("bal_cents")})
+        res = t.group_by(["c_nationkey"]).aggregate(
+            [("n_custs", "sum"), ("total_cents", "sum")])
+        return pa.table({"c_nationkey": res.column("c_nationkey"),
+                         "n_custs": res.column("n_custs_sum"),
+                         "total_cents": res.column("total_cents_sum")})
+
+    return partial_aggregate(
+        never.map_batches(per_nation, batch_format="pyarrow"),
+        ["c_nationkey"], [("n_custs", "sum", "n_custs"),
+                          ("total_cents", "sum", "total_cents")]) \
+        .sort("c_nationkey")
+
+
+def supplier_customer_concentration_hist(sf_dir: str) -> ray.data.Dataset:
+    """Concentration-risk screen: per supplier, the revenue share (ppm)
+    of its single largest customer, histogrammed by share decile.  The
+    (supplier, customer) revenue matrix folds through one exchange;
+    per-supplier top-1 and total are BOTH distributive over it (max and
+    sum), so no sort and no per-supplier state anywhere."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_suppkey",
+                                     "l_extendedprice"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    from ..functions.joins import hash_join
+    joined = hash_join(li, orders, on="l_orderkey",
+                       right_on="o_orderkey")
+
+    def pair_rev(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"supp": pc.cast(batch.column("l_suppkey"),
+                                      pa.int64()),
+                      "cust": pc.cast(batch.column("o_custkey"),
+                                      pa.int64()),
+                      "cents": pa.array(cents)})
+        res = t.group_by(["supp", "cust"]).aggregate([("cents", "sum")])
+        return pa.table({"supp": res.column("supp"),
+                         "cust": res.column("cust"),
+                         "cents": res.column("cents_sum")})
+
+    pair = partial_aggregate(joined.map_batches(pair_rev,
+                                                batch_format="pyarrow"),
+                             ["supp", "cust"], [("cents", "sum",
+                                                 "cents")])
+
+    def per_supp(batch: pa.Table) -> pa.Table:
+        t = pa.table({"supp": batch.column("supp"),
+                      "top": batch.column("cents"),
+                      "total": batch.column("cents")})
+        res = t.group_by(["supp"]).aggregate([("top", "max"),
+                                              ("total", "sum")])
+        return pa.table({"supp": res.column("supp"),
+                         "top": res.column("top_max"),
+                         "total": res.column("total_sum")})
+
+    supp = partial_aggregate(pair.map_batches(per_supp,
+                                              batch_format="pyarrow"),
+                             ["supp"], [("top", "max", "top"),
+                                        ("total", "sum", "total")])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        top = batch.column("top").to_numpy(zero_copy_only=False)
+        tot = batch.column("total").to_numpy(zero_copy_only=False)
+        dec = (1_000_000 * top // np.maximum(tot, 1)) // 100_000
+        t = pa.table({"share_decile": pa.array(dec.astype(np.int64)),
+                      "n_suppliers": pa.array(np.ones(len(batch),
+                                                      np.int64))})
+        res = t.group_by(["share_decile"]) \
+            .aggregate([("n_suppliers", "sum")])
+        return pa.table({"share_decile": res.column("share_decile"),
+                         "n_suppliers": res.column("n_suppliers_sum")})
+
+    return partial_aggregate(
+        supp.map_batches(hist, batch_format="pyarrow"),
+        ["share_decile"], [("n_suppliers", "sum", "n_suppliers")]) \
+        .sort("share_decile")
+
+
+def daily_count_autocorr(sf_dir: str, lags: tuple = (1, 7)) -> pa.Table:
+    """Calendar autocorrelation probe of the daily event-count series:
+    for each lag L, the exact integer correlation NUMERATOR
+    n'·Σxy − Σx·Σy over all observed day pairs (d, d−L) — the
+    weekly-seasonality detector.  The fact scan folds to one bounded
+    row per day; the lag joins run over that aggregate on the driver,
+    and the numerator ships as a decimal string (it exceeds 2^53 at
+    fleet scale)."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        t = pa.table({"day": day,
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["day"]).aggregate([("n", "sum")])
+        return pa.table({"day": res.column("day"),
+                         "n": res.column("n_sum")})
+
+    cells = pa.concat_tables(list(
+        partial_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["day"], [("n", "sum", "n")])
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    day = cells.column("day").to_numpy(zero_copy_only=False) \
+        .astype("datetime64[D]")
+    n = cells.column("n").to_numpy(zero_copy_only=False)
+    counts = dict(zip(day.astype(np.int64).tolist(), n.tolist()))
+    out_lag, out_pairs, out_num = [], [], []
+    for lag in lags:
+        xs, ys = [], []
+        for d, x in counts.items():
+            if d - lag in counts:
+                xs.append(int(x))
+                ys.append(int(counts[d - lag]))
+        m = len(xs)
+        num = (m * sum(a * b for a, b in zip(xs, ys))
+               - sum(xs) * sum(ys))
+        out_lag.append(int(lag))
+        out_pairs.append(m)
+        out_num.append(str(num))
+    return pa.table({"lag_days": pa.array(out_lag, pa.int64()),
+                     "n_pairs": pa.array(out_pairs, pa.int64()),
+                     "corr_num": pa.array(out_num, pa.string())})
