@@ -414,7 +414,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         q4_late_order_share,
                                         q22_sales_opportunity,
                                         supplier_customer_concentration_hist,
-                                        daily_count_autocorr)
+                                        daily_count_autocorr,
+                                        region_trade_matrix,
+                                        part_supplier_price_spread_hist,
+                                        first_line_dominance_ppm,
+                                        source_ttr_ppm)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1085,6 +1089,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_customer_concentration_hist":
             supplier_customer_concentration_hist,
         "daily_count_autocorr": daily_count_autocorr,
+        "region_trade_matrix": region_trade_matrix,
+        "part_supplier_price_spread_hist": part_supplier_price_spread_hist,
+        "first_line_dominance_ppm": first_line_dominance_ppm,
+        "source_ttr_ppm": source_ttr_ppm,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3166,6 +3174,53 @@ def oracle_sql() -> dict[str, str]:
             "SELECT length(string_split(s, ' ')) AS len FROM ("
             "SELECT unnest(string_split(text, '. ')) AS s "
             "FROM documents)) GROUP BY 1 ORDER BY 1"),
+        "region_trade_matrix": (
+            "SELECT rc.r_name AS cust_region, rs.r_name AS supp_region, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS revenue_cents "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation nc ON c_nationkey = nc.n_nationkey "
+            "JOIN region rc ON nc.n_regionkey = rc.r_regionkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ns ON s_nationkey = ns.n_nationkey "
+            "JOIN region rs ON ns.n_regionkey = rs.r_regionkey "
+            "GROUP BY 1, 2 ORDER BY 1, 2"),
+        "part_supplier_price_spread_hist": (
+            "WITH p AS (SELECT l_partkey, l_suppkey, "
+            "SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "// GREATEST(SUM(CAST(round(l_quantity) AS BIGINT)), 1) "
+            "AS unit FROM lineitem GROUP BY 1, 2), "
+            "m AS (SELECT l_partkey, max(unit) - min(unit) AS spread "
+            "FROM p GROUP BY 1) "
+            "SELECT CASE WHEN spread > 0 THEN "
+            "CAST(floor(log2(spread)) AS BIGINT) ELSE -1 END "
+            "AS spread_log2, CAST(count(*) AS BIGINT) AS n_parts "
+            "FROM m GROUP BY 1 ORDER BY 1"),
+        "first_line_dominance_ppm": (
+            "WITH o AS (SELECT l_orderkey, "
+            "max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS pmax, "
+            "max(CASE WHEN l_linenumber = 1 THEN "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "ELSE -1 END) AS p1, count(*) AS n FROM lineitem "
+            "GROUP BY 1) "
+            "SELECT CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_multi, "
+            "CAST(SUM(CASE WHEN n >= 2 AND p1 = pmax THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_dominant, "
+            "CAST(1000000 * SUM(CASE WHEN n >= 2 AND p1 = pmax "
+            "THEN 1 ELSE 0 END) // GREATEST(SUM(CASE WHEN n >= 2 "
+            "THEN 1 ELSE 0 END), 1) AS BIGINT) AS dominance_ppm "
+            "FROM o"),
+        "source_ttr_ppm": (
+            "WITH v AS (SELECT source, token, count(*) AS n FROM ("
+            "SELECT source, unnest(string_split(text, ' ')) AS token "
+            "FROM documents) GROUP BY 1, 2), "
+            "f AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types, "
+            "CAST(sum(n) AS BIGINT) AS n_tokens FROM v GROUP BY 1) "
+            "SELECT source, n_types, n_tokens, "
+            "CAST((1000000 * n_types) // GREATEST(n_tokens, 1) "
+            "AS BIGINT) AS ttr_ppm FROM f ORDER BY source"),
         "q4_late_order_share": (
             "WITH w AS (SELECT o_orderkey, o_orderdate, o_orderpriority "
             "FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' "

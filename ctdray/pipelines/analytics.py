@@ -17564,3 +17564,243 @@ def daily_count_autocorr(sf_dir: str, lags: tuple = (1, 7)) -> pa.Table:
     return pa.table({"lag_days": pa.array(out_lag, pa.int64()),
                      "n_pairs": pa.array(out_pairs, pa.int64()),
                      "corr_num": pa.array(out_num, pa.string())})
+
+
+def region_trade_matrix(sf_dir: str) -> ray.data.Dataset:
+    """Region-to-region trade flow (TPC-H Q5/Q7 generalized): revenue
+    cents for every (customer region, supplier region) cell.  The two
+    fact-side key resolutions (order→customer, line→order) are
+    distributed hash joins; nation→region and supplier→nation are
+    broadcast dictionaries (dimension tables, ray.put once); the final
+    exchange carries ≤ regions² partial rows."""
+    from ..functions.joins import hash_join
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
+    rname = dict(zip(region.column("r_regionkey").to_pylist(),
+                     region.column("r_name").to_pylist()))
+    nat2reg = {int(k): rname[int(r)] for k, r in
+               zip(nation.column("n_nationkey").to_pylist(),
+                   nation.column("n_regionkey").to_pylist())}
+    supplier = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"])
+    supp2reg_ref = ray.put({int(s): nat2reg[int(n)] for s, n in
+                            zip(supplier.column("s_suppkey").to_pylist(),
+                                supplier.column("s_nationkey")
+                                .to_pylist())})
+    nat2reg_ref = ray.put(nat2reg)
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_suppkey",
+                                     "l_extendedprice"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+    oc = hash_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    joined = hash_join(li, oc, on="l_orderkey", right_on="o_orderkey")
+
+    def cell(batch: pa.Table) -> pa.Table:
+        s2r = ray.get(supp2reg_ref)
+        n2r = ray.get(nat2reg_ref)
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        cr = [n2r[int(n)] for n in
+              batch.column("c_nationkey").to_pylist()]
+        sr = [s2r[int(s)] for s in
+              batch.column("l_suppkey").to_pylist()]
+        t = pa.table({"cust_region": pa.array(cr, pa.string()),
+                      "supp_region": pa.array(sr, pa.string()),
+                      "revenue_cents": pa.array(cents)})
+        res = t.group_by(["cust_region", "supp_region"]) \
+            .aggregate([("revenue_cents", "sum")])
+        return pa.table({
+            "cust_region": res.column("cust_region"),
+            "supp_region": res.column("supp_region"),
+            "revenue_cents": res.column("revenue_cents_sum")})
+
+    return partial_aggregate(
+        joined.map_batches(cell, batch_format="pyarrow"),
+        ["cust_region", "supp_region"],
+        [("revenue_cents", "sum", "revenue_cents")]) \
+        .sort(["cust_region", "supp_region"])
+
+
+def part_supplier_price_spread_hist(sf_dir: str) -> ray.data.Dataset:
+    """Price-dispersion audit: per part, the spread between its most
+    and least expensive supplier's integer unit price (Σcents // Σqty
+    per (part, supplier) — exact), histogrammed into log2 buckets.
+    The (part, supplier) moments fold through one exchange; per-part
+    max/min are distributive over it; the histogram is tiny."""
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey",
+                                     "l_extendedprice", "l_quantity"])
+
+    def pair(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        qty = np.rint(batch.column("l_quantity")
+                      .to_numpy(zero_copy_only=False)).astype(np.int64)
+        t = pa.table({"part": pc.cast(batch.column("l_partkey"),
+                                      pa.int64()),
+                      "supp": pc.cast(batch.column("l_suppkey"),
+                                      pa.int64()),
+                      "cents": pa.array(cents), "qty": pa.array(qty)})
+        res = t.group_by(["part", "supp"]).aggregate(
+            [("cents", "sum"), ("qty", "sum")])
+        return pa.table({"part": res.column("part"),
+                         "supp": res.column("supp"),
+                         "cents": res.column("cents_sum"),
+                         "qty": res.column("qty_sum")})
+
+    pairs = partial_aggregate(
+        ds.map_batches(pair, batch_format="pyarrow"),
+        ["part", "supp"], [("cents", "sum", "cents"),
+                           ("qty", "sum", "qty")])
+
+    def per_part(batch: pa.Table) -> pa.Table:
+        cents = batch.column("cents").to_numpy(zero_copy_only=False)
+        qty = batch.column("qty").to_numpy(zero_copy_only=False)
+        unit = cents // np.maximum(qty, 1)
+        t = pa.table({"part": batch.column("part"),
+                      "u_max": pa.array(unit), "u_min": pa.array(unit)})
+        res = t.group_by(["part"]).aggregate([("u_max", "max"),
+                                              ("u_min", "min")])
+        return pa.table({"part": res.column("part"),
+                         "u_max": res.column("u_max_max"),
+                         "u_min": res.column("u_min_min")})
+
+    per = partial_aggregate(pairs.map_batches(per_part,
+                                              batch_format="pyarrow"),
+                            ["part"], [("u_max", "max", "u_max"),
+                                       ("u_min", "min", "u_min")])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        spread = (batch.column("u_max").to_numpy(zero_copy_only=False)
+                  - batch.column("u_min").to_numpy(zero_copy_only=False))
+        b = np.full(len(spread), -1, np.int64)
+        pos = spread > 0
+        b[pos] = np.floor(np.log2(spread[pos])).astype(np.int64)
+        t = pa.table({"spread_log2": pa.array(b),
+                      "n_parts": pa.array(np.ones(len(b), np.int64))})
+        res = t.group_by(["spread_log2"]).aggregate([("n_parts", "sum")])
+        return pa.table({"spread_log2": res.column("spread_log2"),
+                         "n_parts": res.column("n_parts_sum")})
+
+    return partial_aggregate(
+        per.map_batches(hist, batch_format="pyarrow"),
+        ["spread_log2"], [("n_parts", "sum", "n_parts")]) \
+        .sort("spread_log2")
+
+
+def first_line_dominance_ppm(sf_dir: str) -> ray.data.Dataset:
+    """Order-composition audit: among multi-line orders, how often is
+    line 1 the single most expensive line (price ties count) — a probe
+    of whether 'first item in the basket is the anchor purchase'.  The
+    per-order fold carries three distributive stats (max price, line-1
+    price via −1-sentinel max, line count); one audit row leaves."""
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber",
+                                     "l_extendedprice"])
+
+    def per_order(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        ln = batch.column("l_linenumber") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        p1 = np.where(ln == 1, cents, -1)
+        t = pa.table({"okey": pc.cast(batch.column("l_orderkey"),
+                                      pa.int64()),
+                      "pmax": pa.array(cents), "p1": pa.array(p1),
+                      "n_lines": pa.array(np.ones(len(batch),
+                                                  np.int64))})
+        res = t.group_by(["okey"]).aggregate(
+            [("pmax", "max"), ("p1", "max"), ("n_lines", "sum")])
+        return pa.table({"okey": res.column("okey"),
+                         "pmax": res.column("pmax_max"),
+                         "p1": res.column("p1_max"),
+                         "n_lines": res.column("n_lines_sum")})
+
+    per = partial_aggregate(
+        ds.map_batches(per_order, batch_format="pyarrow"),
+        ["okey"], [("pmax", "max", "pmax"), ("p1", "max", "p1"),
+                   ("n_lines", "sum", "n_lines")])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_lines").to_numpy(zero_copy_only=False)
+        pmax = batch.column("pmax").to_numpy(zero_copy_only=False)
+        p1 = batch.column("p1").to_numpy(zero_copy_only=False)
+        multi = n >= 2
+        dom = multi & (p1 == pmax)
+        return pa.table({
+            "n_multi": pa.array([int(multi.sum())], pa.int64()),
+            "n_dominant": pa.array([int(dom.sum())], pa.int64())})
+
+    parts = pa.concat_tables(list(
+        per.map_batches(fold, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    n_multi = int(pc.sum(parts.column("n_multi")).as_py() or 0)
+    n_dom = int(pc.sum(parts.column("n_dominant")).as_py() or 0)
+    return ray.data.from_arrow(pa.table({
+        "n_multi": pa.array([n_multi], pa.int64()),
+        "n_dominant": pa.array([n_dom], pa.int64()),
+        "dominance_ppm": pa.array(
+            [1_000_000 * n_dom // max(n_multi, 1)], pa.int64())}))
+
+
+def source_ttr_ppm(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-level type-token ratio per source (ppm, floor div —
+    exact): the vocabulary-richness signal that separates boilerplate
+    feeds from organic text.  (source, token) occurrence counts fold
+    through one coarse exchange; the per-source distinct/total fold is
+    a second aggregate over the already-aggregated vocabulary, never
+    over raw occurrences."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+
+    def surface(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = np.repeat(np.asarray(batch.column("source").to_pylist(),
+                                   dtype=object), n_tok)
+        t = pa.table({"source": pa.array(list(src), pa.string()),
+                      "token": pc.list_flatten(toks),
+                      "n": pa.array(np.ones(int(n_tok.sum()),
+                                            np.int64))})
+        res = t.group_by(["source", "token"]).aggregate([("n", "sum")])
+        return pa.table({"source": res.column("source"),
+                         "token": res.column("token"),
+                         "n": res.column("n_sum")})
+
+    vocab = partial_aggregate(ds.map_batches(surface,
+                                             batch_format="pyarrow"),
+                              ["source", "token"], [("n", "sum", "n")])
+
+    def per_source(batch: pa.Table) -> pa.Table:
+        t = pa.table({"source": batch.column("source"),
+                      "n_types": pa.array(np.ones(len(batch),
+                                                  np.int64)),
+                      "n_tokens": batch.column("n")})
+        res = t.group_by(["source"]).aggregate(
+            [("n_types", "sum"), ("n_tokens", "sum")])
+        return pa.table({"source": res.column("source"),
+                         "n_types": res.column("n_types_sum"),
+                         "n_tokens": res.column("n_tokens_sum")})
+
+    agg = partial_aggregate(vocab.map_batches(per_source,
+                                              batch_format="pyarrow"),
+                            ["source"], [("n_types", "sum", "n_types"),
+                                         ("n_tokens", "sum",
+                                          "n_tokens")])
+
+    def ttr(batch: pa.Table) -> pa.Table:
+        ty = batch.column("n_types").to_numpy(zero_copy_only=False)
+        to = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        return batch.append_column("ttr_ppm", pa.array(
+            (1_000_000 * ty) // np.maximum(to, 1)))
+
+    return agg.map_batches(ttr, batch_format="pyarrow").sort("source")
