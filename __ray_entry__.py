@@ -418,7 +418,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         region_trade_matrix,
                                         part_supplier_price_spread_hist,
                                         first_line_dominance_ppm,
-                                        source_ttr_ppm)
+                                        source_ttr_ppm,
+                                        distinct_users_multigrain,
+                                        user_modal_type_churn,
+                                        label_inertia_moments,
+                                        event_dow_value_share)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1093,6 +1097,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_supplier_price_spread_hist": part_supplier_price_spread_hist,
         "first_line_dominance_ppm": first_line_dominance_ppm,
         "source_ttr_ppm": source_ttr_ppm,
+        "distinct_users_multigrain": distinct_users_multigrain,
+        "user_modal_type_churn": user_modal_type_churn,
+        "label_inertia_moments": label_inertia_moments,
+        "event_dow_value_share": event_dow_value_share,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3174,6 +3182,53 @@ def oracle_sql() -> dict[str, str]:
             "SELECT length(string_split(s, ' ')) AS len FROM ("
             "SELECT unnest(string_split(text, '. ')) AS s "
             "FROM documents)) GROUP BY 1 ORDER BY 1"),
+        "distinct_users_multigrain": (
+            "SELECT grain, bucket, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ("
+            "SELECT 'day' AS grain, date_trunc('day', ts) AS bucket, "
+            "user_id FROM events "
+            "UNION ALL SELECT 'week', date_trunc('week', ts), user_id "
+            "FROM events "
+            "UNION ALL SELECT 'month', date_trunc('month', ts), "
+            "user_id FROM events) GROUP BY 1, 2 ORDER BY 1, 2"),
+        "user_modal_type_churn": (
+            "WITH c AS (SELECT user_id, CASE WHEN ts < "
+            "TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS half, "
+            "event_type, count(*) AS n FROM events GROUP BY 1, 2, 3), "
+            "m AS (SELECT user_id, half, event_type, row_number() "
+            "OVER (PARTITION BY user_id, half ORDER BY n DESC, "
+            "event_type) AS rk FROM c), "
+            "t AS (SELECT user_id, half, event_type FROM m "
+            "WHERE rk = 1) "
+            "SELECT b.event_type AS before_type, "
+            "a.event_type AS after_type, "
+            "CAST(count(*) AS BIGINT) AS n_users FROM t b "
+            "JOIN t a ON b.user_id = a.user_id AND b.half = 0 "
+            "AND a.half = 1 GROUP BY 1, 2 ORDER BY 1, 2"),
+        "label_inertia_moments": (
+            "WITH q AS (SELECT label, r.i AS i, "
+            "CAST(round(embedding[CAST(r.i AS INT)] * 10000) "
+            "AS HUGEINT) AS v FROM embeddings "
+            "CROSS JOIN range(1, 65) AS r(i)), "
+            "d AS (SELECT label, i, SUM(v) AS s, SUM(v * v) AS ss "
+            "FROM q GROUP BY 1, 2), "
+            "n AS (SELECT label, CAST(count(*) AS HUGEINT) AS n "
+            "FROM embeddings GROUP BY 1) "
+            "SELECT n.label, CAST(n.n AS BIGINT) AS n_vectors, "
+            "CAST(n.n * SUM(d.ss) - SUM(d.s * d.s) AS VARCHAR) "
+            "AS inertia_num FROM d JOIN n ON d.label = n.label "
+            "GROUP BY n.label, n.n ORDER BY n.label"),
+        "event_dow_value_share": (
+            "WITH d AS (SELECT isodow(ts) AS isodow, "
+            "count(*) AS n_events, "
+            "SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents "
+            "FROM events GROUP BY 1) "
+            "SELECT CAST(isodow AS BIGINT) AS isodow, "
+            "CAST(n_events AS BIGINT) AS n_events, "
+            "CAST(value_cents AS BIGINT) AS value_cents, "
+            "CAST(1000000 * value_cents // GREATEST("
+            "(SELECT sum(value_cents) FROM d), 1) AS BIGINT) "
+            "AS value_share_ppm FROM d ORDER BY 1"),
         "region_trade_matrix": (
             "SELECT rc.r_name AS cust_region, rs.r_name AS supp_region, "
             "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) "

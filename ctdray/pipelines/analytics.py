@@ -17804,3 +17804,224 @@ def source_ttr_ppm(sf_dir: str) -> ray.data.Dataset:
             (1_000_000 * ty) // np.maximum(to, 1)))
 
     return agg.map_batches(ttr, batch_format="pyarrow").sort("source")
+
+
+def distinct_users_multigrain(sf_dir: str) -> ray.data.Dataset:
+    """Distinct users at day, ISO-week and month grain in one pass —
+    the re-aggregation hazard demo: COUNT DISTINCT is NOT distributive
+    across grains, so each grain dedupes its own (bucket, user) pairs
+    through the exchange (pairs, never raw events) before the bounded
+    count fold."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        parts = []
+        for grain in ("day", "week", "month"):
+            b = pc.floor_temporal(batch.column("ts"), unit=grain)
+            t = pa.table({"grain": pa.array([grain] * len(batch),
+                                            pa.string()),
+                          "bucket": b,
+                          "user_id": pc.cast(batch.column("user_id"),
+                                             pa.int64()),
+                          "n": pa.array(np.ones(len(batch), np.int64))})
+            res = t.group_by(["grain", "bucket", "user_id"]) \
+                .aggregate([("n", "max")])
+            parts.append(pa.table({
+                "grain": res.column("grain"),
+                "bucket": res.column("bucket"),
+                "user_id": res.column("user_id"),
+                "n": res.column("n_max")}))
+        return pa.concat_tables(parts)
+
+    dedup = partial_aggregate(ds.map_batches(pairs,
+                                             batch_format="pyarrow"),
+                              ["grain", "bucket", "user_id"],
+                              [("n", "max", "n")])
+
+    def count_users(batch: pa.Table) -> pa.Table:
+        t = pa.table({"grain": batch.column("grain"),
+                      "bucket": batch.column("bucket"),
+                      "n_users": pa.array(np.ones(len(batch),
+                                                  np.int64))})
+        res = t.group_by(["grain", "bucket"]) \
+            .aggregate([("n_users", "sum")])
+        return pa.table({"grain": res.column("grain"),
+                         "bucket": res.column("bucket"),
+                         "n_users": res.column("n_users_sum")})
+
+    return partial_aggregate(
+        dedup.map_batches(count_users, batch_format="pyarrow"),
+        ["grain", "bucket"], [("n_users", "sum", "n_users")]) \
+        .sort(["grain", "bucket"])
+
+
+def user_modal_type_churn(sf_dir: str,
+                          split: str = "2024-01-16") -> ray.data.Dataset:
+    """Behavioral-drift matrix: each user's modal event type BEFORE the
+    split date versus AFTER it (ties → lexicographically smaller type),
+    counted into a (before, after) matrix over users active in both
+    halves.  (user, half, type) counts fold through one exchange; the
+    per-user modal argmax folds inside coarse user buckets, vectorized
+    per bucket."""
+    cut = np.datetime64(split, "us").item()
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id", "event_type"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        half = pc.if_else(pc.less(batch.column("ts"), pa.scalar(cut)),
+                          pa.scalar(0, pa.int64()),
+                          pa.scalar(1, pa.int64()))
+        t = pa.table({"user_id": pc.cast(batch.column("user_id"),
+                                         pa.int64()),
+                      "half": half,
+                      "event_type": batch.column("event_type"),
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["user_id", "half", "event_type"]) \
+            .aggregate([("n", "sum")])
+        return pa.table({"user_id": res.column("user_id"),
+                         "half": res.column("half"),
+                         "event_type": res.column("event_type"),
+                         "n": res.column("n_sum")})
+
+    cells = partial_aggregate(ds.map_batches(counts,
+                                             batch_format="pyarrow"),
+                              ["user_id", "half", "event_type"],
+                              [("n", "sum", "n")])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__ub",
+                                   bucket_ids(batch, ["user_id"]))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        # modal type per (user, half): sort by count desc, type asc,
+        # take the first row of each (user, half) run
+        t = group.take(pc.sort_indices(
+            group, sort_keys=[("user_id", "ascending"),
+                              ("half", "ascending"),
+                              ("n", "descending"),
+                              ("event_type", "ascending")]))
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        h = t.column("half").to_numpy(zero_copy_only=False)
+        ty = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        if len(u) == 0:
+            return pa.table({"before_type": pa.array([], pa.string()),
+                             "after_type": pa.array([], pa.string()),
+                             "n_users": pa.array([], pa.int64())})
+        first = np.r_[True, (u[1:] != u[:-1]) | (h[1:] != h[:-1])]
+        mu, mh, mt = u[first], h[first], ty[first]
+        # users with both halves appear as consecutive (h=0, h=1) rows
+        both = (mu[:-1] == mu[1:]) & (mh[:-1] == 0) & (mh[1:] == 1) \
+            if len(mu) > 1 else np.array([], bool)
+        b = mt[:-1][both] if len(mu) > 1 else np.array([], object)
+        a = mt[1:][both] if len(mu) > 1 else np.array([], object)
+        tt = pa.table({"before_type": pa.array(list(b), pa.string()),
+                       "after_type": pa.array(list(a), pa.string()),
+                       "n_users": pa.array(np.ones(len(b), np.int64))})
+        res = tt.group_by(["before_type", "after_type"]) \
+            .aggregate([("n_users", "sum")])
+        return pa.table({"before_type": res.column("before_type"),
+                         "after_type": res.column("after_type"),
+                         "n_users": res.column("n_users_sum")})
+
+    per = (cells.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("__ub").map_groups(per_bucket,
+                                       batch_format="pyarrow"))
+    return partial_aggregate(per, ["before_type", "after_type"],
+                             [("n_users", "sum", "n_users")]) \
+        .sort(["before_type", "after_type"])
+
+
+def label_inertia_moments(sf_dir: str) -> pa.Table:
+    """Cluster-quality moments per embedding label: n and the exact
+    k-means inertia NUMERATOR n·Σ‖q‖² − ‖Σq‖² at e4 quantization
+    (denominator n) — the within-cluster scatter without ever forming
+    a float centroid.  Per-dim sums and squared-norm sums fold through
+    one (label, dim) exchange; the Python-int driver fold emits the
+    numerator as a decimal string (it exceeds int64 at fleet scale)."""
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding", "label"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        m = np.stack(batch.column("embedding")
+                     .to_numpy(zero_copy_only=False))
+        q = np.rint(m.astype(np.float64) * 10_000).astype(np.int64)
+        lab_type = batch.column("label").type
+        labels = np.asarray(batch.column("label").to_pylist(),
+                            dtype=object)
+        parts = []
+        for lab in sorted(set(labels)):
+            rows = q[labels == lab]
+            d = q.shape[1]
+            parts.append(pa.table({
+                "label": pa.array([lab] * d, lab_type),
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "s": pa.array(rows.sum(axis=0)),
+                "ss": pa.array((rows * rows).sum(axis=0)),
+                "n": pa.array(([len(rows)] + [0] * (d - 1)),
+                              type=pa.int64())}))
+        return pa.concat_tables(parts)
+
+    agg = pa.concat_tables(list(
+        partial_aggregate(ds.map_batches(per_batch,
+                                         batch_format="pyarrow"),
+                          ["label", "dim"],
+                          [("s", "sum", "s"), ("ss", "sum", "ss"),
+                           ("n", "sum", "n")])
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    out: dict = {}
+    for lab, s, ss, n in zip(agg.column("label").to_pylist(),
+                             agg.column("s").to_pylist(),
+                             agg.column("ss").to_pylist(),
+                             agg.column("n").to_pylist()):
+        st = out.setdefault(lab, [0, 0, 0])  # n, sumsq, csq
+        st[0] += int(n)
+        st[1] += int(ss)
+        st[2] += int(s) * int(s)
+    labs = sorted(out)
+    return pa.table({
+        "label": pa.array(labs, agg.column("label").type),
+        "n_vectors": pa.array([out[l][0] for l in labs], pa.int64()),
+        "inertia_num": pa.array(
+            [str(out[l][0] * out[l][1] - out[l][2]) for l in labs],
+            pa.string())})
+
+
+def event_dow_value_share(sf_dir: str) -> ray.data.Dataset:
+    """Revenue weight by ISO weekday: event count, value cents and each
+    weekday's ppm share of total value — the volume-vs-value calendar
+    skew check.  Seven partial rows per batch; shares divide the tiny
+    final table on the driver side of one exchange."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "value"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        dow = pc.cast(pc.add(pc.day_of_week(batch.column("ts")), 1),
+                      pa.int64())
+        cents = np.rint(batch.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"isodow": dow,
+                      "n_events": pa.array(np.ones(len(batch),
+                                                   np.int64)),
+                      "value_cents": pa.array(cents)})
+        res = t.group_by(["isodow"]).aggregate(
+            [("n_events", "sum"), ("value_cents", "sum")])
+        return pa.table({"isodow": res.column("isodow"),
+                         "n_events": res.column("n_events_sum"),
+                         "value_cents": res.column("value_cents_sum")})
+
+    rows = pa.concat_tables(list(
+        partial_aggregate(ds.map_batches(cells, batch_format="pyarrow"),
+                          ["isodow"], [("n_events", "sum", "n_events"),
+                                       ("value_cents", "sum",
+                                        "value_cents")])
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    order = np.argsort(rows.column("isodow").to_numpy(
+        zero_copy_only=False))
+    rows = rows.take(pa.array(order, pa.int64()))
+    v = rows.column("value_cents").to_numpy(zero_copy_only=False)
+    total = max(int(v.sum()), 1)
+    return ray.data.from_arrow(rows.append_column(
+        "value_share_ppm",
+        pa.array([1_000_000 * int(x) // total for x in v], pa.int64())))
