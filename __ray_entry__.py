@@ -422,7 +422,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         distinct_users_multigrain,
                                         user_modal_type_churn,
                                         label_inertia_moments,
-                                        event_dow_value_share)
+                                        event_dow_value_share,
+                                        monthly_new_customer_revenue_share,
+                                        orderkey_range_partition_plan,
+                                        part_margin_below_retail,
+                                        second_order_within30_ppm)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1101,6 +1105,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_modal_type_churn": user_modal_type_churn,
         "label_inertia_moments": label_inertia_moments,
         "event_dow_value_share": event_dow_value_share,
+        "monthly_new_customer_revenue_share":
+            monthly_new_customer_revenue_share,
+        "orderkey_range_partition_plan": orderkey_range_partition_plan,
+        "part_margin_below_retail": part_margin_below_retail,
+        "second_order_within30_ppm": second_order_within30_ppm,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3182,6 +3191,60 @@ def oracle_sql() -> dict[str, str]:
             "SELECT length(string_split(s, ' ')) AS len FROM ("
             "SELECT unnest(string_split(text, '. ')) AS s "
             "FROM documents)) GROUP BY 1 ORDER BY 1"),
+        "monthly_new_customer_revenue_share": (
+            "WITH cm AS (SELECT o_custkey, "
+            "date_trunc('month', o_orderdate) AS month, "
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents "
+            "FROM orders GROUP BY 1, 2), "
+            "f AS (SELECT o_custkey, min(month) AS fm FROM cm "
+            "GROUP BY 1), "
+            "s AS (SELECT cm.month, "
+            "SUM(CASE WHEN cm.month = f.fm THEN cents ELSE 0 END) "
+            "AS new_cents, "
+            "SUM(CASE WHEN cm.month = f.fm THEN 0 ELSE cents END) "
+            "AS repeat_cents FROM cm JOIN f "
+            "ON cm.o_custkey = f.o_custkey GROUP BY 1) "
+            "SELECT month, CAST(new_cents AS BIGINT) AS new_cents, "
+            "CAST(repeat_cents AS BIGINT) AS repeat_cents, "
+            "CAST((1000000 * new_cents) // "
+            "GREATEST(new_cents + repeat_cents, 1) AS BIGINT) "
+            "AS new_share_ppm FROM s ORDER BY month"),
+        "orderkey_range_partition_plan": (
+            "WITH q AS (SELECT quantile_disc(o_orderkey, "
+            "[" + ", ".join(f"{i}/16.0" for i in range(1, 16)) + "]) "
+            "AS bs, count(*) AS n, max(o_orderkey) AS mx FROM orders), "
+            "b AS (SELECT r.i AS p, "
+            "CAST(bs[CAST(r.i AS INT)] AS BIGINT) AS ub FROM q "
+            "CROSS JOIN range(1, 16) AS r(i) "
+            "UNION ALL SELECT 16, CAST(mx AS BIGINT) FROM q), "
+            "c AS (SELECT p, ub, (SELECT count(*) FROM orders "
+            "WHERE o_orderkey <= ub) AS cum FROM b) "
+            "SELECT CAST(p AS BIGINT) AS bucket_id, ub AS upper_key, "
+            "CAST(cum - coalesce(lag(cum) OVER (ORDER BY p), 0) "
+            "AS BIGINT) AS n_rows FROM c ORDER BY p"),
+        "part_margin_below_retail": (
+            "WITH j AS (SELECT p_brand, "
+            "CASE WHEN CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "// GREATEST(CAST(round(l_quantity) AS BIGINT), 1) "
+            "< CAST(round(p_retailprice * 100) AS BIGINT) "
+            "THEN 1 ELSE 0 END AS below "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey) "
+            "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines, "
+            "CAST(sum(below) AS BIGINT) AS n_below, "
+            "CAST((1000000 * sum(below)) // GREATEST(count(*), 1) "
+            "AS BIGINT) AS below_ppm FROM j GROUP BY 1 ORDER BY 1"),
+        "second_order_within30_ppm": (
+            "WITH r AS (SELECT o_custkey, o_orderdate, row_number() "
+            "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, "
+            "o_orderkey) AS rk FROM orders), "
+            "p AS (SELECT a.o_custkey, date_diff('day', b.o_orderdate, "
+            "a.o_orderdate) AS gap FROM r a JOIN r b "
+            "ON a.o_custkey = b.o_custkey AND a.rk = 2 AND b.rk = 1) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_multi, "
+            "CAST(SUM(CASE WHEN gap <= 30 THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_within, "
+            "CAST(1000000 * SUM(CASE WHEN gap <= 30 THEN 1 ELSE 0 END) "
+            "// GREATEST(count(*), 1) AS BIGINT) AS within_ppm FROM p"),
         "distinct_users_multigrain": (
             "SELECT grain, bucket, "
             "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ("

@@ -18025,3 +18025,219 @@ def event_dow_value_share(sf_dir: str) -> ray.data.Dataset:
     return ray.data.from_arrow(rows.append_column(
         "value_share_ppm",
         pa.array([1_000_000 * int(x) // total for x in v], pa.int64())))
+
+
+def monthly_new_customer_revenue_share(sf_dir: str) -> ray.data.Dataset:
+    """Growth accounting at the revenue grain: each month's order value
+    (cents) split into first-month-customer revenue vs repeat revenue,
+    with the new share in ppm.  The (customer, month) aggregate folds
+    through one exchange; inside coarse customer buckets the sorted
+    first-row-per-run IS the customer's first month, so new/repeat
+    splits vectorized with no second pass over facts."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate",
+                                     "o_totalprice"])
+
+    def cm(batch: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(batch.column("o_orderdate"),
+                                  unit="month")
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"cust": pc.cast(batch.column("o_custkey"),
+                                      pa.int64()),
+                      "month": month, "cents": pa.array(cents)})
+        res = t.group_by(["cust", "month"]).aggregate([("cents", "sum")])
+        return pa.table({"cust": res.column("cust"),
+                         "month": res.column("month"),
+                         "cents": res.column("cents_sum")})
+
+    agg = partial_aggregate(ds.map_batches(cm, batch_format="pyarrow"),
+                            ["cust", "month"], [("cents", "sum",
+                                                 "cents")])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__ub", bucket_ids(batch, ["cust"]))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        t = group.take(pc.sort_indices(
+            group, sort_keys=[("cust", "ascending"),
+                              ("month", "ascending")]))
+        c = t.column("cust").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        if len(c) == 0:
+            return pa.table({"month": pa.array([], pa.timestamp("us")),
+                             "new_cents": pa.array([], pa.int64()),
+                             "repeat_cents": pa.array([], pa.int64())})
+        first = np.r_[True, c[1:] != c[:-1]]
+        tt = pa.table({
+            "month": t.column("month"),
+            "new_cents": pa.array(np.where(first, cents, 0)),
+            "repeat_cents": pa.array(np.where(first, 0, cents))})
+        res = tt.group_by(["month"]).aggregate(
+            [("new_cents", "sum"), ("repeat_cents", "sum")])
+        return pa.table({"month": res.column("month"),
+                         "new_cents": res.column("new_cents_sum"),
+                         "repeat_cents":
+                             res.column("repeat_cents_sum")})
+
+    per = (agg.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("__ub").map_groups(per_bucket,
+                                       batch_format="pyarrow"))
+    out = partial_aggregate(per, ["month"],
+                            [("new_cents", "sum", "new_cents"),
+                             ("repeat_cents", "sum", "repeat_cents")])
+
+    def share(batch: pa.Table) -> pa.Table:
+        nw = batch.column("new_cents").to_numpy(zero_copy_only=False)
+        rp = batch.column("repeat_cents").to_numpy(zero_copy_only=False)
+        return batch.append_column("new_share_ppm", pa.array(
+            (1_000_000 * nw) // np.maximum(nw + rp, 1)))
+
+    return out.map_batches(share, batch_format="pyarrow").sort("month")
+
+
+def orderkey_range_partition_plan(sf_dir: str,
+                                  n_partitions: int = 16) -> pa.Table:
+    """Range-partitioner planning: 15 exact equi-depth boundary keys of
+    o_orderkey (quantile_disc rank semantics via the multi-pass
+    histogram-narrowing selector — no global sort) plus the exact row
+    count landing in each partition from one counting pass with the
+    boundaries broadcast.  This is the plan a sort/range-shuffle would
+    ship to every mapper."""
+    from ..functions.quantiles import exact_quantiles
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey"])
+    qs = tuple(i / n_partitions for i in range(1, n_partitions))
+    qt = exact_quantiles(ds, "o_orderkey", qs=qs)
+    bounds = np.array(qt.column("value").to_pylist(), np.int64)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        v = np.sort(batch.column("o_orderkey")
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+        cum = np.searchsorted(v, bounds, side="right").astype(np.int64)
+        per = np.diff(np.r_[0, cum, len(v)])
+        return pa.table({
+            "bucket_id": pa.array(np.arange(1, n_partitions + 1,
+                                            dtype=np.int64)),
+            "n_rows": pa.array(per),
+            "mx": pa.array(np.full(n_partitions,
+                                   int(v.max()) if len(v) else -1,
+                                   np.int64))})
+
+    rows = pa.concat_tables(list(
+        partial_aggregate(ds.map_batches(counts, batch_format="pyarrow"),
+                          ["bucket_id"], [("n_rows", "sum", "n_rows"),
+                                          ("mx", "max", "mx")])
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    order = np.argsort(rows.column("bucket_id")
+                       .to_numpy(zero_copy_only=False))
+    rows = rows.take(pa.array(order, pa.int64()))
+    global_max = int(pc.max(rows.column("mx")).as_py())
+    upper = np.r_[bounds, global_max]
+    return pa.table({
+        "bucket_id": rows.column("bucket_id"),
+        "upper_key": pa.array(upper, pa.int64()),
+        "n_rows": rows.column("n_rows")})
+
+
+def part_margin_below_retail(sf_dir: str) -> ray.data.Dataset:
+    """Margin-leak audit by brand: lines whose realized integer unit
+    price (Σcents // qty per line) undercuts the part's retail price,
+    counted and shared (ppm) per brand.  The fact-side key resolution
+    is a distributed hash join against the part dimension; brand
+    partials fold through one tiny exchange."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_extendedprice",
+                                     "l_quantity"])
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_brand",
+                                       "p_retailprice"])
+    from ..functions.joins import hash_join
+    joined = hash_join(li, part, on="l_partkey", right_on="p_partkey")
+
+    def per_brand(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        qty = np.rint(batch.column("l_quantity")
+                      .to_numpy(zero_copy_only=False)).astype(np.int64)
+        retail = np.rint(batch.column("p_retailprice")
+                         .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        below = (cents // np.maximum(qty, 1)) < retail
+        t = pa.table({"p_brand": batch.column("p_brand"),
+                      "n_lines": pa.array(np.ones(len(batch),
+                                                  np.int64)),
+                      "n_below": pa.array(below.astype(np.int64))})
+        res = t.group_by(["p_brand"]).aggregate(
+            [("n_lines", "sum"), ("n_below", "sum")])
+        return pa.table({"p_brand": res.column("p_brand"),
+                         "n_lines": res.column("n_lines_sum"),
+                         "n_below": res.column("n_below_sum")})
+
+    agg = partial_aggregate(joined.map_batches(per_brand,
+                                               batch_format="pyarrow"),
+                            ["p_brand"], [("n_lines", "sum", "n_lines"),
+                                          ("n_below", "sum",
+                                           "n_below")])
+
+    def share(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_lines").to_numpy(zero_copy_only=False)
+        b = batch.column("n_below").to_numpy(zero_copy_only=False)
+        return batch.append_column("below_ppm", pa.array(
+            (1_000_000 * b) // np.maximum(n, 1)))
+
+    return agg.map_batches(share, batch_format="pyarrow") \
+        .sort("p_brand")
+
+
+def second_order_within30_ppm(sf_dir: str, window_days: int = 30
+                              ) -> ray.data.Dataset:
+    """Activation-velocity audit: among customers with ≥2 orders, the
+    share (ppm) whose SECOND order landed within ``window_days`` of the
+    first.  The exchange groups coarse customer buckets over
+    (customer, date, key) rows; one in-bucket sort exposes each
+    customer's first two orders as the first two rows of its run —
+    second-order statistics without per-customer state."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate",
+                                     "o_orderkey"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__ub",
+                                   bucket_ids(batch, ["o_custkey"]))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        t = group.take(pc.sort_indices(
+            group, sort_keys=[("o_custkey", "ascending"),
+                              ("o_orderdate", "ascending"),
+                              ("o_orderkey", "ascending")]))
+        c = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        d = t.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]")
+        if len(c) < 2:
+            return pa.table({"n_multi": pa.array([0], pa.int64()),
+                             "n_within": pa.array([0], pa.int64())})
+        first = np.r_[True, c[1:] != c[:-1]]
+        second = np.r_[False, first[:-1]] & np.r_[False, c[1:] == c[:-1]]
+        gap_days = np.full(len(c), -1, np.int64)
+        gap_days[1:] = ((d[1:] - d[:-1])
+                        .astype("timedelta64[us]").astype(np.int64)
+                        // 86_400_000_000)
+        n_multi = int(second.sum())
+        n_within = int((second & (gap_days <= window_days)).sum())
+        return pa.table({"n_multi": pa.array([n_multi], pa.int64()),
+                         "n_within": pa.array([n_within], pa.int64())})
+
+    parts = pa.concat_tables(list(
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__ub").map_groups(per_bucket, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    n_multi = int(pc.sum(parts.column("n_multi")).as_py() or 0)
+    n_within = int(pc.sum(parts.column("n_within")).as_py() or 0)
+    return ray.data.from_arrow(pa.table({
+        "n_multi": pa.array([n_multi], pa.int64()),
+        "n_within": pa.array([n_within], pa.int64()),
+        "within_ppm": pa.array([1_000_000 * n_within
+                                // max(n_multi, 1)], pa.int64())}))
