@@ -426,7 +426,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         monthly_new_customer_revenue_share,
                                         orderkey_range_partition_plan,
                                         part_margin_below_retail,
-                                        second_order_within30_ppm)
+                                        second_order_within30_ppm,
+                                        stopword_share_by_source,
+                                        dup_shingles_topk,
+                                        brand_size_price_inversions,
+                                        region_parttype_lift)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1110,6 +1114,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orderkey_range_partition_plan": orderkey_range_partition_plan,
         "part_margin_below_retail": part_margin_below_retail,
         "second_order_within30_ppm": second_order_within30_ppm,
+        "stopword_share_by_source": stopword_share_by_source,
+        "dup_shingles_topk": dup_shingles_topk,
+        "brand_size_price_inversions": brand_size_price_inversions,
+        "region_parttype_lift": region_parttype_lift,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3191,6 +3199,52 @@ def oracle_sql() -> dict[str, str]:
             "SELECT length(string_split(s, ' ')) AS len FROM ("
             "SELECT unnest(string_split(text, '. ')) AS s "
             "FROM documents)) GROUP BY 1 ORDER BY 1"),
+        "stopword_share_by_source": (
+            "WITH t AS (SELECT source, "
+            "unnest(string_split(text, ' ')) AS token FROM documents), "
+            "s AS (SELECT source, count(*) AS n_tokens, "
+            "SUM(CASE WHEN token IN ('the', 'a', 'of', 'and', 'is', "
+            "'to', 'in') THEN 1 ELSE 0 END) AS n_stopwords FROM t "
+            "GROUP BY 1) "
+            "SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(n_stopwords AS BIGINT) AS n_stopwords, "
+            "CAST((1000000 * n_stopwords) // GREATEST(n_tokens, 1) "
+            "AS BIGINT) AS stopword_ppm FROM s ORDER BY source"),
+        "dup_shingles_topk": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS L "
+            "FROM documents), "
+            "g AS (SELECT DISTINCT doc_id, array_to_string("
+            "L[CAST(i AS INT):CAST(i + 15 AS INT)], ' ') AS shingle "
+            "FROM t CROSS JOIN range(1, 4096) r(i) "
+            "WHERE i <= len(L) - 15), "
+            "f AS (SELECT shingle, count(*) AS df FROM g GROUP BY 1) "
+            "SELECT shingle, CAST(df AS BIGINT) AS df FROM f "
+            "WHERE df >= 2 ORDER BY df DESC, shingle LIMIT 20"),
+        "brand_size_price_inversions": (
+            "WITH m AS (SELECT p_brand AS brand, p_size AS size, "
+            "min(CAST(round(p_retailprice * 100) AS BIGINT)) AS mc "
+            "FROM part GROUP BY 1, 2), "
+            "w AS (SELECT brand, mc, lag(mc) OVER "
+            "(PARTITION BY brand ORDER BY size) AS pmc FROM m) "
+            "SELECT brand, CAST(count(*) AS BIGINT) AS n_pairs, "
+            "CAST(SUM(CASE WHEN mc < pmc THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_inversions FROM w WHERE pmc IS NOT NULL "
+            "GROUP BY 1 ORDER BY 1"),
+        "region_parttype_lift": (
+            "WITH c AS (SELECT r_name AS cust_region, p_type, "
+            "SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents"
+            " FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2) "
+            "SELECT cust_region, p_type, "
+            "CAST(cents AS BIGINT) AS revenue_cents, "
+            "CAST((1000000 * CAST(cents AS HUGEINT) * "
+            "(SELECT sum(cents) FROM c)) // "
+            "(sum(cents) OVER (PARTITION BY cust_region) * "
+            "sum(cents) OVER (PARTITION BY p_type)) AS BIGINT) "
+            "AS lift_ppm FROM c ORDER BY 1, 2"),
         "monthly_new_customer_revenue_share": (
             "WITH cm AS (SELECT o_custkey, "
             "date_trunc('month', o_orderdate) AS month, "

@@ -18241,3 +18241,227 @@ def second_order_within30_ppm(sf_dir: str, window_days: int = 30
         "n_within": pa.array([n_within], pa.int64()),
         "within_ppm": pa.array([1_000_000 * n_within
                                 // max(n_multi, 1)], pa.int64())}))
+
+
+def stopword_share_by_source(sf_dir: str) -> ray.data.Dataset:
+    """Quality-signal grain check: per source, total tokens, stopword
+    tokens (the engine's 7-word function list) and the stopword share
+    in ppm — the fluency/boilerplate split across feeds.  One
+    vectorized is_in per batch, seven partial rows per batch through
+    the exchange."""
+    from ..functions.text import STOPWORDS
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        is_stop = pc.is_in(flat, value_set=pa.array(list(STOPWORDS))) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.repeat(np.asarray(batch.column("source").to_pylist(),
+                                   dtype=object), n_tok)
+        t = pa.table({"source": pa.array(list(src), pa.string()),
+                      "n_tokens": pa.array(np.ones(int(n_tok.sum()),
+                                                   np.int64)),
+                      "n_stopwords": pa.array(is_stop)})
+        res = t.group_by(["source"]).aggregate(
+            [("n_tokens", "sum"), ("n_stopwords", "sum")])
+        return pa.table({"source": res.column("source"),
+                         "n_tokens": res.column("n_tokens_sum"),
+                         "n_stopwords": res.column("n_stopwords_sum")})
+
+    agg = partial_aggregate(ds.map_batches(per_batch,
+                                           batch_format="pyarrow"),
+                            ["source"], [("n_tokens", "sum", "n_tokens"),
+                                         ("n_stopwords", "sum",
+                                          "n_stopwords")])
+
+    def share(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        s = batch.column("n_stopwords").to_numpy(zero_copy_only=False)
+        return batch.append_column("stopword_ppm", pa.array(
+            (1_000_000 * s) // np.maximum(n, 1)))
+
+    return agg.map_batches(share, batch_format="pyarrow").sort("source")
+
+
+def dup_shingles_topk(sf_dir: str, n: int = 16,
+                      k: int = 20) -> ray.data.Dataset:
+    """Boilerplate detector at shingle grain: the 16-token windows
+    appearing in TWO OR MORE distinct documents, ranked by document
+    frequency — the shared-template signal exact doc-level dedup
+    misses, and the exact counterpart of what MinHash bands only
+    approximate.  Per-doc distinct shingles emit (shingle, 1)
+    partials; doc frequencies fold through the coarse-bucket exchange;
+    only the ≥2 tail sorts."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        shingles: list[str] = []
+        for text in batch.column("text").to_pylist():
+            toks = text.split(" ")
+            if len(toks) < n:
+                continue
+            seen = {" ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)}
+            shingles.extend(seen)
+        t = pa.table({"shingle": pa.array(shingles, pa.string()),
+                      "df": pa.array(np.ones(len(shingles), np.int64))})
+        res = t.group_by(["shingle"]).aggregate([("df", "sum")])
+        return pa.table({"shingle": res.column("shingle"),
+                         "df": res.column("df_sum")})
+
+    dfs = partial_aggregate(ds.map_batches(per_doc,
+                                           batch_format="pyarrow"),
+                            ["shingle"], [("df", "sum", "df")])
+
+    def dup_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("df"),
+                                             pa.scalar(2)))
+
+    return (dfs.map_batches(dup_only, batch_format="pyarrow")
+            .sort(["df", "shingle"], descending=[True, False])
+            .limit(k))
+
+
+def brand_size_price_inversions(sf_dir: str) -> ray.data.Dataset:
+    """Pricing-lattice monotonicity audit: within each brand, order the
+    sizes by their CHEAPEST retail price (cents) and count adjacent
+    size pairs where the larger size is the cheaper one — catalog
+    entries that violate 'bigger costs more'.  The (brand, size) min
+    folds through one exchange; adjacent comparison runs vectorized
+    inside coarse brand buckets."""
+    ds = read_parquet_clean(f"{sf_dir}/part.parquet",
+                            columns=["p_brand", "p_size",
+                                     "p_retailprice"])
+
+    def bs_min(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("p_retailprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"brand": batch.column("p_brand"),
+                      "size": pc.cast(batch.column("p_size"),
+                                      pa.int64()),
+                      "min_cents": pa.array(cents)})
+        res = t.group_by(["brand", "size"]).aggregate(
+            [("min_cents", "min")])
+        return pa.table({"brand": res.column("brand"),
+                         "size": res.column("size"),
+                         "min_cents": res.column("min_cents_min")})
+
+    agg = partial_aggregate(ds.map_batches(bs_min,
+                                           batch_format="pyarrow"),
+                            ["brand", "size"],
+                            [("min_cents", "min", "min_cents")])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__bb", bucket_ids(batch, ["brand"]))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        t = group.take(pc.sort_indices(
+            group, sort_keys=[("brand", "ascending"),
+                              ("size", "ascending")]))
+        b = np.asarray(t.column("brand").to_pylist(), dtype=object)
+        m = t.column("min_cents").to_numpy(zero_copy_only=False)
+        if len(b) < 2:
+            return pa.table({"brand": pa.array([], pa.string()),
+                             "n_pairs": pa.array([], pa.int64()),
+                             "n_inversions": pa.array([], pa.int64())})
+        same = b[1:] == b[:-1]
+        inv = same & (m[1:] < m[:-1])
+        tt = pa.table({"brand": pa.array(list(b[1:][same]), pa.string()),
+                       "n_pairs": pa.array(np.ones(int(same.sum()),
+                                                   np.int64)),
+                       "n_inversions": pa.array(
+                           inv[same].astype(np.int64))})
+        res = tt.group_by(["brand"]).aggregate(
+            [("n_pairs", "sum"), ("n_inversions", "sum")])
+        return pa.table({"brand": res.column("brand"),
+                         "n_pairs": res.column("n_pairs_sum"),
+                         "n_inversions":
+                             res.column("n_inversions_sum")})
+
+    per = (agg.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("__bb").map_groups(per_bucket,
+                                       batch_format="pyarrow"))
+    return partial_aggregate(per, ["brand"],
+                             [("n_pairs", "sum", "n_pairs"),
+                              ("n_inversions", "sum", "n_inversions")]) \
+        .sort("brand")
+
+
+def region_parttype_lift(sf_dir: str) -> ray.data.Dataset:
+    """Product-mix geography: revenue lift (ppm, exact floor div) of
+    each (customer region, part type) cell against independence — does
+    a region over-index on a product family?  Two fact-side hash joins
+    resolve customer and part attributes; nation→region broadcasts;
+    margins fold driver-side from the bounded (regions × types) cell
+    table."""
+    from ..functions.joins import hash_join
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
+    rname = dict(zip(region.column("r_regionkey").to_pylist(),
+                     region.column("r_name").to_pylist()))
+    nat2reg_ref = ray.put({int(k): rname[int(r)] for k, r in
+                           zip(nation.column("n_nationkey").to_pylist(),
+                               nation.column("n_regionkey")
+                               .to_pylist())})
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey",
+                                     "l_extendedprice"])
+    part = read_parquet_clean(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_type"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+    oc = hash_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    lp = hash_join(li, part, on="l_partkey", right_on="p_partkey")
+    joined = hash_join(lp, oc, on="l_orderkey", right_on="o_orderkey")
+
+    def cell(batch: pa.Table) -> pa.Table:
+        n2r = ray.get(nat2reg_ref)
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        reg = [n2r[int(n)] for n in
+               batch.column("c_nationkey").to_pylist()]
+        t = pa.table({"cust_region": pa.array(reg, pa.string()),
+                      "p_type": batch.column("p_type"),
+                      "cents": pa.array(cents)})
+        res = t.group_by(["cust_region", "p_type"]) \
+            .aggregate([("cents", "sum")])
+        return pa.table({"cust_region": res.column("cust_region"),
+                         "p_type": res.column("p_type"),
+                         "cents": res.column("cents_sum")})
+
+    cells = pa.concat_tables(list(
+        partial_aggregate(joined.map_batches(cell,
+                                             batch_format="pyarrow"),
+                          ["cust_region", "p_type"],
+                          [("cents", "sum", "cents")])
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    reg = np.asarray(cells.column("cust_region").to_pylist(),
+                     dtype=object)
+    typ = np.asarray(cells.column("p_type").to_pylist(), dtype=object)
+    c = cells.column("cents").to_numpy(zero_copy_only=False)
+    total = int(c.sum())
+    by_reg: dict = {}
+    by_typ: dict = {}
+    for r, t_, v in zip(reg, typ, c):
+        by_reg[r] = by_reg.get(r, 0) + int(v)
+        by_typ[t_] = by_typ.get(t_, 0) + int(v)
+    lift = np.array([(1_000_000 * int(v) * total)
+                     // (by_reg[r] * by_typ[t_])
+                     for r, t_, v in zip(reg, typ, c)], np.int64)
+    order = np.lexsort((typ.astype(str), reg.astype(str)))
+    return ray.data.from_arrow(pa.table({
+        "cust_region": pa.array(list(reg[order]), pa.string()),
+        "p_type": pa.array(list(typ[order]), pa.string()),
+        "revenue_cents": pa.array(c[order]),
+        "lift_ppm": pa.array(lift[order])}))
