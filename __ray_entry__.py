@@ -430,7 +430,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         stopword_share_by_source,
                                         dup_shingles_topk,
                                         brand_size_price_inversions,
-                                        region_parttype_lift)
+                                        region_parttype_lift,
+                                        segment_basket_size_matrix,
+                                        session_size_duration_cov,
+                                        doc_max_token_run_topk,
+                                        doc_pack_plan_by_bucket)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1118,6 +1122,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_shingles_topk": dup_shingles_topk,
         "brand_size_price_inversions": brand_size_price_inversions,
         "region_parttype_lift": region_parttype_lift,
+        "segment_basket_size_matrix": segment_basket_size_matrix,
+        "session_size_duration_cov": session_size_duration_cov,
+        "doc_max_token_run_topk": doc_max_token_run_topk,
+        "doc_pack_plan_by_bucket": doc_pack_plan_by_bucket,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3199,6 +3207,65 @@ def oracle_sql() -> dict[str, str]:
             "SELECT length(string_split(s, ' ')) AS len FROM ("
             "SELECT unnest(string_split(text, '. ')) AS s "
             "FROM documents)) GROUP BY 1 ORDER BY 1"),
+        "segment_basket_size_matrix": (
+            "WITH n AS (SELECT l_orderkey, c_mktsegment, "
+            "count(*) AS nl FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2) "
+            "SELECT c_mktsegment, CAST(LEAST(nl, 8) AS BIGINT) "
+            "AS lines_bucket, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM n GROUP BY 1, 2 ORDER BY 1, 2"),
+        "session_size_duration_cov": (
+            "WITH g AS (SELECT user_id, ts, CASE WHEN "
+            "date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000 "
+            "OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk "
+            "FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts)), "
+            "s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY "
+            "user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
+            "FROM g), "
+            "p AS (SELECT user_id, sid, CAST(count(*) AS HUGEINT) "
+            "AS x, CAST(date_diff('microsecond', min(ts), max(ts)) "
+            "AS HUGEINT) AS y FROM s GROUP BY 1, 2) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_sessions, "
+            "CAST(sum(x) AS BIGINT) AS sum_events, "
+            "CAST(sum(y) AS BIGINT) AS sum_duration_us, "
+            "CAST(count(*) * SUM(x * y) - SUM(x) * SUM(y) AS VARCHAR) "
+            "AS cov_num FROM p"),
+        "doc_max_token_run_topk": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS L "
+            "FROM documents), "
+            "p AS (SELECT doc_id, CAST(i AS INT) AS i, "
+            "L[CAST(i AS INT)] AS tok FROM t "
+            "CROSS JOIN range(1, 4096) r(i) WHERE i <= len(L)), "
+            "g AS (SELECT doc_id, tok, i - row_number() OVER "
+            "(PARTITION BY doc_id, tok ORDER BY i) AS grp FROM p), "
+            "r AS (SELECT doc_id, count(*) AS run FROM g "
+            "GROUP BY doc_id, tok, grp), "
+            "m AS (SELECT doc_id, CAST(max(run) AS BIGINT) AS max_run "
+            "FROM r GROUP BY 1) "
+            "SELECT doc_id, max_run FROM m "
+            "ORDER BY max_run DESC, doc_id LIMIT 10"),
+        "doc_pack_plan_by_bucket": (
+            "WITH RECURSIVE d AS (SELECT CAST(doc_id % 16 AS BIGINT) "
+            "AS bucket, doc_id, len(string_split(text, ' ')) AS x, "
+            "row_number() OVER (PARTITION BY doc_id % 16 "
+            "ORDER BY doc_id) AS rn FROM documents), "
+            "s AS (SELECT bucket, rn, x, 1 AS n_files, x AS fill "
+            "FROM d WHERE rn = 1 "
+            "UNION ALL SELECT d.bucket, d.rn, d.x, "
+            "CASE WHEN s.fill + d.x > 4096 THEN s.n_files + 1 "
+            "ELSE s.n_files END, "
+            "CASE WHEN s.fill + d.x > 4096 THEN d.x "
+            "ELSE s.fill + d.x END FROM s "
+            "JOIN d ON d.bucket = s.bucket AND d.rn = s.rn + 1), "
+            "m AS (SELECT bucket, max(rn) AS mr FROM s GROUP BY 1) "
+            "SELECT s.bucket, CAST(m.mr AS BIGINT) AS n_docs, "
+            "CAST(s.n_files AS BIGINT) AS n_files, "
+            "CAST((SELECT sum(x) FROM d WHERE d.bucket = s.bucket) "
+            "AS BIGINT) AS total_tokens FROM s "
+            "JOIN m ON s.bucket = m.bucket AND s.rn = m.mr "
+            "ORDER BY s.bucket"),
         "stopword_share_by_source": (
             "WITH t AS (SELECT source, "
             "unnest(string_split(text, ' ')) AS token FROM documents), "

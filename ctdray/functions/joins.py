@@ -81,7 +81,14 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     """Distributed hash join via Ray Data's native ``Dataset.join`` (both
     sides hash-partition on the key).  Use when BOTH sides are too large to
     broadcast; otherwise prefer :func:`broadcast_lookup_join` (no shuffle of
-    the big side)."""
+    the big side).
+
+    Caveat (Ray 2.49): feeding a ``groupby().map_groups`` output straight
+    into a join fails with ``No match ... for key field reference`` — the
+    sort-based groupby emits schema-less EMPTY blocks that break the join's
+    field resolution.  Either join FIRST and aggregate after (preferred:
+    the join then carries raw keys, not aggregates), or launder the
+    aggregate through ``.repartition(n)`` before joining."""
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(4, cpus // 2)

@@ -18465,3 +18465,192 @@ def region_parttype_lift(sf_dir: str) -> ray.data.Dataset:
         "p_type": pa.array(list(typ[order]), pa.string()),
         "revenue_cents": pa.array(c[order]),
         "lift_ppm": pa.array(lift[order])}))
+
+
+def segment_basket_size_matrix(sf_dir: str, cap: int = 8
+                               ) -> ray.data.Dataset:
+    """Basket-size mix by market segment: order counts per
+    (mktsegment, line-count bucket capped at ``cap``) — do segments
+    shop differently?  The lineitem scan ships ONLY its key column
+    into the orders⋈customer join; (order, segment) line counts fold
+    through one exchange and the per-order count buckets fold through
+    a second — join first, aggregate after, so no aggregate output
+    ever re-enters a join."""
+    from ..functions.joins import hash_join
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    oseg = hash_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    joined = hash_join(li, oseg, on="l_orderkey", right_on="o_orderkey")
+
+    def per_order(batch: pa.Table) -> pa.Table:
+        t = pa.table({"okey": pc.cast(batch.column("l_orderkey"),
+                                      pa.int64()),
+                      "c_mktsegment": batch.column("c_mktsegment"),
+                      "n_lines": pa.array(np.ones(len(batch),
+                                                  np.int64))})
+        res = t.group_by(["okey", "c_mktsegment"]) \
+            .aggregate([("n_lines", "sum")])
+        return pa.table({"okey": res.column("okey"),
+                         "c_mktsegment": res.column("c_mktsegment"),
+                         "n_lines": res.column("n_lines_sum")})
+
+    lines = partial_aggregate(joined.map_batches(per_order,
+                                                 batch_format="pyarrow"),
+                              ["okey", "c_mktsegment"],
+                              [("n_lines", "sum", "n_lines")])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        n = np.minimum(batch.column("n_lines")
+                       .to_numpy(zero_copy_only=False), cap)
+        t = pa.table({"c_mktsegment": batch.column("c_mktsegment"),
+                      "lines_bucket": pa.array(n.astype(np.int64)),
+                      "n_orders": pa.array(np.ones(len(batch),
+                                                   np.int64))})
+        res = t.group_by(["c_mktsegment", "lines_bucket"]) \
+            .aggregate([("n_orders", "sum")])
+        return pa.table({"c_mktsegment": res.column("c_mktsegment"),
+                         "lines_bucket": res.column("lines_bucket"),
+                         "n_orders": res.column("n_orders_sum")})
+
+    return partial_aggregate(
+        lines.map_batches(cells, batch_format="pyarrow"),
+        ["c_mktsegment", "lines_bucket"],
+        [("n_orders", "sum", "n_orders")]) \
+        .sort(["c_mktsegment", "lines_bucket"])
+
+
+def session_size_duration_cov(sf_dir: str, gap_seconds: int = 1800
+                              ) -> pa.Table:
+    """Does a longer session mean more events?  The exact integer
+    covariance NUMERATOR n·Σxy − Σx·Σy between per-session event count
+    and duration (µs), over gap-based sessions — a sessionizer and a
+    two-variable moment fold composed in one pipeline.  Sessions split
+    inside coarse user buckets (one sort per bucket); only four moment
+    partials per bucket cross the final exchange; the numerator ships
+    as a decimal string (it exceeds int64 at fleet scale)."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__ub",
+                                   bucket_ids(batch, ["user_id"]))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        t = group.take(pc.sort_indices(
+            group, sort_keys=[("user_id", "ascending"),
+                              ("ts", "ascending")]))
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        if len(u) == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             ("n_sessions", "sx", "sy", "sxy")})
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        gap = np.r_[np.int64(0), ts[1:] - ts[:-1]]
+        new_sess = new_user | (gap > gap_seconds * 1_000_000)
+        sid = np.cumsum(new_sess) - 1
+        n_sess = int(sid[-1]) + 1
+        counts = np.bincount(sid, minlength=n_sess)
+        starts = np.r_[0, np.cumsum(counts)[:-1]]
+        ends = np.cumsum(counts) - 1
+        dur = ts[ends] - ts[starts]
+        x = counts.astype(np.int64)
+        return pa.table({
+            "n_sessions": pa.array([n_sess], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(dur.sum())], pa.int64()),
+            "sxy": pa.array([int((x * dur).sum())], pa.int64())})
+
+    parts = pa.concat_tables(list(
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__ub").map_groups(per_bucket, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    n = int(pc.sum(parts.column("n_sessions")).as_py() or 0)
+    sx = int(pc.sum(parts.column("sx")).as_py() or 0)
+    sy = int(pc.sum(parts.column("sy")).as_py() or 0)
+    sxy = sum(int(v) for v in parts.column("sxy").to_pylist())
+    return pa.table({
+        "n_sessions": pa.array([n], pa.int64()),
+        "sum_events": pa.array([sx], pa.int64()),
+        "sum_duration_us": pa.array([sy], pa.int64()),
+        "cov_num": pa.array([str(n * sxy - sx * sy)], pa.string())})
+
+
+def doc_max_token_run_topk(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Degenerate-repetition screen: the documents with the LONGEST
+    run of one token repeated back-to-back (top-k by run length, then
+    doc id) — the stuck-generator / copy-paste artifact detector.
+    Runs resolve vectorized per batch (one boundary diff over the
+    flattened token stream, doc boundaries masked); only (doc, max
+    run) pairs reach the top-k sort."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        id_type = batch.column("doc_id").type
+        ids, runs = [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            toks = np.asarray(text.split(" "), dtype=object)
+            if len(toks) == 0:
+                continue
+            change = np.flatnonzero(toks[1:] != toks[:-1])
+            bounds = np.r_[-1, change, len(toks) - 1]
+            ids.append(did)
+            runs.append(int(np.diff(bounds).max()))
+        return pa.table({"doc_id": pa.array(ids, id_type),
+                         "max_run": pa.array(runs, pa.int64())})
+
+    return (ds.map_batches(per_doc, batch_format="pyarrow")
+            .sort(["max_run", "doc_id"], descending=[True, False])
+            .limit(k))
+
+
+def doc_pack_plan_by_bucket(sf_dir: str, capacity: int = 4096,
+                            n_buckets: int = 16) -> ray.data.Dataset:
+    """Output-file packing plan: docs hash to ``doc_id %% n_buckets``
+    writer buckets; within a bucket a greedy sequential fill (doc-id
+    order, close the file when the next doc would overflow
+    ``capacity`` tokens) yields the file count and total tokens per
+    bucket — the write-side sizing pass a resumable Parquet sink runs
+    before committing a layout.  The greedy scan is inherently
+    sequential PER BUCKET, so it parallelizes across buckets and
+    touches only (doc, token-count) pairs, never text."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(
+            pc.split_pattern(batch.column("text"), " "))
+        did = pc.cast(batch.column("doc_id"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(did % n_buckets, pa.int64()),
+            "doc_id": pa.array(did),
+            "n_tokens": pc.cast(n_tok, pa.int64())})
+
+    def pack(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("doc_id", "ascending")])
+        toks = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        bucket = int(t.column("bucket")[0].as_py()) if len(t) else -1
+        n_files, fill = 0, 0
+        for x in toks:
+            x = int(x)
+            if n_files == 0 or fill + x > capacity:
+                n_files += 1
+                fill = 0
+            fill += x
+        return pa.table({
+            "bucket": pa.array([bucket], pa.int64()),
+            "n_docs": pa.array([len(t)], pa.int64()),
+            "n_files": pa.array([n_files], pa.int64()),
+            "total_tokens": pa.array([int(toks.sum()) if len(t) else 0],
+                                     pa.int64())})
+
+    return (ds.map_batches(counts, batch_format="pyarrow")
+            .groupby("bucket").map_groups(pack, batch_format="pyarrow")
+            .sort("bucket"))
