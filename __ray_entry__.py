@@ -434,7 +434,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         segment_basket_size_matrix,
                                         session_size_duration_cov,
                                         doc_max_token_run_topk,
-                                        doc_pack_plan_by_bucket)
+                                        doc_pack_plan_by_bucket,
+                                        q6_grid_sweep,
+                                        orderkey_date_sortedness,
+                                        props_k_quartiles_by_type,
+                                        users_active_all_weeks)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1126,6 +1130,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_size_duration_cov": session_size_duration_cov,
         "doc_max_token_run_topk": doc_max_token_run_topk,
         "doc_pack_plan_by_bucket": doc_pack_plan_by_bucket,
+        "q6_grid_sweep": q6_grid_sweep,
+        "orderkey_date_sortedness": orderkey_date_sortedness,
+        "props_k_quartiles_by_type": props_k_quartiles_by_type,
+        "users_active_all_weeks": users_active_all_weeks,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3207,6 +3215,52 @@ def oracle_sql() -> dict[str, str]:
             "SELECT length(string_split(s, ' ')) AS len FROM ("
             "SELECT unnest(string_split(text, '. ')) AS s "
             "FROM documents)) GROUP BY 1 ORDER BY 1"),
+        "q6_grid_sweep": (
+            "WITH l AS (SELECT CAST(round(l_extendedprice * 100) "
+            "AS BIGINT) AS cents, CAST(round(l_discount * 100) "
+            "AS BIGINT) AS d, CAST(round(l_quantity) AS BIGINT) AS q "
+            "FROM lineitem), "
+            "g(disc_pct, qty_cap) AS (VALUES (3, 24), (3, 35), "
+            "(3, 50), (5, 24), (5, 35), (5, 50), (7, 24), (7, 35), "
+            "(7, 50)) "
+            "SELECT CAST(disc_pct AS BIGINT) AS disc_pct, "
+            "CAST(qty_cap AS BIGINT) AS qty_cap, "
+            "CAST(SUM(CASE WHEN d BETWEEN disc_pct - 1 AND "
+            "disc_pct + 1 AND q < qty_cap THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_lines, "
+            "CAST(SUM(CASE WHEN d BETWEEN disc_pct - 1 AND "
+            "disc_pct + 1 AND q < qty_cap THEN cents * d ELSE 0 END) "
+            "AS BIGINT) AS revenue_e4 FROM l CROSS JOIN g "
+            "GROUP BY 1, 2 ORDER BY 1, 2"),
+        "orderkey_date_sortedness": (
+            "WITH w AS (SELECT o_orderdate, lag(o_orderdate) OVER "
+            "(PARTITION BY o_orderkey // 4096 ORDER BY o_orderkey) "
+            "AS pd FROM orders) "
+            "SELECT CAST(count(*) FILTER (WHERE pd IS NOT NULL) "
+            "AS BIGINT) AS n_pairs, "
+            "CAST(count(*) FILTER (WHERE o_orderdate < pd) AS BIGINT) "
+            "AS n_inversions, "
+            "CAST(1000000 * count(*) FILTER (WHERE o_orderdate < pd) "
+            "// GREATEST(count(*) FILTER (WHERE pd IS NOT NULL), 1) "
+            "AS BIGINT) AS inversion_ppm FROM w"),
+        "props_k_quartiles_by_type": (
+            "WITH k AS (SELECT event_type, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+            "FROM events) "
+            "SELECT event_type, "
+            "CAST(quantile_disc(k, 0.25) AS BIGINT) AS k_p25, "
+            "CAST(quantile_disc(k, 0.5) AS BIGINT) AS k_p50, "
+            "CAST(quantile_disc(k, 0.75) AS BIGINT) AS k_p75 "
+            "FROM k WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1"),
+        "users_active_all_weeks": (
+            "WITH p AS (SELECT DISTINCT user_id, "
+            "date_trunc('week', ts) AS week FROM events), "
+            "w AS (SELECT count(DISTINCT week) AS nw FROM p), "
+            "u AS (SELECT user_id, count(*) AS c FROM p GROUP BY 1) "
+            "SELECT CAST(w.nw AS BIGINT) AS n_weeks, "
+            "CAST(count(*) AS BIGINT) AS n_users_total, "
+            "CAST(SUM(CASE WHEN c = w.nw THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_users_full FROM u, w GROUP BY w.nw"),
         "segment_basket_size_matrix": (
             "WITH n AS (SELECT l_orderkey, c_mktsegment, "
             "count(*) AS nl FROM lineitem "

@@ -18654,3 +18654,215 @@ def doc_pack_plan_by_bucket(sf_dir: str, capacity: int = 4096,
     return (ds.map_batches(counts, batch_format="pyarrow")
             .groupby("bucket").map_groups(pack, batch_format="pyarrow")
             .sort("bucket"))
+
+
+def q6_grid_sweep(sf_dir: str) -> ray.data.Dataset:
+    """Multi-query fusion: TPC-H Q6's filter-aggregate evaluated for a
+    3×3 grid of (max discount band, max quantity) parameters in ONE
+    scan — nine boolean masks per batch instead of nine passes, the
+    way a parameter sweep should run at 100 TB.  Revenue is the exact
+    integer cents·discount-percent product (denominator 10⁴)."""
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_quantity", "l_discount",
+                                     "l_extendedprice"])
+    disc_bands = (3, 5, 7)      # discount percent centers ±1
+    qty_caps = (24, 35, 50)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        disc = np.rint(batch.column("l_discount")
+                       .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        qty = np.rint(batch.column("l_quantity")
+                      .to_numpy(zero_copy_only=False)).astype(np.int64)
+        rev = cents * disc
+        ds_, qs_, ns, rs = [], [], [], []
+        for d in disc_bands:
+            dm = (disc >= d - 1) & (disc <= d + 1)
+            for q in qty_caps:
+                m = dm & (qty < q)
+                ds_.append(d)
+                qs_.append(q)
+                ns.append(int(m.sum()))
+                rs.append(int(rev[m].sum()))
+        return pa.table({"disc_pct": pa.array(ds_, pa.int64()),
+                         "qty_cap": pa.array(qs_, pa.int64()),
+                         "n_lines": pa.array(ns, pa.int64()),
+                         "revenue_e4": pa.array(rs, pa.int64())})
+
+    return partial_aggregate(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        ["disc_pct", "qty_cap"],
+        [("n_lines", "sum", "n_lines"),
+         ("revenue_e4", "sum", "revenue_e4")]) \
+        .sort(["disc_pct", "qty_cap"])
+
+
+def orderkey_date_sortedness(sf_dir: str,
+                             bucket_shift: int = 12) -> ray.data.Dataset:
+    """Physical-layout audit: if orders were laid out in key order,
+    how often would the date column go BACKWARDS between adjacent
+    keys?  Adjacency is evaluated within okey >> 12 range buckets
+    (cross-bucket seams excluded, deterministically), so each bucket
+    sorts independently — the zone-map/clustering health metric for a
+    date-pruned scan."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_orderdate"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        okey = pc.cast(batch.column("o_orderkey"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "rb": pa.array(okey >> bucket_shift, pa.int64()),
+            "okey": pa.array(okey),
+            "odate": batch.column("o_orderdate")})
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("okey", "ascending")])
+        d = t.column("odate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]")
+        n_pairs = max(len(d) - 1, 0)
+        inv = int((d[1:] < d[:-1]).sum()) if len(d) > 1 else 0
+        return pa.table({"n_pairs": pa.array([n_pairs], pa.int64()),
+                         "n_inversions": pa.array([inv], pa.int64())})
+
+    parts = pa.concat_tables(list(
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("rb").map_groups(per_bucket, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    n_pairs = int(pc.sum(parts.column("n_pairs")).as_py() or 0)
+    inv = int(pc.sum(parts.column("n_inversions")).as_py() or 0)
+    return ray.data.from_arrow(pa.table({
+        "n_pairs": pa.array([n_pairs], pa.int64()),
+        "n_inversions": pa.array([inv], pa.int64()),
+        "inversion_ppm": pa.array(
+            [1_000_000 * inv // max(n_pairs, 1)], pa.int64())}))
+
+
+def props_k_quartiles_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Grouped exact quartiles of the JSON ``props.k`` field per event
+    type (quantile_disc rank semantics) — semi-structured extraction
+    composed with grouped selection.  k is small-domain, so (type, k)
+    counts fold through one tiny exchange and the quartile ranks read
+    off the cumulative counts; no sort of raw rows anywhere."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "props"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"),
+                             r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        keep = pc.is_valid(k)
+        t = pa.table({"event_type":
+                          batch.column("event_type").filter(keep),
+                      "k": k.filter(keep),
+                      "n": pa.array(np.ones(int(pc.sum(
+                          pc.cast(keep, pa.int64())).as_py() or 0),
+                          np.int64))})
+        res = t.group_by(["event_type", "k"]).aggregate([("n", "sum")])
+        return pa.table({"event_type": res.column("event_type"),
+                         "k": res.column("k"), "n": res.column("n_sum")})
+
+    cells = pa.concat_tables(list(
+        partial_aggregate(ds.map_batches(counts, batch_format="pyarrow"),
+                          ["event_type", "k"], [("n", "sum", "n")])
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    import math
+    by_type: dict = {}
+    for ty, k, n in zip(cells.column("event_type").to_pylist(),
+                        cells.column("k").to_pylist(),
+                        cells.column("n").to_pylist()):
+        by_type.setdefault(ty, []).append((int(k), int(n)))
+    rows = {"event_type": [], "k_p25": [], "k_p50": [], "k_p75": []}
+    for ty in sorted(by_type):
+        kn = sorted(by_type[ty])
+        total = sum(n for _, n in kn)
+        qs = []
+        for q in (0.25, 0.5, 0.75):
+            rank = max(1, math.ceil(q * total))
+            cum = 0
+            for k, n in kn:
+                cum += n
+                if cum >= rank:
+                    qs.append(k)
+                    break
+        rows["event_type"].append(ty)
+        rows["k_p25"].append(qs[0])
+        rows["k_p50"].append(qs[1])
+        rows["k_p75"].append(qs[2])
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(rows["event_type"], pa.string()),
+        "k_p25": pa.array(rows["k_p25"], pa.int64()),
+        "k_p50": pa.array(rows["k_p50"], pa.int64()),
+        "k_p75": pa.array(rows["k_p75"], pa.int64())}))
+
+
+def users_active_all_weeks(sf_dir: str) -> ray.data.Dataset:
+    """Full-coverage cohort: the count of users active in EVERY ISO
+    week the stream spans — the relational-division shape (x/∀).
+    Distinct (user, week) pairs dedupe through one exchange; per-user
+    week counts fold through a second; the global week count is a tiny
+    broadcast comparison, never a join."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        wk = pc.floor_temporal(batch.column("ts"), unit="week")
+        t = pa.table({"user_id": pc.cast(batch.column("user_id"),
+                                         pa.int64()),
+                      "week": wk,
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["user_id", "week"]).aggregate([("n", "max")])
+        return pa.table({"user_id": res.column("user_id"),
+                         "week": res.column("week"),
+                         "n": res.column("n_max")})
+
+    dedup = partial_aggregate(ds.map_batches(pairs,
+                                             batch_format="pyarrow"),
+                              ["user_id", "week"], [("n", "max", "n")])
+
+    def week_set(batch: pa.Table) -> pa.Table:
+        t = pa.table({"week": batch.column("week"),
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["week"]).aggregate([("n", "max")])
+        return pa.table({"week": res.column("week"),
+                         "n": res.column("n_max")})
+
+    n_weeks = partial_aggregate(
+        dedup.map_batches(week_set, batch_format="pyarrow"),
+        ["week"], [("n", "max", "n")]).count()
+
+    def per_user(batch: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "n_weeks": pa.array(np.ones(len(batch),
+                                                  np.int64))})
+        res = t.group_by(["user_id"]).aggregate([("n_weeks", "sum")])
+        return pa.table({"user_id": res.column("user_id"),
+                         "n_weeks": res.column("n_weeks_sum")})
+
+    users = partial_aggregate(dedup.map_batches(per_user,
+                                                batch_format="pyarrow"),
+                              ["user_id"], [("n_weeks", "sum",
+                                             "n_weeks")])
+
+    def full_cover(batch: pa.Table) -> pa.Table:
+        full = pc.equal(batch.column("n_weeks"), pa.scalar(n_weeks))
+        return pa.table({
+            "n_users_total": pa.array([len(batch)], pa.int64()),
+            "n_users_full": pa.array(
+                [int(pc.sum(pc.cast(full, pa.int64())).as_py() or 0)],
+                pa.int64())})
+
+    parts = pa.concat_tables(list(
+        users.map_batches(full_cover, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    return ray.data.from_arrow(pa.table({
+        "n_weeks": pa.array([n_weeks], pa.int64()),
+        "n_users_total": pa.array(
+            [int(pc.sum(parts.column("n_users_total")).as_py() or 0)],
+            pa.int64()),
+        "n_users_full": pa.array(
+            [int(pc.sum(parts.column("n_users_full")).as_py() or 0)],
+            pa.int64())}))
