@@ -438,7 +438,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         q6_grid_sweep,
                                         orderkey_date_sortedness,
                                         props_k_quartiles_by_type,
-                                        users_active_all_weeks)
+                                        users_active_all_weeks,
+                                        daily_whale_share_hist,
+                                        single_supplier_order_ppm,
+                                        customer_tenure_years_hist,
+                                        lapsed_customers_sweep)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1134,6 +1138,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orderkey_date_sortedness": orderkey_date_sortedness,
         "props_k_quartiles_by_type": props_k_quartiles_by_type,
         "users_active_all_weeks": users_active_all_weeks,
+        "daily_whale_share_hist": daily_whale_share_hist,
+        "single_supplier_order_ppm": single_supplier_order_ppm,
+        "customer_tenure_years_hist": customer_tenure_years_hist,
+        "lapsed_customers_sweep": lapsed_customers_sweep,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3215,6 +3223,44 @@ def oracle_sql() -> dict[str, str]:
             "SELECT length(string_split(s, ' ')) AS len FROM ("
             "SELECT unnest(string_split(text, '. ')) AS s "
             "FROM documents)) GROUP BY 1 ORDER BY 1"),
+        "daily_whale_share_hist": (
+            "WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, "
+            "max(CAST(round(o_totalprice * 100) AS BIGINT)) AS mx, "
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total "
+            "FROM orders GROUP BY 1) "
+            "SELECT CAST((1000000 * mx // GREATEST(total, 1)) "
+            "// 100000 AS BIGINT) AS share_decile, "
+            "CAST(count(*) AS BIGINT) AS n_days FROM d "
+            "GROUP BY 1 ORDER BY 1"),
+        "single_supplier_order_ppm": (
+            "WITH o AS (SELECT l_orderkey, count(*) AS n, "
+            "min(l_suppkey) AS mn, max(l_suppkey) AS mx "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_multi, "
+            "CAST(SUM(CASE WHEN n >= 2 AND mn = mx THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_single_supplier, "
+            "CAST(1000000 * SUM(CASE WHEN n >= 2 AND mn = mx THEN 1 "
+            "ELSE 0 END) // GREATEST(SUM(CASE WHEN n >= 2 THEN 1 "
+            "ELSE 0 END), 1) AS BIGINT) AS single_ppm FROM o"),
+        "customer_tenure_years_hist": (
+            "WITH c AS (SELECT o_custkey, "
+            "year(max(o_orderdate)) - year(min(o_orderdate)) AS t "
+            "FROM orders GROUP BY 1) "
+            "SELECT CAST(t AS BIGINT) AS tenure_years, "
+            "CAST(count(*) AS BIGINT) AS n_customers FROM c "
+            "GROUP BY 1 ORDER BY 1"),
+        "lapsed_customers_sweep": (
+            "WITH c AS (SELECT o_custkey, "
+            "date_diff('day', max(o_orderdate), "
+            "TIMESTAMP '2001-08-01') AS silent FROM orders "
+            "GROUP BY 1), "
+            "w(window_days) AS (VALUES (30), (90), (180), (365)) "
+            "SELECT CAST(window_days AS BIGINT) AS window_days, "
+            "CAST(count(*) AS BIGINT) AS n_total, "
+            "CAST(SUM(CASE WHEN silent > window_days THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS n_lapsed FROM c CROSS JOIN w "
+            "GROUP BY 1 ORDER BY 1"),
         "q6_grid_sweep": (
             "WITH l AS (SELECT CAST(round(l_extendedprice * 100) "
             "AS BIGINT) AS cents, CAST(round(l_discount * 100) "

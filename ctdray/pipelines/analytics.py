@@ -18866,3 +18866,187 @@ def users_active_all_weeks(sf_dir: str) -> ray.data.Dataset:
         "n_users_full": pa.array(
             [int(pc.sum(parts.column("n_users_full")).as_py() or 0)],
             pa.int64())}))
+
+
+def daily_whale_share_hist(sf_dir: str) -> ray.data.Dataset:
+    """Daily whale dependence: per calendar day the share (ppm) of
+    revenue carried by the single largest order, histogrammed by
+    decile — how often one buyer IS the day.  Per-day max and sum are
+    both distributive, so one bounded day-table exchange feeds the
+    decile fold."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def per_day(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("o_orderdate"), unit="day")
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"day": day, "mx": pa.array(cents),
+                      "total": pa.array(cents)})
+        res = t.group_by(["day"]).aggregate([("mx", "max"),
+                                             ("total", "sum")])
+        return pa.table({"day": res.column("day"),
+                         "mx": res.column("mx_max"),
+                         "total": res.column("total_sum")})
+
+    days = partial_aggregate(ds.map_batches(per_day,
+                                            batch_format="pyarrow"),
+                             ["day"], [("mx", "max", "mx"),
+                                       ("total", "sum", "total")])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        mx = batch.column("mx").to_numpy(zero_copy_only=False)
+        tot = batch.column("total").to_numpy(zero_copy_only=False)
+        dec = (1_000_000 * mx // np.maximum(tot, 1)) // 100_000
+        t = pa.table({"share_decile": pa.array(dec.astype(np.int64)),
+                      "n_days": pa.array(np.ones(len(batch),
+                                                 np.int64))})
+        res = t.group_by(["share_decile"]).aggregate([("n_days", "sum")])
+        return pa.table({"share_decile": res.column("share_decile"),
+                         "n_days": res.column("n_days_sum")})
+
+    return partial_aggregate(
+        days.map_batches(hist, batch_format="pyarrow"),
+        ["share_decile"], [("n_days", "sum", "n_days")]) \
+        .sort("share_decile")
+
+
+def single_supplier_order_ppm(sf_dir: str) -> ray.data.Dataset:
+    """Fulfillment-consolidation audit: among multi-line orders, the
+    share (ppm) sourced ENTIRELY from one supplier.  Per-order
+    distinct-supplier counts fold as (min, max, count) distributive
+    stats through one order-key exchange — min==max detects the single
+    supplier without ever materializing the supplier set."""
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_suppkey"])
+
+    def per_order(batch: pa.Table) -> pa.Table:
+        t = pa.table({"okey": pc.cast(batch.column("l_orderkey"),
+                                      pa.int64()),
+                      "smin": pc.cast(batch.column("l_suppkey"),
+                                      pa.int64()),
+                      "smax": pc.cast(batch.column("l_suppkey"),
+                                      pa.int64()),
+                      "n_lines": pa.array(np.ones(len(batch),
+                                                  np.int64))})
+        res = t.group_by(["okey"]).aggregate(
+            [("smin", "min"), ("smax", "max"), ("n_lines", "sum")])
+        return pa.table({"okey": res.column("okey"),
+                         "smin": res.column("smin_min"),
+                         "smax": res.column("smax_max"),
+                         "n_lines": res.column("n_lines_sum")})
+
+    per = partial_aggregate(
+        ds.map_batches(per_order, batch_format="pyarrow"),
+        ["okey"], [("smin", "min", "smin"), ("smax", "max", "smax"),
+                   ("n_lines", "sum", "n_lines")])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_lines").to_numpy(zero_copy_only=False)
+        single = (batch.column("smin").to_numpy(zero_copy_only=False)
+                  == batch.column("smax")
+                  .to_numpy(zero_copy_only=False))
+        multi = n >= 2
+        return pa.table({
+            "n_multi": pa.array([int(multi.sum())], pa.int64()),
+            "n_single_supplier": pa.array(
+                [int((multi & single).sum())], pa.int64())})
+
+    parts = pa.concat_tables(list(
+        per.map_batches(fold, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    n_multi = int(pc.sum(parts.column("n_multi")).as_py() or 0)
+    n_single = int(pc.sum(parts.column("n_single_supplier")).as_py()
+                   or 0)
+    return ray.data.from_arrow(pa.table({
+        "n_multi": pa.array([n_multi], pa.int64()),
+        "n_single_supplier": pa.array([n_single], pa.int64()),
+        "single_ppm": pa.array([1_000_000 * n_single
+                                // max(n_multi, 1)], pa.int64())}))
+
+
+def customer_tenure_years_hist(sf_dir: str) -> ray.data.Dataset:
+    """Relationship-length mix: per customer the span in whole years
+    between first and last order, histogrammed — the book-of-business
+    age profile.  First/last are distributive min/max through one
+    customer-key exchange; the year arithmetic and histogram fold the
+    bounded aggregate."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate"])
+
+    def per_cust(batch: pa.Table) -> pa.Table:
+        t = pa.table({"cust": pc.cast(batch.column("o_custkey"),
+                                      pa.int64()),
+                      "first": batch.column("o_orderdate"),
+                      "last": batch.column("o_orderdate")})
+        res = t.group_by(["cust"]).aggregate([("first", "min"),
+                                              ("last", "max")])
+        return pa.table({"cust": res.column("cust"),
+                         "first": res.column("first_min"),
+                         "last": res.column("last_max")})
+
+    per = partial_aggregate(
+        ds.map_batches(per_cust, batch_format="pyarrow"),
+        ["cust"], [("first", "min", "first"), ("last", "max", "last")])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        f = pc.year(batch.column("first")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        l = pc.year(batch.column("last")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        t = pa.table({"tenure_years": pa.array(l - f),
+                      "n_customers": pa.array(np.ones(len(batch),
+                                                      np.int64))})
+        res = t.group_by(["tenure_years"]) \
+            .aggregate([("n_customers", "sum")])
+        return pa.table({"tenure_years": res.column("tenure_years"),
+                         "n_customers": res.column("n_customers_sum")})
+
+    return partial_aggregate(
+        per.map_batches(hist, batch_format="pyarrow"),
+        ["tenure_years"], [("n_customers", "sum", "n_customers")]) \
+        .sort("tenure_years")
+
+
+def lapsed_customers_sweep(sf_dir: str,
+                           asof: str = "2001-08-01") -> ray.data.Dataset:
+    """Churn-definition sweep: how many ordering customers count as
+    lapsed at 30/90/180/365 days of silence before ``asof`` — four
+    anti-join cardinalities from ONE pass, because only the per
+    customer MAX order date (distributive) is needed, never a join.
+    The threshold comparison fans the bounded aggregate into the four
+    window rows."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate"])
+    asof_us = np.datetime64(asof, "us").astype(np.int64)
+    windows = (30, 90, 180, 365)
+
+    def per_cust(batch: pa.Table) -> pa.Table:
+        t = pa.table({"cust": pc.cast(batch.column("o_custkey"),
+                                      pa.int64()),
+                      "last": batch.column("o_orderdate")})
+        res = t.group_by(["cust"]).aggregate([("last", "max")])
+        return pa.table({"cust": res.column("cust"),
+                         "last": res.column("last_max")})
+
+    per = partial_aggregate(
+        ds.map_batches(per_cust, batch_format="pyarrow"),
+        ["cust"], [("last", "max", "last")])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        last = batch.column("last").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        silent_days = (asof_us - last) // 86_400_000_000
+        return pa.table({
+            "window_days": pa.array(list(windows), pa.int64()),
+            "n_total": pa.array([len(batch)] * len(windows),
+                                pa.int64()),
+            "n_lapsed": pa.array([int((silent_days > w).sum())
+                                  for w in windows], pa.int64())})
+
+    return partial_aggregate(
+        per.map_batches(fold, batch_format="pyarrow"),
+        ["window_days"], [("n_total", "sum", "n_total"),
+                          ("n_lapsed", "sum", "n_lapsed")]) \
+        .sort("window_days")
