@@ -442,7 +442,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         daily_whale_share_hist,
                                         single_supplier_order_ppm,
                                         customer_tenure_years_hist,
-                                        lapsed_customers_sweep)
+                                        lapsed_customers_sweep,
+                                        part_name_token_set_dups,
+                                        coorder_edge_weight_hist,
+                                        order_ship_month_matrix,
+                                        customer_quarter_density_hist)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1142,6 +1146,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "single_supplier_order_ppm": single_supplier_order_ppm,
         "customer_tenure_years_hist": customer_tenure_years_hist,
         "lapsed_customers_sweep": lapsed_customers_sweep,
+        "part_name_token_set_dups": part_name_token_set_dups,
+        "coorder_edge_weight_hist": coorder_edge_weight_hist,
+        "order_ship_month_matrix": order_ship_month_matrix,
+        "customer_quarter_density_hist": customer_quarter_density_hist,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3223,6 +3231,44 @@ def oracle_sql() -> dict[str, str]:
             "SELECT length(string_split(s, ' ')) AS len FROM ("
             "SELECT unnest(string_split(text, '. ')) AS s "
             "FROM documents)) GROUP BY 1 ORDER BY 1"),
+        "part_name_token_set_dups": (
+            "WITH k AS (SELECT array_to_string(list_sort("
+            "list_distinct(string_split(p_name, ' '))), ' ') "
+            "AS token_set_key FROM part), "
+            "g AS (SELECT token_set_key, count(*) AS n_parts FROM k "
+            "GROUP BY 1) "
+            "SELECT token_set_key, CAST(n_parts AS BIGINT) AS n_parts "
+            "FROM g WHERE n_parts >= 2 "
+            "ORDER BY n_parts DESC, token_set_key"),
+        "coorder_edge_weight_hist": (
+            "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem), "
+            "e AS (SELECT a.l_partkey AS a, b.l_partkey AS b, "
+            "count(*) AS w FROM d a JOIN d b "
+            "ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey GROUP BY 1, 2) "
+            "SELECT CAST(w AS BIGINT) AS weight, "
+            "CAST(count(*) AS BIGINT) AS n_edges FROM e "
+            "GROUP BY 1 ORDER BY 1"),
+        "order_ship_month_matrix": (
+            "WITH o AS (SELECT l_orderkey, "
+            "date_trunc('month', o_orderdate) AS order_month, "
+            "date_trunc('month', min(l_shipdate)) AS ship_month "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY 1, 2) "
+            "SELECT order_month, ship_month, "
+            "CAST(count(*) AS BIGINT) AS n_orders FROM o "
+            "GROUP BY 1, 2 ORDER BY 1, 2"),
+        "customer_quarter_density_hist": (
+            "WITH p AS (SELECT DISTINCT o_custkey, "
+            "year(o_orderdate) * 4 + (month(o_orderdate) - 1) // 3 "
+            "AS q FROM orders), "
+            "c AS (SELECT o_custkey, count(*) AS active, "
+            "max(q) - min(q) + 1 AS span FROM p GROUP BY 1) "
+            "SELECT CAST((1000000 * active // span) // 100000 "
+            "AS BIGINT) AS density_decile, "
+            "CAST(count(*) AS BIGINT) AS n_customers FROM c "
+            "GROUP BY 1 ORDER BY 1"),
         "daily_whale_share_hist": (
             "WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, "
             "max(CAST(round(o_totalprice * 100) AS BIGINT)) AS mx, "

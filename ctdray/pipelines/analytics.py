@@ -19050,3 +19050,220 @@ def lapsed_customers_sweep(sf_dir: str,
         ["window_days"], [("n_total", "sum", "n_total"),
                           ("n_lapsed", "sum", "n_lapsed")]) \
         .sort("window_days")
+
+
+def part_name_token_set_dups(sf_dir: str) -> ray.data.Dataset:
+    """Entity-resolution probe on the part catalog: names that collide
+    as SORTED TOKEN SETS ('green steel small' == 'small green steel'),
+    the word-order-insensitive duplicate class exact matching misses.
+    The canonical key builds per batch (split → sort → rejoin);
+    key counts fold through one exchange; only colliding keys
+    survive."""
+    ds = read_parquet_clean(f"{sf_dir}/part.parquet",
+                            columns=["p_name"])
+
+    def canon(batch: pa.Table) -> pa.Table:
+        keys = [" ".join(sorted(set(nm.split(" "))))
+                for nm in batch.column("p_name").to_pylist()]
+        t = pa.table({"token_set_key": pa.array(keys, pa.string()),
+                      "n_parts": pa.array(np.ones(len(keys),
+                                                  np.int64))})
+        res = t.group_by(["token_set_key"]) \
+            .aggregate([("n_parts", "sum")])
+        return pa.table({"token_set_key": res.column("token_set_key"),
+                         "n_parts": res.column("n_parts_sum")})
+
+    agg = partial_aggregate(ds.map_batches(canon,
+                                           batch_format="pyarrow"),
+                            ["token_set_key"],
+                            [("n_parts", "sum", "n_parts")])
+
+    def dups(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("n_parts"),
+                                             pa.scalar(2)))
+
+    return (agg.map_batches(dups, batch_format="pyarrow")
+            .sort(["n_parts", "token_set_key"],
+                  descending=[True, False]))
+
+
+def coorder_edge_weight_hist(sf_dir: str) -> ray.data.Dataset:
+    """Co-order graph weight profile: how many part pairs co-occur in
+    exactly w orders, for each weight w — the edge-pruning threshold
+    chart for any co-occurrence graph build.  Per-order pairs generate
+    inside coarse order buckets (numpy triu per run, order width
+    schema-bounded); pair weights fold through one exchange; the
+    weight histogram through a tiny second."""
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        t = pa.table({"okey": pc.cast(batch.column("l_orderkey"),
+                                      pa.int64()),
+                      "part": pc.cast(batch.column("l_partkey"),
+                                      pa.int64())})
+        return t.append_column("__ob", bucket_ids(t, ["okey"]))
+
+    def gen_pairs(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("okey", "ascending"), ("part", "ascending")])
+        okey = t.column("okey").to_numpy(zero_copy_only=False)
+        part = t.column("part").to_numpy(zero_copy_only=False)
+        if len(okey) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        change = np.flatnonzero(okey[1:] != okey[:-1])
+        starts = np.r_[0, change + 1]
+        ends = np.r_[change + 1, len(okey)]
+        aa, bb = [], []
+        for s, e in zip(starts, ends):
+            ids = np.unique(part[s:e])
+            if len(ids) < 2:
+                continue
+            iu, ju = np.triu_indices(len(ids), 1)
+            aa.append(ids[iu])
+            bb.append(ids[ju])
+        if not aa:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        tt = pa.table({"a": pa.array(np.concatenate(aa)),
+                       "b": pa.array(np.concatenate(bb)),
+                       "w": pa.array(np.ones(sum(len(x) for x in aa),
+                                             np.int64))})
+        res = tt.group_by(["a", "b"]).aggregate([("w", "sum")])
+        return pa.table({"a": res.column("a"), "b": res.column("b"),
+                         "w": res.column("w_sum")})
+
+    edges = partial_aggregate(
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__ob").map_groups(gen_pairs, batch_format="pyarrow"),
+        ["a", "b"], [("w", "sum", "w")])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pa.table({"weight": batch.column("w"),
+                      "n_edges": pa.array(np.ones(len(batch),
+                                                  np.int64))})
+        res = t.group_by(["weight"]).aggregate([("n_edges", "sum")])
+        return pa.table({"weight": res.column("weight"),
+                         "n_edges": res.column("n_edges_sum")})
+
+    return partial_aggregate(
+        edges.map_batches(hist, batch_format="pyarrow"),
+        ["weight"], [("n_edges", "sum", "n_edges")]).sort("weight")
+
+
+def order_ship_month_matrix(sf_dir: str) -> ray.data.Dataset:
+    """Bitemporal migration matrix: order counts by (order month,
+    FIRST-ship month) — where does each booking month's work actually
+    land?  The per-order first ship date is a distributive min through
+    the join exchange; the bounded month matrix folds after."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_shipdate"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderdate"])
+    from ..functions.joins import hash_join
+    joined = hash_join(li, orders, on="l_orderkey",
+                       right_on="o_orderkey")
+
+    def per_order(batch: pa.Table) -> pa.Table:
+        om = pc.floor_temporal(batch.column("o_orderdate"),
+                               unit="month")
+        t = pa.table({"okey": pc.cast(batch.column("l_orderkey"),
+                                      pa.int64()),
+                      "order_month": om,
+                      "first_ship": batch.column("l_shipdate")})
+        res = t.group_by(["okey", "order_month"]) \
+            .aggregate([("first_ship", "min")])
+        return pa.table({"okey": res.column("okey"),
+                         "order_month": res.column("order_month"),
+                         "first_ship": res.column("first_ship_min")})
+
+    per = partial_aggregate(
+        joined.map_batches(per_order, batch_format="pyarrow"),
+        ["okey", "order_month"], [("first_ship", "min", "first_ship")])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        sm = pc.floor_temporal(batch.column("first_ship"), unit="month")
+        t = pa.table({"order_month": batch.column("order_month"),
+                      "ship_month": sm,
+                      "n_orders": pa.array(np.ones(len(batch),
+                                                   np.int64))})
+        res = t.group_by(["order_month", "ship_month"]) \
+            .aggregate([("n_orders", "sum")])
+        return pa.table({"order_month": res.column("order_month"),
+                         "ship_month": res.column("ship_month"),
+                         "n_orders": res.column("n_orders_sum")})
+
+    return partial_aggregate(
+        per.map_batches(cells, batch_format="pyarrow"),
+        ["order_month", "ship_month"],
+        [("n_orders", "sum", "n_orders")]) \
+        .sort(["order_month", "ship_month"])
+
+
+def customer_quarter_density_hist(sf_dir: str) -> ray.data.Dataset:
+    """Engagement-density mix: per customer the ppm ratio of quarters
+    WITH an order to quarters SPANNED (first → last), histogrammed by
+    decile — steady buyers versus sporadic ones.  Distinct
+    (customer, quarter) pairs dedupe through one exchange; per
+    customer active/span counts are distributive over it (count, min,
+    max); the decile fold is tiny."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        y = pc.year(batch.column("o_orderdate")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        m = pc.month(batch.column("o_orderdate")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        q = y * 4 + (m - 1) // 3
+        t = pa.table({"cust": pc.cast(batch.column("o_custkey"),
+                                      pa.int64()),
+                      "quarter": pa.array(q),
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["cust", "quarter"]).aggregate([("n", "max")])
+        return pa.table({"cust": res.column("cust"),
+                         "quarter": res.column("quarter"),
+                         "n": res.column("n_max")})
+
+    dedup = partial_aggregate(ds.map_batches(pairs,
+                                             batch_format="pyarrow"),
+                              ["cust", "quarter"], [("n", "max", "n")])
+
+    def per_cust(batch: pa.Table) -> pa.Table:
+        t = pa.table({"cust": batch.column("cust"),
+                      "active": pa.array(np.ones(len(batch),
+                                                 np.int64)),
+                      "qmin": batch.column("quarter"),
+                      "qmax": batch.column("quarter")})
+        res = t.group_by(["cust"]).aggregate(
+            [("active", "sum"), ("qmin", "min"), ("qmax", "max")])
+        return pa.table({"cust": res.column("cust"),
+                         "active": res.column("active_sum"),
+                         "qmin": res.column("qmin_min"),
+                         "qmax": res.column("qmax_max")})
+
+    per = partial_aggregate(
+        dedup.map_batches(per_cust, batch_format="pyarrow"),
+        ["cust"], [("active", "sum", "active"),
+                   ("qmin", "min", "qmin"), ("qmax", "max", "qmax")])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        a = batch.column("active").to_numpy(zero_copy_only=False)
+        span = (batch.column("qmax").to_numpy(zero_copy_only=False)
+                - batch.column("qmin").to_numpy(zero_copy_only=False)
+                + 1)
+        dec = (1_000_000 * a // span) // 100_000
+        t = pa.table({"density_decile": pa.array(dec.astype(np.int64)),
+                      "n_customers": pa.array(np.ones(len(batch),
+                                                      np.int64))})
+        res = t.group_by(["density_decile"]) \
+            .aggregate([("n_customers", "sum")])
+        return pa.table({"density_decile": res.column("density_decile"),
+                         "n_customers": res.column("n_customers_sum")})
+
+    return partial_aggregate(
+        per.map_batches(hist, batch_format="pyarrow"),
+        ["density_decile"], [("n_customers", "sum", "n_customers")]) \
+        .sort("density_decile")
