@@ -3537,8 +3537,8 @@ def oracle_sql() -> dict[str, str]:
             "AND a.half = 1 GROUP BY 1, 2 ORDER BY 1, 2"),
         "label_inertia_moments": (
             "WITH q AS (SELECT label, r.i AS i, "
-            "CAST(round(embedding[CAST(r.i AS INT)] * 10000) "
-            "AS HUGEINT) AS v FROM embeddings "
+            "CAST(round(CAST(embedding[CAST(r.i AS INT)] AS DOUBLE) "
+            "* 10000) AS HUGEINT) AS v FROM embeddings "
             "CROSS JOIN range(1, 65) AS r(i)), "
             "d AS (SELECT label, i, SUM(v) AS s, SUM(v * v) AS ss "
             "FROM q GROUP BY 1, 2), "
