@@ -446,7 +446,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         part_name_token_set_dups,
                                         coorder_edge_weight_hist,
                                         order_ship_month_matrix,
-                                        customer_quarter_density_hist)
+                                        customer_quarter_density_hist,
+                                        parts_ordered_all_years,
+                                        purchase_nearest_view_gap_hist,
+                                        part_price_runnerup_gap_hist,
+                                        nation_acctbal_profile)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1150,6 +1154,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coorder_edge_weight_hist": coorder_edge_weight_hist,
         "order_ship_month_matrix": order_ship_month_matrix,
         "customer_quarter_density_hist": customer_quarter_density_hist,
+        "parts_ordered_all_years": parts_ordered_all_years,
+        "purchase_nearest_view_gap_hist": purchase_nearest_view_gap_hist,
+        "part_price_runnerup_gap_hist": part_price_runnerup_gap_hist,
+        "nation_acctbal_profile": nation_acctbal_profile,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3269,6 +3277,51 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS density_decile, "
             "CAST(count(*) AS BIGINT) AS n_customers FROM c "
             "GROUP BY 1 ORDER BY 1"),
+        "parts_ordered_all_years": (
+            "WITH py AS (SELECT DISTINCT l_partkey, "
+            "year(l_shipdate) AS y FROM lineitem), "
+            "yy AS (SELECT count(DISTINCT year(l_shipdate)) AS ny "
+            "FROM lineitem), "
+            "c AS (SELECT l_partkey, count(*) AS n FROM py "
+            "GROUP BY 1) "
+            "SELECT CAST(l_partkey AS BIGINT) AS p_partkey "
+            "FROM c, yy WHERE n = ny ORDER BY 1"),
+        "purchase_nearest_view_gap_hist": (
+            "WITH p AS (SELECT DISTINCT user_id, ts FROM events "
+            "WHERE event_type = 'purchase'), "
+            "v AS (SELECT user_id, ts FROM events "
+            "WHERE event_type = 'view'), "
+            "g AS (SELECT p.user_id, p.ts, "
+            "min(abs(epoch_us(p.ts) - epoch_us(v.ts))) AS gap_us "
+            "FROM p JOIN v ON p.user_id = v.user_id GROUP BY 1, 2) "
+            "SELECT CAST(gap_us // 60000000 AS BIGINT) AS gap_minutes, "
+            "CAST(count(*) AS BIGINT) AS n_purchases FROM g "
+            "GROUP BY 1 ORDER BY 1"),
+        "part_price_runnerup_gap_hist": (
+            "WITH ps AS (SELECT l_partkey, l_suppkey, "
+            "min(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS cents FROM lineitem GROUP BY 1, 2), "
+            "r AS (SELECT l_partkey, cents, row_number() OVER ("
+            "PARTITION BY l_partkey ORDER BY cents, l_suppkey) AS rn "
+            "FROM ps) "
+            "SELECT CAST((b.cents - a.cents) // 10000 AS BIGINT) "
+            "AS gap_bucket, CAST(count(*) AS BIGINT) AS n_parts "
+            "FROM r a JOIN r b ON a.l_partkey = b.l_partkey "
+            "AND a.rn = 1 AND b.rn = 2 GROUP BY 1 ORDER BY 1"),
+        "nation_acctbal_profile": (
+            "WITH c AS (SELECT c_nationkey AS nk, "
+            "sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS cs, "
+            "count(*) AS nc FROM customer GROUP BY 1), "
+            "s AS (SELECT s_nationkey AS nk, "
+            "sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS ss, "
+            "count(*) AS ns FROM supplier GROUP BY 1) "
+            "SELECT n_name, "
+            "CAST(COALESCE(cs, 0) AS BIGINT) AS cust_sum_cents, "
+            "CAST(COALESCE(nc, 0) AS BIGINT) AS n_cust, "
+            "CAST(COALESCE(ss, 0) AS BIGINT) AS supp_sum_cents, "
+            "CAST(COALESCE(ns, 0) AS BIGINT) AS n_supp "
+            "FROM nation LEFT JOIN c ON n_nationkey = c.nk "
+            "LEFT JOIN s ON n_nationkey = s.nk ORDER BY n_name"),
         "daily_whale_share_hist": (
             "WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, "
             "max(CAST(round(o_totalprice * 100) AS BIGINT)) AS mx, "

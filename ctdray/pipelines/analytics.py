@@ -19267,3 +19267,232 @@ def customer_quarter_density_hist(sf_dir: str) -> ray.data.Dataset:
         per.map_batches(hist, batch_format="pyarrow"),
         ["density_decile"], [("n_customers", "sum", "n_customers")]) \
         .sort("density_decile")
+
+
+def parts_ordered_all_years(sf_dir: str) -> ray.data.Dataset:
+    """Relational division on the product axis: parts shipped in EVERY
+    year the table covers — the evergreen catalog, the complement of
+    seasonal/retired SKUs.  Distinct (part, year) pairs dedupe through
+    one exchange and materialize (parts x years, tiny vs lineitem);
+    the year universe folds from that same materialized aggregate (no
+    second corpus scan); per-part year counts fold through a second
+    small exchange and parts matching |years| survive."""
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_shipdate"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table({"part": pc.cast(batch.column("l_partkey"),
+                                      pa.int64()),
+                      "y": pc.cast(pc.year(batch.column("l_shipdate")),
+                                   pa.int64()),
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["part", "y"]).aggregate([("n", "max")])
+        return pa.table({"part": res.column("part"),
+                         "y": res.column("y"),
+                         "n": res.column("n_max")})
+
+    dedup = partial_aggregate(ds.map_batches(pairs,
+                                             batch_format="pyarrow"),
+                              ["part", "y"], [("n", "max", "n")]) \
+        .materialize()
+
+    years = set()
+    for b in dedup.select_columns(["y"]).iter_batches(
+            batch_format="pyarrow"):
+        years.update(b.column("y").to_pylist())
+    ny = len(years)
+
+    per_part = partial_aggregate(dedup, ["part"],
+                                 [("n", "sum", "n_years")])
+
+    def full(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.equal(batch.column("n_years"),
+                                     pa.scalar(ny)))
+        return pa.table({"p_partkey": keep.column("part")})
+
+    return per_part.map_batches(full, batch_format="pyarrow") \
+        .sort("p_partkey")
+
+
+def purchase_nearest_view_gap_hist(sf_dir: str,
+                                   bucket_s: int = 60
+                                   ) -> ray.data.Dataset:
+    """Bidirectional nearest-in-time join: for each distinct purchase
+    instant per user, the |gap| to the CLOSEST view by the same user —
+    either side, not just the preceding one — histogrammed by minute.
+    Events shuffle once on a coarse user bucket; inside each group the
+    per-user view array answers every purchase via one searchsorted
+    (sorted-merge nearest, no pair blowup); minute counts fold
+    through a tiny exchange."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_in(batch.column("event_type"),
+                                  value_set=pa.array(["view",
+                                                      "purchase"])))
+        us = b.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        t = pa.table({"user": pc.cast(b.column("user_id"), pa.int64()),
+                      "kind": b.column("event_type"),
+                      "us": pa.array(us)})
+        return t.append_column("__ub", bucket_ids(t, ["user"]))
+
+    def nearest(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("user", "ascending"), ("us", "ascending")])
+        user = t.column("user").to_numpy(zero_copy_only=False)
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        us = t.column("us").to_numpy(zero_copy_only=False)
+        empty = pa.table({"gap_minutes": pa.array([], pa.int64()),
+                          "n_purchases": pa.array([], pa.int64())})
+        if len(user) == 0:
+            return empty
+        change = np.flatnonzero(user[1:] != user[:-1])
+        starts = np.r_[0, change + 1]
+        ends = np.r_[change + 1, len(user)]
+        gaps = []
+        for s, e in zip(starts, ends):
+            isview = kind[s:e] == "view"
+            views = us[s:e][isview]
+            purch = np.unique(us[s:e][~isview])
+            if len(views) == 0 or len(purch) == 0:
+                continue
+            idx = np.searchsorted(views, purch)
+            lo = views[np.maximum(idx - 1, 0)]
+            hi = views[np.minimum(idx, len(views) - 1)]
+            gaps.append(np.minimum(np.abs(purch - lo),
+                                   np.abs(purch - hi)))
+        if not gaps:
+            return empty
+        mins = np.concatenate(gaps) // (bucket_s * 1_000_000)
+        t2 = pa.table({"gap_minutes": pa.array(mins.astype(np.int64)),
+                       "n_purchases": pa.array(
+                           np.ones(len(mins), np.int64))})
+        res = t2.group_by(["gap_minutes"]) \
+            .aggregate([("n_purchases", "sum")])
+        return pa.table({"gap_minutes": res.column("gap_minutes"),
+                         "n_purchases": res.column("n_purchases_sum")})
+
+    grouped = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__ub").map_groups(nearest, batch_format="pyarrow")
+    return partial_aggregate(grouped, ["gap_minutes"],
+                             [("n_purchases", "sum", "n_purchases")]) \
+        .sort("gap_minutes")
+
+
+def part_price_runnerup_gap_hist(sf_dir: str,
+                                 bucket_cents: int = 10_000
+                                 ) -> ray.data.Dataset:
+    """Second-price auction gap: per part with >= 2 supplier offers
+    (offer = that supplier's cheapest extended price), the runner-up
+    minus cheapest offer, histogrammed in $100 buckets — how
+    contestable is each part's supply?  Per-(part, supplier) min
+    folds through one exchange; the top-2 selection per part runs
+    fully vectorized inside coarse part buckets (segment firsts on a
+    sorted run, no per-part dispatch)."""
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_suppkey",
+                                     "l_extendedprice"])
+
+    def offers(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"part": pc.cast(batch.column("l_partkey"),
+                                      pa.int64()),
+                      "supp": pc.cast(batch.column("l_suppkey"),
+                                      pa.int64()),
+                      "cents": pa.array(cents)})
+        res = t.group_by(["part", "supp"]).aggregate([("cents", "min")])
+        return pa.table({"part": res.column("part"),
+                         "supp": res.column("supp"),
+                         "cents": res.column("cents_min")})
+
+    per_offer = partial_aggregate(
+        ds.map_batches(offers, batch_format="pyarrow"),
+        ["part", "supp"], [("cents", "min", "cents")])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__ob", bucket_ids(batch, ["part"]))
+
+    def top2_gap(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("part", "ascending"),
+                           ("cents", "ascending")])
+        part = t.column("part").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        empty = pa.table({"gap_bucket": pa.array([], pa.int64()),
+                          "n_parts": pa.array([], pa.int64())})
+        if len(part) == 0:
+            return empty
+        change = np.flatnonzero(part[1:] != part[:-1])
+        starts = np.r_[0, change + 1]
+        lens = np.diff(np.r_[starts, len(part)])
+        s2 = starts[lens >= 2]
+        if len(s2) == 0:
+            return empty
+        gap = (cents[s2 + 1] - cents[s2]) // bucket_cents
+        t2 = pa.table({"gap_bucket": pa.array(gap.astype(np.int64)),
+                       "n_parts": pa.array(np.ones(len(gap),
+                                                   np.int64))})
+        res = t2.group_by(["gap_bucket"]).aggregate([("n_parts",
+                                                      "sum")])
+        return pa.table({"gap_bucket": res.column("gap_bucket"),
+                         "n_parts": res.column("n_parts_sum")})
+
+    grouped = per_offer.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__ob").map_groups(top2_gap, batch_format="pyarrow")
+    return partial_aggregate(grouped, ["gap_bucket"],
+                             [("n_parts", "sum", "n_parts")]) \
+        .sort("gap_bucket")
+
+
+def nation_acctbal_profile(sf_dir: str) -> pa.Table:
+    """Two-sided balance-sheet profile per nation: customer-side and
+    supplier-side account-balance sums (exact cents) and entity
+    counts, for EVERY nation including one-sided ones — the
+    receivables-vs-payables skew table.  Both fact sides fold to
+    <= |nation| rows via partial aggregation; the driver merges the
+    two bounded aggregates and decorates names from the tiny dim."""
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_nationkey", "c_acctbal"])
+    supp = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                              columns=["s_nationkey", "s_acctbal"])
+
+    def side(key: str, bal: str):
+        def conv(batch: pa.Table) -> pa.Table:
+            cents = np.rint(batch.column(bal)
+                            .to_numpy(zero_copy_only=False) * 100) \
+                .astype(np.int64)
+            return pa.table({"nk": pc.cast(batch.column(key),
+                                           pa.int64()),
+                             "cents": pa.array(cents),
+                             "one": pa.array(np.ones(len(batch),
+                                                     np.int64))})
+        return conv
+
+    c_agg = partial_aggregate(
+        cust.map_batches(side("c_nationkey", "c_acctbal"),
+                         batch_format="pyarrow"),
+        ["nk"], [("cents", "sum", "s"), ("one", "sum", "n")]).take_all()
+    s_agg = partial_aggregate(
+        supp.map_batches(side("s_nationkey", "s_acctbal"),
+                         batch_format="pyarrow"),
+        ["nk"], [("cents", "sum", "s"), ("one", "sum", "n")]).take_all()
+
+    cmap = {r["nk"]: (r["s"], r["n"]) for r in c_agg}
+    smap = {r["nk"]: (r["s"], r["n"]) for r in s_agg}
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    rows = sorted(zip(nation.column("n_name").to_pylist(),
+                      nation.column("n_nationkey").to_pylist()))
+    return pa.table({
+        "n_name": pa.array([nm for nm, _ in rows]),
+        "cust_sum_cents": pa.array(
+            [cmap.get(nk, (0, 0))[0] for _, nk in rows], pa.int64()),
+        "n_cust": pa.array(
+            [cmap.get(nk, (0, 0))[1] for _, nk in rows], pa.int64()),
+        "supp_sum_cents": pa.array(
+            [smap.get(nk, (0, 0))[0] for _, nk in rows], pa.int64()),
+        "n_supp": pa.array(
+            [smap.get(nk, (0, 0))[1] for _, nk in rows], pa.int64()),
+    })
