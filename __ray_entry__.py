@@ -450,7 +450,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         parts_ordered_all_years,
                                         purchase_nearest_view_gap_hist,
                                         part_price_runnerup_gap_hist,
-                                        nation_acctbal_profile)
+                                        nation_acctbal_profile,
+                                        nearest_centroid_confusion,
+                                        customer_brand_loyalty_hist,
+                                        token_suffix_diversity,
+                                        signbucket_label_purity)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1158,6 +1162,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_nearest_view_gap_hist": purchase_nearest_view_gap_hist,
         "part_price_runnerup_gap_hist": part_price_runnerup_gap_hist,
         "nation_acctbal_profile": nation_acctbal_profile,
+        "nearest_centroid_confusion": nearest_centroid_confusion,
+        "customer_brand_loyalty_hist": customer_brand_loyalty_hist,
+        "token_suffix_diversity": token_suffix_diversity,
+        "signbucket_label_purity": signbucket_label_purity,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3276,6 +3284,66 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST((1000000 * active // span) // 100000 "
             "AS BIGINT) AS density_decile, "
             "CAST(count(*) AS BIGINT) AS n_customers FROM c "
+            "GROUP BY 1 ORDER BY 1"),
+        "nearest_centroid_confusion": (
+            "WITH v AS (SELECT vec_id, label, r.i AS i, "
+            "CAST(round(CAST(embedding[CAST(r.i AS INT)] AS DOUBLE) "
+            "* 10000) AS BIGINT) AS q FROM embeddings "
+            "CROSS JOIN range(1, 65) AS r(i)), "
+            "cs AS (SELECT label, i, SUM(q) AS s, "
+            "CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1, 2), "
+            "c AS (SELECT label, i, (10000 * s + 1000000000 * n) // n "
+            "- 1000000000 AS c FROM cs), "
+            "d AS (SELECT v.vec_id, v.label AS true_label, "
+            "c.label AS cand, SUM((10000 * v.q - c.c) "
+            "* (10000 * v.q - c.c)) AS dist "
+            "FROM v JOIN c ON v.i = c.i GROUP BY 1, 2, 3), "
+            "p AS (SELECT vec_id, true_label, cand AS pred_label, "
+            "row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY dist, cand) AS rn FROM d) "
+            "SELECT CAST(true_label AS BIGINT) AS true_label, "
+            "CAST(pred_label AS BIGINT) AS pred_label, "
+            "CAST(count(*) AS BIGINT) AS n_vectors FROM p "
+            "WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"),
+        "customer_brand_loyalty_hist": (
+            "WITH cb AS (SELECT o_custkey AS cust, p_brand AS brand, "
+            "count(*) AS n FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN part ON l_partkey = p_partkey GROUP BY 1, 2), "
+            "pc AS (SELECT cust, sum(n) AS total, max(n) AS mx "
+            "FROM cb GROUP BY 1) "
+            "SELECT CAST((1000000 * mx // total) // 100000 AS BIGINT) "
+            "AS loyalty_decile, "
+            "CAST(count(*) AS BIGINT) AS n_customers FROM pc "
+            "GROUP BY 1 ORDER BY 1"),
+        "token_suffix_diversity": (
+            "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t "
+            "FROM documents), "
+            "f AS (SELECT t FROM tok WHERE length(t) >= 3), "
+            "st AS (SELECT substr(t, length(t) - 2, 3) AS suffix, t, "
+            "count(*) AS occ FROM f GROUP BY 1, 2), "
+            "s AS (SELECT suffix, count(*) AS n_types, sum(occ) AS "
+            "n_occurrences FROM st GROUP BY 1) "
+            "SELECT suffix, CAST(n_types AS BIGINT) AS n_types, "
+            "CAST(n_occurrences AS BIGINT) AS n_occurrences FROM s "
+            "ORDER BY n_types DESC, suffix LIMIT 20"),
+        "signbucket_label_purity": (
+            "WITH b AS (SELECT "
+            "(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) "
+            "+ 2 * (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) "
+            "+ 4 * (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) "
+            "+ 8 * (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) "
+            "+ 16 * (CASE WHEN embedding[5] > 0 THEN 1 ELSE 0 END) "
+            "+ 32 * (CASE WHEN embedding[6] > 0 THEN 1 ELSE 0 END) "
+            "+ 64 * (CASE WHEN embedding[7] > 0 THEN 1 ELSE 0 END) "
+            "+ 128 * (CASE WHEN embedding[8] > 0 THEN 1 ELSE 0 END) "
+            "AS bucket, label FROM embeddings), "
+            "bl AS (SELECT bucket, label, count(*) AS n FROM b "
+            "GROUP BY 1, 2) "
+            "SELECT CAST(bucket AS BIGINT) AS bucket, "
+            "CAST(sum(n) AS BIGINT) AS n_vectors, "
+            "CAST(max(n) AS BIGINT) AS max_label_n, "
+            "CAST(count(*) AS BIGINT) AS n_labels FROM bl "
             "GROUP BY 1 ORDER BY 1"),
         "parts_ordered_all_years": (
             "WITH py AS (SELECT DISTINCT l_partkey, "

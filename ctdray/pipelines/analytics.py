@@ -19496,3 +19496,245 @@ def nation_acctbal_profile(sf_dir: str) -> pa.Table:
         "n_supp": pa.array(
             [smap.get(nk, (0, 0))[1] for _, nk in rows], pa.int64()),
     })
+
+
+def nearest_centroid_confusion(sf_dir: str) -> ray.data.Dataset:
+    """Exact nearest-centroid classifier confusion matrix over the
+    embedding labels — the separability scorecard for the cluster
+    structure, with NO float comparisons anywhere: vectors quantize at
+    e4, centroids at e8 via offset floor division, distances are pure
+    int64 matmuls, so the argmin (tie → smaller label) is bit-stable.
+    Two passes by construction (fit then score): per-(label, dim)
+    sums fold through one exchange and the 10x64 centroid matrix
+    broadcasts into the scoring scan; confusion cells fold through a
+    tiny second exchange."""
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding", "label"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        m = np.stack(batch.column("embedding")
+                     .to_numpy(zero_copy_only=False))
+        q = np.rint(m.astype(np.float64) * 10_000).astype(np.int64)
+        labels = batch.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        parts = []
+        for lab in np.unique(labels):
+            rows = q[labels == lab]
+            d = q.shape[1]
+            parts.append(pa.table({
+                "label": pa.array(np.full(d, lab, np.int64)),
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "s": pa.array(rows.sum(axis=0)),
+                "n": pa.array(np.full(d, len(rows), np.int64))}))
+        return pa.concat_tables(parts)
+
+    cs = partial_aggregate(ds.map_batches(moments,
+                                          batch_format="pyarrow"),
+                           ["label", "dim"],
+                           [("s", "sum", "s"), ("n", "sum", "n")]) \
+        .take_all()  # bounded: |labels| x 64 rows
+    labs = sorted({r["label"] for r in cs})
+    ndim = max(r["dim"] for r in cs) + 1
+    cent = np.zeros((len(labs), ndim), np.int64)
+    pos = {lab: i for i, lab in enumerate(labs)}
+    for r in cs:
+        # offset keeps the dividend positive so // floors identically
+        # in Python and DuckDB (both truncate-on-positive)
+        cent[pos[r["label"]], r["dim"]] = (
+            (10_000 * int(r["s"]) + 10 ** 9 * int(r["n"]))
+            // int(r["n"]) - 10 ** 9)
+    lab_arr = np.asarray(labs, np.int64)
+    cnorm = (cent.astype(object) * cent.astype(object)).sum(axis=1) \
+        .astype(np.int64)
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = np.stack(batch.column("embedding")
+                     .to_numpy(zero_copy_only=False))
+        a = (np.rint(m.astype(np.float64) * 10_000)
+             .astype(np.int64)) * 10_000
+        true = batch.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # ||a||^2 is constant per row: argmin needs only -2aC^T + ||C||^2
+        dist = cnorm[None, :] - 2 * (a @ cent.T)
+        pred = lab_arr[np.argmin(dist, axis=1)]
+        t = pa.table({"true_label": pa.array(true),
+                      "pred_label": pa.array(pred),
+                      "n_vectors": pa.array(np.ones(len(true),
+                                                    np.int64))})
+        res = t.group_by(["true_label", "pred_label"]) \
+            .aggregate([("n_vectors", "sum")])
+        return pa.table({"true_label": res.column("true_label"),
+                         "pred_label": res.column("pred_label"),
+                         "n_vectors": res.column("n_vectors_sum")})
+
+    return partial_aggregate(
+        ds.map_batches(score, batch_format="pyarrow"),
+        ["true_label", "pred_label"],
+        [("n_vectors", "sum", "n_vectors")]) \
+        .sort(["true_label", "pred_label"])
+
+
+def customer_brand_loyalty_hist(sf_dir: str) -> ray.data.Dataset:
+    """Brand-loyalty mix: per customer, the ppm share of their
+    lineitems in their MODAL brand, histogrammed by decile — how
+    concentrated is each buyer's brand wallet?  Lineitem joins orders
+    through the hash exchange; brand resolves from a broadcast part
+    dim; (customer, brand) counts fold once, the per-customer
+    (total, max) fold is distributive, the decile fold tiny."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    from ..functions.joins import broadcast_lookup_join, hash_join
+    joined = hash_join(li, orders, on="l_orderkey",
+                       right_on="o_orderkey")
+    joined = broadcast_lookup_join(
+        joined, dict(zip(part.column("p_partkey").to_pylist(),
+                         part.column("p_brand").to_pylist())),
+        "l_partkey", "brand")
+
+    def cust_brand(batch: pa.Table) -> pa.Table:
+        t = pa.table({"cust": pc.cast(batch.column("o_custkey"),
+                                      pa.int64()),
+                      "brand": batch.column("brand"),
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        res = t.group_by(["cust", "brand"]).aggregate([("n", "sum")])
+        return pa.table({"cust": res.column("cust"),
+                         "brand": res.column("brand"),
+                         "n": res.column("n_sum")})
+
+    cb = partial_aggregate(
+        joined.map_batches(cust_brand, batch_format="pyarrow"),
+        ["cust", "brand"], [("n", "sum", "n")])
+
+    def per_cust(batch: pa.Table) -> pa.Table:
+        t = pa.table({"cust": batch.column("cust"),
+                      "total": batch.column("n"),
+                      "mx": batch.column("n")})
+        res = t.group_by(["cust"]).aggregate([("total", "sum"),
+                                              ("mx", "max")])
+        return pa.table({"cust": res.column("cust"),
+                         "total": res.column("total_sum"),
+                         "mx": res.column("mx_max")})
+
+    per = partial_aggregate(
+        cb.map_batches(per_cust, batch_format="pyarrow"),
+        ["cust"], [("total", "sum", "total"), ("mx", "max", "mx")])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        total = batch.column("total").to_numpy(zero_copy_only=False)
+        mx = batch.column("mx").to_numpy(zero_copy_only=False)
+        dec = (1_000_000 * mx // total) // 100_000
+        t = pa.table({"loyalty_decile": pa.array(dec.astype(np.int64)),
+                      "n_customers": pa.array(np.ones(len(batch),
+                                                      np.int64))})
+        res = t.group_by(["loyalty_decile"]) \
+            .aggregate([("n_customers", "sum")])
+        return pa.table({"loyalty_decile": res.column("loyalty_decile"),
+                         "n_customers": res.column("n_customers_sum")})
+
+    return partial_aggregate(
+        per.map_batches(hist, batch_format="pyarrow"),
+        ["loyalty_decile"], [("n_customers", "sum", "n_customers")]) \
+        .sort("loyalty_decile")
+
+
+def token_suffix_diversity(sf_dir: str, k: int = 20
+                           ) -> ray.data.Dataset:
+    """Morphology probe: group the vocabulary by 3-char suffix and
+    rank suffixes by how many distinct token TYPES share them (with
+    total occurrences alongside) — where a stemmer would fold hardest.
+    Distinct (suffix, token) pairs with counts fold through one
+    vocabulary-bounded exchange; per-suffix type/occurrence counts
+    are distributive over it; top-k sorts the tiny result."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(batch.column("text"),
+                                                " "))
+        long_enough = pc.greater_equal(pc.utf8_length(flat),
+                                       pa.scalar(3))
+        toks = flat.filter(long_enough)
+        suf = pc.utf8_slice_codeunits(toks, start=-3)
+        t = pa.table({"suffix": suf, "tok": toks,
+                      "occ": pa.array(np.ones(len(toks), np.int64))})
+        res = t.group_by(["suffix", "tok"]).aggregate([("occ", "sum")])
+        return pa.table({"suffix": res.column("suffix"),
+                         "tok": res.column("tok"),
+                         "occ": res.column("occ_sum")})
+
+    st = partial_aggregate(ds.map_batches(pairs,
+                                          batch_format="pyarrow"),
+                           ["suffix", "tok"], [("occ", "sum", "occ")])
+
+    def per_suffix(batch: pa.Table) -> pa.Table:
+        t = pa.table({"suffix": batch.column("suffix"),
+                      "n_types": pa.array(np.ones(len(batch),
+                                                  np.int64)),
+                      "n_occurrences": batch.column("occ")})
+        res = t.group_by(["suffix"]).aggregate(
+            [("n_types", "sum"), ("n_occurrences", "sum")])
+        return pa.table({"suffix": res.column("suffix"),
+                         "n_types": res.column("n_types_sum"),
+                         "n_occurrences":
+                             res.column("n_occurrences_sum")})
+
+    agg = partial_aggregate(
+        st.map_batches(per_suffix, batch_format="pyarrow"),
+        ["suffix"], [("n_types", "sum", "n_types"),
+                     ("n_occurrences", "sum", "n_occurrences")])
+    return agg.sort(["n_types", "suffix"],
+                    descending=[True, False]).limit(k)
+
+
+def signbucket_label_purity(sf_dir: str, n_dims: int = 8
+                            ) -> ray.data.Dataset:
+    """Sign-LSH bucket purity: for every occupied 2^d sign bucket
+    (same bit layout as embedding_signbucket_hist), total vectors,
+    the largest single-label count, and the distinct-label count —
+    do LSH partitions align with semantic labels?  All three
+    per-bucket stats are distributive over one (bucket, label)
+    exchange."""
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding", "label"])
+    weights = (1 << np.arange(n_dims)).astype(np.int64)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        m = np.stack(batch.column("embedding")
+                     .to_numpy(zero_copy_only=False))[:, :n_dims]
+        bucket = ((m > 0).astype(np.int64) * weights).sum(axis=1)
+        t = pa.table({"bucket": pa.array(bucket),
+                      "label": pc.cast(batch.column("label"),
+                                       pa.int64()),
+                      "n": pa.array(np.ones(len(bucket), np.int64))})
+        res = t.group_by(["bucket", "label"]).aggregate([("n", "sum")])
+        return pa.table({"bucket": res.column("bucket"),
+                         "label": res.column("label"),
+                         "n": res.column("n_sum")})
+
+    bl = partial_aggregate(ds.map_batches(per_batch,
+                                          batch_format="pyarrow"),
+                           ["bucket", "label"], [("n", "sum", "n")])
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        t = pa.table({"bucket": batch.column("bucket"),
+                      "n_vectors": batch.column("n"),
+                      "max_label_n": batch.column("n"),
+                      "n_labels": pa.array(np.ones(len(batch),
+                                                   np.int64))})
+        res = t.group_by(["bucket"]).aggregate(
+            [("n_vectors", "sum"), ("max_label_n", "max"),
+             ("n_labels", "sum")])
+        return pa.table({"bucket": res.column("bucket"),
+                         "n_vectors": res.column("n_vectors_sum"),
+                         "max_label_n": res.column("max_label_n_max"),
+                         "n_labels": res.column("n_labels_sum")})
+
+    return partial_aggregate(
+        bl.map_batches(per_bucket, batch_format="pyarrow"),
+        ["bucket"], [("n_vectors", "sum", "n_vectors"),
+                     ("max_label_n", "max", "max_label_n"),
+                     ("n_labels", "sum", "n_labels")]).sort("bucket")
