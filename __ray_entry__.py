@@ -454,7 +454,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         nearest_centroid_confusion,
                                         customer_brand_loyalty_hist,
                                         token_suffix_diversity,
-                                        signbucket_label_purity)
+                                        signbucket_label_purity,
+                                        quantity_mannwhitney_u2,
+                                        brand_discount_subsidy_ppm,
+                                        event_arrival_lateness_hist,
+                                        customer_acctbal_sign_by_segment)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1166,6 +1170,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_brand_loyalty_hist": customer_brand_loyalty_hist,
         "token_suffix_diversity": token_suffix_diversity,
         "signbucket_label_purity": signbucket_label_purity,
+        "quantity_mannwhitney_u2": quantity_mannwhitney_u2,
+        "brand_discount_subsidy_ppm": brand_discount_subsidy_ppm,
+        "event_arrival_lateness_hist": event_arrival_lateness_hist,
+        "customer_acctbal_sign_by_segment":
+            customer_acctbal_sign_by_segment,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3285,6 +3294,51 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS density_decile, "
             "CAST(count(*) AS BIGINT) AS n_customers FROM c "
             "GROUP BY 1 ORDER BY 1"),
+        "quantity_mannwhitney_u2": (
+            "WITH f AS (SELECT l_returnflag AS flag, "
+            "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
+            "WHERE l_returnflag IN ('R', 'N')), "
+            "h AS (SELECT flag, qty, CAST(count(*) AS HUGEINT) AS n "
+            "FROM f GROUP BY 1, 2), "
+            "a AS (SELECT qty, n FROM h WHERE flag = 'R'), "
+            "b AS (SELECT qty, n FROM h WHERE flag = 'N'), "
+            "w AS (SELECT COALESCE(SUM(a.n * 2 * b.n), 0) AS wins "
+            "FROM a JOIN b ON b.qty < a.qty), "
+            "t AS (SELECT COALESCE(SUM(a.n * b.n), 0) AS ties "
+            "FROM a JOIN b ON a.qty = b.qty), "
+            "na AS (SELECT COALESCE(SUM(n), 0) AS n_a FROM a), "
+            "nb AS (SELECT COALESCE(SUM(n), 0) AS n_b FROM b) "
+            "SELECT CAST(wins + ties AS VARCHAR) AS u2, "
+            "CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b "
+            "FROM w, t, na, nb"),
+        "brand_discount_subsidy_ppm": (
+            "WITH s AS (SELECT p_brand, "
+            "SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)) "
+            "AS gross, "
+            "SUM(CAST(round(l_extendedprice * 100) AS HUGEINT) "
+            "* CAST(round(l_discount * 100) AS HUGEINT)) AS sub "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "GROUP BY 1) "
+            "SELECT p_brand, "
+            "CAST(1000000 * sub // (100 * gross) AS BIGINT) "
+            "AS subsidy_ppm FROM s ORDER BY p_brand"),
+        "event_arrival_lateness_hist": (
+            "WITH w AS (SELECT epoch_us(ts) AS us, "
+            "max(epoch_us(ts)) OVER (ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "AS prevmax FROM events) "
+            "SELECT CAST(CASE WHEN prevmax IS NULL "
+            "OR prevmax <= us THEN 0 "
+            "ELSE (prevmax - us) // 60000000 END AS BIGINT) "
+            "AS lateness_minutes, "
+            "CAST(count(*) AS BIGINT) AS n_events FROM w "
+            "GROUP BY 1 ORDER BY 1"),
+        "customer_acctbal_sign_by_segment": (
+            "SELECT c_mktsegment, "
+            "CAST(sign(CAST(round(c_acctbal * 100) AS BIGINT)) "
+            "AS BIGINT) AS bal_sign, "
+            "CAST(count(*) AS BIGINT) AS n_customers FROM customer "
+            "GROUP BY 1, 2 ORDER BY 1, 2"),
         "nearest_centroid_confusion": (
             "WITH v AS (SELECT vec_id, label, r.i AS i, "
             "CAST(round(CAST(embedding[CAST(r.i AS INT)] AS DOUBLE) "

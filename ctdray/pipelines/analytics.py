@@ -19738,3 +19738,220 @@ def signbucket_label_purity(sf_dir: str, n_dims: int = 8
         ["bucket"], [("n_vectors", "sum", "n_vectors"),
                      ("max_label_n", "max", "max_label_n"),
                      ("n_labels", "sum", "n_labels")]).sort("bucket")
+
+
+def quantity_mannwhitney_u2(sf_dir: str, flag_a: str = "R",
+                            flag_b: str = "N") -> pa.Table:
+    """Exact Mann-Whitney rank test between two returnflag populations
+    on l_quantity, reported as the DOUBLED U statistic (2U = 2*wins +
+    ties) so ties never leave integers — the nonparametric
+    did-the-distribution-shift test next to the KS probe.  The
+    quantity domain is small, so per-(flag, qty) histograms fold
+    through one tiny exchange and the closed-form pair count runs on
+    the driver with Python ints."""
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_quantity"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_in(batch.column("l_returnflag"),
+                                  value_set=pa.array([flag_a,
+                                                      flag_b])))
+        t = pa.table({"flag": b.column("l_returnflag"),
+                      "qty": pc.cast(pc.round(b.column("l_quantity")),
+                                     pa.int64()),
+                      "n": pa.array(np.ones(len(b), np.int64))})
+        res = t.group_by(["flag", "qty"]).aggregate([("n", "sum")])
+        return pa.table({"flag": res.column("flag"),
+                         "qty": res.column("qty"),
+                         "n": res.column("n_sum")})
+
+    rows = partial_aggregate(ds.map_batches(hist,
+                                            batch_format="pyarrow"),
+                             ["flag", "qty"],
+                             [("n", "sum", "n")]).take_all()
+    ha: dict[int, int] = {}
+    hb: dict[int, int] = {}
+    for r in rows:
+        (ha if r["flag"] == flag_a else hb)[int(r["qty"])] = int(r["n"])
+    vals = sorted(set(ha) | set(hb))
+    u2 = 0
+    cum_b = 0
+    for v in vals:
+        a_n, b_n = ha.get(v, 0), hb.get(v, 0)
+        u2 += a_n * (2 * cum_b + b_n)   # 2*wins over smaller + ties
+        cum_b += b_n
+    return pa.table({"u2": pa.array([str(u2)], pa.string()),
+                     "n_a": pa.array([sum(ha.values())], pa.int64()),
+                     "n_b": pa.array([sum(hb.values())], pa.int64())})
+
+
+def brand_discount_subsidy_ppm(sf_dir: str) -> pa.Table:
+    """Promo-subsidy leaderboard: per brand the ppm of gross extended
+    price given away as discount, with exact integer math throughout
+    (cents x discount-percent products are integral because both
+    factors carry two decimals).  Gross/subsidy sums fold per brand
+    through one exchange; the driver divides <=|brand| Python bigints
+    (the sums outrun int64 at fleet scale, so they travel as their
+    own partials and the ppm is computed last)."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_partkey", "l_extendedprice",
+                                     "l_discount"])
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    from ..functions.joins import broadcast_lookup_join
+    li = broadcast_lookup_join(
+        li, dict(zip(part.column("p_partkey").to_pylist(),
+                     part.column("p_brand").to_pylist())),
+        "l_partkey", "brand")
+
+    def sums(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        d100 = np.rint(batch.column("l_discount")
+                       .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"brand": batch.column("brand"),
+                      "gross": pa.array(cents),
+                      "subsidy_e4": pa.array(cents * d100)})
+        res = t.group_by(["brand"]).aggregate(
+            [("gross", "sum"), ("subsidy_e4", "sum")])
+        return pa.table({"brand": res.column("brand"),
+                         "gross": res.column("gross_sum"),
+                         "subsidy_e4": res.column("subsidy_e4_sum")})
+
+    rows = partial_aggregate(li.map_batches(sums,
+                                            batch_format="pyarrow"),
+                             ["brand"],
+                             [("gross", "sum", "gross"),
+                              ("subsidy_e4", "sum", "subsidy_e4")]) \
+        .take_all()  # bounded: |brand| rows
+    rows.sort(key=lambda r: r["brand"])
+    ppm = [1_000_000 * int(r["subsidy_e4"]) // (100 * int(r["gross"]))
+           for r in rows]
+    return pa.table({
+        "p_brand": pa.array([r["brand"] for r in rows], pa.string()),
+        "subsidy_ppm": pa.array(ppm, pa.int64())})
+
+
+def event_arrival_lateness_hist(sf_dir: str,
+                                n_chunks: int = 4096
+                                ) -> ray.data.Dataset:
+    """Watermark-lateness profile: treating event_id as arrival order,
+    how far behind the running max timestamp does each event arrive,
+    in minutes — the out-of-orderness histogram that sizes streaming
+    watermarks.  A distributed prefix-max: a key-range stats pass
+    fixes ~n_chunks contiguous id chunks, per-chunk max timestamps
+    fold small and prefix-combine on the driver (bounded by
+    n_chunks), and the scoring scan seeds each chunk's running max
+    with its prefix — three streaming column scans, no
+    materialization of the fact table."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts"])
+
+    def id_stats(batch: pa.Table) -> pa.Table:
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "lo": pa.array(
+                             [pc.min(batch.column("event_id")).as_py()],
+                             pa.int64()),
+                         "hi": pa.array(
+                             [pc.max(batch.column("event_id")).as_py()],
+                             pa.int64())})
+
+    st = partial_aggregate(ds.map_batches(id_stats,
+                                          batch_format="pyarrow"),
+                           ["k"], [("lo", "min", "lo"),
+                                   ("hi", "max", "hi")]).take_all()[0]
+    lo, hi = int(st["lo"]), int(st["hi"])
+    width = max(1, (hi - lo + n_chunks) // n_chunks)
+
+    def chunk_max(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        us = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        chunk = (ids - lo) // width
+        t = pa.table({"chunk": pa.array(chunk.astype(np.int64)),
+                      "mx": pa.array(us)})
+        res = t.group_by(["chunk"]).aggregate([("mx", "max")])
+        return pa.table({"chunk": res.column("chunk"),
+                         "mx": res.column("mx_max")})
+
+    cm = partial_aggregate(ds.map_batches(chunk_max,
+                                          batch_format="pyarrow"),
+                           ["chunk"], [("mx", "max", "mx")]).take_all()
+    cm.sort(key=lambda r: r["chunk"])
+    prefix: dict[int, int] = {}
+    run = None
+    for r in cm:
+        prefix[int(r["chunk"])] = run if run is not None \
+            else -(1 << 62)
+        run = max(run, int(r["mx"])) if run is not None \
+            else int(r["mx"])
+    pref_ref = ray.put(prefix)
+
+    def add_chunk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        us = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        chunk = ((ids - lo) // width).astype(np.int64)
+        return pa.table({"chunk": pa.array(chunk),
+                         "id": pa.array(ids.astype(np.int64)),
+                         "us": pa.array(us)})
+
+    def lateness(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("id", "ascending")])
+        empty = pa.table({"lateness_minutes": pa.array([], pa.int64()),
+                          "n_events": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
+        us = t.column("us").to_numpy(zero_copy_only=False)
+        seed = ray.get(pref_ref)[int(t.column("chunk")[0].as_py())]
+        runmax = np.maximum.accumulate(us)
+        prevmax = np.empty_like(runmax)
+        prevmax[0] = seed
+        prevmax[1:] = runmax[:-1]
+        prevmax = np.maximum(prevmax, seed)
+        late = np.maximum(prevmax - us, 0) // 60_000_000
+        t2 = pa.table({"lateness_minutes": pa.array(
+                           late.astype(np.int64)),
+                       "n_events": pa.array(np.ones(len(late),
+                                                    np.int64))})
+        res = t2.group_by(["lateness_minutes"]) \
+            .aggregate([("n_events", "sum")])
+        return pa.table({"lateness_minutes":
+                             res.column("lateness_minutes"),
+                         "n_events": res.column("n_events_sum")})
+
+    grouped = ds.map_batches(add_chunk, batch_format="pyarrow") \
+        .groupby("chunk").map_groups(lateness, batch_format="pyarrow")
+    return partial_aggregate(grouped, ["lateness_minutes"],
+                             [("n_events", "sum", "n_events")]) \
+        .sort("lateness_minutes")
+
+
+def customer_acctbal_sign_by_segment(sf_dir: str) -> ray.data.Dataset:
+    """Credit-risk mix: customer counts by (market segment, account
+    balance sign) — how much of each segment is underwater?  One
+    bounded (segment x {-1,0,1}) partial fold."""
+    ds = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                            columns=["c_mktsegment", "c_acctbal"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("c_acctbal")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"c_mktsegment": batch.column("c_mktsegment"),
+                      "bal_sign": pa.array(np.sign(cents)),
+                      "n_customers": pa.array(np.ones(len(batch),
+                                                      np.int64))})
+        res = t.group_by(["c_mktsegment", "bal_sign"]) \
+            .aggregate([("n_customers", "sum")])
+        return pa.table({"c_mktsegment": res.column("c_mktsegment"),
+                         "bal_sign": res.column("bal_sign"),
+                         "n_customers": res.column("n_customers_sum")})
+
+    return partial_aggregate(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        ["c_mktsegment", "bal_sign"],
+        [("n_customers", "sum", "n_customers")]) \
+        .sort(["c_mktsegment", "bal_sign"])
