@@ -458,7 +458,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         quantity_mannwhitney_u2,
                                         brand_discount_subsidy_ppm,
                                         event_arrival_lateness_hist,
-                                        customer_acctbal_sign_by_segment)
+                                        customer_acctbal_sign_by_segment,
+                                        purchase_priorviews_cov,
+                                        brand_size_rollup,
+                                        error_recovery_minutes_hist,
+                                        linenumber_quantity_profile)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1175,6 +1179,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_arrival_lateness_hist": event_arrival_lateness_hist,
         "customer_acctbal_sign_by_segment":
             customer_acctbal_sign_by_segment,
+        "purchase_priorviews_cov": purchase_priorviews_cov,
+        "brand_size_rollup": brand_size_rollup,
+        "error_recovery_minutes_hist": error_recovery_minutes_hist,
+        "linenumber_quantity_profile": linenumber_quantity_profile,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3293,6 +3301,54 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST((1000000 * active // span) // 100000 "
             "AS BIGINT) AS density_decile, "
             "CAST(count(*) AS BIGINT) AS n_customers FROM c "
+            "GROUP BY 1 ORDER BY 1"),
+        "purchase_priorviews_cov": (
+            "WITH p AS (SELECT user_id, ts, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events "
+            "WHERE event_type = 'purchase'), "
+            "v AS (SELECT user_id, ts FROM events "
+            "WHERE event_type = 'view'), "
+            "x AS (SELECT p.user_id, p.ts, p.cents, "
+            "(SELECT count(*) FROM v WHERE v.user_id = p.user_id "
+            "AND v.ts < p.ts) AS nv FROM p) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_purchases, "
+            "CAST(count(*) * SUM(CAST(nv AS HUGEINT) * cents) "
+            "- SUM(CAST(nv AS HUGEINT)) * SUM(CAST(cents AS HUGEINT)) "
+            "AS VARCHAR) AS cov_num FROM x"),
+        "brand_size_rollup": (
+            "WITH b AS (SELECT p_brand, CAST(p_size AS BIGINT) "
+            "AS p_size, CAST(round(p_retailprice * 100) AS BIGINT) "
+            "AS cents FROM part) "
+            "SELECT CAST(1 AS BIGINT) AS lvl, p_brand, "
+            "CAST(-1 AS BIGINT) AS p_size, "
+            "CAST(count(*) AS BIGINT) AS n_parts, "
+            "CAST(sum(cents) AS BIGINT) AS retail_cents FROM b "
+            "GROUP BY p_brand "
+            "UNION ALL "
+            "SELECT CAST(2 AS BIGINT), p_brand, p_size, "
+            "CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT) "
+            "FROM b GROUP BY p_brand, p_size "
+            "ORDER BY lvl, p_brand, p_size"),
+        "error_recovery_minutes_hist": (
+            "WITH e AS (SELECT DISTINCT user_id, ts FROM events "
+            "WHERE event_type = 'error'), "
+            "o AS (SELECT user_id, ts FROM events "
+            "WHERE event_type <> 'error'), "
+            "g AS (SELECT e.user_id, e.ts, "
+            "min(epoch_us(o.ts)) - epoch_us(e.ts) AS gap_us "
+            "FROM e JOIN o ON e.user_id = o.user_id AND o.ts > e.ts "
+            "GROUP BY 1, 2) "
+            "SELECT CAST(gap_us // 60000000 AS BIGINT) "
+            "AS recovery_minutes, "
+            "CAST(count(*) AS BIGINT) AS n_errors FROM g "
+            "GROUP BY 1 ORDER BY 1"),
+        "linenumber_quantity_profile": (
+            "SELECT CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+            "CAST(count(*) AS BIGINT) AS n_lines, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) "
+            "AS qty_sum, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS price_cents FROM lineitem "
             "GROUP BY 1 ORDER BY 1"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "

@@ -19955,3 +19955,216 @@ def customer_acctbal_sign_by_segment(sf_dir: str) -> ray.data.Dataset:
         ["c_mktsegment", "bal_sign"],
         [("n_customers", "sum", "n_customers")]) \
         .sort(["c_mktsegment", "bal_sign"])
+
+
+def purchase_priorviews_cov(sf_dir: str) -> pa.Table:
+    """Engagement-to-spend link: over all purchases, the exact
+    covariance NUMERATOR n*Sxy - Sx*Sy between each purchase's count
+    of strictly-earlier views by the same user and its value in cents
+    (denominator n^2) — does browsing predict basket size?  Events
+    shuffle once on a coarse user bucket; prior-view counts come from
+    one searchsorted per user segment; four scalar partials fold and
+    the driver emits the numerator as a decimal string (it outruns
+    int64 at fleet scale)."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type", "ts",
+                                     "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_in(batch.column("event_type"),
+                                  value_set=pa.array(["view",
+                                                      "purchase"])))
+        us = b.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        cents = np.rint(b.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"user": pc.cast(b.column("user_id"), pa.int64()),
+                      "kind": b.column("event_type"),
+                      "us": pa.array(us), "cents": pa.array(cents)})
+        return t.append_column("__ub", bucket_ids(t, ["user"]))
+
+    def sums(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("user", "ascending"), ("us", "ascending")])
+        user = t.column("user").to_numpy(zero_copy_only=False)
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        us = t.column("us").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        cols = ["n", "sx", "sy", "sxy"]
+        if len(user) == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        change = np.flatnonzero(user[1:] != user[:-1])
+        starts = np.r_[0, change + 1]
+        ends = np.r_[change + 1, len(user)]
+        n = sx = sy = sxy = 0
+        for s, e in zip(starts, ends):
+            isview = kind[s:e] == "view"
+            views = us[s:e][isview]
+            p_us = us[s:e][~isview]
+            p_cents = cents[s:e][~isview]
+            if len(p_us) == 0:
+                continue
+            x = np.searchsorted(views, p_us, side="left")
+            n += len(p_us)
+            sx += int(x.sum())
+            sy += int(p_cents.sum())
+            sxy += int((x * p_cents).sum())
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "sx": pa.array([sx], pa.int64()),
+                         "sy": pa.array([sy], pa.int64()),
+                         "sxy": pa.array([sxy], pa.int64())})
+
+    grouped = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__ub").map_groups(sums, batch_format="pyarrow")
+    n = sx = sy = sxy = 0
+    for b in grouped.iter_batches(batch_format="pyarrow"):
+        n += int(pc.sum(b.column("n")).as_py() or 0)
+        sx += int(pc.sum(b.column("sx")).as_py() or 0)
+        sy += int(pc.sum(b.column("sy")).as_py() or 0)
+        sxy += int(pc.sum(b.column("sxy")).as_py() or 0)
+    return pa.table({"n_purchases": pa.array([n], pa.int64()),
+                     "cov_num": pa.array([str(n * sxy - sx * sy)],
+                                         pa.string())})
+
+
+def brand_size_rollup(sf_dir: str) -> ray.data.Dataset:
+    """Hierarchical ROLLUP over (brand) and (brand, size): part counts
+    and retail cents at both grains in ONE pass — the multi-grain
+    materialization a reporting layer pre-computes (CUBE's cheaper
+    sibling; size -1 marks the brand subtotal rows).  Each batch
+    emits partials for both grains; one exchange folds them all."""
+    ds = read_parquet_clean(f"{sf_dir}/part.parquet",
+                            columns=["p_brand", "p_size",
+                                     "p_retailprice"])
+
+    def grains(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("p_retailprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        base = pa.table({"p_brand": batch.column("p_brand"),
+                         "p_size": pc.cast(batch.column("p_size"),
+                                           pa.int64()),
+                         "n_parts": pa.array(np.ones(len(batch),
+                                                     np.int64)),
+                         "retail_cents": pa.array(cents)})
+        lvl2 = base.group_by(["p_brand", "p_size"]).aggregate(
+            [("n_parts", "sum"), ("retail_cents", "sum")])
+        lvl1 = base.group_by(["p_brand"]).aggregate(
+            [("n_parts", "sum"), ("retail_cents", "sum")])
+        out2 = pa.table({
+            "lvl": pa.array(np.full(len(lvl2), 2, np.int64)),
+            "p_brand": lvl2.column("p_brand"),
+            "p_size": lvl2.column("p_size"),
+            "n_parts": lvl2.column("n_parts_sum"),
+            "retail_cents": lvl2.column("retail_cents_sum")})
+        out1 = pa.table({
+            "lvl": pa.array(np.full(len(lvl1), 1, np.int64)),
+            "p_brand": lvl1.column("p_brand"),
+            "p_size": pa.array(np.full(len(lvl1), -1, np.int64)),
+            "n_parts": lvl1.column("n_parts_sum"),
+            "retail_cents": lvl1.column("retail_cents_sum")})
+        return pa.concat_tables([out1, out2])
+
+    return partial_aggregate(
+        ds.map_batches(grains, batch_format="pyarrow"),
+        ["lvl", "p_brand", "p_size"],
+        [("n_parts", "sum", "n_parts"),
+         ("retail_cents", "sum", "retail_cents")]) \
+        .sort(["lvl", "p_brand", "p_size"])
+
+
+def error_recovery_minutes_hist(sf_dir: str) -> ray.data.Dataset:
+    """Incident-recovery profile: for every distinct error instant per
+    user, minutes until that user's next NON-error event (strictly
+    later; unrecovered errors drop) — the user-visible outage-healing
+    histogram.  One coarse user-bucket shuffle; per user segment a
+    single searchsorted maps every error to its recovery event;
+    minute counts fold tiny."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        t = pa.table({"user": pc.cast(batch.column("user_id"),
+                                      pa.int64()),
+                      "is_err": pc.equal(batch.column("event_type"),
+                                         pa.scalar("error")),
+                      "us": pa.array(us)})
+        return t.append_column("__ub", bucket_ids(t, ["user"]))
+
+    def recover(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("user", "ascending"), ("us", "ascending")])
+        user = t.column("user").to_numpy(zero_copy_only=False)
+        is_err = t.column("is_err").to_numpy(zero_copy_only=False)
+        us = t.column("us").to_numpy(zero_copy_only=False)
+        empty = pa.table({"recovery_minutes": pa.array([], pa.int64()),
+                          "n_errors": pa.array([], pa.int64())})
+        if len(user) == 0:
+            return empty
+        change = np.flatnonzero(user[1:] != user[:-1])
+        starts = np.r_[0, change + 1]
+        ends = np.r_[change + 1, len(user)]
+        gaps = []
+        for s, e in zip(starts, ends):
+            errs = np.unique(us[s:e][is_err[s:e]])
+            ok = us[s:e][~is_err[s:e]]
+            if len(errs) == 0 or len(ok) == 0:
+                continue
+            idx = np.searchsorted(ok, errs, side="right")
+            hit = idx < len(ok)
+            if hit.any():
+                gaps.append(ok[idx[hit]] - errs[hit])
+        if not gaps:
+            return empty
+        mins = np.concatenate(gaps) // 60_000_000
+        t2 = pa.table({"recovery_minutes": pa.array(
+                           mins.astype(np.int64)),
+                       "n_errors": pa.array(np.ones(len(mins),
+                                                    np.int64))})
+        res = t2.group_by(["recovery_minutes"]) \
+            .aggregate([("n_errors", "sum")])
+        return pa.table({"recovery_minutes":
+                             res.column("recovery_minutes"),
+                         "n_errors": res.column("n_errors_sum")})
+
+    grouped = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__ub").map_groups(recover, batch_format="pyarrow")
+    return partial_aggregate(grouped, ["recovery_minutes"],
+                             [("n_errors", "sum", "n_errors")]) \
+        .sort("recovery_minutes")
+
+
+def linenumber_quantity_profile(sf_dir: str) -> ray.data.Dataset:
+    """Order-position profile: per line position 1..7, line count,
+    total quantity and total extended price cents — do earlier lines
+    carry the bigger items?  A bounded 7-row partial fold."""
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_linenumber", "l_quantity",
+                                     "l_extendedprice"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        qty = np.rint(batch.column("l_quantity")
+                      .to_numpy(zero_copy_only=False)).astype(np.int64)
+        cents = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"l_linenumber": pc.cast(
+                          batch.column("l_linenumber"), pa.int64()),
+                      "n_lines": pa.array(np.ones(len(batch),
+                                                  np.int64)),
+                      "qty_sum": pa.array(qty),
+                      "price_cents": pa.array(cents)})
+        res = t.group_by(["l_linenumber"]).aggregate(
+            [("n_lines", "sum"), ("qty_sum", "sum"),
+             ("price_cents", "sum")])
+        return pa.table({"l_linenumber": res.column("l_linenumber"),
+                         "n_lines": res.column("n_lines_sum"),
+                         "qty_sum": res.column("qty_sum_sum"),
+                         "price_cents": res.column("price_cents_sum")})
+
+    return partial_aggregate(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        ["l_linenumber"],
+        [("n_lines", "sum", "n_lines"), ("qty_sum", "sum", "qty_sum"),
+         ("price_cents", "sum", "price_cents")]).sort("l_linenumber")
