@@ -462,7 +462,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         purchase_priorviews_cov,
                                         brand_size_rollup,
                                         error_recovery_minutes_hist,
-                                        linenumber_quantity_profile)
+                                        linenumber_quantity_profile,
+                                        fingerprint_density_hist,
+                                        first_order_ltv_cov,
+                                        user_spend_spread_hist,
+                                        doc_prefix_dup_hist)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1183,6 +1187,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_size_rollup": brand_size_rollup,
         "error_recovery_minutes_hist": error_recovery_minutes_hist,
         "linenumber_quantity_profile": linenumber_quantity_profile,
+        "fingerprint_density_hist": fingerprint_density_hist,
+        "first_order_ltv_cov": first_order_ltv_cov,
+        "user_spend_spread_hist": user_spend_spread_hist,
+        "doc_prefix_dup_hist": doc_prefix_dup_hist,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3349,6 +3357,59 @@ def oracle_sql() -> dict[str, str]:
             "AS qty_sum, "
             "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) "
             "AS BIGINT) AS price_cents FROM lineitem "
+            "GROUP BY 1 ORDER BY 1"),
+        "fingerprint_density_hist": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS L "
+            "FROM documents), "
+            "g AS (SELECT doc_id, i, array_to_string("
+            "L[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS gram "
+            "FROM t CROSS JOIN range(1, 4096) r(i) "
+            "WHERE i <= len(L) - 2), "
+            "h AS (SELECT doc_id, i, "
+            "CAST(list_sum(list_transform(range(1, length(gram) + 1), "
+            "j -> j * ascii(substr(gram, CAST(j AS INT), 1)))) % 97 "
+            "AS BIGINT) AS h FROM g), "
+            "s AS (SELECT doc_id, h, min(h) OVER (PARTITION BY doc_id "
+            "ORDER BY i ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) "
+            "AS pm FROM h), "
+            "d AS (SELECT doc_id, count(*) AS n, "
+            "SUM(CASE WHEN pm IS NULL OR h <= pm THEN 1 ELSE 0 END) "
+            "AS ns FROM s GROUP BY 1) "
+            "SELECT CAST((1000 * ns // n) // 100 AS BIGINT) "
+            "AS density_decile, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM d GROUP BY 1 ORDER BY 1"),
+        "first_order_ltv_cov": (
+            "WITH o AS (SELECT o_custkey, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents, "
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey) AS rn FROM orders), "
+            "c AS (SELECT o_custkey, "
+            "SUM(CASE WHEN rn = 1 THEN cents END) AS x, "
+            "SUM(CAST(cents AS HUGEINT)) AS y FROM o GROUP BY 1) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_customers, "
+            "CAST(count(*) * SUM(CAST(x AS HUGEINT) * y) "
+            "- SUM(CAST(x AS HUGEINT)) * SUM(y) AS VARCHAR) "
+            "AS cov_num FROM c"),
+        "user_spend_spread_hist": (
+            "WITH p AS (SELECT user_id, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events "
+            "WHERE event_type = 'purchase'), "
+            "u AS (SELECT user_id, min(cents) AS mn, max(cents) AS mx "
+            "FROM p GROUP BY 1 "
+            "HAVING count(*) >= 2 AND max(cents) > 0) "
+            "SELECT CAST((mx - mn) * 1000000 // mx // 100000 "
+            "AS BIGINT) AS spread_decile, "
+            "CAST(count(*) AS BIGINT) AS n_users FROM u "
+            "GROUP BY 1 ORDER BY 1"),
+        "doc_prefix_dup_hist": (
+            "WITH t AS (SELECT string_split(text, ' ') AS L "
+            "FROM documents), "
+            "p AS (SELECT array_to_string(L[1:8], ' ') AS prefix "
+            "FROM t WHERE len(L) >= 8), "
+            "g AS (SELECT prefix, count(*) AS gs FROM p "
+            "GROUP BY 1 HAVING count(*) >= 2) "
+            "SELECT CAST(gs AS BIGINT) AS group_size, "
+            "CAST(count(*) AS BIGINT) AS n_groups FROM g "
             "GROUP BY 1 ORDER BY 1"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "

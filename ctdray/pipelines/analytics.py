@@ -20168,3 +20168,200 @@ def linenumber_quantity_profile(sf_dir: str) -> ray.data.Dataset:
         ["l_linenumber"],
         [("n_lines", "sum", "n_lines"), ("qty_sum", "sum", "qty_sum"),
          ("price_cents", "sum", "price_cents")]).sort("l_linenumber")
+
+
+def fingerprint_density_hist(sf_dir: str, k: int = 3, w: int = 4,
+                             mod: int = 97) -> ray.data.Dataset:
+    """Winnowing-style fingerprint selection density: hash every
+    k-token gram with a position-weighted codepoint checksum mod 97,
+    keep a gram iff its hash is <= the minimum of the w-1 preceding
+    hashes (rightmost-window-min sampling, the selection rule document
+    fingerprinters like winnowing build on), and histogram docs by the
+    per-doc selected-share decile.  Flat uniform selection clusters
+    near 1/w; repetitive or skew-hash corpora drift — a cheap corpus
+    fingerprintability probe.  Embarrassingly parallel per doc (one
+    vectorized checksum + sliding-min per doc); only the <=11-row
+    decile table folds."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    big = np.int64(1) << np.int64(62)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        deciles = []
+        for text in batch.column("text").to_pylist():
+            toks = text.split(" ")
+            if len(toks) < k:
+                continue
+            grams = [" ".join(toks[i:i + k])
+                     for i in range(len(toks) - k + 1)]
+            lens = np.fromiter((len(g) for g in grams), np.int64,
+                               len(grams))
+            cps = np.frombuffer("".join(grams).encode("utf-32-le"),
+                                np.uint32).astype(np.int64)
+            starts = np.r_[0, np.cumsum(lens)[:-1]]
+            pos = np.arange(len(cps)) + 1 - np.repeat(starts, lens)
+            h = np.add.reduceat(cps * pos, starts) % mod
+            pm = np.full(len(h), big)
+            for d in range(1, w):
+                if d < len(h):
+                    pm[d:] = np.minimum(pm[d:], h[:-d])
+            n_sel = 1 + int(np.count_nonzero(h[1:] <= pm[1:]))
+            deciles.append((1000 * n_sel // len(h)) // 100)
+        t = pa.table({"density_decile": pa.array(
+                          np.asarray(deciles, np.int64)),
+                      "n_docs": pa.array(np.ones(len(deciles),
+                                                 np.int64))})
+        res = t.group_by(["density_decile"]).aggregate(
+            [("n_docs", "sum")])
+        return pa.table({"density_decile": res.column("density_decile"),
+                         "n_docs": res.column("n_docs_sum")})
+
+    return partial_aggregate(
+        ds.map_batches(per_doc, batch_format="pyarrow"),
+        ["density_decile"], [("n_docs", "sum", "n_docs")]) \
+        .sort("density_decile")
+
+
+def first_order_ltv_cov(sf_dir: str) -> pa.Table:
+    """Acquisition-value link: exact covariance NUMERATOR
+    n*Sxy - Sx*Sy (denominator n^2) between each customer's FIRST
+    order value in cents (earliest o_orderdate, orderkey tie-break)
+    and their lifetime spend in cents — does the first basket predict
+    the relationship?  One coarse custkey-bucket exchange; per
+    customer segment the first/sum come from one reduceat; the
+    cross-moment folds as exact decimal strings because cents^2 sums
+    outrun int64 at fleet scale."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderkey",
+                                     "o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"cust": pc.cast(batch.column("o_custkey"),
+                                      pa.int64()),
+                      "okey": pc.cast(batch.column("o_orderkey"),
+                                      pa.int64()),
+                      "odate": pc.cast(batch.column("o_orderdate"),
+                                       pa.int64()),
+                      "cents": pa.array(cents)})
+        return t.append_column("__ub", bucket_ids(t, ["cust"]))
+
+    def sums(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("cust", "ascending"),
+                           ("odate", "ascending"),
+                           ("okey", "ascending")])
+        cust = t.column("cust").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        if len(cust) == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "sx": pa.array([], pa.int64()),
+                             "sy": pa.array([], pa.int64()),
+                             "sxy": pa.array([], pa.string())})
+        change = np.flatnonzero(cust[1:] != cust[:-1])
+        starts = np.r_[0, change + 1]
+        x = cents[starts]
+        y = np.add.reduceat(cents, starts)
+        sxy = sum(int(a) * int(b) for a, b in zip(x.tolist(),
+                                                  y.tolist()))
+        return pa.table({"n": pa.array([len(starts)], pa.int64()),
+                         "sx": pa.array([int(x.sum())], pa.int64()),
+                         "sy": pa.array([int(y.sum())], pa.int64()),
+                         "sxy": pa.array([str(sxy)], pa.string())})
+
+    grouped = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__ub").map_groups(sums, batch_format="pyarrow")
+    n = sx = sy = sxy = 0
+    for b in grouped.iter_batches(batch_format="pyarrow"):
+        n += int(pc.sum(b.column("n")).as_py() or 0)
+        sx += int(pc.sum(b.column("sx")).as_py() or 0)
+        sy += int(pc.sum(b.column("sy")).as_py() or 0)
+        sxy += sum(int(s) for s in b.column("sxy").to_pylist())
+    return pa.table({"n_customers": pa.array([n], pa.int64()),
+                     "cov_num": pa.array([str(n * sxy - sx * sy)],
+                                         pa.string())})
+
+
+def user_spend_spread_hist(sf_dir: str) -> ray.data.Dataset:
+    """Spend-volatility profile: per repeat purchaser (>=2 purchases,
+    max purchase > 0), the relative spread (max-min)*1e6 // max in
+    ppm, bucketed to deciles — how uniform are basket sizes per user?
+    The per-user (min, max, count) fold is a distributive
+    partial-aggregate; the decile histogram folds again, so no raw
+    purchase row ever crosses an exchange."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("event_type"),
+                                  pa.scalar("purchase")))
+        cents = np.rint(b.column("value")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        return pa.table({"user": pc.cast(b.column("user_id"),
+                                         pa.int64()),
+                         "mn": pa.array(cents), "mx": pa.array(cents),
+                         "n": pa.array(np.ones(len(b), np.int64))})
+
+    per_user = partial_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"), ["user"],
+        [("mn", "min", "mn"), ("mx", "max", "mx"),
+         ("n", "sum", "n")])
+
+    def decile(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch.column("n"),
+                                        pa.scalar(2)),
+                       pc.greater(batch.column("mx"), pa.scalar(0)))
+        b = batch.filter(keep)
+        mn = b.column("mn").to_numpy(zero_copy_only=False)
+        mx = b.column("mx").to_numpy(zero_copy_only=False)
+        dec = (mx - mn) * 1_000_000 // mx // 100_000
+        return pa.table({"spread_decile": pa.array(dec),
+                         "n_users": pa.array(np.ones(len(b),
+                                                     np.int64))})
+
+    return partial_aggregate(
+        per_user.map_batches(decile, batch_format="pyarrow"),
+        ["spread_decile"], [("n_users", "sum", "n_users")]) \
+        .sort("spread_decile")
+
+
+def doc_prefix_dup_hist(sf_dir: str, n: int = 8) -> ray.data.Dataset:
+    """Template-intro detector: group documents by their first n=8
+    tokens and histogram the sizes of groups with >=2 docs — shared
+    openings that doc-level exact dedup misses and MinHash only
+    scores.  The prefix extraction is pure Arrow kernels (split,
+    list_slice, binary_join); prefix doc-counts fold through the
+    coarse-bucket exchange and only the tiny >=2 tail folds again."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def pref(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        keep = pc.greater_equal(pc.list_value_length(toks),
+                                pa.scalar(n))
+        first = pc.list_slice(toks.filter(keep), 0, n)
+        prefix = pc.binary_join(first, " ")
+        t = pa.table({"prefix": prefix,
+                      "n_docs": pa.array(np.ones(len(prefix),
+                                                 np.int64))})
+        res = t.group_by(["prefix"]).aggregate([("n_docs", "sum")])
+        return pa.table({"prefix": res.column("prefix"),
+                         "n_docs": res.column("n_docs_sum")})
+
+    groups = partial_aggregate(
+        ds.map_batches(pref, batch_format="pyarrow"), ["prefix"],
+        [("n_docs", "sum", "n_docs")])
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater_equal(batch.column("n_docs"),
+                                          pa.scalar(2)))
+        return pa.table({"group_size": b.column("n_docs"),
+                         "n_groups": pa.array(np.ones(len(b),
+                                                      np.int64))})
+
+    return partial_aggregate(
+        groups.map_batches(sizes, batch_format="pyarrow"),
+        ["group_size"], [("n_groups", "sum", "n_groups")]) \
+        .sort("group_size")
