@@ -29,3 +29,26 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+import logging as _logging
+
+
+class _EmptyRefBundleSchemaFilter(_logging.Filter):
+    """Drop Ray Data's 'RefBundle with a different schema' warning.
+
+    Ray 2.49's sort-based groupby emits schema-LESS empty blocks for the
+    (many) empty boundary partitions whenever distinct keys << partition
+    count, and the streaming executor then warns once per empty bundle —
+    even for a plain ``groupby().map_groups()`` whose UDF returns a fixed
+    schema (minimal repro: 40 single-row blocks, 3 keys).  The warning is
+    a false positive for this engine: every combiner declares its output
+    columns, and the flagged bundles are the 0-row partition remainders.
+    Filtering is scoped to exactly that message."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:
+        return "RefBundle with a different schema" not in record.getMessage()
+
+
+_logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state"
+).addFilter(_EmptyRefBundleSchemaFilter())
