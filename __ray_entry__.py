@@ -466,7 +466,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         fingerprint_density_hist,
                                         first_order_ltv_cov,
                                         user_spend_spread_hist,
-                                        doc_prefix_dup_hist)
+                                        doc_prefix_dup_hist,
+                                        nation_acctbal_mad,
+                                        daily_revenue_streak_hist,
+                                        customer_spend_halves_matrix,
+                                        bigram_asymmetry_topk)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1191,6 +1195,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_order_ltv_cov": first_order_ltv_cov,
         "user_spend_spread_hist": user_spend_spread_hist,
         "doc_prefix_dup_hist": doc_prefix_dup_hist,
+        "nation_acctbal_mad": nation_acctbal_mad,
+        "daily_revenue_streak_hist": daily_revenue_streak_hist,
+        "customer_spend_halves_matrix": customer_spend_halves_matrix,
+        "bigram_asymmetry_topk": bigram_asymmetry_topk,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3411,6 +3419,70 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(gs AS BIGINT) AS group_size, "
             "CAST(count(*) AS BIGINT) AS n_groups FROM g "
             "GROUP BY 1 ORDER BY 1"),
+        "nation_acctbal_mad": (
+            "WITH c AS (SELECT c_nationkey, "
+            "CAST(round(c_acctbal * 100) AS BIGINT) AS cents "
+            "FROM customer), "
+            "p AS (SELECT a.c_nationkey AS nk, "
+            "SUM(CAST(abs(a.cents - b.cents) AS HUGEINT)) AS mad "
+            "FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey "
+            "GROUP BY 1), "
+            "n AS (SELECT c_nationkey AS nk, count(*) AS n_customers "
+            "FROM c GROUP BY 1) "
+            "SELECT n_name, CAST(n_customers AS BIGINT) "
+            "AS n_customers, CAST(mad AS VARCHAR) AS mad_num "
+            "FROM p JOIN n USING (nk) "
+            "JOIN nation ON n_nationkey = nk ORDER BY n_name"),
+        "daily_revenue_streak_hist": (
+            "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev "
+            "FROM orders GROUP BY 1), "
+            "w AS (SELECT day, rev, "
+            "CASE WHEN lag(rev) OVER (ORDER BY day) IS NULL "
+            "OR lag(rev) OVER (ORDER BY day) >= rev THEN 1 ELSE 0 END "
+            "AS brk FROM d), "
+            "i AS (SELECT day, SUM(brk) OVER (ORDER BY day) AS island "
+            "FROM w), "
+            "s AS (SELECT island, count(*) AS slen FROM i GROUP BY 1) "
+            "SELECT CAST(slen AS BIGINT) AS streak_len, "
+            "CAST(count(*) AS BIGINT) AS n_streaks FROM s "
+            "GROUP BY 1 ORDER BY 1"),
+        "customer_spend_halves_matrix": (
+            "WITH o AS (SELECT o_custkey, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents, "
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey) AS rn, "
+            "count(*) OVER (PARTITION BY o_custkey) AS n FROM orders),"
+            " h AS (SELECT o_custkey, "
+            "SUM(CASE WHEN rn <= n // 2 THEN cents ELSE 0 END) AS h1, "
+            "SUM(CASE WHEN rn > n - n // 2 THEN cents ELSE 0 END) "
+            "AS h2 FROM o WHERE n >= 2 GROUP BY 1), "
+            "t AS (SELECT o_custkey, CASE WHEN h2 > h1 THEN 'up' "
+            "WHEN h2 < h1 THEN 'down' ELSE 'flat' END AS trend "
+            "FROM h) "
+            "SELECT c_mktsegment, trend, "
+            "CAST(count(*) AS BIGINT) AS n_customers "
+            "FROM t JOIN customer ON c_custkey = o_custkey "
+            "GROUP BY 1, 2 ORDER BY 1, 2"),
+        "bigram_asymmetry_topk": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS L "
+            "FROM documents), "
+            "b AS (SELECT L[CAST(i AS INT)] AS a, "
+            "L[CAST(i + 1 AS INT)] AS bb "
+            "FROM t CROSS JOIN range(1, 4096) r(i) "
+            "WHERE i <= len(L) - 1), "
+            "g AS (SELECT a, bb, count(*) AS n FROM b "
+            "WHERE a <> bb GROUP BY 1, 2), "
+            "u AS (SELECT least(a, bb) AS tok_a, "
+            "greatest(a, bb) AS tok_b, "
+            "SUM(CASE WHEN a < bb THEN n ELSE 0 END) AS n_fwd, "
+            "SUM(CASE WHEN a > bb THEN n ELSE 0 END) AS n_rev "
+            "FROM g GROUP BY 1, 2) "
+            "SELECT tok_a, tok_b, CAST(n_fwd AS BIGINT) AS n_ab, "
+            "CAST(n_rev AS BIGINT) AS n_ba, "
+            "CAST(abs(n_fwd - n_rev) AS BIGINT) AS asym FROM u "
+            "WHERE n_fwd + n_rev >= 20 "
+            "ORDER BY asym DESC, tok_a, tok_b LIMIT 20"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "

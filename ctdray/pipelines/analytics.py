@@ -20365,3 +20365,256 @@ def doc_prefix_dup_hist(sf_dir: str, n: int = 8) -> ray.data.Dataset:
         groups.map_batches(sizes, batch_format="pyarrow"),
         ["group_size"], [("n_groups", "sum", "n_groups")]) \
         .sort("group_size")
+
+
+def nation_acctbal_mad(sf_dir: str) -> pa.Table:
+    """Dispersion audit without a mean: per nation, the exact
+    ordered-pair sum of |acctbal_i - acctbal_j| cents over all
+    customer pairs (the Gini numerator; denominator n^2 for the mean
+    absolute difference) — robust to this column's negative balances
+    where a Gini ratio is not.  Distinct (nation, cents) counts fold
+    through one exchange, so the O(n^2) pairwise sum collapses to one
+    sorted prefix-sum scan per nation; emitted as decimal strings
+    because cents * n^2 outruns int64 at fleet scale."""
+    ds = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                            columns=["c_nationkey", "c_acctbal"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("c_acctbal")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        return pa.table({"nk": pc.cast(batch.column("c_nationkey"),
+                                       pa.int64()),
+                         "cents": pa.array(cents),
+                         "n": pa.array(np.ones(len(batch), np.int64))})
+
+    counts = partial_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["nk", "cents"], [("n", "sum", "n")])
+
+    def mad(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("cents", "ascending")])
+        v = t.column("cents").to_numpy(zero_copy_only=False).tolist()
+        c = t.column("n").to_numpy(zero_copy_only=False).tolist()
+        total = acc = cum_n = cum_s = 0
+        for vk, ck in zip(v, c):
+            acc += ck * (vk * cum_n - cum_s)
+            cum_n += ck
+            cum_s += ck * vk
+            total += ck
+        nk = t.column("nk")[0].as_py()
+        return pa.table({"nk": pa.array([nk], pa.int64()),
+                         "n_customers": pa.array([total], pa.int64()),
+                         "mad_num": pa.array([str(2 * acc)],
+                                             pa.string())})
+
+    per_nation = counts.groupby("nk").map_groups(
+        mad, batch_format="pyarrow")
+
+    nations = pq.read_table(f"{sf_dir}/nation.parquet",
+                            columns=["n_nationkey", "n_name"])
+    names = dict(zip(nations.column("n_nationkey").to_pylist(),
+                     nations.column("n_name").to_pylist()))
+    name_ref = ray.put(names)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lut = ray.get(name_ref)
+        nm = [lut[k] for k in batch.column("nk").to_pylist()]
+        return pa.table({"n_name": pa.array(nm, pa.string()),
+                         "n_customers": batch.column("n_customers"),
+                         "mad_num": batch.column("mad_num")})
+
+    return per_nation.map_batches(attach, batch_format="pyarrow") \
+        .sort("n_name")
+
+
+def daily_revenue_streak_hist(sf_dir: str) -> pa.Table:
+    """Momentum microstructure: histogram of maximal strictly-
+    increasing streak lengths over the day-ordered daily revenue
+    series (observed days only) — how long does growth persist before
+    a down day?  The unbounded orders table folds to one bounded
+    daily-cents row per day; the gaps-and-islands pass runs on that
+    tiny series at the driver."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"day": pa.array(us // 86_400_000_000),
+                      "rev": pa.array(cents)})
+        res = t.group_by(["day"]).aggregate([("rev", "sum")])
+        return pa.table({"day": res.column("day"),
+                         "rev": res.column("rev_sum")})
+
+    daily = partial_aggregate(ds.map_batches(prep,
+                                             batch_format="pyarrow"),
+                              ["day"], [("rev", "sum", "rev")])
+    days, revs = [], []
+    for b in daily.iter_batches(batch_format="pyarrow"):
+        days.append(b.column("day").to_numpy(zero_copy_only=False))
+        revs.append(b.column("rev").to_numpy(zero_copy_only=False))
+    day = np.concatenate(days) if days else np.array([], np.int64)
+    rev = np.concatenate(revs) if revs else np.array([], np.int64)
+    order = np.argsort(day)
+    rev = rev[order]
+    if len(rev) == 0:
+        return pa.table({"streak_len": pa.array([], pa.int64()),
+                         "n_streaks": pa.array([], pa.int64())})
+    brk = np.r_[True, rev[1:] <= rev[:-1]]
+    starts = np.flatnonzero(brk)
+    lens = np.diff(np.r_[starts, len(rev)])
+    ln, cnt = np.unique(lens, return_counts=True)
+    return pa.table({"streak_len": pa.array(ln.astype(np.int64)),
+                     "n_streaks": pa.array(cnt.astype(np.int64))})
+
+
+def customer_spend_halves_matrix(sf_dir: str) -> ray.data.Dataset:
+    """Lifecycle trend without floats: per repeat customer, compare
+    the LAST floor(n/2) orders' spend against the FIRST floor(n/2)
+    (middle order of odd counts sits out) and label up/down/flat;
+    count labels per market segment — are segments growing or
+    fading?  Join-first plan (the map_groups-into-join hazard,
+    functions/joins.py:86-93): orders hash-join customer on the key,
+    the segment rides along into the per-customer cumsum fold, and
+    only the 15-cell matrix folds after."""
+    from ..functions.joins import hash_join
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_orderkey",
+                                         "o_orderdate",
+                                         "o_totalprice"])
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    joined = hash_join(orders, cust, on="o_custkey",
+                       right_on="c_custkey")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        t = pa.table({"cust": pc.cast(batch.column("o_custkey"),
+                                      pa.int64()),
+                      "okey": pc.cast(batch.column("o_orderkey"),
+                                      pa.int64()),
+                      "odate": pc.cast(batch.column("o_orderdate"),
+                                       pa.int64()),
+                      "seg": batch.column("c_mktsegment"),
+                      "cents": pa.array(cents)})
+        return t.append_column("__ub", bucket_ids(t, ["cust"]))
+
+    def halves(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("cust", "ascending"),
+                           ("odate", "ascending"),
+                           ("okey", "ascending")])
+        cust = t.column("cust").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        empty = pa.table({"c_mktsegment": pa.array([], pa.string()),
+                          "trend": pa.array([], pa.string()),
+                          "n_customers": pa.array([], pa.int64())})
+        if len(cust) == 0:
+            return empty
+        change = np.flatnonzero(cust[1:] != cust[:-1])
+        starts = np.r_[0, change + 1]
+        ends = np.r_[change + 1, len(cust)]
+        n = ends - starts
+        keep = n >= 2
+        if not keep.any():
+            return empty
+        s, e, half = starts[keep], ends[keep], (n[keep] // 2)
+        cum = np.cumsum(cents)
+        first = cum[s + half - 1] - np.where(s > 0, cum[s - 1], 0)
+        second = cum[e - 1] - cum[e - 1 - half]
+        trend = np.where(second > first, "up",
+                         np.where(second < first, "down", "flat"))
+        seg = t.column("seg").take(pa.array(s)).combine_chunks()
+        res = pa.table({"c_mktsegment": seg,
+                        "trend": pa.array(trend),
+                        "n_customers": pa.array(np.ones(len(s),
+                                                        np.int64))}) \
+            .group_by(["c_mktsegment", "trend"]) \
+            .aggregate([("n_customers", "sum")])
+        return pa.table({"c_mktsegment": res.column("c_mktsegment"),
+                         "trend": res.column("trend"),
+                         "n_customers": res.column("n_customers_sum")})
+
+    cells = joined.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__ub").map_groups(halves, batch_format="pyarrow")
+    return partial_aggregate(
+        cells, ["c_mktsegment", "trend"],
+        [("n_customers", "sum", "n_customers")]) \
+        .sort(["c_mktsegment", "trend"])
+
+
+def bigram_asymmetry_topk(sf_dir: str, min_support: int = 20,
+                          k: int = 20) -> ray.data.Dataset:
+    """Word-order preference mining: for each unordered token pair
+    {a, b} with enough total adjacencies, how lopsided is the 'a b'
+    vs 'b a' direction — the collocation-order signal ('hash table'
+    vs 'table hash').  Ordered bigrams build fully vectorized (the
+    top_bigrams kernel), fold to unordered pairs with directional
+    partial counts through one exchange, and only the tiny >=support
+    tail sorts."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        m = len(flat)
+        empty = pa.table({"tok_a": pa.array([], pa.string()),
+                          "tok_b": pa.array([], pa.string()),
+                          "n_ab": pa.array([], pa.int64()),
+                          "n_ba": pa.array([], pa.int64())})
+        if m < 2:
+            return empty
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        valid = np.ones(m - 1, dtype=bool)
+        ends = offsets[1:] - 1
+        ends = ends[(ends >= 0) & (ends < m - 1)]
+        valid[ends] = False
+        sel = pa.array(valid)
+        left = flat.slice(0, m - 1).filter(sel)
+        right = flat.slice(1, m - 1).filter(sel)
+        neq = pc.not_equal(left, right)
+        left, right = left.filter(neq), right.filter(neq)
+        if len(left) == 0:
+            return empty
+        swap = pc.greater(left, right)
+        lo = pc.if_else(swap, right, left)
+        hi = pc.if_else(swap, left, right)
+        one = np.ones(len(lo), np.int64)
+        fwd = pc.if_else(swap, pa.array(np.zeros(len(lo), np.int64)),
+                         pa.array(one))
+        rev = pc.if_else(swap, pa.array(one),
+                         pa.array(np.zeros(len(lo), np.int64)))
+        t = pa.table({"tok_a": lo, "tok_b": hi, "n_ab": fwd,
+                      "n_ba": rev})
+        res = t.group_by(["tok_a", "tok_b"]).aggregate(
+            [("n_ab", "sum"), ("n_ba", "sum")])
+        return pa.table({"tok_a": res.column("tok_a"),
+                         "tok_b": res.column("tok_b"),
+                         "n_ab": res.column("n_ab_sum"),
+                         "n_ba": res.column("n_ba_sum")})
+
+    pairs = partial_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["tok_a", "tok_b"],
+        [("n_ab", "sum", "n_ab"), ("n_ba", "sum", "n_ba")])
+
+    def tail(batch: pa.Table) -> pa.Table:
+        ab = batch.column("n_ab").to_numpy(zero_copy_only=False)
+        ba = batch.column("n_ba").to_numpy(zero_copy_only=False)
+        keep = (ab + ba) >= min_support
+        b = batch.filter(pa.array(keep))
+        asym = np.abs(ab[keep] - ba[keep])
+        return b.append_column("asym", pa.array(asym.astype(np.int64)))
+
+    return pairs.map_batches(tail, batch_format="pyarrow") \
+        .sort(["asym", "tok_a", "tok_b"],
+              descending=[True, False, False]).limit(k)
