@@ -470,7 +470,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         nation_acctbal_mad,
                                         daily_revenue_streak_hist,
                                         customer_spend_halves_matrix,
-                                        bigram_asymmetry_topk)
+                                        bigram_asymmetry_topk,
+                                        sorted_neighborhood_pair_hist,
+                                        unitprice_divisibility_audit,
+                                        order_shipdate_monotonicity,
+                                        token_length_by_position)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1199,6 +1203,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_revenue_streak_hist": daily_revenue_streak_hist,
         "customer_spend_halves_matrix": customer_spend_halves_matrix,
         "bigram_asymmetry_topk": bigram_asymmetry_topk,
+        "sorted_neighborhood_pair_hist": sorted_neighborhood_pair_hist,
+        "unitprice_divisibility_audit": unitprice_divisibility_audit,
+        "order_shipdate_monotonicity": order_shipdate_monotonicity,
+        "token_length_by_position": token_length_by_position,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3483,6 +3491,51 @@ def oracle_sql() -> dict[str, str]:
             "CAST(abs(n_fwd - n_rev) AS BIGINT) AS asym FROM u "
             "WHERE n_fwd + n_rev >= 20 "
             "ORDER BY asym DESC, tok_a, tok_b LIMIT 20"),
+        "sorted_neighborhood_pair_hist": (
+            "WITH d AS (SELECT doc_id, text, "
+            "string_split(text, ' ') AS L FROM documents), "
+            "k AS (SELECT doc_id, text, L[1] AS blk, "
+            "list_distinct(L) AS toks FROM d), "
+            "w AS (SELECT blk, toks, lead(toks) OVER "
+            "(PARTITION BY blk ORDER BY text, doc_id) AS nxt FROM k), "
+            "p AS (SELECT len(list_intersect(toks, nxt)) AS i, "
+            "len(toks) + len(nxt) - len(list_intersect(toks, nxt)) "
+            "AS u FROM w WHERE nxt IS NOT NULL) "
+            "SELECT CAST(10 * i // u AS BIGINT) AS jaccard_decile, "
+            "CAST(count(*) AS BIGINT) AS n_pairs FROM p "
+            "GROUP BY 1 ORDER BY 1"),
+        "unitprice_divisibility_audit": (
+            "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,"
+            " CAST(SUM(CASE WHEN "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "% CAST(round(l_quantity) AS BIGINT) <> 0 "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_indivisible "
+            "FROM lineitem GROUP BY 1 ORDER BY 1"),
+        "order_shipdate_monotonicity": (
+            "WITH w AS (SELECT l_orderkey, l_shipdate, "
+            "lag(l_shipdate) OVER (PARTITION BY l_orderkey "
+            "ORDER BY l_linenumber, l_shipdate) AS prev, "
+            "count(*) OVER (PARTITION BY l_orderkey) AS n "
+            "FROM lineitem), "
+            "o AS (SELECT l_orderkey, max(n) AS n_lines, "
+            "CASE WHEN SUM(CASE WHEN prev IS NOT NULL "
+            "AND prev > l_shipdate THEN 1 ELSE 0 END) = 0 "
+            "THEN 1 ELSE 0 END AS mono FROM w WHERE n >= 2 "
+            "GROUP BY 1) "
+            "SELECT CAST(n_lines AS BIGINT) AS n_lines, "
+            "CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(mono) AS BIGINT) AS n_monotone FROM o "
+            "GROUP BY 1 ORDER BY 1"),
+        "token_length_by_position": (
+            "WITH t AS (SELECT string_split(text, ' ') AS L "
+            "FROM documents), "
+            "u AS (SELECT len(L) AS n, i, "
+            "length(L[CAST(i AS INT)]) AS tl "
+            "FROM t CROSS JOIN range(1, 4096) r(i) WHERE i <= len(L))"
+            " SELECT CAST(10 * (i - 1) // n AS BIGINT) AS pos_decile, "
+            "CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(SUM(tl) AS BIGINT) AS len_sum FROM u "
+            "GROUP BY 1 ORDER BY 1"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
