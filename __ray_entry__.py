@@ -474,7 +474,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         sorted_neighborhood_pair_hist,
                                         unitprice_divisibility_audit,
                                         order_shipdate_monotonicity,
-                                        token_length_by_position)
+                                        token_length_by_position,
+                                        countmin_sketch_estimates,
+                                        sample_quota_largest_remainder,
+                                        timestamp_delta_varint_audit,
+                                        error_burst_hour_hist)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1207,6 +1211,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unitprice_divisibility_audit": unitprice_divisibility_audit,
         "order_shipdate_monotonicity": order_shipdate_monotonicity,
         "token_length_by_position": token_length_by_position,
+        "countmin_sketch_estimates": countmin_sketch_estimates,
+        "sample_quota_largest_remainder": sample_quota_largest_remainder,
+        "timestamp_delta_varint_audit": timestamp_delta_varint_audit,
+        "error_burst_hour_hist": error_burst_hour_hist,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3535,6 +3543,69 @@ def oracle_sql() -> dict[str, str]:
             " SELECT CAST(10 * (i - 1) // n AS BIGINT) AS pos_decile, "
             "CAST(count(*) AS BIGINT) AS n_tokens, "
             "CAST(SUM(tl) AS BIGINT) AS len_sum FROM u "
+            "GROUP BY 1 ORDER BY 1"),
+        "countmin_sketch_estimates": (
+            "WITH t AS (SELECT string_split(text, ' ') AS L "
+            "FROM documents), "
+            "tok AS (SELECT unnest(L) AS w FROM t), "
+            "c AS (SELECT w, count(*) AS n FROM tok GROUP BY 1), "
+            "h AS (SELECT w, n, "
+            "CAST(list_sum(list_transform(range(1, length(w) + 1), "
+            "i -> i * ascii(substr(w, CAST(i AS INT), 1)))) AS BIGINT)"
+            " AS h0, "
+            "CAST(list_sum(list_transform(range(1, length(w) + 1), "
+            "i -> ascii(substr(w, CAST(i AS INT), 1)))) AS BIGINT) "
+            "AS s FROM c), "
+            "r0 AS (SELECT h0 % 16 AS idx, SUM(n) AS cell FROM h "
+            "GROUP BY 1), "
+            "r1 AS (SELECT (h0 + s) % 16 AS idx, SUM(n) AS cell "
+            "FROM h GROUP BY 1) "
+            "SELECT w AS token, CAST(h.n AS BIGINT) AS n_true, "
+            "CAST(least(r0.cell, r1.cell) AS BIGINT) AS n_est "
+            "FROM h JOIN r0 ON r0.idx = h.h0 % 16 "
+            "JOIN r1 ON r1.idx = (h.h0 + h.s) % 16 ORDER BY token"),
+        "sample_quota_largest_remainder": (
+            "WITH c AS (SELECT lang, count(*) AS n FROM documents "
+            "GROUP BY 1), "
+            "tot AS (SELECT SUM(n) AS nt, CAST(1000 AS BIGINT) AS B "
+            "FROM c), "
+            "q AS (SELECT lang, n, B * n // nt AS fl, B * n % nt "
+            "AS rem FROM c, tot), "
+            "k AS (SELECT B - SUM(fl) AS extra FROM q, tot "
+            "GROUP BY B), "
+            "r AS (SELECT lang, n, fl, row_number() OVER "
+            "(ORDER BY rem DESC, lang) AS rk FROM q) "
+            "SELECT lang, CAST(n AS BIGINT) AS n_docs, "
+            "CAST(fl + CASE WHEN rk <= (SELECT extra FROM k) "
+            "THEN 1 ELSE 0 END AS BIGINT) AS quota FROM r "
+            "ORDER BY lang"),
+        "timestamp_delta_varint_audit": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS us "
+            "FROM events), "
+            "d AS (SELECT us - lag(us) OVER (PARTITION BY user_id "
+            "ORDER BY us) AS dus FROM e), "
+            "v AS (SELECT dus FROM d WHERE dus IS NOT NULL) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_deltas, "
+            "CAST(SUM(CASE WHEN dus < 128 THEN 1 "
+            "WHEN dus < 16384 THEN 2 WHEN dus < 2097152 THEN 3 "
+            "WHEN dus < 268435456 THEN 4 "
+            "WHEN dus < 34359738368 THEN 5 "
+            "WHEN dus < 4398046511104 THEN 6 "
+            "WHEN dus < 562949953421312 THEN 7 "
+            "WHEN dus < 72057594037927936 THEN 8 ELSE 9 END) "
+            "AS BIGINT) AS delta_bytes, "
+            "CAST(SUM(CASE WHEN dus = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_zero_deltas FROM v"),
+        "error_burst_hour_hist": (
+            "WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) AS us "
+            "FROM events WHERE event_type = 'error'), "
+            "b AS (SELECT a.user_id, a.us, count(*) AS nearby "
+            "FROM e a JOIN e o ON a.user_id = o.user_id "
+            "AND o.us <> a.us AND abs(o.us - a.us) <= 86400000000 "
+            "GROUP BY 1, 2), "
+            "f AS (SELECT us FROM b WHERE nearby >= 2) "
+            "SELECT CAST((us // 3600000000) % 24 AS BIGINT) AS hour, "
+            "CAST(count(*) AS BIGINT) AS n_bursty FROM f "
             "GROUP BY 1 ORDER BY 1"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
