@@ -478,7 +478,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         countmin_sketch_estimates,
                                         sample_quota_largest_remainder,
                                         timestamp_delta_varint_audit,
-                                        error_burst_hour_hist)
+                                        error_burst_hour_hist,
+                                        user_type_simpson_hist,
+                                        shuffle_skew_audit,
+                                        doc_alpha_order_share_hist,
+                                        discount_tax_net_grid)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1215,6 +1219,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_quota_largest_remainder": sample_quota_largest_remainder,
         "timestamp_delta_varint_audit": timestamp_delta_varint_audit,
         "error_burst_hour_hist": error_burst_hour_hist,
+        "user_type_simpson_hist": user_type_simpson_hist,
+        "shuffle_skew_audit": shuffle_skew_audit,
+        "doc_alpha_order_share_hist": doc_alpha_order_share_hist,
+        "discount_tax_net_grid": discount_tax_net_grid,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3607,6 +3615,45 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST((us // 3600000000) % 24 AS BIGINT) AS hour, "
             "CAST(count(*) AS BIGINT) AS n_bursty FROM f "
             "GROUP BY 1 ORDER BY 1"),
+        "user_type_simpson_hist": (
+            "WITH c AS (SELECT user_id, event_type, count(*) AS n "
+            "FROM events GROUP BY 1, 2), "
+            "u AS (SELECT user_id, SUM(n) AS nt, "
+            "SUM(n * (n - 1)) AS num FROM c GROUP BY 1 "
+            "HAVING SUM(n) >= 2) "
+            "SELECT CAST(1000000 * num // (nt * (nt - 1)) // 100000 "
+            "AS BIGINT) AS simpson_decile, "
+            "CAST(count(*) AS BIGINT) AS n_users FROM u "
+            "GROUP BY 1 ORDER BY 1"),
+        "shuffle_skew_audit": (
+            "WITH b AS (SELECT o_custkey % 256 AS bkt, count(*) "
+            "AS load FROM orders GROUP BY 1) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_buckets_used, "
+            "CAST(min(load) AS BIGINT) AS min_load, "
+            "CAST(max(load) AS BIGINT) AS max_load, "
+            "CAST(SUM(load) AS BIGINT) AS total_rows, "
+            "CAST(1000000 * max(load) * 256 // SUM(load) AS BIGINT) "
+            "AS skew_ppm FROM b"),
+        "doc_alpha_order_share_hist": (
+            "WITH t AS (SELECT string_split(text, ' ') AS L "
+            "FROM documents), "
+            "p AS (SELECT len(L) - 1 AS n, "
+            "len(list_filter(range(1, len(L)), "
+            "i -> L[CAST(i AS INT)] <= L[CAST(i + 1 AS INT)])) AS k "
+            "FROM t WHERE len(L) >= 2) "
+            "SELECT CAST(1000000 * k // n // 100000 AS BIGINT) "
+            "AS alpha_decile, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM p GROUP BY 1 ORDER BY 1"),
+        "discount_tax_net_grid": (
+            "WITH l AS (SELECT "
+            "CAST(round(l_discount * 100) AS BIGINT) AS d_pct, "
+            "CAST(round(l_tax * 100) AS BIGINT) AS t_pct, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents "
+            "FROM lineitem) "
+            "SELECT d_pct, t_pct, CAST(count(*) AS BIGINT) AS n_lines,"
+            " CAST(SUM(CAST(cents * (100 - d_pct) * (100 + t_pct) "
+            "AS HUGEINT)) AS VARCHAR) AS net_e4 FROM l "
+            "GROUP BY 1, 2 ORDER BY 1, 2"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
