@@ -482,7 +482,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         user_type_simpson_hist,
                                         shuffle_skew_audit,
                                         doc_alpha_order_share_hist,
-                                        discount_tax_net_grid)
+                                        discount_tax_net_grid,
+                                        events_orders_daily_cov,
+                                        centroid_margin_hist,
+                                        nation_supplier_hhi,
+                                        purchase_dow_hour_heatmap)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1223,6 +1227,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_skew_audit": shuffle_skew_audit,
         "doc_alpha_order_share_hist": doc_alpha_order_share_hist,
         "discount_tax_net_grid": discount_tax_net_grid,
+        "events_orders_daily_cov": events_orders_daily_cov,
+        "centroid_margin_hist": centroid_margin_hist,
+        "nation_supplier_hhi": nation_supplier_hhi,
+        "purchase_dow_hour_heatmap": purchase_dow_hour_heatmap,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3653,6 +3661,56 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d_pct, t_pct, CAST(count(*) AS BIGINT) AS n_lines,"
             " CAST(SUM(CAST(cents * (100 - d_pct) * (100 + t_pct) "
             "AS HUGEINT)) AS VARCHAR) AS net_e4 FROM l "
+            "GROUP BY 1, 2 ORDER BY 1, 2"),
+        "events_orders_daily_cov": (
+            "WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "count(*) AS ne FROM events GROUP BY 1), "
+            "o AS (SELECT epoch_us(o_orderdate) // 86400000000 "
+            "AS day, count(*) AS no_ FROM orders GROUP BY 1), "
+            "j AS (SELECT COALESCE(ne, 0) AS x, COALESCE(no_, 0) "
+            "AS y FROM e FULL OUTER JOIN o ON e.day = o.day) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_days, "
+            "CAST(count(*) * SUM(CAST(x AS HUGEINT) * y) "
+            "- SUM(CAST(x AS HUGEINT)) * SUM(CAST(y AS HUGEINT)) "
+            "AS VARCHAR) AS cov_num FROM j"),
+        "centroid_margin_hist": (
+            "WITH v AS (SELECT vec_id, label, r.i AS i, "
+            "CAST(round(CAST(embedding[CAST(r.i AS INT)] AS DOUBLE) "
+            "* 10000) AS BIGINT) AS q FROM embeddings "
+            "CROSS JOIN range(1, 65) AS r(i)), "
+            "cs AS (SELECT label, i, SUM(q) AS s, "
+            "CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1, 2), "
+            "c AS (SELECT label, i, (10000 * s + 1000000000 * n) "
+            "// n - 1000000000 AS c FROM cs), "
+            "d AS (SELECT v.vec_id, c.label AS cand, "
+            "SUM((10000 * v.q - c.c) * (10000 * v.q - c.c)) AS dist "
+            "FROM v JOIN c ON v.i = c.i GROUP BY 1, 2), "
+            "p AS (SELECT vec_id, dist, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY dist, cand) AS rn FROM d),"
+            " m AS (SELECT a.vec_id, "
+            "1000000 * (b.dist - a.dist) // b.dist AS ppm "
+            "FROM p a JOIN p b ON a.vec_id = b.vec_id "
+            "AND a.rn = 1 AND b.rn = 2 WHERE b.dist > 0) "
+            "SELECT CAST(ppm // 10000 AS BIGINT) AS margin_pct, "
+            "CAST(count(*) AS BIGINT) AS n_vectors FROM m "
+            "GROUP BY 1 ORDER BY 1"),
+        "nation_supplier_hhi": (
+            "WITH r AS (SELECT l_suppkey, "
+            "SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS cents FROM lineitem GROUP BY 1), "
+            "j AS (SELECT s_nationkey AS nk, CAST(cents AS HUGEINT) "
+            "AS c FROM r JOIN supplier ON s_suppkey = l_suppkey), "
+            "h AS (SELECT nk, count(*) AS ns, SUM(c * c) AS ss, "
+            "SUM(c) AS s FROM j GROUP BY 1) "
+            "SELECT n_name, CAST(ns AS BIGINT) AS n_suppliers, "
+            "CAST(1000000 * ss // (s * s) AS BIGINT) AS hhi_ppm "
+            "FROM h JOIN nation ON n_nationkey = nk ORDER BY n_name"),
+        "purchase_dow_hour_heatmap": (
+            "SELECT CAST(((epoch_us(ts) // 86400000000) + 4) % 7 "
+            "AS BIGINT) AS dow, "
+            "CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) "
+            "AS hour, CAST(count(*) AS BIGINT) AS n_purchases "
+            "FROM events WHERE event_type = 'purchase' "
             "GROUP BY 1, 2 ORDER BY 1, 2"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
