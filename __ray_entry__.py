@@ -486,7 +486,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         events_orders_daily_cov,
                                         centroid_margin_hist,
                                         nation_supplier_hhi,
-                                        purchase_dow_hour_heatmap)
+                                        purchase_dow_hour_heatmap,
+                                        order_total_reconciliation,
+                                        intersession_gap_hist,
+                                        doc_ttr_hist,
+                                        order_topline_share_hist)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1231,6 +1235,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_margin_hist": centroid_margin_hist,
         "nation_supplier_hhi": nation_supplier_hhi,
         "purchase_dow_hour_heatmap": purchase_dow_hour_heatmap,
+        "order_total_reconciliation": order_total_reconciliation,
+        "intersession_gap_hist": intersession_gap_hist,
+        "doc_ttr_hist": doc_ttr_hist,
+        "order_topline_share_hist": order_topline_share_hist,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3712,6 +3720,50 @@ def oracle_sql() -> dict[str, str]:
             "AS hour, CAST(count(*) AS BIGINT) AS n_purchases "
             "FROM events WHERE event_type = 'purchase' "
             "GROUP BY 1, 2 ORDER BY 1, 2"),
+        "order_total_reconciliation": (
+            "WITH l AS (SELECT l_orderkey, "
+            "SUM(CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT)) "
+            "* (100 + CAST(round(l_tax * 100) AS BIGINT))) AS net_e4 "
+            "FROM lineitem GROUP BY 1), "
+            "j AS (SELECT o_orderpriority, "
+            "CASE WHEN net_e4 > "
+            "CAST(round(o_totalprice * 100) AS BIGINT) * 10000 "
+            "THEN 1 WHEN net_e4 < "
+            "CAST(round(o_totalprice * 100) AS BIGINT) * 10000 "
+            "THEN -1 ELSE 0 END AS sign "
+            "FROM orders JOIN l ON l_orderkey = o_orderkey) "
+            "SELECT o_orderpriority, CAST(sign AS BIGINT) AS sign, "
+            "CAST(count(*) AS BIGINT) AS n_orders FROM j "
+            "GROUP BY 1, 2 ORDER BY 1, 2"),
+        "intersession_gap_hist": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS us "
+            "FROM events), "
+            "w AS (SELECT user_id, us, lag(us) OVER "
+            "(PARTITION BY user_id ORDER BY us) AS prev FROM e), "
+            "g AS (SELECT us - prev AS d FROM w "
+            "WHERE prev IS NOT NULL AND us - prev > 1800000000) "
+            "SELECT CAST(least(d // 3600000000, 48) AS BIGINT) "
+            "AS gap_hours, CAST(count(*) AS BIGINT) AS n_gaps "
+            "FROM g GROUP BY 1 ORDER BY 1"),
+        "doc_ttr_hist": (
+            "WITH t AS (SELECT string_split(text, ' ') AS L "
+            "FROM documents), "
+            "p AS (SELECT len(list_distinct(L)) AS v, len(L) AS n "
+            "FROM t) "
+            "SELECT CAST(1000000 * v // n // 100000 AS BIGINT) "
+            "AS ttr_decile, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM p GROUP BY 1 ORDER BY 1"),
+        "order_topline_share_hist": (
+            "WITH l AS (SELECT l_orderkey, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents "
+            "FROM lineitem), "
+            "o AS (SELECT l_orderkey, max(cents) AS mx, "
+            "SUM(cents) AS s FROM l GROUP BY 1 "
+            "HAVING count(*) >= 2) "
+            "SELECT CAST(1000000 * mx // s // 100000 AS BIGINT) "
+            "AS share_decile, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM o GROUP BY 1 ORDER BY 1"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
