@@ -490,7 +490,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         order_total_reconciliation,
                                         intersession_gap_hist,
                                         doc_ttr_hist,
-                                        order_topline_share_hist)
+                                        order_topline_share_hist,
+                                        coorder_pagerank2,
+                                        embedding_dim_cov_sign_census,
+                                        monthly_yoy_sign_matrix,
+                                        supplier_distinct_orders_hist)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1239,6 +1243,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersession_gap_hist": intersession_gap_hist,
         "doc_ttr_hist": doc_ttr_hist,
         "order_topline_share_hist": order_topline_share_hist,
+        "coorder_pagerank2": coorder_pagerank2,
+        "embedding_dim_cov_sign_census": embedding_dim_cov_sign_census,
+        "monthly_yoy_sign_matrix": monthly_yoy_sign_matrix,
+        "supplier_distinct_orders_hist": supplier_distinct_orders_hist,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3764,6 +3772,69 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(1000000 * mx // s // 100000 AS BIGINT) "
             "AS share_decile, CAST(count(*) AS BIGINT) AS n_orders "
             "FROM o GROUP BY 1 ORDER BY 1"),
+        "coorder_pagerank2": (
+            "WITH li AS (SELECT DISTINCT l_orderkey AS o, "
+            "l_partkey AS p FROM lineitem), "
+            "e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM li a "
+            "JOIN li b ON a.o = b.o AND a.p < b.p), "
+            "u AS (SELECT a AS src, b AS dst FROM e "
+            "UNION ALL SELECT b, a FROM e), "
+            "d AS (SELECT src AS node, count(*) AS deg FROM u "
+            "GROUP BY 1), "
+            "r1 AS (SELECT u.dst AS node, 150000 + "
+            "SUM(850 * (1000000 // d.deg) // 1000) AS r FROM u "
+            "JOIN d ON d.node = u.src GROUP BY 1), "
+            "r2 AS (SELECT u.dst AS node, 150000 + "
+            "SUM(850 * (r1.r // d.deg) // 1000) AS r FROM u "
+            "JOIN d ON d.node = u.src JOIN r1 ON r1.node = u.src "
+            "GROUP BY 1) "
+            "SELECT CAST(r2.node AS BIGINT) AS part, "
+            "CAST(d2.deg AS BIGINT) AS degree, "
+            "CAST(r2.r AS BIGINT) AS r2 FROM r2 "
+            "JOIN d d2 ON d2.node = r2.node "
+            "ORDER BY r2.r DESC, part LIMIT 20"),
+        "embedding_dim_cov_sign_census": (
+            "WITH v AS (SELECT vec_id, r.i AS i, "
+            "CAST(round(CAST(embedding[CAST(r.i AS INT)] AS DOUBLE) "
+            "* 10000) AS BIGINT) AS q FROM embeddings "
+            "CROSS JOIN range(1, 65) r(i)), "
+            "m AS (SELECT i, SUM(CAST(q AS HUGEINT)) AS sx, "
+            "count(*) AS n FROM v GROUP BY 1), "
+            "p AS (SELECT a.i AS i, b.i AS j, "
+            "SUM(CAST(a.q AS HUGEINT) * b.q) AS sxy FROM v a "
+            "JOIN v b ON a.vec_id = b.vec_id AND a.i < b.i "
+            "GROUP BY 1, 2), "
+            "s AS (SELECT sign(ma.n * p.sxy - ma.sx * mb.sx) AS sg "
+            "FROM p JOIN m ma ON ma.i = p.i "
+            "JOIN m mb ON mb.i = p.j) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_pairs, "
+            "CAST(SUM(CASE WHEN sg > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_pos, "
+            "CAST(SUM(CASE WHEN sg < 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_neg, "
+            "CAST(SUM(CASE WHEN sg = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_zero FROM s"),
+        "monthly_yoy_sign_matrix": (
+            "WITH m AS (SELECT year(o_orderdate) AS y, "
+            "month(o_orderdate) AS mo, "
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev "
+            "FROM orders GROUP BY 1, 2), "
+            "j AS (SELECT a.mo AS mo, sign(a.rev - b.rev) AS sg "
+            "FROM m a JOIN m b ON b.y = a.y - 1 AND b.mo = a.mo) "
+            "SELECT CAST(mo AS BIGINT) AS month, "
+            "CAST(SUM(CASE WHEN sg > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_up, "
+            "CAST(SUM(CASE WHEN sg < 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_down, CAST(count(*) AS BIGINT) AS n_pairs "
+            "FROM j GROUP BY 1 ORDER BY 1"),
+        "supplier_distinct_orders_hist": (
+            "WITH u AS (SELECT DISTINCT l_suppkey, l_orderkey "
+            "FROM lineitem), "
+            "c AS (SELECT l_suppkey, count(*) AS reach FROM u "
+            "GROUP BY 1) "
+            "SELECT CAST(reach // 64 AS BIGINT) AS reach_bucket, "
+            "CAST(count(*) AS BIGINT) AS n_suppliers FROM c "
+            "GROUP BY 1 ORDER BY 1"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
