@@ -485,7 +485,7 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         discount_tax_net_grid,
                                         events_orders_daily_cov,
                                         centroid_margin_hist,
-                                        nation_supplier_hhi,
+                                        nation_supplier_hhi_ppm,
                                         purchase_dow_hour_heatmap,
                                         order_total_reconciliation,
                                         intersession_gap_hist,
@@ -1237,7 +1237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discount_tax_net_grid": discount_tax_net_grid,
         "events_orders_daily_cov": events_orders_daily_cov,
         "centroid_margin_hist": centroid_margin_hist,
-        "nation_supplier_hhi": nation_supplier_hhi,
+        "nation_supplier_hhi_ppm": nation_supplier_hhi_ppm,
         "purchase_dow_hour_heatmap": purchase_dow_hour_heatmap,
         "order_total_reconciliation": order_total_reconciliation,
         "intersession_gap_hist": intersession_gap_hist,
@@ -3710,7 +3710,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(ppm // 10000 AS BIGINT) AS margin_pct, "
             "CAST(count(*) AS BIGINT) AS n_vectors FROM m "
             "GROUP BY 1 ORDER BY 1"),
-        "nation_supplier_hhi": (
+        "nation_supplier_hhi_ppm": (
             "WITH r AS (SELECT l_suppkey, "
             "SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) "
             "AS cents FROM lineitem GROUP BY 1), "
