@@ -494,7 +494,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         coorder_pagerank2,
                                         embedding_dim_cov_sign_census,
                                         monthly_yoy_sign_matrix,
-                                        supplier_distinct_orders_hist)
+                                        supplier_distinct_orders_hist,
+                                        coorder_minlabel_rounds,
+                                        pps_systematic_sample_audit,
+                                        order_width_transition_matrix,
+                                        doc_internal_shingle_repeats)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1247,6 +1251,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_cov_sign_census": embedding_dim_cov_sign_census,
         "monthly_yoy_sign_matrix": monthly_yoy_sign_matrix,
         "supplier_distinct_orders_hist": supplier_distinct_orders_hist,
+        "coorder_minlabel_rounds": coorder_minlabel_rounds,
+        "pps_systematic_sample_audit": pps_systematic_sample_audit,
+        "order_width_transition_matrix": order_width_transition_matrix,
+        "doc_internal_shingle_repeats": doc_internal_shingle_repeats,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3834,6 +3842,70 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1) "
             "SELECT CAST(reach // 64 AS BIGINT) AS reach_bucket, "
             "CAST(count(*) AS BIGINT) AS n_suppliers FROM c "
+            "GROUP BY 1 ORDER BY 1"),
+        "coorder_minlabel_rounds": (
+            "WITH lp AS (SELECT DISTINCT l_orderkey AS o, "
+            "CAST(l_partkey AS BIGINT) AS p FROM lineitem), "
+            "e0 AS (SELECT DISTINCT a.p AS a, b.p AS b FROM lp a "
+            "JOIN lp b ON a.o = b.o AND a.p < b.p), "
+            "nodes AS (SELECT a AS v FROM e0 UNION SELECT b FROM e0), "
+            "nb AS (SELECT a AS v, b AS w FROM e0 "
+            "UNION ALL SELECT b, a FROM e0), "
+            "r0 AS (SELECT v, v AS lbl FROM nodes), "
+            "r1 AS (SELECT nb.v, LEAST(rv.lbl, min(rw.lbl)) AS lbl "
+            "FROM nb JOIN r0 rv ON rv.v = nb.v "
+            "JOIN r0 rw ON rw.v = nb.w GROUP BY nb.v, rv.lbl), "
+            "r2 AS (SELECT nb.v, LEAST(rv.lbl, min(rw.lbl)) AS lbl "
+            "FROM nb JOIN r1 rv ON rv.v = nb.v "
+            "JOIN r1 rw ON rw.v = nb.w GROUP BY nb.v, rv.lbl), "
+            "r3 AS (SELECT nb.v, LEAST(rv.lbl, min(rw.lbl)) AS lbl "
+            "FROM nb JOIN r2 rv ON rv.v = nb.v "
+            "JOIN r2 rw ON rw.v = nb.w GROUP BY nb.v, rv.lbl) "
+            "SELECT CAST(0 AS BIGINT) AS round, "
+            "CAST(count(DISTINCT lbl) AS BIGINT) AS n_labels, "
+            "CAST(sum(lbl) AS BIGINT) AS sum_labels FROM r0 "
+            "UNION ALL SELECT 1, count(DISTINCT lbl), sum(lbl) FROM r1 "
+            "UNION ALL SELECT 2, count(DISTINCT lbl), sum(lbl) FROM r2 "
+            "UNION ALL SELECT 3, count(DISTINCT lbl), sum(lbl) FROM r3 "
+            "ORDER BY 1"),
+        "pps_systematic_sample_audit": (
+            "WITH w AS (SELECT o_custkey AS c, "
+            "CAST(count(*) AS BIGINT) AS wt FROM orders GROUP BY 1), "
+            "tot AS (SELECT sum(wt) AS t FROM w), "
+            "g AS (SELECT greatest(t // 64, 1) AS step FROM tot), "
+            "cum AS (SELECT c, wt, sum(wt) OVER (ORDER BY c "
+            "ROWS UNBOUNDED PRECEDING) AS hi FROM w), "
+            "q AS (SELECT c, wt, "
+            "LEAST((hi - step // 2 + step - 1) // step, 64) "
+            "- LEAST((hi - wt - step // 2 + step - 1) // step, 64) "
+            "AS hits FROM cum, g) "
+            "SELECT CAST(c_nationkey AS BIGINT) AS nationkey, "
+            "CAST(count(*) FILTER (hits > 0) AS BIGINT) AS n_selected, "
+            "CAST(sum(hits) AS BIGINT) AS n_hits, "
+            "CAST(COALESCE(sum(wt) FILTER (hits > 0), 0) AS BIGINT) "
+            "AS sel_weight "
+            "FROM q JOIN customer ON c_custkey = q.c "
+            "GROUP BY 1 ORDER BY 1"),
+        "order_width_transition_matrix": (
+            "WITH w AS (SELECT l_orderkey AS o, "
+            "LEAST(count(*), 7) AS wd FROM lineitem GROUP BY 1), "
+            "ow AS (SELECT o_custkey AS c, o_orderdate AS d, "
+            "o_orderkey AS k, wd FROM orders "
+            "JOIN w ON o_orderkey = w.o), "
+            "tr AS (SELECT c, wd, lag(wd) OVER (PARTITION BY c "
+            "ORDER BY d, k) AS pw FROM ow) "
+            "SELECT CAST(pw AS BIGINT) AS w_from, "
+            "CAST(wd AS BIGINT) AS w_to, "
+            "CAST(count(*) AS BIGINT) AS n_pairs FROM tr "
+            "WHERE pw IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"),
+        "doc_internal_shingle_repeats": (
+            "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "bg AS (SELECT doc_id, [t[i] || ' ' || t[i+1] "
+            "FOR i IN range(1, len(t))] AS gs FROM tk) "
+            "SELECT CAST(LEAST(len(gs) - len(list_distinct(gs)), 12) "
+            "AS BIGINT) AS repeat_bucket, "
+            "CAST(count(*) AS BIGINT) AS n_docs FROM bg "
             "GROUP BY 1 ORDER BY 1"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
