@@ -498,7 +498,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         coorder_minlabel_rounds,
                                         pps_systematic_sample_audit,
                                         order_width_transition_matrix,
-                                        doc_internal_shingle_repeats)
+                                        doc_internal_shingle_repeats,
+                                        greedy_vocab_cover,
+                                        doc_toklen_lag_sign_census,
+                                        kendall_width_price,
+                                        order_price_ratio_pairs_hist)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1255,6 +1259,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pps_systematic_sample_audit": pps_systematic_sample_audit,
         "order_width_transition_matrix": order_width_transition_matrix,
         "doc_internal_shingle_repeats": doc_internal_shingle_repeats,
+        "greedy_vocab_cover": greedy_vocab_cover,
+        "doc_toklen_lag_sign_census": doc_toklen_lag_sign_census,
+        "kendall_width_price": kendall_width_price,
+        "order_price_ratio_pairs_hist": order_price_ratio_pairs_hist,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -3906,6 +3914,97 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(LEAST(len(gs) - len(list_distinct(gs)), 12) "
             "AS BIGINT) AS repeat_bucket, "
             "CAST(count(*) AS BIGINT) AS n_docs FROM bg "
+            "GROUP BY 1 ORDER BY 1"),
+        "greedy_vocab_cover": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(list_distinct(string_split(text, ' '))) AS tk "
+            "FROM documents), "
+            "top AS (SELECT tk FROM tok GROUP BY tk "
+            "ORDER BY count(*) DESC, tk LIMIT 32), "
+            "ntop AS (SELECT count(*) AS k FROM top), "
+            "dt AS (SELECT DISTINCT doc_id, tk FROM tok "
+            "JOIN top USING (tk)), "
+            "docs AS (SELECT DISTINCT doc_id FROM dt), "
+            "c1 AS (SELECT d.doc_id, count(dt.tk) AS c FROM docs d "
+            "LEFT JOIN dt ON dt.doc_id = d.doc_id GROUP BY 1), "
+            "p1 AS (SELECT doc_id, c FROM c1 "
+            "ORDER BY c DESC, doc_id LIMIT 1), "
+            "cov1 AS (SELECT tk FROM dt "
+            "WHERE doc_id = (SELECT doc_id FROM p1)), "
+            "u1 AS (SELECT tk FROM top EXCEPT SELECT tk FROM cov1), "
+            "c2 AS (SELECT d.doc_id, count(u1.tk) AS c FROM docs d "
+            "LEFT JOIN dt ON dt.doc_id = d.doc_id "
+            "LEFT JOIN u1 ON u1.tk = dt.tk GROUP BY 1), "
+            "p2 AS (SELECT doc_id, c FROM c2 "
+            "ORDER BY c DESC, doc_id LIMIT 1), "
+            "cov2 AS (SELECT tk FROM cov1 UNION SELECT dt.tk FROM dt "
+            "JOIN u1 ON u1.tk = dt.tk "
+            "WHERE dt.doc_id = (SELECT doc_id FROM p2)), "
+            "u2 AS (SELECT tk FROM top EXCEPT SELECT tk FROM cov2), "
+            "c3 AS (SELECT d.doc_id, count(u2.tk) AS c FROM docs d "
+            "LEFT JOIN dt ON dt.doc_id = d.doc_id "
+            "LEFT JOIN u2 ON u2.tk = dt.tk GROUP BY 1), "
+            "p3 AS (SELECT doc_id, c FROM c3 "
+            "ORDER BY c DESC, doc_id LIMIT 1) "
+            "SELECT CAST(1 AS BIGINT) AS round, "
+            "CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(c AS BIGINT) AS n_new, "
+            "CAST((SELECT k FROM ntop) - c AS BIGINT) AS n_remaining "
+            "FROM p1 "
+            "UNION ALL SELECT 2, doc_id, c, "
+            "(SELECT count(*) FROM u1) - c FROM p2 "
+            "UNION ALL SELECT 3, doc_id, c, "
+            "(SELECT count(*) FROM u2) - c FROM p3 ORDER BY 1"),
+        "doc_toklen_lag_sign_census": (
+            "WITH t AS (SELECT doc_id, lang, "
+            "string_split(text, ' ') AS s FROM documents "
+            "WHERE len(string_split(text, ' ')) >= 3), "
+            "x AS (SELECT doc_id, lang, length(s[i]) AS x, "
+            "length(s[i+1]) AS y FROM t, "
+            "UNNEST(range(1, len(s))) r(i)), "
+            "m AS (SELECT doc_id, lang, count(*) AS m, "
+            "sum(x*y) AS sxy, sum(x) AS sx, sum(y) AS sy "
+            "FROM x GROUP BY 1, 2) "
+            "SELECT lang, "
+            "CAST(sign(m*sxy - sx*sy) AS BIGINT) AS sgn, "
+            "CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM m GROUP BY 1, 2 ORDER BY 1, 2"),
+        "kendall_width_price": (
+            "WITH w AS (SELECT l_orderkey AS o, "
+            "LEAST(count(*), 7) AS w FROM lineitem GROUP BY 1), "
+            "j AS (SELECT w.w AS w, "
+            "LEAST(CAST(round(o_totalprice * 100) AS BIGINT) "
+            "// 5000000, 9) AS p FROM orders "
+            "JOIN w ON o_orderkey = w.o), "
+            "h AS (SELECT w, p, CAST(count(*) AS HUGEINT) AS n "
+            "FROM j GROUP BY 1, 2) "
+            "SELECT "
+            "CAST((SELECT COALESCE(sum(n), 0) FROM h) AS BIGINT) "
+            "AS n_orders, "
+            "CAST((SELECT COALESCE(sum(a.n*b.n), 0) FROM h a "
+            "JOIN h b ON b.w > a.w AND b.p > a.p) AS VARCHAR) "
+            "AS conc, "
+            "CAST((SELECT COALESCE(sum(a.n*b.n), 0) FROM h a "
+            "JOIN h b ON b.w > a.w AND b.p < a.p) AS VARCHAR) "
+            "AS disc, "
+            "CAST((SELECT COALESCE(sum(a.n*b.n), 0) FROM h a "
+            "JOIN h b ON b.w = a.w AND b.p > a.p) AS VARCHAR) "
+            "AS ties_w, "
+            "CAST((SELECT COALESCE(sum(a.n*b.n), 0) FROM h a "
+            "JOIN h b ON b.p = a.p AND b.w > a.w) AS VARCHAR) "
+            "AS ties_p, "
+            "CAST((SELECT COALESCE(sum(n*(n-1)//2), 0) FROM h) "
+            "AS VARCHAR) AS ties_both"),
+        "order_price_ratio_pairs_hist": (
+            "WITH l AS (SELECT l_orderkey AS o, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS c "
+            "FROM lineitem), "
+            "p AS (SELECT a.o, count(*) AS np FROM l a "
+            "JOIN l b ON a.o = b.o AND 2*a.c <= b.c GROUP BY 1), "
+            "allo AS (SELECT o FROM l GROUP BY 1) "
+            "SELECT CAST(LEAST(COALESCE(np, 0), 16) AS BIGINT) "
+            "AS pairs_bucket, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM allo LEFT JOIN p USING (o) "
             "GROUP BY 1 ORDER BY 1"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
