@@ -502,7 +502,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         greedy_vocab_cover,
                                         doc_toklen_lag_sign_census,
                                         kendall_width_price,
-                                        order_price_ratio_pairs_hist)
+                                        order_price_ratio_pairs_hist,
+                                        ams_f2_sketch_audit,
+                                        daily_revenue_next_higher_wait,
+                                        supplier_ship_interval_coverage,
+                                        rle_chunk_encoding_audit)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1263,6 +1267,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_toklen_lag_sign_census": doc_toklen_lag_sign_census,
         "kendall_width_price": kendall_width_price,
         "order_price_ratio_pairs_hist": order_price_ratio_pairs_hist,
+        "ams_f2_sketch_audit": ams_f2_sketch_audit,
+        "daily_revenue_next_higher_wait": daily_revenue_next_higher_wait,
+        "supplier_ship_interval_coverage": supplier_ship_interval_coverage,
+        "rle_chunk_encoding_audit": rle_chunk_encoding_audit,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -4006,6 +4014,65 @@ def oracle_sql() -> dict[str, str]:
             "AS pairs_bucket, CAST(count(*) AS BIGINT) AS n_orders "
             "FROM allo LEFT JOIN p USING (o) "
             "GROUP BY 1 ORDER BY 1"),
+        "ams_f2_sketch_audit": (
+            "WITH f AS (SELECT CAST(user_id AS VARCHAR) AS u, "
+            "CAST(count(*) AS BIGINT) AS f FROM events GROUP BY 1), "
+            "s AS (SELECT r, u, f, CASE WHEN ("
+            + _fold60_sql("md5(CAST(r AS VARCHAR) || ':' || u)")
+            + ") % 2 = 0 THEN 1 ELSE -1 END AS sgn "
+            "FROM f, (VALUES (0), (1), (2), (3)) t(r)), "
+            "m AS (SELECT r, sum(sgn * f) AS ss FROM s GROUP BY 1), "
+            "f2 AS (SELECT sum(CAST(f AS HUGEINT) * f) AS v FROM f) "
+            "SELECT CAST(r AS BIGINT) AS sketch_row, "
+            "CAST(ss AS BIGINT) AS signed_sum, "
+            "CAST(CAST(ss AS HUGEINT) * ss AS VARCHAR) AS est_f2, "
+            "CAST((SELECT v FROM f2) AS VARCHAR) AS f2_exact "
+            "FROM m ORDER BY 1"),
+        "daily_revenue_next_higher_wait": (
+            "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev "
+            "FROM orders GROUP BY 1), "
+            "n AS (SELECT a.day, min(b.day - a.day) AS w FROM d a "
+            "JOIN d b ON b.day > a.day AND b.rev > a.rev GROUP BY 1) "
+            "SELECT CAST(CASE WHEN w IS NULL THEN -1 "
+            "ELSE LEAST(w, 31) END AS BIGINT) "
+            "AS wait_bucket, CAST(count(*) AS BIGINT) AS n_days "
+            "FROM d LEFT JOIN n USING (day) GROUP BY 1 ORDER BY 1"),
+        "supplier_ship_interval_coverage": (
+            "WITH iv AS (SELECT l_suppkey AS sk, "
+            "year(o_orderdate) AS y, CAST(o_orderdate AS DATE) AS s, "
+            "GREATEST(CAST(l_shipdate AS DATE), "
+            "CAST(o_orderdate AS DATE)) AS e FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderpriority = '1-URGENT'), "
+            "w AS (SELECT sk, y, s, e, max(e) OVER (PARTITION BY sk, y "
+            "ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING) AS pmax FROM iv), "
+            "g AS (SELECT sk, y, s, e, CASE WHEN pmax IS NULL "
+            "OR s > pmax THEN 1 ELSE 0 END AS brk FROM w), "
+            "i AS (SELECT sk, y, s, e, sum(brk) OVER (PARTITION BY "
+            "sk, y ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS isl "
+            "FROM g), "
+            "c AS (SELECT sk, y, isl, max(e) - min(s) + 1 AS len "
+            "FROM i GROUP BY 1, 2, 3), "
+            "p AS (SELECT sk, y, sum(len) AS cov, count(*) AS ni "
+            "FROM c GROUP BY 1, 2) "
+            "SELECT CAST(cov // 32 AS BIGINT) AS cov_bucket, "
+            "CAST(count(*) AS BIGINT) AS n_cells, "
+            "CAST(sum(ni) AS BIGINT) AS n_islands "
+            "FROM p GROUP BY 1 ORDER BY 1"),
+        "rle_chunk_encoding_audit": (
+            "WITH l AS (SELECT l_orderkey // 64 AS ch, "
+            "l_orderkey AS k, l_linenumber AS ln, "
+            "l_returnflag || l_linestatus AS v FROM lineitem), "
+            "w AS (SELECT ch, CASE WHEN lag(v) OVER (PARTITION BY ch "
+            "ORDER BY k, ln, v) IS DISTINCT FROM v THEN 1 ELSE 0 END "
+            "AS chg FROM l), "
+            "c AS (SELECT ch, sum(chg) AS runs, count(*) AS nr "
+            "FROM w GROUP BY 1) "
+            "SELECT CAST(1000000 * runs // nr // 20000 AS BIGINT) "
+            "AS rle_bucket, CAST(count(*) AS BIGINT) AS n_chunks "
+            "FROM c GROUP BY 1 ORDER BY 1"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
