@@ -506,7 +506,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         ams_f2_sketch_audit,
                                         daily_revenue_next_higher_wait,
                                         supplier_ship_interval_coverage,
-                                        rle_chunk_encoding_audit)
+                                        rle_chunk_encoding_audit,
+                                        split_leakage_audit,
+                                        coorder_heaviest_edge_hooking,
+                                        doc_repeat_mass_log2,
+                                        daily_revenue_extrema_census)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1271,6 +1275,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_revenue_next_higher_wait": daily_revenue_next_higher_wait,
         "supplier_ship_interval_coverage": supplier_ship_interval_coverage,
         "rle_chunk_encoding_audit": rle_chunk_encoding_audit,
+        "split_leakage_audit": split_leakage_audit,
+        "coorder_heaviest_edge_hooking": coorder_heaviest_edge_hooking,
+        "doc_repeat_mass_log2": doc_repeat_mass_log2,
+        "daily_revenue_extrema_census": daily_revenue_extrema_census,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -4073,6 +4081,67 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(1000000 * runs // nr // 20000 AS BIGINT) "
             "AS rle_bucket, CAST(count(*) AS BIGINT) AS n_chunks "
             "FROM c GROUP BY 1 ORDER BY 1"),
+        "split_leakage_audit": (
+            "WITH d AS (SELECT array_to_string("
+            "(string_split(text, ' '))[1:8], ' ') AS fp, "
+            "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), "
+            "1, 2)) AS BIGINT) % 10 AS b FROM documents), "
+            "ds AS (SELECT DISTINCT fp, CASE WHEN b < 8 THEN 0 "
+            "WHEN b = 8 THEN 1 ELSE 2 END AS s FROM d) "
+            "SELECT CAST(a.s AS BIGINT) AS split_a, "
+            "CAST(b.s AS BIGINT) AS split_b, "
+            "CAST(count(*) AS BIGINT) AS n_groups FROM ds a "
+            "JOIN ds b ON a.fp = b.fp AND a.s < b.s "
+            "GROUP BY 1, 2 ORDER BY 1, 2"),
+        "coorder_heaviest_edge_hooking": (
+            "WITH lp AS (SELECT DISTINCT l_orderkey AS o, "
+            "CAST(l_partkey AS BIGINT) AS p FROM lineitem), "
+            "pr AS (SELECT a.p AS a, b.p AS b, "
+            "CAST(count(*) AS BIGINT) AS n FROM lp a "
+            "JOIN lp b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2), "
+            "nb AS (SELECT a AS v, b AS w, n FROM pr "
+            "UNION ALL SELECT b, a, n FROM pr), "
+            "pick AS (SELECT v, w, n FROM (SELECT v, w, n, "
+            "row_number() OVER (PARTITION BY v "
+            "ORDER BY n DESC, w ASC) AS rn FROM nb) WHERE rn = 1), "
+            "np AS (SELECT LEAST(n, 8) AS wb, count(*) AS n_picks "
+            "FROM pick GROUP BY 1), "
+            "mut AS (SELECT LEAST(p1.n, 8) AS wb, count(*) AS nm "
+            "FROM pick p1 JOIN pick p2 ON p1.w = p2.v "
+            "AND p2.w = p1.v AND p1.v < p1.w GROUP BY 1) "
+            "SELECT CAST(COALESCE(np.wb, mut.wb) AS BIGINT) "
+            "AS weight_bucket, "
+            "CAST(COALESCE(n_picks, 0) AS BIGINT) AS n_picks, "
+            "CAST(COALESCE(nm, 0) AS BIGINT) AS n_mutual_pairs "
+            "FROM np FULL OUTER JOIN mut ON np.wb = mut.wb "
+            "ORDER BY 1"),
+        "doc_repeat_mass_log2": (
+            "WITH tk AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS t FROM documents), "
+            "f AS (SELECT doc_id, t, count(*) AS f FROM tk "
+            "GROUP BY 1, 2), "
+            "m AS (SELECT doc_id, "
+            "sum(f * (length(bin(f)) - 1)) AS mass FROM f "
+            "GROUP BY 1) "
+            "SELECT CAST(LEAST(mass // 16, 31) AS BIGINT) "
+            "AS mass_bucket, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM m GROUP BY 1 ORDER BY 1"),
+        "daily_revenue_extrema_census": (
+            "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev "
+            "FROM orders GROUP BY 1), "
+            "w AS (SELECT year(day) AS y, rev, "
+            "lag(rev) OVER (ORDER BY day) AS p, "
+            "lead(rev) OVER (ORDER BY day) AS n FROM d) "
+            "SELECT CAST(y AS BIGINT) AS year, "
+            "CAST(sum(CASE WHEN p IS NOT NULL AND n IS NOT NULL "
+            "AND rev > p AND rev > n THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_local_max, "
+            "CAST(sum(CASE WHEN p IS NOT NULL AND n IS NOT NULL "
+            "AND rev < p AND rev < n THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_local_min, "
+            "CAST(count(*) AS BIGINT) AS n_days "
+            "FROM w GROUP BY 1 ORDER BY 1"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
