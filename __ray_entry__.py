@@ -510,7 +510,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         split_leakage_audit,
                                         coorder_heaviest_edge_hooking,
                                         doc_repeat_mass_log2,
-                                        daily_revenue_extrema_census)
+                                        daily_revenue_extrema_census,
+                                        histogram_quantile_audit,
+                                        token_trie_level_widths,
+                                        daily_revenue_gorilla_audit,
+                                        dow_detrend_sign_census)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1279,6 +1283,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coorder_heaviest_edge_hooking": coorder_heaviest_edge_hooking,
         "doc_repeat_mass_log2": doc_repeat_mass_log2,
         "daily_revenue_extrema_census": daily_revenue_extrema_census,
+        "histogram_quantile_audit": histogram_quantile_audit,
+        "token_trie_level_widths": token_trie_level_widths,
+        "daily_revenue_gorilla_audit": daily_revenue_gorilla_audit,
+        "dow_detrend_sign_census": dow_detrend_sign_census,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -4142,6 +4150,76 @@ def oracle_sql() -> dict[str, str]:
             "AS n_local_min, "
             "CAST(count(*) AS BIGINT) AS n_days "
             "FROM w GROUP BY 1 ORDER BY 1"),
+        "histogram_quantile_audit": (
+            "WITH c AS (SELECT CAST(round(l_extendedprice * 100) "
+            "AS BIGINT) AS c FROM lineitem), "
+            "pw AS (SELECT min(c) AS lo, max(c) AS hi, "
+            "count(*) AS n, (max(c) - min(c)) // 256 + 1 AS w "
+            "FROM c), "
+            "h AS (SELECT (c.c - pw.lo) // pw.w AS b, "
+            "count(*) AS cnt FROM c, pw GROUP BY 1), "
+            "cm AS (SELECT b, sum(cnt) OVER (ORDER BY b "
+            "ROWS UNBOUNDED PRECEDING) AS cum FROM h), "
+            "qk AS (SELECT q, (q * (SELECT n FROM pw) + 99) // 100 "
+            "AS k FROM (VALUES (50), (90), (99)) t(q)), "
+            "tb AS (SELECT q, k, min(b) AS bq FROM qk "
+            "JOIN cm ON cm.cum >= k GROUP BY 1, 2), "
+            "es AS (SELECT q, k, (SELECT lo FROM pw) "
+            "+ (SELECT w FROM pw) * (bq + 1) - 1 AS est FROM tb), "
+            "rk AS (SELECT c, row_number() OVER (ORDER BY c) AS rn "
+            "FROM c), "
+            "ex AS (SELECT qk.q, rk.c AS exact FROM qk "
+            "JOIN rk ON rk.rn = qk.k) "
+            "SELECT CAST(es.q AS BIGINT) AS q, "
+            "CAST(est AS BIGINT) AS est_cents, "
+            "CAST(exact AS BIGINT) AS exact_cents, "
+            "CAST(abs(est - exact) AS BIGINT) AS abs_err "
+            "FROM es JOIN ex ON es.q = ex.q ORDER BY 1"),
+        "token_trie_level_widths": (
+            "WITH v AS (SELECT DISTINCT "
+            "unnest(string_split(text, ' ')) AS t FROM documents) "
+            "SELECT CAST(l AS BIGINT) AS level, "
+            "CAST(count(DISTINCT substr(t, 1, l)) AS BIGINT) "
+            "AS n_prefixes FROM v, "
+            "(VALUES (1), (2), (3), (4)) x(l) "
+            "GROUP BY 1 ORDER BY 1"),
+        "daily_revenue_gorilla_audit": (
+            "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev "
+            "FROM orders GROUP BY 1), "
+            "a AS (SELECT day, rev - lag(rev) OVER (ORDER BY day) "
+            "AS d1 FROM d), "
+            "b AS (SELECT day, d1, d1 - lag(d1) OVER (ORDER BY day) "
+            "AS d2 FROM a WHERE d1 IS NOT NULL), "
+            "vb1 AS (SELECT sum(GREATEST((length(bin(CASE WHEN d1 >= 0 "
+            "THEN 2 * d1 ELSE -2 * d1 - 1 END)) + 6) // 7, 1)) AS v "
+            "FROM b), "
+            "vb2 AS (SELECT sum(GREATEST((length(bin(CASE WHEN d2 >= 0 "
+            "THEN 2 * d2 ELSE -2 * d2 - 1 END)) + 6) // 7, 1)) AS v, "
+            "count(*) AS n, sum(CASE WHEN d2 = 0 THEN 1 ELSE 0 END) "
+            "AS z FROM b WHERE d2 IS NOT NULL) "
+            "SELECT CAST((SELECT count(*) FROM d) AS BIGINT) "
+            "AS n_days, "
+            "CAST((SELECT n FROM vb2) AS BIGINT) AS n_second_diffs, "
+            "CAST((SELECT z FROM vb2) AS BIGINT) AS n_zero_d2, "
+            "CAST((SELECT v FROM vb1) AS BIGINT) AS varint_bytes_d1, "
+            "CAST((SELECT v FROM vb2) AS BIGINT) AS varint_bytes_d2"),
+        "dow_detrend_sign_census": (
+            "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev "
+            "FROM orders GROUP BY 1), "
+            "g AS (SELECT isodow(day) AS dow, rev, "
+            "count(*) OVER (PARTITION BY isodow(day)) AS n, "
+            "sum(CAST(rev AS HUGEINT)) OVER (PARTITION BY "
+            "isodow(day)) AS s FROM d) "
+            "SELECT CAST(dow AS BIGINT) AS dow, "
+            "CAST(sum(CASE WHEN CAST(rev AS HUGEINT) * n > s "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_above, "
+            "CAST(sum(CASE WHEN CAST(rev AS HUGEINT) * n < s "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_below, "
+            "CAST(sum(CASE WHEN CAST(rev AS HUGEINT) * n = s "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_at "
+            "FROM g GROUP BY 1 ORDER BY 1"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
