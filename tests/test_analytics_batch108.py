@@ -47,7 +47,7 @@ def test_centroid_margin_hist(ray_session, tmp_path):
 
 
 def test_nation_supplier_hhi(ray_session, tmp_path):
-    from ctdray.pipelines.analytics import nation_supplier_hhi
+    from ctdray.pipelines.analytics import nation_supplier_hhi_ppm
     # nation 0: suppliers with revenue 300 and 100 cents ->
     # hhi = 1e6*(90000+10000)//160000 = 625000
     # nation 1: single supplier -> 1e6
@@ -63,7 +63,7 @@ def test_nation_supplier_hhi(ray_session, tmp_path):
         "n_nationkey": pa.array([0, 1], pa.int64()),
         "n_name": pa.array(["ALPHA", "BETA"]),
     }), str(tmp_path / "nation.parquet"))
-    out = nation_supplier_hhi(str(tmp_path)).to_pandas() \
+    out = nation_supplier_hhi_ppm(str(tmp_path)).to_pandas() \
         .set_index("n_name")
     assert out.loc["ALPHA"].n_suppliers == 2
     assert out.loc["ALPHA"].hhi_ppm == 625000
