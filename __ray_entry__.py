@@ -514,7 +514,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         histogram_quantile_audit,
                                         token_trie_level_widths,
                                         daily_revenue_gorilla_audit,
-                                        dow_detrend_sign_census)
+                                        dow_detrend_sign_census,
+                                        daily_peak_concurrent_sessions,
+                                        price_firstdigit_two_sample,
+                                        iblt_difference_cells,
+                                        hash_bit_balance_audit)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1287,6 +1291,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_trie_level_widths": token_trie_level_widths,
         "daily_revenue_gorilla_audit": daily_revenue_gorilla_audit,
         "dow_detrend_sign_census": dow_detrend_sign_census,
+        "daily_peak_concurrent_sessions": daily_peak_concurrent_sessions,
+        "price_firstdigit_two_sample": price_firstdigit_two_sample,
+        "iblt_difference_cells": iblt_difference_cells,
+        "hash_bit_balance_audit": hash_bit_balance_audit,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -4220,6 +4228,70 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN CAST(rev AS HUGEINT) * n = s "
             "THEN 1 ELSE 0 END) AS BIGINT) AS n_at "
             "FROM g GROUP BY 1 ORDER BY 1"),
+        "daily_peak_concurrent_sessions": (
+            "WITH o AS (SELECT user_id, ts, event_id, lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "FROM events), "
+            "g AS (SELECT user_id, ts, event_id, CASE WHEN prev IS "
+            "NULL OR ts - prev > INTERVAL 1800 SECOND THEN 1 ELSE 0 "
+            "END AS brk FROM o), "
+            "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY "
+            "user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) "
+            "AS sid FROM g), "
+            "iv AS (SELECT user_id, sid, min(ts) AS st, max(ts) AS en "
+            "FROM s GROUP BY 1, 2), "
+            "dl AS (SELECT st AS t, 1 AS d FROM iv "
+            "UNION ALL SELECT en, -1 FROM iv), "
+            "rp AS (SELECT t, d, sum(d) OVER (ORDER BY t, d DESC "
+            "ROWS UNBOUNDED PRECEDING) AS conc FROM dl) "
+            "SELECT CAST(CAST(t AS DATE) AS TIMESTAMP) AS day, "
+            "CAST(max(conc) AS BIGINT) AS peak_sessions "
+            "FROM rp GROUP BY 1 ORDER BY 1"),
+        "price_firstdigit_two_sample": (
+            "WITH a AS (SELECT CAST(substr(CAST(CAST(round("
+            "o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) "
+            "AS BIGINT) AS digit, count(*) AS n FROM orders "
+            "GROUP BY 1), "
+            "b AS (SELECT CAST(substr(CAST(CAST(round("
+            "l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1) "
+            "AS BIGINT) AS digit, count(*) AS n FROM lineitem "
+            "GROUP BY 1), "
+            "t AS (SELECT (SELECT sum(n) FROM a) AS t1, "
+            "(SELECT sum(n) FROM b) AS t2) "
+            "SELECT CAST(COALESCE(a.digit, b.digit) AS BIGINT) "
+            "AS digit, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders, "
+            "CAST(COALESCE(b.n, 0) AS BIGINT) AS n_lines, "
+            "CAST(abs(CAST(COALESCE(a.n, 0) AS HUGEINT) * t2 "
+            "- CAST(COALESCE(b.n, 0) AS HUGEINT) * t1) AS VARCHAR) "
+            "AS l1_num, "
+            "CAST(sign(CAST(COALESCE(a.n, 0) AS HUGEINT) * t2 "
+            "- CAST(COALESCE(b.n, 0) AS HUGEINT) * t1) AS BIGINT) "
+            "AS sgn "
+            "FROM a FULL OUTER JOIN b USING (digit), t ORDER BY 1"),
+        "iblt_difference_cells": (
+            "WITH ks AS (SELECT DISTINCT l_orderkey * 8 "
+            "+ l_linenumber AS k FROM lineitem), "
+            "df AS (SELECT k FROM ks WHERE k % 31 = 0), "
+            "ins AS (SELECT ("
+            + _fold60_sql("md5(CAST(i AS VARCHAR) || ':' "
+                          "|| CAST(k AS VARCHAR))")
+            + ") % 64 AS cell, k FROM df, "
+            "(VALUES (0), (1), (2)) h(i)) "
+            "SELECT CAST(cell AS BIGINT) AS cell, "
+            "CAST(count(*) AS BIGINT) AS n_keys, "
+            "CAST(bit_xor(k) AS BIGINT) AS key_xor "
+            "FROM ins GROUP BY 1 ORDER BY 1"),
+        "hash_bit_balance_audit": (
+            "WITH ks AS (SELECT DISTINCT o_orderkey AS k "
+            "FROM orders), "
+            "h AS (SELECT ("
+            + _fold60_sql("md5(CAST(k AS VARCHAR))")
+            + ") AS hv FROM ks) "
+            "SELECT CAST(b AS BIGINT) AS bit, "
+            "CAST(sum((hv >> b) % 2) AS BIGINT) AS n_set, "
+            "CAST(count(*) AS BIGINT) AS n_keys "
+            "FROM h, UNNEST(range(0, 60)) t(b) "
+            "GROUP BY 1 ORDER BY 1"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
