@@ -518,7 +518,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         daily_peak_concurrent_sessions,
                                         price_firstdigit_two_sample,
                                         iblt_difference_cells,
-                                        hash_bit_balance_audit)
+                                        hash_bit_balance_audit,
+                                        coorder_percolation_curve,
+                                        vocab_adjacent_lcp_profile,
+                                        daily_revenue_haar_energy,
+                                        dow_rank_occupancy_matrix)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -563,6 +567,43 @@ def _fold48_sql(expr: str) -> str:
         fold = (f"({fold})*16 + (strpos('0123456789abcdef', "
                 f"substr({expr},{i},1))-1)")
     return fold
+
+
+def _percolation_sql(thresholds: tuple = (2, 3, 4, 5)) -> str:
+    """Unrolled recursive-CTE connected components per edge-weight
+    threshold — the SQL mirror of analytics.coorder_percolation_curve
+    (w=1 excluded: the near-complete giant component makes the
+    reachability CTE quadratic in |V|)."""
+    parts = [
+        "WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey AS o, "
+        "CAST(l_partkey AS BIGINT) AS p FROM lineitem), "
+        "pr AS (SELECT a.p AS a, b.p AS b, count(*) AS n FROM lp a "
+        "JOIN lp b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)"]
+    sel = []
+    for w in thresholds:
+        parts.append(
+            f", e{w} AS (SELECT a, b FROM pr WHERE n >= {w}), "
+            f"n{w} AS (SELECT a AS v FROM e{w} "
+            f"UNION SELECT b FROM e{w}), "
+            f"nb{w} AS (SELECT a AS v, b AS w FROM e{w} "
+            f"UNION ALL SELECT b, a FROM e{w}), "
+            f"r{w}(v, lab) AS (SELECT v, v FROM n{w} UNION "
+            f"SELECT nb{w}.v, r{w}.lab FROM nb{w} "
+            f"JOIN r{w} ON r{w}.v = nb{w}.w), "
+            f"lb{w} AS (SELECT v, min(lab) AS lab FROM r{w} "
+            f"GROUP BY 1), "
+            f"c{w} AS (SELECT lab, count(*) AS cnt FROM lb{w} "
+            f"GROUP BY 1)")
+        sel.append(
+            f"SELECT CAST({w} AS BIGINT) AS min_weight, "
+            f"CAST((SELECT count(*) FROM lb{w}) AS BIGINT) "
+            f"AS n_nodes, "
+            f"CAST((SELECT count(*) FROM c{w}) AS BIGINT) "
+            f"AS n_components, "
+            f"CAST((SELECT COALESCE(max(cnt), 0) FROM c{w}) "
+            f"AS BIGINT) AS largest")
+    return "".join(parts) + " " + " UNION ALL ".join(sel) \
+        + " ORDER BY 1"
 
 
 def _simhash_sql(select: str) -> str:
@@ -1295,6 +1336,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_firstdigit_two_sample": price_firstdigit_two_sample,
         "iblt_difference_cells": iblt_difference_cells,
         "hash_bit_balance_audit": hash_bit_balance_audit,
+        "coorder_percolation_curve": coorder_percolation_curve,
+        "vocab_adjacent_lcp_profile": vocab_adjacent_lcp_profile,
+        "daily_revenue_haar_energy": daily_revenue_haar_energy,
+        "dow_rank_occupancy_matrix": dow_rank_occupancy_matrix,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -4292,6 +4337,67 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_keys "
             "FROM h, UNNEST(range(0, 60)) t(b) "
             "GROUP BY 1 ORDER BY 1"),
+        "coorder_percolation_curve": _percolation_sql(),
+        "vocab_adjacent_lcp_profile": (
+            "WITH v AS (SELECT DISTINCT "
+            "unnest(string_split(text, ' ')) AS t FROM documents), "
+            "p AS (SELECT t, lag(t) OVER (ORDER BY t) AS pt FROM v), "
+            "q AS (SELECT t, pt FROM p WHERE pt IS NOT NULL) "
+            "SELECT CAST(l AS BIGINT) AS l, "
+            "CAST(count(*) FILTER (substr(t, 1, l) "
+            "= substr(pt, 1, l)) AS BIGINT) AS n_pairs_ge "
+            "FROM q, UNNEST(range(1, 9)) x(l) "
+            "GROUP BY 1 ORDER BY 1"),
+        "daily_revenue_haar_energy": (
+            "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev "
+            "FROM orders GROUP BY 1), "
+            "r0 AS (SELECT rev, row_number() OVER (ORDER BY day) - 1 "
+            "AS rn FROM d), "
+            "g1 AS (SELECT rn // 2 AS g, "
+            "max(CASE WHEN rn % 2 = 0 THEN rev END) AS a, "
+            "max(CASE WHEN rn % 2 = 1 THEN rev END) AS b "
+            "FROM r0 GROUP BY 1), "
+            "p1 AS (SELECT g, a, b FROM g1 WHERE b IS NOT NULL), "
+            "s1 AS (SELECT a + b AS rev, "
+            "row_number() OVER (ORDER BY g) - 1 AS rn FROM p1), "
+            "g2 AS (SELECT rn // 2 AS g, "
+            "max(CASE WHEN rn % 2 = 0 THEN rev END) AS a, "
+            "max(CASE WHEN rn % 2 = 1 THEN rev END) AS b "
+            "FROM s1 GROUP BY 1), "
+            "p2 AS (SELECT g, a, b FROM g2 WHERE b IS NOT NULL), "
+            "s2 AS (SELECT a + b AS rev, "
+            "row_number() OVER (ORDER BY g) - 1 AS rn FROM p2), "
+            "g3 AS (SELECT rn // 2 AS g, "
+            "max(CASE WHEN rn % 2 = 0 THEN rev END) AS a, "
+            "max(CASE WHEN rn % 2 = 1 THEN rev END) AS b "
+            "FROM s2 GROUP BY 1), "
+            "p3 AS (SELECT g, a, b FROM g3 WHERE b IS NOT NULL) "
+            "SELECT CAST(1 AS BIGINT) AS level, "
+            "CAST((SELECT count(*) FROM p1) AS BIGINT) AS n_pairs, "
+            "CAST((SELECT count(*) FILTER (a = b) FROM p1) "
+            "AS BIGINT) AS zero_details, "
+            "(SELECT CAST(COALESCE(sum(CAST(a - b AS HUGEINT) "
+            "* (a - b)), 0) AS VARCHAR) FROM p1) AS energy "
+            "UNION ALL SELECT 2, (SELECT count(*) FROM p2), "
+            "(SELECT count(*) FILTER (a = b) FROM p2), "
+            "(SELECT CAST(COALESCE(sum(CAST(a - b AS HUGEINT) "
+            "* (a - b)), 0) AS VARCHAR) FROM p2) "
+            "UNION ALL SELECT 3, (SELECT count(*) FROM p3), "
+            "(SELECT count(*) FILTER (a = b) FROM p3), "
+            "(SELECT CAST(COALESCE(sum(CAST(a - b AS HUGEINT) "
+            "* (a - b)), 0) AS VARCHAR) FROM p3) ORDER BY 1"),
+        "dow_rank_occupancy_matrix": (
+            "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev "
+            "FROM orders GROUP BY 1), "
+            "rk AS (SELECT isodow(day) AS dow, row_number() OVER "
+            "(PARTITION BY date_trunc('week', day) "
+            "ORDER BY rev DESC, day ASC) AS rnk FROM d) "
+            "SELECT CAST(dow AS BIGINT) AS dow, "
+            "CAST(rnk AS BIGINT) AS rnk, "
+            "CAST(count(*) AS BIGINT) AS n_weeks "
+            "FROM rk GROUP BY 1, 2 ORDER BY 1, 2"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
