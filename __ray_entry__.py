@@ -522,7 +522,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         coorder_percolation_curve,
                                         vocab_adjacent_lcp_profile,
                                         daily_revenue_haar_energy,
-                                        dow_rank_occupancy_matrix)
+                                        dow_rank_occupancy_matrix,
+                                        price_interpolation_error_hist,
+                                        cdc_chunk_length_hist,
+                                        partkey_bag_algebra_years,
+                                        source_doclen_ks_matrix)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -564,6 +568,16 @@ def _fold48_sql(expr: str) -> str:
     products stay inside int64; mirrors docs_weighted_sample)."""
     fold = "0"
     for i in range(1, 13):
+        fold = (f"({fold})*16 + (strpos('0123456789abcdef', "
+                f"substr({expr},{i},1))-1)")
+    return fold
+
+
+def _fold4_sql(expr: str) -> str:
+    """4-hex-char fold of an md5 string expression into a 16-bit
+    BIGINT — mirrors ``int(md5(s).hexdigest()[:4], 16)``."""
+    fold = "0"
+    for i in range(1, 5):
         fold = (f"({fold})*16 + (strpos('0123456789abcdef', "
                 f"substr({expr},{i},1))-1)")
     return fold
@@ -1340,6 +1354,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_adjacent_lcp_profile": vocab_adjacent_lcp_profile,
         "daily_revenue_haar_energy": daily_revenue_haar_energy,
         "dow_rank_occupancy_matrix": dow_rank_occupancy_matrix,
+        "price_interpolation_error_hist":
+            price_interpolation_error_hist,
+        "cdc_chunk_length_hist": cdc_chunk_length_hist,
+        "partkey_bag_algebra_years": partkey_bag_algebra_years,
+        "source_doclen_ks_matrix": source_doclen_ks_matrix,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -4398,6 +4417,80 @@ def oracle_sql() -> dict[str, str]:
             "CAST(rnk AS BIGINT) AS rnk, "
             "CAST(count(*) AS BIGINT) AS n_weeks "
             "FROM rk GROUP BY 1, 2 ORDER BY 1, 2"),
+        "price_interpolation_error_hist": (
+            "WITH k AS (SELECT DISTINCT CAST(round(o_totalprice "
+            "* 100) AS BIGINT) AS k FROM orders), "
+            "mm AS (SELECT min(k) AS lo, max(k) AS hi, count(*) AS n "
+            "FROM k), "
+            "r AS (SELECT k, row_number() OVER (ORDER BY k) - 1 "
+            "AS rnk FROM k), "
+            "e AS (SELECT abs((k - lo) * (n - 1) "
+            "// greatest(hi - lo, 1) - rnk) AS err FROM r, mm) "
+            "SELECT CAST(CASE WHEN err = 0 THEN 0 "
+            "ELSE length(bin(err)) END AS BIGINT) AS err_bucket, "
+            "CAST(count(*) AS BIGINT) AS n_keys FROM e "
+            "GROUP BY 1 ORDER BY 1"),
+        "cdc_chunk_length_hist": (
+            "WITH tk AS (SELECT doc_id, i, s[i] AS tok FROM "
+            "(SELECT doc_id, string_split(text, ' ') AS s "
+            "FROM documents), UNNEST(range(1, len(s) + 1)) r(i)), "
+            "hb AS (SELECT doc_id, i, CASE WHEN ("
+            + _fold4_sql("md5(tok)")
+            + ") % 64 = 0 THEN 1 ELSE 0 END AS b FROM tk), "
+            "cid AS (SELECT doc_id, i, COALESCE(sum(b) OVER "
+            "(PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING), 0) AS cid FROM hb), "
+            "cl AS (SELECT doc_id, cid, count(*) AS clen FROM cid "
+            "GROUP BY 1, 2) "
+            "SELECT CAST(LEAST(clen, 32) AS BIGINT) AS len_bucket, "
+            "CAST(count(*) AS BIGINT) AS n_chunks FROM cl "
+            "GROUP BY 1 ORDER BY 1"),
+        "partkey_bag_algebra_years": (
+            "WITH li AS (SELECT l_partkey AS p, year(l_shipdate) "
+            "AS y FROM lineitem "
+            "WHERE year(l_shipdate) IN (1995, 1996)), "
+            "c AS (SELECT p, "
+            "sum(CASE WHEN y = 1995 THEN 1 ELSE 0 END) AS n1, "
+            "sum(CASE WHEN y = 1996 THEN 1 ELSE 0 END) AS n2 "
+            "FROM li GROUP BY 1) "
+            "SELECT p_brand AS brand, "
+            "CAST(sum(LEAST(n1, n2)) AS BIGINT) AS bag_intersect, "
+            "CAST(sum(GREATEST(n1 - n2, 0)) AS BIGINT) AS only_y1, "
+            "CAST(sum(GREATEST(n2 - n1, 0)) AS BIGINT) AS only_y2, "
+            "CAST(count(*) AS BIGINT) AS n_parts "
+            "FROM c JOIN part ON p_partkey = c.p "
+            "GROUP BY 1 ORDER BY 1"),
+        "source_doclen_ks_matrix": (
+            "WITH h AS (SELECT source, CAST(n_chars AS BIGINT) AS v, "
+            "count(*) AS n FROM documents GROUP BY 1, 2), "
+            "c AS (SELECT source, v, sum(n) OVER (PARTITION BY "
+            "source ORDER BY v ROWS UNBOUNDED PRECEDING) AS f "
+            "FROM h), "
+            "tot AS (SELECT source, count(*) AS n FROM documents "
+            "GROUP BY 1), "
+            "src AS (SELECT DISTINCT source FROM documents), "
+            "pairs AS (SELECT a.source AS sa, b.source AS sb "
+            "FROM src a JOIN src b ON a.source < b.source), "
+            "vals AS (SELECT DISTINCT CAST(n_chars AS BIGINT) AS v "
+            "FROM documents), "
+            "grid AS (SELECT sa, sb, v FROM pairs, vals), "
+            "ga AS (SELECT g.sa, g.sb, g.v, COALESCE(ca.f, 0) AS fa "
+            "FROM grid g ASOF LEFT JOIN c ca ON ca.source = g.sa "
+            "AND ca.v <= g.v), "
+            "gb AS (SELECT g.sa, g.sb, g.v, COALESCE(cb.f, 0) AS fb "
+            "FROM grid g ASOF LEFT JOIN c cb ON cb.source = g.sb "
+            "AND cb.v <= g.v), "
+            "m AS (SELECT ga.sa, ga.sb, ga.v, fa, fb FROM ga "
+            "JOIN gb ON ga.sa = gb.sa AND ga.sb = gb.sb "
+            "AND ga.v = gb.v) "
+            "SELECT m.sa AS source_a, m.sb AS source_b, "
+            "CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) "
+            "AS n_b, "
+            "CAST(max(abs(CAST(fa AS HUGEINT) * tb.n "
+            "- CAST(fb AS HUGEINT) * ta.n)) AS VARCHAR) AS ks_num "
+            "FROM m JOIN tot ta ON ta.source = m.sa "
+            "JOIN tot tb ON tb.source = m.sb "
+            "GROUP BY 1, 2, 3, 4 ORDER BY 1, 2"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
