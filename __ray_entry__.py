@@ -526,7 +526,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         price_interpolation_error_hist,
                                         cdc_chunk_length_hist,
                                         partkey_bag_algebra_years,
-                                        source_doclen_ks_matrix)
+                                        source_doclen_ks_matrix,
+                                        embedding_adjacent_dot_hist,
+                                        coorder_hub_common_neighbors,
+                                        order_subset_containment,
+                                        doc_alphabet_size_hist)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1359,6 +1363,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunk_length_hist": cdc_chunk_length_hist,
         "partkey_bag_algebra_years": partkey_bag_algebra_years,
         "source_doclen_ks_matrix": source_doclen_ks_matrix,
+        "embedding_adjacent_dot_hist": embedding_adjacent_dot_hist,
+        "coorder_hub_common_neighbors": coorder_hub_common_neighbors,
+        "order_subset_containment": order_subset_containment,
+        "doc_alphabet_size_hist": doc_alphabet_size_hist,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -4491,6 +4499,56 @@ def oracle_sql() -> dict[str, str]:
             "FROM m JOIN tot ta ON ta.source = m.sa "
             "JOIN tot tb ON tb.source = m.sb "
             "GROUP BY 1, 2, 3, 4 ORDER BY 1, 2"),
+        "embedding_adjacent_dot_hist": (
+            "WITH e AS (SELECT vec_id, embedding AS v "
+            "FROM embeddings), "
+            "p AS (SELECT a.vec_id, a.v AS va, b.v AS vb FROM e a "
+            "JOIN e b ON b.vec_id = a.vec_id + 1), "
+            "d AS (SELECT vec_id, list_sum("
+            "[CAST(round(CAST(va[i] AS DOUBLE) * 1000) AS BIGINT) "
+            "* CAST(round(CAST(vb[i] AS DOUBLE) * 1000) AS BIGINT) "
+            "FOR i IN range(1, len(va) + 1)]) AS dot FROM p) "
+            "SELECT CAST(sign(dot) AS BIGINT) AS sgn, "
+            "CAST(CASE WHEN dot = 0 THEN 0 "
+            "ELSE length(bin(abs(dot))) END AS BIGINT) AS mag, "
+            "CAST(count(*) AS BIGINT) AS n_pairs FROM d "
+            "GROUP BY 1, 2 ORDER BY 1, 2"),
+        "coorder_hub_common_neighbors": (
+            "WITH lp AS (SELECT DISTINCT l_orderkey AS o, "
+            "CAST(l_partkey AS BIGINT) AS p FROM lineitem), "
+            "pr AS (SELECT DISTINCT a.p AS a, b.p AS b FROM lp a "
+            "JOIN lp b ON a.o = b.o AND a.p < b.p), "
+            "nb AS (SELECT a AS v, b AS w FROM pr "
+            "UNION ALL SELECT b, a FROM pr), "
+            "dg AS (SELECT v, count(*) AS deg FROM nb GROUP BY 1), "
+            "hubs AS (SELECT v FROM dg ORDER BY deg DESC, v ASC "
+            "LIMIT 8), "
+            "ha AS (SELECT nb.v AS h, nb.w FROM nb "
+            "JOIN hubs ON hubs.v = nb.v) "
+            "SELECT CAST(x.h AS BIGINT) AS hub_a, "
+            "CAST(y.h AS BIGINT) AS hub_b, "
+            "CAST(count(*) AS BIGINT) AS n_common "
+            "FROM ha x JOIN ha y ON x.w = y.w AND x.h < y.h "
+            "GROUP BY 1, 2 ORDER BY 1, 2"),
+        "order_subset_containment": (
+            "WITH lp AS (SELECT DISTINCT l_orderkey AS o, "
+            "l_partkey AS p FROM lineitem), "
+            "sz AS (SELECT o, count(*) AS n FROM lp GROUP BY 1), "
+            "shared AS (SELECT a.o AS oa, b.o AS ob, count(*) AS c "
+            "FROM lp a JOIN lp b ON a.p = b.p AND a.o != b.o "
+            "GROUP BY 1, 2), "
+            "cont AS (SELECT DISTINCT oa FROM shared "
+            "JOIN sz ON sz.o = oa WHERE c = sz.n) "
+            "SELECT CAST(sz.n AS BIGINT) AS subset_size, "
+            "CAST(count(*) AS BIGINT) AS n_contained "
+            "FROM cont JOIN sz ON sz.o = cont.oa "
+            "GROUP BY 1 ORDER BY 1"),
+        "doc_alphabet_size_hist": (
+            "SELECT CAST(LEAST(len(list_distinct("
+            "string_split(text, ''))), 40) AS BIGINT) "
+            "AS alphabet_bucket, "
+            "CAST(count(*) AS BIGINT) AS n_docs FROM documents "
+            "GROUP BY 1 ORDER BY 1"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
