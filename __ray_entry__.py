@@ -530,7 +530,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         embedding_adjacent_dot_hist,
                                         coorder_hub_common_neighbors,
                                         order_subset_containment,
-                                        doc_alphabet_size_hist)
+                                        doc_alphabet_size_hist,
+                                        order_date_inversions,
+                                        orders_vs_lines_qq_table,
+                                        user_replay_checksum_hist,
+                                        expensive_line_ships_last)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1367,6 +1371,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coorder_hub_common_neighbors": coorder_hub_common_neighbors,
         "order_subset_containment": order_subset_containment,
         "doc_alphabet_size_hist": doc_alphabet_size_hist,
+        "order_date_inversions": order_date_inversions,
+        "orders_vs_lines_qq_table": orders_vs_lines_qq_table,
+        "user_replay_checksum_hist": user_replay_checksum_hist,
+        "expensive_line_ships_last": expensive_line_ships_last,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -4548,6 +4556,56 @@ def oracle_sql() -> dict[str, str]:
             "string_split(text, ''))), 40) AS BIGINT) "
             "AS alphabet_bucket, "
             "CAST(count(*) AS BIGINT) AS n_docs FROM documents "
+            "GROUP BY 1 ORDER BY 1"),
+        "order_date_inversions": (
+            "WITH k AS (SELECT o_orderkey AS k, "
+            "CAST(o_orderdate AS DATE) AS d FROM orders "
+            "WHERE o_orderkey % 4 = 0) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(count(DISTINCT k // 4096) AS BIGINT) AS n_chunks, "
+            "CAST((SELECT count(*) FROM k a JOIN k b "
+            "ON a.k < b.k AND a.d > b.d) AS VARCHAR) "
+            "AS n_inversions FROM k"),
+        "orders_vs_lines_qq_table": (
+            "WITH o AS (SELECT CAST(round(o_totalprice * 100) "
+            "AS BIGINT) AS c FROM orders), "
+            "l AS (SELECT CAST(round(l_extendedprice * 100) "
+            "AS BIGINT) AS c FROM lineitem), "
+            "ro AS (SELECT c, row_number() OVER (ORDER BY c) AS rn "
+            "FROM o), "
+            "rl AS (SELECT c, row_number() OVER (ORDER BY c) AS rn "
+            "FROM l), "
+            "sel AS (SELECT q, (q * (SELECT count(*) FROM o) + 99) "
+            "// 100 AS ko, (q * (SELECT count(*) FROM l) + 99) "
+            "// 100 AS kl FROM (VALUES (10), (20), (30), (40), (50), "
+            "(60), (70), (80), (90)) t(q)) "
+            "SELECT CAST(q AS BIGINT) AS q, "
+            "CAST(ro.c AS BIGINT) AS order_cents, "
+            "CAST(rl.c AS BIGINT) AS line_cents, "
+            "CAST(1000000 * rl.c // ro.c AS BIGINT) AS ratio_ppm "
+            "FROM sel JOIN ro ON ro.rn = sel.ko "
+            "JOIN rl ON rl.rn = sel.kl ORDER BY 1"),
+        "user_replay_checksum_hist": (
+            "WITH s AS (SELECT user_id, string_agg(event_type, '|' "
+            "ORDER BY ts, event_id) AS seq FROM events GROUP BY 1) "
+            "SELECT CAST(CAST(CONCAT('0x', substr(md5(seq), 1, 2)) "
+            "AS BIGINT) % 64 AS BIGINT) AS cks_bucket, "
+            "CAST(count(*) AS BIGINT) AS n_users FROM s "
+            "GROUP BY 1 ORDER BY 1"),
+        "expensive_line_ships_last": (
+            "WITH l AS (SELECT l_orderkey AS o, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS c, "
+            "l_shipdate AS sd FROM lineitem), "
+            "a AS (SELECT o, max(c) AS p, max(sd) AS s, "
+            "count(*) AS n FROM l GROUP BY 1), "
+            "m AS (SELECT l.o, max(l.sd) AS sp FROM l "
+            "JOIN a ON a.o = l.o AND l.c = a.p GROUP BY 1), "
+            "j AS (SELECT a.o, CASE WHEN m.sp = a.s THEN 1 ELSE 0 "
+            "END AS hit FROM a JOIN m ON m.o = a.o WHERE a.n >= 2) "
+            "SELECT o_orderpriority AS priority, "
+            "CAST(count(*) AS BIGINT) AS n_multi, "
+            "CAST(sum(hit) AS BIGINT) AS n_expensive_last "
+            "FROM j JOIN orders ON o_orderkey = j.o "
             "GROUP BY 1 ORDER BY 1"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
