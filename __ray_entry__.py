@@ -534,7 +534,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         order_date_inversions,
                                         orders_vs_lines_qq_table,
                                         user_replay_checksum_hist,
-                                        expensive_line_ships_last)
+                                        expensive_line_ships_last,
+                                        lww_compaction_by_type,
+                                        orders_count_revenue_best_lag,
+                                        join_salt_plan,
+                                        hub_pair_path_census)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1375,6 +1379,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_vs_lines_qq_table": orders_vs_lines_qq_table,
         "user_replay_checksum_hist": user_replay_checksum_hist,
         "expensive_line_ships_last": expensive_line_ships_last,
+        "lww_compaction_by_type": lww_compaction_by_type,
+        "orders_count_revenue_best_lag": orders_count_revenue_best_lag,
+        "join_salt_plan": join_salt_plan,
+        "hub_pair_path_census": hub_pair_path_census,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -4607,6 +4615,65 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(hit) AS BIGINT) AS n_expensive_last "
             "FROM j JOIN orders ON o_orderkey = j.o "
             "GROUP BY 1 ORDER BY 1"),
+        "lww_compaction_by_type": (
+            "WITH w AS (SELECT user_id, event_type, value, "
+            "row_number() OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_keys, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS surviving_cents FROM w WHERE rn = 1 "
+            "GROUP BY 1 ORDER BY 1"),
+        "orders_count_revenue_best_lag": (
+            "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "count(*) AS cnt, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev "
+            "FROM orders GROUP BY 1), "
+            "lg AS (SELECT l FROM UNNEST(range(-7, 8)) t(l)), "
+            "dot AS (SELECT lg.l AS lag, "
+            "COALESCE(sum(CAST(a.cnt AS HUGEINT) * b.rev), 0) AS dp "
+            "FROM lg CROSS JOIN d a LEFT JOIN d b "
+            "ON b.day = a.day + CAST(lg.l AS INTEGER) GROUP BY 1), "
+            "best AS (SELECT lag FROM dot "
+            "ORDER BY dp DESC, lag ASC LIMIT 1) "
+            "SELECT CAST(lag AS BIGINT) AS lag, "
+            "CAST(dp AS VARCHAR) AS dot_product, "
+            "CAST(CASE WHEN lag = (SELECT lag FROM best) THEN 1 "
+            "ELSE 0 END AS BIGINT) AS is_best FROM dot ORDER BY 1"),
+        "join_salt_plan": (
+            "WITH c AS (SELECT o_custkey, count(*) AS n FROM orders "
+            "GROUP BY 1) "
+            "SELECT CAST((n + 7) // 8 AS BIGINT) AS n_salts, "
+            "CAST(count(*) AS BIGINT) AS n_keys FROM c "
+            "GROUP BY 1 ORDER BY 1"),
+        "hub_pair_path_census": (
+            "WITH lp AS (SELECT DISTINCT l_orderkey AS o, "
+            "CAST(l_partkey AS BIGINT) AS p FROM lineitem), "
+            "pr AS (SELECT DISTINCT a.p AS a, b.p AS b FROM lp a "
+            "JOIN lp b ON a.o = b.o AND a.p < b.p), "
+            "nb AS (SELECT a AS v, b AS w FROM pr "
+            "UNION ALL SELECT b, a FROM pr), "
+            "dg AS (SELECT v, count(*) AS deg FROM nb GROUP BY 1), "
+            "t2 AS (SELECT v, row_number() OVER (ORDER BY deg DESC, "
+            "v ASC) AS rn FROM dg), "
+            "h AS (SELECT max(CASE WHEN rn = 1 THEN v END) AS ha, "
+            "max(CASE WHEN rn = 2 THEN v END) AS hb FROM t2 "
+            "WHERE rn <= 2), "
+            "naa AS (SELECT w FROM nb, h WHERE v = ha), "
+            "nbb AS (SELECT w FROM nb, h WHERE v = hb), "
+            "p1 AS (SELECT count(*) AS c FROM pr, h "
+            "WHERE a = LEAST(ha, hb) AND b = GREATEST(ha, hb)), "
+            "p2 AS (SELECT count(*) AS c FROM naa x "
+            "JOIN nbb y ON x.w = y.w CROSS JOIN h "
+            "WHERE x.w NOT IN (ha, hb)), "
+            "p3 AS (SELECT count(*) AS c FROM nb e CROSS JOIN h "
+            "WHERE e.v IN (SELECT w FROM naa) "
+            "AND e.w IN (SELECT w FROM nbb) "
+            "AND e.v NOT IN (ha, hb) AND e.w NOT IN (ha, hb) "
+            "AND e.v != e.w) "
+            "SELECT CAST(1 AS BIGINT) AS path_len, "
+            "CAST((SELECT c FROM p1) AS BIGINT) AS n_paths "
+            "UNION ALL SELECT 2, (SELECT c FROM p2) "
+            "UNION ALL SELECT 3, (SELECT c FROM p3) ORDER BY 1"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
