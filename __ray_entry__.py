@@ -538,7 +538,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         lww_compaction_by_type,
                                         orders_count_revenue_best_lag,
                                         join_salt_plan,
-                                        hub_pair_path_census)
+                                        hub_pair_path_census,
+                                        coorder_edge_churn_by_year,
+                                        deletion_vector_plan,
+                                        type_quiet_window,
+                                        type_mix_changepoint)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1383,6 +1387,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_count_revenue_best_lag": orders_count_revenue_best_lag,
         "join_salt_plan": join_salt_plan,
         "hub_pair_path_census": hub_pair_path_census,
+        "coorder_edge_churn_by_year": coorder_edge_churn_by_year,
+        "deletion_vector_plan": deletion_vector_plan,
+        "type_quiet_window": type_quiet_window,
+        "type_mix_changepoint": type_mix_changepoint,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -4674,6 +4682,74 @@ def oracle_sql() -> dict[str, str]:
             "CAST((SELECT c FROM p1) AS BIGINT) AS n_paths "
             "UNION ALL SELECT 2, (SELECT c FROM p2) "
             "UNION ALL SELECT 3, (SELECT c FROM p3) ORDER BY 1"),
+        "coorder_edge_churn_by_year": (
+            "WITH lp AS (SELECT DISTINCT l_orderkey AS o, "
+            "CAST(l_partkey AS BIGINT) AS p FROM lineitem), "
+            "oy AS (SELECT o_orderkey AS o, year(o_orderdate) AS y "
+            "FROM orders), "
+            "lpy AS (SELECT lp.o, oy.y, lp.p FROM lp "
+            "JOIN oy ON oy.o = lp.o), "
+            "e AS (SELECT DISTINCT a.y, a.p AS a, b.p AS b "
+            "FROM lpy a JOIN lpy b ON a.o = b.o AND a.p < b.p), "
+            "tot AS (SELECT y, count(*) AS n FROM e GROUP BY 1), "
+            "com AS (SELECT a.y AS ya, count(*) AS n FROM e a "
+            "JOIN e b ON b.y = a.y + 1 AND a.a = b.a AND a.b = b.b "
+            "GROUP BY 1) "
+            "SELECT CAST(ta.y AS BIGINT) AS year_a, "
+            "CAST(tb.y AS BIGINT) AS year_b, "
+            "CAST(COALESCE(com.n, 0) AS BIGINT) AS n_common, "
+            "CAST(ta.n AS BIGINT) AS n_edges_a, "
+            "CAST(tb.n AS BIGINT) AS n_edges_b "
+            "FROM tot ta JOIN tot tb ON tb.y = ta.y + 1 "
+            "LEFT JOIN com ON com.ya = ta.y ORDER BY 1"),
+        "deletion_vector_plan": (
+            "WITH m AS (SELECT event_id // 32 AS ch, "
+            "CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(user_id "
+            "AS VARCHAR)), 1, 2)) AS BIGINT) % 16 = 0 THEN 1 ELSE 0 "
+            "END AS del FROM events), "
+            "c AS (SELECT ch, count(*) AS n, sum(del) AS d FROM m "
+            "GROUP BY 1) "
+            "SELECT CAST(100 * d // n // 5 AS BIGINT) "
+            "AS del_decile, CAST(count(*) AS BIGINT) AS n_chunks "
+            "FROM c GROUP BY 1 ORDER BY 1"),
+        "type_quiet_window": (
+            "WITH mm AS (SELECT DISTINCT event_type AS ty, "
+            "(epoch_us(ts) // 60000000) % 1440 AS m FROM events), "
+            "w AS (SELECT ty, m, lead(m) OVER (PARTITION BY ty "
+            "ORDER BY m) AS nm FROM mm), "
+            "g AS (SELECT ty, CASE WHEN nm IS NULL THEN 1440 - m "
+            "+ (SELECT min(m2.m) FROM mm m2 WHERE m2.ty = w.ty) "
+            "ELSE nm - m END AS gap FROM w), "
+            "s AS (SELECT ty, count(*) AS n_minutes, max(gap) AS mg "
+            "FROM g GROUP BY 1) "
+            "SELECT ty AS event_type, "
+            "CAST(n_minutes AS BIGINT) AS n_minutes, "
+            "CAST(CASE WHEN n_minutes = 1 THEN 1440 ELSE mg END "
+            "AS BIGINT) AS max_gap FROM s ORDER BY 1"),
+        "type_mix_changepoint": (
+            "WITH dgrid AS (SELECT DISTINCT CAST(ts AS DATE) AS day "
+            "FROM events), "
+            "tys AS (SELECT DISTINCT event_type AS ty FROM events), "
+            "cnt AS (SELECT event_type AS ty, CAST(ts AS DATE) "
+            "AS day, count(*) AS n FROM events GROUP BY 1, 2), "
+            "g AS (SELECT tys.ty, dgrid.day, COALESCE(cnt.n, 0) AS n "
+            "FROM tys CROSS JOIN dgrid LEFT JOIN cnt "
+            "ON cnt.ty = tys.ty AND cnt.day = dgrid.day), "
+            "cum AS (SELECT ty, day, sum(n) OVER (PARTITION BY ty "
+            "ORDER BY day ROWS UNBOUNDED PRECEDING) AS pre, "
+            "row_number() OVER (PARTITION BY ty ORDER BY day) AS i, "
+            "count(*) OVER (PARTITION BY ty) AS nd, "
+            "sum(n) OVER (PARTITION BY ty) AS tot FROM g), "
+            "dev AS (SELECT ty, day, abs(CAST(pre AS HUGEINT) "
+            "* (nd - i) - CAST(tot - pre AS HUGEINT) * i) AS dv "
+            "FROM cum WHERE i < nd), "
+            "best AS (SELECT ty, day, dv, row_number() OVER "
+            "(PARTITION BY ty ORDER BY dv DESC, day ASC) AS rn "
+            "FROM dev) "
+            "SELECT ty AS event_type, "
+            "CAST(day AS TIMESTAMP) AS best_day, "
+            "CAST(dv AS VARCHAR) AS deviation FROM best "
+            "WHERE rn = 1 ORDER BY 1"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
