@@ -542,7 +542,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         coorder_edge_churn_by_year,
                                         deletion_vector_plan,
                                         type_quiet_window,
-                                        type_mix_changepoint)
+                                        type_mix_changepoint,
+                                        cluster_sample_estimator_audit,
+                                        selectivity_independence_audit,
+                                        kmv_monthly_distinct_audit,
+                                        revenue_sign_motif_census)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1391,6 +1395,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deletion_vector_plan": deletion_vector_plan,
         "type_quiet_window": type_quiet_window,
         "type_mix_changepoint": type_mix_changepoint,
+        "cluster_sample_estimator_audit": cluster_sample_estimator_audit,
+        "selectivity_independence_audit": selectivity_independence_audit,
+        "kmv_monthly_distinct_audit": kmv_monthly_distinct_audit,
+        "revenue_sign_motif_census": revenue_sign_motif_census,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -4750,6 +4758,77 @@ def oracle_sql() -> dict[str, str]:
             "CAST(day AS TIMESTAMP) AS best_day, "
             "CAST(dv AS VARCHAR) AS deviation FROM best "
             "WHERE rn = 1 ORDER BY 1"),
+        "cluster_sample_estimator_audit": (
+            "WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k, "
+            "CAST(round(o_totalprice * 100) AS HUGEINT) AS cents "
+            "FROM orders), "
+            "f AS (SELECT cents, "
+            "CAST(CONCAT('0x', substr(md5(CAST(k // 64 AS VARCHAR)), "
+            "1, 2)) AS BIGINT) % 8 = 0 AS inch, "
+            "CAST(CONCAT('0x', substr(md5(CAST(k AS VARCHAR)), "
+            "1, 2)) AS BIGINT) % 8 = 0 AS inrow FROM o), "
+            "s AS (SELECT sum(cents) AS total, "
+            "COALESCE(sum(CASE WHEN inch THEN cents END), 0) AS cs, "
+            "COALESCE(sum(CASE WHEN inrow THEN cents END), 0) AS rs "
+            "FROM f) "
+            "SELECT CAST(total AS VARCHAR) AS exact_cents, "
+            "CAST(8 * cs AS VARCHAR) AS est_chunk_cents, "
+            "CAST(8 * rs AS VARCHAR) AS est_row_cents, "
+            "CAST(1000000 * abs(8 * cs - total) "
+            "// greatest(total, 1) AS BIGINT) AS err_chunk_ppm, "
+            "CAST(1000000 * abs(8 * rs - total) "
+            "// greatest(total, 1) AS BIGINT) AS err_row_ppm FROM s"),
+        "selectivity_independence_audit": (
+            "WITH f AS (SELECT "
+            "CASE WHEN CAST(round(l_quantity) AS BIGINT) >= 25 "
+            "THEN 1 ELSE 0 END AS a, "
+            "CASE WHEN CAST(round(l_discount * 100) AS BIGINT) >= 5 "
+            "THEN 1 ELSE 0 END AS b, "
+            "CASE WHEN year(l_shipdate) = 1996 THEN 1 ELSE 0 END "
+            "AS c FROM lineitem), "
+            "s AS (SELECT count(*) AS n, sum(a) AS na, sum(b) AS nb, "
+            "sum(c) AS nc, sum(a * b) AS nab, sum(a * c) AS nac, "
+            "sum(b * c) AS nbc FROM f), "
+            "p AS (SELECT 'AB' AS pair, na AS n_a, nb AS n_b, "
+            "nab AS n_ab, n FROM s "
+            "UNION ALL SELECT 'AC', na, nc, nac, n FROM s "
+            "UNION ALL SELECT 'BC', nb, nc, nbc, n FROM s) "
+            "SELECT pair, CAST(n_a AS BIGINT) AS n_a, "
+            "CAST(n_b AS BIGINT) AS n_b, CAST(n_ab AS BIGINT) AS n_ab, "
+            "CAST(sign(CAST(n_ab AS HUGEINT) * n "
+            "- CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS sgn, "
+            "CAST(1000000 * abs(CAST(n_ab AS HUGEINT) * n "
+            "- CAST(n_a AS HUGEINT) * n_b) "
+            "// greatest(CAST(n_a AS HUGEINT) * n_b, 1) AS BIGINT) "
+            "AS err_ppm FROM p ORDER BY pair"),
+        "kmv_monthly_distinct_audit": (
+            "WITH du AS (SELECT DISTINCT "
+            "CAST(date_trunc('month', ts) AS TIMESTAMP) AS mo, "
+            "CAST(user_id AS BIGINT) AS u FROM events), "
+            "h AS (SELECT mo, CAST(CONCAT('0x', "
+            "substr(md5(CAST(u AS VARCHAR)), 1, 12)) AS BIGINT) AS hv "
+            "FROM du), "
+            "r AS (SELECT mo, hv, row_number() OVER "
+            "(PARTITION BY mo ORDER BY hv) AS rn FROM h), "
+            "s AS (SELECT mo, count(*) AS n, "
+            "max(CASE WHEN rn = 8 THEN hv END) AS h8, max(hv) AS mx "
+            "FROM r GROUP BY 1) "
+            "SELECT mo AS month, CAST(n AS BIGINT) AS n_exact, "
+            "CAST(CASE WHEN n >= 8 THEN h8 ELSE mx END AS BIGINT) "
+            "AS kth_hash, "
+            "CAST(CASE WHEN n >= 8 THEN 1970324836974592 // h8 "
+            "ELSE n END AS BIGINT) AS est FROM s ORDER BY 1"),
+        "revenue_sign_motif_census": (
+            "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS rev "
+            "FROM orders GROUP BY 1), "
+            "sg AS (SELECT day, sign(rev - lag(rev) OVER "
+            "(ORDER BY day)) AS s FROM d), "
+            "w AS (SELECT lag(s, 2) OVER (ORDER BY day) AS s1, "
+            "lag(s, 1) OVER (ORDER BY day) AS s2, s AS s3 FROM sg) "
+            "SELECT CAST((s1 + 1) * 9 + (s2 + 1) * 3 + (s3 + 1) "
+            "AS BIGINT) AS motif_code, CAST(count(*) AS BIGINT) AS n "
+            "FROM w WHERE s1 IS NOT NULL GROUP BY 1 ORDER BY 1"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
