@@ -546,7 +546,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         cluster_sample_estimator_audit,
                                         selectivity_independence_audit,
                                         kmv_monthly_distinct_audit,
-                                        revenue_sign_motif_census)
+                                        revenue_sign_motif_census,
+                                        merkle_anti_entropy_audit,
+                                        roaring_container_census,
+                                        grace_hash_recursion_plan,
+                                        bloom_skip_index_audit)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1399,6 +1403,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "selectivity_independence_audit": selectivity_independence_audit,
         "kmv_monthly_distinct_audit": kmv_monthly_distinct_audit,
         "revenue_sign_motif_census": revenue_sign_motif_census,
+        "merkle_anti_entropy_audit": merkle_anti_entropy_audit,
+        "roaring_container_census": roaring_container_census,
+        "grace_hash_recursion_plan": grace_hash_recursion_plan,
+        "bloom_skip_index_audit": bloom_skip_index_audit,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -4829,6 +4837,102 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST((s1 + 1) * 9 + (s2 + 1) * 3 + (s3 + 1) "
             "AS BIGINT) AS motif_code, CAST(count(*) AS BIGINT) AS n "
             "FROM w WHERE s1 IS NOT NULL GROUP BY 1 ORDER BY 1"),
+        "merkle_anti_entropy_audit": (
+            "WITH r AS (SELECT CAST(l_orderkey AS BIGINT) // 512 "
+            "AS leaf, CAST(CONCAT('0x', substr(md5("
+            "CAST(CAST(l_orderkey AS BIGINT) AS VARCHAR) || ':' || "
+            "CAST(CAST(l_linenumber AS BIGINT) AS VARCHAR)), 1, 12)) "
+            "AS BIGINT) AS cs, "
+            "CAST(CONCAT('0x', substr(md5(CAST(CAST(l_orderkey "
+            "AS BIGINT) AS VARCHAR)), 1, 2)) AS BIGINT) % 16 = 0 "
+            "AS lost FROM lineitem), "
+            "l AS (SELECT leaf, sum(cs) AS f, "
+            "sum(CASE WHEN lost THEN 0 ELSE cs END) AS s FROM r "
+            "GROUP BY 1), "
+            "p AS (SELECT leaf // 16 AS par, "
+            "sum(CASE WHEN f != s THEN 1 ELSE 0 END) AS d FROM l "
+            "GROUP BY 1) "
+            "SELECT CAST(0 AS BIGINT) AS level, "
+            "CAST(count(*) AS BIGINT) AS n_nodes, "
+            "CAST(sum(CASE WHEN f != s THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_diff FROM l "
+            "UNION ALL SELECT 1, count(*), "
+            "sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) FROM p "
+            "ORDER BY 1"),
+        "roaring_container_census": (
+            "WITH c AS (SELECT l_returnflag AS flag, "
+            "(CAST(l_orderkey AS BIGINT) * 8 "
+            "+ CAST(l_linenumber AS BIGINT)) // 65536 AS cont, "
+            "count(*) AS n FROM lineitem GROUP BY 1, 2) "
+            "SELECT flag, "
+            "CAST(sum(CASE WHEN n < 4096 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_array_containers, "
+            "CAST(sum(CASE WHEN n >= 4096 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_bitmap_containers, "
+            "CAST(sum(CASE WHEN n < 4096 THEN 2 * n ELSE 8192 END) "
+            "AS BIGINT) AS total_bytes, "
+            "CAST(sum(n) AS BIGINT) AS n_rows FROM c "
+            "GROUP BY 1 ORDER BY 1"),
+        "grace_hash_recursion_plan": (
+            "WITH h AS (SELECT CAST(CONCAT('0x', substr(md5("
+            "CAST(CAST(l_partkey AS BIGINT) AS VARCHAR)), 1, 2)) "
+            "AS BIGINT) % 16 AS b1, "
+            "CAST(CONCAT('0x', substr(md5(CAST(CAST(l_partkey "
+            "AS BIGINT) AS VARCHAR)), 3, 2)) AS BIGINT) % 16 AS b2 "
+            "FROM lineitem), "
+            "g AS (SELECT b1, b2, count(*) AS n FROM h GROUP BY 1, 2), "
+            "caps AS (SELECT (9 * sum(n) + 127) // 128 AS cap1, "
+            "((9 * sum(n) + 127) // 128 + 15) // 16 AS cap2 FROM g), "
+            "l1 AS (SELECT b1, sum(n) AS n FROM g GROUP BY 1), "
+            "o1 AS (SELECT b1 FROM l1, caps WHERE n > cap1), "
+            "l2 AS (SELECT g.n FROM g JOIN o1 ON g.b1 = o1.b1) "
+            "SELECT CAST(1 AS BIGINT) AS level, "
+            "CAST(16 AS BIGINT) AS n_buckets, "
+            "CAST((SELECT count(*) FROM o1) AS BIGINT) AS n_overflow, "
+            "CAST(COALESCE((SELECT max(n) FROM l1), 0) AS BIGINT) "
+            "AS max_rows, "
+            "CAST((SELECT cap1 FROM caps) AS BIGINT) AS cap_rows "
+            "UNION ALL SELECT 2, 16 * (SELECT count(*) FROM o1), "
+            "COALESCE((SELECT sum(CASE WHEN n > cap2 THEN 1 ELSE 0 "
+            "END) FROM l2, caps), 0), "
+            "COALESCE((SELECT max(n) FROM l2), 0), "
+            "(SELECT cap2 FROM caps) ORDER BY 1"),
+        "bloom_skip_index_audit": (
+            "WITH pr AS (SELECT DISTINCT CAST(s_suppkey AS BIGINT) "
+            "AS k FROM supplier WHERE round(s_acctbal * 100) < 0), "
+            "li AS (SELECT CAST(l_orderkey AS BIGINT) // 1024 AS ch, "
+            "CAST(l_suppkey AS BIGINT) AS k FROM lineitem), "
+            "hx AS (SELECT DISTINCT k FROM li), "
+            "hp AS (SELECT k, CAST(CONCAT('0x', "
+            "substr(md5(CAST(k AS VARCHAR)), 1, 2)) AS BIGINT) % 60 "
+            "AS p1, CAST(CONCAT('0x', "
+            "substr(md5(CAST(k AS VARCHAR)), 3, 2)) AS BIGINT) % 60 "
+            "AS p2 FROM hx), "
+            "b AS (SELECT li.ch, bit_or((CAST(1 AS BIGINT) << hp.p1) "
+            "| (CAST(1 AS BIGINT) << hp.p2)) AS w FROM li "
+            "JOIN hp ON hp.k = li.k GROUP BY 1), "
+            "pres AS (SELECT DISTINCT ch, k FROM li "
+            "WHERE k IN (SELECT k FROM pr)), "
+            "pp AS (SELECT k, CAST(CONCAT('0x', "
+            "substr(md5(CAST(k AS VARCHAR)), 1, 2)) AS BIGINT) % 60 "
+            "AS p1, CAST(CONCAT('0x', "
+            "substr(md5(CAST(k AS VARCHAR)), 3, 2)) AS BIGINT) % 60 "
+            "AS p2 FROM pr), "
+            "cls AS (SELECT b.ch, pp.k, "
+            "((b.w >> pp.p1) & 1) = 1 AND ((b.w >> pp.p2) & 1) = 1 "
+            "AS maybe, pres.k IS NOT NULL AS present "
+            "FROM b CROSS JOIN pp LEFT JOIN pres "
+            "ON pres.ch = b.ch AND pres.k = pp.k) "
+            "SELECT CAST((SELECT count(*) FROM pr) AS BIGINT) "
+            "AS n_probes, "
+            "CAST((SELECT count(*) FROM b) AS BIGINT) AS n_chunks, "
+            "CAST(COALESCE(sum(CASE WHEN present THEN 1 ELSE 0 END), "
+            "0) AS BIGINT) AS n_present, "
+            "CAST(COALESCE(sum(CASE WHEN maybe AND NOT present "
+            "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_false_pos, "
+            "CAST(COALESCE(sum(CASE WHEN NOT maybe AND NOT present "
+            "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_skipped "
+            "FROM cls"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
