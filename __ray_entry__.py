@@ -550,7 +550,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         merkle_anti_entropy_audit,
                                         roaring_container_census,
                                         grace_hash_recursion_plan,
-                                        bloom_skip_index_audit)
+                                        bloom_skip_index_audit,
+                                        theilsen_slope_ppm_hist,
+                                        chao1_distinct_estimator,
+                                        ta_topk_stop_depth,
+                                        pq2_block_assignment_census)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1407,6 +1411,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roaring_container_census": roaring_container_census,
         "grace_hash_recursion_plan": grace_hash_recursion_plan,
         "bloom_skip_index_audit": bloom_skip_index_audit,
+        "theilsen_slope_ppm_hist": theilsen_slope_ppm_hist,
+        "chao1_distinct_estimator": chao1_distinct_estimator,
+        "ta_topk_stop_depth": ta_topk_stop_depth,
+        "pq2_block_assignment_census": pq2_block_assignment_census,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -4933,6 +4941,83 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(sum(CASE WHEN NOT maybe AND NOT present "
             "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_skipped "
             "FROM cls"),
+        "theilsen_slope_ppm_hist": (
+            "WITH m AS (SELECT date_trunc('month', o_orderdate) "
+            "AS mo, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS rev FROM orders GROUP BY 1), "
+            "r AS (SELECT rev, row_number() OVER (ORDER BY mo) AS i "
+            "FROM m), "
+            "p AS (SELECT 1000000 * (b.rev - a.rev) AS num, "
+            "b.i - a.i AS den FROM r a JOIN r b ON b.i > a.i), "
+            "s AS (SELECT CASE WHEN num >= 0 THEN num // den "
+            "ELSE -((-num + den - 1) // den) END AS slope_ppm "
+            "FROM p) "
+            "SELECT CAST(slope_ppm AS BIGINT) AS slope_ppm, "
+            "CAST(count(*) AS BIGINT) AS n_pairs FROM s "
+            "GROUP BY 1 ORDER BY 1"),
+        "chao1_distinct_estimator": (
+            "WITH s AS (SELECT CAST(user_id AS BIGINT) AS u, "
+            "sum(CASE WHEN CAST(CONCAT('0x', substr(md5("
+            "CAST(CAST(event_id AS BIGINT) AS VARCHAR)), 1, 2)) "
+            "AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END) AS ns "
+            "FROM events GROUP BY 1), "
+            "a AS (SELECT count(*) AS n_exact, "
+            "sum(CASE WHEN ns > 0 THEN 1 ELSE 0 END) AS d, "
+            "sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS f1, "
+            "sum(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS f2 FROM s) "
+            "SELECT CAST(n_exact AS BIGINT) AS n_exact, "
+            "CAST(d AS BIGINT) AS d_sample, CAST(f1 AS BIGINT) AS f1, "
+            "CAST(f2 AS BIGINT) AS f2, "
+            "CAST(d + f1 * (f1 - 1) // (2 * (f2 + 1)) AS BIGINT) "
+            "AS est FROM a"),
+        "ta_topk_stop_depth": (
+            "WITH base AS (SELECT o_custkey AS c, "
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS s, "
+            "count(*) AS n FROM orders GROUP BY 1), "
+            "r AS (SELECT c, s, n, s + 1000 * n AS sc, "
+            "row_number() OVER (ORDER BY s DESC, c) AS ra, "
+            "row_number() OVER (ORDER BY n DESC, c) AS rb FROM base), "
+            "g AS (SELECT d.ra AS d, x.sc FROM r d JOIN r x "
+            "ON least(x.ra, x.rb) <= d.ra), "
+            "w AS (SELECT d, sc, row_number() OVER (PARTITION BY d "
+            "ORDER BY sc DESC) AS rk, count(*) OVER (PARTITION BY d) "
+            "AS n_seen FROM g), "
+            "kv AS (SELECT d, max(CASE WHEN rk = 10 THEN sc END) "
+            "AS kth, max(n_seen) AS n_seen FROM w GROUP BY d), "
+            "t AS (SELECT a.ra AS d, a.s + 1000 * b.n AS thr "
+            "FROM r a JOIN r b ON b.rb = a.ra), "
+            "st AS (SELECT kv.d, kv.kth, kv.n_seen, t.thr FROM kv "
+            "JOIN t ON t.d = kv.d WHERE kv.n_seen >= 10 "
+            "AND kv.kth >= t.thr ORDER BY kv.d LIMIT 1) "
+            "SELECT CAST(10 AS BIGINT) AS k, "
+            "CAST(d AS BIGINT) AS stop_depth, "
+            "CAST(thr AS BIGINT) AS threshold, "
+            "CAST(kth AS BIGINT) AS kth_score, "
+            "CAST(n_seen AS BIGINT) AS n_seen FROM st"),
+        "pq2_block_assignment_census": (
+            "WITH dm AS (SELECT CAST(r.i AS INT) AS i "
+            "FROM range(1, 65) r(i)), "
+            "q AS (SELECT vec_id, dm.i, "
+            "CAST(round(CAST(embedding[dm.i] AS DOUBLE) * 100) "
+            "AS BIGINT) AS v, (dm.i - 1) // 8 AS blk "
+            "FROM embeddings, dm), "
+            "c0 AS (SELECT i, v FROM q WHERE vec_id = 0), "
+            "c1 AS (SELECT i, v FROM q WHERE vec_id = 1), "
+            "dist AS (SELECT q.vec_id, q.blk, "
+            "sum((q.v - c0.v) * (q.v - c0.v)) AS d0, "
+            "sum((q.v - c1.v) * (q.v - c1.v)) AS d1 FROM q "
+            "JOIN c0 ON c0.i = q.i JOIN c1 ON c1.i = q.i "
+            "GROUP BY 1, 2), "
+            "asg AS (SELECT blk, CASE WHEN d0 <= d1 THEN 0 ELSE 1 END "
+            "AS pick, CASE WHEN d0 <= d1 THEN d0 ELSE d1 END AS dd "
+            "FROM dist) "
+            "SELECT CAST(blk AS BIGINT) AS block, "
+            "CAST(sum(CASE WHEN pick = 0 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_c0, "
+            "CAST(sum(CASE WHEN pick = 1 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_c1, "
+            "CAST(sum(dd) AS BIGINT) AS distortion FROM asg "
+            "GROUP BY 1 ORDER BY 1"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
