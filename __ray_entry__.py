@@ -554,7 +554,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         theilsen_slope_ppm_hist,
                                         chao1_distinct_estimator,
                                         ta_topk_stop_depth,
-                                        pq2_block_assignment_census)
+                                        pq2_block_assignment_census,
+                                        dict_encoding_planner,
+                                        checkpoint_cadence_plan,
+                                        samplesort_splitter_audit,
+                                        median_of_medians_rank_audit)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1415,6 +1419,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chao1_distinct_estimator": chao1_distinct_estimator,
         "ta_topk_stop_depth": ta_topk_stop_depth,
         "pq2_block_assignment_census": pq2_block_assignment_census,
+        "dict_encoding_planner": dict_encoding_planner,
+        "checkpoint_cadence_plan": checkpoint_cadence_plan,
+        "samplesort_splitter_audit": samplesort_splitter_audit,
+        "median_of_medians_rank_audit": median_of_medians_rank_audit,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -5018,6 +5026,76 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS n_c1, "
             "CAST(sum(dd) AS BIGINT) AS distortion FROM asg "
             "GROUP BY 1 ORDER BY 1"),
+        "dict_encoding_planner": (
+            "WITH v AS (SELECT 'p_brand' AS col, p_brand AS val "
+            "FROM part UNION ALL SELECT 'p_type', p_type FROM part "
+            "UNION ALL SELECT 'p_name', p_name FROM part), "
+            "g AS (SELECT col, val, count(*) AS n FROM v "
+            "GROUP BY 1, 2), "
+            "s AS (SELECT col, sum(n) AS n_rows, count(*) "
+            "AS n_distinct, sum(n * length(val)) AS plain_bytes, "
+            "sum(length(val)) + 2 * sum(n) AS dict_bytes FROM g "
+            "GROUP BY 1) "
+            "SELECT col, CAST(n_rows AS BIGINT) AS n_rows, "
+            "CAST(n_distinct AS BIGINT) AS n_distinct, "
+            "CAST(plain_bytes AS BIGINT) AS plain_bytes, "
+            "CAST(dict_bytes AS BIGINT) AS dict_bytes, "
+            "CAST(CASE WHEN dict_bytes < plain_bytes THEN 1 ELSE 0 "
+            "END AS BIGINT) AS use_dict FROM s ORDER BY col"),
+        "checkpoint_cadence_plan": (
+            "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, "
+            "user_id AS u FROM events), "
+            "a AS (SELECT day, count(*) AS ad FROM du GROUP BY 1), "
+            "g AS (SELECT ad, row_number() OVER (ORDER BY day) - 1 "
+            "AS i FROM a), "
+            "uu AS (SELECT count(DISTINCT user_id) AS u FROM events), "
+            "ks AS (SELECT unnest([1, 2, 4, 8]) AS k) "
+            "SELECT CAST(k AS BIGINT) AS cadence, "
+            "CAST(sum(CASE WHEN i % k = 0 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_full, "
+            "CAST(sum(CASE WHEN i % k = 0 THEN 0 ELSE 1 END) "
+            "AS BIGINT) AS n_incr, "
+            "CAST(sum(CASE WHEN i % k = 0 THEN uu.u ELSE ad END) "
+            "AS BIGINT) AS total_units "
+            "FROM g, uu, ks GROUP BY 1 ORDER BY 1"),
+        "samplesort_splitter_audit": (
+            "WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS c "
+            "FROM orders), "
+            "sm AS (SELECT c FROM o WHERE CAST(CONCAT('0x', "
+            "substr(md5(CAST(k AS VARCHAR)), 1, 2)) AS BIGINT) "
+            "% 64 = 0), "
+            "r AS (SELECT c, row_number() OVER (ORDER BY c) - 1 AS i, "
+            "count(*) OVER () AS ns FROM sm), "
+            "sp AS (SELECT r.c FROM r JOIN (SELECT unnest("
+            "range(1, 16)) AS j) js ON r.i = (js.j * r.ns) // 16), "
+            "b AS (SELECT o.c, (SELECT count(*) FROM sp "
+            "WHERE sp.c <= o.c) AS bucket FROM o) "
+            "SELECT CAST(bucket AS BIGINT) AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n_rows FROM b "
+            "GROUP BY 1 ORDER BY 1"),
+        "median_of_medians_rank_audit": (
+            "WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS c "
+            "FROM orders), "
+            "rr AS (SELECT k // 8 AS ch, c, row_number() OVER "
+            "(PARTITION BY k // 8 ORDER BY c, k) AS rn, "
+            "count(*) OVER (PARTITION BY k // 8) AS n FROM o), "
+            "md AS (SELECT ch, c AS med FROM rr "
+            "WHERE rn = (n + 1) // 2), "
+            "mr AS (SELECT med, row_number() OVER "
+            "(ORDER BY med, ch) AS rn, count(*) OVER () AS n "
+            "FROM md), "
+            "m AS (SELECT med FROM mr WHERE rn = (n + 1) // 2) "
+            "SELECT CAST((SELECT med FROM m) AS BIGINT) AS m_cents, "
+            "CAST(sum(CASE WHEN c < (SELECT med FROM m) THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_below, "
+            "CAST(sum(CASE WHEN c = (SELECT med FROM m) THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_eq, "
+            "CAST(count(*) AS BIGINT) AS n_total, "
+            "CAST(1000000 * sum(CASE WHEN c < (SELECT med FROM m) "
+            "THEN 1 ELSE 0 END) // greatest(count(*), 1) AS BIGINT) "
+            "AS rank_ppm FROM o"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
