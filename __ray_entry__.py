@@ -558,7 +558,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         dict_encoding_planner,
                                         checkpoint_cadence_plan,
                                         samplesort_splitter_audit,
-                                        median_of_medians_rank_audit)
+                                        median_of_medians_rank_audit,
+                                        vocab_growth_checkpoints,
+                                        bitsliced_sum_audit,
+                                        hash_table_probe_cost_sweep,
+                                        cuckoo_choice_load_audit)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1423,6 +1427,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "checkpoint_cadence_plan": checkpoint_cadence_plan,
         "samplesort_splitter_audit": samplesort_splitter_audit,
         "median_of_medians_rank_audit": median_of_medians_rank_audit,
+        "vocab_growth_checkpoints": vocab_growth_checkpoints,
+        "bitsliced_sum_audit": bitsliced_sum_audit,
+        "hash_table_probe_cost_sweep": hash_table_probe_cost_sweep,
+        "cuckoo_choice_load_audit": cuckoo_choice_load_audit,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -5096,6 +5104,66 @@ def oracle_sql() -> dict[str, str]:
             "CAST(1000000 * sum(CASE WHEN c < (SELECT med FROM m) "
             "THEN 1 ELSE 0 END) // greatest(count(*), 1) AS BIGINT) "
             "AS rank_ppm FROM o"),
+        "vocab_growth_checkpoints": (
+            "WITH mt AS (SELECT tok, min(doc_id) AS md FROM "
+            "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+            "FROM documents) GROUP BY 1), "
+            "mx AS (SELECT max(doc_id) AS m FROM documents), "
+            "ks AS (SELECT r.i AS k FROM range(0, 64) r(i), mx "
+            "WHERE r.i = 0 OR (CAST(1 AS BIGINT) << (r.i - 1)) "
+            "<= mx.m) "
+            "SELECT CAST(k AS BIGINT) AS k, "
+            "CAST((SELECT count(*) FROM documents WHERE doc_id "
+            "< (CAST(1 AS BIGINT) << k)) AS BIGINT) AS n_docs, "
+            "CAST((SELECT count(*) FROM mt WHERE md "
+            "< (CAST(1 AS BIGINT) << k)) AS BIGINT) AS vocab_size "
+            "FROM ks ORDER BY 1"),
+        "bitsliced_sum_audit": (
+            "WITH q AS (SELECT CAST(round(l_quantity) AS BIGINT) "
+            "AS v FROM lineitem), "
+            "b AS (SELECT r.i AS bit FROM range(0, 7) r(i)) "
+            "SELECT CAST(bit AS BIGINT) AS bit, "
+            "CAST(sum((v >> bit) & 1) AS BIGINT) AS n_set, "
+            "CAST(sum((v >> bit) & 1) * (CAST(1 AS BIGINT) << bit) "
+            "AS BIGINT) AS contribution "
+            "FROM q, b GROUP BY bit ORDER BY 1"),
+        "hash_table_probe_cost_sweep": (
+            "WITH ks AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) "
+            "AS c FROM orders), "
+            "h AS (SELECT CAST(CONCAT('0x', "
+            "substr(md5(CAST(c AS VARCHAR)), 1, 12)) AS BIGINT) "
+            "AS hv FROM ks), "
+            "kk AS (SELECT unnest([4, 6, 8, 10]) AS k), "
+            "ld AS (SELECT kk.k, hv % (CAST(1 AS BIGINT) << kk.k) "
+            "AS b, count(*) AS c FROM h, kk GROUP BY 1, 2), "
+            "s AS (SELECT k, max(c) AS mx, "
+            "sum(c * (c + 1) // 2) AS cost, sum(c) AS nk FROM ld "
+            "GROUP BY 1) "
+            "SELECT CAST(k AS BIGINT) AS k, "
+            "CAST(CAST(1 AS BIGINT) << k AS BIGINT) AS n_buckets, "
+            "CAST(nk AS BIGINT) AS n_keys, "
+            "CAST(mx AS BIGINT) AS max_load, "
+            "CAST(cost AS BIGINT) AS probe_cost FROM s ORDER BY 1"),
+        "cuckoo_choice_load_audit": (
+            "WITH ks AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) "
+            "AS k FROM lineitem), "
+            "h AS (SELECT k, CAST(CONCAT('0x', "
+            "substr(md5(CAST(k AS VARCHAR)), 1, 4)) AS BIGINT) % 256 "
+            "AS b1, CAST(CONCAT('0x', "
+            "substr(md5(CAST(k AS VARCHAR)), 5, 4)) AS BIGINT) % 256 "
+            "AS b2 FROM ks), "
+            "ch AS (SELECT b1 AS b FROM h "
+            "UNION ALL SELECT b2 FROM h), "
+            "ld AS (SELECT b, count(*) AS n FROM ch GROUP BY 1), "
+            "l2 AS (SELECT r.i AS b, COALESCE(ld.n, 0) AS load "
+            "FROM range(0, 256) r(i) LEFT JOIN ld ON ld.b = r.i), "
+            "hist AS (SELECT load, count(*) AS n FROM l2 GROUP BY 1), "
+            "hard AS (SELECT count(*) AS n FROM h "
+            "JOIN l2 a ON a.b = h.b1 JOIN l2 c ON c.b = h.b2 "
+            "WHERE a.load > 8 AND c.load > 8) "
+            "SELECT CAST(load AS BIGINT) AS load, "
+            "CAST(n AS BIGINT) AS n_buckets FROM hist "
+            "UNION ALL SELECT -1, (SELECT n FROM hard) ORDER BY 1"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
