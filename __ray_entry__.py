@@ -562,7 +562,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         vocab_growth_checkpoints,
                                         bitsliced_sum_audit,
                                         hash_table_probe_cost_sweep,
-                                        cuckoo_choice_load_audit)
+                                        cuckoo_choice_load_audit,
+                                        seasonal_naive_backtest,
+                                        knn1_hubness_hist,
+                                        cascade_delete_impact,
+                                        sort_layout_pruning_audit)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1431,6 +1435,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bitsliced_sum_audit": bitsliced_sum_audit,
         "hash_table_probe_cost_sweep": hash_table_probe_cost_sweep,
         "cuckoo_choice_load_audit": cuckoo_choice_load_audit,
+        "seasonal_naive_backtest": seasonal_naive_backtest,
+        "knn1_hubness_hist": knn1_hubness_hist,
+        "cascade_delete_impact": cascade_delete_impact,
+        "sort_layout_pruning_audit": sort_layout_pruning_audit,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -5164,6 +5172,71 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(load AS BIGINT) AS load, "
             "CAST(n AS BIGINT) AS n_buckets FROM hist "
             "UNION ALL SELECT -1, (SELECT n FROM hard) ORDER BY 1"),
+        "seasonal_naive_backtest": (
+            "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev "
+            "FROM orders GROUP BY 1), "
+            "j AS (SELECT a.day, abs(a.rev - b.rev) AS err "
+            "FROM d a JOIN d b ON b.day = a.day - 7) "
+            "SELECT CAST(isodow(day) AS BIGINT) AS isodow, "
+            "CAST(count(*) AS BIGINT) AS n_days, "
+            "CAST(sum(err) AS BIGINT) AS sum_abs_err_cents "
+            "FROM j GROUP BY 1 ORDER BY 1"),
+        "knn1_hubness_hist": (
+            "WITH s AS (SELECT vec_id, embedding FROM embeddings "
+            "WHERE vec_id % 8 = 0), "
+            "dm AS (SELECT CAST(r.i AS INT) AS i "
+            "FROM range(1, 65) r(i)), "
+            "q AS (SELECT vec_id, dm.i, "
+            "CAST(round(CAST(embedding[dm.i] AS DOUBLE) * 100) "
+            "AS BIGINT) AS v FROM s, dm), "
+            "dp AS (SELECT a.vec_id AS a, b.vec_id AS b, "
+            "sum(a.v * b.v) AS dot FROM q a JOIN q b "
+            "ON a.i = b.i AND a.vec_id != b.vec_id GROUP BY 1, 2), "
+            "nn AS (SELECT a, b FROM (SELECT a, b, row_number() "
+            "OVER (PARTITION BY a ORDER BY dot DESC, b ASC) AS rn "
+            "FROM dp) WHERE rn = 1), "
+            "ind AS (SELECT s.vec_id, COALESCE(c.n, 0) AS indeg "
+            "FROM s LEFT JOIN (SELECT b, count(*) AS n FROM nn "
+            "GROUP BY 1) c ON c.b = s.vec_id) "
+            "SELECT CAST(indeg AS BIGINT) AS indegree, "
+            "CAST(count(*) AS BIGINT) AS n_vectors FROM ind "
+            "GROUP BY 1 ORDER BY 1"),
+        "cascade_delete_impact": (
+            "WITH dc AS (SELECT c_custkey AS ck FROM customer "
+            "WHERE CAST(CONCAT('0x', substr(md5("
+            "CAST(CAST(c_custkey AS BIGINT) AS VARCHAR)), 1, 2)) "
+            "AS BIGINT) % 32 = 0), "
+            "do2 AS (SELECT o_orderkey AS ok FROM orders "
+            "WHERE o_custkey IN (SELECT ck FROM dc)), "
+            "dl AS (SELECT count(*) AS n FROM lineitem "
+            "WHERE l_orderkey IN (SELECT ok FROM do2)), "
+            "tot AS (SELECT count(*) AS n FROM lineitem) "
+            "SELECT CAST((SELECT count(*) FROM dc) AS BIGINT) "
+            "AS n_cust_deleted, "
+            "CAST((SELECT count(*) FROM do2) AS BIGINT) "
+            "AS n_orders_cascaded, "
+            "CAST((SELECT n FROM dl) AS BIGINT) "
+            "AS n_lineitems_cascaded, "
+            "CAST(1000000 * (SELECT n FROM dl) "
+            "// greatest((SELECT n FROM tot), 1) AS BIGINT) "
+            "AS lineitem_share_ppm"),
+        "sort_layout_pruning_audit": (
+            "WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k, "
+            "epoch_us(o_orderdate) AS us, "
+            "CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END "
+            "AS m FROM orders), "
+            "c AS (SELECT 'okey' AS layout, k // 512 AS ch, "
+            "count(*) AS n, sum(m) AS mm FROM o GROUP BY 1, 2 "
+            "UNION ALL SELECT 'date', us // 86400000000 // 8, "
+            "count(*), sum(m) FROM o GROUP BY 1, 2) "
+            "SELECT layout, CAST(count(*) AS BIGINT) AS n_chunks, "
+            "CAST(sum(CASE WHEN mm > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_touched, "
+            "CAST(sum(CASE WHEN mm > 0 THEN n ELSE 0 END) AS BIGINT) "
+            "AS rows_scanned, "
+            "CAST(sum(mm) AS BIGINT) AS n_match FROM c "
+            "GROUP BY 1 ORDER BY 1"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
