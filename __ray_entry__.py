@@ -566,7 +566,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         seasonal_naive_backtest,
                                         knn1_hubness_hist,
                                         cascade_delete_impact,
-                                        sort_layout_pruning_audit)
+                                        sort_layout_pruning_audit,
+                                        rounding_policy_divergence_census,
+                                        skiplist_level_census,
+                                        bpe_first_merge_audit,
+                                        rice_parameter_selection)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1439,6 +1443,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn1_hubness_hist": knn1_hubness_hist,
         "cascade_delete_impact": cascade_delete_impact,
         "sort_layout_pruning_audit": sort_layout_pruning_audit,
+        "rounding_policy_divergence_census":
+            rounding_policy_divergence_census,
+        "skiplist_level_census": skiplist_level_census,
+        "bpe_first_merge_audit": bpe_first_merge_audit,
+        "rice_parameter_selection": rice_parameter_selection,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -5237,6 +5246,66 @@ def oracle_sql() -> dict[str, str]:
             "AS rows_scanned, "
             "CAST(sum(mm) AS BIGINT) AS n_match FROM c "
             "GROUP BY 1 ORDER BY 1"),
+        "rounding_policy_divergence_census": (
+            "WITH f AS (SELECT l_returnflag AS flag, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* CAST(round(l_discount * 100) AS BIGINT) AS prod "
+            "FROM lineitem) "
+            "SELECT flag, CAST(count(*) AS BIGINT) AS n_lines, "
+            "CAST(sum(CASE WHEN prod % 100 = 50 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_half_boundary, "
+            "CAST(sum(CASE WHEN prod % 100 = 50 "
+            "AND (prod // 100) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_divergent FROM f GROUP BY 1 ORDER BY 1"),
+        "skiplist_level_census": (
+            "WITH ks AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) "
+            "AS k FROM orders), "
+            "h AS (SELECT CAST(CONCAT('0x', "
+            "substr(md5(CAST(k AS VARCHAR)), 1, 12)) AS BIGINT) "
+            "AS hv FROM ks), "
+            "lv AS (SELECT CASE WHEN hv = 0 THEN 48 "
+            "ELSE bit_count((hv & -hv) - 1) END AS level FROM h) "
+            "SELECT CAST(level AS BIGINT) AS level, "
+            "CAST(count(*) AS BIGINT) AS n_keys FROM lv "
+            "GROUP BY 1 ORDER BY 1"),
+        "bpe_first_merge_audit": (
+            "WITH tk AS (SELECT tok, count(*) AS n FROM "
+            "(SELECT unnest(string_split(text, ' ')) AS tok "
+            "FROM documents) GROUP BY 1), "
+            "bg AS (SELECT n, unnest([substr(tok, CAST(i AS INT), 2) "
+            "FOR i IN range(1, length(tok))]) AS pr FROM tk "
+            "WHERE length(tok) >= 2), "
+            "pf AS (SELECT pr, sum(n) AS freq FROM bg GROUP BY 1), "
+            "top AS (SELECT pr, freq FROM pf "
+            "ORDER BY freq DESC, pr ASC LIMIT 1) "
+            "SELECT (SELECT pr FROM top) AS pair, "
+            "CAST((SELECT freq FROM top) AS BIGINT) AS freq, "
+            "CAST(count(*) AS BIGINT) AS n_tokens_affected, "
+            "CAST(sum(n) AS BIGINT) AS n_occurrences_affected "
+            "FROM tk, top WHERE contains(tok, top.pr)"),
+        "rice_parameter_selection": (
+            "WITH tc AS (SELECT tok, count(*) AS n FROM "
+            "(SELECT unnest(string_split(text, ' ')) AS tok "
+            "FROM documents) GROUP BY 1), "
+            "top AS (SELECT tok FROM tc "
+            "ORDER BY n DESC, tok ASC LIMIT 64), "
+            "pl AS (SELECT DISTINCT tok, doc_id FROM "
+            "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+            "FROM documents) WHERE tok IN (SELECT tok FROM top)), "
+            "g AS (SELECT tok, CASE WHEN lag(doc_id) OVER w IS NULL "
+            "THEN doc_id + 1 ELSE doc_id - lag(doc_id) OVER w END "
+            "AS gap FROM pl WINDOW w AS "
+            "(PARTITION BY tok ORDER BY doc_id)), "
+            "c AS (SELECT tok, r.i AS k, "
+            "sum((gap >> CAST(r.i AS INT)) + 1 + r.i) AS bits "
+            "FROM g, range(0, 8) r(i) GROUP BY 1, 2), "
+            "b AS (SELECT tok, k, bits, row_number() OVER "
+            "(PARTITION BY tok ORDER BY bits ASC, k ASC) AS rn "
+            "FROM c) "
+            "SELECT CAST(k AS BIGINT) AS best_k, "
+            "CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(sum(bits) AS BIGINT) AS total_bits FROM b "
+            "WHERE rn = 1 GROUP BY 1 ORDER BY 1"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
