@@ -570,7 +570,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         rounding_policy_divergence_census,
                                         skiplist_level_census,
                                         bpe_first_merge_audit,
-                                        rice_parameter_selection)
+                                        rice_parameter_selection,
+                                        feistel_shuffle_audit,
+                                        topk_overlap_curve,
+                                        weighted_bottomk_sample,
+                                        natural_sort_run_census)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1448,6 +1452,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skiplist_level_census": skiplist_level_census,
         "bpe_first_merge_audit": bpe_first_merge_audit,
         "rice_parameter_selection": rice_parameter_selection,
+        "feistel_shuffle_audit": feistel_shuffle_audit,
+        "topk_overlap_curve": topk_overlap_curve,
+        "weighted_bottomk_sample": weighted_bottomk_sample,
+        "natural_sort_run_census": natural_sort_run_census,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -5306,6 +5314,65 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_tokens, "
             "CAST(sum(bits) AS BIGINT) AS total_bits FROM b "
             "WHERE rn = 1 GROUP BY 1 ORDER BY 1"),
+        "feistel_shuffle_audit": (
+            "WITH ks AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) "
+            "& 4294967295 AS k FROM orders), "
+            "s1 AS (SELECT k, (k & 65535) AS l1, "
+            "xor(k >> 16, CAST(CONCAT('0x', substr(md5("
+            "CAST(k & 65535 AS VARCHAR) || ':0'), 1, 4)) AS BIGINT)) "
+            "AS r1 FROM ks), "
+            "s2 AS (SELECT k, r1 AS l2, "
+            "xor(l1, CAST(CONCAT('0x', substr(md5("
+            "CAST(r1 AS VARCHAR) || ':1'), 1, 4)) AS BIGINT)) AS r2 "
+            "FROM s1), "
+            "o AS (SELECT k, (l2 << 16) | r2 AS ov FROM s2), "
+            "d AS (SELECT CASE WHEN ov >= k THEN ov - k "
+            "ELSE k - ov END AS dd FROM o), "
+            "hist AS (SELECT CASE WHEN dd = 0 THEN 0 "
+            "ELSE length(bin(dd)) END AS bl, count(*) AS n FROM d "
+            "GROUP BY 1) "
+            "SELECT CAST(bl AS BIGINT) AS disp_bits, "
+            "CAST(n AS BIGINT) AS n_keys FROM hist "
+            "UNION ALL SELECT -1, "
+            "(SELECT count(DISTINCT ov) FROM o) ORDER BY 1"),
+        "topk_overlap_curve": (
+            "WITH tk AS (SELECT CAST(CONCAT('0x', substr(md5("
+            "CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) % 2 AS h, "
+            "unnest(string_split(text, ' ')) AS tok FROM documents), "
+            "c AS (SELECT h, tok, count(*) AS n FROM tk "
+            "GROUP BY 1, 2), "
+            "r AS (SELECT h, tok, row_number() OVER (PARTITION BY h "
+            "ORDER BY n DESC, tok ASC) AS rn FROM c), "
+            "dg AS (SELECT r.i AS depth FROM range(1, 21) r(i)), "
+            "j AS (SELECT a.tok, a.rn AS ra, b.rn AS rb FROM r a "
+            "JOIN r b ON a.tok = b.tok AND a.h = 0 AND b.h = 1) "
+            "SELECT CAST(depth AS BIGINT) AS depth, "
+            "CAST(count(j.tok) AS BIGINT) AS n_overlap FROM dg "
+            "LEFT JOIN j ON j.ra <= dg.depth AND j.rb <= dg.depth "
+            "GROUP BY 1 ORDER BY 1"),
+        "weighted_bottomk_sample": (
+            "WITH s AS (SELECT o_custkey AS c, "
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS sp "
+            "FROM orders GROUP BY 1), "
+            "p AS (SELECT c, sp, CAST(CONCAT('0x', substr(md5("
+            "CAST(CAST(c AS BIGINT) AS VARCHAR)), 1, 8)) AS BIGINT) "
+            "* 1000000 // greatest(sp, 1) AS pr FROM s), "
+            "r AS (SELECT c, sp, pr, row_number() OVER "
+            "(ORDER BY pr ASC, c ASC) AS rk FROM p) "
+            "SELECT CAST(rk AS BIGINT) AS rank, "
+            "CAST(c AS BIGINT) AS c_custkey, "
+            "CAST(sp AS BIGINT) AS spend_cents, "
+            "CAST(pr AS BIGINT) AS priority FROM r WHERE rk <= 16 "
+            "ORDER BY 1"),
+        "natural_sort_run_census": (
+            "WITH s AS (SELECT epoch_us(l_shipdate) AS v, "
+            "row_number() OVER (ORDER BY l_orderkey, l_linenumber, "
+            "l_shipdate) AS i FROM lineitem), "
+            "b AS (SELECT v, lag(v) OVER (ORDER BY i) AS pv FROM s) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(CASE WHEN pv IS NOT NULL AND pv > v THEN 1 "
+            "ELSE 0 END) + CASE WHEN count(*) > 0 THEN 1 ELSE 0 END "
+            "AS BIGINT) AS n_runs FROM b"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
