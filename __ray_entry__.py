@@ -574,7 +574,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         feistel_shuffle_audit,
                                         topk_overlap_curve,
                                         weighted_bottomk_sample,
-                                        natural_sort_run_census)
+                                        natural_sort_run_census,
+                                        art_node_type_census,
+                                        per_group_uniform_pick_bias,
+                                        list_intersection_cost_audit,
+                                        sparse_layout_planner)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1456,6 +1460,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_overlap_curve": topk_overlap_curve,
         "weighted_bottomk_sample": weighted_bottomk_sample,
         "natural_sort_run_census": natural_sort_run_census,
+        "art_node_type_census": art_node_type_census,
+        "per_group_uniform_pick_bias": per_group_uniform_pick_bias,
+        "list_intersection_cost_audit": list_intersection_cost_audit,
+        "sparse_layout_planner": sparse_layout_planner,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -5373,6 +5381,96 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN pv IS NOT NULL AND pv > v THEN 1 "
             "ELSE 0 END) + CASE WHEN count(*) > 0 THEN 1 ELSE 0 END "
             "AS BIGINT) AS n_runs FROM b"),
+        "art_node_type_census": (
+            "WITH ks AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) "
+            "& 4294967295 AS k FROM orders), "
+            "lv AS (SELECT unnest([0, 1, 2, 3]) AS l), "
+            "pr AS (SELECT lv.l, k >> (8 * (4 - lv.l)) AS pfx, "
+            "(k >> (8 * (3 - lv.l))) & 255 AS child FROM ks, lv), "
+            "n AS (SELECT l, pfx, count(DISTINCT child) AS nc "
+            "FROM pr GROUP BY 1, 2), "
+            "t AS (SELECT l, CASE WHEN nc <= 4 THEN 4 "
+            "WHEN nc <= 16 THEN 16 WHEN nc <= 48 THEN 48 "
+            "ELSE 256 END AS nt FROM n) "
+            "SELECT CAST(l AS BIGINT) AS level, "
+            "CAST(nt AS BIGINT) AS node_type, "
+            "CAST(count(*) AS BIGINT) AS n_nodes FROM t "
+            "GROUP BY 1, 2 ORDER BY 1, 2"),
+        "per_group_uniform_pick_bias": (
+            "WITH o AS (SELECT o_custkey AS c, o_orderkey AS k, "
+            "o_orderpriority AS p, CAST(CONCAT('0x', substr(md5("
+            "CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR)), 1, 12)) "
+            "AS BIGINT) AS h FROM orders), "
+            "pk AS (SELECT c, p FROM (SELECT c, p, row_number() "
+            "OVER (PARTITION BY c ORDER BY h, k) AS rn FROM o) "
+            "WHERE rn = 1), "
+            "a AS (SELECT p, count(*) AS na FROM o GROUP BY 1), "
+            "b AS (SELECT p, count(*) AS npk FROM pk GROUP BY 1), "
+            "t AS (SELECT (SELECT count(*) FROM o) AS ta, "
+            "(SELECT count(*) FROM pk) AS tp) "
+            "SELECT a.p AS priority, CAST(na AS BIGINT) AS n_all, "
+            "CAST(COALESCE(npk, 0) AS BIGINT) AS n_picked, "
+            "CAST(sign(CAST(COALESCE(npk, 0) AS HUGEINT) * ta "
+            "- CAST(na AS HUGEINT) * tp) AS BIGINT) AS sgn, "
+            "CAST(1000000 * abs(CAST(COALESCE(npk, 0) AS HUGEINT) "
+            "* ta - CAST(na AS HUGEINT) * tp) "
+            "// greatest(CAST(na AS HUGEINT) * tp, 1) AS BIGINT) "
+            "AS err_ppm "
+            "FROM a LEFT JOIN b ON b.p = a.p, t ORDER BY 1"),
+        "list_intersection_cost_audit": (
+            "WITH tc AS (SELECT tok, count(*) AS n FROM "
+            "(SELECT unnest(string_split(text, ' ')) AS tok "
+            "FROM documents) GROUP BY 1), "
+            "t2 AS (SELECT tok, row_number() OVER "
+            "(ORDER BY n DESC, tok ASC) AS rn FROM tc), "
+            "ta AS (SELECT tok FROM t2 WHERE rn = 1), "
+            "tb AS (SELECT tok FROM t2 WHERE rn = 2), "
+            "pl AS (SELECT DISTINCT tok, doc_id AS d FROM "
+            "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+            "FROM documents) WHERE tok IN (SELECT tok FROM ta "
+            "UNION ALL SELECT tok FROM tb)), "
+            "a AS (SELECT d FROM pl, ta WHERE pl.tok = ta.tok), "
+            "b AS (SELECT d FROM pl, tb WHERE pl.tok = tb.tok), "
+            "na AS (SELECT count(*) AS n FROM a), "
+            "nb AS (SELECT count(*) AS n FROM b), "
+            "sm AS (SELECT d FROM a, na, nb WHERE na.n < nb.n "
+            "UNION ALL SELECT d FROM b, na, nb WHERE na.n >= nb.n), "
+            "lg AS (SELECT d FROM b, na, nb WHERE na.n < nb.n "
+            "UNION ALL SELECT d FROM a, na, nb WHERE na.n >= nb.n), "
+            "pos AS (SELECT sm.d, (SELECT count(*) FROM lg "
+            "WHERE lg.d < sm.d) AS p FROM sm), "
+            "j AS (SELECT CASE WHEN lag(p) OVER (ORDER BY d) IS NULL "
+            "THEN p + 1 ELSE p - lag(p) OVER (ORDER BY d) END "
+            "AS jump FROM pos), "
+            "cg AS (SELECT COALESCE(sum(2 * length(bin(jump + 1))), "
+            "0) AS cost FROM j), "
+            "nc AS (SELECT count(*) AS n FROM sm "
+            "WHERE d IN (SELECT d FROM lg)) "
+            "SELECT (SELECT tok FROM ta) AS token_a, "
+            "(SELECT tok FROM tb) AS token_b, "
+            "CAST((SELECT n FROM na) AS BIGINT) AS n_a, "
+            "CAST((SELECT n FROM nb) AS BIGINT) AS n_b, "
+            "CAST((SELECT n FROM nc) AS BIGINT) AS n_common, "
+            "CAST((SELECT n FROM na) + (SELECT n FROM nb) AS BIGINT) "
+            "AS cost_linear, "
+            "CAST((SELECT cost FROM cg) AS BIGINT) AS cost_gallop"),
+        "sparse_layout_planner": (
+            "WITH du AS (SELECT DISTINCT user_id AS u, "
+            "epoch_us(ts) // 86400000000 // 7 AS w FROM events), "
+            "s AS (SELECT count(DISTINCT u) AS rows_, "
+            "count(DISTINCT w) AS cols_, count(*) AS nnz FROM du), "
+            "b AS (SELECT rows_, cols_, nnz, 12 * nnz AS coo, "
+            "8 * nnz + 4 * (rows_ + 1) AS csr, "
+            "rows_ * ((cols_ + 7) // 8) AS bmp FROM s) "
+            "SELECT CAST(rows_ AS BIGINT) AS n_users, "
+            "CAST(cols_ AS BIGINT) AS n_weeks, "
+            "CAST(nnz AS BIGINT) AS nnz, "
+            "CAST(coo AS BIGINT) AS bytes_coo, "
+            "CAST(csr AS BIGINT) AS bytes_csr, "
+            "CAST(bmp AS BIGINT) AS bytes_bitmap, "
+            "CASE WHEN bmp <= coo AND bmp <= csr THEN 'bitmap' "
+            "WHEN coo <= csr THEN 'coo' ELSE 'csr' END AS best "
+            "FROM b"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
