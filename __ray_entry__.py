@@ -578,7 +578,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         art_node_type_census,
                                         per_group_uniform_pick_bias,
                                         list_intersection_cost_audit,
-                                        sparse_layout_planner)
+                                        sparse_layout_planner,
+                                        fd_strength_census,
+                                        ldiversity_audit,
+                                        voptimal_2bucket_split,
+                                        mm1_backlog_audit)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1464,6 +1468,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_group_uniform_pick_bias": per_group_uniform_pick_bias,
         "list_intersection_cost_audit": list_intersection_cost_audit,
         "sparse_layout_planner": sparse_layout_planner,
+        "fd_strength_census": fd_strength_census,
+        "ldiversity_audit": ldiversity_audit,
+        "voptimal_2bucket_split": voptimal_2bucket_split,
+        "mm1_backlog_audit": mm1_backlog_audit,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -5471,6 +5479,86 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN bmp <= coo AND bmp <= csr THEN 'bitmap' "
             "WHEN coo <= csr THEN 'coo' ELSE 'csr' END AS best "
             "FROM b"),
+        "fd_strength_census": (
+            "WITH p AS (SELECT 'brand->type' AS fd, p_brand AS lhs, "
+            "p_type AS rhs FROM part "
+            "UNION ALL SELECT 'brand->size', p_brand, "
+            "CAST(p_size AS VARCHAR) FROM part "
+            "UNION ALL SELECT 'size->brand', "
+            "CAST(p_size AS VARCHAR), p_brand FROM part "
+            "UNION ALL SELECT 'type->brand', p_type, p_brand "
+            "FROM part), "
+            "g AS (SELECT fd, lhs, count(DISTINCT rhs) AS d FROM p "
+            "GROUP BY 1, 2) "
+            "SELECT fd, CAST(count(*) AS BIGINT) AS n_lhs, "
+            "CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_violating, "
+            "CAST(sum(d - 1) AS BIGINT) AS n_extra FROM g "
+            "GROUP BY 1 ORDER BY 1"),
+        "ldiversity_audit": (
+            "WITH c AS (SELECT c_nationkey AS nk, c_mktsegment "
+            "AS seg, sign(CAST(round(c_acctbal * 100) AS BIGINT)) "
+            "AS sg, count(*) AS n FROM customer GROUP BY 1, 2, 3), "
+            "g AS (SELECT nk, seg, count(*) AS d, sum(n) AS nc "
+            "FROM c GROUP BY 1, 2) "
+            "SELECT CAST(d AS BIGINT) AS n_sensitive, "
+            "CAST(count(*) AS BIGINT) AS n_groups, "
+            "CAST(sum(nc) AS BIGINT) AS n_customers FROM g "
+            "GROUP BY 1 ORDER BY 1"),
+        "voptimal_2bucket_split": (
+            "WITH h AS (SELECT CAST(round(l_quantity) AS BIGINT) "
+            "AS v, count(*) AS n FROM lineitem GROUP BY 1), "
+            "sp AS (SELECT unnest(generate_series("
+            "(SELECT min(v) FROM h), (SELECT max(v) FROM h) - 1)) "
+            "AS s), "
+            "e AS (SELECT s, "
+            "(SELECT COALESCE(sum(n), 0) FROM h WHERE v <= s) AS n1, "
+            "(SELECT COALESCE(sum(n * v), 0) FROM h WHERE v <= s) "
+            "AS s1, "
+            "(SELECT COALESCE(sum(n * v * v), 0) FROM h "
+            "WHERE v <= s) AS q1, "
+            "(SELECT COALESCE(sum(n), 0) FROM h WHERE v > s) AS n2, "
+            "(SELECT COALESCE(sum(n * v), 0) FROM h WHERE v > s) "
+            "AS s2, "
+            "(SELECT COALESCE(sum(n * v * v), 0) FROM h WHERE v > s) "
+            "AS q2 FROM sp), "
+            "er AS (SELECT s, n1, n2, "
+            "(CASE WHEN n1 = 0 THEN 0 ELSE (CAST(n1 AS HUGEINT) * q1 "
+            "- CAST(s1 AS HUGEINT) * s1) * 1000000 // n1 END) "
+            "+ (CASE WHEN n2 = 0 THEN 0 ELSE (CAST(n2 AS HUGEINT) "
+            "* q2 - CAST(s2 AS HUGEINT) * s2) * 1000000 // n2 END) "
+            "AS err FROM e), "
+            "b AS (SELECT s, err, n1, n2 FROM er "
+            "ORDER BY err ASC, s ASC LIMIT 1) "
+            "SELECT CAST(s AS BIGINT) AS split, "
+            "CAST(err AS VARCHAR) AS err_scaled, "
+            "CAST(n1 AS BIGINT) AS n_lo, CAST(n2 AS BIGINT) AS n_hi "
+            "FROM b"),
+        "mm1_backlog_audit": (
+            "WITH a AS (SELECT CAST(date_trunc('day', ts) AS DATE) "
+            "AS day, count(*) AS n FROM events GROUP BY 1), "
+            "g AS (SELECT CAST(unnest(generate_series("
+            "(SELECT min(day) FROM a), (SELECT max(day) FROM a), "
+            "INTERVAL 1 DAY)) AS DATE) AS day), "
+            "tot AS (SELECT (SELECT sum(n) FROM a) AS t, "
+            "(SELECT count(*) FROM g) AS nd), "
+            "cc AS (SELECT (t + nd - 1) // nd AS c FROM tot), "
+            "s AS (SELECT g.day, COALESCE(a.n, 0) AS n, "
+            "row_number() OVER (ORDER BY g.day) AS i FROM g "
+            "LEFT JOIN a ON a.day = g.day), "
+            "b AS (SELECT day, sum(n) OVER (ORDER BY i) "
+            "- (SELECT c FROM cc) * i AS bt FROM s), "
+            "qq AS (SELECT day, bt - least(0, min(bt) OVER "
+            "(ORDER BY day ROWS UNBOUNDED PRECEDING)) AS q FROM b), "
+            "pk AS (SELECT day, q FROM qq "
+            "ORDER BY q DESC, day ASC LIMIT 1) "
+            "SELECT CAST((SELECT c FROM cc) AS BIGINT) "
+            "AS service_rate, "
+            "CAST((SELECT q FROM pk) AS BIGINT) AS peak_backlog, "
+            "CAST((SELECT day FROM pk) AS TIMESTAMP) AS peak_day, "
+            "CAST((SELECT count(*) FROM qq WHERE q > 0) AS BIGINT) "
+            "AS n_busy_days, "
+            "CAST((SELECT count(*) FROM g) AS BIGINT) AS n_days"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
