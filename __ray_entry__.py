@@ -582,7 +582,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         fd_strength_census,
                                         ldiversity_audit,
                                         voptimal_2bucket_split,
-                                        mm1_backlog_audit)
+                                        mm1_backlog_audit,
+                                        elias_fano_plan,
+                                        sharded_topk_recall,
+                                        rank_block_popcount_plan,
+                                        value_flatline_run_census)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1472,6 +1476,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ldiversity_audit": ldiversity_audit,
         "voptimal_2bucket_split": voptimal_2bucket_split,
         "mm1_backlog_audit": mm1_backlog_audit,
+        "elias_fano_plan": elias_fano_plan,
+        "sharded_topk_recall": sharded_topk_recall,
+        "rank_block_popcount_plan": rank_block_popcount_plan,
+        "value_flatline_run_census": value_flatline_run_census,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -5559,6 +5567,72 @@ def oracle_sql() -> dict[str, str]:
             "CAST((SELECT count(*) FROM qq WHERE q > 0) AS BIGINT) "
             "AS n_busy_days, "
             "CAST((SELECT count(*) FROM g) AS BIGINT) AS n_days"),
+        "elias_fano_plan": (
+            "WITH ks AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) "
+            "AS k FROM orders), "
+            "st AS (SELECT count(*) AS n, max(k) + 1 AS u FROM ks), "
+            "lp AS (SELECT n, u, CASE WHEN u // n >= 1 "
+            "THEN length(bin(u // n)) - 1 ELSE 0 END AS l FROM st), "
+            "bk AS (SELECT k >> (SELECT l FROM lp) AS b FROM ks), "
+            "oc AS (SELECT count(*) AS ne, max(cnt) AS mx FROM "
+            "(SELECT b, count(*) AS cnt FROM bk GROUP BY 1)) "
+            "SELECT CAST(n AS BIGINT) AS n_keys, "
+            "CAST(u AS BIGINT) AS universe, CAST(l AS BIGINT) AS l, "
+            "CAST(n * l AS BIGINT) AS lower_bits, "
+            "CAST(n + (u >> l) AS BIGINT) AS upper_bits, "
+            "CAST((SELECT ne FROM oc) AS BIGINT) "
+            "AS n_buckets_nonempty, "
+            "CAST((SELECT mx FROM oc) AS BIGINT) AS max_bucket "
+            "FROM lp"),
+        "sharded_topk_recall": (
+            "WITH s AS (SELECT o_custkey AS c, "
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS sp "
+            "FROM orders GROUP BY 1), "
+            "r AS (SELECT c, sp, CAST(CONCAT('0x', substr(md5("
+            "CAST(CAST(c AS BIGINT) AS VARCHAR)), 1, 2)) AS BIGINT) "
+            "% 16 AS sh FROM s), "
+            "tr AS (SELECT c FROM r ORDER BY sp DESC, c ASC "
+            "LIMIT 10), "
+            "ps AS (SELECT c FROM (SELECT c, row_number() OVER "
+            "(PARTITION BY sh ORDER BY sp DESC, c ASC) AS rn FROM r) "
+            "WHERE rn <= 4), "
+            "ms AS (SELECT count(*) AS n FROM tr "
+            "WHERE c NOT IN (SELECT c FROM ps)) "
+            "SELECT CAST(10 AS BIGINT) AS k, CAST(4 AS BIGINT) AS m, "
+            "CAST(16 AS BIGINT) AS n_shards, "
+            "CAST((SELECT count(*) FROM ps) AS BIGINT) AS n_union, "
+            "CAST((SELECT n FROM ms) AS BIGINT) AS n_missed"),
+        "rank_block_popcount_plan": (
+            "WITH c AS (SELECT CAST(l_orderkey AS BIGINT) AS k, "
+            "count(*) AS n FROM lineitem GROUP BY 1), "
+            "uu AS (SELECT max(k) + 1 AS u FROM c), "
+            "o AS (SELECT k FROM c WHERE n >= 2), "
+            "bl AS (SELECT k // 64 AS b, count(*) AS pcnt FROM o "
+            "GROUP BY 1), "
+            "s AS (SELECT (SELECT u FROM uu) AS u, "
+            "(SELECT count(*) FROM o) AS n1, "
+            "(SELECT count(*) FROM bl) AS nbne, "
+            "(SELECT COALESCE(max(pcnt), 0) FROM bl) AS mp) "
+            "SELECT CAST(u AS BIGINT) AS universe_bits, "
+            "CAST(n1 AS BIGINT) AS n_ones, "
+            "CAST((u + 63) // 64 AS BIGINT) AS n_blocks, "
+            "CAST((u + 63) // 64 - nbne AS BIGINT) AS n_empty_blocks, "
+            "CAST(mp AS BIGINT) AS max_popcount, "
+            "CAST(8 * ((u + 511) // 512) AS BIGINT) "
+            "AS bytes_superblock, "
+            "CAST(2 * ((u + 63) // 64) AS BIGINT) AS bytes_block "
+            "FROM s"),
+        "value_flatline_run_census": (
+            "WITH e AS (SELECT event_type AS ty, "
+            "CAST(round(value * 100) AS BIGINT) AS v, ts, event_id "
+            "FROM events), "
+            "w AS (SELECT ty, v, lag(v) OVER (PARTITION BY ty "
+            "ORDER BY ts, event_id) AS pv FROM e) "
+            "SELECT ty AS event_type, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CASE WHEN pv IS NULL OR pv != v THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_runs FROM w "
+            "GROUP BY 1 ORDER BY 1"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
