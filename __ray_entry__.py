@@ -586,7 +586,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         elias_fano_plan,
                                         sharded_topk_recall,
                                         rank_block_popcount_plan,
-                                        value_flatline_run_census)
+                                        value_flatline_run_census,
+                                        btree_bulkload_plan,
+                                        external_sort_pass_plan,
+                                        multi_pattern_match_census,
+                                        secretary_rule_audit)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1480,6 +1484,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sharded_topk_recall": sharded_topk_recall,
         "rank_block_popcount_plan": rank_block_popcount_plan,
         "value_flatline_run_census": value_flatline_run_census,
+        "btree_bulkload_plan": btree_bulkload_plan,
+        "external_sort_pass_plan": external_sort_pass_plan,
+        "multi_pattern_match_census": multi_pattern_match_census,
+        "secretary_rule_audit": secretary_rule_audit,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -5633,6 +5641,82 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN pv IS NULL OR pv != v THEN 1 "
             "ELSE 0 END) AS BIGINT) AS n_runs FROM w "
             "GROUP BY 1 ORDER BY 1"),
+        "btree_bulkload_plan": (
+            "WITH RECURSIVE c AS (SELECT CAST(l_orderkey AS BIGINT) "
+            "AS k, count(*) AS n FROM lineitem GROUP BY 1), "
+            "p AS (SELECT k, n, COALESCE(SUM(n) OVER (ORDER BY k "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS st FROM c), "
+            "tot AS (SELECT COALESCE(SUM(n), 0) AS nr, count(*) "
+            "AS nk FROM c), "
+            "mixl AS (SELECT st // 64 AS leaf, count(*) AS cnt "
+            "FROM p WHERE st % 64 <> 0 GROUP BY 1), "
+            "mx AS (SELECT count(*) AS nm, COALESCE(MAX(cnt), 0) "
+            "AS mc FROM mixl), "
+            "lv(l, cnt) AS (SELECT 0, (SELECT (nr + 63) // 64 "
+            "FROM tot) UNION ALL SELECT l + 1, (cnt + 63) // 64 "
+            "FROM lv WHERE cnt > 1), "
+            "hh AS (SELECT MAX(l) AS h, SUM(CASE WHEN l > 0 "
+            "THEN cnt ELSE 0 END) AS ni FROM lv) "
+            "SELECT CAST(nr AS BIGINT) AS n_rows, "
+            "CAST(nk AS BIGINT) AS n_keys, "
+            "CAST((nr + 63) // 64 AS BIGINT) AS n_leaves, "
+            "CAST(nm AS BIGINT) AS n_mixed_leaves, "
+            "CAST((nr + 63) // 64 - nm AS BIGINT) AS n_pure_leaves, "
+            "CAST(CASE WHEN nr = 0 THEN 0 ELSE 1 + mc END "
+            "AS BIGINT) AS max_keys_per_leaf, "
+            "CAST(h AS BIGINT) AS height, "
+            "CAST(COALESCE(ni, 0) AS BIGINT) AS n_internal "
+            "FROM tot, mx, hh"),
+        "external_sort_pass_plan": (
+            "WITH RECURSIVE c AS (SELECT l_returnflag AS f, "
+            "count(*) AS n FROM lineitem GROUP BY 1), "
+            "r0 AS (SELECT f, n, (n + 4095) // 4096 AS runs "
+            "FROM c), "
+            "m(f, r, p) AS (SELECT f, runs, 0 FROM r0 UNION ALL "
+            "SELECT f, (r + 7) // 8, p + 1 FROM m WHERE r > 1), "
+            "mp AS (SELECT f, MAX(p) AS passes FROM m GROUP BY 1) "
+            "SELECT r0.f AS l_returnflag, CAST(n AS BIGINT) "
+            "AS n_rows, CAST(runs AS BIGINT) AS n_runs, "
+            "CAST(passes AS BIGINT) AS n_passes, "
+            "CAST(n * (passes + 1) AS BIGINT) AS io_rows "
+            "FROM r0 JOIN mp ON r0.f = mp.f"),
+        "multi_pattern_match_census": (
+            "SELECT lang, p AS pattern, "
+            "CAST(SUM((length(text) - length(replace(text, p, '')))"
+            " // length(p)) AS BIGINT) AS n_occurrences, "
+            "CAST(SUM(CASE WHEN length(text) <> "
+            "length(replace(text, p, '')) THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_docs "
+            "FROM documents CROSS JOIN (SELECT unnest(['the', "
+            "'and', 'tion', 'ing']) AS p) pats GROUP BY 1, 2"),
+        "secretary_rule_audit": (
+            "WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') "
+            "AS day, strftime(o_orderdate, '%Y-%m') AS mon, "
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v "
+            "FROM orders GROUP BY 1, 2), "
+            "r AS (SELECT mon, v, row_number() OVER (PARTITION BY "
+            "mon ORDER BY md5(day)) AS rk FROM d), "
+            "st AS (SELECT mon, count(*) AS n, count(*) // 3 AS k, "
+            "MAX(v) AS mx FROM r GROUP BY 1), "
+            "m1 AS (SELECT r.mon, COALESCE(MAX(CASE WHEN rk <= k "
+            "THEN v END), -1) AS m1 FROM r JOIN st "
+            "ON r.mon = st.mon GROUP BY 1), "
+            "pk AS (SELECT r.mon, MIN(rk) AS pr FROM r "
+            "JOIN st ON r.mon = st.mon "
+            "JOIN m1 ON r.mon = m1.mon "
+            "WHERE rk > st.k AND r.v > m1.m1 GROUP BY 1), "
+            "fin AS (SELECT st.mon, st.n, st.k, st.mx, "
+            "COALESCE(pk.pr, st.n) AS pr, "
+            "CASE WHEN pk.pr IS NULL THEN 0 ELSE 1 END AS early "
+            "FROM st LEFT JOIN pk ON st.mon = pk.mon) "
+            "SELECT fin.mon AS month, CAST(n AS BIGINT) AS n_days, "
+            "CAST(k AS BIGINT) AS k_observe, "
+            "CAST(pr AS BIGINT) AS picked_rank, "
+            "CAST(early AS BIGINT) AS early_pick, "
+            "CAST(CASE WHEN r.v = fin.mx THEN 1 ELSE 0 END "
+            "AS BIGINT) AS picked_is_max "
+            "FROM fin JOIN r ON fin.mon = r.mon AND r.rk = fin.pr"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
