@@ -590,7 +590,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         btree_bulkload_plan,
                                         external_sort_pass_plan,
                                         multi_pattern_match_census,
-                                        secretary_rule_audit)
+                                        secretary_rule_audit,
+                                        join_order_dp_plan,
+                                        linear_counting_audit,
+                                        countsketch_sign_estimates,
+                                        dhondt_seat_allocation)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1488,6 +1492,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "external_sort_pass_plan": external_sort_pass_plan,
         "multi_pattern_match_census": multi_pattern_match_census,
         "secretary_rule_audit": secretary_rule_audit,
+        "join_order_dp_plan": join_order_dp_plan,
+        "linear_counting_audit": linear_counting_audit,
+        "countsketch_sign_estimates": countsketch_sign_estimates,
+        "dhondt_seat_allocation": dhondt_seat_allocation,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -5717,6 +5725,91 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN r.v = fin.mx THEN 1 ELSE 0 END "
             "AS BIGINT) AS picked_is_max "
             "FROM fin JOIN r ON fin.mon = r.mon AND r.rk = fin.pr"),
+        "join_order_dp_plan": (
+            "WITH co AS (SELECT count(*) AS n FROM orders "
+            "WHERE o_custkey IN (SELECT c_custkey FROM customer)), "
+            "ol AS (SELECT count(*) AS n FROM lineitem "
+            "WHERE l_orderkey IN (SELECT o_orderkey FROM orders)), "
+            "lp AS (SELECT count(*) AS n FROM lineitem "
+            "WHERE l_partkey IN (SELECT p_partkey FROM part)), "
+            "col AS (SELECT count(*) AS n FROM lineitem "
+            "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
+            "WHERE o_custkey IN (SELECT c_custkey FROM customer))), "
+            "olp AS (SELECT count(*) AS n FROM lineitem "
+            "WHERE l_orderkey IN (SELECT o_orderkey FROM orders) "
+            "AND l_partkey IN (SELECT p_partkey FROM part)), "
+            "pl AS (SELECT 'CO_L_P' AS plan, "
+            "(SELECT n FROM co) + (SELECT n FROM col) AS cost_rows "
+            "UNION ALL SELECT 'LP_O_C', "
+            "(SELECT n FROM lp) + (SELECT n FROM olp) "
+            "UNION ALL SELECT 'OL_C_P', "
+            "(SELECT n FROM ol) + (SELECT n FROM col) "
+            "UNION ALL SELECT 'OL_P_C', "
+            "(SELECT n FROM ol) + (SELECT n FROM olp)), "
+            "bst AS (SELECT plan AS bp FROM pl "
+            "ORDER BY cost_rows ASC, plan ASC LIMIT 1) "
+            "SELECT plan, CAST(cost_rows AS BIGINT) AS cost_rows, "
+            "CAST(CASE WHEN plan = (SELECT bp FROM bst) THEN 1 "
+            "ELSE 0 END AS BIGINT) AS is_best FROM pl"),
+        "linear_counting_audit": (
+            "WITH p AS (SELECT DISTINCT strftime(ts, '%Y-%m') "
+            "AS mon, user_id AS u FROM events), "
+            "b AS (SELECT mon, u, CAST(CONCAT('0x', "
+            "substr(md5(CAST(u AS VARCHAR)), 1, 2)) AS BIGINT) "
+            "% 256 AS bk FROM p) "
+            "SELECT mon AS month, "
+            "CAST(count(*) AS BIGINT) AS n_distinct_users, "
+            "CAST(count(DISTINCT bk) AS BIGINT) AS n_occupied, "
+            "CAST(256 - count(DISTINCT bk) AS BIGINT) AS n_empty, "
+            "CAST(count(*) - count(DISTINCT bk) AS BIGINT) "
+            "AS n_collisions FROM b GROUP BY 1"),
+        "countsketch_sign_estimates": (
+            "WITH tok AS (SELECT unnest(string_split(text, ' ')) "
+            "AS t FROM documents), "
+            "tc AS (SELECT t, count(*) AS c FROM tok GROUP BY 1), "
+            "h AS (SELECT r, t, c, CAST(CONCAT('0x', substr(md5("
+            "CONCAT(CAST(r AS VARCHAR), ':', t)), 1, 2)) AS BIGINT) "
+            "% 16 AS b, CAST(CONCAT('0x', substr(md5(CONCAT("
+            "CAST(r AS VARCHAR), ':', t)), 3, 1)) AS BIGINT) "
+            "% 2 * 2 - 1 AS s "
+            "FROM tc CROSS JOIN (SELECT unnest([0, 1, 2]) AS r)), "
+            "sk AS (SELECT r, b, SUM(s * c) AS v FROM h "
+            "GROUP BY 1, 2), "
+            "top5 AS (SELECT t, c FROM tc "
+            "ORDER BY c DESC, t ASC LIMIT 5), "
+            "est AS (SELECT top5.t, top5.c, h.s * sk.v AS e "
+            "FROM top5 JOIN h ON h.t = top5.t "
+            "JOIN sk ON sk.r = h.r AND sk.b = h.b) "
+            "SELECT t AS token, CAST(c AS BIGINT) AS true_count, "
+            "CAST(SUM(e) - MAX(e) - MIN(e) AS BIGINT) "
+            "AS est_median FROM est GROUP BY 1, 2"),
+        "dhondt_seat_allocation": (
+            "WITH v AS (SELECT c_nationkey AS nk, "
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY 1), "
+            "q AS (SELECT nk, k, (v * 1000000) // k AS q FROM v "
+            "CROSS JOIN generate_series(1, 64) t(k)), "
+            "r AS (SELECT nk, k, q, row_number() OVER (ORDER BY "
+            "q DESC, nk ASC, k ASC) AS rnk FROM q), "
+            "dd AS (SELECT nk, count(*) AS sd FROM r "
+            "WHERE rnk <= 64 GROUP BY 1), "
+            "tot AS (SELECT SUM(v) AS tv FROM v), "
+            "fl AS (SELECT nk, v, (v * 64) // tv AS fs, "
+            "(v * 64) % tv AS rem FROM v, tot), "
+            "lo AS (SELECT 64 - SUM(fs) AS extra FROM fl), "
+            "rr AS (SELECT nk, fs, row_number() OVER (ORDER BY "
+            "rem DESC, nk ASC) AS rrk FROM fl), "
+            "lr AS (SELECT nk, fs + CASE WHEN rrk <= "
+            "(SELECT extra FROM lo) THEN 1 ELSE 0 END AS sl "
+            "FROM rr) "
+            "SELECT n_name, "
+            "CAST(COALESCE(dd.sd, 0) AS BIGINT) AS seats_dhondt, "
+            "CAST(lr.sl AS BIGINT) AS seats_lr, "
+            "CAST(COALESCE(dd.sd, 0) - lr.sl AS BIGINT) "
+            "AS seats_diff "
+            "FROM lr JOIN nation ON lr.nk = n_nationkey "
+            "LEFT JOIN dd ON lr.nk = dd.nk"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
