@@ -594,7 +594,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         join_order_dp_plan,
                                         linear_counting_audit,
                                         countsketch_sign_estimates,
-                                        dhondt_seat_allocation)
+                                        dhondt_seat_allocation,
+                                        int32_overflow_day_census,
+                                        kgram_index_size_planner,
+                                        doc_minimizer_density,
+                                        hashagg_spill_planner)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1496,6 +1500,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_counting_audit": linear_counting_audit,
         "countsketch_sign_estimates": countsketch_sign_estimates,
         "dhondt_seat_allocation": dhondt_seat_allocation,
+        "int32_overflow_day_census": int32_overflow_day_census,
+        "kgram_index_size_planner": kgram_index_size_planner,
+        "doc_minimizer_density": doc_minimizer_density,
+        "hashagg_spill_planner": hashagg_spill_planner,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -5810,6 +5818,78 @@ def oracle_sql() -> dict[str, str]:
             "AS seats_diff "
             "FROM lr JOIN nation ON lr.nk = n_nationkey "
             "LEFT JOIN dd ON lr.nk = dd.nk"),
+        "int32_overflow_day_census": (
+            "WITH d AS (SELECT l_returnflag AS f, "
+            "strftime(l_shipdate, '%Y-%m-%d') AS day, "
+            "SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS v "
+            "FROM lineitem GROUP BY 1, 2), "
+            "c AS (SELECT f, day, SUM(v) OVER (PARTITION BY f "
+            "ORDER BY day) AS cs FROM d), "
+            "fo AS (SELECT f, MIN(day) AS fd FROM c "
+            "WHERE cs > 2147483647 GROUP BY 1), "
+            "t AS (SELECT f, SUM(v) AS tot FROM d GROUP BY 1) "
+            "SELECT t.f AS l_returnflag, "
+            "COALESCE(fo.fd, '') AS first_overflow_day, "
+            "CAST(tot // 2147483648 AS BIGINT) AS n_wraps, "
+            "CAST(tot AS BIGINT) AS total_cents "
+            "FROM t LEFT JOIN fo ON t.f = fo.f"),
+        "kgram_index_size_planner": (
+            "WITH dt AS (SELECT DISTINCT tok FROM (SELECT "
+            "unnest(string_split(text, ' ')) AS tok "
+            "FROM documents)), "
+            "ix AS (SELECT tok, unnest(range(1, "
+            "greatest(length(tok) - 1, 1))) AS i FROM dt), "
+            "g AS (SELECT DISTINCT tok, substr(tok, i, 3) AS g "
+            "FROM ix), "
+            "p AS (SELECT g, count(*) AS n FROM g GROUP BY 1) "
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM dt) "
+            "AS n_tokens, "
+            "CAST(count(*) AS BIGINT) AS n_distinct_grams, "
+            "CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_postings, "
+            "CAST(COALESCE(MAX(n), 0) AS BIGINT) "
+            "AS max_posting_len FROM p"),
+        "doc_minimizer_density": (
+            "WITH d AS (SELECT doc_id, text FROM documents "
+            "WHERE doc_id % 4 = 0), "
+            "ix AS (SELECT doc_id, text, unnest(range(1, "
+            "greatest(length(text) - 2, 1))) AS i FROM d), "
+            "pos AS (SELECT doc_id, i, md5(substr(text, i, 4)) || "
+            "lpad(CAST(i AS VARCHAR), 10, '0') AS key, "
+            "length(text) - 3 AS g FROM ix), "
+            "w AS (SELECT doc_id, g, i, MIN(key) OVER (PARTITION "
+            "BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND "
+            "7 FOLLOWING) AS mk FROM pos), "
+            "st AS (SELECT doc_id, g, mk FROM w "
+            "WHERE i <= greatest(g - 7, 1)), "
+            "agg AS (SELECT doc_id, MAX(g) AS nk, count(*) AS nw, "
+            "count(DISTINCT mk) AS nm FROM st GROUP BY 1) "
+            "SELECT d.doc_id, "
+            "CAST(COALESCE(agg.nk, 0) AS BIGINT) AS n_kgrams, "
+            "CAST(COALESCE(agg.nw, 0) AS BIGINT) AS n_windows, "
+            "CAST(COALESCE(agg.nm, 0) AS BIGINT) AS n_minimizers "
+            "FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id"),
+        "hashagg_spill_planner": (
+            "WITH s AS (SELECT 'returnflag' AS grouping_name, "
+            "1 AS n_keys, (SELECT count(DISTINCT l_returnflag) "
+            "FROM lineitem) AS n_groups "
+            "UNION ALL SELECT 'returnflag_linestatus', 2, "
+            "(SELECT count(*) FROM (SELECT DISTINCT l_returnflag, "
+            "l_linestatus FROM lineitem)) "
+            "UNION ALL SELECT 'partkey', 1, "
+            "(SELECT count(DISTINCT l_partkey) FROM lineitem) "
+            "UNION ALL SELECT 'orderkey', 1, "
+            "(SELECT count(DISTINCT l_orderkey) FROM lineitem)) "
+            "SELECT grouping_name, CAST(n_keys AS BIGINT) "
+            "AS n_keys, CAST(n_groups AS BIGINT) AS n_groups, "
+            "CAST(n_groups * (64 + 8 * n_keys + 16) AS BIGINT) "
+            "AS est_bytes, "
+            "CAST(CASE WHEN n_groups * (64 + 8 * n_keys + 16) "
+            "<= 1048576 THEN 1 ELSE 0 END AS BIGINT) "
+            "AS fits_budget, "
+            "CAST(CASE WHEN n_groups * (64 + 8 * n_keys + 16) "
+            "<= 1048576 THEN 1 ELSE (n_groups * (64 + 8 * n_keys "
+            "+ 16) + 1048575) // 1048576 END AS BIGINT) "
+            "AS n_spill_partitions FROM s"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
