@@ -598,7 +598,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         int32_overflow_day_census,
                                         kgram_index_size_planner,
                                         doc_minimizer_density,
-                                        hashagg_spill_planner)
+                                        hashagg_spill_planner,
+                                        condorcet_nation_audit,
+                                        for_encoding_chunk_plan,
+                                        vocab_tiering_plan,
+                                        lsm_compaction_plan)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1504,6 +1508,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgram_index_size_planner": kgram_index_size_planner,
         "doc_minimizer_density": doc_minimizer_density,
         "hashagg_spill_planner": hashagg_spill_planner,
+        "condorcet_nation_audit": condorcet_nation_audit,
+        "for_encoding_chunk_plan": for_encoding_chunk_plan,
+        "vocab_tiering_plan": vocab_tiering_plan,
+        "lsm_compaction_plan": lsm_compaction_plan,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -5890,6 +5898,75 @@ def oracle_sql() -> dict[str, str]:
             "<= 1048576 THEN 1 ELSE (n_groups * (64 + 8 * n_keys "
             "+ 16) + 1048575) // 1048576 END AS BIGINT) "
             "AS n_spill_partitions FROM s"),
+        "condorcet_nation_audit": (
+            "WITH v AS (SELECT n_nationkey AS nk, n_name, "
+            "COALESCE(r.v, 0) AS rev, COALESCE(r.n, 0) AS nord, "
+            "COALESCE(cc.n, 0) AS ncust FROM nation "
+            "LEFT JOIN (SELECT c_nationkey AS nk2, "
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v, "
+            "count(*) AS n FROM orders JOIN customer "
+            "ON o_custkey = c_custkey GROUP BY 1) r "
+            "ON n_nationkey = r.nk2 "
+            "LEFT JOIN (SELECT c_nationkey AS nk3, count(*) AS n "
+            "FROM customer GROUP BY 1) cc "
+            "ON n_nationkey = cc.nk3), "
+            "rk AS (SELECT nk, n_name, "
+            "row_number() OVER (ORDER BY rev DESC, nk ASC) AS r1, "
+            "row_number() OVER (ORDER BY nord DESC, nk ASC) AS r2, "
+            "row_number() OVER (ORDER BY ncust DESC, nk ASC) AS r3 "
+            "FROM v), "
+            "w AS (SELECT a.nk, a.n_name, SUM(CASE WHEN "
+            "(CASE WHEN a.r1 < b.r1 THEN 1 ELSE 0 END + "
+            "CASE WHEN a.r2 < b.r2 THEN 1 ELSE 0 END + "
+            "CASE WHEN a.r3 < b.r3 THEN 1 ELSE 0 END) >= 2 "
+            "THEN 1 ELSE 0 END) AS wins, count(*) AS np "
+            "FROM rk a JOIN rk b ON a.nk <> b.nk GROUP BY 1, 2) "
+            "SELECT n_name, CAST(wins AS BIGINT) AS n_wins, "
+            "CAST(CASE WHEN wins = np THEN 1 ELSE 0 END AS BIGINT) "
+            "AS is_condorcet FROM w"),
+        "for_encoding_chunk_plan": (
+            "WITH c AS (SELECT l_orderkey // 4096 AS ch, "
+            "MIN(l_partkey) AS mn, MAX(l_partkey) AS mx, "
+            "count(*) AS n FROM lineitem GROUP BY 1), "
+            "wdt AS (SELECT CASE WHEN mx = mn THEN 0 ELSE "
+            "length(bin(mx - mn)) END AS wb, n, "
+            "8 + (n * (CASE WHEN mx = mn THEN 0 ELSE "
+            "length(bin(mx - mn)) END) + 7) // 8 AS byt FROM c) "
+            "SELECT CAST(wb AS BIGINT) AS width_bits, "
+            "CAST(count(*) AS BIGINT) AS n_chunks, "
+            "CAST(SUM(n) AS BIGINT) AS n_rows, "
+            "CAST(SUM(byt) AS BIGINT) AS total_bytes "
+            "FROM wdt GROUP BY 1"),
+        "vocab_tiering_plan": (
+            "WITH tc AS (SELECT t, count(*) AS c FROM (SELECT "
+            "unnest(string_split(text, ' ')) AS t FROM documents) "
+            "GROUP BY 1), "
+            "rk AS (SELECT t, c, row_number() OVER (ORDER BY "
+            "c DESC, t ASC) AS rn FROM tc), "
+            "tr AS (SELECT CASE WHEN rn <= 64 THEN 'head' "
+            "WHEN c >= 2 THEN 'body' ELSE 'tail' END AS tier, c, "
+            "CASE WHEN rn <= 64 THEN c WHEN c >= 2 THEN 2 * c "
+            "ELSE length(t) + 1 END AS byt FROM rk), "
+            "agg AS (SELECT tier, count(*) AS nt, SUM(c) AS occ, "
+            "SUM(byt) AS cb FROM tr GROUP BY 1) "
+            "SELECT tl.tier, "
+            "CAST(COALESCE(nt, 0) AS BIGINT) AS n_tokens, "
+            "CAST(COALESCE(occ, 0) AS BIGINT) AS n_occurrences, "
+            "CAST(COALESCE(cb, 0) AS BIGINT) AS code_bytes "
+            "FROM (SELECT unnest(['head', 'body', 'tail']) AS tier)"
+            " tl LEFT JOIN agg ON tl.tier = agg.tier"),
+        "lsm_compaction_plan": (
+            "WITH RECURSIVE cnt AS (SELECT event_type AS ty, "
+            "count(*) AS n FROM events GROUP BY 1), "
+            "m(ty, cap, l) AS (SELECT ty, 4096, 0 FROM cnt "
+            "UNION ALL SELECT m.ty, m.cap * 8, m.l + 1 FROM m "
+            "JOIN cnt ON m.ty = cnt.ty WHERE m.cap < cnt.n), "
+            "lv AS (SELECT ty, MAX(l) AS levels FROM m GROUP BY 1) "
+            "SELECT cnt.ty AS event_type, CAST(n AS BIGINT) "
+            "AS n_rows, CAST((n + 4095) // 4096 AS BIGINT) "
+            "AS n_flushes, CAST(levels AS BIGINT) AS n_levels, "
+            "CAST(n * (levels + 1) AS BIGINT) AS write_rows "
+            "FROM cnt JOIN lv ON cnt.ty = lv.ty"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
