@@ -602,7 +602,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         condorcet_nation_audit,
                                         for_encoding_chunk_plan,
                                         vocab_tiering_plan,
-                                        lsm_compaction_plan)
+                                        lsm_compaction_plan,
+                                        jl_projection_distortion_census,
+                                        luhn_checksum_census,
+                                        zipf_mandelbrot_shift_fit,
+                                        dominant_type_run_census)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1512,6 +1516,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "for_encoding_chunk_plan": for_encoding_chunk_plan,
         "vocab_tiering_plan": vocab_tiering_plan,
         "lsm_compaction_plan": lsm_compaction_plan,
+        "jl_projection_distortion_census":
+            jl_projection_distortion_census,
+        "luhn_checksum_census": luhn_checksum_census,
+        "zipf_mandelbrot_shift_fit": zipf_mandelbrot_shift_fit,
+        "dominant_type_run_census": dominant_type_run_census,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -5967,6 +5976,93 @@ def oracle_sql() -> dict[str, str]:
             "AS n_flushes, CAST(levels AS BIGINT) AS n_levels, "
             "CAST(n * (levels + 1) AS BIGINT) AS write_rows "
             "FROM cnt JOIN lv ON cnt.ty = lv.ty"),
+        "jl_projection_distortion_census": (
+            "WITH e AS (SELECT vec_id, embedding AS v "
+            "FROM embeddings), "
+            "q AS (SELECT vec_id, [CAST(round(CAST(v[i] AS DOUBLE) "
+            "* 1000) AS BIGINT) FOR i IN range(1, len(v) + 1)] "
+            "AS qv FROM e), "
+            "p AS (SELECT a.vec_id, a.qv AS va, b.qv AS vb "
+            "FROM q a JOIN q b ON b.vec_id = a.vec_id + 1), "
+            "df AS (SELECT vec_id, [va[i] - vb[i] FOR i IN "
+            "range(1, len(va) + 1)] AS dv FROM p), "
+            "pr AS (SELECT vec_id, list_sum([dv[i] * dv[i] FOR i "
+            "IN range(1, len(dv) + 1)]) AS d2o, "
+            "list_sum([(CASE WHEN CAST(CONCAT('0x', substr(md5("
+            "CONCAT(CAST(i AS VARCHAR), ':1')), 1, 1)) AS BIGINT) "
+            "% 2 = 0 THEN 1 ELSE -1 END) * dv[i] FOR i IN "
+            "range(1, len(dv) + 1)]) AS y1, "
+            "list_sum([(CASE WHEN CAST(CONCAT('0x', substr(md5("
+            "CONCAT(CAST(i AS VARCHAR), ':2')), 1, 1)) AS BIGINT) "
+            "% 2 = 0 THEN 1 ELSE -1 END) * dv[i] FOR i IN "
+            "range(1, len(dv) + 1)]) AS y2, "
+            "list_sum([(CASE WHEN CAST(CONCAT('0x', substr(md5("
+            "CONCAT(CAST(i AS VARCHAR), ':3')), 1, 1)) AS BIGINT) "
+            "% 2 = 0 THEN 1 ELSE -1 END) * dv[i] FOR i IN "
+            "range(1, len(dv) + 1)]) AS y3, "
+            "list_sum([(CASE WHEN CAST(CONCAT('0x', substr(md5("
+            "CONCAT(CAST(i AS VARCHAR), ':4')), 1, 1)) AS BIGINT) "
+            "% 2 = 0 THEN 1 ELSE -1 END) * dv[i] FOR i IN "
+            "range(1, len(dv) + 1)]) AS y4 FROM df), "
+            "er AS (SELECT vec_id, y1 * y1 + y2 * y2 + y3 * y3 "
+            "+ y4 * y4 - 4 * d2o AS e FROM pr) "
+            "SELECT CAST(sign(e) AS BIGINT) AS sgn, "
+            "CAST(CASE WHEN e = 0 THEN 0 ELSE "
+            "length(bin(abs(e))) END AS BIGINT) AS mag, "
+            "CAST(count(*) AS BIGINT) AS n_pairs FROM er "
+            "GROUP BY 1, 2 ORDER BY 1, 2"),
+        "luhn_checksum_census": (
+            "WITH ks AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT)"
+            " AS k FROM orders), "
+            "ix AS (SELECT k, unnest(range(0, 10)) AS p FROM ks), "
+            "d AS (SELECT k, p, (k // ([1, 10, 100, 1000, 10000, "
+            "100000, 1000000, 10000000, 100000000, 1000000000])"
+            "[p + 1]) % 10 AS dg FROM ix), "
+            "t AS (SELECT k, SUM(CASE WHEN p % 2 = 0 THEN "
+            "CASE WHEN 2 * dg > 9 THEN 2 * dg - 9 ELSE 2 * dg END "
+            "ELSE dg END) AS s FROM d GROUP BY 1) "
+            "SELECT CAST((10 - s % 10) % 10 AS BIGINT) "
+            "AS check_digit, CAST(count(*) AS BIGINT) AS n_keys "
+            "FROM t GROUP BY 1"),
+        "zipf_mandelbrot_shift_fit": (
+            "WITH tc AS (SELECT t, count(*) AS c FROM (SELECT "
+            "unnest(string_split(text, ' ')) AS t FROM documents) "
+            "GROUP BY 1), "
+            "rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, "
+            "t ASC) AS r FROM tc), "
+            "tt AS (SELECT * FROM rk WHERE r <= 64), "
+            "pr AS (SELECT a.c AS ca, b.c AS cb, a.r AS r "
+            "FROM tt a JOIN tt b ON b.r = a.r + 1), "
+            "bl AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7, 8]) "
+            "AS b), "
+            "bs AS (SELECT bl.b, COALESCE(SUM(abs(ca * (r + bl.b) "
+            "- cb * (r + 1 + bl.b))), 0) AS err FROM bl "
+            "LEFT JOIN pr ON TRUE GROUP BY 1), "
+            "mn AS (SELECT b AS bb FROM bs "
+            "ORDER BY err ASC, b ASC LIMIT 1) "
+            "SELECT CAST(b AS BIGINT) AS b, "
+            "CAST(err AS BIGINT) AS total_error, "
+            "CAST(CASE WHEN b = (SELECT bb FROM mn) THEN 1 ELSE 0 "
+            "END AS BIGINT) AS is_best FROM bs"),
+        "dominant_type_run_census": (
+            "WITH dc AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+            "event_type AS ty, count(*) AS n FROM events "
+            "GROUP BY 1, 2), "
+            "dm AS (SELECT day, ty FROM (SELECT day, ty, "
+            "row_number() OVER (PARTITION BY day ORDER BY n DESC, "
+            "ty ASC) AS rn FROM dc) WHERE rn = 1), "
+            "sq AS (SELECT day, ty, CASE WHEN lag(ty) OVER "
+            "(ORDER BY day) IS DISTINCT FROM ty THEN 1 ELSE 0 END "
+            "AS brk FROM dm), "
+            "rr AS (SELECT day, ty, SUM(brk) OVER (ORDER BY day) "
+            "AS rid FROM sq), "
+            "runs AS (SELECT ty, rid, count(*) AS ln FROM rr "
+            "GROUP BY 1, 2) "
+            "SELECT ty AS event_type, "
+            "CAST(SUM(ln) AS BIGINT) AS n_days_dominant, "
+            "CAST(count(*) AS BIGINT) AS n_runs, "
+            "CAST(MAX(ln) AS BIGINT) AS longest_run FROM runs "
+            "GROUP BY 1"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
