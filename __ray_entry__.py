@@ -606,7 +606,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         jl_projection_distortion_census,
                                         luhn_checksum_census,
                                         zipf_mandelbrot_shift_fit,
-                                        dominant_type_run_census)
+                                        dominant_type_run_census,
+                                        kleinberg_burst_dp_audit,
+                                        uuidv7_id_plan_audit,
+                                        pinball_loss_decile_audit,
+                                        zstd_dict_sample_coverage)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1521,6 +1525,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "luhn_checksum_census": luhn_checksum_census,
         "zipf_mandelbrot_shift_fit": zipf_mandelbrot_shift_fit,
         "dominant_type_run_census": dominant_type_run_census,
+        "kleinberg_burst_dp_audit": kleinberg_burst_dp_audit,
+        "uuidv7_id_plan_audit": uuidv7_id_plan_audit,
+        "pinball_loss_decile_audit": pinball_loss_decile_audit,
+        "zstd_dict_sample_coverage": zstd_dict_sample_coverage,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -6063,6 +6071,91 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_runs, "
             "CAST(MAX(ln) AS BIGINT) AS longest_run FROM runs "
             "GROUP BY 1"),
+        "kleinberg_burst_dp_audit": (
+            "WITH RECURSIVE dc AS (SELECT strftime(ts, '%Y-%m-%d') "
+            "AS day, count(*) AS n FROM events GROUP BY 1), "
+            "sq AS (SELECT n, row_number() OVER (ORDER BY day) "
+            "AS idx FROM dc), "
+            "tot AS (SELECT count(*) AS nd FROM sq), "
+            "md AS (SELECT n AS mu0 FROM (SELECT n, row_number() "
+            "OVER (ORDER BY n) AS r FROM sq) "
+            "WHERE r = (SELECT (nd + 1) // 2 FROM tot)), "
+            "dp(idx, c0, c1, p0, p1) AS ("
+            "SELECT 1, abs(sq.n - md.mu0), abs(sq.n - 2 * md.mu0), "
+            "'0', '1' FROM sq, md WHERE sq.idx = 1 "
+            "UNION ALL SELECT dp.idx + 1, "
+            "abs(sq.n - md.mu0) + LEAST(dp.c0, dp.c1 + 100), "
+            "abs(sq.n - 2 * md.mu0) + LEAST(dp.c1, dp.c0 + 100), "
+            "(CASE WHEN dp.c0 <= dp.c1 + 100 THEN dp.p0 "
+            "ELSE dp.p1 END) || '0', "
+            "(CASE WHEN dp.c1 <= dp.c0 + 100 THEN dp.p1 "
+            "ELSE dp.p0 END) || '1' "
+            "FROM dp, sq, md WHERE sq.idx = dp.idx + 1), "
+            "fin AS (SELECT CASE WHEN c0 <= c1 THEN c0 ELSE c1 END "
+            "AS cost, CASE WHEN c0 <= c1 THEN p0 ELSE p1 END "
+            "AS path FROM dp WHERE idx = (SELECT nd FROM tot)), "
+            "sw AS (SELECT COALESCE(SUM(d), 0) AS s FROM (SELECT "
+            "CASE WHEN substr(path, i, 1) <> substr(path, i + 1, 1)"
+            " THEN 1 ELSE 0 END AS d FROM (SELECT path, "
+            "unnest(range(1, greatest(length(path), 1))) AS i "
+            "FROM fin))) "
+            "SELECT (SELECT CAST(nd AS BIGINT) FROM tot) "
+            "AS n_days, CAST(cost AS BIGINT) AS final_cost, "
+            "CAST(length(path) - length(replace(path, '1', '')) "
+            "AS BIGINT) AS n_burst_days, "
+            "CAST((SELECT s FROM sw) AS BIGINT) AS n_switches "
+            "FROM fin"),
+        "uuidv7_id_plan_audit": (
+            "WITH i AS (SELECT epoch_ms(ts) * 65536 + "
+            "CAST(CONCAT('0x', substr(md5(CAST(event_id "
+            "AS VARCHAR)), 1, 4)) AS BIGINT) AS id FROM events), "
+            "c AS (SELECT id, count(*) AS n FROM i GROUP BY 1) "
+            "SELECT CAST(SUM(n) AS BIGINT) AS n_events, "
+            "CAST(count(*) AS BIGINT) AS n_distinct_ids, "
+            "CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_colliding_ids, "
+            "CAST(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) "
+            "AS BIGINT) AS n_collision_events FROM c"),
+        "pinball_loss_decile_audit": (
+            "WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') "
+            "AS day, SUM(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " AS v FROM orders GROUP BY 1), "
+            "srt AS (SELECT v, row_number() OVER (ORDER BY v) "
+            "AS rn FROM d), "
+            "tot AS (SELECT count(*) AS n FROM d), "
+            "cand AS (SELECT kk.k, s.v AS q FROM (SELECT "
+            "unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS k) kk, tot, "
+            "srt s WHERE s.rn = ((tot.n - 1) * kk.k) // 10 + 1), "
+            "loss AS (SELECT c.k, c.q, SUM(GREATEST(9 * (d.v - "
+            "c.q), c.q - d.v)) AS l FROM cand c, d GROUP BY 1, 2), "
+            "mn AS (SELECT k AS bk FROM loss "
+            "ORDER BY l ASC, k ASC LIMIT 1) "
+            "SELECT CAST(k AS BIGINT) AS k, "
+            "CAST(q AS BIGINT) AS candidate_cents, "
+            "CAST(l AS BIGINT) AS loss_x10, "
+            "CAST(CASE WHEN k = (SELECT bk FROM mn) THEN 1 ELSE 0 "
+            "END AS BIGINT) AS is_min FROM loss"),
+        "zstd_dict_sample_coverage": (
+            "WITH ix AS (SELECT doc_id, text, unnest(range(1, "
+            "greatest(length(text) - 6, 1))) AS i FROM documents), "
+            "ag AS (SELECT doc_id, substr(text, i, 8) AS g "
+            "FROM ix), "
+            "sg AS (SELECT DISTINCT g FROM ag WHERE CAST(CONCAT("
+            "'0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) "
+            "AS BIGINT) % 8 = 0), "
+            "stats AS (SELECT count(*) AS t, SUM(CASE WHEN g IN "
+            "(SELECT g FROM sg) THEN 1 ELSE 0 END) AS c FROM ag), "
+            "docs AS (SELECT count(*) AS nd, SUM(CASE WHEN "
+            "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR))"
+            ", 1, 2)) AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END) AS ns "
+            "FROM documents) "
+            "SELECT CAST(nd AS BIGINT) AS n_docs, "
+            "CAST(ns AS BIGINT) AS n_sample_docs, "
+            "CAST((SELECT count(*) FROM sg) AS BIGINT) "
+            "AS n_sample_grams, "
+            "CAST(t AS BIGINT) AS total_gram_occurrences, "
+            "CAST(c * 1000000 // t AS BIGINT) AS covered_ppm "
+            "FROM stats, docs"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
