@@ -610,7 +610,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         kleinberg_burst_dp_audit,
                                         uuidv7_id_plan_audit,
                                         pinball_loss_decile_audit,
-                                        zstd_dict_sample_coverage)
+                                        zstd_dict_sample_coverage,
+                                        graycode_hamming_census,
+                                        predicate_order_cost_audit,
+                                        reorder_point_stockout_census,
+                                        md5_permutation_test)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1529,6 +1533,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "uuidv7_id_plan_audit": uuidv7_id_plan_audit,
         "pinball_loss_decile_audit": pinball_loss_decile_audit,
         "zstd_dict_sample_coverage": zstd_dict_sample_coverage,
+        "graycode_hamming_census": graycode_hamming_census,
+        "predicate_order_cost_audit": predicate_order_cost_audit,
+        "reorder_point_stockout_census":
+            reorder_point_stockout_census,
+        "md5_permutation_test": md5_permutation_test,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -6156,6 +6165,109 @@ def oracle_sql() -> dict[str, str]:
             "CAST(t AS BIGINT) AS total_gram_occurrences, "
             "CAST(c * 1000000 // t AS BIGINT) AS covered_ppm "
             "FROM stats, docs"),
+        "graycode_hamming_census": (
+            "WITH ks AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT)"
+            " AS k FROM orders), "
+            "p AS (SELECT k, lag(k) OVER (ORDER BY k) AS pk "
+            "FROM ks), "
+            "pp AS (SELECT k, pk FROM p WHERE pk IS NOT NULL), "
+            "hb AS (SELECT bit_count(xor(k, pk)) AS h FROM pp), "
+            "hg AS (SELECT bit_count(xor(xor(k, k >> 1), "
+            "xor(pk, pk >> 1))) AS h FROM pp) "
+            "SELECT 'binary' AS encoding, CAST(h AS BIGINT) "
+            "AS hamming, CAST(count(*) AS BIGINT) AS n_pairs "
+            "FROM hb GROUP BY 2 "
+            "UNION ALL SELECT 'gray', CAST(h AS BIGINT), "
+            "CAST(count(*) AS BIGINT) FROM hg GROUP BY 2"),
+        "predicate_order_cost_audit": (
+            "WITH c AS (SELECT count(*) AS n, "
+            "SUM(CASE WHEN CAST(round(l_quantity) AS BIGINT) >= 25 "
+            "THEN 1 ELSE 0 END) AS na, "
+            "SUM(CASE WHEN CAST(round(l_discount * 100) AS BIGINT) "
+            ">= 5 THEN 1 ELSE 0 END) AS nb, "
+            "SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) "
+            "AS nc, "
+            "SUM(CASE WHEN CAST(round(l_quantity) AS BIGINT) >= 25 "
+            "AND CAST(round(l_discount * 100) AS BIGINT) >= 5 "
+            "THEN 1 ELSE 0 END) AS nab, "
+            "SUM(CASE WHEN CAST(round(l_quantity) AS BIGINT) >= 25 "
+            "AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS nac, "
+            "SUM(CASE WHEN CAST(round(l_discount * 100) AS BIGINT) "
+            ">= 5 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS nbc "
+            "FROM lineitem), "
+            "o AS (SELECT 'ABC' AS eval_order, n + na + nab "
+            "AS cost FROM c "
+            "UNION ALL SELECT 'ACB', n + na + nac FROM c "
+            "UNION ALL SELECT 'BAC', n + nb + nab FROM c "
+            "UNION ALL SELECT 'BCA', n + nb + nbc FROM c "
+            "UNION ALL SELECT 'CAB', n + nc + nac FROM c "
+            "UNION ALL SELECT 'CBA', n + nc + nbc FROM c), "
+            "b AS (SELECT eval_order AS bo FROM o "
+            "ORDER BY cost ASC, eval_order ASC LIMIT 1) "
+            "SELECT eval_order, CAST(cost AS BIGINT) "
+            "AS cost_evals, CAST(CASE WHEN eval_order = "
+            "(SELECT bo FROM b) THEN 1 ELSE 0 END AS BIGINT) "
+            "AS is_best FROM o"),
+        "reorder_point_stockout_census": (
+            "WITH RECURSIVE dd AS (SELECT CAST(o_orderdate AS DATE)"
+            " AS day, count(*) AS n FROM orders GROUP BY 1), "
+            "bounds AS (SELECT min(day) AS mn, max(day) AS mx "
+            "FROM dd), "
+            "grid AS (SELECT unnest(generate_series(mn, mx, "
+            "INTERVAL 1 DAY)) AS day FROM bounds), "
+            "g2 AS (SELECT COALESCE(dd.n, 0) AS n, row_number() "
+            "OVER (ORDER BY CAST(g.day AS DATE)) AS idx FROM grid g"
+            " LEFT JOIN dd ON CAST(g.day AS DATE) = dd.day), "
+            "tot AS (SELECT count(*) AS nd FROM g2), "
+            "md AS (SELECT n AS mu FROM (SELECT n, row_number() "
+            "OVER (ORDER BY n) AS r FROM g2) "
+            "WHERE r = (SELECT (nd + 1) // 2 FROM tot)), "
+            "sim(idx, inv, st, ro) AS ("
+            "SELECT 0, 3 * mu, 0, 0 FROM md "
+            "UNION ALL SELECT g2.idx, "
+            "CASE WHEN (CASE WHEN sim.inv < g2.n THEN 0 "
+            "ELSE sim.inv - g2.n END) <= md.mu THEN 3 * md.mu "
+            "ELSE (CASE WHEN sim.inv < g2.n THEN 0 "
+            "ELSE sim.inv - g2.n END) END, "
+            "sim.st + CASE WHEN sim.inv < g2.n THEN 1 ELSE 0 END, "
+            "sim.ro + CASE WHEN (CASE WHEN sim.inv < g2.n THEN 0 "
+            "ELSE sim.inv - g2.n END) <= md.mu THEN 1 ELSE 0 END "
+            "FROM sim, g2, md WHERE g2.idx = sim.idx + 1) "
+            "SELECT (SELECT CAST(nd AS BIGINT) FROM tot) "
+            "AS n_days, (SELECT CAST(mu AS BIGINT) FROM md) AS mu, "
+            "(SELECT CAST(mu AS BIGINT) FROM md) AS s_small, "
+            "(SELECT CAST(3 * mu AS BIGINT) FROM md) AS s_big, "
+            "CAST(st AS BIGINT) AS n_stockouts, "
+            "CAST(ro AS BIGINT) AS n_reorders, "
+            "CAST(inv AS BIGINT) AS final_inventory "
+            "FROM sim WHERE idx = (SELECT nd FROM tot)"),
+        "md5_permutation_test": (
+            "WITH f AS (SELECT CAST(round(l_quantity) AS BIGINT) "
+            "AS q, l_returnflag AS fl, md5(CONCAT(CAST(l_orderkey "
+            "AS BIGINT), ':', l_linenumber)) AS h FROM lineitem "
+            "WHERE l_returnflag IN ('R', 'N')), "
+            "base AS (SELECT SUM(CASE WHEN fl = 'R' THEN q ELSE 0 "
+            "END) AS sr, SUM(CASE WHEN fl = 'R' THEN 1 ELSE 0 END) "
+            "AS nr, SUM(CASE WHEN fl = 'N' THEN q ELSE 0 END) "
+            "AS sn, SUM(CASE WHEN fl = 'N' THEN 1 ELSE 0 END) "
+            "AS nn FROM f), "
+            "pp AS (SELECT p, SUM(CASE WHEN CAST(CONCAT('0x', "
+            "substr(h, p + 1, 1)) AS BIGINT) % 2 = 0 THEN q ELSE 0 "
+            "END) AS sa, SUM(CASE WHEN CAST(CONCAT('0x', substr(h,"
+            " p + 1, 1)) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END) "
+            "AS na, SUM(q) AS st, count(*) AS nt FROM f CROSS JOIN "
+            "(SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS p) "
+            "GROUP BY 1), "
+            "ob AS (SELECT abs(sr * nn - sn * nr) AS obs "
+            "FROM base), "
+            "ge AS (SELECT SUM(CASE WHEN abs(sa * (nt - na) - "
+            "(st - sa) * na) >= (SELECT obs FROM ob) THEN 1 ELSE 0 "
+            "END) AS n_ge FROM pp) "
+            "SELECT (SELECT CAST(obs AS BIGINT) FROM ob) "
+            "AS obs_stat, CAST(8 AS BIGINT) AS n_perms, "
+            "(SELECT CAST(n_ge AS BIGINT) FROM ge) AS n_perms_ge, "
+            "(SELECT CAST((n_ge + 1) * 1000000 // 9 AS BIGINT) "
+            "FROM ge) AS p_value_ppm"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
