@@ -614,7 +614,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         graycode_hamming_census,
                                         predicate_order_cost_audit,
                                         reorder_point_stockout_census,
-                                        md5_permutation_test)
+                                        md5_permutation_test,
+                                        hilbert_vs_zorder_locality,
+                                        cache_admission_knapsack_plan,
+                                        skipgram_window_pairs_topk,
+                                        daily_revenue_max_drawdown)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1538,6 +1542,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reorder_point_stockout_census":
             reorder_point_stockout_census,
         "md5_permutation_test": md5_permutation_test,
+        "hilbert_vs_zorder_locality": hilbert_vs_zorder_locality,
+        "cache_admission_knapsack_plan":
+            cache_admission_knapsack_plan,
+        "skipgram_window_pairs_topk": skipgram_window_pairs_topk,
+        "daily_revenue_max_drawdown": daily_revenue_max_drawdown,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -6268,6 +6277,96 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(n_ge AS BIGINT) FROM ge) AS n_perms_ge, "
             "(SELECT CAST((n_ge + 1) * 1000000 // 9 AS BIGINT) "
             "FROM ge) AS p_value_ppm"),
+        "hilbert_vs_zorder_locality": (
+            "WITH RECURSIVE cells AS (SELECT DISTINCT "
+            "CAST(o_custkey % 16 AS BIGINT) AS x, "
+            "CAST(dayofyear(o_orderdate) % 16 AS BIGINT) AS y "
+            "FROM orders), "
+            "zd AS (SELECT x, y, "
+            "((x & 1) * 2 + (y & 1) + ((x >> 1) & 1) * 8 + "
+            "((y >> 1) & 1) * 4 + ((x >> 2) & 1) * 32 + "
+            "((y >> 2) & 1) * 16 + ((x >> 3) & 1) * 128 + "
+            "((y >> 3) & 1) * 64) AS d FROM cells), "
+            "hc(x0, y0, cx, cy, s, d) AS ("
+            "SELECT x, y, x, y, CAST(8 AS BIGINT), "
+            "CAST(0 AS BIGINT) FROM cells "
+            "UNION ALL SELECT x0, y0, "
+            "CASE WHEN (CASE WHEN (cy & s) > 0 THEN 1 ELSE 0 END) "
+            "= 1 THEN cx ELSE CASE WHEN (CASE WHEN (cx & s) > 0 "
+            "THEN 1 ELSE 0 END) = 1 THEN s - 1 - cy ELSE cy END "
+            "END, "
+            "CASE WHEN (CASE WHEN (cy & s) > 0 THEN 1 ELSE 0 END) "
+            "= 1 THEN cy ELSE CASE WHEN (CASE WHEN (cx & s) > 0 "
+            "THEN 1 ELSE 0 END) = 1 THEN s - 1 - cx ELSE cx END "
+            "END, "
+            "s // 2, "
+            "d + s * s * CAST(xor(3 * (CASE WHEN (cx & s) > 0 "
+            "THEN 1 ELSE 0 END), (CASE WHEN (cy & s) > 0 THEN 1 "
+            "ELSE 0 END)) AS BIGINT) "
+            "FROM hc WHERE s >= 1), "
+            "hd AS (SELECT x0 AS x, y0 AS y, d FROM hc "
+            "WHERE s = 0), "
+            "lz AS (SELECT COALESCE(SUM(abs(x - lx) + abs(y - ly))"
+            ", 0) AS td, count(*) AS nc FROM (SELECT x, y, "
+            "lag(x) OVER (ORDER BY d) AS lx, lag(y) OVER "
+            "(ORDER BY d) AS ly FROM zd)), "
+            "lh AS (SELECT COALESCE(SUM(abs(x - lx) + abs(y - ly))"
+            ", 0) AS td, count(*) AS nc FROM (SELECT x, y, "
+            "lag(x) OVER (ORDER BY d) AS lx, lag(y) OVER "
+            "(ORDER BY d) AS ly FROM hd)) "
+            "SELECT 'zorder' AS curve, CAST(nc AS BIGINT) "
+            "AS n_occupied, CAST(td AS BIGINT) AS total_manhattan "
+            "FROM lz UNION ALL SELECT 'hilbert', "
+            "CAST(nc AS BIGINT), CAST(td AS BIGINT) FROM lh"),
+        "cache_admission_knapsack_plan": (
+            "WITH r AS (SELECT l_partkey AS p, "
+            "SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS v FROM lineitem GROUP BY 1), "
+            "it AS (SELECT r.p, r.v, CAST(p_size AS BIGINT) AS s "
+            "FROM r JOIN part ON r.p = p_partkey "
+            "WHERE p_size > 0), "
+            "tot AS (SELECT SUM(s) AS ts, SUM(v) AS tv, count(*) "
+            "AS np FROM it), "
+            "rk AS (SELECT p, v, s, SUM(s) OVER (ORDER BY "
+            "(v * 1000000) // s DESC, p ASC ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS cum FROM it), "
+            "sel AS (SELECT count(*) AS nc, COALESCE(SUM(s), 0) "
+            "AS cs, COALESCE(SUM(v), 0) AS cv FROM rk, tot "
+            "WHERE cum <= ts // 10) "
+            "SELECT CAST(np AS BIGINT) AS n_parts, "
+            "CAST(ts // 10 AS BIGINT) AS budget, "
+            "CAST(nc AS BIGINT) AS n_cached, "
+            "CAST(cs AS BIGINT) AS cached_size, "
+            "CAST(cv AS BIGINT) AS cached_revenue_cents, "
+            "CAST(CASE WHEN tv > 0 THEN cv * 1000000 // tv "
+            "ELSE 0 END AS BIGINT) AS hit_ppm FROM sel, tot"),
+        "skipgram_window_pairs_topk": (
+            "WITH a AS (SELECT doc_id, string_split(text, ' ') "
+            "AS arr FROM documents), "
+            "ix AS (SELECT doc_id, arr, unnest(range(1, len(arr) "
+            "+ 1)) AS i FROM a), "
+            "tk AS (SELECT doc_id, i, arr[i] AS tok FROM ix), "
+            "pr AS (SELECT t1.tok AS w1, t2.tok AS w2 FROM tk t1 "
+            "JOIN tk t2 ON t1.doc_id = t2.doc_id "
+            "AND t2.i - t1.i BETWEEN 1 AND 3) "
+            "SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_cooccur "
+            "FROM pr GROUP BY 1, 2 "
+            "ORDER BY n_cooccur DESC, w1 ASC, w2 ASC LIMIT 10"),
+        "daily_revenue_max_drawdown": (
+            "WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') "
+            "AS day, SUM(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " AS v FROM orders GROUP BY 1), "
+            "w AS (SELECT day, v, MAX(v) OVER (ORDER BY day) "
+            "AS pk FROM d), "
+            "dd AS (SELECT day, pk - v AS dd FROM w), "
+            "mx AS (SELECT dd AS m, day FROM dd "
+            "ORDER BY dd DESC, day ASC LIMIT 1) "
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) "
+            "AS n_days, (SELECT CAST(MAX(v) AS BIGINT) FROM d) "
+            "AS peak_cents, CAST(CASE WHEN m > 0 THEN m ELSE 0 END"
+            " AS BIGINT) AS max_drawdown_cents, "
+            "CASE WHEN m > 0 THEN day ELSE '' END AS drawdown_day "
+            "FROM mx"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
