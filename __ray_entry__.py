@@ -618,7 +618,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         hilbert_vs_zorder_locality,
                                         cache_admission_knapsack_plan,
                                         skipgram_window_pairs_topk,
-                                        daily_revenue_max_drawdown)
+                                        daily_revenue_max_drawdown,
+                                        buddy_allocation_frag_census,
+                                        good_turing_unseen_mass,
+                                        wsjf_schedule_cost_audit,
+                                        sign_partition_cut_audit)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1547,6 +1551,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             cache_admission_knapsack_plan,
         "skipgram_window_pairs_topk": skipgram_window_pairs_topk,
         "daily_revenue_max_drawdown": daily_revenue_max_drawdown,
+        "buddy_allocation_frag_census": buddy_allocation_frag_census,
+        "good_turing_unseen_mass": good_turing_unseen_mass,
+        "wsjf_schedule_cost_audit": wsjf_schedule_cost_audit,
+        "sign_partition_cut_audit": sign_partition_cut_audit,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -6367,6 +6375,66 @@ def oracle_sql() -> dict[str, str]:
             " AS BIGINT) AS max_drawdown_cents, "
             "CASE WHEN m > 0 THEN day ELSE '' END AS drawdown_day "
             "FROM mx"),
+        "buddy_allocation_frag_census": (
+            "WITH c AS (SELECT l_orderkey, count(*) AS w "
+            "FROM lineitem GROUP BY 1), "
+            "b AS (SELECT w, CASE WHEN w = 1 THEN 1 ELSE "
+            "(1 << length(bin(w - 1))) END AS blk FROM c) "
+            "SELECT CAST(blk AS BIGINT) AS block_size, "
+            "CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(w) AS BIGINT) AS total_rows, "
+            "CAST(SUM(blk - w) AS BIGINT) AS total_waste "
+            "FROM b GROUP BY 1"),
+        "good_turing_unseen_mass": (
+            "WITH oc AS (SELECT o_custkey AS c, count(*) AS n "
+            "FROM orders GROUP BY 1), "
+            "j AS (SELECT c_mktsegment AS seg, n FROM oc "
+            "JOIN customer ON oc.c = c_custkey) "
+            "SELECT seg AS c_mktsegment, "
+            "CAST(SUM(n) AS BIGINT) AS n_orders, "
+            "CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_singleton_customers, "
+            "CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) "
+            "* 1000000 // SUM(n) AS BIGINT) AS unseen_ppm "
+            "FROM j GROUP BY 1"),
+        "wsjf_schedule_cost_audit": (
+            "WITH dc AS (SELECT strftime(o_orderdate, '%Y-%m-%d') "
+            "AS day, count(*) AS n FROM orders GROUP BY 1), "
+            "bd AS (SELECT day FROM dc ORDER BY n DESC, day ASC "
+            "LIMIT 1), "
+            "jb AS (SELECT CAST(o_orderkey AS BIGINT) AS k, "
+            "6 - CAST(substr(o_orderpriority, 1, 1) AS BIGINT) "
+            "AS w, CAST(round(o_totalprice * 100) AS BIGINT) AS s "
+            "FROM orders WHERE strftime(o_orderdate, '%Y-%m-%d') "
+            "= (SELECT day FROM bd)), "
+            "ff AS (SELECT w, SUM(s) OVER (ORDER BY k ASC ROWS "
+            "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+            "FROM jb), "
+            "wj AS (SELECT w, SUM(s) OVER (ORDER BY (w * 1000000) "
+            "// s DESC, k ASC ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS cum FROM jb) "
+            "SELECT 'fifo' AS schedule, (SELECT CAST(count(*) "
+            "AS BIGINT) FROM jb) AS n_jobs, "
+            "CAST(COALESCE(SUM(w * cum), 0) AS BIGINT) "
+            "AS total_weighted_completion FROM ff "
+            "UNION ALL SELECT 'wsjf', (SELECT CAST(count(*) "
+            "AS BIGINT) FROM jb), "
+            "CAST(COALESCE(SUM(w * cum), 0) AS BIGINT) FROM wj"),
+        "sign_partition_cut_audit": (
+            "WITH e AS (SELECT CAST(vec_id AS BIGINT) AS v, "
+            "CASE WHEN CAST(embedding[1] AS DOUBLE) >= 0 THEN 1 "
+            "ELSE 0 END AS s0, CAST(CONCAT('0x', substr(md5("
+            "CAST(vec_id AS VARCHAR)), 1, 2)) AS BIGINT) % 2 "
+            "AS sm FROM embeddings), "
+            "p AS (SELECT a.s0 AS a0, b.s0 AS b0, a.sm AS am, "
+            "b.sm AS bm FROM e a JOIN e b ON b.v = a.v + 1) "
+            "SELECT 'dim0_sign' AS split_rule, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM p) AS n_pairs, "
+            "CAST(COALESCE(SUM(CASE WHEN a0 <> b0 THEN 1 ELSE 0 "
+            "END), 0) AS BIGINT) AS n_crossing FROM p "
+            "UNION ALL SELECT 'md5', (SELECT CAST(count(*) "
+            "AS BIGINT) FROM p), CAST(COALESCE(SUM(CASE WHEN am "
+            "<> bm THEN 1 ELSE 0 END), 0) AS BIGINT) FROM p"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
