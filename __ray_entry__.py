@@ -622,7 +622,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         buddy_allocation_frag_census,
                                         good_turing_unseen_mass,
                                         wsjf_schedule_cost_audit,
-                                        sign_partition_cut_audit)
+                                        sign_partition_cut_audit,
+                                        streaming_centroid_drift,
+                                        customer_order_spree_census,
+                                        patricia_compression_census,
+                                        type_hourweek_cosine_matrix)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1555,6 +1559,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "good_turing_unseen_mass": good_turing_unseen_mass,
         "wsjf_schedule_cost_audit": wsjf_schedule_cost_audit,
         "sign_partition_cut_audit": sign_partition_cut_audit,
+        "streaming_centroid_drift": streaming_centroid_drift,
+        "customer_order_spree_census": customer_order_spree_census,
+        "patricia_compression_census": patricia_compression_census,
+        "type_hourweek_cosine_matrix": type_hourweek_cosine_matrix,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -6435,6 +6443,72 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'md5', (SELECT CAST(count(*) "
             "AS BIGINT) FROM p), CAST(COALESCE(SUM(CASE WHEN am "
             "<> bm THEN 1 ELSE 0 END), 0) AS BIGINT) FROM p"),
+        "streaming_centroid_drift": (
+            "WITH q AS (SELECT vec_id, [CAST(round(CAST("
+            "embedding[i] AS DOUBLE) * 1000) AS BIGINT) FOR i IN "
+            "range(1, 5)] AS qv FROM embeddings), "
+            "ck AS (SELECT unnest([8, 16, 32, 64, 128, 256, 512]) "
+            "AS c) "
+            "SELECT CAST(ck.c AS BIGINT) AS checkpoint, "
+            "CAST(count(q.vec_id) AS BIGINT) AS n_vecs, "
+            "CAST(COALESCE(SUM(qv[1]), 0) AS BIGINT) AS sum_d0, "
+            "CAST(COALESCE(SUM(qv[2]), 0) AS BIGINT) AS sum_d1, "
+            "CAST(COALESCE(SUM(qv[3]), 0) AS BIGINT) AS sum_d2, "
+            "CAST(COALESCE(SUM(qv[4]), 0) AS BIGINT) AS sum_d3 "
+            "FROM ck LEFT JOIN q ON q.vec_id < ck.c GROUP BY 1"),
+        "customer_order_spree_census": (
+            "WITH cd AS (SELECT DISTINCT o_custkey AS c, "
+            "CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d "
+            "FROM orders), "
+            "lg AS (SELECT c, d, lag(d) OVER (PARTITION BY c "
+            "ORDER BY d) AS pd FROM cd), "
+            "br AS (SELECT c, d, CASE WHEN pd IS NULL OR d - pd "
+            "> 7 THEN 1 ELSE 0 END AS brk FROM lg), "
+            "sid AS (SELECT c, SUM(brk) OVER (PARTITION BY c "
+            "ORDER BY d) AS sid FROM br), "
+            "sp AS (SELECT c, sid, count(*) AS ln FROM sid "
+            "GROUP BY 1, 2) "
+            "SELECT CAST(ln AS BIGINT) AS spree_len, "
+            "CAST(count(*) AS BIGINT) AS n_sprees FROM sp "
+            "GROUP BY 1"),
+        "patricia_compression_census": (
+            "WITH nm AS (SELECT DISTINCT p_name AS n FROM part), "
+            "pref AS (SELECT DISTINCT p FROM (SELECT substr(n, 1, "
+            "i) AS p FROM (SELECT n, unnest(range(1, length(n) "
+            "+ 1)) AS i FROM nm))), "
+            "nx AS (SELECT substr(n, 1, i) AS p, substr(n, i + 1, "
+            "1) AS c FROM (SELECT n, unnest(range(1, length(n))) "
+            "AS i FROM nm)), "
+            "br AS (SELECT p FROM (SELECT p, count(DISTINCT c) "
+            "AS k FROM nx GROUP BY 1) WHERE k >= 2), "
+            "pat AS (SELECT p FROM br UNION SELECT n FROM nm) "
+            "SELECT CAST((SELECT count(*) FROM nm) AS BIGINT) "
+            "AS n_names, "
+            "CAST((SELECT count(*) FROM pref) AS BIGINT) "
+            "AS n_trie_nodes, "
+            "CAST((SELECT count(*) FROM pat) AS BIGINT) "
+            "AS n_patricia_nodes, "
+            "CAST((SELECT count(*) FROM pref) - (SELECT count(*) "
+            "FROM pat) AS BIGINT) AS n_skipped"),
+        "type_hourweek_cosine_matrix": (
+            "WITH h AS (SELECT event_type AS ty, (epoch_ms(ts) // "
+            "86400000 % 7) * 24 + (epoch_ms(ts) // 3600000) % 24 "
+            "AS hw, count(*) AS n FROM events GROUP BY 1, 2), "
+            "tys AS (SELECT DISTINCT ty FROM h), "
+            "pr AS (SELECT a.ty AS ta, b.ty AS tb FROM tys a "
+            "JOIN tys b ON a.ty < b.ty), "
+            "dt AS (SELECT a.ty AS ta, b.ty AS tb, SUM(a.n * b.n) "
+            "AS dot FROM h a JOIN h b ON a.hw = b.hw AND a.ty "
+            "< b.ty GROUP BY 1, 2), "
+            "n2 AS (SELECT ty, SUM(n * n) AS s FROM h GROUP BY 1) "
+            "SELECT pr.ta AS ty_a, pr.tb AS ty_b, "
+            "CAST(COALESCE(dt.dot, 0) AS BIGINT) AS dot, "
+            "CAST(CAST(COALESCE(dt.dot, 0) AS HUGEINT) * "
+            "COALESCE(dt.dot, 0) * 1000000 // (CAST(na.s "
+            "AS HUGEINT) * nb.s) AS BIGINT) AS cos2_ppm "
+            "FROM pr LEFT JOIN dt ON pr.ta = dt.ta AND pr.tb "
+            "= dt.tb JOIN n2 na ON pr.ta = na.ty "
+            "JOIN n2 nb ON pr.tb = nb.ty"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
