@@ -626,7 +626,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         streaming_centroid_drift,
                                         customer_order_spree_census,
                                         patricia_compression_census,
-                                        type_hourweek_cosine_matrix)
+                                        type_hourweek_cosine_matrix,
+                                        ts_precision_collision_census,
+                                        task_assignment_makespan_audit,
+                                        drf_dominant_share_top5,
+                                        edge_block_locality_audit)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1563,6 +1567,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_spree_census": customer_order_spree_census,
         "patricia_compression_census": patricia_compression_census,
         "type_hourweek_cosine_matrix": type_hourweek_cosine_matrix,
+        "ts_precision_collision_census":
+            ts_precision_collision_census,
+        "task_assignment_makespan_audit":
+            task_assignment_makespan_audit,
+        "drf_dominant_share_top5": drf_dominant_share_top5,
+        "edge_block_locality_audit": edge_block_locality_audit,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -6509,6 +6519,67 @@ def oracle_sql() -> dict[str, str]:
             "FROM pr LEFT JOIN dt ON pr.ta = dt.ta AND pr.tb "
             "= dt.tb JOIN n2 na ON pr.ta = na.ty "
             "JOIN n2 nb ON pr.tb = nb.ty"),
+        "ts_precision_collision_census": (
+            "WITH t AS (SELECT epoch_us(ts) AS us FROM events), "
+            "n AS (SELECT count(*) AS ne FROM t) "
+            "SELECT 'us' AS trunc_unit, CAST(count(DISTINCT us) "
+            "AS BIGINT) AS n_distinct, CAST((SELECT ne FROM n) - "
+            "count(DISTINCT us) AS BIGINT) AS n_collisions FROM t "
+            "UNION ALL SELECT 'ms', CAST(count(DISTINCT us // "
+            "1000) AS BIGINT), CAST((SELECT ne FROM n) - "
+            "count(DISTINCT us // 1000) AS BIGINT) FROM t "
+            "UNION ALL SELECT 's', CAST(count(DISTINCT us // "
+            "1000000) AS BIGINT), CAST((SELECT ne FROM n) - "
+            "count(DISTINCT us // 1000000) AS BIGINT) FROM t"),
+        "task_assignment_makespan_audit": (
+            "WITH l AS (SELECT l_suppkey AS s, count(*) AS n "
+            "FROM lineitem GROUP BY 1), "
+            "rr AS (SELECT s, n, (row_number() OVER (ORDER BY s) "
+            "- 1) % 8 AS w FROM l), "
+            "rw AS (SELECT w, SUM(n) AS ld FROM rr GROUP BY 1), "
+            "hh AS (SELECT CAST(CONCAT('0x', substr(md5(CAST(s "
+            "AS VARCHAR)), 1, 2)) AS BIGINT) % 8 AS w, SUM(n) "
+            "AS ld FROM l GROUP BY 1), "
+            "tot AS (SELECT SUM(n) AS t FROM l) "
+            "SELECT 'round_robin' AS policy, CAST(8 AS BIGINT) "
+            "AS n_workers, CAST(t AS BIGINT) AS total_rows, "
+            "CAST((SELECT MAX(ld) FROM rw) AS BIGINT) "
+            "AS makespan, CAST(t * 1000000 // (8 * (SELECT "
+            "MAX(ld) FROM rw)) AS BIGINT) AS utilization_ppm "
+            "FROM tot "
+            "UNION ALL SELECT 'md5_hash', CAST(8 AS BIGINT), "
+            "CAST(t AS BIGINT), CAST((SELECT MAX(ld) FROM hh) "
+            "AS BIGINT), CAST(t * 1000000 // (8 * (SELECT "
+            "MAX(ld) FROM hh)) AS BIGINT) FROM tot"),
+        "drf_dominant_share_top5": (
+            "WITH p AS (SELECT o_custkey AS c, "
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v, "
+            "count(*) AS n FROM orders GROUP BY 1), "
+            "t AS (SELECT SUM(v) AS sv, SUM(n) AS sn FROM p), "
+            "sc AS (SELECT c, n * 1000000 // sn AS op, "
+            "v * 1000000 // sv AS sp, GREATEST(n * 1000000 // sn, "
+            "v * 1000000 // sv) AS dom FROM p, t) "
+            "SELECT CAST(c AS BIGINT) AS o_custkey, "
+            "CAST(op AS BIGINT) AS orders_ppm, "
+            "CAST(sp AS BIGINT) AS spend_ppm, "
+            "CAST(dom AS BIGINT) AS dominant_ppm FROM sc "
+            "ORDER BY dom DESC, c ASC LIMIT 5"),
+        "edge_block_locality_audit": (
+            "WITH e AS (SELECT DISTINCT a.l_partkey AS pa, "
+            "b.l_partkey AS pb FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey AND a.l_partkey "
+            "< b.l_partkey), "
+            "st AS (SELECT count(*) AS ne, SUM(CASE WHEN pa // "
+            "1024 = pb // 1024 THEN 1 ELSE 0 END) AS ir, "
+            "SUM(CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(pa "
+            "AS VARCHAR)), 1, 2)) AS BIGINT) % 16 = CAST(CONCAT("
+            "'0x', substr(md5(CAST(pb AS VARCHAR)), 1, 2)) "
+            "AS BIGINT) % 16 THEN 1 ELSE 0 END) AS im FROM e) "
+            "SELECT 'partkey_range' AS layout, CAST(ne AS BIGINT) "
+            "AS n_edges, CAST(COALESCE(ir, 0) AS BIGINT) "
+            "AS n_intra_block FROM st "
+            "UNION ALL SELECT 'md5_hash', CAST(ne AS BIGINT), "
+            "CAST(COALESCE(im, 0) AS BIGINT) FROM st"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
