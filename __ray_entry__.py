@@ -630,7 +630,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         ts_precision_collision_census,
                                         task_assignment_makespan_audit,
                                         drf_dominant_share_top5,
-                                        edge_block_locality_audit)
+                                        edge_block_locality_audit,
+                                        bullwhip_variance_ratio,
+                                        assoc_rule_confidence_top5,
+                                        richclub_top8_coefficient,
+                                        ewma_crossover_signal_census)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1573,6 +1577,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             task_assignment_makespan_audit,
         "drf_dominant_share_top5": drf_dominant_share_top5,
         "edge_block_locality_audit": edge_block_locality_audit,
+        "bullwhip_variance_ratio": bullwhip_variance_ratio,
+        "assoc_rule_confidence_top5": assoc_rule_confidence_top5,
+        "richclub_top8_coefficient": richclub_top8_coefficient,
+        "ewma_crossover_signal_census": ewma_crossover_signal_census,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -6580,6 +6588,103 @@ def oracle_sql() -> dict[str, str]:
             "AS n_intra_block FROM st "
             "UNION ALL SELECT 'md5_hash', CAST(ne AS BIGINT), "
             "CAST(COALESCE(im, 0) AS BIGINT) FROM st"),
+        "bullwhip_variance_ratio": (
+            "WITH od AS (SELECT strftime(o_orderdate, '%Y-%m-%d') "
+            "AS day, count(*) AS n FROM orders GROUP BY 1), "
+            "ld AS (SELECT strftime(l_shipdate, '%Y-%m-%d') AS day,"
+            " count(*) AS n FROM lineitem GROUP BY 1), "
+            "bounds AS (SELECT LEAST((SELECT min(CAST(day AS DATE))"
+            " FROM od), (SELECT min(CAST(day AS DATE)) FROM ld)) "
+            "AS mn, GREATEST((SELECT max(CAST(day AS DATE)) "
+            "FROM od), (SELECT max(CAST(day AS DATE)) FROM ld)) "
+            "AS mx), "
+            "grid AS (SELECT CAST(unnest(generate_series(mn, mx, "
+            "INTERVAL 1 DAY)) AS DATE) AS day FROM bounds), "
+            "g AS (SELECT COALESCE(od.n, 0) AS o, "
+            "COALESCE(ld.n, 0) AS l FROM grid "
+            "LEFT JOIN od ON strftime(grid.day, '%Y-%m-%d') "
+            "= od.day "
+            "LEFT JOIN ld ON strftime(grid.day, '%Y-%m-%d') "
+            "= ld.day), "
+            "st AS (SELECT count(*) AS n, SUM(o) AS so, "
+            "SUM(o * o) AS so2, SUM(l) AS sl, SUM(l * l) AS sl2 "
+            "FROM g) "
+            "SELECT CAST(n AS BIGINT) AS n_days, "
+            "CAST(n * so2 - so * so AS BIGINT) AS varnum_orders, "
+            "CAST(n * sl2 - sl * sl AS BIGINT) AS varnum_lines, "
+            "CAST(CASE WHEN n * so2 - so * so > 0 THEN "
+            "CAST(n * sl2 - sl * sl AS HUGEINT) * 1000000 // "
+            "(n * so2 - so * so) ELSE 0 END AS BIGINT) "
+            "AS amplification_ppm FROM st"),
+        "assoc_rule_confidence_top5": (
+            "WITH op AS (SELECT DISTINCT l_orderkey AS o, "
+            "l_partkey AS p FROM lineitem), "
+            "pc2 AS (SELECT p, count(*) AS n FROM op GROUP BY 1), "
+            "pr AS (SELECT a.p AS a, b.p AS b, count(*) AS nab "
+            "FROM op a JOIN op b ON a.o = b.o AND a.p < b.p "
+            "GROUP BY 1, 2), "
+            "ru AS (SELECT a AS ant, b AS con, nab FROM pr "
+            "WHERE nab >= 2 UNION ALL SELECT b, a, nab FROM pr "
+            "WHERE nab >= 2), "
+            "cf AS (SELECT ant, con, nab, pc2.n AS na, "
+            "nab * 1000000 // pc2.n AS conf FROM ru "
+            "JOIN pc2 ON ru.ant = pc2.p) "
+            "SELECT CAST(ant AS BIGINT) AS antecedent, "
+            "CAST(con AS BIGINT) AS consequent, "
+            "CAST(nab AS BIGINT) AS n_both, "
+            "CAST(na AS BIGINT) AS n_antecedent, "
+            "CAST(conf AS BIGINT) AS confidence_ppm FROM cf "
+            "ORDER BY conf DESC, ant ASC, con ASC LIMIT 5"),
+        "richclub_top8_coefficient": (
+            "WITH op AS (SELECT DISTINCT l_orderkey AS o, "
+            "l_partkey AS p FROM lineitem), "
+            "e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM op a "
+            "JOIN op b ON a.o = b.o AND a.p < b.p), "
+            "dg AS (SELECT p, count(*) AS d FROM (SELECT a AS p "
+            "FROM e UNION ALL SELECT b FROM e) GROUP BY 1), "
+            "hb AS (SELECT p FROM dg ORDER BY d DESC, p ASC "
+            "LIMIT 8), "
+            "he AS (SELECT count(*) AS n FROM e WHERE a IN "
+            "(SELECT p FROM hb) AND b IN (SELECT p FROM hb)), "
+            "mi AS (SELECT MIN(d) AS md FROM dg WHERE p IN "
+            "(SELECT p FROM hb)), "
+            "nh AS (SELECT count(*) AS k FROM hb) "
+            "SELECT CAST(k AS BIGINT) AS n_hubs, "
+            "CAST(md AS BIGINT) AS min_hub_degree, "
+            "CAST((SELECT n FROM he) AS BIGINT) AS n_hub_edges, "
+            "CAST(k * (k - 1) // 2 AS BIGINT) AS possible_edges, "
+            "CAST(CASE WHEN k >= 2 THEN (SELECT n FROM he) "
+            "* 1000000 // (k * (k - 1) // 2) ELSE 0 END "
+            "AS BIGINT) AS richclub_ppm FROM nh, mi"),
+        "ewma_crossover_signal_census": (
+            "WITH RECURSIVE d AS (SELECT strftime(o_orderdate, "
+            "'%Y-%m-%d') AS day, SUM(CAST(round(o_totalprice "
+            "* 100) AS BIGINT)) AS v FROM orders GROUP BY 1), "
+            "bounds AS (SELECT min(CAST(day AS DATE)) AS mn, "
+            "max(CAST(day AS DATE)) AS mx FROM d), "
+            "grid AS (SELECT CAST(unnest(generate_series(mn, mx, "
+            "INTERVAL 1 DAY)) AS DATE) AS day FROM bounds), "
+            "g2 AS (SELECT COALESCE(d.v, 0) AS v, row_number() "
+            "OVER (ORDER BY grid.day) AS idx FROM grid "
+            "LEFT JOIN d ON strftime(grid.day, '%Y-%m-%d') "
+            "= d.day), "
+            "tot AS (SELECT count(*) AS nd FROM g2), "
+            "sim(idx, f, s, prev, cr) AS ("
+            "SELECT 1, v, v, CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+            "FROM g2 WHERE idx = 1 "
+            "UNION ALL SELECT g2.idx, (sim.f + g2.v) // 2, "
+            "(7 * sim.s + g2.v) // 8, "
+            "CAST(sign((sim.f + g2.v) // 2 - (7 * sim.s + g2.v) "
+            "// 8) AS BIGINT), "
+            "sim.cr + CASE WHEN CAST(sign((sim.f + g2.v) // 2 - "
+            "(7 * sim.s + g2.v) // 8) AS BIGINT) <> sim.prev "
+            "THEN 1 ELSE 0 END "
+            "FROM sim, g2 WHERE g2.idx = sim.idx + 1) "
+            "SELECT (SELECT CAST(nd AS BIGINT) FROM tot) "
+            "AS n_days, CAST(cr AS BIGINT) AS n_crossovers, "
+            "CAST(f AS BIGINT) AS final_fast, "
+            "CAST(s AS BIGINT) AS final_slow "
+            "FROM sim WHERE idx = (SELECT nd FROM tot)"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
