@@ -634,7 +634,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         bullwhip_variance_ratio,
                                         assoc_rule_confidence_top5,
                                         richclub_top8_coefficient,
-                                        ewma_crossover_signal_census)
+                                        ewma_crossover_signal_census,
+                                        aimd_congestion_replay,
+                                        day_boundary_shift_sensitivity,
+                                        embedding_anisotropy_ppm,
+                                        top_value_event_day_concentration)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1581,6 +1585,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assoc_rule_confidence_top5": assoc_rule_confidence_top5,
         "richclub_top8_coefficient": richclub_top8_coefficient,
         "ewma_crossover_signal_census": ewma_crossover_signal_census,
+        "aimd_congestion_replay": aimd_congestion_replay,
+        "day_boundary_shift_sensitivity":
+            day_boundary_shift_sensitivity,
+        "embedding_anisotropy_ppm": embedding_anisotropy_ppm,
+        "top_value_event_day_concentration":
+            top_value_event_day_concentration,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -6685,6 +6695,71 @@ def oracle_sql() -> dict[str, str]:
             "CAST(f AS BIGINT) AS final_fast, "
             "CAST(s AS BIGINT) AS final_slow "
             "FROM sim WHERE idx = (SELECT nd FROM tot)"),
+        "aimd_congestion_replay": (
+            "WITH RECURSIVE dd AS (SELECT strftime(o_orderdate, "
+            "'%Y-%m-%d') AS day, count(*) AS n FROM orders "
+            "GROUP BY 1), "
+            "bounds AS (SELECT min(CAST(day AS DATE)) AS mn, "
+            "max(CAST(day AS DATE)) AS mx FROM dd), "
+            "grid AS (SELECT CAST(unnest(generate_series(mn, mx, "
+            "INTERVAL 1 DAY)) AS DATE) AS day FROM bounds), "
+            "g2 AS (SELECT COALESCE(dd.n, 0) AS n, row_number() "
+            "OVER (ORDER BY grid.day) AS idx FROM grid "
+            "LEFT JOIN dd ON strftime(grid.day, '%Y-%m-%d') "
+            "= dd.day), "
+            "tot AS (SELECT count(*) AS nd FROM g2), "
+            "sim(idx, cw, ls, mx) AS ("
+            "SELECT 0, 4, 0, 4 "
+            "UNION ALL SELECT g2.idx, "
+            "CASE WHEN g2.n > sim.cw THEN GREATEST(sim.cw // 2, 1)"
+            " ELSE sim.cw + 1 END, "
+            "sim.ls + CASE WHEN g2.n > sim.cw THEN 1 ELSE 0 END, "
+            "GREATEST(sim.mx, CASE WHEN g2.n > sim.cw THEN "
+            "GREATEST(sim.cw // 2, 1) ELSE sim.cw + 1 END) "
+            "FROM sim, g2 WHERE g2.idx = sim.idx + 1) "
+            "SELECT (SELECT CAST(nd AS BIGINT) FROM tot) "
+            "AS n_days, CAST(ls AS BIGINT) AS n_losses, "
+            "CAST(cw AS BIGINT) AS final_cwnd, "
+            "CAST(mx AS BIGINT) AS max_cwnd "
+            "FROM sim WHERE idx = (SELECT nd FROM tot)"),
+        "day_boundary_shift_sensitivity": (
+            "WITH s AS (SELECT unnest([0, 6, 12, 18]) AS sh), "
+            "b AS (SELECT sh, (epoch_us(ts) + sh * 3600000000) // "
+            "86400000000 AS day, count(*) AS n FROM events "
+            "CROSS JOIN s GROUP BY 1, 2) "
+            "SELECT CAST(sh AS BIGINT) AS shift_hours, "
+            "CAST(count(*) AS BIGINT) AS n_days, "
+            "CAST(MAX(n) AS BIGINT) AS max_day_count "
+            "FROM b GROUP BY 1"),
+        "embedding_anisotropy_ppm": (
+            "WITH q AS (SELECT [CAST(round(CAST(embedding[i] "
+            "AS DOUBLE) * 1000) AS BIGINT) FOR i IN range(1, "
+            "len(embedding) + 1)] AS qv FROM embeddings), "
+            "n AS (SELECT count(*) AS nv FROM q), "
+            "m AS (SELECT SUM(list_sum([qv[i] * qv[i] FOR i IN "
+            "range(1, len(qv) + 1)])) AS m2 FROM q), "
+            "dims AS (SELECT unnest(range(1, (SELECT len(qv) "
+            "FROM q LIMIT 1) + 1)) AS i), "
+            "s2 AS (SELECT SUM(s * s) AS ss FROM (SELECT i, "
+            "SUM(qv[i]) AS s FROM q, dims GROUP BY 1)) "
+            "SELECT CAST(nv AS BIGINT) AS n_vecs, "
+            "CAST(ss AS BIGINT) AS sum_sq_of_sums, "
+            "CAST(m2 AS BIGINT) AS total_sq_norm, "
+            "CAST(CASE WHEN nv > 0 AND m2 > 0 THEN "
+            "CAST(ss AS HUGEINT) * 1000000 // (nv * m2) ELSE 0 "
+            "END AS BIGINT) AS anisotropy_ppm FROM n, m, s2"),
+        "top_value_event_day_concentration": (
+            "WITH t AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+            "CAST(round(value * 100) AS BIGINT) AS v, event_id "
+            "FROM events ORDER BY v DESC, event_id ASC LIMIT 100),"
+            " d AS (SELECT day, count(*) AS n FROM t GROUP BY 1), "
+            "st AS (SELECT (SELECT count(*) FROM t) AS nt, "
+            "count(*) AS nd, MAX(n) AS mx FROM d) "
+            "SELECT CAST(nt AS BIGINT) AS n_top, "
+            "CAST(nd AS BIGINT) AS n_days, "
+            "CAST(mx AS BIGINT) AS max_day_count, "
+            "CAST(CASE WHEN nt > 0 THEN mx * 1000000 // nt "
+            "ELSE 0 END AS BIGINT) AS max_day_share_ppm FROM st"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
