@@ -638,7 +638,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         aimd_congestion_replay,
                                         day_boundary_shift_sensitivity,
                                         embedding_anisotropy_ppm,
-                                        top_value_event_day_concentration)
+                                        top_value_event_day_concentration,
+                                        waterfill_fair_allocation,
+                                        rendezvous_hash_balance,
+                                        quality_length_kappa_ppm,
+                                        weekly_fourier_energy)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1591,6 +1595,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_anisotropy_ppm": embedding_anisotropy_ppm,
         "top_value_event_day_concentration":
             top_value_event_day_concentration,
+        "waterfill_fair_allocation": waterfill_fair_allocation,
+        "rendezvous_hash_balance": rendezvous_hash_balance,
+        "quality_length_kappa_ppm": quality_length_kappa_ppm,
+        "weekly_fourier_energy": weekly_fourier_energy,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -6760,6 +6768,93 @@ def oracle_sql() -> dict[str, str]:
             "CAST(mx AS BIGINT) AS max_day_count, "
             "CAST(CASE WHEN nt > 0 THEN mx * 1000000 // nt "
             "ELSE 0 END AS BIGINT) AS max_day_share_ppm FROM st"),
+        "waterfill_fair_allocation": (
+            "WITH dem AS (SELECT c_nationkey AS nk, count(*) AS d "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY 1), "
+            "tot AS (SELECT CAST(sum(d) AS BIGINT) AS t, "
+            "CAST(max(d) AS BIGINT) AS mx, count(*) AS k FROM dem), "
+            "cap AS (SELECT t // 2 AS b FROM tot), "
+            "lv AS (SELECT unnest(range(0, mx + 1)) AS l FROM tot), "
+            "f AS (SELECT l, sum(least(d, l)) AS alloc "
+            "FROM lv CROSS JOIN dem GROUP BY 1), "
+            "best AS (SELECT COALESCE(max(l), 0) AS lvl "
+            "FROM f, cap WHERE alloc <= b), "
+            "fin AS (SELECT sum(least(d, lvl)) AS alloc, "
+            "sum(CASE WHEN d > lvl THEN 1 ELSE 0 END) AS sat "
+            "FROM dem, best) "
+            "SELECT CAST(k AS BIGINT) AS n_nations, "
+            "CAST(b AS BIGINT) AS budget, "
+            "CAST(lvl AS BIGINT) AS fill_level, "
+            "CAST(alloc AS BIGINT) AS allocated, "
+            "CAST(sat AS BIGINT) AS n_unsaturated_demands, "
+            "CAST(b - alloc AS BIGINT) AS leftover "
+            "FROM tot, cap, best, fin"),
+        "rendezvous_hash_balance": (
+            "WITH nodes AS (SELECT unnest(range(0, 9)) AS nd), "
+            "w AS (SELECT c_custkey AS k, nd, "
+            "CAST(CONCAT('0x', substr(md5(CONCAT("
+            "CAST(nd AS VARCHAR), '-', "
+            "CAST(c_custkey AS VARCHAR))), 1, 12)) AS BIGINT) AS h "
+            "FROM customer CROSS JOIN nodes), "
+            "a8 AS (SELECT k, nd FROM (SELECT k, nd, row_number() "
+            "OVER (PARTITION BY k ORDER BY h DESC, nd ASC) AS rn "
+            "FROM w WHERE nd < 8) WHERE rn = 1), "
+            "a9 AS (SELECT k, nd FROM (SELECT k, nd, row_number() "
+            "OVER (PARTITION BY k ORDER BY h DESC, nd ASC) AS rn "
+            "FROM w) WHERE rn = 1), "
+            "c8 AS (SELECT nd, count(*) AS n FROM a8 GROUP BY 1), "
+            "c9 AS (SELECT nd, count(*) AS n FROM a9 GROUP BY 1), "
+            "st AS (SELECT a8.nd, count(*) AS n FROM a8 JOIN a9 "
+            "ON a8.k = a9.k AND a8.nd = a9.nd GROUP BY 1) "
+            "SELECT CAST(nodes.nd AS BIGINT) AS node, "
+            "CAST(COALESCE(c8.n, 0) AS BIGINT) AS n_keys_8nodes, "
+            "CAST(COALESCE(c9.n, 0) AS BIGINT) AS n_keys_9nodes, "
+            "CAST(COALESCE(st.n, 0) AS BIGINT) AS n_stayed "
+            "FROM nodes LEFT JOIN c8 ON nodes.nd = c8.nd "
+            "LEFT JOIN c9 ON nodes.nd = c9.nd "
+            "LEFT JOIN st ON nodes.nd = st.nd"),
+        "quality_length_kappa_ppm": (
+            "WITH f AS (SELECT (len(string_split(text, ' ')) "
+            "BETWEEN 10 AND 5000 AND "
+            "2 * len(list_filter(string_split(text, ' '), x -> x IN "
+            f"{_STOPLIST_SQL})) <= len(string_split(text, ' '))) "
+            "AS q, n_chars >= 200 AS l FROM documents), "
+            "c AS (SELECT "
+            "sum(CASE WHEN NOT q AND NOT l THEN 1 ELSE 0 END) AS c0, "
+            "sum(CASE WHEN NOT q AND l THEN 1 ELSE 0 END) AS c1, "
+            "sum(CASE WHEN q AND NOT l THEN 1 ELSE 0 END) AS c2, "
+            "sum(CASE WHEN q AND l THEN 1 ELSE 0 END) AS c3, "
+            "count(*) AS n FROM f), "
+            "k AS (SELECT n, c0, c1, c2, c3, "
+            "CAST(n AS HUGEINT) * (c0 + c3) "
+            "- (CAST(c0 + c1 AS HUGEINT) * (c0 + c2) "
+            "+ CAST(c2 + c3 AS HUGEINT) * (c1 + c3)) AS num, "
+            "CAST(n AS HUGEINT) * n "
+            "- (CAST(c0 + c1 AS HUGEINT) * (c0 + c2) "
+            "+ CAST(c2 + c3 AS HUGEINT) * (c1 + c3)) AS den FROM c) "
+            "SELECT CAST(n AS BIGINT) AS n_docs, "
+            "CAST(c3 AS BIGINT) AS both_pass, "
+            "CAST(c2 AS BIGINT) AS quality_only, "
+            "CAST(c1 AS BIGINT) AS length_only, "
+            "CAST(c0 AS BIGINT) AS both_fail, "
+            "CAST(CASE WHEN den = 0 THEN 0 "
+            "WHEN num >= 0 THEN (num * 1000000) // den "
+            "ELSE -((-num * 1000000 + den - 1) // den) END "
+            "AS BIGINT) AS kappa_ppm FROM k"),
+        "weekly_fourier_energy": (
+            "WITH co(r, c, s) AS (VALUES (0, 1000, 0), "
+            "(1, 623, 782), (2, -223, 975), (3, -901, 434), "
+            "(4, -901, -434), (5, -223, -975), (6, 623, -782)), "
+            "b AS (SELECT (epoch_us(o_orderdate) // 86400000000) "
+            "% 7 AS r, count(*) AS n FROM orders GROUP BY 1), "
+            "t AS (SELECT SUM(n) AS n_orders, SUM(n * c) AS cs, "
+            "SUM(n * s) AS ss FROM b JOIN co ON b.r = co.r) "
+            "SELECT CAST(n_orders AS BIGINT) AS n_orders, "
+            "CAST(cs AS BIGINT) AS cos_sum_milli, "
+            "CAST(ss AS BIGINT) AS sin_sum_milli, "
+            "CAST(CAST(cs AS HUGEINT) * cs + CAST(ss AS HUGEINT) "
+            "* ss AS BIGINT) AS weekly_power FROM t"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
