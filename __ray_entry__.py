@@ -642,7 +642,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         waterfill_fair_allocation,
                                         rendezvous_hash_balance,
                                         quality_length_kappa_ppm,
-                                        weekly_fourier_energy)
+                                        weekly_fourier_energy,
+                                        bipartite_butterfly_census,
+                                        mlm_masking_plan_census,
+                                        order_ship_busday_lag_hist,
+                                        nation_revenue_hoover_ppm)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1599,6 +1603,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rendezvous_hash_balance": rendezvous_hash_balance,
         "quality_length_kappa_ppm": quality_length_kappa_ppm,
         "weekly_fourier_energy": weekly_fourier_energy,
+        "bipartite_butterfly_census": bipartite_butterfly_census,
+        "mlm_masking_plan_census": mlm_masking_plan_census,
+        "order_ship_busday_lag_hist": order_ship_busday_lag_hist,
+        "nation_revenue_hoover_ppm": nation_revenue_hoover_ppm,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -6855,6 +6863,68 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ss AS BIGINT) AS sin_sum_milli, "
             "CAST(CAST(cs AS HUGEINT) * cs + CAST(ss AS HUGEINT) "
             "* ss AS BIGINT) AS weekly_power FROM t"),
+        "bipartite_butterfly_census": (
+            "WITH e AS (SELECT DISTINCT o_custkey AS c, "
+            "l_partkey AS p FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey), "
+            "deg AS (SELECT p, count(*) AS d FROM e GROUP BY 1), "
+            "pr AS (SELECT a.c AS c1, b.c AS c2, count(*) AS w "
+            "FROM e a JOIN e b ON a.p = b.p AND a.c < b.c "
+            "GROUP BY 1, 2) "
+            "SELECT (SELECT CAST(count(DISTINCT c) AS BIGINT) "
+            "FROM e) AS n_customers, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_parts, "
+            "(SELECT CAST(sum(d) AS BIGINT) FROM deg) AS n_edges, "
+            "(SELECT CAST(COALESCE(sum(d * (d - 1) // 2), 0) "
+            "AS BIGINT) FROM deg) AS n_wedges, "
+            "(SELECT CAST(COALESCE(sum(CAST(w AS HUGEINT) "
+            "* (w - 1) // 2), 0) AS BIGINT) FROM pr) "
+            "AS n_butterflies"),
+        "mlm_masking_plan_census": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') "
+            "AS t FROM documents), "
+            "pos AS (SELECT md5(CONCAT(CAST(doc_id AS VARCHAR), "
+            "'-', CAST(i AS VARCHAR))) AS h FROM toks, "
+            "UNNEST(range(1, len(t) + 1)) u(i)), "
+            "cl AS (SELECT CAST(CONCAT('0x', substr(h, 1, 8)) "
+            "AS BIGINT) % 100 < 15 AS m, "
+            "CAST(CONCAT('0x', substr(h, 9, 4)) AS BIGINT) % 10 "
+            "AS pol FROM pos) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_masked, "
+            "CAST(sum(CASE WHEN m AND pol <= 7 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_mask_token, "
+            "CAST(sum(CASE WHEN m AND pol = 8 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_random_token, "
+            "CAST(sum(CASE WHEN m AND pol = 9 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_kept FROM cl"),
+        "order_ship_busday_lag_hist": (
+            "WITH j AS (SELECT epoch_us(o_orderdate) "
+            "// 86400000000 AS od, epoch_us(l_shipdate) "
+            "// 86400000000 AS sd FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey), "
+            "w AS (SELECT (5 * ((sd + 1) // 7) "
+            "+ [0,1,2,2,2,3,4,5][((sd + 1) % 7) + 1]) "
+            "- (5 * ((od + 1) // 7) "
+            "+ [0,1,2,2,2,3,4,5][((od + 1) % 7) + 1]) AS lag "
+            "FROM j) "
+            "SELECT CAST(lag AS BIGINT) AS busday_lag, "
+            "CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1"),
+        "nation_revenue_hoover_ppm": (
+            "WITH nk AS (SELECT c_nationkey AS k, "
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY 1), "
+            "t AS (SELECT count(*) AS k, SUM(x) AS s FROM nk), "
+            "d AS (SELECT SUM(abs(CAST(t.k AS HUGEINT) * x - s)) "
+            "AS dev FROM nk, t) "
+            "SELECT CAST(k AS BIGINT) AS n_nations, "
+            "CAST(s AS BIGINT) AS total_cents, "
+            "CAST(dev AS BIGINT) AS abs_dev_scaled, "
+            "CAST(CASE WHEN k > 0 AND s > 0 THEN "
+            "dev * 1000000 // (2 * k * CAST(s AS HUGEINT)) "
+            "ELSE 0 END AS BIGINT) AS hoover_ppm FROM t, d"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
