@@ -646,7 +646,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         bipartite_butterfly_census,
                                         mlm_masking_plan_census,
                                         order_ship_busday_lag_hist,
-                                        nation_revenue_hoover_ppm)
+                                        nation_revenue_hoover_ppm,
+                                        length_rule_pr_curve,
+                                        filter_shapley_attribution,
+                                        segment_priority_tcloseness,
+                                        quantity_gini_mean_difference)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1607,6 +1611,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mlm_masking_plan_census": mlm_masking_plan_census,
         "order_ship_busday_lag_hist": order_ship_busday_lag_hist,
         "nation_revenue_hoover_ppm": nation_revenue_hoover_ppm,
+        "length_rule_pr_curve": length_rule_pr_curve,
+        "filter_shapley_attribution": filter_shapley_attribution,
+        "segment_priority_tcloseness": segment_priority_tcloseness,
+        "quantity_gini_mean_difference": quantity_gini_mean_difference,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -6925,6 +6933,110 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN k > 0 AND s > 0 THEN "
             "dev * 1000000 // (2 * k * CAST(s AS HUGEINT)) "
             "ELSE 0 END AS BIGINT) AS hoover_ppm FROM t, d"),
+        "length_rule_pr_curve": (
+            "WITH th AS (SELECT unnest([50, 100, 200, 400, 800]) "
+            "AS t), "
+            "f AS (SELECT (len(string_split(text, ' ')) "
+            "BETWEEN 10 AND 5000 AND "
+            "2 * len(list_filter(string_split(text, ' '), x -> x IN "
+            f"{_STOPLIST_SQL})) <= len(string_split(text, ' '))) "
+            "AS q, n_chars FROM documents), "
+            "c AS (SELECT t, "
+            "sum(CASE WHEN q AND n_chars >= t THEN 1 ELSE 0 END) "
+            "AS tp, "
+            "sum(CASE WHEN NOT q AND n_chars >= t THEN 1 ELSE 0 "
+            "END) AS fp, "
+            "sum(CASE WHEN q AND n_chars < t THEN 1 ELSE 0 END) "
+            "AS fn, "
+            "sum(CASE WHEN NOT q AND n_chars < t THEN 1 ELSE 0 "
+            "END) AS tn FROM f CROSS JOIN th GROUP BY t) "
+            "SELECT CAST(t AS BIGINT) AS threshold, "
+            "CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, "
+            "CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn, "
+            "CAST(CASE WHEN tp + fp > 0 THEN tp * 1000000 "
+            "// (tp + fp) ELSE 0 END AS BIGINT) AS precision_ppm, "
+            "CAST(CASE WHEN tp + fn > 0 THEN tp * 1000000 "
+            "// (tp + fn) ELSE 0 END AS BIGINT) AS recall_ppm "
+            "FROM c"),
+        "filter_shapley_attribution": (
+            "WITH s AS (SELECT len(string_split(text, ' ')) AS "
+            "ntok, len(list_filter(string_split(text, ' '), "
+            f"x -> x IN {_STOPLIST_SQL})) AS stop FROM documents), "
+            "m AS (SELECT (CASE WHEN ntok >= 10 THEN 1 ELSE 0 END) "
+            "+ 2 * (CASE WHEN ntok <= 5000 THEN 1 ELSE 0 END) "
+            "+ 4 * (CASE WHEN 2 * stop <= ntok THEN 1 ELSE 0 END) "
+            "AS mask FROM s), "
+            "cc AS (SELECT mask, count(*) AS n FROM m GROUP BY 1), "
+            "sub AS (SELECT unnest(range(0, 8)) AS sb), "
+            "pv AS (SELECT sb, (SELECT COALESCE(sum(n), 0) FROM cc "
+            "WHERE (mask & sb) = sb) AS a FROM sub), "
+            "av AS (SELECT "
+            "max(CASE WHEN sb = 0 THEN a END) AS a0, "
+            "max(CASE WHEN sb = 1 THEN a END) AS a1, "
+            "max(CASE WHEN sb = 2 THEN a END) AS a2, "
+            "max(CASE WHEN sb = 3 THEN a END) AS a3, "
+            "max(CASE WHEN sb = 4 THEN a END) AS a4, "
+            "max(CASE WHEN sb = 5 THEN a END) AS a5, "
+            "max(CASE WHEN sb = 6 THEN a END) AS a6, "
+            "max(CASE WHEN sb = 7 THEN a END) AS a7 FROM pv) "
+            "SELECT 'min_tokens' AS filter, "
+            "CAST(a0 - a1 AS BIGINT) AS removed_solo, "
+            "CAST(2 * (a0 - a1) + (a2 - a3) + (a4 - a5) "
+            "+ 2 * (a6 - a7) AS BIGINT) AS shapley_x6 FROM av "
+            "UNION ALL SELECT 'max_tokens', "
+            "CAST(a0 - a2 AS BIGINT), "
+            "CAST(2 * (a0 - a2) + (a1 - a3) + (a4 - a6) "
+            "+ 2 * (a5 - a7) AS BIGINT) FROM av "
+            "UNION ALL SELECT 'stopword_share', "
+            "CAST(a0 - a4 AS BIGINT), "
+            "CAST(2 * (a0 - a4) + (a1 - a5) + (a2 - a6) "
+            "+ 2 * (a3 - a7) AS BIGINT) FROM av"),
+        "segment_priority_tcloseness": (
+            "WITH j AS (SELECT c_mktsegment AS seg, "
+            "o_orderpriority AS pri FROM orders JOIN customer "
+            "ON o_custkey = c_custkey), "
+            "cell AS (SELECT seg, pri, count(*) AS n FROM j "
+            "GROUP BY 1, 2), "
+            "pris AS (SELECT pri, row_number() OVER (ORDER BY pri) "
+            "AS i, count(*) OVER () AS k FROM "
+            "(SELECT DISTINCT pri FROM cell)), "
+            "gcnt AS (SELECT pri, sum(n) AS gn FROM cell "
+            "GROUP BY 1), "
+            "tot AS (SELECT sum(gn) AS nt FROM gcnt), "
+            "segs AS (SELECT seg, sum(n) AS m FROM cell "
+            "GROUP BY 1), "
+            "grid AS (SELECT s.seg, s.m, p.i, p.k, "
+            "COALESCE(c.n, 0) AS n, gl.gn FROM segs s "
+            "CROSS JOIN pris p JOIN gcnt gl ON gl.pri = p.pri "
+            "LEFT JOIN cell c ON c.seg = s.seg AND c.pri = p.pri), "
+            "cum AS (SELECT seg, m, i, k, "
+            "sum(n) OVER (PARTITION BY seg ORDER BY i) AS cg, "
+            "sum(gn) OVER (PARTITION BY seg ORDER BY i) AS cgl "
+            "FROM grid), "
+            "emd AS (SELECT seg, m, k, "
+            "sum(abs(CAST(nt AS HUGEINT) * cg "
+            "- CAST(m AS HUGEINT) * cgl)) AS e "
+            "FROM cum, tot WHERE i < k GROUP BY 1, 2, 3) "
+            "SELECT seg AS segment, CAST(m AS BIGINT) AS n_orders, "
+            "CAST(e AS BIGINT) AS emd_scaled, "
+            "CAST(CASE WHEN (k - 1) * m > 0 THEN e * 1000000 "
+            "// (CAST(k - 1 AS HUGEINT) * m "
+            "* (SELECT nt FROM tot)) ELSE 0 END AS BIGINT) "
+            "AS tcloseness_ppm FROM emd"),
+        "quantity_gini_mean_difference": (
+            "WITH h AS (SELECT CAST(round(l_quantity) AS BIGINT) "
+            "AS q, count(*) AS n FROM lineitem GROUP BY 1), "
+            "t AS (SELECT sum(n) AS n, sum(q * n) AS sq FROM h), "
+            "p AS (SELECT COALESCE(sum(2 * (b.q - a.q) "
+            "* CAST(a.n AS HUGEINT) * b.n), 0) AS num "
+            "FROM h a JOIN h b ON b.q > a.q) "
+            "SELECT CAST(n AS BIGINT) AS n_lines, "
+            "CAST(sq AS BIGINT) AS sum_qty, "
+            "CAST(num AS BIGINT) AS gmd_numerator, "
+            "CAST(CASE WHEN n > 1 AND sq > 0 THEN "
+            "num * 1000000 // (CAST(n - 1 AS HUGEINT) * sq) "
+            "ELSE 0 END AS BIGINT) AS relative_gmd_ppm "
+            "FROM t, p"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
