@@ -650,7 +650,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         length_rule_pr_curve,
                                         filter_shapley_attribution,
                                         segment_priority_tcloseness,
-                                        quantity_gini_mean_difference)
+                                        quantity_gini_mean_difference,
+                                        iso_week_rollover_census,
+                                        laplace_smoothing_rank_flips,
+                                        size_price_simpson_probe,
+                                        friday13_order_lift)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1615,6 +1619,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_shapley_attribution": filter_shapley_attribution,
         "segment_priority_tcloseness": segment_priority_tcloseness,
         "quantity_gini_mean_difference": quantity_gini_mean_difference,
+        "iso_week_rollover_census": iso_week_rollover_census,
+        "laplace_smoothing_rank_flips": laplace_smoothing_rank_flips,
+        "size_price_simpson_probe": size_price_simpson_probe,
+        "friday13_order_lift": friday13_order_lift,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -7037,6 +7045,74 @@ def oracle_sql() -> dict[str, str]:
             "num * 1000000 // (CAST(n - 1 AS HUGEINT) * sq) "
             "ELSE 0 END AS BIGINT) AS relative_gmd_ppm "
             "FROM t, p"),
+        "iso_week_rollover_census": (
+            "WITH d AS (SELECT isoyear(o_orderdate) AS iy, "
+            "weekofyear(o_orderdate) AS wk, "
+            "CASE WHEN year(o_orderdate) <> isoyear(o_orderdate) "
+            "THEN 1 ELSE 0 END AS mm FROM orders) "
+            "SELECT CAST(iy AS BIGINT) AS iso_year, "
+            "CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(count(DISTINCT wk) AS BIGINT) AS n_weeks_seen, "
+            "CAST(sum(mm) AS BIGINT) AS n_year_mismatch "
+            "FROM d GROUP BY 1"),
+        "laplace_smoothing_rank_flips": (
+            "WITH b AS (SELECT p_brand AS brand, "
+            "sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) "
+            "AS x, count(*) AS n FROM lineitem JOIN part "
+            "ON l_partkey = p_partkey GROUP BY 1), "
+            "pr AS (SELECT sign(a.x * b2.n - b2.x * a.n) AS s1, "
+            "sign((a.x + 1) * (b2.n + 2) "
+            "- (b2.x + 1) * (a.n + 2)) AS s2 "
+            "FROM b a JOIN b b2 ON a.brand < b2.brand) "
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) "
+            "AS n_brands, "
+            "CAST(count(*) AS BIGINT) AS n_pairs, "
+            "CAST(sum(CASE WHEN s1 * s2 = -1 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_flipped, "
+            "CAST(sum(CASE WHEN s1 <> s2 AND s1 * s2 <> -1 "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_tie_changed "
+            "FROM pr"),
+        "size_price_simpson_probe": (
+            "WITH m AS (SELECT p_brand AS brand, count(*) AS n, "
+            "sum(CAST(p_size AS BIGINT)) AS sx, "
+            "sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS sy, "
+            "sum(CAST(p_size AS BIGINT) "
+            "* CAST(round(p_retailprice * 100) AS BIGINT)) AS sxy "
+            "FROM part GROUP BY 1), "
+            "p AS (SELECT sign(CAST(sum(n) AS HUGEINT) * sum(sxy) "
+            "- CAST(sum(sx) AS HUGEINT) * sum(sy)) AS ps FROM m), "
+            "g AS (SELECT sign(CAST(n AS HUGEINT) * sxy "
+            "- CAST(sx AS HUGEINT) * sy) AS s FROM m) "
+            "SELECT CAST(ps AS BIGINT) AS pooled_sign, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM m) AS n_brands, "
+            "CAST(sum(CASE WHEN s <> 0 AND ps <> 0 AND s = ps "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_agree, "
+            "CAST(sum(CASE WHEN s <> 0 AND ps <> 0 AND s <> ps "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree, "
+            "CAST(sum(CASE WHEN s = 0 OR ps = 0 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_zero FROM g, p GROUP BY ps"),
+        "friday13_order_lift": (
+            "WITH dd AS (SELECT epoch_us(o_orderdate) "
+            "// 86400000000 AS e, count(*) AS n FROM orders "
+            "GROUP BY 1), "
+            "b AS (SELECT min(e) AS mn, max(e) AS mx, sum(n) "
+            "AS tot FROM dd), "
+            "grid AS (SELECT unnest(range(mn, mx + 1)) AS e "
+            "FROM b), "
+            "cls AS (SELECT e, CASE WHEN (e + 3) % 7 = 4 AND "
+            "day(DATE '1970-01-01' + CAST(e AS INT)) = 13 "
+            "THEN 1 ELSE 0 END AS f13 FROM grid), "
+            "f AS (SELECT sum(f13) AS nf FROM cls), "
+            "onf AS (SELECT COALESCE(sum(dd.n), 0) AS s FROM dd "
+            "JOIN cls ON dd.e = cls.e WHERE cls.f13 = 1) "
+            "SELECT CAST(mx - mn + 1 AS BIGINT) AS n_days, "
+            "CAST(nf AS BIGINT) AS n_f13_days, "
+            "CAST(s AS BIGINT) AS n_orders_f13, "
+            "CAST(tot AS BIGINT) AS n_orders, "
+            "CAST(CASE WHEN tot > 0 AND nf > 0 THEN "
+            "CAST(s AS HUGEINT) * (mx - mn + 1) * 1000000 "
+            "// (tot * nf) ELSE 0 END AS BIGINT) AS f13_lift_ppm "
+            "FROM b, f, onf"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
