@@ -654,7 +654,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         iso_week_rollover_census,
                                         laplace_smoothing_rank_flips,
                                         size_price_simpson_probe,
-                                        friday13_order_lift)
+                                        friday13_order_lift,
+                                        source_vocab_shapley,
+                                        feature_hashing_collision_sweep,
+                                        linear_probing_cluster_census,
+                                        source_minhash_jaccard_error)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1623,6 +1627,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "laplace_smoothing_rank_flips": laplace_smoothing_rank_flips,
         "size_price_simpson_probe": size_price_simpson_probe,
         "friday13_order_lift": friday13_order_lift,
+        "source_vocab_shapley": source_vocab_shapley,
+        "feature_hashing_collision_sweep":
+            feature_hashing_collision_sweep,
+        "linear_probing_cluster_census": linear_probing_cluster_census,
+        "source_minhash_jaccard_error": source_minhash_jaccard_error,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -7113,6 +7122,96 @@ def oracle_sql() -> dict[str, str]:
             "CAST(s AS HUGEINT) * (mx - mn + 1) * 1000000 "
             "// (tot * nf) ELSE 0 END AS BIGINT) AS f13_lift_ppm "
             "FROM b, f, onf"),
+        "source_vocab_shapley": (
+            "WITH tok AS (SELECT DISTINCT source, t FROM "
+            "(SELECT source, unnest(string_split(text, ' ')) AS t "
+            "FROM documents)), "
+            "m AS (SELECT t, count(*) AS m FROM tok GROUP BY 1) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_exclusive, "
+            "CAST(sum(232792560 // m) AS BIGINT) AS shapley_scaled "
+            "FROM tok JOIN m USING (t) GROUP BY source"),
+        "feature_hashing_collision_sweep": (
+            "WITH v AS (SELECT DISTINCT t FROM (SELECT "
+            "unnest(string_split(text, ' ')) AS t FROM documents)), "
+            "h AS (SELECT CAST(CONCAT('0x', substr(md5(t), 1, 12)) "
+            "AS BIGINT) AS hh FROM v), "
+            "ks AS (SELECT unnest([8, 10, 12, 14]) AS k), "
+            "b AS (SELECT k, hh % (1 << k) AS bkt, count(*) AS c "
+            "FROM h CROSS JOIN ks GROUP BY 1, 2), "
+            "s AS (SELECT k, sum(c) AS vocab, count(*) AS occ, "
+            "sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS singles "
+            "FROM b GROUP BY 1) "
+            "SELECT CAST(k AS BIGINT) AS k_bits, "
+            "CAST(vocab AS BIGINT) AS vocab, "
+            "CAST(occ AS BIGINT) AS occupied, "
+            "CAST(singles AS BIGINT) AS singleton_buckets, "
+            "CAST(vocab - singles AS BIGINT) AS collided_tokens, "
+            "CAST(CASE WHEN vocab > 0 THEN (vocab - singles) "
+            "* 1000000 // vocab ELSE 0 END AS BIGINT) "
+            "AS collision_ppm FROM s"),
+        "linear_probing_cluster_census": (
+            "WITH sl AS (SELECT CAST(CONCAT('0x', substr(md5("
+            "CAST(c_custkey AS VARCHAR)), 1, 12)) AS BIGINT) "
+            "% 4096 AS slot FROM customer), "
+            "ld AS (SELECT slot, count(*) AS c FROM sl GROUP BY 1), "
+            "oc AS (SELECT slot, slot - row_number() "
+            "OVER (ORDER BY slot) AS grp FROM ld), "
+            "runs AS (SELECT count(*) AS len FROM oc GROUP BY grp) "
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM sl) "
+            "AS n_keys, CAST(4096 AS BIGINT) AS n_slots, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM ld) AS occupied, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM runs) AS n_runs, "
+            "(SELECT CAST(COALESCE(max(len), 0) AS BIGINT) "
+            "FROM runs) AS longest_run, "
+            "(SELECT CAST(COALESCE(max(c), 0) AS BIGINT) FROM ld) "
+            "AS max_slot_load"),
+        "source_minhash_jaccard_error": (
+            "WITH tok AS (SELECT DISTINCT source, t FROM "
+            "(SELECT source, unnest(string_split(text, ' ')) AS t "
+            "FROM documents)), "
+            "sz AS (SELECT source, count(*) AS n FROM tok "
+            "GROUP BY 1), "
+            "it AS (SELECT a.source AS sa, b.source AS sb, "
+            "count(*) AS ix FROM tok a JOIN tok b ON a.t = b.t "
+            "AND a.source < b.source GROUP BY 1, 2), "
+            "hh AS (SELECT DISTINCT source, CAST(CONCAT('0x', "
+            "substr(md5(t), 1, 12)) AS BIGINT) AS h FROM tok), "
+            "mh AS (SELECT source, h FROM (SELECT source, h, "
+            "row_number() OVER (PARTITION BY source ORDER BY h) "
+            "AS rn FROM hh) WHERE rn <= 32), "
+            "pr AS (SELECT a.source AS sa, b.source AS sb, "
+            "a.n AS na, b.n AS nb FROM sz a JOIN sz b "
+            "ON a.source < b.source), "
+            "uh AS (SELECT p.sa, p.sb, m.h, "
+            "max(CASE WHEN m.source = p.sa THEN 1 ELSE 0 END) "
+            "AS ina, "
+            "max(CASE WHEN m.source = p.sb THEN 1 ELSE 0 END) "
+            "AS inb FROM pr p JOIN mh m "
+            "ON m.source IN (p.sa, p.sb) GROUP BY 1, 2, 3), "
+            "rk AS (SELECT sa, sb, ina, inb, row_number() "
+            "OVER (PARTITION BY sa, sb ORDER BY h) AS rn, "
+            "count(*) OVER (PARTITION BY sa, sb) AS tot FROM uh), "
+            "est AS (SELECT sa, sb, sum(CASE WHEN rn <= 32 AND "
+            "ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS em, "
+            "least(32, max(tot)) AS kk FROM rk GROUP BY 1, 2), "
+            "fin AS (SELECT p.sa AS src_a, p.sb AS src_b, "
+            "CAST(COALESCE(it.ix, 0) AS BIGINT) AS n_inter, "
+            "CAST(p.na + p.nb - COALESCE(it.ix, 0) AS BIGINT) "
+            "AS n_union, CAST(e.em AS BIGINT) AS est_matches, "
+            "CAST(CASE WHEN p.na + p.nb - COALESCE(it.ix, 0) > 0 "
+            "THEN COALESCE(it.ix, 0) * 1000000 "
+            "// (p.na + p.nb - COALESCE(it.ix, 0)) ELSE 0 END "
+            "AS BIGINT) AS exact_jaccard_ppm, "
+            "CAST(CASE WHEN e.kk > 0 THEN e.em * 1000000 // e.kk "
+            "ELSE 0 END AS BIGINT) AS est_jaccard_ppm "
+            "FROM pr p LEFT JOIN it ON it.sa = p.sa "
+            "AND it.sb = p.sb JOIN est e ON e.sa = p.sa "
+            "AND e.sb = p.sb) "
+            "SELECT *, CAST(abs(exact_jaccard_ppm "
+            "- est_jaccard_ppm) AS BIGINT) AS abs_err_ppm "
+            "FROM fin"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
