@@ -658,7 +658,11 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         source_vocab_shapley,
                                         feature_hashing_collision_sweep,
                                         linear_probing_cluster_census,
-                                        source_minhash_jaccard_error)
+                                        source_minhash_jaccard_error,
+                                        lang_vocab_overlap_coeff,
+                                        token_bigram_pmi_top10,
+                                        region_priority_hist_intersection,
+                                        collatz_stopping_census)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1632,6 +1636,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             feature_hashing_collision_sweep,
         "linear_probing_cluster_census": linear_probing_cluster_census,
         "source_minhash_jaccard_error": source_minhash_jaccard_error,
+        "lang_vocab_overlap_coeff": lang_vocab_overlap_coeff,
+        "token_bigram_pmi_top10": token_bigram_pmi_top10,
+        "region_priority_hist_intersection":
+            region_priority_hist_intersection,
+        "collatz_stopping_census": collatz_stopping_census,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -7212,6 +7221,73 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, CAST(abs(exact_jaccard_ppm "
             "- est_jaccard_ppm) AS BIGINT) AS abs_err_ppm "
             "FROM fin"),
+        "lang_vocab_overlap_coeff": (
+            "WITH tok AS (SELECT DISTINCT lang, t FROM "
+            "(SELECT lang, unnest(string_split(text, ' ')) AS t "
+            "FROM documents)), "
+            "sz AS (SELECT lang, count(*) AS n FROM tok GROUP BY 1), "
+            "it AS (SELECT a.lang AS la, b.lang AS lb, count(*) AS ix "
+            "FROM tok a JOIN tok b ON a.t = b.t AND a.lang < b.lang "
+            "GROUP BY 1, 2), "
+            "pr AS (SELECT a.lang AS la, b.lang AS lb, a.n AS na, "
+            "b.n AS nb FROM sz a JOIN sz b ON a.lang < b.lang) "
+            "SELECT p.la AS lang_a, p.lb AS lang_b, "
+            "CAST(p.na AS BIGINT) AS n_a, CAST(p.nb AS BIGINT) AS n_b, "
+            "CAST(COALESCE(it.ix, 0) AS BIGINT) AS n_inter, "
+            "CAST(COALESCE(it.ix, 0) * 1000000 "
+            "// least(p.na, p.nb) AS BIGINT) AS overlap_ppm "
+            "FROM pr p LEFT JOIN it ON it.la = p.la AND it.lb = p.lb"),
+        "token_bigram_pmi_top10": (
+            "WITH tk AS (SELECT string_split(text, ' ') AS t "
+            "FROM documents), "
+            "bg AS (SELECT t[i] AS ta, t[i + 1] AS tb FROM tk, "
+            "UNNEST(range(1, len(t))) u(i)), "
+            "cab AS (SELECT ta, tb, count(*) AS cab FROM bg "
+            "GROUP BY 1, 2), "
+            "ca AS (SELECT ta, sum(cab) AS ca FROM cab GROUP BY 1), "
+            "cb AS (SELECT tb, sum(cab) AS cb FROM cab GROUP BY 1), "
+            "nn AS (SELECT sum(cab) AS n FROM cab) "
+            "SELECT ta, tb, CAST(cab AS BIGINT) AS n_pair, "
+            "CAST(ca AS BIGINT) AS n_left, "
+            "CAST(cb AS BIGINT) AS n_right, "
+            "CAST(CAST(cab AS HUGEINT) * n * 1000000 "
+            "// (CAST(ca AS HUGEINT) * cb) AS BIGINT) "
+            "AS pmi_score_ppm "
+            "FROM cab JOIN ca USING (ta) JOIN cb USING (tb), nn "
+            "WHERE cab >= 2 "
+            "ORDER BY pmi_score_ppm DESC, ta, tb LIMIT 10"),
+        "region_priority_hist_intersection": (
+            "WITH o AS (SELECT r_name, o_orderpriority AS pr, "
+            "count(*) AS c FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2), "
+            "t AS (SELECT r_name, sum(c) AS n FROM o GROUP BY 1), "
+            "pr AS (SELECT a.r_name AS ra, b.r_name AS rb, a.n AS na, "
+            "b.n AS nb FROM t a JOIN t b ON a.r_name < b.r_name), "
+            "kv AS (SELECT p.ra, p.rb, sum(least("
+            "CAST(oa.c AS HUGEINT) * p.nb, "
+            "CAST(ob.c AS HUGEINT) * p.na)) AS k FROM pr p "
+            "JOIN o oa ON oa.r_name = p.ra "
+            "JOIN o ob ON ob.r_name = p.rb AND ob.pr = oa.pr "
+            "GROUP BY 1, 2) "
+            "SELECT p.ra AS region_a, p.rb AS region_b, "
+            "CAST(p.na AS BIGINT) AS n_a, CAST(p.nb AS BIGINT) AS n_b, "
+            "CAST(CAST(COALESCE(kv.k, 0) AS HUGEINT) * 1000000 "
+            "// (CAST(p.na AS HUGEINT) * p.nb) AS BIGINT) "
+            "AS intersection_ppm "
+            "FROM pr p LEFT JOIN kv ON kv.ra = p.ra AND kv.rb = p.rb"),
+        "collatz_stopping_census": (
+            "WITH RECURSIVE r AS ("
+            "SELECT c_custkey AS k, CAST(c_custkey AS BIGINT) AS v, "
+            "0 AS s FROM customer "
+            "UNION ALL "
+            "SELECT k, CASE WHEN v % 2 = 0 THEN v // 2 "
+            "ELSE 3 * v + 1 END, s + 1 FROM r WHERE v > 1), "
+            "f AS (SELECT k, max(s) AS steps FROM r GROUP BY 1) "
+            "SELECT CAST(steps AS BIGINT) AS steps, "
+            "CAST(count(*) AS BIGINT) AS n_keys, "
+            "CAST(min(k) AS BIGINT) AS min_key FROM f GROUP BY 1"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
