@@ -662,7 +662,9 @@ from ctdray.pipelines.analytics import (asof_last_event, events_hourly,
                                         lang_vocab_overlap_coeff,
                                         token_bigram_pmi_top10,
                                         region_priority_hist_intersection,
-                                        collatz_stopping_census)
+                                        collatz_stopping_census,
+                                        daily_revenue_max_rally,
+                                        order_day_next_greater_census)
 from ctdray.pipelines.extract import build_blocks, build_detected_spans
 from ctdray.pipelines.interleave import read_interleaved_docs
 
@@ -1641,6 +1643,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_priority_hist_intersection":
             region_priority_hist_intersection,
         "collatz_stopping_census": collatz_stopping_census,
+        "daily_revenue_max_rally": daily_revenue_max_rally,
+        "order_day_next_greater_census":
+            order_day_next_greater_census,
         "worst_5day_window": worst_5day_window,
         "snapshot_staleness_by_type": snapshot_staleness_by_type,
         "premium_sku_counts": premium_sku_counts,
@@ -7288,6 +7293,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(steps AS BIGINT) AS steps, "
             "CAST(count(*) AS BIGINT) AS n_keys, "
             "CAST(min(k) AS BIGINT) AS min_key FROM f GROUP BY 1"),
+        "daily_revenue_max_rally": (
+            "WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') "
+            "AS day, CAST(sum(CAST(round(o_totalprice * 100) "
+            "AS BIGINT)) AS BIGINT) AS v FROM orders GROUP BY 1), "
+            "w AS (SELECT day, v, min(v) OVER (ORDER BY day "
+            "ROWS UNBOUNDED PRECEDING) AS rmin FROM d), "
+            "g AS (SELECT max(v - rmin) AS mr FROM w) "
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) "
+            "AS n_days, "
+            "(SELECT CAST(min(v) AS BIGINT) FROM d) AS trough_cents, "
+            "CAST(g.mr AS BIGINT) AS max_rally_cents, "
+            "(SELECT min(day) FROM w WHERE v - rmin = g.mr) "
+            "AS rally_day FROM g"),
+        "order_day_next_greater_census": (
+            "WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') "
+            "AS day, count(*) AS c FROM orders GROUP BY 1), "
+            "i AS (SELECT day, c, row_number() OVER (ORDER BY day) "
+            "AS idx FROM d), "
+            "ng AS (SELECT a.idx AS ai, "
+            "COALESCE(min(b.idx) - a.idx, -1) AS dist FROM i a "
+            "LEFT JOIN i b ON b.idx > a.idx AND b.c > a.c "
+            "GROUP BY 1) "
+            "SELECT CAST(dist AS BIGINT) AS dist, "
+            "CAST(count(*) AS BIGINT) AS n_days "
+            "FROM ng GROUP BY 1"),
         "quantity_mannwhitney_u2": (
             "WITH f AS (SELECT l_returnflag AS flag, "
             "CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem "
