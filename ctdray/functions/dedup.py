@@ -543,11 +543,22 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16,
 SIMHASH_BITS = 60      # fits a signed 64-bit int → SQL-oracle-friendly
 
 
+_SIMHASH_TOKEN_CACHE: dict = {}
+
+
 def _token_hash60(tok: str) -> int:
     """60-bit token hash: first 15 md5 hex chars — replicable in ANSI SQL
     (per-char strpos fold), which is what makes the simhash dedups
-    value-oracle-able in DuckDB."""
-    return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+    value-oracle-able in DuckDB.  Cached per process (the MinHasher
+    ``_token_hashes`` pattern): boilerplate corpora re-use the same tokens
+    millions of times, so each worker pays the md5 once per distinct token."""
+    h = _SIMHASH_TOKEN_CACHE.get(tok)
+    if h is None:
+        h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+        if len(_SIMHASH_TOKEN_CACHE) > 1_000_000:   # bound per-worker memory
+            _SIMHASH_TOKEN_CACHE.clear()
+        _SIMHASH_TOKEN_CACHE[tok] = h
+    return h
 
 
 def simhash60(text: str) -> int:
@@ -556,8 +567,9 @@ def simhash60(text: str) -> int:
     (n_tokens, 60) matrix, column-sum, take the sign.  Tokenization is
     ``split(' ')`` (empty pieces preserved) to match the SQL oracle."""
     toks = text.split(" ")
-    h = np.fromiter((_token_hash60(t) for t in toks), dtype=np.uint64,
-                    count=len(toks))
+    cache = _SIMHASH_TOKEN_CACHE
+    h = np.fromiter((cache.get(t) or _token_hash60(t) for t in toks),
+                    dtype=np.uint64, count=len(toks))
     shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
     bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
     acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
@@ -587,7 +599,14 @@ def simhash_near_dedup(ds: ray.data.Dataset, hamming_k: int = 3,
     one band, so grouping by (band, band_bits) generates a complete
     candidate set.  Candidates verify with a full 64-bit XOR popcount; a doc
     is a duplicate iff a verified pair links it to a smaller doc_id.  Only
-    (band, band_bits, doc_id, simhash) rows shuffle — never text."""
+    (band, band_bits, doc_id, simhash) rows shuffle — never text.
+
+    The exchange groups by a 256-way COARSE bucket of the fine (band,
+    band_bits) cell (the ``bucket_pairs_coarse`` pattern from MinHash-LSH:
+    per-key map_groups dispatch — not shuffled bytes — is the measured
+    bottleneck), and the verify is fully vectorized: per-run
+    ``np.triu_indices`` pair generation, one XOR over the run's signature
+    array, and an ``np.unpackbits`` popcount — no per-pair Python."""
     n_bands = hamming_k + 1
     # band bit boundaries: as equal as SIMHASH_BITS allows
     widths = [SIMHASH_BITS // n_bands + (1 if i < SIMHASH_BITS % n_bands else 0)
@@ -605,38 +624,78 @@ def simhash_near_dedup(ds: ray.data.Dataset, hamming_k: int = 3,
             mask = np.uint64((1 << widths[bi]) - 1)
             bits_col.append((sigs >> np.uint64(offsets[bi])) & mask)
             bands_col.append(np.full(n, bi, dtype=np.int32))
+        band_all = np.concatenate(bands_col) if n else np.zeros(0, np.int32)
+        bits_all = np.concatenate(bits_col) if n \
+            else np.zeros(0, np.uint64)
+        # coarse exchange key: 256 buckets of fine (band, band_bits) cells
+        pb = ((bits_all ^ (band_all.astype(np.uint64) * _MIX2))
+              >> np.uint64(56)).astype(np.int32)
         return pa.table({
-            "band": pa.array(np.concatenate(bands_col)),
-            "band_bits": pa.array(np.concatenate(bits_col), pa.uint64()),
+            "band": pa.array(band_all),
+            "band_bits": pa.array(bits_all, pa.uint64()),
+            "__pb": pa.array(pb),
             "doc_id": pc.take(ids, pa.array(np.tile(np.arange(n), n_bands))),
             "simhash": pa.array(np.tile(sigs, n_bands), pa.uint64()),
         })
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        rows = sorted({(i, int(s)) for i, s in
-                       zip(group.column("doc_id").to_pylist(),
-                           group.column("simhash").to_pylist())})
-        empty = pa.table({"a_id": pa.array([], group.column("doc_id").type),
-                          "b_id": pa.array([], group.column("doc_id").type)})
-        if len(rows) < 2:
+    def bucket_pairs_coarse(group: pa.Table) -> pa.Table:
+        """All fine (band, band_bits) cells of one coarse bucket: sort,
+        find cell runs, pair + hamming-verify each run vectorized.  Same
+        pair semantics as the per-cell version (sorted unique ids; all
+        pairs under the cap, smallest-``hot_bucket_reps`` star pattern
+        over it; popcount(sig_a ^ sig_b) ≤ k)."""
+        id_arr_type = group.column("doc_id").type
+        t = group.sort_by([("band", "ascending"),
+                           ("band_bits", "ascending")])
+        band = t.column("band").to_numpy(zero_copy_only=False)
+        bits = t.column("band_bits").to_numpy(zero_copy_only=False)
+        ids_np = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sigs_np = t.column("simhash").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        empty = pa.table({"a_id": pa.array([], id_arr_type),
+                          "b_id": pa.array([], id_arr_type)})
+        if len(band) == 0:
             return empty
-        if len(rows) > bucket_pair_cap:
-            cand = [(rows[ri], other)
-                    for ri in range(min(hot_bucket_reps, len(rows) - 1))
-                    for other in rows[ri + 1:]]
-        else:
-            cand = list(itertools.combinations(rows, 2))
-        a_id, b_id = [], []
-        for (ia, sa), (ib, sb) in cand:
-            if bin(sa ^ sb).count("1") <= hamming_k:    # verify in-bucket
-                a_id.append(ia); b_id.append(ib)
-        if not a_id:
+        change = np.flatnonzero((band[1:] != band[:-1])
+                                | (bits[1:] != bits[:-1]))
+        starts = np.r_[0, change + 1]
+        ends = np.r_[change + 1, len(band)]
+        a_parts, b_parts = [], []
+        for s, e in zip(starts, ends):
+            ids_r = ids_np[s:e]
+            order = np.argsort(ids_r, kind="stable")
+            ids_s = ids_r[order]
+            sigs_s = sigs_np[s:e][order]
+            if len(ids_s) > 1:                  # drop duplicate doc rows
+                keep = np.r_[True, ids_s[1:] != ids_s[:-1]]
+                ids_s, sigs_s = ids_s[keep], sigs_s[keep]
+            n = len(ids_s)
+            if n < 2:
+                continue
+            if n > bucket_pair_cap:
+                reps = min(hot_bucket_reps, n - 1)
+                iu = np.concatenate([np.full(n - 1 - i, i, dtype=np.int64)
+                                     for i in range(reps)])
+                ju = np.concatenate([np.arange(i + 1, n, dtype=np.int64)
+                                     for i in range(reps)])
+            else:
+                iu, ju = np.triu_indices(n, 1)
+            xor = sigs_s[iu] ^ sigs_s[ju]
+            pop = np.unpackbits(xor[:, None].view(np.uint8),
+                                axis=1).sum(axis=1)
+            ok = pop <= hamming_k                       # verify in-bucket
+            if ok.any():
+                a_parts.append(ids_s[iu[ok]])
+                b_parts.append(ids_s[ju[ok]])
+        if not a_parts:
             return empty
-        return pa.table({"a_id": pa.array(a_id), "b_id": pa.array(b_id)})
+        return pa.table({
+            "a_id": pa.array(np.concatenate(a_parts)).cast(id_arr_type),
+            "b_id": pa.array(np.concatenate(b_parts)).cast(id_arr_type)})
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
-    pairs = (exploded.groupby(["band", "band_bits"])
-                     .map_groups(bucket_pairs, batch_format="pyarrow"))
+    pairs = (exploded.groupby("__pb")
+                     .map_groups(bucket_pairs_coarse, batch_format="pyarrow"))
 
     def dup_ids(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": batch.column("b_id")})
@@ -791,8 +850,10 @@ def dedup_clusters(ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16,
     families are shallow, and each superstep shuffles only (node, label)
     pairs, never text.  The label sum is monotone decreasing, so a cheap
     scalar aggregate detects convergence.  Docs in no pair stay their own
-    singleton cluster via a broadcast label lookup (label count is bounded
-    by 2·|pairs|; the >limit path would swap in shuffle_lookup_join)."""
+    singleton cluster via a broadcast label lookup when the label table is
+    ≤ ``broadcast_label_limit`` rows; above it the labels never touch the
+    driver — attach runs through :func:`joins.shuffle_lookup_join` (both
+    sides hash-partition on doc_id) with a LEFT join and singleton fill."""
     import ray
 
     pairs = minhash_verified_pairs(
@@ -908,6 +969,40 @@ def dedup_clusters(ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16,
             break
         prev_sum = s
 
+    n_labels = labels.count()
+    if n_labels > broadcast_label_limit:
+        # Large-graph attach: the label table is too big for the driver
+        # (billions of rows at a realistic dup rate on a 10^12-doc corpus),
+        # so it never lands there — both sides hash-partition on doc_id and
+        # the label stamps inside each bucket (shuffle_lookup_join), then
+        # unmatched docs (no dup pair) default to their own singleton label.
+        from .joins import shuffle_lookup_join
+
+        def relabel(batch: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": batch.column("node"),
+                             "cluster_id": batch.column("label")})
+
+        def ids_only(batch: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": batch.column("doc_id")})
+
+        joined = shuffle_lookup_join(
+            ds.map_batches(ids_only, batch_format="pyarrow"),
+            labels.map_batches(relabel, batch_format="pyarrow"),
+            on="doc_id", how="left",
+            left_schema=pa.schema([("doc_id", id_type)]),
+            right_schema=pa.schema([("doc_id", id_type),
+                                    ("cluster_id", id_type)]))
+
+        def fill_singletons(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").combine_chunks()
+            got = batch.column("cluster_id").combine_chunks()
+            return pa.table({"doc_id": ids,
+                             "cluster_id": pc.if_else(pc.is_valid(got), got,
+                                                      ids.cast(id_type))})
+
+        return joined.map_batches(fill_singletons, batch_format="pyarrow")
+
+    # bounded by broadcast_label_limit — safe to collect and broadcast once
     lbl = pa.concat_tables(list(labels.iter_batches(batch_format="pyarrow")),
                            promote_options="default")
     lbl_ref = ray.put((lbl.column("node").combine_chunks(),

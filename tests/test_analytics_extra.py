@@ -227,6 +227,12 @@ def test_dedup_clusters_transitive_chain(ray_session):
                               driver_pairs_limit=0)
                .to_pandas().sort_values("doc_id"))
     assert list(out_bsp.cluster_id) == [10, 10, 10, 13]
+    # broadcast_label_limit=0 forces the shuffle_lookup_join label attach
+    # (the >limit route where labels never land on the driver) — same labels
+    out_big = (dedup_clusters(rd.from_arrow(tbl), threshold=0.5,
+                              driver_pairs_limit=0, broadcast_label_limit=0)
+               .to_pandas().sort_values("doc_id"))
+    assert list(out_big.cluster_id) == [10, 10, 10, 13]
 
 
 def test_orders_cube_levels_consistent(ray_session):
