@@ -35,6 +35,12 @@ def test_pagerank_nation_trade(ray_session, tmp_path):
     # node 1 iter1: 150000 + 850*1000000//1000 = 1000000;
     # iter2/3: 150000 + 850*150000//1000 = 277500.
     assert out.loc[1].pr_e6 == 277_500
+    # broadcast_key_limit=0 forces the shuffle_lookup_join attach path
+    # (customer/supplier never broadcast) — identical ranks
+    out_shuf = pagerank_nation_trade(str(tmp_path), broadcast_key_limit=0) \
+        .to_pandas().set_index("nationkey").sort_index()
+    assert out_shuf.loc[0].pr_e6 == 150_000
+    assert out_shuf.loc[1].pr_e6 == 277_500
 
 
 def test_brand_name_lcp(ray_session, tmp_path):
