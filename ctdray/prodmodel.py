@@ -56,8 +56,12 @@ def fuse_state_dict(sd: dict, eps_key_suffix: str = "bn.eps",
     (basemodel.py:228-238).  Non-matching entries pass through untouched;
     ``num_batches_tracked`` bookkeeping is dropped with the BN.
 
-    The default eps matches YOLOv5's BatchNorm2d(eps=1e-3)
-    (models/yolov5/common.py:39)."""
+    The default eps matches the yolov5 backbone, whose BNs train with
+    eps=1e-3 (initialize_weights, utils/yolov5_utils.py:55-60, applied in
+    Model.__init__).  UnetHead/DBHead BNs keep the PyTorch default 1e-5
+    (basemodel.py creates them bare and utils/weight_init.py:91-103 never
+    touches eps) — pass ``default_eps=1e-5`` for those sub-dicts, as
+    TorchDetector does."""
     out = dict(sd)
     prefixes = set()
     for k in sd:

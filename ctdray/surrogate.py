@@ -14,8 +14,9 @@ with exactly the reference's inference output contract (basemodel.py:240-244):
 
 Backends: :class:`SurrogateDetector` (deterministic, sandbox — derives the
 tensors analytically from the fixture ground truth, FIXTURES.md §3) and
-:class:`TorchDetector` / :class:`OnnxDetector` stubs that load real weights
-when torch / cv2 are importable (never in this sandbox).
+:class:`TorchDetector` / :class:`OnnxDetector` which load real weights when
+torch / cv2 are importable (never in this sandbox); the torch network
+assembly itself lives in ctdray.nets.
 """
 from __future__ import annotations
 
@@ -115,14 +116,21 @@ class TorchDetector:
     external artifact (reference README.md:5); loading happens once per actor
     in ``__init__`` per the actor-pool contract.
 
-    Construction is real: the checkpoint is loaded, split into the three
-    sub-model state dicts (ctdray.prodmodel.split_checkpoint) and every
-    Conv+BN pair is folded (prodmodel.fuse_state_dict — the numpy
-    re-expression of utils/yolov5_utils.py:23-43, unit-tested in-sandbox).
-    The network assembly itself is supplied by ``network_factory`` — the
-    model classes are external artifacts alongside the weights (SURVEY.md
-    §2.4 A6) — so in this container construction fails only on the missing
-    torch / weights / factory, never on our own plumbing."""
+    Construction is real end-to-end: the checkpoint is loaded, split into
+    the three sub-model state dicts (ctdray.prodmodel.split_checkpoint),
+    every Conv+BN pair is folded (prodmodel.fuse_state_dict — the numpy
+    re-expression of utils/yolov5_utils.py:23-43, unit-tested in-sandbox),
+    and the fused networks themselves are assembled by
+    ``ctdray.nets.default_network_factory`` — the re-expression of
+    basemodel.py:47-209 (UnetHead/DBHead) and the yolov5 Model rebuild
+    (models/yolov5/yolo.py:286-311) — so no ``network_factory`` argument
+    is needed.  Pass one only to swap in a custom assembly.
+
+    BN-eps detail: the yolov5 backbone trains with eps=1e-3
+    (initialize_weights, utils/yolov5_utils.py:55-60, applied in
+    Model.__init__) while UnetHead/DBHead BNs keep the PyTorch default
+    1e-5 (basemodel.py creates them bare; utils/weight_init.py:91-103
+    never touches eps) — each sub-dict is fused with its own eps."""
 
     def __init__(self, model_path: str, cfg: DetectorConfig | None = None,
                  device: str = "cpu", half: bool = False,
@@ -139,22 +147,26 @@ class TorchDetector:
 
         ckpt = torch.load(model_path, map_location=device)   # raises on missing file
         blk_sd, seg_sd, det_sd = split_checkpoint(ckpt)
-        if isinstance(blk_sd, dict) and "state_dict" in blk_sd:
-            blk_sd = blk_sd["state_dict"]                    # yolo.py:292 layout
+        # blk_det entry layout is {'cfg': model dict, 'weights': state dict}
+        # (load_yolov5_ckpt, yolo.py:286-293); keep the cfg for the rebuild.
+        self.blk_cfg = None
+        if isinstance(blk_sd, dict):
+            self.blk_cfg = blk_sd.get("cfg")
+            blk_sd = blk_sd.get("weights", blk_sd.get("state_dict", blk_sd))
         to_np = lambda d: {k: v.detach().cpu().numpy() if hasattr(v, "detach")
                            else v for k, v in d.items()
                            if hasattr(v, "detach") or isinstance(v, np.ndarray)}
         self.state_dicts = {
-            "blk_det": to_np(blk_sd) if isinstance(blk_sd, dict) else blk_sd,
-            "text_seg": fuse_state_dict(to_np(seg_sd)),
-            "text_det": fuse_state_dict(to_np(det_sd)),
+            "blk_det": fuse_state_dict(to_np(blk_sd), default_eps=1e-3),
+            "text_seg": fuse_state_dict(to_np(seg_sd), default_eps=1e-5),
+            "text_det": fuse_state_dict(to_np(det_sd), default_eps=1e-5),
         }
         if network_factory is None:
-            raise NotImplementedError(
-                "network definitions are external artifacts (SURVEY.md §2.4 "
-                "A6): pass network_factory(state_dicts, device, half) "
-                "building the fused TextDetBase equivalent")
-        self.net = network_factory(self.state_dicts, device, half)
+            from .nets import default_network_factory
+            self.net = default_network_factory(
+                self.state_dicts, device, half, blk_cfg=self.blk_cfg)
+        else:
+            self.net = network_factory(self.state_dicts, device, half)
 
     def infer(self, media_ref, im_h, im_w):  # pragma: no cover - needs weights
         from .prodmodel import preprocess_blob
