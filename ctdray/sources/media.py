@@ -65,6 +65,8 @@ def fetch_media(media_ref: str) -> bytes:
     for an object-store / Lance-blob fetch):
 
       page://…   binary-PGM page image (FIXTURES.md §2)
+      jpg://…    the same rendered page, baseline-JPEG encoded (the
+                 reference's example corpus format, data/examples/*.jpg)
       vid://…    CTVF raw-frame video (synth_video)
       aud://…    RIFF/WAVE PCM16 audio (synth_wav)
 
@@ -74,6 +76,11 @@ def fetch_media(media_ref: str) -> bytes:
     if media_ref.startswith("page://"):
         gt = page_ground_truth(media_ref)
         return encode_pgm(render_page(gt))
+    if media_ref.startswith("jpg://"):
+        from .jpeg import encode_baseline_jpeg
+
+        gt = page_ground_truth("page://" + media_ref[len("jpg://"):])
+        return encode_baseline_jpeg(render_page(gt), quality=92)
     if media_ref.startswith("vid://"):
         return synth_video(media_ref)
     if media_ref.startswith("aud://"):

@@ -48,9 +48,11 @@ AUDIO_FEAT_SCHEMA = pa.schema([
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """binary → uint8 (h, w[, c]).  PGM and PNG are native (pure
-    numpy/zlib — the reference's primary format is PNG, utils/io_utils.py:
-    42-53); JPEG/WebP need cv2 or PIL — the prod hook is explicit."""
+    """binary → uint8 (h, w[, c]).  PGM, PNG and baseline JPEG are native
+    (pure numpy/zlib — ctdray.sources.png / ctdray.sources.jpeg; the
+    reference decodes via cv2.imdecode, utils/io_utils.py:42, and its
+    bundled example corpus is JPEG).  cv2, when importable, takes the JPEG
+    fast path and covers the remaining formats (WebP, progressive JPEG)."""
     if payload[:2] == b"P5":
         return decode_pgm(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -63,8 +65,12 @@ def decode_image(payload: bytes) -> np.ndarray:
             raise ValueError("cv2 could not decode payload")
         return img
     except ImportError:
+        if payload[:2] == b"\xff\xd8":
+            from ..sources.jpeg import decode_baseline_jpeg
+
+            return decode_baseline_jpeg(payload)
         raise NotImplementedError(
-            "JPEG/WebP decode requires cv2/PIL (unavailable in-sandbox); "
+            "image format needs cv2/PIL (unavailable in-sandbox); "
             "prod images route through this hook unchanged")
 
 
