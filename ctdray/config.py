@@ -46,6 +46,21 @@ class PipelineConfig:
     # actor, add num_gpus via the builder), at the cost of a pool spin-up on
     # every pipeline.
     detect_compute: str = "tasks"
+    # Detect-stage layout.  'fused' (default, CPU backends): infer +
+    # postprocess in one task, the ~12 MB/page model maps never enter the
+    # object store.  'split' (prod GPU layout): a DetectInfer actor pool
+    # (num_gpus=infer_num_gpus each) emits compact raw tensors
+    # (schema.TENSOR_PAGE_SCHEMA) and stateless CPU tasks run
+    # NMS/representer/grouping — the layout for clusters where the model
+    # runs on accelerators and postprocess must scale on separate CPUs.
+    detect_layout: str = "fused"
+    infer_num_gpus: float = 0.0     # per infer actor; 0 = CPU infer pool
+    infer_concurrency: int | None = None  # None → GPUs/infer_num_gpus, else ~2/3 CPUs
+    # GPU micro-batch: pages per infer call.  4 pages ≈ 16 MB of fp16 maps
+    # out per call — small enough that batch × concurrency stays well under
+    # a worker heap even at 100-TB corpus block sizes.
+    infer_batch_size: int = 4
+    half_maps: bool = False         # ship split-layout maps as fp16
     # Hybrid splice routing: docs with ≤ this many media spans take the fused
     # no-shuffle path (detect+splice inside one task); denser docs explode to
     # page rows and reunite via groupby(doc_id) so one dense doc can never

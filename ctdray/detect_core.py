@@ -22,16 +22,53 @@ from .schema import serialize_line_span
 from .textblock import TextBlock, group_output
 
 
-def detect_page(detector, media_ref: str, im_h: int, im_w: int,
-                cfg: DetectorConfig,
-                img: np.ndarray | None = None) -> tuple[List[TextBlock], np.ndarray]:
-    """Run the full per-page chain; returns (reading-ordered blocks,
-    text mask as a lazy page-size view — ``.full()`` materializes uint8).
-    Passing the decoded page (``img``) additionally samples per-line fg/bg
-    font colors into the blocks (O13) — callers that already decoded the
-    page get colors for free; the span path stays pixel-free."""
+def infer_page_arrays(detector, media_ref: str, im_h: int, im_w: int,
+                      cfg: DetectorConfig,
+                      half: bool = False) -> tuple[np.ndarray, np.ndarray,
+                                                   np.ndarray]:
+    """Model-forward half of the per-page chain: raw backend outputs reduced
+    to the COMPACT arrays postprocessing actually consumes —
+
+      blks       (n, 5+nc) float32   raw YOLO rows (pre-NMS; tiny)
+      mask_crop  (S-dh, S-dw) float  UNet sigmoid map, pad cropped
+      lines0     (S-dh, S-dw) float  DB shrink map channel 0, pad cropped
+
+    This is the stage boundary of the SPLIT (prod GPU) layout: the letterbox
+    pad region is dropped before anything enters the object store (its values
+    are below every threshold by construction — see ``postprocess_page``'s
+    zero-pad reconstruction), and ``half=True`` ships the two maps as fp16
+    (the maps are sigmoid outputs in [0,1]; fp16's 2^-11 relative step is two
+    orders below the coarsest decision threshold, and the YOLO rows — where
+    rounding could move an int pixel coordinate — always stay fp32)."""
     size = cfg.input_size
     blks, mask, lines_map = detector.infer(media_ref, im_h, im_w)
+    _, new_w, new_h, dw, dh = letterbox_params(im_h, im_w, size)
+    b = np.asarray(blks, dtype=np.float32)
+    while b.ndim > 2:
+        b = b[0]
+    m = np.asarray(mask)
+    while m.ndim > 2:
+        m = m[0]
+    l0 = np.asarray(lines_map)
+    while l0.ndim > 3:
+        l0 = l0[0]
+    l0 = l0[0]
+    dt = np.float16 if half else np.float32
+    mask_crop = np.ascontiguousarray(m[: size - dh, : size - dw], dtype=dt)
+    lines0 = np.ascontiguousarray(l0[: size - dh, : size - dw], dtype=dt)
+    return b, mask_crop, lines0
+
+
+def postprocess_page(blks: np.ndarray, mask_crop: np.ndarray,
+                     lines0: np.ndarray, im_h: int, im_w: int,
+                     cfg: DetectorConfig,
+                     img: np.ndarray | None = None) -> tuple[List[TextBlock],
+                                                             np.ndarray]:
+    """Pure-numpy postprocess half (NMS → DB representer → unmapping →
+    grouping): needs NO model state, so in the split layout it runs as
+    stateless CPU tasks downstream of the (GPU) infer pool.  Inputs are the
+    compact arrays of :func:`infer_page_arrays`."""
+    size = cfg.input_size
     _, new_w, new_h, dw, dh = letterbox_params(im_h, im_w, size)
     # inference.py:147 — unmapping is a pure per-axis scale because the
     # letterbox pads only bottom/right.
@@ -44,14 +81,19 @@ def detect_page(detector, media_ref: str, im_h: int, im_w: int,
     confs = np.round(det[:, 4], 3)
     classes = det[:, 5].astype(np.int32)
 
-    lines, _scores = extract_lines(lines_map, cfg)
+    # Zero-pad the shrink map back to (S, S): bit-identical to running the
+    # representer on the uncropped map (the pad was calloc'd zeros — below
+    # seg_thresh, and box-score means clip to the same full-map extent).
+    full0 = np.zeros((size, size), dtype=np.float32)
+    full0[: lines0.shape[0], : lines0.shape[1]] = lines0
+    lines, _scores = extract_lines(full0, cfg)
 
     # Un-letterbox: crop the pad, resize to original (inference.py:163-165).
     # Both the uint8 conversion (inference.py:85-99) AND the resize are
     # deferred — group_output samples only rectangular window densities,
     # computed bit-identically on demand (geom.ResizedMaskView, scale255);
     # mask sinks call .full().
-    mask_u8 = ResizedMaskView(np.asarray(mask).squeeze()[: size - dh, : size - dw],
+    mask_u8 = ResizedMaskView(np.asarray(mask_crop, dtype=np.float32),
                               im_w, im_h, scale255=True)
     if lines.size:
         lines = lines.astype(np.float64)
@@ -64,6 +106,20 @@ def detect_page(detector, media_ref: str, im_h: int, im_w: int,
     blk_list = group_output(boxes, classes, confs, lines, im_w, im_h, mask_u8,
                             img=img)
     return blk_list, mask_u8
+
+
+def detect_page(detector, media_ref: str, im_h: int, im_w: int,
+                cfg: DetectorConfig,
+                img: np.ndarray | None = None) -> tuple[List[TextBlock], np.ndarray]:
+    """Run the full per-page chain (fused layout: infer + postprocess in one
+    call, nothing serialized); returns (reading-ordered blocks, text mask as
+    a lazy page-size view — ``.full()`` materializes uint8).
+    Passing the decoded page (``img``) additionally samples per-line fg/bg
+    font colors into the blocks (O13) — callers that already decoded the
+    page get colors for free; the span path stays pixel-free."""
+    blks, mask_crop, lines0 = infer_page_arrays(detector, media_ref,
+                                                im_h, im_w, cfg)
+    return postprocess_page(blks, mask_crop, lines0, im_h, im_w, cfg, img=img)
 
 
 def doc_out_spans(detector, doc_id: str, spans: list[dict],

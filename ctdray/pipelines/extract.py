@@ -24,8 +24,9 @@ import ray.data
 
 from ..config import PipelineConfig
 from ..stages.decode import DecodeStage
-from ..stages.detect import (DetectExtract, DetectSpliceDoc,
-                             detect_extract_task, detect_splice_doc_task)
+from ..stages.detect import (DetectExtract, DetectInfer, DetectSpliceDoc,
+                             detect_extract_task, detect_splice_doc_task,
+                             postprocess_task)
 from ..stages.explode import explode_all_spans, explode_media_spans
 from ..stages.splice import splice_groups
 
@@ -45,9 +46,50 @@ def _detect_concurrency(cfg: PipelineConfig):
     return max(2, cpus - 1)
 
 
+def _infer_concurrency(cfg: PipelineConfig) -> int:
+    """Infer-pool size for the SPLIT layout: explicit from config; else the
+    whole GPU fleet when the stage is GPU-resourced (the pool exists to keep
+    accelerators saturated), else ~2/3 of the CPUs so the stateless
+    postprocess tasks always have cores to drain the tensor rows into spans
+    (a starved postprocess backs the object store up with 4-12 MB/page maps)."""
+    if cfg.infer_concurrency is not None:
+        return cfg.infer_concurrency
+    import ray
+
+    res = ray.cluster_resources()
+    if cfg.infer_num_gpus > 0:
+        return max(1, int(res.get("GPU", 0) / cfg.infer_num_gpus))
+    cpus = int(res.get("CPU", 4))
+    return max(2, (cpus * 2) // 3)
+
+
+def _map_detect_split(pages: ray.data.Dataset, cfg: PipelineConfig,
+                      backend: str, output: str) -> ray.data.Dataset:
+    """Split (prod GPU) layout: infer actor pool → stateless CPU postprocess
+    (stages.detect module docstring)."""
+    remote_args = {"num_gpus": cfg.infer_num_gpus} if cfg.infer_num_gpus > 0 \
+        else {"num_cpus": 1}
+    tensors = pages.map_batches(
+        DetectInfer,
+        fn_constructor_kwargs={"cfg": cfg, "backend": backend},
+        batch_format="pyarrow",
+        batch_size=cfg.infer_batch_size,
+        concurrency=_infer_concurrency(cfg),
+        **remote_args,
+    )
+    return tensors.map_batches(
+        postprocess_task,
+        fn_kwargs={"cfg": cfg, "output": output},
+        batch_format="pyarrow",
+        batch_size=cfg.infer_batch_size,
+    )
+
+
 def _map_detect(pages: ray.data.Dataset, cfg: PipelineConfig, backend: str,
                 output: str) -> ray.data.Dataset:
-    """Page rows → detected rows under the configured compute mode."""
+    """Page rows → detected rows under the configured compute mode/layout."""
+    if cfg.detect_layout == "split":
+        return _map_detect_split(pages, cfg, backend, output)
     if cfg.detect_compute == "actors":
         return pages.map_batches(
             DetectExtract,
@@ -192,6 +234,39 @@ def _dense_doc_ids(docs: ray.data.Dataset, thr: int,
     return ids
 
 
+def _media_page_rows(batch):
+    """Span rows → page rows (media spans only, PAGE_SCHEMA columns)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    sel = batch.filter(pc.equal(batch.column("kind"), "media"))
+    return pa.table({"doc_id": sel.column("doc_id"),
+                     "media_offset": sel.column("offset"),
+                     "media_ref": sel.column("media_ref")})
+
+
+def _split_out_docs(docs: ray.data.Dataset, cfg: PipelineConfig,
+                    backend: str) -> ray.data.Dataset:
+    """SPLIT-layout document assembly: every doc takes the page-explode path.
+
+    The prod GPU layout wants the accelerator pool fed pure page rows, so
+    there is no fused doc path — originals and detections reunite through one
+    ``groupby(doc_id)`` splice.  That shuffle carries only compact span rows
+    (text + serialized quads; pixels and tensors never reach it), so at
+    cluster scale it is bytes-cheap; the docs source is scanned twice (once
+    per branch — Ray Data re-executes shared lazy upstreams), which at real
+    scale is two pruned column scans, not two decodes, since decode/infer
+    hang only off the media branch."""
+    originals = docs.map_batches(explode_all_spans, batch_format="pyarrow")
+    pages = docs.map_batches(explode_media_spans, batch_format="pyarrow")
+    pages = pages.map_batches(DecodeStage(keep_pixels=False),
+                              batch_format="pyarrow",
+                              batch_size=cfg.postprocess_batch_size)
+    detected = _map_detect_split(pages, cfg, backend, output="spans")
+    return originals.union(detected).groupby("doc_id").map_groups(
+        splice_groups, batch_format="pyarrow")
+
+
 def build_out_docs(docs: ray.data.Dataset,
                    cfg: Optional[PipelineConfig] = None,
                    backend: str = "surrogate",
@@ -215,6 +290,8 @@ def build_out_docs(docs: ray.data.Dataset,
     scale the tail fetch is an indexed take on the Lance key column)."""
     _tune_data_context()
     cfg = cfg or PipelineConfig()
+    if cfg.detect_layout == "split":
+        return _split_out_docs(docs, cfg, backend)
     thr = cfg.dense_media_threshold
 
     if dense_ids is None:
@@ -249,14 +326,7 @@ def build_out_docs(docs: ray.data.Dataset,
                         .repartition(max(4, cpus // 4))
                         .materialize())
 
-    def media_rows(batch):
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        sel = batch.filter(pc.equal(batch.column("kind"), "media"))
-        return pa.table({"doc_id": sel.column("doc_id"),
-                         "media_offset": sel.column("offset"),
-                         "media_ref": sel.column("media_ref")})
+    media_rows = _media_page_rows
 
     # Stateless tasks, not a second actor pool: the tail reserves no CPUs
     # (two competing pools can deadlock a small cluster) and an empty tail

@@ -124,6 +124,29 @@ DETECTED_SPAN_SCHEMA = pa.schema(
     ]
 )
 
+# Split-layout intermediate rows (prod GPU layout, stages/detect.py): the raw
+# per-page model outputs crossing the infer→postprocess stage boundary.
+# ``blks`` is (n, blks_w) float32 YOLO rows; the two maps are cropped to the
+# un-padded letterbox region (map_h = S-dh, map_w = S-dw) and stored fp16 when
+# ``half`` (detect_core.infer_page_arrays documents why fp16 is decision-safe
+# for the maps and never applied to the coordinate rows).
+TENSOR_PAGE_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("media_offset", pa.int32()),
+        pa.field("media_ref", pa.string()),
+        pa.field("im_h", pa.int32()),
+        pa.field("im_w", pa.int32()),
+        pa.field("blks", pa.large_binary()),
+        pa.field("blks_w", pa.int32()),
+        pa.field("mask", pa.large_binary()),
+        pa.field("lines0", pa.large_binary()),
+        pa.field("map_h", pa.int32()),
+        pa.field("map_w", pa.int32()),
+        pa.field("half", pa.bool_()),
+    ]
+)
+
 # Refined-mask rows (the engine's mask-<name>.png sink, inference.py:70):
 # mask payload is an encoded image (PGM in-sandbox, PNG in prod).
 MASK_SCHEMA = pa.schema(

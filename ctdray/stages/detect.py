@@ -9,9 +9,17 @@ tables) happens once per actor in ``__init__``, per-batch work in
 Fused mode (default, CPU backends): the per-page model maps
 (~12 MB/page at input 1024) are consumed by NMS/representer/grouping inside
 the same call and never enter the object store — only compact span/block rows
-cross the stage boundary.  Split mode (prod GPU layout) would emit the raw
-tensors for a separate CPU postprocess pool; on a GPU cluster pass
-``num_gpus=0.25``-style resources via the pipeline builder instead.
+cross the stage boundary.
+
+Split mode (prod GPU layout; ``PipelineConfig.detect_layout='split'``): the
+detector actor (:class:`DetectInfer`, ``num_gpus`` plumbed through
+``infer_num_gpus``) emits the raw per-page tensors — YOLO rows fp32, the two
+maps pad-cropped and optionally fp16 (schema.TENSOR_PAGE_SCHEMA) — and a
+separate STATELESS CPU task pool (:func:`postprocess_task`) runs
+NMS/representer/grouping.  The GPU pool then does nothing but forward passes
+(its batch is the GPU micro-batch, not the postprocess batch), while the
+postprocess scales independently on cheap CPU tasks; ~4 MB/page (fp16 maps)
+crosses the object store instead of ~12 MB of raw fp32 model output.
 """
 from __future__ import annotations
 
@@ -19,8 +27,10 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import PipelineConfig
-from ..detect_core import detect_page, doc_out_spans, page_line_spans
-from ..schema import BLOCK_SCHEMA, DETECTED_SPAN_SCHEMA, OUT_DOC_SCHEMA
+from ..detect_core import (detect_page, doc_out_spans, infer_page_arrays,
+                           page_line_spans, postprocess_page)
+from ..schema import (BLOCK_SCHEMA, DETECTED_SPAN_SCHEMA, OUT_DOC_SCHEMA,
+                      TENSOR_PAGE_SCHEMA)
 from ..surrogate import make_detector
 
 
@@ -151,3 +161,104 @@ class DetectExtract:
         if not rows:
             return schema.empty_table()
         return pa.Table.from_pylist(rows, schema=schema)
+
+
+class DetectInfer:
+    """Split-layout INFER actor: decoded page rows → raw tensor rows
+    (schema.TENSOR_PAGE_SCHEMA).  Holds the only model state in the split
+    pipeline — on a GPU cluster the builder gives this pool
+    ``num_gpus=cfg.infer_num_gpus`` per actor and sizes ``concurrency`` to
+    the fleet's GPU count, so every GPU does nothing but forward passes;
+    in-sandbox the surrogate backend exercises the identical plumbing on CPU.
+
+    ``half`` ships the two maps fp16 (halves the object-store bytes per page;
+    detect_core.infer_page_arrays documents why that is decision-safe).
+    Undecodable pages are dropped here exactly as in the fused stage."""
+
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 backend: str = "surrogate", model_path: str | None = None,
+                 half: bool | None = None):
+        self.cfg = cfg or PipelineConfig()
+        self.det_cfg = self.cfg.detector
+        self.half = self.cfg.half_maps if half is None else half
+        self.detector = make_detector(backend, self.det_cfg, model_path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for doc_id, off, ref, h, w, ok in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("media_offset").to_pylist(),
+                batch.column("media_ref").to_pylist(),
+                batch.column("im_h").to_pylist(),
+                batch.column("im_w").to_pylist(),
+                batch.column("decode_ok").to_pylist()):
+            if not ok:
+                continue
+            blks, mask_crop, lines0 = infer_page_arrays(
+                self.detector, ref, int(h), int(w), self.det_cfg,
+                half=self.half)
+            rows.append({
+                "doc_id": doc_id, "media_offset": int(off), "media_ref": ref,
+                "im_h": int(h), "im_w": int(w),
+                "blks": blks.tobytes(), "blks_w": int(blks.shape[1]),
+                "mask": mask_crop.tobytes(), "lines0": lines0.tobytes(),
+                "map_h": int(mask_crop.shape[0]),
+                "map_w": int(mask_crop.shape[1]),
+                "half": bool(self.half),
+            })
+        if not rows:
+            return TENSOR_PAGE_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=TENSOR_PAGE_SCHEMA)
+
+
+def postprocess_task(batch: pa.Table, cfg=None, output: str = "spans") -> pa.Table:
+    """Split-layout POSTPROCESS stage: tensor rows → detected span/block rows.
+
+    Pure numpy — needs no detector, no weights, no per-worker state, so it
+    runs as plain stateless tasks that scale independently of the (GPU) infer
+    pool and cost nothing when idle."""
+    cfg = cfg or PipelineConfig()
+    det_cfg = cfg.detector
+    rows: list[dict] = []
+    for i in range(batch.num_rows):
+        doc_id = batch.column("doc_id")[i].as_py()
+        off = batch.column("media_offset")[i].as_py()
+        ref = batch.column("media_ref")[i].as_py()
+        h = batch.column("im_h")[i].as_py()
+        w = batch.column("im_w")[i].as_py()
+        blks_w = batch.column("blks_w")[i].as_py()
+        map_h = batch.column("map_h")[i].as_py()
+        map_w = batch.column("map_w")[i].as_py()
+        dt = np.float16 if batch.column("half")[i].as_py() else np.float32
+        blks = np.frombuffer(batch.column("blks")[i].as_py(),
+                             dtype=np.float32).reshape(-1, max(1, blks_w))
+        mask_crop = np.frombuffer(batch.column("mask")[i].as_py(),
+                                  dtype=dt).reshape(map_h, map_w)
+        lines0 = np.frombuffer(batch.column("lines0")[i].as_py(),
+                               dtype=dt).reshape(map_h, map_w)
+        img = None
+        if output == "blocks":
+            # Block rows carry fg/bg font colors (O13) — sampled from the
+            # page, decoded HERE on the cheap CPU side so the GPU pool never
+            # touches pixels twice.
+            from ..sources.media import decode_pgm, fetch_media
+            try:
+                img = decode_pgm(fetch_media(ref))
+            except ValueError:
+                img = None
+        blocks, _mask = postprocess_page(blks, mask_crop, lines0,
+                                         int(h), int(w), det_cfg, img=img)
+        if output == "blocks":
+            for bi, blk in enumerate(blocks):
+                rows.append({"doc_id": doc_id, "media_offset": int(off),
+                             "media_ref": ref, "im_h": int(h), "im_w": int(w),
+                             "block": blk.to_struct(order=bi)})
+        else:
+            for order, text in page_line_spans(blocks):
+                rows.append({"doc_id": doc_id, "offset": int(off),
+                             "kind": "text_line", "text": text,
+                             "media_ref": ref, "order": order})
+    schema = BLOCK_SCHEMA if output == "blocks" else DETECTED_SPAN_SCHEMA
+    if not rows:
+        return schema.empty_table()
+    return pa.Table.from_pylist(rows, schema=schema)

@@ -1,0 +1,133 @@
+"""Split (prod GPU) detect layout — SURVEY.md §2.4 A1 split-mode promise:
+the DetectInfer actor emits raw tensor rows (schema.TENSOR_PAGE_SCHEMA) and a
+stateless CPU pool runs NMS/representer/grouping.  Spans/blocks/out-docs must
+be EQUAL to the fused path on the surrogate backend, fp32 and fp16 maps."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ctdray.config import PipelineConfig
+from ctdray.fixtures import make_corpus
+from ctdray.schema import TENSOR_PAGE_SCHEMA
+
+SPAN_KEY = ["doc_id", "offset", "kind", "text", "media_ref", "order"]
+
+
+@pytest.fixture(scope="module")
+def corpus_tbl():
+    return make_corpus(12)
+
+
+def _spans_df(ds):
+    df = ds.to_pandas()
+    return df[SPAN_KEY].sort_values(SPAN_KEY).reset_index(drop=True)
+
+
+def test_split_spans_equal_fused(ray_session, corpus_tbl):
+    import ray.data as rd
+
+    from ctdray.pipelines.extract import build_detected_spans
+
+    fused = _spans_df(build_detected_spans(rd.from_arrow(corpus_tbl)))
+    split = _spans_df(build_detected_spans(
+        rd.from_arrow(corpus_tbl), PipelineConfig(detect_layout="split")))
+    assert len(fused) > 0
+    assert split.equals(fused)
+
+
+def test_split_half_maps_spans_equal(ray_session, corpus_tbl):
+    import ray.data as rd
+
+    from ctdray.pipelines.extract import build_detected_spans
+
+    fused = _spans_df(build_detected_spans(rd.from_arrow(corpus_tbl)))
+    half = _spans_df(build_detected_spans(
+        rd.from_arrow(corpus_tbl),
+        PipelineConfig(detect_layout="split", half_maps=True)))
+    assert half.equals(fused)
+
+
+def test_split_out_docs_equal_fused(ray_session, corpus_tbl):
+    import ray.data as rd
+
+    from ctdray.pipelines.extract import build_out_docs
+
+    def norm(ds):
+        df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        return [(d, [tuple(sorted(s.items())) for s in spans])
+                for d, spans in zip(df.doc_id, df.spans)]
+
+    fused = norm(build_out_docs(rd.from_arrow(corpus_tbl)))
+    split = norm(build_out_docs(rd.from_arrow(corpus_tbl),
+                                PipelineConfig(detect_layout="split")))
+    assert split == fused
+
+
+def test_split_blocks_equal_fused(ray_session, corpus_tbl):
+    import ray.data as rd
+
+    from ctdray.pipelines.extract import build_blocks
+
+    def norm(ds):
+        df = ds.to_pandas()
+        recs = [(r.media_ref, r.block["order"], tuple(r.block["xyxy"]),
+                 tuple(map(tuple, r.block["lines"])), r.block["language"])
+                for r in df.itertuples()]
+        return sorted(recs)
+
+    fused = norm(build_blocks(rd.from_arrow(corpus_tbl)))
+    split = norm(build_blocks(rd.from_arrow(corpus_tbl),
+                              PipelineConfig(detect_layout="split")))
+    assert len(fused) > 0
+    assert split == fused
+
+
+def test_infer_postprocess_unit_roundtrip(corpus_tbl):
+    """No-Ray unit: DetectInfer rows obey TENSOR_PAGE_SCHEMA (maps cropped
+    to the un-padded region, fp16 honoured) and postprocess_task reproduces
+    the fused stage's spans exactly — postprocess constructs NO detector."""
+    from ctdray.stages.decode import DecodeStage
+    from ctdray.stages.detect import (DetectExtract, DetectInfer,
+                                      postprocess_task)
+    from ctdray.stages.explode import explode_media_spans
+
+    pages = DecodeStage()(explode_media_spans(corpus_tbl.slice(0, 4)))
+    tensors = DetectInfer()(pages)
+    assert tensors.schema.equals(TENSOR_PAGE_SCHEMA)
+    assert tensors.num_rows > 0
+    cfg = PipelineConfig()
+    size = cfg.detector.input_size
+    for i in range(tensors.num_rows):
+        mh = tensors.column("map_h")[i].as_py()
+        mw = tensors.column("map_w")[i].as_py()
+        assert 0 < mh <= size and 0 < mw <= size
+        assert mh == size or mw == size      # letterbox pads one axis only
+        raw = tensors.column("mask")[i].as_py()
+        assert len(raw) == mh * mw * 4       # fp32 by default
+    got = postprocess_task(tensors).to_pylist()
+    exp = DetectExtract()(pages).to_pylist()
+    key = lambda r: tuple(r[k] for k in SPAN_KEY)
+    assert sorted(got, key=key) == sorted(exp, key=key)
+
+    half = DetectInfer(half=True)(pages)
+    raw = half.column("mask")[0].as_py()
+    mh = half.column("map_h")[0].as_py()
+    mw = half.column("map_w")[0].as_py()
+    assert len(raw) == mh * mw * 2           # fp16 maps: half the bytes
+    got_h = postprocess_task(half).to_pylist()
+    assert sorted(got_h, key=key) == sorted(exp, key=key)
+
+
+def test_infer_pool_sizing_gpu_math():
+    """_infer_concurrency: GPU-resourced pool sizes to the GPU fleet."""
+    from ctdray.pipelines.extract import _infer_concurrency
+
+    assert _infer_concurrency(PipelineConfig(infer_concurrency=7)) == 7
+    # CPU fallback leaves cores for the stateless postprocess drain.
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() \
+        else None
+    if cpus:
+        got = _infer_concurrency(PipelineConfig(detect_layout="split"))
+        assert 2 <= got < cpus
