@@ -911,6 +911,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ctdray.pipelines.extract", fromlist=["interleaved_extraction"])
             .interleaved_extraction(sf),
         "extract_detected_spans": lambda sf: build_detected_spans(read_interleaved_docs(sf)),
+        # Split (prod GPU) detect layout on the surrogate backend — same
+        # span contract as the fused path (tests/test_split_mode.py); here
+        # so the driver exercises the infer→tensor-rows→postprocess plumbing
+        # end-to-end at sf scale.
+        "extract_detected_spans_split": lambda sf: build_detected_spans(
+            read_interleaved_docs(sf),
+            __import__("ctdray.config", fromlist=["PipelineConfig"])
+            .PipelineConfig(detect_layout="split", half_maps=True)),
         "extract_blocks": _blocks_flat,
         "extract_refined_masks": _refined_masks_summary,
         "media_thumbnails": _media_thumbnails,

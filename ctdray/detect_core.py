@@ -24,8 +24,9 @@ from .textblock import TextBlock, group_output
 
 def infer_page_arrays(detector, media_ref: str, im_h: int, im_w: int,
                       cfg: DetectorConfig,
-                      half: bool = False) -> tuple[np.ndarray, np.ndarray,
-                                                   np.ndarray]:
+                      half: bool = False,
+                      compact: bool = True) -> tuple[np.ndarray, np.ndarray,
+                                                     np.ndarray]:
     """Model-forward half of the per-page chain: raw backend outputs reduced
     to the COMPACT arrays postprocessing actually consumes —
 
@@ -53,6 +54,11 @@ def infer_page_arrays(detector, media_ref: str, im_h: int, im_w: int,
     while l0.ndim > 3:
         l0 = l0[0]
     l0 = l0[0]
+    if not compact:
+        # Fused layout: nothing is serialized, so hand back VIEWS — the mask
+        # crop costs no copy (ResizedMaskView re-bases it) and the shrink map
+        # stays full-size so postprocess_page skips the pad reconstruction.
+        return b, m[: size - dh, : size - dw], l0
     dt = np.float16 if half else np.float32
     mask_crop = np.ascontiguousarray(m[: size - dh, : size - dw], dtype=dt)
     lines0 = np.ascontiguousarray(l0[: size - dh, : size - dw], dtype=dt)
@@ -81,11 +87,16 @@ def postprocess_page(blks: np.ndarray, mask_crop: np.ndarray,
     confs = np.round(det[:, 4], 3)
     classes = det[:, 5].astype(np.int32)
 
-    # Zero-pad the shrink map back to (S, S): bit-identical to running the
-    # representer on the uncropped map (the pad was calloc'd zeros — below
-    # seg_thresh, and box-score means clip to the same full-map extent).
-    full0 = np.zeros((size, size), dtype=np.float32)
-    full0[: lines0.shape[0], : lines0.shape[1]] = lines0
+    # Zero-pad the shrink map back to (S, S) when it arrived cropped (split
+    # layout): bit-identical to running the representer on the uncropped map
+    # (the pad was calloc'd zeros — below seg_thresh, and box-score means
+    # clip to the same full-map extent).  Fused callers pass the full-size
+    # map and skip the copy entirely.
+    if lines0.shape == (size, size):
+        full0 = np.asarray(lines0, dtype=np.float32)
+    else:
+        full0 = np.zeros((size, size), dtype=np.float32)
+        full0[: lines0.shape[0], : lines0.shape[1]] = lines0
     lines, _scores = extract_lines(full0, cfg)
 
     # Un-letterbox: crop the pad, resize to original (inference.py:163-165).
@@ -118,7 +129,7 @@ def detect_page(detector, media_ref: str, im_h: int, im_w: int,
     font colors into the blocks (O13) — callers that already decoded the
     page get colors for free; the span path stays pixel-free."""
     blks, mask_crop, lines0 = infer_page_arrays(detector, media_ref,
-                                                im_h, im_w, cfg)
+                                                im_h, im_w, cfg, compact=False)
     return postprocess_page(blks, mask_crop, lines0, im_h, im_w, cfg, img=img)
 
 

@@ -1108,10 +1108,19 @@ def prefix_jaccard_pairs(ds: ray.data.Dataset, threshold=None,
             out_s.append(np.full(len(order), sz, np.int64))
         tok_out = np.concatenate(out_t) if out_t else \
             np.array([], dtype=object)
-        pt = np.fromiter((_stable_hash64(x) >> 56 for x in tok_out),
-                         dtype=np.int32, count=len(tok_out))
+        # Coarse-bucket key: hash each DISTINCT prefix token once and fan the
+        # value out through a dictionary encode — prefix tokens repeat across
+        # docs (that is the whole point of prefix filtering), so per-value
+        # hashing would re-blake2b the same hot tokens thousands of times.
+        tok_arr = pa.array(tok_out, pa.string())
+        dict_arr = tok_arr.dictionary_encode()
+        uniq_pt = np.fromiter(
+            (_stable_hash64(u) >> 56 for u in dict_arr.dictionary.to_pylist()),
+            dtype=np.int32, count=len(dict_arr.dictionary))
+        pt = uniq_pt[dict_arr.indices.to_numpy(zero_copy_only=False)] \
+            if len(tok_arr) else np.array([], dtype=np.int32)
         return pa.table({
-            "tok": pa.array(tok_out, pa.string()),
+            "tok": tok_arr,
             "doc_id": pa.array(np.concatenate(out_d)
                                if out_d else [], pa.int64()),
             "set_size": pa.array(np.concatenate(out_s)

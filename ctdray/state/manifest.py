@@ -77,14 +77,8 @@ def run_checkpointed(input_dir: str, output_dir: str,
         if max_chunks is not None and done >= max_chunks:
             continue
         t0 = time.time()
-        out_chunk = os.path.join(data_dir, f"chunk-{ci:05d}")
-        tmp_chunk = os.path.join(data_dir, f"_tmp-chunk-{ci:05d}")
-        shutil.rmtree(tmp_chunk, ignore_errors=True)
         ds = extraction_pipeline(chunk, cfg, backend)
-        ds.write_parquet(tmp_chunk)
-        # Atomic publish: a killed run leaves only _tmp dirs + no manifest.
-        shutil.rmtree(out_chunk, ignore_errors=True)
-        os.rename(tmp_chunk, out_chunk)
+        out_chunk = _publish_chunk(data_dir, ci, ds)
         # Partition metrics from the written files (metadata-only where
         # possible; span kinds need one column scan of the chunk output).
         n_docs = n_spans = n_detected = n_pages = 0
@@ -125,10 +119,7 @@ def run_checkpointed(input_dir: str, output_dir: str,
             "wall_s": round(time.time() - t0, 3),
             "pages_per_sec": round(n_pages / max(1e-9, time.time() - t0), 2),
         }
-        tmp_man = man_path + ".tmp"
-        with open(tmp_man, "w") as f:
-            json.dump(rec, f)
-        os.replace(tmp_man, man_path)
+        _write_manifest_record(manifest_dir, ci, rec)
         done += 1
         total_docs += n_docs
         total_spans += n_spans
@@ -136,6 +127,139 @@ def run_checkpointed(input_dir: str, output_dir: str,
     return {"chunks_done": done, "chunks_skipped": skipped,
             "n_docs": total_docs, "n_spans": total_spans,
             "n_detected_spans": total_detected}
+
+
+def _publish_chunk(data_dir: str, ci: int, ds) -> str:
+    """write_parquet into a temp dir + atomic rename — a killed run leaves
+    only ``_tmp`` dirs and no manifest record, so nothing partial is ever
+    visible to readers or to the resume scan."""
+    out_chunk = os.path.join(data_dir, f"chunk-{ci:05d}")
+    tmp_chunk = os.path.join(data_dir, f"_tmp-chunk-{ci:05d}")
+    shutil.rmtree(tmp_chunk, ignore_errors=True)
+    ds.write_parquet(tmp_chunk)
+    shutil.rmtree(out_chunk, ignore_errors=True)
+    os.rename(tmp_chunk, out_chunk)
+    return out_chunk
+
+
+def _write_manifest_record(manifest_dir: str, ci: int, rec: dict) -> None:
+    man_path = os.path.join(manifest_dir, f"chunk-{ci:05d}.json")
+    tmp_man = man_path + ".tmp"
+    with open(tmp_man, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp_man, man_path)
+
+
+def _flat_chunk_metrics(out_chunk: str) -> dict:
+    """Partition metrics over a written FLAT-span chunk (north_rule
+    detection-count metrics): row/page/detected counts plus the
+    detected-lines-per-page histogram, computed from the chunk's own files
+    (kind + media_ref columns only)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    n_rows = n_pages = n_lines = 0
+    page_hist: dict[str, int] = {}
+    for part in glob.glob(os.path.join(out_chunk, "*.parquet")):
+        tbl = pq.read_table(part, columns=["kind", "media_ref"])
+        kinds = tbl.column("kind")
+        n_rows += len(tbl)
+        n_pages += pc.sum(pc.cast(pc.equal(kinds, "media"), "int64")).as_py() or 0
+        n_lines += pc.sum(pc.cast(pc.equal(kinds, "text_line"), "int64")).as_py() or 0
+        lines = tbl.filter(pc.equal(kinds, "text_line"))
+        for entry in pc.value_counts(lines.column("media_ref")).to_pylist():
+            c = entry["counts"]
+            bucket = ("0" if c == 0 else "1-4" if c <= 4 else
+                      "5-9" if c <= 9 else "10-19" if c <= 19 else "20+")
+            page_hist[bucket] = page_hist.get(bucket, 0) + 1
+    return {"n_rows": n_rows, "n_pages": n_pages, "n_detected_spans": n_lines,
+            "detected_per_page_hist": dict(sorted(page_hist.items()))}
+
+
+def run_checkpointed_interleaved(sf_dir: str, output_dir: str,
+                                 cfg: Optional[PipelineConfig] = None,
+                                 backend: str = "surrogate",
+                                 num_chunks: int = 16,
+                                 max_chunks: Optional[int] = None) -> dict:
+    """Checkpointed HEADLINE pipeline (interleaved extraction → flat spans,
+    the bench.py job) over a bench corpus directory, resumable chunk by
+    chunk.
+
+    The corpus is split into ``num_chunks`` contiguous doc_id ranges — the
+    partitioned-output shape a 100-TB run needs (one directory per key
+    range; a re-submit skips every published range).  Each chunk reads ONLY
+    its range via a parquet filter (predicate pushdown prunes fragments /
+    row groups at real scale) and runs the full hybrid pipeline with the
+    dense-doc routing derived from the same pure function the interleave
+    uses (pipelines.interleave.doc_media_count — the stand-in for a stored
+    per-doc metadata column).  Output publishing and manifest records are
+    atomic (see _publish_chunk), so a SIGKILL at any instant loses at most
+    the in-flight chunk.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..config import PipelineConfig as _PC
+    from ..pipelines.extract import build_flat_spans
+    from ..pipelines.interleave import _interleave_batch, doc_media_count
+    from ..sources.tables import read_parquet_clean
+
+    cfg = cfg or _PC()
+    path = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    ids = pq.read_table(path, columns=["doc_id"]).column("doc_id") \
+        .to_numpy(zero_copy_only=False)
+    n = len(ids)
+    bounds = [int(ids[(n * k) // num_chunks]) for k in range(num_chunks)] + \
+        [int(ids.max()) + 1]
+    manifest_dir = os.path.join(output_dir, "manifest")
+    data_dir = os.path.join(output_dir, "data")
+    os.makedirs(manifest_dir, exist_ok=True)
+    os.makedirs(data_dir, exist_ok=True)
+
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    done = skipped = 0
+    total = {"n_rows": 0, "n_pages": 0, "n_detected_spans": 0}
+    for ci in range(num_chunks):
+        lo, hi = bounds[ci], bounds[ci + 1]
+        if lo >= hi:
+            continue
+        lineage = _lineage_hash([f"{os.path.basename(path)}:{lo}-{hi}"],
+                                cfg, backend)
+        man_path = os.path.join(manifest_dir, f"chunk-{ci:05d}.json")
+        if os.path.exists(man_path):
+            with open(man_path) as f:
+                rec = json.load(f)
+            if rec.get("lineage") == lineage:
+                skipped += 1
+                continue
+        if max_chunks is not None and done >= max_chunks:
+            continue
+        t0 = time.time()
+        import pyarrow.dataset as pads
+
+        flat = read_parquet_clean(
+            path, columns=["doc_id", "text"],
+            filter=(pads.field("doc_id") >= lo) & (pads.field("doc_id") < hi),
+            override_num_blocks=max(1, min(cpus * 8, hi - lo)))
+        docs = flat.map_batches(_interleave_batch, batch_format="pyarrow")
+        thr = cfg.dense_media_threshold
+        dense_ids = [f"doc-{i:08d}" for i in range(lo, hi)
+                     if doc_media_count(i) > thr]
+        ds = build_flat_spans(docs, cfg, backend, dense_ids=dense_ids)
+        out_chunk = _publish_chunk(data_dir, ci, ds)
+        rec = {"chunk": ci, "doc_id_range": [lo, hi], "lineage": lineage,
+               **_flat_chunk_metrics(out_chunk)}
+        rec["wall_s"] = round(time.time() - t0, 3)
+        rec["pages_per_sec"] = round(rec["n_pages"] / max(1e-9, rec["wall_s"]), 2)
+        _write_manifest_record(manifest_dir, ci, rec)
+        done += 1
+        for k in total:
+            total[k] += rec[k]
+    return {"chunks_done": done, "chunks_skipped": skipped, **total}
 
 
 def read_manifest(output_dir: str) -> list[dict]:

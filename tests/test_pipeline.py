@@ -104,6 +104,50 @@ def test_checkpoint_resume_idempotent(ray_session, tmp_path):
                [tuple(sorted(s.items())) for s in e]
 
 
+def test_checkpoint_interleaved_resume(ray_session, tmp_path):
+    """Headline-pipeline checkpointing (doc_id-range chunks over the bench
+    corpus shape): interrupted submit resumes with zero rework and the
+    concatenated chunk outputs equal the direct pipeline.  The full-scale
+    SIGKILL variant runs via tools/resume_bench.py at sf0.1 (BASELINE.md)."""
+    import pyarrow.compute as pc
+
+    from ctdray.pipelines.extract import interleaved_extraction
+    from ctdray.state.manifest import (read_manifest, read_result,
+                                       run_checkpointed_interleaved)
+
+    sf_dir = "/root/testdata/sf0.001"
+    out_dir = str(tmp_path / "ckpt")
+
+    # Submit 1 "killed" after two of four chunks.
+    s1 = run_checkpointed_interleaved(sf_dir, out_dir, num_chunks=4,
+                                      max_chunks=2)
+    assert s1["chunks_done"] == 2 and s1["chunks_skipped"] == 0
+    man0 = os.path.join(out_dir, "manifest", "chunk-00000.json")
+    mtime0 = os.path.getmtime(man0)
+
+    # Submit 2 resumes: skips the published ranges, completes the rest.
+    s2 = run_checkpointed_interleaved(sf_dir, out_dir, num_chunks=4)
+    assert s2["chunks_skipped"] == 2 and s2["chunks_done"] == 2
+    assert os.path.getmtime(man0) == mtime0        # no rework
+
+    recs = read_manifest(out_dir)
+    assert len(recs) == 4
+    assert all(r["n_pages"] > 0 and "detected_per_page_hist" in r
+               for r in recs)
+    # Ranges partition the corpus: 500 docs, no gaps/overlap.
+    spans = sorted(tuple(r["doc_id_range"]) for r in recs)
+    assert spans[0][0] == 0 and spans[-1][1] == 500
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+
+    KEY2 = ["doc_id", "seq", "kind", "text", "media_ref", "offset", "order"]
+    got = read_result(out_dir).to_pandas()[KEY2].sort_values(KEY2) \
+        .reset_index(drop=True)
+    exp = interleaved_extraction(sf_dir).to_pandas()[KEY2].sort_values(KEY2) \
+        .reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    assert got.equals(exp)
+
+
 def test_error_rows_never_crash(ray_session):
     import pyarrow as pa
     import ray.data as rd

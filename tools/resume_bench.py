@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Kill/resume evidence for the checkpointed HEADLINE run at bench scale
+(VERDICT r2 item 7): run `run_checkpointed_interleaved` over the sf0.1 bench
+corpus in a worker process, SIGKILL it mid-run, re-submit, and verify
+
+  1. no-rework: every manifest record published before the kill is untouched
+     (mtime-identical) after the resume, and the resume's chunks_skipped
+     equals the pre-kill publish count;
+  2. no partials: no `_tmp-chunk-*` dir survives the resumed run;
+  3. result integrity: the concatenated chunk outputs equal the direct
+     (un-checkpointed) pipeline, row-for-row.
+
+Usage:  python tools/resume_bench.py [--sf-dir /root/testdata/sf0.1]
+        (spawns its own worker subprocesses; prints ONE JSON line)
+The worker mode (`--worker --out DIR`) owns a Ray session; the parent never
+inits Ray for the kill leg, and runs the equality check in-process after.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+NUM_CHUNKS = 16
+
+
+def worker(sf_dir: str, out_dir: str, num_cpus: int) -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ctdray.state.manifest import run_checkpointed_interleaved
+
+    summary = run_checkpointed_interleaved(sf_dir, out_dir,
+                                           num_chunks=NUM_CHUNKS)
+    print(json.dumps(summary), flush=True)
+    ray.shutdown()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--out", default="/tmp/ctdray_resume_bench")
+    ap.add_argument("--num-cpus", type=int, default=int(
+        os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--kill-after-chunks", type=int, default=4)
+    args = ap.parse_args()
+
+    if args.worker:
+        worker(args.sf_dir, args.out, args.num_cpus)
+        return
+
+    out_dir = args.out
+    shutil.rmtree(out_dir, ignore_errors=True)
+    man_glob = os.path.join(out_dir, "manifest", "chunk-*.json")
+
+    # Leg 1: start the checkpointed run, SIGKILL once K chunks published.
+    cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+           "--out", out_dir, "--sf-dir", args.sf_dir,
+           "--num-cpus", str(args.num_cpus)]
+    t0 = time.time()
+    proc = subprocess.Popen(cmd, cwd=REPO)
+    while True:
+        n_pub = len(glob.glob(man_glob))
+        if n_pub >= args.kill_after_chunks:
+            proc.send_signal(signal.SIGKILL)
+            proc.wait()
+            break
+        if proc.poll() is not None:   # finished before we could kill: rerun
+            raise SystemExit("worker finished before kill threshold; "
+                             "lower --kill-after-chunks")
+        time.sleep(0.2)
+    kill_s = round(time.time() - t0, 1)
+    pre = {p: os.path.getmtime(p) for p in glob.glob(man_glob)}
+
+    # Leg 2: resume to completion.
+    t1 = time.time()
+    out = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+    resume_s = round(time.time() - t1, 1)
+    line = [ln for ln in out.stdout.strip().splitlines()
+            if ln.startswith("{")][-1]
+    summary = json.loads(line)
+
+    untouched = all(os.path.getmtime(p) == m for p, m in pre.items())
+    tmp_left = glob.glob(os.path.join(out_dir, "data", "_tmp-chunk-*"))
+
+    # Result integrity vs the direct (un-checkpointed) pipeline.
+    import ray
+
+    ray.init(address="local", num_cpus=args.num_cpus,
+             include_dashboard=False, logging_level="ERROR")
+    import pyarrow.compute as pc
+
+    from ctdray.pipelines.extract import interleaved_extraction
+    from ctdray.state.manifest import read_result
+
+    def counts(ds):
+        n = pages = lines = 0
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+            n += b.num_rows
+            k = b.column("kind")
+            pages += pc.sum(pc.cast(pc.equal(k, "media"), "int64")).as_py() or 0
+            lines += pc.sum(pc.cast(pc.equal(k, "text_line"), "int64")).as_py() or 0
+        return n, pages, lines
+
+    got = counts(read_result(out_dir))
+    exp = counts(interleaved_extraction(args.sf_dir))
+    ray.shutdown()
+
+    print(json.dumps({
+        "metric": "checkpointed headline kill/resume (sf bench corpus)",
+        "sf": args.sf_dir,
+        "num_chunks": NUM_CHUNKS,
+        "chunks_published_before_kill": len(pre),
+        "kill_leg_s": kill_s,
+        "resume_leg_s": resume_s,
+        "resume_chunks_skipped": summary["chunks_skipped"],
+        "resume_chunks_done": summary["chunks_done"],
+        "no_rework": untouched and summary["chunks_skipped"] == len(pre),
+        "no_partials_left": not tmp_left,
+        "rows_match_direct": got == exp,
+        "rows": {"got": got, "expected": exp},
+    }))
+
+
+if __name__ == "__main__":
+    main()
