@@ -18,7 +18,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ctdray.functions.dedup import (dedup_clusters, embedding_near_dedup,
-                                    exact_dedup,
+                                    exact_dedup, frequent_chunk_scrub,
                                     incremental_dedup, minhash_lsh_dedup,
                                     ngram_jaccard_dedup, simhash_dedup,
                                     simhash_near_dedup, token_set_dedup)
@@ -971,6 +971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_near": lambda sf: simhash_near_dedup(_documents(sf))
             .select_columns(["doc_id", "text"]),
         "dedup_minhash_lsh": lambda sf: minhash_lsh_dedup(_documents(sf)),
+        "dedup_chunk_scrub": lambda sf: frequent_chunk_scrub(_documents(sf)),
         "dedup_clusters": lambda sf: dedup_clusters(_documents(sf)),
         "dedup_ngram_jaccard": lambda sf: ngram_jaccard_dedup(_documents(sf)),
         "dedup_embedding": lambda sf: embedding_near_dedup(_embeddings(sf))
@@ -1749,6 +1750,44 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text "
             "FROM documents GROUP BY "
             "array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')"),
+        # C4/CCNet-style boilerplate scrub: non-overlapping 3-token chunks,
+        # chunks in >2 documents removed from every doc, sub-chunk tail kept.
+        "dedup_chunk_scrub": ("""
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), kidx AS (
+              SELECT doc_id, t, unnest(range(0, len(t)//3)) AS k FROM toks
+            ), chunks AS (
+              SELECT doc_id, k,
+                     array_to_string(t[k*3+1 : k*3+3], ' ') AS chunk
+              FROM kidx
+            ), hotset AS (
+              SELECT chunk FROM chunks GROUP BY chunk
+              HAVING count(DISTINCT doc_id) > 2
+            ), marked AS (
+              SELECT c.doc_id, c.k, c.chunk, (h.chunk IS NOT NULL) AS hot
+              FROM chunks c LEFT JOIN hotset h USING (chunk)
+            ), rebuilt AS (
+              SELECT doc_id,
+                     string_agg(chunk, ' ' ORDER BY k) FILTER (WHERE NOT hot)
+                       AS body,
+                     count(*) AS n_chunks,
+                     count(*) FILTER (WHERE hot) AS n_removed
+              FROM marked GROUP BY doc_id
+            ), tails AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) % 3 = 0 THEN NULL
+                          ELSE array_to_string(
+                              t[len(t) - (len(t) % 3) + 1 : len(t)], ' ')
+                     END AS tail
+              FROM toks
+            )
+            SELECT ta.doc_id,
+                   coalesce(concat_ws(' ', r.body, ta.tail), '') AS text,
+                   coalesce(r.n_chunks, 0) AS n_chunks,
+                   coalesce(r.n_removed, 0) AS n_removed
+            FROM tails ta LEFT JOIN rebuilt r USING (doc_id)
+        """),
         # Exact all-pairs 3-gram Jaccard: a doc is a duplicate iff a smaller
         # doc_id partner reaches Jaccard ≥ 0.8 (5·|∩| ≥ 4·|∪| in integers).
         # The Ray side generates candidates by MinHash-LSH; the pinned band

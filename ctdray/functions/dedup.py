@@ -1180,3 +1180,176 @@ def prefix_jaccard_pairs(ds: ray.data.Dataset, threshold=None,
         pairs, cand_docs, pa.int64(), verify_sets,
         extra_fields=(("inter_size", pa.int64()),
                       ("union_size", pa.int64())))
+
+
+def frequent_chunk_scrub(ds: ray.data.Dataset, chunk_tokens: int = 3,
+                         max_df: int = 2,
+                         broadcast_hot_limit: int = 2_000_000
+                         ) -> ray.data.Dataset:
+    """Cross-document boilerplate SCRUB (the C4/CCNet rule as a corpus
+    REWRITE, not an audit): split every document into non-overlapping
+    ``chunk_tokens``-token chunks, count each distinct chunk's document
+    frequency corpus-wide, and re-emit every document with ALL occurrences
+    of chunks appearing in more than ``max_df`` documents removed (the
+    sub-chunk token tail is always kept).  Returns
+    ``(doc_id, text, n_chunks, n_removed)`` — the scrubbed corpus.
+
+    Scale shape: the df pass exchanges 16-byte blake2b chunk fingerprints
+    with per-batch distinct-doc partial counts (each doc lives in one batch,
+    so summed partials equal exact document frequency; chunk TEXT never
+    crosses an exchange).  The hot set (df > max_df) is boilerplate by
+    definition and therefore small relative to the corpus — it is counted
+    first and broadcast (``ray.put`` once, ``pc.is_in`` per batch) when it
+    fits ``broadcast_hot_limit``; above the limit the scrub switches to the
+    shuffle path: all chunk-instance triples join the hot table on
+    fingerprint (inner), per-doc hot positions fold into one row, and a
+    left ``shuffle_lookup_join`` stamps them back onto the docs — nothing
+    ever collects on the driver.
+    """
+    from ..pipelines.analytics import partial_aggregate
+    from .joins import shuffle_lookup_join
+
+    k = chunk_tokens
+    ds = ds.map_batches(lambda b: b.select(["doc_id", "text"]),
+                        batch_format="pyarrow")
+
+    def _chunks(text: str) -> list[str]:
+        toks = text.split(" ")
+        return [" ".join(toks[i * k:(i + 1) * k]) for i in range(len(toks) // k)]
+
+    def _fp(chunk: str, _c={}) -> bytes:
+        h = _c.get(chunk)
+        if h is None:
+            if len(_c) > 1_000_000:     # bound per-worker memory
+                _c.clear()
+            h = _c[chunk] = hashlib.blake2b(chunk.encode("utf-8"),
+                                            digest_size=16).digest()
+        return h
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[bytes, int] = {}
+        for text in batch.column("text").to_pylist():
+            for fp in {_fp(c) for c in _chunks(text)}:
+                counts[fp] = counts.get(fp, 0) + 1
+        return pa.table({"fp": pa.array(list(counts.keys()), pa.binary()),
+                         "df": pa.array(list(counts.values()), pa.int64())})
+
+    df = partial_aggregate(ds.map_batches(df_partial, batch_format="pyarrow"),
+                           ["fp"], [("df", "sum", "df")])
+    # The hot table is the operator's bounded small side (16 B/fingerprint);
+    # materializing it means the count below and the consuming path (collect
+    # or join) execute the df chain once, not twice.
+    hot = df.map_batches(
+        lambda b: b.filter(pc.greater(b.column("df"), max_df)).select(["fp"]),
+        batch_format="pyarrow").materialize()
+
+    def _scrub_one(text: str, is_hot) -> tuple[str, int, int]:
+        toks = text.split(" ")
+        nc = len(toks) // k
+        kept, removed = [], 0
+        for i in range(nc):
+            seg = toks[i * k:(i + 1) * k]
+            if is_hot(" ".join(seg)):
+                removed += 1
+            else:
+                kept.extend(seg)
+        kept.extend(toks[nc * k:])
+        return " ".join(kept), nc, removed
+
+    def _out(rows_id, texts, hot_fn) -> pa.Table:
+        out_t, out_c, out_r = [], [], []
+        for text in texts:
+            t2, nc, rm = _scrub_one(text, hot_fn)
+            out_t.append(t2)
+            out_c.append(nc)
+            out_r.append(rm)
+        return pa.table({"doc_id": rows_id,
+                         "text": pa.array(out_t, pa.string()),
+                         "n_chunks": pa.array(out_c, pa.int64()),
+                         "n_removed": pa.array(out_r, pa.int64())})
+
+    n_hot = hot.count()
+    if n_hot <= broadcast_hot_limit:
+        hot_tbl = pa.concat_tables(list(hot.iter_batches(batch_format="pyarrow")),
+                                   promote_options="default") if n_hot else None
+        hot_ref = ray.put(set(hot_tbl.column("fp").to_pylist()) if n_hot else set())
+
+        def scrub_bcast(batch: pa.Table) -> pa.Table:
+            hot_set = ray.get(hot_ref)
+            return _out(batch.column("doc_id"),
+                        batch.column("text").to_pylist(),
+                        lambda c: _fp(c) in hot_set)
+
+        return ds.map_batches(scrub_bcast, batch_format="pyarrow")
+
+    # Shuffle path: hot set too big for the driver/broadcast — positions of
+    # hot instances travel the exchanges instead.
+    _sch = ds.schema()
+    id_type = dict(zip(_sch.names, _sch.types))["doc_id"]
+
+    def triples(batch: pa.Table) -> pa.Table:
+        ids, poss, fps = [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            for i, c in enumerate(_chunks(text)):
+                ids.append(did)
+                poss.append(i)
+                fps.append(_fp(c))
+        return pa.table({"doc_id": pa.array(ids, id_type),
+                         "pos": pa.array(poss, pa.int64()),
+                         "fp": pa.array(fps, pa.binary())})
+
+    hot_inst = shuffle_lookup_join(
+        ds.map_batches(triples, batch_format="pyarrow"), hot,
+        on="fp", how="inner",
+        left_schema=pa.schema([("doc_id", id_type), ("pos", pa.int64()),
+                               ("fp", pa.binary())]),
+        right_schema=pa.schema([("fp", pa.binary())]))
+
+    def fold_positions(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("doc_id", "ascending"), ("pos", "ascending")])
+        ids = t.column("doc_id").to_pylist()
+        pos = t.column("pos").to_pylist()
+        out_id, out_pos, cur, acc = [], [], None, []
+        for d, p in zip(ids, pos):
+            if d != cur:
+                if cur is not None:
+                    out_id.append(cur)
+                    out_pos.append(",".join(map(str, acc)))
+                cur, acc = d, []
+            acc.append(p)
+        if cur is not None:
+            out_id.append(cur)
+            out_pos.append(",".join(map(str, acc)))
+        return pa.table({"doc_id": pa.array(out_id, id_type),
+                         "hot_pos": pa.array(out_pos, pa.string())})
+
+    per_doc = hot_inst.groupby("doc_id").map_groups(fold_positions,
+                                                    batch_format="pyarrow")
+    stamped = shuffle_lookup_join(
+        ds, per_doc, on="doc_id", how="left",
+        left_schema=pa.schema([("doc_id", id_type), ("text", pa.string())]),
+        right_schema=pa.schema([("doc_id", id_type),
+                                ("hot_pos", pa.string())]))
+
+    def scrub_stamped(batch: pa.Table) -> pa.Table:
+        out_rows = []
+        for did, text, hp in zip(batch.column("doc_id").to_pylist(),
+                                 batch.column("text").to_pylist(),
+                                 batch.column("hot_pos").to_pylist()):
+            hot_pos = set(int(x) for x in hp.split(",")) if hp else set()
+            toks = text.split(" ")
+            nc = len(toks) // k
+            kept = []
+            for i in range(nc):
+                if i not in hot_pos:
+                    kept.extend(toks[i * k:(i + 1) * k])
+            kept.extend(toks[nc * k:])
+            out_rows.append((did, " ".join(kept), nc, len(hot_pos)))
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in out_rows], id_type),
+            "text": pa.array([r[1] for r in out_rows], pa.string()),
+            "n_chunks": pa.array([r[2] for r in out_rows], pa.int64()),
+            "n_removed": pa.array([r[3] for r in out_rows], pa.int64())})
+
+    return stamped.map_batches(scrub_stamped, batch_format="pyarrow")
