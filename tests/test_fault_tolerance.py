@@ -32,6 +32,26 @@ def test_worker_death_retried(ray_session, tmp_path):
     assert ds.count() == 100
 
 
+def test_actor_death_restarted(ray_session, tmp_path):
+    """Actor-pool stages (the prod-GPU detect layout's infer pool) recover
+    too: Ray Data restarts the dead actor and retries its in-flight batch."""
+    import ray.data as rd
+
+    marker = str(tmp_path / "actor_m")
+
+    class CrashOnceActor:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if not os.path.exists(marker):
+                open(marker, "w").close()
+                os._exit(1)
+            return batch
+
+    ds = rd.from_arrow(pa.table({"x": list(range(100))})) \
+        .map_batches(CrashOnceActor, concurrency=2, batch_format="pyarrow")
+    assert ds.count() == 100
+    assert os.path.exists(marker)
+
+
 def test_pipeline_output_exact_after_worker_loss(ray_session, tmp_path):
     """Kill a worker inside the headline pipeline's upstream; the retried
     task re-executes and the final span table still equals the oracle."""
