@@ -21,6 +21,8 @@ import shutil
 import time
 from typing import Optional
 
+import numpy as np
+
 from .. import __version__
 from ..config import PipelineConfig
 
@@ -208,8 +210,8 @@ def run_checkpointed_interleaved(sf_dir: str, output_dir: str,
     path = os.path.join(sf_dir, "documents.parquet")
     if not os.path.exists(path):
         raise FileNotFoundError(path)
-    ids = pq.read_table(path, columns=["doc_id"]).column("doc_id") \
-        .to_numpy(zero_copy_only=False)
+    ids = np.sort(pq.read_table(path, columns=["doc_id"]).column("doc_id")
+                  .to_numpy(zero_copy_only=False))   # bounds need sorted ids
     n = len(ids)
     bounds = [int(ids[(n * k) // num_chunks]) for k in range(num_chunks)] + \
         [int(ids.max()) + 1]
