@@ -145,7 +145,7 @@ def doc_out_spans(detector, doc_id: str, spans: list[dict],
     equality therefore checks the Ray plumbing (batching, actor pools, the
     dense-doc shuffle path, union ordering) rather than this chain.
     """
-    from .sources.media import decode_pgm, fetch_media
+    from .sources.media import decode_page
 
     out = []
     for span in spans:
@@ -155,7 +155,7 @@ def doc_out_spans(detector, doc_id: str, spans: list[dict],
         if span["kind"] != "media":
             continue
         try:
-            img = decode_pgm(fetch_media(span["media_ref"]))
+            img = decode_page(span["media_ref"])
         except ValueError:
             continue
         blocks, _ = detect_page(detector, span["media_ref"],

@@ -125,7 +125,7 @@ def detection_quality(docs: ray.data.Dataset, cfg=None,
     from .config import PipelineConfig
     from .detect_core import detect_page
     from .fixtures import page_ground_truth
-    from .sources.media import decode_pgm, fetch_media
+    from .sources.media import decode_page
     from .stages.detect import _TASK_DETECTORS
     from .stages.explode import explode_media_spans
     from .surrogate import make_detector
@@ -140,7 +140,7 @@ def detection_quality(docs: ray.data.Dataset, cfg=None,
         rows = []
         for ref in batch.column("media_ref").to_pylist():
             try:
-                img = decode_pgm(fetch_media(ref))
+                img = decode_page(ref)
             except ValueError:
                 continue
             blocks, _ = detect_page(det, ref, img.shape[0], img.shape[1],

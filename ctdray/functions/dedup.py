@@ -627,8 +627,13 @@ def simhash_near_dedup(ds: ray.data.Dataset, hamming_k: int = 3,
         band_all = np.concatenate(bands_col) if n else np.zeros(0, np.int32)
         bits_all = np.concatenate(bits_col) if n \
             else np.zeros(0, np.uint64)
-        # coarse exchange key: 256 buckets of fine (band, band_bits) cells
-        pb = ((bits_all ^ (band_all.astype(np.uint64) * _MIX2))
+        # coarse exchange key: 256 buckets of fine (band, band_bits) cells.
+        # band_bits is only ~15 bits wide, so it MUST be multiplied up to
+        # reach the extracted top byte — XORing the raw bits against
+        # band*_MIX2 leaves byte 7 a function of the band alone (n_bands
+        # buckets total, each carrying the whole corpus: the exact
+        # single-task collapse this coarse key exists to prevent).
+        pb = (((bits_all * _MIX1) ^ (band_all.astype(np.uint64) * _MIX2))
               >> np.uint64(56)).astype(np.int32)
         return pa.table({
             "band": pa.array(band_all),

@@ -58,6 +58,23 @@ def decode_pgm(data: bytes) -> np.ndarray:
     return pixels.reshape(h, w).copy()
 
 
+def decode_page(media_ref: str) -> np.ndarray:
+    """Fetch + decode one PAGE image: uint8 (h, w) (or (h, w, c) for color
+    sources).  Format is dispatched by payload magic — PGM, PNG and baseline
+    JPEG decode natively (stages.multimodal.decode_image), matching the
+    reference's cv2.imdecode any-format behavior (utils/io_utils.py:42).
+    The ONE page-decode helper for every pixel-consuming stage (decode,
+    detect font-color sampling, mask refine, eval), so a new format lands in
+    all of them at once.  Raises ValueError on unresolvable refs or
+    undecodable payloads — callers degrade to poison-pill rows."""
+    from ..stages.multimodal import decode_image
+
+    try:
+        return decode_image(fetch_media(media_ref))
+    except NotImplementedError as e:    # unknown codec → poison-pill row
+        raise ValueError(str(e)) from e
+
+
 def fetch_media(media_ref: str) -> bytes:
     """Resolve a media_ref to encoded media bytes.
 

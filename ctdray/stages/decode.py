@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..sources.media import decode_pgm, fetch_media
+from ..sources.media import decode_page
 
 
 class DecodeStage:
@@ -34,11 +34,11 @@ class DecodeStage:
         pixels: list[bytes | None] = []
         for i, ref in enumerate(refs):
             try:
-                img = decode_pgm(fetch_media(ref))
+                img = decode_page(ref)
             except (ValueError, KeyError):
                 pixels.append(None)
                 continue
-            heights[i], widths[i] = img.shape
+            heights[i], widths[i] = img.shape[:2]
             ok[i] = True
             # Cheap decode-proof: sum of a strided pixel sample.
             checksums[i] = int(img[::37, ::41].sum())

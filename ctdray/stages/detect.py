@@ -140,9 +140,9 @@ class DetectExtract:
             if self.output == "blocks":
                 # Block rows carry fg/bg font colors (O13) — sample from the
                 # decoded page; the span path stays pixel-free.
-                from ..sources.media import decode_pgm, fetch_media
+                from ..sources.media import decode_page
                 try:
-                    img = decode_pgm(fetch_media(ref))
+                    img = decode_page(ref)
                 except ValueError:
                     img = None
             blocks, _mask = detect_page(self.detector, ref, int(h), int(w),
@@ -241,9 +241,9 @@ def postprocess_task(batch: pa.Table, cfg=None, output: str = "spans") -> pa.Tab
             # Block rows carry fg/bg font colors (O13) — sampled from the
             # page, decoded HERE on the cheap CPU side so the GPU pool never
             # touches pixels twice.
-            from ..sources.media import decode_pgm, fetch_media
+            from ..sources.media import decode_page
             try:
-                img = decode_pgm(fetch_media(ref))
+                img = decode_page(ref)
             except ValueError:
                 img = None
         blocks, _mask = postprocess_page(blks, mask_crop, lines0,

@@ -14,7 +14,7 @@ import pyarrow as pa
 from ..config import PipelineConfig
 from ..detect_core import detect_page
 from ..schema import MASK_SCHEMA
-from ..sources.media import decode_pgm, encode_pgm, fetch_media
+from ..sources.media import decode_page, encode_pgm
 from ..sources.png import encode_png
 from ..surrogate import make_detector
 from ..textmask import (REFINEMASK_ANNOTATION, REFINEMASK_INPAINT,
@@ -40,7 +40,7 @@ def refine_masks_task(batch: pa.Table, cfg=None,
                                 batch.column("media_offset").to_pylist(),
                                 batch.column("media_ref").to_pylist()):
         try:
-            img = decode_pgm(fetch_media(ref))
+            img = decode_page(ref)
         except ValueError:
             continue                       # poison pill degrades, never crashes
         blocks, mask_view = detect_page(det, ref, img.shape[0], img.shape[1],

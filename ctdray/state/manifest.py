@@ -64,6 +64,9 @@ def run_checkpointed(input_dir: str, output_dir: str,
     data_dir = os.path.join(output_dir, "data")
     os.makedirs(manifest_dir, exist_ok=True)
     os.makedirs(data_dir, exist_ok=True)
+    _check_plan(manifest_dir, {
+        "kind": "fragments", "chunk_size": chunk_size,
+        "files": [os.path.basename(f) for f in files]})
 
     done = skipped = 0
     total_docs = total_spans = total_detected = 0
@@ -84,7 +87,7 @@ def run_checkpointed(input_dir: str, output_dir: str,
         # Partition metrics from the written files (metadata-only where
         # possible; span kinds need one column scan of the chunk output).
         n_docs = n_spans = n_detected = n_pages = 0
-        page_hist: dict[str, int] = {}
+        per_page_lines: dict[str, int] = {}
         for part in glob.glob(os.path.join(out_chunk, "*.parquet")):
             pf = pq.ParquetFile(part)
             n_docs += pf.metadata.num_rows
@@ -101,14 +104,13 @@ def run_checkpointed(input_dir: str, output_dir: str,
             ).as_py() or 0
             # Detected-lines-per-page histogram — the skew signal the
             # size-bucketing / dense-routing decisions are based on (north
-            # rule: per-partition detection-count metrics).
+            # rule: per-partition detection-count metrics); counts merge
+            # across part files before bucketing (_bucket_hist).
             lines = flat.filter(pc.equal(flat.field("kind"), "text_line"))
-            per_page = pc.value_counts(lines.field("media_ref"))
-            for entry in per_page.to_pylist():
-                c = entry["counts"]
-                bucket = ("0" if c == 0 else "1-4" if c <= 4 else
-                          "5-9" if c <= 9 else "10-19" if c <= 19 else "20+")
-                page_hist[bucket] = page_hist.get(bucket, 0) + 1
+            for entry in pc.value_counts(lines.field("media_ref")).to_pylist():
+                per_page_lines[entry["values"]] = \
+                    per_page_lines.get(entry["values"], 0) + entry["counts"]
+        page_hist = _bucket_hist(per_page_lines, n_pages)
         rec = {
             "chunk": ci,
             "files": [os.path.basename(f) for f in chunk],
@@ -117,7 +119,7 @@ def run_checkpointed(input_dir: str, output_dir: str,
             "n_pages": n_pages,
             "n_spans": n_spans,
             "n_detected_spans": n_detected,
-            "detected_per_page_hist": dict(sorted(page_hist.items())),
+            "detected_per_page_hist": page_hist,
             "wall_s": round(time.time() - t0, 3),
             "pages_per_sec": round(n_pages / max(1e-9, time.time() - t0), 2),
         }
@@ -129,6 +131,44 @@ def run_checkpointed(input_dir: str, output_dir: str,
     return {"chunks_done": done, "chunks_skipped": skipped,
             "n_docs": total_docs, "n_spans": total_spans,
             "n_detected_spans": total_detected}
+
+
+def _check_plan(manifest_dir: str, plan: dict) -> None:
+    """Pin one chunking plan per output dir.  A re-submit with a different
+    plan (other chunk count/size, other file list, grown corpus) would
+    republish ranges under new chunk indices while STALE chunk dirs from the
+    old plan stay on disk — read_result would then silently concatenate
+    overlapping data.  First submit records the plan; later submits must
+    match it exactly or use a fresh output dir."""
+    plan_path = os.path.join(manifest_dir, "plan.json")
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            old = json.load(f)
+        if old != plan:
+            raise ValueError(
+                "output dir holds chunks from a different chunking plan "
+                f"({old}); re-submit with the same plan or use a fresh "
+                f"output dir (got {plan})")
+        return
+    tmp = plan_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(plan, f)
+    os.replace(tmp, plan_path)
+
+
+def _bucket_hist(per_page_lines: dict, n_pages: int) -> dict:
+    """Detected-lines-per-page histogram (north_rule partition metrics):
+    bucketize the per-page line counts; pages with ZERO detected lines are
+    the difference against the chunk's page count."""
+    hist: dict[str, int] = {}
+    for c in per_page_lines.values():
+        bucket = ("1-4" if c <= 4 else "5-9" if c <= 9 else
+                  "10-19" if c <= 19 else "20+")
+        hist[bucket] = hist.get(bucket, 0) + 1
+    zero = n_pages - len(per_page_lines)
+    if zero > 0:
+        hist["0"] = zero
+    return dict(sorted(hist.items()))
 
 
 def _publish_chunk(data_dir: str, ci: int, ds) -> str:
@@ -156,12 +196,14 @@ def _flat_chunk_metrics(out_chunk: str) -> dict:
     """Partition metrics over a written FLAT-span chunk (north_rule
     detection-count metrics): row/page/detected counts plus the
     detected-lines-per-page histogram, computed from the chunk's own files
-    (kind + media_ref columns only)."""
+    (kind + media_ref columns only).  Per-page counts merge ACROSS part
+    files before bucketing — a page whose line rows straddle two parts is
+    one page, not two."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     n_rows = n_pages = n_lines = 0
-    page_hist: dict[str, int] = {}
+    per_page: dict[str, int] = {}
     for part in glob.glob(os.path.join(out_chunk, "*.parquet")):
         tbl = pq.read_table(part, columns=["kind", "media_ref"])
         kinds = tbl.column("kind")
@@ -170,12 +212,10 @@ def _flat_chunk_metrics(out_chunk: str) -> dict:
         n_lines += pc.sum(pc.cast(pc.equal(kinds, "text_line"), "int64")).as_py() or 0
         lines = tbl.filter(pc.equal(kinds, "text_line"))
         for entry in pc.value_counts(lines.column("media_ref")).to_pylist():
-            c = entry["counts"]
-            bucket = ("0" if c == 0 else "1-4" if c <= 4 else
-                      "5-9" if c <= 9 else "10-19" if c <= 19 else "20+")
-            page_hist[bucket] = page_hist.get(bucket, 0) + 1
+            per_page[entry["values"]] = per_page.get(entry["values"], 0) \
+                + entry["counts"]
     return {"n_rows": n_rows, "n_pages": n_pages, "n_detected_spans": n_lines,
-            "detected_per_page_hist": dict(sorted(page_hist.items()))}
+            "detected_per_page_hist": _bucket_hist(per_page, n_pages)}
 
 
 def run_checkpointed_interleaved(sf_dir: str, output_dir: str,
@@ -219,6 +259,9 @@ def run_checkpointed_interleaved(sf_dir: str, output_dir: str,
     data_dir = os.path.join(output_dir, "data")
     os.makedirs(manifest_dir, exist_ok=True)
     os.makedirs(data_dir, exist_ok=True)
+    _check_plan(manifest_dir, {"kind": "interleaved",
+                               "path": os.path.basename(path),
+                               "num_chunks": num_chunks, "bounds": bounds})
 
     import ray
 

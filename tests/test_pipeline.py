@@ -147,6 +147,11 @@ def test_checkpoint_interleaved_resume(ray_session, tmp_path):
     assert len(got) == len(exp) > 0
     assert got.equals(exp)
 
+    # A re-submit with a DIFFERENT chunking plan must refuse, not silently
+    # overlay new ranges on the stale chunk dirs (manifest._check_plan).
+    with pytest.raises(ValueError, match="chunking plan"):
+        run_checkpointed_interleaved(sf_dir, out_dir, num_chunks=8)
+
 
 def test_error_rows_never_crash(ray_session):
     import pyarrow as pa

@@ -100,23 +100,21 @@ def main() -> None:
 
     ray.init(address="local", num_cpus=args.num_cpus,
              include_dashboard=False, logging_level="ERROR")
-    import pyarrow.compute as pc
-
     from ctdray.pipelines.extract import interleaved_extraction
     from ctdray.state.manifest import read_result
 
-    def counts(ds):
-        n = pages = lines = 0
-        for b in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
-            n += b.num_rows
-            k = b.column("kind")
-            pages += pc.sum(pc.cast(pc.equal(k, "media"), "int64")).as_py() or 0
-            lines += pc.sum(pc.cast(pc.equal(k, "text_line"), "int64")).as_py() or 0
-        return n, pages, lines
+    KEY = ["doc_id", "seq", "kind", "text", "media_ref", "offset", "order"]
 
-    got = counts(read_result(out_dir))
-    exp = counts(interleaved_extraction(args.sf_dir))
-    ray.shutdown()
+    def canon(ds):
+        df = ds.to_pandas()[KEY].sort_values(KEY).reset_index(drop=True)
+        k = df.kind
+        return df, (len(df), int((k == "media").sum()),
+                    int((k == "text_line").sum()))
+
+    got_df, got = canon(read_result(out_dir))
+    exp_df, exp = canon(interleaved_extraction(args.sf_dir))
+    rows_equal = got_df.equals(exp_df)      # full row-level equality, not
+    ray.shutdown()                          # just aggregate counts
 
     print(json.dumps({
         "metric": "checkpointed headline kill/resume (sf bench corpus)",
@@ -129,7 +127,7 @@ def main() -> None:
         "resume_chunks_done": summary["chunks_done"],
         "no_rework": untouched and summary["chunks_skipped"] == len(pre),
         "no_partials_left": not tmp_left,
-        "rows_match_direct": got == exp,
+        "rows_match_direct": rows_equal,
         "rows": {"got": got, "expected": exp},
     }))
 
