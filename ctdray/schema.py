@@ -139,8 +139,16 @@ TENSOR_PAGE_SCHEMA = pa.schema(
         pa.field("im_w", pa.int32()),
         pa.field("blks", pa.large_binary()),
         pa.field("blks_w", pa.int32()),
+        # Maps ship through ctdray.tensorcodec: value-exact run-length sparse
+        # (runs + nonzero pixels) when mostly background — ~10× fewer bytes
+        # on typical pages, the difference between streaming and spilling at
+        # corpus scale — with an automatic dense fallback (runs empty).
         pa.field("mask", pa.large_binary()),
+        pa.field("mask_runs", pa.large_binary()),
+        pa.field("mask_sparse", pa.bool_()),
         pa.field("lines0", pa.large_binary()),
+        pa.field("lines0_runs", pa.large_binary()),
+        pa.field("lines0_sparse", pa.bool_()),
         pa.field("map_h", pa.int32()),
         pa.field("map_w", pa.int32()),
         pa.field("half", pa.bool_()),

@@ -29,6 +29,7 @@ import pyarrow as pa
 from ..config import PipelineConfig
 from ..detect_core import (detect_page, doc_out_spans, infer_page_arrays,
                            page_line_spans, postprocess_page)
+from ..tensorcodec import decode_map, encode_map
 from ..schema import (BLOCK_SCHEMA, DETECTED_SPAN_SCHEMA, OUT_DOC_SCHEMA,
                       TENSOR_PAGE_SCHEMA)
 from ..surrogate import make_detector
@@ -197,11 +198,14 @@ class DetectInfer:
             blks, mask_crop, lines0 = infer_page_arrays(
                 self.detector, ref, int(h), int(w), self.det_cfg,
                 half=self.half)
+            m_sp, m_runs, m_vals = encode_map(mask_crop)
+            l_sp, l_runs, l_vals = encode_map(lines0)
             rows.append({
                 "doc_id": doc_id, "media_offset": int(off), "media_ref": ref,
                 "im_h": int(h), "im_w": int(w),
                 "blks": blks.tobytes(), "blks_w": int(blks.shape[1]),
-                "mask": mask_crop.tobytes(), "lines0": lines0.tobytes(),
+                "mask": m_vals, "mask_runs": m_runs, "mask_sparse": m_sp,
+                "lines0": l_vals, "lines0_runs": l_runs, "lines0_sparse": l_sp,
                 "map_h": int(mask_crop.shape[0]),
                 "map_w": int(mask_crop.shape[1]),
                 "half": bool(self.half),
@@ -232,10 +236,14 @@ def postprocess_task(batch: pa.Table, cfg=None, output: str = "spans") -> pa.Tab
         dt = np.float16 if batch.column("half")[i].as_py() else np.float32
         blks = np.frombuffer(batch.column("blks")[i].as_py(),
                              dtype=np.float32).reshape(-1, max(1, blks_w))
-        mask_crop = np.frombuffer(batch.column("mask")[i].as_py(),
-                                  dtype=dt).reshape(map_h, map_w)
-        lines0 = np.frombuffer(batch.column("lines0")[i].as_py(),
-                               dtype=dt).reshape(map_h, map_w)
+        mask_crop = decode_map(batch.column("mask_sparse")[i].as_py(),
+                               batch.column("mask_runs")[i].as_py(),
+                               batch.column("mask")[i].as_py(),
+                               (map_h, map_w), dt)
+        lines0 = decode_map(batch.column("lines0_sparse")[i].as_py(),
+                            batch.column("lines0_runs")[i].as_py(),
+                            batch.column("lines0")[i].as_py(),
+                            (map_h, map_w), dt)
         img = None
         if output == "blocks":
             # Block rows carry fg/bg font colors (O13) — sampled from the

@@ -102,20 +102,45 @@ def test_infer_postprocess_unit_roundtrip(corpus_tbl):
         mw = tensors.column("map_w")[i].as_py()
         assert 0 < mh <= size and 0 < mw <= size
         assert mh == size or mw == size      # letterbox pads one axis only
+        # detection maps are mostly background → the sparse codec engages
+        # and ships far fewer bytes than the dense map
+        assert tensors.column("mask_sparse")[i].as_py() is True
         raw = tensors.column("mask")[i].as_py()
-        assert len(raw) == mh * mw * 4       # fp32 by default
+        runs = tensors.column("mask_runs")[i].as_py()
+        # empty (all-zero) maps encode to zero bytes; text pages to ≪ dense
+        assert len(raw) + len(runs) < mh * mw * 4 // 4
+    assert any(len(tensors.column("mask")[i].as_py()) > 0
+               for i in range(tensors.num_rows))
     got = postprocess_task(tensors).to_pylist()
     exp = DetectExtract()(pages).to_pylist()
     key = lambda r: tuple(r[k] for k in SPAN_KEY)
     assert sorted(got, key=key) == sorted(exp, key=key)
 
     half = DetectInfer(half=True)(pages)
-    raw = half.column("mask")[0].as_py()
-    mh = half.column("map_h")[0].as_py()
-    mw = half.column("map_w")[0].as_py()
-    assert len(raw) == mh * mw * 2           # fp16 maps: half the bytes
     got_h = postprocess_task(half).to_pylist()
     assert sorted(got_h, key=key) == sorted(exp, key=key)
+
+
+def test_tensorcodec_roundtrip_exact():
+    """encode_map/decode_map are value-exact in both modes, including the
+    dense fallback on dense-nonzero (prod sigmoid) maps."""
+    from ctdray.tensorcodec import decode_map, encode_map
+
+    rng = np.random.default_rng(7)
+    sparse_map = np.zeros((640, 1024), np.float32)
+    sparse_map[100:140, 200:500] = rng.random((40, 300)).astype(np.float32)
+    sparse_map[0, 0] = 0.5                    # run touching the origin
+    sparse_map[-1, -1] = 0.25                 # and the last pixel
+    dense_map = rng.random((64, 64)).astype(np.float16) + np.float16(0.01)
+    zero_map = np.zeros((8, 8), np.float32)
+    for arr in (sparse_map, dense_map, zero_map):
+        sp, runs, vals = encode_map(arr)
+        out = decode_map(sp, runs, vals, arr.shape, arr.dtype)
+        assert out.dtype == arr.dtype and np.array_equal(out, arr)
+    sp, runs, vals = encode_map(sparse_map)
+    assert sp and len(runs) + len(vals) < sparse_map.nbytes // 10
+    sp, _, _ = encode_map(dense_map)
+    assert not sp                              # dense fallback engaged
 
 
 def test_infer_pool_sizing_gpu_math():
