@@ -238,15 +238,20 @@ class ResizedMaskView:
             return self._u8(self.src[ya:yb, xa:xb])
         y0i, y1i = self._y0[ya:yb], self._y1[ya:yb]
         x0i, x1i = self._x0[xa:xb], self._x1[xa:xb]
-        a00 = self._u8(self.src[np.ix_(y0i, x0i)]).astype(np.float32)
-        a01 = self._u8(self.src[np.ix_(y0i, x1i)]).astype(np.float32)
-        a10 = self._u8(self.src[np.ix_(y1i, x0i)]).astype(np.float32)
-        a11 = self._u8(self.src[np.ix_(y1i, x1i)]).astype(np.float32)
+        # Gather the two source ROW strips over the window's source-column
+        # span (one contiguous column slice each — upscale windows span fewer
+        # source columns than output columns), blend rows once, then gather
+        # the two needed columns from the blended strip.  Same
+        # rows-then-columns float32 op tree as resize_bilinear, element for
+        # element, at half the gather volume of four corner gathers.
+        xlo = int(x0i[0])
+        xhi = int(x1i[-1]) + 1
+        r0 = self._u8(self.src[y0i, xlo:xhi]).astype(np.float32)
+        r1 = self._u8(self.src[y1i, xlo:xhi]).astype(np.float32)
         wy = self._wy[ya:yb][:, None]
         wx = self._wx[xa:xb][None, :]
-        rows0 = a00 * (1 - wy) + a10 * wy          # == rows[:, x0]
-        rows1 = a01 * (1 - wy) + a11 * wy          # == rows[:, x1]
-        out = rows0 * (1 - wx) + rows1 * wx
+        rows = r0 * (1 - wy) + r1 * wy             # == rows[:, xlo:xhi]
+        out = rows[:, x0i - xlo] * (1 - wx) + rows[:, x1i - xlo] * wx
         if np.issubdtype(self._dtype, np.integer):
             return np.clip(np.round(out), 0, 255).astype(self._dtype)
         return out.astype(self._dtype)
@@ -480,17 +485,21 @@ def min_area_rect(pts: np.ndarray):
     cand = np.sort(np.mod(ang, np.pi / 2))
     if len(cand) > 1:
         cand = cand[np.concatenate(([True], np.diff(cand) > 0))]
-    best = None
-    for a in cand:
-        c, s = np.cos(a), np.sin(a)
-        rot = np.array([[c, s], [-s, c]])
-        proj = hull @ rot.T
-        mn, mx = proj.min(axis=0), proj.max(axis=0)
-        wh = mx - mn
-        area = wh[0] * wh[1]
-        if best is None or area < best[0]:
-            best = (area, a, mn, mx)
-    _, a, mn, mx = best
+    # All candidate angles projected in one vectorized block: px/py are
+    # computed with the same multiply/add order as the per-angle
+    # ``hull @ [[c, s], [-s, c]].T`` loop, so values (and the
+    # first-strict-minimum tie-break, via argmin) are bit-identical to it.
+    cs, sn = np.cos(cand), np.sin(cand)
+    hx, hy = hull[:, 0], hull[:, 1]
+    px = cs[:, None] * hx[None, :] + sn[:, None] * hy[None, :]
+    py = (-sn)[:, None] * hx[None, :] + cs[:, None] * hy[None, :]
+    mnx, mxx = px.min(axis=1), px.max(axis=1)
+    mny, mxy = py.min(axis=1), py.max(axis=1)
+    areas = (mxx - mnx) * (mxy - mny)
+    i = int(np.argmin(areas))
+    a = cand[i]
+    mn = np.array([mnx[i], mny[i]])
+    mx = np.array([mxx[i], mxy[i]])
     c, s = np.cos(a), np.sin(a)
     rot_inv = np.array([[c, -s], [s, c]])
     rect = np.array(

@@ -416,11 +416,15 @@ def sample_line_colors(img: np.ndarray, mask, line) -> tuple:
     else:
         mwin = np.asarray(mask)[ey1:ey2, ex1:ex2]
     text_sel = mwin > 127
-    inner = np.zeros(text_sel.shape, dtype=bool)
-    inner[y1 - ey1:y2 - ey1, x1 - ex1:x2 - ex1] = True
-    fg_sel = text_sel & inner
+    # fg restricted to the un-expanded line bbox: select on the inner slices
+    # directly (row-major order over the inner window is the same value
+    # sequence as masking the full window with an inner-rect AND, so the
+    # pairwise-summed mean is bit-identical) — avoids allocating a
+    # window-sized boolean per line.
+    isel = (slice(y1 - ey1, y2 - ey1), slice(x1 - ex1, x2 - ex1))
+    fg_sel = text_sel[isel]
     nc = win.shape[2]
-    fg = win[fg_sel].reshape(-1, nc).mean(axis=0) if fg_sel.any() \
+    fg = win[isel][fg_sel].reshape(-1, nc).mean(axis=0) if fg_sel.any() \
         else np.zeros(nc)
     bg_sel = ~text_sel
     bg = win[bg_sel].reshape(-1, nc).mean(axis=0) if bg_sel.any() \
