@@ -11,6 +11,8 @@ lets the schema dedup fast-path work.
 """
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
@@ -18,10 +20,37 @@ import ray.data
 
 def read_parquet_clean(path: str, columns: list[str] | None = None,
                        **kwargs) -> ray.data.Dataset:
+    if os.path.isfile(path):
+        _ensure_split_runahead()
     sch = pq.read_schema(path).remove_metadata()
     if columns:
         sch = pa.schema([sch.field(c) for c in columns])
     return ray.data.read_parquet(path, columns=columns, schema=sch, **kwargs)
+
+
+def _ensure_split_runahead() -> None:
+    """Raise the per-task streaming-generator run-ahead when a SINGLE file
+    backs the read.
+
+    A one-file source becomes ONE read task whose SplitBlocks output streams
+    through the generator buffer (default 2 unconsumed blocks).  Downstream
+    dispatch then serializes behind the driver's pull loop — measured ~50 ms
+    per block round-trip, i.e. ~20 task starts/sec, which caps a 32-CPU map
+    stage at ~22 running tasks (headline extract: 15.6 s vs its 9.6 s compute
+    bound).  Letting the read task run ~2 blocks/CPU ahead removes the cap;
+    the buffered blocks are column-pruned metadata slices (KBs) held in the
+    object store, so the run-ahead is memory-trivial.  Multi-fragment sources
+    (the 100 TB layout — thousands of files) emit ~1 block per read task and
+    never hit this; the default is left alone for them.  Map stages emitting
+    big payloads (split-layout tensor pages) produce ~1 block per task, so
+    the raised cap never engages there either.
+    """
+    ctx = ray.data.DataContext.get_current()
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    want = min(128, max(32, 2 * cpus))
+    if ctx._max_num_blocks_in_streaming_gen_buffer < want:
+        ctx._max_num_blocks_in_streaming_gen_buffer = want
 
 
 def read_csv_table(path: str, schema: pa.Schema | None = None,
