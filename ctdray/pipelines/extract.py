@@ -24,8 +24,9 @@ import ray.data
 
 from ..config import PipelineConfig
 from ..stages.decode import DecodeStage
-from ..stages.detect import (DetectExtract, DetectInfer, DetectSpliceDoc,
-                             detect_extract_task, detect_splice_doc_task,
+from ..stages.detect import (DetectExtract, DetectInfer, DetectInferDoc,
+                             DetectSpliceDoc, detect_extract_task,
+                             detect_splice_doc_task, postprocess_doc_task,
                              postprocess_task)
 from ..stages.explode import explode_all_spans, explode_media_spans
 from ..stages.splice import splice_groups
@@ -245,26 +246,83 @@ def _media_page_rows(batch):
                      "media_ref": sel.column("media_ref")})
 
 
-def _split_out_docs(docs: ray.data.Dataset, cfg: PipelineConfig,
+def _split_doc_path(docs: ray.data.Dataset, cfg: PipelineConfig,
                     backend: str) -> ray.data.Dataset:
-    """SPLIT-layout document assembly: every doc takes the page-explode path.
+    """SPLIT-layout zero-shuffle path: doc rows → DetectInferDoc pool →
+    stateless postprocess+splice tasks (stages/detect.py doc-carrying pair).
+    Documents never leave their task between infer and splice, so like the
+    fused path nothing crosses an exchange — only the codec'd maps cross the
+    infer→postprocess OBJECT-STORE boundary (that boundary is the point of
+    the layout: the infer pool holds the GPUs, postprocess scales on CPUs)."""
+    remote_args = {"num_gpus": cfg.infer_num_gpus} if cfg.infer_num_gpus > 0 \
+        else {"num_cpus": 1}
+    tensor_docs = docs.map_batches(
+        DetectInferDoc,
+        fn_constructor_kwargs={"cfg": cfg, "backend": backend},
+        batch_format="pyarrow",
+        batch_size=cfg.docs_batch_size,
+        concurrency=_infer_concurrency(cfg),
+        **remote_args,
+    )
+    return tensor_docs.map_batches(
+        postprocess_doc_task,
+        fn_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.docs_batch_size,
+    )
 
-    The prod GPU layout wants the accelerator pool fed pure page rows, so
-    there is no fused doc path — originals and detections reunite through one
-    ``groupby(doc_id)`` splice.  That shuffle carries only compact span rows
-    (text + serialized quads; pixels and tensors never reach it), so at
-    cluster scale it is bytes-cheap; the docs source is scanned twice (once
-    per branch — Ray Data re-executes shared lazy upstreams), which at real
-    scale is two pruned column scans, not two decodes, since decode/infer
-    hang only off the media branch."""
-    originals = docs.map_batches(explode_all_spans, batch_format="pyarrow")
-    pages = docs.map_batches(explode_media_spans, batch_format="pyarrow")
+
+def _split_out_docs(docs: ray.data.Dataset, cfg: PipelineConfig,
+                    backend: str,
+                    dense_keys: Optional[ray.data.Dataset] = None,
+                    dense_ids: Optional[list] = None) -> ray.data.Dataset:
+    """SPLIT-layout document assembly with the same hybrid skew routing as
+    the fused pipeline (build_out_docs): typical docs take the doc-carrying
+    zero-shuffle path (:func:`_split_doc_path`); only the dense tail explodes
+    to page rows and reunites through the ``groupby(doc_id)`` splice.  That
+    residual shuffle carries only compact span rows (text + serialized quads;
+    pixels and tensors never reach it), and only for the pathological
+    fraction of the corpus."""
+    thr = cfg.dense_media_threshold
+    if dense_ids is None:
+        dense_ids = _dense_doc_ids(docs, thr, dense_keys)
+    if dense_ids is not None and not dense_ids:
+        # Common case: no dense tail → ONE scan, zero shuffles.
+        return _split_doc_path(docs, cfg, backend)
+
+    from ..functions.joins import broadcast_semi_join
+
+    if dense_ids is not None:
+        normal = broadcast_semi_join(docs, dense_ids, "doc_id", anti=True)
+        dense = broadcast_semi_join(docs, dense_ids, "doc_id")
+    else:   # pragma: no cover - extreme-scale fallback
+        normal = docs.map_batches(_make_density_filter(thr, dense=False),
+                                  batch_format="pyarrow")
+        dense = docs.map_batches(_make_density_filter(thr, dense=True),
+                                 batch_format="pyarrow")
+
+    doc_out = _split_doc_path(normal, cfg, backend)
+
+    # Dense tail: page-level split stages + the groupby splice.  Materialized
+    # for the same reasons as the fused hybrid's tail (bounded by
+    # construction; keeps the lazy tail operators from starving the main
+    # pool under per-operator reservation).
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    dense_spans = (dense.map_batches(explode_all_spans, batch_format="pyarrow")
+                        .repartition(max(4, cpus // 4))
+                        .materialize())
+    pages = dense_spans.map_batches(_media_page_rows, batch_format="pyarrow")
     pages = pages.map_batches(DecodeStage(keep_pixels=False),
                               batch_format="pyarrow",
                               batch_size=cfg.postprocess_batch_size)
     detected = _map_detect_split(pages, cfg, backend, output="spans")
-    return originals.union(detected).groupby("doc_id").map_groups(
-        splice_groups, batch_format="pyarrow")
+    dense_out = (dense_spans.union(detected)
+                 .groupby("doc_id")
+                 .map_groups(splice_groups, batch_format="pyarrow")
+                 .materialize())
+    return doc_out.union(dense_out)
 
 
 def build_out_docs(docs: ray.data.Dataset,
@@ -291,7 +349,8 @@ def build_out_docs(docs: ray.data.Dataset,
     _tune_data_context()
     cfg = cfg or PipelineConfig()
     if cfg.detect_layout == "split":
-        return _split_out_docs(docs, cfg, backend)
+        return _split_out_docs(docs, cfg, backend, dense_keys=dense_keys,
+                               dense_ids=dense_ids)
     thr = cfg.dense_media_threshold
 
     if dense_ids is None:

@@ -72,8 +72,14 @@ def boxes_from_bitmap(pred: np.ndarray, thresh: float = 0.3,
         local = np.arange(len(rows))
         score = runs_values_sum(csum, local, starts - c0, ends - c0) / npix
         expanded = unclip_rect(order_rect_corners(corners, wh)[0], unclip_ratio)
-        corners2, wh2 = min_area_rect(expanded)
-        box, _ = order_rect_corners(corners2, wh2)
+        # The reference re-runs minAreaRect on the unclip output
+        # (utils/db_utils.py:168-174) because ITS unclip is a round-join
+        # polygon offset; ours grows the rectangle analytically
+        # (geom.unclip_rect), so ``expanded`` already IS its own min-area
+        # rect and the second calipers pass is an identity — skipped
+        # (~25% of the representer's rect work; order_rect_corners ignores
+        # the wh argument for the box output).
+        box, _ = order_rect_corners(expanded, (0.0, 0.0))
         box[:, 0] = np.clip(np.round(box[:, 0] / width * dest_width), 0, dest_width)
         box[:, 1] = np.clip(np.round(box[:, 1] / height * dest_height), 0, dest_height)
         boxes[i] = box.astype(np.int32)

@@ -155,6 +155,42 @@ TENSOR_PAGE_SCHEMA = pa.schema(
     ]
 )
 
+# Doc-carrying split-layout rows: one row per document — the original span
+# array plus the per-page tensor payloads (same fields as TENSOR_PAGE_SCHEMA,
+# doc-nested).  This is the boundary of the split layout's NO-SHUFFLE path:
+# the infer pool emits whole documents, so postprocess can splice in place
+# exactly like the fused stage and the groupby(doc_id) barrier is reserved
+# for the dense skew tail (pipelines/extract.py _split_out_docs).  Pages are
+# stored in media-span order; undecodable pages are simply absent (the
+# postprocess walk matches them by media_offset and passes the span through).
+TENSOR_PAGE_STRUCT = pa.struct(
+    [
+        pa.field("media_offset", pa.int32()),
+        pa.field("media_ref", pa.string()),
+        pa.field("im_h", pa.int32()),
+        pa.field("im_w", pa.int32()),
+        pa.field("blks", pa.large_binary()),
+        pa.field("blks_w", pa.int32()),
+        pa.field("mask", pa.large_binary()),
+        pa.field("mask_runs", pa.large_binary()),
+        pa.field("mask_sparse", pa.bool_()),
+        pa.field("lines0", pa.large_binary()),
+        pa.field("lines0_runs", pa.large_binary()),
+        pa.field("lines0_sparse", pa.bool_()),
+        pa.field("map_h", pa.int32()),
+        pa.field("map_w", pa.int32()),
+        pa.field("half", pa.bool_()),
+    ]
+)
+
+TENSOR_DOC_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("spans", pa.list_(SPAN_STRUCT)),
+        pa.field("pages", pa.list_(TENSOR_PAGE_STRUCT)),
+    ]
+)
+
 # Refined-mask rows (the engine's mask-<name>.png sink, inference.py:70):
 # mask payload is an encoded image (PGM in-sandbox, PNG in prod).
 MASK_SCHEMA = pa.schema(

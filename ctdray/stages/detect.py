@@ -31,7 +31,7 @@ from ..detect_core import (detect_page, doc_out_spans, infer_page_arrays,
                            page_line_spans, postprocess_page)
 from ..tensorcodec import decode_map, encode_map
 from ..schema import (BLOCK_SCHEMA, DETECTED_SPAN_SCHEMA, OUT_DOC_SCHEMA,
-                      TENSOR_PAGE_SCHEMA)
+                      TENSOR_DOC_SCHEMA, TENSOR_PAGE_SCHEMA)
 from ..surrogate import make_detector
 
 
@@ -164,6 +164,40 @@ class DetectExtract:
         return pa.Table.from_pylist(rows, schema=schema)
 
 
+def _infer_page_payload(detector, det_cfg, ref: str, im_h: int, im_w: int,
+                        half: bool) -> dict:
+    """One page's forward pass reduced to the serialized tensor payload —
+    the shared body of :class:`DetectInfer` (page rows) and
+    :class:`DetectInferDoc` (doc rows).  ``media_offset`` is the caller's."""
+    blks, mask_crop, lines0 = infer_page_arrays(detector, ref, int(im_h),
+                                                int(im_w), det_cfg, half=half)
+    m_sp, m_runs, m_vals = encode_map(mask_crop)
+    l_sp, l_runs, l_vals = encode_map(lines0)
+    return {
+        "media_ref": ref, "im_h": int(im_h), "im_w": int(im_w),
+        "blks": blks.tobytes(), "blks_w": int(blks.shape[1]),
+        "mask": m_vals, "mask_runs": m_runs, "mask_sparse": m_sp,
+        "lines0": l_vals, "lines0_runs": l_runs, "lines0_sparse": l_sp,
+        "map_h": int(mask_crop.shape[0]), "map_w": int(mask_crop.shape[1]),
+        "half": bool(half),
+    }
+
+
+def _decode_page_payload(row: dict) -> tuple[np.ndarray, np.ndarray,
+                                             np.ndarray]:
+    """Inverse of :func:`_infer_page_payload`: payload dict → the compact
+    (blks, mask_crop, lines0) arrays postprocess_page consumes."""
+    dt = np.float16 if row["half"] else np.float32
+    shape = (row["map_h"], row["map_w"])
+    blks = np.frombuffer(row["blks"], dtype=np.float32) \
+        .reshape(-1, max(1, row["blks_w"]))
+    mask_crop = decode_map(row["mask_sparse"], row["mask_runs"],
+                           row["mask"], shape, dt)
+    lines0 = decode_map(row["lines0_sparse"], row["lines0_runs"],
+                        row["lines0"], shape, dt)
+    return blks, mask_crop, lines0
+
+
 class DetectInfer:
     """Split-layout INFER actor: decoded page rows → raw tensor rows
     (schema.TENSOR_PAGE_SCHEMA).  Holds the only model state in the split
@@ -195,24 +229,101 @@ class DetectInfer:
                 batch.column("decode_ok").to_pylist()):
             if not ok:
                 continue
-            blks, mask_crop, lines0 = infer_page_arrays(
-                self.detector, ref, int(h), int(w), self.det_cfg,
-                half=self.half)
-            m_sp, m_runs, m_vals = encode_map(mask_crop)
-            l_sp, l_runs, l_vals = encode_map(lines0)
-            rows.append({
-                "doc_id": doc_id, "media_offset": int(off), "media_ref": ref,
-                "im_h": int(h), "im_w": int(w),
-                "blks": blks.tobytes(), "blks_w": int(blks.shape[1]),
-                "mask": m_vals, "mask_runs": m_runs, "mask_sparse": m_sp,
-                "lines0": l_vals, "lines0_runs": l_runs, "lines0_sparse": l_sp,
-                "map_h": int(mask_crop.shape[0]),
-                "map_w": int(mask_crop.shape[1]),
-                "half": bool(self.half),
-            })
+            payload = _infer_page_payload(self.detector, self.det_cfg, ref,
+                                          int(h), int(w), self.half)
+            payload["doc_id"] = doc_id
+            payload["media_offset"] = int(off)
+            rows.append(payload)
         if not rows:
             return TENSOR_PAGE_SCHEMA.empty_table()
         return pa.Table.from_pylist(rows, schema=TENSOR_PAGE_SCHEMA)
+
+
+class DetectInferDoc:
+    """Split-layout INFER actor, DOC-CARRYING variant: whole-document rows →
+    tensor-doc rows (schema.TENSOR_DOC_SCHEMA).
+
+    The page-level :class:`DetectInfer` forces every document through a
+    ``groupby(doc_id)`` splice downstream; carrying the document through the
+    boundary instead lets :func:`postprocess_doc_task` splice in place — the
+    split layout's normal path then has ZERO shuffles, exactly like the fused
+    pipeline, and the groupby barrier carries only the dense skew tail
+    (routed away by the same ``dense_media_threshold`` hybrid).  The infer
+    unit becomes a document (~2 pages typical; the tail's pathological docs
+    never reach this pool), which on a GPU cluster still keeps the
+    accelerator fed page-at-a-time inside the loop while original TEXT spans
+    ride along as compact strings next to the encoded maps.
+
+    Undecodable media yields no page payload — the postprocess walk matches
+    payloads by ``media_offset`` and passes the span through untouched
+    (poison-pill contract, SURVEY.md §4)."""
+
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 backend: str = "surrogate", model_path: str | None = None,
+                 half: bool | None = None):
+        self.cfg = cfg or PipelineConfig()
+        self.det_cfg = self.cfg.detector
+        self.half = self.cfg.half_maps if half is None else half
+        self.detector = make_detector(backend, self.det_cfg, model_path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.media import decode_page
+
+        rows: list[dict] = []
+        for doc_id, spans in zip(batch.column("doc_id").to_pylist(),
+                                 batch.column("spans").to_pylist()):
+            pages: list[dict] = []
+            for span in spans:
+                if span["kind"] != "media":
+                    continue
+                try:
+                    img = decode_page(span["media_ref"])
+                except ValueError:
+                    continue
+                payload = _infer_page_payload(
+                    self.detector, self.det_cfg, span["media_ref"],
+                    img.shape[0], img.shape[1], self.half)
+                payload["media_offset"] = int(span["offset"])
+                pages.append(payload)
+            rows.append({"doc_id": doc_id, "spans": spans, "pages": pages})
+        if not rows:
+            return TENSOR_DOC_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=TENSOR_DOC_SCHEMA)
+
+
+def postprocess_doc_task(batch: pa.Table, cfg=None) -> pa.Table:
+    """Split-layout POSTPROCESS, doc-carrying variant: tensor-doc rows →
+    spliced output documents (schema.OUT_DOC_SCHEMA).
+
+    Pure numpy, stateless — the split twin of detect_core.doc_out_spans: the
+    splice happens here, in the same task that postprocesses the document's
+    pages, so nothing downstream needs a shuffle."""
+    cfg = cfg or PipelineConfig()
+    det_cfg = cfg.detector
+    out_rows: list[dict] = []
+    for row in batch.to_pylist():
+        payloads = {p["media_offset"]: p for p in row["pages"]}
+        out: list[dict] = []
+        for span in row["spans"]:
+            out.append({"kind": span["kind"], "text": span["text"],
+                        "media_ref": span["media_ref"],
+                        "offset": span["offset"], "order": -1})
+            if span["kind"] != "media":
+                continue
+            p = payloads.get(span["offset"])
+            if p is None:        # undecodable page: span passes through
+                continue
+            blks, mask_crop, lines0 = _decode_page_payload(p)
+            blocks, _mask = postprocess_page(blks, mask_crop, lines0,
+                                             p["im_h"], p["im_w"], det_cfg)
+            for order, text in page_line_spans(blocks):
+                out.append({"kind": "text_line", "text": text,
+                            "media_ref": span["media_ref"],
+                            "offset": span["offset"], "order": order})
+        out_rows.append({"doc_id": row["doc_id"], "spans": out})
+    if not out_rows:
+        return OUT_DOC_SCHEMA.empty_table()
+    return pa.Table.from_pylist(out_rows, schema=OUT_DOC_SCHEMA)
 
 
 def postprocess_task(batch: pa.Table, cfg=None, output: str = "spans") -> pa.Table:
@@ -224,26 +335,10 @@ def postprocess_task(batch: pa.Table, cfg=None, output: str = "spans") -> pa.Tab
     cfg = cfg or PipelineConfig()
     det_cfg = cfg.detector
     rows: list[dict] = []
-    for i in range(batch.num_rows):
-        doc_id = batch.column("doc_id")[i].as_py()
-        off = batch.column("media_offset")[i].as_py()
-        ref = batch.column("media_ref")[i].as_py()
-        h = batch.column("im_h")[i].as_py()
-        w = batch.column("im_w")[i].as_py()
-        blks_w = batch.column("blks_w")[i].as_py()
-        map_h = batch.column("map_h")[i].as_py()
-        map_w = batch.column("map_w")[i].as_py()
-        dt = np.float16 if batch.column("half")[i].as_py() else np.float32
-        blks = np.frombuffer(batch.column("blks")[i].as_py(),
-                             dtype=np.float32).reshape(-1, max(1, blks_w))
-        mask_crop = decode_map(batch.column("mask_sparse")[i].as_py(),
-                               batch.column("mask_runs")[i].as_py(),
-                               batch.column("mask")[i].as_py(),
-                               (map_h, map_w), dt)
-        lines0 = decode_map(batch.column("lines0_sparse")[i].as_py(),
-                            batch.column("lines0_runs")[i].as_py(),
-                            batch.column("lines0")[i].as_py(),
-                            (map_h, map_w), dt)
+    for r in batch.to_pylist():
+        doc_id, off, ref = r["doc_id"], r["media_offset"], r["media_ref"]
+        h, w = r["im_h"], r["im_w"]
+        blks, mask_crop, lines0 = _decode_page_payload(r)
         img = None
         if output == "blocks":
             # Block rows carry fg/bg font colors (O13) — sampled from the

@@ -156,3 +156,59 @@ def test_infer_pool_sizing_gpu_math():
     if cpus:
         got = _infer_concurrency(PipelineConfig(detect_layout="split"))
         assert 2 <= got < cpus
+
+
+def test_split_doc_carrying_unit_roundtrip(corpus_tbl):
+    """No-Ray unit for the doc-carrying split pair: DetectInferDoc rows obey
+    TENSOR_DOC_SCHEMA and postprocess_doc_task reproduces the fused
+    DetectSpliceDoc output exactly, fp32 and fp16, including an undecodable
+    media ref passing through without detections."""
+    import pyarrow as pa
+
+    from ctdray.schema import DOC_SCHEMA, TENSOR_DOC_SCHEMA
+    from ctdray.stages.detect import (DetectInferDoc, DetectSpliceDoc,
+                                      postprocess_doc_task)
+
+    batch = corpus_tbl.slice(0, 6)
+    exp = DetectSpliceDoc()(batch).to_pylist()
+
+    tensors = DetectInferDoc()(batch)
+    assert tensors.schema.equals(TENSOR_DOC_SCHEMA)
+    assert tensors.num_rows == batch.num_rows
+    got = postprocess_doc_task(tensors).to_pylist()
+    assert got == exp
+
+    half = DetectInferDoc(half=True)(batch)
+    assert postprocess_doc_task(half).to_pylist() == exp
+
+    bad = pa.Table.from_pylist([{
+        "doc_id": "doc-x", "spans": [
+            {"kind": "media", "text": "", "media_ref": "bogus://", "offset": 0},
+            {"kind": "text", "text": "t", "media_ref": "", "offset": 1},
+        ]}], schema=DOC_SCHEMA)
+    t = DetectInferDoc()(bad)
+    assert t.column("pages")[0].as_py() == []       # no payload for bogus ref
+    out = postprocess_doc_task(t).to_pylist()
+    assert [s["kind"] for s in out[0]["spans"]] == ["media", "text"]
+    assert out == DetectSpliceDoc()(bad).to_pylist()
+
+
+def test_split_dense_tail_hybrid_equal_fused(ray_session, corpus_tbl):
+    """Split layout with a FORCED dense tail (threshold 2): doc-carrying
+    zero-shuffle path and page-level groupby splice both active; out-docs
+    must equal the fused pipeline's."""
+    import ray.data as rd
+
+    from ctdray.pipelines.extract import build_out_docs
+
+    def norm(ds):
+        df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        return [(d, [tuple(sorted(s.items())) for s in spans])
+                for d, spans in zip(df.doc_id, df.spans)]
+
+    fused = norm(build_out_docs(rd.from_arrow(corpus_tbl)))
+    split = norm(build_out_docs(
+        rd.from_arrow(corpus_tbl),
+        PipelineConfig(detect_layout="split", dense_media_threshold=2,
+                       infer_concurrency=2)))
+    assert split == fused
