@@ -416,48 +416,39 @@ def non_max_suppression(pred: np.ndarray, conf_thres: float = 0.4,
 # ---------------------------------------------------------------------------
 
 
-def _hull_chain(points: np.ndarray) -> np.ndarray:
-    """Strict half-hull of lexicographically sorted points by vectorized
-    concave-point elimination.  Each pass drops every interior point whose
-    triple is non-left-turning (cross ≤ 0, the monotone-chain pop rule);
-    hull vertices can never be eliminated (their neighbors always lie
-    strictly above their supporting chord), so this converges to exactly the
-    strict convex chain the sequential stack algorithm produces — verified
-    against the loop implementation by property test."""
-    idx = np.arange(len(points))
-    while len(idx) > 2:
-        p = points[idx]
-        o, a, b = p[:-2], p[1:-1], p[2:]
-        cross = (a[:, 0] - o[:, 0]) * (b[:, 1] - o[:, 1]) \
-            - (a[:, 1] - o[:, 1]) * (b[:, 0] - o[:, 0])
-        bad = cross <= 0
-        if not bad.any():
-            break
-        keep = np.ones(len(idx), dtype=bool)
-        keep[1:-1] = ~bad
-        idx = idx[keep]
-    return points[idx]
+def _hull_chain(points: list) -> list:
+    """Strict half-hull of lexicographically sorted point tuples — the
+    classic sequential monotone-chain stack (pop while the triple is
+    non-left-turning, cross ≤ 0).  Scalar on purpose: the extraction path
+    calls this on ~20-120 boundary points per text component, where the
+    Python stack loop beats vectorized elimination passes ~4× (small-array
+    numpy dispatch dominates)."""
+    stack: list = []
+    for px, py in points:
+        while len(stack) >= 2:
+            ox, oy = stack[-2]
+            ax, ay = stack[-1]
+            if (ax - ox) * (py - oy) - (ay - oy) * (px - ox) <= 0:
+                stack.pop()
+            else:
+                break
+        stack.append((px, py))
+    return stack
 
 
 def convex_hull(pts: np.ndarray) -> np.ndarray:
     """Monotone-chain hull (strict: collinear points dropped) → hull vertices
     in CCW order (k, 2) float64."""
     pts = np.asarray(pts, dtype=np.float64)
-    # lexicographic (x, y) sort + adjacent dedup — same rows and order as
-    # np.unique(axis=0) without its structured-view sort overhead
-    order = np.lexsort((pts[:, 1], pts[:, 0]))
-    pts = pts[order]
-    if len(pts) > 1:
-        keep = np.empty(len(pts), dtype=bool)
-        keep[0] = True
-        keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
-        pts = pts[keep]
-    if len(pts) <= 2:
-        return pts
-    # np.unique sorts lexicographically by (x, y) already.
-    lower = _hull_chain(pts)
-    upper = _hull_chain(pts[::-1])
-    return np.concatenate([lower[:-1], upper[:-1]])
+    # sorted(set(...)) == lexicographic (x, y) sort + exact-duplicate drop —
+    # the same rows and order as np.unique(axis=0) without its
+    # structured-view sort overhead.
+    uniq = sorted(set(map(tuple, pts.tolist())))
+    if len(uniq) <= 2:
+        return np.asarray(uniq, dtype=np.float64).reshape(-1, 2)
+    lower = _hull_chain(uniq)
+    upper = _hull_chain(uniq[::-1])
+    return np.asarray(lower[:-1] + upper[:-1], dtype=np.float64)
 
 
 def min_area_rect(pts: np.ndarray):
@@ -556,31 +547,51 @@ def unclip_rect(box: np.ndarray, unclip_ratio: float = 1.5) -> np.ndarray:
     analytically: each corner moves by d along both of its adjacent outward
     edge normals.
     """
-    box = np.asarray(box, dtype=np.float64)
-    area = polygon_area(box)
-    perim = polygon_perimeter(box)
+    import math
+
+    b = np.asarray(box, dtype=np.float64)
+    # Scalar math throughout: the input is always exactly 4 corners, and at
+    # ~13 components/page this call is hot — small-array numpy dispatch
+    # (stack/where/mean on shape-(4,2)) measured ~10× the arithmetic cost.
+    pts = b.tolist()
+    (x0, y0), (x1, y1), (x2, y2), (x3, y3) = pts
+    area = abs((x0 * y1 + x1 * y2 + x2 * y3 + x3 * y0)
+               - (y0 * x1 + y1 * x2 + y2 * x3 + y3 * x0)) / 2.0
+    perim = (math.sqrt((x1 - x0) ** 2 + (y1 - y0) ** 2)
+             + math.sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2)
+             + math.sqrt((x3 - x2) ** 2 + (y3 - y2) ** 2)
+             + math.sqrt((x0 - x3) ** 2 + (y0 - y3) ** 2))
     if perim <= 0:
-        return box.copy()
+        return b.copy()
     d = area * unclip_ratio / perim
-    center = box.mean(axis=0)
-    # Vectorized over the 4 corners (same arithmetic as the scalar loop).
-    prev_e = box - box[[3, 0, 1, 2]]
-    next_e = box[[1, 2, 3, 0]] - box
-    # Outward normal of each adjacent edge = edge direction rotated away
-    # from the polygon interior.
-    n1 = np.stack([prev_e[:, 1], -prev_e[:, 0]], axis=1)
-    n2 = np.stack([next_e[:, 1], -next_e[:, 0]], axis=1)
-    for n in (n1, n2):
-        ln = np.sqrt((n * n).sum(axis=1))
-        nz = ln > 0
-        n[nz] /= ln[nz, None]
-    shift = (n1 + n2) * d
-    cand1 = box + shift
-    cand2 = box - shift
-    d1 = ((cand1 - center) ** 2).sum(axis=1)
-    d2 = ((cand2 - center) ** 2).sum(axis=1)
-    # Pick the candidate farther from the center (outward).
-    return np.where((d1 >= d2)[:, None], cand1, cand2)
+    cx = (x0 + x1 + x2 + x3) / 4.0
+    cy = (y0 + y1 + y2 + y3) / 4.0
+    out = []
+    for i in range(4):
+        px, py = pts[i]
+        qx, qy = pts[i - 1]            # previous vertex
+        rx, ry = pts[(i + 1) % 4]      # next vertex
+        # Outward normal of each adjacent edge = edge direction rotated away
+        # from the polygon interior.
+        n1x, n1y = py - qy, qx - px
+        n2x, n2y = ry - py, px - rx
+        l1 = math.sqrt(n1x * n1x + n1y * n1y)
+        l2 = math.sqrt(n2x * n2x + n2y * n2y)
+        if l1 > 0:
+            n1x /= l1
+            n1y /= l1
+        if l2 > 0:
+            n2x /= l2
+            n2y /= l2
+        sx, sy = (n1x + n2x) * d, (n1y + n2y) * d
+        ax, ay = px + sx, py + sy
+        bx, by = px - sx, py - sy
+        # Pick the candidate farther from the center (outward).
+        if ((ax - cx) ** 2 + (ay - cy) ** 2) >= ((bx - cx) ** 2 + (by - cy) ** 2):
+            out.append((ax, ay))
+        else:
+            out.append((bx, by))
+    return np.array(out, dtype=np.float64)
 
 
 # ---------------------------------------------------------------------------
@@ -707,28 +718,47 @@ def shrink_poly(poly: np.ndarray, shrink_ratio: float = 0.4) -> np.ndarray:
     polygons only (our quads); implemented as the inward analogue of
     :func:`unclip_rect`."""
     p = np.asarray(poly, dtype=np.float64).reshape(-1, 2)
-    area = polygon_area(p)
-    perim = polygon_perimeter(p)
+    k = len(p)
+    pts = p.tolist()
+    # Scalar math (the hot case is always a quad; generic k kept by the same
+    # loop) — small-array numpy dispatch dominated this function's cost.
+    area = 0.0
+    perim = 0.0
+    for i in range(k):
+        x0, y0 = pts[i]
+        x1, y1 = pts[(i + 1) % k]
+        area += x0 * y1 - y0 * x1
+        perim += math.sqrt((x1 - x0) ** 2 + (y1 - y0) ** 2)
+    area = abs(area) / 2.0
     if perim <= 0:
         return p.copy()
     d = area * (1 - shrink_ratio ** 2) / perim
-    center = p.mean(axis=0)
-    k = len(p)
-    idx = np.arange(k)
-    prev_e = p - p[(idx - 1) % k]
-    next_e = p[(idx + 1) % k] - p
-    n1 = np.stack([prev_e[:, 1], -prev_e[:, 0]], axis=1)
-    n2 = np.stack([next_e[:, 1], -next_e[:, 0]], axis=1)
-    for n in (n1, n2):
-        ln = np.sqrt((n * n).sum(axis=1))
-        nz = ln > 0
-        n[nz] /= ln[nz, None]
-    shift = (n1 + n2) * d
-    cand1 = p + shift
-    cand2 = p - shift
-    d1 = ((cand1 - center) ** 2).sum(axis=1)
-    d2 = ((cand2 - center) ** 2).sum(axis=1)
-    return np.where((d1 <= d2)[:, None], cand1, cand2)
+    cx = sum(q[0] for q in pts) / k
+    cy = sum(q[1] for q in pts) / k
+    out = []
+    for i in range(k):
+        px, py = pts[i]
+        qx, qy = pts[i - 1]
+        rx, ry = pts[(i + 1) % k]
+        n1x, n1y = py - qy, qx - px
+        n2x, n2y = ry - py, px - rx
+        l1 = math.sqrt(n1x * n1x + n1y * n1y)
+        l2 = math.sqrt(n2x * n2x + n2y * n2y)
+        if l1 > 0:
+            n1x /= l1
+            n1y /= l1
+        if l2 > 0:
+            n2x /= l2
+            n2y /= l2
+        sx, sy = (n1x + n2x) * d, (n1y + n2y) * d
+        ax, ay = px + sx, py + sy
+        bx, by = px - sx, py - sy
+        # Pick the candidate closer to the center (inward).
+        if ((ax - cx) ** 2 + (ay - cy) ** 2) <= ((bx - cx) ** 2 + (by - cy) ** 2):
+            out.append((ax, ay))
+        else:
+            out.append((bx, by))
+    return np.array(out, dtype=np.float64)
 
 
 # ---------------------------------------------------------------------------
@@ -800,27 +830,32 @@ def connected_component_runs(mask: np.ndarray, connectivity: int = 8):
     n_runs = len(rows)
     if n_runs == 0:
         return []
-    labels = np.empty(n_runs, dtype=np.int64)
+    # Python lists for the sequential merge: numpy SCALAR indexing inside
+    # the two-pointer loop was the dominant cost, not the merge logic.
+    rows_l = rows.tolist()
+    starts_l = starts.tolist()
+    ends_l = ends.tolist()
+    labels: list[int] = [0] * n_runs
     uf = _UnionFind()
     tol = 1 if connectivity == 8 else 0
     # Row boundaries in the run arrays.
     row_breaks = np.flatnonzero(np.diff(rows)) + 1
-    bounds = np.concatenate([[0], row_breaks, [n_runs]])
+    bounds = np.concatenate([[0], row_breaks, [n_runs]]).tolist()
     prev_lo = prev_hi = 0
     prev_row = -2
     for bi in range(len(bounds) - 1):
         lo, hi = bounds[bi], bounds[bi + 1]
-        row = rows[lo]
+        row = rows_l[lo]
         if row != prev_row + 1:
             prev_lo = prev_hi = lo  # no adjacent previous row → empty window
         j = prev_lo
         for i in range(lo, hi):
-            s, e = starts[i], ends[i]
+            s, e = starts_l[i], ends_l[i]
             lab = -1
-            while j < prev_hi and ends[j] + tol <= s:
+            while j < prev_hi and ends_l[j] + tol <= s:
                 j += 1
             jj = j
-            while jj < prev_hi and starts[jj] < e + tol:
+            while jj < prev_hi and starts_l[jj] < e + tol:
                 plab = labels[jj]
                 if lab == -1:
                     lab = plab
@@ -834,16 +869,15 @@ def connected_component_runs(mask: np.ndarray, connectivity: int = 8):
     # Resolve roots → component ids in first-encounter order.
     comp_of_root: dict[int, int] = {}
     comp_runs: list[list[int]] = []
-    run_comp = np.empty(n_runs, dtype=np.int64)
+    find = uf.find
     for i in range(n_runs):
-        root = uf.find(int(labels[i]))
+        root = find(labels[i])
         cid = comp_of_root.get(root)
         if cid is None:
             cid = len(comp_runs)
             comp_of_root[root] = cid
             comp_runs.append([])
         comp_runs[cid].append(i)
-        run_comp[i] = cid
     out = []
     for idxs in comp_runs:
         ii = np.array(idxs, dtype=np.int64)

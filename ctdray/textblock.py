@@ -319,6 +319,18 @@ def merge_textlines(blk_list: List[TextBlock]) -> List[TextBlock]:
     return merged
 
 
+def _clone_blk(blk: TextBlock) -> TextBlock:
+    """Field-shallow clone for :func:`split_textblk`.  Every mutating path
+    on TextBlock REASSIGNS its fields (adjust_bbox/sort_lines replace
+    xyxy/lines/distance wholesale, nothing edits them in place), so sharing
+    the field objects between clones is safe; ``lines`` gets a fresh list
+    because split assembles it per sub-block.  deepcopy here was ~5% of the
+    whole per-page postprocess."""
+    new = copy.copy(blk)
+    new.lines = list(blk.lines)
+    return new
+
+
 def split_textblk(blk: TextBlock):
     """Split a multi-line block at distance gaps (utils/textblock.py:390-419).
 
@@ -330,7 +342,7 @@ def split_textblk(blk: TextBlock):
     l0 = np.asarray(blk.lines[0], dtype=np.float64)
     lines.sort(key=lambda l: float(np.sqrt((( np.asarray(l, dtype=np.float64)[0] - l0[0]) ** 2).sum())))
     distance_tol = font_size * 2
-    cur = copy.deepcopy(blk)
+    cur = _clone_blk(blk)
     cur.lines = [lines[0]]
     sub_blocks = [cur]
     did_split = False
@@ -344,7 +356,7 @@ def split_textblk(blk: TextBlock):
                 if len(cur.lines) > 1 or gap > font_size:
                     split = abs(int(lines[jj][0][1]) - int(line[0][1])) > font_size
         if split:
-            cur = copy.deepcopy(cur)
+            cur = _clone_blk(cur)
             cur.lines = [line]
             sub_blocks.append(cur)
         else:
