@@ -145,26 +145,45 @@ def doc_out_spans(detector, doc_id: str, spans: list[dict],
     equality therefore checks the Ray plumbing (batching, actor pools, the
     dense-doc shuffle path, union ordering) rather than this chain.
     """
+    cols = ([], [], [], [], [])
+    doc_out_span_columns(detector, doc_id, spans, cfg, cols)
+    return [{"kind": k, "text": t, "media_ref": r, "offset": o, "order": d}
+            for k, t, r, o, d in zip(*cols)]
+
+
+def doc_out_span_columns(detector, doc_id: str, spans: list[dict],
+                         cfg: DetectorConfig, cols: tuple) -> None:
+    """Column form of :func:`doc_out_spans`: appends one document's output
+    spans into the parallel ``(kind, text, media_ref, offset, order)`` lists.
+
+    The hot pipeline stages build Arrow arrays from these directly —
+    materializing a python dict per span (188k per bench corpus) was ~15% of
+    the whole fused stage; the oracle keeps the dict form via the wrapper so
+    the span contract is checked against the identical chain."""
     from .sources.media import decode_page
 
-    out = []
+    kind_l, text_l, ref_l, off_l, ord_l = cols
     for span in spans:
-        out.append({"kind": span["kind"], "text": span["text"],
-                    "media_ref": span["media_ref"], "offset": span["offset"],
-                    "order": -1})
+        kind_l.append(span["kind"])
+        text_l.append(span["text"])
+        ref_l.append(span["media_ref"])
+        off_l.append(span["offset"])
+        ord_l.append(-1)
         if span["kind"] != "media":
             continue
+        ref = span["media_ref"]
         try:
-            img = decode_page(span["media_ref"])
+            img = decode_page(ref)
         except ValueError:
             continue
-        blocks, _ = detect_page(detector, span["media_ref"],
-                                img.shape[0], img.shape[1], cfg)
+        blocks, _ = detect_page(detector, ref, img.shape[0], img.shape[1], cfg)
+        off = span["offset"]
         for order, text in page_line_spans(blocks):
-            out.append({"kind": "text_line", "text": text,
-                        "media_ref": span["media_ref"],
-                        "offset": span["offset"], "order": order})
-    return out
+            kind_l.append("text_line")
+            text_l.append(text)
+            ref_l.append(ref)
+            off_l.append(off)
+            ord_l.append(order)
 
 
 def page_line_spans(blk_list: List[TextBlock]) -> list[tuple[int, str]]:

@@ -27,12 +27,30 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import PipelineConfig
-from ..detect_core import (detect_page, doc_out_spans, infer_page_arrays,
-                           page_line_spans, postprocess_page)
+from ..detect_core import (detect_page, doc_out_span_columns,
+                           infer_page_arrays, page_line_spans,
+                           postprocess_page)
 from ..tensorcodec import decode_map, encode_map
 from ..schema import (BLOCK_SCHEMA, DETECTED_SPAN_SCHEMA, OUT_DOC_SCHEMA,
-                      TENSOR_DOC_SCHEMA, TENSOR_PAGE_SCHEMA)
+                      OUT_SPAN_STRUCT, TENSOR_DOC_SCHEMA, TENSOR_PAGE_SCHEMA)
 from ..surrogate import make_detector
+
+
+def _spliced_docs_table(doc_ids: list, cols: tuple,
+                        list_offsets: list) -> pa.Table:
+    """(doc_ids, span column lists, per-doc list offsets) → OUT_DOC_SCHEMA
+    table, built column-wise (no per-span python dicts)."""
+    struct = pa.StructArray.from_arrays(
+        [pa.array(cols[0], pa.string()),
+         pa.array(cols[1], pa.string()),
+         pa.array(cols[2], pa.string()),
+         pa.array(cols[3], pa.int32()),
+         pa.array(cols[4], pa.int32())],
+        fields=list(OUT_SPAN_STRUCT))
+    spans = pa.ListArray.from_arrays(pa.array(list_offsets, pa.int32()),
+                                     struct)
+    return pa.table({"doc_id": pa.array(doc_ids, pa.string()),
+                     "spans": spans})
 
 
 def detect_splice_doc_task(batch: pa.Table, cfg=None,
@@ -44,13 +62,15 @@ def detect_splice_doc_task(batch: pa.Table, cfg=None,
     det = _TASK_DETECTORS.get(key)
     if det is None:
         det = _TASK_DETECTORS[key] = make_detector(backend, cfg.detector)
-    rows = [{"doc_id": doc_id,
-             "spans": doc_out_spans(det, doc_id, spans, cfg.detector)}
-            for doc_id, spans in zip(batch.column("doc_id").to_pylist(),
-                                     batch.column("spans").to_pylist())]
-    if not rows:
+    doc_ids = batch.column("doc_id").to_pylist()
+    if not doc_ids:
         return OUT_DOC_SCHEMA.empty_table()
-    return pa.Table.from_pylist(rows, schema=OUT_DOC_SCHEMA)
+    cols: tuple = ([], [], [], [], [])
+    offsets = [0]
+    for doc_id, spans in zip(doc_ids, batch.column("spans").to_pylist()):
+        doc_out_span_columns(det, doc_id, spans, cfg.detector, cols)
+        offsets.append(len(cols[0]))
+    return _spliced_docs_table(doc_ids, cols, offsets)
 
 
 class DetectSpliceDoc:
@@ -72,16 +92,16 @@ class DetectSpliceDoc:
         self.detector = make_detector(backend, self.det_cfg, model_path)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = []
-        for doc_id, spans in zip(batch.column("doc_id").to_pylist(),
-                                 batch.column("spans").to_pylist()):
-            rows.append({
-                "doc_id": doc_id,
-                "spans": doc_out_spans(self.detector, doc_id, spans, self.det_cfg),
-            })
-        if not rows:
+        doc_ids = batch.column("doc_id").to_pylist()
+        if not doc_ids:
             return OUT_DOC_SCHEMA.empty_table()
-        return pa.Table.from_pylist(rows, schema=OUT_DOC_SCHEMA)
+        cols: tuple = ([], [], [], [], [])
+        offsets = [0]
+        for doc_id, spans in zip(doc_ids, batch.column("spans").to_pylist()):
+            doc_out_span_columns(self.detector, doc_id, spans, self.det_cfg,
+                                 cols)
+            offsets.append(len(cols[0]))
+        return _spliced_docs_table(doc_ids, cols, offsets)
 
 
 _TASK_DETECTORS: dict = {}
@@ -300,14 +320,19 @@ def postprocess_doc_task(batch: pa.Table, cfg=None) -> pa.Table:
     pages, so nothing downstream needs a shuffle."""
     cfg = cfg or PipelineConfig()
     det_cfg = cfg.detector
-    out_rows: list[dict] = []
+    doc_ids: list = []
+    cols: tuple = ([], [], [], [], [])
+    offsets = [0]
+    kind_l, text_l, ref_l, off_l, ord_l = cols
     for row in batch.to_pylist():
+        doc_ids.append(row["doc_id"])
         payloads = {p["media_offset"]: p for p in row["pages"]}
-        out: list[dict] = []
         for span in row["spans"]:
-            out.append({"kind": span["kind"], "text": span["text"],
-                        "media_ref": span["media_ref"],
-                        "offset": span["offset"], "order": -1})
+            kind_l.append(span["kind"])
+            text_l.append(span["text"])
+            ref_l.append(span["media_ref"])
+            off_l.append(span["offset"])
+            ord_l.append(-1)
             if span["kind"] != "media":
                 continue
             p = payloads.get(span["offset"])
@@ -317,13 +342,15 @@ def postprocess_doc_task(batch: pa.Table, cfg=None) -> pa.Table:
             blocks, _mask = postprocess_page(blks, mask_crop, lines0,
                                              p["im_h"], p["im_w"], det_cfg)
             for order, text in page_line_spans(blocks):
-                out.append({"kind": "text_line", "text": text,
-                            "media_ref": span["media_ref"],
-                            "offset": span["offset"], "order": order})
-        out_rows.append({"doc_id": row["doc_id"], "spans": out})
-    if not out_rows:
+                kind_l.append("text_line")
+                text_l.append(text)
+                ref_l.append(span["media_ref"])
+                off_l.append(span["offset"])
+                ord_l.append(order)
+        offsets.append(len(kind_l))
+    if not doc_ids:
         return OUT_DOC_SCHEMA.empty_table()
-    return pa.Table.from_pylist(out_rows, schema=OUT_DOC_SCHEMA)
+    return _spliced_docs_table(doc_ids, cols, offsets)
 
 
 def postprocess_task(batch: pa.Table, cfg=None, output: str = "spans") -> pa.Table:
