@@ -775,6 +775,51 @@ def _simhash_sql(select: str) -> str:
         + select)
 
 
+def _knn_lsh_sql(n_planes: int = 8, seed: int = 11, probe_hamming: int = 2,
+                 n_tables: int = 6, dim: int = 64, k: int = 10) -> str:
+    """Exact SQL re-implementation of similarity.knn_lsh's DEFAULT geometry
+    (multi-table + multiprobe): the hyperplanes are data-INDEPENDENT
+    (seeded by dim alone), so they embed as literals and the oracle holds
+    at any scale factor.  A vector is a candidate iff, in ANY of the
+    ``n_tables`` plane sets, the popcount of its bucket XOR the query's
+    bucket is ≤ ``probe_hamming`` — exactly the engine's enumerated probe
+    set, without enumerating it.  (knn_ivf's default stays rows-only by
+    nature: its centroids are k-means-trained on a driver-side DATA sample,
+    so no static SQL string is correct across scale factors — the
+    exact-by-construction fullprobe variant and the recall-floor pytests
+    pin it instead.)"""
+    import numpy as np
+
+    def bucket(vec_expr: str, planes) -> str:
+        terms = []
+        for j in range(n_planes):
+            lit = "[" + ",".join(repr(float(x)) for x in planes[:, j]) + "]"
+            terms.append(
+                f"(CASE WHEN list_inner_product({vec_expr}, "
+                f"{lit}::DOUBLE[]) > 0 THEN {1 << j} ELSE 0 END)")
+        return "(" + " + ".join(terms) + ")"
+
+    conds = []
+    for t in range(n_tables):
+        rng = np.random.default_rng(seed + 1000 * t)
+        planes = rng.standard_normal((dim, n_planes))
+        conds.append(
+            f"bit_count(xor({bucket('ev', planes)}::BIGINT, "
+            f"{bucket('q.qv', planes)}::BIGINT)) <= {probe_hamming}")
+    return (
+        "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv "
+        "FROM embeddings WHERE vec_id < 5), "
+        "ev_t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev "
+        "FROM embeddings), "
+        "cand AS (SELECT q.q_id, e.vec_id, "
+        "list_cosine_similarity(e.ev, q.qv) AS sim "
+        f"FROM ev_t e CROSS JOIN q WHERE {' OR '.join(conds)}) "
+        "SELECT q_id, vec_id, \"rank\" FROM ("
+        "  SELECT q_id, vec_id, CAST(row_number() OVER ("
+        "    PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS INTEGER) "
+        f"  AS \"rank\" FROM cand) WHERE \"rank\" <= {k}")
+
+
 def _documents(sf_dir: str):
     from ctdray.sources.tables import read_parquet_clean
 
@@ -1867,6 +1912,8 @@ def oracle_sql() -> dict[str, str]:
             "    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, "
             "    e.vec_id ASC) AS INTEGER) AS \"rank\" "
             "  FROM embeddings e CROSS JOIN q) WHERE \"rank\" <= 10"),
+        # DEFAULT knn_lsh geometry, exactly re-expressed (see _knn_lsh_sql)
+        "knn_lsh": _knn_lsh_sql(),
         "cosine_range_search": (
             "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv "
             "FROM embeddings WHERE vec_id < 5) "

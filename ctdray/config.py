@@ -60,7 +60,11 @@ class PipelineConfig:
     # out per call — small enough that batch × concurrency stays well under
     # a worker heap even at 100-TB corpus block sizes.
     infer_batch_size: int = 4
-    half_maps: bool = False         # ship split-layout maps as fp16
+    # Ship split-layout map VALUES as fp16 (compute stays fp32; the codec
+    # casts only the stored bytes — tensorcodec module docstring).  Default
+    # ON: halves the object-store bytes per page, measured span-identical
+    # and within noise of fp32 wall-time on the bench corpus.
+    half_maps: bool = True
     # Hybrid splice routing: docs with ≤ this many media spans take the fused
     # no-shuffle path (detect+splice inside one task); denser docs explode to
     # page rows and reunite via groupby(doc_id) so one dense doc can never

@@ -65,6 +65,32 @@ def infer_page_arrays(detector, media_ref: str, im_h: int, im_w: int,
     return b, mask_crop, lines0
 
 
+def infer_page_planes(detector, media_ref: str, im_h: int, im_w: int,
+                      cfg: DetectorConfig) -> tuple[np.ndarray, np.ndarray,
+                                                    np.ndarray, int, int]:
+    """Split-layout forward pass returning ``(blks, mask_full, lines0_full,
+    crop_h, crop_w)`` — the two FULL-SIZE (S, S) fp32 maps as the backend
+    produced them (zero copies here; the codec scans them in place and the
+    letterbox pad region never ships — tensorcodec.encode_page_maps) plus
+    the un-padded crop extent.  Maps stay fp32 regardless of the wire dtype:
+    numpy fp16 kernels are emulated and the codec casts only the stored
+    values (tensorcodec module docstring)."""
+    size = cfg.input_size
+    blks, mask, lines_map = detector.infer(media_ref, im_h, im_w)
+    _, new_w, new_h, dw, dh = letterbox_params(im_h, im_w, size)
+    b = np.asarray(blks, dtype=np.float32)
+    while b.ndim > 2:
+        b = b[0]
+    m = np.asarray(mask, dtype=np.float32)
+    while m.ndim > 2:
+        m = m[0]
+    l0 = np.asarray(lines_map, dtype=np.float32)
+    while l0.ndim > 3:
+        l0 = l0[0]
+    l0 = l0[0]
+    return b, m, l0, size - dh, size - dw
+
+
 def postprocess_page(blks: np.ndarray, mask_crop: np.ndarray,
                      lines0: np.ndarray, im_h: int, im_w: int,
                      cfg: DetectorConfig,

@@ -29,6 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from .similarity import vectors_from_column
 from .text import md5_fingerprint, token_set_key
 
 _MERSENNE = (1 << 61) - 1
@@ -189,9 +190,62 @@ def _distinct_on(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
               .map_groups(first, batch_format="pyarrow"))
 
 
+_POLY_P = np.uint64(1099511628211)          # FNV-1a prime, odd → invertible
+_poly_pows = np.array([1], dtype=np.uint64)  # powers of P, grown on demand
+
+
+def _poly_pow_table(n: int) -> np.ndarray:
+    global _poly_pows
+    if len(_poly_pows) < n:
+        size = max(n, 2 * len(_poly_pows))
+        # wrap-around cumprod (array ops wrap silently where scalar ops warn)
+        facs = np.full(size, _POLY_P, dtype=np.uint64)
+        facs[0] = 1
+        _poly_pows = np.cumprod(facs)
+    return _poly_pows
+
+
+def _hash_strings_u64(arr: pa.Array) -> np.ndarray:
+    """Vectorized uint64 hash of a string column, straight off the Arrow
+    buffers: per-byte polynomial accumulation (byte·P^pos, wrap-around
+    uint64) segment-summed with np.add.reduceat, then a splitmix avalanche
+    salted with the length.  O(total bytes) in numpy kernels — the previous
+    per-row ``blake2b(str(x))`` loop was the one Python-per-row path on the
+    dedup coarse exchanges (doc_id IS a string in the doc schema)."""
+    n = len(arr)
+    off_dt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dt,
+                            count=arr.offset + n + 1)[arr.offset:]
+    starts = offsets[:-1].astype(np.int64)
+    lens = (offsets[1:].astype(np.int64) - starts)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    cum = np.cumsum(lens)
+    total = int(cum[-1]) if n else 0
+    seg_starts = cum - lens
+    sums = np.zeros(n, dtype=np.uint64)
+    if total:
+        within = np.arange(total, dtype=np.int64) \
+            - np.repeat(seg_starts, lens)
+        contrib = data[np.repeat(starts, lens) + within].astype(np.uint64) \
+            * _poly_pow_table(int(lens.max()))[within]
+        # reduceat over NON-EMPTY segments only: empty segments would
+        # duplicate (or, at the tail, overflow) the index list and corrupt
+        # their neighbours' sums — their hash is the pure length-salt mix.
+        nz = lens > 0
+        sums[nz] = np.add.reduceat(contrib, seg_starts[nz])
+    h = sums ^ (lens.astype(np.uint64) * _MIX2)
+    h = (h ^ (h >> np.uint64(33))) * _MIX1
+    return h ^ (h >> np.uint64(29))
+
+
 def _hash_ids_u64(arr: pa.Array) -> np.ndarray:
     """uint64 mix of an id column — numpy splitmix for integer ids,
-    blake2b fallback for anything else (rare path)."""
+    buffer-vectorized polynomial hash for strings, blake2b fallback for
+    anything else (rare path).  Values are partition/bucket keys only:
+    deterministic and consistent across every task in a run, never compared
+    against hashes produced by another scheme."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
     if len(arr) == 0:
         return np.array([], dtype=np.uint64)
     if pa.types.is_integer(arr.type):
@@ -199,6 +253,9 @@ def _hash_ids_u64(arr: pa.Array) -> np.ndarray:
             .astype(np.uint64)
         v = (v ^ (v >> np.uint64(33))) * _MIX1
         return v ^ (v >> np.uint64(29))
+    if (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)) \
+            and arr.null_count == 0:
+        return _hash_strings_u64(arr)
     return np.fromiter((_stable_hash64(str(x)) for x in arr.to_pylist()),
                        dtype=np.uint64, count=len(arr))
 
@@ -734,7 +791,7 @@ def embedding_near_dedup(ds: ray.data.Dataset, threshold: float = 0.98,
     shifts = (1 << np.arange(n_planes, dtype=np.uint64))
 
     def add_buckets(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = vectors_from_column(batch.column(vec_col))
         n = len(batch)
         dim = vecs.shape[1] if vecs.size else 0
         tables, buckets, idx = [], [], []
@@ -761,7 +818,7 @@ def embedding_near_dedup(ds: ray.data.Dataset, threshold: float = 0.98,
 
     def bucket_dups(group: pa.Table) -> pa.Table:
         ids = np.array(group.column(id_col).to_pylist())
-        vecs = np.array(group.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = vectors_from_column(group.column(vec_col))
         order = np.argsort(ids)
         ids, vecs = ids[order], vecs[order]
         norms = np.linalg.norm(vecs, axis=1)

@@ -20,6 +20,26 @@ import ray
 import ray.data
 
 
+def vectors_from_column(col, dtype=np.float64) -> np.ndarray:
+    """Arrow ``list<float>`` / ``fixed_size_list`` column → (n, dim) numpy,
+    via the flat values buffer (``pc.list_flatten`` → ``to_numpy`` →
+    reshape): zero-copy-adjacent, no per-row Python round-trip.  The old
+    ``np.array(col.to_pylist())`` built n × dim Python floats per batch —
+    the dominant cost of every embedding stage at bench scale."""
+    import pyarrow.compute as pc
+
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    flat = pc.list_flatten(col)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    vals = flat.to_numpy(zero_copy_only=False)
+    if vals.size % n:
+        raise ValueError("ragged embedding column")
+    return np.ascontiguousarray(vals.reshape(n, vals.size // n), dtype=dtype)
+
+
 def _unit_rows(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1)
     n[n == 0] = 1.0
@@ -57,7 +77,7 @@ def knn_bruteforce(ds: ray.data.Dataset, queries: np.ndarray,
 
     def batch_topk(batch: pa.Table) -> pa.Table:
         q_unit = ray.get(q_unit_ref)
-        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = vectors_from_column(batch.column(vec_col))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         if vecs.size == 0:
             return _topk_table([], np.zeros((0, 0)), ids, k)
@@ -94,7 +114,7 @@ def cosine_range_search(ds: ray.data.Dataset, queries: np.ndarray,
 
     def batch_matches(batch: pa.Table) -> pa.Table:
         q_unit = ray.get(q_unit_ref)
-        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = vectors_from_column(batch.column(vec_col))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         if vecs.size == 0:
             return pa.table({"q_id": pa.array([], pa.int64()),
@@ -149,7 +169,7 @@ def knn_ivf(ds: ray.data.Dataset, queries: np.ndarray, q_ids: np.ndarray,
     def batch_topk(batch: pa.Table) -> pa.Table:
         cents = ray.get(centers_ref)
         q_unit = ray.get(q_unit_ref)
-        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = vectors_from_column(batch.column(vec_col))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         if vecs.size == 0:
             return pa.table({"q_id": pa.array([], pa.int64()),
@@ -232,7 +252,7 @@ def knn_lsh(ds: ray.data.Dataset, queries: np.ndarray, q_ids: np.ndarray,
 
     def batch_topk(batch: pa.Table) -> pa.Table:
         q_unit = ray.get(q_unit_ref)
-        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = vectors_from_column(batch.column(vec_col))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         if vecs.size == 0:
             return pa.table({"q_id": pa.array([], pa.int64()),

@@ -547,8 +547,6 @@ def unclip_rect(box: np.ndarray, unclip_ratio: float = 1.5) -> np.ndarray:
     analytically: each corner moves by d along both of its adjacent outward
     edge normals.
     """
-    import math
-
     b = np.asarray(box, dtype=np.float64)
     # Scalar math throughout: the input is always exactly 4 corners, and at
     # ~13 components/page this call is hot — small-array numpy dispatch

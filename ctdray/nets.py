@@ -272,9 +272,14 @@ def db_head_plan(input_size: int = 1024) -> dict[str, tuple[int, int]]:
     return {
         "u80": u["u80"],
         "x160": (128, u["u160"][1]),        # upconv4 then 1×1 conv → 64
-        "shrink": (1, input_size // 2),     # binarize: two ×2 deconvs on /8
-        "thresh": (1, input_size // 2),
-        "lines_map": (2, input_size // 2),  # cat(shrink, thresh)
+        # binarize/thresh towers: two ×2 deconvs on the /4 feature
+        # ("128@160" on a 640 input, basemodel.py:110) → FULL input size.
+        # (Corrected from input_size // 2 by the numpy reference forward —
+        # npnet.py — which executes the enumerated layout end-to-end; the
+        # surrogate's (2, S, S) lines_map always had the true contract.)
+        "shrink": (1, input_size),
+        "thresh": (1, input_size),
+        "lines_map": (2, input_size),       # cat(shrink, thresh)
     }
 
 

@@ -26,6 +26,7 @@ from ..config import PipelineConfig
 from ..stages.decode import DecodeStage
 from ..stages.detect import (DetectExtract, DetectInfer, DetectInferDoc,
                              DetectSpliceDoc, detect_extract_task,
+                             detect_infer_doc_task, detect_infer_task,
                              detect_splice_doc_task, postprocess_doc_task,
                              postprocess_task)
 from ..stages.explode import explode_all_spans, explode_media_spans
@@ -50,9 +51,12 @@ def _detect_concurrency(cfg: PipelineConfig):
 def _infer_concurrency(cfg: PipelineConfig) -> int:
     """Infer-pool size for the SPLIT layout: explicit from config; else the
     whole GPU fleet when the stage is GPU-resourced (the pool exists to keep
-    accelerators saturated), else ~2/3 of the CPUs so the stateless
-    postprocess tasks always have cores to drain the tensor rows into spans
-    (a starved postprocess backs the object store up with 4-12 MB/page maps)."""
+    accelerators saturated), else ~45% of the CPUs — the measured compute
+    split of the CPU-surrogate layout (infer+encode ≈ 5.8 ms/page vs
+    postprocess ≈ 7.3 ms/page on the bench corpus): the actor pool RESERVES
+    its CPUs whether busy or not, so oversizing it starves the stateless
+    postprocess tasks that drain the 4-12 MB/page tensor rows and the object
+    store backs up behind them."""
     if cfg.infer_concurrency is not None:
         return cfg.infer_concurrency
     import ray
@@ -61,23 +65,42 @@ def _infer_concurrency(cfg: PipelineConfig) -> int:
     if cfg.infer_num_gpus > 0:
         return max(1, int(res.get("GPU", 0) / cfg.infer_num_gpus))
     cpus = int(res.get("CPU", 4))
-    return max(2, (cpus * 2) // 3)
+    return max(2, (cpus * 9) // 20)
+
+
+def _infer_pool(cfg: PipelineConfig) -> bool:
+    """Whether the split layout's infer stage runs as an ACTOR POOL.  True
+    when the stage is GPU-resourced (weights on-device once per actor,
+    num_gpus reserved per actor) or explicitly requested
+    (``detect_compute='actors'``); otherwise the infer stage runs as
+    stateless tasks with the per-process detector cache — it reserves no
+    CPUs, pays no pool spin-up, and Ray balances infer and postprocess tasks
+    over one pool instead of pinning a fixed CPU split between the legs."""
+    return cfg.infer_num_gpus > 0 or cfg.detect_compute == "actors"
 
 
 def _map_detect_split(pages: ray.data.Dataset, cfg: PipelineConfig,
                       backend: str, output: str) -> ray.data.Dataset:
-    """Split (prod GPU) layout: infer actor pool → stateless CPU postprocess
+    """Split (prod GPU) layout: infer pool/tasks → stateless CPU postprocess
     (stages.detect module docstring)."""
-    remote_args = {"num_gpus": cfg.infer_num_gpus} if cfg.infer_num_gpus > 0 \
-        else {"num_cpus": 1}
-    tensors = pages.map_batches(
-        DetectInfer,
-        fn_constructor_kwargs={"cfg": cfg, "backend": backend},
-        batch_format="pyarrow",
-        batch_size=cfg.infer_batch_size,
-        concurrency=_infer_concurrency(cfg),
-        **remote_args,
-    )
+    if _infer_pool(cfg):
+        remote_args = {"num_gpus": cfg.infer_num_gpus} \
+            if cfg.infer_num_gpus > 0 else {"num_cpus": 1}
+        tensors = pages.map_batches(
+            DetectInfer,
+            fn_constructor_kwargs={"cfg": cfg, "backend": backend},
+            batch_format="pyarrow",
+            batch_size=cfg.infer_batch_size,
+            concurrency=_infer_concurrency(cfg),
+            **remote_args,
+        )
+    else:
+        tensors = pages.map_batches(
+            detect_infer_task,
+            fn_kwargs={"cfg": cfg, "backend": backend},
+            batch_format="pyarrow",
+            batch_size=cfg.infer_batch_size,
+        )
     return tensors.map_batches(
         postprocess_task,
         fn_kwargs={"cfg": cfg, "output": output},
@@ -230,7 +253,7 @@ def _dense_doc_ids(docs: ray.data.Dataset, thr: int,
     ks = src.map_batches(keys, batch_format="pyarrow")
     for b in ks.iter_batches(batch_format="pyarrow"):
         ids.extend(b.column("doc_id").to_pylist())
-        if len(ids) > limit:        # pragma: no cover - extreme-scale guard
+        if len(ids) > limit:        # cap exceeded → predicate routing (tested)
             return None
     return ids
 
@@ -254,16 +277,24 @@ def _split_doc_path(docs: ray.data.Dataset, cfg: PipelineConfig,
     fused path nothing crosses an exchange — only the codec'd maps cross the
     infer→postprocess OBJECT-STORE boundary (that boundary is the point of
     the layout: the infer pool holds the GPUs, postprocess scales on CPUs)."""
-    remote_args = {"num_gpus": cfg.infer_num_gpus} if cfg.infer_num_gpus > 0 \
-        else {"num_cpus": 1}
-    tensor_docs = docs.map_batches(
-        DetectInferDoc,
-        fn_constructor_kwargs={"cfg": cfg, "backend": backend},
-        batch_format="pyarrow",
-        batch_size=cfg.docs_batch_size,
-        concurrency=_infer_concurrency(cfg),
-        **remote_args,
-    )
+    if _infer_pool(cfg):
+        remote_args = {"num_gpus": cfg.infer_num_gpus} \
+            if cfg.infer_num_gpus > 0 else {"num_cpus": 1}
+        tensor_docs = docs.map_batches(
+            DetectInferDoc,
+            fn_constructor_kwargs={"cfg": cfg, "backend": backend},
+            batch_format="pyarrow",
+            batch_size=cfg.docs_batch_size,
+            concurrency=_infer_concurrency(cfg),
+            **remote_args,
+        )
+    else:
+        tensor_docs = docs.map_batches(
+            detect_infer_doc_task,
+            fn_kwargs={"cfg": cfg, "backend": backend},
+            batch_format="pyarrow",
+            batch_size=cfg.docs_batch_size,
+        )
     return tensor_docs.map_batches(
         postprocess_doc_task,
         fn_kwargs={"cfg": cfg},
@@ -295,7 +326,7 @@ def _split_out_docs(docs: ray.data.Dataset, cfg: PipelineConfig,
     if dense_ids is not None:
         normal = broadcast_semi_join(docs, dense_ids, "doc_id", anti=True)
         dense = broadcast_semi_join(docs, dense_ids, "doc_id")
-    else:   # pragma: no cover - extreme-scale fallback
+    else:   # id-cap exceeded → complementary-predicate full scans (tested)
         normal = docs.map_batches(_make_density_filter(thr, dense=False),
                                   batch_format="pyarrow")
         dense = docs.map_batches(_make_density_filter(thr, dense=True),
@@ -307,9 +338,7 @@ def _split_out_docs(docs: ray.data.Dataset, cfg: PipelineConfig,
     # for the same reasons as the fused hybrid's tail (bounded by
     # construction; keeps the lazy tail operators from starving the main
     # pool under per-operator reservation).
-    import ray as _ray
-
-    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     dense_spans = (dense.map_batches(explode_all_spans, batch_format="pyarrow")
                         .repartition(max(4, cpus // 4))
                         .materialize())
@@ -359,7 +388,7 @@ def build_out_docs(docs: ray.data.Dataset,
         # Common case: no dense tail → ONE unfiltered fused scan, no union.
         return _map_detect_splice(docs, cfg, backend)
 
-    if dense_ids is None:   # pragma: no cover - extreme-scale fallback
+    if dense_ids is None:   # id-cap exceeded → complementary-predicate scans (tested)
         normal = docs.map_batches(_make_density_filter(thr, dense=False),
                                   batch_format="pyarrow")
         dense = docs.map_batches(_make_density_filter(thr, dense=True),

@@ -126,10 +126,12 @@ DETECTED_SPAN_SCHEMA = pa.schema(
 
 # Split-layout intermediate rows (prod GPU layout, stages/detect.py): the raw
 # per-page model outputs crossing the infer→postprocess stage boundary.
-# ``blks`` is (n, blks_w) float32 YOLO rows; the two maps are cropped to the
-# un-padded letterbox region (map_h = S-dh, map_w = S-dw) and stored fp16 when
-# ``half`` (detect_core.infer_page_arrays documents why fp16 is decision-safe
-# for the maps and never applied to the coordinate rows).
+# ``blks`` is (n, blks_w) float32 YOLO rows; the page's TWO maps (UNet mask +
+# DB shrink channel) are codec'd TOGETHER — one runs table, one values
+# buffer (tensorcodec.encode_page_maps; map_h/map_w = the un-padded crop
+# extent S-dh × S-dw) — stored fp16 when ``half``
+# (detect_core.infer_page_arrays documents why fp16 is decision-safe for the
+# maps and never applied to the coordinate rows).
 TENSOR_PAGE_SCHEMA = pa.schema(
     [
         pa.field("doc_id", pa.string()),
@@ -143,12 +145,13 @@ TENSOR_PAGE_SCHEMA = pa.schema(
         # (runs + nonzero pixels) when mostly background — ~10× fewer bytes
         # on typical pages, the difference between streaming and spilling at
         # corpus scale — with an automatic dense fallback (runs empty).
-        pa.field("mask", pa.large_binary()),
-        pa.field("mask_runs", pa.large_binary()),
-        pa.field("mask_sparse", pa.bool_()),
-        pa.field("lines0", pa.large_binary()),
-        pa.field("lines0_runs", pa.large_binary()),
-        pa.field("lines0_sparse", pa.bool_()),
+        pa.field("maps", pa.large_binary()),
+        pa.field("maps_runs", pa.large_binary()),
+        # bit i set = plane i run-length sparse over the FULL (S, S) map
+        # (letterbox pad is zero, so sparse ships it free); bit clear =
+        # dense CROP fallback to (map_h, map_w) for dense-nonzero prod
+        # sigmoid maps.  tensorcodec.encode_page_maps.
+        pa.field("maps_mode", pa.int8()),
         pa.field("map_h", pa.int32()),
         pa.field("map_w", pa.int32()),
         pa.field("half", pa.bool_()),
@@ -171,12 +174,9 @@ TENSOR_PAGE_STRUCT = pa.struct(
         pa.field("im_w", pa.int32()),
         pa.field("blks", pa.large_binary()),
         pa.field("blks_w", pa.int32()),
-        pa.field("mask", pa.large_binary()),
-        pa.field("mask_runs", pa.large_binary()),
-        pa.field("mask_sparse", pa.bool_()),
-        pa.field("lines0", pa.large_binary()),
-        pa.field("lines0_runs", pa.large_binary()),
-        pa.field("lines0_sparse", pa.bool_()),
+        pa.field("maps", pa.large_binary()),
+        pa.field("maps_runs", pa.large_binary()),
+        pa.field("maps_mode", pa.int8()),
         pa.field("map_h", pa.int32()),
         pa.field("map_w", pa.int32()),
         pa.field("half", pa.bool_()),

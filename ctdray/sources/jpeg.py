@@ -329,6 +329,242 @@ def encode_baseline_jpeg(img: np.ndarray, quality: int = 90,
     return bytes(out)
 
 
+# --- progressive encoder -----------------------------------------------------
+
+# One FLAT Huffman table for every progressive scan: a complete canonical
+# code with symbol 0x00 at 7 bits and 0x01..0xFE at 8 bits (Kraft 1/128 +
+# 254/256 = 1).  Progressive AC scans emit EOBn symbols (0x10, 0x20, …)
+# that the Annex K.3 baseline tables do not contain; a flat table covers
+# every (run, size) pair without a per-scan frequency pass.  Bloats the
+# stream a little — these fixtures exist for decoder parity, not size.
+_FLAT_HUFF = ([0, 0, 0, 0, 0, 0, 1, 254, 0, 0, 0, 0, 0, 0, 0, 0],
+              [0x00] + list(range(0x01, 0xFF)))
+
+
+class _EobState:
+    """EOB-run accumulator shared by the progressive AC scan emitters
+    (T.81 G.1.2.2-3): ``run`` counts early-ended blocks, ``bits`` buffers
+    the refinement correction bits owed after the next EOBn symbol."""
+
+    __slots__ = ("run", "bits")
+
+    def __init__(self):
+        self.run = 0
+        self.bits = []
+
+    def flush(self, bw, ac_tab):
+        if self.run > 0:
+            nbits = self.run.bit_length() - 1
+            code, ln = ac_tab[nbits << 4]
+            bw.put(code, ln)
+            if nbits:
+                bw.put(self.run - (1 << nbits), nbits)
+            self.run = 0
+        for b in self.bits:
+            bw.put(b, 1)
+        self.bits = []
+
+
+def _trunc_shift(v: int, al: int) -> int:
+    """v / 2^al truncated toward zero (T.81 G.1.2.2 point transform)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _emit_ac_first(bw, blocks, ss, se, al, ac_tab, eob: _EobState):
+    for blk in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            t = _trunc_shift(int(blk[k]), al)
+            if t == 0:
+                r += 1
+                continue
+            eob.flush(bw, ac_tab)
+            while r > 15:
+                code, ln = ac_tab[0xF0]          # ZRL
+                bw.put(code, ln)
+                r -= 16
+            s, bits = _magnitude(t)
+            code, ln = ac_tab[(r << 4) | s]
+            bw.put(code, ln)
+            bw.put(bits, s)
+            r = 0
+        if r > 0:
+            eob.run += 1
+            if eob.run == 0x7FFF:
+                eob.flush(bw, ac_tab)
+
+
+def _emit_ac_refine(bw, blocks, ss, se, al, ac_tab, eob: _EobState):
+    for blk in blocks:
+        absval = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        eobpos = -1                              # last newly-significant k
+        for j, t in enumerate(absval):
+            if t == 1:
+                eobpos = ss + j
+        r = 0
+        br: list[int] = []                       # pending correction bits
+        for k in range(ss, se + 1):
+            t = absval[k - ss]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eobpos:
+                eob.flush(bw, ac_tab)
+                code, ln = ac_tab[0xF0]          # ZRL
+                bw.put(code, ln)
+                r -= 16
+                for b in br:
+                    bw.put(b, 1)
+                br = []
+            if t > 1:                            # history: correction bit
+                br.append(t & 1)
+                continue
+            eob.flush(bw, ac_tab)
+            code, ln = ac_tab[(r << 4) | 1]
+            bw.put(code, ln)
+            bw.put(1 if int(blk[k]) > 0 else 0, 1)
+            for b in br:
+                bw.put(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eob.run += 1
+            eob.bits.extend(br)
+            if eob.run == 0x7FFF:
+                eob.flush(bw, ac_tab)
+
+
+def encode_progressive_jpeg(img: np.ndarray, quality: int = 90,
+                            subsampling: str = "444") -> bytes:
+    """uint8 (H, W) grayscale or (H, W, 3) BGR → progressive (SOF2) JFIF:
+    spectral selection (DC scan, split AC bands) AND successive
+    approximation (Al=1 first passes + refinement scans), so a decoder must
+    exercise every progressive scan kind to reproduce the image.  Exact
+    coefficient round-trip with :func:`decode_jpeg` by construction."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError("encode_progressive_jpeg expects uint8")
+    h, w = img.shape[:2]
+    gray = img.ndim == 2
+    q_lum, q_chr = _quality_tables(quality)
+
+    if gray:
+        samp = [(1, 1)]
+        planes = [img.astype(np.float64)]
+        qtabs = [q_lum]
+    else:
+        sx, sy = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
+        ycc = _bgr_to_ycbcr(img)
+
+        def down(p):
+            pp = _pad_to(p, sy, sx)
+            return pp.reshape(pp.shape[0] // sy, sy,
+                              pp.shape[1] // sx, sx).mean(axis=(1, 3))
+        planes = [ycc[..., 0], down(ycc[..., 1]), down(ycc[..., 2])]
+        samp = [(sx, sy), (1, 1), (1, 1)]
+        qtabs = [q_lum, q_chr, q_chr]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # quantized zigzag coefficient grids per component, RASTER block order
+    grids = []
+    used = []
+    for (sh, sv), plane, qt in zip(samp, planes, qtabs):
+        pw, ph = 8 * mcus_x * sh, 8 * mcus_y * sv
+        plane = _pad_to(plane, ph, pw)[:ph, :pw]
+        blocks = _to_blocks(plane) - 128.0
+        coeffs = np.einsum("ux,nxy,vy->nuv", _M, blocks, _M)
+        qz = np.round(coeffs / qt).astype(np.int64)
+        grids.append(qz.reshape(mcus_y * sv, mcus_x * sh, 64)[:, :, ZIGZAG])
+        cw = -(-(w * sh) // hmax)
+        ch = -(-(h * sv) // vmax)
+        used.append((-(-ch // 8), -(-cw // 8)))   # (uh, uw)
+
+    tab = _huff_encode_table(_FLAT_HUFF)
+    ncomp = len(planes)
+
+    def dc_scan_bytes(ah: int, al: int) -> bytes:
+        bw = _BitWriter()
+        preds = [0] * ncomp
+        for m in range(mcus_x * mcus_y):
+            my, mx = divmod(m, mcus_x)
+            for ci in range(ncomp):
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        v = int(grids[ci][my * sv + by, mx * sh + bx, 0])
+                        if ah == 0:              # first pass: diffs of v>>al
+                            t = v >> al          # arithmetic shift (G.1.2.1)
+                            diff = t - preds[ci]
+                            preds[ci] = t
+                            s, bits = _magnitude(diff)
+                            code, ln = tab[s]
+                            bw.put(code, ln)
+                            if s:
+                                bw.put(bits, s)
+                        else:                    # refinement: bit al
+                            bw.put((v >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.buf)
+
+    def ac_scan_bytes(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        bw = _BitWriter()
+        uh, uw = used[ci]
+        blocks = [grids[ci][by, bx]
+                  for by in range(uh) for bx in range(uw)]
+        eob = _EobState()
+        if ah == 0:
+            _emit_ac_first(bw, blocks, ss, se, al, tab, eob)
+        else:
+            _emit_ac_refine(bw, blocks, ss, se, al, tab, eob)
+        eob.flush(bw, tab)
+        bw.flush()
+        return bytes(bw.buf)
+
+    # --- markers ---
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    def sos(comp_sel, ss, se, ah, al):
+        p = bytearray([len(comp_sel)])
+        for ci in comp_sel:
+            p += bytes([ci + 1, 0x00])           # flat table id 0 both classes
+        p += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, bytes(p))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(q_lum.flatten()[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([1]) + bytes(q_chr.flatten()[ZIGZAG].astype(np.uint8)))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([ncomp])
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += seg(0xC2, bytes(sof))                 # SOF2: progressive
+    bits, values = _FLAT_HUFF
+    for cls in (0, 1):
+        out += seg(0xC4, bytes([(cls << 4)]) + bytes(bits) + bytes(values))
+
+    all_comps = list(range(ncomp))
+    out += sos(all_comps, 0, 0, 0, 1) + dc_scan_bytes(0, 1)
+    # comp 0's AC split into two spectral bands; chroma in one band each
+    out += sos([0], 1, 5, 0, 1) + ac_scan_bytes(0, 1, 5, 0, 1)
+    out += sos([0], 6, 63, 0, 1) + ac_scan_bytes(0, 6, 63, 0, 1)
+    for ci in range(1, ncomp):
+        out += sos([ci], 1, 63, 0, 1) + ac_scan_bytes(ci, 1, 63, 0, 1)
+    out += sos(all_comps, 0, 0, 1, 0) + dc_scan_bytes(1, 0)
+    for ci in range(ncomp):
+        out += sos([ci], 1, 63, 1, 0) + ac_scan_bytes(ci, 1, 63, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --- decoder -----------------------------------------------------------------
 
 class _HuffLookup:
@@ -397,18 +633,179 @@ def _destuff(scan: bytes) -> tuple[list[bytes], int]:
     return segs, i
 
 
-def decode_baseline_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → uint8 (H, W) grayscale or (H, W, 3) BGR."""
+def _read_huff(br: _BitReader, lut: _HuffLookup, what: str) -> int:
+    p = br.peek16()
+    ln = int(lut.ln[p])
+    if ln == 0:
+        raise ValueError(f"bad Huffman code in {what} stream")
+    br.pos += ln
+    return int(lut.sym[p])
+
+
+def _decode_block_baseline(br, blk, c, preds, ci):
+    """Full sequential block: DC diff + AC run-length (T.81 F.2.2)."""
+    s = _read_huff(br, c["dc"], "DC")
+    if s:
+        preds[ci] += _extend(br.read(s), s)
+    blk[0] = preds[ci]
+    k = 1
+    while k <= 63:
+        rs = _read_huff(br, c["ac"], "AC")
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break                                # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past block end")
+        blk[k] = _extend(br.read(s), s)
+        k += 1
+
+
+def _decode_scan(segs, scan_cis, comps, grids, geom, ss, se, ah, al,
+                 restart_interval, progressive):
+    """One entropy-coded scan into the per-component raster coefficient
+    grids.  Handles interleaved (ns>1) and non-interleaved (ns==1) block
+    orders, baseline full blocks, and the four progressive scan kinds
+    (DC/AC × first/refinement) with EOB-run state (T.81 F.2 / G.2)."""
+    mcus_x, mcus_y, hmax, vmax, w, h = geom
+    ns = len(scan_cis)
+    if ns == 1:
+        ci0 = scan_cis[0]
+        c0 = comps[ci0]
+        # non-interleaved: raster over the component's USED block grid only
+        # (ceil(comp pixel extent / 8), NOT the MCU-padded grid — T.81 A.2.2)
+        cw = -(-(w * c0["h"]) // hmax)
+        ch = -(-(h * c0["v"]) // vmax)
+        uw = -(-cw // 8)
+        uh = -(-ch // 8)
+        units = uw * uh
+    else:
+        units = mcus_x * mcus_y
+    dc_scan = ss == 0
+    p1 = 1 << al
+    m1 = -p1
+
+    unit = 0
+    for seg in segs:
+        if unit >= units:
+            break
+        br = _BitReader(seg)
+        preds = [0] * len(comps)
+        eobrun = 0
+        limit = (min(unit + restart_interval, units) if restart_interval
+                 else units)
+        while unit < limit and (br.pos < br.nbits or eobrun > 0):
+            if ns == 1:
+                blocks = [(ci0, grids[ci0][unit // uw, unit % uw])]
+            else:
+                my, mx = divmod(unit, mcus_x)
+                blocks = []
+                for ci in scan_cis:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blocks.append(
+                                (ci, grids[ci][my * c["v"] + by,
+                                               mx * c["h"] + bx]))
+            for ci, blk in blocks:
+                c = comps[ci]
+                if not progressive:
+                    _decode_block_baseline(br, blk, c, preds, ci)
+                elif dc_scan and ah == 0:        # DC first (G.2.1)
+                    s = _read_huff(br, c["dc"], "DC")
+                    if s:
+                        preds[ci] += _extend(br.read(s), s)
+                    blk[0] = preds[ci] << al
+                elif dc_scan:                    # DC refinement: 1 bit/block
+                    if br.read(1):
+                        blk[0] = int(blk[0]) | p1
+                elif ah == 0:                    # AC first (G.2.2 first pass)
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _read_huff(br, c["ac"], "AC")
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC run past spectral end")
+                        blk[k] = _extend(br.read(s), s) << al
+                        k += 1
+                else:                            # AC refinement (G.2.2)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _read_huff(br, c["ac"], "AC")
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += br.read(r)
+                                    break        # EOB section below
+                                val = 0          # ZRL: skip 16 zero-history
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "bad refinement magnitude")
+                                val = p1 if br.read(1) else m1
+                            while k <= se:
+                                coef = int(blk[k])
+                                if coef:
+                                    if br.read(1) and (coef & p1) == 0:
+                                        blk[k] = coef + \
+                                            (p1 if coef >= 0 else m1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val and k <= se:
+                                blk[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:           # correction bits only
+                            coef = int(blk[k])
+                            if coef and br.read(1) and (coef & p1) == 0:
+                                blk[k] = coef + (p1 if coef >= 0 else m1)
+                            k += 1
+                        eobrun -= 1
+            unit += 1
+    if unit < units:
+        raise ValueError(f"truncated scan: decoded {unit}/{units} units")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """JFIF bytes → uint8 (H, W) grayscale or (H, W, 3) BGR.  Baseline
+    sequential (SOF0/1, incl. non-interleaved multi-scan) and progressive
+    (SOF2: spectral selection + successive approximation) — the formats of
+    real scanned-manga corpora the reference decodes via cv2.imdecode
+    (utils/io_utils.py:42).  Arithmetic coding (SOF9+) raises ValueError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], _HuffLookup] = {}
     comps = None
+    grids = None
+    geom = None
     h = w = 0
+    progressive = False
     restart_interval = 0
     i = 2
     n = len(data)
-    scan_info = None
+    got_scan = False
     while i < n:
         if data[i] != 0xFF:
             i += 1
@@ -448,7 +845,8 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 values = list(payload[j + 17:j + 17 + nv])
                 htabs[(cls, tid)] = _HuffLookup(bits, values)
                 j += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):       # SOF0/1 (seq) / SOF2 (prog)
+            progressive = marker == 0xC2
             h = int.from_bytes(payload[1:3], "big")
             w = int.from_bytes(payload[3:5], "big")
             nc = payload[5]
@@ -457,105 +855,67 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = payload[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            geom = (mcus_x, mcus_y, hmax, vmax, w, h)
+            # raster block-grid coefficient store per component (MCU-padded)
+            grids = [np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
+                              dtype=np.int64) for c in comps]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG coding process (SOF marker 0x{marker:02X};"
-                " only baseline sequential is implemented)")
+                " baseline sequential and progressive are implemented)")
         elif marker == 0xDD:                     # DRI
             restart_interval = int.from_bytes(payload[:2], "big")
         elif marker == 0xDA:                     # SOS
+            if comps is None:
+                raise ValueError("SOS before SOF")
             ns = payload[0]
-            scan_comps = []
+            scan_cis = []
             for c in range(ns):
                 cs, tdta = payload[1 + 2 * c:3 + 2 * c]
-                scan_comps.append((cs, tdta >> 4, tdta & 15))
-            scan_info = (scan_comps, i + 2 + length)
-            break
+                ci = next(k for k, cc in enumerate(comps) if cc["id"] == cs)
+                td, ta = tdta >> 4, tdta & 15
+                if (0, td) in htabs:
+                    comps[ci]["dc"] = htabs[(0, td)]
+                if (1, ta) in htabs:
+                    comps[ci]["ac"] = htabs[(1, ta)]
+                scan_cis.append(ci)
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            elif ss > 0 and ns != 1:
+                raise ValueError("progressive AC scan must be single-comp")
+            scan_start = i + 2 + length
+            segs, consumed = _destuff(data[scan_start:])
+            _decode_scan(segs, scan_cis, comps, grids, geom, ss, se, ah, al,
+                         restart_interval, progressive)
+            got_scan = True
+            i = scan_start + consumed
+            continue
         i += 2 + length
-    if comps is None or scan_info is None:
+    if comps is None or not got_scan:
         raise ValueError("truncated JPEG: missing SOF/SOS")
-    scan_comps, scan_start = scan_info
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    n_mcus = mcus_x * mcus_y
-
-    order = []                                   # per-MCU component schedule
-    for cs, td, ta in scan_comps:
-        ci = next(k for k, c in enumerate(comps) if c["id"] == cs)
-        comps[ci]["dc"] = htabs[(0, td)]
-        comps[ci]["ac"] = htabs[(1, ta)]
-        order.append(ci)
-    if len(order) != len(comps):
-        raise ValueError("non-interleaved multi-scan JPEG not supported")
-
-    coeffs = [np.zeros((n_mcus * c["h"] * c["v"], 64), dtype=np.int64)
-              for c in comps]
-    segs, _ = _destuff(data[scan_start:])
-
-    mcu = 0
-    for seg in segs:
-        if mcu >= n_mcus:
-            break
-        br = _BitReader(seg)
-        preds = [0] * len(comps)
-        limit = (min(mcu + restart_interval, n_mcus) if restart_interval
-                 else n_mcus)
-        while mcu < limit and br.pos < br.nbits:
-            for ci in order:
-                c = comps[ci]
-                dc_sym, dc_len = c["dc"].sym, c["dc"].ln
-                ac_sym, ac_len = c["ac"].sym, c["ac"].ln
-                base = mcu * c["h"] * c["v"]
-                for b in range(c["h"] * c["v"]):
-                    blk = coeffs[ci][base + b]
-                    p = br.peek16()
-                    s = int(dc_sym[p])
-                    ln = int(dc_len[p])
-                    if ln == 0:
-                        raise ValueError("bad Huffman code in DC stream")
-                    br.pos += ln
-                    if s:
-                        preds[ci] += _extend(br.read(s), s)
-                    blk[0] = preds[ci]
-                    k = 1
-                    while k <= 63:
-                        p = br.peek16()
-                        rs = int(ac_sym[p])
-                        ln = int(ac_len[p])
-                        if ln == 0:
-                            raise ValueError("bad Huffman code in AC stream")
-                        br.pos += ln
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break                # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        blk[k] = _extend(br.read(s), s)
-                        k += 1
-            mcu += 1
-    if mcu < n_mcus:
-        raise ValueError(f"truncated scan: decoded {mcu}/{n_mcus} MCUs")
+    mcus_x, mcus_y, hmax, vmax, w, h = geom
 
     # vectorized dequantize → de-zigzag → IDCT → plane assembly
     planes = []
-    for c, flat in zip(comps, coeffs):
+    for c, grid in zip(comps, grids):
         qt = qtabs[c["tq"]].reshape(-1)
+        gh, gw = grid.shape[:2]
+        flat = grid.reshape(-1, 64)
         deq = (flat[:, UNZIGZAG] * qt[None, :]).reshape(-1, 8, 8)
         px = np.einsum("xu,nuv,yv->nxy", _M.T, deq.astype(np.float64), _M.T)
         px += 128.0
-        sh, sv = c["h"], c["v"]
-        plane = (px.reshape(mcus_y, mcus_x, sv, sh, 8, 8)
-                 .transpose(0, 2, 4, 1, 3, 5)
-                 .reshape(mcus_y * sv * 8, mcus_x * sh * 8))
+        plane = (px.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(gh * 8, gw * 8))
         # upsample to full-resolution grid by pixel replication
+        sh, sv = c["h"], c["v"]
         if sh != hmax:
             plane = np.repeat(plane, hmax // sh, axis=1)
         if sv != vmax:
@@ -567,3 +927,7 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     if len(planes) != 3:
         raise ValueError(f"unsupported component count {len(planes)}")
     return _ycbcr_to_bgr(*planes)
+
+
+# Historical name (the decoder now also handles progressive SOF2).
+decode_baseline_jpeg = decode_jpeg

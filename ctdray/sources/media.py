@@ -84,6 +84,8 @@ def fetch_media(media_ref: str) -> bytes:
       page://…   binary-PGM page image (FIXTURES.md §2)
       jpg://…    the same rendered page, baseline-JPEG encoded (the
                  reference's example corpus format, data/examples/*.jpg)
+      pjpg://…   the same page, PROGRESSIVE (SOF2) JPEG — real scanned-manga
+                 corpora are heavily progressive
       vid://…    CTVF raw-frame video (synth_video)
       aud://…    RIFF/WAVE PCM16 audio (synth_wav)
 
@@ -98,6 +100,11 @@ def fetch_media(media_ref: str) -> bytes:
 
         gt = page_ground_truth("page://" + media_ref[len("jpg://"):])
         return encode_baseline_jpeg(render_page(gt), quality=92)
+    if media_ref.startswith("pjpg://"):
+        from .jpeg import encode_progressive_jpeg
+
+        gt = page_ground_truth("page://" + media_ref[len("pjpg://"):])
+        return encode_progressive_jpeg(render_page(gt), quality=92)
     if media_ref.startswith("vid://"):
         return synth_video(media_ref)
     if media_ref.startswith("aud://"):

@@ -28,9 +28,9 @@ import pyarrow as pa
 
 from ..config import PipelineConfig
 from ..detect_core import (detect_page, doc_out_span_columns,
-                           infer_page_arrays, page_line_spans,
+                           infer_page_planes, page_line_spans,
                            postprocess_page)
-from ..tensorcodec import decode_map, encode_map
+from ..tensorcodec import decode_page_maps, encode_page_maps
 from ..schema import (BLOCK_SCHEMA, DETECTED_SPAN_SCHEMA, OUT_DOC_SCHEMA,
                       OUT_SPAN_STRUCT, TENSOR_DOC_SCHEMA, TENSOR_PAGE_SCHEMA)
 from ..surrogate import make_detector
@@ -153,12 +153,12 @@ class DetectExtract:
         hs = batch.column("im_h").to_pylist()
         ws = batch.column("im_w").to_pylist()
         oks = batch.column("decode_ok").to_pylist()
-        rows: list[dict] = []
-        for doc_id, off, ref, h, w, ok in zip(doc_ids, offsets, refs, hs, ws, oks):
-            if not ok:
-                continue
-            img = None
-            if self.output == "blocks":
+        if self.output == "blocks":
+            rows: list[dict] = []
+            for doc_id, off, ref, h, w, ok in zip(doc_ids, offsets, refs,
+                                                  hs, ws, oks):
+                if not ok:
+                    continue
                 # Block rows carry fg/bg font colors (O13) — sample from the
                 # decoded page; the span path stays pixel-free.
                 from ..sources.media import decode_page
@@ -166,56 +166,85 @@ class DetectExtract:
                     img = decode_page(ref)
                 except ValueError:
                     img = None
-            blocks, _mask = detect_page(self.detector, ref, int(h), int(w),
-                                        self.det_cfg, img=img)
-            if self.output == "blocks":
+                blocks, _mask = detect_page(self.detector, ref, int(h),
+                                            int(w), self.det_cfg, img=img)
                 for bi, blk in enumerate(blocks):
                     rows.append({"doc_id": doc_id, "media_offset": int(off),
-                                 "media_ref": ref, "im_h": int(h), "im_w": int(w),
+                                 "media_ref": ref, "im_h": int(h),
+                                 "im_w": int(w),
                                  "block": blk.to_struct(order=bi)})
-            else:
-                for order, text in page_line_spans(blocks):
-                    rows.append({"doc_id": doc_id, "offset": int(off),
-                                 "kind": "text_line", "text": text,
-                                 "media_ref": ref, "order": order})
-        schema = BLOCK_SCHEMA if self.output == "blocks" else DETECTED_SPAN_SCHEMA
-        if not rows:
-            return schema.empty_table()
-        return pa.Table.from_pylist(rows, schema=schema)
+            if not rows:
+                return BLOCK_SCHEMA.empty_table()
+            return pa.Table.from_pylist(rows, schema=BLOCK_SCHEMA)
+        # Span path: columnar build (same shape as _spliced_docs_table).
+        c_doc: list = []
+        c_off: list = []
+        c_text: list = []
+        c_ref: list = []
+        c_ord: list = []
+        for doc_id, off, ref, h, w, ok in zip(doc_ids, offsets, refs,
+                                              hs, ws, oks):
+            if not ok:
+                continue
+            blocks, _mask = detect_page(self.detector, ref, int(h), int(w),
+                                        self.det_cfg)
+            for order, text in page_line_spans(blocks):
+                c_doc.append(doc_id)
+                c_off.append(int(off))
+                c_text.append(text)
+                c_ref.append(ref)
+                c_ord.append(order)
+        if not c_doc:
+            return DETECTED_SPAN_SCHEMA.empty_table()
+        return pa.table(
+            {"doc_id": pa.array(c_doc, pa.string()),
+             "offset": pa.array(c_off, pa.int32()),
+             "kind": pa.array(["text_line"] * len(c_doc), pa.string()),
+             "text": pa.array(c_text, pa.string()),
+             "media_ref": pa.array(c_ref, pa.string()),
+             "order": pa.array(c_ord, pa.int32())},
+            schema=DETECTED_SPAN_SCHEMA)
 
 
 def _infer_page_payload(detector, det_cfg, ref: str, im_h: int, im_w: int,
                         half: bool) -> dict:
     """One page's forward pass reduced to the serialized tensor payload —
     the shared body of :class:`DetectInfer` (page rows) and
-    :class:`DetectInferDoc` (doc rows).  ``media_offset`` is the caller's."""
-    blks, mask_crop, lines0 = infer_page_arrays(detector, ref, int(im_h),
-                                                int(im_w), det_cfg, half=half)
-    m_sp, m_runs, m_vals = encode_map(mask_crop)
-    l_sp, l_runs, l_vals = encode_map(lines0)
+    :class:`DetectInferDoc` (doc rows).  ``media_offset`` is the caller's.
+
+    Maps stay fp32 through the forward pass and the codec scan (numpy fp16
+    kernels are emulated, ~3 ms/page slower end-to-end); ``half`` only
+    selects the codec's STORE dtype, so the fp16 cast touches the shipped
+    values alone and postprocess always decodes back to fp32."""
+    blks, m_full, l0_full, crop_h, crop_w = infer_page_planes(
+        detector, ref, int(im_h), int(im_w), det_cfg)
+    mode, runs, vals = encode_page_maps(
+        (m_full, l0_full), crop_h, crop_w,
+        store_dtype=np.float16 if half else None)
     return {
         "media_ref": ref, "im_h": int(im_h), "im_w": int(im_w),
         "blks": blks.tobytes(), "blks_w": int(blks.shape[1]),
-        "mask": m_vals, "mask_runs": m_runs, "mask_sparse": m_sp,
-        "lines0": l_vals, "lines0_runs": l_runs, "lines0_sparse": l_sp,
-        "map_h": int(mask_crop.shape[0]), "map_w": int(mask_crop.shape[1]),
+        "maps": vals, "maps_runs": runs, "maps_mode": mode,
+        "map_h": int(crop_h), "map_w": int(crop_w),
         "half": bool(half),
     }
 
 
 def _decode_page_payload(row: dict) -> tuple[np.ndarray, np.ndarray,
                                              np.ndarray]:
-    """Inverse of :func:`_infer_page_payload`: payload dict → the compact
-    (blks, mask_crop, lines0) arrays postprocess_page consumes."""
-    dt = np.float16 if row["half"] else np.float32
-    shape = (row["map_h"], row["map_w"])
+    """Inverse of :func:`_infer_page_payload`: payload dict → the
+    (blks, mask_crop, lines0_full) fp32 arrays postprocess_page consumes.
+    Both maps decode in ONE codec call into a full-size (2, S, S) buffer —
+    the shrink map goes downstream full-size exactly like the fused path
+    (postprocess_page skips its pad reconstruction), the mask as a crop
+    view; fp16 exists only in the stored bytes (tensorcodec docstring)."""
+    store = np.float16 if row["half"] else np.float32
     blks = np.frombuffer(row["blks"], dtype=np.float32) \
         .reshape(-1, max(1, row["blks_w"]))
-    mask_crop = decode_map(row["mask_sparse"], row["mask_runs"],
-                           row["mask"], shape, dt)
-    lines0 = decode_map(row["lines0_sparse"], row["lines0_runs"],
-                        row["lines0"], shape, dt)
-    return blks, mask_crop, lines0
+    maps = decode_page_maps(row["maps_mode"], row["maps_runs"], row["maps"],
+                            row["map_h"], row["map_w"], store,
+                            out_dtype=np.float32)
+    return blks, maps[0, : row["map_h"], : row["map_w"]], maps[1]
 
 
 class DetectInfer:
@@ -256,7 +285,52 @@ class DetectInfer:
             rows.append(payload)
         if not rows:
             return TENSOR_PAGE_SCHEMA.empty_table()
-        return pa.Table.from_pylist(rows, schema=TENSOR_PAGE_SCHEMA)
+        # Columnar build: one pa.array per field (the large_binary map
+        # payloads dominate the row — per-row dict assembly would copy each
+        # through Arrow's struct-inference path).
+        return pa.table(
+            {f.name: pa.array([r[f.name] for r in rows], f.type)
+             for f in TENSOR_PAGE_SCHEMA},
+            schema=TENSOR_PAGE_SCHEMA)
+
+
+def detect_infer_task(batch: pa.Table, cfg=None, backend: str = "surrogate",
+                      half: bool | None = None) -> pa.Table:
+    """Stateless-task variant of :class:`DetectInfer` for CPU-substrate
+    split layouts (``infer_num_gpus == 0``): the detector comes from the
+    per-process cache, so the stage reserves nothing and Ray balances infer
+    and postprocess tasks over one pool — an actor pool would pin CPUs to
+    the infer leg whether busy or not.  GPU clusters keep the pool (weights
+    on-device once per actor, num_gpus reserved)."""
+    cfg = cfg or PipelineConfig()
+    key = (backend, cfg.detector)
+    det = _TASK_DETECTORS.get(key)
+    if det is None:
+        det = _TASK_DETECTORS[key] = make_detector(backend, cfg.detector)
+    worker = DetectInfer.__new__(DetectInfer)
+    worker.cfg = cfg
+    worker.det_cfg = cfg.detector
+    worker.half = cfg.half_maps if half is None else half
+    worker.detector = det
+    return worker(batch)
+
+
+def detect_infer_doc_task(batch: pa.Table, cfg=None,
+                          backend: str = "surrogate",
+                          half: bool | None = None) -> pa.Table:
+    """Stateless-task variant of :class:`DetectInferDoc` (same rationale as
+    :func:`detect_infer_task`)."""
+    cfg = cfg or PipelineConfig()
+    key = (backend, cfg.detector)
+    det = _TASK_DETECTORS.get(key)
+    if det is None:
+        det = _TASK_DETECTORS[key] = make_detector(backend, cfg.detector)
+    worker = DetectInferDoc.__new__(DetectInferDoc)
+    worker.cfg = cfg
+    worker.det_cfg = cfg.detector
+    worker.half = cfg.half_maps if half is None else half
+    worker.detector = det
+    return worker(batch)
 
 
 class DetectInferDoc:
@@ -327,6 +401,13 @@ def postprocess_doc_task(batch: pa.Table, cfg=None) -> pa.Table:
     for row in batch.to_pylist():
         doc_ids.append(row["doc_id"])
         payloads = {p["media_offset"]: p for p in row["pages"]}
+        # Contract: media-span offsets are unique within a document (the
+        # interleave builder assigns them sequentially), so the dict keying
+        # cannot collapse pages.  Guarded because a malformed doc with
+        # duplicate offsets would otherwise silently drop payloads where the
+        # fused path processes each span independently.
+        assert len(payloads) == len(row["pages"]), \
+            f"duplicate media_offset in doc {row['doc_id']!r}"
         for span in row["spans"]:
             kind_l.append(span["kind"])
             text_l.append(span["text"])
@@ -361,13 +442,12 @@ def postprocess_task(batch: pa.Table, cfg=None, output: str = "spans") -> pa.Tab
     pool and cost nothing when idle."""
     cfg = cfg or PipelineConfig()
     det_cfg = cfg.detector
-    rows: list[dict] = []
-    for r in batch.to_pylist():
-        doc_id, off, ref = r["doc_id"], r["media_offset"], r["media_ref"]
-        h, w = r["im_h"], r["im_w"]
-        blks, mask_crop, lines0 = _decode_page_payload(r)
-        img = None
-        if output == "blocks":
+    if output == "blocks":
+        rows: list[dict] = []
+        for r in batch.to_pylist():
+            doc_id, off, ref = r["doc_id"], r["media_offset"], r["media_ref"]
+            h, w = r["im_h"], r["im_w"]
+            blks, mask_crop, lines0 = _decode_page_payload(r)
             # Block rows carry fg/bg font colors (O13) — sampled from the
             # page, decoded HERE on the cheap CPU side so the GPU pool never
             # touches pixels twice.
@@ -376,19 +456,39 @@ def postprocess_task(batch: pa.Table, cfg=None, output: str = "spans") -> pa.Tab
                 img = decode_page(ref)
             except ValueError:
                 img = None
-        blocks, _mask = postprocess_page(blks, mask_crop, lines0,
-                                         int(h), int(w), det_cfg, img=img)
-        if output == "blocks":
+            blocks, _mask = postprocess_page(blks, mask_crop, lines0,
+                                             int(h), int(w), det_cfg, img=img)
             for bi, blk in enumerate(blocks):
                 rows.append({"doc_id": doc_id, "media_offset": int(off),
                              "media_ref": ref, "im_h": int(h), "im_w": int(w),
                              "block": blk.to_struct(order=bi)})
-        else:
-            for order, text in page_line_spans(blocks):
-                rows.append({"doc_id": doc_id, "offset": int(off),
-                             "kind": "text_line", "text": text,
-                             "media_ref": ref, "order": order})
-    schema = BLOCK_SCHEMA if output == "blocks" else DETECTED_SPAN_SCHEMA
-    if not rows:
-        return schema.empty_table()
-    return pa.Table.from_pylist(rows, schema=schema)
+        if not rows:
+            return BLOCK_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=BLOCK_SCHEMA)
+    c_doc: list = []
+    c_off: list = []
+    c_text: list = []
+    c_ref: list = []
+    c_ord: list = []
+    for r in batch.to_pylist():
+        blks, mask_crop, lines0 = _decode_page_payload(r)
+        blocks, _mask = postprocess_page(blks, mask_crop, lines0,
+                                         int(r["im_h"]), int(r["im_w"]),
+                                         det_cfg)
+        off = int(r["media_offset"])
+        for order, text in page_line_spans(blocks):
+            c_doc.append(r["doc_id"])
+            c_off.append(off)
+            c_text.append(text)
+            c_ref.append(r["media_ref"])
+            c_ord.append(order)
+    if not c_doc:
+        return DETECTED_SPAN_SCHEMA.empty_table()
+    return pa.table(
+        {"doc_id": pa.array(c_doc, pa.string()),
+         "offset": pa.array(c_off, pa.int32()),
+         "kind": pa.array(["text_line"] * len(c_doc), pa.string()),
+         "text": pa.array(c_text, pa.string()),
+         "media_ref": pa.array(c_ref, pa.string()),
+         "order": pa.array(c_ord, pa.int32())},
+        schema=DETECTED_SPAN_SCHEMA)

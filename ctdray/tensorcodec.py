@@ -11,15 +11,38 @@ encoder falls back to dense automatically whenever sparse would not pay
 (``sparse_threshold`` on the nonzero fraction), so the codec never loses
 values and never inflates bytes.
 
+Compute stays fp32 end-to-end; fp16 exists only INSIDE the stored bytes.
+Numpy has no native half-precision kernels — a ``!= 0`` scan over an fp16 map
+costs ~11× the fp32 scan, and the downstream threshold/CC kernels pay the
+same tax — so the encoder takes fp32 input and casts only the values it
+actually stores (``store_dtype``: the nnz pixels in sparse mode, the whole
+map in the dense fallback), and the decoder scatters back into an fp32
+output (``out_dtype``).  The fp16 cast therefore touches ~16% of pixels on
+typical pages instead of 100% twice, and postprocess always runs at fp32
+speed.  (Sigmoid outputs live in [0,1]; fp16's 2^-11 relative step is two
+orders below the coarsest decision threshold — see
+detect_core.infer_page_arrays.)
+
+Nonzero detection runs on an unsigned-integer VIEW of the float buffer
+(``uint16``/``uint32`` compares are native where fp16 compares are not).
+The one semantic wrinkle — ``-0.0`` has nonzero bits — only makes the codec
+MORE exact: a negative zero is stored explicitly and reproduced bitwise,
+where a float compare would have dropped it to ``+0.0``.
+
 Layout (C row-major, matching ``arr.ravel()``):
-  dense:  values = arr.tobytes(), runs = b""
+  dense:  values = arr.astype(store_dtype).tobytes(), runs = b""
   sparse: runs   = int32 [start, end) per maximal nonzero run in FLAT
           (ravel) index space — runs may cross row boundaries, which both
           shrinks the run table on tall text regions and keeps the encoder
           a handful of 1-D passes (the original per-row [row, start, end]
           triples needed 2-D ``np.nonzero`` calls that dominated the
           encode cost at ~4 ms/map),
-          values = the run pixels concatenated in run order.
+          values = the run pixels concatenated in run order, store_dtype.
+
+A page's TWO maps (UNet mask + DB shrink channel) share one codec call via a
+stacked ``(2, h, w)`` buffer — one nonzero scan, one runs table, one values
+buffer — instead of paying the fixed encode overheads twice
+(detect_core.infer_page_maps builds the stack copy-free).
 """
 from __future__ import annotations
 
@@ -28,16 +51,31 @@ import numpy as np
 _RUN_DT = np.int32
 
 
-def encode_map(arr: np.ndarray,
-               sparse_threshold: float = 0.25) -> tuple[bool, bytes, bytes]:
-    """(sparse?, runs_bytes, values_bytes) for a 2-D map.  Value-exact in
-    both modes; sparse only when the nonzero fraction is under the
-    threshold (runs carry 8 B each on top of the pixel payload)."""
-    assert arr.ndim == 2
+def _nonzero_bits(flat: np.ndarray) -> np.ndarray:
+    """Bitwise-nonzero mask of a contiguous 1-D array — native-speed even
+    for fp16 (whose float compares numpy emulates in software)."""
+    try:
+        iv = flat.view(np.dtype(f"u{flat.dtype.itemsize}"))
+    except (TypeError, ValueError):     # exotic dtype: float compare
+        return flat != 0
+    return iv != 0
+
+
+def encode_map(arr: np.ndarray, sparse_threshold: float = 0.25,
+               store_dtype=None) -> tuple[bool, bytes, bytes]:
+    """(sparse?, runs_bytes, values_bytes) for a 2-D or stacked 3-D map.
+    Value-exact in both modes; sparse only when the nonzero fraction is
+    under the threshold (runs carry 8 B each on top of the pixel payload).
+    ``store_dtype`` casts the STORED values only (see module docstring);
+    default keeps ``arr.dtype``."""
+    assert arr.ndim in (2, 3)
     flat = np.ascontiguousarray(arr).reshape(-1)
-    nzb = flat != 0
+    store = np.dtype(store_dtype) if store_dtype is not None else flat.dtype
+    nzb = _nonzero_bits(flat)
     nnz = int(np.count_nonzero(nzb))
     if nnz > flat.size * sparse_threshold:
+        if store != flat.dtype:
+            flat = flat.astype(store)
         return False, b"", flat.tobytes()
     # Maximal nonzero runs in flat index space: sign changes of the 0/1 mask.
     x = nzb.view(np.int8)
@@ -52,23 +90,130 @@ def encode_map(arr: np.ndarray,
     runs[:, 0] = starts
     runs[:, 1] = ends
     values = flat[nzb]          # flat-order nonzero pixels == run order
+    if store != values.dtype:
+        values = values.astype(store)   # cast the nnz values only
     return True, runs.tobytes(), values.tobytes()
 
 
+def encode_page_maps(planes, crop_h: int, crop_w: int,
+                     store_dtype=None,
+                     sparse_threshold: float = 0.25) -> tuple[int, bytes,
+                                                              bytes]:
+    """Codec for a page's TWO full-size (S, S) maps in ONE (runs, values)
+    pair: ``(mode, runs_bytes, values_bytes)``.
+
+    Each plane is scanned IN PLACE (no crop copy): when its nonzero count is
+    small — the typical detection map, whose letterbox pad region is exactly
+    zero — the plane ships as flat-space runs offset by ``i·S²`` and only
+    the nnz values.  A plane that would not pay for sparse (prod sigmoid
+    maps, dense-nonzero everywhere incl. the pad) falls back to a DENSE CROP
+    to the un-padded ``(crop_h, crop_w)`` region instead — that copy happens
+    only in the fallback, and the pad bytes never ship in either mode.
+
+    ``mode`` bit ``i`` set = plane ``i`` sparse.  Values buffer = plane 0's
+    part then plane 1's, store_dtype throughout."""
+    size = planes[0].shape[0]
+    plane_n = planes[0].size
+    store = np.dtype(store_dtype) if store_dtype is not None \
+        else planes[0].dtype
+    mode = 0
+    runs_parts: list[bytes] = []
+    vals_parts: list[bytes] = []
+    for i, p in enumerate(planes):
+        flat = np.ascontiguousarray(p).reshape(-1)
+        nzb = _nonzero_bits(flat)
+        nnz = int(np.count_nonzero(nzb))
+        if nnz > crop_h * crop_w * sparse_threshold:
+            crop = p[:crop_h, :crop_w]
+            if store != crop.dtype:
+                crop = crop.astype(store)
+            vals_parts.append(np.ascontiguousarray(crop).tobytes())
+            continue
+        mode |= 1 << i
+        x = nzb.view(np.int8)
+        d = x[1:] - x[:-1]
+        starts = np.flatnonzero(d == 1) + 1
+        ends = np.flatnonzero(d == -1) + 1
+        if nnz and x[0]:
+            starts = np.concatenate(([0], starts))
+        if nnz and x[-1]:
+            ends = np.concatenate((ends, [flat.size]))
+        runs = np.empty((len(starts), 2), dtype=_RUN_DT)
+        runs[:, 0] = starts + i * plane_n
+        runs[:, 1] = ends + i * plane_n
+        runs_parts.append(runs.tobytes())
+        values = flat[nzb]
+        if store != values.dtype:
+            values = values.astype(store)
+        vals_parts.append(values.tobytes())
+    return mode, b"".join(runs_parts), b"".join(vals_parts)
+
+
+def decode_page_maps(mode: int, runs_bytes: bytes, values_bytes: bytes,
+                     crop_h: int, crop_w: int, store_dtype,
+                     out_dtype=None) -> np.ndarray:
+    """Inverse of :func:`encode_page_maps` → a full-size ``(2, S, S)`` array
+    of ``out_dtype`` (S = max(crop_h, crop_w): the letterbox pads exactly one
+    axis, so the un-padded extent reaches S on the other).  Postprocess takes
+    plane 1 (the shrink map) full-size — no pad reconstruction — and views
+    plane 0's crop."""
+    store = np.dtype(store_dtype)
+    out_dt = np.dtype(out_dtype) if out_dtype is not None else store
+    size = max(crop_h, crop_w)
+    plane_n = size * size
+    out = np.zeros((2, size, size), dtype=out_dt)
+    flat = out.reshape(-1)
+    runs = np.frombuffer(runs_bytes, dtype=_RUN_DT).reshape(-1, 2)
+    vals = np.frombuffer(values_bytes, dtype=store)
+    if out_dt != store:
+        vals = vals.astype(out_dt)
+    vpos = 0
+    rpos = 0
+    for i in (0, 1):
+        if mode & (1 << i):
+            # this plane's runs are the contiguous slice within [i·S², (i+1)·S²)
+            rend = int(np.searchsorted(runs[:, 0], (i + 1) * plane_n, "left"))
+            r = runs[rpos:rend]
+            rpos = rend
+            if len(r):
+                starts = r[:, 0].astype(np.int64)
+                lens = (r[:, 1] - r[:, 0]).astype(np.int64)
+                cum = np.cumsum(lens)
+                ar = np.arange(cum[-1], dtype=np.int64) \
+                    - np.repeat(cum - lens, lens)
+                flat[np.repeat(starts, lens) + ar] = vals[vpos:vpos + cum[-1]]
+                vpos += int(cum[-1])
+        else:
+            n = crop_h * crop_w
+            out[i, :crop_h, :crop_w] = \
+                vals[vpos:vpos + n].reshape(crop_h, crop_w)
+            vpos += n
+    return out
+
+
 def decode_map(sparse: bool, runs_bytes: bytes, values_bytes: bytes,
-               shape: tuple[int, int], dtype) -> np.ndarray:
-    """Inverse of :func:`encode_map`; returns a (h, w) array of ``dtype``."""
-    h, w = shape
+               shape: tuple, store_dtype, out_dtype=None) -> np.ndarray:
+    """Inverse of :func:`encode_map`; returns a ``shape`` array of
+    ``out_dtype`` (default: ``store_dtype``).  When they differ, only the
+    stored values are cast — the background stays a plain fp32 zeros fill."""
+    store = np.dtype(store_dtype)
+    out = np.dtype(out_dtype) if out_dtype is not None else store
+    n = int(np.prod(shape))
     if not sparse:
-        return np.frombuffer(values_bytes, dtype=dtype).reshape(h, w)
-    out = np.zeros(h * w, dtype=dtype)
+        dense = np.frombuffer(values_bytes, dtype=store)
+        if out != store:
+            dense = dense.astype(out)
+        return dense.reshape(shape)
+    buf = np.zeros(n, dtype=out)
     runs = np.frombuffer(runs_bytes, dtype=_RUN_DT).reshape(-1, 2)
     if len(runs):
-        values = np.frombuffer(values_bytes, dtype=dtype)
+        values = np.frombuffer(values_bytes, dtype=store)
+        if out != store:
+            values = values.astype(out)
         starts = runs[:, 0].astype(np.int64)
         lens = (runs[:, 1] - runs[:, 0]).astype(np.int64)
         # vectorized concat of per-run aranges → scatter only the nnz pixels
         cum = np.cumsum(lens)
         ar = np.arange(cum[-1], dtype=np.int64) - np.repeat(cum - lens, lens)
-        out[np.repeat(starts, lens) + ar] = values
-    return out.reshape(h, w)
+        buf[np.repeat(starts, lens) + ar] = values
+    return buf.reshape(shape)

@@ -520,3 +520,33 @@ def test_fullprobe_variants_equal_bruteforce(ray_session):
                        probe_hamming=5, n_tables=1).to_pandas())
     assert bf.equals(ivf)
     assert bf.equals(lsh)
+
+
+def test_hash_ids_u64_string_vectorized_edges():
+    """The buffer-vectorized string hasher (dedup coarse-bucket keys):
+    deterministic, slice/offset-safe, chunk-safe, empty/duplicate handling,
+    and well-spread top-8-bit buckets."""
+    import numpy as np
+
+    from ctdray.functions.dedup import _hash_ids_u64
+
+    vals = ["", "a", "ab", "doc-00000001", "doc-00000002",
+            "doc-00000001", "x" * 500, ""]
+    arr = pa.array(vals, pa.string())
+    h = _hash_ids_u64(arr)
+    assert h[3] != h[4]                       # distinct ids differ
+    assert h[3] == h[5]                       # equal values agree
+    assert h[0] == h[7]                       # empty == empty
+    # value-identity across array layouts: singleton, slice, large, chunked
+    assert h[6] == _hash_ids_u64(pa.array(["x" * 500]))[0]
+    assert np.array_equal(_hash_ids_u64(arr.slice(2, 4)), h[2:6])
+    assert np.array_equal(_hash_ids_u64(pa.array(vals, pa.large_string())), h)
+    assert np.array_equal(_hash_ids_u64(pa.chunked_array([arr, arr])),
+                          np.concatenate([h, h]))
+    assert len(_hash_ids_u64(pa.array([], pa.string()))) == 0
+    ids = pa.array([f"doc-{i:08d}" for i in range(20000)])
+    hh = _hash_ids_u64(ids)
+    assert len(np.unique(hh)) == 20000
+    buckets = np.bincount((hh >> np.uint64(56)).astype(np.int64),
+                          minlength=256)
+    assert buckets.min() > 20     # no starved coarse bucket

@@ -109,17 +109,73 @@ def test_quality_ladder_monotone():
     assert sizes[0] < sizes[1] < sizes[2]
 
 
-def test_rejects_non_jpeg_and_progressive():
+def test_rejects_non_jpeg_and_arithmetic():
     with pytest.raises(ValueError):
         decode_baseline_jpeg(b"\x89PNG\r\n\x1a\nnope")
-    # a minimal fake with a progressive SOF2 marker
-    prog = (b"\xff\xd8" + b"\xff\xc2" + (2 + 9).to_bytes(2, "big")
-            + bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
-            + bytes([1, 1, 0x11, 0]))
+    # arithmetic-coded SOF9 stays unsupported
+    arith = (b"\xff\xd8" + b"\xff\xc9" + (2 + 9).to_bytes(2, "big")
+             + bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+             + bytes([1, 1, 0x11, 0]))
     with pytest.raises(ValueError, match="SOF"):
-        decode_baseline_jpeg(prog)
+        decode_baseline_jpeg(arith)
     with pytest.raises(ValueError, match="SOF|truncated"):
         decode_baseline_jpeg(b"\xff\xd8\xff\xd9")
+
+
+@pytest.mark.parametrize("shape,sub", [
+    ((40, 56), "444"), ((64, 48, 3), "444"),
+    ((50, 70, 3), "422"), ((47, 61, 3), "420"), ((17, 9, 3), "420")])
+def test_progressive_matches_baseline_exactly(shape, sub):
+    """Progressive (SOF2) decode — spectral selection + successive
+    approximation — reconstructs the IDENTICAL pixels as the baseline
+    codec at the same quality: the scan script quantizes the same
+    coefficients, so the decode must be coefficient-exact."""
+    from ctdray.sources.jpeg import decode_jpeg, encode_progressive_jpeg
+
+    rng = np.random.default_rng(hash(shape) % (2**32))
+    img = (rng.integers(0, 256, shape, dtype=np.uint8) // 3 + 90) \
+        .astype(np.uint8)
+    base = decode_jpeg(encode_baseline_jpeg(img, quality=85, subsampling=sub))
+    prog = decode_jpeg(encode_progressive_jpeg(img, quality=85,
+                                               subsampling=sub))
+    assert prog.shape == img.shape
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_flat_and_page():
+    from ctdray.fixtures import make_media_ref, page_ground_truth, render_page
+    from ctdray.sources.jpeg import decode_jpeg, encode_progressive_jpeg
+
+    flat = np.full((32, 32), 128, np.uint8)   # EOB runs everywhere
+    assert np.array_equal(
+        decode_jpeg(encode_progressive_jpeg(flat)),
+        decode_jpeg(encode_baseline_jpeg(flat)))
+    pg = render_page(page_ground_truth(make_media_ref("doc-00000003", 0)))
+    assert np.array_equal(
+        decode_jpeg(encode_progressive_jpeg(pg, quality=92)),
+        decode_jpeg(encode_baseline_jpeg(pg, quality=92)))
+
+
+def test_progressive_media_ref_decodes_not_poison():
+    """pjpg:// refs flow through decode_page / DecodeStage without
+    poison-pilling (VERDICT r3 missing item 1)."""
+    import pyarrow as pa
+
+    from ctdray.sources.media import decode_page, fetch_media
+    from ctdray.stages.decode import DecodeStage
+
+    ref = "pjpg://doc-0001/p0"
+    img = decode_page(ref)                     # no ValueError
+    base = decode_page("jpg://doc-0001/p0")
+    assert img.shape == base.shape
+    payload = fetch_media(ref)
+    assert payload[:4] == b"\xff\xd8\xff\xe0" and b"\xff\xc2" in payload
+    batch = pa.table({"doc_id": pa.array(["d"]),
+                      "media_offset": pa.array([0], pa.int32()),
+                      "media_ref": pa.array([ref])})
+    out = DecodeStage(keep_pixels=False)(batch).to_pylist()[0]
+    assert out["decode_ok"] is True
+    assert out["im_h"] == img.shape[0] and out["im_w"] == img.shape[1]
 
 
 def test_decode_image_routes_jpeg():

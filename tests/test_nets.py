@@ -95,10 +95,12 @@ def test_unet_head_plan_matches_reference_comments():
 
 def test_db_head_plan():
     d = db_head_plan(1024)
-    # DB maps come out at half the input size: binarize/thresh upsample
-    # the /8 feature by 2×2 deconvs (basemodel.py:94-124)
-    assert d["lines_map"] == (2, 512)
-    assert d["shrink"] == (1, 512) and d["thresh"] == (1, 512)
+    # DB maps come out at FULL input size: binarize/thresh upsample the /4
+    # feature ("128@160" at 640, basemodel.py:110) by two 2×2 deconvs —
+    # matching the surrogate's (2, S, S) lines_map and the numpy reference
+    # forward (npnet.py)
+    assert d["lines_map"] == (2, 1024)
+    assert d["shrink"] == (1, 1024) and d["thresh"] == (1, 1024)
 
 
 # --- state-dict enumerators ------------------------------------------------
@@ -208,3 +210,78 @@ def test_torch_forward_shapes():  # pragma: no cover - no torch
     assert blks.shape[0] == 1 and blks.shape[2] == 8
     assert mask.shape == (1, 1, 256, 256)
     assert lines.shape == (1, 2, 128, 128)
+
+
+# --- numpy reference forward (npnet.py): runs the plan graph in-sandbox ----
+
+def test_np_forward_shapes_match_plans():
+    """Execute the FULL plan graph in numpy over synthetic weights at a
+    64-px input: every layer's channel count is asserted against
+    plan_yolo_model inside np_yolo_forward, the five taps must match
+    backbone_tap_plan, the detect row count the analytic strides, and the
+    head outputs the (corrected) head plans — the torch-gated builders'
+    architecture, executed end-to-end without torch."""
+    from ctdray.nets import (backbone_tap_plan, db_head_param_shapes,
+                             detect_strides, synthetic_state_dict,
+                             unet_head_param_shapes, yolo_param_shapes)
+    from ctdray.npnet import (np_db_head_forward, np_unet_head_forward,
+                              np_yolo_forward)
+
+    S = 64
+    blob = np.random.default_rng(0).random((1, 3, S, S))
+    sd = synthetic_state_dict(yolo_param_shapes(), seed=1)
+    rows, taps = np_yolo_forward(sd, blob, fused=False)
+    for (name, (c, sp)), t in zip(backbone_tap_plan(S).items(), taps):
+        assert t.shape == (1, c, sp, sp), name
+    plans, _ = plan_yolo_model(YOLOV5S_CFG)
+    na = len(YOLOV5S_CFG["anchors"][0]) // 2
+    exp_rows = sum(na * (S // s) ** 2 for s in detect_strides(plans))
+    assert rows.shape == (1, exp_rows, YOLOV5S_CFG["nc"] + 5)
+
+    seg_sd = synthetic_state_dict(unet_head_param_shapes(), seed=2)
+    mask, det_feats = np_unet_head_forward(seg_sd, *taps)
+    assert mask.shape == (1, 1, S, S)
+    assert np.all((mask >= 0) & (mask <= 1))
+
+    det_sd = synthetic_state_dict(db_head_param_shapes(), seed=3)
+    lines = np_db_head_forward(det_sd, *det_feats)
+    assert lines.shape == (1, 2, S, S)        # FULL size (db_head_plan)
+    assert np.all((lines >= 0) & (lines <= 1))
+
+
+def test_np_forward_fused_equals_unfused():
+    """The strongest in-sandbox cross-check: the triple forward with
+    UNFUSED conv+BN weights must numerically equal the same forward with
+    prodmodel.fuse_state_dict-fused weights (backbone eps 1e-3, head BNs
+    1e-5, exactly TorchDetector's recipe).  A transposed concat index, a
+    wrong enumerated shape or a bad fuse eps all surface here."""
+    from ctdray.nets import (db_head_param_shapes, synthetic_state_dict,
+                             unet_head_param_shapes, yolo_param_shapes)
+    from ctdray.npnet import np_textdet_forward
+
+    S = 64
+    blob = np.random.default_rng(7).random((1, 3, S, S))
+    blk = synthetic_state_dict(yolo_param_shapes(), seed=11)
+    seg = synthetic_state_dict(unet_head_param_shapes(), seed=12)
+    det = synthetic_state_dict(db_head_param_shapes(), seed=13)
+
+    out_raw = np_textdet_forward(blk, seg, det, blob, fused=False)
+    out_fused = np_textdet_forward(
+        fuse_state_dict(blk, default_eps=1e-3),
+        fuse_state_dict(seg, default_eps=1e-5),
+        fuse_state_dict(det, default_eps=1e-5),
+        blob, fused=True)
+    for raw, fz, name in zip(out_raw, out_fused, ("blks", "mask", "lines")):
+        assert raw.shape == fz.shape, name
+        assert np.allclose(raw, fz, atol=1e-4, rtol=1e-4), name
+
+
+def test_np_forward_deterministic():
+    from ctdray.nets import synthetic_state_dict, yolo_param_shapes
+    from ctdray.npnet import np_yolo_forward
+
+    blob = np.random.default_rng(1).random((1, 3, 64, 64))
+    sd = synthetic_state_dict(yolo_param_shapes(), seed=5)
+    r1, _ = np_yolo_forward(sd, blob)
+    r2, _ = np_yolo_forward(sd, blob)
+    assert np.array_equal(r1, r2)

@@ -35,6 +35,22 @@ def test_split_spans_equal_fused(ray_session, corpus_tbl):
     assert split.equals(fused)
 
 
+def test_split_actor_pool_spans_equal(ray_session, corpus_tbl):
+    """detect_compute='actors' forces the infer ACTOR POOL (the prod GPU
+    shape: weights once per actor, pool sized by _infer_concurrency) — spans
+    must equal the fused path exactly like the default task mode."""
+    import ray.data as rd
+
+    from ctdray.pipelines.extract import build_detected_spans
+
+    fused = _spans_df(build_detected_spans(rd.from_arrow(corpus_tbl)))
+    pool = _spans_df(build_detected_spans(
+        rd.from_arrow(corpus_tbl),
+        PipelineConfig(detect_layout="split", detect_compute="actors",
+                       infer_concurrency=2)))
+    assert pool.equals(fused)
+
+
 def test_split_half_maps_spans_equal(ray_session, corpus_tbl):
     import ray.data as rd
 
@@ -103,13 +119,14 @@ def test_infer_postprocess_unit_roundtrip(corpus_tbl):
         assert 0 < mh <= size and 0 < mw <= size
         assert mh == size or mw == size      # letterbox pads one axis only
         # detection maps are mostly background → the sparse codec engages
-        # and ships far fewer bytes than the dense map
-        assert tensors.column("mask_sparse")[i].as_py() is True
-        raw = tensors.column("mask")[i].as_py()
-        runs = tensors.column("mask_runs")[i].as_py()
+        # for both planes (mode bits 0b11) and ships far fewer bytes than
+        # the two dense fp32 maps
+        assert tensors.column("maps_mode")[i].as_py() == 0b11
+        raw = tensors.column("maps")[i].as_py()
+        runs = tensors.column("maps_runs")[i].as_py()
         # empty (all-zero) maps encode to zero bytes; text pages to ≪ dense
-        assert len(raw) + len(runs) < mh * mw * 4 // 4
-    assert any(len(tensors.column("mask")[i].as_py()) > 0
+        assert len(raw) + len(runs) < 2 * mh * mw * 4 // 4
+    assert any(len(tensors.column("maps")[i].as_py()) > 0
                for i in range(tensors.num_rows))
     got = postprocess_task(tensors).to_pylist()
     exp = DetectExtract()(pages).to_pylist()
@@ -141,6 +158,97 @@ def test_tensorcodec_roundtrip_exact():
     assert sp and len(runs) + len(vals) < sparse_map.nbytes // 10
     sp, _, _ = encode_map(dense_map)
     assert not sp                              # dense fallback engaged
+
+
+def test_tensorcodec_store_dtype_and_stacked():
+    """The fp16 wire path: fp32 compute arrays in, fp16 stored values, fp32
+    decode out — only the stored values are quantized.  Also covers the
+    stacked (2, h, w) two-map layout the split stage ships."""
+    from ctdray.tensorcodec import decode_map, encode_map
+
+    rng = np.random.default_rng(11)
+    maps = np.zeros((2, 320, 512), np.float32)
+    maps[0, 40:80, 100:300] = rng.random((40, 200)).astype(np.float32)
+    maps[1, 200:260, 50:450] = rng.random((60, 400)).astype(np.float32)
+    sp, runs, vals = encode_map(maps, store_dtype=np.float16)
+    assert sp
+    out = decode_map(sp, runs, vals, maps.shape, np.float16,
+                     out_dtype=np.float32)
+    assert out.dtype == np.float32 and out.shape == maps.shape
+    # exactly the fp16 quantization of the nonzero values, zeros untouched
+    assert np.array_equal(out, maps.astype(np.float16).astype(np.float32))
+    assert np.array_equal(out == 0, maps == 0)
+    # dense fallback honours store_dtype too
+    dense = rng.random((2, 64, 64)).astype(np.float32) + 0.01
+    sp, runs, vals = encode_map(dense, store_dtype=np.float16)
+    assert not sp and len(vals) == dense.size * 2
+    out = decode_map(sp, runs, vals, dense.shape, np.float16,
+                     out_dtype=np.float32)
+    assert np.array_equal(out, dense.astype(np.float16).astype(np.float32))
+    # negative zero is preserved bitwise (int-view nonzero detection)
+    nz = np.zeros((4, 4), np.float32)
+    nz[1, 1] = -0.0
+    sp, runs, vals = encode_map(nz)
+    out = decode_map(sp, runs, vals, nz.shape, np.float32)
+    assert np.array_equal(out, nz)
+
+
+def test_page_maps_codec():
+    """encode_page_maps/decode_page_maps: the split stage's two-maps-one-call
+    codec — full-size sparse planes (pad ships free), per-plane dense-crop
+    fallback for dense-nonzero (prod sigmoid) maps, fp16 wire values."""
+    from ctdray.tensorcodec import decode_page_maps, encode_page_maps
+
+    rng = np.random.default_rng(5)
+    S, ch, cw = 256, 256, 192          # letterbox pads the width axis only
+    mask = np.zeros((S, S), np.float32)
+    mask[30:90, 10:180] = rng.random((60, 170)).astype(np.float32)
+    lines = np.zeros((S, S), np.float32)
+    lines[200:240, 60:150] = rng.random((40, 90)).astype(np.float32)
+
+    # both sparse, fp32 wire
+    mode, runs, vals = encode_page_maps((mask, lines), ch, cw)
+    assert mode == 0b11
+    out = decode_page_maps(mode, runs, vals, ch, cw, np.float32)
+    assert out.shape == (2, S, S)
+    assert np.array_equal(out[0], mask) and np.array_equal(out[1], lines)
+
+    # fp16 wire, fp32 out: exactly the fp16 quantization of the values
+    mode, runs, vals = encode_page_maps((mask, lines), ch, cw,
+                                        store_dtype=np.float16)
+    out = decode_page_maps(mode, runs, vals, ch, cw, np.float16,
+                           out_dtype=np.float32)
+    assert out.dtype == np.float32
+    assert np.array_equal(out[0], mask.astype(np.float16).astype(np.float32))
+    assert np.array_equal(out[1], lines.astype(np.float16).astype(np.float32))
+
+    # mixed: dense-nonzero plane falls back to a dense CROP; pad never ships
+    dense = rng.random((S, S)).astype(np.float32) + 0.01
+    mode, runs, vals = encode_page_maps((dense, lines), ch, cw)
+    assert mode == 0b10                # plane 0 dense, plane 1 sparse
+    n_dense = ch * cw * 4
+    assert len(vals) > n_dense         # dense crop + sparse values
+    out = decode_page_maps(mode, runs, vals, ch, cw, np.float32)
+    assert np.array_equal(out[0, :ch, :cw], dense[:ch, :cw])
+    assert np.all(out[0, :, cw:] == 0)  # pad region reconstructed as zeros
+    assert np.array_equal(out[1], lines)
+
+    # both dense
+    mode, runs, vals = encode_page_maps((dense, dense), ch, cw,
+                                        store_dtype=np.float16)
+    assert mode == 0 and runs == b"" and len(vals) == 2 * ch * cw * 2
+    out = decode_page_maps(mode, runs, vals, ch, cw, np.float16,
+                           out_dtype=np.float32)
+    exp = dense[:ch, :cw].astype(np.float16).astype(np.float32)
+    assert np.array_equal(out[0, :ch, :cw], exp)
+    assert np.array_equal(out[1, :ch, :cw], exp)
+
+    # all-zero planes: zero bytes on the wire
+    z = np.zeros((S, S), np.float32)
+    mode, runs, vals = encode_page_maps((z, z), ch, cw)
+    assert mode == 0b11 and runs == b"" and vals == b""
+    assert np.array_equal(decode_page_maps(mode, runs, vals, ch, cw,
+                                           np.float32), np.zeros((2, S, S)))
 
 
 def test_infer_pool_sizing_gpu_math():

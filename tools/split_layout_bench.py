@@ -6,7 +6,8 @@ through the object store, which a GPU cluster pays for postprocess
 independence, while the fused layout never serializes them.
 
 Prints ONE JSON line with both wall times and page throughputs.
-Usage: python tools/split_layout_bench.py [--half] (env: GRAFT_SF_DIR, RAY_GRAFT_CPUS)
+Usage: python tools/split_layout_bench.py [--fp32] (env: GRAFT_SF_DIR, RAY_GRAFT_CPUS)
+fp16 map values are the measured default (config.half_maps); --fp32 ships fp32.
 """
 from __future__ import annotations
 
@@ -22,7 +23,7 @@ sys.path.insert(0, REPO)
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    half = "--half" in sys.argv
+    half = "--fp32" not in sys.argv
 
     import ray
 
