@@ -49,8 +49,21 @@ def _ensure_split_runahead() -> None:
     cpus = int(ray.cluster_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
     want = min(128, max(32, 2 * cpus))
-    if ctx._max_num_blocks_in_streaming_gen_buffer < want:
-        ctx._max_num_blocks_in_streaming_gen_buffer = want
+    # Private DataContext attr (measured on Ray 2.49.2: headline 15.6 s →
+    # 11.0 s).  A Ray upgrade may rename it — guard so the pipeline silently
+    # keeps the default cap instead of crashing, and log once so the
+    # regression is discoverable rather than mysterious.
+    attr = "_max_num_blocks_in_streaming_gen_buffer"
+    if not hasattr(ctx, attr):  # pragma: no cover - future-Ray fallback
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "DataContext.%s gone (Ray upgrade?) — single-file read "
+            "run-ahead not applied; expect lower dispatch throughput on "
+            "one-file sources", attr)
+        return
+    if getattr(ctx, attr) < want:
+        setattr(ctx, attr, want)
 
 
 def read_csv_table(path: str, schema: pa.Schema | None = None,
