@@ -198,7 +198,11 @@ class ResizedMaskView:
         the reference's ``(mask*255).astype(uint8)`` conversion
         (inference.py:85-99) LAZILY per sampled window — most pages never
         sample a density window, so the full-page cast is skipped."""
-        self.src = np.ascontiguousarray(src)
+        # Keep the (possibly strided) crop VIEW: window gathers are
+        # stride-aware and value-identical, and most pages never sample a
+        # window — an eager contiguous copy here cost ~0.2 ms/page for
+        # nothing (the base map outlives the view in every caller).
+        self.src = np.asarray(src)
         self._scale255 = scale255
         self._dtype = np.uint8 if scale255 else self.src.dtype
         self.out_w, self.out_h = int(out_w), int(out_h)
@@ -688,8 +692,13 @@ def convex_poly_mask(poly: np.ndarray, y0: int, y1: int, x0: int, x1: int) -> np
     for i in range(k):
         a, b = p[i], p[(i + 1) % k]
         # CCW winding: interior is on the left → cross((b-a),(pt-a)) >= 0.
-        cross = (b[0] - a[0]) * (ys - a[1]) - (b[1] - a[1]) * (xs - a[0])
-        inside &= cross >= 0
+        # The cross is separable, cross = U(y) − V(x) with each factor
+        # computed exactly as the 2-D broadcast would, and u−v ≥ 0 ⟺ u ≥ v
+        # for finite floats — so one H×W COMPARISON replaces the two H×W
+        # float passes + compare, decision-identical per pixel.
+        u = (b[0] - a[0]) * (ys - a[1])
+        v = (b[1] - a[1]) * (xs - a[0])
+        inside &= u >= v
         if not inside.any():
             break
     return inside
@@ -823,11 +832,22 @@ def connected_component_runs(mask: np.ndarray, connectivity: int = 8):
     (utils/db_utils.py:123-166 parity; deviation documented in
     ctdray.represent).
     """
+    return connected_component_runs_ex(mask, connectivity)[0]
+
+
+def connected_component_runs_ex(mask: np.ndarray, connectivity: int = 8):
+    """:func:`connected_component_runs` plus a per-component EXTENTS table:
+    ``(comps, extents)`` with ``extents`` int64 (k, 7) rows
+    ``[r0, r1, smin, smax, emin, emax, npix]`` (row range, start/end column
+    bounds over the runs, pixel count).  The extents come from a handful of
+    segmented ``reduceat`` passes over the component-sorted run arrays —
+    consumers like the DB representer would otherwise pay ~10 small-array
+    numpy reductions PER component, which dominated its loop."""
     m = np.ascontiguousarray(mask.astype(bool, copy=False))
     rows, starts, ends = _image_runs(m)
     n_runs = len(rows)
     if n_runs == 0:
-        return []
+        return [], np.zeros((0, 7), dtype=np.int64)
     # Python lists for the sequential merge: numpy SCALAR indexing inside
     # the two-pointer loop was the dominant cost, not the merge logic.
     rows_l = rows.tolist()
@@ -864,23 +884,37 @@ def connected_component_runs(mask: np.ndarray, connectivity: int = 8):
                 lab = uf.make()
             labels[i] = lab
         prev_lo, prev_hi, prev_row = lo, hi, row
-    # Resolve roots → component ids in first-encounter order.
+    # Resolve roots → component ids in first-encounter order, then gather
+    # per-component run slices via ONE stable argsort (scan order within a
+    # component is preserved — the run arrays are already in scan order).
     comp_of_root: dict[int, int] = {}
-    comp_runs: list[list[int]] = []
+    cids = np.empty(n_runs, dtype=np.int64)
     find = uf.find
     for i in range(n_runs):
         root = find(labels[i])
         cid = comp_of_root.get(root)
         if cid is None:
-            cid = len(comp_runs)
+            cid = len(comp_of_root)
             comp_of_root[root] = cid
-            comp_runs.append([])
-        comp_runs[cid].append(i)
-    out = []
-    for idxs in comp_runs:
-        ii = np.array(idxs, dtype=np.int64)
-        out.append((rows[ii], starts[ii], ends[ii]))
-    return out
+        cids[i] = cid
+    k = len(comp_of_root)
+    order = np.argsort(cids, kind="stable")
+    rows_s = rows[order]
+    starts_s = starts[order]
+    ends_s = ends[order]
+    seg = np.searchsorted(cids[order], np.arange(k))
+    bounds = np.append(seg, n_runs)
+    out = [(rows_s[a:b], starts_s[a:b], ends_s[a:b])
+           for a, b in zip(bounds[:-1], bounds[1:])]
+    ext = np.empty((k, 7), dtype=np.int64)
+    ext[:, 0] = rows_s[seg]                        # r0: first run = min row
+    ext[:, 1] = rows_s[bounds[1:] - 1]             # r1: last run = max row
+    ext[:, 2] = np.minimum.reduceat(starts_s, seg)
+    ext[:, 3] = np.maximum.reduceat(starts_s, seg)
+    ext[:, 4] = np.minimum.reduceat(ends_s, seg)
+    ext[:, 5] = np.maximum.reduceat(ends_s, seg)
+    ext[:, 6] = np.add.reduceat(ends_s - starts_s, seg)
+    return out, ext
 
 
 def connected_components(mask: np.ndarray, connectivity: int = 8):
@@ -903,6 +937,31 @@ def run_boundary_points(rows: np.ndarray, starts: np.ndarray, ends: np.ndarray) 
     left = np.stack([starts, rows], axis=1)
     right = np.stack([ends - 1, rows], axis=1)
     return np.concatenate([left, right], axis=0)
+
+
+def min_area_rect_runs(rows: np.ndarray, starts: np.ndarray,
+                       ends: np.ndarray):
+    """:func:`min_area_rect` over a run-encoded component, with an
+    axis-aligned RECTANGLE fast path: when every run shares one [start, end)
+    column interval over a contiguous row range — ~80% of detection-map
+    components, whose quads render axis-aligned — the hull is the four
+    corners, the only caliper angle candidate is exactly 0 (every hull edge
+    is axis-parallel, cos=1/sin=0 exact), and the rotation is the identity,
+    so the calipers result IS the bounding box.  Degenerate extents (single
+    row / single column) fall through to the general path, whose k≤2 hull
+    branches shape them differently."""
+    s0 = starts[0]
+    if bool((starts == s0).all()):
+        e0 = ends[0]
+        if bool((ends == e0).all()) and \
+                int(rows[-1]) - int(rows[0]) + 1 == len(rows):
+            x0, x1 = float(s0), float(e0 - 1)
+            y0, y1 = float(rows[0]), float(rows[-1])
+            if x1 > x0 and y1 > y0:
+                corners = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]],
+                                   dtype=np.float64)
+                return corners, (x1 - x0, y1 - y0)
+    return min_area_rect(run_boundary_points(rows, starts, ends))
 
 
 def runs_pixel_count(starts: np.ndarray, ends: np.ndarray) -> int:

@@ -22,12 +22,11 @@ import numpy as np
 
 from .config import DetectorConfig
 from .geom import (
-    connected_component_runs,
+    connected_component_runs_ex,
     min_area_rect,
     order_rect_corners,
     row_cumsum,
     run_boundary_points,
-    runs_pixel_count,
     runs_values_sum,
     unclip_rect,
 )
@@ -53,24 +52,39 @@ def boxes_from_bitmap(pred: np.ndarray, thresh: float = 0.3,
     dest_width = width if dest_width is None else dest_width
     dest_height = height if dest_height is None else dest_height
     bitmap = pred > thresh
-    comps = connected_component_runs(bitmap, connectivity=8)[:max_candidates]
+    comps, exts = connected_component_runs_ex(bitmap, connectivity=8)
+    comps = comps[:max_candidates]
     k = len(comps)
     boxes = np.zeros((k, 4, 2), dtype=np.int32)
     scores = np.zeros((k,), dtype=np.float32)
+    ext_l = exts[:k].tolist()          # python ints: no per-field np scalars
     for i, (rows, starts, ends) in enumerate(comps):
-        pts = run_boundary_points(rows, starts, ends)
-        corners, wh = min_area_rect(pts)
+        r0, r1, smin, smax, emin, emax, npix = ext_l[i]
+        if smin == smax and emin == emax and len(rows) == r1 - r0 + 1 \
+                and emin - 1 > smin and r1 > r0:
+            # Axis-aligned rectangle (~80% of detection-map components):
+            # the calipers' only angle candidate is exactly 0, so the
+            # min-area rect IS the bounds box (geom.min_area_rect_runs).
+            x0f, x1f = float(smin), float(emin - 1)
+            y0f, y1f = float(r0), float(r1)
+            corners = np.array([[x0f, y0f], [x1f, y0f],
+                                [x1f, y1f], [x0f, y1f]], dtype=np.float64)
+            wh = (x1f - x0f, y1f - y0f)
+        else:
+            corners, wh = min_area_rect(run_boundary_points(rows, starts,
+                                                            ends))
         _, sside = order_rect_corners(corners, wh)
         if sside < 2:                        # utils/db_utils.py:148
             continue
-        npix = runs_pixel_count(starts, ends)
         # Row-local prefix sums over just this component's row × column
         # window (a text line spans ~10-30% of the page width, so the
-        # column crop cuts the cumsum work proportionally).
-        c0 = int(starts.min())
-        csum = row_cumsum(pred[rows][:, c0:int(ends.max())])
-        local = np.arange(len(rows))
-        score = runs_values_sum(csum, local, starts - c0, ends - c0) / npix
+        # column crop cuts the cumsum work proportionally).  The window is
+        # a SLICE view — ``pred[rows]`` fancy-indexing copied every
+        # component row at full page width first; rows with several runs
+        # simply index the same csum row twice.
+        csum = row_cumsum(pred[r0:r1 + 1, smin:emax])
+        score = runs_values_sum(csum, rows - r0, starts - smin,
+                                ends - smin) / npix
         expanded = unclip_rect(order_rect_corners(corners, wh)[0], unclip_ratio)
         # The reference re-runs minAreaRect on the unclip output
         # (utils/db_utils.py:168-174) because ITS unclip is a round-join

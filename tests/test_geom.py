@@ -387,3 +387,49 @@ def test_axis_aligned_fill_fast_path_bit_identical():
         m_fast = convex_poly_mask(quad, 0, 25, 0, 35)
         m_gen = convex_poly_mask(quad5, 0, 25, 0, 35)
         assert np.array_equal(m_fast, m_gen)
+
+
+def test_min_area_rect_runs_bit_identical():
+    """min_area_rect_runs (axis-aligned rectangle fast path) must equal the
+    general boundary-points calipers BIT-FOR-BIT on every component shape:
+    rects, rotated quads, single-row/column degenerates."""
+    import math
+
+    from ctdray.geom import (connected_component_runs, fill_convex_poly,
+                             min_area_rect, min_area_rect_runs,
+                             run_boundary_points)
+
+    rng = np.random.default_rng(0)
+    hits = 0
+    for trial in range(200):
+        img = np.zeros((60, 80), np.float32)
+        kind = trial % 4
+        if kind == 0:
+            r0, c0 = rng.integers(0, 40, 2)
+            h, w = rng.integers(1, 15, 2)
+            img[r0:r0 + h, c0:c0 + w] = 1
+        elif kind == 1:
+            cx, cy = rng.uniform(20, 50, 2)
+            ww, hh = rng.uniform(4, 16, 2)
+            a = rng.uniform(0, math.pi)
+            c, s = math.cos(a), math.sin(a)
+            quad = (np.array([[-ww / 2, -hh / 2], [ww / 2, -hh / 2],
+                              [ww / 2, hh / 2], [-ww / 2, hh / 2]])
+                    @ np.array([[c, -s], [s, c]]) + [cx, cy])
+            fill_convex_poly(img, quad, 1.0)
+        elif kind == 2:
+            r0 = int(rng.integers(0, 59))
+            c0 = int(rng.integers(0, 60))
+            img[r0, c0:c0 + int(rng.integers(1, 15))] = 1
+        else:
+            r0 = int(rng.integers(0, 40))
+            c0 = int(rng.integers(0, 79))
+            img[r0:r0 + int(rng.integers(1, 15)), c0] = 1
+        for rows, starts, ends in connected_component_runs(img > 0.5,
+                                                           connectivity=8):
+            fast = min_area_rect_runs(rows, starts, ends)
+            ref = min_area_rect(run_boundary_points(rows, starts, ends))
+            assert np.array_equal(fast[0], ref[0])
+            assert fast[1] == ref[1]
+            hits += 1
+    assert hits > 100
