@@ -435,12 +435,18 @@ def _emit_ac_refine(bw, blocks, ss, se, al, ac_tab, eob: _EobState):
 
 
 def encode_progressive_jpeg(img: np.ndarray, quality: int = 90,
-                            subsampling: str = "444") -> bytes:
+                            subsampling: str = "444",
+                            restart_interval: int = 0) -> bytes:
     """uint8 (H, W) grayscale or (H, W, 3) BGR → progressive (SOF2) JFIF:
     spectral selection (DC scan, split AC bands) AND successive
     approximation (Al=1 first passes + refinement scans), so a decoder must
     exercise every progressive scan kind to reproduce the image.  Exact
-    coefficient round-trip with :func:`decode_jpeg` by construction."""
+    coefficient round-trip with :func:`decode_jpeg` by construction.
+
+    ``restart_interval`` (MCUs for the DC scans, blocks for the AC scans —
+    T.81 units per scan kind) emits RSTn markers with DC-predictor and
+    EOB-run state reset at each boundary, matching the decoder's per-segment
+    reset."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         raise ValueError("encode_progressive_jpeg expects uint8")
@@ -486,10 +492,24 @@ def encode_progressive_jpeg(img: np.ndarray, quality: int = 90,
     tab = _huff_encode_table(_FLAT_HUFF)
     ncomp = len(planes)
 
+    rst_counter = [0]
+
+    def _rst_marker() -> bytes:
+        m = bytes([0xFF, 0xD0 + (rst_counter[0] & 7)])
+        rst_counter[0] += 1
+        return m
+
     def dc_scan_bytes(ah: int, al: int) -> bytes:
+        rst_counter[0] = 0                       # modulo-8 index per scan
+        out = bytearray()
         bw = _BitWriter()
         preds = [0] * ncomp
         for m in range(mcus_x * mcus_y):
+            if restart_interval and m and m % restart_interval == 0:
+                bw.flush()
+                out += bw.buf + _rst_marker()
+                bw = _BitWriter()
+                preds = [0] * ncomp
             my, mx = divmod(m, mcus_x)
             for ci in range(ncomp):
                 sh, sv = samp[ci]
@@ -508,21 +528,28 @@ def encode_progressive_jpeg(img: np.ndarray, quality: int = 90,
                         else:                    # refinement: bit al
                             bw.put((v >> al) & 1, 1)
         bw.flush()
-        return bytes(bw.buf)
+        return bytes(out + bw.buf)
 
     def ac_scan_bytes(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
-        bw = _BitWriter()
+        rst_counter[0] = 0
+        out = bytearray()
         uh, uw = used[ci]
         blocks = [grids[ci][by, bx]
                   for by in range(uh) for bx in range(uw)]
-        eob = _EobState()
-        if ah == 0:
-            _emit_ac_first(bw, blocks, ss, se, al, tab, eob)
-        else:
-            _emit_ac_refine(bw, blocks, ss, se, al, tab, eob)
-        eob.flush(bw, tab)
-        bw.flush()
-        return bytes(bw.buf)
+        emit = _emit_ac_first if ah == 0 else _emit_ac_refine
+        ri = restart_interval or len(blocks)
+        bw = _BitWriter()
+        first = True
+        for lo in range(0, len(blocks), ri):
+            if not first:
+                out += bw.buf + _rst_marker()
+                bw = _BitWriter()
+            first = False
+            eob = _EobState()                    # EOB runs never span a RST
+            emit(bw, blocks[lo:lo + ri], ss, se, al, tab, eob)
+            eob.flush(bw, tab)
+            bw.flush()
+        return bytes(out + bw.buf)
 
     # --- markers ---
     def seg(marker, payload):
@@ -550,6 +577,8 @@ def encode_progressive_jpeg(img: np.ndarray, quality: int = 90,
     bits, values = _FLAT_HUFF
     for cls in (0, 1):
         out += seg(0xC4, bytes([(cls << 4)]) + bytes(bits) + bytes(values))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
 
     all_comps = list(range(ncomp))
     out += sos(all_comps, 0, 0, 0, 1) + dc_scan_bytes(0, 1)

@@ -217,3 +217,25 @@ def test_thumbnails_task_handles_jpg_refs():
     assert (jpg["height"], jpg["width"]) == (pgm["height"], pgm["width"])
     assert abs(jpg["mean_px"] - pgm["mean_px"]) < 1.5
     assert not rows["webp://bogus"]["decode_ok"]
+
+
+@pytest.mark.parametrize("shape,sub,ri", [
+    ((64, 48, 3), "444", 3), ((50, 70, 3), "420", 5),
+    ((40, 56), "444", 1), ((47, 61, 3), "422", 7)])
+def test_progressive_restart_intervals_exact(shape, sub, ri):
+    """Progressive scans with DRI/RSTn markers (DC-pred + EOB-run reset at
+    every boundary, per-scan modulo-8 index) decode identically to the
+    unrestarted stream and to the baseline codec."""
+    from ctdray.sources.jpeg import decode_jpeg, encode_progressive_jpeg
+
+    rng = np.random.default_rng(sum(shape) + ri)
+    img = (rng.integers(0, 256, shape, dtype=np.uint8) // 3 + 90) \
+        .astype(np.uint8)
+    data = encode_progressive_jpeg(img, quality=85, subsampling=sub,
+                                   restart_interval=ri)
+    n_rst = sum(1 for i in range(len(data) - 1)
+                if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7)
+    assert n_rst > 0
+    base = decode_jpeg(encode_baseline_jpeg(img, quality=85,
+                                            subsampling=sub))
+    assert np.array_equal(decode_jpeg(data), base)
