@@ -87,7 +87,8 @@ def run_bench(sf_dir: str, num_cpus: int, n_runs: int | None = None) -> dict:
     # Best-of-2 per query: the first run pays cold worker/scan costs, the
     # second measures the warm steady state of a long-running job — and the
     # min damps shared-host noise bursts (BASELINE.md host notes).
-    for name in ("dedup_exact", "dedup_minhash_lsh", "dedup_chunk_scrub",
+    for name in ("extract_detected_spans_split",
+                 "dedup_exact", "dedup_minhash_lsh", "dedup_chunk_scrub",
                  "knn_bruteforce",
                  "q1_pricing_summary", "events_hourly",
                  "local_supplier_volume", "lineitem_price_quantiles",

@@ -906,7 +906,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan_cis = []
             for c in range(ns):
                 cs, tdta = payload[1 + 2 * c:3 + 2 * c]
-                ci = next(k for k, cc in enumerate(comps) if cc["id"] == cs)
+                matches = [k for k, cc in enumerate(comps)
+                           if cc["id"] == cs]
+                if not matches:
+                    raise ValueError(f"SOS references unknown component {cs}")
+                ci = matches[0]
                 td, ta = tdta >> 4, tdta & 15
                 if (0, td) in htabs:
                     comps[ci]["dc"] = htabs[(0, td)]

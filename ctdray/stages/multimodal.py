@@ -47,16 +47,36 @@ AUDIO_FEAT_SCHEMA = pa.schema([
 ])
 
 
+def _decode_checked(fn, payload: bytes, what: str) -> np.ndarray:
+    """Run a native decoder, normalizing every malformed-stream escape
+    (bit-flipped lengths → IndexError, corrupted table ids → KeyError,
+    zlib garbage, …) to the poison-pill contract's ValueError.  Fuzz-pinned
+    by tests/test_decode_fuzz.py: decode_image raises ONLY
+    ValueError/NotImplementedError, whatever the bytes."""
+    import struct
+    import zlib
+
+    try:
+        return fn(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, OverflowError, TypeError,
+            StopIteration, struct.error, zlib.error) as e:
+        raise ValueError(
+            f"malformed {what} payload: {type(e).__name__}: {e}") from e
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """binary → uint8 (h, w[, c]).  PGM, PNG and baseline JPEG are native
-    (pure numpy/zlib — ctdray.sources.png / ctdray.sources.jpeg; the
-    reference decodes via cv2.imdecode, utils/io_utils.py:42, and its
-    bundled example corpus is JPEG).  cv2, when importable, takes the JPEG
-    fast path and covers the remaining formats (WebP, progressive JPEG)."""
+    """binary → uint8 (h, w[, c]).  PGM, PNG and JPEG — baseline AND
+    progressive (SOF2) — decode natively (pure numpy/zlib:
+    ctdray.sources.png / ctdray.sources.jpeg; the reference decodes via
+    cv2.imdecode, utils/io_utils.py:42, and its bundled example corpus is
+    JPEG).  cv2, when importable, takes the fast path and covers the
+    remaining formats (WebP, AVIF, …)."""
     if payload[:2] == b"P5":
-        return decode_pgm(payload)
+        return _decode_checked(decode_pgm, payload, "PGM")
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        return decode_png(payload)
+        return _decode_checked(decode_png, payload, "PNG")
     try:  # pragma: no cover - not installed in-sandbox
         import cv2
 
@@ -66,9 +86,9 @@ def decode_image(payload: bytes) -> np.ndarray:
         return img
     except ImportError:
         if payload[:2] == b"\xff\xd8":
-            from ..sources.jpeg import decode_baseline_jpeg
+            from ..sources.jpeg import decode_jpeg
 
-            return decode_baseline_jpeg(payload)
+            return _decode_checked(decode_jpeg, payload, "JPEG")
         raise NotImplementedError(
             "image format needs cv2/PIL (unavailable in-sandbox); "
             "prod images route through this hook unchanged")
