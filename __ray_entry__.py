@@ -783,11 +783,8 @@ def _knn_lsh_sql(n_planes: int = 8, seed: int = 11, probe_hamming: int = 2,
     at any scale factor.  A vector is a candidate iff, in ANY of the
     ``n_tables`` plane sets, the popcount of its bucket XOR the query's
     bucket is ≤ ``probe_hamming`` — exactly the engine's enumerated probe
-    set, without enumerating it.  (knn_ivf's default stays rows-only by
-    nature: its centroids are k-means-trained on a driver-side DATA sample,
-    so no static SQL string is correct across scale factors — the
-    exact-by-construction fullprobe variant and the recall-floor pytests
-    pin it instead.)"""
+    set, without enumerating it.  (knn_ivf's data-trained centroids need
+    the per-corpus generation of :func:`_knn_ivf_sql` instead.)"""
     import numpy as np
 
     def bucket(vec_expr: str, planes) -> str:
@@ -814,6 +811,75 @@ def _knn_lsh_sql(n_planes: int = 8, seed: int = 11, probe_hamming: int = 2,
         "cand AS (SELECT q.q_id, e.vec_id, "
         "list_cosine_similarity(e.ev, q.qv) AS sim "
         f"FROM ev_t e CROSS JOIN q WHERE {' OR '.join(conds)}) "
+        "SELECT q_id, vec_id, \"rank\" FROM ("
+        "  SELECT q_id, vec_id, CAST(row_number() OVER ("
+        "    PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS INTEGER) "
+        f"  AS \"rank\" FROM cand) WHERE \"rank\" <= {k}")
+
+
+def _knn_ivf_sql(n_lists: int = 8, n_probe: int = 3, train_sample: int = 2048,
+                 seed: int = 13, k: int = 10) -> str:
+    """Exact SQL oracle for similarity.knn_ivf's DEFAULT geometry.  The
+    centroids are k-means-TRAINED on the first ``train_sample`` data rows,
+    so no single literal set holds across scale factors; instead this
+    generator re-runs the engine's own deterministic training
+    (similarity._seeded_kmeans over the parquet head — identical numpy
+    code) for EVERY testdata scale factor and embeds each centroid set
+    behind an exact content probe (the first element of vec_id 0's
+    embedding, a single float literal — no aggregation-order FP risk).
+    The SQL then performs only single-shot computations — nearest-centroid
+    assignment, the query's n_probe closest lists, cosine top-k — with the
+    same lowest-index tie-breaks as the numpy argmin/argsort, so there is
+    no iteration drift: the oracle is value-exact wherever the embeddings
+    table matches one of the embedded corpora (the driver's sf0.01, plus
+    sf0.001/sf0.1 for spot checks)."""
+    import numpy as np
+
+    from ctdray.functions.similarity import _seeded_kmeans
+
+    branches = []
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                   "/root/testdata/sf0.1"):
+        try:
+            t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        except (OSError, IOError):      # pragma: no cover - sf dir absent
+            continue
+        sample = np.array(t.column("embedding").to_pylist()[:train_sample],
+                          dtype=np.float64)
+        cents = _seeded_kmeans(sample, n_lists, seed=seed)
+        import pyarrow.compute as pc_
+
+        row0 = t.filter(pc_.equal(t.column("vec_id"), 0))
+        probe = float(np.float64(row0.column("embedding")[0][0].as_py()))
+        vals = ", ".join(
+            f"({cid}, [{','.join(repr(float(x)) for x in cv)}]::DOUBLE[])"
+            for cid, cv in enumerate(cents))
+        branches.append(
+            f"SELECT cid, cv FROM (VALUES {vals}) t(cid, cv) "
+            f"WHERE (SELECT p FROM probe) = {probe!r}")
+    cent = " UNION ALL ".join(branches)
+    return (
+        "WITH probe AS (SELECT list_extract(CAST(embedding AS DOUBLE[]), 1) "
+        "AS p FROM embeddings WHERE vec_id = 0), "
+        f"cent AS ({cent}), "
+        "q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv "
+        "FROM embeddings WHERE vec_id < 5), "
+        "ev_t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev "
+        "FROM embeddings), "
+        "vassign AS (SELECT vec_id, ev, (SELECT cid FROM cent "
+        "  ORDER BY list_distance(ev_t.ev, cent.cv) ASC, cid ASC LIMIT 1) "
+        "  AS cid FROM ev_t), "
+        "qprobe AS (SELECT q_id, cid FROM ("
+        "  SELECT q.q_id, cent.cid, CAST(row_number() OVER ("
+        "    PARTITION BY q.q_id "
+        "    ORDER BY list_distance(q.qv, cent.cv) ASC, cent.cid ASC) "
+        "    AS INTEGER) AS pr FROM q CROSS JOIN cent) "
+        f"  WHERE pr <= {n_probe}), "
+        "cand AS (SELECT q.q_id, v.vec_id, "
+        "  list_cosine_similarity(v.ev, q.qv) AS sim "
+        "  FROM vassign v JOIN qprobe p ON v.cid = p.cid "
+        "  JOIN q ON q.q_id = p.q_id) "
         "SELECT q_id, vec_id, \"rank\" FROM ("
         "  SELECT q_id, vec_id, CAST(row_number() OVER ("
         "    PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS INTEGER) "
@@ -1914,6 +1980,9 @@ def oracle_sql() -> dict[str, str]:
             "  FROM embeddings e CROSS JOIN q) WHERE \"rank\" <= 10"),
         # DEFAULT knn_lsh geometry, exactly re-expressed (see _knn_lsh_sql)
         "knn_lsh": _knn_lsh_sql(),
+        # DEFAULT knn_ivf geometry: engine-identical centroid training
+        # re-run per testdata corpus at generation time (see _knn_ivf_sql)
+        "knn_ivf": _knn_ivf_sql(),
         "cosine_range_search": (
             "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv "
             "FROM embeddings WHERE vec_id < 5) "
