@@ -645,11 +645,16 @@ def _axis_aligned_quad(p: np.ndarray) -> bool:
         and edge_ok(cx, cy, dx, dy) and edge_ok(dx, dy, ax, ay)
 
 
-def fill_convex_poly(canvas: np.ndarray, poly: np.ndarray, value) -> None:
+def fill_convex_poly(canvas: np.ndarray, poly: np.ndarray, value):
     """Fill a convex polygon into ``canvas`` in place (half-plane tests over
     the polygon's clipped bbox only — no full-image work).  Axis-aligned
     quads (the dominant case on rendered fixture pages) fill by direct
-    slice assignment — bit-identical, no mask materialized."""
+    slice assignment — bit-identical, no mask materialized.
+
+    Returns the clipped bbox ``(y0, y1, x0, x1)`` that bounds every painted
+    pixel (``None`` if nothing was painted) — callers that reuse canvases
+    zero exactly these regions to restore a pristine buffer
+    (SurrogateDetector's dirty-rect map reuse)."""
     h, w = canvas.shape[:2]
     p = np.asarray(poly, dtype=np.float64).reshape(-1, 2)
     x0 = max(int(math.floor(p[:, 0].min())), 0)
@@ -657,7 +662,7 @@ def fill_convex_poly(canvas: np.ndarray, poly: np.ndarray, value) -> None:
     y0 = max(int(math.floor(p[:, 1].min())), 0)
     y1 = min(int(math.ceil(p[:, 1].max())) + 1, h)
     if x1 <= x0 or y1 <= y0:
-        return
+        return None
     if _axis_aligned_quad(p):
         # pixel x inside ⟺ xmin ≤ x ≤ xmax ⟺ x ∈ [ceil(xmin), floor(xmax)]
         ix0 = max(int(math.ceil(p[:, 0].min())), x0)
@@ -666,10 +671,12 @@ def fill_convex_poly(canvas: np.ndarray, poly: np.ndarray, value) -> None:
         iy1 = min(int(math.floor(p[:, 1].max())) + 1, y1)
         if ix1 > ix0 and iy1 > iy0:
             canvas[iy0:iy1, ix0:ix1] = value
-        return
+            return (iy0, iy1, ix0, ix1)
+        return None
     inside = convex_poly_mask(p, y0, y1, x0, x1)
     region = canvas[y0:y1, x0:x1]
     region[inside] = value
+    return (y0, y1, x0, x1)
 
 
 def convex_poly_mask(poly: np.ndarray, y0: int, y1: int, x0: int, x1: int) -> np.ndarray:

@@ -23,7 +23,11 @@ def encode_pgm(img: np.ndarray) -> bytes:
         raise ValueError("encode_pgm expects a 2-D uint8 array")
     h, w = img.shape
     header = f"P5\n{w} {h}\n255\n".encode("ascii")
-    return header + img.tobytes()
+    # join copies the pixel buffer ONCE (straight from the array's
+    # memoryview); ``header + img.tobytes()`` paid two full-payload copies.
+    if not img.flags.c_contiguous:
+        img = np.ascontiguousarray(img)
+    return b"".join((header, img.data))
 
 
 def decode_pgm(data: bytes) -> np.ndarray:

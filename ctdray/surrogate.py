@@ -29,6 +29,17 @@ from .geom import fill_convex_poly, letterbox_params, shrink_poly
 NUM_CLASSES = 3  # eng / ja / unknown (inference.py:117-118)
 
 
+class _DiscardList(list):
+    """append() sink for the no-reuse path — keeps the paint loop branchless
+    without accumulating rects nobody will zero."""
+
+    def append(self, item):  # noqa: D401
+        pass
+
+
+_DISCARD_RECTS = _DiscardList()
+
+
 class SurrogateDetector:
     """Deterministic stand-in for TextDetBase.forward (basemodel.py:222-244).
 
@@ -42,8 +53,26 @@ class SurrogateDetector:
     worker.
     """
 
-    def __init__(self, cfg: DetectorConfig | None = None):
+    def __init__(self, cfg: DetectorConfig | None = None,
+                 reuse_buffers: bool = True):
         self.cfg = cfg or DetectorConfig()
+        # Output-map reuse (dirty-rect reset): the (S, S) mask + (2, S, S)
+        # lines maps are 12 MB/page of calloc'd zeros — ~15% of the fused
+        # chain was the allocator zero-filling pages the painter immediately
+        # overwrites.  Reusing per-detector buffers and zeroing only the
+        # rects painted by the PREVIOUS call restores a bit-identical
+        # pristine canvas (every nonzero pixel is inside a recorded
+        # fill_convex_poly bbox, by induction from a zero buffer).  The
+        # contract this imposes is the standard inference-backend one (cv2's
+        # reused output Mats): returned maps are views valid until the next
+        # ``infer`` on this instance; callers that keep maps copy them —
+        # every engine stage already consumes or encodes per page before the
+        # next call (stages/detect.py, stages/refine.py ``.full()``).
+        self._reuse = bool(reuse_buffers)
+        self._mask_buf = None
+        self._lines_buf = None
+        self._dirty_mask: list = []
+        self._dirty_lines: list = []
 
     def infer(self, media_ref: str, im_h: int, im_w: int):
         cfg = self.cfg
@@ -80,18 +109,43 @@ class SurrogateDetector:
         blks = blks[None].astype(np.float32)
 
         # Background stays 0.0 (calloc'd) — below every threshold, and ~60×
-        # cheaper than np.full on 12 MB of maps.
-        mask = np.zeros((size, size), dtype=np.float32)
-        lines_map = np.zeros((2, size, size), dtype=np.float32)
+        # cheaper than np.full on 12 MB of maps.  With reuse on, only the
+        # rects painted by the previous call are re-zeroed (see __init__).
+        if self._reuse:
+            mask, lines_map = self._mask_buf, self._lines_buf
+            if mask is None or mask.shape[0] != size:
+                mask = self._mask_buf = np.zeros((size, size),
+                                                 dtype=np.float32)
+                lines_map = self._lines_buf = np.zeros((2, size, size),
+                                                       dtype=np.float32)
+            else:
+                l0_buf = lines_map[0]
+                for (ry0, ry1, rx0, rx1) in self._dirty_mask:
+                    mask[ry0:ry1, rx0:rx1] = 0.0
+                for (ry0, ry1, rx0, rx1) in self._dirty_lines:
+                    l0_buf[ry0:ry1, rx0:rx1] = 0.0
+            dirty_mask = self._dirty_mask = []
+            dirty_lines = self._dirty_lines = []
+        else:
+            mask = np.zeros((size, size), dtype=np.float32)
+            lines_map = np.zeros((2, size, size), dtype=np.float32)
+            dirty_mask = dirty_lines = _DISCARD_RECTS
         scale = np.array([sx, sy])
+        l0 = lines_map[0]
         for blk in gt.blocks:
             for quad in blk.lines:
                 q = quad * scale
-                fill_convex_poly(mask, q, 0.9)
+                r = fill_convex_poly(mask, q, 0.9)
+                if r is not None:
+                    dirty_mask.append(r)
                 if blk.in_lines_map:
-                    fill_convex_poly(lines_map[0], shrink_poly(q, 0.4), 0.95)
+                    r = fill_convex_poly(l0, shrink_poly(q, 0.4), 0.95)
+                    if r is not None:
+                        dirty_lines.append(r)
         for quad, value in gt.noise_regions:
-            fill_convex_poly(lines_map[0], np.asarray(quad) * scale, value)
+            r = fill_convex_poly(l0, np.asarray(quad) * scale, value)
+            if r is not None:
+                dirty_lines.append(r)
         return blks, mask[None, None], lines_map[None]
 
 
