@@ -220,7 +220,11 @@ def _infer_page_payload(detector, det_cfg, ref: str, im_h: int, im_w: int,
         detector, ref, int(im_h), int(im_w), det_cfg)
     mode, runs, vals = encode_page_maps(
         (m_full, l0_full), crop_h, crop_w,
-        store_dtype=np.float16 if half else None)
+        store_dtype=np.float16 if half else None,
+        # Backends that know where they wrote (surrogate painter) hand the
+        # codec its run table for free; prod backends without the attr get
+        # the full nonzero scan (tensorcodec.encode_page_maps).
+        paint_rects=getattr(detector, "last_paint_rects", None))
     return {
         "media_ref": ref, "im_h": int(im_h), "im_w": int(im_w),
         "blks": blks.tobytes(), "blks_w": int(blks.shape[1]),

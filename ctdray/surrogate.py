@@ -29,17 +29,6 @@ from .geom import fill_convex_poly, letterbox_params, shrink_poly
 NUM_CLASSES = 3  # eng / ja / unknown (inference.py:117-118)
 
 
-class _DiscardList(list):
-    """append() sink for the no-reuse path — keeps the paint loop branchless
-    without accumulating rects nobody will zero."""
-
-    def append(self, item):  # noqa: D401
-        pass
-
-
-_DISCARD_RECTS = _DiscardList()
-
-
 class SurrogateDetector:
     """Deterministic stand-in for TextDetBase.forward (basemodel.py:222-244).
 
@@ -54,8 +43,11 @@ class SurrogateDetector:
     """
 
     def __init__(self, cfg: DetectorConfig | None = None,
-                 reuse_buffers: bool = True):
+                 reuse_buffers: bool | None = None):
         self.cfg = cfg or DetectorConfig()
+        if reuse_buffers is None:
+            import os
+            reuse_buffers = os.environ.get("CTDRAY_MAP_REUSE", "1") != "0"
         # Output-map reuse (dirty-rect reset): the (S, S) mask + (2, S, S)
         # lines maps are 12 MB/page of calloc'd zeros — ~15% of the fused
         # chain was the allocator zero-filling pages the painter immediately
@@ -129,7 +121,8 @@ class SurrogateDetector:
         else:
             mask = np.zeros((size, size), dtype=np.float32)
             lines_map = np.zeros((2, size, size), dtype=np.float32)
-            dirty_mask = dirty_lines = _DISCARD_RECTS
+            dirty_mask = self._dirty_mask = []
+            dirty_lines = self._dirty_lines = []
         scale = np.array([sx, sy])
         l0 = lines_map[0]
         for blk in gt.blocks:
@@ -146,6 +139,12 @@ class SurrogateDetector:
             r = fill_convex_poly(l0, np.asarray(quad) * scale, value)
             if r is not None:
                 dirty_lines.append(r)
+        # Codec hint: these rects bound every nonzero pixel of this call's
+        # maps (same induction that makes the dirty-rect reset exact), so
+        # the split-layout codec can build its run table from geometry
+        # instead of scanning 12 MB of planes (tensorcodec.encode_page_maps
+        # ``paint_rects``).  Valid until the next infer on this instance.
+        self.last_paint_rects = (dirty_mask, dirty_lines)
         return blks, mask[None, None], lines_map[None]
 
 

@@ -95,10 +95,36 @@ def encode_map(arr: np.ndarray, sparse_threshold: float = 0.25,
     return True, runs.tobytes(), values.tobytes()
 
 
+def _rects_to_runs(rects, size: int):
+    """Painted-rect list [(y0, y1, x0, x1), ...] on an (S, S) canvas →
+    sorted, merged, non-overlapping flat-space runs ``(starts, ends)``
+    int64.  Overlapping / adjacent row intervals are unioned so the run
+    table matches what a scan of the union region would produce."""
+    ys = np.concatenate([np.arange(y0, y1, dtype=np.int64)
+                         for (y0, y1, x0, x1) in rects])
+    xs0 = np.concatenate([np.full(y1 - y0, x0, dtype=np.int64)
+                          for (y0, y1, x0, x1) in rects])
+    xs1 = np.concatenate([np.full(y1 - y0, x1, dtype=np.int64)
+                          for (y0, y1, x0, x1) in rects])
+    starts = ys * size + xs0
+    ends = ys * size + xs1
+    order = np.argsort(starts, kind="stable")
+    starts, ends = starts[order], ends[order]
+    # interval union: a run opens a new segment iff it starts beyond the
+    # running max end of everything before it
+    run_end = np.maximum.accumulate(ends)
+    new_seg = np.empty(len(starts), dtype=bool)
+    new_seg[0] = True
+    new_seg[1:] = starts[1:] > run_end[:-1]
+    seg_idx = np.flatnonzero(new_seg)
+    return starts[seg_idx], np.maximum.reduceat(ends, seg_idx)
+
+
 def encode_page_maps(planes, crop_h: int, crop_w: int,
                      store_dtype=None,
-                     sparse_threshold: float = 0.25) -> tuple[int, bytes,
-                                                              bytes]:
+                     sparse_threshold: float = 0.25,
+                     paint_rects=None) -> tuple[int, bytes,
+                                                bytes]:
     """Codec for a page's TWO full-size (S, S) maps in ONE (runs, values)
     pair: ``(mode, runs_bytes, values_bytes)``.
 
@@ -111,7 +137,17 @@ def encode_page_maps(planes, crop_h: int, crop_w: int,
     only in the fallback, and the pad bytes never ship in either mode.
 
     ``mode`` bit ``i`` set = plane ``i`` sparse.  Values buffer = plane 0's
-    part then plane 1's, store_dtype throughout."""
+    part then plane 1's, store_dtype throughout.
+
+    ``paint_rects`` (optional): per-plane lists of ``(y0, y1, x0, x1)``
+    rects GUARANTEED to bound every nonzero pixel — backends that know
+    where they wrote (the surrogate's painter; an on-device-thresholding
+    prod backend could expose the same) let the codec build the run table
+    straight from that geometry and skip the full-plane nonzero scan
+    (~5 full-size passes/plane).  The runs are then a SUPERSET of the true
+    nonzero set, which stays value-exact: the extra pixels ship as (and
+    decode to) zeros.  ``None`` (or a ``None`` plane entry) falls back to
+    the scan — identical output modulo those in-run zeros."""
     size = planes[0].shape[0]
     plane_n = planes[0].size
     store = np.dtype(store_dtype) if store_dtype is not None \
@@ -121,6 +157,36 @@ def encode_page_maps(planes, crop_h: int, crop_w: int,
     vals_parts: list[bytes] = []
     for i, p in enumerate(planes):
         flat = np.ascontiguousarray(p).reshape(-1)
+        rects = paint_rects[i] if paint_rects is not None else None
+        if rects is not None:
+            if len(rects):
+                starts, ends = _rects_to_runs(rects, size)
+                lens = ends - starts
+                sup_nnz = int(lens.sum())
+            else:
+                starts = ends = lens = np.empty(0, dtype=np.int64)
+                sup_nnz = 0
+            if sup_nnz <= crop_h * crop_w * sparse_threshold:
+                mode |= 1 << i
+                runs = np.empty((len(starts), 2), dtype=_RUN_DT)
+                runs[:, 0] = starts + i * plane_n
+                runs[:, 1] = ends + i * plane_n
+                runs_parts.append(runs.tobytes())
+                if sup_nnz:
+                    cum = np.cumsum(lens)
+                    ar = np.arange(sup_nnz, dtype=np.int64) \
+                        - np.repeat(cum - lens, lens)
+                    values = flat[np.repeat(starts, lens) + ar]
+                    if store != values.dtype:
+                        values = values.astype(store)
+                    vals_parts.append(values.tobytes())
+                continue
+            # superset too big for sparse → dense crop fallback (below)
+            crop = p[:crop_h, :crop_w]
+            if store != crop.dtype:
+                crop = crop.astype(store)
+            vals_parts.append(np.ascontiguousarray(crop).tobytes())
+            continue
         nzb = _nonzero_bits(flat)
         nnz = int(np.count_nonzero(nzb))
         if nnz > crop_h * crop_w * sparse_threshold:

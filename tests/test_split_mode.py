@@ -320,3 +320,99 @@ def test_split_dense_tail_hybrid_equal_fused(ray_session, corpus_tbl):
         PipelineConfig(detect_layout="split", dense_media_threshold=2,
                        infer_concurrency=2)))
     assert split == fused
+
+
+def test_page_maps_codec_paint_rects_hint():
+    """encode_page_maps ``paint_rects``: runs built from painter geometry
+    (no plane scan) decode to the identical maps — including superset rects
+    (extra in-run pixels ship as zeros), overlapping rects (interval union),
+    empty rect lists, fp16 wire, and the dense fallback when the rect union
+    is too large for sparse."""
+    from ctdray.tensorcodec import decode_page_maps, encode_page_maps
+
+    rng = np.random.default_rng(11)
+    S, ch, cw = 256, 256, 192
+    mask = np.zeros((S, S), np.float32)
+    mask[30:90, 10:180] = rng.random((60, 170)).astype(np.float32)
+    lines = np.zeros((S, S), np.float32)
+    lines[200:240, 60:150] = rng.random((40, 90)).astype(np.float32)
+    lines[210:220, 100:120] = 0.0      # holes INSIDE the painted rect
+
+    exact = [(30, 90, 10, 180)]
+    superset = [(27, 93, 7, 183)]      # bounds + margin, under the sparse
+                                       # threshold (66·176 < 0.25·ch·cw)
+    overlapping = [(200, 225, 60, 150), (215, 240, 60, 150),
+                   (205, 210, 60, 150)]                  # union = the rect
+    for m_rects, l_rects in ((exact, [(200, 240, 60, 150)]),
+                             (superset, overlapping)):
+        mode, runs, vals = encode_page_maps(
+            (mask, lines), ch, cw, paint_rects=(m_rects, l_rects))
+        assert mode == 0b11
+        out = decode_page_maps(mode, runs, vals, ch, cw, np.float32)
+        assert np.array_equal(out[0], mask)
+        assert np.array_equal(out[1], lines)
+
+    # fp16 wire via the hint path
+    mode, runs, vals = encode_page_maps((mask, lines), ch, cw,
+                                        store_dtype=np.float16,
+                                        paint_rects=(superset, overlapping))
+    out = decode_page_maps(mode, runs, vals, ch, cw, np.float16,
+                           out_dtype=np.float32)
+    assert np.array_equal(out[0], mask.astype(np.float16).astype(np.float32))
+    assert np.array_equal(out[1], lines.astype(np.float16).astype(np.float32))
+
+    # empty rect lists == all-zero planes, zero wire bytes
+    z = np.zeros((S, S), np.float32)
+    mode, runs, vals = encode_page_maps((z, z), ch, cw, paint_rects=([], []))
+    assert mode == 0b11 and runs == b"" and vals == b""
+    assert np.array_equal(
+        decode_page_maps(mode, runs, vals, ch, cw, np.float32),
+        np.zeros((2, S, S)))
+
+    # a whole-canvas rect union exceeds the sparse threshold → dense crop,
+    # same as the scan path would decide for a dense plane
+    dense = rng.random((S, S)).astype(np.float32) + 0.01
+    dense[:, cw:] = 0.0                # pad region stays zero
+    mode, runs, vals = encode_page_maps((dense, lines), ch, cw,
+                                        paint_rects=([(0, S, 0, cw)],
+                                                     overlapping))
+    assert mode == 0b10
+    out = decode_page_maps(mode, runs, vals, ch, cw, np.float32)
+    assert np.array_equal(out[0, :ch, :cw], dense[:ch, :cw])
+    assert np.array_equal(out[1], lines)
+
+    # per-plane None falls back to the scan for that plane only
+    mode_h, runs_h, vals_h = encode_page_maps(
+        (mask, lines), ch, cw, paint_rects=(None, overlapping))
+    out = decode_page_maps(mode_h, runs_h, vals_h, ch, cw, np.float32)
+    assert np.array_equal(out[0], mask)
+    assert np.array_equal(out[1], lines)
+
+
+def test_surrogate_exposes_paint_rects_and_payload_uses_them():
+    """The surrogate records per-call paint rects; the split payload built
+    WITH the hint decodes to the same maps as a scan-based encode."""
+    from ctdray.config import DetectorConfig
+    from ctdray.detect_core import infer_page_planes
+    from ctdray.surrogate import SurrogateDetector
+    from ctdray.tensorcodec import decode_page_maps, encode_page_maps
+    from ctdray.fixtures import make_media_ref
+    from ctdray.sources.media import decode_page
+
+    cfg = DetectorConfig()
+    for reuse in (True, False):
+        det = SurrogateDetector(cfg, reuse_buffers=reuse)
+        for i in range(4):
+            ref = make_media_ref(doc_id=i * 53 + 9, offset=i)
+            img = decode_page(ref)
+            h, w = img.shape[:2]
+            blks, m, l0, chh, cww = infer_page_planes(det, ref, h, w, cfg)
+            rects = det.last_paint_rects
+            assert isinstance(rects, tuple) and len(rects) == 2
+            hinted = encode_page_maps((m, l0), chh, cww, paint_rects=rects)
+            scanned = encode_page_maps((m, l0), chh, cww)
+            out_h = decode_page_maps(hinted[0], hinted[1], hinted[2],
+                                     chh, cww, np.float32)
+            out_s = decode_page_maps(scanned[0], scanned[1], scanned[2],
+                                     chh, cww, np.float32)
+            np.testing.assert_array_equal(out_h, out_s)
