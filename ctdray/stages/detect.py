@@ -53,6 +53,45 @@ def _spliced_docs_table(doc_ids: list, cols: tuple,
                      "spans": spans})
 
 
+class _BlockCols:
+    """Columnar accumulator for BLOCK_SCHEMA rows — parallel scalar lists
+    plus the per-block struct dicts, assembled with one pa.array per column
+    (``Table.from_pylist`` re-infers the nested block type per row; the
+    scalar columns dominate the row count).  Shared by the fused blocks
+    stage and the split-layout postprocess."""
+
+    __slots__ = ("doc", "off", "ref", "h", "w", "blk")
+
+    def __init__(self):
+        self.doc: list = []
+        self.off: list = []
+        self.ref: list = []
+        self.h: list = []
+        self.w: list = []
+        self.blk: list = []
+
+    def add_page(self, doc_id, off: int, ref, h: int, w: int, blocks):
+        for bi, blk in enumerate(blocks):
+            self.doc.append(doc_id)
+            self.off.append(off)
+            self.ref.append(ref)
+            self.h.append(h)
+            self.w.append(w)
+            self.blk.append(blk.to_struct(order=bi))
+
+    def table(self) -> pa.Table:
+        if not self.doc:
+            return BLOCK_SCHEMA.empty_table()
+        return pa.table(
+            {"doc_id": pa.array(self.doc, pa.string()),
+             "media_offset": pa.array(self.off, pa.int32()),
+             "media_ref": pa.array(self.ref, pa.string()),
+             "im_h": pa.array(self.h, pa.int32()),
+             "im_w": pa.array(self.w, pa.int32()),
+             "block": pa.array(self.blk, BLOCK_SCHEMA.field("block").type)},
+            schema=BLOCK_SCHEMA)
+
+
 def detect_splice_doc_task(batch: pa.Table, cfg=None,
                            backend: str = "surrogate") -> pa.Table:
     """Stateless-task variant of :class:`DetectSpliceDoc` (see
@@ -154,7 +193,7 @@ class DetectExtract:
         ws = batch.column("im_w").to_pylist()
         oks = batch.column("decode_ok").to_pylist()
         if self.output == "blocks":
-            rows: list[dict] = []
+            cols = _BlockCols()
             for doc_id, off, ref, h, w, ok in zip(doc_ids, offsets, refs,
                                                   hs, ws, oks):
                 if not ok:
@@ -168,14 +207,8 @@ class DetectExtract:
                     img = None
                 blocks, _mask = detect_page(self.detector, ref, int(h),
                                             int(w), self.det_cfg, img=img)
-                for bi, blk in enumerate(blocks):
-                    rows.append({"doc_id": doc_id, "media_offset": int(off),
-                                 "media_ref": ref, "im_h": int(h),
-                                 "im_w": int(w),
-                                 "block": blk.to_struct(order=bi)})
-            if not rows:
-                return BLOCK_SCHEMA.empty_table()
-            return pa.Table.from_pylist(rows, schema=BLOCK_SCHEMA)
+                cols.add_page(doc_id, int(off), ref, int(h), int(w), blocks)
+            return cols.table()
         # Span path: columnar build (same shape as _spliced_docs_table).
         c_doc: list = []
         c_off: list = []
@@ -447,7 +480,7 @@ def postprocess_task(batch: pa.Table, cfg=None, output: str = "spans") -> pa.Tab
     cfg = cfg or PipelineConfig()
     det_cfg = cfg.detector
     if output == "blocks":
-        rows: list[dict] = []
+        cols = _BlockCols()
         for r in batch.to_pylist():
             doc_id, off, ref = r["doc_id"], r["media_offset"], r["media_ref"]
             h, w = r["im_h"], r["im_w"]
@@ -462,13 +495,8 @@ def postprocess_task(batch: pa.Table, cfg=None, output: str = "spans") -> pa.Tab
                 img = None
             blocks, _mask = postprocess_page(blks, mask_crop, lines0,
                                              int(h), int(w), det_cfg, img=img)
-            for bi, blk in enumerate(blocks):
-                rows.append({"doc_id": doc_id, "media_offset": int(off),
-                             "media_ref": ref, "im_h": int(h), "im_w": int(w),
-                             "block": blk.to_struct(order=bi)})
-        if not rows:
-            return BLOCK_SCHEMA.empty_table()
-        return pa.Table.from_pylist(rows, schema=BLOCK_SCHEMA)
+            cols.add_page(doc_id, int(off), ref, int(h), int(w), blocks)
+        return cols.table()
     c_doc: list = []
     c_off: list = []
     c_text: list = []
