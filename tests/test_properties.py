@@ -135,3 +135,46 @@ def test_exact_quantiles_constant_column(ray_session):
     out = exact_quantiles(rd.from_arrow(tbl), "v", qs=(0.25, 0.9),
                           collect_cap=10).to_pandas()
     assert list(out.value) == [7.5, 7.5]
+
+
+@given(st.lists(st.tuples(st.integers(0, 63), st.integers(1, 64),
+                          st.integers(0, 47), st.integers(1, 48)),
+                min_size=0, max_size=12),
+       st.integers(0, 2 ** 31 - 1))
+@settings(max_examples=60, deadline=None)
+def test_codec_paint_rects_equals_scan(raw_rects, seed):
+    """encode_page_maps(paint_rects=...) must decode identically to the
+    scan-based encode for ANY rect set that bounds the nonzeros — here the
+    planes are painted exactly inside random rects, so the rect list is a
+    valid hint by construction (overlaps and duplicates included).  Rects
+    stay inside the (ch, cw) crop: nonzeros in the letterbox pad region
+    violate the codec contract in BOTH paths (the dense fallback crops)."""
+    import numpy as np
+
+    from ctdray.tensorcodec import decode_page_maps, encode_page_maps
+
+    S, ch, cw = 64, 64, 48
+    rng = np.random.default_rng(seed)
+    rects = []
+    plane0 = np.zeros((S, S), np.float32)
+    plane1 = np.zeros((S, S), np.float32)
+    for (y0, dy, x0, dx) in raw_rects:
+        y1, x1 = min(ch, y0 + dy), min(cw, x0 + dx)
+        if y1 <= y0 or x1 <= x0:
+            continue
+        rects.append((y0, y1, x0, x1))
+        # paint PARTIAL coverage inside the rect (zero holes stay exact)
+        patch = rng.random((y1 - y0, x1 - x0)).astype(np.float32)
+        patch[patch < 0.3] = 0.0
+        plane0[y0:y1, x0:x1] = patch
+        plane1[y0:y1, x0:x1] = patch * 0.5
+    hinted = encode_page_maps((plane0, plane1), ch, cw,
+                              paint_rects=(rects, rects))
+    scanned = encode_page_maps((plane0, plane1), ch, cw)
+    out_h = decode_page_maps(hinted[0], hinted[1], hinted[2], ch, cw,
+                             np.float32)
+    out_s = decode_page_maps(scanned[0], scanned[1], scanned[2], ch, cw,
+                             np.float32)
+    assert np.array_equal(out_h, out_s)
+    assert np.array_equal(out_h[0], plane0)
+    assert np.array_equal(out_h[1], plane1)
