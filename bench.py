@@ -128,7 +128,12 @@ def run_scaling(sf_dir: str, low: int = 6, high: int = 24,
     costs (worker spin-up, read planning) amortize as they would on a real
     long-running corpus; identical input at both levels."""
     if repeat is None:
-        repeat = int(os.environ.get("GRAFT_SCALE_REPEAT", "3"))
+        # 6×: on shared-host boots the 4N leg of a 3× job is short enough
+        # that fixed session costs (worker spin-up, read planning) plus
+        # hypervisor neighbor bursts dominate its measurement; the 6× job
+        # is the long-running-corpus shape this knob exists to model and is
+        # the recorded BASELINE.md gate condition.
+        repeat = int(os.environ.get("GRAFT_SCALE_REPEAT", "6"))
     runs = {}
     for cpus in (low, high):
         # the high leg's runs are short, so a single shared-host load burst
