@@ -35,7 +35,8 @@ from .geom import (
 def boxes_from_bitmap(pred: np.ndarray, thresh: float = 0.3,
                       box_thresh_unused: float = 0.6, max_candidates: int = 1000,
                       unclip_ratio: float = 1.5,
-                      dest_width: int | None = None, dest_height: int | None = None):
+                      dest_width: int | None = None, dest_height: int | None = None,
+                      active_rows: tuple | None = None):
     """Extract scored quads from one shrink map (H, W) float.
 
     Returns ``(boxes (k,4,2) int32, scores (k,) float32)`` with k = number of
@@ -51,9 +52,28 @@ def boxes_from_bitmap(pred: np.ndarray, thresh: float = 0.3,
     height, width = pred.shape
     dest_width = width if dest_width is None else dest_width
     dest_height = height if dest_height is None else dest_height
-    bitmap = pred > thresh
+    # ``active_rows`` (y0, y1): a row band GUARANTEED to bound every
+    # above-threshold pixel (detect_core passes the detector's paint-rect
+    # band when the backend exposes one) — the threshold compare and the
+    # CC run extraction then touch only the band instead of the full map,
+    # with all row coordinates shifted back to map space below.
+    if active_rows is not None:
+        ay0 = max(0, int(active_rows[0]))
+        ay1 = min(height, int(active_rows[1]))
+        if ay1 <= ay0:
+            return (np.zeros((0, 4, 2), dtype=np.int32),
+                    np.zeros((0,), dtype=np.float32))
+        bitmap = pred[ay0:ay1] > thresh
+    else:
+        ay0 = 0
+        bitmap = pred > thresh
     comps, exts = connected_component_runs_ex(bitmap, connectivity=8)
     comps = comps[:max_candidates]
+    if ay0:
+        comps = [(rows + ay0, starts, ends) for (rows, starts, ends) in comps]
+        exts = exts.copy()
+        exts[:, 0] += ay0
+        exts[:, 1] += ay0
     k = len(comps)
     boxes = np.zeros((k, 4, 2), dtype=np.int32)
     scores = np.zeros((k,), dtype=np.float32)
@@ -101,7 +121,8 @@ def boxes_from_bitmap(pred: np.ndarray, thresh: float = 0.3,
     return boxes, scores
 
 
-def extract_lines(lines_map: np.ndarray, cfg: DetectorConfig):
+def extract_lines(lines_map: np.ndarray, cfg: DetectorConfig,
+                  active_rows: tuple | None = None):
     """Channel-0 consumption of the DB head output (utils/db_utils.py:54) plus
     the caller-side score gate (inference.py:158-161).
 
@@ -114,6 +135,6 @@ def extract_lines(lines_map: np.ndarray, cfg: DetectorConfig):
         pred = pred[0]
     boxes, scores = boxes_from_bitmap(
         pred, thresh=cfg.seg_thresh, max_candidates=cfg.max_candidates,
-        unclip_ratio=cfg.unclip_ratio)
+        unclip_ratio=cfg.unclip_ratio, active_rows=active_rows)
     keep = scores > cfg.box_thresh
     return boxes[keep], scores[keep]

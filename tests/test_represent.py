@@ -65,3 +65,56 @@ def test_max_candidates_cap():
             fill_convex_poly(pred, q, 0.95)
     boxes, _ = boxes_from_bitmap(pred, thresh=0.3, max_candidates=10)
     assert len(boxes) == 10   # capped in scan order (utils/db_utils.py:137)
+
+
+def test_boxes_from_bitmap_active_rows_band_exact():
+    """active_rows: restricting the scan to a row band that bounds every
+    above-threshold pixel yields the identical boxes/scores (row
+    coordinates shifted back to map space), including components touching
+    the band edges; an empty band returns the empty shapes."""
+    import numpy as np
+
+    from ctdray.represent import boxes_from_bitmap
+
+    rng = np.random.default_rng(3)
+    pred = np.zeros((256, 256), np.float32)
+    pred[40:60, 30:120] = 0.9          # touches the band's first row
+    pred[100:130, 50:80] = 0.8
+    pred[150:170, 200:240] = 0.95      # touches the band's last row
+    full = boxes_from_bitmap(pred)
+    banded = boxes_from_bitmap(pred, active_rows=(40, 170))
+    assert np.array_equal(full[0], banded[0])
+    assert np.array_equal(full[1], banded[1])
+    # superset band
+    wide = boxes_from_bitmap(pred, active_rows=(10, 250))
+    assert np.array_equal(full[0], wide[0])
+    assert np.array_equal(full[1], wide[1])
+    # empty band
+    b, s = boxes_from_bitmap(np.zeros((64, 64), np.float32),
+                             active_rows=(0, 0))
+    assert b.shape == (0, 4, 2) and s.shape == (0,)
+
+
+def test_detect_page_band_equals_full_scan():
+    """detect_page with the surrogate's paint-rect band must produce the
+    same spans as a postprocess over the full map (the band is a guarantee,
+    not an approximation)."""
+    import numpy as np
+
+    from ctdray.config import DetectorConfig
+    from ctdray.detect_core import (detect_page, infer_page_arrays,
+                                    page_line_spans, postprocess_page)
+    from ctdray.fixtures import make_media_ref
+    from ctdray.sources.media import decode_page
+    from ctdray.surrogate import SurrogateDetector
+
+    cfg = DetectorConfig()
+    det = SurrogateDetector(cfg)
+    for i in range(8):
+        ref = make_media_ref(doc_id=i * 173 + 11, offset=i % 3)
+        img = decode_page(ref)
+        h, w = img.shape[:2]
+        blocks_band, _ = detect_page(det, ref, h, w, cfg)
+        blks, m, l0 = infer_page_arrays(det, ref, h, w, cfg, compact=False)
+        blocks_full, _ = postprocess_page(blks, m, l0, h, w, cfg)
+        assert page_line_spans(blocks_band) == page_line_spans(blocks_full)
