@@ -268,20 +268,36 @@ def _infer_page_payload(detector, det_cfg, ref: str, im_h: int, im_w: int,
 
 
 def _decode_page_payload(row: dict) -> tuple[np.ndarray, np.ndarray,
-                                             np.ndarray]:
+                                             np.ndarray, tuple | None]:
     """Inverse of :func:`_infer_page_payload`: payload dict → the
-    (blks, mask_crop, lines0_full) fp32 arrays postprocess_page consumes.
+    (blks, mask_crop, lines0_full, lines_band) postprocess_page consumes.
     Both maps decode in ONE codec call into a full-size (2, S, S) buffer —
     the shrink map goes downstream full-size exactly like the fused path
     (postprocess_page skips its pad reconstruction), the mask as a crop
-    view; fp16 exists only in the stored bytes (tensorcodec docstring)."""
+    view; fp16 exists only in the stored bytes (tensorcodec docstring).
+
+    ``lines_band``: when the shrink plane shipped SPARSE, its run table
+    already bounds every nonzero pixel, so the representer's row band
+    (detect_core.postprocess_page ``active_rows``) falls out for free —
+    the split layout gets the same banded threshold/CC scans as the fused
+    path without shipping anything extra.  Dense-mode planes return None
+    (full scan)."""
     store = np.float16 if row["half"] else np.float32
     blks = np.frombuffer(row["blks"], dtype=np.float32) \
         .reshape(-1, max(1, row["blks_w"]))
     maps = decode_page_maps(row["maps_mode"], row["maps_runs"], row["maps"],
                             row["map_h"], row["map_w"], store,
                             out_dtype=np.float32)
-    return blks, maps[0, : row["map_h"], : row["map_w"]], maps[1]
+    band = None
+    if row["maps_mode"] & 0b10:        # shrink plane shipped sparse
+        size = maps.shape[-1]
+        plane_n = size * size
+        runs = np.frombuffer(row["maps_runs"], dtype=np.int32).reshape(-1, 2)
+        p1 = runs[runs[:, 0] >= plane_n]
+        band = ((int(p1[0, 0] - plane_n) // size,
+                 int(p1[-1, 1] - 1 - plane_n) // size + 1)
+                if len(p1) else (0, 0))
+    return blks, maps[0, : row["map_h"], : row["map_w"]], maps[1], band
 
 
 class DetectInfer:
@@ -456,9 +472,10 @@ def postprocess_doc_task(batch: pa.Table, cfg=None) -> pa.Table:
             p = payloads.get(span["offset"])
             if p is None:        # undecodable page: span passes through
                 continue
-            blks, mask_crop, lines0 = _decode_page_payload(p)
+            blks, mask_crop, lines0, band = _decode_page_payload(p)
             blocks, _mask = postprocess_page(blks, mask_crop, lines0,
-                                             p["im_h"], p["im_w"], det_cfg)
+                                             p["im_h"], p["im_w"], det_cfg,
+                                             active_rows=band)
             for order, text in page_line_spans(blocks):
                 kind_l.append("text_line")
                 text_l.append(text)
@@ -484,7 +501,7 @@ def postprocess_task(batch: pa.Table, cfg=None, output: str = "spans") -> pa.Tab
         for r in batch.to_pylist():
             doc_id, off, ref = r["doc_id"], r["media_offset"], r["media_ref"]
             h, w = r["im_h"], r["im_w"]
-            blks, mask_crop, lines0 = _decode_page_payload(r)
+            blks, mask_crop, lines0, band = _decode_page_payload(r)
             # Block rows carry fg/bg font colors (O13) — sampled from the
             # page, decoded HERE on the cheap CPU side so the GPU pool never
             # touches pixels twice.
@@ -494,7 +511,8 @@ def postprocess_task(batch: pa.Table, cfg=None, output: str = "spans") -> pa.Tab
             except ValueError:
                 img = None
             blocks, _mask = postprocess_page(blks, mask_crop, lines0,
-                                             int(h), int(w), det_cfg, img=img)
+                                             int(h), int(w), det_cfg, img=img,
+                                             active_rows=band)
             cols.add_page(doc_id, int(off), ref, int(h), int(w), blocks)
         return cols.table()
     c_doc: list = []
@@ -503,10 +521,10 @@ def postprocess_task(batch: pa.Table, cfg=None, output: str = "spans") -> pa.Tab
     c_ref: list = []
     c_ord: list = []
     for r in batch.to_pylist():
-        blks, mask_crop, lines0 = _decode_page_payload(r)
+        blks, mask_crop, lines0, band = _decode_page_payload(r)
         blocks, _mask = postprocess_page(blks, mask_crop, lines0,
                                          int(r["im_h"]), int(r["im_w"]),
-                                         det_cfg)
+                                         det_cfg, active_rows=band)
         off = int(r["media_offset"])
         for order, text in page_line_spans(blocks):
             c_doc.append(r["doc_id"])
