@@ -635,7 +635,13 @@ def _axis_aligned_quad(p: np.ndarray) -> bool:
     bit-exactly."""
     if len(p) != 4:
         return False
-    (ax, ay), (bx, by), (cx, cy), (dx, dy) = p.tolist()
+    return _axis_aligned_pts(p.tolist())
+
+
+def _axis_aligned_pts(pts: list) -> bool:
+    """List-form body of :func:`_axis_aligned_quad` (len-4 pre-checked by
+    callers that already hold the vertex list)."""
+    (ax, ay), (bx, by), (cx, cy), (dx, dy) = pts
 
     def edge_ok(x0, y0, x1, y1):
         sx, sy = x0 == x1, y0 == y1
@@ -657,18 +663,26 @@ def fill_convex_poly(canvas: np.ndarray, poly: np.ndarray, value):
     (SurrogateDetector's dirty-rect map reuse)."""
     h, w = canvas.shape[:2]
     p = np.asarray(poly, dtype=np.float64).reshape(-1, 2)
-    x0 = max(int(math.floor(p[:, 0].min())), 0)
-    x1 = min(int(math.ceil(p[:, 0].max())) + 1, w)
-    y0 = max(int(math.floor(p[:, 1].min())), 0)
-    y1 = min(int(math.ceil(p[:, 1].max())) + 1, h)
+    # Scalar bbox math over the vertex list: this runs ~30×/page on 4-8
+    # vertices, where four numpy reductions per call cost more than the
+    # whole fill (same floats, bit-identical bounds).
+    pts = p.tolist()
+    xmin = min(q[0] for q in pts)
+    xmax = max(q[0] for q in pts)
+    ymin = min(q[1] for q in pts)
+    ymax = max(q[1] for q in pts)
+    x0 = max(int(math.floor(xmin)), 0)
+    x1 = min(int(math.ceil(xmax)) + 1, w)
+    y0 = max(int(math.floor(ymin)), 0)
+    y1 = min(int(math.ceil(ymax)) + 1, h)
     if x1 <= x0 or y1 <= y0:
         return None
-    if _axis_aligned_quad(p):
+    if len(pts) == 4 and _axis_aligned_pts(pts):
         # pixel x inside ⟺ xmin ≤ x ≤ xmax ⟺ x ∈ [ceil(xmin), floor(xmax)]
-        ix0 = max(int(math.ceil(p[:, 0].min())), x0)
-        ix1 = min(int(math.floor(p[:, 0].max())) + 1, x1)
-        iy0 = max(int(math.ceil(p[:, 1].min())), y0)
-        iy1 = min(int(math.floor(p[:, 1].max())) + 1, y1)
+        ix0 = max(int(math.ceil(xmin)), x0)
+        ix1 = min(int(math.floor(xmax)) + 1, x1)
+        iy0 = max(int(math.ceil(ymin)), y0)
+        iy1 = min(int(math.floor(ymax)) + 1, y1)
         if ix1 > ix0 and iy1 > iy0:
             canvas[iy0:iy1, ix0:ix1] = value
             return (iy0, iy1, ix0, ix1)
@@ -684,27 +698,35 @@ def convex_poly_mask(poly: np.ndarray, y0: int, y1: int, x0: int, x1: int) -> np
     [y0:y1, x0:x1] (pixel centers at integer coordinates, matching
     cv2.fillPoly's integer-grid behavior closely enough for solid regions)."""
     p = np.asarray(poly, dtype=np.float64).reshape(-1, 2)
-    # Ensure consistent winding via signed area.
+    # Ensure consistent winding via signed area — kept as the original
+    # np.dot expression so the float association (and thus the sign on
+    # near-degenerate polys) is unchanged; everything below runs on the
+    # python vertex list, where numpy's per-op dispatch dominates the
+    # actual 4-8-element arithmetic.
     x, y = p[:, 0], p[:, 1]
     signed = float(np.dot(x, _next_verts(y)) - np.dot(y, _next_verts(x))) / 2.0
+    pl = p.tolist()
+    k = len(pl)
     if signed < 0:
-        p = p[::-1]
+        pl = pl[::-1]
     ys = np.arange(y0, y1, dtype=np.float64)[:, None]
     xs = np.arange(x0, x1, dtype=np.float64)[None, :]
-    if _axis_aligned_quad(p):
-        return ((ys >= p[:, 1].min()) & (ys <= p[:, 1].max())) \
-            & ((xs >= p[:, 0].min()) & (xs <= p[:, 0].max()))
+    if k == 4 and _axis_aligned_pts(pl):
+        pxs = [q[0] for q in pl]
+        pys = [q[1] for q in pl]
+        return ((ys >= min(pys)) & (ys <= max(pys))) \
+            & ((xs >= min(pxs)) & (xs <= max(pxs)))
     inside = np.ones((y1 - y0, x1 - x0), dtype=bool)
-    k = len(p)
     for i in range(k):
-        a, b = p[i], p[(i + 1) % k]
+        ax, ay = pl[i]
+        bx, by = pl[(i + 1) % k]
         # CCW winding: interior is on the left → cross((b-a),(pt-a)) >= 0.
         # The cross is separable, cross = U(y) − V(x) with each factor
         # computed exactly as the 2-D broadcast would, and u−v ≥ 0 ⟺ u ≥ v
         # for finite floats — so one H×W COMPARISON replaces the two H×W
         # float passes + compare, decision-identical per pixel.
-        u = (b[0] - a[0]) * (ys - a[1])
-        v = (b[1] - a[1]) * (xs - a[0])
+        u = (bx - ax) * (ys - ay)
+        v = (by - ay) * (xs - ax)
         inside &= u >= v
         if not inside.any():
             break
