@@ -459,6 +459,44 @@ def build_refined_masks(docs: ray.data.Dataset,
     )
 
 
+def build_annotations(docs: ray.data.Dataset,
+                      cfg: Optional[PipelineConfig] = None,
+                      backend: str = "surrogate") -> ray.data.Dataset:
+    """docs → per-page annotation rows (schema.ANNOTATION_SCHEMA): block
+    structs + saved mask side by side — the save half of the reference's
+    annotation round trip (model2annotations' per-image JSON + mask png,
+    inference.py:61-70)."""
+    from ..stages.refine import annotate_pages_task
+
+    cfg = cfg or PipelineConfig()
+    pages = docs.map_batches(explode_media_spans, batch_format="pyarrow")
+    return pages.map_batches(
+        annotate_pages_task,
+        fn_kwargs={"cfg": cfg, "backend": backend},
+        batch_format="pyarrow",
+        batch_size=cfg.detect_batch_size,
+    )
+
+
+def refine_from_annotations(annotations: ray.data.Dataset,
+                            cfg: Optional[PipelineConfig] = None
+                            ) -> ray.data.Dataset:
+    """Annotation rows → refined-mask rows WITHOUT a detector — the resume
+    half of the round trip (traverse_by_dict, inference.py:180-200;
+    SURVEY.md §3.2).  A saved annotation table is sufficient to re-run
+    K1-K5 refinement at full scale: no weights load, no model forward, so
+    the stage is stateless tasks with no actor pool."""
+    from ..stages.refine import refine_from_annotations_task
+
+    cfg = cfg or PipelineConfig()
+    return annotations.map_batches(
+        refine_from_annotations_task,
+        fn_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.detect_batch_size,
+    )
+
+
 def build_flat_spans(docs: ray.data.Dataset,
                      cfg: Optional[PipelineConfig] = None,
                      backend: str = "surrogate",

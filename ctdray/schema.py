@@ -206,6 +206,23 @@ MASK_SCHEMA = pa.schema(
     ]
 )
 
+# Per-page annotation rows — the engine's equivalent of model2annotations'
+# on-disk output shape (per-image JSON block list + mask-<name>.png written
+# side by side, inference.py:61-70): everything needed to RESUME mask
+# refinement WITHOUT the detector, which is exactly the round-trip contract
+# traverse_by_dict exercises (inference.py:180-200; SURVEY.md §3.2).
+ANNOTATION_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("media_offset", pa.int32()),
+        pa.field("media_ref", pa.string()),
+        pa.field("mask", pa.binary()),     # saved page mask (png/pgm bytes)
+        pa.field("mask_h", pa.int32()),
+        pa.field("mask_w", pa.int32()),
+        pa.field("blocks", pa.list_(BLOCK_STRUCT)),
+    ]
+)
+
 LANG_LIST = ("eng", "ja", "unknown")  # class-id → language (inference.py:117-118)
 
 

@@ -63,3 +63,91 @@ def refine_masks_task(batch: pa.Table, cfg=None,
     if not rows:
         return MASK_SCHEMA.empty_table()
     return pa.Table.from_pylist(rows, schema=MASK_SCHEMA)
+
+
+def annotate_pages_task(batch: pa.Table, cfg=None,
+                        backend: str = "surrogate") -> pa.Table:
+    """Page rows → annotation rows (schema.ANNOTATION_SCHEMA): the detected
+    block structs and the page's saved mask side by side — the engine's
+    model2annotations output shape (per-image JSON + mask-<name>.png,
+    inference.py:61-70).  The saved mask is the REFINED mask, matching what
+    the reference writes; resuming from this row re-refines from it exactly
+    like traverse_by_dict (inference.py:194-195)."""
+    from ..schema import ANNOTATION_SCHEMA
+
+    cfg = cfg or PipelineConfig()
+    det_cfg = cfg.detector
+    key = (backend, det_cfg)
+    det = _TASK_DETECTORS.get(key)
+    if det is None:
+        det = _TASK_DETECTORS[key] = make_detector(backend, det_cfg)
+    mode = REFINEMASK_ANNOTATION if cfg.refine_mode == "annotation" \
+        else REFINEMASK_INPAINT
+    enc = encode_png if cfg.mask_format == "png" else encode_pgm
+    rows = []
+    for doc_id, off, ref in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("media_offset").to_pylist(),
+                                batch.column("media_ref").to_pylist()):
+        try:
+            img = decode_page(ref)
+        except ValueError:
+            continue                       # poison pill degrades, never crashes
+        blocks, mask_view = detect_page(det, ref, img.shape[0], img.shape[1],
+                                        det_cfg)
+        pred = mask_view.full()
+        refined = refine_mask(img, pred, blocks, refine_mode=mode)
+        if cfg.keep_undetected_mask:
+            refined = refine_undetected_mask(img, pred, refined, blocks,
+                                             refine_mode=mode)
+        rows.append({
+            "doc_id": doc_id, "media_offset": int(off), "media_ref": ref,
+            "mask": enc(refined),
+            "mask_h": int(refined.shape[0]), "mask_w": int(refined.shape[1]),
+            "blocks": [blk.to_struct(order=bi)
+                       for bi, blk in enumerate(blocks)],
+        })
+    if not rows:
+        return ANNOTATION_SCHEMA.empty_table()
+    return pa.Table.from_pylist(rows, schema=ANNOTATION_SCHEMA)
+
+
+def refine_from_annotations_task(batch: pa.Table, cfg=None) -> pa.Table:
+    """Annotation rows → refined-mask rows (schema.MASK_SCHEMA) WITHOUT any
+    detector: decode the page, decode the saved mask, hydrate the block
+    structs, and re-run K1-K5 refinement — the traverse_by_dict resume path
+    (inference.py:180-200; SURVEY.md §3.2: \"everything needed to resume
+    refinement lives in the JSON blocks + mask\")."""
+    from ..stages.multimodal import decode_image
+    from ..textblock import TextBlock
+
+    cfg = cfg or PipelineConfig()
+    mode = REFINEMASK_ANNOTATION if cfg.refine_mode == "annotation" \
+        else REFINEMASK_INPAINT
+    enc = encode_png if cfg.mask_format == "png" else encode_pgm
+    rows = []
+    for doc_id, off, ref, mask_bytes, blocks_structs in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("media_offset").to_pylist(),
+            batch.column("media_ref").to_pylist(),
+            batch.column("mask").to_pylist(),
+            batch.column("blocks").to_pylist()):
+        try:
+            img = decode_page(ref)
+            saved = decode_image(mask_bytes)
+        except (ValueError, NotImplementedError):
+            continue                       # poison pill degrades, never crashes
+        blocks = [TextBlock.from_struct(d) for d in blocks_structs]
+        refined = refine_mask(img, saved, blocks, refine_mode=mode)
+        if cfg.keep_undetected_mask:
+            refined = refine_undetected_mask(img, saved, refined, blocks,
+                                             refine_mode=mode)
+        rows.append({
+            "doc_id": doc_id, "media_offset": int(off), "media_ref": ref,
+            "mask": enc(refined),
+            "mask_h": int(refined.shape[0]), "mask_w": int(refined.shape[1]),
+            "fg_pixels": int((refined > 0).sum()),
+            "n_blocks": len(blocks),
+        })
+    if not rows:
+        return MASK_SCHEMA.empty_table()
+    return pa.Table.from_pylist(rows, schema=MASK_SCHEMA)
