@@ -971,6 +971,27 @@ def _refined_masks_summary(sf_dir: str):
                               "fg_pixels", "n_blocks"])
 
 
+def _refine_resume_summary(sf_dir: str):
+    """Annotation round trip (SURVEY.md §3.2, traverse_by_dict parity):
+    save per-page block structs + refined mask (build_annotations), then
+    resume K1-K5 refinement from the saved rows WITHOUT a detector
+    (refine_from_annotations).  Same compact summary columns as
+    extract_refined_masks, same row set and mask dims; fg_pixels reflects
+    re-refining from the SAVED mask rather than the raw prediction —
+    faithful to traverse_by_dict, which refines whatever mask was saved
+    (refinement is near- but not exactly idempotent: 13 of 1,085 sf0.001
+    pages differ, by <1 px on average).  Distributed-vs-single-process
+    equality of the resumed masks is pytest-pinned in
+    tests/test_annotations_roundtrip.py."""
+    from ctdray.pipelines.extract import (build_annotations,
+                                          refine_from_annotations)
+
+    ann = build_annotations(read_interleaved_docs(sf_dir))
+    ds = refine_from_annotations(ann)
+    return ds.select_columns(["doc_id", "media_ref", "mask_h", "mask_w",
+                              "fg_pixels", "n_blocks"])
+
+
 def _media_thumbnails(sf_dir: str):
     """Multimodal decode+resize stage over every page (binary → thumbnail)."""
     from ctdray.stages.explode import explode_media_spans
@@ -1032,6 +1053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .PipelineConfig(detect_layout="split", half_maps=True)),
         "extract_blocks": _blocks_flat,
         "extract_refined_masks": _refined_masks_summary,
+        "extract_refine_resume": _refine_resume_summary,
         "media_thumbnails": _media_thumbnails,
         "media_frame_samples": _media_frame_samples,
         "media_audio_features": _media_audio_features,
