@@ -258,3 +258,39 @@ def test_single_scan_routing_no_dense_tail(ray_session):
     exp = flatten_out_docs(run_oracle(tbl)).to_pandas() \
         .sort_values(["doc_id", "seq"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_checkpointed_split_layout_resumable(ray_session, tmp_path):
+    """The checkpointed headline runner works unchanged under the SPLIT
+    (prod GPU) detect layout — chunk publish + resume skip + output
+    row-identity with the fused checkpointed run.  The lineage hash covers
+    cfg (detect_layout included), so fused and split manifests can never
+    be mistaken for each other."""
+    import os
+
+    from ctdray.config import PipelineConfig
+    from ctdray.state.manifest import (read_manifest, read_result,
+                                      run_checkpointed_interleaved)
+
+    sf_dir = "/root/testdata/sf0.001"
+    split_cfg = PipelineConfig(detect_layout="split")
+
+    out_split = str(tmp_path / "ckpt_split")
+    s1 = run_checkpointed_interleaved(sf_dir, out_split, cfg=split_cfg,
+                                      num_chunks=4, max_chunks=2)
+    assert s1["chunks_done"] == 2
+    s2 = run_checkpointed_interleaved(sf_dir, out_split, cfg=split_cfg,
+                                      num_chunks=4)
+    assert s2["chunks_skipped"] == 2 and s2["chunks_done"] == 2
+    assert len(read_manifest(out_split)) == 4
+
+    out_fused = str(tmp_path / "ckpt_fused")
+    run_checkpointed_interleaved(sf_dir, out_fused, num_chunks=4)
+
+    KEY2 = ["doc_id", "seq", "kind", "text", "media_ref", "offset", "order"]
+    got = read_result(out_split).to_pandas()[KEY2].sort_values(KEY2) \
+        .reset_index(drop=True)
+    exp = read_result(out_fused).to_pandas()[KEY2].sort_values(KEY2) \
+        .reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    assert got.equals(exp)
