@@ -32,6 +32,14 @@ def main() -> None:
                     choices=["surrogate", "torch", "onnx"])
     ap.add_argument("--masks", action="store_true",
                     help="also write the refined-mask table")
+    ap.add_argument("--annotations", action="store_true",
+                    help="also write the annotation table (block structs + "
+                         "mask per page; resume refinement from it with "
+                         "pipelines.extract.refine_from_annotations)")
+    ap.add_argument("--layout", default="fused", choices=["fused", "split"],
+                    help="detect layout: fused (CPU default) or split "
+                         "(prod GPU shape: infer pool + stateless "
+                         "postprocess)")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -59,7 +67,7 @@ def main() -> None:
             write_corpus(in_dir, args.n_docs)
             print(f"synthesized {args.n_docs} docs -> {in_dir}")
 
-    cfg = PipelineConfig()
+    cfg = PipelineConfig(detect_layout=args.layout)
     summary = run_checkpointed(in_dir, args.out, cfg, backend=args.backend)
     print("run summary:", json.dumps(summary))
     for rec in read_manifest(args.out):
@@ -76,6 +84,15 @@ def main() -> None:
         build_refined_masks(read_docs(in_dir), cfg,
                             backend=args.backend).write_parquet(masks_dir)
         print(f"refined masks -> {masks_dir}")
+
+    if args.annotations:
+        from ctdray.pipelines.extract import build_annotations
+        from ctdray.sources.docs import read_docs
+
+        ann_dir = os.path.join(args.out, "annotations")
+        build_annotations(read_docs(in_dir), cfg,
+                          backend=args.backend).write_parquet(ann_dir)
+        print(f"annotations -> {ann_dir}")
 
     ray.shutdown()
 
