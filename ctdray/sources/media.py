@@ -90,6 +90,7 @@ def fetch_media(media_ref: str) -> bytes:
                  reference's example corpus format, data/examples/*.jpg)
       pjpg://…   the same page, PROGRESSIVE (SOF2) JPEG — real scanned-manga
                  corpora are heavily progressive
+      bmp://…    the same page, uncompressed 8-bit BMP
       vid://…    CTVF raw-frame video (synth_video)
       aud://…    RIFF/WAVE PCM16 audio (synth_wav)
 
@@ -109,6 +110,11 @@ def fetch_media(media_ref: str) -> bytes:
 
         gt = page_ground_truth("page://" + media_ref[len("pjpg://"):])
         return encode_progressive_jpeg(render_page(gt), quality=92)
+    if media_ref.startswith("bmp://"):
+        from .bmp import encode_bmp
+
+        gt = page_ground_truth("page://" + media_ref[len("bmp://"):])
+        return encode_bmp(render_page(gt))
     if media_ref.startswith("vid://"):
         return synth_video(media_ref)
     if media_ref.startswith("aud://"):

@@ -77,6 +77,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_checked(decode_pgm, payload, "PGM")
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_checked(decode_png, payload, "PNG")
+    if payload[:2] == b"BM":
+        from ..sources.bmp import decode_bmp
+
+        return _decode_checked(decode_bmp, payload, "BMP")
     try:  # pragma: no cover - not installed in-sandbox
         import cv2
 

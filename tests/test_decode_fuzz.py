@@ -17,12 +17,14 @@ def _payloads():
     img = (rng.integers(0, 256, (40, 56), dtype=np.uint8) // 3 + 90) \
         .astype(np.uint8)
     color = np.stack([img, 255 - img, img], axis=-1)
+    from ctdray.sources.bmp import encode_bmp
     from ctdray.sources.media import encode_pgm, synth_video, synth_wav
     from ctdray.sources.png import encode_png
 
     return {
         "pgm": encode_pgm(img),
         "png": encode_png(img),
+        "bmp": encode_bmp(img),
         "jpg": encode_baseline_jpeg(color, quality=85),
         "pjpg": encode_progressive_jpeg(color, quality=85),
         "ctvf": synth_video("vid://fuzz/x"),
@@ -30,7 +32,7 @@ def _payloads():
     }
 
 
-@pytest.mark.parametrize("kind", ["pgm", "png", "jpg", "pjpg"])
+@pytest.mark.parametrize("kind", ["pgm", "png", "bmp", "jpg", "pjpg"])
 def test_truncations_raise_valueerror(kind):
     data = _payloads()[kind]
     full = decode_image(data)
@@ -52,7 +54,7 @@ def test_truncations_raise_valueerror(kind):
                 f"{kind} truncated to {frac} decoded differently"
 
 
-@pytest.mark.parametrize("kind", ["pgm", "png", "jpg", "pjpg"])
+@pytest.mark.parametrize("kind", ["pgm", "png", "bmp", "jpg", "pjpg"])
 def test_bitflips_never_crash(kind):
     """200 random single-byte corruptions per format: decode either raises
     ValueError/NotImplementedError or returns a uint8 array — nothing else
