@@ -416,3 +416,30 @@ def test_surrogate_exposes_paint_rects_and_payload_uses_them():
             out_s = decode_page_maps(scanned[0], scanned[1], scanned[2],
                                      chh, cww, np.float32)
             np.testing.assert_array_equal(out_h, out_s)
+
+
+def test_split_payload_wire_size_bounded():
+    """Regression guard for the split-layout wire footprint: a typical
+    fixture page's codec'd payload must stay far below the raw-map size
+    (~12 MB fp32) — the measured fleet average is ~0.12 MB/page fp16.  A
+    codec regression to dense shipping would blow past this immediately."""
+    import numpy as np
+
+    from ctdray.config import DetectorConfig, PipelineConfig
+    from ctdray.fixtures import make_media_ref
+    from ctdray.sources.media import decode_page
+    from ctdray.stages.detect import _infer_page_payload
+    from ctdray.surrogate import SurrogateDetector
+
+    cfg = PipelineConfig()
+    det = SurrogateDetector(cfg.detector)
+    total = 0
+    n = 6
+    for i in range(n):
+        ref = make_media_ref(doc_id=i * 67 + 21, offset=i % 3)
+        img = decode_page(ref)
+        p = _infer_page_payload(det, cfg.detector, ref,
+                                img.shape[0], img.shape[1], half=True)
+        total += len(p["maps"]) + len(p["maps_runs"]) + len(p["blks"])
+    mean_mb = total / n / 1e6
+    assert mean_mb < 1.0, f"split payload regressed to {mean_mb:.2f} MB/page"
