@@ -154,15 +154,28 @@ def _map_detect_splice(normal: ray.data.Dataset, cfg: PipelineConfig,
 
 def build_detected_spans(docs: ray.data.Dataset,
                          cfg: Optional[PipelineConfig] = None,
-                         backend: str = "surrogate") -> ray.data.Dataset:
+                         backend: str = "surrogate",
+                         span_stages: Optional[list] = None
+                         ) -> ray.data.Dataset:
     """docs → detected text_line span rows (pre-splice,
-    schema.DETECTED_SPAN_SCHEMA)."""
+    schema.DETECTED_SPAN_SCHEMA).
+
+    ``span_stages``: user-supplied ``map_batches`` UDFs applied IN ORDER to
+    the detected span rows — the engine's explicit version of the
+    reference's implicit extension points (SURVEY.md §2.10; e.g. an OCR
+    stage rewriting ``text`` from the page via the O12 rectify hook).  Each
+    stage is ``pa.Table → pa.Table`` over DETECTED_SPAN_SCHEMA rows and must
+    preserve ``doc_id``/``offset`` (they address the splice position);
+    rewriting ``text``/``order`` and dropping rows are fine."""
     cfg = cfg or PipelineConfig()
     pages = docs.map_batches(explode_media_spans, batch_format="pyarrow")
     pages = pages.map_batches(DecodeStage(keep_pixels=False),
                               batch_format="pyarrow",
                               batch_size=cfg.postprocess_batch_size)
-    return _map_detect(pages, cfg, backend, output="spans")
+    detected = _map_detect(pages, cfg, backend, output="spans")
+    for stage in (span_stages or ()):
+        detected = detected.map_batches(stage, batch_format="pyarrow")
+    return detected
 
 
 def build_blocks(docs: ray.data.Dataset,
@@ -358,7 +371,8 @@ def build_out_docs(docs: ray.data.Dataset,
                    cfg: Optional[PipelineConfig] = None,
                    backend: str = "surrogate",
                    dense_keys: Optional[ray.data.Dataset] = None,
-                   dense_ids: Optional[list] = None) -> ray.data.Dataset:
+                   dense_ids: Optional[list] = None,
+                   span_stages: Optional[list] = None) -> ray.data.Dataset:
     """Full pipeline → nested output documents (schema.OUT_DOC_SCHEMA): the
     input span array re-emitted with detected spans spliced in.
 
@@ -377,6 +391,19 @@ def build_out_docs(docs: ray.data.Dataset,
     scale the tail fetch is an indexed take on the Lance key column)."""
     _tune_data_context()
     cfg = cfg or PipelineConfig()
+    if span_stages:
+        # User span stages need the detected spans AS ROWS, which the fused
+        # doc-level task never materializes — so the whole corpus takes the
+        # explode layout and the splice becomes the wide step (the same
+        # machinery the dense tail always uses; a custom stage — OCR, span
+        # filtering, re-scoring — dominates the pipeline's cost anyway, and
+        # the shuffle payload is still compact span rows, never pixels).
+        originals = docs.map_batches(explode_all_spans,
+                                     batch_format="pyarrow")
+        detected = build_detected_spans(docs, cfg, backend,
+                                        span_stages=span_stages)
+        return originals.union(detected).groupby("doc_id") \
+            .map_groups(splice_groups, batch_format="pyarrow")
     if cfg.detect_layout == "split":
         return _split_out_docs(docs, cfg, backend, dense_keys=dense_keys,
                                dense_ids=dense_ids)
@@ -501,11 +528,13 @@ def build_flat_spans(docs: ray.data.Dataset,
                      cfg: Optional[PipelineConfig] = None,
                      backend: str = "surrogate",
                      dense_keys: Optional[ray.data.Dataset] = None,
-                     dense_ids: Optional[list] = None) -> ray.data.Dataset:
+                     dense_ids: Optional[list] = None,
+                     span_stages: Optional[list] = None) -> ray.data.Dataset:
     """Full pipeline → flat span rows with final sequence position
-    (schema.FLAT_SPAN_SCHEMA) — the shuffle-friendly output representation."""
+    (schema.FLAT_SPAN_SCHEMA) — the shuffle-friendly output representation.
+    ``span_stages`` as in :func:`build_out_docs`."""
     out_docs = build_out_docs(docs, cfg, backend, dense_keys=dense_keys,
-                              dense_ids=dense_ids)
+                              dense_ids=dense_ids, span_stages=span_stages)
 
     def flatten(batch):
         import pyarrow as pa
