@@ -34,9 +34,41 @@ def decode_pgm(data: bytes) -> np.ndarray:
     """Binary PGM (P5) → uint8 (h, w).  Raises ValueError on malformed input
     (callers turn this into an error row, never a crash — SURVEY.md §4
     poison-pill handling)."""
+    if data.startswith(b"P6"):         # binary PPM (color sibling)
+        return decode_ppm(data)
     if not data.startswith(b"P5"):
         raise ValueError("not a binary PGM (P5) payload")
-    # Header = magic, width, height, maxval tokens; comments (#...) allowed.
+    w, h, pos = _pnm_header(data)
+    pixels = np.frombuffer(data, dtype=np.uint8, count=h * w, offset=pos)
+    if pixels.size != h * w:
+        raise ValueError("truncated PGM pixel data")
+    return pixels.reshape(h, w).copy()
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """BGR uint8 (h, w, 3) → binary PPM (P6, stored RGB per the format)."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_ppm expects a (h, w, 3) uint8 array")
+    h, w = img.shape[:2]
+    header = f"P6\n{w} {h}\n255\n".encode("ascii")
+    return b"".join((header, np.ascontiguousarray(img[:, :, ::-1]).data))
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) → uint8 (h, w, 3) BGR (the cv2 channel convention
+    every other decoder here follows)."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    w, h, pos = _pnm_header(data)
+    pixels = np.frombuffer(data, dtype=np.uint8, count=h * w * 3, offset=pos)
+    if pixels.size != h * w * 3:
+        raise ValueError("truncated PPM pixel data")
+    return pixels.reshape(h, w, 3)[:, :, ::-1].copy()
+
+
+def _pnm_header(data: bytes) -> tuple[int, int, int]:
+    """Shared P5/P6 header parse → (w, h, pixel offset); comments allowed;
+    maxval must be 255.  Raises ValueError on malformed headers."""
     tokens: list[bytes] = []
     pos = 2
     while len(tokens) < 3:
@@ -50,16 +82,15 @@ def decode_pgm(data: bytes) -> np.ndarray:
         while pos < len(data) and not data[pos:pos + 1].isspace():
             pos += 1
         if start == pos:
-            raise ValueError("truncated PGM header")
+            raise ValueError("truncated PNM header")
         tokens.append(data[start:pos])
     pos += 1  # single whitespace after maxval
     w, h, maxval = (int(t) for t in tokens)
     if maxval != 255:
-        raise ValueError(f"unsupported PGM maxval {maxval}")
-    pixels = np.frombuffer(data, dtype=np.uint8, count=h * w, offset=pos)
-    if pixels.size != h * w:
-        raise ValueError("truncated PGM pixel data")
-    return pixels.reshape(h, w).copy()
+        raise ValueError(f"unsupported PNM maxval {maxval}")
+    if w <= 0 or h <= 0 or w > 1 << 20 or h > 1 << 20:
+        raise ValueError("invalid PNM dimensions")
+    return w, h, pos
 
 
 def decode_page(media_ref: str) -> np.ndarray:

@@ -1,0 +1,150 @@
+"""Pure-numpy TIFF codec — uncompressed (Compression=1) grayscale and RGB,
+both byte orders, strip-based layout.
+
+The reference decodes whatever cv2.imdecode accepts (utils/io_utils.py:42);
+scanner output is commonly uncompressed or LZW TIFF.  This codec covers the
+no-entropy-coder subset exactly: baseline TIFF 6.0 IFD parsing (II/MM),
+8-bit samples, 1 or 3 samples/pixel, chunky planar config, any strip split.
+Unsupported features (LZW/JPEG compression, tiles, 16-bit, palette) raise
+``ValueError`` so the media layer's poison-pill contract applies.  Encode
+writes a minimal single-strip little-endian baseline file.
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# tag ids (TIFF 6.0 baseline)
+_W, _H = 256, 257
+_BITS, _COMP, _PHOTO = 258, 259, 262
+_STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
+_PLANAR = 284
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+              11: 4, 12: 8}
+
+
+def encode_tiff(img: np.ndarray) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) BGR → little-endian baseline
+    TIFF, one strip, uncompressed (RGB stored per the spec)."""
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("encode_tiff expects uint8 (h, w) or (h, w, 3)")
+    h, w = img.shape[:2]
+    if img.ndim == 3:
+        if img.shape[2] != 3:
+            raise ValueError("encode_tiff expects 3 channels for color")
+        spp, photo = 3, 2
+        body = np.ascontiguousarray(img[:, :, ::-1]).tobytes()  # BGR→RGB
+    else:
+        spp, photo = 1, 1                                       # BlackIsZero
+        body = np.ascontiguousarray(img).tobytes()
+
+    # layout: header(8) | pixel data | [bits array if spp==3] | IFD
+    data_off = 8
+    bits_extra_off = data_off + len(body)
+    bits_extra = b""
+    if spp == 3:
+        bits_extra = struct.pack("<3H", 8, 8, 8)
+    ifd_off = bits_extra_off + len(bits_extra)
+
+    def entry(tag, typ, count, value):
+        return struct.pack("<HHI4s", tag, typ, count, value)
+
+    def short(v):
+        return struct.pack("<HH", v, 0)
+
+    def long(v):
+        return struct.pack("<I", v)
+
+    entries = [
+        entry(_W, 3, 1, short(w)),
+        entry(_H, 3, 1, short(h)),
+        entry(_BITS, 3, spp,
+              long(bits_extra_off) if spp == 3 else short(8)),
+        entry(_COMP, 3, 1, short(1)),
+        entry(_PHOTO, 3, 1, short(photo)),
+        entry(_STRIP_OFF, 4, 1, long(data_off)),
+        entry(_SPP, 3, 1, short(spp)),
+        entry(_ROWS_PER_STRIP, 3, 1, short(h)),
+        entry(_STRIP_CNT, 4, 1, long(len(body))),
+        entry(_PLANAR, 3, 1, short(1)),
+    ]
+    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + long(0)
+    return (struct.pack("<2sHI", b"II", 42, ifd_off)
+            + body + bits_extra + ifd)
+
+
+def _read_tag_values(data: bytes, endian: str, typ: int, count: int,
+                     raw: bytes):
+    size = _TYPE_SIZE.get(typ)
+    if size is None:
+        raise ValueError(f"unknown TIFF field type {typ}")
+    total = size * count
+    if total <= 4:
+        buf = raw[:total]
+    else:
+        (off,) = struct.unpack(endian + "I", raw)
+        if off + total > len(data):
+            raise ValueError("TIFF tag value out of bounds")
+        buf = data[off:off + total]
+    fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+    if fmt is None:
+        raise ValueError(f"unsupported TIFF field type {typ}")
+    return list(struct.unpack(endian + fmt * count, buf))
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """TIFF bytes → uint8 (h, w) grayscale or (h, w, 3) BGR.  Uncompressed
+    8-bit chunky only; raises ValueError otherwise."""
+    if len(data) < 8 or data[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload")
+    endian = "<" if data[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(endian + "HI", data, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    if ifd_off + 2 > len(data):
+        raise ValueError("truncated TIFF IFD")
+    (n_entries,) = struct.unpack_from(endian + "H", data, ifd_off)
+    if ifd_off + 2 + n_entries * 12 > len(data):
+        raise ValueError("truncated TIFF IFD entries")
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + i * 12
+        tag, typ, count = struct.unpack_from(endian + "HHI", data, off)
+        tags[tag] = _read_tag_values(data, endian, typ, count,
+                                     data[off + 8:off + 12])
+    try:
+        w, h = tags[_W][0], tags[_H][0]
+        strip_offs = tags[_STRIP_OFF]
+        strip_cnts = tags[_STRIP_CNT]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing required tag {e}") from e
+    comp = tags.get(_COMP, [1])[0]
+    spp = tags.get(_SPP, [1])[0]
+    bits = tags.get(_BITS, [8])
+    planar = tags.get(_PLANAR, [1])[0]
+    if comp != 1:
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    if planar != 1:
+        raise ValueError("unsupported TIFF planar configuration")
+    if spp not in (1, 3) or any(b != 8 for b in bits):
+        raise ValueError("unsupported TIFF sample layout")
+    if w <= 0 or h <= 0 or w > 1 << 20 or h > 1 << 20:
+        raise ValueError("invalid TIFF dimensions")
+    if len(strip_offs) != len(strip_cnts):
+        raise ValueError("TIFF strip tables disagree")
+    parts = []
+    for off, cnt in zip(strip_offs, strip_cnts):
+        if off + cnt > len(data):
+            raise ValueError("truncated TIFF strip")
+        parts.append(np.frombuffer(data, np.uint8, count=cnt, offset=off))
+    flat = np.concatenate(parts) if len(parts) > 1 else parts[0]
+    if flat.size != h * w * spp:
+        raise ValueError("TIFF pixel data size mismatch")
+    if spp == 1:
+        img = flat.reshape(h, w)
+        if tags.get(_PHOTO, [1])[0] == 0:      # WhiteIsZero → invert
+            img = 255 - img
+        return img.copy() if img.base is not None else img
+    return flat.reshape(h, w, 3)[:, :, ::-1].copy()   # RGB → BGR

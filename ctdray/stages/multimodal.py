@@ -75,12 +75,20 @@ def decode_image(payload: bytes) -> np.ndarray:
     remaining formats (WebP, AVIF, …)."""
     if payload[:2] == b"P5":
         return _decode_checked(decode_pgm, payload, "PGM")
+    if payload[:2] == b"P6":
+        from ..sources.media import decode_ppm
+
+        return _decode_checked(decode_ppm, payload, "PPM")
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_checked(decode_png, payload, "PNG")
     if payload[:2] == b"BM":
         from ..sources.bmp import decode_bmp
 
         return _decode_checked(decode_bmp, payload, "BMP")
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from ..sources.tiff import decode_tiff
+
+        return _decode_checked(decode_tiff, payload, "TIFF")
     try:  # pragma: no cover - not installed in-sandbox
         import cv2
 
