@@ -89,6 +89,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         from ..sources.tiff import decode_tiff
 
         return _decode_checked(decode_tiff, payload, "TIFF")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from ..sources.gif import decode_gif
+
+        return _decode_checked(decode_gif, payload, "GIF")
     try:  # pragma: no cover - not installed in-sandbox
         import cv2
 

@@ -18,6 +18,7 @@ def _payloads():
         .astype(np.uint8)
     color = np.stack([img, 255 - img, img], axis=-1)
     from ctdray.sources.bmp import encode_bmp
+    from ctdray.sources.gif import encode_gif
     from ctdray.sources.media import encode_pgm, synth_video, synth_wav
     from ctdray.sources.png import encode_png
 
@@ -25,6 +26,7 @@ def _payloads():
         "pgm": encode_pgm(img),
         "png": encode_png(img),
         "bmp": encode_bmp(img),
+        "gif": encode_gif(img),
         "jpg": encode_baseline_jpeg(color, quality=85),
         "pjpg": encode_progressive_jpeg(color, quality=85),
         "ctvf": synth_video("vid://fuzz/x"),
@@ -32,7 +34,7 @@ def _payloads():
     }
 
 
-@pytest.mark.parametrize("kind", ["pgm", "png", "bmp", "jpg", "pjpg"])
+@pytest.mark.parametrize("kind", ["pgm", "png", "bmp", "gif", "jpg", "pjpg"])
 def test_truncations_raise_valueerror(kind):
     data = _payloads()[kind]
     full = decode_image(data)
@@ -54,7 +56,7 @@ def test_truncations_raise_valueerror(kind):
                 f"{kind} truncated to {frac} decoded differently"
 
 
-@pytest.mark.parametrize("kind", ["pgm", "png", "bmp", "jpg", "pjpg"])
+@pytest.mark.parametrize("kind", ["pgm", "png", "bmp", "gif", "jpg", "pjpg"])
 def test_bitflips_never_crash(kind):
     """200 random single-byte corruptions per format: decode either raises
     ValueError/NotImplementedError or returns a uint8 array — nothing else
