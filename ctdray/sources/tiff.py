@@ -19,7 +19,73 @@ import numpy as np
 _W, _H = 256, 257
 _BITS, _COMP, _PHOTO = 258, 259, 262
 _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
-_PLANAR = 284
+_PLANAR, _PREDICTOR = 284, 317
+
+
+def _lzw_decode_tiff(stream: bytes, max_bytes: int) -> bytearray:
+    """TIFF-variant LZW → bytes: MSB-first bit packing and EARLY code-width
+    change (TIFF 6.0 §13: the writer switches one code sooner than GIF, so
+    the reader — one dictionary entry behind — widens at 2^w − 2 where the
+    GIF reader widens at 2^w − 1).  Clear=256, EOI=257, first entry 258."""
+    clear, eoi = 256, 257
+    width = 9
+    prefix = [-1] * 4096
+    last = list(range(256)) + [0] * (4096 - 256)
+    next_code = eoi + 1
+    out = bytearray()
+    prev = -1
+    bits = bitpos = 0
+    i = 0
+    n = len(stream)
+
+    def expand(code):
+        chain = []
+        c = code
+        while c >= clear:
+            chain.append(last[c])
+            c = prefix[c]
+        chain.append(c)
+        return chain[::-1]
+
+    while len(out) < max_bytes:
+        while bitpos < width:
+            if i >= n:
+                raise ValueError("TIFF LZW stream exhausted")
+            bits = (bits << 8) | stream[i]
+            bitpos += 8
+            i += 1
+        code = (bits >> (bitpos - width)) & ((1 << width) - 1)
+        bitpos -= width
+        bits &= (1 << bitpos) - 1
+        if code == clear:
+            width = 9
+            next_code = eoi + 1
+            prev = -1
+            continue
+        if code == eoi:
+            break
+        if prev == -1:
+            if code >= clear:
+                raise ValueError("TIFF LZW bad first code")
+            out.append(code)
+            prev = code
+            continue
+        if code < next_code:
+            chain = expand(code)
+        elif code == next_code:
+            chain = expand(prev)
+            chain.append(chain[0])
+        else:
+            raise ValueError("TIFF LZW code out of range")
+        out.extend(chain)
+        if next_code < 4096:
+            prefix[next_code] = prev
+            last[next_code] = chain[0]
+            next_code += 1
+            if next_code == (1 << width) - 2 and width < 12:
+                width += 1
+        prev = code
+    return out
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
               11: 4, 12: 8}
@@ -124,24 +190,45 @@ def decode_tiff(data: bytes) -> np.ndarray:
     spp = tags.get(_SPP, [1])[0]
     bits = tags.get(_BITS, [8])
     planar = tags.get(_PLANAR, [1])[0]
-    if comp != 1:
+    predictor = tags.get(_PREDICTOR, [1])[0]
+    if comp not in (1, 5):
         raise ValueError(f"unsupported TIFF compression {comp}")
     if planar != 1:
         raise ValueError("unsupported TIFF planar configuration")
     if spp not in (1, 3) or any(b != 8 for b in bits):
         raise ValueError("unsupported TIFF sample layout")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     if w <= 0 or h <= 0 or w > 1 << 20 or h > 1 << 20:
         raise ValueError("invalid TIFF dimensions")
     if len(strip_offs) != len(strip_cnts):
         raise ValueError("TIFF strip tables disagree")
+    rows_per_strip = tags.get(_ROWS_PER_STRIP, [h])[0]
     parts = []
-    for off, cnt in zip(strip_offs, strip_cnts):
+    for si, (off, cnt) in enumerate(zip(strip_offs, strip_cnts)):
         if off + cnt > len(data):
             raise ValueError("truncated TIFF strip")
-        parts.append(np.frombuffer(data, np.uint8, count=cnt, offset=off))
+        raw = data[off:off + cnt]
+        if comp == 5:
+            n_rows = min(rows_per_strip, h - si * rows_per_strip)
+            if n_rows <= 0:
+                raise ValueError("TIFF strip beyond image height")
+            decoded = _lzw_decode_tiff(raw, n_rows * w * spp)
+            if len(decoded) < n_rows * w * spp:
+                raise ValueError("TIFF LZW strip short")
+            parts.append(np.frombuffer(bytes(decoded), np.uint8,
+                                       count=n_rows * w * spp))
+        else:
+            parts.append(np.frombuffer(data, np.uint8, count=cnt,
+                                       offset=off))
     flat = np.concatenate(parts) if len(parts) > 1 else parts[0]
     if flat.size != h * w * spp:
         raise ValueError("TIFF pixel data size mismatch")
+    if predictor == 2:
+        # horizontal differencing per row, per sample channel — undo with a
+        # wrap-around cumulative sum along the columns
+        px = flat.reshape(h, w, spp).astype(np.uint8)
+        flat = np.cumsum(px, axis=1, dtype=np.uint8).reshape(-1)
     if spp == 1:
         img = flat.reshape(h, w)
         if tags.get(_PHOTO, [1])[0] == 0:      # WhiteIsZero → invert

@@ -104,3 +104,134 @@ def test_ppm_roundtrip_and_dispatch():
 def test_decode_image_dispatches_tiff():
     img = np.arange(42, dtype=np.uint8).reshape(6, 7)
     np.testing.assert_array_equal(decode_image(encode_tiff(img)), img)
+
+
+def _tiff_lzw_compress(payload: bytes) -> bytes:
+    """Spec-faithful TIFF 6.0 LZW compressor (MSB-first, EARLY width
+    change: widths switch one code sooner than GIF — TIFF 6.0 §13)."""
+    clear, eoi = 256, 257
+    width = 9
+    out = bytearray()
+    bits = bitpos = 0
+
+    def emit(code):
+        nonlocal bits, bitpos
+        bits = (bits << width) | code
+        bitpos += width
+        while bitpos >= 8:
+            out.append((bits >> (bitpos - 8)) & 0xFF)
+            bitpos -= 8
+            bits &= (1 << bitpos) - 1
+
+    emit(clear)
+    table = {(i,): i for i in range(256)}
+    next_code = 258
+    cur: tuple = ()
+    for b in payload:
+        cand = cur + (b,)
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur])
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code == 4094:              # spec: clear near table full
+            emit(clear)
+            width = 9
+            table = {(i,): i for i in range(256)}
+            next_code = 258
+        cur = (b,)
+    if cur:
+        emit(table[cur])
+    emit(eoi)
+    if bitpos:
+        out.append((bits << (8 - bitpos)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_tiff_file(img: np.ndarray, rows_per_strip=None,
+                   predictor: int = 1) -> bytes:
+    """Hand-built little-endian LZW TIFF (gray or RGB) with optional
+    horizontal predictor and strip splitting."""
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else 3
+    rows_per_strip = rows_per_strip or h
+    px = img if spp == 1 else img[:, :, ::-1]       # BGR → RGB stored
+    px = px.reshape(h, w, spp)
+    if predictor == 2:
+        d = px.astype(np.int16)
+        d[:, 1:] = d[:, 1:] - d[:, :-1]
+        px = (d % 256).astype(np.uint8)
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        strips.append(_tiff_lzw_compress(
+            px[r0:r0 + rows_per_strip].tobytes()))
+    n_strips = len(strips)
+    # layout: header | strip data... | [arrays] | IFD
+    data_off = 8
+    offs, pos = [], data_off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    body = b"".join(strips)
+    arr_off = pos
+    need_arrays = n_strips > 1
+    arrays = b""
+    if need_arrays:
+        arrays = struct.pack(f"<{n_strips}I", *offs) \
+            + struct.pack(f"<{n_strips}I", *[len(s) for s in strips])
+    bits_off = arr_off + len(arrays)
+    bits_extra = struct.pack("<3H", 8, 8, 8) if spp == 3 else b""
+    ifd_off = bits_off + len(bits_extra)
+
+    def entry(tag, typ, count, value4):
+        return struct.pack("<HHI4s", tag, typ, count, value4)
+
+    short = lambda v: struct.pack("<HH", v, 0)
+    long = lambda v: struct.pack("<I", v)
+    entries = [
+        entry(256, 3, 1, short(w)), entry(257, 3, 1, short(h)),
+        entry(258, 3, spp, long(bits_off) if spp == 3 else short(8)),
+        entry(259, 3, 1, short(5)),        # LZW
+        entry(262, 3, 1, short(2 if spp == 3 else 1)),
+        entry(273, 4, n_strips,
+              long(arr_off) if need_arrays else long(offs[0])),
+        entry(277, 3, 1, short(spp)),
+        entry(278, 3, 1, short(rows_per_strip)),
+        entry(279, 4, n_strips,
+              long(arr_off + 4 * n_strips) if need_arrays
+              else long(len(strips[0]))),
+        entry(284, 3, 1, short(1)),
+        entry(317, 3, 1, short(predictor)),
+    ]
+    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + long(0)
+    return struct.pack("<2sHI", b"II", 42, ifd_off) + body + arrays \
+        + bits_extra + ifd
+
+
+def test_tiff_lzw_gray_roundtrip():
+    rng = np.random.default_rng(8)
+    # repetitive (deep chains + clears) and incompressible content
+    tile = rng.integers(0, 6, size=(16, 16), dtype=np.uint8) * 40
+    for img in (np.tile(tile, (8, 8)),
+                rng.integers(0, 256, size=(40, 52), dtype=np.uint8)):
+        out = decode_tiff(_lzw_tiff_file(img))
+        np.testing.assert_array_equal(out, img)
+
+
+def test_tiff_lzw_color_multistrip_predictor():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(30, 17, 3), dtype=np.uint8)
+    for pred in (1, 2):
+        out = decode_tiff(_lzw_tiff_file(img, rows_per_strip=7,
+                                         predictor=pred))
+        np.testing.assert_array_equal(out, img)
+
+
+def test_tiff_lzw_truncated_raises():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    good = _lzw_tiff_file(img)
+    with pytest.raises(ValueError):
+        decode_tiff(good[:20])
