@@ -122,6 +122,8 @@ def fetch_media(media_ref: str) -> bytes:
       pjpg://…   the same page, PROGRESSIVE (SOF2) JPEG — real scanned-manga
                  corpora are heavily progressive
       bmp://…    the same page, uncompressed 8-bit BMP
+      tif://…    the same page, baseline uncompressed TIFF
+      gif://…    the same page, GIF89a (grayscale palette, LZW)
       vid://…    CTVF raw-frame video (synth_video)
       aud://…    RIFF/WAVE PCM16 audio (synth_wav)
 
@@ -146,6 +148,16 @@ def fetch_media(media_ref: str) -> bytes:
 
         gt = page_ground_truth("page://" + media_ref[len("bmp://"):])
         return encode_bmp(render_page(gt))
+    if media_ref.startswith("tif://"):
+        from .tiff import encode_tiff
+
+        gt = page_ground_truth("page://" + media_ref[len("tif://"):])
+        return encode_tiff(render_page(gt))
+    if media_ref.startswith("gif://"):
+        from .gif import encode_gif
+
+        gt = page_ground_truth("page://" + media_ref[len("gif://"):])
+        return encode_gif(render_page(gt))
     if media_ref.startswith("vid://"):
         return synth_video(media_ref)
     if media_ref.startswith("aud://"):

@@ -110,3 +110,18 @@ def test_thumbnails_distributed(ray_session):
     thumbs = pages.map_batches(thumbnails_task, batch_format="pyarrow",
                                batch_size=8).to_pandas()
     assert len(thumbs) > 0 and thumbs.decode_ok.all()
+
+
+def test_all_page_codecs_decode_identically():
+    """Every lossless media-ref scheme resolves to the SAME rendered page —
+    the codec matrix (PGM/JPEG-aside: BMP, TIFF, GIF are lossless here) is
+    interchangeable at the decode_page layer."""
+    import numpy as np
+
+    from ctdray.sources.media import decode_page
+
+    base = "doc-00000077/2"
+    ref_img = decode_page(f"page://{base}")
+    for scheme in ("bmp", "tif", "gif"):
+        out = decode_page(f"{scheme}://{base}")
+        np.testing.assert_array_equal(out, ref_img)
