@@ -53,18 +53,60 @@ def decode_png(data: bytes) -> np.ndarray:
                 raise ValueError(f"unsupported PNG bit depth {depth}")
             if color not in _COLOR_CHANNELS:
                 raise ValueError(f"unsupported PNG color type {color}")
-            if interlace != 0:
-                raise ValueError("interlaced PNG unsupported")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace {interlace}")
+            adam7 = interlace == 1
             channels = _COLOR_CHANNELS[color]
         elif ctype == b"IDAT":
             idat.extend(body)
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if adam7:
+        return _decode_adam7(raw, width, height, channels)
     stride = width * channels
     if raw.size != height * (stride + 1):
         raise ValueError("PNG scanline data size mismatch")
-    raw = raw.reshape(height, stride + 1)
+    img = _unfilter(raw.reshape(height, stride + 1), width, height,
+                    channels).astype(np.uint8).reshape(height, width,
+                                                       channels)
+    return img[:, :, 0] if channels == 1 else img
+
+
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _decode_adam7(raw: np.ndarray, width: int, height: int,
+                  channels: int) -> np.ndarray:
+    """Adam7-interlaced scanline stream → image: each of the 7 passes is a
+    filtered sub-image in its own right (per-pass scanlines and filter
+    bytes), unfiltered independently then scattered onto its grid."""
+    out = np.zeros((height, width, channels), dtype=np.uint8)
+    pos = 0
+    for (x0, y0, dx, dy) in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        pstride = pw * channels
+        need = ph * (pstride + 1)
+        if pos + need > raw.size:
+            raise ValueError("PNG interlaced scanline data short")
+        sub = _unfilter(raw[pos:pos + need].reshape(ph, pstride + 1),
+                        pw, ph, channels)
+        pos += need
+        out[y0::dy, x0::dx] = sub.astype(np.uint8).reshape(ph, pw, channels)
+    if pos != raw.size:
+        raise ValueError("PNG scanline data size mismatch")
+    return out[:, :, 0] if channels == 1 else out
+
+
+def _unfilter(raw: np.ndarray, width: int, height: int,
+              channels: int) -> np.ndarray:
+    """(h, stride+1) filtered scanlines → (h, stride) int32 pixel rows
+    (the five PNG filters; shared by the sequential and Adam7 paths)."""
+    stride = width * channels
     filters, lines = raw[:, 0], raw[:, 1:].astype(np.int32)
     out = np.zeros((height, stride), dtype=np.int32)
     bpp = channels
@@ -96,8 +138,7 @@ def decode_png(data: bytes) -> np.ndarray:
             out[y] = cur
         else:
             raise ValueError(f"unknown PNG filter {f}")
-    img = out.astype(np.uint8).reshape(height, width, channels)
-    return img[:, :, 0] if channels == 1 else img
+    return out
 
 
 def encode_png(img: np.ndarray) -> bytes:
