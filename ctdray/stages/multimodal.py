@@ -67,12 +67,12 @@ def _decode_checked(fn, payload: bytes, what: str) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """binary → uint8 (h, w[, c]).  PGM, PNG and JPEG — baseline AND
-    progressive (SOF2) — decode natively (pure numpy/zlib:
-    ctdray.sources.png / ctdray.sources.jpeg; the reference decodes via
-    cv2.imdecode, utils/io_utils.py:42, and its bundled example corpus is
-    JPEG).  cv2, when importable, takes the fast path and covers the
-    remaining formats (WebP, AVIF, …)."""
+    """binary → uint8 (h, w[, c]).  The pure-python codec matrix decodes
+    natively: PGM/PPM, PNG (all filters + Adam7 interlace), JPEG — baseline
+    AND progressive (SOF2) — BMP, TIFF (uncompressed + LZW w/ predictor),
+    GIF (full variable-width LZW).  The reference decodes via cv2.imdecode
+    (utils/io_utils.py:42); cv2, when importable, takes the fast path and
+    covers the remaining formats (WebP, AVIF, …)."""
     if payload[:2] == b"P5":
         return _decode_checked(decode_pgm, payload, "PGM")
     if payload[:2] == b"P6":
