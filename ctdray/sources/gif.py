@@ -102,6 +102,8 @@ def decode_gif(data: bytes) -> np.ndarray:
                 pos += 1
                 if n == 0:
                     break
+                if pos + n > len(data):
+                    raise ValueError("truncated GIF extension sub-block")
                 if label == 0xF9 and pos == sub_start + 1 and n >= 4 \
                         and data[pos] & 1:
                     transparent = data[pos + 3]
@@ -238,11 +240,11 @@ def _lzw_decode(stream: bytes, min_code: int, max_pixels: int) -> list:
             prefix[next_code] = prev
             last[next_code] = chain[0]
             next_code += 1
-            # The decoder's entry counter lags the encoder's by exactly one
-            # (no entry for the first code after a clear), so it widens at
-            # 2^width − 1 where the encoder widens at 2^width — the classic
-            # GIF LZW synchronization (giflib's RunningCode rule).
-            if next_code == (1 << width) - 1 and width < 12:
+            # giflib/Pillow synchronization: the decoder widens once the next
+            # free slot itself no longer fits in the current width (the
+            # encoder's RunningCode >= MaxCode1 rule lands on the same code
+            # boundary).  GIF has no TIFF-style early change.
+            if next_code == (1 << width) and width < 12:
                 width += 1
         prev = code
     return out

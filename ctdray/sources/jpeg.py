@@ -3,10 +3,10 @@
 The reference decodes pages with ``cv2.imdecode`` (utils/io_utils.py:42)
 and its bundled example corpus is JPEG (data/examples/*.jpg); this module
 closes that format-parity gap in environments without cv2 (S2, SURVEY.md
-§2.2).  Scope is baseline sequential DCT (SOF0), 8-bit, grayscale or
-YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling, optional restart intervals —
-exactly the class the reference corpus uses.  Progressive (SOF2) and
-arithmetic coding raise ``ValueError``.
+§2.2).  Scope is sequential baseline DCT (SOF0) AND progressive DCT
+(SOF2, spectral selection + successive approximation — see decode_jpeg),
+8-bit, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling, optional
+restart intervals.  Arithmetic coding (SOF9+) raises ``ValueError``.
 
 Design: the entropy (Huffman) layer is the only bit-serial part and runs
 as a Python loop over coefficients using 16-bit peek lookup tables (O(1)

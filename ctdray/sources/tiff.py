@@ -25,8 +25,9 @@ _PLANAR, _PREDICTOR = 284, 317
 def _lzw_decode_tiff(stream: bytes, max_bytes: int) -> bytearray:
     """TIFF-variant LZW → bytes: MSB-first bit packing and EARLY code-width
     change (TIFF 6.0 §13: the writer switches one code sooner than GIF, so
-    the reader — one dictionary entry behind — widens at 2^w − 2 where the
-    GIF reader widens at 2^w − 1).  Clear=256, EOI=257, first entry 258."""
+    the reader widens at 2^w − 1 where the GIF reader widens at 2^w — the
+    libtiff rule, i.e. right after storing string #510 at 9 bits).
+    Clear=256, EOI=257, first entry 258."""
     clear, eoi = 256, 257
     width = 9
     prefix = [-1] * 4096
@@ -82,7 +83,7 @@ def _lzw_decode_tiff(stream: bytes, max_bytes: int) -> bytearray:
             prefix[next_code] = prev
             last[next_code] = chain[0]
             next_code += 1
-            if next_code == (1 << width) - 2 and width < 12:
+            if next_code == (1 << width) - 1 and width < 12:
                 width += 1
         prev = code
     return out
@@ -178,6 +179,11 @@ def decode_tiff(data: bytes) -> np.ndarray:
     for i in range(n_entries):
         off = ifd_off + 2 + i * 12
         tag, typ, count = struct.unpack_from(endian + "HHI", data, off)
+        # Only the tags needed for pixel decode get typed parsing; anything
+        # else (ASCII Software/DateTime, RATIONAL X/YResolution, vendor
+        # tags of any type) is skipped so ordinary scanner output decodes.
+        if typ not in (1, 3, 4):
+            continue
         tags[tag] = _read_tag_values(data, endian, typ, count,
                                      data[off + 8:off + 12])
     try:

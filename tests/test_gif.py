@@ -135,10 +135,13 @@ def _real_lzw_gif(img: np.ndarray) -> bytes:
             cur = cand
             continue
         emit(table[cur])
+        # giflib ordering (EGifCompressOutput): widen AFTER writing the
+        # code and BEFORE assigning the new entry, once the next code to
+        # assign no longer fits the current width (RunningCode >= MaxCode1).
+        if next_code >= (1 << width) and width < 12:
+            width += 1
         table[cand] = next_code
         next_code += 1
-        if next_code - 1 == (1 << width) - 1 and width < 12:
-            width += 1
         if next_code == 4096:
             emit(clear)
             width = 9
@@ -169,3 +172,16 @@ def test_real_lzw_stream_decodes_exactly():
     # and an incompressible one (width growth to 10+ bits, no clears)
     img2 = rng.integers(0, 256, size=(48, 48), dtype=np.uint8)
     np.testing.assert_array_equal(decode_gif(_real_lzw_gif(img2)), img2)
+
+
+def test_truncated_gce_raises_valueerror():
+    """A graphic-control extension cut short mid-sub-block must raise
+    ValueError (poison-pill contract), not IndexError."""
+    head = b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0xF7, 0, 0)
+    g = np.arange(256, dtype=np.uint8)
+    pal = np.stack([g, g, g], 1).tobytes()
+    # GCE declares a 4-byte sub-block with the transparency flag set, but
+    # the payload ends after the flag byte
+    data = head + pal + b"\x21\xF9\x04\x01"
+    with pytest.raises(ValueError):
+        decode_gif(data)

@@ -135,7 +135,10 @@ def _tiff_lzw_compress(payload: bytes) -> bytes:
         emit(table[cur])
         table[cand] = next_code
         next_code += 1
-        if next_code == (1 << width) - 1 and width < 12:
+        # libtiff ordering (LZWEncode): widen right after assigning the new
+        # entry once free_ent exceeds MAXCODE(nbits) = 2^n - 1 — one code
+        # sooner than GIF, the TIFF 6.0 "early change".
+        if next_code >= (1 << width) and width < 12:
             width += 1
         if next_code == 4094:              # spec: clear near table full
             emit(clear)
@@ -235,3 +238,39 @@ def test_tiff_lzw_truncated_raises():
     good = _lzw_tiff_file(img)
     with pytest.raises(ValueError):
         decode_tiff(good[:20])
+
+
+def _with_metadata_tags(data: bytes) -> bytes:
+    """Append typical scanner metadata to an encode_tiff file: ASCII
+    Software (305), RATIONAL X/YResolution (282/283) and a FLOAT vendor
+    tag — none needed for pixel decode, all must be skipped gracefully."""
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n,) = struct.unpack_from("<H", data, ifd_off)
+    entries = data[ifd_off + 2: ifd_off + 2 + n * 12]
+    base = data[:ifd_off]                       # header + pixel payload
+    soft = b"mock scanner v1\x00"
+    rat = struct.pack("<II", 300, 1)
+    soft_off = len(base)
+    xres_off = soft_off + len(soft)
+    yres_off = xres_off + 8
+    new_ifd_off = yres_off + 8
+    extra = [
+        struct.pack("<HHII", 282, 5, 1, xres_off),   # XResolution RATIONAL
+        struct.pack("<HHII", 283, 5, 1, yres_off),   # YResolution RATIONAL
+        struct.pack("<HHII", 305, 2, len(soft), soft_off),  # Software ASCII
+        struct.pack("<HHIf", 34377, 11, 1, 1.0),     # FLOAT vendor tag
+    ]
+    ifd = struct.pack("<H", n + len(extra)) + entries + b"".join(extra) \
+        + struct.pack("<I", 0)
+    out = bytearray(base) + soft + rat + rat + ifd
+    struct.pack_into("<I", out, 4, new_ifd_off)
+    return bytes(out)
+
+
+def test_tiff_metadata_tags_are_skipped():
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(9, 14), dtype=np.uint8)
+    color = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    for img in (gray, color):
+        out = decode_tiff(_with_metadata_tags(encode_tiff(img)))
+        np.testing.assert_array_equal(out, img)
