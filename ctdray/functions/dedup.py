@@ -69,8 +69,13 @@ def exact_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def token_set_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Near-dup modulo word order & repetition: key = sorted unique tokens."""
-    return _keyed_dedup(ds, token_set_key, "token_set")
+    """Near-dup modulo word order & repetition: groups = equal sorted-unique
+    -token sets.  The shuffle key is ``md5(token_set_key)`` — a fixed-width
+    fingerprint, never the document-sized token string — so the exchange
+    follows the same "16-byte fingerprint is the shuffle key" rule as
+    :func:`exact_dedup`; the string form appears only in the oracle SQL."""
+    return _keyed_dedup(
+        ds, lambda t: md5_fingerprint([token_set_key(t)])[0], "token_set")
 
 
 def ngram_jaccard_dedup(ds: ray.data.Dataset, threshold: float = 0.8,
