@@ -103,6 +103,14 @@ _MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
 _P31 = np.uint64((1 << 31) - 1)            # Mersenne prime 2^31-1
 
 
+def _mod_m31(x: np.ndarray) -> np.ndarray:
+    """Exact ``x % (2^31-1)`` for uint64 x < 2^63 without hardware division:
+    2^31 ≡ 1 (mod M31), so fold the high bits down twice and subtract."""
+    x = (x >> np.uint64(31)) + (x & _P31)
+    x = (x >> np.uint64(31)) + (x & _P31)
+    return np.where(x >= _P31, x - _P31, x)
+
+
 class MinHasher:
     """Word-shingle MinHash signatures, fully vectorized.
 
@@ -157,6 +165,91 @@ class MinHasher:
         h = self.shingle_values(text).astype(np.uint64)
         return np.min((h[None, :] * self.a[:, None] + self.b[:, None]) % _P31,
                       axis=1)
+
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """(n_docs, num_perm) uint64 — the whole batch in one pass.
+
+        Bit-identical to ``np.stack([signature(t) for t in texts])`` (the
+        min over permuted shingles is invariant under the per-doc
+        ``np.unique`` the scalar path applies): all docs' token hashes go
+        into ONE concatenated buffer, the k-fold runs over it in k
+        vectorized ops with boundary-crossing windows masked out, and the
+        per-doc minima come from segmented ``np.minimum.reduceat`` — no
+        per-document Python in the ≥k-token common case."""
+        n_docs = len(texts)
+        if n_docs == 0:
+            return np.empty((0, self.num_perm), dtype=np.uint64)
+        k = self.shingle_k
+        toks_list = [t.split() for t in texts]
+        lens = np.fromiter((len(t) for t in toks_list), np.int64, n_docs)
+        th = self._token_hashes(list(itertools.chain.from_iterable(toks_list)))
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+
+        # per-doc shingle counts: len-k+1 for full docs, 1 for short/empty
+        seg_lens = np.maximum(lens - k + 1, 1)
+        seg_starts = np.concatenate(([0], np.cumsum(seg_lens)))
+        vals = np.empty(int(seg_starts[-1]), dtype=np.uint64)
+
+        full = lens >= k
+        if full.any() and len(th) >= k:
+            n_win = len(th) - k + 1
+            acc = np.zeros(n_win, dtype=np.uint64)
+            for j in range(k):
+                acc = acc * _MIX1 ^ th[j:j + n_win]
+            # valid (non-boundary-crossing) windows per full doc
+            nf = seg_lens[full]
+            local = np.arange(int(nf.sum())) - np.repeat(
+                np.concatenate(([0], np.cumsum(nf)[:-1])), nf)
+            src = np.repeat(offsets[:-1][full], nf) + local
+            dst = np.repeat(seg_starts[:-1][full], nf) + local
+            vals[dst] = acc[src]
+        for d in np.flatnonzero(~full):            # rare: <k tokens
+            if lens[d] == 0:
+                vals[seg_starts[d]] = _stable_hash64("")
+            else:
+                acc1 = np.uint64(0)
+                for j in range(offsets[d], offsets[d + 1]):
+                    acc1 = acc1 * _MIX1 ^ th[j]
+                vals[seg_starts[d]] = acc1
+        vals = (vals ^ (vals >> np.uint64(32))) * _MIX2
+        h = (vals >> np.uint64(32)).astype(np.uint32).astype(np.uint64)
+
+        # per-doc distinct shingles in one global sort: unique over the
+        # (doc_index << 32 | shingle) composite key yields each doc's
+        # deduped values in doc-major order — the batched equivalent of the
+        # scalar path's per-doc np.unique, and it shrinks everything
+        # downstream (repetitive docs collapse before the permute/min)
+        doc_codes = np.repeat(np.arange(n_docs, dtype=np.uint64), seg_lens)
+        dk = np.unique((doc_codes << np.uint64(32)) | h)
+        h = dk & np.uint64(0xFFFFFFFF)
+        docs2 = dk >> np.uint64(32)
+        seg_starts = np.concatenate(
+            ([0], np.flatnonzero(docs2[1:] != docs2[:-1]) + 1, [len(dk)]))
+
+        # permute once per distinct shingle value in the whole batch (the
+        # expensive modmul), gather back, and take per-doc minima with a
+        # segmented reduceat — chunked so the (shingles × num_perm) gather
+        # temp stays L2-resident (~512 KB at the default 64 perms); the
+        # small chunk is worth ~5× over a single whole-batch gather
+        uniq, inv = np.unique(h, return_inverse=True)
+        # shingle-major (row) layout + uint32 (values < 2^31): the gather is
+        # a contiguous row copy and reduceat's inner axis is contiguous —
+        # ~2.5× faster than permutation-major uint64
+        vu = _mod_m31(uniq[:, None] * self.a[None, :]
+                      + self.b[None, :]).astype(np.uint32)
+        out = np.empty((n_docs, self.num_perm), dtype=np.uint64)
+        chunk_shingles = 2_048
+        d0 = 0
+        while d0 < n_docs:
+            d1 = d0 + 1
+            while d1 < n_docs and \
+                    seg_starts[d1 + 1] - seg_starts[d0] <= chunk_shingles:
+                d1 += 1
+            v = vu[inv[seg_starts[d0]:seg_starts[d1]]]
+            out[d0:d1] = np.minimum.reduceat(
+                v, seg_starts[d0:d1] - seg_starts[d0], axis=0)
+            d0 = d1
+        return out
 
     def band_hashes(self, sigs: np.ndarray, bands: int) -> np.ndarray:
         """(n_docs, num_perm) signatures → (n_docs, bands) uint64 band keys,
@@ -452,7 +545,7 @@ def minhash_verified_pairs(ds: ray.data.Dataset, num_perm: int = 64,
                              "band_hash": pa.array([], pa.uint64()),
                              "__pb": pa.array([], pa.int32()),
                              "doc_id": pa.array([], ids.type)})
-        sigs = np.stack([h.signature(t) for t in texts])
+        sigs = h.signatures(texts)
         bh = h.band_hashes(sigs, bands)                  # (n, bands)
         flat = bh.reshape(-1)
         band_col = np.tile(np.arange(bands, dtype=np.int32), n)

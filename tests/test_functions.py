@@ -550,3 +550,22 @@ def test_hash_ids_u64_string_vectorized_edges():
     buckets = np.bincount((hh >> np.uint64(56)).astype(np.int64),
                           minlength=256)
     assert buckets.min() > 20     # no starved coarse bucket
+
+
+def test_minhash_batched_signatures_bit_identical():
+    """signatures() (segmented-reduceat batch path) must equal the scalar
+    signature() doc-by-doc, including empty / sub-k / highly repetitive
+    docs and non-default (num_perm, k) geometry."""
+    import numpy as np
+    from ctdray.functions.dedup import MinHasher
+    rng = np.random.default_rng(42)
+    words = [f"w{i}" for i in range(300)]
+    texts = [" ".join(rng.choice(words, int(n)))
+             for n in rng.integers(0, 80, 200)]
+    texts += ["", "one", "one two", "a b", " ".join(["rep tok"] * 500)]
+    for num_perm, k in ((64, 3), (128, 2), (16, 5)):
+        scalar = np.stack([MinHasher(num_perm, k).signature(t)
+                           for t in texts])
+        batched = MinHasher(num_perm, k).signatures(texts)
+        assert scalar.dtype == batched.dtype
+        np.testing.assert_array_equal(scalar, batched)
