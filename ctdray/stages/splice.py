@@ -19,22 +19,28 @@ from ..schema import OUT_DOC_SCHEMA
 
 def splice_groups(group: pa.Table) -> pa.Table:
     """``map_groups`` body: one or more whole documents' span rows → nested
-    output doc rows (schema.OUT_DOC_SCHEMA)."""
+    output doc rows (schema.OUT_DOC_SCHEMA).
+
+    Fully columnar: one lexsort by (doc_id, offset, order), then the nested
+    ``spans`` list column is a ListArray wrapped around a StructArray of the
+    sorted span fields with offsets at the doc boundaries — no per-row
+    Python dicts on the reduce side of the pipeline's one shuffle."""
     offs = group.column("offset").to_numpy(zero_copy_only=False)
     orders = group.column("order").to_numpy(zero_copy_only=False)
     # Stable lexicographic sort by (doc_id, offset, order).
     docs_np = np.asarray(group.column("doc_id").to_pylist(), dtype=object)
-    _, doc_codes = np.unique(docs_np, return_inverse=True)
+    uniq_docs, doc_codes = np.unique(docs_np, return_inverse=True)
     sort_idx = np.lexsort((orders, offs, doc_codes))
     sorted_group = group.take(pa.array(sort_idx))
-    docs = sorted_group.column("doc_id").to_pylist()
-    spans = sorted_group.select(["kind", "text", "media_ref", "offset", "order"]) \
-        .to_pylist()
-    out_rows: list[dict] = []
-    cur_doc = None
-    for doc_id, span in zip(docs, spans):
-        if doc_id != cur_doc:
-            out_rows.append({"doc_id": doc_id, "spans": []})
-            cur_doc = doc_id
-        out_rows[-1]["spans"].append(span)
-    return pa.Table.from_pylist(out_rows, schema=OUT_DOC_SCHEMA)
+    sorted_codes = doc_codes[sort_idx]                 # nondecreasing
+    starts = np.flatnonzero(np.diff(sorted_codes, prepend=-1))
+    list_offsets = np.append(starts, len(sorted_codes)).astype(np.int32)
+    struct_type = OUT_DOC_SCHEMA.field("spans").type.value_type
+    span_struct = pa.StructArray.from_arrays(
+        [sorted_group.column(f.name).combine_chunks().cast(f.type)
+         for f in struct_type],
+        fields=list(struct_type))
+    spans = pa.ListArray.from_arrays(pa.array(list_offsets, pa.int32()),
+                                     span_struct)
+    doc_ids = pa.array(uniq_docs[sorted_codes[starts]], pa.string())
+    return pa.Table.from_arrays([doc_ids, spans], schema=OUT_DOC_SCHEMA)
