@@ -6,8 +6,11 @@ The reference's primary image format is PNG: ``imread`` decodes it via
 has ``zlib``, and PNG's layout (IHDR/IDAT chunks, per-scanline filters) is
 fully decodable with numpy:
 
-  decode: 8-bit greyscale / RGB / RGBA, non-interlaced; all five scanline
-          filter types (None/Sub/Up/Average/Paeth)
+  decode: 8- and 16-bit greyscale / RGB / RGBA, sequential or Adam7; all
+          five scanline filter types (None/Sub/Up/Average/Paeth).  16-bit
+          samples are stripped to their high byte — the libpng
+          ``png_set_strip_16`` behavior cv2's PNG decoder requests, so
+          parity with ``cv2.imdecode`` holds for 16-bit scanner output.
   encode: filter 0 scanlines, one zlib IDAT — valid for any PNG reader
 
 Malformed payloads raise ValueError so pipeline decode stages degrade to
@@ -49,7 +52,7 @@ def decode_png(data: bytes) -> np.ndarray:
         if ctype == b"IHDR":
             width, height, depth, color, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", body)
-            if depth != 8:
+            if depth not in (8, 16):
                 raise ValueError(f"unsupported PNG bit depth {depth}")
             if color not in _COLOR_CHANNELS:
                 raise ValueError(f"unsupported PNG color type {color}")
@@ -57,19 +60,22 @@ def decode_png(data: bytes) -> np.ndarray:
                 raise ValueError(f"unknown PNG interlace {interlace}")
             adam7 = interlace == 1
             channels = _COLOR_CHANNELS[color]
+            bps = depth // 8                  # bytes per sample
         elif ctype == b"IDAT":
             idat.extend(body)
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     if adam7:
-        return _decode_adam7(raw, width, height, channels)
-    stride = width * channels
+        return _decode_adam7(raw, width, height, channels, bps)
+    bpp = channels * bps
+    stride = width * bpp
     if raw.size != height * (stride + 1):
         raise ValueError("PNG scanline data size mismatch")
     img = _unfilter(raw.reshape(height, stride + 1), width, height,
-                    channels).astype(np.uint8).reshape(height, width,
-                                                       channels)
+                    bpp).astype(np.uint8).reshape(height, width,
+                                                  channels, bps)
+    img = img[:, :, :, 0]                     # 16-bit: MSB first (strip_16)
     return img[:, :, 0] if channels == 1 else img
 
 
@@ -78,38 +84,41 @@ _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
 
 
 def _decode_adam7(raw: np.ndarray, width: int, height: int,
-                  channels: int) -> np.ndarray:
+                  channels: int, bps: int = 1) -> np.ndarray:
     """Adam7-interlaced scanline stream → image: each of the 7 passes is a
     filtered sub-image in its own right (per-pass scanlines and filter
     bytes), unfiltered independently then scattered onto its grid."""
     out = np.zeros((height, width, channels), dtype=np.uint8)
+    bpp = channels * bps
     pos = 0
     for (x0, y0, dx, dy) in _ADAM7:
         pw = (width - x0 + dx - 1) // dx
         ph = (height - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
             continue
-        pstride = pw * channels
+        pstride = pw * bpp
         need = ph * (pstride + 1)
         if pos + need > raw.size:
             raise ValueError("PNG interlaced scanline data short")
         sub = _unfilter(raw[pos:pos + need].reshape(ph, pstride + 1),
-                        pw, ph, channels)
+                        pw, ph, bpp)
         pos += need
-        out[y0::dy, x0::dx] = sub.astype(np.uint8).reshape(ph, pw, channels)
+        out[y0::dy, x0::dx] = sub.astype(np.uint8).reshape(
+            ph, pw, channels, bps)[:, :, :, 0]
     if pos != raw.size:
         raise ValueError("PNG scanline data size mismatch")
     return out[:, :, 0] if channels == 1 else out
 
 
 def _unfilter(raw: np.ndarray, width: int, height: int,
-              channels: int) -> np.ndarray:
-    """(h, stride+1) filtered scanlines → (h, stride) int32 pixel rows
-    (the five PNG filters; shared by the sequential and Adam7 paths)."""
-    stride = width * channels
+              bpp: int) -> np.ndarray:
+    """(h, stride+1) filtered scanlines → (h, stride) int32 BYTE rows
+    (the five PNG filters; shared by the sequential and Adam7 paths).
+    ``bpp`` is bytes per pixel — filters operate on bytes regardless of
+    sample depth (PNG spec §6.2), so 16-bit rows just use bpp = 2c."""
+    stride = width * bpp
     filters, lines = raw[:, 0], raw[:, 1:].astype(np.int32)
     out = np.zeros((height, stride), dtype=np.int32)
-    bpp = channels
     for y in range(height):
         f, cur = int(filters[y]), lines[y].copy()
         prior = out[y - 1] if y else np.zeros(stride, dtype=np.int32)
