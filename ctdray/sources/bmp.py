@@ -52,6 +52,25 @@ def encode_bmp(img: np.ndarray) -> bytes:
             + palette + pixel_bytes)
 
 
+def probe_dims(data: bytes) -> tuple[int, int]:
+    """Header-only (h, w) with :func:`decode_bmp`'s header-level support
+    checks (planes/compression/bit depth) — no pixel reads."""
+    if data[:2] != b"BM" or len(data) < _FILE_HDR.size + _INFO_HDR.size:
+        raise ValueError("not a BMP payload")
+    (hdr_size, w, h, planes, bpp, compression, _img_size,
+     _, _, _clr_used, _) = _INFO_HDR.unpack_from(data, _FILE_HDR.size)
+    if hdr_size < _INFO_HDR.size or planes != 1:
+        raise ValueError("unsupported BMP header")
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression}")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    h = abs(h)
+    if w <= 0 or h == 0 or w > 1 << 20 or h > 1 << 20:
+        raise ValueError("invalid BMP dimensions")
+    return h, w
+
+
 def decode_bmp(data: bytes) -> np.ndarray:
     """BMP bytes → uint8 (h, w) for 8-bit grayscale-palette images, else
     (h, w, 3) BGR.  Accepts 8/24/32-bit uncompressed (BI_RGB) payloads,

@@ -69,6 +69,17 @@ def encode_gif(img: np.ndarray) -> bytes:
 _INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+def probe_dims(data: bytes) -> tuple[int, int]:
+    """Header-only (h, w) from the logical screen descriptor — the decoded
+    frame is always composed at screen size (see :func:`decode_gif`)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack_from("<HH", data, 6)
+    if sw <= 0 or sh <= 0 or sw > 1 << 16 or sh > 1 << 16:
+        raise ValueError("invalid GIF dimensions")
+    return sh, sw
+
+
 def decode_gif(data: bytes) -> np.ndarray:
     """GIF bytes → uint8 (h, w) if the palette is grayscale, else
     (h, w, 3) BGR.  First image frame, composed at its screen position."""

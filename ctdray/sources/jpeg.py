@@ -816,6 +816,47 @@ def _decode_scan(segs, scan_cis, comps, grids, geom, ss, se, ah, al,
         raise ValueError(f"truncated scan: decoded {unit}/{units} units")
 
 
+def probe_dims(data: bytes) -> tuple[int, int]:
+    """Header-only (h, w): walk the marker stream to the first SOF segment
+    — no entropy decode.  Rejects the same unsupported coding processes
+    (arithmetic/lossless SOF markers) as :func:`decode_jpeg`."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload")
+    i = 2
+    n = len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[i + 1]
+        if marker == 0xFF:                       # fill byte
+            i += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:   # standalone
+            i += 2
+            continue
+        length = int.from_bytes(data[i + 2:i + 4], "big")
+        if length < 2 or i + 2 + length > n:
+            raise ValueError("truncated JPEG segment")
+        if marker in (0xC0, 0xC1, 0xC2):         # SOF0/1 (seq) / SOF2
+            payload = data[i + 4:i + 2 + length]
+            if len(payload) < 5:
+                raise ValueError("truncated JPEG SOF")
+            h = int.from_bytes(payload[1:3], "big")
+            w = int.from_bytes(payload[3:5], "big")
+            if h <= 0 or w <= 0:
+                raise ValueError("invalid JPEG dimensions")
+            return h, w
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                      0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG coding process (SOF marker 0x{marker:02X};"
+                " baseline sequential and progressive are implemented)")
+        if marker == 0xDA:                       # SOS without SOF
+            break
+        i += 2 + length
+    raise ValueError("truncated JPEG: missing SOF")
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """JFIF bytes → uint8 (H, W) grayscale or (H, W, 3) BGR.  Baseline
     sequential (SOF0/1, incl. non-interleaved multi-scan) and progressive

@@ -41,6 +41,24 @@ def _chunks(data: bytes):
             return
 
 
+def probe_dims(data: bytes) -> tuple[int, int]:
+    """Header-only (h, w) from IHDR, with the same depth/color/interlace
+    support checks as :func:`decode_png` — no IDAT decompression."""
+    if not data.startswith(_SIG):
+        raise ValueError("not a PNG payload")
+    if len(data) < 29 or data[12:16] != b"IHDR":
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color, _comp, _filt, interlace = \
+        struct.unpack(">IIBBBBB", data[16:29])
+    if depth not in (8, 16):
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    if color not in _COLOR_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color}")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace {interlace}")
+    return height, width
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → uint8 (h, w) or (h, w, c)."""
     if not data.startswith(_SIG):

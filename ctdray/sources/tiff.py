@@ -161,9 +161,10 @@ def _read_tag_values(data: bytes, endian: str, typ: int, count: int,
     return list(struct.unpack(endian + fmt * count, buf))
 
 
-def decode_tiff(data: bytes) -> np.ndarray:
-    """TIFF bytes → uint8 (h, w) grayscale or (h, w, 3) BGR.  Uncompressed
-    8-bit chunky only; raises ValueError otherwise."""
+def _read_header(data: bytes) -> tuple[str, dict[int, list[int]]]:
+    """Parse + validate the first IFD (header-level only, no pixel reads)
+    → (endian, tags).  Shared by :func:`decode_tiff` and
+    :func:`probe_dims` so both enforce identical support checks."""
     if len(data) < 8 or data[:2] not in (b"II", b"MM"):
         raise ValueError("not a TIFF payload")
     endian = "<" if data[:2] == b"II" else ">"
@@ -186,12 +187,9 @@ def decode_tiff(data: bytes) -> np.ndarray:
             continue
         tags[tag] = _read_tag_values(data, endian, typ, count,
                                      data[off + 8:off + 12])
-    try:
-        w, h = tags[_W][0], tags[_H][0]
-        strip_offs = tags[_STRIP_OFF]
-        strip_cnts = tags[_STRIP_CNT]
-    except KeyError as e:
-        raise ValueError(f"TIFF missing required tag {e}") from e
+    if _W not in tags or _H not in tags:
+        raise ValueError("TIFF missing required dimension tags")
+    w, h = tags[_W][0], tags[_H][0]
     comp = tags.get(_COMP, [1])[0]
     spp = tags.get(_SPP, [1])[0]
     bits = tags.get(_BITS, [8])
@@ -207,6 +205,29 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise ValueError(f"unsupported TIFF predictor {predictor}")
     if w <= 0 or h <= 0 or w > 1 << 20 or h > 1 << 20:
         raise ValueError("invalid TIFF dimensions")
+    return endian, tags
+
+
+def probe_dims(data: bytes) -> tuple[int, int]:
+    """Header-only (h, w): the full IFD parse + support validation of
+    :func:`decode_tiff` without touching a single pixel strip."""
+    _, tags = _read_header(data)
+    return tags[_H][0], tags[_W][0]
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """TIFF bytes → uint8 (h, w) grayscale or (h, w, 3) BGR.  Uncompressed
+    8-bit chunky only; raises ValueError otherwise."""
+    endian, tags = _read_header(data)
+    w, h = tags[_W][0], tags[_H][0]
+    try:
+        strip_offs = tags[_STRIP_OFF]
+        strip_cnts = tags[_STRIP_CNT]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing required tag {e}") from e
+    comp = tags.get(_COMP, [1])[0]
+    spp = tags.get(_SPP, [1])[0]
+    predictor = tags.get(_PREDICTOR, [1])[0]
     if len(strip_offs) != len(strip_cnts):
         raise ValueError("TIFF strip tables disagree")
     rows_per_strip = tags.get(_ROWS_PER_STRIP, [h])[0]

@@ -2,20 +2,27 @@
 
 The reference does ``imread`` per image in the driver loop
 (utils/io_utils.py:42, inference.py:30); here decode is a stateless
-``map_batches`` task stage.  By default only the page *shape* and a pixel
-checksum cross the stage boundary — decoded pixels are re-materialized inside
-the pixel-consuming stage (mask refine) when enabled, so multi-MB images
-never sit in the object store between stages (SURVEY.md §7 hard point 4).
+``map_batches`` task stage.  By default (``keep_pixels=False``) only the
+page *shape* crosses the stage boundary, and it comes from a HEADER-ONLY
+probe (stages.multimodal.probe_image_dims) — no pixel decompression — so
+the one full decode a page needs happens exactly once, inside whichever
+downstream stage consumes pixels (the prod backend's ``infer``, mask
+refine, …), never twice.  With ``keep_pixels=True`` the stage decodes
+fully and ships pixels + a strided checksum.
 
 Undecodable refs become ``decode_ok=false`` rows (poison-pill contract,
-SURVEY.md §4) — the stage never raises.
+SURVEY.md §4) — the stage never raises.  A payload whose header probes
+clean but whose pixel stream is corrupt is decode_ok=true here and
+degrades in the pixel-consuming stage (stages.detect wraps every
+``decode_page`` in the same ValueError contract).
 """
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
 
-from ..sources.media import decode_page
+from ..sources.media import decode_page, fetch_media
+from .multimodal import decode_image, probe_image_dims
 
 
 class DecodeStage:
@@ -34,15 +41,26 @@ class DecodeStage:
         pixels: list[bytes | None] = []
         for i, ref in enumerate(refs):
             try:
-                img = decode_page(ref)
-            except (ValueError, KeyError):
+                if self.keep_pixels:
+                    img = decode_page(ref)
+                    heights[i], widths[i] = img.shape[:2]
+                    # Cheap decode-proof: sum of a strided pixel sample.
+                    checksums[i] = int(img[::37, ::41].sum())
+                    pixels.append(bytes(img.tobytes()))
+                else:
+                    payload = fetch_media(ref)
+                    try:
+                        heights[i], widths[i] = probe_image_dims(payload)
+                    except NotImplementedError:
+                        # no header probe for this format — full decode
+                        # (routes through cv2 when available)
+                        heights[i], widths[i] = \
+                            decode_image(payload).shape[:2]
+                    pixels.append(None)
+                ok[i] = True
+            except (ValueError, KeyError, NotImplementedError):
                 pixels.append(None)
                 continue
-            heights[i], widths[i] = img.shape[:2]
-            ok[i] = True
-            # Cheap decode-proof: sum of a strided pixel sample.
-            checksums[i] = int(img[::37, ::41].sum())
-            pixels.append(bytes(img.tobytes()) if self.keep_pixels else None)
         out = batch.append_column("im_h", pa.array(heights, pa.int32()))
         out = out.append_column("im_w", pa.array(widths, pa.int32()))
         out = out.append_column("decode_ok", pa.array(ok))

@@ -110,6 +110,48 @@ def decode_image(payload: bytes) -> np.ndarray:
             "prod images route through this hook unchanged")
 
 
+def probe_image_dims(payload: bytes) -> tuple[int, int]:
+    """Header-only (h, w) probe — same magic dispatch and poison-pill
+    contract as :func:`decode_image`, but no pixel decode: each codec
+    parses only its header (PNM tokens, PNG IHDR, BMP info header, TIFF
+    IFD, GIF screen descriptor, JPEG SOF scan) and applies the same
+    header-level support checks, so an unsupported variant poison-pills at
+    probe time exactly as it would at decode time.  Deep body corruption
+    (valid header, bad pixel stream) is by design NOT detected here — the
+    pixel-consuming stage downstream degrades on it instead.  Unknown
+    formats raise NotImplementedError so callers can fall back to the full
+    :func:`decode_image` (which may route through cv2 when available)."""
+    if payload[:2] in (b"P5", b"P6"):
+        from ..sources.media import _pnm_header
+
+        def _pnm_dims(data):
+            w, h, _pos = _pnm_header(data)
+            return h, w
+        return _decode_checked(_pnm_dims, payload, "PNM")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..sources.png import probe_dims
+
+        return _decode_checked(probe_dims, payload, "PNG")
+    if payload[:2] == b"BM":
+        from ..sources.bmp import probe_dims
+
+        return _decode_checked(probe_dims, payload, "BMP")
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from ..sources.tiff import probe_dims
+
+        return _decode_checked(probe_dims, payload, "TIFF")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from ..sources.gif import probe_dims
+
+        return _decode_checked(probe_dims, payload, "GIF")
+    if payload[:2] == b"\xff\xd8":
+        from ..sources.jpeg import probe_dims
+
+        return _decode_checked(probe_dims, payload, "JPEG")
+    raise NotImplementedError(
+        "image format has no header probe; fall back to decode_image")
+
+
 def thumbnails_task(batch: pa.Table, size: int = 64) -> pa.Table:
     """Decode + aspect-ignoring resize to size×size — the canonical
     image-feature stage shape (decode inside the task, compact output)."""

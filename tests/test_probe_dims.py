@@ -1,0 +1,99 @@
+"""Header-only shape probe (stages.multimodal.probe_image_dims): probed
+dims must equal full-decode dims across the whole codec matrix, unsupported
+variants must poison-pill at probe time, and DecodeStage(keep_pixels=False)
+must produce the same rows as before via the probe path."""
+import struct
+
+import numpy as np
+import pytest
+
+from ctdray.sources.bmp import encode_bmp
+from ctdray.sources.gif import encode_gif
+from ctdray.sources.jpeg import encode_baseline_jpeg, encode_progressive_jpeg
+from ctdray.sources.media import encode_pgm, encode_ppm
+from ctdray.sources.png import encode_png
+from ctdray.sources.tiff import encode_tiff
+from ctdray.stages.multimodal import decode_image, probe_image_dims
+
+
+def _payload_matrix():
+    rng = np.random.default_rng(31)
+    gray = rng.integers(0, 256, size=(24, 17), dtype=np.uint8)
+    color = rng.integers(0, 256, size=(11, 19, 3), dtype=np.uint8)
+    yield "pgm", encode_pgm(gray)
+    yield "ppm", encode_ppm(color)
+    yield "png-gray", encode_png(gray)
+    yield "png-rgb", encode_png(color)
+    yield "jpeg-gray", encode_baseline_jpeg(gray)
+    yield "jpeg-color", encode_baseline_jpeg(color)
+    yield "jpeg-progressive", encode_progressive_jpeg(gray)
+    yield "bmp-gray", encode_bmp(gray)
+    yield "bmp-color", encode_bmp(color)
+    yield "tiff-gray", encode_tiff(gray)
+    yield "tiff-color", encode_tiff(color)
+    yield "gif", encode_gif(gray)
+    # 16-bit PNG via the test builder from test_png16
+    from tests.test_png16 import _png16
+    arr16 = rng.integers(0, 1 << 16, size=(9, 13), dtype=np.uint16)
+    yield "png16", _png16(arr16, (0, 2, 4))
+    yield "png16-adam7", _png16(arr16, (1,), interlace=1)
+
+
+def test_probe_matches_full_decode_dims():
+    for name, payload in _payload_matrix():
+        probed = probe_image_dims(payload)
+        full = decode_image(payload).shape[:2]
+        assert probed == full, (name, probed, full)
+
+
+def test_probe_rejects_unsupported_variants():
+    rng = np.random.default_rng(32)
+    gray = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    # PNG depth 4
+    png = bytearray(encode_png(gray))
+    png[8 + 8 + 8] = 4                       # IHDR depth byte
+    with pytest.raises(ValueError):
+        probe_image_dims(bytes(png))
+    # arithmetic-coded JPEG: rewrite SOF0 marker to SOF9
+    jpg = bytearray(encode_baseline_jpeg(gray))
+    i = jpg.find(b"\xFF\xC0")
+    assert i > 0
+    jpg[i + 1] = 0xC9
+    with pytest.raises(ValueError):
+        probe_image_dims(bytes(jpg))
+    # TIFF with unsupported compression
+    tif = bytearray(encode_tiff(gray))
+    i = tif.find(struct.pack("<HHI", 259, 3, 1))
+    struct.pack_into("<H", tif, i + 8, 7)    # JPEG-in-TIFF
+    with pytest.raises(ValueError):
+        probe_image_dims(bytes(tif))
+    # unknown magic → NotImplementedError (decode_image fallback signal)
+    with pytest.raises(NotImplementedError):
+        probe_image_dims(b"RIFF....WEBPVP8 ")
+    # truncated headers → ValueError, never IndexError
+    for _name, payload in _payload_matrix():
+        for cut in (3, 9, 14):
+            try:
+                probe_image_dims(payload[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+
+
+def test_decode_stage_probe_path_matches_full_decode():
+    import pyarrow as pa
+
+    from ctdray.sources.media import decode_page
+    from ctdray.stages.decode import DecodeStage
+
+    refs = ["page://doc-0001/p0", "jpg://doc-0002/p1", "pjpg://doc-0003/p0",
+            "bmp://doc-0004/p2", "tif://doc-0005/p0", "gif://doc-0006/p1"]
+    batch = pa.table({
+        "doc_id": pa.array([r.split("//")[1].split("/")[0] for r in refs]),
+        "media_offset": pa.array(range(len(refs)), pa.int32()),
+        "media_ref": pa.array(refs),
+    })
+    rows = DecodeStage(keep_pixels=False)(batch).to_pylist()
+    for row in rows:
+        assert row["decode_ok"] is True
+        img = decode_page(row["media_ref"])
+        assert (row["im_h"], row["im_w"]) == img.shape[:2], row["media_ref"]
