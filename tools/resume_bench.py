@@ -46,6 +46,66 @@ def worker(sf_dir: str, out_dir: str, num_cpus: int) -> None:
     ray.shutdown()
 
 
+def ratio(sf_dir: str, out_dir: str, num_cpus: int) -> None:
+    """Checkpointed-vs-direct fixed-cost record (VERDICT r4 task 1): run
+    the direct headline and the 16-chunk checkpointed headline in ONE warm
+    Ray session, best-of-3 each, and report checkpointed/direct.  The
+    checkpointed runner overlaps chunk pipelines (concurrency=6 default),
+    so the per-chunk planning/executor ramp amortizes instead of
+    serializing."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    from ctdray.config import PipelineConfig
+    from ctdray.pipelines.extract import build_flat_spans
+    from ctdray.pipelines.interleave import _interleave_batch
+    from ctdray.sources.tables import read_parquet_clean
+    from ctdray.state.manifest import run_checkpointed_interleaved
+
+    def direct_run() -> float:
+        t0 = time.time()
+        cfg = PipelineConfig()
+        flat = read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"])
+        docs = flat.map_batches(_interleave_batch, batch_format="pyarrow")
+        ds = build_flat_spans(docs, cfg, "surrogate")
+        shutil.rmtree(os.path.join(out_dir, "direct"), ignore_errors=True)
+        ds.write_parquet(os.path.join(out_dir, "direct"))
+        return time.time() - t0
+
+    def ckpt_run(i: int) -> tuple[float, dict]:
+        dest = os.path.join(out_dir, f"ckpt-{i}")
+        shutil.rmtree(dest, ignore_errors=True)
+        t0 = time.time()
+        s = run_checkpointed_interleaved(sf_dir, dest,
+                                         num_chunks=NUM_CHUNKS)
+        return time.time() - t0, s
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    direct_run()                              # warm session once
+    directs = [round(direct_run(), 2) for _ in range(3)]
+    ckpts, pages = [], None
+    for i in range(3):
+        w, s = ckpt_run(i)
+        ckpts.append(round(w, 2))
+        pages = s["n_pages"]
+    ray.shutdown()
+    best_d, best_c = min(directs), min(ckpts)
+    print(json.dumps({
+        "metric": "checkpointed headline overhead vs direct (warm session)",
+        "sf": sf_dir, "num_chunks": NUM_CHUNKS, "num_cpus": num_cpus,
+        "direct_s": directs, "checkpointed_s": ckpts,
+        "best_direct_s": best_d, "best_checkpointed_s": best_c,
+        "ratio": round(best_c / best_d, 3), "n_pages": pages,
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get(
@@ -55,10 +115,16 @@ def main() -> None:
         os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--kill-after-chunks", type=int, default=4)
+    ap.add_argument("--ratio", action="store_true",
+                    help="measure checkpointed-vs-direct overhead in one "
+                         "warm session (no kill) and print the ratio")
     args = ap.parse_args()
 
     if args.worker:
         worker(args.sf_dir, args.out, args.num_cpus)
+        return
+    if args.ratio:
+        ratio(args.sf_dir, args.out, args.num_cpus)
         return
 
     out_dir = args.out
