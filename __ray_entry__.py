@@ -1005,6 +1005,36 @@ def _media_thumbnails(sf_dir: str):
                                   "decode_ok"])
 
 
+def _media_probe_dims(sf_dir: str):
+    """Header-only shape probe over every page (r4 verdict task 2 smoke):
+    DecodeStage(keep_pixels=False) routes through probe_image_dims — no
+    pixel decompression — and each probed (im_h, im_w) is re-checked
+    in-stage against the FULL decode so any probe/decode divergence
+    surfaces as dims_match=false rows, not just in unit tests."""
+    from ctdray.sources.media import decode_page
+    from ctdray.stages.decode import DecodeStage
+    from ctdray.stages.explode import explode_media_spans
+
+    def check(batch: pa.Table) -> pa.Table:
+        match = []
+        for row in batch.select(["media_ref", "im_h", "im_w",
+                                 "decode_ok"]).to_pylist():
+            if not row["decode_ok"]:
+                match.append(False)
+                continue
+            shape = decode_page(row["media_ref"]).shape[:2]
+            match.append(shape == (row["im_h"], row["im_w"]))
+        return batch.append_column("dims_match", pa.array(match, pa.bool_()))
+
+    pages = read_interleaved_docs(sf_dir).map_batches(
+        explode_media_spans, batch_format="pyarrow")
+    probed = pages.map_batches(DecodeStage(keep_pixels=False),
+                               batch_format="pyarrow", batch_size=64)
+    return (probed.map_batches(check, batch_format="pyarrow")
+                  .select_columns(["media_ref", "im_h", "im_w",
+                                   "decode_ok", "dims_match"]))
+
+
 def _media_refs(sf_dir: str, scheme: str):
     """One synthetic clip per document (vid://…, aud://…) — the multimodal
     stages' input shape."""
@@ -1055,6 +1085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_refined_masks": _refined_masks_summary,
         "extract_refine_resume": _refine_resume_summary,
         "media_thumbnails": _media_thumbnails,
+        "media_probe_dims": _media_probe_dims,
         "media_frame_samples": _media_frame_samples,
         "media_audio_features": _media_audio_features,
         "detection_quality": lambda sf: __import__("ctdray.eval", fromlist=["detection_quality"])
