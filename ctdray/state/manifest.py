@@ -45,12 +45,15 @@ def run_checkpointed(input_dir: str, output_dir: str,
                      cfg: Optional[PipelineConfig] = None,
                      backend: str = "surrogate",
                      chunk_size: int = 4,
-                     max_chunks: Optional[int] = None) -> dict:
+                     max_chunks: Optional[int] = None,
+                     concurrency: int = 6) -> dict:
     """Run the extraction pipeline over ``input_dir`` chunk-by-chunk with
     resume.  Returns a summary dict (chunks done/skipped, span counts).
 
     ``max_chunks`` limits how many *pending* chunks run this submit (used by
-    the kill/resume test and by budgeted incremental runs).
+    the kill/resume test and by budgeted incremental runs).  Pending chunks
+    run ``concurrency`` at a time (see run_checkpointed_interleaved — same
+    scheme, same unchanged crash semantics).
     """
     import pyarrow.parquet as pq
 
@@ -68,8 +71,8 @@ def run_checkpointed(input_dir: str, output_dir: str,
         "kind": "fragments", "chunk_size": chunk_size,
         "files": [os.path.basename(f) for f in files]})
 
-    done = skipped = 0
-    total_docs = total_spans = total_detected = 0
+    skipped = 0
+    pending: list[tuple[int, list[str], str]] = []
     for ci, chunk in enumerate(_chunks(files, chunk_size)):
         lineage = _lineage_hash(chunk, cfg, backend)
         man_path = os.path.join(manifest_dir, f"chunk-{ci:05d}.json")
@@ -79,8 +82,12 @@ def run_checkpointed(input_dir: str, output_dir: str,
             if rec.get("lineage") == lineage:
                 skipped += 1
                 continue   # finished by a previous submit — idempotent skip
-        if max_chunks is not None and done >= max_chunks:
-            continue
+        pending.append((ci, chunk, lineage))
+    if max_chunks is not None:
+        pending = pending[:max_chunks]
+
+    def _run_chunk(args: tuple[int, list[str], str]) -> dict:
+        ci, chunk, lineage = args
         t0 = time.time()
         ds = extraction_pipeline(chunk, cfg, backend)
         out_chunk = _publish_chunk(data_dir, ci, ds)
@@ -124,13 +131,24 @@ def run_checkpointed(input_dir: str, output_dir: str,
             "pages_per_sec": round(n_pages / max(1e-9, time.time() - t0), 2),
         }
         _write_manifest_record(manifest_dir, ci, rec)
-        done += 1
-        total_docs += n_docs
-        total_spans += n_spans
-        total_detected += n_detected
-    return {"chunks_done": done, "chunks_skipped": skipped,
-            "n_docs": total_docs, "n_spans": total_spans,
-            "n_detected_spans": total_detected}
+        return rec
+
+    recs: list[dict] = []
+    if pending:
+        _warm_lazy_io_imports()
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = max(1, min(concurrency, len(pending)))
+        if workers == 1:
+            recs = [_run_chunk(a) for a in pending]
+        else:
+            recs = [_run_chunk(pending[0])]     # warm lazy code paths alone
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                recs += list(ex.map(_run_chunk, pending[1:]))
+    return {"chunks_done": len(recs), "chunks_skipped": skipped,
+            "n_docs": sum(r["n_docs"] for r in recs),
+            "n_spans": sum(r["n_spans"] for r in recs),
+            "n_detected_spans": sum(r["n_detected_spans"] for r in recs)}
 
 
 def _check_plan(manifest_dir: str, plan: dict) -> None:
