@@ -182,13 +182,45 @@ def rolling_fingerprint_batch(batch: pa.Table) -> pa.Table:
                      "n_windows": pa.array(n_windows, pa.int64())})
 
 
+def langid_codes(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized language ID over a text column — row-for-row identical
+    to :func:`langid_one` (pinned by pytest) but built from Arrow/RE2
+    kernels and one segmented numpy sum, no Python loop:
+
+      ja      count_substring_regex over the kana/ideograph ranges,
+              compared against utf8_length (the >10%-of-chars vote)
+      eng     split on single spaces (empties preserved, matching
+              ``str.split(' ')``), stopword membership via ``is_in``,
+              per-doc sums via np.add.at on list_parent_indices
+      unknown otherwise
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+    cjk = pc.count_substring_regex(
+        texts, pattern=("[\\x{%04X}-\\x{%04X}\\x{%04X}-\\x{%04X}]"
+                        % (_CJK_LO, _CJK_HI, _HAN_LO, _HAN_HI))
+    ).to_numpy(zero_copy_only=False)
+    toks = pc.split_pattern(texts, " ")
+    n_toks = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    stops = np.zeros(len(texts), dtype=np.int64)
+    np.add.at(stops, parents, is_stop)
+    ja = cjk * 10 > n_chars
+    eng = stops * 5 >= n_toks
+    out = np.where(ja, "ja", np.where(eng, "eng", "unknown"))
+    return pa.array(out.tolist(), pa.string())
+
+
 def langid_batch(batch: pa.Table) -> pa.Table:
     """Language-ID per doc: charset + stopword-ratio heuristic (see
     langid_one) — the fasttext-stage stand-in with identical plumbing."""
     return pa.table({
         "doc_id": batch.column("doc_id"),
-        "lang_pred": pa.array([langid_one(t) for t in batch.column("text").to_pylist()],
-                              pa.string()),
+        "lang_pred": langid_codes(batch.column("text")),
     })
 
 

@@ -569,3 +569,23 @@ def test_minhash_batched_signatures_bit_identical():
         batched = MinHasher(num_perm, k).signatures(texts)
         assert scalar.dtype == batched.dtype
         np.testing.assert_array_equal(scalar, batched)
+
+
+def test_langid_codes_matches_scalar():
+    """Vectorized langid_codes must equal langid_one row-for-row,
+    including the ja charset branch, empty strings and edge ratios."""
+    import pyarrow as pa
+    from ctdray.functions.text import langid_codes, langid_one
+    texts = [
+        "", "the", "zzz", "the a of and is to in",
+        "the quick brown fox jumps over the lazy dog",
+        "completely novel tokens without any stop words here",
+        "こんにちは世界",       # kana+han
+        "mostly ascii with one 漢 char",
+        "a b c d e f g h i j",                              # 1/10 stopword
+        "the the the xxxx",                                  # 3/4 stopwords
+        "   ", "the  a",                                     # empty tokens
+    ]
+    got = langid_codes(pa.array(texts, pa.string())).to_pylist()
+    want = [langid_one(t) for t in texts]
+    assert got == want
