@@ -731,11 +731,48 @@ def simhash60(text: str) -> int:
     return int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
 
 
+def simhash60_batch(texts: list[str]) -> np.ndarray:
+    """(n_docs,) uint64 — the whole batch in one pass, value-identical to
+    ``[simhash60(t) for t in texts]`` (pinned by pytest).  All docs' token
+    hashes concatenate into one buffer (shared md5 cache), the per-bit
+    ±1 sums come from ONE segmented ``np.add.reduceat`` over the unpacked
+    bit matrix (count-of-ones c → 2c − n_tokens), chunked so the
+    (tokens × 60) temp stays cache-resident."""
+    n_docs = len(texts)
+    if n_docs == 0:
+        return np.empty(0, dtype=np.uint64)
+    toks_list = [t.split(" ") for t in texts]
+    lens = np.fromiter((len(t) for t in toks_list), np.int64, n_docs)
+    h = np.fromiter(
+        (_SIMHASH_TOKEN_CACHE.get(t) or _token_hash60(t)
+         for t in itertools.chain.from_iterable(toks_list)),
+        dtype=np.uint64, count=int(lens.sum()))
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+    acc = np.empty((n_docs, SIMHASH_BITS), dtype=np.int64)
+    d0 = 0
+    while d0 < n_docs:
+        d1 = d0 + 1
+        while d1 < n_docs and \
+                (starts[d1] if d1 < n_docs else len(h)) - starts[d0] <= 4096:
+            d1 += 1
+        end = starts[d1] if d1 < n_docs else len(h)
+        seg = h[starts[d0]:end]
+        bits = ((seg[:, None] >> shifts[None, :]) & np.uint64(1)) \
+            .astype(np.int32)
+        acc[d0:d1] = np.add.reduceat(bits, starts[d0:d1] - starts[d0],
+                                     axis=0)
+        d0 = d1
+    signed = 2 * acc - lens[:, None]
+    return ((signed > 0).astype(np.uint64) << shifts[None, :]) \
+        .sum(axis=1, dtype=np.uint64)
+
+
 def simhash_dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Exact-signature SimHash dedup (hamming-0 grouping); see
     :func:`simhash_near_dedup` for the banded hamming-k variant."""
     def add_sig(batch: pa.Table) -> pa.Table:
-        sigs = [simhash60(t) for t in batch.column("text").to_pylist()]
+        sigs = simhash60_batch(batch.column("text").to_pylist())
         return batch.append_column("simhash", pa.array(sigs, pa.uint64()))
 
     keyed = ds.map_batches(add_sig, batch_format="pyarrow")
@@ -772,8 +809,7 @@ def simhash_near_dedup(ds: ray.data.Dataset, hamming_k: int = 3,
         texts = batch.column("text").to_pylist()
         ids = batch.column("doc_id")
         n = len(texts)
-        sigs = np.fromiter((simhash60(t) for t in texts), dtype=np.uint64,
-                           count=n)
+        sigs = simhash60_batch(texts)
         bands_col, bits_col = [], []
         for bi in range(n_bands):
             mask = np.uint64((1 << widths[bi]) - 1)

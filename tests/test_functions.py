@@ -589,3 +589,16 @@ def test_langid_codes_matches_scalar():
     got = langid_codes(pa.array(texts, pa.string())).to_pylist()
     want = [langid_one(t) for t in texts]
     assert got == want
+
+
+def test_simhash_batched_matches_scalar():
+    import numpy as np
+    from ctdray.functions.dedup import simhash60, simhash60_batch
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(200)]
+    texts = ["", "one", "the a of", "rep " * 300]
+    texts += [" ".join(rng.choice(words, int(n)))
+              for n in rng.integers(1, 90, 150)]
+    want = np.array([simhash60(t) for t in texts], dtype=np.uint64)
+    got = simhash60_batch(texts)
+    np.testing.assert_array_equal(want, got)
