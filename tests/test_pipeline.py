@@ -294,3 +294,27 @@ def test_checkpointed_split_layout_resumable(ray_session, tmp_path):
         .reset_index(drop=True)
     assert len(got) == len(exp) > 0
     assert got.equals(exp)
+
+
+def test_checkpoint_interleaved_concurrent_chunks(ray_session, tmp_path):
+    """The thread-pooled chunk execution path (round-5 runner): 8 chunks
+    through 6 concurrent workers publish exactly the direct pipeline's
+    rows, with a complete manifest."""
+    from ctdray.pipelines.extract import interleaved_extraction
+    from ctdray.state.manifest import (read_manifest, read_result,
+                                       run_checkpointed_interleaved)
+
+    sf_dir = "/root/testdata/sf0.001"
+    out_dir = str(tmp_path / "ckpt_conc")
+    s = run_checkpointed_interleaved(sf_dir, out_dir, num_chunks=8,
+                                     concurrency=6)
+    assert s["chunks_done"] == 8 and s["chunks_skipped"] == 0
+    assert len(read_manifest(out_dir)) == 8
+
+    KEY = ["doc_id", "seq", "kind", "text", "media_ref", "offset", "order"]
+    got = read_result(out_dir).to_pandas()[KEY].sort_values(KEY) \
+        .reset_index(drop=True)
+    exp = interleaved_extraction(sf_dir).to_pandas()[KEY].sort_values(KEY) \
+        .reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    assert got.equals(exp)
