@@ -114,3 +114,28 @@ def test_decode_stage_rows_degrade_not_crash():
     assert by_ref["page://doc-0001/p0"]["decode_ok"] is True
     assert by_ref["bogus://nope"]["decode_ok"] is False
     assert by_ref["webp://unknown-codec"]["decode_ok"] is False
+
+
+@pytest.mark.parametrize("kind", ["pgm", "png", "bmp", "gif", "jpg", "pjpg"])
+def test_probe_truncations_and_bitflips_raise_valueerror(kind):
+    """probe_image_dims shares decode_image's poison-pill contract: any
+    truncated or bit-flipped payload yields ValueError (or
+    NotImplementedError when the mutation destroys the magic), never a
+    crash — and when a corrupted payload still probes, the dims must be
+    sane non-negatives."""
+    from ctdray.stages.multimodal import probe_image_dims
+
+    data = _payloads()[kind]
+    rng = np.random.default_rng(11)
+    muts = [data[:k] for k in (0, 1, 3, 7, 11, 16, 25, len(data) // 2)]
+    for _ in range(40):
+        b = bytearray(data)
+        for _ in range(int(rng.integers(1, 4))):
+            b[int(rng.integers(0, min(len(b), 64)))] = int(rng.integers(256))
+        muts.append(bytes(b))
+    for payload in muts:
+        try:
+            h, w = probe_image_dims(payload)
+        except (ValueError, NotImplementedError):
+            continue
+        assert h > 0 and w > 0
