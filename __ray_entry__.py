@@ -10146,8 +10146,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(rev) AS BIGINT) AS total_cp "
             "FROM r JOIN part ON l_partkey = p_partkey) "
             "SELECT promo_cp, total_cp, "
-            "CAST(promo_cp * 1000000 // total_cp AS BIGINT) AS promo_ppm "
-            "FROM s"),
+            "CAST(CAST(promo_cp AS HUGEINT) * 1000000 // total_cp "
+            "AS BIGINT) AS promo_ppm FROM s"),
         "user_value_quartiles": (
             "SELECT event_id, user_id, value, "
             "CAST(ntile(4) OVER (PARTITION BY user_id "
