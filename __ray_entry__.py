@@ -5019,12 +5019,18 @@ def oracle_sql() -> dict[str, str]:
             "hubs AS (SELECT v FROM dg ORDER BY deg DESC, v ASC "
             "LIMIT 8), "
             "ha AS (SELECT nb.v AS h, nb.w FROM nb "
-            "JOIN hubs ON hubs.v = nb.v) "
-            "SELECT CAST(x.h AS BIGINT) AS hub_a, "
-            "CAST(y.h AS BIGINT) AS hub_b, "
-            "CAST(count(*) AS BIGINT) AS n_common "
-            "FROM ha x JOIN ha y ON x.w = y.w AND x.h < y.h "
-            "GROUP BY 1, 2 ORDER BY 1, 2"),
+            "JOIN hubs ON hubs.v = nb.v), "
+            "pairs AS (SELECT a.v AS ha_, b.v AS hb_ FROM hubs a "
+            "JOIN hubs b ON a.v < b.v), "
+            "cnt AS (SELECT x.h AS ha_, y.h AS hb_, "
+            "count(*) AS n FROM ha x "
+            "JOIN ha y ON x.w = y.w AND x.h < y.h GROUP BY 1, 2) "
+            "SELECT CAST(p.ha_ AS BIGINT) AS hub_a, "
+            "CAST(p.hb_ AS BIGINT) AS hub_b, "
+            "CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_common "
+            "FROM pairs p LEFT JOIN cnt "
+            "ON cnt.ha_ = p.ha_ AND cnt.hb_ = p.hb_ "
+            "ORDER BY 1, 2"),
         "order_subset_containment": (
             "WITH lp AS (SELECT DISTINCT l_orderkey AS o, "
             "l_partkey AS p FROM lineitem), "
