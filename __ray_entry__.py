@@ -1022,7 +1022,13 @@ def _media_probe_dims(sf_dir: str):
             if not row["decode_ok"]:
                 match.append(False)
                 continue
-            shape = decode_page(row["media_ref"]).shape[:2]
+            try:
+                shape = decode_page(row["media_ref"]).shape[:2]
+            except ValueError:
+                # header probed clean but the body fails full decode —
+                # exactly the divergence class this query surfaces
+                match.append(False)
+                continue
             match.append(shape == (row["im_h"], row["im_w"]))
         return batch.append_column("dims_match", pa.array(match, pa.bool_()))
 

@@ -753,8 +753,7 @@ def simhash60_batch(texts: list[str]) -> np.ndarray:
     d0 = 0
     while d0 < n_docs:
         d1 = d0 + 1
-        while d1 < n_docs and \
-                (starts[d1] if d1 < n_docs else len(h)) - starts[d0] <= 4096:
+        while d1 < n_docs and starts[d1] - starts[d0] <= 4096:
             d1 += 1
         end = starts[d1] if d1 < n_docs else len(h)
         seg = h[starts[d0]:end]

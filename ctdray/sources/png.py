@@ -56,6 +56,8 @@ def probe_dims(data: bytes) -> tuple[int, int]:
         raise ValueError(f"unsupported PNG color type {color}")
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace {interlace}")
+    if width <= 0 or height <= 0 or width > 1 << 20 or height > 1 << 20:
+        raise ValueError("invalid PNG dimensions")
     return height, width
 
 

@@ -177,13 +177,23 @@ def _read_header(data: bytes) -> tuple[str, dict[int, list[int]]]:
     if ifd_off + 2 + n_entries * 12 > len(data):
         raise ValueError("truncated TIFF IFD entries")
     tags: dict[int, list[int]] = {}
+    critical = {_W, _H, _BITS, _COMP, _PHOTO, _STRIP_OFF, _SPP,
+                _ROWS_PER_STRIP, _STRIP_CNT, _PLANAR, _PREDICTOR}
     for i in range(n_entries):
         off = ifd_off + 2 + i * 12
         tag, typ, count = struct.unpack_from(endian + "HHI", data, off)
         # Only the tags needed for pixel decode get typed parsing; anything
         # else (ASCII Software/DateTime, RATIONAL X/YResolution, vendor
         # tags of any type) is skipped so ordinary scanner output decodes.
+        # A DECODE-CRITICAL tag carrying an unparseable type must still
+        # fail loudly — skipping Compression/BitsPerSample would mean
+        # misdecoding the pixel data with defaults, not tolerating
+        # metadata.
         if typ not in (1, 3, 4):
+            if tag in critical:
+                raise ValueError(
+                    f"unsupported TIFF field type {typ} for required "
+                    f"tag {tag}")
             continue
         tags[tag] = _read_tag_values(data, endian, typ, count,
                                      data[off + 8:off + 12])

@@ -8,7 +8,9 @@ probe (stages.multimodal.probe_image_dims) — no pixel decompression — so
 the one full decode a page needs happens exactly once, inside whichever
 downstream stage consumes pixels (the prod backend's ``infer``, mask
 refine, …), never twice.  With ``keep_pixels=True`` the stage decodes
-fully and ships pixels + a strided checksum.
+fully and ships pixels + a strided checksum; in probe mode
+``px_checksum`` is a constant 0 (no pixels were read — the column is
+meaningful ONLY when ``keep_pixels=True``).
 
 Undecodable refs become ``decode_ok=false`` rows (poison-pill contract,
 SURVEY.md §4) — the stage never raises.  A payload whose header probes

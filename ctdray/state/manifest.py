@@ -133,18 +133,7 @@ def run_checkpointed(input_dir: str, output_dir: str,
         _write_manifest_record(manifest_dir, ci, rec)
         return rec
 
-    recs: list[dict] = []
-    if pending:
-        _warm_lazy_io_imports()
-        from concurrent.futures import ThreadPoolExecutor
-
-        workers = max(1, min(concurrency, len(pending)))
-        if workers == 1:
-            recs = [_run_chunk(a) for a in pending]
-        else:
-            recs = [_run_chunk(pending[0])]     # warm lazy code paths alone
-            with ThreadPoolExecutor(max_workers=workers) as ex:
-                recs += list(ex.map(_run_chunk, pending[1:]))
+    recs = _run_chunks_concurrently(pending, _run_chunk, concurrency)
     return {"chunks_done": len(recs), "chunks_skipped": skipped,
             "n_docs": sum(r["n_docs"] for r in recs),
             "n_spans": sum(r["n_spans"] for r in recs),
@@ -187,6 +176,42 @@ def _bucket_hist(per_page_lines: dict, n_pages: int) -> dict:
     if zero > 0:
         hist["0"] = zero
     return dict(sorted(hist.items()))
+
+
+def _run_chunks_concurrently(pending: list, run_chunk, concurrency: int
+                             ) -> list[dict]:
+    """Execute pending chunks, a few at a time, inside one Ray session.
+
+    Each chunk is an independent Dataset execution publishing atomically
+    (temp-dir + rename + manifest record), so crash semantics are
+    unchanged: a kill loses at most the in-flight chunks, which leave
+    only ``_tmp`` dirs and no record.  Overlapping the small pipelines
+    hides the per-chunk fixed cost (read planning + streaming-executor
+    ramp) behind neighbors' useful compute; Ray Data executors share the
+    cluster via backpressure.  The FIRST chunk always runs alone — it
+    warms every lazy import (fsspec, datasink internals; Python's module
+    init is not safe under concurrent first-import) and the per-process
+    detector caches.  ``concurrency <= 1`` reproduces sequential
+    behavior."""
+    if not pending:
+        return []
+    _warm_lazy_io_imports()
+    workers = _effective_workers(len(pending), concurrency)
+    if workers <= 1:
+        return [run_chunk(a) for a in pending]
+    from concurrent.futures import ThreadPoolExecutor
+
+    recs = [run_chunk(pending[0])]
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        recs += list(ex.map(run_chunk, pending[1:]))
+    return recs
+
+
+def _effective_workers(n_pending: int, concurrency: int) -> int:
+    """Pool width actually used for ``n_pending`` chunks (the first runs
+    alone) — also the right divisor for per-chunk read parallelism, so a
+    1-chunk resume keeps full read fan-out instead of 1/concurrency."""
+    return max(1, min(concurrency, n_pending - 1))
 
 
 def _warm_lazy_io_imports() -> None:
@@ -331,13 +356,15 @@ def run_checkpointed_interleaved(sf_dir: str, output_dir: str,
 
     import pyarrow.dataset as pads
 
+    read_div = _effective_workers(len(pending), concurrency)
+
     def _run_chunk(args: tuple[int, int, int, str]) -> dict:
         ci, lo, hi, lineage = args
         t0 = time.time()
         flat = read_parquet_clean(
             path, columns=["doc_id", "text"],
             filter=(pads.field("doc_id") >= lo) & (pads.field("doc_id") < hi),
-            override_num_blocks=max(1, min(cpus * 8 // max(1, concurrency), hi - lo)))
+            override_num_blocks=max(1, min(cpus * 8 // read_div, hi - lo)))
         docs = flat.map_batches(_interleave_batch, batch_format="pyarrow")
         thr = cfg.dense_media_threshold
         dense_ids = [f"doc-{i:08d}" for i in range(lo, hi)
@@ -351,30 +378,8 @@ def run_checkpointed_interleaved(sf_dir: str, output_dir: str,
         _write_manifest_record(manifest_dir, ci, rec)
         return rec
 
-    _warm_lazy_io_imports()
-    # Chunks run CONCURRENTLY (each is its own Dataset execution publishing
-    # atomically, so crash semantics are unchanged: a kill loses at most
-    # the in-flight chunks, which leave only _tmp dirs and no manifest
-    # record).  Overlapping a few small pipelines hides the per-chunk
-    # fixed cost — read planning + streaming-executor ramp — behind the
-    # neighbors' useful compute; Ray Data executors share the cluster via
-    # backpressure.  concurrency=1 reproduces the sequential behavior.
     total = {"n_rows": 0, "n_pages": 0, "n_detected_spans": 0}
-    recs: list[dict] = []
-    if pending:
-        from concurrent.futures import ThreadPoolExecutor
-
-        workers = max(1, min(concurrency, len(pending)))
-        if workers == 1:
-            recs = [_run_chunk(a) for a in pending]
-        else:
-            # first chunk runs alone: warms every lazy import (fsspec,
-            # datasink internals — Python's lazy module init is not safe
-            # under concurrent first-import) and the per-process detector
-            # caches, so the concurrent phase hits only executed code
-            recs = [_run_chunk(pending[0])]
-            with ThreadPoolExecutor(max_workers=workers) as ex:
-                recs += list(ex.map(_run_chunk, pending[1:]))
+    recs = _run_chunks_concurrently(pending, _run_chunk, concurrency)
     for rec in recs:
         for k in total:
             total[k] += rec[k]

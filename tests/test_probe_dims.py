@@ -97,3 +97,45 @@ def test_decode_stage_probe_path_matches_full_decode():
         assert row["decode_ok"] is True
         img = decode_page(row["media_ref"])
         assert (row["im_h"], row["im_w"]) == img.shape[:2], row["media_ref"]
+
+
+def test_probe_rejects_oversized_png_dims():
+    """A PNG IHDR claiming width >= 2^31 must poison-pill at probe time —
+    never flow into DecodeStage's int32 dims (silent wrap / OverflowError)."""
+    import pyarrow as pa
+
+    from ctdray.stages.decode import DecodeStage
+
+    png = bytearray(encode_png(np.zeros((4, 4), np.uint8)))
+    struct.pack_into(">I", png, 16, 0x90000000)     # IHDR width field
+    with pytest.raises(ValueError):
+        probe_image_dims(bytes(png))
+    # and the stage degrades to an error row, not a crash
+    import ctdray.stages.decode as decode_mod
+    ref = "page://doc-0001/p0"
+    orig = decode_mod.fetch_media
+    decode_mod.fetch_media = lambda r: bytes(png) if r == ref else orig(r)
+    try:
+        batch = pa.table({"doc_id": ["a"],
+                          "media_offset": pa.array([0], pa.int32()),
+                          "media_ref": [ref]})
+        row = DecodeStage(keep_pixels=False)(batch).to_pylist()[0]
+        assert row["decode_ok"] is False
+    finally:
+        decode_mod.fetch_media = orig
+
+
+def test_tiff_critical_tag_with_bad_type_raises():
+    """Compression/BitsPerSample carrying an unparseable field type must
+    fail loudly — skipping them would misdecode pixels with defaults."""
+    from ctdray.sources.tiff import decode_tiff, probe_dims
+
+    gray = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    tif = bytearray(encode_tiff(gray))
+    i = tif.find(struct.pack("<HHI", 259, 3, 1))    # Compression tag
+    assert i > 0
+    struct.pack_into("<H", tif, i + 2, 8)           # type → SSHORT
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(tif))
+    with pytest.raises(ValueError):
+        probe_dims(bytes(tif))

@@ -79,7 +79,8 @@ if len(nodes) > 1:
               "cross_node_rows": int((t.map_node != t.reduce_node).sum())}}
 
 print("LEG " + json.dumps({{
-    "n_nodes": len(nodes), "walls_s": walls, "best_s": min(walls[1:]),
+    "n_nodes": len(nodes), "walls_s": walls,
+    "best_s": min(walls[1:] or walls),
     "shuffle_probe": probe}}))
 ray.shutdown()
 """
@@ -109,11 +110,6 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=4)
     args = ap.parse_args()
     c = args.cpus_per_node
-
-    import pyarrow.parquet as pq
-    n_pages = None  # headline pages come from the manifest convention:
-    # count media spans is pipeline-side; report throughput from known 11209
-    # only if sf0.1 default — compute generically instead from doc count.
 
     _sh("ray stop --force")
     time.sleep(2)
