@@ -1,4 +1,4 @@
-"""Pure-python PNG codec (zlib + numpy) — no cv2/PIL needed.
+"""Pure-python PNG codec (zlib + numpy) — no cv2/PIL.
 
 The reference's primary image format is PNG: ``imread`` decodes it via
 ``cv2.imdecode`` and the mask sink writes ``mask-<name>.png``
@@ -6,11 +6,13 @@ The reference's primary image format is PNG: ``imread`` decodes it via
 has ``zlib``, and PNG's layout (IHDR/IDAT chunks, per-scanline filters) is
 fully decodable with numpy:
 
-  decode: 8- and 16-bit greyscale / RGB / RGBA, sequential or Adam7; all
-          five scanline filter types (None/Sub/Up/Average/Paeth).  16-bit
-          samples are stripped to their high byte — the libpng
-          ``png_set_strip_16`` behavior cv2's PNG decoder requests, so
-          parity with ``cv2.imdecode`` holds for 16-bit scanner output.
+  decode: every depth/color class cv2 takes — 8- and 16-bit greyscale /
+          RGB / RGBA, 1/2/4-bit greyscale (expanded to 8-bit by bit
+          replication, libpng ``expand_gray_1_2_4``), and paletted
+          (color type 3) at 1/2/4/8-bit indices (palette → BGR, or (h, w)
+          when the palette is grayscale — the GIF convention); sequential
+          or Adam7; all five scanline filter types.  16-bit samples strip
+          to their high byte (libpng ``strip_16``, which cv2 requests).
   encode: filter 0 scanlines, one zlib IDAT — valid for any PNG reader
 
 Malformed payloads raise ValueError so pipeline decode stages degrade to
@@ -24,7 +26,11 @@ import zlib
 import numpy as np
 
 _SIG = b"\x89PNG\r\n\x1a\n"
-_COLOR_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}   # grey, rgb, grey+a, rgba
+# channels of the stored sample plane; palette (3) stores 1 index/pixel
+_COLOR_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_ALLOWED_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                   4: (8, 16), 6: (8, 16)}
+_GRAY_SCALE = {1: 255, 2: 85, 4: 17}     # bit-replication expand factors
 
 
 def _chunks(data: bytes):
@@ -41,6 +47,16 @@ def _chunks(data: bytes):
             return
 
 
+def _validate_ihdr(depth: int, color: int, interlace: int) -> None:
+    if color not in _COLOR_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color}")
+    if depth not in _ALLOWED_DEPTHS[color]:
+        raise ValueError(
+            f"unsupported PNG bit depth {depth} for color type {color}")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace {interlace}")
+
+
 def probe_dims(data: bytes) -> tuple[int, int]:
     """Header-only (h, w) from IHDR, with the same depth/color/interlace
     support checks as :func:`decode_png` — no IDAT decompression."""
@@ -50,12 +66,7 @@ def probe_dims(data: bytes) -> tuple[int, int]:
         raise ValueError("PNG missing IHDR")
     width, height, depth, color, _comp, _filt, interlace = \
         struct.unpack(">IIBBBBB", data[16:29])
-    if depth not in (8, 16):
-        raise ValueError(f"unsupported PNG bit depth {depth}")
-    if color not in _COLOR_CHANNELS:
-        raise ValueError(f"unsupported PNG color type {color}")
-    if interlace not in (0, 1):
-        raise ValueError(f"unknown PNG interlace {interlace}")
+    _validate_ihdr(depth, color, interlace)
     if width <= 0 or height <= 0 or width > 1 << 20 or height > 1 << 20:
         raise ValueError("invalid PNG dimensions")
     return height, width
@@ -67,36 +78,75 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("not a PNG payload")
     width = height = None
     channels = 0
+    plte = None
     idat = bytearray()
     for ctype, body in _chunks(data):
         if ctype == b"IHDR":
             width, height, depth, color, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", body)
-            if depth not in (8, 16):
-                raise ValueError(f"unsupported PNG bit depth {depth}")
-            if color not in _COLOR_CHANNELS:
-                raise ValueError(f"unsupported PNG color type {color}")
-            if interlace not in (0, 1):
-                raise ValueError(f"unknown PNG interlace {interlace}")
+            _validate_ihdr(depth, color, interlace)
             adam7 = interlace == 1
             channels = _COLOR_CHANNELS[color]
-            bps = depth // 8                  # bytes per sample
+        elif ctype == b"PLTE":
+            if len(body) % 3 or not body:
+                raise ValueError("invalid PNG PLTE chunk")
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.extend(body)
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
+    if width <= 0 or height <= 0 or width > 1 << 20 or height > 1 << 20:
+        raise ValueError("invalid PNG dimensions")
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    # sample plane (h, w, channels) uint8: 16-bit stripped to the MSB,
+    # sub-8-bit unpacked to one RAW sample value per entry
     if adam7:
-        return _decode_adam7(raw, width, height, channels, bps)
-    bpp = channels * bps
-    stride = width * bpp
+        plane = _decode_adam7(raw, width, height, channels, depth)
+    else:
+        plane = _scanlines_to_plane(raw, width, height, channels, depth)
+    if color == 3:
+        if plte is None:
+            raise ValueError("paletted PNG missing PLTE")
+        idx = plane[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        gray = bool((plte[:, 0] == plte[:, 1]).all()
+                    and (plte[:, 1] == plte[:, 2]).all())
+        if gray:
+            return plte[:, 0][idx]
+        return plte[idx][:, :, ::-1]             # RGB → BGR
+    if color == 0 and depth < 8:
+        return plane[:, :, 0] * np.uint8(_GRAY_SCALE[depth])
+    return plane[:, :, 0] if channels == 1 else plane
+
+
+def _scanlines_to_plane(raw: np.ndarray, width: int, height: int,
+                        channels: int, depth: int) -> np.ndarray:
+    """Filtered scanline bytes → (h, w, channels) uint8 sample plane."""
+    bpp = max(1, channels * depth // 8)
+    stride = (width * channels * depth + 7) // 8
     if raw.size != height * (stride + 1):
         raise ValueError("PNG scanline data size mismatch")
-    img = _unfilter(raw.reshape(height, stride + 1), width, height,
-                    bpp).astype(np.uint8).reshape(height, width,
-                                                  channels, bps)
-    img = img[:, :, :, 0]                     # 16-bit: MSB first (strip_16)
-    return img[:, :, 0] if channels == 1 else img
+    rows = _unfilter(raw.reshape(height, stride + 1), bpp) \
+        .astype(np.uint8)
+    if depth >= 8:
+        bps = depth // 8
+        return rows.reshape(height, width, channels, bps)[:, :, :, 0]
+    return _unpack_samples(rows, width * channels, depth) \
+        .reshape(height, width, channels)
+
+
+def _unpack_samples(rows: np.ndarray, n_samples: int,
+                    depth: int) -> np.ndarray:
+    """(h, stride_bytes) uint8 → (h, n_samples) raw sample values for
+    depth 1/2/4 (MSB-first packing, PNG spec §7.2)."""
+    h = rows.shape[0]
+    bits = np.unpackbits(rows, axis=1)
+    if bits.shape[1] < n_samples * depth:
+        raise ValueError("PNG packed scanline short")
+    bits = bits[:, :n_samples * depth].reshape(h, n_samples, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits * weights).sum(axis=2).astype(np.uint8)
 
 
 _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -104,39 +154,36 @@ _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
 
 
 def _decode_adam7(raw: np.ndarray, width: int, height: int,
-                  channels: int, bps: int = 1) -> np.ndarray:
-    """Adam7-interlaced scanline stream → image: each of the 7 passes is a
-    filtered sub-image in its own right (per-pass scanlines and filter
-    bytes), unfiltered independently then scattered onto its grid."""
+                  channels: int, depth: int) -> np.ndarray:
+    """Adam7-interlaced scanline stream → (h, w, channels) sample plane:
+    each of the 7 passes is a filtered sub-image in its own right
+    (per-pass scanlines, strides and filter bytes), converted
+    independently then scattered onto its grid."""
     out = np.zeros((height, width, channels), dtype=np.uint8)
-    bpp = channels * bps
     pos = 0
     for (x0, y0, dx, dy) in _ADAM7:
         pw = (width - x0 + dx - 1) // dx
         ph = (height - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
             continue
-        pstride = pw * bpp
+        pstride = (pw * channels * depth + 7) // 8
         need = ph * (pstride + 1)
         if pos + need > raw.size:
             raise ValueError("PNG interlaced scanline data short")
-        sub = _unfilter(raw[pos:pos + need].reshape(ph, pstride + 1),
-                        pw, ph, bpp)
+        out[y0::dy, x0::dx] = _scanlines_to_plane(
+            raw[pos:pos + need], pw, ph, channels, depth)
         pos += need
-        out[y0::dy, x0::dx] = sub.astype(np.uint8).reshape(
-            ph, pw, channels, bps)[:, :, :, 0]
     if pos != raw.size:
         raise ValueError("PNG scanline data size mismatch")
-    return out[:, :, 0] if channels == 1 else out
+    return out
 
 
-def _unfilter(raw: np.ndarray, width: int, height: int,
-              bpp: int) -> np.ndarray:
+def _unfilter(raw: np.ndarray, bpp: int) -> np.ndarray:
     """(h, stride+1) filtered scanlines → (h, stride) int32 BYTE rows
     (the five PNG filters; shared by the sequential and Adam7 paths).
     ``bpp`` is bytes per pixel — filters operate on bytes regardless of
-    sample depth (PNG spec §6.2), so 16-bit rows just use bpp = 2c."""
-    stride = width * bpp
+    sample depth (PNG spec §6.2): 2c for 16-bit rows, 1 for sub-byte."""
+    height, stride = raw.shape[0], raw.shape[1] - 1
     filters, lines = raw[:, 0], raw[:, 1:].astype(np.int32)
     out = np.zeros((height, stride), dtype=np.int32)
     for y in range(height):
@@ -145,7 +192,7 @@ def _unfilter(raw: np.ndarray, width: int, height: int,
         if f == 0:
             out[y] = cur
         elif f == 1:                 # Sub: left — mod-256 prefix sum per channel
-            out[y] = (np.cumsum(cur.reshape(width, bpp), axis=0,
+            out[y] = (np.cumsum(cur.reshape(-1, bpp), axis=0,
                                 dtype=np.int64) & 0xFF).reshape(stride)
         elif f == 2:                 # Up
             out[y] = (cur + prior) & 0xFF

@@ -114,10 +114,16 @@ def test_png16_via_decode_image_and_low_depths_still_poisoned():
     arr = (np.arange(35, dtype=np.uint16).reshape(5, 7) * 1800)
     np.testing.assert_array_equal(decode_image(_png16(arr)),
                                   (arr >> 8).astype(np.uint8))
-    # 1/2/4-bit depths remain unsupported → ValueError, never a crash
+    # invalid depths still poison-pill (and 1/2/4-bit headers over a
+    # 16-bit body fail the scanline size check), never a crash
     data = bytearray(_png16(arr))
     ihdr_off = len(_SIG) + 8
-    for depth in (1, 2, 4):
+    for depth in (0, 3, 7, 32):
+        bad = bytearray(data)
+        bad[ihdr_off + 8] = depth
+        with pytest.raises(ValueError):
+            decode_png(bytes(bad))
+    for depth in (1, 2, 4):          # valid header, wrong-sized body
         bad = bytearray(data)
         bad[ihdr_off + 8] = depth
         with pytest.raises(ValueError):

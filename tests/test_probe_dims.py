@@ -49,9 +49,9 @@ def test_probe_matches_full_decode_dims():
 def test_probe_rejects_unsupported_variants():
     rng = np.random.default_rng(32)
     gray = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
-    # PNG depth 4
+    # PNG depth 3 (not a legal PNG depth for any color type)
     png = bytearray(encode_png(gray))
-    png[8 + 8 + 8] = 4                       # IHDR depth byte
+    png[8 + 8 + 8] = 3                       # IHDR depth byte
     with pytest.raises(ValueError):
         probe_image_dims(bytes(png))
     # arithmetic-coded JPEG: rewrite SOF0 marker to SOF9
