@@ -1,5 +1,6 @@
 """Pure-numpy BMP (Windows bitmap) codec — uncompressed 8-bit grayscale
-(palette) and 24-bit BGR, the classic BITMAPINFOHEADER layout.
+(palette), 24-bit BGR and BI_RLE8-compressed 8-bit, the classic
+BITMAPINFOHEADER layout.
 
 The reference decodes whatever cv2.imdecode accepts (utils/io_utils.py:42);
 BMP is the remaining common raster format after PGM/PNG/JPEG that needs no
@@ -61,8 +62,10 @@ def probe_dims(data: bytes) -> tuple[int, int]:
      _, _, _clr_used, _) = _INFO_HDR.unpack_from(data, _FILE_HDR.size)
     if hdr_size < _INFO_HDR.size or planes != 1:
         raise ValueError("unsupported BMP header")
-    if compression != 0:
+    if compression not in (0, 1):
         raise ValueError(f"unsupported BMP compression {compression}")
+    if compression == 1 and bpp != 8:
+        raise ValueError("BMP RLE8 requires 8-bit pixels")
     if bpp not in (8, 24, 32):
         raise ValueError(f"unsupported BMP bit depth {bpp}")
     h = abs(h)
@@ -71,10 +74,53 @@ def probe_dims(data: bytes) -> tuple[int, int]:
     return h, w
 
 
+def _decode_rle8(data: bytes, pos: int, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 stream → (h, stride) bottom-up index rows (MSDN semantics:
+    encoded (count, value) runs; escapes 0=end-of-line, 1=end-of-bitmap,
+    2=delta(dx, dy), n>=3=absolute mode with word-aligned literals)."""
+    stride = (w + 3) & ~3
+    out = np.zeros((h, stride), dtype=np.uint8)
+    x = y = 0
+    n = len(data)
+    while True:
+        if pos + 2 > n:
+            raise ValueError("truncated BMP RLE8 stream")
+        cnt, val = data[pos], data[pos + 1]
+        pos += 2
+        if cnt:                                    # encoded run
+            if y >= h or x + cnt > stride:
+                raise ValueError("BMP RLE8 run out of bounds")
+            out[y, x:x + cnt] = val
+            x += cnt
+            continue
+        if val == 0:                               # end of line
+            x, y = 0, y + 1
+            continue
+        if val == 1:                               # end of bitmap
+            return out[::-1]
+        if val == 2:                               # delta jump
+            if pos + 2 > n:
+                raise ValueError("truncated BMP RLE8 delta")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+            if x > stride or y > h:
+                raise ValueError("BMP RLE8 delta out of bounds")
+            continue
+        # absolute mode: val literal bytes, padded to a word boundary
+        end = pos + val
+        if end > n or y >= h or x + val > stride:
+            raise ValueError("BMP RLE8 absolute run out of bounds")
+        out[y, x:x + val] = np.frombuffer(data, np.uint8, count=val,
+                                          offset=pos)
+        x += val
+        pos = end + (val & 1)
+
+
 def decode_bmp(data: bytes) -> np.ndarray:
     """BMP bytes → uint8 (h, w) for 8-bit grayscale-palette images, else
-    (h, w, 3) BGR.  Accepts 8/24/32-bit uncompressed (BI_RGB) payloads,
-    bottom-up or top-down."""
+    (h, w, 3) BGR.  Accepts 8/24/32-bit uncompressed (BI_RGB) payloads and
+    8-bit BI_RLE8, bottom-up or top-down."""
     if data[:2] != b"BM" or len(data) < _FILE_HDR.size + _INFO_HDR.size:
         raise ValueError("not a BMP payload")
     _, _, _, _, data_off = _FILE_HDR.unpack_from(data, 0)
@@ -82,22 +128,29 @@ def decode_bmp(data: bytes) -> np.ndarray:
      _, _, clr_used, _) = _INFO_HDR.unpack_from(data, _FILE_HDR.size)
     if hdr_size < _INFO_HDR.size or planes != 1:
         raise ValueError("unsupported BMP header")
-    if compression != 0:
+    if compression not in (0, 1):
         raise ValueError(f"unsupported BMP compression {compression}")
+    if compression == 1 and bpp != 8:
+        raise ValueError("BMP RLE8 requires 8-bit pixels")
     if bpp not in (8, 24, 32):
         raise ValueError(f"unsupported BMP bit depth {bpp}")
     top_down = h < 0
     h = abs(h)
     if w <= 0 or h == 0 or w > 1 << 20 or h > 1 << 20:
         raise ValueError("invalid BMP dimensions")
-    stride = (w * bpp // 8 + 3) & ~3
-    need = data_off + stride * h
-    if len(data) < need:
-        raise ValueError("truncated BMP pixel data")
-    raw = np.frombuffer(data, np.uint8, count=stride * h,
-                        offset=data_off).reshape(h, stride)
-    if not top_down:
-        raw = raw[::-1]
+    if compression == 1:
+        if top_down:                  # spec: RLE bitmaps cannot be top-down
+            raise ValueError("top-down BMP cannot be RLE-compressed")
+        raw = _decode_rle8(data, data_off, w, h)
+    else:
+        stride = (w * bpp // 8 + 3) & ~3
+        need = data_off + stride * h
+        if len(data) < need:
+            raise ValueError("truncated BMP pixel data")
+        raw = np.frombuffer(data, np.uint8, count=stride * h,
+                            offset=data_off).reshape(h, stride)
+        if not top_down:
+            raw = raw[::-1]
     if bpp == 8:
         idx = raw[:, :w]
         # palette: 4 bytes/entry BGRX after the headers
