@@ -38,7 +38,12 @@ def decode_pgm(data: bytes) -> np.ndarray:
         return decode_ppm(data)
     if not data.startswith(b"P5"):
         raise ValueError("not a binary PGM (P5) payload")
-    w, h, pos = _pnm_header(data)
+    w, h, maxval, pos = _pnm_header_ex(data)
+    if maxval > 255:                   # two-byte samples → high byte
+        pixels = np.frombuffer(data, dtype=">u2", count=h * w, offset=pos)
+        if pixels.size != h * w:
+            raise ValueError("truncated PGM pixel data")
+        return (pixels >> 8).astype(np.uint8).reshape(h, w)
     pixels = np.frombuffer(data, dtype=np.uint8, count=h * w, offset=pos)
     if pixels.size != h * w:
         raise ValueError("truncated PGM pixel data")
@@ -59,7 +64,12 @@ def decode_ppm(data: bytes) -> np.ndarray:
     every other decoder here follows)."""
     if not data.startswith(b"P6"):
         raise ValueError("not a binary PPM (P6) payload")
-    w, h, pos = _pnm_header(data)
+    w, h, maxval, pos = _pnm_header_ex(data)
+    if maxval > 255:                   # two-byte samples → high byte
+        px = np.frombuffer(data, dtype=">u2", count=h * w * 3, offset=pos)
+        if px.size != h * w * 3:
+            raise ValueError("truncated PPM pixel data")
+        return (px >> 8).astype(np.uint8).reshape(h, w, 3)[:, :, ::-1].copy()
     pixels = np.frombuffer(data, dtype=np.uint8, count=h * w * 3, offset=pos)
     if pixels.size != h * w * 3:
         raise ValueError("truncated PPM pixel data")
@@ -68,7 +78,8 @@ def decode_ppm(data: bytes) -> np.ndarray:
 
 def _pnm_header(data: bytes) -> tuple[int, int, int]:
     """Shared P5/P6 header parse → (w, h, pixel offset); comments allowed;
-    maxval must be 255.  Raises ValueError on malformed headers."""
+    maxval must be 255 (the 1-byte corpus format).  Raises ValueError on
+    malformed headers.  16-bit files go through :func:`_pnm_header_ex`."""
     tokens: list[bytes] = []
     pos = 2
     while len(tokens) < 3:
@@ -91,6 +102,35 @@ def _pnm_header(data: bytes) -> tuple[int, int, int]:
     if w <= 0 or h <= 0 or w > 1 << 20 or h > 1 << 20:
         raise ValueError("invalid PNM dimensions")
     return w, h, pos
+
+
+def _pnm_header_ex(data: bytes) -> tuple[int, int, int, int]:
+    """P5/P6 header parse accepting any legal maxval → (w, h, maxval,
+    pixel offset).  maxval > 255 means two-byte big-endian samples
+    (Netpbm "plain raster" rule); decoders strip those to the high byte,
+    matching cv2's 16U → 8U read (convertTo 1/256)."""
+    tokens: list[bytes] = []
+    pos = 2
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if pos < len(data) and data[pos:pos + 1] == b"#":
+            while pos < len(data) and data[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PNM header")
+        tokens.append(data[start:pos])
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if not 0 < maxval < 65536:
+        raise ValueError(f"unsupported PNM maxval {maxval}")
+    if w <= 0 or h <= 0 or w > 1 << 20 or h > 1 << 20:
+        raise ValueError("invalid PNM dimensions")
+    return w, h, maxval, pos
 
 
 def decode_page(media_ref: str) -> np.ndarray:

@@ -122,10 +122,10 @@ def probe_image_dims(payload: bytes) -> tuple[int, int]:
     formats raise NotImplementedError so callers can fall back to the full
     :func:`decode_image` (which may route through cv2 when available)."""
     if payload[:2] in (b"P5", b"P6"):
-        from ..sources.media import _pnm_header
+        from ..sources.media import _pnm_header_ex
 
         def _pnm_dims(data):
-            w, h, _pos = _pnm_header(data)
+            w, h, _maxval, _pos = _pnm_header_ex(data)
             return h, w
         return _decode_checked(_pnm_dims, payload, "PNM")
     if payload[:8] == b"\x89PNG\r\n\x1a\n":

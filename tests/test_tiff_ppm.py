@@ -274,3 +274,27 @@ def test_tiff_metadata_tags_are_skipped():
     for img in (gray, color):
         out = decode_tiff(_with_metadata_tags(encode_tiff(img)))
         np.testing.assert_array_equal(out, img)
+
+
+def test_pnm_16bit_strips_to_high_byte():
+    """maxval > 255 PNM files carry two-byte big-endian samples; decode
+    strips to the high byte (cv2's 16U → 8U read)."""
+    rng = np.random.default_rng(61)
+    g16 = rng.integers(0, 1 << 16, size=(9, 7), dtype=np.uint16)
+    pgm = f"P5\n7 9\n65535\n".encode() + g16.astype(">u2").tobytes()
+    np.testing.assert_array_equal(decode_image(pgm),
+                                  (g16 >> 8).astype(np.uint8))
+    from ctdray.stages.multimodal import probe_image_dims
+    assert probe_image_dims(pgm) == (9, 7)
+    c16 = rng.integers(0, 1 << 16, size=(5, 6, 3), dtype=np.uint16)
+    ppm = f"P6\n6 5\n65535\n".encode() + c16.astype(">u2").tobytes()
+    out = decode_image(ppm)
+    np.testing.assert_array_equal(out,
+                                  (c16 >> 8).astype(np.uint8)[:, :, ::-1])
+    # maxval 0 / >65535 still poison-pill; truncation still raises
+    with pytest.raises(ValueError):
+        decode_image(b"P5\n4 4\n0\n" + bytes(16))
+    with pytest.raises(ValueError):
+        decode_image(b"P5\n4 4\n70000\n" + bytes(64))
+    with pytest.raises(ValueError):
+        decode_image(pgm[:-5])
