@@ -45,13 +45,18 @@ def test_page_gt_deterministic_and_varied():
 def test_pgm_roundtrip():
     img = (np.arange(600, dtype=np.int64).reshape(20, 30) % 256).astype(np.uint8)
     assert np.array_equal(decode_pgm(encode_pgm(img)), img)
-    # malformed payloads raise ValueError (poison-pill contract)
-    for bad in [b"nope", b"P5\n10 10\n255\nxx", b"P5\n10 10\n65535\n" + b"x" * 200]:
+    # malformed payloads raise ValueError (poison-pill contract);
+    # a maxval-65535 file is VALID 16-bit PGM now — truncate it instead
+    for bad in [b"nope", b"P5\n10 10\n255\nxx",
+                b"P5\n10 10\n65535\n" + b"x" * 150]:
         try:
             decode_pgm(bad)
             raise AssertionError("should have raised")
         except ValueError:
             pass
+    # and the full-length 16-bit payload decodes (high-byte strip)
+    full16 = decode_pgm(b"P5\n10 10\n65535\n" + b"xy" * 100)
+    assert full16.shape == (10, 10) and (full16 == ord("x")).all()
 
 
 def test_render_matches_gt_geometry():
